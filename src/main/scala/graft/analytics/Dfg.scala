@@ -1,0 +1,47 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Directly-follows graph (SURVEY.md O-26): for consecutive events within
+  * each case, count (activity, next_activity) pairs. This is the kernel
+  * under inductive process discovery (reference example.ipynb cell 3).
+  *
+  * Plan shape: one shuffle on the case key for the window, then a partial
+  * (map-side) + final aggregation on the edge pair. Edges are bounded by
+  * |activities|², so the second aggregation's reduce side is tiny at any
+  * data scale — the window shuffle dominates and is unavoidable for
+  * per-case ordering.
+  */
+object Dfg {
+
+  /** (activity, next_activity, n) edge counts. Ordering inside a case is
+    * (tsCol, tieCol) — the tie column keeps results engine-deterministic.
+    */
+  def edges(df: DataFrame, caseCol: String, activityCol: String,
+            tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("next_activity", lead(col(activityCol), 1).over(w))
+      .filter(col("next_activity").isNotNull)
+      .groupBy(col(activityCol).as("activity"), col("next_activity"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Start/end activity frequencies — the other inputs process discovery
+    * needs besides the edge counts.
+    */
+  def startEndCounts(df: DataFrame, caseCol: String, activityCol: String,
+                     tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("rn_desc", row_number().over(
+        Window.partitionBy(col(caseCol)).orderBy(col(tsCol).desc, col(tieCol).desc)))
+      .filter(col("rn") === 1 || col("rn_desc") === 1)
+      .select(
+        col(activityCol).as("activity"),
+        when(col("rn") === 1, lit("start")).otherwise(lit("end")).as("position"))
+      .groupBy("activity", "position")
+      .agg(count(lit(1)).as("n"))
+  }
+}

@@ -1,0 +1,325 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.analytics.{Dfg, Variants}
+import graft.operators.{EventOps, Sessionize}
+
+/** SURVEY.md §2 operator inventory realized over the driver's `events`
+  * table (the EVENTLOG analogue — TESTDATA.md / FIXTURES.md §B), each
+  * paired with the exact DuckDB SQL the driver uses as oracle.
+  *
+  * Determinism rules used throughout (both engines must agree bit-wise
+  * after the driver's canonical sort+hash):
+  *  - every window/sequence ordering carries the `event_id` tie-break;
+  *  - no double-precision SUMs: sums go through DECIMAL and are cast
+  *    back to DOUBLE at the end (addition order then cannot matter);
+  *  - aggregate output types are pinned (BIGINT counts, INT json field)
+  *    because DuckDB's SUM(int) would otherwise widen to HUGEINT.
+  */
+object EventQueries {
+
+  private val MemberIds = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L)
+
+  /** Session derivation shared by the process-mining queries: 30-minute
+    * gap sessionization per user (FIXTURES.md maps this onto CASE_ID).
+    */
+  private def sessions(df: DataFrame): DataFrame =
+    df.transform(Sessionize.byGap("user_id", "ts", "event_id", 30))
+
+  /** The same derivation as DuckDB CTEs. */
+  private val SessionsCte =
+    """WITH gaps AS (
+      |  SELECT *, CASE WHEN date_diff('second',
+      |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+      |    THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |), s AS (
+      |  SELECT *, CAST(user_id AS VARCHAR) || '-' ||
+      |      CAST(CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS VARCHAR) AS session_id
+      |  FROM gaps
+      |)""".stripMargin
+
+  /** Derived lifecycle column (the events table has no LIFECYCLE_PHASE;
+    * `value < 5` plays the role of 'start' rows).
+    */
+  private def withLifecycle(df: DataFrame): DataFrame =
+    df.withColumn("lifecycle",
+      when(col("value") < 5, "start").otherwise("complete"))
+
+  private val RemapSpark = Map(
+    "click" -> "USER_MESSAGE", "view" -> "BOT_MESSAGE", "purchase" -> "SERVICE_REQUEST")
+  private val RemapSql =
+    """CASE WHEN event_type = 'click' THEN 'USER_MESSAGE'
+      |     WHEN event_type = 'view' THEN 'BOT_MESSAGE'
+      |     WHEN event_type = 'purchase' THEN 'SERVICE_REQUEST'
+      |     ELSE event_type END""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // O-7: membership filter, pushed to the parquet scan.
+    "q_filter_membership" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .transform(EventOps.resourceFilter("user_id", MemberIds))
+        .select(col("event_id"), col("user_id"), col("event_type"))),
+
+    // O-8: null rejection.
+    "q_filter_null_reject" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .transform(EventOps.nullReject("props"))
+        .select(col("event_id"), col("props"))),
+
+    // O-9: negated equality (null-rejecting `!=`).
+    "q_filter_neg_eq" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .transform(EventOps.excludeValue("event_type", "error"))
+        .select(col("event_id"), col("event_type"))),
+
+    // O-10/O-13: lifecycle exclusion then equality, on the derived column.
+    "q_filter_lifecycle" -> ((s, dir) =>
+      withLifecycle(Tables.events(s, dir))
+        .transform(EventOps.excludeValue("lifecycle", "start"))
+        .transform(EventOps.equalityFilter("lifecycle", "complete"))
+        .select(col("event_id"), col("lifecycle"), col("value"))),
+
+    // O-11: timestamp range.
+    "q_filter_range" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .transform(EventOps.dateRange("ts", Some("2024-01-10 00:00:00"), Some("2024-01-20 00:00:00")))
+        .select(col("event_id"), col("ts"))),
+
+    // O-12: disjunctive whitelist.
+    "q_filter_whitelist" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .transform(EventOps.whitelist("event_type", Seq("view", "purchase")))
+        .select(col("event_id"), col("event_type"))),
+
+    // O-16: projection + rename.
+    "q_project_rename" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id").as("resource"),
+          col("event_type").as("concept_name"), col("ts").as("time_timestamp"))),
+
+    // O-17: enum value remap.
+    "q_enum_remap" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .transform(EventOps.remapValues("event_type", RemapSpark))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))),
+
+    // O-18: timestamp transform (truncation).
+    "q_ts_trunc" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("ts_hour"))
+        .agg(count(lit(1)).as("n"))),
+
+    // O-19: null fill over a derived nullable column.
+    "q_null_fill" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      Tables.events(s, dir)
+        .withColumn("k_nullable", when(k > 50, lit(null)).otherwise(k))
+        .na.fill(Map("k_nullable" -> -1))
+        .select(col("event_id"), col("k_nullable"))
+    }),
+
+    // O-20: JSON widening of props.
+    "q_json_flatten" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("k").agg(count(lit(1)).as("n"))),
+
+    // O-2: JSON-path scan — project one JSON field, filter on it.
+    "q_json_path_scan" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      Tables.events(s, dir)
+        .filter(k > 90)
+        .select(col("event_id"), k.as("k"))
+    }),
+
+    // O-21: date formatting.
+    "q_date_format" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))),
+
+    // O-23: min/max bounds.
+    "q_minmax_bounds" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))),
+
+    // O-28: emptiness probe as a count.
+    "q_empty_probe" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "nonexistent")
+        .agg(count(lit(1)).as("n"))),
+
+    // Sessionization (CASE_ID derivation) + per-session stats.
+    "q_sessionize" -> ((s, dir) =>
+      sessions(Tables.events(s, dir))
+        .groupBy("session_id")
+        .agg(
+          first(col("user_id")).as("user_id"),
+          count(lit(1)).as("n_events"),
+          (max(col("ts")).cast("long") - min(col("ts")).cast("long")).as("duration_sec"))),
+
+    // O-26: directly-follows graph over sessions.
+    "q_dfg" -> ((s, dir) =>
+      Dfg.edges(sessions(Tables.events(s, dir)),
+        "session_id", "event_type", "ts", "event_id")),
+
+    // Start/end activity frequencies (process-discovery input).
+    "q_dfg_endpoints" -> ((s, dir) =>
+      Dfg.startEndCounts(sessions(Tables.events(s, dir)),
+        "session_id", "event_type", "ts", "event_id")),
+
+    // O-27: trace variants.
+    "q_variants" -> ((s, dir) =>
+      Variants.counts(sessions(Tables.events(s, dir)),
+        "session_id", "event_type", "ts", "event_id")),
+
+    // Flagship: the full generate_eventlog-equivalent pipeline
+    // (filters → sessionize → remap → whitelist → JSON widening → select).
+    "q_eventlog_pipeline" -> ((s, dir) =>
+      sessions(
+        Tables.events(s, dir)
+          .transform(EventOps.resourceFilter("user_id", MemberIds))
+          .transform(EventOps.dateRange("ts", Some("2024-01-05 00:00:00"), None)))
+        .transform(EventOps.remapValues("event_type", RemapSpark))
+        .transform(EventOps.whitelist("event_type", Seq("USER_MESSAGE", "SERVICE_REQUEST")))
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .select(
+          col("session_id").as("case_id"),
+          col("event_type"),
+          col("ts").as("event_ts"),
+          col("user_id").as("resource"),
+          col("k"))),
+
+    // Window functions: running per-user aggregates.
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_value",
+          sum(col("value").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .select(col("event_id"), col("user_id"), col("rn"), col("running_value"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_filter_membership" ->
+      s"""SELECT event_id, user_id, event_type FROM events
+         |WHERE user_id IN (${MemberIds.mkString(", ")})""".stripMargin,
+
+    "q_filter_null_reject" ->
+      "SELECT event_id, props FROM events WHERE props IS NOT NULL",
+
+    "q_filter_neg_eq" ->
+      "SELECT event_id, event_type FROM events WHERE event_type != 'error'",
+
+    "q_filter_lifecycle" ->
+      """SELECT event_id, lifecycle, value FROM (
+        |  SELECT *, CASE WHEN value < 5 THEN 'start' ELSE 'complete' END AS lifecycle
+        |  FROM events)
+        |WHERE lifecycle != 'start' AND lifecycle = 'complete'""".stripMargin,
+
+    "q_filter_range" ->
+      """SELECT event_id, ts FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+    "q_filter_whitelist" ->
+      "SELECT event_id, event_type FROM events WHERE event_type IN ('view', 'purchase')",
+
+    "q_project_rename" ->
+      """SELECT event_id, user_id AS resource, event_type AS concept_name,
+        |  ts AS time_timestamp FROM events""".stripMargin,
+
+    "q_enum_remap" ->
+      s"""SELECT $RemapSql AS event_type, count(*) AS n
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_ts_trunc" ->
+      "SELECT date_trunc('hour', ts) AS ts_hour, count(*) AS n FROM events GROUP BY 1",
+
+    "q_null_fill" ->
+      """SELECT event_id, coalesce(CASE WHEN k > 50 THEN NULL ELSE k END, -1) AS k_nullable
+        |FROM (SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)""".stripMargin,
+
+    "q_json_flatten" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_json_path_scan" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 90""".stripMargin,
+
+    "q_date_format" ->
+      "SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n FROM events GROUP BY 1",
+
+    "q_minmax_bounds" ->
+      "SELECT min(ts) AS start_ts, max(ts) AS end_ts FROM events",
+
+    "q_empty_probe" ->
+      "SELECT count(*) AS n FROM events WHERE event_type = 'nonexistent'",
+
+    "q_sessionize" ->
+      s"""$SessionsCte
+         |SELECT session_id, min(user_id) AS user_id, count(*) AS n_events,
+         |  date_diff('second', min(ts), max(ts)) AS duration_sec
+         |FROM s GROUP BY 1""".stripMargin,
+
+    "q_dfg" ->
+      s"""$SessionsCte, nxt AS (
+         |  SELECT event_type, lead(event_type) OVER (
+         |    PARTITION BY session_id ORDER BY ts, event_id) AS next_activity
+         |  FROM s)
+         |SELECT event_type AS activity, next_activity, count(*) AS n
+         |FROM nxt WHERE next_activity IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "q_dfg_endpoints" ->
+      s"""$SessionsCte, pos AS (
+         |  SELECT event_type,
+         |    row_number() OVER (PARTITION BY session_id ORDER BY ts, event_id) AS rn,
+         |    row_number() OVER (PARTITION BY session_id ORDER BY ts DESC, event_id DESC) AS rn_desc
+         |  FROM s)
+         |SELECT event_type AS activity,
+         |  CASE WHEN rn = 1 THEN 'start' ELSE 'end' END AS position, count(*) AS n
+         |FROM pos WHERE rn = 1 OR rn_desc = 1 GROUP BY 1, 2""".stripMargin,
+
+    "q_variants" ->
+      s"""$SessionsCte, percase AS (
+         |  SELECT session_id, string_agg(event_type, '->' ORDER BY ts, event_id) AS variant
+         |  FROM s GROUP BY 1)
+         |SELECT variant, count(*) AS n_cases FROM percase GROUP BY 1""".stripMargin,
+
+    "q_eventlog_pipeline" ->
+      s"""WITH base AS (
+         |  SELECT * FROM events
+         |  WHERE user_id IN (${MemberIds.mkString(", ")})
+         |    AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+         |), gaps AS (
+         |  SELECT *, CASE WHEN date_diff('second',
+         |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+         |    THEN 1 ELSE 0 END AS is_new
+         |  FROM base
+         |), s AS (
+         |  SELECT *, CAST(user_id AS VARCHAR) || '-' ||
+         |      CAST(CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS VARCHAR) AS session_id
+         |  FROM gaps
+         |)
+         |SELECT session_id AS case_id, $RemapSql AS event_type, ts AS event_ts,
+         |  user_id AS resource, CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k
+         |FROM s
+         |WHERE $RemapSql IN ('USER_MESSAGE', 'SERVICE_REQUEST')""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        |FROM events""".stripMargin)
+}

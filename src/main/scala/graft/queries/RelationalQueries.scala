@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational headline queries over the star-schema tables — the shapes
+  * a 100 TB deployment actually runs: scan-heavy aggregation, dimension
+  * joins (broadcast the small side), semi-joins (the reference's
+  * id-list → IN pattern at dataframe scale, SURVEY.md §2.7 "Joins"),
+  * top-k, and set ops.
+  *
+  * Plan-shape intent, per query (checked via `.explain`):
+  *  - q1_agg: single scan, partial+final hash aggregate, no join;
+  *  - q_join_agg: customer is broadcast — no shuffle of orders;
+  *  - q_semi_join: left_semi with the filtered orders side broadcast;
+  *  - q_topk: TakeOrderedAndProject (never a global sort of all rows).
+  */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1-shaped pricing summary: the canonical scan+agg benchmark.
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    // Dimension join + aggregate; the dimension side is broadcast.
+    "q_join_agg" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))),
+
+    // Semi-join: the reference's driver-side id-list IN pattern at
+    // dataframe scale (left_semi — never materializes the right side).
+    "q_semi_join" -> ((s, dir) => {
+      val fOrders = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(fOrders), Seq("l_orderkey"), "left_semi")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"))
+    }),
+
+    // Anti-join: orders with no lineitems (NOT EXISTS).
+    "q_anti_join" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey").as("o_orderkey")),
+          Seq("o_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"))),
+
+    // Top-k: planner must choose TakeOrderedAndProject, not a full sort.
+    "q_topk" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(10)),
+
+    // Multi-way join through the dimension chain with two broadcasts.
+    "q_join_3way" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))),
+
+    // Distinct (exact dedup at row granularity).
+    "q_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()),
+
+    // Set op: union of two filtered slices, de-duplicated.
+    "q_union" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .union(o.filter(col("o_totalprice") > 200000).select(col("o_custkey")))
+        .distinct()
+    }),
+
+    // Grouped top-n per key (window + filter): top order per customer.
+    "q_topn_per_key" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT l_orderkey, count(*) AS n_lines FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY 1""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_join_3way" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_union" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 200000""".stripMargin,
+
+    "q_topn_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk = 1""".stripMargin)
+}
