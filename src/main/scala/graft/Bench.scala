@@ -1,24 +1,66 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Per-round benchmark: times every SparkEntry query at the given SF.
+  *
+  * Output contract: ONE JSON line on stdout (the forked JVM's stdout
+  * passes through un-prefixed — build.sbt sets `outputStrategy :=
+  * StdoutOutput`), and the same JSON at /root/repo/bench_out.json as a
+  * belt-and-braces copy for the driver.
+  *
+  * Failures are never swallowed: a failing query is timed, recorded in
+  * an `errors` map, and excluded from the total, so a regression shows
+  * up as an error instead of a normal-looking wall time.
+  *
+  * The timed action is a `noop`-sink write — unlike `count()`, Catalyst
+  * cannot prune the projection away (every column is computed and handed
+  * to the sink), and unlike `foreach` there is no per-row Row
+  * deserialization tax, so the measurement is the real query work.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Absorb one-time JVM/codegen/parquet-footer warm-up so it doesn't
+    // land on whichever query happens to run first (r1: q_union paid
+    // ~5s of it).
+    Tables.events(spark, sfDir).limit(1).write.format("noop").mode("overwrite").save()
+
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        times(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = times.values.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${times.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+    Files.writeString(Paths.get("/root/repo/bench_out.json"), json)
+    println(json)
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

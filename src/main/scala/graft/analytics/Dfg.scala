@@ -30,14 +30,20 @@ object Dfg {
 
   /** Start/end activity frequencies — the other inputs process discovery
     * needs besides the edge counts.
+    *
+    * Single sort: one ascending `row_number` plus an unordered per-case
+    * `count` over the same partitioning (the count window needs no sort,
+    * and Catalyst reuses the one Exchange). A descending second
+    * `row_number` would cost a second full sort of every partition.
+    * A one-event case is both first and last; it is labeled 'start',
+    * matching the reference-shaped oracle's CASE WHEN rn = 1 branch.
     */
   def startEndCounts(df: DataFrame, caseCol: String, activityCol: String,
                      tsCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieCol))
     df.withColumn("rn", row_number().over(w))
-      .withColumn("rn_desc", row_number().over(
-        Window.partitionBy(col(caseCol)).orderBy(col(tsCol).desc, col(tieCol).desc)))
-      .filter(col("rn") === 1 || col("rn_desc") === 1)
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col(caseCol))))
+      .filter(col("rn") === 1 || col("rn") === col("cnt"))
       .select(
         col(activityCol).as("activity"),
         when(col("rn") === 1, lit("start")).otherwise(lit("end")).as("position"))

@@ -14,7 +14,12 @@ import graft.Tables
   * Plan-shape intent, per query (checked via `.explain`):
   *  - q1_agg: single scan, partial+final hash aggregate, no join;
   *  - q_join_agg: customer is broadcast — no shuffle of orders;
-  *  - q_semi_join: left_semi with the filtered orders side broadcast;
+  *  - q_semi_join: left_semi with NO broadcast hint — the filtered
+  *    orders side is ~half of ORDERS, far too big to force into every
+  *    executor at scale; AQE broadcasts it when it's actually small and
+  *    shuffle-joins otherwise;
+  *  - q_union: one scan of orders with a disjunctive filter (set-equal
+  *    to the two-scan UNION the oracle spells out), then distinct;
   *  - q_topk: TakeOrderedAndProject (never a global sort of all rows).
   */
 object RelationalQueries {
@@ -45,12 +50,15 @@ object RelationalQueries {
 
     // Semi-join: the reference's driver-side id-list IN pattern at
     // dataframe scale (left_semi — never materializes the right side).
+    // No broadcast hint: the right side is ~half of ORDERS, so a forced
+    // broadcast would be a scale-killer; AQE picks broadcast vs shuffle
+    // from the runtime size.
     "q_semi_join" -> ((s, dir) => {
       val fOrders = Tables.orders(s, dir)
         .filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey").as("l_orderkey"))
       Tables.lineitem(s, dir)
-        .join(broadcast(fOrders), Seq("l_orderkey"), "left_semi")
+        .join(fOrders, Seq("l_orderkey"), "left_semi")
         .groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("n_lines"))
     }),
@@ -86,13 +94,14 @@ object RelationalQueries {
         .select(col("l_returnflag"), col("l_linestatus"))
         .distinct()),
 
-    // Set op: union of two filtered slices, de-duplicated.
-    "q_union" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
-        .union(o.filter(col("o_totalprice") > 200000).select(col("o_custkey")))
-        .distinct()
-    }),
+    // Set op: union of two filtered slices, de-duplicated. UNION-distinct
+    // of two slices of the SAME table is set-equal to one disjunctive
+    // filter — half the scans; the oracle keeps the two-scan SQL spelling.
+    "q_union" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F" || col("o_totalprice") > 200000)
+        .select(col("o_custkey"))
+        .distinct()),
 
     // Grouped top-n per key (window + filter): top order per customer.
     "q_topn_per_key" -> ((s, dir) => {
