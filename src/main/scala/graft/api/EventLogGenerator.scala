@@ -90,15 +90,20 @@ object EventLogGenerator {
     * 204) → parameter-keyed file → XES write.
     *
     * Date bounds: when `startDate`/`endDate` are absent they are
-    * defaulted from the data (min/max of `time:timestamp` formatted
-    * yyyy-MM-dd — event_reader.py:26-29) and the RESOLVED dates key the
-    * cache file (app.py:221-226). Divergence from the reference,
-    * documented: the reference's route-level cache probe uses the raw
-    * (None) dates so a dateless request can never hit the entry its own
-    * generation wrote; here the resolved key is used for both probe and
-    * write, so a dateless request and its explicit-date twin share one
-    * cache entry. The min/max probe is one cheap aggregate-only job; it
-    * doubles as the emptiness check (null min = no rows).
+    * defaulted from the data (min/max of `time:timestamp` —
+    * event_reader.py:26-29) and the RESOLVED bounds key the cache file
+    * (app.py:221-226). The bounds are resolved at FULL timestamp
+    * precision (not the reference's day truncation): `dateRange`
+    * compares whole timestamps, so a day-truncated end bound would
+    * exclude the last day's events and the dateless request would share
+    * a key with an explicit-date twin whose content differs. With
+    * full-precision bounds the twin's `ts >= min && ts <= max` filter
+    * is a no-op, so the shared cache entry is byte-identical for both.
+    * Divergence from the reference, documented: the reference's
+    * route-level cache probe uses the raw (None) dates so a dateless
+    * request can never hit the entry its own generation wrote. The
+    * min/max probe is one cheap aggregate-only job; it doubles as the
+    * emptiness check (null min = no rows).
     */
   def generateXes(eventlog: DataFrame, params: Params, cache: ResultCache,
                   inferRemarksSchema: Boolean = false): Option[Path] = {
@@ -108,9 +113,9 @@ object EventLogGenerator {
       else {
         val row = df.agg(
           org.apache.spark.sql.functions.date_format(
-            org.apache.spark.sql.functions.min(df("time:timestamp")), "yyyy-MM-dd"),
+            org.apache.spark.sql.functions.min(df("time:timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
           org.apache.spark.sql.functions.date_format(
-            org.apache.spark.sql.functions.max(df("time:timestamp")), "yyyy-MM-dd")).head()
+            org.apache.spark.sql.functions.max(df("time:timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS")).head()
         if (row.isNullAt(0)) None // empty input → 204 intent
         else Some(params.copy(
           startDate = params.startDate.orElse(Some(row.getString(0))),
@@ -130,8 +135,13 @@ object EventLogGenerator {
     * stay filesystem-safe.
     */
   def cacheKey(params: Params): String = {
+    // Each resource id is length-prefixed individually and the list
+    // carries its own element count, so Seq("a\u0000b") vs Seq("a","b")
+    // and Nil vs Seq("") cannot collide (a flat separator-join would).
+    val idsField = params.resourceIds.length.toString + ":" +
+      params.resourceIds.map(id => s"${id.length}:$id").mkString
     val canonical = Seq(
-      params.resourceIds.mkString("\u0000"),
+      idsField,
       params.startDate.getOrElse(""),
       params.endDate.getOrElse(""),
       params.includeBotMessages.toString,
@@ -160,15 +170,18 @@ final class ResultCache(dir: Path, ttlSeconds: Long = 60) {
 
   def evictExpired(): Int = {
     val cutoff = System.currentTimeMillis() - ttlSeconds * 1000
-    val it = Files.list(dir).iterator()
-    var n = 0
-    while (it.hasNext) {
-      val p = it.next()
-      if (Files.getLastModifiedTime(p).toMillis < cutoff) {
-        Files.deleteIfExists(p); n += 1
+    val s = Files.list(dir)
+    try {
+      val it = s.iterator()
+      var n = 0
+      while (it.hasNext) {
+        val p = it.next()
+        if (Files.getLastModifiedTime(p).toMillis < cutoff) {
+          Files.deleteIfExists(p); n += 1
+        }
       }
-    }
-    n
+      n
+    } finally s.close() // Files.list holds a directory handle until closed
   }
 
   /** Background eviction loop (reference: APScheduler interval job). */
