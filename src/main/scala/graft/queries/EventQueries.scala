@@ -293,6 +293,25 @@ object EventQueries {
           count(lit(1)).as("n_events"))
     }),
 
+    // O-4/O-24/O-25 execution gate: the REAL XES renderer. Runs
+    // XesWriter.traceXml (repartition-by-case + sortWithinPartitions +
+    // the run-grouping mapPartitions XML iterator), then parses the
+    // emitted XML back with xpath — so escaping, attribute typing and
+    // per-trace chronological order are all on the oracle's hook, not
+    // re-derived as an aggregation the way q_xes_traces does.
+    "q_xes_render" -> ((s, dir) => {
+      val log = EventLogGenerator.generate(asEventlog(Tables.events(s, dir)), GenerateParams)
+      graft.xes.XesWriter.traceXml(log, tieCols = Seq("event_id"))
+        .toDF("case_id", "xml")
+        .select(
+          col("case_id"),
+          expr("xpath_long(xml, 'count(/trace/event)')").as("n_events"),
+          expr("""xpath_string(xml, '/trace/event[1]/string[@key="concept:name"]/@value')""")
+            .as("first_activity"),
+          expr("""xpath_string(xml, '/trace/event[last()]/date[@key="time:timestamp"]/@value')""")
+            .as("last_ts_rendered"))
+    }),
+
     // Window functions: running per-user aggregates.
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -480,6 +499,29 @@ object EventQueries {
          |  count(*) AS n_events
          |FROM filtered
          |GROUP BY 1""".stripMargin,
+
+    "q_xes_render" ->
+      s"""$EventlogCte, filtered AS (
+         |  SELECT * FROM el
+         |  WHERE "CASE_ID" IS NOT NULL
+         |    AND "RESOURCE" IN ($memberIdStrings)
+         |    AND "EVENT_TYPE" != 'SERVICE_CUSTOM_MESSAGE_2'
+         |    AND "LIFECYCLE_PHASE" != 'start'
+         |    AND "TIME_STAMP" >= TIMESTAMP '2024-01-05 00:00:00'
+         |    AND CASE "EVENT_TYPE" WHEN 'SERVICE_CUSTOM_MESSAGE_1' THEN 'USER_MESSAGE'
+         |                          WHEN 'SERVICE_CUSTOM_MESSAGE_3' THEN 'SERVICE_REQUEST'
+         |                          ELSE "EVENT_TYPE" END IN ('USER_MESSAGE', 'SERVICE_REQUEST')
+         |    AND "LIFECYCLE_PHASE" = 'complete'
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY "CASE_ID" ORDER BY "TIME_STAMP", event_id) AS rn
+         |  FROM filtered
+         |)
+         |SELECT "CASE_ID" AS case_id,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  max(CASE WHEN rn = 1 THEN "ACTIVITY_NAME" END) AS first_activity,
+         |  strftime(max("TIME_STAMP"), '%Y-%m-%dT%H:%M:%S.') ||
+         |    substr(strftime(max("TIME_STAMP"), '%f'), 1, 3) || 'Z' AS last_ts_rendered
+         |FROM ranked GROUP BY 1""".stripMargin,
 
     "q_window_running" ->
       """SELECT event_id, user_id,
