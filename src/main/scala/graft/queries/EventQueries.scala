@@ -189,12 +189,16 @@ object EventQueries {
         .groupBy("k").agg(count(lit(1)).as("n"))),
 
     // O-2: JSON-path scan — project one JSON field, filter on it.
-    "q_json_path_scan" -> ((s, dir) => {
-      val k = get_json_object(col("props"), "$.k").cast("int")
+    // json_tuple (a Generator) parses the JSON exactly once; a plain
+    // get_json_object in both filter and projection is evaluated twice
+    // per surviving row because predicate pushdown re-substitutes the
+    // expression below the Project (VERDICT r2 #5 — verified with
+    // explain("formatted"): one json_tuple, one codegen span).
+    "q_json_path_scan" -> ((s, dir) =>
       Tables.events(s, dir)
-        .filter(k > 90)
-        .select(col("event_id"), k.as("k"))
-    }),
+        .select(col("event_id"), json_tuple(col("props"), "k").as("k0"))
+        .select(col("event_id"), col("k0").cast("int").as("k"))
+        .filter(col("k") > 90)),
 
     // O-21: date formatting.
     "q_date_format" -> ((s, dir) =>
