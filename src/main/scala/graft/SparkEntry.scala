@@ -4,12 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * `queries` is the full operator inventory (SURVEY.md §2 parity ops,
-  * relational headline shapes, and the training-data-pipeline
-  * extensions); `oracleSql` carries the DuckDB-equivalent SQL for every
-  * query whose semantics are SQL-expressible. Approximate operators
-  * (MinHash-LSH, SimHash, ANN) are rows-only checked by the driver and
-  * property-tested in ScalaTest instead.
+  * `queries` is the full operator inventory: SURVEY.md §2 parity ops
+  * (EventQueries), relational headline shapes (RelationalQueries), and
+  * the training-data-pipeline layer (PipelineQueries: dedup tiers,
+  * similarity search, text analysis, multimodal plumbing). `oracleSql`
+  * carries the DuckDB-equivalent SQL for every query whose semantics
+  * are SQL-expressible with cross-engine-deterministic arithmetic.
+  * The approximate operators (q_minhash_lsh, q_simhash_neardup,
+  * q_ann_lsh) intentionally have NO oracle entry — the driver records
+  * a rows-only check — and are instead recall/property-tested against
+  * their exact counterparts in LlmDedupSpec and AnnSpec.
   */
 object SparkEntry {
 
@@ -20,12 +24,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.EventQueries.queries ++
-      graft.queries.RelationalQueries.queries
+      graft.queries.RelationalQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.EventQueries.oracleSql ++
-      graft.queries.RelationalQueries.oracleSql
+      graft.queries.RelationalQueries.oracleSql ++
+      graft.queries.PipelineQueries.oracleSql
 }

@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, plus decode / frame-sample operators.
+  *
+  * The DESIGN is the deliverable — schema, partition-wise batch
+  * processing, bounded memory — while the actual codec is stubbed:
+  * this container has no image/audio libraries, so `decodeStub`
+  * parses a deterministic 8-byte header (two big-endian int32s)
+  * instead of invoking a real decoder. The Spark-side shape is real:
+  * the header parse is pure Catalyst (substring/hex/conv — codegen,
+  * no UDF), and `mapMediaPartitions` shows where a native decoder
+  * would sit (per-partition init, streaming iterator, one record in
+  * flight — the Scala analogue of a `mapInPandas` batch UDF).
+  *
+  * Scale notes: binary payloads never enter a shuffle here — metadata
+  * extraction is map-only; anything that must group media rows should
+  * group the (id, meta) projection and re-join the payload column.
+  */
+object Multimodal {
+
+  val HeaderBytes = 8
+
+  /** Test/fixture helper: wrap a text corpus as fake media rows —
+    * header = int32(n_chars) ++ int32(id mod 2^31), payload = the
+    * UTF-8 bytes. Deterministic, so oracle SQL can predict every
+    * decoded field from the source columns without touching binary.
+    */
+  def withFakeMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("media",
+      expr(s"""to_binary(concat(
+              |  lpad(conv(cast(length($textCol) AS string), 10, 16), 8, '0'),
+              |  lpad(conv(cast(pmod($idCol, 2147483648) AS string), 10, 16), 8, '0'),
+              |  hex(encode($textCol, 'UTF-8'))), 'hex')""".stripMargin))
+
+  /** Stub decode: parse the 8-byte header into typed metadata columns.
+    * A real build swaps the two `conv(hex(substring(...)))` lines for
+    * a codec call; everything downstream (schema, grouping, sampling)
+    * is codec-agnostic.
+    */
+  def decodeStub(df: DataFrame, mediaCol: String): DataFrame =
+    df.withColumn("payload_len", length(col(mediaCol)) - HeaderBytes)
+      .withColumn("h0",
+        expr(s"cast(conv(hex(substring($mediaCol, 1, 4)), 16, 10) AS bigint)"))
+      .withColumn("h1",
+        expr(s"cast(conv(hex(substring($mediaCol, 5, 4)), 16, 10) AS bigint)"))
+      .withColumn("meta", struct(
+        lit("stub/v1").as("codec"),
+        (lit(16) + pmod(col("h0"), lit(64))).cast("int").as("width"),
+        (lit(16) + pmod(col("h1"), lit(48))).cast("int").as("height"),
+        col("payload_len").cast("long").as("n_bytes")))
+      .drop("h0", "h1", "payload_len")
+
+  /** Frame sampling: split the payload (after the header) into
+    * fixed-size frames and keep every `every`-th one — the
+    * keyframe-extraction shape. Pure Catalyst; frames are binary
+    * slices, count is ⌈payload/frameBytes⌉ before sampling.
+    */
+  def sampleFrames(df: DataFrame, mediaCol: String,
+                   frameBytes: Int, every: Int): DataFrame =
+    df.withColumn("__n",
+        ceil((length(col(mediaCol)) - HeaderBytes).cast("double") / frameBytes).cast("int"))
+      .withColumn("frames", expr(
+        s"""transform(filter(sequence(0, __n - 1), i -> i % $every = 0),
+           |  i -> substring($mediaCol, ${HeaderBytes + 1} + i * $frameBytes, $frameBytes))"""
+          .stripMargin))
+      .withColumn("n_frames_total", col("__n"))
+      .withColumn("n_frames_kept", size(col("frames")))
+      .drop("__n")
+
+  /** One decoded media record (payload kept opaque). */
+  final case class MediaRecord(id: Long, width: Int, height: Int, nBytes: Long)
+
+  /** Partition-wise decode: the slot where a real native decoder lives.
+    * Per-partition initialization happens once (the `decoder` value),
+    * records stream through one at a time (bounded memory regardless
+    * of partition size), and the output is a typed Dataset — the
+    * Scala analogue of a batched `mapInPandas` UDF.
+    */
+  def mapMediaPartitions(df: DataFrame, idCol: String, mediaCol: String)
+                        (decoder: Array[Byte] => (Int, Int) = stubHeaderDecoder)
+  : Dataset[MediaRecord] = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      // per-partition decoder init would go here (native lib handle)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        val (w, h) = decoder(bytes)
+        MediaRecord(r.getLong(idIdx), w, h, (bytes.length - HeaderBytes).toLong)
+      }
+    }(Encoders.product[MediaRecord])
+  }
+
+  /** The stub codec: big-endian int32 pair from the header, mapped to
+    * the same (width, height) as `decodeStub` — the two paths must
+    * agree, and MultimodalSpec pins that.
+    */
+  def stubHeaderDecoder(bytes: Array[Byte]): (Int, Int) = {
+    def be32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    (16 + (be32(0) % 64).toInt, 16 + (be32(4) % 48).toInt)
+  }
+}

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data pipeline operators (the "beyond the reference" layer)
+  * over the driver's `documents` and `embeddings` tables.
+  *
+  * Oracle policy: exact/deterministic-arithmetic operators carry DuckDB
+  * SQL twins (cross-engine-portable integer hashing, IEEE doubles in a
+  * fixed op order — see TextOps). Approximate operators (MinHash-LSH,
+  * SimHash, hyperplane ANN) use engine-specific xxhash64 and are
+  * rows-only checked by the driver plus recall/property-tested in
+  * LlmDedupSpec / AnnSpec against their exact counterparts.
+  */
+object PipelineQueries {
+
+  private val StopEn = Seq("the", "a", "of", "and", "is", "to")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- dedup tier 1: exact content-hash groups ------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")),
+
+    // -- dedup tier 2: normalized (lowercase, collapsed ws, stop tokens
+    //    dropped) content-hash groups ----------------------------------
+    "q_dedup_norm" -> ((s, dir) =>
+      Dedup.normalizedGroups(Tables.documents(s, dir), "doc_id", "text",
+        dropTokens = Seq("the", "a"))),
+
+    // -- dedup tier 3 (exact arm): blocked bigram-Jaccard pairs --------
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        blockCol = "lang", n = 2, threshold = 0.5)),
+
+    // -- dedup tier 3 (scale arm): MinHash-LSH banded candidates,
+    //    Jaccard-verified. Approximate candidate generation → rows-only
+    //    driver check + recall gate in LlmDedupSpec. -------------------
+    "q_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.5).orderBy("id_a", "id_b")),
+
+    // -- dedup tier 4: SimHash chunk-blocked near-dups. maxHamming=3
+    //    makes the 4×16-bit chunk blocking COMPLETE (pigeonhole), so
+    //    the only approximation left is the sketch itself. -------------
+    "q_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3).orderBy("id_a", "id_b")),
+
+    // -- text analysis: per-document quality statistics ----------------
+    "q_text_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", TextOps.tokens("text"))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_uniq", size(array_distinct(col("toks"))))
+        .withColumn("total_chars",
+          expr("aggregate(transform(toks, t -> CAST(length(t) AS bigint)), 0L, (a, b) -> a + b)"))
+        .withColumn("n_stop", size(expr(
+          s"filter(toks, t -> t IN (${StopEn.map(w => s"'$w'").mkString(", ")}))")))
+        .withColumn("ttr", col("n_uniq").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("avg_token_len",
+          col("total_chars").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("quality",
+          least(col("n_tokens"), lit(60)).cast("double") / lit(60.0) * lit(0.5) +
+            col("ttr") * lit(0.3) + col("stop_ratio") * lit(0.2))
+        .select("doc_id", "n_tokens", "n_uniq", "total_chars", "n_stop",
+          "ttr", "avg_token_len", "stop_ratio", "quality")),
+
+    // -- text analysis: heuristic stopword-profile language ID ---------
+    "q_lang_id" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).withColumn("toks", TextOps.tokens("text"))
+      val scored = TextOps.LangProfiles.foldLeft(base) { case (d, (lang, words)) =>
+        d.withColumn(s"score_$lang", TextOps.langScore("toks", words))
+      }
+      scored.withColumn("predicted",
+          TextOps.predictedLang(TextOps.LangProfiles.map { case (l, _) => (l, s"score_$l") }))
+        .select("doc_id", "lang", "score_de", "score_en", "score_es",
+          "score_fr", "score_zh", "predicted")
+    }),
+
+    // -- text analysis: rolling-hash document fingerprint --------------
+    "q_doc_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", TextOps.tokens("text"))
+        .withColumn("th", TextOps.tokenHashes("toks"))
+        .select(col("doc_id"), TextOps.fingerprint("th", w = 5).as("fp"))),
+
+    // -- similarity: exact quantized-cosine top-k (brute-force oracle
+    //    tier; probe side broadcast, corpus never shuffled) ------------
+    "q_embed_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        probePred = col("vec_id") < 10, k = 5)),
+
+    // -- similarity: embedding-cosine near-dup pairs (exact tier) ------
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.35)),
+
+    // -- similarity: multiprobe hyperplane-LSH ANN (scale tier) --------
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        probePred = col("vec_id") < 10, k = 10).orderBy("probe_id", "rank")),
+
+    // -- multimodal: binary media column round-trip — build fake media,
+    //    stub-decode typed metadata, sample frames. The oracle predicts
+    //    every decoded field from the source columns, so the binary
+    //    plumbing (header encode/parse, slicing) is what's checked. ----
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.withFakeMedia(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.sampleFrames(Multimodal.decodeStub(media, "media"), "media",
+          frameBytes = 32, every = 2)
+        .select(col("doc_id"), col("meta.codec").as("codec"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("n_frames_total"), col("n_frames_kept"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_norm" ->
+      """SELECT md5(array_to_string(list_filter(
+        |    string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |    t -> t NOT IN ('the', 'a')), ' ')) AS content_hash,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS grams
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |)
+        |SELECT * FROM p WHERE jaccard >= 0.5""".stripMargin,
+
+    "q_text_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
+        |    CAST(list_sum(list_transform(toks, t -> CAST(len(t) AS BIGINT))) AS BIGINT) AS total_chars,
+        |    CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to'))) AS INTEGER) AS n_stop
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, n_uniq, total_chars, n_stop,
+        |  CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        |  CAST(total_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+        |  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+        |  CAST(least(n_tokens, 60) AS DOUBLE) / 60.0 * 0.5 +
+        |    CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3 +
+        |    CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.2 AS quality
+        |FROM s""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht'))) AS INTEGER) AS score_de,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','to'))) AS INTEGER) AS score_en,
+        |    CAST(len(list_filter(toks, t -> t IN ('el','la','los','y','es','de'))) AS INTEGER) AS score_es,
+        |    CAST(len(list_filter(toks, t -> t IN ('le','la','les','et','est','une'))) AS INTEGER) AS score_fr,
+        |    CAST(len(list_filter(toks, t -> t IN ('的','是','了','在','我','不'))) AS INTEGER) AS score_zh
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, score_de, score_en, score_es, score_fr, score_zh,
+        |  CASE WHEN score_de >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+        |       WHEN score_en >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+        |       WHEN score_es >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+        |       WHEN score_fr >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+        |       WHEN score_zh >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'zh'
+        |  END AS predicted
+        |FROM s""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    list_transform(toks, tok -> list_reduce(
+        |      list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(range(1, len(tok) + 1), i -> CAST(ascii(tok[i]) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007)) AS th
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN n >= 5
+        |    THEN list_min(list_transform(range(1, n - 3), i -> list_reduce(
+        |           list_prepend(CAST(11 AS BIGINT), list_slice(th, i, i + 4)),
+        |           (a, b) -> (a * 37 + b) % 1000000007)))
+        |    ELSE list_reduce(list_prepend(CAST(11 AS BIGINT), th),
+        |           (a, b) -> (a * 37 + b) % 1000000007)
+        |  END AS fp
+        |FROM h""".stripMargin,
+
+    "q_embed_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q
+        |), p AS (
+        |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) AS DOUBLE) /
+        |      sqrt(CAST(a.nsq * b.nsq AS DOUBLE)) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id != a.vec_id
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS "rank"
+        |  FROM p
+        |)
+        |SELECT probe_id, neighbor_id, "rank", cos FROM r WHERE "rank" <= 5""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q
+        |), p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) AS DOUBLE) /
+        |      sqrt(CAST(a.nsq * b.nsq AS DOUBLE)) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |)
+        |SELECT * FROM p WHERE cos >= 0.35""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  'stub/v1' AS codec,
+        |  CAST(16 + (n_chars % 64) AS INTEGER) AS width,
+        |  CAST(16 + (doc_id % 48) AS INTEGER) AS height,
+        |  CAST(n_chars AS BIGINT) AS n_bytes,
+        |  CAST(ceil(CAST(n_chars AS DOUBLE) / 32) AS INTEGER) AS n_frames_total,
+        |  CAST(ceil(CAST(ceil(CAST(n_chars AS DOUBLE) / 32) AS DOUBLE) / 2) AS INTEGER) AS n_frames_kept
+        |FROM documents""".stripMargin)
+}

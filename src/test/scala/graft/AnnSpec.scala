@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Similarity
+
+/** Recall gate for the approximate-nearest-neighbor tier: hyperplane
+  * LSH is approximate by design, so the driver's rows-only check is
+  * backed here by a deterministic recall measurement against the
+  * exact brute-force ranking (same data, same quantization — the only
+  * difference is candidate generation).
+  */
+class AnnSpec extends SparkSpec {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  test("ANN recall@10 beats the scanned-fraction baseline and a fixed floor") {
+    val emb = Tables.embeddings(spark, Sf)
+    val probes = col("vec_id") < 10
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probes, k = 10)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", probes, k = 10,
+        nbits = 5, probeFlips = 1)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & ann).size.toDouble / truth.size
+    // multiprobe over 6 of 32 buckets scans ~19% of the corpus; random
+    // scanning at that fraction would land recall ≈ 0.19. Everything is
+    // deterministic (fixed vectors, hash-derived planes), so the
+    // measured value is stable run to run; 0.25 is the honest floor —
+    // the embeddings fixture is near-isotropic, which is the LSH
+    // worst case (measured: 0.35 at sf0.01).
+    val scannedFraction = 6.0 / 32.0
+    assert(recall > scannedFraction, s"recall $recall <= scanned fraction $scannedFraction")
+    assert(recall >= 0.25, s"recall $recall below floor")
+  }
+
+  test("exact top-k: self excluded, ranks dense from 1, cosine within [-1, 1]") {
+    val emb = Tables.embeddings(spark, Sf)
+    val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 5, k = 3).collect()
+    assert(topk.length == 15)
+    assert(topk.forall(r => r.getLong(0) != r.getLong(1)))
+    val byProbe = topk.groupBy(_.getLong(0))
+    assert(byProbe.values.forall(_.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3)))
+    assert(topk.forall { r => val c = r.getDouble(3); c >= -1.0 && c <= 1.0 })
+    // ranks follow cosine descending
+    byProbe.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+      assert(sorted == sorted.sorted.reverse)
+    }
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.llm.{Dedup, TextOps}
+
+/** Property gates for the approximate dedup tier: the rows-only driver
+  * check can't judge quality, so MinHash-LSH is held to its exact
+  * counterpart (recall AND precision), and SimHash to its defining
+  * monotonicity property.
+  */
+class LlmDedupSpec extends SparkSpec {
+
+  private val Sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, Sf)
+
+  /** Unblocked exact truth: every pair with bigram Jaccard >= t. */
+  private def exactPairs(t: Double): Set[(Long, Long)] =
+    Dedup.ngramJaccardPairs(
+      docs.withColumn("__all", lit(1)), "doc_id", "text", "__all", 2, t)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MinHash-LSH: recall 1.0 and precision 1.0 vs exact bigram Jaccard at 0.5") {
+    val truth = exactPairs(0.5)
+    assert(truth.nonEmpty, "fixture should contain planted near-duplicates")
+    val found = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is structural (candidates are Jaccard-verified before the
+    // threshold filter); recall is the property under test — with 16
+    // bands × 4 rows, a true pair at j >= 0.5 is missed w.p. (1-j^4)^16
+    // <= 1.6e-2, and the planted pairs sit at j >= 0.9 (miss < 1e-8).
+    assert(found == truth,
+      s"minhash=${found.size} truth=${truth.size} missed=${(truth -- found).size} extra=${(found -- truth).size}")
+  }
+
+  test("MinHash estimate tracks true Jaccard on controlled documents") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val half = ((1 to 20).map(i => s"tok$i") ++ (1 to 20).map(i => s"alt$i")).mkString(" ")
+    val disjoint = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = spark.createDataFrame(Seq(
+      Row(1L, base), Row(2L, base), Row(3L, half), Row(4L, disjoint)).asJava, schema)
+    val sigs = Dedup.minhashSignatures(df, "id", "text", numHashes = 128, shingleN = 2)
+      .select("id", "sig").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Long, b: Long): Double =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / 128
+    assert(est(1L, 2L) == 1.0)                      // identical docs
+    assert(est(1L, 4L) < 0.1)                       // disjoint docs
+    // true bigram jaccard of base vs half ≈ 19/59 ≈ 0.32; 128 hashes
+    // put the estimate within ±0.15 deterministically for this fixture
+    assert(math.abs(est(1L, 3L) - 0.32) < 0.15)
+  }
+
+  test("SimHash: identical→equal, near-duplicate→closer than unrelated") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val a = (1 to 50).map(i => s"w$i").mkString(" ")
+    val aEdit = ((1 to 49).map(i => s"w$i") :+ "changed").mkString(" ")
+    val b = (1 to 50).map(i => s"z$i").mkString(" ")
+    val df = spark.createDataFrame(Seq(
+      Row(1L, a), Row(2L, a), Row(3L, aEdit), Row(4L, b)).asJava, schema)
+    val h = df.withColumn("__toks", TextOps.tokens("text"))
+      .withColumn("__th", expr("transform(__toks, t -> xxhash64(t))"))
+      .select(col("id"), Dedup.simhash64("__th").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    assert(h(1L) == h(2L))
+    assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
+    assert(ham(h(1L), h(3L)) <= 8) // one token changed out of 50
+  }
+
+  test("SimHash chunk blocking is complete at hamming <= 3 on the corpus") {
+    // candidates come only from 16-bit chunk collisions; pigeonhole says
+    // hamming <= 3 pairs MUST collide on some chunk, so the blocked
+    // result equals the unblocked truth at that radius
+    val blocked = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashes = docs
+      .withColumn("__toks", TextOps.tokens("text"))
+      .withColumn("__th", expr("transform(__toks, t -> xxhash64(t))"))
+      .select(col("doc_id"), Dedup.simhash64("__th").as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(blocked == truth)
+    assert(truth.nonEmpty)
+  }
+}
