@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+
+object StreamingSpec {
+  final case class Ev(user_id: Long, ts: Timestamp, event_type: String)
+  final case class XesEv(case_id: String, ts: Timestamp, activity: String)
+}
+
+/** Streaming smoke gate: MemoryStream → watermarked session_window →
+  * memory sink, and MemoryStream → foreachBatch XES sharded sink.
+  * Sessions only emit in append mode once the watermark passes them,
+  * so each test pushes a far-future flush event to close the windows.
+  */
+class StreamingSpec extends SparkSpec {
+  import StreamingSpec._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def tmpDir(prefix: String): Path = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  test("streaming sessionization: gap splits sessions, append emits closed ones") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val sessions = EventStream.sessionize(in.toDF(), "user_id", "ts",
+      gapMinutes = 30, watermarkDelay = "10 minutes")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      in.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), "click"),
+        Ev(1L, ts("2024-01-01 10:10:00"), "view"),     // same session (gap 10m < 30m)
+        Ev(1L, ts("2024-01-01 11:30:00"), "click"),    // new session (gap 80m)
+        Ev(2L, ts("2024-01-01 10:05:00"), "purchase")) // other user
+      q.processAllAvailable()
+      // close everything: advance the watermark far past all sessions
+      in.addData(Ev(99L, ts("2024-01-02 00:00:00"), "flush"))
+      q.processAllAvailable()
+
+      val rows = spark.table("sessions_out")
+        .select("session_id", "user_id", "n_events").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (s"1-${ts("2024-01-01 10:00:00").getTime / 1000}", 1L, 2L),
+        (s"1-${ts("2024-01-01 11:30:00").getTime / 1000}", 1L, 1L),
+        (s"2-${ts("2024-01-01 10:05:00").getTime / 1000}", 2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming XES sink: each micro-batch lands as a parseable sharded XES dir") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[XesEv]
+    val out = tmpDir("stream-xes")
+    val ckpt = tmpDir("stream-ckpt")
+    val log = in.toDF()
+      .withColumnRenamed("case_id", "case:concept:name")
+      .withColumnRenamed("ts", "time:timestamp")
+      .withColumnRenamed("activity", "concept:name")
+    val q = EventStream.xesSink(log, out.toString, ckpt.toString)
+    try {
+      in.addData(
+        XesEv("c1", ts("2024-01-01 09:00:00"), "a"),
+        XesEv("c1", ts("2024-01-01 09:00:05"), "b"),
+        XesEv("c2", ts("2024-01-01 09:01:00"), "a"))
+      q.processAllAvailable()
+
+      val batchDirs = Files.list(out).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("batch-")).toSeq
+      assert(batchDirs.nonEmpty)
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      val caseIds = batchDirs.flatMap { d =>
+        Files.list(d).iterator().asScala
+          .filter(f => f.getFileName.toString.startsWith("part-") && Files.size(f) > 0)
+          .flatMap { f =>
+            val doc = dbf.newDocumentBuilder().parse(f.toFile) // well-formed check
+            val traces = doc.getElementsByTagName("trace")
+            (0 until traces.getLength).map { i =>
+              traces.item(i).asInstanceOf[org.w3c.dom.Element]
+                .getElementsByTagName("string").item(0)
+                .getAttributes.getNamedItem("value").getNodeValue
+            }
+          }
+      }
+      assert(caseIds.sorted == Seq("c1", "c2"))
+    } finally q.stop()
+  }
+}
