@@ -106,7 +106,8 @@ object EventLogGenerator {
     * emptiness check (null min = no rows).
     */
   def generateXes(eventlog: DataFrame, params: Params, cache: ResultCache,
-                  inferRemarksSchema: Boolean = false): Option[Path] = {
+                  inferRemarksSchema: Boolean = false,
+                  useCache: Boolean = true): Option[Path] = {
     val df = generate(eventlog, params, inferRemarksSchema)
     val resolved =
       if (params.startDate.isDefined && params.endDate.isDefined) Some(params)
@@ -123,7 +124,11 @@ object EventLogGenerator {
       }
     resolved.flatMap { p =>
       val key = cacheKey(p)
-      cache.lookup(key).orElse {
+      // explicit opt-in probe (the reference's `use_cache` flag was dead
+      // code, SURVEY §2.8.2); a regeneration still lands on the keyed
+      // path, so later cached requests see the fresh artifact
+      val hit = if (useCache) cache.lookup(key) else None
+      hit.orElse {
         graft.xes.XesWriter.write(df, cache.pathFor(key))
       }
     }

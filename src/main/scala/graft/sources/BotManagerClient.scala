@@ -51,10 +51,11 @@ object BotManagerClient {
   * strings, numbers, booleans, null, arrays (arrays/numbers parsed but
   * only object/string shapes are matched on).
   */
-private[sources] object MiniJson {
+private[graft] object MiniJson {
   sealed trait JValue
   final case class JStr(s: String) extends JValue
   final case class JObj(fields: Map[String, JValue]) extends JValue
+  final case class JArr(items: Seq[JValue]) extends JValue
   final case class JOther(raw: String) extends JValue
 
   def parseObject(s: String): Map[String, JValue] = {
@@ -118,16 +119,17 @@ private[sources] object MiniJson {
         case '"' => JStr(str())
         case '[' =>
           expect('['); ws()
+          val items = Seq.newBuilder[JValue]
           if (i < s.length && s.charAt(i) == ']') { i += 1 }
           else {
             var done = false
             while (!done) {
-              value(); ws()
+              items += value(); ws()
               if (i < s.length && s.charAt(i) == ',') i += 1
               else { expect(']'); done = true }
             }
           }
-          JOther("[]")
+          JArr(items.result())
         case _ =>
           val start = i
           while (i < s.length && !",}] \t\n\r".contains(s.charAt(i))) i += 1
