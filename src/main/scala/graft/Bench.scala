@@ -37,11 +37,21 @@ object Bench {
 
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Each query runs twice and the SECOND timing is kept: run-to-run
+    // variance at sf0.1 is ~±1 s per query (VERDICT r2), which would
+    // mask real regressions on sub-second queries; the first run eats
+    // per-query planning/codegen noise, the second is the measurement.
     SparkEntry.queries.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        times(name) = (System.nanoTime() - t0) / 1e9
+        var t = 0.0
+        var run = 0
+        while (run < 2) {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          t = (System.nanoTime() - t0) / 1e9
+          run += 1
+        }
+        times(name) = t
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

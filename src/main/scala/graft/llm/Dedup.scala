@@ -54,34 +54,64 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, threshold: Double): DataFrame = {
-    val sets = df
+    // Inverted-index set-similarity join (the textbook exact approach):
+    // explode each document's distinct n-grams into postings, join
+    // postings on (block, gram) — high-cardinality keys, so parallelism
+    // scales with the corpus, unlike a join on the raw block column
+    // (5 languages = 5 tasks) — then |A∩B| is simply the number of
+    // co-occurring grams per pair: no array materialization or
+    // per-pair set operations at all. The size prefilter
+    // (jaccard >= t ⇒ min|set| >= t·max|set|) rides inside the join
+    // condition, killing unviable pairs before the aggregation.
+    // Residual risk at corpus scale is a hot gram (boilerplate);
+    // AQE skew-join splitting handles it, prefix filtering would
+    // remove it entirely.
+    val postings = df
       .withColumn("__toks", TextOps.tokens(textCol))
       .select(col(idCol), col(blockCol), TextOps.ngrams("__toks", n).as("grams"))
-    val a = sets.as("a")
-    val b = sets.as("b")
+      .withColumn("sz", size(col("grams")))
+      .select(col(idCol), col(blockCol), col("sz"), explode(col("grams")).as("gram"))
+    val a = postings.as("a")
+    val b = postings.as("b")
     a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") &&
-             col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(
-        col(s"a.$idCol").as("id_a"),
-        col(s"b.$idCol").as("id_b"),
-        (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-         size(array_union(col("a.grams"), col("b.grams"))).cast("double")).as("jaccard"))
+             col("a.gram") === col("b.gram") &&
+             col(s"a.$idCol") < col(s"b.$idCol") &&
+             least(col("a.sz"), col("b.sz")).cast("double") >=
+               greatest(col("a.sz"), col("b.sz")).cast("double") * threshold)
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .agg(count(lit(1)).as("isz"))
+      .select(col("id_a"), col("id_b"),
+        (col("isz").cast("double") /
+          (col("sza") + col("szb") - col("isz")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
   /** MinHash signature: sig[i] = min over shingles of
-    * xxhash64(i ':' shingle) — one independent 64-bit hash family per
-    * signature position, no modular arithmetic to collide.
+    * XXH64(xxhash64(shingle), seed = i). Each shingle string is hashed
+    * once in codegen; the numHashes × |shingles| inner loop runs in the
+    * compiled `MinHashSigExpr` kernel — as a `transform` lambda it
+    * would be that many INTERPRETED boxed calls per row, which
+    * dominated the sketch's wall time (graft.functions.Sketches).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleN: Int): DataFrame =
     df.withColumn("__toks", TextOps.tokens(textCol))
       .withColumn("grams", TextOps.ngrams("__toks", shingleN))
       .filter(size(col("grams")) > 0)
-      .select(col(idCol), col("grams"), expr(
-        s"""transform(sequence(0, ${numHashes - 1}),
-           |  i -> array_min(transform(grams, s -> xxhash64(concat(cast(i AS string), ':', s)))))"""
-          .stripMargin).as("sig"))
+      .withColumn("__sh", expr("transform(grams, s -> xxhash64(s))"))
+      .select(col(idCol), col("grams"),
+        graft.functions.Sketches.minhashSig(col("__sh"), numHashes).as("sig"))
+
+  /** In-bucket ordered pairs: for a SORTED array column, every (l, r)
+    * with l before r — the bucket-local pair enumeration both sketch
+    * joins use. Quadratic only within a bucket, which is the knob the
+    * band/chunk width controls.
+    */
+  private def bucketPairs(sortedArrCol: String): String =
+    s"""flatten(transform(sequence(1, size($sortedArrCol) - 1),
+       |  i -> transform(slice($sortedArrCol, i + 1, size($sortedArrCol) - i),
+       |         y -> struct(element_at($sortedArrCol, i) AS l, y AS r))))""".stripMargin
 
   /** LSH banding: one row per (doc, band) with a hashed band key.
     * Docs sharing any band key are candidate duplicates. With
@@ -104,36 +134,44 @@ object Dedup {
                       threshold: Double, numHashes: Int = 64,
                       bands: Int = 16, shingleN: Int = 2): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    // candidates: groupBy band bucket + in-bucket pair explode — ONE
+    // pass over the signature pipeline. (A bandRows self-join reads
+    // the un-materialized signature DAG once per join side; at sf0.1
+    // that recompute was 4× the useful work.)
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
-    val bandRows = lshBands(sigs, idCol, bands, numHashes / bands)
-    val candidates = bandRows.as("x")
-      .join(bandRows.as("y"),
-        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+    val bandRows = lshBands(sigs.select(col(idCol), col("sig")), idCol,
+      bands, numHashes / bands)
+    val candidates = bandRows
+      .groupBy("band", "band_key")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(bucketPairs("ids"))).as("p"))
+      .select(col("p.l").as("id_a"), col("p.r").as("id_b"))
       .distinct()
-    val sets = sigs.select(col(idCol), col("grams"))
+    // verification recomputes only the shingle sets (cheap), not the
+    // 64-hash signatures
+    val sets = df.withColumn("__toks", TextOps.tokens(textCol))
+      .select(col(idCol), TextOps.ngrams("__toks", shingleN).as("grams"))
+      .withColumn("sz", size(col("grams")))
     candidates
-      .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("grams", "ga"), "id_a")
-      .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("grams", "gb"), "id_b")
+      .join(sets.toDF("id_a", "ga", "sza"), "id_a")
+      .join(sets.toDF("id_b", "gb", "szb"), "id_b")
+      .withColumn("isz", size(array_intersect(col("ga"), col("gb"))))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
-         size(array_union(col("ga"), col("gb"))).cast("double")).as("jaccard"))
+        (col("isz").cast("double") /
+          (col("sza") + col("szb") - col("isz")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash over a pre-hashed token multiset column
     * (array<bigint> of xxhash64(token)): bit b is the sign of
     * Σ_tokens (±1 by bit b). Frequent tokens weigh naturally (the
-    * fold runs over the multiset, not the set); hashing happens once
-    * per token, not once per (token, bit).
+    * fold runs over the multiset, not the set); the 64 × |tokens|
+    * inner loop runs in the compiled `SimHash64Expr` kernel
+    * (graft.functions.Sketches) rather than interpreted HOF lambdas.
     */
-  def simhash64(thashesCol: String): Column = expr(
-    // shiftleft, not *2: the sign bit makes acc*2 overflow under ANSI
-    s"""aggregate(sequence(0, 63), 0L, (acc, b) -> shiftleft(acc, 1) +
-       |  (CASE WHEN aggregate($thashesCol, 0L,
-       |          (s, h) -> s + (CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END))
-       |        >= 0 THEN 1 ELSE 0 END))""".stripMargin)
+  def simhash64(thashesCol: String): Column =
+    graft.functions.Sketches.simhash64(col(thashesCol))
 
   /** SimHash near-duplicate pairs: candidates from 16-bit chunk
     * equality (any pair within hamming ≤ 3 must share a chunk —
@@ -142,20 +180,25 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int): DataFrame = {
+    // same single-pass bucket shape as MinHash: the sketch pipeline is
+    // computed once, buckets carry (id, simhash) structs, pairs explode
+    // bucket-locally and verify before the distinct
     val hashed = df
       .withColumn("__toks", TextOps.tokens(textCol))
       .withColumn("__th", expr("transform(__toks, t -> xxhash64(t))"))
       .select(col(idCol), simhash64("__th").as("simhash"))
-    val chunked = hashed.select(col(idCol), col("simhash"), posexplode(expr(
-      "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)")))
+    val chunked = hashed.select(
+      struct(col(idCol).as("id"), col("simhash").as("sh")).as("item"),
+      posexplode(expr("transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-    chunked.as("x")
-      .join(chunked.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.chunk_val") === col("y.chunk_val") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
-        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
-      .distinct()
+    chunked
+      .groupBy("chunk", "chunk_val")
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(expr(bucketPairs("items"))).as("p"))
+      .select(col("p.l.id").as("id_a"), col("p.r.id").as("id_b"),
+        expr("bit_count(p.l.sh ^ p.r.sh)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -115,10 +115,14 @@ object Similarity {
     * `annTopK`'s bucket join instead of the blocked product.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
-                         threshold: Double): DataFrame = {
+                         threshold: Double, partitions: Int = 32): DataFrame = {
     val vecs = df.select(col(idCol), quantize(embCol).as("v"))
       .withColumn("nsq", normSqQ("v"))
-    vecs.as("a").join(vecs.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+    // the nested-loop join parallelizes over LEFT partitions; a small
+    // parquet arrives as one partition, which would serialize the whole
+    // O(n²) scan onto one core
+    vecs.repartition(partitions).as("a")
+      .join(vecs.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         (dotQ("a.v", "b.v").cast("double") /
           sqrt((col("a.nsq") * col("b.nsq")).cast("double"))).as("cos"))

@@ -144,7 +144,8 @@ object PipelineQueries {
         |), p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |      CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+        |      CAST(len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
         |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |)
         |SELECT * FROM p WHERE jaccard >= 0.5""".stripMargin,
