@@ -50,4 +50,26 @@ object Dfg {
       .groupBy("activity", "position")
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Alpha-miner footprint relations over the DFG edges: for every
+    * ordered activity pair with a directly-follows edge, `parallel`
+    * when the reverse edge also exists, else `causal`. (The `choice`
+    * cells of the full footprint matrix are the absent pairs — an
+    * |activities|² blowup nobody materializes at scale.)
+    *
+    * One extra broadcast self-join over the edge table, which is
+    * bounded by |activities|² — negligible next to the window shuffle
+    * that produced it.
+    */
+  def footprint(edgesDf: DataFrame): DataFrame = {
+    val fwd = edgesDf.select(col("activity"), col("next_activity"), col("n"))
+    val rev = edgesDf.select(
+      col("next_activity").as("activity"),
+      col("activity").as("next_activity"),
+      lit(1).as("has_rev"))
+    fwd.join(broadcast(rev), Seq("activity", "next_activity"), "left")
+      .select(col("activity"), col("next_activity"),
+        when(col("has_rev").isNotNull, "parallel").otherwise("causal").as("relation"),
+        col("n"))
+  }
 }

@@ -241,6 +241,12 @@ object EventQueries {
       Variants.counts(sessions(Tables.events(s, dir)),
         "session_id", "event_type", "ts", "event_id")),
 
+    // Alpha-miner footprint relations over the DFG (the discovery
+    // input the reference notebook obtains via pm4py).
+    "q_footprint" -> ((s, dir) =>
+      Dfg.footprint(Dfg.edges(sessions(Tables.events(s, dir)),
+        "session_id", "event_type", "ts", "event_id"))),
+
     // Flagship: the full generate_eventlog-equivalent pipeline
     // (filters → sessionize → remap → whitelist → JSON widening → select).
     "q_eventlog_pipeline" -> ((s, dir) =>
@@ -407,6 +413,19 @@ object EventQueries {
          |SELECT event_type AS activity,
          |  CASE WHEN rn = 1 THEN 'start' ELSE 'end' END AS position, count(*) AS n
          |FROM pos WHERE rn = 1 OR rn_desc = 1 GROUP BY 1, 2""".stripMargin,
+
+    "q_footprint" ->
+      s"""$SessionsCte, nxt AS (
+         |  SELECT event_type, lead(event_type) OVER (
+         |    PARTITION BY session_id ORDER BY ts, event_id) AS next_activity
+         |  FROM s), d AS (
+         |  SELECT event_type AS activity, next_activity, count(*) AS n
+         |  FROM nxt WHERE next_activity IS NOT NULL GROUP BY 1, 2)
+         |SELECT x.activity, x.next_activity,
+         |  CASE WHEN y.activity IS NOT NULL THEN 'parallel' ELSE 'causal' END AS relation,
+         |  x.n
+         |FROM d x LEFT JOIN d y
+         |  ON y.activity = x.next_activity AND y.next_activity = x.activity""".stripMargin,
 
     "q_variants" ->
       s"""$SessionsCte, percase AS (

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.functions.{GraftExtensions, GraftFunctions}
+import graft.streaming.IncrementalReader
+
+/** Gates for the SQL function surface and the high-watermark poller. */
+class FunctionsSpec extends SparkSpec {
+
+  test("registered SQL functions match the Column API kernels") {
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT minhash_sig(array(1L, 2L, 3L), 8) AS sig,
+        |       simhash64(array(1L, 2L, 3L)) AS sh,
+        |       minhash_sig(array(1L, 2L, 3L)) AS sig_default""".stripMargin).head()
+    assert(viaSql.getSeq[Long](0).length == 8)
+    assert(viaSql.getSeq[Long](2).length == 64)
+
+    import org.apache.spark.sql.functions._
+    val viaCols = spark.range(1)
+      .select(
+        graft.functions.Sketches.minhashSig(expr("array(1L, 2L, 3L)"), 8).as("sig"),
+        graft.functions.Sketches.simhash64(expr("array(1L, 2L, 3L)")).as("sh"))
+      .head()
+    assert(viaSql.getSeq[Long](0) == viaCols.getSeq[Long](0))
+    assert(viaSql.getLong(1) == viaCols.getLong(1))
+  }
+
+  test("extensions entry point wires the same builders without throwing") {
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("incremental reader: first poll takes all, next polls take only the delta") {
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", LongType)))
+    var rows = Seq(
+      Row(Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      Row(Timestamp.valueOf("2024-01-01 10:01:00"), 2L))
+    def load() = spark.createDataFrame(rows.asJava, schema)
+    val reader = new IncrementalReader(() => load(), "ts")
+
+    assert(reader.poll().count() == 2)
+    assert(reader.currentWatermark.contains(Timestamp.valueOf("2024-01-01 10:01:00")))
+
+    // no new data → empty batch, watermark unchanged
+    assert(reader.poll().count() == 0)
+
+    rows = rows ++ Seq(
+      Row(Timestamp.valueOf("2024-01-01 10:02:00"), 3L),
+      Row(Timestamp.valueOf("2024-01-01 10:03:00"), 4L))
+    val delta = reader.poll().collect().map(_.getLong(1)).sorted.toSeq
+    assert(delta == Seq(3L, 4L))
+    assert(reader.currentWatermark.contains(Timestamp.valueOf("2024-01-01 10:03:00")))
+  }
+
+  test("incremental reader lag holds back the newest interval") {
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", LongType)))
+    val rows = Seq(
+      Row(Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      Row(Timestamp.valueOf("2024-01-01 10:10:00"), 2L))
+    val reader = new IncrementalReader(
+      () => spark.createDataFrame(rows.asJava, schema), "ts", lagSeconds = 300)
+    // watermark = 10:10 - 5min = 10:05 → only the first row qualifies
+    assert(reader.poll().collect().map(_.getLong(1)).toSeq == Seq(1L))
+    assert(reader.currentWatermark.contains(Timestamp.valueOf("2024-01-01 10:05:00")))
+  }
+}
