@@ -103,7 +103,10 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleN: Int): DataFrame =
-    df.withColumn("__toks", TextOps.tokens(textCol))
+    // sketching is CPU-bound and a small parquet arrives as ONE
+    // partition — spread rows before the kernel or it runs one-core
+    df.repartition(col(idCol))
+      .withColumn("__toks", TextOps.tokens(textCol))
       .withColumn("grams", TextOps.ngrams("__toks", shingleN))
       .filter(size(col("grams")) > 0)
       .withColumn("__sh", expr("transform(grams, s -> xxhash64(s))"))
