@@ -44,6 +44,13 @@ final class XesHttpServer(
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
+  // the JDK default executor serializes requests; the reference serves
+  // 8 concurrently (gunicorn --workers=4 --threads=2, Dockerfile:26).
+  // Concurrent handlers become concurrent Spark jobs on the shared
+  // session — use fair-scheduler pools if requests starve each other.
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+    val t = new Thread(r, "graft-http"); t.setDaemon(true); t
+  }))
 
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = server.stop(0)

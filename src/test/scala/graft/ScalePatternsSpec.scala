@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** Gates for the at-scale join patterns: salted joins must be
+  * result-identical to plain joins, and bucketed tables must join
+  * without a shuffle (the co-located-join story — each side's
+  * bucketing replaces the Exchange).
+  */
+class ScalePatternsSpec extends SparkSpec {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  test("salted join equals the plain join row-for-row") {
+    val lineitem = Tables.lineitem(spark, Sf).select("l_orderkey", "l_quantity", "l_linenumber")
+    val orders = Tables.orders(spark, Sf).select("o_orderkey", "o_orderstatus")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = lineitem.join(orders, "l_orderkey")
+    val salted = Skew.saltedJoin(lineitem, orders, "l_orderkey",
+      buckets = 8, scatterBy = col("l_linenumber"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    val wh = Files.createTempDirectory("graft-wh")
+    wh.toFile.deleteOnExit()
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a real join
+    try {
+      Tables.lineitem(spark, Sf).select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .option("path", s"$wh/li_b").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_b")
+      Tables.orders(spark, Sf).select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .option("path", s"$wh/ord_b").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("ord_b")
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+      prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        v => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+    }
+  }
+}
