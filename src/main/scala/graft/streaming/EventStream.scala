@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.xes.XesWriter
 
@@ -46,6 +48,48 @@ object EventStream {
           unix_timestamp(col("session_window.start"))).as("session_id"),
         col(userCol),
         col("session_start"), col("session_end"), col("n_events"))
+
+  final case class TraceEvent(caseId: String, ts: Timestamp, activity: String)
+  final case class TraceState(events: Seq[TraceEvent])
+  final case class CompletedTrace(caseId: String, nEvents: Int,
+      startTs: Timestamp, endTs: Timestamp, activities: Seq[String])
+
+  /** Custom-state trace assembly: the `flatMapGroupsWithState`
+    * realization of "a trace closes after `gapMinutes` of silence",
+    * for consumers that need the WHOLE ordered trace as one record
+    * (the XES unit) rather than session aggregates.
+    *
+    * State per open case is its event buffer; an event-time timeout
+    * fires once the watermark passes last-event + gap, emitting the
+    * completed, chronologically-sorted trace exactly once and freeing
+    * the state. Late events within the watermark re-open nothing —
+    * they extend the still-open buffer; events older than the
+    * watermark are dropped upstream by Spark. State size is bounded by
+    * open traces only, which is what keeps this shape viable
+    * unbounded.
+    */
+  def assembleTraces(events: Dataset[TraceEvent], gapMinutes: Int,
+                     watermarkDelay: String = "30 minutes"): Dataset[CompletedTrace] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.caseId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (caseId: String, it: Iterator[TraceEvent], state: GroupState[TraceState]) => {
+          if (state.hasTimedOut) {
+            val evs = state.get.events.sortBy(e => (e.ts.getTime, e.activity))
+            state.remove()
+            Iterator.single(CompletedTrace(
+              caseId, evs.size, evs.head.ts, evs.last.ts, evs.map(_.activity)))
+          } else {
+            val all = state.getOption.fold(Seq.empty[TraceEvent])(_.events) ++ it
+            state.update(TraceState(all))
+            state.setTimeoutTimestamp(all.iterator.map(_.ts.getTime).max +
+              gapMinutes * 60000L)
+            Iterator.empty
+          }
+        })
+  }
 
   /** Micro-batch XES sink: every micro-batch of an event-log-shaped
     * stream lands as one sharded XES directory (`batch-<id>/part-*`),

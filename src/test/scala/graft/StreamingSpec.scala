@@ -60,6 +60,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState trace assembly: gap timeout emits the whole ordered trace once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStream.TraceEvent
+    val in = MemoryStream[TraceEvent]
+    val traces = EventStream.assembleTraces(in.toDS(), gapMinutes = 30,
+      watermarkDelay = "10 minutes")
+    val q = traces.writeStream.outputMode("append")
+      .format("memory").queryName("traces_out").start()
+    try {
+      in.addData(
+        TraceEvent("c1", ts("2024-01-01 10:00:05"), "b"), // out of order on purpose
+        TraceEvent("c1", ts("2024-01-01 10:00:00"), "a"),
+        TraceEvent("c2", ts("2024-01-01 10:01:00"), "x"))
+      q.processAllAvailable()
+      // two flush batches: the first advances the watermark, the second
+      // lets the event-time timeouts fire against it
+      in.addData(TraceEvent("flush", ts("2024-01-02 00:00:00"), "f"))
+      q.processAllAvailable()
+      in.addData(TraceEvent("flush2", ts("2024-01-02 00:00:01"), "f"))
+      q.processAllAvailable()
+
+      val rows = spark.table("traces_out")
+        .select("caseId", "nEvents", "activities").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getSeq[String](2).toList)).toSet
+      assert(rows == Set(
+        ("c1", 2, List("a", "b")), // chronological despite arrival order
+        ("c2", 1, List("x"))))
+    } finally q.stop()
+  }
+
   test("streaming XES sink: each micro-batch lands as a parseable sharded XES dir") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
