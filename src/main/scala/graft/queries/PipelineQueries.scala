@@ -71,6 +71,21 @@ object PipelineQueries {
         .select("doc_id", "n_tokens", "n_uniq", "total_chars", "n_stop",
           "ttr", "avg_token_len", "stop_ratio", "quality")),
 
+    // -- text analysis: token counting, whitespace vs BPE-ish regex.
+    //    The regex class split ([a-z]+ | digits | single non-alnum) is
+    //    the shape subword tokenizers pre-segment with; counts are per
+    //    source so the oracle exercises the aggregation too. ----------
+    "q_token_regex" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("ws_tokens", size(split(col("text"), " ")))
+        .withColumn("re_tokens",
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens").cast("long")).as("ws_total"),
+          sum(col("re_tokens").cast("long")).as("re_total"),
+          max(col("re_tokens")).as("re_max"))),
+
     // -- text analysis: heuristic stopword-profile language ID ---------
     "q_lang_id" -> ((s, dir) => {
       val base = Tables.documents(s, dir).withColumn("toks", TextOps.tokens("text"))
@@ -168,6 +183,19 @@ object PipelineQueries {
         |    CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3 +
         |    CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.2 AS quality
         |FROM s""".stripMargin,
+
+    "q_token_regex" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS re_tokens
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(ws_tokens) AS BIGINT) AS ws_total,
+        |  CAST(sum(re_tokens) AS BIGINT) AS re_total,
+        |  max(re_tokens) AS re_max
+        |FROM t GROUP BY 1""".stripMargin,
 
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
