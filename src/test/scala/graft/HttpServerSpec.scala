@@ -104,6 +104,20 @@ class HttpServerSpec extends SparkSpec {
     }
   }
 
+  test("internal failures surface as 500 with the message, not a hung request") {
+    val dir = Files.createTempDirectory("http-500")
+    dir.toFile.deleteOnExit()
+    val srv = new XesHttpServer(
+      () => throw new RuntimeException("source exploded"),
+      new ResultCache(dir, ttlSeconds = 3600))
+    val port = srv.start()
+    try {
+      val r = get(port, "/resource/r1")
+      assert(r.statusCode() == 500)
+      assert(r.body().contains("source exploded"))
+    } finally srv.stop()
+  }
+
   test("use_cache=true serves the cached artifact, use_cache=false regenerates") {
     withServer { (srv, port) =>
       val first = get(port, "/resource/r1?use_cache=true")
