@@ -20,6 +20,26 @@ object PipelineQueries {
 
   private val StopEn = Seq("the", "a", "of", "and", "is", "to")
 
+  /** Quality-stat columns shared by q_text_stats and q_curation — the
+    * expressions must stay IDENTICAL between uses (and mirrored in the
+    * oracle SQL) for cross-engine double determinism.
+    */
+  private def withStats(df: DataFrame): DataFrame =
+    df.withColumn("toks", TextOps.tokens("text"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .withColumn("total_chars",
+        expr("aggregate(transform(toks, t -> CAST(length(t) AS bigint)), 0L, (a, b) -> a + b)"))
+      .withColumn("n_stop", size(expr(
+        s"filter(toks, t -> t IN (${StopEn.map(w => s"'$w'").mkString(", ")}))")))
+      .withColumn("ttr", col("n_uniq").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("avg_token_len",
+        col("total_chars").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("quality",
+        least(col("n_tokens"), lit(60)).cast("double") / lit(60.0) * lit(0.5) +
+          col("ttr") * lit(0.3) + col("stop_ratio") * lit(0.2))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- dedup tier 1: exact content-hash groups ------------------------
@@ -53,23 +73,32 @@ object PipelineQueries {
 
     // -- text analysis: per-document quality statistics ----------------
     "q_text_stats" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .withColumn("toks", TextOps.tokens("text"))
-        .withColumn("n_tokens", size(col("toks")))
-        .withColumn("n_uniq", size(array_distinct(col("toks"))))
-        .withColumn("total_chars",
-          expr("aggregate(transform(toks, t -> CAST(length(t) AS bigint)), 0L, (a, b) -> a + b)"))
-        .withColumn("n_stop", size(expr(
-          s"filter(toks, t -> t IN (${StopEn.map(w => s"'$w'").mkString(", ")}))")))
-        .withColumn("ttr", col("n_uniq").cast("double") / col("n_tokens").cast("double"))
-        .withColumn("avg_token_len",
-          col("total_chars").cast("double") / col("n_tokens").cast("double"))
-        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens").cast("double"))
-        .withColumn("quality",
-          least(col("n_tokens"), lit(60)).cast("double") / lit(60.0) * lit(0.5) +
-            col("ttr") * lit(0.3) + col("stop_ratio") * lit(0.2))
+      withStats(Tables.documents(s, dir))
         .select("doc_id", "n_tokens", "n_uniq", "total_chars", "n_stop",
           "ttr", "avg_token_len", "stop_ratio", "quality")),
+
+    // -- flagship composition: the canonical corpus-curation pipeline.
+    //    Quality gate → near-duplicate removal (keep the lower doc_id
+    //    of each Jaccard pair) → per-source corpus stats. Every stage
+    //    reuses the oracle-checked operators above, and the near-dup
+    //    arm here is the EXACT tier so the whole pipeline stays
+    //    DuckDB-verifiable; swap in minhashNearDups for the same
+    //    semantics at corpus scale. min/max (not avg) over quality:
+    //    order-free, so doubles stay engine-deterministic. ------------
+    "q_curation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = withStats(docs)
+        .filter(col("quality") >= 0.55 && col("n_tokens") >= 20)
+      val dupIds = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          blockCol = "lang", n = 2, threshold = 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      kept.join(dupIds, Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          min(col("quality")).as("min_quality"),
+          max(col("quality")).as("max_quality"))
+    }),
 
     // -- text analysis: token counting, whitespace vs BPE-ish regex.
     //    The regex class split ([a-z]+ | digits | single non-alnum) is
@@ -183,6 +212,42 @@ object PipelineQueries {
         |    CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3 +
         |    CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.2 AS quality
         |FROM s""".stripMargin,
+
+    "q_curation" ->
+      """WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
+        |    CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to'))) AS INTEGER) AS n_stop
+        |  FROM t
+        |), q AS (
+        |  SELECT *,
+        |    CAST(least(n_tokens, 60) AS DOUBLE) / 60.0 * 0.5 +
+        |      CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3 +
+        |      CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.2 AS quality
+        |  FROM s
+        |), g AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS grams
+        |  FROM t
+        |), dup AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id
+        |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        CAST(len(a.grams) + len(b.grams)
+        |             - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
+        |), kept AS (
+        |  SELECT * FROM q
+        |  WHERE quality >= 0.55 AND n_tokens >= 20
+        |    AND doc_id NOT IN (SELECT doc_id FROM dup)
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(quality) AS min_quality, max(quality) AS max_quality
+        |FROM kept GROUP BY 1""".stripMargin,
 
     "q_token_regex" ->
       """WITH t AS (
