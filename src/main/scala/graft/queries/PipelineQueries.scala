@@ -86,10 +86,11 @@ object PipelineQueries {
     //    semantics at corpus scale. min/max (not avg) over quality:
     //    order-free, so doubles stay engine-deterministic. ------------
     "q_curation" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val kept = withStats(docs)
+      val kept = withStats(Tables.documents(s, dir))
         .filter(col("quality") >= 0.55 && col("n_tokens") >= 20)
-      val dupIds = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      // dedup the FILTERED corpus — deduplicating documents the quality
+      // gate already dropped would only inflate the pair join
+      val dupIds = Dedup.ngramJaccardPairs(kept, "doc_id", "text",
           blockCol = "lang", n = 2, threshold = 0.5)
         .select(col("id_b").as("doc_id")).distinct()
       kept.join(dupIds, Seq("doc_id"), "left_anti")
@@ -227,12 +228,14 @@ object PipelineQueries {
         |      CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3 +
         |      CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.2 AS quality
         |  FROM s
+        |), passed AS (
+        |  SELECT * FROM q WHERE quality >= 0.55 AND n_tokens >= 20
         |), g AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |  SELECT t.doc_id, t.lang,
+        |    list_distinct(CASE WHEN len(t.toks) >= 2
+        |      THEN list_transform(range(1, len(t.toks)), i -> t.toks[i] || ' ' || t.toks[i+1])
         |      ELSE [] END) AS grams
-        |  FROM t
+        |  FROM t JOIN passed USING (doc_id)
         |), dup AS (
         |  SELECT DISTINCT b.doc_id AS doc_id
         |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
@@ -240,9 +243,8 @@ object PipelineQueries {
         |        CAST(len(a.grams) + len(b.grams)
         |             - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
         |), kept AS (
-        |  SELECT * FROM q
-        |  WHERE quality >= 0.55 AND n_tokens >= 20
-        |    AND doc_id NOT IN (SELECT doc_id FROM dup)
+        |  SELECT * FROM passed
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dup)
         |)
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
