@@ -112,6 +112,46 @@ object RelationalQueries {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // Hierarchical aggregation: ROLLUP produces the per-group, per-flag
+    // and grand-total rows in ONE pass (Expand + single aggregate) —
+    // at scale that is one shuffle instead of three.
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))),
+
+    // Set difference (EXCEPT = distinct anti semantics).
+    "q_except" -> ((s, dir) =>
+      Tables.orders(s, dir).filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .except(
+          Tables.orders(s, dir).filter(col("o_orderstatus") === "O").select(col("o_custkey")))),
+
+    // RANGE-frame window: sliding event-time sum (peers aggregate
+    // together by definition, so ties are deterministic without a
+    // tie-break column — unlike ROWS frames).
+    "q_range_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(date_trunc("second", col("ts")).cast("long"))
+        .rangeBetween(-3600, 0)
+      Tables.events(s, dir)
+        .withColumn("hour_sum",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("hour_sum"))
+    }),
+
+    // The SQL-text surface: the same engine through spark.sql over a
+    // registered view — parity between the Column API and SQL parsing.
+    "q_sql_surface" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      s.sql(
+        """SELECT event_type, count(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM events_v GROUP BY 1""".stripMargin)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -167,5 +207,30 @@ object RelationalQueries {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders)
-        |WHERE rk = 1""".stripMargin)
+        |WHERE rk = 1""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+
+    "q_range_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+        |FROM events""".stripMargin,
+
+    "q_sql_surface" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1""".stripMargin)
 }
