@@ -1,0 +1,52 @@
+package graft
+
+/** The query scaladocs make physical-plan claims (single scan, one
+  * sort, broadcast choice, generator-based JSON parse, top-k without a
+  * global sort). Claims rot; these gates execute them. String checks
+  * run against the pre-execution plan (AQE's initial plan), which is
+  * where the claimed operators already appear.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q_topk plans TakeOrderedAndProject, never a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_union's disjunctive rewrite scans orders exactly once") {
+    assert(count(plan("q_union"), "Scan parquet") == 1)
+  }
+
+  test("q_join_agg broadcasts the dimension side") {
+    assert(plan("q_join_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("q_json_path_scan parses JSON once via the generator, not twice") {
+    val p = plan("q_json_path_scan")
+    assert(p.contains("json_tuple"))
+    assert(!p.contains("get_json_object"))
+  }
+
+  test("q_rollup computes all grouping sets in one Expand + aggregate pass") {
+    val p = plan("q_rollup")
+    assert(p.contains("Expand"))
+    assert(count(p, "Scan parquet") == 1)
+  }
+
+  test("q_dfg_endpoints runs on a single sort (no descending second window)") {
+    assert(count(plan("q_dfg_endpoints"), "Sort ") <= 2) // window sort + agg-side only
+  }
+
+  test("q_filter_membership pushes the IN filter to the parquet scan") {
+    val p = plan("q_filter_membership")
+    assert(p.contains("PushedFilters: [In(user_id"))
+  }
+}
