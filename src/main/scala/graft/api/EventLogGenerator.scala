@@ -145,10 +145,16 @@ object EventLogGenerator {
     // and Nil vs Seq("") cannot collide (a flat separator-join would).
     val idsField = params.resourceIds.length.toString + ":" +
       params.resourceIds.map(id => s"${id.length}:$id").mkString
+    // Options carry a presence tag: None and Some("") are DIFFERENT
+    // requests (an empty date string parses to null and filters every
+    // row, while an absent date means no bound), so they must never
+    // share a cache entry — the ScalaCheck injectivity property caught
+    // exactly this collision under a bare getOrElse("") encoding.
+    def opt(o: Option[String]): String = o.fold("N")(s => s"S$s")
     val canonical = Seq(
       idsField,
-      params.startDate.getOrElse(""),
-      params.endDate.getOrElse(""),
+      opt(params.startDate),
+      opt(params.endDate),
       params.includeBotMessages.toString,
       params.includeLifecycleStart.toString,
       params.deserializeRemarks.toString

@@ -52,7 +52,11 @@ class CacheKeySpec extends AnyFunSuite {
       Params(resourceIds = Seq("a\u0000b")),
       Params(resourceIds = Seq("a", "b")),
       Params(resourceIds = Nil),
-      Params(resourceIds = Seq("")))
+      Params(resourceIds = Seq("")),
+      // absent vs empty date: different requests (an empty string
+      // parses to a null bound that filters every row), must differ
+      Params(resourceIds = Seq("r"), startDate = None),
+      Params(resourceIds = Seq("r"), startDate = Some("")))
     val keys = cases.map(EventLogGenerator.cacheKey)
     assert(keys.distinct.size == cases.size)
   }
