@@ -91,6 +91,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("XES sink checkpoint recovery: restart resumes without duplicating traces") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[XesEv]
+    val out = tmpDir("stream-xes-rec")
+    val ckpt = tmpDir("stream-ckpt-rec")
+    def log = in.toDF()
+      .withColumnRenamed("case_id", "case:concept:name")
+      .withColumnRenamed("ts", "time:timestamp")
+      .withColumnRenamed("activity", "concept:name")
+
+    val q1 = EventStream.xesSink(log, out.toString, ckpt.toString)
+    in.addData(XesEv("r1", ts("2024-01-01 09:00:00"), "a"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the same checkpoint; only the new data may land
+    val q2 = EventStream.xesSink(log, out.toString, ckpt.toString)
+    in.addData(XesEv("r2", ts("2024-01-01 09:05:00"), "b"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val caseIds = Files.list(out).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("batch-")).flatMap { d =>
+        Files.list(d).iterator().asScala
+          .filter(f => f.getFileName.toString.startsWith("part-") && Files.size(f) > 0)
+          .flatMap { f =>
+            val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+              .newDocumentBuilder().parse(f.toFile)
+            val traces = doc.getElementsByTagName("trace")
+            (0 until traces.getLength).map { i =>
+              traces.item(i).asInstanceOf[org.w3c.dom.Element]
+                .getElementsByTagName("string").item(0)
+                .getAttributes.getNamedItem("value").getNodeValue
+            }
+          }
+      }.toSeq
+    assert(caseIds.sorted == Seq("r1", "r2")) // each exactly once
+  }
+
   test("streaming XES sink: each micro-batch lands as a parseable sharded XES dir") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
