@@ -50,15 +50,19 @@ object EventLogSource {
       .load()
       .select(Projection.map(col): _*)
 
-  /** Eager connectivity probe (O-3): fail fast before building a plan. */
+  /** Eager connectivity probe (O-3): fail fast before building a plan.
+    * Schema resolution opens a connection and describes the table
+    * without reading a row, and unlike a literal `SELECT 1` it is
+    * dialect-neutral (Derby, for one, requires a FROM clause).
+    */
   def probe(spark: SparkSession, spec: JdbcSpec): Unit = {
     spark.read.format("jdbc")
       .option("url", spec.url)
       .option("user", spec.user)
       .option("password", spec.password)
-      .option("query", s"SELECT 1")
+      .option("dbtable", spec.table)
       .load()
-      .head()
+      .schema
     ()
   }
 
