@@ -144,6 +144,21 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"), col("hour_sum"))
     }),
 
+    // Pivot (conditional aggregation with pinned output columns —
+    // pinned so the plan needs no extra distinct-values job and the
+    // schema is stable for the oracle).
+    "q_pivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))),
+
+    // Set intersection (INTERSECT = distinct semi semantics).
+    "q_intersect" -> ((s, dir) =>
+      Tables.orders(s, dir).filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .intersect(
+          Tables.orders(s, dir).filter(col("o_totalprice") > 150000).select(col("o_custkey")))),
+
     // The SQL-text surface: the same engine through spark.sql over a
     // registered view — parity between the Column API and SQL parsing.
     "q_sql_surface" -> ((s, dir) => {
@@ -228,6 +243,18 @@ object RelationalQueries {
         |    ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
         |FROM events""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 150000""".stripMargin,
 
     "q_sql_surface" ->
       """SELECT event_type, count(*) AS n,
