@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB): every step is shuffle-on-key + linear work.
   * The only quadratic surface is WITHIN a bucket; band/chunk width
   * controls bucket size, and a hot bucket (boilerplate shingles) is
-  * handled by salting the bucket key or capping bucket size — both
-  * are data-dependent knobs, left as parameters.
+  * handled by `ngramJaccardPairs(maxPostingLen = ...)`, which caps
+  * posting-list length with an audited, logged drop count
+  * (`hotPostings` is the audit query).
   */
 object Dedup {
 
@@ -53,7 +54,8 @@ object Dedup {
     * the 100 TB path.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        blockCol: String, n: Int, threshold: Double): DataFrame = {
+                        blockCol: String, n: Int, threshold: Double,
+                        maxPostingLen: Option[Int] = None): DataFrame = {
     // Inverted-index set-similarity join: explode each document's
     // distinct n-grams into postings, join postings on (block, gram) —
     // high-cardinality keys, so parallelism scales with gram
@@ -73,11 +75,34 @@ object Dedup {
     // verification); on real corpora with selective grams it becomes
     // the right upgrade, trading this count-only aggregation for a
     // candidate set that no longer grows with Σ f².
-    val postings = df
+    val allPostings = df
       .withColumn("__toks", TextOps.tokens(textCol))
       .select(col(idCol), col(blockCol), TextOps.ngrams("__toks", n).as("grams"))
       .withColumn("sz", size(col("grams")))
       .select(col(idCol), col(blockCol), col("sz"), explode(col("grams")).as("gram"))
+    // Optional hot-gram guard: a (block, gram) posting list of length f
+    // contributes f² co-occurrence rows, so one boilerplate shingle at
+    // corpus scale stalls the stage. With `maxPostingLen` set, postings
+    // hotter than the cap are DROPPED from the join — which loses the
+    // intersections they carried, so capped output may under-count
+    // Jaccard. That loss is reported, never silent: the dropped grams
+    // are counted eagerly here (one agg job, opt-in cost) and logged,
+    // and `hotPostings` returns the same audit as a DataFrame.
+    val postings = maxPostingLen match {
+      case None => allPostings
+      case Some(cap) =>
+        val hot = allPostings.groupBy(col(blockCol), col("gram"))
+          .agg(count(lit(1)).as("posting_len"))
+          .filter(col("posting_len") > cap)
+        val nHot = hot.count()
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"ngramJaccardPairs: dropping $nHot hot (block, gram) postings " +
+            s"longer than $cap — capped Jaccard may under-count; " +
+            s"audit with Dedup.hotPostings")
+        if (nHot == 0) allPostings
+        else allPostings.join(broadcast(hot.select(col(blockCol), col("gram"))),
+          Seq(blockCol, "gram"), "left_anti")
+    }
     val a = postings.as("a")
     val b = postings.as("b")
     a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") &&
@@ -94,6 +119,19 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Audit for the `maxPostingLen` cap: every (block, gram) posting
+    * list longer than the cap, with its length — exactly the postings
+    * a capped `ngramJaccardPairs` run excludes from the join. Empty ⟺
+    * the capped result is identical to the uncapped one.
+    */
+  def hotPostings(df: DataFrame, idCol: String, textCol: String,
+                  blockCol: String, n: Int, maxPostingLen: Int): DataFrame =
+    df.withColumn("__toks", TextOps.tokens(textCol))
+      .select(col(idCol), col(blockCol), explode(TextOps.ngrams("__toks", n)).as("gram"))
+      .groupBy(col(blockCol), col("gram"))
+      .agg(count(lit(1)).as("posting_len"))
+      .filter(col("posting_len") > maxPostingLen)
+
   /** MinHash signature: sig[i] = min over shingles of
     * XXH64(xxhash64(shingle), seed = i). Each shingle string is hashed
     * once in codegen; the numHashes × |shingles| inner loop runs in the
@@ -102,7 +140,8 @@ object Dedup {
     * dominated the sketch's wall time (graft.functions.Sketches).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int, shingleN: Int): DataFrame =
+                        numHashes: Int, shingleN: Int,
+                        carryCols: Seq[String] = Nil): DataFrame =
     // sketching is CPU-bound and a small parquet arrives as ONE
     // partition — spread rows before the kernel or it runs one-core
     df.repartition(col(idCol))
@@ -110,15 +149,15 @@ object Dedup {
       .withColumn("grams", TextOps.ngrams("__toks", shingleN))
       .filter(size(col("grams")) > 0)
       .withColumn("__sh", expr("transform(grams, s -> xxhash64(s))"))
-      .select(col(idCol), col("grams"),
-        graft.functions.Sketches.minhashSig(col("__sh"), numHashes).as("sig"))
+      .select(col(idCol) +: carryCols.map(col) :+ col("grams") :+
+        graft.functions.Sketches.minhashSig(col("__sh"), numHashes).as("sig"): _*)
 
   /** In-bucket ordered pairs: for a SORTED array column, every (l, r)
     * with l before r — the bucket-local pair enumeration both sketch
     * joins use. Quadratic only within a bucket, which is the knob the
     * band/chunk width controls.
     */
-  private def bucketPairs(sortedArrCol: String): String =
+  private[llm] def bucketPairs(sortedArrCol: String): String =
     s"""flatten(transform(sequence(1, size($sortedArrCol) - 1),
        |  i -> transform(slice($sortedArrCol, i + 1, size($sortedArrCol) - i),
        |         y -> struct(element_at($sortedArrCol, i) AS l, y AS r))))""".stripMargin
@@ -128,31 +167,39 @@ object Dedup {
     * numHashes = bands × rowsPerBand, the match probability is the
     * classic S-curve 1-(1-j^r)^b.
     */
-  def lshBands(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame =
-    sigs.select(col(idCol), posexplode(expr(
+  def lshBands(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int,
+               carryCols: Seq[String] = Nil): DataFrame =
+    sigs.select(col(idCol) +: carryCols.map(col) :+ posexplode(expr(
       s"""transform(sequence(0, ${bands - 1}),
          |  j -> xxhash64(concat(cast(j AS string), ':',
          |         cast(slice(sig, j * $rowsPerBand + 1, $rowsPerBand) AS string))))"""
-        .stripMargin)))
+        .stripMargin)): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
 
   /** Banded-LSH near-duplicate pairs, verified with exact Jaccard on
     * the shingle sets. Candidates come only from band collisions —
     * the join is on (band, band_key), never a cross product.
+    *
+    * `blockCol` optionally restricts pairs to a shared block (the same
+    * language/source blocking the exact tier uses): the block value
+    * joins the band bucket key, so blocking NARROWS buckets — at
+    * corpus scale it's free selectivity, not an extra join.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 64,
-                      bands: Int = 16, shingleN: Int = 2): DataFrame = {
+                      bands: Int = 16, shingleN: Int = 2,
+                      blockCol: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     // candidates: groupBy band bucket + in-bucket pair explode — ONE
     // pass over the signature pipeline. (A bandRows self-join reads
     // the un-materialized signature DAG once per join side; at sf0.1
     // that recompute was 4× the useful work.)
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
-    val bandRows = lshBands(sigs.select(col(idCol), col("sig")), idCol,
-      bands, numHashes / bands)
+    val carry = blockCol.toSeq
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN, carry)
+    val bandRows = lshBands(sigs.select((col(idCol) +: carry.map(col) :+ col("sig")): _*),
+      idCol, bands, numHashes / bands, carry)
     val candidates = bandRows
-      .groupBy("band", "band_key")
+      .groupBy(("band" +: "band_key" +: carry).map(col): _*)
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(bucketPairs("ids"))).as("p"))

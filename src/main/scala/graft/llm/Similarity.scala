@@ -89,7 +89,16 @@ object Similarity {
         expr(s"transform($embCol, x -> CAST(x AS double))").as("vd"))
       .withColumn("bucket", hyperplaneSig("vd", nbits))
       .withColumn("vq", quantize("vd")).withColumn("nsq", normSqQ("vq"))
-    val flips: Seq[Long] = 0L +: (if (probeFlips >= 1) (0 until nbits).map(1L << _) else Nil)
+    // enumerated multiprobe: all bucket ids within hamming <= probeFlips
+    // of the probe's bucket. 2-bit probing matters at the deeper codes
+    // corpus scale needs for selectivity (at nbits=8, 1-bit probing
+    // visits 9/256 buckets and visibly under-recalls — AnnSpec).
+    val flips1: Seq[Long] = if (probeFlips >= 1) (0 until nbits).map(1L << _) else Nil
+    val flips2: Seq[Long] =
+      if (probeFlips >= 2)
+        for { i <- 0 until nbits; j <- (i + 1) until nbits } yield (1L << i) | (1L << j)
+      else Nil
+    val flips: Seq[Long] = 0L +: (flips1 ++ flips2)
     val probes = broadcast(
       vecs.filter(probePred)
         .select(col(idCol).as("probe_id"), col("bucket").as("pb"),
@@ -111,8 +120,8 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs over the quantized grid:
     * all pairs above `threshold`, id_a < id_b. Exact and deterministic
-    * (the oracle tier); at corpus scale the candidate generation is
-    * `annTopK`'s bucket join instead of the blocked product.
+    * (the oracle tier); `cosineNearDupPairsLsh` is the same semantics
+    * with bucketed candidate generation — the corpus-scale plan.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                          threshold: Double, partitions: Int = 32): DataFrame = {
@@ -126,6 +135,67 @@ object Similarity {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         (dotQ("a.v", "b.v").cast("double") /
           sqrt((col("a.nsq") * col("b.nsq")).cast("double"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Seeded variant of `hyperplaneSig` for multi-table LSH: table t
+    * draws its own planes from the hash stream, so tables are
+    * independent and candidate recall amplifies as 1-(1-p^b)^T.
+    */
+  private def seededSig(vecCol: String, nbits: Int, table: Int): Column = {
+    def w(j: String, d: String): String =
+      s"(CAST(pmod(xxhash64(concat('t$table|', cast($j AS string), ':', cast($d AS string))), 1001) AS double) / 1000.0 - 0.5)"
+    expr(
+      s"""aggregate(sequence(0, ${nbits - 1}), 0L, (acc, j) -> acc * 2 +
+         |  (CASE WHEN aggregate(sequence(1, size($vecCol)), CAST(0.0 AS double),
+         |          (s, d) -> s + element_at($vecCol, d) * ${w("j", "d")})
+         |        >= 0.0 THEN 1 ELSE 0 END))""".stripMargin)
+  }
+
+  /** Bucketed near-duplicate pairs: multi-table hyperplane-LSH
+    * candidate generation + exact quantized-cosine verification. Same
+    * output contract as `cosineNearDupPairs` (id_a < id_b, exact cos ≥
+    * threshold) but the join is bucket-equality over (table, bucket) —
+    * never an all-pairs product. Candidate volume per table is
+    * Σ_bucket n_b² ≈ N²/2^nbits; total ≈ T·N²/2^nbits of the exact
+    * arm's N²/2, with per-pair miss probability (1-p^b)^T where
+    * p = 1-θ/π is the per-bit agreement at angle θ.
+    *
+    * Parameter honesty: at REAL near-dup thresholds (cos ≥ 0.9,
+    * p ≈ 0.86) a deep code (nbits 16+) separates true pairs from the
+    * 2^-nbits random-collision floor and the plan is genuinely
+    * sub-quadratic. At this fixture's adversarial setting — isotropic
+    * vectors, threshold 0.35 ⇒ p ≈ 0.61 vs the 0.5 floor — NO
+    * hyperplane code separates well (0.61/0.5 per bit), so the
+    * defaults below are tuned for verified completeness on the fixture
+    * (the driver oracle-checks this query EQUAL to the exact arm),
+    * not for speed there. The plan shape, not the fixture constants,
+    * is what survives the 100× scale-up.
+    */
+  def cosineNearDupPairsLsh(df: DataFrame, idCol: String, embCol: String,
+                            threshold: Double, nbits: Int = 3,
+                            tables: Int = 32): DataFrame = {
+    val vecs = df.select(col(idCol),
+        expr(s"transform($embCol, x -> CAST(x AS double))").as("vd"))
+      .withColumn("vq", quantize("vd")).withColumn("nsq", normSqQ("vq"))
+      .repartition(col(idCol))
+    val sigCols = (0 until tables).map(t => seededSig("vd", nbits, t))
+    val candidates = vecs
+      .select(col(idCol), posexplode(array(sigCols: _*)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+      .groupBy("table", "bucket")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(Dedup.bucketPairs("ids"))).as("p"))
+      .select(col("p.l").as("id_a"), col("p.r").as("id_b"))
+      .distinct()
+    val sides = vecs.select(col(idCol), col("vq"), col("nsq"))
+    candidates
+      .join(sides.toDF("id_a", "va", "nsqa"), "id_a")
+      .join(sides.toDF("id_b", "vb", "nsqb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dotQ("va", "vb").cast("double") /
+          sqrt((col("nsqa") * col("nsqb")).cast("double"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

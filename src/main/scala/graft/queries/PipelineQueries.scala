@@ -40,6 +40,27 @@ object PipelineQueries {
         least(col("n_tokens"), lit(60)).cast("double") / lit(60.0) * lit(0.5) +
           col("ttr") * lit(0.3) + col("stop_ratio") * lit(0.2))
 
+  /** Corpus curation with a pluggable near-duplicate arm: quality gate
+    * → near-dup removal (keep the lower doc_id of each pair) →
+    * per-source corpus stats. `nearDupPairs` maps the quality-passed
+    * corpus to (id_a, id_b, …) duplicate pairs — the exact
+    * inverted-index tier for oracle runs, MinHash-LSH at corpus scale.
+    * Dedup runs on the FILTERED corpus: deduplicating documents the
+    * quality gate already dropped would only inflate the pair join.
+    */
+  private def curation(docs: DataFrame,
+                       nearDupPairs: DataFrame => DataFrame): DataFrame = {
+    val kept = withStats(docs)
+      .filter(col("quality") >= 0.55 && col("n_tokens") >= 20)
+    val dupIds = nearDupPairs(kept).select(col("id_b").as("doc_id")).distinct()
+    kept.join(dupIds, Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- dedup tier 1: exact content-hash groups ------------------------
@@ -82,24 +103,23 @@ object PipelineQueries {
     //    of each Jaccard pair) → per-source corpus stats. Every stage
     //    reuses the oracle-checked operators above, and the near-dup
     //    arm here is the EXACT tier so the whole pipeline stays
-    //    DuckDB-verifiable; swap in minhashNearDups for the same
-    //    semantics at corpus scale. min/max (not avg) over quality:
-    //    order-free, so doubles stay engine-deterministic. ------------
-    "q_curation" -> ((s, dir) => {
-      val kept = withStats(Tables.documents(s, dir))
-        .filter(col("quality") >= 0.55 && col("n_tokens") >= 20)
-      // dedup the FILTERED corpus — deduplicating documents the quality
-      // gate already dropped would only inflate the pair join
-      val dupIds = Dedup.ngramJaccardPairs(kept, "doc_id", "text",
-          blockCol = "lang", n = 2, threshold = 0.5)
-        .select(col("id_b").as("doc_id")).distinct()
-      kept.join(dupIds, Seq("doc_id"), "left_anti")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens").cast("long")).as("total_tokens"),
-          min(col("quality")).as("min_quality"),
-          max(col("quality")).as("max_quality"))
-    }),
+    //    DuckDB-verifiable. min/max (not avg) over quality: order-free,
+    //    so doubles stay engine-deterministic. ------------------------
+    "q_curation" -> ((s, dir) =>
+      curation(Tables.documents(s, dir), kept =>
+        Dedup.ngramJaccardPairs(kept, "doc_id", "text",
+          blockCol = "lang", n = 2, threshold = 0.5))),
+
+    // -- the same pipeline on its SCALE arm: MinHash-LSH (lang-blocked,
+    //    so banding inherits the exact tier's blocking) replaces the
+    //    Σf² inverted-index join. Approximate candidates → rows-only
+    //    driver check; LlmDedupSpec asserts its output EQUALS
+    //    q_curation's on the fixture (LSH recall/precision are 1.0
+    //    there, LlmDedupSpec). This is the arm a 100 TB run uses. -----
+    "q_curation_lsh" -> ((s, dir) =>
+      curation(Tables.documents(s, dir), kept =>
+        Dedup.minhashNearDups(kept, "doc_id", "text", threshold = 0.5,
+          blockCol = Some("lang")))),
 
     // -- text analysis: token counting, whitespace vs BPE-ish regex.
     //    The regex class split ([a-z]+ | digits | single non-alnum) is
@@ -145,6 +165,17 @@ object PipelineQueries {
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.35)),
+
+    // -- similarity: the near-dup pair search on its SCALE arm —
+    //    multi-table LSH bucket-join candidates + exact quantized-
+    //    cosine verify. Carries the SAME DuckDB oracle as
+    //    q_embed_neardup: the bucketed plan must reproduce the exact
+    //    result bit-for-bit at sf0.01 (candidate completeness is
+    //    deterministic there; see cosineNearDupPairsLsh's scaladoc
+    //    for the parameter-honesty notes on this isotropic fixture). --
+    "q_embed_neardup_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, dir), "vec_id",
+        "embedding", threshold = 0.35)),
 
     // -- similarity: multiprobe hyperplane-LSH ANN (scale tier) --------
     "q_ann_lsh" -> ((s, dir) =>
@@ -326,6 +357,24 @@ object PipelineQueries {
         |SELECT probe_id, neighbor_id, "rank", cos FROM r WHERE "rank" <= 5""".stripMargin,
 
     "q_embed_neardup" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q
+        |), p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) AS DOUBLE) /
+        |      sqrt(CAST(a.nsq * b.nsq AS DOUBLE)) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |)
+        |SELECT * FROM p WHERE cos >= 0.35""".stripMargin,
+
+    // the bucketed scale arm must land on EXACTLY the exact arm's rows
+    "q_embed_neardup_lsh" ->
       """WITH q AS (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v

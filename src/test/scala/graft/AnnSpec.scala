@@ -36,6 +36,42 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.25, s"recall $recall below floor")
   }
 
+  test("multiprobe recall is monotone in probeFlips at a deep code (nbits=8)") {
+    // at nbits=8 the corpus spreads over 256 buckets: 0-flip probing
+    // scans ~1 bucket, 1-flip 9, 2-flip 37 — recall must rise with each
+    // step, and the 2-bit tier must add real recall over 1-bit (the
+    // r3 gap: probeFlips=2 silently behaved as 1)
+    val emb = Tables.embeddings(spark, Sf)
+    val probes = col("vec_id") < 10
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probes, k = 10)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(flips: Int): Double = {
+      val ann = Similarity.annTopK(emb, "vec_id", "embedding", probes, k = 10,
+          nbits = 8, probeFlips = flips)
+        .select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & ann).size.toDouble / truth.size
+    }
+    val r0 = recallAt(0); val r1 = recallAt(1); val r2 = recallAt(2)
+    assert(r0 <= r1 && r1 <= r2, s"recall not monotone: $r0, $r1, $r2")
+    assert(r2 > r1, s"2-bit probing added no recall at nbits=8: r1=$r1 r2=$r2")
+  }
+
+  test("bucketed near-dup pairs equal the exact all-pairs arm") {
+    // the scale arm (multi-table LSH candidates + exact verify) must
+    // reproduce the exact theta-join result bit-for-bit — same gate the
+    // driver applies at sf0.01 via the shared DuckDB oracle
+    val emb = Tables.embeddings(spark, Sf)
+    val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bucketed = Similarity.cosineNearDupPairsLsh(emb, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(bucketed == exact,
+      s"bucketed=${bucketed.size} exact=${exact.size} missed=${(exact -- bucketed).size}")
+  }
+
   test("exact top-k: self excluded, ranks dense from 1, cosine within [-1, 1]") {
     val emb = Tables.embeddings(spark, Sf)
     val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding",

@@ -39,6 +39,54 @@ class LlmDedupSpec extends SparkSpec {
       s"minhash=${found.size} truth=${truth.size} missed=${(truth -- found).size} extra=${(found -- truth).size}")
   }
 
+  test("curation scale-arm swap: q_curation_lsh equals q_curation") {
+    // The exact inverted-index arm exists so the pipeline stays
+    // DuckDB-verifiable; the MinHash arm is the plan a 100 TB run uses.
+    // On this fixture LSH recall/precision are 1.0 (test above), so the
+    // two pipelines must agree bit-for-bit.
+    import graft.queries.PipelineQueries
+    def rows(q: String): Set[Row] =
+      PipelineQueries.queries(q)(spark, Sf).collect().toSet
+    val exact = rows("q_curation")
+    val lsh = rows("q_curation_lsh")
+    assert(exact.nonEmpty)
+    assert(lsh == exact,
+      s"lsh=${lsh.size} exact=${exact.size} diff=${(lsh diff exact).size + (exact diff lsh).size}")
+  }
+
+  test("lang-blocked MinHash equals lang-blocked exact Jaccard") {
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 2, 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5,
+        blockCol = Some("lang"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    assert(found == truth)
+  }
+
+  test("maxPostingLen cap drops hot grams loudly, never silently") {
+    // cap=5 on this fixture (31-word vocab → every gram hot) must (a)
+    // report the dropped postings via the audit query and (b) visibly
+    // change the result; cap=None stays byte-identical to the default.
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 2, 0.5)
+      .collect().toSet
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 2, 0.5,
+      maxPostingLen = Some(5)).collect().toSet
+    val dropped = Dedup.hotPostings(docs, "doc_id", "text", "lang", 2, maxPostingLen = 5)
+    assert(dropped.count() > 0, "fixture grams are common; cap=5 must flag some")
+    assert(capped != uncapped, "capping hot grams must change the exact result here")
+    val explicitNone = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 2, 0.5,
+      maxPostingLen = None).collect().toSet
+    assert(explicitNone == uncapped)
+    // a cap no posting exceeds is a no-op — and the audit agrees (empty)
+    val high = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 2, 0.5,
+      maxPostingLen = Some(1000000)).collect().toSet
+    assert(high == uncapped)
+    assert(Dedup.hotPostings(docs, "doc_id", "text", "lang", 2, 1000000).count() == 0)
+  }
+
   test("prefix-filtered Jaccard join is exact vs in-memory brute force") {
     val data = docs.select("doc_id", "lang", "text").collect()
     def bigrams(t: String): Set[String] =
