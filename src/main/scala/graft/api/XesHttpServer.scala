@@ -47,10 +47,18 @@ final class XesHttpServer(
   // the JDK default executor serializes requests; the reference serves
   // 8 concurrently (gunicorn --workers=4 --threads=2, Dockerfile:26).
   // Concurrent handlers become concurrent Spark jobs on the shared
-  // session — use fair-scheduler pools if requests starve each other.
+  // session; each request runs in its OWN fair-scheduler pool (set
+  // per-thread below), so under spark.scheduler.mode=FAIR a small
+  // request's stages share the cluster with a big one instead of
+  // queueing behind all of its jobs. Unconfigured pools default to
+  // weight 1 / minShare 0, which is exactly the equal-share intent;
+  // under the default FIFO mode the property is inert, so setting it
+  // is always safe.
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8, r => {
     val t = new Thread(r, "graft-http"); t.setDaemon(true); t
   }))
+
+  private val reqCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = server.stop(0)
@@ -99,11 +107,18 @@ final class XesHttpServer(
       includeBotMessages = flag(q, "include_bot_messages"),
       includeLifecycleStart = flag(q, "include_life_cycle_start"),
       deserializeRemarks = flag(q, "deserialize_remarks"))
-    EventLogGenerator.generateXes(eventlog(), params, cache,
-        useCache = flag(q, "use_cache")) match {
-      case Some(path) => respondFile(ex, path)
-      case None       => respond(ex, 204, "")
-    }
+    val df = eventlog()
+    // pool assignment is a thread-local property, so it scopes exactly
+    // to the Spark jobs this handler thread submits
+    val sc = df.sparkSession.sparkContext
+    sc.setLocalProperty("spark.scheduler.pool", s"graft-req-${reqCounter.incrementAndGet()}")
+    try {
+      EventLogGenerator.generateXes(df, params, cache,
+          useCache = flag(q, "use_cache")) match {
+        case Some(path) => respondFile(ex, path)
+        case None       => respond(ex, 204, "")
+      }
+    } finally sc.setLocalProperty("spark.scheduler.pool", null)
   }
 
   private def flag(q: Map[String, String], name: String): Boolean =

@@ -38,14 +38,15 @@ object Dedup {
     * copies exact dedup misses.
     */
   def normalizedGroups(df: DataFrame, idCol: String, textCol: String,
-                       dropTokens: Seq[String]): DataFrame = {
-    val set = dropTokens.map(t => s"'$t'").mkString(", ")
+                       dropTokens: Seq[String]): DataFrame =
+    // typedLit array, not a spliced '$t' NOT-IN list: a stop token
+    // containing a quote must not be able to break the expression parse
     df.withColumn("__toks", split(lower(regexp_replace(col(textCol), "\\s+", " ")), " "))
-      .withColumn("__norm", expr(s"array_join(filter(__toks, t -> t NOT IN ($set)), ' ')"))
+      .withColumn("__norm", array_join(
+        filter(col("__toks"), t => !array_contains(typedLit(dropTokens), t)), " "))
       .select(md5(col("__norm")).as("content_hash"), col(idCol))
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
-  }
 
   /** Exact n-gram Jaccard similarity over candidate pairs blocked by
     * `blockCol` (a language/source/bucket key that bounds the pair

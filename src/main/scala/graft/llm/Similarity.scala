@@ -118,6 +118,113 @@ object Similarity {
       .select(col("probe_id"), col(idCol).as("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer over
+    * L2-NORMALIZED vectors (squared L2 on the unit sphere is monotone
+    * in cosine), then probes scan only the `nProbe` nearest centroid
+    * lists — the classic FAISS-style scale path, complementary to the
+    * hyperplane-LSH tier (`annTopK`): IVF adapts to the data's actual
+    * density, LSH is oblivious and needs no training pass.
+    *
+    * Everything is deterministic so the driver's rows-only check and
+    * the AnnSpec recall gate are stable: the training sample is the
+    * `trainSample` vectors with the smallest xxhash64(id) (no RNG),
+    * init takes the sample's first `nClusters`, Lloyd runs on the
+    * driver over that bounded sample in a fixed order, and assignment
+    * ties break on the first minimal distance.
+    *
+    * Scale notes: training on a BOUNDED sample is the standard IVF
+    * recipe (a coarse quantizer needs ~10-100 samples per centroid,
+    * not the corpus) — so the train step collects k·dims-bounded data
+    * once, never the corpus, and the distributed work is exactly two
+    * map passes (assign members, assign probes) against literal
+    * centroids plus one equality join on cluster id; candidate volume
+    * is ~nProbe/nClusters of the corpus per probe. At 100 TB the
+    * sample-select swaps to TABLESAMPLE and the per-row assignment
+    * loop moves into a compiled kernel like the MinHash/SimHash
+    * sketches (graft.functions.Sketches); the plan shape is unchanged.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, embCol: String,
+              probePred: Column, k: Int, nClusters: Int = 16,
+              nProbe: Int = 4, lloydIters: Int = 5,
+              trainSample: Int = 512): DataFrame = {
+    // repartition FIRST: a small parquet arrives as one partition, and
+    // every expression below is a per-row interpreted HOF kernel
+    val vecs = df.repartition(col(idCol))
+      .select(col(idCol),
+        expr(s"transform($embCol, x -> CAST(x AS double))").as("vd"))
+      .withColumn("vq", quantize("vd")).withColumn("nsq", normSqQ("vq"))
+      .withColumn("__n",
+        sqrt(expr("aggregate(transform(vd, x -> x * x), CAST(0.0 AS double), (a, b) -> a + b)")))
+      .withColumn("nd", expr("transform(vd, x -> x / __n)"))
+      .drop("__n")
+
+    // --- driver-side Lloyd on the deterministic bounded sample ---
+    val sample: Array[Array[Double]] = vecs
+      .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
+      .limit(math.max(trainSample, nClusters)).select("nd").collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "ivfTopK: empty input")
+    val kEff = math.min(nClusters, sample.length)
+    var centroids: Array[Array[Double]] = sample.take(kEff).map(_.clone())
+    def sqd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    for (_ <- 1 to lloydIters) {
+      val sums = Array.fill(kEff)(new Array[Double](sample.head.length))
+      val counts = new Array[Long](kEff)
+      for (v <- sample) {
+        var best = 0; var bd = sqd(v, centroids(0)); var c = 1
+        while (c < kEff) {
+          val d = sqd(v, centroids(c)); if (d < bd) { bd = d; best = c }; c += 1
+        }
+        counts(best) += 1
+        var i = 0; while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+
+    def sqDist(c: Seq[Double]): Column =
+      aggregate(zip_with(col("nd"), typedLit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, b) => a + b)
+    def withDists(cs: Seq[Seq[Double]])(d: DataFrame): DataFrame =
+      d.withColumn("__d", array(cs.map(sqDist): _*))
+    val centroidSeqs: Seq[Seq[Double]] = centroids.map(_.toSeq).toSeq
+
+    // the cluster join key is wrapped in coalesce(·, -1) to make it
+    // NON-NULLABLE: an inner join on a nullable key gets an inferred
+    // isnotnull(key) filter, and predicate pushdown re-substitutes the
+    // alias — re-evaluating the whole k-distance assignment a second
+    // time BELOW the repartition, single-core in the lone parquet
+    // partition (measured: 16 s of a 17 s query at sf0.1). With a
+    // non-nullable key no such filter exists; assignment runs once,
+    // distributed.
+    val members = vecs.transform(withDists(centroidSeqs))
+      .withColumn("cluster",
+        coalesce(expr("array_position(__d, array_min(__d)) - 1"), lit(-1L)))
+      .select(col(idCol), col("cluster"), col("vq"), col("nsq"))
+    val probes = broadcast(
+      vecs.filter(probePred).transform(withDists(centroidSeqs))
+        .select(col(idCol).as("probe_id"), col("vq").as("pv"), col("nsq").as("pnsq"),
+          explode(expr(
+            s"""slice(array_sort(transform(__d, (x, i) -> struct(x AS d, i AS c))),
+               |  1, $nProbe)""".stripMargin)).as("pc"))
+        .select(col("probe_id"), col("pv"), col("pnsq"),
+          coalesce(col("pc.c").cast("long"), lit(-1L)).as("cluster")))
+    probes.join(members, Seq("cluster"))
+      .filter(col("probe_id") =!= col(idCol))
+      .withColumn("cos",
+        dotQ("pv", "vq").cast("double") /
+          sqrt((col("pnsq") * col("nsq")).cast("double")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over the quantized grid:
     * all pairs above `threshold`, id_a < id_b. Exact and deterministic
     * (the oracle tier); `cosineNearDupPairsLsh` is the same semantics
@@ -138,18 +245,34 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
-  /** Seeded variant of `hyperplaneSig` for multi-table LSH: table t
-    * draws its own planes from the hash stream, so tables are
-    * independent and candidate recall amplifies as 1-(1-p^b)^T.
+  /** Deterministic driver-side pseudo-random in [-0.5, 0.5] (splitmix64
+    * finalizer). Plane weights are Spark-internal — no oracle ever sees
+    * them — so they are precomputed here ONCE and shipped as literals:
+    * evaluating a string-concat + hash per (table, bit, dim, row)
+    * inside an interpreted lambda was the dominant cost of the
+    * multi-table signature (~10k string hashes per row).
     */
-  private def seededSig(vecCol: String, nbits: Int, table: Int): Column = {
-    def w(j: String, d: String): String =
-      s"(CAST(pmod(xxhash64(concat('t$table|', cast($j AS string), ':', cast($d AS string))), 1001) AS double) / 1000.0 - 0.5)"
-    expr(
-      s"""aggregate(sequence(0, ${nbits - 1}), 0L, (acc, j) -> acc * 2 +
-         |  (CASE WHEN aggregate(sequence(1, size($vecCol)), CAST(0.0 AS double),
-         |          (s, d) -> s + element_at($vecCol, d) * ${w("j", "d")})
-         |        >= 0.0 THEN 1 ELSE 0 END))""".stripMargin)
+  private def splitmixUnit(seed: Long): Double = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (java.lang.Long.remainderUnsigned(z, 1000001L).toDouble / 1000000.0) - 0.5
+  }
+
+  /** n-bit signature of `vecCol` for one LSH table: sign bits of the
+    * dot products against that table's literal planes. Plain Column
+    * folds — no lambda-variable indexing, so each bit is one
+    * zip_with/aggregate dot against a constant array.
+    */
+  private def seededSig(vecCol: String, nbits: Int, table: Int, dims: Int): Column = {
+    val bits: Seq[Column] = (0 until nbits).map { j =>
+      val plane = (0 until dims).map(d =>
+        splitmixUnit(table.toLong * 1000003L + j.toLong * 8191L + d.toLong))
+      when(aggregate(zip_with(col(vecCol), typedLit(plane), (x, w) => x * w),
+        lit(0.0), (a, b) => a + b) >= 0.0, lit(1L)).otherwise(lit(0L))
+    }
+    bits.reduceLeft((acc, b) => shiftleft(acc, 1) + b)
   }
 
   /** Bucketed near-duplicate pairs: multi-table hyperplane-LSH
@@ -173,13 +296,27 @@ object Similarity {
     * is what survives the 100× scale-up.
     */
   def cosineNearDupPairsLsh(df: DataFrame, idCol: String, embCol: String,
-                            threshold: Double, nbits: Int = 3,
+                            threshold: Double, nbits: Int = 0,
                             tables: Int = 32): DataFrame = {
-    val vecs = df.select(col(idCol),
+    // repartition FIRST — the quantize/norm/signature kernels below are
+    // per-row interpreted HOFs and a small parquet is one partition
+    val vecs = df.repartition(col(idCol))
+      .select(col(idCol),
         expr(s"transform($embCol, x -> CAST(x AS double))").as("vd"))
       .withColumn("vq", quantize("vd")).withColumn("nsq", normSqQ("vq"))
-      .repartition(col(idCol))
-    val sigCols = (0 until tables).map(t => seededSig("vd", nbits, t))
+    // nbits = 0 (the default) auto-sizes the code depth so buckets stay
+    // ~64 vectors: in-bucket pair volume per table is then bounded at
+    // ~N·32 rows regardless of corpus size — the depth, not the table
+    // count, is what must grow with N. One count() job, cheap next to
+    // the pair stage it bounds. (At the oracle SF this resolves to
+    // nbits=3, the setting whose candidate completeness was verified.)
+    val bits =
+      if (nbits > 0) nbits
+      else math.max(1, math.ceil(math.log(math.max(df.count(), 2L) / 64.0) /
+        math.log(2.0)).toInt)
+    val dims = df.select(size(expr(embCol)).as("d")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    val sigCols = (0 until tables).map(t => seededSig("vd", bits, t, dims))
     val candidates = vecs
       .select(col(idCol), posexplode(array(sigCols: _*)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")

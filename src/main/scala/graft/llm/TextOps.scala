@@ -85,10 +85,10 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est", "une"),
     "zh" -> Seq("的", "是", "了", "在", "我", "不"))
 
-  def langScore(toksCol: String, words: Seq[String]): Column = {
-    val set = words.map(w => s"'$w'").mkString(", ")
-    expr(s"size(filter($toksCol, t -> t IN ($set)))")
-  }
+  def langScore(toksCol: String, words: Seq[String]): Column =
+    // typedLit array, not a spliced '$w' IN-list: caller-supplied words
+    // containing quotes must not be able to break the expression parse
+    size(filter(col(toksCol), t => array_contains(typedLit(words), t)))
 
   /** Deterministic argmax over per-language score COLUMN NAMES: first
     * language in alphabetical order whose score equals the maximum.

@@ -276,6 +276,20 @@ object EventQueries {
           col("`lifecycle:transition`"), col("RESOURCE"),
           col("user"), col("serviceEndpoint"), col("`in-service-context`"))),
 
+    // Schema-INFERENCE variant of the REMARKS widening (O-20's second
+    // sub-path, the reference's deserialize_remarks=True default:
+    // promote EVERY key that appears in the data). The fixture's
+    // REMARKS carry the key `k` — which is NOT in the declared
+    // RemarksSchema — so this query widens to a column the fast path
+    // never produces, and the guarded fills skip their absent targets:
+    // exactly what a user with unlisted REMARKS keys hits first.
+    "q_generate_infer" -> ((s, dir) =>
+      EventLogGenerator.generate(asEventlog(Tables.events(s, dir)), GenerateParams,
+          inferRemarksSchema = true)
+        .select(col("event_id"), col("EVENT_TYPE"), col("`case:concept:name`"),
+          col("`concept:name`"), col("`time:timestamp`"),
+          col("`lifecycle:transition`"), col("RESOURCE"), col("k"))),
+
     // includeLifecycleStart=true variant: no lifecycle filters run, so
     // NULL-lifecycle rows SURVIVE and are filled 'complete', and 'start'
     // rows pass through — pinning SURVEY §2.8.6's ordering quirk in the
@@ -482,6 +496,37 @@ object EventQueries {
          |  coalesce(json_extract_string("REMARKS", '$$.user'), '') AS "user",
          |  coalesce(json_extract_string("REMARKS", '$$.serviceEndpoint'), '') AS "serviceEndpoint",
          |  coalesce(CAST(json_extract("REMARKS", '$$."in-service-context"') AS BOOLEAN), false) AS "in-service-context"
+         |FROM renamed
+         |WHERE "EVENT_TYPE" IN ('SERVICE_REQUEST', 'USER_MESSAGE')
+         |  AND "lifecycle:transition" = 'complete'""".stripMargin,
+
+    // the inferred widening must surface the data's own keys (here: k)
+    "q_generate_infer" ->
+      s"""$EventlogCte, filtered AS (
+         |  SELECT * FROM el
+         |  WHERE "CASE_ID" IS NOT NULL
+         |    AND "RESOURCE" IN ($memberIdStrings)
+         |    AND "EVENT_TYPE" != 'SERVICE_CUSTOM_MESSAGE_2'
+         |    AND "LIFECYCLE_PHASE" != 'start'
+         |    AND "TIME_STAMP" >= TIMESTAMP '2024-01-05 00:00:00'
+         |), renamed AS (
+         |  SELECT event_id,
+         |    CASE "EVENT_TYPE" WHEN 'SERVICE_CUSTOM_MESSAGE_1' THEN 'USER_MESSAGE'
+         |                      WHEN 'SERVICE_CUSTOM_MESSAGE_2' THEN 'BOT_MESSAGE'
+         |                      WHEN 'SERVICE_CUSTOM_MESSAGE_3' THEN 'SERVICE_REQUEST'
+         |                      ELSE "EVENT_TYPE" END AS "EVENT_TYPE",
+         |    "CASE_ID" AS "case:concept:name",
+         |    "ACTIVITY_NAME" AS "concept:name",
+         |    "TIME_STAMP" AS "time:timestamp",
+         |    "LIFECYCLE_PHASE" AS "lifecycle:transition",
+         |    "RESOURCE", "REMARKS"
+         |  FROM filtered
+         |)
+         |SELECT event_id, "EVENT_TYPE", "case:concept:name", "concept:name",
+         |  "time:timestamp",
+         |  coalesce("lifecycle:transition", 'complete') AS "lifecycle:transition",
+         |  "RESOURCE",
+         |  CAST(json_extract_string("REMARKS", '$$.k') AS BIGINT) AS k
          |FROM renamed
          |WHERE "EVENT_TYPE" IN ('SERVICE_REQUEST', 'USER_MESSAGE')
          |  AND "lifecycle:transition" = 'complete'""".stripMargin,

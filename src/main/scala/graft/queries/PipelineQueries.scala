@@ -30,8 +30,8 @@ object PipelineQueries {
       .withColumn("n_uniq", size(array_distinct(col("toks"))))
       .withColumn("total_chars",
         expr("aggregate(transform(toks, t -> CAST(length(t) AS bigint)), 0L, (a, b) -> a + b)"))
-      .withColumn("n_stop", size(expr(
-        s"filter(toks, t -> t IN (${StopEn.map(w => s"'$w'").mkString(", ")}))")))
+      .withColumn("n_stop", size(
+        filter(col("toks"), t => array_contains(typedLit(StopEn), t))))
       .withColumn("ttr", col("n_uniq").cast("double") / col("n_tokens").cast("double"))
       .withColumn("avg_token_len",
         col("total_chars").cast("double") / col("n_tokens").cast("double"))
@@ -180,6 +180,15 @@ object PipelineQueries {
     // -- similarity: multiprobe hyperplane-LSH ANN (scale tier) --------
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        probePred = col("vec_id") < 10, k = 10).orderBy("probe_id", "rank")),
+
+    // -- similarity: IVF ANN (trained scale tier) — coarse k-means over
+    //    normalized vectors, probes scan nProbe/nClusters of the corpus.
+    //    Complements q_ann_lsh: IVF adapts to data density (recall ~2×
+    //    the scanned fraction on this fixture vs LSH's ~1.8×), at the
+    //    cost of a training pass. Rows-only + recall gate in AnnSpec. --
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         probePred = col("vec_id") < 10, k = 10).orderBy("probe_id", "rank")),
 
     // -- multimodal: binary media column round-trip — build fake media,

@@ -58,6 +58,26 @@ class AnnSpec extends SparkSpec {
     assert(r2 > r1, s"2-bit probing added no recall at nbits=8: r1=$r1 r2=$r2")
   }
 
+  test("IVF recall beats the scanned fraction and a fixed floor") {
+    // nProbe/nClusters = 4/16 = 25% of the corpus scanned; the k-means
+    // locality bonus must lift recall well above that (measured 0.53 at
+    // sf0.001 / 0.49 at sf0.01 — density-ADAPTIVE beats the oblivious
+    // LSH tier's 0.35 at a comparable scan fraction). Deterministic:
+    // hash-seeded init, decimal-averaged Lloyd updates.
+    val emb = Tables.embeddings(spark, Sf)
+    val probes = col("vec_id") < 10
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probes, k = 10)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", probes, k = 10,
+        nClusters = 16, nProbe = 4)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & ivf).size.toDouble / truth.size
+    assert(recall > 0.25, s"recall $recall <= scanned fraction 0.25")
+    assert(recall >= 0.40, s"recall $recall below floor")
+  }
+
   test("bucketed near-dup pairs equal the exact all-pairs arm") {
     // the scale arm (multi-table LSH candidates + exact verify) must
     // reproduce the exact theta-join result bit-for-bit — same gate the

@@ -35,7 +35,7 @@ class EventLogGeneratorSpec extends SparkSpec {
     val rows = Seq(
       // case c1, resource r1: full remarks, lifecycle complete
       Row("SERVICE_CUSTOM_MESSAGE_1", "c1", "requestMenu", ts("2023-11-08 16:32:34"), "complete", "r1", "bot",
-        """{"user":"u1","intent":"requestMenu","stateLabel":"s","serviceEndpoint":"https://x/y","in-service-context":true}"""),
+        """{"user":"u1","intent":"requestMenu","stateLabel":"s","serviceEndpoint":"https://x/y","in-service-context":true,"debug-flag":42}"""),
       Row("SERVICE_CUSTOM_MESSAGE_3", "c1", "getMenu", ts("2023-11-08 16:32:40"), "complete", "r1", "bot",
         """{"user":"u1"}"""),
       // bot message in c1 (excluded unless includeBotMessages)
@@ -114,6 +114,15 @@ class EventLogGeneratorSpec extends SparkSpec {
       includeLifecycleStart = true, deserializeRemarks = true), infer = true)
     assert(out.columns.contains("intent"))
     assert(out.columns.contains("stateLabel"))
+    // the key OUTSIDE the declared RemarksSchema is the whole point of
+    // the inference path: a user's unlisted key must surface, with its
+    // inferred type — the declared-schema fast path can never produce it
+    assert(out.columns.contains("debug-flag"))
+    assert(out.filter("`concept:name` = 'requestMenu'").head()
+      .getAs[Long]("debug-flag") == 42L)
+    // declared-schema path stays blind to it (and must not error)
+    val declared = gen(Params(resourceIds = Seq("r1"), deserializeRemarks = true))
+    assert(!declared.columns.contains("debug-flag"))
   }
 
   test("date range bounds filter inclusively") {

@@ -118,6 +118,38 @@ class HttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("concurrent requests run in distinct fair-scheduler pools and both complete") {
+    // deterministic gate for the starvation fix: a SparkListener records
+    // which pool each job ran in; two concurrent requests must land in
+    // two different graft-req-* pools (FAIR then shares the cluster
+    // between them instead of FIFO-queueing the second behind the first)
+    import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
+    val pools = new ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val p = Option(js.properties)
+          .flatMap(ps => Option(ps.getProperty("spark.scheduler.pool")))
+        p.filter(_.startsWith("graft-req-")).foreach(pools.add)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try withServer { (_, port) =>
+      val exec = Executors.newFixedThreadPool(2)
+      val f1 = exec.submit(() => get(port, "/resource/r1?use_cache=false"))
+      val f2 = exec.submit(() => get(port, "/resource/r2?use_cache=false"))
+      assert(f1.get(60, TimeUnit.SECONDS).statusCode() == 200)
+      assert(f2.get(60, TimeUnit.SECONDS).statusCode() == 200)
+      exec.shutdown()
+      // listener events are posted asynchronously; poll until delivered
+      def distinctPools = pools.toArray(Array.empty[String]).toSet
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (distinctPools.size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(distinctPools.size >= 2, s"expected >=2 request pools, saw $distinctPools")
+      assert(spark.sparkContext.getConf.get("spark.scheduler.mode") == "FAIR")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("use_cache=true serves the cached artifact, use_cache=false regenerates") {
     withServer { (srv, port) =>
       val first = get(port, "/resource/r1?use_cache=true")

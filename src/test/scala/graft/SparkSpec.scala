@@ -14,6 +14,10 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the HTTP surface isolates requests in per-request pools; FAIR
+      // is a context-creation-time setting, so the shared test session
+      // carries it (inert for every other suite)
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
