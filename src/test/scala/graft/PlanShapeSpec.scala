@@ -49,4 +49,17 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_filter_membership")
     assert(p.contains("PushedFilters: [In(user_id"))
   }
+
+  test("q_ann_ivf's cluster assignment is never re-evaluated below the shuffle") {
+    // the IVF join key is wrapped non-nullable so the inner join infers
+    // no isnotnull(key) filter — without that, pushdown substitutes the
+    // whole k-distance assignment into a Filter BELOW the repartition
+    // Exchange and runs it a second time in the lone parquet partition
+    // (measured 16 s of a 17 s query). Gate: no Filter mentioning the
+    // assignment (array_position) may sit under an Exchange.
+    val p = plan("q_ann_ivf")
+    val filterLines = p.linesIterator.filter(_.contains("Filter")).toSeq
+    assert(!filterLines.exists(_.contains("array_position")),
+      s"assignment expression leaked into a Filter:\n${filterLines.mkString("\n")}")
+  }
 }
