@@ -31,9 +31,16 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException("simhash64(hashes array<bigint>)")
   }
 
+  private def dotqBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(a, b) => DotQExpr(a, b)
+    case _ => throw new IllegalArgumentException(
+      "graft_dotq(a array<bigint>, b array<bigint>)")
+  }
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_sig" -> minhashBuilder,
-    "simhash64" -> simhashBuilder)
+    "simhash64" -> simhashBuilder,
+    "graft_dotq" -> dotqBuilder)
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.GraftBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Compiled sketch kernels as custom Catalyst expressions.
   *
@@ -32,6 +32,26 @@ object Sketches {
   /** 64-bit SimHash: bit b set iff Σ_h (±1 by bit b of h) >= 0. */
   def simhash64(hashes: Column): Column =
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(hashes)))
+
+  /** Exact integer dot product of two array<bigint> columns — the
+    * quantized-cosine inner loop. Bit-identical to the
+    * aggregate(zip_with(...)) formulation it replaces (plain long
+    * multiply-add, no overflow at the quantization bounds), one
+    * compiled loop per row instead of ~3·dims interpreted lambda calls.
+    */
+  def dotQ(a: Column, b: Column): Column =
+    GraftBridge.column(DotQExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** All `tables` hyperplane-LSH signatures of an array<double> vector
+    * in one compiled pass: signature t is the nbits sign bits of the
+    * dots against planes[t·nbits … (t+1)·nbits). The planes arrive
+    * flattened (tables × nbits × dims) from the driver — they are
+    * Spark-internal constants, so precomputing them beats hashing
+    * inside a lambda per (table, bit, dim, row).
+    */
+  def hyperplaneSigs(vec: Column, planes: Array[Double],
+                     tables: Int, nbits: Int): Column =
+    GraftBridge.column(HyperplaneSigsExpr(GraftBridge.expression(vec), planes, tables, nbits))
 }
 
 case class MinHashSigExpr(child: Expression, numHashes: Int)
@@ -100,5 +120,74 @@ case class SimHash64Expr(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+case class DotQExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  private def okType(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two array<bigint>, got ${left.dataType} / ${right.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dotq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotQExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+case class HyperplaneSigsExpr(child: Expression, planes: Array[Double],
+                              tables: Int, nbits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val dims = planes.length / (tables * nbits)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if planes.length == tables * nbits * dims &&
+      tables > 0 && nbits > 0 && dims > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<double> and tables·nbits·dims planes, got $t / ${planes.length}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_sigs"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = math.min(dims, vec.numElements())
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var j = 0
+      while (j < nbits) {
+        val off = (t * nbits + j) * dims
+        var dot = 0.0
+        var d = 0
+        while (d < n) { dot += vec.getDouble(d) * planes(off + d); d += 1 }
+        sig = (sig << 1) | (if (dot >= 0.0) 1L else 0L)
+        j += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigsExpr =
     copy(child = newChild)
 }

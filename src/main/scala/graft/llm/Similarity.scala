@@ -33,13 +33,17 @@ object Similarity {
   def quantize(embCol: String): Column =
     expr(s"transform($embCol, x -> CAST(floor(CAST(x AS double) * 1000) AS bigint))")
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the compiled
+    * `DotQExpr` kernel (bit-identical to the aggregate/zip_with HOF
+    * formulation, which evaluates ~3·dims interpreted lambda calls per
+    * pair; on the all-pairs tiers that inner product IS the query).
+    */
   def dotQ(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (s, p) -> s + p)")
+    graft.functions.Sketches.dotQ(col(a), col(b))
 
   /** Exact integer squared norm. */
   def normSqQ(v: String): Column =
-    expr(s"aggregate(transform($v, x -> x * x), 0L, (s, p) -> s + p)")
+    graft.functions.Sketches.dotQ(col(v), col(v))
 
   /** Quantized-cosine top-k: exact, deterministic, oracle-checkable.
     * Probes are the rows matching `probePred`; ranking is
@@ -260,19 +264,18 @@ object Similarity {
     (java.lang.Long.remainderUnsigned(z, 1000001L).toDouble / 1000000.0) - 0.5
   }
 
-  /** n-bit signature of `vecCol` for one LSH table: sign bits of the
-    * dot products against that table's literal planes. Plain Column
-    * folds — no lambda-variable indexing, so each bit is one
-    * zip_with/aggregate dot against a constant array.
+  /** Flattened (tables × nbits × dims) plane array for the compiled
+    * `HyperplaneSigsExpr` kernel; seed scheme is stable (it pins the
+    * verified candidate completeness at the oracle SF).
     */
-  private def seededSig(vecCol: String, nbits: Int, table: Int, dims: Int): Column = {
-    val bits: Seq[Column] = (0 until nbits).map { j =>
-      val plane = (0 until dims).map(d =>
-        splitmixUnit(table.toLong * 1000003L + j.toLong * 8191L + d.toLong))
-      when(aggregate(zip_with(col(vecCol), typedLit(plane), (x, w) => x * w),
-        lit(0.0), (a, b) => a + b) >= 0.0, lit(1L)).otherwise(lit(0L))
+  private def planeArray(tables: Int, nbits: Int, dims: Int): Array[Double] = {
+    val out = new Array[Double](tables * nbits * dims)
+    var i = 0
+    for (t <- 0 until tables; j <- 0 until nbits; d <- 0 until dims) {
+      out(i) = splitmixUnit(t.toLong * 1000003L + j.toLong * 8191L + d.toLong)
+      i += 1
     }
-    bits.reduceLeft((acc, b) => shiftleft(acc, 1) + b)
+    out
   }
 
   /** Bucketed near-duplicate pairs: multi-table hyperplane-LSH
@@ -316,9 +319,9 @@ object Similarity {
         math.log(2.0)).toInt)
     val dims = df.select(size(expr(embCol)).as("d")).head(1)
       .headOption.map(_.getInt(0)).getOrElse(1)
-    val sigCols = (0 until tables).map(t => seededSig("vd", bits, t, dims))
     val candidates = vecs
-      .select(col(idCol), posexplode(array(sigCols: _*)))
+      .select(col(idCol), posexplode(graft.functions.Sketches.hyperplaneSigs(
+        col("vd"), planeArray(tables, bits, dims), tables, bits)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
       .groupBy("table", "bucket")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
