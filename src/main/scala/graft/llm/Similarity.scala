@@ -66,32 +66,28 @@ object Similarity {
       .select(col("probe_id"), col(idCol).as("neighbor_id"), col("rank"), col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane weight for (plane j, dim d):
-    * uniform in [-0.5, 0.5], derived from xxhash64 so every executor
-    * materializes the same planes with no broadcast of plane data.
-    */
-  private def planeWeight(j: String, d: String): String =
-    s"(CAST(pmod(xxhash64(concat('p', cast($j AS string), ':', cast($d AS string))), 1001) AS double) / 1000.0 - 0.5)"
-
-  /** n-bit hyperplane signature of an array<double> column. */
-  def hyperplaneSig(vecCol: String, nbits: Int): Column = expr(
-    s"""aggregate(sequence(0, ${nbits - 1}), 0L, (acc, j) -> acc * 2 +
-       |  (CASE WHEN aggregate(sequence(1, size($vecCol)), CAST(0.0 AS double),
-       |          (s, d) -> s + element_at($vecCol, d) * ${planeWeight("j", "d")})
-       |        >= 0.0 THEN 1 ELSE 0 END))""".stripMargin)
-
   /** ANN top-k via multiprobe hyperplane LSH. Candidates = corpus
     * vectors whose bucket equals the probe's bucket or differs in at
     * most `probeFlips` of the low `nbits` bits (enumerated buckets,
     * so the join key is exact bucket equality — a plain shuffle/
-    * broadcast join, never a distance predicate).
+    * broadcast join, never a distance predicate). The signature is the
+    * compiled `HyperplaneSigsExpr` kernel over driver-precomputed
+    * planes, and the bucket key is wrapped NON-NULLABLE so the inner
+    * join infers no isnotnull filter (which pushdown would otherwise
+    * re-substitute as a second full signature evaluation below the
+    * scan — the same trap `ivfTopK` documents).
     */
   def annTopK(df: DataFrame, idCol: String, embCol: String,
               probePred: Column, k: Int, nbits: Int = 5,
               probeFlips: Int = 1): DataFrame = {
-    val vecs = df.select(col(idCol),
+    val dims = df.select(size(expr(embCol)).as("d")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    val vecs = df.repartition(col(idCol))
+      .select(col(idCol),
         expr(s"transform($embCol, x -> CAST(x AS double))").as("vd"))
-      .withColumn("bucket", hyperplaneSig("vd", nbits))
+      .withColumn("bucket", coalesce(element_at(
+        graft.functions.Sketches.hyperplaneSigs(
+          col("vd"), planeArray(1, nbits, dims), 1, nbits), 1), lit(-1L)))
       .withColumn("vq", quantize("vd")).withColumn("nsq", normSqQ("vq"))
     // enumerated multiprobe: all bucket ids within hamming <= probeFlips
     // of the probe's bucket. 2-bit probing matters at the deeper codes
