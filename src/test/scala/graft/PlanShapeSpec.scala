@@ -50,6 +50,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [In(user_id"))
   }
 
+  test("scale-arm plans contain no all-pairs join operator") {
+    // the whole point of the LSH/IVF arms: candidates come from bucket
+    // EQUALITY joins, so a BroadcastNestedLoopJoin or CartesianProduct
+    // anywhere in their plans means the scale story regressed to the
+    // exact tier's theta join
+    for (q <- Seq("q_minhash_lsh", "q_simhash_neardup", "q_curation_lsh",
+        "q_embed_neardup_lsh", "q_ann_lsh", "q_ann_ivf")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q plans an all-pairs join")
+    }
+  }
+
   test("q_ann_ivf's cluster assignment is never re-evaluated below the shuffle") {
     // the IVF join key is wrapped non-nullable so the inner join infers
     // no isnotnull(key) filter — without that, pushdown substitutes the
