@@ -91,6 +91,24 @@ object EventStream {
         })
   }
 
+  /** Streaming exact deduplication — the unbounded arm of the batch
+    * dedup tier (graft.llm.Dedup.exactGroups): documents keyed by
+    * content hash, duplicates dropped via
+    * `dropDuplicatesWithinWatermark`, which is the ONLY state-bounded
+    * shape for this — a plain streaming dropDuplicates keeps every key
+    * forever and OOMs an unbounded corpus. Semantics are explicitly
+    * within-watermark: duplicates arriving within `watermarkDelay` of
+    * each other deduplicate exactly; once the watermark passes a key
+    * its state is evicted, so a much-later copy re-emits (at corpus
+    * scale the re-emit tail is then caught by the batch tier over the
+    * landed data — the standard lambda split).
+    */
+  def dedupExact(docs: DataFrame, textCol: String, tsCol: String,
+                 watermarkDelay: String = "10 minutes"): DataFrame =
+    docs.withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Micro-batch XES sink: every micro-batch of an event-log-shaped
     * stream lands as one sharded XES directory (`batch-<id>/part-*`),
     * written fully distributed by `XesWriter.writeShards` — no driver

@@ -13,6 +13,7 @@ import graft.streaming.EventStream
 object StreamingSpec {
   final case class Ev(user_id: Long, ts: Timestamp, event_type: String)
   final case class XesEv(case_id: String, ts: Timestamp, activity: String)
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 }
 
 /** Streaming smoke gate: MemoryStream → watermarked session_window →
@@ -57,6 +58,36 @@ class StreamingSpec extends SparkSpec {
         (s"1-${ts("2024-01-01 10:00:00").getTime / 1000}", 1L, 2L),
         (s"1-${ts("2024-01-01 11:30:00").getTime / 1000}", 1L, 1L),
         (s"2-${ts("2024-01-01 10:05:00").getTime / 1000}", 2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup: within-watermark copies drop, post-eviction copies re-emit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Doc]
+    val deduped = EventStream.dedupExact(in.toDF(), "text", "ts",
+      watermarkDelay = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      in.addData(
+        Doc(1L, ts("2024-01-01 10:00:00"), "alpha beta"),
+        Doc(2L, ts("2024-01-01 10:01:00"), "alpha beta"),   // dup within watermark
+        Doc(3L, ts("2024-01-01 10:02:00"), "gamma delta"))
+      q.processAllAvailable()
+      in.addData(Doc(4L, ts("2024-01-01 10:03:00"), "alpha beta")) // later batch, still in window
+      q.processAllAvailable()
+      def ids = spark.table("dedup_out").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L), s"within-watermark dedup failed: $ids")
+      // advance the watermark far past the keys: state evicts, and a
+      // much-later copy re-emits — the documented within-watermark
+      // contract whose state-eviction is what bounds memory unbounded
+      in.addData(Doc(5L, ts("2024-01-01 12:00:00"), "flush"))
+      q.processAllAvailable()
+      in.addData(Doc(6L, ts("2024-01-01 12:01:00"), "alpha beta"))
+      q.processAllAvailable()
+      assert(ids == Set(1L, 3L, 5L, 6L), s"post-eviction re-emit failed: $ids")
     } finally q.stop()
   }
 
