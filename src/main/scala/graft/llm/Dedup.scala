@@ -76,6 +76,10 @@ object Dedup {
     // verification); on real corpora with selective grams it becomes
     // the right upgrade, trading this count-only aggregation for a
     // candidate set that no longer grows with Σ f².
+    // (Measured: swapping the gram string for xxhash64(gram) as the
+    // join key does NOT move this query — the cost is the Σf²
+    // co-occurrence row count, not key width — so the exact tier keeps
+    // collision-free string identity.)
     val allPostings = df
       .withColumn("__toks", TextOps.tokens(textCol))
       .select(col(idCol), col(blockCol), TextOps.ngrams("__toks", n).as("grams"))

@@ -159,6 +159,22 @@ object RelationalQueries {
         .intersect(
           Tables.orders(s, dir).filter(col("o_totalprice") > 150000).select(col("o_custkey")))),
 
+    // As-of join: every event attached to its nearest-preceding (<= ts)
+    // purchase state per user — the union-window realization (one
+    // shuffle on the key, one sort; never a range/theta join). Right
+    // side pre-aggregated to one row per (user, ts) so the inclusive
+    // tie is deterministic. Oracle uses DuckDB's native ASOF LEFT JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val state = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("last_purchase_value"))
+      graft.operators.AsofJoin.asof(
+        ev.select(col("event_id"), col("user_id"), col("ts")), state,
+        keyCol = "user_id", tsCol = "ts",
+        payloadCols = Seq("last_purchase_value"), tieCols = Seq("event_id"))
+    }),
+
     // The SQL-text surface: the same engine through spark.sql over a
     // registered view — parity between the Column API and SQL parsing.
     "q_sql_surface" -> ((s, dir) => {
@@ -170,6 +186,15 @@ object RelationalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH st AS (
+        |  SELECT user_id, ts, max(value) AS last_purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT e.event_id, e.user_id, e.ts, st.last_purchase_value
+        |FROM events e ASOF LEFT JOIN st
+        |  ON e.user_id = st.user_id AND e.ts >= st.ts""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
