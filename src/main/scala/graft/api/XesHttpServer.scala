@@ -58,8 +58,6 @@ final class XesHttpServer(
     val t = new Thread(r, "graft-http"); t.setDaemon(true); t
   }))
 
-  private val reqCounter = new java.util.concurrent.atomic.AtomicLong(0)
-
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = server.stop(0)
   def boundPort: Int = server.getAddress.getPort
@@ -109,9 +107,15 @@ final class XesHttpServer(
       deserializeRemarks = flag(q, "deserialize_remarks"))
     val df = eventlog()
     // pool assignment is a thread-local property, so it scopes exactly
-    // to the Spark jobs this handler thread submits
+    // to the Spark jobs this handler thread submits. The pool NAME is
+    // per-worker-thread, not per-request: Spark creates a Pool object
+    // the first time a name appears and never removes it, so
+    // per-request unique names would leak one Pool per request served
+    // forever. Concurrent requests always run on distinct threads of
+    // the fixed pool, so thread-keyed names give the same FAIR
+    // isolation with at most 8 pools alive.
     val sc = df.sparkSession.sparkContext
-    sc.setLocalProperty("spark.scheduler.pool", s"graft-req-${reqCounter.incrementAndGet()}")
+    sc.setLocalProperty("spark.scheduler.pool", s"graft-req-${Thread.currentThread().getId}")
     try {
       EventLogGenerator.generateXes(df, params, cache,
           useCache = flag(q, "use_cache")) match {

@@ -137,13 +137,24 @@ case class DotQExpr(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dotq"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // match the HOF formulation it replaced: a length mismatch or a
+    // null element propagates NULL (zip_with pads with null, null
+    // arithmetic poisons the fold) — silently reading 0 for a null
+    // slot would fabricate a finite wrong cosine instead
+    if (n != y.numElements()) return null
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -166,9 +177,16 @@ case class HyperplaneSigsExpr(child: Expression, planes: Array[Double],
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_sigs"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
     val n = math.min(dims, vec.numElements())
+    // a malformed vector (null element) gets a NULL signature — the
+    // callers' coalesce maps that to a sentinel bucket no real vector
+    // hashes to, quarantining it instead of polluting a live bucket
+    var d0 = 0
+    while (d0 < n) { if (vec.isNullAt(d0)) return null; d0 += 1 }
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {

@@ -80,33 +80,35 @@ object Dedup {
     // join key does NOT move this query — the cost is the Σf²
     // co-occurrence row count, not key width — so the exact tier keeps
     // collision-free string identity.)
-    val allPostings = df
-      .withColumn("__toks", TextOps.tokens(textCol))
-      .select(col(idCol), col(blockCol), TextOps.ngrams("__toks", n).as("grams"))
-      .withColumn("sz", size(col("grams")))
-      .select(col(idCol), col(blockCol), col("sz"), explode(col("grams")).as("gram"))
+    val allPostings = postingsOf(df, idCol, textCol, blockCol, n)
     // Optional hot-gram guard: a (block, gram) posting list of length f
     // contributes f² co-occurrence rows, so one boilerplate shingle at
     // corpus scale stalls the stage. With `maxPostingLen` set, postings
     // hotter than the cap are DROPPED from the join — which loses the
     // intersections they carried, so capped output may under-count
-    // Jaccard. That loss is reported, never silent: the dropped grams
-    // are counted eagerly here (one agg job, opt-in cost) and logged,
-    // and `hotPostings` returns the same audit as a DataFrame.
+    // Jaccard. That loss is reported, never silent: the hot list is
+    // MATERIALIZED here once (one agg job, opt-in cost; its size is
+    // bounded by |postings|/cap, which is what the cap controls),
+    // logged, and reused as the literal anti-join side — so the main
+    // query does not run the hot aggregation a second time.
+    // `hotPostings` returns the same audit, with lengths, as a frame.
     val postings = maxPostingLen match {
       case None => allPostings
       case Some(cap) =>
-        val hot = allPostings.groupBy(col(blockCol), col("gram"))
-          .agg(count(lit(1)).as("posting_len"))
-          .filter(col("posting_len") > cap)
-        val nHot = hot.count()
+        val hotRows = hotPostings(df, idCol, textCol, blockCol, n, cap)
+          .select(col(blockCol), col("gram")).collect()
         org.slf4j.LoggerFactory.getLogger(getClass)
-          .warn(s"ngramJaccardPairs: dropping $nHot hot (block, gram) postings " +
-            s"longer than $cap — capped Jaccard may under-count; " +
+          .warn(s"ngramJaccardPairs: dropping ${hotRows.length} hot (block, gram) " +
+            s"postings longer than $cap — capped Jaccard may under-count; " +
             s"audit with Dedup.hotPostings")
-        if (nHot == 0) allPostings
-        else allPostings.join(broadcast(hot.select(col(blockCol), col("gram"))),
-          Seq(blockCol, "gram"), "left_anti")
+        if (hotRows.isEmpty) allPostings
+        else {
+          val hotDf = df.sparkSession.createDataFrame(
+            java.util.Arrays.asList(hotRows: _*),
+            org.apache.spark.sql.types.StructType(Seq(
+              allPostings.schema(blockCol), allPostings.schema("gram"))))
+          allPostings.join(broadcast(hotDf), Seq(blockCol, "gram"), "left_anti")
+        }
     }
     val a = postings.as("a")
     val b = postings.as("b")
@@ -124,15 +126,26 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The exploded (id, block, |grams|, gram) posting frame both the
+    * exact join and the hot-gram audit are built from — shared so the
+    * audit can never drift from what the capped join actually drops.
+    */
+  private def postingsOf(df: DataFrame, idCol: String, textCol: String,
+                         blockCol: String, n: Int): DataFrame =
+    df.withColumn("__toks", TextOps.tokens(textCol))
+      .select(col(idCol), col(blockCol), TextOps.ngrams("__toks", n).as("grams"))
+      .withColumn("sz", size(col("grams")))
+      .select(col(idCol), col(blockCol), col("sz"), explode(col("grams")).as("gram"))
+
   /** Audit for the `maxPostingLen` cap: every (block, gram) posting
     * list longer than the cap, with its length — exactly the postings
-    * a capped `ngramJaccardPairs` run excludes from the join. Empty ⟺
-    * the capped result is identical to the uncapped one.
+    * a capped `ngramJaccardPairs` run excludes from the join (both are
+    * derived from the same `postingsOf` frame). Empty ⟺ the capped
+    * result is identical to the uncapped one.
     */
   def hotPostings(df: DataFrame, idCol: String, textCol: String,
                   blockCol: String, n: Int, maxPostingLen: Int): DataFrame =
-    df.withColumn("__toks", TextOps.tokens(textCol))
-      .select(col(idCol), col(blockCol), explode(TextOps.ngrams("__toks", n)).as("gram"))
+    postingsOf(df, idCol, textCol, blockCol, n)
       .groupBy(col(blockCol), col("gram"))
       .agg(count(lit(1)).as("posting_len"))
       .filter(col("posting_len") > maxPostingLen)

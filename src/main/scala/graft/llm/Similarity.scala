@@ -66,6 +66,14 @@ object Similarity {
       .select(col("probe_id"), col(idCol).as("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** Dimensionality probe: one tiny head() job on the first row.
+    * Assumes uniform dims (the embedding-table contract); 1 on empty
+    * input so downstream plane construction stays well-formed.
+    */
+  private def dimsOf(df: DataFrame, embCol: String): Int =
+    df.select(size(expr(embCol)).as("d")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
+
   /** ANN top-k via multiprobe hyperplane LSH. Candidates = corpus
     * vectors whose bucket equals the probe's bucket or differs in at
     * most `probeFlips` of the low `nbits` bits (enumerated buckets,
@@ -80,8 +88,7 @@ object Similarity {
   def annTopK(df: DataFrame, idCol: String, embCol: String,
               probePred: Column, k: Int, nbits: Int = 5,
               probeFlips: Int = 1): DataFrame = {
-    val dims = df.select(size(expr(embCol)).as("d")).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(1)
+    val dims = dimsOf(df, embCol)
     val vecs = df.repartition(col(idCol))
       .select(col(idCol),
         expr(s"transform($embCol, x -> CAST(x AS double))").as("vd"))
@@ -148,13 +155,18 @@ object Similarity {
               nProbe: Int = 4, lloydIters: Int = 5,
               trainSample: Int = 512): DataFrame = {
     // repartition FIRST: a small parquet arrives as one partition, and
-    // every expression below is a per-row interpreted HOF kernel
+    // every expression below is a per-row interpreted HOF kernel.
+    // Zero-norm vectors are excluded up front: they have no direction
+    // (cosine undefined), and a NaN-normalized sample vector would
+    // silently poison a centroid during Lloyd (NaN compares false, so
+    // it piles onto cluster 0 and turns its mean all-NaN).
     val vecs = df.repartition(col(idCol))
       .select(col(idCol),
         expr(s"transform($embCol, x -> CAST(x AS double))").as("vd"))
       .withColumn("vq", quantize("vd")).withColumn("nsq", normSqQ("vq"))
       .withColumn("__n",
         sqrt(expr("aggregate(transform(vd, x -> x * x), CAST(0.0 AS double), (a, b) -> a + b)")))
+      .filter(col("__n") > 0.0)
       .withColumn("nd", expr("transform(vd, x -> x / __n)"))
       .drop("__n")
 
@@ -313,8 +325,7 @@ object Similarity {
       if (nbits > 0) nbits
       else math.max(1, math.ceil(math.log(math.max(df.count(), 2L) / 64.0) /
         math.log(2.0)).toInt)
-    val dims = df.select(size(expr(embCol)).as("d")).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(1)
+    val dims = dimsOf(df, embCol)
     val candidates = vecs
       .select(col(idCol), posexplode(graft.functions.Sketches.hyperplaneSigs(
         col("vd"), planeArray(tables, bits, dims), tables, bits)))

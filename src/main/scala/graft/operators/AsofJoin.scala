@@ -13,15 +13,23 @@ import org.apache.spark.sql.functions._
   * traps — a range/theta join is O(|L|·|R|) per key, and a windowed
   * subquery per left row re-scans. This is the scalable union-window
   * form: tag both sides, union, ONE shuffle on the key, one ordered
-  * window pass where `last(payload, ignoreNulls)` carries the most
-  * recent right payload forward into the left rows. Cost is a single
-  * sort per key group, identical asymptotics to the sort-merge
-  * as-of joins native engines implement.
+  * window pass where `last(marker-struct, ignoreNulls)` carries the
+  * most recent right payload forward into the left rows. The payload
+  * travels inside a struct that is non-null exactly on right rows, so
+  * a matched state whose payload value IS null attaches as null
+  * (matching SQL ASOF LEFT JOIN) instead of falling through to an
+  * older state. Cost is a single sort per key group — the same
+  * asymptotics as the sort-merge as-of joins native engines run.
   *
-  * Ordering contract: right rows sort BEFORE left rows at equal
-  * timestamps (the join is inclusive, `right.ts <= left.ts`); if the
-  * right side can hold several rows per (key, ts), pre-aggregate or
-  * pass `tieCols` to make the winner deterministic.
+  * Semantics pins:
+  *  - inclusive: right rows sort BEFORE left rows at equal timestamps;
+  *  - right rows with a null key or null ts can never match any left
+  *    row (SQL comparison semantics) and are filtered out up front;
+  *  - several right rows at one (key, ts) are mutually tied — the
+  *    winner is partition-order-dependent, so PRE-AGGREGATE the right
+  *    side to one row per (key, ts) when that can occur (tieCols only
+  *    orders LEFT rows; left-only columns are null on right rows, so
+  *    they cannot break right-side ties).
   */
 object AsofJoin {
 
@@ -31,24 +39,28 @@ object AsofJoin {
     payloadCols.foreach(c => require(!left.columns.contains(c),
       s"asof: payload column $c clashes with a left column"))
 
-    val rightUp = right.select(
-      (Seq(col(keyCol), col(tsCol)) ++ payloadCols.map(c => col(c).as(s"__r_$c"))): _*)
+    val rightUp = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), col(tsCol),
+        struct(payloadCols.map(col): _*).as("__r"))
     val rightTagged = left.columns
       .filterNot(c => c == keyCol || c == tsCol)
       .foldLeft(rightUp)((d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
       .withColumn("__side", lit(0))
-    val leftTagged = payloadCols
-      .foldLeft(left)((d, c) => d.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType)))
+    val payloadStructType = rightUp.schema("__r").dataType
+    val leftTagged = left
+      .withColumn("__r", lit(null).cast(payloadStructType))
       .withColumn("__side", lit(1))
 
     val order = (col(tsCol).asc +: col("__side").asc +: tieCols.map(col(_).asc))
     val w = Window.partitionBy(keyCol).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = payloadCols.foldLeft(leftTagged.unionByName(rightTagged))(
-      (d, c) => d.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)))
+    val attached = leftTagged.unionByName(rightTagged)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
 
     payloadCols.foldLeft(
       attached.filter(col("__side") === 1).drop("__side"))(
-      (d, c) => d.withColumnRenamed(s"__r_$c", c))
+      (d, c) => d.withColumn(c, col(s"__r.$c")))
+      .drop("__r")
   }
 }

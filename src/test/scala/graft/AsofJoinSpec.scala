@@ -41,6 +41,31 @@ class AsofJoinSpec extends SparkSpec {
       1L -> None, 2L -> Some(1.5), 3L -> Some(1.5), 4L -> Some(2.5), 5L -> None))
   }
 
+  test("a matched state with a NULL payload attaches as null, not an older value") {
+    // SQL ASOF LEFT JOIN semantics: the 11:00 state IS the match even
+    // though its payload is null — a naive last(payload, ignoreNulls)
+    // would fall through to the stale 10:05 value
+    val left = spark.createDataFrame(Seq(
+      Row(1L, "a", ts("2024-01-01 11:30:00"))).asJava, leftSchema)
+    val right = spark.createDataFrame(Seq(
+      Row("a", ts("2024-01-01 10:05:00"), 1.5),
+      Row("a", ts("2024-01-01 11:00:00"), null)).asJava, rightSchema)
+    val out = AsofJoin.asof(left, right, "k", "ts", Seq("price")).collect()
+    assert(out.length == 1 && out.head.isNullAt(3),
+      s"null-payload state must win and attach null, got ${out.head}")
+  }
+
+  test("right rows with null key or null ts never match (SQL comparison semantics)") {
+    val left = spark.createDataFrame(Seq(
+      Row(1L, "a", ts("2024-01-01 10:30:00"))).asJava, leftSchema)
+    val right = spark.createDataFrame(Seq(
+      Row("a", null, 9.9),   // null ts: ts >= NULL is never true
+      Row(null, ts("2024-01-01 09:00:00"), 8.8)).asJava, rightSchema)
+    val out = AsofJoin.asof(left, right, "k", "ts", Seq("price")).collect()
+    assert(out.length == 1 && out.head.isNullAt(3),
+      s"null-key/ts right rows must not attach, got ${out.head}")
+  }
+
   test("plans a window over one shuffle, never a range or nested-loop join") {
     val p = SparkEntry.queries("q_asof_join")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
