@@ -175,6 +175,25 @@ object RelationalQueries {
         payloadCols = Seq("last_purchase_value"), tieCols = Seq("event_id"))
     }),
 
+    // Interval join: every event matched to the 2-hour promo windows
+    // (opened by each purchase) that contain it — time-bucket
+    // equi-join + exact range check, never the BroadcastNestedLoopJoin
+    // a raw range predicate plans (plan-gated). Window bounds derive
+    // deterministically from purchase events.
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"),
+          col("event_id").as("promo_id"))
+      graft.operators.IntervalJoin.intervalJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts")), windows,
+          keyCol = "user_id", tsCol = "ts",
+          startCol = "start_ts", endCol = "end_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("promo_id"), col("start_ts"))
+    }),
+
     // The SQL-text surface: the same engine through spark.sql over a
     // registered view — parity between the Column API and SQL parsing.
     "q_sql_surface" -> ((s, dir) => {
@@ -186,6 +205,16 @@ object RelationalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_interval_join" ->
+      """WITH w AS (
+        |  SELECT user_id, ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts,
+        |    event_id AS promo_id
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT e.event_id, e.user_id, e.ts, w.promo_id, w.start_ts
+        |FROM events e JOIN w
+        |  ON e.user_id = w.user_id AND e.ts >= w.start_ts AND e.ts <= w.end_ts""".stripMargin,
+
     "q_asof_join" ->
       """WITH st AS (
         |  SELECT user_id, ts, max(value) AS last_purchase_value
