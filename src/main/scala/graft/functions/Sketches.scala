@@ -52,6 +52,16 @@ object Sketches {
   def hyperplaneSigs(vec: Column, planes: Array[Double],
                      tables: Int, nbits: Int): Column =
     GraftBridge.column(HyperplaneSigsExpr(GraftBridge.expression(vec), planes, tables, nbits))
+
+  /** Squared L2 distance of an array<double> vector to each of k
+    * centroids (flattened k × dims from the driver) in one compiled
+    * pass — the IVF assignment inner loop. Bit-identical to the
+    * aggregate(zip_with(v, c, (x,y)->(x-y)*(x-y)), 0.0, +) HOF array
+    * it replaces (same dim-order summation; FunctionsSpec gates it),
+    * which evaluated ~3·k·dims interpreted lambda calls per row.
+    */
+  def centroidDists(vec: Column, centroids: Array[Double], k: Int): Column =
+    GraftBridge.column(CentroidDistsExpr(GraftBridge.expression(vec), centroids, k))
 }
 
 case class MinHashSigExpr(child: Expression, numHashes: Int)
@@ -207,5 +217,51 @@ case class HyperplaneSigsExpr(child: Expression, planes: Array[Double],
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSigsExpr =
+    copy(child = newChild)
+}
+
+case class CentroidDistsExpr(child: Expression, centroids: Array[Double], k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val dims = if (k > 0) centroids.length / k else 0
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if k > 0 && dims > 0 &&
+      centroids.length == k * dims => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<double> and k·dims centroids, got $t / ${centroids.length}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "centroid_dists"
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    // match the zip_with formulation it replaced: a length mismatch or
+    // null element propagates NULL (zip_with pads with null and null
+    // arithmetic poisons the fold) — the caller's coalesce maps that to
+    // the -1 sentinel cluster, quarantining malformed vectors
+    if (vec.numElements() != dims) return null
+    var d0 = 0
+    while (d0 < dims) { if (vec.isNullAt(d0)) return null; d0 += 1 }
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val off = c * dims
+      var s = 0.0
+      var d = 0
+      while (d < dims) {
+        val diff = vec.getDouble(d) - centroids(off + d)
+        s += diff * diff
+        d += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidDistsExpr =
     copy(child = newChild)
 }

@@ -86,29 +86,22 @@ object Dedup {
     // corpus scale stalls the stage. With `maxPostingLen` set, postings
     // hotter than the cap are DROPPED from the join — which loses the
     // intersections they carried, so capped output may under-count
-    // Jaccard. That loss is reported, never silent: the hot list is
-    // MATERIALIZED here once (one agg job, opt-in cost; its size is
-    // bounded by |postings|/cap, which is what the cap controls),
-    // logged, and reused as the literal anti-join side — so the main
-    // query does not run the hot aggregation a second time.
-    // `hotPostings` returns the same audit, with lengths, as a frame.
+    // Jaccard. The hot list stays a DataFrame anti-join side (a
+    // |postings|/cap-bounded aggregate): at 100 TB that list can be
+    // 10⁷-10⁸ rows, which must never collect to the driver, and keeping
+    // the plan fully lazy means merely CONSTRUCTING a capped query runs
+    // no job. The drop is never silent: `hotPostings` is the audit
+    // query (same postingsOf subtree, so it cannot drift from what the
+    // join drops), and the harness runs it as q_hot_postings beside
+    // q_ngram_jaccard_capped. Cost note: the postings subtree is
+    // evaluated twice (main + hot side) — that re-scan is the price of
+    // laziness and is linear, unlike the f² blowup the cap removes.
     val postings = maxPostingLen match {
       case None => allPostings
       case Some(cap) =>
-        val hotRows = hotPostings(df, idCol, textCol, blockCol, n, cap)
-          .select(col(blockCol), col("gram")).collect()
-        org.slf4j.LoggerFactory.getLogger(getClass)
-          .warn(s"ngramJaccardPairs: dropping ${hotRows.length} hot (block, gram) " +
-            s"postings longer than $cap — capped Jaccard may under-count; " +
-            s"audit with Dedup.hotPostings")
-        if (hotRows.isEmpty) allPostings
-        else {
-          val hotDf = df.sparkSession.createDataFrame(
-            java.util.Arrays.asList(hotRows: _*),
-            org.apache.spark.sql.types.StructType(Seq(
-              allPostings.schema(blockCol), allPostings.schema("gram"))))
-          allPostings.join(broadcast(hotDf), Seq(blockCol, "gram"), "left_anti")
-        }
+        val hot = hotPostings(df, idCol, textCol, blockCol, n, cap)
+          .select(col(blockCol), col("gram"))
+        allPostings.join(hot, Seq(blockCol, "gram"), "left_anti")
     }
     val a = postings.as("a")
     val b = postings.as("b")
@@ -132,7 +125,10 @@ object Dedup {
     */
   private def postingsOf(df: DataFrame, idCol: String, textCol: String,
                          blockCol: String, n: Int): DataFrame =
-    df.withColumn("__toks", TextOps.tokens(textCol))
+    // null-block rows can never equi-join on (block, gram) — drop them
+    // before the gram explode instead of shipping dead postings
+    df.filter(col(blockCol).isNotNull)
+      .withColumn("__toks", TextOps.tokens(textCol))
       .select(col(idCol), col(blockCol), TextOps.ngrams("__toks", n).as("grams"))
       .withColumn("sz", size(col("grams")))
       .select(col(idCol), col(blockCol), col("sz"), explode(col("grams")).as("gram"))
@@ -202,6 +198,14 @@ object Dedup {
     * language/source blocking the exact tier uses): the block value
     * joins the band bucket key, so blocking NARROWS buckets — at
     * corpus scale it's free selectivity, not an extra join.
+    *
+    * NULL blocks never pair: the exact arm's equi-join on `blockCol`
+    * can't match NULL against NULL, so a null-block document there is
+    * silently pair-less — whereas a groupBy bucket key treats NULLs as
+    * EQUAL and would pair them. The arms are documented as
+    * interchangeable, so the scale arm mirrors the equi-join semantics
+    * by dropping null-block rows before sketching (also saves their
+    * kernel work). Gated in LlmDedupSpec ("null blocks never pair").
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 64,
@@ -213,7 +217,8 @@ object Dedup {
     // the un-materialized signature DAG once per join side; at sf0.1
     // that recompute was 4× the useful work.)
     val carry = blockCol.toSeq
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN, carry)
+    val src = blockCol.fold(df)(b => df.filter(col(b).isNotNull))
+    val sigs = minhashSignatures(src, idCol, textCol, numHashes, shingleN, carry)
     val bandRows = lshBands(sigs.select((col(idCol) +: carry.map(col) :+ col("sig")): _*),
       idCol, bands, numHashes / bands, carry)
     val candidates = bandRows

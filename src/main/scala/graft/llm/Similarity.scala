@@ -142,13 +142,13 @@ object Similarity {
     * Scale notes: training on a BOUNDED sample is the standard IVF
     * recipe (a coarse quantizer needs ~10-100 samples per centroid,
     * not the corpus) — so the train step collects k·dims-bounded data
-    * once, never the corpus, and the distributed work is exactly two
-    * map passes (assign members, assign probes) against literal
-    * centroids plus one equality join on cluster id; candidate volume
-    * is ~nProbe/nClusters of the corpus per probe. At 100 TB the
-    * sample-select swaps to TABLESAMPLE and the per-row assignment
-    * loop moves into a compiled kernel like the MinHash/SimHash
-    * sketches (graft.functions.Sketches); the plan shape is unchanged.
+    * once, never the corpus (selected by a hash-threshold filter, not
+    * a corpus-wide sort — see below), and the distributed work is
+    * exactly two map passes (assign members, assign probes) against
+    * literal centroids plus one equality join on cluster id; the
+    * assignment's k·dims inner loop runs in the compiled
+    * `CentroidDistsExpr` kernel (graft.functions.Sketches). Candidate
+    * volume is ~nProbe/nClusters of the corpus per probe.
     */
   def ivfTopK(df: DataFrame, idCol: String, embCol: String,
               probePred: Column, k: Int, nClusters: Int = 16,
@@ -171,11 +171,40 @@ object Similarity {
       .drop("__n")
 
     // --- driver-side Lloyd on the deterministic bounded sample ---
-    val sample: Array[Array[Double]] = vecs
-      .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
-      .limit(math.max(trainSample, nClusters)).select("nd").collect()
-      .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "ivfTopK: empty input")
+    // Selection = the `trainSample` vectors with the smallest
+    // xxhash64(id): deterministic (no RNG, no partition-order
+    // dependence) and partition-layout-free. Realized as a hash-
+    // THRESHOLD filter (the distributed TABLESAMPLE analogue — one
+    // scan, no corpus-wide TakeOrdered whose per-partition heaps would
+    // all merge on the driver at large partition counts) followed by a
+    // TakeOrdered on the ~8× oversampled survivors: the smallest s
+    // hashes are inside any threshold ≥ the s-th order statistic, so
+    // with 8× headroom this selects exactly the same sample as sorting
+    // the full corpus, at filter cost. Falls back to the full scan
+    // (frac = 1) when the corpus is small or the filter underfills.
+    val want = math.max(trainSample, nClusters)
+    val hash = xxhash64(col(idCol).cast("string"))
+    val nRows = df.count()
+    val frac = 8.0 * want.toDouble / math.max(nRows, 1L).toDouble
+    def takeSample(src: DataFrame): Array[Array[Double]] =
+      src.orderBy(hash, col(idCol)).limit(want).select("nd").collect()
+        .map(_.getSeq[Double](0).toArray)
+    // signed threshold matching the sort order: the want smallest
+    // signed hashes all sit below Long.MinValue + frac·2^64 unless the
+    // binomial tail misbehaves — guarded below by rerunning unfiltered
+    val filtered =
+      if (frac >= 0.5) vecs
+      else vecs.filter(hash < lit(Long.MinValue + (frac * 1.8446744073709552e19).toLong))
+    var sample = takeSample(filtered)
+    if (sample.length < math.min(want.toLong, nRows) && frac < 0.5)
+      sample = takeSample(vecs)
+    // empty (or all-zero-norm) input: nothing to train on and nothing
+    // to match — return an empty frame with the output schema, like
+    // the other Similarity operators, instead of throwing
+    if (sample.isEmpty)
+      return df.limit(0).select(
+        col(idCol).as("probe_id"), col(idCol).as("neighbor_id"),
+        lit(1).as("rank"), lit(0.0).as("cos"))
     val kEff = math.min(nClusters, sample.length)
     var centroids: Array[Array[Double]] = sample.take(kEff).map(_.clone())
     def sqd(a: Array[Double], b: Array[Double]): Double = {
@@ -199,12 +228,14 @@ object Similarity {
       }
     }
 
-    def sqDist(c: Seq[Double]): Column =
-      aggregate(zip_with(col("nd"), typedLit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, b) => a + b)
-    def withDists(cs: Seq[Seq[Double]])(d: DataFrame): DataFrame =
-      d.withColumn("__d", array(cs.map(sqDist): _*))
-    val centroidSeqs: Seq[Seq[Double]] = centroids.map(_.toSeq).toSeq
+    // assignment distances run in the compiled CentroidDistsExpr kernel
+    // (one pass per row; the aggregate/zip_with HOF array it replaces —
+    // bit-identical, FunctionsSpec — was ~3·k·dims interpreted lambda
+    // calls per row and dominated this query's wall time)
+    val flatCentroids: Array[Double] = centroids.flatten
+    def withDists(d: DataFrame): DataFrame =
+      d.withColumn("__d",
+        graft.functions.Sketches.centroidDists(col("nd"), flatCentroids, kEff))
 
     // the cluster join key is wrapped in coalesce(·, -1) to make it
     // NON-NULLABLE: an inner join on a nullable key gets an inferred
@@ -214,12 +245,12 @@ object Similarity {
     // partition (measured: 16 s of a 17 s query at sf0.1). With a
     // non-nullable key no such filter exists; assignment runs once,
     // distributed.
-    val members = vecs.transform(withDists(centroidSeqs))
+    val members = vecs.transform(withDists)
       .withColumn("cluster",
         coalesce(expr("array_position(__d, array_min(__d)) - 1"), lit(-1L)))
       .select(col(idCol), col("cluster"), col("vq"), col("nsq"))
     val probes = broadcast(
-      vecs.filter(probePred).transform(withDists(centroidSeqs))
+      vecs.filter(probePred).transform(withDists)
         .select(col(idCol).as("probe_id"), col("vq").as("pv"), col("nsq").as("pnsq"),
           explode(expr(
             s"""slice(array_sort(transform(__d, (x, i) -> struct(x AS d, i AS c))),

@@ -38,6 +38,14 @@ object AsofJoin {
     require(payloadCols.nonEmpty, "asof: need at least one payload column")
     payloadCols.foreach(c => require(!left.columns.contains(c),
       s"asof: payload column $c clashes with a left column"))
+    // the internal working columns would silently overwrite (and then
+    // drop) a real input column of the same name — fail loudly instead
+    for {
+      (df, side) <- Seq(left -> "left", right -> "right")
+      c <- Seq("__r", "__side") if df.columns.contains(c)
+    } require(false,
+      s"asof: $side input already has a '$c' column — rename it; " +
+        "the name is reserved for internal use")
 
     val rightUp = right
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)

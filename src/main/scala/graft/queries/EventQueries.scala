@@ -236,6 +236,47 @@ object EventQueries {
       Dfg.startEndCounts(sessions(Tables.events(s, dir)),
         "session_id", "event_type", "ts", "event_id")),
 
+    // Inductive process discovery (the reference notebook's actual
+    // pm4py.discover_petri_net_inductive call): DFG + endpoints are
+    // computed distributed, the |activities|²-bounded edge list comes
+    // to the driver, and the IMD cut recursion emits the process tree
+    // as preorder rows. Tree discovery is not SQL-expressible →
+    // rows-only driver check; the algorithm itself is gated in
+    // InductiveSpec (textbook logs, fitness replay).
+    "q_inductive_tree" -> ((s, dir) => {
+      import graft.analytics.Inductive
+      val base = sessions(Tables.events(s, dir))
+      val edges = Dfg.edges(base, "session_id", "event_type", "ts", "event_id")
+        .select("activity", "next_activity").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val se = Dfg.startEndCounts(base, "session_id", "event_type", "ts", "event_id")
+        .select("activity", "position").collect()
+      val starts = se.collect { case r if r.getString(1) == "start" => r.getString(0) }.toSet
+      val ends = se.collect { case r if r.getString(1) == "end" => r.getString(0) }.toSet
+      val tree = Inductive.mine(edges, starts, ends)
+      // preorder flatten: (node_id, parent_id, kind, activity)
+      val rows = Seq.newBuilder[(Int, Int, String, String)]
+      var n = 0
+      def walk(t: Inductive.Tree, parent: Int): Unit = {
+        val id = n; n += 1
+        t match {
+          case Inductive.Leaf(a) => rows += ((id, parent, "leaf", a))
+          case Inductive.Silent => rows += ((id, parent, "tau", null))
+          case Inductive.Sequence(cs) =>
+            rows += ((id, parent, "seq", null)); cs.foreach(walk(_, id))
+          case Inductive.Xor(cs) =>
+            rows += ((id, parent, "xor", null)); cs.foreach(walk(_, id))
+          case Inductive.And(cs) =>
+            rows += ((id, parent, "and", null)); cs.foreach(walk(_, id))
+          case Inductive.Loop(b, r) =>
+            rows += ((id, parent, "loop", null)); walk(b, id); walk(r, id)
+        }
+      }
+      walk(tree, -1)
+      import s.implicits._
+      rows.result().toDF("node_id", "parent_id", "kind", "activity")
+    }),
+
     // O-27: trace variants.
     "q_variants" -> ((s, dir) =>
       Variants.counts(sessions(Tables.events(s, dir)),

@@ -78,6 +78,22 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         blockCol = "lang", n = 2, threshold = 0.5)),
 
+    // -- the hot-gram guard, EXECUTED: same exact tier with postings
+    //    longer than 64 dropped from the join (the 100 TB safety valve
+    //    for boilerplate shingles). Capped output intentionally
+    //    under-counts vs q_ngram_jaccard — rows-only check; the audit
+    //    query below names exactly what was dropped. ------------------
+    "q_ngram_jaccard_capped" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        blockCol = "lang", n = 2, threshold = 0.5,
+        maxPostingLen = Some(64)).orderBy("id_a", "id_b")),
+
+    // -- the cap's audit: every (lang, gram) posting list the capped
+    //    run dropped, with its length. Loud-never-silent contract. ----
+    "q_hot_postings" -> ((s, dir) =>
+      Dedup.hotPostings(Tables.documents(s, dir), "doc_id", "text",
+        blockCol = "lang", n = 2, maxPostingLen = 64)),
+
     // -- dedup tier 3 (scale arm): MinHash-LSH banded candidates,
     //    Jaccard-verified. Approximate candidate generation → rows-only
     //    driver check + recall gate in LlmDedupSpec. -------------------
@@ -235,6 +251,44 @@ object PipelineQueries {
         |)
         |SELECT * FROM p WHERE jaccard >= 0.5""".stripMargin,
 
+    // the audit side of the maxPostingLen cap is plain relational
+    // algebra — it carries a full oracle even though the capped join
+    // itself is rows-only (its contract is "under-counts, loudly")
+    "q_hot_postings" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS grams
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+        |), p AS (
+        |  SELECT lang, unnest(grams) AS gram FROM t
+        |)
+        |SELECT lang, gram, count(*) AS posting_len
+        |FROM p GROUP BY 1, 2 HAVING count(*) > 64""".stripMargin,
+
+    // the UNBLOCKED LSH arm must land on exactly the unblocked exact
+    // tier's rows: candidates are Jaccard-verified with the same
+    // integer intersect/union sizes and the same one-divide double, and
+    // LSH miss probability at the planted pairs' j>=0.9 is < 1e-8 with
+    // 16x4 banding (LlmDedupSpec gates set equality vs the exact arm).
+    // Same oracle-borrowing pattern as q_embed_neardup_lsh below.
+    "q_minhash_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      CAST(len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |)
+        |SELECT * FROM p WHERE jaccard >= 0.5""".stripMargin,
+
     "q_text_stats" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (
@@ -255,6 +309,48 @@ object PipelineQueries {
         |FROM s""".stripMargin,
 
     "q_curation" ->
+      """WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
+        |    CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to'))) AS INTEGER) AS n_stop
+        |  FROM t
+        |), q AS (
+        |  SELECT *,
+        |    CAST(least(n_tokens, 60) AS DOUBLE) / 60.0 * 0.5 +
+        |      CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3 +
+        |      CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.2 AS quality
+        |  FROM s
+        |), passed AS (
+        |  SELECT * FROM q WHERE quality >= 0.55 AND n_tokens >= 20
+        |), g AS (
+        |  SELECT t.doc_id, t.lang,
+        |    list_distinct(CASE WHEN len(t.toks) >= 2
+        |      THEN list_transform(range(1, len(t.toks)), i -> t.toks[i] || ' ' || t.toks[i+1])
+        |      ELSE [] END) AS grams
+        |  FROM t JOIN passed USING (doc_id)
+        |), dup AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id
+        |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        CAST(len(a.grams) + len(b.grams)
+        |             - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
+        |), kept AS (
+        |  SELECT * FROM passed
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(quality) AS min_quality, max(quality) AS max_quality
+        |FROM kept GROUP BY 1""".stripMargin,
+
+    // the LSH curation arm carries the EXACT arm's oracle verbatim:
+    // on the fixture the lang-blocked LSH pair set equals the
+    // lang-blocked exact pair set (LlmDedupSpec "lang-blocked MinHash
+    // equals lang-blocked exact Jaccard"), so the whole pipeline output
+    // must be bit-identical to q_curation's.
+    "q_curation_lsh" ->
       """WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
         |s AS (
         |  SELECT doc_id, lang, source,

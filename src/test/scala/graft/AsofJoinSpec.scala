@@ -66,6 +66,18 @@ class AsofJoinSpec extends SparkSpec {
       s"null-key/ts right rows must not attach, got ${out.head}")
   }
 
+  test("reserved working-column names fail loudly instead of silently overwriting") {
+    val left = spark.createDataFrame(Seq(
+      Row(1L, "a", ts("2024-01-01 10:30:00"))).asJava, leftSchema)
+    val right = spark.createDataFrame(Seq(
+      Row("a", ts("2024-01-01 09:00:00"), 8.8)).asJava, rightSchema)
+    import org.apache.spark.sql.functions.lit
+    intercept[IllegalArgumentException](AsofJoin.asof(
+      left.withColumn("__side", lit(1)), right, "k", "ts", Seq("price")))
+    intercept[IllegalArgumentException](AsofJoin.asof(
+      left, right.withColumn("__r", lit(1)), "k", "ts", Seq("price")))
+  }
+
   test("plans a window over one shuffle, never a range or nested-loop join") {
     val p = SparkEntry.queries("q_asof_join")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

@@ -36,6 +36,34 @@ class FunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("centroid_dists kernel is bit-identical to the aggregate/zip_with HOF it replaced") {
+    import org.apache.spark.sql.functions._
+    // awkward doubles on purpose: bit-equality must survive non-exact
+    // decimal fractions and the same dim-order summation
+    val centroids = Array(0.1, -0.2, 0.3, 0.7, 1.0 / 3.0, -7.0)
+    val k = 2
+    val df = spark.range(50).select(
+      expr("transform(sequence(0, 2), d -> CAST(id AS double) / 7.0 - CAST(d AS double) * 0.37)")
+        .as("nd"))
+    def hofDist(c: Seq[Double]) =
+      aggregate(zip_with(col("nd"), typedLit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, b) => a + b)
+    val rows = df.select(
+        graft.functions.Sketches.centroidDists(col("nd"), centroids, k).as("kernel"),
+        array(hofDist(centroids.take(3).toSeq), hofDist(centroids.drop(3).toSeq)).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      val kv = r.getSeq[Double](0).map(java.lang.Double.doubleToRawLongBits)
+      val hv = r.getSeq[Double](1).map(java.lang.Double.doubleToRawLongBits)
+      assert(kv == hv, s"kernel ${r.getSeq[Double](0)} != hof ${r.getSeq[Double](1)}")
+    }
+    // malformed input (length mismatch) propagates NULL like zip_with+null arithmetic
+    val bad = spark.range(1).select(expr("array(1.0d, 2.0d)").as("nd"))
+      .select(graft.functions.Sketches.centroidDists(col("nd"), centroids, k).as("d"))
+      .head()
+    assert(bad.isNullAt(0))
+  }
+
   test("incremental reader: first poll takes all, next polls take only the delta") {
     val schema = StructType(Seq(
       StructField("ts", TimestampType), StructField("v", LongType)))

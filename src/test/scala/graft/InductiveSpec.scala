@@ -1,0 +1,100 @@
+package graft
+
+import graft.analytics.{Alpha, Inductive}
+import graft.analytics.Inductive._
+
+/** Inductive-miner-lite gates: the discovered tree on the textbook L1
+  * log, the short-loop log the alpha miner cannot model, and token
+  * replay (fitness + a rejection) on the constructed Petri nets.
+  */
+class InductiveSpec extends SparkSpec {
+
+  private def dfgOf(traces: Seq[Seq[String]]): Seq[(String, String)] =
+    traces.flatMap(t => t.zip(t.tail)).distinct
+
+  private val l1 = Seq(
+    Seq("a", "b", "c", "d"),
+    Seq("a", "c", "b", "d"),
+    Seq("a", "e", "d"))
+
+  test("classic L1 log yields seq(a, xor(and(b,c), e), d) — the pm4py IM result") {
+    val tree = Inductive.mine(dfgOf(l1), starts = Set("a"), ends = Set("d"))
+    assert(tree == Sequence(List(
+      Leaf("a"),
+      Xor(List(And(List(Leaf("b"), Leaf("c"))), Leaf("e"))),
+      Leaf("d"))))
+  }
+
+  test("L1 net replays every log trace and rejects a skip") {
+    val tree = Inductive.mine(dfgOf(l1), Set("a"), Set("d"))
+    val net = Inductive.toPetriNet(tree)
+    l1.foreach(t => assert(Inductive.accepts(net, t), s"must fit $t"))
+    // the middle branch is mandatory: a,d skips it
+    assert(!Inductive.accepts(net, Seq("a", "d")))
+    assert(!Inductive.accepts(net, Seq("a", "b", "d")), "b without its parallel c")
+    assert(Inductive.accepts(net, Seq("a", "c", "b", "d")))
+  }
+
+  test("short loop a·(b·a)*: inductive discovers it, alpha cannot") {
+    val traces = Seq(Seq("a"), Seq("a", "b", "a"), Seq("a", "b", "a", "b", "a"))
+    val tree = Inductive.mine(dfgOf(traces), starts = Set("a"), ends = Set("a"))
+    assert(tree == Loop(Leaf("a"), Leaf("b")))
+    val net = Inductive.toPetriNet(tree)
+    traces.foreach(t => assert(Inductive.accepts(net, t), s"must fit $t"))
+    assert(!Inductive.accepts(net, Seq("a", "b")), "trace may not end mid-loop")
+    assert(!Inductive.accepts(net, Seq("b", "a")))
+    // the alpha footprint sees a∥b (edges both ways), so causal places
+    // never form: the mined net is placeless — unfitting by construction
+    val alphaNet = Alpha.mine(dfgOf(traces), Set("a"), Set("a"))
+    assert(alphaNet.places.isEmpty)
+  }
+
+  test("self-loop base case: one-or-more repetitions") {
+    val traces = Seq(Seq("x"), Seq("x", "x"), Seq("x", "x", "x"))
+    val tree = Inductive.mine(dfgOf(traces), Set("x"), Set("x"))
+    assert(tree == Loop(Leaf("x"), Silent))
+    val net = Inductive.toPetriNet(tree)
+    traces.foreach(t => assert(Inductive.accepts(net, t)))
+    assert(!Inductive.accepts(net, Seq.empty))
+  }
+
+  test("xor of disconnected branches") {
+    val traces = Seq(Seq("a", "b"), Seq("c", "d"))
+    val tree = Inductive.mine(dfgOf(traces), Set("a", "c"), Set("b", "d"))
+    assert(tree == Xor(List(
+      Sequence(List(Leaf("a"), Leaf("b"))),
+      Sequence(List(Leaf("c"), Leaf("d"))))))
+  }
+
+  test("uncuttable DFG falls back to the flower model (fits everything)") {
+    // a↔b with start only a, end only b: xor — connected; seq — one
+    // mutual-reachability class; par — neither singleton holds a start
+    // AND an end; loop — seed {a,b} is the whole alphabet. No cut ⇒
+    // flower, which accepts any word over the alphabet.
+    val edges = Seq(("a", "b"), ("b", "a"))
+    val tree = Inductive.mine(edges, starts = Set("a"), ends = Set("b"))
+    assert(tree == Loop(Silent, Xor(List(Leaf("a"), Leaf("b")))))
+    val net = Inductive.toPetriNet(tree)
+    assert(Inductive.accepts(net, Seq.empty))
+    assert(Inductive.accepts(net, Seq("b", "b", "a", "b")))
+  }
+
+  test("parallel parts with self-loops recurse into loop leaves") {
+    // a and b fully bidirectional with self-loops, both start and end:
+    // the parallel cut splits them; each singleton's self-loop becomes
+    // the one-or-more base case
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "a"), ("b", "b"))
+    val tree = Inductive.mine(edges, starts = Set("a", "b"), ends = Set("a", "b"))
+    assert(tree == And(List(Loop(Leaf("a"), Silent), Loop(Leaf("b"), Silent))))
+    val net = Inductive.toPetriNet(tree)
+    assert(Inductive.accepts(net, Seq("b", "b", "a", "b")))
+    assert(!Inductive.accepts(net, Seq("a", "a")), "needs at least one b")
+  }
+
+  test("sequence of parallel: seq cut orders around the and-block") {
+    val traces = Seq(Seq("s", "p", "q", "e"), Seq("s", "q", "p", "e"))
+    val tree = Inductive.mine(dfgOf(traces), Set("s"), Set("e"))
+    assert(tree == Sequence(List(
+      Leaf("s"), And(List(Leaf("p"), Leaf("q"))), Leaf("e"))))
+  }
+}

@@ -66,6 +66,29 @@ class LlmDedupSpec extends SparkSpec {
     assert(found == truth)
   }
 
+  test("null blocks never pair: scale arm mirrors the exact arm's equi-join semantics") {
+    // Two identical texts whose block is NULL: the exact arm's
+    // (block, gram) equi-join can't match NULL=NULL, so it finds no
+    // pair — the LSH arm's groupBy bucket WOULD (grouping treats NULLs
+    // as equal) unless null-block rows are filtered out of candidate
+    // generation. Both arms must agree: no pair.
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("blk", StringType),
+      StructField("text", StringType)))
+    val txt = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val df = spark.createDataFrame(Seq(
+      Row(1L, null, txt), Row(2L, null, txt),           // null-block twins
+      Row(3L, "en", txt), Row(4L, "en", txt)).asJava,   // blocked twins
+      schema)
+    val exact = Dedup.ngramJaccardPairs(df, "id", "text", "blk", 2, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(df, "id", "text", threshold = 0.5,
+        blockCol = Some("blk"))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((3L, 4L)), s"exact arm saw $exact")
+    assert(lsh == exact, s"lsh=$lsh exact=$exact — null-block rows paired")
+  }
+
   test("maxPostingLen cap drops hot grams loudly, never silently") {
     // cap=5 on this fixture (31-word vocab → every gram hot) must (a)
     // report the dropped postings via the audit query and (b) visibly
