@@ -56,7 +56,13 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, threshold: Double,
-                        maxPostingLen: Option[Int] = None): DataFrame = {
+                        maxPostingLen: Option[Int] = None,
+                        prefixFilter: Boolean = false): DataFrame = {
+    if (prefixFilter) {
+      require(maxPostingLen.isEmpty,
+        "prefixFilter and maxPostingLen are alternative hot-gram defenses; pick one")
+      return ngramJaccardPairsPrefix(df, idCol, textCol, blockCol, n, threshold)
+    }
     // Inverted-index set-similarity join: explode each document's
     // distinct n-grams into postings, join postings on (block, gram) —
     // high-cardinality keys, so parallelism scales with gram
@@ -70,12 +76,14 @@ object Dedup {
     // Scale notes: the co-occurrence volume is Σ_gram f² per block —
     // hot boilerplate grams are the risk; AQE skew-join splitting
     // absorbs moderate skew. A PPJoin-style rarest-first prefix filter
-    // was measured here and LOST (1.4M of 2.3M pairs survived it —
-    // this fixture's 931-gram vocabulary makes every gram common, so
-    // the saved co-occurrences didn't pay for per-candidate array
-    // verification); on real corpora with selective grams it becomes
-    // the right upgrade, trading this count-only aggregation for a
-    // candidate set that no longer grows with Σ f².
+    // was measured here and LOST on this fixture (1.4M of 2.3M pairs
+    // survived it — the 931-gram vocabulary makes every gram common,
+    // so the saved co-occurrences didn't pay for per-candidate array
+    // verification); on real corpora with selective grams it wins,
+    // trading this count-only aggregation for a candidate set that no
+    // longer grows with Σ f² — that arm is `prefixFilter = true`
+    // (ngramJaccardPairsPrefix), output-equal by construction and
+    // property-gated on a realistic-vocabulary corpus in LlmDedupSpec.
     // (Measured: swapping the gram string for xxhash64(gram) as the
     // join key does NOT move this query — the cost is the Σf²
     // co-occurrence row count, not key width — so the exact tier keeps
@@ -96,15 +104,21 @@ object Dedup {
     // q_ngram_jaccard_capped. Cost note: the postings subtree is
     // evaluated twice (main + hot side) — that re-scan is the price of
     // laziness and is linear, unlike the f² blowup the cap removes.
-    val postings = maxPostingLen match {
+    // The cap anti-joins ONE side only: an equi-join co-occurrence row
+    // needs the gram on BOTH sides, so removing hot grams from side a
+    // alone kills exactly the same pairs as filtering both — and the
+    // self-join then evaluates the (postings + hot-agg) subtree once,
+    // not twice (measured: two-sided capping cost MORE than it saved
+    // on the fixture; one-sided is ~2× cheaper than uncapped).
+    val cappedA = maxPostingLen match {
       case None => allPostings
       case Some(cap) =>
         val hot = hotPostings(df, idCol, textCol, blockCol, n, cap)
           .select(col(blockCol), col("gram"))
         allPostings.join(hot, Seq(blockCol, "gram"), "left_anti")
     }
-    val a = postings.as("a")
-    val b = postings.as("b")
+    val a = cappedA.as("a")
+    val b = allPostings.as("b")
     a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") &&
              col("a.gram") === col("b.gram") &&
              col(s"a.$idCol") < col(s"b.$idCol") &&
@@ -124,10 +138,18 @@ object Dedup {
     * audit can never drift from what the capped join actually drops.
     */
   private def postingsOf(df: DataFrame, idCol: String, textCol: String,
-                         blockCol: String, n: Int): DataFrame =
+                         blockCol: String, n: Int,
+                         spread: Boolean = true): DataFrame =
     // null-block rows can never equi-join on (block, gram) — drop them
-    // before the gram explode instead of shipping dead postings
-    df.filter(col(blockCol).isNotNull)
+    // before the gram explode instead of shipping dead postings.
+    // repartition FIRST (spread): a small parquet arrives as ONE
+    // partition and the tokenize/ngram lambdas below are per-row
+    // interpreted HOFs — without the spread they run single-core ahead
+    // of every consumer (measured: -6 s on q_ngram_jaccard at sf0.1).
+    // The PPJoin arm opts OUT: its freq-join/window/self-join DAG
+    // re-plans around the extra exchange and regresses ~2.5× (measured)
+    (if (spread) df.filter(col(blockCol).isNotNull).repartition(col(idCol))
+     else df.filter(col(blockCol).isNotNull))
       .withColumn("__toks", TextOps.tokens(textCol))
       .select(col(idCol), col(blockCol), TextOps.ngrams("__toks", n).as("grams"))
       .withColumn("sz", size(col("grams")))
@@ -145,6 +167,70 @@ object Dedup {
       .groupBy(col(blockCol), col("gram"))
       .agg(count(lit(1)).as("posting_len"))
       .filter(col("posting_len") > maxPostingLen)
+
+  /** PPJoin-style prefix-filtered exact Jaccard join — the selective-
+    * vocabulary arm of `ngramJaccardPairs` (`prefixFilter = true`).
+    *
+    * Each document indexes only its PREFIX: the first
+    * |grams| - ⌈t·|grams|⌉ + 1 grams under one global rarest-first
+    * order (document frequency per block, gram string as the total-
+    * order tie-break). Two documents with Jaccard ≥ t must share a
+    * prefix gram under ANY shared total order (pigeonhole on the
+    * ⌈t·|grams|⌉-sized suffixes), so candidates from prefix-posting
+    * collisions are COMPLETE and the exact array verification makes
+    * output identical to the standard arm — same integer
+    * intersect/union sizes, same one-divide double, so it can carry
+    * the same DuckDB oracle.
+    *
+    * Cost trade vs the standard arm: candidate volume is Σ f² over
+    * PREFIX postings only — on corpora with selective grams the rare
+    * prefix grams have tiny posting lists and the quadratic surface
+    * collapses; the price is per-candidate array materialization +
+    * intersection instead of the count-only aggregation. On this
+    * repo's adversarial 31-word-vocabulary fixture every gram is
+    * common, so the standard arm wins there (measured r4, note above);
+    * the crossover is gated by output-equality in LlmDedupSpec on a
+    * generated realistic-vocabulary corpus.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                              blockCol: String, n: Int,
+                              threshold: Double): DataFrame = {
+    val postings = postingsOf(df, idCol, textCol, blockCol, n, spread = false)
+    val freq = postings.groupBy(col(blockCol), col("gram"))
+      .agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(blockCol), col(idCol))
+      .orderBy(col("__df"), col("gram"))
+    val prefix = postings.join(freq, Seq(blockCol, "gram"))
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col(blockCol), col("gram"), col(idCol), col("sz"))
+    val a = prefix.as("a")
+    val b = prefix.as("b")
+    val candidates = a.join(b,
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col("a.gram") === col("b.gram") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          least(col("a.sz"), col("b.sz")).cast("double") >=
+            greatest(col("a.sz"), col("b.sz")).cast("double") * threshold)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    // exact verification on the full gram sets (the arrays both sides
+    // of a candidate pair; cheap at prefix-filtered candidate counts)
+    val sets = df.filter(col(blockCol).isNotNull)
+      .withColumn("__toks", TextOps.tokens(textCol))
+      .select(col(idCol), TextOps.ngrams("__toks", n).as("grams"))
+      .withColumn("sz", size(col("grams")))
+      .select(col(idCol), col("grams"), col("sz"))
+    candidates
+      .join(sets.toDF("id_a", "ga", "sza"), "id_a")
+      .join(sets.toDF("id_b", "gb", "szb"), "id_b")
+      .withColumn("isz", size(array_intersect(col("ga"), col("gb"))))
+      .select(col("id_a"), col("id_b"),
+        (col("isz").cast("double") /
+          (col("sza") + col("szb") - col("isz")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 
   /** MinHash signature: sig[i] = min over shingles of
     * XXH64(xxhash64(shingle), seed = i). Each shingle string is hashed

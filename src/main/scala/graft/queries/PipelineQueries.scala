@@ -78,6 +78,15 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         blockCol = "lang", n = 2, threshold = 0.5)),
 
+    // -- dedup tier 3, PPJoin arm: rarest-first prefix-filtered
+    //    candidates + exact verify. Output-identical to q_ngram_jaccard
+    //    (it carries the same oracle); wins on selective-vocabulary
+    //    corpora, loses on this fixture's 31-word vocab — both
+    //    measured, see BASELINE.md. ------------------------------------
+    "q_ngram_jaccard_ppjoin" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        blockCol = "lang", n = 2, threshold = 0.5, prefixFilter = true)),
+
     // -- the hot-gram guard, EXECUTED: same exact tier with postings
     //    longer than 64 dropped from the join (the 100 TB safety valve
     //    for boilerplate shingles). Capped output intentionally
@@ -236,6 +245,24 @@ object PipelineQueries {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS grams
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      CAST(len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |)
+        |SELECT * FROM p WHERE jaccard >= 0.5""".stripMargin,
+
+    // the PPJoin arm is exact by construction — same oracle as the
+    // standard arm, verbatim
+    "q_ngram_jaccard_ppjoin" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
         |    list_distinct(CASE WHEN len(toks) >= 2

@@ -109,6 +109,55 @@ object EventStream {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming interval join — the unbounded arm of the batch
+    * `operators.IntervalJoin`: match each event to the still-open
+    * interval windows that contain it, as a watermarked stream-stream
+    * INNER join.
+    *
+    * Spark can only evict join state when the condition bounds each
+    * side's event time against the other's, so the interval span must
+    * be declared: `maxSpanSeconds` enters the join condition as
+    * `ts <= start + maxSpan`, giving the planner both eviction bounds
+    * (right state dies when the event watermark passes start + span;
+    * left state dies when the interval watermark passes ts). Intervals
+    * LONGER than the declared span cannot be matched correctly with
+    * bounded state, so — mirroring the batch arm's `maxSpanBuckets`
+    * contract — they are dropped up front, loudly auditable with
+    * `IntervalJoin.pathologicalIntervals` over the landed data.
+    *
+    * Contract pinned in StreamingSpec: an event inside a window within
+    * the watermark emits exactly one joined row; an event arriving
+    * after the watermark has passed its timestamp is dropped (standard
+    * event-time semantics), never matched against evicted state.
+    */
+  def intervalJoinStream(events: DataFrame, intervals: DataFrame,
+                         keyCol: String, tsCol: String, startCol: String,
+                         endCol: String, maxSpanSeconds: Long,
+                         eventDelay: String = "10 minutes",
+                         intervalDelay: String = "10 minutes"): DataFrame = {
+    require(maxSpanSeconds > 0, "intervalJoinStream: maxSpanSeconds must be positive")
+    val rk = "__ik"
+    Seq(events -> "events", intervals -> "intervals").foreach { case (df, side) =>
+      require(!df.columns.contains(rk),
+        s"intervalJoinStream: $side input already has a '$rk' column — " +
+          "rename it; the name is reserved for the internal join key")
+    }
+    val l = events.withWatermark(tsCol, eventDelay)
+    val r = intervals
+      .filter(col(keyCol).isNotNull &&
+        col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(endCol) >= col(startCol) &&
+        col(endCol) <= col(startCol) + expr(s"INTERVAL $maxSpanSeconds SECONDS"))
+      .withColumnRenamed(keyCol, rk)
+      .withWatermark(startCol, intervalDelay)
+    l.join(r,
+        col(keyCol) === col(rk) &&
+          col(tsCol) >= col(startCol) &&
+          col(tsCol) <= col(endCol) &&
+          col(tsCol) <= col(startCol) + expr(s"INTERVAL $maxSpanSeconds SECONDS"))
+      .drop(rk)
+  }
+
   /** Micro-batch XES sink: every micro-batch of an event-log-shaped
     * stream lands as one sharded XES directory (`batch-<id>/part-*`),
     * written fully distributed by `XesWriter.writeShards` — no driver

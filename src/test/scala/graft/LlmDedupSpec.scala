@@ -127,6 +127,43 @@ class LlmDedupSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("PPJoin prefix arm equals the standard arm on fixture AND realistic-vocab corpora") {
+    // fixture corpus (adversarial 31-word vocab — where prefix filtering
+    // LOSES on cost but must still be output-identical)
+    def pairs(d: org.apache.spark.sql.DataFrame, block: String): Set[(Long, Long, Double)] = {
+      def get(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val std = get(Dedup.ngramJaccardPairs(d, "doc_id", "text", block, 2, 0.5))
+      val pp = get(Dedup.ngramJaccardPairs(d, "doc_id", "text", block, 2, 0.5,
+        prefixFilter = true))
+      assert(pp == std, s"ppjoin=${pp.size} std=${std.size} " +
+        s"missed=${(std -- pp).size} extra=${(pp -- std).size}")
+      std
+    }
+    assert(pairs(docs, "lang").nonEmpty)
+
+    // realistic-vocabulary corpus: 5000-word zipf-ish vocab, selective
+    // grams (the regime where the prefix filter pays), planted near-dups
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 5000).map(i => s"w$i")
+    def zipfWord(): String = {
+      // crude zipf: rank ~ u^3 concentrates mass on low ranks while
+      // keeping a long selective tail
+      val u = rnd.nextDouble()
+      vocab(math.min(4999, (u * u * u * 5000).toInt))
+    }
+    val base = (1 to 150).map { i =>
+      (i.toLong, "all", (1 to 30 + rnd.nextInt(40)).map(_ => zipfWord()).mkString(" "))
+    }
+    // plant near-duplicates: copy with one token appended (bigram
+    // jaccard stays >= 0.5)
+    val dups = base.take(12).map { case (id, b, t) => (id + 10000L, b, t + " " + zipfWord()) }
+    import spark.implicits._
+    val gen = (base ++ dups).toDF("doc_id", "blk", "text")
+    val found = pairs(gen, "blk")
+    assert(found.size >= 12, s"planted near-dups must surface, got ${found.size}")
+  }
+
   test("MinHash estimate tracks true Jaccard on controlled documents") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("text", StringType)))

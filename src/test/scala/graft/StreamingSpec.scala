@@ -14,6 +14,7 @@ object StreamingSpec {
   final case class Ev(user_id: Long, ts: Timestamp, event_type: String)
   final case class XesEv(case_id: String, ts: Timestamp, activity: String)
   final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+  final case class Win(user_id: Long, start_ts: Timestamp, end_ts: Timestamp, promo_id: Long)
 }
 
 /** Streaming smoke gate: MemoryStream → watermarked session_window →
@@ -119,6 +120,47 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set(
         ("c1", 2, List("a", "b")), // chronological despite arrival order
         ("c2", 1, List("x"))))
+    } finally q.stop()
+  }
+
+  test("streaming interval join: in-watermark events match, late events drop") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evIn = MemoryStream[Ev]
+    val winIn = MemoryStream[Win]
+    val joined = EventStream.intervalJoinStream(
+      evIn.toDF(), winIn.toDF(),
+      keyCol = "user_id", tsCol = "ts", startCol = "start_ts", endCol = "end_ts",
+      maxSpanSeconds = 7200, eventDelay = "10 minutes", intervalDelay = "10 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+    try {
+      winIn.addData(
+        Win(1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 100L),
+        Win(1L, ts("2024-01-01 10:00:00"), ts("2024-01-02 20:00:00"), 666L), // > maxSpan: dropped
+        Win(2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 200L))
+      evIn.addData(
+        Ev(1L, ts("2024-01-01 10:30:00"), "inside"),   // in window 100
+        Ev(1L, ts("2024-01-01 12:00:00"), "outside"),  // after window 100 ends
+        Ev(3L, ts("2024-01-01 10:30:00"), "nokey"))    // no window for user 3
+      q.processAllAvailable()
+      def rows = spark.table("ij_out")
+        .select("event_type", "promo_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows == Set(("inside", 100L)),
+        s"expected exactly the in-window match, got $rows")
+
+      // advance both watermarks far past the windows, then replay an
+      // event that WOULD have matched window 100: it is late (older
+      // than the event watermark) and must be dropped, not matched
+      // against evicted state
+      evIn.addData(Ev(98L, ts("2024-01-01 15:00:00"), "flush"))
+      winIn.addData(Win(97L, ts("2024-01-01 15:00:00"), ts("2024-01-01 15:01:00"), 999L))
+      q.processAllAvailable()
+      evIn.addData(Ev(1L, ts("2024-01-01 10:45:00"), "late"))
+      q.processAllAvailable()
+      assert(rows == Set(("inside", 100L)),
+        s"late event must not join against evicted interval state: $rows")
     } finally q.stop()
   }
 
