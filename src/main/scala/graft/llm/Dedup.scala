@@ -148,12 +148,27 @@ object Dedup {
     // of every consumer (measured: -6 s on q_ngram_jaccard at sf0.1).
     // The PPJoin arm opts OUT: its freq-join/window/self-join DAG
     // re-plans around the extra exchange and regresses ~2.5× (measured)
+    // explode_outer, NOT explode: a plain explode makes the optimizer
+    // infer `size(grams) > 0`, and predicate pushdown re-substitutes
+    // the grams alias at the parquet scan BELOW the repartition — the
+    // whole interpreted ngram expression then evaluates twice, the
+    // first time single-core in the lone input partition (measured:
+    // 4.5 s of q_hot_postings' 4.8 s). The outer variant infers no
+    // filter; the cheap isNotNull above the generator drops the empty-
+    // gram rows explode would have dropped.
+    // sz is wrapped NON-NULLABLE (coalesce) because the downstream
+    // jaccard filter infers isnotnull(sz), and pushdown re-substitutes
+    // size(ngrams(...)) at the scan below the repartition — the same
+    // class of trap as the explode note above. A null-text row (the
+    // only way sz could be null) carries no grams, so the sentinel
+    // never joins.
     (if (spread) df.filter(col(blockCol).isNotNull).repartition(col(idCol))
      else df.filter(col(blockCol).isNotNull))
       .withColumn("__toks", TextOps.tokens(textCol))
       .select(col(idCol), col(blockCol), TextOps.ngrams("__toks", n).as("grams"))
-      .withColumn("sz", size(col("grams")))
-      .select(col(idCol), col(blockCol), col("sz"), explode(col("grams")).as("gram"))
+      .withColumn("sz", coalesce(size(col("grams")), lit(-1)))
+      .select(col(idCol), col(blockCol), col("sz"), explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
 
   /** Audit for the `maxPostingLen` cap: every (block, gram) posting
     * list longer than the cap, with its length — exactly the postings
@@ -220,7 +235,7 @@ object Dedup {
     val sets = df.filter(col(blockCol).isNotNull)
       .withColumn("__toks", TextOps.tokens(textCol))
       .select(col(idCol), TextOps.ngrams("__toks", n).as("grams"))
-      .withColumn("sz", size(col("grams")))
+      .withColumn("sz", coalesce(size(col("grams")), lit(-1)))
       .select(col(idCol), col("grams"), col("sz"))
     candidates
       .join(sets.toDF("id_a", "ga", "sza"), "id_a")
@@ -246,8 +261,12 @@ object Dedup {
     // partition — spread rows before the kernel or it runs one-core
     df.repartition(col(idCol))
       .withColumn("__toks", TextOps.tokens(textCol))
+      // gate on the TOKEN count, not size(grams) > 0: grams is empty
+      // iff tokens < n, and a size(grams) filter gets pushdown-
+      // re-substituted at the scan below the repartition, evaluating
+      // the interpreted ngram lambdas a second time, single-core
+      .filter(size(col("__toks")) >= shingleN)
       .withColumn("grams", TextOps.ngrams("__toks", shingleN))
-      .filter(size(col("grams")) > 0)
       .withColumn("__sh", expr("transform(grams, s -> xxhash64(s))"))
       .select(col(idCol) +: carryCols.map(col) :+ col("grams") :+
         graft.functions.Sketches.minhashSig(col("__sh"), numHashes).as("sig"): _*)
@@ -315,10 +334,12 @@ object Dedup {
       .select(col("p.l").as("id_a"), col("p.r").as("id_b"))
       .distinct()
     // verification recomputes only the shingle sets (cheap), not the
-    // 64-hash signatures
+    // 64-hash signatures. sz non-nullable for the same pushdown reason
+    // as postingsOf: the jaccard filter must not re-evaluate the ngram
+    // expression inside the scan.
     val sets = df.withColumn("__toks", TextOps.tokens(textCol))
       .select(col(idCol), TextOps.ngrams("__toks", shingleN).as("grams"))
-      .withColumn("sz", size(col("grams")))
+      .withColumn("sz", coalesce(size(col("grams")), lit(-1)))
     candidates
       .join(sets.toDF("id_a", "ga", "sza"), "id_a")
       .join(sets.toDF("id_b", "gb", "szb"), "id_b")

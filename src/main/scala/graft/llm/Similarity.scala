@@ -41,9 +41,18 @@ object Similarity {
   def dotQ(a: String, b: String): Column =
     graft.functions.Sketches.dotQ(col(a), col(b))
 
-  /** Exact integer squared norm. */
+  /** Exact integer squared norm — wrapped NON-NULLABLE (sentinel -1):
+    * the cosine-threshold filters downstream infer isnotnull(nsq), and
+    * predicate pushdown re-substitutes the whole quantize+dot kernel
+    * into the parquet scan below the repartition, single-core (the
+    * ivfTopK trap, measured again on q_embed_neardup_lsh this round).
+    * The sentinel is unreachable in results: nsq is null only for a
+    * malformed vector (null / null element), and any PAIR dot against
+    * a malformed vector is itself null, so the row drops on the cos
+    * filter before the sentinel could fabricate a NaN comparison.
+    */
   def normSqQ(v: String): Column =
-    graft.functions.Sketches.dotQ(col(v), col(v))
+    coalesce(graft.functions.Sketches.dotQ(col(v), col(v)), lit(-1L))
 
   /** Quantized-cosine top-k: exact, deterministic, oracle-checkable.
     * Probes are the rows matching `probePred`; ranking is
@@ -156,18 +165,25 @@ object Similarity {
               trainSample: Int = 512): DataFrame = {
     // repartition FIRST: a small parquet arrives as one partition, and
     // every expression below is a per-row interpreted HOF kernel.
-    // Zero-norm vectors are excluded up front: they have no direction
-    // (cosine undefined), and a NaN-normalized sample vector would
-    // silently poison a centroid during Lloyd (NaN compares false, so
-    // it piles onto cluster 0 and turns its mean all-NaN).
+    // Zero-norm vectors are quarantined up front: they have no
+    // direction (cosine undefined), and a NaN-normalized sample vector
+    // would silently poison a centroid during Lloyd (NaN compares
+    // false, so it piles onto cluster 0 and turns its mean all-NaN).
+    // Quarantine = nd -> NULL via the CASE, NOT a filter: an explicit
+    // `__n > 0` filter pushes through the repartition Exchange and
+    // re-substitutes the whole interpreted norm HOF at the parquet
+    // scan, single-core (plan-gated in PlanShapeSpec). A null nd flows
+    // to the -1 sentinel cluster on the member side (never probed) and
+    // explodes to zero probe rows on the probe side — same exclusion,
+    // no pushable predicate.
     val vecs = df.repartition(col(idCol))
       .select(col(idCol),
         expr(s"transform($embCol, x -> CAST(x AS double))").as("vd"))
       .withColumn("vq", quantize("vd")).withColumn("nsq", normSqQ("vq"))
       .withColumn("__n",
         sqrt(expr("aggregate(transform(vd, x -> x * x), CAST(0.0 AS double), (a, b) -> a + b)")))
-      .filter(col("__n") > 0.0)
-      .withColumn("nd", expr("transform(vd, x -> x / __n)"))
+      .withColumn("nd",
+        expr("CASE WHEN __n > 0.0 THEN transform(vd, x -> x / __n) ELSE NULL END"))
       .drop("__n")
 
     // --- driver-side Lloyd on the deterministic bounded sample ---
@@ -187,8 +203,11 @@ object Similarity {
     val nRows = df.count()
     val frac = 8.0 * want.toDouble / math.max(nRows, 1L).toDouble
     def takeSample(src: DataFrame): Array[Array[Double]] =
+      // zero-norm rows surface here as null nd (see quarantine note
+      // above) and are dropped driver-side — a Spark-side isnotnull(nd)
+      // filter would re-substitute the normalize HOF into the scan
       src.orderBy(hash, col(idCol)).limit(want).select("nd").collect()
-        .map(_.getSeq[Double](0).toArray)
+        .filterNot(_.isNullAt(0)).map(_.getSeq[Double](0).toArray)
     // signed threshold matching the sort order: the want smallest
     // signed hashes all sit below Long.MinValue + frac·2^64 unless the
     // binomial tail misbehaves — guarded below by rerunning unfiltered

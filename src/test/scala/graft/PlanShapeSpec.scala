@@ -63,6 +63,40 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("no heavy expression is pushdown-substituted into a scan-side Filter") {
+    // The recurring Spark trap this repo keeps paying for: an inferred
+    // filter (isnotnull from a join/threshold, size(g) > 0 from a
+    // generator) gets its alias RE-SUBSTITUTED below the repartition
+    // Exchange, so the expensive expression — interpreted ngram
+    // lambdas, quantize+dot kernels, signature kernels — evaluates a
+    // second time, single-core, in the lone parquet partition. Every
+    // fix is the same shape (coalesce the derived column non-nullable,
+    // or explode_outer + isNotNull above the generator); this gate
+    // keeps all of them fixed: no Filter or scan line in the heavy
+    // tier's plans may contain an interpreted lambda or a graft kernel.
+    // (Measured this round: q_hot_postings 4.8 s → 1.2 s,
+    // q_ngram_jaccard 10 s → 5.6 s, q_minhash_lsh 3.2 s → 1.5 s,
+    // q_curation 7.5 s → 4.2 s from exactly these substitutions.)
+    for (q <- Seq("q_ngram_jaccard", "q_ngram_jaccard_capped", "q_hot_postings",
+        "q_minhash_lsh", "q_curation", "q_curation_lsh", "q_simhash_neardup",
+        "q_embed_neardup", "q_embed_neardup_lsh", "q_embed_topk",
+        "q_ann_lsh", "q_ann_ivf")) {
+    // markers are the DERIVED heavy expressions only (a legitimate
+    // user predicate — e.g. q_curation's quality gate — may contain a
+    // lambda and SHOULD push to the scan; it evaluates once there):
+    // compiled kernels, the ngram builder (array_distinct-of-transform)
+    // and the quantize chain (transform-of-transform)
+      val bad = plan(q).linesIterator.filter(l =>
+        (l.contains("Filter") || l.contains("FileScan")) &&
+          (l.contains("graft_") || l.contains("minhash_sig") ||
+            l.contains("hyperplane_sigs") || l.contains("centroid_dists") ||
+            l.contains("array_distinct(transform(") ||
+            l.contains("transform(transform("))).toList
+      assert(bad.isEmpty,
+        s"$q re-evaluates a heavy expression in a Filter/scan:\n${bad.map(_.take(200)).mkString("\n")}")
+    }
+  }
+
   test("q_ann_ivf's cluster assignment is never re-evaluated below the shuffle") {
     // the IVF join key is wrapped non-nullable so the inner join infers
     // no isnotnull(key) filter — without that, pushdown substitutes the
