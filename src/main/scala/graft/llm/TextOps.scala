@@ -98,4 +98,114 @@ object TextOps {
     val chain = scoreCols.map { case (lang, c) => s"WHEN $c >= $greatest THEN '$lang'" }
     expr(s"CASE ${chain.mkString(" ")} END")
   }
+
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    * standard web-corpus filter battery) over a materialized tokens
+    * column, as one boolean per rule plus the conjunction:
+    *  - token count within [minTokens, maxTokens];
+    *  - mean token length within [3, 10];
+    *  - fraction of tokens containing an alphabetic char ≥ 0.8;
+    *  - at least 2 of the given stopwords present (the "not a
+    *    keyword-stuffing page" proxy).
+    * Integer/rational arithmetic ordered for cross-engine double
+    * determinism, like the rest of this layer.
+    */
+  def gopherRules(toksCol: String, stopwords: Seq[String],
+                  minTokens: Int = 50, maxTokens: Int = 100000): Column = {
+    val nToks = s"size($toksCol)"
+    val meanLen = s"(CAST(aggregate($toksCol, 0L, (a, t) -> a + length(t)) AS double) / CAST($nToks AS double))"
+    val alphaFrac = s"(CAST(size(filter($toksCol, t -> t rlike '[a-z]')) AS double) / CAST($nToks AS double))"
+    val stopHits = size(filter(col(toksCol), t => array_contains(typedLit(stopwords), t)))
+    struct(
+      expr(s"$nToks BETWEEN $minTokens AND $maxTokens").as("ok_n_tokens"),
+      expr(s"$meanLen BETWEEN 3.0 AND 10.0").as("ok_mean_len"),
+      expr(s"$alphaFrac >= 0.8").as("ok_alpha"),
+      (stopHits >= 2).as("ok_stop"),
+      (expr(s"$nToks BETWEEN $minTokens AND $maxTokens") &&
+        expr(s"$meanLen BETWEEN 3.0 AND 10.0") &&
+        expr(s"$alphaFrac >= 0.8") && (stopHits >= 2)).as("ok_all"))
+  }
+
+  /** Within-document repetition stats (the Gopher/RefinedWeb
+    * repetitious-text signals) over a materialized tokens column:
+    *  - dup_token_frac: 1 - |distinct tokens| / |tokens|;
+    *  - top_token_frac: occurrences of the most frequent token over
+    *    |tokens| (most frequent = max count, token string as the
+    *    deterministic tie-break);
+    *  - dup_bigram_frac: fraction of bigram instances whose bigram
+    *    occurs more than once.
+    * All counts are integers; the three divisions are single IEEE
+    * ops — bit-identical cross-engine.
+    *
+    * Cost note: the count-occurrences lambdas are quadratic in the
+    * DOCUMENT length — row-local, so never corpus-quadratic, and
+    * bounded by the longest document; for corpora with very long
+    * documents swap the inner filters for a sort-and-run-length
+    * formulation before lifting the token cap.
+    */
+  def repetitionStats(toksCol: String, bigramsCol: String): Column = {
+    val n = s"CAST(size($toksCol) AS double)"
+    // per-distinct-token counts via frequency of each distinct token.
+    // Both inner filters reference MATERIALIZED array columns: splicing
+    // the bigram-builder SQL here instead would re-build the whole
+    // array once per OUTER lambda element (measured: 9.5 s → 0.9 s on
+    // q_repetition at sf0.1 from exactly that)
+    val topCount =
+      s"""array_max(transform(array_distinct($toksCol),
+         |  d -> size(filter($toksCol, t -> t = d))))""".stripMargin
+    val dupBigramInstances =
+      s"""size(filter($bigramsCol, g ->
+         |  size(filter($bigramsCol, h -> h = g)) > 1))""".stripMargin
+    struct(
+      expr(s"1.0 - CAST(size(array_distinct($toksCol)) AS double) / $n").as("dup_token_frac"),
+      expr(s"CAST($topCount AS double) / $n").as("top_token_frac"),
+      expr(
+        s"""CASE WHEN size($toksCol) >= 2
+           |  THEN CAST($dupBigramInstances AS double) / CAST(size($toksCol) - 1 AS double)
+           |  ELSE 0.0 END""".stripMargin).as("dup_bigram_frac"))
+  }
+
+  /** ALL word n-grams (multiset — no distinct), the repetition
+    * counters' input; `ngrams` above is the distinct variant the
+    * set-similarity tier uses.
+    */
+  def ngramsAll(toksCol: String, n: Int): Column = {
+    val parts = (0 until n).map(j => s"element_at($toksCol, i + $j)").mkString(", ")
+    expr(
+      s"""CASE WHEN size($toksCol) >= $n
+         |  THEN transform(sequence(1, size($toksCol) - ${n - 1}),
+         |         i -> concat_ws(' ', $parts))
+         |  ELSE array()
+         |END""".stripMargin)
+  }
+
+  /** PII-style redaction (the standard pre-training scrub pass):
+    * emails, IPv4 addresses and long digit runs are replaced with
+    * typed placeholder tokens, with a count of replacements per class.
+    * Patterns deliberately use only regex constructs with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB) — character
+    * classes, +, {n,m}, no backrefs/lookaround.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._-]+@[a-z0-9-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("number", "[0-9]{6,}", "<NUM>"))
+
+  /** (redacted_text, n_email, n_ipv4, n_number) struct. Counts are
+    * measured BEFORE replacement, per class, in declaration order;
+    * replacement applies in the same order, so an IPv4 inside an
+    * already-redacted email is not double-counted.
+    */
+  def redactPii(textCol: String): Column = {
+    val counted = PiiPatterns.foldLeft((col(textCol), Seq.empty[(String, Column)])) {
+      case ((txt, counts), (name, pat, repl)) =>
+        // fold threads the progressively redacted text through, so each
+        // class counts matches in the text AFTER earlier replacements
+        val c = size(regexp_extract_all(txt, lit(pat), lit(0)))
+        (regexp_replace(txt, pat, repl), counts :+ (name, c))
+    }
+    struct(
+      counted._1.as("redacted") +:
+        counted._2.map { case (n, c) => c.as(s"n_$n") }: _*)
+  }
 }

@@ -146,6 +146,52 @@ object PipelineQueries {
         Dedup.minhashNearDups(kept, "doc_id", "text", threshold = 0.5,
           blockCol = Some("lang")))),
 
+    // -- text analysis: Gopher-style quality rule battery (Rae et al.
+    //    2021) — per-rule booleans + the conjunction, per document ----
+    "q_quality_rules" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", TextOps.tokens("text"))
+        .select(col("doc_id"),
+          TextOps.gopherRules("toks", StopEn, minTokens = 50).as("r"))
+        .select(col("doc_id"), col("r.ok_n_tokens"), col("r.ok_mean_len"),
+          col("r.ok_alpha"), col("r.ok_stop"), col("r.ok_all"))),
+
+    // -- text analysis: within-document repetition signals (the
+    //    Gopher/RefinedWeb repetitious-text filters) ------------------
+    "q_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        // the repetition lambdas are quadratic per document and
+        // interpreted — spread the one-partition parquet first, and
+        // materialize the bigram array once per row (column input)
+        .repartition(col("doc_id"))
+        .withColumn("toks", TextOps.tokens("text"))
+        .withColumn("bg", TextOps.ngramsAll("toks", 2))
+        .select(col("doc_id"), TextOps.repetitionStats("toks", "bg").as("r"))
+        .select(col("doc_id"), col("r.dup_token_frac"),
+          col("r.top_token_frac"), col("r.dup_bigram_frac"))),
+
+    // -- PII scrub: emails / IPv4 / long digit runs → typed
+    //    placeholders with per-class counts. The fixture text is clean,
+    //    so the query plants deterministic PII derived from doc_id
+    //    (mirrored exactly in the oracle) — the operator must find and
+    //    redact all of it and nothing else. -----------------------------
+    "q_pii_redact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("aug", concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact u"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".7"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" ref "), lpad((col("doc_id") * col("doc_id")).cast("string"),
+              9, "0"))).otherwise(lit(""))))
+        .select(col("doc_id"), TextOps.redactPii("aug").as("r"))
+        .select(col("doc_id"), col("r.redacted"), col("r.n_email"),
+          col("r.n_ipv4"), col("r.n_number"))),
+
     // -- text analysis: token counting, whitespace vs BPE-ish regex.
     //    The regex class split ([a-z]+ | digits | single non-alnum) is
     //    the shape subword tokenizers pre-segment with; counts are per
@@ -413,6 +459,72 @@ object PipelineQueries {
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  min(quality) AS min_quality, max(quality) AS max_quality
         |FROM kept GROUP BY 1""".stripMargin,
+
+    "q_quality_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(toks) BETWEEN 50 AND 100000 AS ok_n_tokens,
+        |    (CAST(list_sum(list_transform(toks, t -> CAST(len(t) AS BIGINT))) AS DOUBLE)
+        |       / CAST(len(toks) AS DOUBLE)) BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+        |    (CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+        |       / CAST(len(toks) AS DOUBLE)) >= 0.8 AS ok_alpha,
+        |    len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to'))) >= 2 AS ok_stop
+        |  FROM t
+        |)
+        |SELECT doc_id, ok_n_tokens, ok_mean_len, ok_alpha, ok_stop,
+        |  ok_n_tokens AND ok_mean_len AND ok_alpha AND ok_stop AS ok_all
+        |FROM s""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END AS bg
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS dup_token_frac,
+        |  CAST(list_max(list_transform(list_distinct(toks),
+        |         d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS top_token_frac,
+        |  CASE WHEN len(toks) >= 2
+        |    THEN CAST(len(list_filter(bg, g -> len(list_filter(bg, h -> h = g)) > 1)) AS DOUBLE)
+        |           / CAST(len(toks) - 1 AS DOUBLE)
+        |    ELSE 0.0 END AS dup_bigram_frac
+        |FROM s""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH a AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' ref ' || lpad(CAST(doc_id * doc_id AS VARCHAR), 9, '0')
+        |      ELSE '' END AS aug
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(aug, '[a-z0-9._-]+@[a-z0-9-]+\.[a-z]{2,}')) AS INTEGER) AS n_email,
+        |    regexp_replace(aug, '[a-z0-9._-]+@[a-z0-9-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM a
+        |), i AS (
+        |  SELECT doc_id, n_email,
+        |    CAST(len(regexp_extract_all(t1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER) AS n_ipv4,
+        |    regexp_replace(t1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS t2
+        |  FROM e
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(t2, '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+        |  n_email, n_ipv4,
+        |  CAST(len(regexp_extract_all(t2, '[0-9]{6,}')) AS INTEGER) AS n_number
+        |FROM i""".stripMargin,
 
     "q_token_regex" ->
       """WITH t AS (

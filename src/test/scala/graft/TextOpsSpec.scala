@@ -1,0 +1,73 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.llm.TextOps
+
+/** Controlled-input gates for the curation-filter text operators
+  * (Gopher rules, repetition signals, PII redaction); the fixture-
+  * scale arithmetic is oracle-checked via q_quality_rules /
+  * q_repetition / q_pii_redact.
+  */
+class TextOpsSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("text", StringType)))
+
+  private def frame(rows: (Long, String)*) =
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, schema)
+      .withColumn("toks", TextOps.tokens("text"))
+
+  test("gopher rules: each rule trips on its designed violation") {
+    val good = (1 to 60).map(i => s"word${i % 7} the of").mkString(" ") // 180 toks, stopwords, alpha
+    val tooShort = "the of tiny"
+    val longTokens = (1 to 60).map(_ => "pneumonoultramicroscopic").mkString(" ")
+    val numeric = (1 to 60).map(_ => "12345").mkString(" ") + " the of"
+    val noStops = (1 to 60).map(i => s"word$i").mkString(" ")
+    val df = frame(1L -> good, 2L -> tooShort, 3L -> longTokens, 4L -> numeric, 5L -> noStops)
+      .select(col("id"), TextOps.gopherRules("toks", Seq("the", "of")).as("r"))
+      .select(col("id"), col("r.*")).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(df(1L) == ((true, true, true, true, true)))
+    assert(!df(2L)._1 && !df(2L)._5, "short doc fails n_tokens and the conjunction")
+    assert(!df(3L)._2, "24-char tokens fail mean length")
+    assert(!df(4L)._3, "all-numeric tokens fail the alpha fraction")
+    assert(!df(5L)._4, "no stopwords fails the stop rule")
+  }
+
+  test("repetition stats: exact fractions on constructed documents") {
+    val df = frame(
+      1L -> "a b c d",          // all distinct
+      2L -> "x x x x",          // one token repeated
+      3L -> "p q p q p")        // bigrams 'p q','q p','p q','q p' all duplicated
+      .withColumn("bg", TextOps.ngramsAll("toks", 2))
+      .select(col("id"), TextOps.repetitionStats("toks", "bg").as("r"))
+      .select(col("id"), col("r.*")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(df(1L) == ((0.0, 0.25, 0.0)))
+    assert(df(2L) == ((0.75, 1.0, 1.0)))
+    assert(df(3L)._1 == 1.0 - 2.0 / 5.0)
+    assert(df(3L)._2 == 3.0 / 5.0)
+    assert(df(3L)._3 == 1.0, "every bigram instance occurs twice")
+  }
+
+  test("pii redaction: finds each class once, replaces in order, counts before replace") {
+    val df = frame(
+      1L -> "mail me at bob.smith@mail-host.com today",
+      2L -> "server 192.168.0.1 and id 1234567 live",
+      3L -> "clean text only",
+      4L -> "double a@b.io c@d.org hit")
+      .select(col("id"), TextOps.redactPii("text").as("r"))
+      .select(col("id"), col("r.*")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(df(1L) == (("mail me at <EMAIL> today", 1, 0, 0)))
+    assert(df(2L) == (("server <IP> and id <NUM> live", 0, 1, 1)))
+    assert(df(3L) == (("clean text only", 0, 0, 0)))
+    assert(df(4L) == (("double <EMAIL> <EMAIL> hit", 2, 0, 0)))
+  }
+}
