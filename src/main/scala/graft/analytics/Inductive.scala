@@ -46,6 +46,33 @@ object Inductive {
            ends: Set[String]): Tree =
     mineDfg(Dfg(edges.toSet, starts, ends))
 
+  /** IMf-style noise-filtered discovery (the `noise_threshold`
+    * parameter of pm4py's `discover_petri_net_inductive`): a
+    * directly-follows edge is kept only while its count is at least
+    * `noiseThreshold` × the strongest count among edges INCIDENT TO
+    * EITHER of its endpoints. Relative-to-local-context (rather than
+    * source-outgoing only) is what actually kills the classic failure:
+    * one misordered trace's reverse edge b→a is its source's ONLY
+    * outgoing edge — trivially its own maximum — yet sits next to a
+    * dominant a→b; the incident maximum sees the dominant edge and
+    * drops the noise, un-welding the fake SCC that otherwise collapses
+    * the tree to the flower model (InductiveSpec pins exactly that).
+    * threshold 0 ⇔ unfiltered.
+    */
+  def mineWithNoise(edges: Seq[(String, String, Long)], starts: Set[String],
+                    ends: Set[String], noiseThreshold: Double): Tree = {
+    require(noiseThreshold >= 0.0 && noiseThreshold < 1.0,
+      "noiseThreshold must be in [0, 1)")
+    val maxAt = edges.flatMap { case (a, b, n) => Seq(a -> n, b -> n) }
+      .groupBy(_._1).map { case (act, ns) => act -> ns.map(_._2).max }
+    val kept = edges.collect {
+      case (a, b, n)
+        if n.toDouble >= noiseThreshold * math.max(maxAt(a), maxAt(b)).toDouble =>
+        (a, b)
+    }
+    mineDfg(Dfg(kept.toSet, starts, ends))
+  }
+
   private def mineDfg(g: Dfg): Tree = {
     val acts = g.activities
     if (acts.isEmpty) return Silent
@@ -55,7 +82,7 @@ object Inductive {
       return if (g.edges((a, a))) Loop(Leaf(a), Silent) else Leaf(a)
     }
     xorCut(g).map(parts => Xor(projectXor(g, parts).map(mineDfg)))
-      .orElse(seqCut(g).map(parts => Sequence(projectSeq(g, parts).map(mineDfg))))
+      .orElse(seqCut(g).map(parts => Sequence(seqChildren(g, parts))))
       .orElse(parCut(g).map(parts => And(projectPar(g, parts).map(mineDfg))))
       .orElse(loopCut(g).map { case (body, redos) =>
         val bodyTree = mineDfg(projectLoopBody(g, body))
@@ -171,6 +198,32 @@ object Inductive {
         g.edges.exists { case (x, y) => x == a && !p(y) })
       Dfg(restrict(g, p), starts, ends)
     }
+
+  /** Sequence children with SKIP detection: a middle part is optional
+    * when some directly-follows edge bypasses it (earlier part →
+    * later part), or when the whole prefix/suffix around it can be
+    * skipped via a start that is not in the first part / an end that
+    * is not in the last part. An optional part becomes Xor(child, τ) —
+    * the same language pm4py's inductive miner emits for logs like
+    * ⟨a,b,c⟩ + ⟨a,c⟩.
+    */
+  private def seqChildren(g: Dfg, parts: List[Set[String]]): List[Tree] = {
+    val idx = parts.zipWithIndex
+    def partOf(a: String): Int = idx.collectFirst { case (p, i) if p(a) => i }.get
+    val children = projectSeq(g, parts).map(mineDfg)
+    idx.zip(children).map { case ((p, k), child) =>
+      val bypassed =
+        g.edges.exists { case (x, y) => partOf(x) < k && partOf(y) > k } ||
+          g.starts.exists(s => partOf(s) > k) || // trace can begin after p
+          g.ends.exists(e => partOf(e) < k)      // trace can end before p
+      child match {
+        case _ if !bypassed => child
+        case Xor(cs) if cs.contains(Silent) => child
+        case Xor(cs) => Xor(cs :+ Silent)
+        case _ => Xor(List(child, Silent))
+      }
+    }
+  }
 
   private def projectPar(g: Dfg, parts: List[Set[String]]): List[Dfg] =
     parts.map(p => Dfg(restrict(g, p), g.starts & p, g.ends & p))
@@ -306,7 +359,12 @@ object Inductive {
       val (m, i) = frontier.head
       frontier = frontier.tail
       if (i == trace.length && norm(m) == finalM) return true
-      val moves = net.transitions.collect {
+      // toSeq first: collecting (marking, index) pairs straight off the
+      // transitions MAP would build a map KEYED BY MARKING, silently
+      // merging a silent move and a labeled move that land on the same
+      // marking at different trace positions (found via the skip nets,
+      // where τ and the optional activity share both endpoints)
+      val moves = net.transitions.toSeq.collect {
         case (t, None) if enabled(m, t) => (norm(fire(m, t)), i)
         case (t, Some(l)) if i < trace.length && l == trace(i) && enabled(m, t) =>
           (norm(fire(m, t)), i + 1)

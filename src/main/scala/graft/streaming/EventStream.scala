@@ -109,6 +109,50 @@ object EventStream {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-static AS-OF enrichment — the streaming arm of the batch
+    * `operators.AsofJoin` for the common case where the right side is
+    * a slowly-changing dimension snapshot (price list, config,
+    * checkpointed state): attach to each stream event the payload of
+    * the latest state row with the same key and `state.ts <=
+    * event.ts`.
+    *
+    * Realization: the static side is rewritten batch-side into
+    * validity intervals [ts, next_ts) with one `lead` window, and the
+    * join becomes a STATELESS stream-static left join on key +
+    * interval containment — no watermark, no join state, and each
+    * event matches at most one interval because the intervals
+    * partition the time axis per key. Events before the first state
+    * row enrich with nulls (ASOF LEFT semantics). Several state rows
+    * at one (key, ts) would make the winner partition-order-dependent
+    * — pre-aggregate the state to one row per (key, ts), as with the
+    * batch operator.
+    */
+  def asofEnrich(events: DataFrame, state: DataFrame, keyCol: String,
+                 tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(payloadCols.nonEmpty, "asofEnrich: need at least one payload column")
+    payloadCols.foreach(c => require(!events.columns.contains(c),
+      s"asofEnrich: payload column $c clashes with an event column"))
+    val reserved = Seq("__ek", "__from", "__until")
+    for {
+      (df, side) <- Seq(events -> "events", state -> "state")
+      c <- reserved if df.columns.contains(c)
+    } require(false,
+      s"asofEnrich: $side input already has a '$c' column — rename it; " +
+        "the name is reserved for internal use")
+    val w = Window.partitionBy(col("__ek")).orderBy(col("__from"))
+    val intervals = state
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__ek") +: col(tsCol).as("__from") +:
+        payloadCols.map(col): _*)
+      .withColumn("__until", lead(col("__from"), 1).over(w))
+    events.join(intervals,
+        col(keyCol) === col("__ek") && col(tsCol) >= col("__from") &&
+          (col("__until").isNull || col(tsCol) < col("__until")),
+        "left")
+      .drop("__ek", "__from", "__until")
+  }
+
   /** Streaming interval join — the unbounded arm of the batch
     * `operators.IntervalJoin`: match each event to the still-open
     * interval windows that contain it, as a watermarked stream-stream

@@ -91,6 +91,42 @@ class InductiveSpec extends SparkSpec {
     assert(!Inductive.accepts(net, Seq("a", "a")), "needs at least one b")
   }
 
+  test("sequence skip: a bypass edge makes the middle part optional (pm4py parity)") {
+    // ⟨a,b,c⟩ + ⟨a,c⟩ — the classic optional step
+    val tree = Inductive.mine(dfgOf(Seq(Seq("a", "b", "c"), Seq("a", "c"))),
+      starts = Set("a"), ends = Set("c"))
+    assert(tree == Sequence(List(
+      Leaf("a"), Xor(List(Leaf("b"), Silent)), Leaf("c"))))
+    val net = Inductive.toPetriNet(tree)
+    assert(Inductive.accepts(net, Seq("a", "b", "c")))
+    assert(Inductive.accepts(net, Seq("a", "c")))
+    assert(!Inductive.accepts(net, Seq("b", "c")), "a is not optional")
+  }
+
+  test("prefix skip: a start inside a later part makes the prefix optional") {
+    val tree = Inductive.mine(dfgOf(Seq(Seq("a", "b"), Seq("b"))),
+      starts = Set("a", "b"), ends = Set("b"))
+    assert(tree == Sequence(List(Xor(List(Leaf("a"), Silent)), Leaf("b"))))
+    val net = Inductive.toPetriNet(tree)
+    assert(Inductive.accepts(net, Seq("a", "b")))
+    assert(Inductive.accepts(net, Seq("b")))
+    assert(!Inductive.accepts(net, Seq("a")))
+  }
+
+  test("noise threshold: one misordered trace no longer collapses the tree to a flower") {
+    // dominant sequence a→b (100×) plus a single noisy b→a edge: the
+    // fake 2-cycle welds a,b into one SCC, every cut fails, and the
+    // unfiltered miner emits the flower; IMf-style filtering at 0.2
+    // drops the rare reverse edge and recovers the sequence
+    val edges = Seq(("a", "b", 100L), ("b", "a", 1L))
+    val noisy = Inductive.mineWithNoise(edges, Set("a"), Set("b"), noiseThreshold = 0.0)
+    assert(noisy == Loop(Silent, Xor(List(Leaf("a"), Leaf("b")))))
+    val clean = Inductive.mineWithNoise(edges, Set("a"), Set("b"), noiseThreshold = 0.2)
+    assert(clean == Sequence(List(Leaf("a"), Leaf("b"))))
+    intercept[IllegalArgumentException](
+      Inductive.mineWithNoise(edges, Set("a"), Set("b"), noiseThreshold = 1.0))
+  }
+
   test("sequence of parallel: seq cut orders around the and-block") {
     val traces = Seq(Seq("s", "p", "q", "e"), Seq("s", "q", "p", "e"))
     val tree = Inductive.mine(dfgOf(traces), Set("s"), Set("e"))

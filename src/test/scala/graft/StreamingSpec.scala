@@ -123,6 +123,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static as-of enrich: latest preceding state attaches, none -> null") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val state = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (2L, ts("2024-01-01 10:30:00"), 200.0))
+      .toDF("user_id", "state_ts", "price")
+      .withColumnRenamed("state_ts", "ts")
+    val enriched = EventStream.asofEnrich(
+      in.toDF().withColumnRenamed("ts", "ts"), state,
+      keyCol = "user_id", tsCol = "ts", payloadCols = Seq("price"))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("asof_out").start()
+    try {
+      in.addData(
+        Ev(1L, ts("2024-01-01 09:00:00"), "before_any"),   // no state yet -> null
+        Ev(1L, ts("2024-01-01 10:00:00"), "at_first"),     // inclusive -> 100
+        Ev(1L, ts("2024-01-01 10:59:00"), "mid"),          // -> 100
+        Ev(1L, ts("2024-01-01 12:00:00"), "after_last"),   // -> 110
+        Ev(2L, ts("2024-01-01 11:00:00"), "other_key"),    // -> 200
+        Ev(3L, ts("2024-01-01 11:00:00"), "no_state"))     // -> null
+      q.processAllAvailable()
+      val rows = spark.table("asof_out")
+        .select("event_type", "price").collect()
+        .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+      assert(rows == Set(
+        ("before_any", None), ("at_first", Some(100.0)), ("mid", Some(100.0)),
+        ("after_last", Some(110.0)), ("other_key", Some(200.0)), ("no_state", None)))
+      assert(spark.table("asof_out").count() == 6, "exactly one row per event")
+    } finally q.stop()
+  }
+
   test("streaming interval join: in-watermark events match, late events drop") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
