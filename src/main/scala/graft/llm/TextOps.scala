@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for the training-data pipeline layer:
@@ -72,6 +72,46 @@ object TextOps {
        |                (a, h) -> (a * 37 + h) % $HashPrime)))
        |  ELSE aggregate($thashesCol, 11L, (a, h) -> (a * 37 + h) % $HashPrime)
        |END""".stripMargin)
+
+  /** ALL second-level window hashes over a materialized token-hash
+    * array (every w-window's polynomial, no min) — the input to the
+    * shared-passage join (`Dedup.fingerprintPairs`); `fingerprint`
+    * above keeps only the minimum for the one-value document sketch.
+    * Assumes size ≥ w (callers gate on the token count).
+    */
+  def windowHashes(thashesCol: String, w: Int): Column = expr(
+    s"""transform(sequence(1, size($thashesCol) - ${w - 1}),
+       |  i -> aggregate(slice($thashesCol, i, $w), 11L,
+       |         (a, h) -> (a * 37 + h) % $HashPrime))""".stripMargin)
+
+  /** Per-document TF-IDF keyword extraction with a RATIONAL idf
+    * (score = tf · N / df, two IEEE ops in a fixed order) instead of
+    * the logarithmic one — libm log implementations are not guaranteed
+    * bit-identical across engines, and keyword RANKING is invariant to
+    * the monotone transform, which is what the operator is for.
+    * Returns the top-k terms per document by (score desc, term asc).
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val n = df.select(countDistinct(col(idCol))).as("n")
+    val terms = df
+      .withColumn("__toks", tokens(textCol))
+      .select(col(idCol), explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = terms.groupBy("term")
+      .agg(countDistinct(col(idCol)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    terms.join(docFreq, "term")
+      .crossJoin(broadcast(n.toDF("n_docs")))
+      .withColumn("score",
+        col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
 
   /** Stopword profiles for the heuristic language scorer. Tiny on
     * purpose: at scale this would be a broadcast dictionary; the

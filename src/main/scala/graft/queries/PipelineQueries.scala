@@ -219,6 +219,19 @@ object PipelineQueries {
           "score_fr", "score_zh", "predicted")
     }),
 
+    // -- dedup tier 5: shared-passage pairs (winnowing containment) —
+    //    catches a lifted paragraph inside an otherwise different
+    //    document, which barely moves bigram Jaccard. Inverted-index
+    //    join on near-unique 8-token window hashes. ------------------
+    "q_fingerprint_pairs" -> ((s, dir) =>
+      Dedup.fingerprintPairs(Tables.documents(s, dir), "doc_id", "text",
+        w = 8, minShared = 1)),
+
+    // -- text analysis: per-document TF-IDF keywords (rational idf —
+    //    ranking-invariant and cross-engine exact, see scaladoc) ------
+    "q_tfidf_topk" -> ((s, dir) =>
+      TextOps.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", k = 3)),
+
     // -- text analysis: rolling-hash document fingerprint --------------
     "q_doc_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -558,6 +571,53 @@ object PipelineQueries {
         |       WHEN score_zh >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'zh'
         |  END AS predicted
         |FROM s""".stripMargin,
+
+    "q_fingerprint_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    list_transform(toks, tok -> list_reduce(
+        |      list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(range(1, len(tok) + 1), i -> CAST(ascii(tok[i]) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007)) AS th
+        |  FROM t WHERE len(toks) >= 8
+        |), wh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, n - 6), i -> list_reduce(
+        |      list_prepend(CAST(11 AS BIGINT), list_slice(th, i, i + 7)),
+        |      (a, b) -> (a * 37 + b) % 1000000007))) AS ws
+        |  FROM h
+        |), p AS (
+        |  SELECT doc_id, len(ws) AS nw, unnest(ws) AS h FROM wh
+        |), j AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nw AS nwa, b.nw AS nwb,
+        |    count(*) AS shared
+        |  FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT id_a, id_b, shared,
+        |  CAST(shared AS DOUBLE) / CAST(least(nwa, nwb) AS DOUBLE) AS containment
+        |FROM j WHERE shared >= 1""".stripMargin,
+
+    "q_tfidf_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+        |), s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS "rank"
+        |  FROM s
+        |)
+        |SELECT doc_id, term, tf, df, score, "rank" FROM r WHERE "rank" <= 3""".stripMargin,
 
     "q_doc_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -124,6 +124,15 @@ object RelationalQueries {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))),
 
+    // CUBE: all four grouping sets in one Expand pass (the rollup's
+    // sibling — adds the (linestatus-only) slice rollup omits).
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))),
+
     // Set difference (EXCEPT = distinct anti semantics).
     "q_except" -> ((s, dir) =>
       Tables.orders(s, dir).filter(col("o_orderstatus") === "F").select(col("o_custkey"))
@@ -284,6 +293,13 @@ object RelationalQueries {
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "q_except" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'

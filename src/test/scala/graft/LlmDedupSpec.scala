@@ -164,6 +164,28 @@ class LlmDedupSpec extends SparkSpec {
     assert(found.size >= 12, s"planted near-dups must surface, got ${found.size}")
   }
 
+  test("fingerprint pairs: a lifted passage pairs documents that bigram Jaccard misses") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val passage = (1 to 10).map(i => s"lifted$i").mkString(" ")
+    val hostA = ((1 to 40).map(i => s"aw$i") :+ passage).mkString(" ")   // 50 toks
+    val hostB = ((1 to 40).map(i => s"bw$i") :+ passage).mkString(" ")   // disjoint except passage
+    val clean = (1 to 50).map(i => s"cw$i").mkString(" ")
+    val df = spark.createDataFrame(Seq(
+      Row(1L, hostA), Row(2L, hostB), Row(3L, clean)).asJava, schema)
+    val pairs = Dedup.fingerprintPairs(df, "id", "text", w = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // the 10-token passage contributes exactly 3 shared 8-windows
+    assert(pairs.keySet == Set((1L, 2L)), s"got ${pairs.keySet}")
+    assert(pairs((1L, 2L)) == 3L)
+    // contrast: bigram Jaccard at 0.5 does NOT pair them (10 shared
+    // bigrams-ish over ~49 each — far below threshold)
+    val jac = Dedup.ngramJaccardPairs(
+      df.withColumn("blk", org.apache.spark.sql.functions.lit("x")),
+      "id", "text", "blk", 2, 0.5).collect()
+    assert(jac.isEmpty)
+  }
+
   test("MinHash estimate tracks true Jaccard on controlled documents") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("text", StringType)))

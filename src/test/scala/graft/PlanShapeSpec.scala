@@ -80,7 +80,7 @@ class PlanShapeSpec extends SparkSpec {
     for (q <- Seq("q_ngram_jaccard", "q_ngram_jaccard_capped", "q_hot_postings",
         "q_minhash_lsh", "q_curation", "q_curation_lsh", "q_simhash_neardup",
         "q_embed_neardup", "q_embed_neardup_lsh", "q_embed_topk",
-        "q_ann_lsh", "q_ann_ivf")) {
+        "q_ann_lsh", "q_ann_ivf", "q_fingerprint_pairs", "q_repetition")) {
     // markers are the DERIVED heavy expressions only (a legitimate
     // user predicate — e.g. q_curation's quality gate — may contain a
     // lambda and SHOULD push to the scan; it evaluates once there):
@@ -91,6 +91,7 @@ class PlanShapeSpec extends SparkSpec {
           (l.contains("graft_") || l.contains("minhash_sig") ||
             l.contains("hyperplane_sigs") || l.contains("centroid_dists") ||
             l.contains("array_distinct(transform(") ||
+            l.contains("transform(sequence(") ||
             l.contains("transform(transform("))).toList
       assert(bad.isEmpty,
         s"$q re-evaluates a heavy expression in a Filter/scan:\n${bad.map(_.take(200)).mkString("\n")}")

@@ -56,6 +56,23 @@ class TextOpsSpec extends SparkSpec {
     assert(df(3L)._3 == 1.0, "every bigram instance occurs twice")
   }
 
+  test("tfidf: corpus-wide terms score low, distinctive terms rank first") {
+    val df = spark.createDataFrame(Seq(
+      Row(1L, "common rare1 common common"),
+      Row(2L, "common rare2 common"),
+      Row(3L, "common other other")).asJava, schema)
+    val out = TextOps.tfidfTopK(df, "id", "text", k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(5)) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 1: rare1 tf=1 df=1 score=3; common tf=3 df=3 score=3 — tie →
+    // 'common' < 'rare1' alphabetically takes rank 1
+    assert(out((1L, 1)) == (("common", 3L, 3L)))
+    assert(out((1L, 2)) == (("rare1", 1L, 1L)))
+    // doc 3: other tf=2 df=1 score=6 beats common tf=1 df=3 score=1
+    assert(out((3L, 1)) == (("other", 2L, 1L)))
+    assert(out((3L, 2)) == (("common", 1L, 3L)))
+  }
+
   test("pii redaction: finds each class once, replaces in order, counts before replace") {
     val df = frame(
       1L -> "mail me at bob.smith@mail-host.com today",
