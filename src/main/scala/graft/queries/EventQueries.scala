@@ -236,6 +236,29 @@ object EventQueries {
       Dfg.startEndCounts(sessions(Tables.events(s, dir)),
         "session_id", "event_type", "ts", "event_id")),
 
+    // XES round-trip (O-4's inverse): project events to an XES-shaped
+    // frame, render through the REAL single-file writer, parse back
+    // through XesReader, and return the parsed rows. The oracle is the
+    // same projection straight off the table — lossless round-trip is
+    // the claim (timestamps truncated to seconds: the XES date format
+    // carries millisecond precision, the fixture carries micros).
+    "q_xes_roundtrip" -> ((s, dir) => {
+      import graft.xes.{XesReader, XesWriter}
+      val src = Tables.events(s, dir).select(
+        col("user_id").cast("string").as(XesWriter.DefaultCaseCol),
+        date_trunc("second", col("ts")).as(XesWriter.DefaultTsCol),
+        col("event_type").as("concept:name"),
+        col("event_id"),
+        col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-xesrt")
+      tmp.toFile.deleteOnExit()
+      val file = tmp.resolve("log.xes")
+      XesWriter.write(src, file, tieCols = Seq("event_id"))
+      XesReader.read(s, file.toString).select(
+        col(XesWriter.DefaultCaseCol), col(XesWriter.DefaultTsCol),
+        col("concept:name"), col("event_id"), col("value"))
+    }),
+
     // Inductive process discovery (the reference notebook's actual
     // pm4py.discover_petri_net_inductive call): DFG + endpoints are
     // computed distributed, the |activities|²-bounded edge list comes
@@ -608,6 +631,15 @@ object EventQueries {
          |  count(*) AS n_events
          |FROM filtered
          |GROUP BY 1""".stripMargin,
+
+    // the round-trip oracle IS the identity projection: whatever the
+    // writer rendered and the reader parsed must equal the table
+    "q_xes_roundtrip" ->
+      """SELECT CAST(user_id AS VARCHAR) AS "case:concept:name",
+        |  date_trunc('second', ts) AS "time:timestamp",
+        |  event_type AS "concept:name",
+        |  event_id, value
+        |FROM events""".stripMargin,
 
     "q_xes_render" ->
       s"""$EventlogCte, filtered AS (
