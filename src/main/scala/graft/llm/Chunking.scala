@@ -1,0 +1,137 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Context-window shaping for LLM training pipelines: document →
+  * chunk splitting, greedy sequence packing, and deterministic
+  * stratified sampling. The reference engine stops at event-log
+  * export; these are the operators a corpus consumer runs next, so
+  * they are first-class here (SURVEY.md §2.9).
+  *
+  * Scale notes (the 100 TB contract):
+  *  - `chunkDocuments` is stateless row-local work — parallelism
+  *    follows the scan partitioning, no shuffle at all.
+  *  - `packGreedy` is the one inherently sequential op (a pack's
+  *    membership depends on every earlier doc in its shard), so it
+  *    shuffles ONCE on the shard key and streams each partition in
+  *    sorted order — the secondary-sort shape: `repartition(shard)` +
+  *    `sortWithinPartitions` + a constant-memory `mapPartitions`
+  *    accumulator. Shard cardinality scales with the corpus (source,
+  *    domain, date bucket), so partitions stay bounded; a skewed
+  *    shard is handled the standard way — sub-shard by `hash(id) % k`
+  *    first, at a small packing-efficiency cost.
+  *  - `stratifiedSample` is a broadcast join against the (tiny) rate
+  *    table plus a row-local hash test — no shuffle of the corpus.
+  */
+object Chunking {
+
+  /** Split each document into token windows of `chunkTokens` with
+    * `overlapTokens` of context carried between consecutive chunks
+    * (stride = chunk − overlap). Window starts run while
+    * `start < n − overlap`, so every chunk contributes tokens beyond
+    * the carried overlap (no chunk is a suffix-copy of its
+    * predecessor), every token appears in ≥ 1 chunk, and a document
+    * not longer than the window yields exactly one chunk.
+    *
+    * Implementation: `posexplode_outer(sequence(0, n−1, stride))`
+    * generates the window starts — `_outer` plus the explicit
+    * `isNotNull` filter ABOVE the generator keeps Catalyst from
+    * inferring a `size(...) > 0` predicate and re-substituting the
+    * split below the exchange (the r5 pushdown-trap family, see
+    * PlanShapeSpec). `slice` + `array_join` are plain codegen'd
+    * builtins — no interpreted lambda in the hot path.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int = 32, overlapTokens: Int = 8): DataFrame = {
+    val stride = chunkTokens - overlapTokens
+    require(stride > 0, s"overlapTokens ($overlapTokens) must be < chunkTokens ($chunkTokens)")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode_outer(sequence(lit(0),
+            greatest(col("__n") - (overlapTokens + 1), lit(0)), lit(stride)))
+          .as(Seq("chunk_idx", "__start")))
+      .filter(col("__start").isNotNull)
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens), col("__n") - col("__start")).cast("long")
+          .as("chunk_tokens"))
+  }
+
+  /** Greedy sequential packing: within each shard, walk documents in
+    * `idCol` order and append to the current pack while the running
+    * token count stays ≤ `budgetTokens`; otherwise start a new pack.
+    * A single document over budget gets a pack of its own (packs are
+    * never split mid-document). Returns per-pack stats — the frame a
+    * pipeline joins back to fetch members, or feeds straight into a
+    * tokenizer batch planner.
+    *
+    * Greedy-in-id-order (vs bin-packing) is the standard training-
+    * data choice: deterministic, single pass, and order preservation
+    * is itself a feature (documents from one crawl stay adjacent).
+    */
+  def packGreedy(df: DataFrame, shardCol: String, idCol: String,
+                 textCol: String, budgetTokens: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val assigned = df
+      .filter(col(textCol).isNotNull)
+      .select(col(shardCol).cast("string").as("shard"),
+        col(idCol).cast("long").as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        // Constant-memory accumulator; resets at each shard boundary
+        // (a partition holds whole shards, in (shard, doc_id) order).
+        var curShard: String = null
+        var acc = 0L
+        var packId = 0L
+        it.map { case (shard, docId, n) =>
+          if (shard != curShard) { curShard = shard; packId = 1L; acc = 0L }
+          if (acc > 0L && acc + n > budgetTokens) { packId += 1L; acc = 0L }
+          acc += n
+          (shard, packId, docId, n)
+        }
+      }
+      .toDF("shard", "pack_id", "doc_id", "n_tokens")
+    assigned.groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("pack_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+  }
+
+  /** Deterministic per-stratum subsampling: keep a row iff a hash of
+    * its id lands under the stratum's rate. Strata absent from
+    * `rates` are dropped (rate 0). The rate table rides a broadcast
+    * join, so the corpus itself never shuffles, and re-running the
+    * pipeline reproduces the exact same sample — the property random()
+    * sampling can't give an incremental 100 TB pipeline.
+    *
+    * `portableHash = true` (default) uses a Weyl mix on the low 16 id
+    * bits — exact integer arithmetic both Spark and DuckDB reproduce,
+    * so the query is oracle-checkable; granularity is 1/65536 and ids
+    * congruent mod 2^16 sample together. Production corpora with
+    * opaque ids should pass `false` for full-width `xxhash64`.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       rates: Map[String, Double],
+                       portableHash: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratesDf = rates.toSeq.sortBy(_._1).toDF(stratumCol, "__rate")
+    val denom = 65536L
+    val bucket =
+      if (portableHash) pmod(pmod(col(idCol), lit(denom)) * lit(40503L), lit(denom))
+      else pmod(xxhash64(col(idCol)), lit(denom))
+    df.select(col(idCol), col(stratumCol))
+      .join(broadcast(ratesDf), Seq(stratumCol))
+      .where(bucket < col("__rate") * lit(denom.toDouble))
+      .select(col(idCol), col(stratumCol))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Chunking, Dedup, Multimodal, Similarity, TextOps}
 
 /** Training-data pipeline operators (the "beyond the reference" layer)
   * over the driver's `documents` and `embeddings` tables.
@@ -287,7 +287,24 @@ object PipelineQueries {
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.n_bytes").as("n_bytes"),
           col("n_frames_total"), col("n_frames_kept"))
-    }))
+    }),
+
+    // -- context shaping: token-window chunking with overlap ------------
+    "q_chunk" -> ((s, dir) =>
+      Chunking.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 32, overlapTokens = 8)),
+
+    // -- context shaping: greedy sequence packing per source shard
+    //    (secondary-sort shape; the oracle is a recursive CTE) ---------
+    "q_pack_greedy" -> ((s, dir) =>
+      Chunking.packGreedy(Tables.documents(s, dir), "source", "doc_id", "text",
+        budgetTokens = 128)),
+
+    // -- corpus mixing: deterministic stratified sampling with a
+    //    broadcast rate table ------------------------------------------
+    "q_sample_stratified" -> ((s, dir) =>
+      Chunking.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
+        rates = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1))))
 
   val oracleSql: Map[String, String] = Map(
 
@@ -703,5 +720,54 @@ object PipelineQueries {
         |  CAST(n_chars AS BIGINT) AS n_bytes,
         |  CAST(ceil(CAST(n_chars AS DOUBLE) / 32) AS INTEGER) AS n_frames_total,
         |  CAST(ceil(CAST(ceil(CAST(n_chars AS DOUBLE) / 32) AS DOUBLE) / 2) AS INTEGER) AS n_frames_kept
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // starts = 0, 24, 48, … < n − overlap  ⇔  Spark
+    // sequence(0, greatest(n-9, 0), 24);
+    // duck 1-based inclusive list slicing ⇔ Spark slice(toks, s+1, 32)
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL
+        |), s AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0, greatest(n - 8, 1), 24)) AS start FROM t
+        |)
+        |SELECT doc_id, CAST(start // 24 AS INTEGER) AS chunk_idx,
+        |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text,
+        |  CAST(least(32, n - start) AS BIGINT) AS chunk_tokens
+        |FROM s""".stripMargin,
+
+    // greedy accumulator as a recursive CTE: all shards advance in
+    // lockstep, one doc per shard per iteration
+    "q_pack_greedy" ->
+      """WITH RECURSIVE ord AS (
+        |  SELECT source AS shard, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents WHERE text IS NOT NULL
+        |), rec AS (
+        |  SELECT shard, doc_id, rn, n, n AS acc, CAST(1 AS BIGINT) AS pack_id
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.doc_id, o.rn, o.n,
+        |    CASE WHEN r.acc + o.n > 128 THEN o.n ELSE r.acc + o.n END AS acc,
+        |    CASE WHEN r.acc + o.n > 128 THEN r.pack_id + 1 ELSE r.pack_id END AS pack_id
+        |  FROM rec r JOIN ord o ON o.shard = r.shard AND o.rn = r.rn + 1
+        |)
+        |SELECT shard, pack_id, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS pack_tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM rec GROUP BY 1, 2""".stripMargin,
+
+    // Weyl mix on the low 16 id bits — exact integer arithmetic in
+    // both engines (Chunking.stratifiedSample portableHash=true)
+    "q_sample_stratified" ->
+      """SELECT d.doc_id, d.lang
+        |FROM documents d
+        |JOIN (VALUES ('en', 0.5), ('de', 0.25), ('zh', 0.1)) r(lang, rate)
+        |  USING (lang)
+        |WHERE ((d.doc_id % 65536) * 40503) % 65536 < r.rate * 65536""".stripMargin)
 }

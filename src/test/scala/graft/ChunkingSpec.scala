@@ -1,0 +1,99 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.llm.Chunking
+
+/** Property gates for the context-shaping operators (chunk / pack /
+  * stratified sample); the fixture-scale arithmetic is oracle-checked
+  * via q_chunk / q_pack_greedy / q_sample_stratified.
+  */
+class ChunkingSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("shard", StringType),
+    StructField("text", StringType)))
+
+  private def frame(rows: (Long, String, String)*) =
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2, r._3)).asJava, schema)
+
+  private def words(n: Int, tag: String = "w"): String =
+    (1 to n).map(i => s"$tag$i").mkString(" ")
+
+  test("chunk: coverage, window size, overlap, short-doc identity") {
+    val df = frame(
+      (1L, "a", words(80)),  // 80 toks, stride 24 → starts 0,24,48
+      (2L, "a", words(32)),  // exactly one window
+      (3L, "a", words(5)))   // shorter than window → identity chunk
+    val chunks = Chunking.chunkDocuments(df, "id", "text",
+        chunkTokens = 32, overlapTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sortBy(c => (c._1, c._2))
+
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc(1L).length == 3 && byDoc(2L).length == 1 && byDoc(3L).length == 1)
+    assert(chunks.forall(c => c._4 <= 32 && c._4 == c._3.split(" ").length))
+    assert(byDoc(3L).head._3 == words(5), "short doc chunks to itself")
+    assert(byDoc(2L).head._3 == words(32), "window-sized doc chunks to itself")
+    // consecutive windows share exactly the overlap suffix/prefix
+    val c1 = byDoc(1L).map(_._3.split(" "))
+    (0 until 2).foreach { i =>
+      assert(c1(i).takeRight(8).sameElements(c1(i + 1).take(8)),
+        s"overlap between chunk $i and ${i + 1}")
+    }
+    // dropping each chunk's overlap prefix reconstructs the document
+    val rebuilt = c1.head ++ c1.tail.flatMap(_.drop(8))
+    assert(rebuilt.sameElements(words(80).split(" ")), "chunks cover every token once")
+  }
+
+  test("pack: budget respected, order preserved, every doc exactly once") {
+    val docs = frame(
+      (1L, "s1", words(50)), (2L, "s1", words(60)), (3L, "s1", words(30)),
+      (4L, "s1", words(200)), // alone over budget → own pack
+      (5L, "s1", words(10)),
+      (6L, "s2", words(128)), (7L, "s2", words(1)))
+    val packs = Chunking.packGreedy(docs, "shard", "id", "text", budgetTokens = 128)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(p => (p._1, p._2))
+
+    // s1: [50+60]=110, [30]→ then 200 won't fit → [30] closes at 30+200>128
+    //   greedy: 50+60=110, +30>128 → pack2: 30, +200>128 → pack3: 200, +10>128 → pack4: 10
+    val s1 = packs.filter(_._1 == "s1")
+    assert(s1.map(p => (p._2, p._3, p._4)).toSeq ==
+      Seq((1L, 2L, 110L), (2L, 1L, 30L), (3L, 1L, 200L), (4L, 1L, 10L)))
+    assert(s1.map(p => (p._5, p._6)).toSeq ==
+      Seq((1L, 2L), (3L, 3L), (4L, 4L), (5L, 5L)), "packs are contiguous id ranges")
+    val s2 = packs.filter(_._1 == "s2")
+    assert(s2.map(p => (p._2, p._3, p._4)).toSeq == Seq((1L, 1L, 128L), (2L, 1L, 1L)),
+      "exact-budget pack closes before the next doc")
+    assert(packs.map(_._3).sum == 7, "every doc in exactly one pack")
+  }
+
+  test("stratified sample: deterministic, subset, stratum-filtered, rate-shaped") {
+    val df = frame((0L until 2000L).map(i =>
+      (i, "a", if (i % 2 == 0) "en" else if (i % 3 == 0) "de" else "fr")): _*)
+      .withColumnRenamed("shard", "unused")
+      .withColumn("lang", when(col("id") % 2 === 0, "en")
+        .when(col("id") % 3 === 0, "de").otherwise("fr"))
+    val rates = Map("en" -> 0.5, "de" -> 0.25)
+    val s1 = Chunking.stratifiedSample(df, "lang", "id", rates)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val s2 = Chunking.stratifiedSample(df, "lang", "id", rates)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(s1 == s2, "same input, same sample")
+    assert(!s1.exists(_._2 == "fr"), "stratum without a rate is dropped")
+    val nEn = s1.count(_._2 == "en").toDouble / 1000.0
+    val nDe = s1.count(_._2 == "de").toDouble / df.filter(col("lang") === "de").count()
+    assert(math.abs(nEn - 0.5) < 0.1, s"en rate $nEn ~ 0.5")
+    assert(math.abs(nDe - 0.25) < 0.1, s"de rate $nDe ~ 0.25")
+    // the xxhash64 arm obeys the same contract
+    val sx = Chunking.stratifiedSample(df, "lang", "id", rates, portableHash = false)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(!sx.exists(_._2 == "fr"))
+    assert(math.abs(sx.count(_._2 == "en") / 1000.0 - 0.5) < 0.1)
+  }
+}
