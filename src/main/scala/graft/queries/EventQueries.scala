@@ -259,6 +259,26 @@ object EventQueries {
         col("concept:name"), col("event_id"), col("value"))
     }),
 
+    // Same round-trip through the DataSource V2 provider — the
+    // column-pruning scan path (`spark.read.format("xes")`), proven
+    // equal to the raw table by the shared oracle.
+    "q_xes_dsv2" -> ((s, dir) => {
+      import graft.xes.XesWriter
+      val src = Tables.events(s, dir).select(
+        col("user_id").cast("string").as(XesWriter.DefaultCaseCol),
+        date_trunc("second", col("ts")).as(XesWriter.DefaultTsCol),
+        col("event_type").as("concept:name"),
+        col("event_id"),
+        col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-xesv2")
+      tmp.toFile.deleteOnExit()
+      val file = tmp.resolve("log.xes")
+      XesWriter.write(src, file, tieCols = Seq("event_id"))
+      s.read.format("xes").load(file.toString).select(
+        col(XesWriter.DefaultCaseCol), col(XesWriter.DefaultTsCol),
+        col("concept:name"), col("event_id"), col("value"))
+    }),
+
     // Inductive process discovery (the reference notebook's actual
     // pm4py.discover_petri_net_inductive call): DFG + endpoints are
     // computed distributed, the |activities|²-bounded edge list comes
@@ -635,6 +655,13 @@ object EventQueries {
     // the round-trip oracle IS the identity projection: whatever the
     // writer rendered and the reader parsed must equal the table
     "q_xes_roundtrip" ->
+      """SELECT CAST(user_id AS VARCHAR) AS "case:concept:name",
+        |  date_trunc('second', ts) AS "time:timestamp",
+        |  event_type AS "concept:name",
+        |  event_id, value
+        |FROM events""".stripMargin,
+
+    "q_xes_dsv2" ->
       """SELECT CAST(user_id AS VARCHAR) AS "case:concept:name",
         |  date_trunc('second', ts) AS "time:timestamp",
         |  event_type AS "concept:name",

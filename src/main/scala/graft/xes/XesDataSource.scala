@@ -1,0 +1,192 @@
+package graft.xes
+
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 provider for the XES XML format:
+  * `spark.read.format("xes").load(path)` (registered via
+  * META-INF/services, so the short name works without imports).
+  *
+  * Why a V2 source on top of `XesReader.read`: the RDD reader
+  * materializes every attribute of every event no matter what the
+  * query needs. Here each shard file is one `InputPartition` (scan
+  * parallelism = shard count, same distribution story as the sharded
+  * writer), and the scan implements
+  * `SupportsPushDownRequiredColumns`, so `SELECT case, ts FROM xes`
+  * only converts the two requested attributes per event — on wide
+  * logs (the reference's dynamic JSON widening can add dozens of
+  * columns) that is the difference between parsing the XML once and
+  * building every row twice as wide. XesDsv2Spec gates the pruned
+  * `readSchema()` end-to-end.
+  *
+  * Schema inference parses ONE file (first in listing order) by
+  * default — the writer's shards all share a schema. `inferAll=true`
+  * unions attribute keys across every file (two passes, like
+  * schema-less `spark.read.json`); conflicting tags widen to string,
+  * matching `XesReader`. Reference: the service serves whole .xes
+  * artifacts (app.py:230); consumers re-load them per analysis query,
+  * which is exactly when pruning pays.
+  */
+class XesDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "xes"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    XesDataSource.infer(
+      options.get("path"),
+      options.getOrDefault("casecol", XesWriter.DefaultCaseCol),
+      options.getBoolean("inferall", false))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new XesTable(properties.get("path"), schema,
+      Option(properties.get("casecol")).getOrElse(XesWriter.DefaultCaseCol))
+}
+
+object XesDataSource {
+
+  /** XES shard files under `path` (a file or a directory), skipping
+    * sidecars like _SUCCESS — same contract as `XesReader.read`.
+    */
+  private[xes] def listFiles(path: String): Seq[String] = {
+    require(path != null, "xes source requires a path")
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory) fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+      else Seq(p)
+    files.map(_.toString).sorted
+      .filterNot(f => f.endsWith("_SUCCESS") || f.endsWith(".crc"))
+  }
+
+  private def readFile(conf: Configuration, file: String): String = {
+    val p = new HPath(file)
+    val in = p.getFileSystem(conf).open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private[xes] def infer(path: String, caseCol: String, all: Boolean): StructType = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val files = listFiles(path)
+    val sample = (if (all) files else files.take(1))
+      .map(readFile(conf, _)).filter(_.contains("<log"))
+    val keyTags = sample.flatMap(XesReader.parseFileRaw)
+      .flatMap(_.attrs.map { case (k, (tag, _)) => (k, tag) })
+      .groupBy(_._1).map { case (k, ts) => k -> ts.map(_._2).toSet }
+    val fields = keyTags.toSeq.sortBy(_._1).map { case (k, tags) =>
+      StructField(k,
+        if (tags.size == 1) XesReader.typeOfTag(tags.head) else StringType)
+    }
+    StructType(StructField(caseCol, StringType) +: fields)
+  }
+}
+
+private[xes] class XesTable(path: String, tableSchema: StructType, caseCol: String)
+  extends Table with SupportsRead {
+  override def name(): String = s"xes:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new XesScanBuilder(path, tableSchema, caseCol)
+}
+
+private[xes] class XesScanBuilder(path: String, full: StructType, caseCol: String)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve the source's field metadata/order for the names Spark asks for
+    required = StructType(requiredSchema.fieldNames.flatMap(n => full.fields.find(_.name == n)))
+  override def build(): Scan = new XesScan(path, required, caseCol)
+}
+
+private[xes] class XesScan(path: String, required: StructType, caseCol: String)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    XesDataSource.listFiles(path).map(XesInputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    XesReaderFactory(required, caseCol)
+  override def description(): String =
+    s"XesScan path=$path cols=${required.fieldNames.mkString(",")}"
+}
+
+private[xes] case class XesInputPartition(file: String) extends InputPartition
+
+/** Per-file reader: DOM-parses the shard once, converts ONLY the
+  * pruned columns to InternalRow. Files open via a fresh Hadoop
+  * `Configuration()` on the executor (local/HDFS defaults); custom
+  * filesystems would thread the session conf through the factory.
+  */
+private[xes] case class XesReaderFactory(required: StructType, caseCol: String)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[XesInputPartition].file
+    new PartitionReader[InternalRow] {
+      private val events: Iterator[XesReader.RawEvent] = {
+        val conf = new Configuration()
+        val p = new HPath(file)
+        val in = p.getFileSystem(conf).open(p)
+        val xml = try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        if (xml.contains("<log")) XesReader.parseFileRaw(xml).iterator
+        else Iterator.empty
+      }
+      private var row: InternalRow = _
+
+      override def next(): Boolean =
+        if (!events.hasNext) false
+        else { row = convert(events.next()); true }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+
+      private def convert(ev: XesReader.RawEvent): InternalRow = {
+        val vals = required.fields.map { f =>
+          if (f.name == caseCol) {
+            if (ev.caseId == null) null else UTF8String.fromString(ev.caseId)
+          } else ev.attrs.get(f.name) match {
+            case None => null
+            case Some((_, raw)) => f.dataType match {
+              case StringType => UTF8String.fromString(raw)
+              case TimestampType =>
+                val i = java.time.OffsetDateTime.parse(raw).toInstant
+                i.getEpochSecond * 1000000L + i.getNano / 1000L
+              case LongType => java.lang.Long.valueOf(raw)
+              case DoubleType => java.lang.Double.valueOf(raw)
+              case BooleanType => java.lang.Boolean.valueOf(raw)
+              case other => throw new IllegalStateException(s"unexpected XES type $other")
+            }
+          }
+        }
+        InternalRow.fromSeq(vals.toIndexedSeq)
+      }
+    }
+  }
+}

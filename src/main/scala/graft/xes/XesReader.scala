@@ -33,8 +33,11 @@ import org.apache.spark.sql.types._
 object XesReader {
 
   /** key → (xes tag, raw value) per event, with its trace's case id. */
-  private final case class RawEvent(caseId: String,
-                                    attrs: Map[String, (String, String)])
+  private[xes] final case class RawEvent(caseId: String,
+                                         attrs: Map[String, (String, String)])
+
+  /** DOM-parse one XES document (shared with the V2 source). */
+  private[xes] def parseFileRaw(xml: String): Seq[RawEvent] = parseFile(xml)
 
   private def parseFile(xml: String): Seq[RawEvent] = {
     val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
@@ -73,6 +76,8 @@ object XesReader {
       evs.result().map(RawEvent(cid, _))
     }
   }
+
+  private[xes] def typeOfTag(tag: String): DataType = typeOf(tag)
 
   private def typeOf(tag: String): DataType = tag match {
     case "date" => TimestampType
