@@ -434,4 +434,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Cross-batch (incremental) dedup, exact arm: which `incoming`
+    * documents are genuinely new vs an `existing` corpus? Left-anti
+    * join on the content hash — both sides shuffle (hash, id) pairs
+    * only, never the text. This is the oracle tier.
+    */
+  def newDocsExact(existing: DataFrame, incoming: DataFrame,
+                   idCol: String, textCol: String): DataFrame =
+    incoming.select(col(idCol), md5(col(textCol)).as("__h"))
+      .join(existing.select(md5(col(textCol)).as("__h")), Seq("__h"), "left_anti")
+      .select(col(idCol))
+
+  /** Cross-batch dedup, Bloom scale arm: the daily-crawl shape where
+    * `existing` is the full corpus and `incoming` a small new batch.
+    * A Bloom filter over the existing hashes is built DISTRIBUTED
+    * (`stat.bloomFilter` treeAggregates partial filters; the driver
+    * holds one ~`1.44·n·log2(1/fpp)`-bit copy), then the incoming
+    * batch is filtered MAP-SIDE with Spark's own codegen'd
+    * `BloomFilterMightContain` kernel — the expression Spark injects
+    * for runtime row-level filtering, here bound to a literal filter.
+    * Neither corpus shuffles at all.
+    *
+    * Error is one-sided by construction: a document already in
+    * `existing` is ALWAYS removed (no false negatives in the filter),
+    * and a genuinely new document is wrongly dropped with probability
+    * ≤ `fpp` — the conservative direction for training data.
+    * LlmDedupSpec gates `bloom ⊆ exact` and the planted-overlap
+    * fixture; the exact arm is the oracle (`q_dedup_incremental`).
+    */
+  def newDocsBloom(existing: DataFrame, incoming: DataFrame,
+                   idCol: String, textCol: String,
+                   expectedItems: Long, fpp: Double = 0.001): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    val bloom = existing
+      .select(xxhash64(col(textCol)).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(out)
+      out.toByteArray
+    }
+    // probe with the SAME long that was inserted (xxhash64 of the text)
+    val might = GraftBridge.column(BloomFilterMightContain(
+      Literal(bytes, org.apache.spark.sql.types.BinaryType),
+      GraftBridge.expression(xxhash64(col(textCol)))))
+    incoming.filter(!might).select(col(idCol))
+  }
 }

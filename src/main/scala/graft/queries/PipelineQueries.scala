@@ -304,7 +304,30 @@ object PipelineQueries {
     //    broadcast rate table ------------------------------------------
     "q_sample_stratified" -> ((s, dir) =>
       Chunking.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
-        rates = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1))))
+        rates = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1))),
+
+    // -- cross-batch dedup, exact arm: hash anti-join of an incoming
+    //    batch (doc_id%10 ≥ 4) against the existing corpus (%10 < 6);
+    //    the %10∈{4,5} slice is the planted overlap -------------------
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.newDocsExact(
+        docs.filter(pmod(col("doc_id"), lit(10)) < 6),
+        docs.filter(pmod(col("doc_id"), lit(10)) >= 4),
+        "doc_id", "text")
+    }),
+
+    // -- cross-batch dedup, Bloom scale arm: same batches, map-side
+    //    BloomFilterMightContain probe, no shuffle. One-sided error
+    //    (≤ fpp chance of wrongly dropping a new doc) → rows-only;
+    //    bloom ⊆ exact is gated in LlmDedupSpec ------------------------
+    "q_dedup_incremental_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.newDocsBloom(
+        docs.filter(pmod(col("doc_id"), lit(10)) < 6),
+        docs.filter(pmod(col("doc_id"), lit(10)) >= 4),
+        "doc_id", "text", expectedItems = 10000L, fpp = 0.001)
+    }))
 
   val oracleSql: Map[String, String] = Map(
 
@@ -769,5 +792,13 @@ object PipelineQueries {
         |FROM documents d
         |JOIN (VALUES ('en', 0.5), ('de', 0.25), ('zh', 0.1)) r(lang, rate)
         |  USING (lang)
-        |WHERE ((d.doc_id % 65536) * 40503) % 65536 < r.rate * 65536""".stripMargin)
+        |WHERE ((d.doc_id % 65536) * 40503) % 65536 < r.rate * 65536""".stripMargin,
+
+    // texts are corpus-unique, so the planted overlap is the shared
+    // %10∈{4,5} slice and the new docs are exactly %10∈{6..9}
+    "q_dedup_incremental" ->
+      """SELECT i.doc_id FROM documents i
+        |WHERE i.doc_id % 10 >= 4
+        |  AND md5(i.text) NOT IN
+        |    (SELECT md5(text) FROM documents WHERE doc_id % 10 < 6)""".stripMargin)
 }

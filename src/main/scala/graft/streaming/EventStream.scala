@@ -49,6 +49,36 @@ object EventStream {
         col(userCol),
         col("session_start"), col("session_end"), col("n_events"))
 
+  /** Watermarked event-time windowed aggregation — the canonical
+    * Structured Streaming op (per-key event rates over tumbling or
+    * sliding windows). Append mode: a window row emits exactly once,
+    * when the watermark passes its end; an event older than the
+    * watermark is dropped by Spark before the aggregation (both
+    * contracts pinned in StreamingSpec). State is (open windows ×
+    * keys) and Spark evicts each window at watermark passage, so the
+    * same plan runs unbounded — this plus partial aggregation
+    * (map-side combine before the keyed shuffle) is the whole 100 TB
+    * story for streaming rates.
+    *
+    * `slide` defaults to the window size (tumbling); pass a smaller
+    * duration for overlapping sliding windows — each event then
+    * contributes to window/slide windows, still one shuffle.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowDuration: String,
+                     slideDuration: Option[String] = None,
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(
+        window(col(tsCol), windowDuration,
+          slideDuration.getOrElse(windowDuration)),
+        col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("n_events"))
+
   final case class TraceEvent(caseId: String, ts: Timestamp, activity: String)
   final case class TraceState(events: Seq[TraceEvent])
   final case class CompletedTrace(caseId: String, nEvents: Int,

@@ -241,4 +241,21 @@ class LlmDedupSpec extends SparkSpec {
     assert(blocked == truth)
     assert(truth.nonEmpty)
   }
+
+  test("incremental dedup: bloom arm ⊆ exact arm, planted dups always removed") {
+    val existing = docs.filter(pmod(col("doc_id"), lit(10)) < 6)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(10)) >= 4)
+    val exact = Dedup.newDocsExact(existing, incoming, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.newDocsBloom(existing, incoming, "doc_id", "text",
+      expectedItems = 1000L, fpp = 0.001)
+      .collect().map(_.getLong(0)).toSet
+    // texts are corpus-unique: new docs are exactly the %10 ∈ {6..9} slice
+    val expected = docs.filter(pmod(col("doc_id"), lit(10)) >= 6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == expected, "exact arm = set difference on content hash")
+    // one-sided error: bloom may over-drop (fpp) but NEVER admits a dup
+    assert(bloom.subsetOf(exact), "no false negatives in the bloom filter")
+    assert(bloom.size >= (exact.size * 0.99).toInt, s"≤1% over-drop (fpp), got ${bloom.size}/${exact.size}")
+  }
 }

@@ -33,6 +33,57 @@ class StreamingSpec extends SparkSpec {
     d
   }
 
+  test("windowed counts: closed windows emit once, late events drop, sliding overlaps") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val counts = EventStream.windowedCounts(in.toDF(), "ts", "user_id",
+      windowDuration = "10 minutes", watermarkDelay = "5 minutes")
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("wc_out").start()
+    try {
+      in.addData(
+        Ev(1L, ts("2024-01-01 10:01:00"), "a"),
+        Ev(1L, ts("2024-01-01 10:04:00"), "b"),
+        Ev(2L, ts("2024-01-01 10:02:00"), "c"),
+        Ev(1L, ts("2024-01-01 10:11:00"), "d")) // next window
+      q.processAllAvailable()
+      // nothing closed yet (watermark at 10:06); flush past both windows
+      in.addData(Ev(99L, ts("2024-01-01 11:00:00"), "flush"))
+      q.processAllAvailable()
+      def rows = spark.table("wc_out")
+        .select("window_start", "user_id", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (ts("2024-01-01 10:00:00"), 1L, 2L),
+        (ts("2024-01-01 10:00:00"), 2L, 1L),
+        (ts("2024-01-01 10:10:00"), 1L, 1L)),
+        s"closed windows exactly once: $rows")
+      // a late event behind the watermark must not re-open 10:00
+      in.addData(Ev(1L, ts("2024-01-01 10:03:00"), "late"))
+      q.processAllAvailable()
+      assert(!rows.exists(r => r._1 == ts("2024-01-01 10:00:00") && r._3 == 3L),
+        "late event dropped, closed window not re-emitted")
+    } finally q.stop()
+
+    // sliding variant: one event lands in window/slide = 2 windows
+    val in2 = MemoryStream[Ev]
+    val sliding = EventStream.windowedCounts(in2.toDF(), "ts", "user_id",
+      windowDuration = "10 minutes", slideDuration = Some("5 minutes"),
+      watermarkDelay = "5 minutes")
+    val q2 = sliding.writeStream.outputMode("append")
+      .format("memory").queryName("wc_slide_out").start()
+    try {
+      in2.addData(Ev(1L, ts("2024-01-01 10:06:00"), "a"))
+      in2.addData(Ev(99L, ts("2024-01-01 11:00:00"), "flush"))
+      q2.processAllAvailable()
+      val starts = spark.table("wc_slide_out").filter(col("user_id") === 1L)
+        .select("window_start").collect().map(_.getTimestamp(0)).toSet
+      assert(starts == Set(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00")),
+        s"event contributes to both overlapping windows: $starts")
+    } finally q2.stop()
+  }
+
   test("streaming sessionization: gap splits sessions, append emits closed ones") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
