@@ -98,6 +98,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("context-shaping plans: broadcast rate table, shuffle-free bloom probe, no generator trap") {
+    assert(plan("q_sample_stratified").contains("BroadcastHashJoin"),
+      "the rate table must ride a broadcast join, never shuffle the corpus")
+    val bloom = plan("q_dedup_incremental_bloom")
+    assert(!bloom.contains("Exchange"),
+      "the bloom arm's whole point is zero shuffle of either corpus")
+    assert(bloom.contains("might_contain"),
+      "probe must run through the codegen'd BloomFilterMightContain")
+    // chunking: the explode_outer + isNotNull pattern keeps the split/
+    // sequence generator input from being pushdown-re-substituted into
+    // a scan-side Filter (the r5 trap family)
+    val chunk = plan("q_chunk")
+    val bad = chunk.linesIterator.filter(l =>
+      (l.contains("Filter") || l.contains("FileScan")) && l.contains("split(")).toList
+    assert(bad.isEmpty, s"q_chunk re-evaluates split at the scan:\n${bad.mkString("\n")}")
+  }
+
   test("q_ann_ivf's cluster assignment is never re-evaluated below the shuffle") {
     // the IVF join key is wrapped non-nullable so the inner join infers
     // no isnotnull(key) filter — without that, pushdown substitutes the
