@@ -435,6 +435,58 @@ object Dedup {
       .distinct()
   }
 
+  /** Transitive duplicate clusters: near-dup PAIRS under-merge (A~B,
+    * B~C but A≁C leaves two keep-decisions for one logical document
+    * family), so cluster the pair graph and key each document by its
+    * component's minimum id. Min-label propagation: per round, every
+    * node takes the min of its own and its neighbors' labels — one
+    * keyed shuffle per round, converging in O(component diameter)
+    * rounds. Near-dup components are small and shallow (a boilerplate
+    * family, a mirrored page), so the bound is a handful of rounds;
+    * a web-scale graph with long chains would swap in the
+    * alternating small-star/large-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce", SoCC'14) — same API.
+    *
+    * The edge list is `localCheckpoint`ed once (it is usually the
+    * output of an expensive similarity join) and each round's labels
+    * are checkpointed too, truncating the iterative lineage — without
+    * that, round k replans rounds 1..k-1.
+    *
+    * Returns (id, cluster_id) for every node of `pairs`; singleton
+    * documents (no pair) are their own cluster by definition and
+    * don't appear. If `maxIter` rounds don't converge, the labels are
+    * returned as-is with a WARN — audit, not silent truncation.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("cluster_id"))
+        .union(labels)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      val changed = prop.join(
+          labels.withColumnRenamed("cluster_id", "__old"), "id")
+        .filter(col("cluster_id") =!= col("__old")).limit(1).count()
+      labels = prop
+      converged = changed == 0L
+      i += 1
+    }
+    if (!converged) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"connectedComponents: not converged after $maxIter rounds")
+    labels
+  }
+
   /** Cross-batch (incremental) dedup, exact arm: which `incoming`
     * documents are genuinely new vs an `existing` corpus? Left-anti
     * join on the content hash — both sides shuffle (hash, id) pairs

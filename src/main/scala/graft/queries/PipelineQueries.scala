@@ -306,6 +306,17 @@ object PipelineQueries {
       Chunking.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
         rates = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1))),
 
+    // -- dedup clusters: transitive closure of the unblocked exact
+    //    near-dup pairs via min-label connected components; the
+    //    oracle replays it as a recursive reachability CTE -----------
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).withColumn("__all", lit(1)),
+        "doc_id", "text", blockCol = "__all", n = 2, threshold = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
     // -- cross-batch dedup, exact arm: hash anti-join of an incoming
     //    batch (doc_id%10 ≥ 4) against the existing corpus (%10 < 6);
     //    the %10∈{4,5} slice is the planted overlap -------------------
@@ -793,6 +804,32 @@ object PipelineQueries {
         |JOIN (VALUES ('en', 0.5), ('de', 0.25), ('zh', 0.1)) r(lang, rate)
         |  USING (lang)
         |WHERE ((d.doc_id % 65536) * 40503) % 65536 < r.rate * 65536""".stripMargin,
+
+    // reachability fixpoint (UNION-distinct recursion) over the same
+    // unblocked pair SQL as q_minhash_lsh; cluster = min reachable id
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      CAST(len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT src AS node, src AS r FROM edges
+        |  UNION
+        |  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+        |)
+        |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY node""".stripMargin,
 
     // texts are corpus-unique, so the planted overlap is the shared
     // %10∈{4,5} slice and the new docs are exactly %10∈{6..9}

@@ -242,6 +242,20 @@ class LlmDedupSpec extends SparkSpec {
     assert(truth.nonEmpty)
   }
 
+  test("connected components: chains merge transitively, components stay separate") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), pair 10-11, triangle 20-21-22
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // pairwise min-keep (the per-pair heuristic) would key 3~4 by 3,
+    // splitting the family; the component keys it by 1
+    assert(got(4L) == 1L, "transitive closure, not per-pair keep")
+  }
+
   test("incremental dedup: bloom arm ⊆ exact arm, planted dups always removed") {
     val existing = docs.filter(pmod(col("doc_id"), lit(10)) < 6)
     val incoming = docs.filter(pmod(col("doc_id"), lit(10)) >= 4)
