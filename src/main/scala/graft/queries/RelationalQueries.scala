@@ -203,6 +203,34 @@ object RelationalQueries {
           col("promo_id"), col("start_ts"))
     }),
 
+    // Exact per-key quantiles (oracle tier). Cross-engine bit-equality
+    // needs all interpolation arithmetic IEEE-exact: quantize the
+    // measure to ints (floor(value·1000)) and use DYADIC probe points
+    // (k/4), so p·(n−1), its fraction, and lo + (hi−lo)·frac are all
+    // exact doubles in both engines regardless of each one's
+    // interpolation formula. The sort-based exact percentile is the
+    // small-data tier; q_quantiles_approx is the 100 TB arm.
+    "q_quantiles" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(expr("percentile(CAST(floor(value * 1000) AS BIGINT), " +
+          "array(0.25D, 0.5D, 0.75D))").as("__qs"))
+        .select(col("event_type"),
+          element_at(col("__qs"), 1).as("q25"),
+          element_at(col("__qs"), 2).as("q50"),
+          element_at(col("__qs"), 3).as("q75"))),
+
+    // Approximate-percentile scale arm: one pass, bounded sketch state
+    // per key (no global sort) — rows-only in the driver, held to the
+    // exact tier's values within the sketch accuracy in ScalePatternsSpec.
+    "q_quantiles_approx" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(expr("approx_percentile(CAST(floor(value * 1000) AS BIGINT), " +
+          "array(0.25D, 0.5D, 0.75D), 10000)").as("__qs"))
+        .select(col("event_type"),
+          element_at(col("__qs"), 1).cast("double").as("q25"),
+          element_at(col("__qs"), 2).cast("double").as("q50"),
+          element_at(col("__qs"), 3).cast("double").as("q75"))),
+
     // The SQL-text surface: the same engine through spark.sql over a
     // registered view — parity between the Column API and SQL parsing.
     "q_sql_surface" -> ((s, dir) => {
@@ -329,5 +357,14 @@ object RelationalQueries {
     "q_sql_surface" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM events GROUP BY 1""".stripMargin)
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT event_type,
+        |  qs[1] AS q25, qs[2] AS q50, qs[3] AS q75
+        |FROM (
+        |  SELECT event_type,
+        |    quantile_cont(CAST(floor(value * 1000) AS BIGINT),
+        |                  [0.25, 0.5, 0.75]) AS qs
+        |  FROM events GROUP BY 1)""".stripMargin)
 }

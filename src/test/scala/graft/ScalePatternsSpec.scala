@@ -52,4 +52,26 @@ class ScalePatternsSpec extends SparkSpec {
         v => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
     }
   }
+
+  test("approx-percentile scale arm tracks the exact tier within sketch accuracy") {
+    // q_quantiles (sort-based exact, the oracle tier) vs
+    // q_quantiles_approx (one-pass KLL-style sketch, the 100 TB arm):
+    // at accuracy 10000 the rank error is ≤ n/10000, which on this
+    // fixture (n per key ≪ 10000) means the sketch is rank-exact; the
+    // interpolated exact value may sit between two data points, so
+    // allow the neighboring-observation gap.
+    val exact = SparkEntry.queries("q_quantiles")(spark, Sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = SparkEntry.queries("q_quantiles_approx")(spark, Sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(exact.keySet == approx.keySet)
+    // values are quantized ints spanning ~[0, 1e6]; rank-exactness puts
+    // the sketch answer at a data point adjacent to the interpolated one
+    val tol = 2000.0
+    for ((k, (e25, e50, e75)) <- exact; (a25, a50, a75) = approx(k)) {
+      assert(math.abs(e25 - a25) <= tol && math.abs(e50 - a50) <= tol &&
+        math.abs(e75 - a75) <= tol,
+        s"$k: exact ($e25,$e50,$e75) vs approx ($a25,$a50,$a75)")
+    }
+  }
 }
