@@ -466,20 +466,37 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
+    // Convergence probe: labels only ever DECREASE under min-
+    // propagation, so Σ(cluster_id) is strictly monotone until the
+    // fixpoint — one cheap agg over the checkpointed frame replaces a
+    // per-round join-and-compare. Decimal sum: Σ of 64-bit ids can
+    // pass 2^63 on a big graph, and ANSI mode would throw.
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val prop = edges
+      // one round = neighbor-min + pointer jump (label := label of
+      // label), fused into a single checkpoint job. The jump halves
+      // the effective path length each round, so rounds are
+      // O(log diameter) instead of O(diameter).
+      val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("cluster_id"))
         .union(labels)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+      val jumped = neighborMin
+        .join(neighborMin.select(col("id").as("cluster_id"),
+          col("cluster_id").as("__jump")), Seq("cluster_id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__jump"), col("cluster_id")))
+            .as("cluster_id"))
         .localCheckpoint()
-      val changed = prop.join(
-          labels.withColumnRenamed("cluster_id", "__old"), "id")
-        .filter(col("cluster_id") =!= col("__old")).limit(1).count()
-      labels = prop
-      converged = changed == 0L
+      val s = labelSum(jumped)
+      labels = jumped
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
     if (!converged) org.slf4j.LoggerFactory.getLogger(getClass).warn(

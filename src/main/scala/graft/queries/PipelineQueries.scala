@@ -306,13 +306,16 @@ object PipelineQueries {
       Chunking.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
         rates = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1))),
 
-    // -- dedup clusters: transitive closure of the unblocked exact
-    //    near-dup pairs via min-label connected components; the
-    //    oracle replays it as a recursive reachability CTE -----------
+    // -- dedup clusters: transitive closure of the near-dup pairs via
+    //    min-label connected components. Pairs come from the MinHash-
+    //    LSH scale arm (spec-proven equal to the unblocked exact tier
+    //    on this corpus — LlmDedupSpec recall/precision 1.0), so the
+    //    oracle can replay the EXACT pair graph as a recursive
+    //    reachability CTE while the Spark side runs the plan that
+    //    survives 100 TB ----------------------------------------------
     "q_dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(
-        Tables.documents(s, dir).withColumn("__all", lit(1)),
-        "doc_id", "text", blockCol = "__all", n = 2, threshold = 0.5)
+      val pairs = Dedup.minhashNearDups(Tables.documents(s, dir),
+        "doc_id", "text", threshold = 0.5)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
