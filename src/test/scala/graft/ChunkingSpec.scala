@@ -50,6 +50,36 @@ class ChunkingSpec extends SparkSpec {
     assert(rebuilt.sameElements(words(80).split(" ")), "chunks cover every token once")
   }
 
+  test("chunk: overlap 0 partitions the document exactly") {
+    val df = frame((1L, "a", words(50)))
+    val chunks = Chunking.chunkDocuments(df, "id", "text",
+        chunkTokens = 20, overlapTokens = 0)
+      .collect().map(r => (r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(chunks.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(chunks.flatMap(_._2.split(" ")).sameElements(words(50).split(" ")),
+      "zero-overlap chunks concatenate back to the document")
+  }
+
+  test("chunk runs unchanged on a stream (stateless row-local op)") {
+    // the batch operator IS the streaming operator: no state, no
+    // watermark needed — the whole context-shaping layer applies to a
+    // document stream as-is
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String)]
+    val q = Chunking.chunkDocuments(
+        in.toDF().toDF("id", "text"), "id", "text", 32, 8)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chunk_stream_out").start()
+    try {
+      in.addData((1L, words(80)), (2L, words(5)))
+      q.processAllAvailable()
+      val n = spark.table("chunk_stream_out").count()
+      assert(n == 4, s"3 chunks + 1 identity chunk, got $n")
+    } finally q.stop()
+  }
+
   test("pack: budget respected, order preserved, every doc exactly once") {
     val docs = frame(
       (1L, "s1", words(50)), (2L, "s1", words(60)), (3L, "s1", words(30)),

@@ -115,6 +115,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(bad.isEmpty, s"q_chunk re-evaluates split at the scan:\n${bad.mkString("\n")}")
   }
 
+  test("q_topn_per_key plans partial+final WindowGroupLimit, not a full window sort") {
+    // Spark 4's rank-limit pushdown caps per-key state BEFORE the
+    // shuffle (partial) and after (final) — the built-in already IS
+    // the bounded-heap top-k-per-key operator, which is why this repo
+    // ships no custom strategy for it (SURVEY §7.3). This gate keeps
+    // the query shaped so the optimization continues to fire.
+    val p = plan("q_topn_per_key")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial") && p.contains("Final"),
+      s"rank-limit pushdown must fire:\n${p.take(1500)}")
+  }
+
   test("q_ann_ivf's cluster assignment is never re-evaluated below the shuffle") {
     // the IVF join key is wrapped non-nullable so the inner join infers
     // no isnotnull(key) filter — without that, pushdown substitutes the

@@ -53,6 +53,23 @@ class ScalePatternsSpec extends SparkSpec {
     }
   }
 
+  test("partitioned warehouse layout: a stratum filter prunes partitions at the scan") {
+    // the 100 TB layout for the documents corpus: directory-partition
+    // by the low-cardinality stratum (lang), so per-language pipeline
+    // stages (lang-blocked dedup, per-lang sampling) read only their
+    // slice. PartitionFilters in the scan — not a post-scan Filter —
+    // is the contract.
+    val wh = Files.createTempDirectory("graft-part").toString
+    Tables.documents(spark, Sf).write.mode("overwrite")
+      .partitionBy("lang").parquet(s"$wh/docs")
+    val q = spark.read.parquet(s"$wh/docs").filter(col("lang") === "en")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter must prune partitions:\n${scan.take(800)}")
+    val full = Tables.documents(spark, Sf).filter(col("lang") === "en").count()
+    assert(q.count() == full, "pruned read returns the same rows")
+  }
+
   test("approx-percentile scale arm tracks the exact tier within sketch accuracy") {
     // q_quantiles (sort-based exact, the oracle tier) vs
     // q_quantiles_approx (one-pass KLL-style sketch, the 100 TB arm):
