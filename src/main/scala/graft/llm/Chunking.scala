@@ -43,22 +43,24 @@ object Chunking {
     * builtins — no interpreted lambda in the hot path.
     */
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
-                     chunkTokens: Int = 32, overlapTokens: Int = 8): DataFrame = {
+                     chunkTokens: Int = 32, overlapTokens: Int = 8,
+                     carryCols: Seq[String] = Nil): DataFrame = {
     val stride = chunkTokens - overlapTokens
     require(stride > 0, s"overlapTokens ($overlapTokens) must be < chunkTokens ($chunkTokens)")
+    val carry = carryCols.map(col)
     df.filter(col(textCol).isNotNull)
-      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol) +: carry :+ split(col(textCol), " ").as("__toks"): _*)
       .withColumn("__n", size(col("__toks")))
-      .select(col(idCol), col("__toks"), col("__n"),
+      .select(col(idCol) +: carry :+ col("__toks") :+ col("__n") :+
         posexplode_outer(sequence(lit(0),
             greatest(col("__n") - (overlapTokens + 1), lit(0)), lit(stride)))
-          .as(Seq("chunk_idx", "__start")))
+          .as(Seq("chunk_idx", "__start")): _*)
       .filter(col("__start").isNotNull)
-      .select(col(idCol), col("chunk_idx"),
+      .select(col(idCol) +: carry :+ col("chunk_idx") :+
         array_join(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)), " ")
-          .as("chunk_text"),
+          .as("chunk_text") :+
         least(lit(chunkTokens), col("__n") - col("__start")).cast("long")
-          .as("chunk_tokens"))
+          .as("chunk_tokens"): _*)
   }
 
   /** Greedy sequential packing: within each shard, walk documents in

@@ -306,6 +306,30 @@ object PipelineQueries {
       Chunking.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
         rates = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1))),
 
+    // -- the FULL training-data prep pipeline in one query: quality
+    //    gate → near-dup removal (LSH scale arm, fixture-equal to the
+    //    exact tier) → token-window chunking → greedy packing per
+    //    source shard. Every stage composes its SCALE arm; the oracle
+    //    replays the whole chain (exact pairs + recursive packing
+    //    CTE), so the end-to-end result is still hash-checked. Chunk
+    //    ids are doc_id·1000 + chunk_idx (≤ ~5 chunks/doc here;
+    //    collision-free while chunks/doc < 1000). -------------------
+    "q_prep_pipeline" -> ((s, dir) => {
+      val kept = withStats(Tables.documents(s, dir))
+        .filter(col("quality") >= 0.55 && col("n_tokens") >= 20)
+      val dupIds = Dedup.minhashNearDups(kept, "doc_id", "text",
+          threshold = 0.5, blockCol = Some("lang"))
+        .select(col("id_b").as("doc_id")).distinct()
+      val clean = kept.join(dupIds, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source", "text")
+      val chunks = Chunking.chunkDocuments(clean, "doc_id", "text",
+          chunkTokens = 32, overlapTokens = 8, carryCols = Seq("source"))
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
+          col("source"), col("chunk_text"))
+      Chunking.packGreedy(chunks, "source", "cid", "chunk_text",
+        budgetTokens = 128)
+    }),
+
     // -- dedup clusters: transitive closure of the near-dup pairs via
     //    min-label connected components. Pairs come from the MinHash-
     //    LSH scale arm (spec-proven equal to the unblocked exact tier
@@ -807,6 +831,67 @@ object PipelineQueries {
         |JOIN (VALUES ('en', 0.5), ('de', 0.25), ('zh', 0.1)) r(lang, rate)
         |  USING (lang)
         |WHERE ((d.doc_id % 65536) * 40503) % 65536 < r.rate * 65536""".stripMargin,
+
+    // the whole prep chain replayed: q_curation's quality/dedup CTEs
+    // (exact pairs — the Spark side's LSH arm is fixture-equal),
+    // q_chunk's window starts, q_pack_greedy's recursive accumulator
+    "q_prep_pipeline" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
+        |    CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to'))) AS INTEGER) AS n_stop
+        |  FROM t
+        |), q AS (
+        |  SELECT *,
+        |    CAST(least(n_tokens, 60) AS DOUBLE) / 60.0 * 0.5 +
+        |      CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3 +
+        |      CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.2 AS quality
+        |  FROM s
+        |), passed AS (
+        |  SELECT * FROM q WHERE quality >= 0.55 AND n_tokens >= 20
+        |), g AS (
+        |  SELECT t.doc_id, t.lang,
+        |    list_distinct(CASE WHEN len(t.toks) >= 2
+        |      THEN list_transform(range(1, len(t.toks)), i -> t.toks[i] || ' ' || t.toks[i+1])
+        |      ELSE [] END) AS grams
+        |  FROM t JOIN passed USING (doc_id)
+        |), dup AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id
+        |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        CAST(len(a.grams) + len(b.grams)
+        |             - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
+        |), clean AS (
+        |  SELECT p.doc_id, p.source, t.toks,
+        |    CAST(len(t.toks) AS BIGINT) AS nt
+        |  FROM passed p JOIN t USING (doc_id)
+        |  WHERE p.doc_id NOT IN (SELECT doc_id FROM dup)
+        |), chunks AS (
+        |  SELECT source, doc_id * 1000 + start // 24 AS cid,
+        |    least(32, nt - start) AS n
+        |  FROM (SELECT doc_id, source, nt,
+        |          unnest(range(0, greatest(nt - 8, 1), 24)) AS start
+        |        FROM clean)
+        |), ord AS (
+        |  SELECT source AS shard, cid, n,
+        |    row_number() OVER (PARTITION BY source ORDER BY cid) AS rn
+        |  FROM chunks
+        |), rec AS (
+        |  SELECT shard, cid, rn, n, n AS acc, CAST(1 AS BIGINT) AS pack_id
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.cid, o.rn, o.n,
+        |    CASE WHEN r.acc + o.n > 128 THEN o.n ELSE r.acc + o.n END AS acc,
+        |    CASE WHEN r.acc + o.n > 128 THEN r.pack_id + 1 ELSE r.pack_id END AS pack_id
+        |  FROM rec r JOIN ord o ON o.shard = r.shard AND o.rn = r.rn + 1
+        |)
+        |SELECT shard, pack_id, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS pack_tokens,
+        |  CAST(min(cid) AS BIGINT) AS first_doc,
+        |  CAST(max(cid) AS BIGINT) AS last_doc
+        |FROM rec GROUP BY 1, 2""".stripMargin,
 
     // reachability fixpoint (UNION-distinct recursion) over the same
     // unblocked pair SQL as q_minhash_lsh; cluster = min reachable id
