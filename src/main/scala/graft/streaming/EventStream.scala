@@ -139,6 +139,64 @@ object EventStream {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  final case class PackDoc(shard: String, docId: Long, ts: Timestamp, nTokens: Long)
+  final case class PackState(packId: Long, acc: Long, nDocs: Long,
+                             firstDoc: Long, lastDoc: Long)
+  final case class ClosedPack(shard: String, packId: Long, nDocs: Long,
+                              packTokens: Long, firstDoc: Long, lastDoc: Long)
+
+  /** Streaming arm of `Chunking.packGreedy`: per shard, a running
+    * token accumulator packs documents as they ARRIVE; a pack emits
+    * the moment the next document would overflow `budgetTokens`, and
+    * the open tail pack flushes when the watermark says the shard has
+    * gone quiet for `flushGapMinutes` (event-time timeout — the same
+    * close-on-silence contract as `assembleTraces`).
+    *
+    * Semantics decided for the stream (nothing to copy from batch):
+    * packing order is ARRIVAL order, (ts, docId)-sorted within each
+    * micro-batch for determinism under replay of the same batch
+    * boundaries — a training-data stream wants append-time locality,
+    * not global id order; the batch tier over the landed corpus gives
+    * the id-ordered packing when that matters. State per shard is one
+    * accumulator (constant memory), so shard cardinality alone bounds
+    * the state store.
+    */
+  def packStream(docs: Dataset[PackDoc], budgetTokens: Long,
+                 flushGapMinutes: Int = 30,
+                 watermarkDelay: String = "10 minutes"): Dataset[ClosedPack] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (shard: String, it: Iterator[PackDoc], state: GroupState[PackState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            if (s.nDocs > 0)
+              Iterator.single(ClosedPack(shard, s.packId, s.nDocs, s.acc,
+                s.firstDoc, s.lastDoc))
+            else Iterator.empty
+          } else {
+            val out = Seq.newBuilder[ClosedPack]
+            var s = state.getOption.getOrElse(PackState(1L, 0L, 0L, Long.MaxValue, Long.MinValue))
+            var maxTs = Long.MinValue
+            it.toSeq.sortBy(d => (d.ts.getTime, d.docId)).foreach { d =>
+              maxTs = math.max(maxTs, d.ts.getTime)
+              if (s.nDocs > 0 && s.acc + d.nTokens > budgetTokens) {
+                out += ClosedPack(shard, s.packId, s.nDocs, s.acc, s.firstDoc, s.lastDoc)
+                s = PackState(s.packId + 1, 0L, 0L, Long.MaxValue, Long.MinValue)
+              }
+              s = PackState(s.packId, s.acc + d.nTokens, s.nDocs + 1,
+                math.min(s.firstDoc, d.docId), math.max(s.lastDoc, d.docId))
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(maxTs + flushGapMinutes * 60000L)
+            out.result().iterator
+          }
+        })
+  }
+
   /** Stream-static AS-OF enrichment — the streaming arm of the batch
     * `operators.AsofJoin` for the common case where the right side is
     * a slowly-changing dimension snapshot (price list, config,

@@ -84,6 +84,41 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming greedy packing: overflow closes packs, silence flushes the tail") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStream.{PackDoc, ClosedPack}
+    val in = MemoryStream[PackDoc]
+    val packs = EventStream.packStream(in.toDS(), budgetTokens = 128,
+      flushGapMinutes = 30, watermarkDelay = "5 minutes")
+    val q = packs.writeStream.outputMode("append")
+      .format("memory").queryName("pack_out").start()
+    try {
+      in.addData(
+        PackDoc("s1", 1L, ts("2024-01-01 10:00:00"), 50L),
+        PackDoc("s1", 2L, ts("2024-01-01 10:01:00"), 60L),
+        PackDoc("s1", 3L, ts("2024-01-01 10:02:00"), 30L),  // 110+30 overflows → pack 1 closes
+        PackDoc("s2", 9L, ts("2024-01-01 10:00:00"), 5L))
+      q.processAllAvailable()
+      def rows = spark.table("pack_out").as[ClosedPack].collect()
+        .map(p => (p.shard, p.packId, p.nDocs, p.packTokens, p.firstDoc, p.lastDoc)).toSet
+      assert(rows == Set(("s1", 1L, 2L, 110L, 1L, 2L)),
+        s"only the overflowed pack emits while shards are live: $rows")
+      // cross-batch continuation: doc 4 joins the open pack 2 (30+90=120)
+      in.addData(PackDoc("s1", 4L, ts("2024-01-01 10:03:00"), 90L))
+      q.processAllAvailable()
+      assert(rows == Set(("s1", 1L, 2L, 110L, 1L, 2L)), "open pack stays open across batches")
+      // silence: watermark passes last-event + gap → tails flush
+      in.addData(PackDoc("s3", 99L, ts("2024-01-01 12:00:00"), 1L))
+      q.processAllAvailable()
+      in.addData(PackDoc("s3", 98L, ts("2024-01-01 13:00:00"), 1L))
+      q.processAllAvailable()
+      assert(rows.contains(("s1", 2L, 2L, 120L, 3L, 4L)),
+        s"tail pack flushed on event-time silence: $rows")
+      assert(rows.contains(("s2", 1L, 1L, 5L, 9L, 9L)))
+    } finally q.stop()
+  }
+
   test("streaming sessionization: gap splits sessions, append emits closed ones") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
