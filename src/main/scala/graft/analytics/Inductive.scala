@@ -375,4 +375,33 @@ object Inductive {
     }
     false
   }
+
+  /** Graphviz DOT rendering of a discovered net — the library analogue
+    * of the notebook's final `pm4py.view_petri_net(net, im, fm)` call
+    * (/root/reference/example.ipynb cell 3; pm4py renders through
+    * graphviz too, so the artifact consumers see is the same kind).
+    * Deterministic output: nodes and edges emit in sorted order, so
+    * the rendering is diff- and golden-test-stable. Labeled
+    * transitions are boxes, τ transitions filled black (the pm4py
+    * convention), places circles, with source/sink marked.
+    */
+  def toDot(net: PetriNet): String = {
+    val sb = new StringBuilder("digraph petri_net {\n  rankdir=LR;\n")
+    net.places.toSeq.sorted.foreach { p =>
+      val extra =
+        if (p == net.source) ", label=\"●\", xlabel=\"source\""
+        else if (p == net.sink) ", label=\"◎\", xlabel=\"sink\""
+        else ", label=\"\""
+      sb ++= s"""  "$p" [shape=circle$extra];\n"""
+    }
+    net.transitions.toSeq.sortBy(_._1).foreach {
+      case (t, Some(l)) =>
+        sb ++= s"""  "$t" [shape=box, label="${l.replace("\"", "\\\"")}"];\n"""
+      case (t, None) =>
+        sb ++= s"""  "$t" [shape=box, style=filled, fillcolor=black, label=""];\n"""
+    }
+    net.arcs.toSeq.sorted.foreach { case (a, b) => sb ++= s"""  "$a" -> "$b";\n""" }
+    sb ++= "}\n"
+    sb.result()
+  }
 }

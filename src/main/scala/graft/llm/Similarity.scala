@@ -314,6 +314,39 @@ object Similarity {
     * inside an interpreted lambda was the dominant cost of the
     * multi-table signature (~10k string hashes per row).
     */
+  /** Storage-tier int8 quantization: per-vector symmetric scale
+    * (maxabs/127), elements stored as floor(x/scale) ∈ [−127, 127].
+    * 4× the density of float32 — at 100 TB the embedding store is
+    * usually the single largest table, and int8 is the standard
+    * first compression step (re-ranking dequantizes only the
+    * candidate set). A zero vector quantizes to zeros with scale 0.
+    *
+    * floor (not round) keeps the oracle cross-engine: both engines
+    * compute the identical doubles for scale and x/scale, and floor
+    * has no rounding-convention split. The dequantization error per
+    * element is < scale by construction; `AnnSpec` gates cosine
+    * fidelity of the reconstruction.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol),
+        expr(s"transform($embCol, x -> CAST(x AS double))").as("__v"))
+      .withColumn("scale",
+        array_max(expr("transform(__v, x -> abs(x))")) / lit(127.0))
+      .select(col(idCol), col("scale"),
+        when(col("scale") === 0.0,
+            expr("transform(__v, x -> CAST(0 AS bigint))"))
+          .otherwise(expr("transform(__v, x -> CAST(floor(x / scale) AS bigint))"))
+          .as("qvec"))
+
+  /** Reconstruct an approximate float vector from `quantizeInt8`
+    * output: x̂ = (q + 0.5)·scale (midpoint of the floor bucket —
+    * halves the worst-case error vs q·scale).
+    */
+  def dequantizeInt8(df: DataFrame, qvecCol: String, scaleCol: String,
+                     as: String): DataFrame =
+    df.withColumn(as,
+      expr(s"transform($qvecCol, q -> CAST((CAST(q AS double) + 0.5) * $scaleCol AS float))"))
+
   private def splitmixUnit(seed: Long): Double = {
     var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

@@ -261,6 +261,13 @@ object PipelineQueries {
       Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, dir), "vec_id",
         "embedding", threshold = 0.35)),
 
+    // -- similarity storage tier: per-vector symmetric int8
+    //    quantization (4× density; floor keeps it cross-engine) -------
+    "q_embed_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("qvec")).as(Seq("pos", "q")))),
+
     // -- similarity: multiprobe hyperplane-LSH ANN (scale tier) --------
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -831,6 +838,19 @@ object PipelineQueries {
         |JOIN (VALUES ('en', 0.5), ('de', 0.25), ('zh', 0.1)) r(lang, rate)
         |  USING (lang)
         |WHERE ((d.doc_id % 65536) * 40503) % 65536 < r.rate * 65536""".stripMargin,
+
+    "q_embed_quantize" ->
+      """SELECT vec_id, scale, CAST(pos AS INTEGER) AS pos, q FROM (
+        |  SELECT vec_id, scale,
+        |    unnest(range(0, len(v))) AS pos,
+        |    unnest(list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(floor(x / scale) AS BIGINT) END)) AS q
+        |  FROM (
+        |    SELECT vec_id, v,
+        |      list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |    FROM (SELECT vec_id,
+        |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |          FROM embeddings)))""".stripMargin,
 
     // the whole prep chain replayed: q_curation's quality/dedup CTEs
     // (exact pairs — the Spark side's LSH arm is fixture-equal),

@@ -107,4 +107,35 @@ class AnnSpec extends SparkSpec {
       assert(sorted == sorted.sorted.reverse)
     }
   }
+
+  test("int8 quantization: bounded element error, cosine fidelity, zero-vector safe") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val emb = Tables.embeddings(spark, Sf)
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val deq = Similarity.dequantizeInt8(q, "qvec", "scale", "vhat")
+    val joined = emb.select(col("vec_id"), col("embedding"))
+      .join(deq.select(col("vec_id"), col("scale"), col("vhat")), "vec_id")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val scale = r.getDouble(2)
+      val vh = r.getSeq[Float](3).map(_.toDouble)
+      // midpoint reconstruction: per-element error strictly < scale/2 + float ulp
+      v.zip(vh).foreach { case (x, xh) =>
+        assert(math.abs(x - xh) <= scale / 2 + 1e-6, s"err ${math.abs(x - xh)} vs $scale") }
+      val dot = v.zip(vh).map { case (a, b) => a * b }.sum
+      val cos = dot / math.sqrt(v.map(x => x * x).sum * vh.map(x => x * x).sum)
+      assert(cos > 0.999, s"cosine fidelity after 8-bit quantization, got $cos")
+    }
+    // a zero vector must not divide by zero
+    val zschema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val z = spark.createDataFrame(
+      Seq(Row(1L, Seq(0.0f, 0.0f, 0.0f))).asJava, zschema)
+    val zq = Similarity.quantizeInt8(z, "vec_id", "embedding").collect().head
+    assert(zq.getDouble(1) == 0.0 && zq.getSeq[Long](2).forall(_ == 0L))
+  }
 }

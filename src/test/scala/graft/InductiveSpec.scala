@@ -133,4 +133,21 @@ class InductiveSpec extends SparkSpec {
     assert(tree == Sequence(List(
       Leaf("s"), And(List(Leaf("p"), Leaf("q"))), Leaf("e"))))
   }
+
+  test("DOT export mirrors the net and is deterministic (view_petri_net analogue)") {
+    val net = Inductive.toPetriNet(
+      Inductive.mine(dfgOf(l1), starts = Set("a"), ends = Set("d")))
+    val dot = Inductive.toDot(net)
+    assert(dot.startsWith("digraph petri_net {"))
+    // every place, transition and arc appears exactly once as a node/edge line
+    net.places.foreach(p => assert(dot.contains(s""""$p" [shape=circle""")))
+    net.transitions.foreach { case (t, label) =>
+      assert(dot.contains(s""""$t" [shape=box"""))
+      label.foreach(l => assert(dot.contains(s"""label="$l"""")))
+    }
+    net.arcs.foreach { case (x, y) => assert(dot.contains(s""""$x" -> "$y";""")) }
+    assert(dot.linesIterator.count(_.contains(" -> ")) == net.arcs.size)
+    assert(dot.contains("xlabel=\"source\"") && dot.contains("xlabel=\"sink\""))
+    assert(dot == Inductive.toDot(net), "sorted emission ⇒ byte-stable")
+  }
 }
