@@ -121,6 +121,29 @@ object Chunking {
     * congruent mod 2^16 sample together. Production corpora with
     * opaque ids should pass `false` for full-width `xxhash64`.
     */
+  /** Deterministic train/val/test assignment: the same Weyl bucket as
+    * `stratifiedSample` cut into cumulative-weight ranges, emitted as
+    * a `split` column. Row-local (no shuffle, no join); re-running on
+    * a grown corpus never moves an old document between splits —
+    * the property a random split can't give an incremental pipeline.
+    * Weights must sum to ≤ 1; any remainder falls to the LAST split
+    * (so ("train" → 0.9, "val" → 0.05, "test" → 0.05) is exhaustive
+    * by construction). Insertion order of `weights` is the cut order.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum <= 1.0 + 1e-9,
+      "hashSplit: weights must sum to <= 1")
+    val denom = 65536L
+    val bucket = pmod(pmod(col(idCol), lit(denom)) * lit(40503L), lit(denom))
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail
+    val assign = weights.init.zip(cuts.init).foldLeft(
+      when(lit(false), lit(null: String))) { case (acc, ((name, _), cut)) =>
+        acc.when(bucket < lit(cut * denom), name)
+      }.otherwise(lit(weights.last._1))
+    df.withColumn("split", assign)
+  }
+
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
                        rates: Map[String, Double],
                        portableHash: Boolean = true): DataFrame = {

@@ -435,6 +435,38 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination: which corpus documents share at least
+    * `minShared` distinct word n-grams with some benchmark document?
+    * The named pipeline stage between dedup and training — a test-set
+    * passage leaking into the corpus inflates eval scores, and n-gram
+    * overlap (n ≈ 8–13 in the published recipes; the fixture uses 5)
+    * is the standard detector.
+    *
+    * Shape: inverted-index join keyed by the gram — never a doc×doc
+    * product — with the BENCHMARK side broadcast: benchmarks are tiny
+    * next to a 100 TB corpus, so the probe is map-side and the corpus
+    * never shuffles. A boilerplate gram that is hot in the corpus
+    * costs only |bench postings| per occurrence, which the broadcast
+    * bounds by the benchmark size.
+    */
+  def contaminationPairs(corpus: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int, minShared: Long): DataFrame = {
+    def gramRows(df: DataFrame, as: String): DataFrame = df
+      .filter(col(textCol).isNotNull)
+      .withColumn("__toks", TextOps.tokens(textCol))
+      // gate on the token count, not size(grams) — the r5 pushdown trap
+      .filter(size(col("__toks")) >= n)
+      .withColumn("__g", TextOps.ngrams("__toks", n))
+      .select(col(idCol).as(as), explode_outer(col("__g")).as("gram"))
+      .filter(col("gram").isNotNull)
+    gramRows(corpus, "doc_id")
+      .join(broadcast(gramRows(bench, "bench_id")), "gram")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Transitive duplicate clusters: near-dup PAIRS under-merge (A~B,
     * B~C but A≁C leaves two keep-decisions for one logical document
     * family), so cluster the pair graph and key each document by its

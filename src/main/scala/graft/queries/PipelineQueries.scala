@@ -351,6 +351,26 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
+    // -- decontamination: corpus docs (doc_id%50 ≠ 0) sharing ≥ 3
+    //    distinct 5-grams with a "benchmark" slice (%50 = 0); the
+    //    bench side is broadcast, the corpus never shuffles ----------
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationPairs(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", "text", n = 5, minShared = 3L)
+    }),
+
+    // -- train/val/test assignment: same Weyl bucket as the sampler,
+    //    cut at cumulative weights — row-local and append-stable ------
+    "q_split_assign" -> ((s, dir) =>
+      Chunking.hashSplit(Tables.documents(s, dir), "doc_id",
+          weights = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))),
+
     // -- cross-batch dedup, exact arm: hash anti-join of an incoming
     //    batch (doc_id%10 ≥ 4) against the existing corpus (%10 < 6);
     //    the %10∈{4,5} slice is the planted overlap -------------------
@@ -938,6 +958,38 @@ object PipelineQueries {
         |)
         |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY node""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
+        |    THEN list_transform(range(1, len(toks) - 3), i ->
+        |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |      toks[i+3] || ' ' || toks[i+4])
+        |    ELSE [] END)) AS gram
+        |  FROM t
+        |)
+        |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS shared
+        |FROM g c JOIN g b ON c.gram = b.gram
+        |WHERE c.doc_id % 50 != 0 AND b.doc_id % 50 = 0
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    "q_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id, ((doc_id % 65536) * 40503) % 65536 AS bucket
+        |  FROM documents
+        |), a AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bucket < 0.9 * 65536 THEN 'train'
+        |         WHEN bucket < 0.95 * 65536 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM b
+        |)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id,
+        |  CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM a GROUP BY 1""".stripMargin,
 
     // texts are corpus-unique, so the planted overlap is the shared
     // %10∈{4,5} slice and the new docs are exactly %10∈{6..9}

@@ -103,6 +103,25 @@ class ChunkingSpec extends SparkSpec {
     assert(packs.map(_._3).sum == 7, "every doc in exactly one pack")
   }
 
+  test("hash split: exhaustive, disjoint, append-stable, weight-shaped") {
+    val df = frame((0L until 2000L).map(i => (i, "a", "t")): _*)
+    val w = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val got = Chunking.hashSplit(df, "id", w)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 2000, "every row gets exactly one split")
+    val frac = got.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.9) < 0.05 &&
+      math.abs(frac.getOrElse("val", 0.0) - 0.05) < 0.03 &&
+      math.abs(frac.getOrElse("test", 0.0) - 0.05) < 0.03, s"$frac")
+    // append stability: a grown corpus never reassigns an old id
+    val grown = Chunking.hashSplit(
+      frame((0L until 3000L).map(i => (i, "a", "t")): _*), "id", w)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.forall { case (id, s) => grown(id) == s })
+    intercept[IllegalArgumentException](
+      Chunking.hashSplit(df, "id", Seq("a" -> 0.9, "b" -> 0.2)))
+  }
+
   test("stratified sample: deterministic, subset, stratum-filtered, rate-shaped") {
     val df = frame((0L until 2000L).map(i =>
       (i, "a", if (i % 2 == 0) "en" else if (i % 3 == 0) "de" else "fr")): _*)

@@ -256,6 +256,28 @@ class LlmDedupSpec extends SparkSpec {
     assert(got(4L) == 1L, "transitive closure, not per-pair keep")
   }
 
+  test("decontamination: leaked passage flags, clean docs don't, bench side broadcasts") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val sch = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
+    def mk(rows: (Long, String)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, sch)
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    val bench = mk(100L -> benchText)
+    val corpus = mk(
+      1L -> s"intro words then $benchText and a tail", // leaked passage: many shared 5-grams
+      2L -> "totally different words with no overlap at all here",
+      3L -> "alpha beta gamma unrelated continuation of text") // < minShared shared grams
+    val got = Dedup.contaminationPairs(corpus, bench, "doc_id", "text",
+      n = 5, minShared = 3L)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.map(t => (t._1, t._2)) == Set((1L, 100L)), s"got $rows")
+    assert(rows.head._3 == 4L, "the 8-token passage shares exactly 4 distinct 5-grams")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "benchmark side must broadcast")
+  }
+
   test("incremental dedup: bloom arm ⊆ exact arm, planted dups always removed") {
     val existing = docs.filter(pmod(col("doc_id"), lit(10)) < 6)
     val incoming = docs.filter(pmod(col("doc_id"), lit(10)) >= 4)
