@@ -47,6 +47,11 @@ object Chunking {
                      carryCols: Seq[String] = Nil): DataFrame = {
     val stride = chunkTokens - overlapTokens
     require(stride > 0, s"overlapTokens ($overlapTokens) must be < chunkTokens ($chunkTokens)")
+    // working/output names must not silently shadow real input columns
+    // (same guard class as AsofJoin/IntervalJoin's reserved columns)
+    for (c <- Seq("__toks", "__n", "__start", "chunk_idx", "chunk_text", "chunk_tokens"))
+      require(!df.columns.contains(c),
+        s"chunkDocuments: input already has a '$c' column — rename it")
     val carry = carryCols.map(col)
     df.filter(col(textCol).isNotNull)
       .select(col(idCol) +: carry :+ split(col(textCol), " ").as("__toks"): _*)
@@ -77,6 +82,7 @@ object Chunking {
     */
   def packGreedy(df: DataFrame, shardCol: String, idCol: String,
                  textCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "packGreedy: budgetTokens must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     val assigned = df
@@ -134,6 +140,8 @@ object Chunking {
                 weights: Seq[(String, Double)]): DataFrame = {
     require(weights.nonEmpty && weights.map(_._2).sum <= 1.0 + 1e-9,
       "hashSplit: weights must sum to <= 1")
+    require(!df.columns.contains("split"),
+      "hashSplit: input already has a 'split' column — rename it")
     val denom = 65536L
     val bucket = pmod(pmod(col(idCol), lit(denom)) * lit(40503L), lit(denom))
     val cuts = weights.scanLeft(0.0)(_ + _._2).tail

@@ -452,6 +452,8 @@ object Dedup {
   def contaminationPairs(corpus: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String,
                          n: Int, minShared: Long): DataFrame = {
+    require(idCol != "gram" && textCol != "gram",
+      "contaminationPairs: 'gram' is reserved for the join key")
     def gramRows(df: DataFrame, as: String): DataFrame = df
       .filter(col(textCol).isNotNull)
       .withColumn("__toks", TextOps.tokens(textCol))

@@ -103,6 +103,18 @@ class ChunkingSpec extends SparkSpec {
     assert(packs.map(_._3).sum == 7, "every doc in exactly one pack")
   }
 
+  test("reserved-column guards refuse clashing inputs instead of shadowing them") {
+    val df = frame((1L, "a", words(10)))
+    intercept[IllegalArgumentException](
+      Chunking.chunkDocuments(df.withColumn("chunk_text", lit("x")), "id", "text"))
+    intercept[IllegalArgumentException](
+      Chunking.chunkDocuments(df.withColumn("__toks", lit("x")), "id", "text"))
+    intercept[IllegalArgumentException](
+      Chunking.hashSplit(df.withColumn("split", lit("x")), "id", Seq("a" -> 1.0)))
+    intercept[IllegalArgumentException](
+      Chunking.packGreedy(df, "shard", "id", "text", budgetTokens = 0))
+  }
+
   test("hash split: exhaustive, disjoint, append-stable, weight-shaped") {
     val df = frame((0L until 2000L).map(i => (i, "a", "t")): _*)
     val w = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)

@@ -113,6 +113,11 @@ class PlanShapeSpec extends SparkSpec {
     val bad = chunk.linesIterator.filter(l =>
       (l.contains("Filter") || l.contains("FileScan")) && l.contains("split(")).toList
     assert(bad.isEmpty, s"q_chunk re-evaluates split at the scan:\n${bad.mkString("\n")}")
+    // packing: exactly the two designed shuffles — the shard
+    // repartition below the accumulator and the final stats groupBy
+    val pack = plan("q_pack_greedy")
+    val exchanges = pack.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 2, s"q_pack_greedy grew an extra shuffle ($exchanges):\n${pack.take(1200)}")
   }
 
   test("q_topn_per_key plans partial+final WindowGroupLimit, not a full window sort") {

@@ -84,6 +84,38 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming prep pipeline composes: quality gate → watermarked dedup → chunk") {
+    // the batch prep stages ARE the streaming stages: the stateless
+    // ones (quality filter, chunking) run unchanged, and the only
+    // stateful stage is the watermark-bounded dedup
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.Chunking
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "ts")
+    val prepped = Chunking.chunkDocuments(
+      EventStream.dedupExact(
+        docs.filter(size(split(col("text"), " ")) >= 4), "text", "ts",
+        watermarkDelay = "10 minutes"),
+      "doc_id", "text", chunkTokens = 8, overlapTokens = 2)
+    val q = prepped.writeStream.outputMode("append")
+      .format("memory").queryName("prep_stream_out").start()
+    try {
+      val long12 = (1 to 12).map(i => s"w$i").mkString(" ")
+      in.addData(
+        (1L, long12, ts("2024-01-01 10:00:00")),            // 12 toks → 2 chunks
+        (2L, long12, ts("2024-01-01 10:01:00")),            // exact dup of 1 → dropped
+        (3L, "too short", ts("2024-01-01 10:02:00")),       // quality gate drops
+        (4L, "four tokens right here", ts("2024-01-01 10:03:00"))) // 1 chunk
+      q.processAllAvailable()
+      val rows = spark.table("prep_stream_out")
+        .select("doc_id", "chunk_idx").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(rows == Set((1L, 0), (1L, 1), (4L, 0)),
+        s"dup and low-quality docs never reach the chunker: $rows")
+    } finally q.stop()
+  }
+
   test("streaming greedy packing: overflow closes packs, silence flushes the tail") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
