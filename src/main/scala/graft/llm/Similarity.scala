@@ -75,6 +75,48 @@ object Similarity {
       .select(col("probe_id"), col(idCol).as("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** Two-stage search over the INT8 store: score every candidate with
+    * the 8-bit vectors (scale-free — the per-vector scales cancel in
+    * the cosine), keep `k · rerankFactor` per probe, then rerank just
+    * those with the exact quantized-1000 cosine. This is how a
+    * quantized embedding store is actually queried at scale: the wide
+    * float (or int64-quantized) vectors are touched only for the
+    * shortlisted candidates, so the full-corpus pass reads 4× less.
+    * Exactness is probabilistic in the shortlist only — AnnSpec gates
+    * recall vs `bruteForceTopK` (1.0 on the fixture at factor 4).
+    */
+  def topKInt8Rerank(df: DataFrame, idCol: String, embCol: String,
+                     probePred: Column, k: Int, rerankFactor: Int = 4): DataFrame = {
+    val q8 = quantizeInt8(df, idCol, embCol)
+      .select(col(idCol), col("qvec"))
+      .withColumn("n8", graft.functions.Sketches.dotQ(col("qvec"), col("qvec")))
+    val probes8 = broadcast(q8.filter(probePred)
+      .select(col(idCol).as("probe_id"), col("qvec").as("p8"), col("n8").as("pn8")))
+    val shortlist = probes8.join(q8, col("probe_id") =!= col(idCol))
+      .withColumn("cos8",
+        graft.functions.Sketches.dotQ(col("p8"), col("qvec")).cast("double") /
+          sqrt((col("pn8") * col("n8")).cast("double")))
+      .withColumn("r8", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos8").desc, col(idCol))))
+      .filter(col("r8") <= k * rerankFactor)
+      .select(col("probe_id"), col(idCol))
+    // exact rerank on the shortlist only
+    val vecs = df.select(col(idCol), quantize(embCol).as("v"))
+      .withColumn("nsq", normSqQ("v"))
+    val pv = broadcast(vecs.filter(probePred)
+      .select(col(idCol).as("probe_id"), col("v").as("pv"), col("nsq").as("pnsq")))
+    shortlist
+      .join(vecs, idCol)
+      .join(pv, "probe_id")
+      .withColumn("cos",
+        dotQ("pv", "v").cast("double") /
+          sqrt((col("pnsq") * col("nsq")).cast("double")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Dimensionality probe: one tiny head() job on the first row.
     * Assumes uniform dims (the embedding-table contract); 1 on empty
     * input so downstream plane construction stays well-formed.

@@ -268,6 +268,13 @@ object PipelineQueries {
         .select(col("vec_id"), col("scale"),
           posexplode(col("qvec")).as(Seq("pos", "q")))),
 
+    // -- similarity: two-stage search over the int8 store (scale-free
+    //    8-bit scoring → exact rerank of the shortlist) — rows-only;
+    //    recall vs brute force gated in AnnSpec ------------------------
+    "q_embed_topk_int8" -> ((s, dir) =>
+      Similarity.topKInt8Rerank(Tables.embeddings(s, dir), "vec_id", "embedding",
+        probePred = col("vec_id") < 10, k = 5).orderBy("probe_id", "rank")),
+
     // -- similarity: multiprobe hyperplane-LSH ANN (scale tier) --------
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding",

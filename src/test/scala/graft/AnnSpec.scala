@@ -108,6 +108,21 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("int8 rerank tier: recall 1.0 vs brute force at shortlist factor 4, exact final cosines") {
+    val emb = Tables.embeddings(spark, Sf)
+    val probes = col("vec_id") < 10
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probes, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val got = Similarity.topKInt8Rerank(emb, "vec_id", "embedding", probes, k = 5,
+        rerankFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // on this fixture the 8-bit shortlist at factor 4 never loses a true
+    // neighbor, and the rerank stage re-scores with the SAME exact
+    // kernel as brute force — so the full rows agree bit-for-bit
+    assert(got.toSet == truth.toSet,
+      s"int8 rerank diverged: missing ${truth.toSet -- got.toSet}")
+  }
+
   test("int8 quantization: bounded element error, cosine fidelity, zero-vector safe") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row

@@ -1,0 +1,43 @@
+package graft
+
+/** Driver-contract hygiene: every query is either DuckDB-oracle-backed
+  * or on the EXPLICIT rows-only list with a documented reason — a new
+  * query can't silently ship unchecked, and an oracle can't orphan.
+  */
+class ContractSpec extends SparkSpec {
+
+  /** Queries that are rows-only BY DESIGN, with the reason pinned here
+    * (each also carries a ScalaTest property/recall gate — see SURVEY
+    * §2.9). Adding a query without an oracle means adding it here, in
+    * review-visible form.
+    */
+  private val rowsOnlyByDesign = Map(
+    "q_ann_lsh" -> "approximate by design; recall-gated in AnnSpec",
+    "q_ann_ivf" -> "approximate by design; recall-gated in AnnSpec",
+    "q_simhash_neardup" -> "sketch-approximate; property-gated in LlmDedupSpec",
+    "q_ngram_jaccard_capped" -> "under-counts BY CONTRACT; q_hot_postings audits the drops",
+    "q_inductive_tree" -> "tree recursion not SQL-expressible; InductiveSpec gates",
+    "q_dedup_incremental_bloom" -> "one-sided fpp error; bloom ⊆ exact gated in LlmDedupSpec",
+    "q_quantiles_approx" -> "sketch-approximate; gated to exact tier in ScalePatternsSpec",
+    "q_embed_topk_int8" -> "8-bit shortlist is approximate; recall-gated in AnnSpec")
+
+  test("every query has an oracle or a documented rows-only reason") {
+    val qs = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    val unchecked = qs -- oracles -- rowsOnlyByDesign.keySet
+    assert(unchecked.isEmpty,
+      s"queries with neither oracle nor documented rows-only status: $unchecked")
+  }
+
+  test("no orphan oracles, no oracle on a declared rows-only query") {
+    val qs = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert((oracles -- qs).isEmpty, s"oracles without a query: ${oracles -- qs}")
+    val both = oracles & rowsOnlyByDesign.keySet
+    assert(both.isEmpty, s"declared rows-only but carrying an oracle: $both")
+  }
+
+  test("flagship entry returns rows on the smoke fixture") {
+    assert(SparkEntry.entry(spark).limit(1).count() == 1L)
+  }
+}
