@@ -263,10 +263,15 @@ object PipelineQueries {
 
     // -- similarity storage tier: per-vector symmetric int8
     //    quantization (4× density; floor keeps it cross-engine) -------
+    // posexplode_OUTER + isNotNull: a plain posexplode infers
+    // size(qvec) > 0, and pushdown re-substitutes the whole quantize
+    // CASE into a scan-side Filter (the r5 trap — caught by the
+    // PlanShapeSpec sweep when this query joined it)
     "q_embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
         .select(col("vec_id"), col("scale"),
-          posexplode(col("qvec")).as(Seq("pos", "q")))),
+          posexplode_outer(col("qvec")).as(Seq("pos", "q")))
+        .filter(col("pos").isNotNull)),
 
     // -- similarity: two-stage search over the int8 store (scale-free
     //    8-bit scoring → exact rerank of the shortlist) — rows-only;

@@ -80,7 +80,9 @@ class PlanShapeSpec extends SparkSpec {
     for (q <- Seq("q_ngram_jaccard", "q_ngram_jaccard_capped", "q_hot_postings",
         "q_minhash_lsh", "q_curation", "q_curation_lsh", "q_simhash_neardup",
         "q_embed_neardup", "q_embed_neardup_lsh", "q_embed_topk",
-        "q_ann_lsh", "q_ann_ivf", "q_fingerprint_pairs", "q_repetition")) {
+        "q_ann_lsh", "q_ann_ivf", "q_fingerprint_pairs", "q_repetition",
+        "q_prep_pipeline", "q_dedup_clusters", "q_decontaminate",
+        "q_embed_quantize", "q_embed_topk_int8")) {
     // markers are the DERIVED heavy expressions only (a legitimate
     // user predicate — e.g. q_curation's quality gate — may contain a
     // lambda and SHOULD push to the scan; it evaluates once there):
