@@ -125,6 +125,26 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est", "une"),
     "zh" -> Seq("的", "是", "了", "在", "我", "不"))
 
+  /** Corpus vocabulary: the top-`k` tokens by occurrence count — the
+    * stage that feeds tokenizer training / frequency cutoffs. One
+    * count shuffle, then TakeOrdered for the top-k (never a global
+    * sort of the full vocabulary — at corpus scale |vocab| is huge
+    * even when k is small); ranks are then a window over the k rows
+    * only. Ties break on the token for cross-engine determinism.
+    * The sketch arm for streaming/mergeable settings is count-min
+    * (`count_min_sketch` aggregate) — accuracy-gated in TextOpsSpec.
+    */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.filter(col(textCol).isNotNull)
+      .select(explode_outer(split(col(textCol), " ")).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("token"))))
+  }
+
   def langScore(toksCol: String, words: Seq[String]): Column =
     // typedLit array, not a spliced '$w' IN-list: caller-supplied words
     // containing quotes must not be able to break the expression parse

@@ -363,6 +363,11 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
+    // -- vocabulary: top-k token frequencies (tokenizer-training feed);
+    //    TakeOrdered top-k, never a full-vocab sort --------------------
+    "q_vocab_topk" -> ((s, dir) =>
+      TextOps.vocabTopK(Tables.documents(s, dir), "text", k = 20)),
+
     // -- decontamination: corpus docs (doc_id%50 ≠ 0) sharing ≥ 3
     //    distinct 5-grams with a "benchmark" slice (%50 = 0); the
     //    bench side is broadcast, the corpus never shuffles ----------
@@ -970,6 +975,17 @@ object PipelineQueries {
         |)
         |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY node""".stripMargin,
+
+    "q_vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT token, count(*) AS n FROM tok GROUP BY 1
+        |)
+        |SELECT token, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS "rank"
+        |FROM c ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
     "q_decontaminate" ->
       """WITH t AS (

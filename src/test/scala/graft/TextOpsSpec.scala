@@ -87,4 +87,29 @@ class TextOpsSpec extends SparkSpec {
     assert(df(3L) == (("clean text only", 0, 0, 0)))
     assert(df(4L) == (("double <EMAIL> <EMAIL> hit", 2, 0, 0)))
   }
+
+  test("vocab top-k: exact counts/ranks; count-min sketch arm within its error bound") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val top = TextOps.vocabTopK(docs, "text", k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(top.length == 10 && top.map(_._3).toSeq == (1 to 10))
+    // counts non-increasing in rank, ties token-ordered
+    assert(top.sortBy(_._3).sliding(2).forall { case Array(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
+    // exact counts agree with a direct computation
+    val direct = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    top.foreach { case (tok, n, _) => assert(direct(tok) == n) }
+    // sketch arm: count-min never under-counts and stays within eps·total
+    val bytes = docs.select(explode(split(col("text"), " ")).as("t"))
+      .agg(expr("count_min_sketch(t, 0.001d, 0.99d, 42)")).head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val total = direct.values.sum
+    top.foreach { case (tok, n, _) =>
+      val est = cms.estimateCount(tok)
+      assert(est >= n && est <= n + (0.001 * total).toLong + 1,
+        s"$tok: exact $n, sketch $est, total $total")
+    }
+  }
 }
