@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   *    `sortWithinPartitions` + a constant-memory `mapPartitions`
   *    accumulator. Shard cardinality scales with the corpus (source,
   *    domain, date bucket), so partitions stay bounded; a skewed
-  *    shard is handled the standard way — sub-shard by `hash(id) % k`
-  *    first, at a small packing-efficiency cost.
+  *    shard is handled by the `subShards` valve (deterministic
+  *    id-hash sub-sharding, at a ≤ subShards-tail-packs cost).
   *  - `stratifiedSample` is a broadcast join against the (tiny) rate
   *    table plus a row-local hash test — no shuffle of the corpus.
   */
@@ -81,13 +81,26 @@ object Chunking {
     * is itself a feature (documents from one crawl stay adjacent).
     */
   def packGreedy(df: DataFrame, shardCol: String, idCol: String,
-                 textCol: String, budgetTokens: Long): DataFrame = {
+                 textCol: String, budgetTokens: Long,
+                 subShards: Int = 1): DataFrame = {
     require(budgetTokens > 0, "packGreedy: budgetTokens must be positive")
+    require(subShards >= 1, "packGreedy: subShards must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
+    // Skew valve: a shard far bigger than its peers (one dominant
+    // crawl source) serializes on a single task, since greedy packing
+    // is sequential per shard. subShards > 1 splits each shard by a
+    // deterministic id hash into independently-packed sub-shards —
+    // parallelism × subShards at the cost of ≤ subShards partially-
+    // filled tail packs per shard. Output shards are then named
+    // "<shard>#<i>", keeping sub-shard provenance auditable.
+    val shardExpr =
+      if (subShards == 1) col(shardCol).cast("string")
+      else concat(col(shardCol).cast("string"), lit("#"),
+        pmod(xxhash64(col(idCol)), lit(subShards.toLong)))
     val assigned = df
       .filter(col(textCol).isNotNull)
-      .select(col(shardCol).cast("string").as("shard"),
+      .select(shardExpr.as("shard"),
         col(idCol).cast("long").as("doc_id"),
         size(split(col(textCol), " ")).cast("long").as("n_tokens"))
       .repartition(col("shard"))

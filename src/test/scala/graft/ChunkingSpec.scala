@@ -103,6 +103,18 @@ class ChunkingSpec extends SparkSpec {
     assert(packs.map(_._3).sum == 7, "every doc in exactly one pack")
   }
 
+  test("pack sub-sharding (skew valve): complete, budget-respected, provenance-named") {
+    val docs = frame((1L to 60L).map(i => (i, "hot", words(40))): _*)
+    val packs = Chunking.packGreedy(docs, "shard", "id", "text",
+        budgetTokens = 128, subShards = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packs.map(_._1).forall(_.matches("hot#[0-3]")), "sub-shard provenance in the name")
+    assert(packs.map(_._1).distinct.length >= 2, "the hot shard actually split")
+    assert(packs.map(_._3).sum == 60, "every doc packed exactly once")
+    // budget still holds per pack (docs are 40 tokens; 3 per pack max)
+    assert(packs.forall(p => p._4 <= 128))
+  }
+
   test("reserved-column guards refuse clashing inputs instead of shadowing them") {
     val df = frame((1L, "a", words(10)))
     intercept[IllegalArgumentException](

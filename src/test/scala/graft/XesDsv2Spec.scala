@@ -74,6 +74,29 @@ class XesDsv2Spec extends SparkSpec {
     assert(back.count() == 40)
   }
 
+  test("inferall unions conflicting shard schemas and widens to string") {
+    val tmp = Files.createTempDirectory("xes-dsv2-infer")
+    val s1 = StructType(Seq(
+      StructField("case:concept:name", StringType),
+      StructField("time:timestamp", TimestampType),
+      StructField("v", LongType)))
+    val s2 = StructType(Seq(
+      StructField("case:concept:name", StringType),
+      StructField("time:timestamp", TimestampType),
+      StructField("v", StringType)))
+    XesWriter.write(spark.createDataFrame(
+      Seq(Row("c1", ts("2024-01-01 09:00:00"), 5L)).asJava, s1), tmp.resolve("a.xes"))
+    XesWriter.write(spark.createDataFrame(
+      Seq(Row("c2", ts("2024-01-01 09:01:00"), "five")).asJava, s2), tmp.resolve("b.xes"))
+    // default (first file only): v is typed from a.xes alone
+    val first = spark.read.format("xes").load(tmp.toString)
+    assert(first.schema("v").dataType == LongType)
+    // inferall: conflicting tags widen to string, raw text preserved
+    val all = spark.read.format("xes").option("inferall", "true").load(tmp.toString)
+    assert(all.schema("v").dataType == StringType)
+    assert(all.select("v").collect().map(_.getString(0)).toSet == Set("5", "five"))
+  }
+
   test("single .xes file path and explicit casecol option") {
     val tmp = Files.createTempDirectory("xes-dsv2-one")
     val file = tmp.resolve("log.xes")
