@@ -70,6 +70,21 @@ class ScalePatternsSpec extends SparkSpec {
     assert(q.count() == full, "pruned read returns the same rows")
   }
 
+  test("sink compaction: maxRecordsPerFile bounds output file sizes (small-files valve)") {
+    // the 100 TB sink contract: downstream consumers want bounded,
+    // even files. Spark's built-in maxRecordsPerFile is the idiomatic
+    // valve (no custom writer, no extra shuffle) — pinned here so the
+    // library's sink recipes can rely on it.
+    val out = Files.createTempDirectory("graft-compact").resolve("docs").toString
+    Tables.documents(spark, Sf).coalesce(1)
+      .write.option("maxRecordsPerFile", 100).mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+    assert(files.size >= 5, s"500 rows at 100/file should split, got ${files.size}")
+    val total = spark.read.parquet(out).count()
+    assert(total == Tables.documents(spark, Sf).count(), "no rows lost to splitting")
+  }
+
   test("approx-percentile scale arm tracks the exact tier within sketch accuracy") {
     // q_quantiles (sort-based exact, the oracle tier) vs
     // q_quantiles_approx (one-pass KLL-style sketch, the 100 TB arm):
