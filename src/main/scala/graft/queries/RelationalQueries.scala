@@ -231,6 +231,36 @@ object RelationalQueries {
           element_at(col("__qs"), 2).cast("double").as("q50"),
           element_at(col("__qs"), 3).cast("double").as("q75"))),
 
+    // Skew valve for shuffle joins, EXECUTED: the salted join must be
+    // row-identical to the plain join (it carries q_join_agg's oracle
+    // with the same aggregate on top). At 100 TB a single hot o_custkey
+    // floods one reducer; salting 8 ways splits the hot key across 8
+    // reducers at the cost of replicating the dimension row 8×. The
+    // scatter column is the fact's own key (o_orderkey): uniform and
+    // always present. Equality law also gated in ScalePatternsSpec.
+    "q_join_salted" -> ((s, dir) => {
+      import graft.operators.Skew
+      val fact = Tables.orders(s, dir)
+      val dim = Tables.customer(s, dir)
+        .withColumnRenamed("c_custkey", "o_custkey")
+      Skew.saltedJoin(fact, dim, "o_custkey",
+          buckets = 8, scatterBy = col("o_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // Approximate-distinct scale arm: HLL++ sketch per group — bounded
+    // state, one pass, no exact-distinct shuffle of (key, value) pairs.
+    // Engine-specific sketch → rows-only in the driver; held to the
+    // exact count within the declared rsd in ScalePatternsSpec.
+    "q_distinct_approx" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02)
+          .as("n_custkeys"))),
+
     // The SQL-text surface: the same engine through spark.sql over a
     // registered view — parity between the Column API and SQL parsing.
     "q_sql_surface" -> ((s, dir) => {
@@ -272,6 +302,15 @@ object RelationalQueries {
         |GROUP BY 1, 2""".stripMargin,
 
     "q_join_agg" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    // the salted join is row-identical to the unsalted join BY LAW —
+    // it carries the plain-join oracle verbatim
+    "q_join_salted" ->
       """SELECT c_mktsegment,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  count(*) AS n_orders

@@ -85,6 +85,24 @@ class ScalePatternsSpec extends SparkSpec {
     assert(total == Tables.documents(spark, Sf).count(), "no rows lost to splitting")
   }
 
+  test("approx-distinct scale arm tracks the exact distinct count within rsd") {
+    // q_distinct_approx (HLL++, bounded sketch state, the 100 TB arm)
+    // vs the exact countDistinct — the declared rsd is 2%; allow 3×
+    // the declared relative error (HLL's rsd is a standard deviation,
+    // not a hard bound).
+    val exact = Tables.orders(spark, Sf)
+      .groupBy("o_orderstatus").agg(countDistinct("o_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("q_distinct_approx")(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble <= math.max(1.0, 0.06 * e),
+        s"$k: exact $e vs approx $a exceeds 3×rsd")
+    }
+  }
+
   test("approx-percentile scale arm tracks the exact tier within sketch accuracy") {
     // q_quantiles (sort-based exact, the oracle tier) vs
     // q_quantiles_approx (one-pass KLL-style sketch, the 100 TB arm):
