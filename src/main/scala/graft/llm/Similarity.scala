@@ -201,24 +201,16 @@ object Similarity {
     * `CentroidDistsExpr` kernel (graft.functions.Sketches). Candidate
     * volume is ~nProbe/nClusters of the corpus per probe.
     */
-  def ivfTopK(df: DataFrame, idCol: String, embCol: String,
-              probePred: Column, k: Int, nClusters: Int = 16,
-              nProbe: Int = 4, lloydIters: Int = 5,
-              trainSample: Int = 512): DataFrame = {
-    // repartition FIRST: a small parquet arrives as one partition, and
-    // every expression below is a per-row interpreted HOF kernel.
-    // Zero-norm vectors are quarantined up front: they have no
-    // direction (cosine undefined), and a NaN-normalized sample vector
-    // would silently poison a centroid during Lloyd (NaN compares
-    // false, so it piles onto cluster 0 and turns its mean all-NaN).
-    // Quarantine = nd -> NULL via the CASE, NOT a filter: an explicit
-    // `__n > 0` filter pushes through the repartition Exchange and
-    // re-substitutes the whole interpreted norm HOF at the parquet
-    // scan, single-core (plan-gated in PlanShapeSpec). A null nd flows
-    // to the -1 sentinel cluster on the member side (never probed) and
-    // explodes to zero probe rows on the probe side — same exclusion,
-    // no pushable predicate.
-    val vecs = df.repartition(col(idCol))
+  /** Shared vector prep for the k-means-based tiers (ivfTopK,
+    * semanticDedupClustered): quantized ints + exact norms for the
+    * verify stage, and an L2-normalized double vector for clustering.
+    * Repartitions FIRST (a small parquet is one partition and every
+    * expression here is a per-row kernel); zero-norm vectors are
+    * quarantined as nd = NULL via a CASE, never a filter — see the
+    * pushdown-trap note in `ivfTopK`.
+    */
+  private def normalizedVecs(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.repartition(col(idCol))
       .select(col(idCol),
         expr(s"transform($embCol, x -> CAST(x AS double))").as("vd"))
       .withColumn("vq", quantize("vd")).withColumn("nsq", normSqQ("vq"))
@@ -228,26 +220,24 @@ object Similarity {
         expr("CASE WHEN __n > 0.0 THEN transform(vd, x -> x / __n) ELSE NULL END"))
       .drop("__n")
 
-    // --- driver-side Lloyd on the deterministic bounded sample ---
-    // Selection = the `trainSample` vectors with the smallest
-    // xxhash64(id): deterministic (no RNG, no partition-order
-    // dependence) and partition-layout-free. Realized as a hash-
-    // THRESHOLD filter (the distributed TABLESAMPLE analogue — one
-    // scan, no corpus-wide TakeOrdered whose per-partition heaps would
-    // all merge on the driver at large partition counts) followed by a
-    // TakeOrdered on the ~8× oversampled survivors: the smallest s
-    // hashes are inside any threshold ≥ the s-th order statistic, so
-    // with 8× headroom this selects exactly the same sample as sorting
-    // the full corpus, at filter cost. Falls back to the full scan
-    // (frac = 1) when the corpus is small or the filter underfills.
+  /** Deterministic driver-side Lloyd over a bounded hash-selected
+    * sample of `vecs` (which must carry the `nd` column from
+    * `normalizedVecs`). Returns the flattened centroid array and the
+    * effective cluster count, or None when the input is empty / all
+    * zero-norm. Shared by `ivfTopK` and `semanticDedupClustered`; the
+    * scale notes live on `ivfTopK`.
+    */
+  private def trainKmeans(vecs: DataFrame, idCol: String, nRows: Long,
+                          nClusters: Int, lloydIters: Int,
+                          trainSample: Int): Option[(Array[Double], Int)] = {
     val want = math.max(trainSample, nClusters)
     val hash = xxhash64(col(idCol).cast("string"))
-    val nRows = df.count()
     val frac = 8.0 * want.toDouble / math.max(nRows, 1L).toDouble
     def takeSample(src: DataFrame): Array[Array[Double]] =
-      // zero-norm rows surface here as null nd (see quarantine note
-      // above) and are dropped driver-side — a Spark-side isnotnull(nd)
-      // filter would re-substitute the normalize HOF into the scan
+      // zero-norm rows surface here as null nd (see quarantine note in
+      // normalizedVecs) and are dropped driver-side — a Spark-side
+      // isnotnull(nd) filter would re-substitute the normalize HOF
+      // into the scan
       src.orderBy(hash, col(idCol)).limit(want).select("nd").collect()
         .filterNot(_.isNullAt(0)).map(_.getSeq[Double](0).toArray)
     // signed threshold matching the sort order: the want smallest
@@ -259,13 +249,7 @@ object Similarity {
     var sample = takeSample(filtered)
     if (sample.length < math.min(want.toLong, nRows) && frac < 0.5)
       sample = takeSample(vecs)
-    // empty (or all-zero-norm) input: nothing to train on and nothing
-    // to match — return an empty frame with the output schema, like
-    // the other Similarity operators, instead of throwing
-    if (sample.isEmpty)
-      return df.limit(0).select(
-        col(idCol).as("probe_id"), col(idCol).as("neighbor_id"),
-        lit(1).as("rank"), lit(0.0).as("cos"))
+    if (sample.isEmpty) return None
     val kEff = math.min(nClusters, sample.length)
     var centroids: Array[Array[Double]] = sample.take(kEff).map(_.clone())
     def sqd(a: Array[Double], b: Array[Double]): Double = {
@@ -288,12 +272,55 @@ object Similarity {
         if (counts(c) == 0) old else sums(c).map(_ / counts(c))
       }
     }
+    Some((centroids.flatten, kEff))
+  }
+
+  def ivfTopK(df: DataFrame, idCol: String, embCol: String,
+              probePred: Column, k: Int, nClusters: Int = 16,
+              nProbe: Int = 4, lloydIters: Int = 5,
+              trainSample: Int = 512): DataFrame = {
+    // repartition FIRST: a small parquet arrives as one partition, and
+    // every expression below is a per-row interpreted HOF kernel.
+    // Zero-norm vectors are quarantined up front: they have no
+    // direction (cosine undefined), and a NaN-normalized sample vector
+    // would silently poison a centroid during Lloyd (NaN compares
+    // false, so it piles onto cluster 0 and turns its mean all-NaN).
+    // Quarantine = nd -> NULL via the CASE, NOT a filter: an explicit
+    // `__n > 0` filter pushes through the repartition Exchange and
+    // re-substitutes the whole interpreted norm HOF at the parquet
+    // scan, single-core (plan-gated in PlanShapeSpec). A null nd flows
+    // to the -1 sentinel cluster on the member side (never probed) and
+    // explodes to zero probe rows on the probe side — same exclusion,
+    // no pushable predicate.
+    val vecs = normalizedVecs(df, idCol, embCol)
+
+    // --- driver-side Lloyd on the deterministic bounded sample ---
+    // Selection = the `trainSample` vectors with the smallest
+    // xxhash64(id): deterministic (no RNG, no partition-order
+    // dependence) and partition-layout-free. Realized as a hash-
+    // THRESHOLD filter (the distributed TABLESAMPLE analogue — one
+    // scan, no corpus-wide TakeOrdered whose per-partition heaps would
+    // all merge on the driver at large partition counts) followed by a
+    // TakeOrdered on the ~8× oversampled survivors: the smallest s
+    // hashes are inside any threshold ≥ the s-th order statistic, so
+    // with 8× headroom this selects exactly the same sample as sorting
+    // the full corpus, at filter cost. Falls back to the full scan
+    // (frac = 1) when the corpus is small or the filter underfills.
+    // Empty (or all-zero-norm) input: nothing to train on and nothing
+    // to match — return an empty frame with the output schema, like
+    // the other Similarity operators, instead of throwing.
+    val trained = trainKmeans(vecs, idCol, df.count(), nClusters,
+      lloydIters, trainSample)
+    if (trained.isEmpty)
+      return df.limit(0).select(
+        col(idCol).as("probe_id"), col(idCol).as("neighbor_id"),
+        lit(1).as("rank"), lit(0.0).as("cos"))
 
     // assignment distances run in the compiled CentroidDistsExpr kernel
     // (one pass per row; the aggregate/zip_with HOF array it replaces —
     // bit-identical, FunctionsSpec — was ~3·k·dims interpreted lambda
     // calls per row and dominated this query's wall time)
-    val flatCentroids: Array[Double] = centroids.flatten
+    val (flatCentroids, kEff) = trained.get
     def withDists(d: DataFrame): DataFrame =
       d.withColumn("__d",
         graft.functions.Sketches.centroidDists(col("nd"), flatCentroids, kEff))
@@ -431,6 +458,82 @@ object Similarity {
     * not for speed there. The plan shape, not the fixture constants,
     * is what survives the 100× scale-up.
     */
+  /** Greedy keep-lowest decision over a near-dup pair list: a document
+    * is removed iff it has a close neighbor with a LOWER id (SemDeDup's
+    * keep-one-per-group rule, realized without iteration — the rule is
+    * a per-row predicate over the pair list, not a transitive closure).
+    * Output one row per input doc: (id, kept, dup_of = the smallest
+    * close lower neighbor, NULL when kept).
+    */
+  private def applyKeepRule(df: DataFrame, idCol: String,
+                            pairs: DataFrame): DataFrame = {
+    val dups = pairs.groupBy(col("id_b").as(idCol))
+      .agg(min(col("id_a")).as("dup_of"))
+    df.select(col(idCol)).join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("dup_of").isNull.as("kept"), col("dup_of"))
+  }
+
+  /** Semantic deduplication, exact arm: remove every document whose
+    * embedding has cosine ≥ `threshold` to a lower-id document
+    * (SemDeDup, Abbas et al. 2023 — keep one representative per group
+    * of semantically-identical documents). All-pairs by contract: this
+    * is the oracle tier (quantized cosine, cross-engine exact); the
+    * 100 TB arm is `semanticDedupClustered`, which confines the
+    * pairwise scan to k-means cells exactly as the paper does.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String,
+                    threshold: Double, partitions: Int = 32): DataFrame =
+    applyKeepRule(df, idCol,
+      cosineNearDupPairs(df, idCol, embCol, threshold, partitions))
+
+  /** Semantic deduplication, SCALE arm: assign every vector to a
+    * k-means cell (same deterministic bounded-sample trainer and
+    * compiled assignment kernel as `ivfTopK`), then apply the
+    * keep-lowest rule to WITHIN-CELL pairs only — the SemDeDup paper's
+    * actual shape. Pair volume drops from N²/2 to Σ_c n_c²/2 ≈
+    * N²/(2k); at 100 TB k grows with N (cells stay ~10³-10⁴ vectors)
+    * so the per-cell scan is bounded and the join is an equality
+    * shuffle on the cell id, never a cartesian.
+    *
+    * Approximation is one-sided BY CONSTRUCTION: every removal is
+    * verified by an exact quantized cosine ≥ threshold, so removals ⊆
+    * the exact arm's removals (cross-cell pairs are the misses —
+    * semantically-identical vectors land in the same cell; gated with
+    * planted duplicates in SemDedupSpec).
+    */
+  def semanticDedupClustered(df: DataFrame, idCol: String, embCol: String,
+                             threshold: Double, nClusters: Int = 16,
+                             lloydIters: Int = 5,
+                             trainSample: Int = 512): DataFrame = {
+    val vecs = normalizedVecs(df, idCol, embCol)
+    val trained = trainKmeans(vecs, idCol, df.count(), nClusters,
+      lloydIters, trainSample)
+    if (trained.isEmpty)
+      return df.limit(0).select(col(idCol),
+        lit(true).as("kept"), col(idCol).as("dup_of"))
+    val (flatCentroids, kEff) = trained.get
+    // non-nullable cell key (coalesce sentinel): the equi-join below
+    // would otherwise infer isnotnull(cell) and pushdown would
+    // re-evaluate the whole assignment kernel at the scan (the ivfTopK
+    // trap). Zero-norm vectors (null nd) take the -1 sentinel cell and
+    // pair only with each other — cosine is undefined for them, and a
+    // null dot drops the row at the threshold filter anyway.
+    val members = vecs
+      .withColumn("__d",
+        graft.functions.Sketches.centroidDists(col("nd"), flatCentroids, kEff))
+      .withColumn("cell",
+        coalesce(expr("array_position(__d, array_min(__d)) - 1"), lit(-1L)))
+      .select(col(idCol), col("cell"), col("vq"), col("nsq"))
+    val pairs = members.as("a")
+      .join(members.as("b"),
+        col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        (dotQ("a.vq", "b.vq").cast("double") /
+          sqrt((col("a.nsq") * col("b.nsq")).cast("double"))).as("cos"))
+      .filter(col("cos") >= threshold)
+    applyKeepRule(df, idCol, pairs)
+  }
+
   def cosineNearDupPairsLsh(df: DataFrame, idCol: String, embCol: String,
                             threshold: Double, nbits: Int = 0,
                             tables: Int = 32): DataFrame = {

@@ -261,6 +261,22 @@ object PipelineQueries {
       Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, dir), "vec_id",
         "embedding", threshold = 0.35)),
 
+    // -- semantic dedup, exact arm: keep-lowest over all cosine pairs
+    //    ≥ 0.35 (SemDeDup's rule on the whole corpus — the oracle
+    //    tier; quantized cosine keeps it cross-engine exact) ---------
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
+        "embedding", threshold = 0.35)),
+
+    // -- semantic dedup, SCALE arm: the same rule confined to k-means
+    //    cells (the SemDeDup paper's shape — pair volume N²/k, join is
+    //    an equality shuffle on the cell id). Cell assignment is
+    //    data-dependent → rows-only; removals ⊆ exact and planted-
+    //    duplicate recall 1.0 gated in SemDedupSpec -------------------
+    "q_semdedup_clustered" -> ((s, dir) =>
+      Similarity.semanticDedupClustered(Tables.embeddings(s, dir), "vec_id",
+        "embedding", threshold = 0.35)),
+
     // -- similarity storage tier: per-vector symmetric int8
     //    quantization (4× density; floor keeps it cross-engine) -------
     // posexplode_OUTER + isNotNull: a plain posexplode infers
@@ -798,6 +814,29 @@ object PipelineQueries {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
         |)
         |SELECT * FROM p WHERE cos >= 0.35""".stripMargin,
+
+    // SemDeDup exact arm: the same quantized pair list as
+    // q_embed_neardup, reduced to one keep/remove decision per doc
+    "q_semdedup" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q
+        |), p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) AS DOUBLE) /
+        |      sqrt(CAST(a.nsq * b.nsq AS DOUBLE)) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |), d AS (
+        |  SELECT id_b AS vec_id, CAST(min(id_a) AS BIGINT) AS dup_of
+        |  FROM p WHERE cos >= 0.35 GROUP BY 1
+        |)
+        |SELECT e.vec_id, d.dup_of IS NULL AS kept, d.dup_of
+        |FROM embeddings e LEFT JOIN d USING (vec_id)""".stripMargin,
 
     // the bucketed scale arm must land on EXACTLY the exact arm's rows
     "q_embed_neardup_lsh" ->
