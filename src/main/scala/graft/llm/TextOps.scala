@@ -239,6 +239,59 @@ object TextOps {
          |END""".stripMargin)
   }
 
+  /** DSIR-style data-selection importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every corpus document by how much its n-gram distribution
+    * looks like a TARGET slice relative to the raw corpus. DSIR uses
+    * hashed-n-gram likelihood ratios; this keeps the same estimator
+    * shape but stays CROSS-ENGINE EXACT by using add-one-smoothed
+    * integer masses and ONE final IEEE divide:
+    *
+    *   tgt_mass(d) = Σ_{gram occurrences g in d} (1 + count_target(g))
+    *   raw_mass(d) = Σ_{gram occurrences g in d} (1 + count_raw(g))
+    *   weight(d)   = tgt_mass / raw_mass   (1.0 when d has no grams)
+    *
+    * Every sum is exact int64 arithmetic (the add-one smoothing also
+    * keeps raw_mass ≥ 1 whenever grams exist), so the single divide is
+    * deterministic on Spark and DuckDB alike. The weight rises on
+    * documents whose grams are relatively over-represented in the
+    * target — the resampling key DSIR feeds importance sampling with.
+    *
+    * Scale shape: the two count tables are VOCABULARY-sized, not
+    * corpus-sized — both are broadcast, so the corpus gram stream joins
+    * map-side and the only shuffle is the partial-aggregated per-doc
+    * sum on the id key. Never an all-pairs surface.
+    */
+  def importanceWeights(corpus: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    // explode_outer + isNotNull, never a plain explode: the inferred
+    // size(grams) > 0 filter would be pushdown-substituted into the
+    // scan (the r5 generator trap)
+    def gramsOf(df: DataFrame): DataFrame =
+      df.withColumn("__toks", tokens(textCol))
+        .select(col(idCol), explode_outer(ngramsAll("__toks", n)).as("gram"))
+        .filter(col("gram").isNotNull)
+    val grams = gramsOf(corpus)
+    val rawCounts = grams.groupBy("gram").agg(count(lit(1)).as("r"))
+    val tgtCounts = gramsOf(target).groupBy("gram").agg(count(lit(1)).as("t"))
+    val masses = grams
+      .join(broadcast(rawCounts), Seq("gram"))
+      .join(broadcast(tgtCounts), Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(lit(1L) + coalesce(col("t"), lit(0L))).as("tgt_mass"),
+        sum(lit(1L) + col("r")).as("raw_mass"))
+    corpus.select(col(idCol))
+      .join(masses, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("tgt_mass"), lit(0L)).as("tgt_mass"),
+        coalesce(col("raw_mass"), lit(0L)).as("raw_mass"),
+        when(coalesce(col("raw_mass"), lit(0L)) === 0L, lit(1.0))
+          .otherwise(col("tgt_mass").cast("double") / col("raw_mass").cast("double"))
+          .as("weight"))
+  }
+
   /** PII-style redaction (the standard pre-training scrub pass):
     * emails, IPv4 addresses and long digit runs are replaced with
     * typed placeholder tokens, with a count of replacements per class.

@@ -227,6 +227,15 @@ object PipelineQueries {
       Dedup.fingerprintPairs(Tables.documents(s, dir), "doc_id", "text",
         w = 8, minShared = 1)),
 
+    // -- data selection: DSIR-style importance weights toward the EN
+    //    slice — add-one-smoothed integer gram masses, one final
+    //    divide (cross-engine exact); both count tables broadcast ----
+    "q_importance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.importanceWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", n = 2)
+    }),
+
     // -- text analysis: per-document TF-IDF keywords (rational idf —
     //    ranking-invariant and cross-engine exact, see scaladoc) ------
     "q_tfidf_topk" -> ((s, dir) =>
@@ -736,6 +745,34 @@ object PipelineQueries {
         |SELECT id_a, id_b, shared,
         |  CAST(shared AS DOUBLE) / CAST(least(nwa, nwb) AS DOUBLE) AS containment
         |FROM j WHERE shared >= 1""".stripMargin,
+
+    "q_importance" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    unnest(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS gram
+        |  FROM t
+        |), r AS (
+        |  SELECT gram, count(*) AS r FROM g GROUP BY 1
+        |), tc AS (
+        |  SELECT gram, count(*) AS t FROM g WHERE lang = 'en' GROUP BY 1
+        |), m AS (
+        |  SELECT g.doc_id, count(*) AS n_grams,
+        |    CAST(sum(1 + coalesce(tc.t, 0)) AS BIGINT) AS tgt_mass,
+        |    CAST(sum(1 + r.r) AS BIGINT) AS raw_mass
+        |  FROM g JOIN r USING (gram) LEFT JOIN tc USING (gram)
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(m.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(m.tgt_mass, 0) AS BIGINT) AS tgt_mass,
+        |  CAST(coalesce(m.raw_mass, 0) AS BIGINT) AS raw_mass,
+        |  CASE WHEN coalesce(m.raw_mass, 0) = 0 THEN 1.0
+        |       ELSE CAST(m.tgt_mass AS DOUBLE) / CAST(m.raw_mass AS DOUBLE)
+        |  END AS weight
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin,
 
     "q_tfidf_topk" ->
       """WITH t AS (

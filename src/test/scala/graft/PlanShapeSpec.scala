@@ -82,7 +82,8 @@ class PlanShapeSpec extends SparkSpec {
         "q_embed_neardup", "q_embed_neardup_lsh", "q_embed_topk",
         "q_ann_lsh", "q_ann_ivf", "q_fingerprint_pairs", "q_repetition",
         "q_prep_pipeline", "q_dedup_clusters", "q_decontaminate",
-        "q_embed_quantize", "q_embed_topk_int8")) {
+        "q_embed_quantize", "q_embed_topk_int8",
+        "q_semdedup", "q_semdedup_clustered", "q_importance")) {
     // markers are the DERIVED heavy expressions only (a legitimate
     // user predicate — e.g. q_curation's quality gate — may contain a
     // lambda and SHOULD push to the scan; it evaluates once there):
@@ -120,6 +121,16 @@ class PlanShapeSpec extends SparkSpec {
     val pack = plan("q_pack_greedy")
     val exchanges = pack.linesIterator.count(_.trim.startsWith("+- Exchange"))
     assert(exchanges <= 2, s"q_pack_greedy grew an extra shuffle ($exchanges):\n${pack.take(1200)}")
+  }
+
+  test("q_importance broadcasts both vocabulary-sized count tables") {
+    // the DSIR shape: the gram stream is corpus-sized, the count
+    // tables are vocabulary-sized — if either count join shuffles the
+    // gram stream the operator loses its one-shuffle contract
+    val p = plan("q_importance")
+    val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 2,
+      s"both count joins must be broadcast (saw $broadcasts):\n${p.take(1200)}")
   }
 
   test("q_topn_per_key plans partial+final WindowGroupLimit, not a full window sort") {

@@ -73,6 +73,43 @@ class TextOpsSpec extends SparkSpec {
     assert(out((3L, 2)) == (("common", 1L, 3L)))
   }
 
+  test("importance weights: target-like docs outrank off-target docs, masses exact") {
+    // corpus of 4 docs; target = docs 1-2 ("science" flavored). Doc 3
+    // shares the target's grams, doc 4 shares none — the DSIR weight
+    // must rank 3 above 4. Unigram grams (n=1) keep the arithmetic
+    // small enough to hand-check.
+    val corpus = spark.createDataFrame(Seq(
+      Row(1L, "atoms bond atoms"),
+      Row(2L, "cells divide atoms"),
+      Row(3L, "atoms divide"),
+      Row(4L, "stocks fell hard")).asJava, schema)
+    val target = corpus.filter(col("id") <= 2)
+    val out = TextOps.importanceWeights(corpus, target, "id", "text", n = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // raw counts: atoms=4 bond=1 cells=1 divide=2 stocks=1 fell=1 hard=1
+    // tgt counts: atoms=3 bond=1 cells=1 divide=1
+    // doc 3 = atoms divide: tgt = (1+3)+(1+1)=6, raw = (1+4)+(1+2)=8
+    assert(out(3L) == ((2L, 6L, 8L, 0.75)))
+    // doc 4 = stocks fell hard: tgt = 3·(1+0)=3, raw = 3·(1+1)=6
+    assert(out(4L) == ((3L, 3L, 6L, 0.5)))
+    assert(out(3L)._4 > out(4L)._4, "target-like doc must outrank off-target doc")
+    // every in-target doc keeps weight ≥ the off-target doc's
+    assert(out(1L)._4 > out(4L)._4 && out(2L)._4 > out(4L)._4)
+  }
+
+  test("importance weights: gramless docs get neutral weight 1.0, one row per doc") {
+    val corpus = spark.createDataFrame(Seq(
+      Row(1L, "alpha beta"), Row(2L, "solo")).asJava, schema)
+    // bigrams: doc 2 has none
+    val out = TextOps.importanceWeights(corpus, corpus, "id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    assert(out.size == 2)
+    assert(out(2L) == ((0L, 1.0)))
+    // self-target: tgt_mass == raw_mass ⇒ weight exactly 1.0
+    assert(out(1L)._2 == 1.0)
+  }
+
   test("pii redaction: finds each class once, replaces in order, counts before replace") {
     val df = frame(
       1L -> "mail me at bob.smith@mail-host.com today",
