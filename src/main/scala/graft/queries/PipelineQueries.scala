@@ -333,6 +333,19 @@ object PipelineQueries {
           col("n_frames_total"), col("n_frames_kept"))
     }),
 
+    // -- layout: Z-order (Morton) code over two filter dimensions —
+    //    the data-skipping clustering key. Pure codegen'd bit
+    //    arithmetic; the oracle replays it with a shift-and-sum
+    //    formulation. File-pruning effectiveness gated in ZorderSpec. --
+    "q_zorder" -> ((s, dir) => {
+      import graft.operators.Zorder
+      Tables.documents(s, dir)
+        .withColumn("zx", pmod(col("doc_id"), lit(4096)).cast("long"))
+        .withColumn("zy", size(split(col("text"), " ")).cast("long"))
+        .select(col("doc_id"), col("zx"), col("zy"),
+          Zorder.mortonCode(col("zx"), col("zy")).as("z"))
+    }),
+
     // -- context shaping: token-window chunking with overlap ------------
     "q_chunk" -> ((s, dir) =>
       Chunking.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
@@ -902,6 +915,20 @@ object PipelineQueries {
         |  CAST(ceil(CAST(n_chars AS DOUBLE) / 32) AS INTEGER) AS n_frames_total,
         |  CAST(ceil(CAST(ceil(CAST(n_chars AS DOUBLE) / 32) AS DOUBLE) / 2) AS INTEGER) AS n_frames_kept
         |FROM documents""".stripMargin,
+
+    // bit interleave replayed as Σ_i bit_i(x)·4^i + 2·Σ_i bit_i(y)·4^i
+    // — pure integer arithmetic, identical to the mask-shift chain
+    "q_zorder" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 4096 AS BIGINT) AS zx,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS zy
+        |  FROM documents
+        |)
+        |SELECT doc_id, zx, zy,
+        |  CAST(list_sum(list_transform(range(0, 16), i -> ((zx >> i) & 1) << (2 * i))) +
+        |    2 * list_sum(list_transform(range(0, 16), i -> ((zy >> i) & 1) << (2 * i)))
+        |    AS BIGINT) AS z
+        |FROM t""".stripMargin,
 
     // starts = 0, 24, 48, … < n − overlap  ⇔  Spark
     // sequence(0, greatest(n-9, 0), 24);
