@@ -401,6 +401,18 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
+    // -- tokenizer: BPE trained on THIS corpus's word-frequency table
+    //    (one count shuffle + driver merge loop over the bounded
+    //    vocab), then per-source subword stats with the encode paid
+    //    once per DISTINCT word and broadcast back. Trained merges are
+    //    data-dependent → rows-only; BpeSpec gates the textbook
+    //    merges, roundtrip, and sequential-replay equivalence --------
+    "q_bpe_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.llm.Bpe.train(docs, "text", numMerges = 50)
+      graft.llm.Bpe.subwordStats(docs, "source", "text", merges)
+    }),
+
     // -- vocabulary: top-k token frequencies (tokenizer-training feed);
     //    TakeOrdered top-k, never a full-vocab sort --------------------
     "q_vocab_topk" -> ((s, dir) =>
