@@ -290,6 +290,46 @@ object EventStream {
       .drop(rk)
   }
 
+  /** Streaming benchmark decontamination — the unbounded arm of
+    * `Dedup.contaminationPairs`: an incoming document stream is
+    * checked against a STATIC benchmark corpus by n-gram overlap, and
+    * every contaminated document emits exactly one alert row (id, ts)
+    * within the watermark.
+    *
+    * Shape: the document's distinct n-grams explode (row-local, no
+    * state), a stream-static LEFT SEMI join keeps rows whose gram
+    * appears in the benchmark gram table (the static side is
+    * benchmark-sized — Catalyst broadcasts it, the stream never
+    * shuffles), and `dropDuplicatesWithinWatermark` collapses the
+    * per-gram matches to one alert per document with bounded state.
+    * minShared > 1 thresholds need a streaming count aggregation
+    * (watermark-delayed emission); the alert contract here is the
+    * EXISTS form — a single shared gram flags the doc, which is the
+    * conservative policy a live ingest gate wants. The landed corpus
+    * re-checks with the batch arm's counted threshold.
+    */
+  def decontaminateStream(docs: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String, tsCol: String,
+                          n: Int = 5,
+                          watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(!docs.columns.contains("gram"),
+      "decontaminateStream: 'gram' is reserved for the internal join key")
+    val benchGrams = bench
+      .withColumn("__toks", graft.llm.TextOps.tokens(textCol))
+      .select(explode_outer(array_distinct(
+        graft.llm.TextOps.ngramsAll("__toks", n))).as("gram"))
+      .filter(col("gram").isNotNull)
+      .distinct()
+    docs.withWatermark(tsCol, watermarkDelay)
+      .withColumn("__toks", graft.llm.TextOps.tokens(textCol))
+      .withColumn("gram", explode_outer(array_distinct(
+        graft.llm.TextOps.ngramsAll("__toks", n))))
+      .filter(col("gram").isNotNull)
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .dropDuplicatesWithinWatermark(idCol)
+      .select(col(idCol), col(tsCol))
+  }
+
   /** Micro-batch XES sink: every micro-batch of an event-log-shaped
     * stream lands as one sharded XES directory (`batch-<id>/part-*`),
     * written fully distributed by `XesWriter.writeShards` — no driver

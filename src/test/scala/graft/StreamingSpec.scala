@@ -151,6 +151,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination: shared gram alerts once per doc, clean docs pass silently") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over dogs"),
+      (101L, "lorem ipsum dolor sit amet")).toDF("doc_id", "text")
+    val in = MemoryStream[Doc]
+    val alerts = EventStream.decontaminateStream(
+      in.toDF(), bench, "doc_id", "text", "ts", n = 3)
+    val q = alerts.writeStream.outputMode("append")
+      .format("memory").queryName("decon_out").start()
+    try {
+      in.addData(
+        // shares TWO bench trigrams → still exactly one alert
+        Doc(1L, ts("2024-01-01 10:00:00"), "said the quick brown fox jumps today"),
+        // no 3-gram overlap (only unigram words collide) → silent
+        Doc(2L, ts("2024-01-01 10:01:00"), "the slow brown dog sits around"),
+        // bench doc 101's gram → alert
+        Doc(3L, ts("2024-01-01 10:02:00"), "copy lorem ipsum dolor here now"),
+        // too short for any trigram window shared with bench → silent
+        Doc(4L, ts("2024-01-01 10:03:00"), "tiny note"))
+      q.processAllAvailable()
+      val got = spark.table("decon_out").select("doc_id").collect()
+        .map(_.getLong(0)).toSeq
+      assert(got.sorted == Seq(1L, 3L), s"alerts: $got")
+      assert(got.size == 2, "one alert per contaminated doc, never per gram")
+    } finally q.stop()
+  }
+
   test("streaming sessionization: gap splits sessions, append emits closed ones") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
