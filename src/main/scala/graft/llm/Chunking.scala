@@ -165,6 +165,32 @@ object Chunking {
     df.withColumn("split", assign)
   }
 
+  /** Deterministic FIXED-SIZE sample per stratum: the k rows with the
+    * smallest portable Weyl bucket of the id (ties on the id itself).
+    * Complements `stratifiedSample` (rate-based, size varies with the
+    * stratum): an eval-set builder wants exactly k per key. The window
+    * row_number plans as partial+final WindowGroupLimit on Spark 4 —
+    * each map task keeps only its local top-k, so the shuffle carries
+    * k rows per (task, stratum), never the corpus (the q_topn_per_key
+    * plan gate covers the same shape). Deterministic and append-
+    * stable in the same sense as `hashSplit`: a grown corpus can only
+    * displace old picks by hashing BELOW them, never reshuffle.
+    */
+  def sampleKPerKey(df: DataFrame, stratumCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, "sampleKPerKey: k must be positive")
+    require(!df.columns.contains("__rk"),
+      "sampleKPerKey: input already has a '__rk' column — rename it")
+    import org.apache.spark.sql.expressions.Window
+    val denom = 65536L
+    val bucket = pmod(pmod(col(idCol), lit(denom)) * lit(40503L), lit(denom))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(bucket.asc, col(idCol).asc)
+    df.select(col(stratumCol), col(idCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(stratumCol), col(idCol), col("__rk").as("pick_rank"))
+  }
+
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
                        rates: Map[String, Double],
                        portableHash: Boolean = true): DataFrame = {

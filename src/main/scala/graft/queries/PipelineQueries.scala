@@ -363,6 +363,11 @@ object PipelineQueries {
       Chunking.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
         rates = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1))),
 
+    // -- corpus mixing: exact-k per stratum (eval-set builder) — same
+    //    portable Weyl hash as the sampler; WindowGroupLimit top-k ----
+    "q_sample_k_per_key" -> ((s, dir) =>
+      Chunking.sampleKPerKey(Tables.documents(s, dir), "lang", "doc_id", k = 20)),
+
     // -- the FULL training-data prep pipeline in one query: quality
     //    gate → near-dup removal (LSH scale arm, fixture-equal to the
     //    exact tier) → token-window chunking → greedy packing per
@@ -990,6 +995,13 @@ object PipelineQueries {
         |JOIN (VALUES ('en', 0.5), ('de', 0.25), ('zh', 0.1)) r(lang, rate)
         |  USING (lang)
         |WHERE ((d.doc_id % 65536) * 40503) % 65536 < r.rate * 65536""".stripMargin,
+
+    "q_sample_k_per_key" ->
+      """SELECT lang, doc_id, CAST(rk AS INTEGER) AS pick_rank FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY ((doc_id % 65536) * 40503) % 65536, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20""".stripMargin,
 
     "q_embed_quantize" ->
       """SELECT vec_id, scale, CAST(pos AS INTEGER) AS pos, q FROM (

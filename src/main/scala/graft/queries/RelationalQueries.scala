@@ -261,6 +261,31 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02)
           .as("n_custkeys"))),
 
+    // UNPIVOT (wide → long melt): the stack generator emits one
+    // (measure, value) row per source column in the SAME scan — never
+    // one scan per measure — then the aggregate pins the cross-engine
+    // contract (sum through DECIMAL).
+    "q_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(expr(
+          "stack(2, 'quantity', l_quantity, 'extendedprice', l_extendedprice) AS (measure, value)"))
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))),
+
+    // Arbitrary GROUPING SETS (rollup/cube's general form): both
+    // single-column groupings compute from ONE Expand + aggregate
+    // pass — one shuffle instead of a UNION of two scans.
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  count(*) AS n
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+    }),
+
     // The SQL-text surface: the same engine through spark.sql over a
     // registered view — parity between the Column API and SQL parsing.
     "q_sql_surface" -> ((s, dir) => {
@@ -397,6 +422,23 @@ object RelationalQueries {
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT measure, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'extendedprice', l_extendedprice FROM lineitem
+        |)
+        |GROUP BY 1""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
 
     "q_quantiles" ->
       """SELECT event_type,

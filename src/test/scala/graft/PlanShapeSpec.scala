@@ -144,6 +144,22 @@ class PlanShapeSpec extends SparkSpec {
       s"rank-limit pushdown must fire:\n${p.take(1500)}")
   }
 
+  test("q_sample_k_per_key rides the same rank-limit pushdown as q_topn_per_key") {
+    val p = plan("q_sample_k_per_key")
+    assert(p.contains("WindowGroupLimit"),
+      s"fixed-k sampling must cap per-key state before the shuffle:\n${p.take(1500)}")
+  }
+
+  test("q_grouping_sets and q_unpivot each scan lineitem exactly once") {
+    // GROUPING SETS = one Expand + aggregate, never a UNION of scans;
+    // UNPIVOT = one stack generator over one scan, never per-measure
+    // scans
+    val gs = plan("q_grouping_sets")
+    assert(gs.contains("Expand") && count(gs, "Scan parquet") == 1,
+      s"grouping sets must be one Expand over one scan:\n${gs.take(1200)}")
+    assert(count(plan("q_unpivot"), "Scan parquet") == 1)
+  }
+
   test("q_ann_ivf's cluster assignment is never re-evaluated below the shuffle") {
     // the IVF join key is wrapped non-nullable so the inner join infers
     // no isnotnull(key) filter — without that, pushdown substitutes the
