@@ -133,6 +133,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric near-dup: n-gram CONTAINMENT pairs. Jaccard misses a
+    * small document lifted wholesale into a much larger one (the
+    * union denominator swamps the intersection); containment scores
+    * |A∩B| / min(|A|,|B|), so a fully-embedded small doc scores 1.0
+    * regardless of the host's size. Same inverted-index join as
+    * `ngramJaccardPairs` (one posting explode, co-occurrence count,
+    * no per-pair arrays) MINUS the size prefilter — a size ratio is
+    * exactly what containment must not prune on. The Σf² scale story
+    * and hot-gram exposure are the Jaccard tier's; at passage
+    * granularity the winnowing index (`fingerprintPairs`) is the
+    * sub-quadratic arm of the same question.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            blockCol: String, n: Int,
+                            threshold: Double): DataFrame = {
+    require(threshold > 0.0, "ngramContainmentPairs: threshold must be > 0")
+    val p = postingsOf(df, idCol, textCol, blockCol, n)
+    val a = p.as("a")
+    val b = p.as("b")
+    a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") &&
+             col("a.gram") === col("b.gram") &&
+             col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("id_a"), col("id_b"), col("shared"),
+        (col("shared").cast("double") /
+          least(col("sza"), col("szb")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** The exploded (id, block, |grams|, gram) posting frame both the
     * exact join and the hot-gram audit are built from — shared so the
     * audit can never drift from what the capped join actually drops.

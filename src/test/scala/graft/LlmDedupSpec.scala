@@ -278,6 +278,45 @@ class LlmDedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "benchmark side must broadcast")
   }
 
+  test("containment catches a lifted small doc that Jaccard misses") {
+    val sch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    def mk(rows: (Long, String)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, "en", r._2)).asJava, sch)
+    val small = "alpha beta gamma delta epsilon"
+    val host = s"one two three four five six seven $small eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    val corpus = mk(1L -> small, 2L -> host,
+      3L -> "completely different content with zero shared bigrams whatsoever")
+    // Jaccard at 0.5 sees nothing: |A|=4 bigrams, |B|=24, |A∩B|=4 ⇒
+    // j = 4/24 = 0.17. Containment = 4/min(4,24) = 1.0.
+    val jac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", "lang", 2, 0.5)
+      .collect()
+    assert(jac.isEmpty, "Jaccard must miss the asymmetric pair")
+    val con = Dedup.ngramContainmentPairs(corpus, "doc_id", "text", "lang", 2, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(con.toSeq == Seq((1L, 2L, 4L, 1.0)), s"got ${con.toSeq}")
+  }
+
+  test("containment agrees with a brute-force computation on the fixture") {
+    // independent truth: per-doc distinct bigram sets intersected in
+    // memory, min-size denominator
+    val rows = docs
+      .withColumn("__t", TextOps.tokens("text"))
+      .select(col("doc_id"), col("lang"), array_distinct(TextOps.ngramsAll("__t", 2)).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).toSet))
+    val truth = (for {
+      (ia, la, ga) <- rows; (ib, lb, gb) <- rows
+      if la == lb && ia < ib && ga.nonEmpty && gb.nonEmpty
+      shared = (ga & gb).size
+      c = shared.toDouble / math.min(ga.size, gb.size)
+      if c >= 0.8
+    } yield (ia, ib, shared.toLong, c)).toSet
+    val got = Dedup.ngramContainmentPairs(docs, "doc_id", "text", "lang", 2, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == truth, s"got ${got.size} truth ${truth.size}")
+  }
+
   test("incremental dedup: bloom arm ⊆ exact arm, planted dups always removed") {
     val existing = docs.filter(pmod(col("doc_id"), lit(10)) < 6)
     val incoming = docs.filter(pmod(col("doc_id"), lit(10)) >= 4)

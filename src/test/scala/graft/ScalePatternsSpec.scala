@@ -26,6 +26,44 @@ class ScalePatternsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // the OTHER skew valve: saltedJoin is the always-on static one;
+    // AQE's skew-join split is the runtime one — one hot key's shuffle
+    // partition is split into chunks, each joined against the (sorted)
+    // dim side independently. Thresholds are lowered so the fixture-
+    // sized hot key trips the same logic a 100 TB hot key would.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      // 200k rows on ONE key vs a uniform tail: the hot partition is
+      // ~100× the advisory size
+      val fact = spark.range(0, 220000L)
+        .select(when(col("id") < 200000L, lit(7L)).otherwise(col("id") % 32).as("key"),
+          col("id").as("payload"))
+      val dim = spark.range(0, 32L).select(col("id").as("key"), (col("id") * 10).as("v"))
+      val joined = fact.join(dim, "key")
+      // collect() runs THIS DataFrame's queryExecution, so the adaptive
+      // plan below is the final one (count() would plan a new query and
+      // leave joined's plan isFinalPlan=false)
+      assert(joined.collect().length == 220000, "salt-free row fidelity")
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the skewed join:\n${finalPlan.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val wh = Files.createTempDirectory("graft-wh")
     wh.toFile.deleteOnExit()
