@@ -146,12 +146,24 @@ object Dedup {
     * sub-quadratic arm of the same question.
     */
   def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
-                            blockCol: String, n: Int,
-                            threshold: Double): DataFrame = {
+                            blockCol: String, n: Int, threshold: Double,
+                            maxPostingLen: Option[Int] = None): DataFrame = {
     require(threshold > 0.0, "ngramContainmentPairs: threshold must be > 0")
-    val p = postingsOf(df, idCol, textCol, blockCol, n)
+    val allPostings = postingsOf(df, idCol, textCol, blockCol, n)
+    // same hot-gram valve and one-sided-cap reasoning as
+    // ngramJaccardPairs — MORE important here, since containment has
+    // no size prefilter thinning the co-occurrence rows; the cap's
+    // audit is the same `hotPostings` query, and capped output
+    // under-counts BY CONTRACT (never silently: run the audit beside)
+    val p = maxPostingLen match {
+      case None => allPostings
+      case Some(cap) =>
+        val hot = hotPostings(df, idCol, textCol, blockCol, n, cap)
+          .select(col(blockCol), col("gram"))
+        allPostings.join(hot, Seq(blockCol, "gram"), "left_anti")
+    }
     val a = p.as("a")
-    val b = p.as("b")
+    val b = allPostings.as("b")
     a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") &&
              col("a.gram") === col("b.gram") &&
              col(s"a.$idCol") < col(s"b.$idCol"))

@@ -534,6 +534,33 @@ object Similarity {
     applyKeepRule(df, idCol, pairs)
   }
 
+  /** Audit for `semanticDedupClustered`: the k-means cell sizes. The
+    * clustered arm's pair volume is Σ_cell n², so one runaway cell
+    * (badly-trained centroids, degenerate data) silently regresses the
+    * scale arm toward the exact tier's N²/2 — this query makes that
+    * inspectable, in the same loud-never-silent pattern as
+    * `Dedup.hotPostings` for the posting cap. `-1` is the zero-norm
+    * quarantine cell.
+    */
+  def semanticDedupCells(df: DataFrame, idCol: String, embCol: String,
+                         nClusters: Int = 16, lloydIters: Int = 5,
+                         trainSample: Int = 512): DataFrame = {
+    val vecs = normalizedVecs(df, idCol, embCol)
+    val trained = trainKmeans(vecs, idCol, df.count(), nClusters,
+      lloydIters, trainSample)
+    if (trained.isEmpty)
+      return df.limit(0).select(col(idCol).as("cell"),
+        col(idCol).as("n_members"))
+    val (flatCentroids, kEff) = trained.get
+    vecs
+      .withColumn("__d",
+        graft.functions.Sketches.centroidDists(col("nd"), flatCentroids, kEff))
+      .withColumn("cell",
+        coalesce(expr("array_position(__d, array_min(__d)) - 1"), lit(-1L)))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"))
+  }
+
   def cosineNearDupPairsLsh(df: DataFrame, idCol: String, embCol: String,
                             threshold: Double, nbits: Int = 0,
                             tables: Int = 32): DataFrame = {

@@ -293,6 +293,14 @@ object PipelineQueries {
       Similarity.semanticDedupClustered(Tables.embeddings(s, dir), "vec_id",
         "embedding", threshold = 0.35)),
 
+    // -- the clustered arm's audit: k-means cell sizes (pair volume is
+    //    Σ n² per cell — a runaway cell is the silent scale regression
+    //    this makes loud). Data-dependent cells → rows-only; the size
+    //    law is gated in SemDedupSpec ----------------------------------
+    "q_semdedup_cells" -> ((s, dir) =>
+      Similarity.semanticDedupCells(Tables.embeddings(s, dir), "vec_id",
+        "embedding").orderBy("cell")),
+
     // -- similarity storage tier: per-vector symmetric int8
     //    quantization (4× density; floor keeps it cross-engine) -------
     // posexplode_OUTER + isNotNull: a plain posexplode infers

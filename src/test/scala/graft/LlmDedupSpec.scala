@@ -317,6 +317,19 @@ class LlmDedupSpec extends SparkSpec {
     assert(got == truth, s"got ${got.size} truth ${truth.size}")
   }
 
+  test("containment cap laws: high cap is a no-op, real cap only removes pairs") {
+    val uncapped = Dedup.ngramContainmentPairs(docs, "doc_id", "text", "lang", 2, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val noop = Dedup.ngramContainmentPairs(docs, "doc_id", "text", "lang", 2, 0.8,
+        maxPostingLen = Some(1000000))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(noop == uncapped, "a cap above every posting length must change nothing")
+    val capped = Dedup.ngramContainmentPairs(docs, "doc_id", "text", "lang", 2, 0.8,
+        maxPostingLen = Some(8))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped), "capping can only remove pairs, never invent them")
+  }
+
   test("incremental dedup: bloom arm ⊆ exact arm, planted dups always removed") {
     val existing = docs.filter(pmod(col("doc_id"), lit(10)) < 6)
     val incoming = docs.filter(pmod(col("doc_id"), lit(10)) >= 4)

@@ -69,6 +69,21 @@ class SemDedupSpec extends SparkSpec {
     assert(dupOf.forall(_ <= maxId), "dup_of must point at a lower-id witness")
   }
 
+  test("cell audit: members conserved, pair volume genuinely sub-quadratic") {
+    val emb = Tables.embeddings(spark, Sf)
+    val n = emb.count()
+    val cells = Similarity.semanticDedupCells(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cells.map(_._2).sum == n, "every vector lands in exactly one cell")
+    assert(cells.forall(_._1 >= -1L))
+    // the audit's reason to exist: Σ n_c² must sit well under n² — on
+    // this fixture (isotropic, 16 cells) a healthy clustering keeps the
+    // within-cell pair volume at a fraction of the all-pairs count
+    val pairVolume = cells.map(c => c._2 * c._2).sum
+    assert(pairVolume < n * n / 4,
+      s"cells too lopsided: Σn²=$pairVolume vs n²=${n * n}")
+  }
+
   test("decision cardinality and dup_of witness law on the clustered arm") {
     val emb = Tables.embeddings(spark, Sf)
     val out = Similarity.semanticDedupClustered(emb, "vec_id", "embedding", Threshold)
