@@ -449,6 +449,24 @@ object PipelineQueries {
         "doc_id", "text", n = 5, minShared = 3L)
     }),
 
+    // -- leakage-safe split: assign train/val/test by near-dup CLUSTER
+    //    (LSH pairs → connected components; singletons are their own
+    //    cluster), so two near-duplicate documents can never straddle
+    //    the train/test boundary — the split-level decontamination a
+    //    per-doc hash split cannot give. Same Weyl cuts, keyed on the
+    //    cluster id. Oracle replays the reachability CTE + the cuts. --
+    "q_split_by_cluster" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val withCluster = docs.select("doc_id").join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      Chunking.hashSplit(withCluster, "cluster_id",
+          weights = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select("doc_id", "cluster_id", "split")
+    }),
+
     // -- train/val/test assignment: same Weyl bucket as the sampler,
     //    cut at cumulative weights — row-local and append-stable ------
     "q_split_assign" -> ((s, dir) =>
@@ -1164,6 +1182,46 @@ object PipelineQueries {
         |FROM g c JOIN g b ON c.gram = b.gram
         |WHERE c.doc_id % 50 != 0 AND b.doc_id % 50 = 0
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    // the reachability fixpoint from q_dedup_clusters (exact pairs —
+    // the LSH arm is fixture-equal, spec-proven) + left join for the
+    // singleton clusters + the q_split_assign Weyl cuts on cluster_id
+    "q_split_by_cluster" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      CAST(len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT src AS node, src AS r FROM edges
+        |  UNION
+        |  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+        |), cc AS (
+        |  SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY node
+        |), assigned AS (
+        |  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+        |), b AS (
+        |  SELECT doc_id, cluster_id,
+        |    ((cluster_id % 65536) * 40503) % 65536 AS bucket
+        |  FROM assigned
+        |)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN bucket < 0.9 * 65536 THEN 'train'
+        |       WHEN bucket < 0.95 * 65536 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
 
     "q_split_assign" ->
       """WITH b AS (

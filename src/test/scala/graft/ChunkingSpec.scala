@@ -146,6 +146,25 @@ class ChunkingSpec extends SparkSpec {
       Chunking.hashSplit(df, "id", Seq("a" -> 0.9, "b" -> 0.2)))
   }
 
+  test("cluster split: no near-dup pair ever straddles the split boundary") {
+    // the leakage law q_split_by_cluster exists for: a per-doc hash
+    // split puts ~9.5% of near-dup pairs across train/test; splitting
+    // by connected component makes that structurally impossible
+    val dir = "/root/testdata/sf0.001"
+    val split = SparkEntry.queries("q_split_by_cluster")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val docs = Tables.documents(spark, dir)
+    assert(split.size == docs.count(), "every document is assigned")
+    val pairs = graft.llm.Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    for ((a, b) <- pairs) {
+      assert(split(a)._1 == split(b)._1, s"pair ($a,$b) in different clusters")
+      assert(split(a)._2 == split(b)._2, s"pair ($a,$b) straddles splits — leakage")
+    }
+    assert(split.values.map(_._2).toSet.contains("train"))
+  }
+
   test("stratified sample: deterministic, subset, stratum-filtered, rate-shaped") {
     val df = frame((0L until 2000L).map(i =>
       (i, "a", if (i % 2 == 0) "en" else if (i % 3 == 0) "de" else "fr")): _*)
