@@ -286,6 +286,28 @@ object RelationalQueries {
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
     }),
 
+    // Outlier detection (training-data cleaning): Tukey IQR fences per
+    // key over the quantized measure. Dyadic probes (0.25/0.75) keep
+    // the exact percentile IEEE-identical cross-engine (the q_quantiles
+    // trick), and the fence arithmetic (±1.5·IQR) is exact double math
+    // on those values. The per-key quantile table is broadcast back —
+    // the corpus never shuffles for the fence check.
+    "q_outlier_filter" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("v", expr("CAST(floor(value * 1000) AS BIGINT)"))
+      val fences = ev.groupBy("event_type")
+        .agg(expr("percentile(v, array(0.25D, 0.75D))").as("__qs"))
+        .select(col("event_type"),
+          element_at(col("__qs"), 1).as("q25"),
+          element_at(col("__qs"), 2).as("q75"))
+      ev.join(broadcast(fences), "event_type")
+        .filter(col("v") < col("q25") - (col("q75") - col("q25")) * 1.5 ||
+          col("v") > col("q75") + (col("q75") - col("q25")) * 1.5)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_outliers"),
+          min("v").as("min_v"), max("v").as("max_v"))
+    }),
+
     // The SQL-text surface: the same engine through spark.sql over a
     // registered view — parity between the Column API and SQL parsing.
     "q_sql_surface" -> ((s, dir) => {
@@ -439,6 +461,23 @@ object RelationalQueries {
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+
+    "q_outlier_filter" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events
+        |), f AS (
+        |  SELECT event_type,
+        |    quantile_cont(v, [0.25, 0.75])[1] AS q25,
+        |    quantile_cont(v, [0.25, 0.75])[2] AS q75
+        |  FROM q GROUP BY 1
+        |)
+        |SELECT q.event_type, count(*) AS n_outliers,
+        |  CAST(min(q.v) AS BIGINT) AS min_v, CAST(max(q.v) AS BIGINT) AS max_v
+        |FROM q JOIN f USING (event_type)
+        |WHERE q.v < f.q25 - (f.q75 - f.q25) * 1.5
+        |   OR q.v > f.q75 + (f.q75 - f.q25) * 1.5
+        |GROUP BY 1""".stripMargin,
 
     "q_quantiles" ->
       """SELECT event_type,

@@ -83,7 +83,8 @@ class PlanShapeSpec extends SparkSpec {
         "q_ann_lsh", "q_ann_ivf", "q_fingerprint_pairs", "q_repetition",
         "q_prep_pipeline", "q_dedup_clusters", "q_decontaminate",
         "q_embed_quantize", "q_embed_topk_int8",
-        "q_semdedup", "q_semdedup_clustered", "q_importance")) {
+        "q_semdedup", "q_semdedup_clustered", "q_importance",
+        "q_ngram_containment", "q_split_by_cluster", "q_semdedup_cells")) {
     // markers are the DERIVED heavy expressions only (a legitimate
     // user predicate — e.g. q_curation's quality gate — may contain a
     // lambda and SHOULD push to the scan; it evaluates once there):
