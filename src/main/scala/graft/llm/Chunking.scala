@@ -191,6 +191,38 @@ object Chunking {
       .select(col(stratumCol), col(idCol), col("__rk").as("pick_rank"))
   }
 
+  /** Token-budget corpus mixing: downsample every source to ≈
+    * `budgetTokens` of text (sources already under budget pass whole).
+    * The per-source rate is computed from one token-count aggregate —
+    * rate = min(1, budget / total) — and applied with the same
+    * portable Weyl bucket as `stratifiedSample`, so the pick is
+    * deterministic and append-stable per document. The rate table is
+    * source-cardinality-sized and broadcast; the corpus is scanned
+    * twice (totals + pick) and never shuffled for the sampling
+    * decision itself. One double divide and one double compare per
+    * row on exact integer inputs — cross-engine deterministic.
+    */
+  def mixToBudget(df: DataFrame, sourceCol: String, idCol: String,
+                  textCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "mixToBudget: budgetTokens must be positive")
+    for (c <- Seq("__nt", "__total", "__rate") if df.columns.contains(c))
+      require(false, s"mixToBudget: '$c' is reserved for internal use — rename it")
+    val denom = 65536L
+    val withTok = df.select(col(sourceCol), col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("__nt"))
+    val totals = withTok.groupBy(sourceCol)
+      .agg(sum("__nt").as("__total"))
+      .withColumn("__rate", least(lit(1.0),
+        lit(budgetTokens.toDouble) / col("__total").cast("double")))
+    val bucket = pmod(pmod(col(idCol), lit(denom)) * lit(40503L), lit(denom))
+    withTok.join(broadcast(totals), Seq(sourceCol))
+      .where(bucket < col("__rate") * lit(denom.toDouble))
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_sampled"),
+        sum("__nt").as("sampled_tokens"),
+        max(col("__total")).as("corpus_tokens"))
+  }
+
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
                        rates: Map[String, Double],
                        portableHash: Boolean = true): DataFrame = {

@@ -46,8 +46,13 @@ object Zorder {
     * tests) can audit the layout.
     */
   def clusterByZ(df: DataFrame, xCol: String, yCol: String,
-                 numFiles: Int): DataFrame =
+                 numFiles: Int): DataFrame = {
+    require(numFiles > 0, "clusterByZ: numFiles must be positive")
+    require(!df.columns.contains("z"),
+      "clusterByZ: input already has a 'z' column — rename it; " +
+        "the name carries the Morton code in the output layout")
     df.withColumn("z", mortonCode(col(xCol), col(yCol)))
       .repartitionByRange(numFiles, col("z"))
       .sortWithinPartitions("z")
+  }
 }

@@ -378,6 +378,12 @@ object PipelineQueries {
       Chunking.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
         rates = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1))),
 
+    // -- corpus mixing: downsample every source to ≈ a token budget
+    //    (rate from one aggregate, broadcast back; Weyl pick) ---------
+    "q_mix_budget" -> ((s, dir) =>
+      Chunking.mixToBudget(Tables.documents(s, dir), "source", "doc_id",
+        "text", budgetTokens = 2000L)),
+
     // -- corpus mixing: exact-k per stratum (eval-set builder) — same
     //    portable Weyl hash as the sampler; WindowGroupLimit top-k ----
     "q_sample_k_per_key" -> ((s, dir) =>
@@ -1048,6 +1054,25 @@ object PipelineQueries {
         |JOIN (VALUES ('en', 0.5), ('de', 0.25), ('zh', 0.1)) r(lang, rate)
         |  USING (lang)
         |WHERE ((d.doc_id % 65536) * 40503) % 65536 < r.rate * 65536""".stripMargin,
+
+    "q_mix_budget" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents
+        |), tot AS (
+        |  SELECT source, CAST(sum(nt) AS BIGINT) AS total FROM t GROUP BY 1
+        |), r AS (
+        |  SELECT source, total,
+        |    least(1.0, 2000.0 / CAST(total AS DOUBLE)) AS rate
+        |  FROM tot
+        |)
+        |SELECT t.source, count(*) AS n_sampled,
+        |  CAST(sum(t.nt) AS BIGINT) AS sampled_tokens,
+        |  CAST(max(r.total) AS BIGINT) AS corpus_tokens
+        |FROM t JOIN r USING (source)
+        |WHERE ((t.doc_id % 65536) * 40503) % 65536 < r.rate * 65536
+        |GROUP BY 1""".stripMargin,
 
     "q_sample_k_per_key" ->
       """SELECT lang, doc_id, CAST(rk AS INTEGER) AS pick_rank FROM (

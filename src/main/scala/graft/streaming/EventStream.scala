@@ -312,8 +312,9 @@ object EventStream {
                           idCol: String, textCol: String, tsCol: String,
                           n: Int = 5,
                           watermarkDelay: String = "10 minutes"): DataFrame = {
-    require(!docs.columns.contains("gram"),
-      "decontaminateStream: 'gram' is reserved for the internal join key")
+    for (c <- Seq("gram", "__toks") if docs.columns.contains(c))
+      require(false,
+        s"decontaminateStream: '$c' is reserved for internal use — rename it")
     val benchGrams = bench
       .withColumn("__toks", graft.llm.TextOps.tokens(textCol))
       .select(explode_outer(array_distinct(

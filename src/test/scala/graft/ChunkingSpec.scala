@@ -146,6 +146,30 @@ class ChunkingSpec extends SparkSpec {
       Chunking.hashSplit(df, "id", Seq("a" -> 0.9, "b" -> 0.2)))
   }
 
+  test("budget mixing: under-budget sources pass whole, over-budget downsample to ≈budget") {
+    // source "big": 200 docs × 10 tokens = 2000 tokens, budget 500 ⇒
+    // rate 0.25; source "small": 20 docs × 10 = 200 tokens ⇒ rate 1.0
+    val df = frame(
+      ((0L until 200L).map(i => (i, "big", words(10))) ++
+        (1000L until 1020L).map(i => (i, "small", words(10)))): _*)
+    val out = Chunking.mixToBudget(df, "shard", "id", "text", budgetTokens = 500L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (nSmall, tokSmall, totSmall) = out("small")
+    assert(nSmall == 20 && tokSmall == 200 && totSmall == 200,
+      s"under-budget source must pass whole: ${out("small")}")
+    val (nBig, tokBig, totBig) = out("big")
+    assert(totBig == 2000)
+    // Weyl pick at rate 0.25 over 200 uniform ids: expect ~50 docs /
+    // ~500 tokens; the hash is fixed so the exact count is stable —
+    // assert the budget is approximated within 2×, both sides
+    assert(tokBig >= 250 && tokBig <= 1000, s"sampled $tokBig of 2000 for budget 500")
+    assert(nBig.toDouble / 200.0 >= 0.125 && nBig.toDouble / 200.0 <= 0.5)
+    // determinism
+    val again = Chunking.mixToBudget(df, "shard", "id", "text", budgetTokens = 500L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == out)
+  }
+
   test("cluster split: no near-dup pair ever straddles the split boundary") {
     // the leakage law q_split_by_cluster exists for: a per-doc hash
     // split puts ~9.5% of near-dup pairs across train/test; splitting
