@@ -455,6 +455,41 @@ object PipelineQueries {
         "doc_id", "text", n = 5, minShared = 3L)
     }),
 
+    // -- dedup retention policy: keep the BEST-QUALITY document per
+    //    near-dup cluster (not the lowest id) — the policy a curation
+    //    pipeline actually wants. Quality is the oracle-shared
+    //    composite (deterministic doubles ⇒ identical ordering in both
+    //    engines), ties break on doc_id. ------------------------------
+    "q_dedup_keep_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val withCluster = withStats(docs).select("doc_id", "quality")
+        .join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("quality").desc, col("doc_id"))
+      withCluster.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_id"),
+          col("quality").as("kept_quality"))
+    }),
+
+    // -- language-ID evaluation: the (true lang, predicted) confusion
+    //    matrix — the accuracy view an operator owner actually reads --
+    "q_langid_confusion" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).withColumn("toks", TextOps.tokens("text"))
+      val scored = TextOps.LangProfiles.foldLeft(base) { case (d, (lang, words)) =>
+        d.withColumn(s"score_$lang", TextOps.langScore("toks", words))
+      }
+      scored.withColumn("predicted",
+          TextOps.predictedLang(TextOps.LangProfiles.map { case (l, _) => (l, s"score_$l") }))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // -- leakage-safe split: assign train/val/test by near-dup CLUSTER
     //    (LSH pairs → connected components; singletons are their own
     //    cluster), so two near-duplicate documents can never straddle
@@ -1207,6 +1242,74 @@ object PipelineQueries {
         |FROM g c JOIN g b ON c.gram = b.gram
         |WHERE c.doc_id % 50 != 0 AND b.doc_id % 50 = 0
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    // reachability CTE (exact pairs, fixture-equal to the LSH arm) +
+    // the oracle-shared quality composite + row_number per cluster
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      CAST(len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT src AS node, src AS r FROM edges
+        |  UNION
+        |  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+        |), cc AS (
+        |  SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY node
+        |), s AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), q AS (
+        |  SELECT doc_id,
+        |    CAST(least(len(toks), 60) AS DOUBLE) / 60.0 * 0.5 +
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.3 +
+        |      CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to'))) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE) * 0.2 AS quality
+        |  FROM s
+        |), assigned AS (
+        |  SELECT q.doc_id, q.quality,
+        |    coalesce(cc.cluster_id, q.doc_id) AS cluster_id
+        |  FROM q LEFT JOIN cc ON q.doc_id = cc.doc_id
+        |), r AS (
+        |  SELECT cluster_id, doc_id, quality, row_number() OVER (
+        |    PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rk
+        |  FROM assigned
+        |)
+        |SELECT cluster_id, doc_id AS keep_id, quality AS kept_quality
+        |FROM r WHERE rk = 1""".stripMargin,
+
+    "q_langid_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht'))) AS INTEGER) AS score_de,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','to'))) AS INTEGER) AS score_en,
+        |    CAST(len(list_filter(toks, t -> t IN ('el','la','los','y','es','de'))) AS INTEGER) AS score_es,
+        |    CAST(len(list_filter(toks, t -> t IN ('le','la','les','et','est','une'))) AS INTEGER) AS score_fr,
+        |    CAST(len(list_filter(toks, t -> t IN ('的','是','了','在','我','不'))) AS INTEGER) AS score_zh
+        |  FROM t
+        |), pr AS (
+        |  SELECT lang,
+        |    CASE WHEN score_de >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+        |         WHEN score_en >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+        |         WHEN score_es >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+        |         WHEN score_fr >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+        |         WHEN score_zh >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'zh'
+        |    END AS predicted
+        |  FROM s
+        |)
+        |SELECT lang, predicted, count(*) AS n FROM pr GROUP BY 1, 2""".stripMargin,
 
     // the reachability fixpoint from q_dedup_clusters (exact pairs —
     // the LSH arm is fixture-equal, spec-proven) + left join for the
