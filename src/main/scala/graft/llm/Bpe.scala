@@ -118,16 +118,26 @@ object Bpe {
     * the corpus-sized token stream picks its subword count up through
     * a broadcast join. Encoding per occurrence would run the merge
     * loop ~(corpus/vocab)× more often for identical results.
+    *
+    * The distinct-word table is natural-language-vocabulary-shaped
+    * (Heaps' law keeps it sublinear in corpus size) but NOT bounded by
+    * `maxVocab` — adversarial corpora (random hex, id dumps) make it
+    * corpus-sized. `broadcastEncoded = false` swaps the map-side join
+    * for a shuffle-hash join on the token key for that regime;
+    * row-identical either way.
     */
   def subwordStats(df: DataFrame, groupCol: String, textCol: String,
-                   merges: Seq[(String, String)]): DataFrame = {
+                   merges: Seq[(String, String)],
+                   broadcastEncoded: Boolean = true): DataFrame = {
     val toks = df
       .withColumn("__toks", TextOps.tokens(textCol))
       .select(col(groupCol), explode_outer(col("__toks")).as("tok"))
       .filter(col("tok").isNotNull && col("tok") =!= "")
     val vocabEnc = toks.select("tok").distinct()
       .withColumn("n_sub", size(encode(col("tok"), merges)))
-    toks.join(broadcast(vocabEnc), Seq("tok"))
+    val enc = if (broadcastEncoded) broadcast(vocabEnc)
+              else vocabEnc.hint("shuffle_hash")
+    toks.join(enc, Seq("tok"))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_sub").cast("long")).as("n_subwords"),

@@ -191,9 +191,10 @@ object Chunking {
       .select(col(stratumCol), col(idCol), col("__rk").as("pick_rank"))
   }
 
-  /** Token-budget corpus mixing: downsample every source to ≈
-    * `budgetTokens` of text (sources already under budget pass whole).
-    * The per-source rate is computed from one token-count aggregate —
+  /** Token-budget corpus mixing, row view: the documents the mixing
+    * decision KEEPS — every source downsampled to ≈`budgetTokens` of
+    * text (sources already under budget pass whole). The per-source
+    * rate is computed from one token-count aggregate —
     * rate = min(1, budget / total) — and applied with the same
     * portable Weyl bucket as `stratifiedSample`, so the pick is
     * deterministic and append-stable per document. The rate table is
@@ -201,26 +202,50 @@ object Chunking {
     * twice (totals + pick) and never shuffled for the sampling
     * decision itself. One double divide and one double compare per
     * row on exact integer inputs — cross-engine deterministic.
+    * Columns: (sourceCol, idCol, n_tokens).
+    */
+  def mixToBudgetRows(df: DataFrame, sourceCol: String, idCol: String,
+                      textCol: String, budgetTokens: Long): DataFrame = {
+    val (withTok, totals) = mixRates(df, sourceCol, idCol, textCol, budgetTokens)
+    val denom = 65536L
+    val bucket = pmod(pmod(col(idCol), lit(denom)) * lit(40503L), lit(denom))
+    withTok.join(broadcast(totals), Seq(sourceCol))
+      .where(bucket < col("__rate") * lit(denom.toDouble))
+      .select(col(sourceCol), col(idCol), col("__nt").as("n_tokens"))
+  }
+
+  /** Audit/stats view of the same mixing decision: one row PER SOURCE
+    * (a source whose pick keeps zero documents still appears, with
+    * n_sampled = 0) giving how many documents and tokens survived
+    * against the source's corpus total. Built on `mixToBudgetRows` —
+    * the kept rows themselves — so the two views cannot drift.
     */
   def mixToBudget(df: DataFrame, sourceCol: String, idCol: String,
                   textCol: String, budgetTokens: Long): DataFrame = {
+    val (_, totals) = mixRates(df, sourceCol, idCol, textCol, budgetTokens)
+    val picked = mixToBudgetRows(df, sourceCol, idCol, textCol, budgetTokens)
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).as("__ns"), sum("n_tokens").as("__st"))
+    totals.join(picked, Seq(sourceCol), "left")
+      .select(col(sourceCol),
+        coalesce(col("__ns"), lit(0L)).as("n_sampled"),
+        coalesce(col("__st"), lit(0L)).as("sampled_tokens"),
+        col("__total").as("corpus_tokens"))
+  }
+
+  private def mixRates(df: DataFrame, sourceCol: String, idCol: String,
+                       textCol: String, budgetTokens: Long): (DataFrame, DataFrame) = {
     require(budgetTokens > 0, "mixToBudget: budgetTokens must be positive")
-    for (c <- Seq("__nt", "__total", "__rate") if df.columns.contains(c))
+    for (c <- Seq("__nt", "__total", "__rate", "__ns", "__st", "n_tokens")
+         if df.columns.contains(c))
       require(false, s"mixToBudget: '$c' is reserved for internal use — rename it")
-    val denom = 65536L
     val withTok = df.select(col(sourceCol), col(idCol),
       size(split(col(textCol), " ")).cast("long").as("__nt"))
     val totals = withTok.groupBy(sourceCol)
       .agg(sum("__nt").as("__total"))
       .withColumn("__rate", least(lit(1.0),
         lit(budgetTokens.toDouble) / col("__total").cast("double")))
-    val bucket = pmod(pmod(col(idCol), lit(denom)) * lit(40503L), lit(denom))
-    withTok.join(broadcast(totals), Seq(sourceCol))
-      .where(bucket < col("__rate") * lit(denom.toDouble))
-      .groupBy(sourceCol)
-      .agg(count(lit(1)).as("n_sampled"),
-        sum("__nt").as("sampled_tokens"),
-        max(col("__total")).as("corpus_tokens"))
+    (withTok, totals)
   }
 
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,

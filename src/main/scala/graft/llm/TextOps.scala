@@ -257,13 +257,19 @@ object TextOps {
     * documents whose grams are relatively over-represented in the
     * target — the resampling key DSIR feeds importance sampling with.
     *
-    * Scale shape: the two count tables are VOCABULARY-sized, not
-    * corpus-sized — both are broadcast, so the corpus gram stream joins
-    * map-side and the only shuffle is the partial-aggregated per-doc
-    * sum on the id key. Never an all-pairs surface.
+    * Scale shape: the two count tables are DISTINCT-GRAM-sized. For a
+    * curated target slice and modest n that is vocabulary-like and
+    * broadcastable (the default), but distinct n-gram types grow
+    * roughly linearly with corpus size — bigram types reach 1e8-1e10
+    * at the 100 TB design point — so `broadcastCounts = false` swaps
+    * the map-side joins for shuffle-hash joins (same single shuffle
+    * key, no sort, no driver collect) when the gram tables outgrow
+    * executor memory. Either arm is row-identical; only the join
+    * strategy moves. Never an all-pairs surface.
     */
   def importanceWeights(corpus: DataFrame, target: DataFrame,
-                        idCol: String, textCol: String, n: Int = 2): DataFrame = {
+                        idCol: String, textCol: String, n: Int = 2,
+                        broadcastCounts: Boolean = true): DataFrame = {
     // explode_outer + isNotNull, never a plain explode: the inferred
     // size(grams) > 0 filter would be pushdown-substituted into the
     // scan (the r5 generator trap)
@@ -274,9 +280,11 @@ object TextOps {
     val grams = gramsOf(corpus)
     val rawCounts = grams.groupBy("gram").agg(count(lit(1)).as("r"))
     val tgtCounts = gramsOf(target).groupBy("gram").agg(count(lit(1)).as("t"))
+    def hinted(df: DataFrame): DataFrame =
+      if (broadcastCounts) broadcast(df) else df.hint("shuffle_hash")
     val masses = grams
-      .join(broadcast(rawCounts), Seq("gram"))
-      .join(broadcast(tgtCounts), Seq("gram"), "left")
+      .join(hinted(rawCounts), Seq("gram"))
+      .join(hinted(tgtCounts), Seq("gram"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),
         sum(lit(1L) + coalesce(col("t"), lit(0L))).as("tgt_mass"),

@@ -1102,12 +1102,16 @@ object PipelineQueries {
         |    least(1.0, 2000.0 / CAST(total AS DOUBLE)) AS rate
         |  FROM tot
         |)
-        |SELECT t.source, count(*) AS n_sampled,
-        |  CAST(sum(t.nt) AS BIGINT) AS sampled_tokens,
-        |  CAST(max(r.total) AS BIGINT) AS corpus_tokens
-        |FROM t JOIN r USING (source)
-        |WHERE ((t.doc_id % 65536) * 40503) % 65536 < r.rate * 65536
-        |GROUP BY 1""".stripMargin,
+        |, picked AS (
+        |  SELECT t.source, count(*) AS ns, CAST(sum(t.nt) AS BIGINT) AS st
+        |  FROM t JOIN r USING (source)
+        |  WHERE ((t.doc_id % 65536) * 40503) % 65536 < r.rate * 65536
+        |  GROUP BY 1
+        |)
+        |SELECT r.source, CAST(COALESCE(picked.ns, 0) AS BIGINT) AS n_sampled,
+        |  CAST(COALESCE(picked.st, 0) AS BIGINT) AS sampled_tokens,
+        |  CAST(r.total AS BIGINT) AS corpus_tokens
+        |FROM r LEFT JOIN picked USING (source)""".stripMargin,
 
     "q_sample_k_per_key" ->
       """SELECT lang, doc_id, CAST(rk AS INTEGER) AS pick_rank FROM (

@@ -315,6 +315,11 @@ object EventStream {
     for (c <- Seq("gram", "__toks") if docs.columns.contains(c))
       require(false,
         s"decontaminateStream: '$c' is reserved for internal use — rename it")
+    // the same guard on the static side: withColumn would silently
+    // clobber a pre-existing __toks on the bench frame
+    for (c <- Seq("gram", "__toks") if bench.columns.contains(c))
+      require(false,
+        s"decontaminateStream: bench column '$c' is reserved — rename it")
     val benchGrams = bench
       .withColumn("__toks", graft.llm.TextOps.tokens(textCol))
       .select(explode_outer(array_distinct(

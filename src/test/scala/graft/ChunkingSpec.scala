@@ -170,6 +170,28 @@ class ChunkingSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("budget mixing: zero-pick sources still surface, rows view agrees with stats view") {
+    // source "unlucky": ONE doc whose Weyl bucket (id=1 → 40503) sits
+    // above rate·65536 at rate = 10/100 — the pick keeps nothing, and
+    // the stats view must still report the source with n_sampled = 0
+    // instead of dropping the row
+    val df = frame(
+      ((0L until 50L).map(i => (i * 2, "even", words(10))) :+
+        (1L, "unlucky", words(100))): _*)
+    val stats = Chunking.mixToBudget(df, "shard", "id", "text", budgetTokens = 10L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(stats.contains("unlucky"), "empty source must not disappear from the audit")
+    assert(stats("unlucky") == ((0L, 0L, 100L)))
+    // the rows view is the ground truth the stats view must aggregate to
+    val rows = Chunking.mixToBudgetRows(df, "shard", "id", "text", budgetTokens = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(_._1 == "even"))
+    assert(rows.forall(_._3 == 10L))
+    val (nEven, tokEven, totEven) = stats("even")
+    assert(rows.length.toLong == nEven && rows.map(_._3).sum == tokEven)
+    assert(totEven == 500L)
+  }
+
   test("cluster split: no near-dup pair ever straddles the split boundary") {
     // the leakage law q_split_by_cluster exists for: a per-doc hash
     // split puts ~9.5% of near-dup pairs across train/test; splitting

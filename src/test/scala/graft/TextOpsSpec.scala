@@ -110,6 +110,31 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1L)._2 == 1.0)
   }
 
+  test("importance weights: non-broadcast arm row-identical, plans shuffle-hash joins") {
+    // the 100 TB arm: distinct-gram tables too big to broadcast swap
+    // the map-side joins for shuffle-hash — rows must not move
+    val corpus = spark.createDataFrame(Seq(
+      Row(1L, "atoms bond atoms"),
+      Row(2L, "cells divide atoms"),
+      Row(3L, "atoms divide"),
+      Row(4L, "stocks fell hard")).asJava, schema)
+    val target = corpus.filter(col("id") <= 2)
+    def rows(bc: Boolean) =
+      TextOps.importanceWeights(corpus, target, "id", "text", n = 1, broadcastCounts = bc)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+    assert(rows(bc = false) == rows(bc = true))
+    val plan = TextOps.importanceWeights(corpus, target, "id", "text", n = 1,
+      broadcastCounts = false).queryExecution.executedPlan.toString
+    // the two gram-keyed count joins must be shuffle-hash; the final
+    // doc-id join of masses back onto corpus may broadcast (doc-count
+    // sized output of an aggregation, fine at any scale per partition)
+    assert("ShuffledHashJoin \\[gram".r.findAllIn(plan).size == 2,
+      s"expected 2 shuffle-hash joins on the gram key, got:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin [gram"),
+      "broadcastCounts=false must not broadcast the gram count tables")
+  }
+
   test("pii redaction: finds each class once, replaces in order, counts before replace") {
     val df = frame(
       1L -> "mail me at bob.smith@mail-host.com today",
