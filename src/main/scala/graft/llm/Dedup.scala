@@ -176,6 +176,72 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Sub-quadratic arm of `ngramContainmentPairs` — the asymmetric
+    * prefix filter. Containment's denominator is min(|A|,|B|), so a
+    * symmetric size prefilter is forbidden, but a PREFIX filter on the
+    * SMALLER set is still sound: order each document's grams under one
+    * global rarest-first total order (document frequency per block,
+    * gram string tie-break) and keep the first
+    * |S| - ⌈t·|S|⌉ + 1 grams. For any pair with containment ≥ t the
+    * shared-gram count is an integer ≥ ⌈t·|S|⌉ where S is the smaller
+    * set — strictly more than S's suffix holds — so the other document
+    * must hit S's prefix (pigeonhole). Candidates therefore come from
+    * joining every document's own prefix postings against FULL
+    * postings of documents at least as large (`s.sz <= o.sz` keeps s
+    * on the min side; ties probe both directions and dedup), and the
+    * exact array verification makes output identical to the standard
+    * arm — same integer shared count, same one-divide double — so it
+    * carries the same DuckDB oracle verbatim.
+    *
+    * Cost trade mirrors `ngramJaccardPairsPrefix`: candidate volume is
+    * Σ_gram (prefix_f × full_f) instead of Σ_gram f², and prefix grams
+    * are the rarest ones, so on selective-vocabulary corpora the
+    * quadratic surface collapses; the price is per-candidate array
+    * materialization. On the fixture's 31-word vocabulary every gram
+    * is common and the standard arm wins — the crossover is gated by
+    * output-equality in LlmDedupSpec on a realistic-vocabulary corpus,
+    * exactly the PPJoin story.
+    */
+  def ngramContainmentPairsBanded(df: DataFrame, idCol: String, textCol: String,
+                                  blockCol: String, n: Int,
+                                  threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "ngramContainmentPairsBanded: threshold must be in (0, 1]")
+    val postings = postingsOf(df, idCol, textCol, blockCol, n, spread = false)
+    val freq = postings.groupBy(col(blockCol), col("gram"))
+      .agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(blockCol), col(idCol))
+      .orderBy(col("__df"), col("gram"))
+    val prefix = postings.join(freq, Seq(blockCol, "gram"))
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col(blockCol), col("gram"), col(idCol), col("sz"))
+    val s = prefix.as("s")
+    val o = postings.as("o")
+    val candidates = s.join(o,
+        col(s"s.$blockCol") === col(s"o.$blockCol") &&
+          col("s.gram") === col("o.gram") &&
+          col(s"s.$idCol") =!= col(s"o.$idCol") &&
+          col("s.sz") <= col("o.sz"))
+      .select(least(col(s"s.$idCol"), col(s"o.$idCol")).as("id_a"),
+        greatest(col(s"s.$idCol"), col(s"o.$idCol")).as("id_b"))
+      .distinct()
+    val sets = df.filter(col(blockCol).isNotNull)
+      .withColumn("__toks", TextOps.tokens(textCol))
+      .select(col(idCol), TextOps.ngrams("__toks", n).as("grams"))
+      .withColumn("sz", coalesce(size(col("grams")), lit(-1)))
+      .select(col(idCol), col("grams"), col("sz"))
+    candidates
+      .join(sets.toDF("id_a", "ga", "sza"), "id_a")
+      .join(sets.toDF("id_b", "gb", "szb"), "id_b")
+      .withColumn("shared", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .select(col("id_a"), col("id_b"), col("shared"),
+        (col("shared").cast("double") /
+          least(col("sza"), col("szb")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** The exploded (id, block, |grams|, gram) posting frame both the
     * exact join and the hot-gram audit are built from — shared so the
     * audit can never drift from what the capped join actually drops.

@@ -110,6 +110,14 @@ object PipelineQueries {
       Dedup.ngramContainmentPairs(Tables.documents(s, dir), "doc_id", "text",
         blockCol = "lang", n = 2, threshold = 0.8)),
 
+    // -- tier 3b scale arm: asymmetric prefix filter on the SMALLER
+    //    set's rarest grams (sound for containment because the
+    //    denominator is min-size) + exact verify. Output-identical to
+    //    q_ngram_containment — it carries the same oracle verbatim. ----
+    "q_ngram_containment_banded" -> ((s, dir) =>
+      Dedup.ngramContainmentPairsBanded(Tables.documents(s, dir), "doc_id", "text",
+        blockCol = "lang", n = 2, threshold = 0.8)),
+
     // -- dedup tier 3 (scale arm): MinHash-LSH banded candidates,
     //    Jaccard-verified. Approximate candidate generation → rows-only
     //    driver check + recall gate in LlmDedupSpec. -------------------
@@ -573,6 +581,26 @@ object PipelineQueries {
     // shared >= 1 before the threshold keeps 0/0 (two empty gram sets
     // meeting in the DuckDB all-pairs form) out of the filter
     "q_ngram_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS grams
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS shared,
+        |    least(len(a.grams), len(b.grams)) AS m
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, shared,
+        |  CAST(shared AS DOUBLE) / CAST(m AS DOUBLE) AS containment
+        |FROM p WHERE shared >= 1
+        |  AND CAST(shared AS DOUBLE) / CAST(m AS DOUBLE) >= 0.8""".stripMargin,
+
+    // the banded containment arm is exact by construction — same
+    // oracle as the standard arm, verbatim
+    "q_ngram_containment_banded" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
         |    list_distinct(CASE WHEN len(toks) >= 2

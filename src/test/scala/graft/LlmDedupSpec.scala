@@ -164,6 +164,47 @@ class LlmDedupSpec extends SparkSpec {
     assert(found.size >= 12, s"planted near-dups must surface, got ${found.size}")
   }
 
+  test("banded containment arm equals the exact arm on fixture AND realistic-vocab corpora") {
+    // same crossover story as the PPJoin test: output-identical
+    // everywhere, pays on selective vocabularies. The prefix here is
+    // taken on each doc's OWN size (sound because containment's
+    // denominator is the min side) — the asymmetric case a symmetric
+    // size prefilter would break.
+    def pairs(d: org.apache.spark.sql.DataFrame, block: String): Set[(Long, Long, Long, Double)] = {
+      def get(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val std = get(Dedup.ngramContainmentPairs(d, "doc_id", "text", block, 2, 0.8))
+      val banded = get(Dedup.ngramContainmentPairsBanded(d, "doc_id", "text", block, 2, 0.8))
+      assert(banded == std, s"banded=${banded.size} std=${std.size} " +
+        s"missed=${(std -- banded).size} extra=${(banded -- std).size}")
+      std
+    }
+    assert(pairs(docs, "lang").nonEmpty, "fixture must contain containment pairs")
+
+    // realistic vocab + the asymmetric plant: a SMALL doc lifted
+    // wholesale into a much larger host (containment 1.0, Jaccard tiny)
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 5000).map(i => s"w$i")
+    def zipfWord(): String = {
+      val u = rnd.nextDouble()
+      vocab(math.min(4999, (u * u * u * 5000).toInt))
+    }
+    val base = (1 to 150).map { i =>
+      (i.toLong, "all", (1 to 30 + rnd.nextInt(40)).map(_ => zipfWord()).mkString(" "))
+    }
+    val lifted = base.take(10).map { case (id, b, t) =>
+      val host = (1 to 120).map(_ => zipfWord()).mkString(" ")
+      (id + 10000L, b, host + " " + t)
+    }
+    import spark.implicits._
+    val gen = (base ++ lifted).toDF("doc_id", "blk", "text")
+    val found = pairs(gen, "blk")
+    val planted = (1 to 10).map(i => (i.toLong, i + 10000L)).toSet
+    val foundIds = found.map(p => (p._1, p._2))
+    assert(planted.subsetOf(foundIds),
+      s"lifted docs must pair at containment 0.8: missing ${planted -- foundIds}")
+  }
+
   test("fingerprint pairs: a lifted passage pairs documents that bigram Jaccard misses") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("text", StringType)))
