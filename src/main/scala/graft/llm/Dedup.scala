@@ -505,6 +505,83 @@ object Dedup {
           least(col("nwa"), col("nwb")).cast("double")).as("containment"))
   }
 
+  /** Exact substring (suffix-grouping) dedup: every MAXIMAL verbatim
+    * token span of length ≥ `k` shared between two documents, with
+    * both start positions — the question the set-similarity tiers
+    * (Jaccard/containment) and the window-count tier
+    * (`fingerprintPairs`) only approximate. This is the distributed
+    * re-expression of suffix-array training-data dedup (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): a suffix array's duplicate detection reduces to
+    * grouping equal fixed-length windows and merging overlapping
+    * runs, and both steps are plain relational algebra.
+    *
+    * Shape: (1) every k-token window emits (id, pos, window-hash) —
+    * row-local explode, the `fingerprintPairs` chain with POSITIONS
+    * kept; (2) cross-doc anchors come from an inverted-index
+    * equi-join on the window hash (k-token windows are near-unique,
+    * so posting lists stay tiny — never Σf²-shaped); (3) a shared
+    * span of length L ≥ k is exactly a run of L-k+1 consecutive
+    * anchors on one DIAGONAL (pos_b - pos_a constant), so a
+    * gaps-and-islands window per (id_a, id_b, diag) merges anchors
+    * into maximal spans — one shuffle on the pair key; (4) each span
+    * is verified VERBATIM by comparing the actual token slices, so a
+    * window-hash collision (the chain is mod ~2^30; birthday pairs
+    * exist at corpus scale) can never emit a false span. One-sided
+    * residual: a collision landing adjacent to a true run on the
+    * same diagonal would extend the island and fail the whole span's
+    * verification (~2/P per true span) — false spans are impossible,
+    * a dropped true span is astronomically unlikely.
+    *
+    * Verification ships token arrays only for documents that appear
+    * in some span (left-semi on the span ids first — span-bearing
+    * docs are rare at corpus scale, so the corpus never shuffles its
+    * text for docs with nothing to verify).
+    *
+    * Output: (id_a, id_b, pos_a, pos_b, span_tokens), positions
+    * 0-based token offsets, one row per maximal verified span.
+    */
+  def substringSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 2, "substringSpans: spans must be at least 2 tokens")
+    import org.apache.spark.sql.expressions.Window
+    val windows = df.repartition(col(idCol))
+      .withColumn("__toks", TextOps.tokens(textCol))
+      // gate on the cheap token count (size(wh) would pushdown-
+      // re-substitute the hash chain at the scan — the postingsOf trap)
+      .filter(size(col("__toks")) >= k)
+      .withColumn("__th", TextOps.tokenHashes("__toks"))
+      .select(col(idCol), posexplode(TextOps.windowHashes("__th", k)))
+      .withColumnRenamed("pos", "pos0").withColumnRenamed("col", "h")
+    val a = windows.as("a")
+    val b = windows.as("b")
+    val anchors = a.join(b, col("a.h") === col("b.h") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.pos0").as("pos_a"), col("b.pos0").as("pos_b"))
+      .withColumn("diag", col("pos_b") - col("pos_a"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    val spans = anchors
+      .withColumn("__grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("__grp"))
+      .agg(min(col("pos_a")).as("pos_a"), min(col("pos_b")).as("pos_b"),
+        (count(lit(1)) + lit(k - 1)).as("span_tokens"))
+      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"),
+        col("span_tokens"))
+    val toksOf = df.select(col(idCol), TextOps.tokens(textCol).as("__t"))
+    val ids = spans.select(col("id_a").as(idCol))
+      .union(spans.select(col("id_b").as(idCol))).distinct()
+    val needed = toksOf.join(ids, Seq(idCol), "left_semi")
+    spans
+      .join(needed.toDF("id_a", "__ta"), "id_a")
+      .join(needed.toDF("id_b", "__tb"), "id_b")
+      .filter(expr("slice(__ta, pos_a + 1, cast(span_tokens as int)) = " +
+        "slice(__tb, pos_b + 1, cast(span_tokens as int))"))
+      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"),
+        col("span_tokens"))
+  }
+
   /** 64-bit SimHash over a pre-hashed token multiset column
     * (array<bigint> of xxhash64(token)): bit b is the sign of
     * Σ_tokens (±1 by bit b). Frequent tokens weigh naturally (the

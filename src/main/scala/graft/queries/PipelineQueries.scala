@@ -242,6 +242,13 @@ object PipelineQueries {
       Dedup.fingerprintPairs(Tables.documents(s, dir), "doc_id", "text",
         w = 8, minShared = 1)),
 
+    // -- dedup tier 6: exact substring spans — every MAXIMAL verbatim
+    //    token run >= 8 shared between two docs, with both positions
+    //    (suffix-array dedup re-expressed as window anchors + gaps-
+    //    and-islands run merging + verbatim slice verification). -----
+    "q_substring_dup" -> ((s, dir) =>
+      Dedup.substringSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)),
+
     // -- data selection: DSIR-style importance weights toward the EN
     //    slice — add-one-smoothed integer gram masses, one final
     //    divide (cross-engine exact); both count tables broadcast ----
@@ -897,6 +904,51 @@ object PipelineQueries {
         |SELECT id_a, id_b, shared,
         |  CAST(shared AS DOUBLE) / CAST(least(nwa, nwb) AS DOUBLE) AS containment
         |FROM j WHERE shared >= 1""".stripMargin,
+
+    // replays the anchor chain (token poly hash -> 8-window poly hash
+    // with positions), the diagonal gaps-and-islands merge, and the
+    // verbatim slice verification
+    "q_substring_dup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    list_transform(toks, tok -> list_reduce(
+        |      list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(range(1, len(tok) + 1), i -> CAST(ascii(tok[i]) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007)) AS th
+        |  FROM t WHERE len(toks) >= 8
+        |), wh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, n - 6), i -> list_reduce(
+        |      list_prepend(CAST(11 AS BIGINT), list_slice(th, i, i + 7)),
+        |      (a, b) -> (a * 37 + b) % 1000000007)) AS ws
+        |  FROM h
+        |), p AS (
+        |  SELECT doc_id, CAST(unnest(range(0, len(ws))) AS INTEGER) AS pos,
+        |    unnest(ws) AS wh
+        |  FROM wh
+        |), anch AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.pos AS pos_a, b.pos AS pos_b, b.pos - a.pos AS diag
+        |  FROM p a JOIN p b ON a.wh = b.wh AND a.doc_id < b.doc_id
+        |), isl AS (
+        |  SELECT id_a, id_b, diag, pos_a, pos_b,
+        |    pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag
+        |                               ORDER BY pos_a) AS grp
+        |  FROM anch
+        |), spans AS (
+        |  SELECT id_a, id_b,
+        |    CAST(min(pos_a) AS INTEGER) AS pos_a,
+        |    CAST(min(pos_b) AS INTEGER) AS pos_b,
+        |    CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        |  FROM isl GROUP BY id_a, id_b, diag, grp
+        |)
+        |SELECT s.id_a, s.id_b, s.pos_a, s.pos_b, s.span_tokens
+        |FROM spans s
+        |JOIN t ta ON ta.doc_id = s.id_a
+        |JOIN t tb ON tb.doc_id = s.id_b
+        |WHERE list_slice(ta.toks, s.pos_a + 1, s.pos_a + s.span_tokens)
+        |    = list_slice(tb.toks, s.pos_b + 1, s.pos_b + s.span_tokens)""".stripMargin,
 
     "q_importance" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),

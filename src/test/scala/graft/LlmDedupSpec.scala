@@ -227,6 +227,40 @@ class LlmDedupSpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("substring spans: planted verbatim run surfaces maximally, short/absent runs don't") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val aToks = (1 to 40).map(i => s"a$i")
+    // doc 2 lifts a10..a21 (12 tokens) verbatim at 0-based position 10
+    val doc2 = ((1 to 10).map(i => s"b$i") ++ aToks.slice(9, 21) ++
+      (11 to 40).map(i => s"b$i")).mkString(" ")
+    // doc 3 shares only a 7-token run — below k=8, must not pair
+    val doc3 = ((1 to 20).map(i => s"c$i") ++ aToks.slice(9, 16) ++
+      (21 to 40).map(i => s"c$i")).mkString(" ")
+    val doc4 = (1 to 40).map(i => s"d$i").mkString(" ")
+    val df = spark.createDataFrame(Seq(
+      Row(1L, aToks.mkString(" ")), Row(2L, doc2),
+      Row(3L, doc3), Row(4L, doc4)).asJava, schema)
+    val spans = Dedup.substringSpans(df, "id", "text", k = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    // exactly one pair, the lifted run, MAXIMAL (12 tokens, not a
+    // window fragment), at the exact planted positions
+    assert(spans.keySet == Set((1L, 2L)), s"got ${spans.keySet}")
+    assert(spans((1L, 2L)) == ((9, 10, 12L)),
+      s"span must be maximal and positioned: ${spans((1L, 2L))}")
+    // raising k above the planted span length empties the result
+    assert(Dedup.substringSpans(df, "id", "text", k = 13).count() == 0)
+    // two disjoint lifted runs in one pair -> two separate spans
+    val doc5 = (aToks.slice(0, 8) ++ Seq("x1", "x2") ++ aToks.slice(20, 30))
+      .mkString(" ")
+    val df2 = spark.createDataFrame(Seq(
+      Row(1L, aToks.mkString(" ")), Row(5L, doc5)).asJava, schema)
+    val two = Dedup.substringSpans(df2, "id", "text", k = 8)
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getLong(4))).toSet
+    assert(two == Set((0, 0, 8L), (20, 10, 10L)), s"got $two")
+  }
+
   test("MinHash estimate tracks true Jaccard on controlled documents") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("text", StringType)))
