@@ -73,25 +73,19 @@ object XesDataSource {
       .filterNot(f => f.endsWith("_SUCCESS") || f.endsWith(".crc"))
   }
 
-  private def readFile(conf: Configuration, file: String): String = {
-    val p = new HPath(file)
-    val in = p.getFileSystem(conf).open(p)
-    try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-  }
-
   private[xes] def infer(path: String, caseCol: String, all: Boolean): StructType = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val files = listFiles(path)
-    val sample = (if (all) files else files.take(1))
-      .map(readFile(conf, _)).filter(_.contains("<log"))
-    val keyTags = sample.flatMap(XesReader.parseFileRaw)
+    // streaming parse (one trace in memory at a time), same iterator
+    // the scan uses; non-XES files yield no events via the root probe
+    val keyTags = (if (all) files else files.take(1))
+      .iterator
+      .flatMap { f =>
+        val p = new HPath(f)
+        XesReader.staxEvents(p.getFileSystem(conf).open(p))
+      }
       .flatMap(_.attrs.map { case (k, (tag, _)) => (k, tag) })
+      .toSeq
       .groupBy(_._1).map { case (k, ts) => k -> ts.map(_._2).toSet }
     val fields = keyTags.toSeq.sortBy(_._1).map { case (k, tags) =>
       StructField(k,
@@ -134,10 +128,12 @@ private[xes] class XesScan(path: String, required: StructType, caseCol: String)
 
 private[xes] case class XesInputPartition(file: String) extends InputPartition
 
-/** Per-file reader: DOM-parses the shard once, converts ONLY the
-  * pruned columns to InternalRow. Files open via a fresh Hadoop
-  * `Configuration()` on the executor (local/HDFS defaults); custom
-  * filesystems would thread the session conf through the factory.
+/** Per-file reader: STREAMS the shard (StAX, one trace in memory at
+  * a time — a multi-gigabyte single-shard log reads in constant
+  * space), converting ONLY the pruned columns to InternalRow. Files
+  * open via a fresh Hadoop `Configuration()` on the executor
+  * (local/HDFS defaults); custom filesystems would thread the
+  * session conf through the factory.
   */
 private[xes] case class XesReaderFactory(required: StructType, caseCol: String)
   extends PartitionReaderFactory {
@@ -145,27 +141,22 @@ private[xes] case class XesReaderFactory(required: StructType, caseCol: String)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[XesInputPartition].file
     new PartitionReader[InternalRow] {
-      private val events: Iterator[XesReader.RawEvent] = {
-        val conf = new Configuration()
+      private val stream = {
         val p = new HPath(file)
-        val in = p.getFileSystem(conf).open(p)
-        val xml = try {
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](64 * 1024)
-          var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-          new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-        } finally in.close()
-        if (xml.contains("<log")) XesReader.parseFileRaw(xml).iterator
-        else Iterator.empty
+        p.getFileSystem(new Configuration()).open(p)
       }
+      private val events: Iterator[XesReader.RawEvent] =
+        XesReader.staxEvents(stream)
       private var row: InternalRow = _
 
       override def next(): Boolean =
         if (!events.hasNext) false
         else { row = convert(events.next()); true }
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      // staxEvents closes the stream at document end; this covers
+      // early termination (limit pushed into the scan)
+      override def close(): Unit =
+        try stream.close() catch { case _: java.io.IOException => }
 
       private def convert(ev: XesReader.RawEvent): InternalRow = {
         val vals = required.fields.map { f =>

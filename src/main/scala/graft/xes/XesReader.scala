@@ -12,12 +12,14 @@ import org.apache.spark.sql.types._
   * single-file and sharded outputs (and any XES whose attributes are
   * flat typed key/values) back into one row per event.
   *
-  * Spark-first shape: files parse DISTRIBUTED via `wholeTextFiles` —
+  * Spark-first shape: files parse DISTRIBUTED via `binaryFiles` —
   * one task per shard file, so reading the sharded sink's output
   * scales with executors (a single-file log is inherently one task,
-  * same note as the single-file writer). Schema is inferred from the
-  * typed attribute tags in TWO passes over the files (exactly like
-  * `spark.read.json` without a user schema): pass 1 unions the
+  * same note as the single-file writer) — and each file parses
+  * STREAMING (StAX, `staxEvents`), so executor memory is bounded by
+  * one trace rather than the whole document. Schema is inferred from
+  * the typed attribute tags in TWO passes over the files (exactly
+  * like `spark.read.json` without a user schema): pass 1 unions the
   * (key → XES type) set; pass 2 parses rows into that fixed schema.
   * A key observed under conflicting tags widens to string with the
   * raw attribute text.
@@ -36,8 +38,111 @@ object XesReader {
   private[xes] final case class RawEvent(caseId: String,
                                          attrs: Map[String, (String, String)])
 
-  /** DOM-parse one XES document (shared with the V2 source). */
+  /** DOM-parse one XES document (kept for golden tests; the read
+    * paths stream via `staxEvents`).
+    */
   private[xes] def parseFileRaw(xml: String): Seq[RawEvent] = parseFile(xml)
+
+  /** Streaming (StAX cursor) XES event iterator — memory is bounded
+    * by ONE TRACE, not the document: events buffer only until their
+    * trace closes (the trace's `concept:name` may legally appear
+    * after its events, and every event of a trace carries the same
+    * case id — same semantics as the DOM parser, minus the
+    * whole-document materialization that made a giant single-shard
+    * log an executor OOM). A stream whose root element is not
+    * `<log>` (sidecars, _SUCCESS markers) yields no events — the
+    * streaming form of the old `contains("<log")` probe. Malformed
+    * XML after a valid root still throws, matching the DOM parser.
+    * The input stream is closed when the document ends.
+    *
+    * Only DIRECT children are honored, as in the DOM parser: events
+    * at trace depth, attributes at event depth, the case id at trace
+    * depth — a `<global>` block's defaults or nested containers never
+    * leak into rows. DTDs and external entities are disabled (the
+    * files are machine-written, and a log shard must not be able to
+    * make the parser fetch anything).
+    */
+  private[graft] def staxEvents(in: java.io.InputStream): Iterator[RawEvent] = {
+    val fac = javax.xml.stream.XMLInputFactory.newInstance()
+    fac.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    fac.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    import javax.xml.stream.XMLStreamConstants._
+    new scala.collection.AbstractIterator[RawEvent] {
+      private val pending = scala.collection.mutable.Queue.empty[RawEvent]
+      private var reader: javax.xml.stream.XMLStreamReader = _
+      private var rootChecked = false
+      private var done = false
+      private var depth = 0
+      private var traceDepth = -1
+      private var eventDepth = -1
+      private var caseId: String = null
+      private var evAttrs: scala.collection.mutable.Builder[
+        (String, (String, String)), Map[String, (String, String)]] = _
+      private val traceEvs =
+        scala.collection.mutable.ArrayBuffer.empty[Map[String, (String, String)]]
+
+      private def finish(): Unit = {
+        done = true
+        if (reader != null) reader.close()
+        in.close()
+      }
+
+      private def advance(): Unit = {
+        if (done || pending.nonEmpty) return
+        try {
+          if (reader == null) reader = fac.createXMLStreamReader(in)
+          while (pending.isEmpty && !done) {
+            if (!reader.hasNext) finish()
+            else reader.next() match {
+              case START_ELEMENT =>
+                depth += 1
+                val name = reader.getLocalName
+                if (!rootChecked) {
+                  rootChecked = true
+                  if (name != "log") finish()
+                } else if (traceDepth < 0 && name == "trace") {
+                  traceDepth = depth; caseId = null; traceEvs.clear()
+                } else if (traceDepth > 0 && eventDepth < 0 &&
+                           depth == traceDepth + 1 && name == "event") {
+                  eventDepth = depth; evAttrs = Map.newBuilder
+                } else if (eventDepth > 0 && depth == eventDepth + 1) {
+                  evAttrs += reader.getAttributeValue(null, "key") ->
+                    ((name, reader.getAttributeValue(null, "value")))
+                } else if (traceDepth > 0 && eventDepth < 0 &&
+                           depth == traceDepth + 1 && name == "string" &&
+                           reader.getAttributeValue(null, "key") == "concept:name") {
+                  caseId = reader.getAttributeValue(null, "value")
+                }
+              case END_ELEMENT =>
+                if (eventDepth > 0 && depth == eventDepth) {
+                  traceEvs += evAttrs.result(); eventDepth = -1
+                } else if (traceDepth > 0 && depth == traceDepth) {
+                  val cid = caseId
+                  traceEvs.foreach(m => pending.enqueue(RawEvent(cid, m)))
+                  traceEvs.clear(); traceDepth = -1
+                }
+                depth -= 1
+              case END_DOCUMENT => finish()
+              case _ =>
+            }
+          }
+        } catch {
+          // a stream that can't produce a root element (empty sidecar,
+          // non-XML bytes) is "not an XES file" — skip, like the old
+          // contains("<log") probe; errors PAST a valid root rethrow
+          case _: javax.xml.stream.XMLStreamException if !rootChecked =>
+            finish()
+        }
+      }
+
+      override def hasNext: Boolean = { advance(); pending.nonEmpty }
+      override def next(): RawEvent = {
+        advance()
+        if (pending.isEmpty) throw new NoSuchElementException("staxEvents")
+        pending.dequeue()
+      }
+    }
+  }
 
   private def parseFile(xml: String): Seq[RawEvent] = {
     val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
@@ -99,14 +204,18 @@ object XesReader {
   /** Read XES file(s) at `path` (a file, a sharded directory, or a
     * glob) into an event DataFrame. Column order: the case column,
     * then attribute keys sorted.
+    *
+    * One task per shard file (scan parallelism = shard count), each
+    * parsed STREAMING via `staxEvents` — per-executor memory is
+    * bounded by one trace, so a multi-gigabyte single-shard log reads
+    * in constant space instead of materializing the document twice
+    * (bytes + DOM) the way `wholeTextFiles` did. Sidecars skip via
+    * the iterator's root-element probe.
     */
   def read(spark: SparkSession, path: String,
            caseCol: String = XesWriter.DefaultCaseCol): DataFrame = {
-    // skip sidecars (_SUCCESS markers, empty shards) — anything
-    // without a <log element is not an XES document
-    val files = spark.sparkContext.wholeTextFiles(path)
-      .filter { case (_, xml) => xml.contains("<log") }
-    val events = files.flatMap { case (_, xml) => parseFile(xml) }
+    val events = spark.sparkContext.binaryFiles(path)
+      .flatMap { case (_, pds) => staxEvents(pds.open()) }
     // pass 1: schema. A key under exactly one tag gets that tag's
     // type; conflicting tags widen to string (raw text preserved).
     val keyTags: Map[String, Set[String]] = events

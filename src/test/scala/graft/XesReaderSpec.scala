@@ -56,6 +56,70 @@ class XesReaderSpec extends SparkSpec {
     assert(canon(XesReader.read(spark, dir)) == canon(sample))
   }
 
+  test("streaming parse is incremental: first event costs a prefix, not the document") {
+    // build a ~multi-megabyte single-shard log directly (5k traces ×
+    // 4 events) and prove the StAX iterator never materializes it:
+    // producing the FIRST event must consume only a small prefix of
+    // the bytes — the property that makes a giant shard OOM-proof.
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<log>\n")
+    for (t <- 1 to 5000) {
+      sb.append(s"""<trace><string key="concept:name" value="case$t"/>\n""")
+      for (e <- 1 to 4)
+        sb.append(s"""<event><string key="concept:name" value="act$e"/>""" +
+          s"""<int key="n" value="${t * 10 + e}"/></event>\n""")
+      sb.append("</trace>\n")
+    }
+    sb.append("</log>\n")
+    val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(bytes.length > 1000000, s"fixture should be MB-sized, got ${bytes.length}")
+    var consumed = 0L
+    val counting = new java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(bytes)
+      override def read(): Int = { val b = in.read(); if (b >= 0) consumed += 1; b }
+      override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+        val n = in.read(buf, off, len); if (n > 0) consumed += n; n
+      }
+    }
+    val it = XesReader.staxEvents(counting)
+    val first = it.next()
+    assert(first.caseId == "case1")
+    assert(consumed < bytes.length / 10,
+      s"first event consumed $consumed of ${bytes.length} bytes — not streaming")
+    assert(it.size == 5000 * 4 - 1, "remaining events all parse")
+
+    // and the full Spark read paths agree on the same file
+    val tmp = Files.createTempDirectory("xes-big")
+    val file = tmp.resolve("big.xes")
+    Files.write(file, bytes)
+    val legacy = XesReader.read(spark, file.toString)
+    assert(legacy.count() == 20000L)
+    val v2 = spark.read.format("xes").load(file.toString)
+    assert(v2.count() == 20000L)
+    assert(v2.where(org.apache.spark.sql.functions.col("n") === 12343L).count() == 1)
+  }
+
+  test("trace case id appearing AFTER its events still labels every event") {
+    // XES allows trace attributes anywhere among the children; the
+    // per-trace buffering must match the DOM parser's semantics
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<log>
+        |<trace>
+        |<event><string key="concept:name" value="first"/></event>
+        |<event><string key="concept:name" value="second"/></event>
+        |<string key="concept:name" value="late-case"/>
+        |</trace>
+        |</log>""".stripMargin
+    val tmp = Files.createTempDirectory("xes-late")
+    val file = tmp.resolve("late.xes")
+    Files.write(file, xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val back = XesReader.read(spark, file.toString)
+      .select("case:concept:name", "concept:name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(("late-case", "first"), ("late-case", "second")))
+  }
+
   test("conflicting attribute types widen to string with the raw text") {
     val tmp = Files.createTempDirectory("xes-read-conflict")
     val file = tmp.resolve("log.xes")
