@@ -248,6 +248,38 @@ object Chunking {
     (withTok, totals)
   }
 
+  /** Deterministic global shuffle + sharding — the "shuffle the corpus
+    * before training" step, made reproducible. Each document's shard
+    * is the portable Weyl bucket of its id modulo `nShards` (so shard
+    * MEMBERSHIP is row-local and append-stable: a grown corpus never
+    * moves an old document to another shard), and its position within
+    * the shard is the rank by (bucket, id) — a pseudo-random traversal
+    * order decorrelated from insertion order, which is the point of
+    * the pre-training shuffle.
+    *
+    * Scale shape: ONE shuffle, on the shard id — exactly the
+    * partitioning a sharded training-set write wants anyway — then a
+    * per-shard sort; with nShards sized so a shard fits a task
+    * (corpus/nShards rows), the rank window never spills. Positions
+    * within a shard do shift when new documents hash into it — rank
+    * is global within the shard by construction; only membership is
+    * append-stable.
+    *
+    * Output: (idCol, shard, pos), pos 1-based within shard.
+    */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "shardAssign: nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val denom = 65536L
+    val bucket = pmod(pmod(col(idCol), lit(denom)) * lit(40503L), lit(denom))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__bucket").asc, col(idCol).asc)
+    df.select(col(idCol), bucket.as("__bucket"))
+      .withColumn("shard", pmod(col("__bucket"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
                        rates: Map[String, Double],
                        portableHash: Boolean = true): DataFrame = {

@@ -724,6 +724,63 @@ object Dedup {
     labels
   }
 
+  /** Segment-level boilerplate removal — the corpus-wide line-dedup
+    * pass of the CCNet/RefinedWeb pipelines, realized on token
+    * segments (this corpus is single-line text, so the "line" unit is
+    * a fixed window of `w` consecutive tokens; the mechanism is
+    * identical). A segment whose exact text occurs in ≥ `minDocs`
+    * DISTINCT documents is boilerplate (headers, navigation chrome,
+    * license blurbs) and is cut from every document carrying it; the
+    * survivors are reassembled in original order.
+    *
+    * Shapes, not arrays-of-arrays: one explode to segment rows, one
+    * groupBy on the segment text (count-distinct docs), one left-anti
+    * join back, one per-doc reassembly agg. The shuffled unit is a
+    * ≤`w`-token string — at 100 TB you would pre-hash it to 16 bytes
+    * before the shuffle; here the raw text keys the groupBy so the
+    * oracle comparison carries no collision caveat. A document whose
+    * EVERY segment is boilerplate still surfaces (clean_text = ''),
+    * via the left join — the mixToBudget audit lesson.
+    *
+    * Output: (idCol, clean_text, n_seg, n_dropped).
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   w: Int, minDocs: Int): DataFrame = {
+    require(w > 0 && minDocs >= 2, "segmentDedup: w > 0, minDocs >= 2")
+    val base = df
+      .withColumn("__toks", TextOps.tokens(textCol))
+      .withColumn("__nseg",
+        ceil(size(col("__toks")).cast("double") / w).cast("int"))
+      .select(col(idCol), col("__toks"), col("__nseg"))
+    val segs = base
+      .select(col(idCol), col("__nseg"),
+        explode(expr(s"sequence(0, __nseg - 1)")).as("__i"),
+        col("__toks"))
+      .withColumn("seg_text",
+        array_join(slice(col("__toks"), col("__i") * w + 1, lit(w)), " "))
+      .select(col(idCol), col("__i"), col("seg_text"))
+    val boiler = segs.groupBy("seg_text")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("seg_text")
+    val kept = segs.join(boiler, Seq("seg_text"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__i"), col("seg_text")))),
+            s => s("seg_text")),
+          " ").as("clean_text"),
+        count(lit(1)).as("__nkept"))
+    base.select(col(idCol), col("__nseg"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("__nseg").cast("long").as("n_seg"),
+        (col("__nseg").cast("long") - coalesce(col("__nkept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
   /** Cross-batch (incremental) dedup, exact arm: which `incoming`
     * documents are genuinely new vs an `existing` corpus? Left-anti
     * join on the content hash — both sides shuffle (hash, id) pairs

@@ -300,6 +300,72 @@ object TextOps {
           .as("weight"))
   }
 
+  /** BM25 document ranking for a fixed query set — the retrieval stage
+    * of a RAG-style training-data pipeline (find the corpus documents
+    * most relevant to each probe query).
+    *
+    * Two deliberate departures from textbook BM25, both for the
+    * oracle-exactness rule this file lives by:
+    *   - RATIONAL idf (N / df, one IEEE divide) instead of the
+    *     Robertson log idf — libm `log` is not bit-identical across
+    *     engines, and per-term ranking is invariant to the monotone
+    *     swap (same argument as `tfidfTopK`).
+    *   - each term's contribution is quantized to integer MICRO-UNITS
+    *     (`floor(score·10⁶)`) BEFORE the cross-term sum, so the
+    *     aggregate is addition-order-independent — float sums over
+    *     grouped rows are not, on either engine.
+    *
+    * Scale shape: the query-term table is broadcast and semi-joins the
+    * exploded corpus BEFORE the tf groupBy, so the only wide shuffle
+    * carries postings of query terms, never the corpus vocabulary; the
+    * (N, avgdl) scalar rides a broadcast; the final top-k is a
+    * rank-limit window (WindowGroupLimit pushes the cut map-side).
+    * Constants `k1·(1−b)` and `k1·b` are folded HERE and interpolated
+    * into the oracle SQL verbatim, so both engines see the same double.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Int, Seq[String])], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25TopK: every query needs at least one term")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
+      .toDF("qid", "term")
+    val docs = df
+      .withColumn("__toks", tokens(textCol))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = docs
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+      .join(broadcast(qterms), "term")
+      .groupBy(col("qid"), col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // df counts a term once per document, not once per (query, term):
+    // two queries sharing a term must see the same df.
+    val docFreq = tf.select(col("term"), col(idCol)).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = col("n_docs").cast("double") / col("df").cast("double")
+    val tfd = col("tf").cast("double")
+    val denom = tfd + lit(k1 * (1 - b)) +
+      lit(k1 * b) * (col("dl").cast("double") / avgdl)
+    val contrib = idf * (tfd * lit(k1 + 1)) / denom
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+    tf.join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__c", floor(contrib * lit(1e6)).cast("long"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("__c")).as("score_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol), col("score_micro"), col("rank"))
+  }
+
   /** PII-style redaction (the standard pre-training scrub pass):
     * emails, IPv4 addresses and long digit runs are replaced with
     * typed placeholder tokens, with a count of replacements per class.

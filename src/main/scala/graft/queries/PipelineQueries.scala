@@ -20,6 +20,18 @@ object PipelineQueries {
 
   private val StopEn = Seq("the", "a", "of", "and", "is", "to")
 
+  /** Fixed probe set for q_bm25_topk. Query 3's "zebra" is not in the
+    * corpus vocabulary on purpose — a missing term must contribute
+    * zero on both engines (the query-term join simply drops it).
+    */
+  private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("key", "row"),
+    1 -> Seq("hash", "table"),
+    2 -> Seq("merge", "batch", "scan"),
+    3 -> Seq("zebra", "join"))
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
   /** Quality-stat columns shared by q_text_stats and q_curation — the
     * expressions must stay IDENTICAL between uses (and mirrored in the
     * oracle SQL) for cross-engine double determinism.
@@ -403,6 +415,22 @@ object PipelineQueries {
     //    portable Weyl hash as the sampler; WindowGroupLimit top-k ----
     "q_sample_k_per_key" -> ((s, dir) =>
       Chunking.sampleKPerKey(Tables.documents(s, dir), "lang", "doc_id", k = 20)),
+
+    // -- retrieval: BM25 top-k per probe query (rational idf +
+    //    micro-unit integer contributions — see TextOps.bm25TopK) ----
+    "q_bm25_topk" -> ((s, dir) =>
+      TextOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        Bm25Queries, k = 5, k1 = Bm25K1, b = Bm25B)),
+
+    // -- dedup: segment-level boilerplate removal (the CCNet/
+    //    RefinedWeb line-dedup pass on token segments) ---------------
+    "q_segment_dedup" -> ((s, dir) =>
+      Dedup.segmentDedup(Tables.documents(s, dir), "doc_id", "text",
+        w = 4, minDocs = 3)),
+
+    // -- training order: deterministic global shuffle into shards ----
+    "q_shard_assign" -> ((s, dir) =>
+      Chunking.shardAssign(Tables.documents(s, dir), "doc_id", nShards = 8)),
 
     // -- the FULL training-data prep pipeline in one query: quality
     //    gate → near-dup removal (LSH scale arm, fixture-equal to the
@@ -1169,6 +1197,70 @@ object PipelineQueries {
         |JOIN (VALUES ('en', 0.5), ('de', 0.25), ('zh', 0.1)) r(lang, rate)
         |  USING (lang)
         |WHERE ((d.doc_id % 65536) * 40503) % 65536 < r.rate * 65536""".stripMargin,
+
+    // Constants are interpolated from the SAME Scala doubles the Spark
+    // side folds (toString round-trips the exact bit pattern), so both
+    // engines evaluate identical IEEE operations in identical order.
+    "q_bm25_topk" ->
+      s"""WITH q(qid, term) AS (VALUES ${
+        Bm25Queries.flatMap { case (qid, ts) =>
+          ts.map(t => s"($qid, '$t')") }.mkString(", ")}),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM tok),
+        |ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok),
+        |tf AS (
+        |  SELECT q.qid, e.doc_id, e.term, count(*) AS tf, max(e.dl) AS dl
+        |  FROM ex e JOIN q ON e.term = q.term GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.qid, tf.doc_id,
+        |    CAST(floor(
+        |      (CAST(s.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE)) *
+        |      (CAST(tf.tf AS DOUBLE) * ${Bm25K1 + 1}) /
+        |      (CAST(tf.tf AS DOUBLE) + ${Bm25K1 * (1 - Bm25B)} + ${Bm25K1 * Bm25B} *
+        |        (CAST(tf.dl AS DOUBLE) /
+        |         (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+        |      * 1000000.0) AS BIGINT) AS c
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats s),
+        |agg AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+        |        FROM sc GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS INTEGER) AS "rank"
+        |  FROM agg)
+        |SELECT CAST(qid AS INTEGER) AS qid, doc_id, score_micro, "rank"
+        |FROM r WHERE "rank" <= 5""".stripMargin,
+
+    "q_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |d AS (SELECT doc_id, toks,
+        |        CAST(ceil(len(toks) / 4.0) AS INTEGER) AS nseg FROM t),
+        |seg AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(list_slice(toks, i*4+1, i*4+4), ' ') AS seg_text
+        |  FROM d, unnest(range(0, nseg)) AS u(i)
+        |),
+        |boiler AS (SELECT seg_text FROM seg
+        |           GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (SELECT * FROM seg
+        |         WHERE seg_text NOT IN (SELECT seg_text FROM boiler)),
+        |c AS (SELECT doc_id, string_agg(seg_text, ' ' ORDER BY i) AS clean_text,
+        |        count(*) AS nkept FROM kept GROUP BY 1)
+        |SELECT d.doc_id, coalesce(c.clean_text, '') AS clean_text,
+        |  CAST(d.nseg AS BIGINT) AS n_seg,
+        |  CAST(d.nseg - coalesce(c.nkept, 0) AS BIGINT) AS n_dropped
+        |FROM d LEFT JOIN c USING (doc_id)""".stripMargin,
+
+    "q_shard_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id, ((doc_id % 65536) * 40503) % 65536 AS bucket
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, CAST(bucket % 8 AS INTEGER) AS shard, bucket FROM b
+        |)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY shard ORDER BY bucket, doc_id) AS INTEGER) AS pos
+        |FROM s""".stripMargin,
 
     "q_mix_budget" ->
       """WITH t AS (

@@ -234,4 +234,31 @@ class ChunkingSpec extends SparkSpec {
     assert(!sx.exists(_._2 == "fr"))
     assert(math.abs(sx.count(_._2 == "en") / 1000.0 - 0.5) < 0.1)
   }
+
+  test("shard assign: partition of the corpus, dense 1-based positions, append-stable membership") {
+    import spark.implicits._
+    val ids = (0L until 500L)
+    val df = ids.toDF("id")
+    val out = Chunking.shardAssign(df, "id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+
+    assert(out.map(_._1).toSet == ids.toSet, "every doc exactly once")
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(0 <= shard && shard < 8)
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length),
+        s"shard $shard: positions dense 1..${rows.length}")
+    }
+    // shard = weyl(id) % 8, row-local
+    out.foreach { case (id, shard, _) =>
+      assert(shard == (((id % 65536) * 40503) % 65536 % 8).toInt)
+    }
+    // decorrelated from insertion order: consecutive ids spread across
+    // shards rather than filling one shard at a time
+    assert(out.filter(_._1 < 8).map(_._2).distinct.length >= 4)
+    // append stability: growing the corpus never moves an old doc's
+    // shard (positions may shift — membership must not)
+    val grown = Chunking.shardAssign((0L until 800L).toDF("id"), "id", 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { case (id, shard, _) => assert(grown(id) == shard) }
+  }
 }

@@ -421,4 +421,36 @@ class LlmDedupSpec extends SparkSpec {
     assert(bloom.subsetOf(exact), "no false negatives in the bloom filter")
     assert(bloom.size >= (exact.size * 0.99).toInt, s"≤1% over-drop (fpp), got ${bloom.size}/${exact.size}")
   }
+
+  test("segment dedup: boilerplate cut everywhere, unique text kept in order, all-boiler doc surfaces empty") {
+    import spark.implicits._
+    // 3-token segments; the planted boilerplate "nav bar footer" opens
+    // three documents; doc 4 is NOTHING BUT two copies of it; doc 5
+    // shares no segment with anyone.
+    val df = Seq(
+      (1L, "nav bar footer alpha beta gamma delta epsilon zeta"),
+      (2L, "nav bar footer one two three four five six"),
+      (3L, "nav bar footer seven eight nine"),
+      (4L, "nav bar footer nav bar footer"),
+      (5L, "lone words only here no dup")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", w = 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+
+    assert(out(1L) == (("alpha beta gamma delta epsilon zeta", 3L, 1L)))
+    assert(out(2L) == (("one two three four five six", 3L, 1L)))
+    assert(out(3L) == (("seven eight nine", 2L, 1L)))
+    // a fully-boilerplate document is NOT silently dropped — it rides
+    // the left join back with an empty clean_text (both its segments
+    // are the planted one; distinct-doc count still sees doc 4 once)
+    assert(out(4L) == (("", 2L, 2L)))
+    assert(out(5L) == (("lone words only here no dup", 2L, 0L)))
+    // idempotence: a second pass over cleaned text removes nothing
+    val again = Dedup.segmentDedup(
+      Dedup.segmentDedup(df, "doc_id", "text", w = 3, minDocs = 3)
+        .select(col("doc_id"), col("clean_text").as("text")),
+      "doc_id", "text", w = 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, (txt, _, _)) => assert(again(id) == txt) }
+  }
 }

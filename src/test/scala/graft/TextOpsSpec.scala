@@ -174,4 +174,54 @@ class TextOpsSpec extends SparkSpec {
         s"$tok: exact $n, sketch $est, total $total")
     }
   }
+
+  test("bm25: scores match a driver-side reimplementation; missing terms contribute zero") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark spark spark join"),          // tf(spark)=3, short
+      (2L, "spark join join filter scan sort"),
+      (3L, "filter scan sort window group agg merge batch"),
+      (4L, "join filter"),
+      (5L, "scan scan scan scan scan scan scan scan scan scan"))
+    val df = corpus.toDF("doc_id", "text")
+    val queries = Seq(0 -> Seq("spark"), 1 -> Seq("join", "scan"),
+      2 -> Seq("unicorn", "filter"))
+    val (k1, b) = (1.2, 0.75)
+    val got = TextOps.bm25TopK(df, "doc_id", "text", queries, k = 3,
+        k1 = k1, b = b)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), (r.getLong(2), r.getInt(3))))
+      .toMap
+
+    // independent reimplementation: plain Scala, same formula
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    def dfOf(t: String) = toks.values.count(_.contains(t)).toDouble
+    def contrib(t: String, id: Long): Long = {
+      val tf = toks(id).count(_ == t).toDouble
+      if (tf == 0 || dfOf(t) == 0) 0L
+      else math.floor((n / dfOf(t)) * (tf * (k1 + 1)) /
+        (tf + k1 * (1 - b) + k1 * b * (toks(id).size / avgdl)) * 1e6).toLong
+    }
+    val expected = for {
+      (qid, ts) <- queries
+      id <- corpus.map(_._1)
+      score = ts.map(contrib(_, id)).sum if score > 0
+    } yield (qid, id) -> score
+    val topPerQ = expected.groupBy(_._1._1).flatMap { case (_, rows) =>
+      rows.sortBy { case ((_, id), s) => (-s, id) }.take(3)
+        .zipWithIndex.map { case ((key, s), i) => key -> ((s, i + 1)) }
+    }
+    assert(got == topPerQ, s"got=$got expected=$topPerQ")
+    // ranking sanity: tf SATURATION is the point of BM25 — the doc
+    // matching both query terms outranks the doc with ten copies of
+    // one term; and out-of-vocabulary "unicorn" changes nothing vs
+    // plain "filter"
+    assert(got((1, 2L))._2 < got((1, 5L))._2,
+      "both-terms doc beats the saturated tf=10 single-term doc")
+    val onlyFilter = TextOps.bm25TopK(df, "doc_id", "text",
+        Seq(2 -> Seq("filter")), k = 3, k1 = k1, b = b)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), (r.getLong(2), r.getInt(3)))).toMap
+    assert(onlyFilter == got.filter(_._1._1 == 2), "missing term contributes zero")
+  }
 }
