@@ -280,6 +280,110 @@ object Chunking {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Temperature-scaled source mixing — the Pile/LLaMA recipe: source
+    * s gets sampling weight |s|^α (α < 1 upweights small, high-value
+    * sources relative to bulk crawl), normalized across sources, and a
+    * token budget is split by those weights; each source is then
+    * downsampled to its allocation with the portable Weyl pick
+    * (deterministic, append-stable — same contract as `mixToBudget`).
+    *
+    * Cross-engine arithmetic: |s|^0.5-style powers use IEEE `sqrt`
+    * (correctly rounded, bit-identical across engines) when α = 0.5,
+    * else `pow` — so α is restricted to 0.5 here; the per-source
+    * weights are quantized to integer micro-units BEFORE the
+    * cross-source normalization sum, which makes Σweights
+    * addition-order-free (the same order-independence trick as BM25's
+    * per-term quantization). One aggregate over the corpus, a
+    * source-cardinality-sized weight table broadcast back, zero
+    * corpus shuffles.
+    *
+    * Output: one row per KEPT document (sourceCol, idCol, n_tokens),
+    * plus the decision columns (alloc_tokens, rate) for auditability.
+    */
+  def mixTemperature(df: DataFrame, sourceCol: String, idCol: String,
+                     textCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "mixTemperature: budgetTokens must be positive")
+    val withTok = df.select(col(sourceCol), col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val totals = withTok.groupBy(sourceCol)
+      .agg(sum("n_tokens").as("__total"))
+      // weight_q = floor(sqrt(total) * 1e6): exact-integer input, one
+      // correctly-rounded sqrt, one exact *2^k-free multiply, floor —
+      // deterministic on both engines; Σ over sources is then integer.
+      .withColumn("__wq",
+        floor(sqrt(col("__total").cast("double")) * lit(1e6)).cast("long"))
+    val wsum = totals.agg(sum("__wq").as("__wsum"))
+    val alloc = totals.crossJoin(broadcast(wsum))
+      // alloc = budget · wq / wsum, in integer arithmetic (· before
+      // div, no doubles — budget·wq must stay under 2^63, which holds
+      // for token budgets up to ~10^9 at micro-unit weights; larger
+      // budgets would shrink the quantization unit)
+      .withColumn("__alloc",
+        least(col("__total"),
+          expr(s"($budgetTokens * __wq) div __wsum")))
+      .withColumn("__rate",
+        least(lit(1.0),
+          col("__alloc").cast("double") / col("__total").cast("double")))
+    val denom = 65536L
+    val bucket = pmod(pmod(col(idCol), lit(denom)) * lit(40503L), lit(denom))
+    withTok.join(broadcast(alloc.select(col(sourceCol), col("__alloc"),
+        col("__rate"))), Seq(sourceCol))
+      .where(bucket < col("__rate") * lit(denom.toDouble))
+      .select(col(sourceCol), col(idCol), col("n_tokens"),
+        col("__alloc").as("alloc_tokens"), col("__rate").as("rate"))
+  }
+
+  /** GPT-style fixed-length block packing: concatenate every document
+    * in a shard (deterministic `shardAssign` order, one implicit EOD
+    * token after each document) and cut the stream into consecutive
+    * `blockTokens`-token training blocks. Emits one row per
+    * (document, block) intersection — a SPAN VIEW (start_in_doc /
+    * start_in_block / len), not exploded tokens, so the shuffled and
+    * emitted volume is O(docs + crossings), never O(corpus tokens).
+    *
+    * Differs from `chunkDocuments` (per-doc windows, no cross-doc
+    * packing) and `packGreedy` (variable bin fill, no doc splitting):
+    * blocks here are EXACTLY `blockTokens` wide and documents straddle
+    * block boundaries, which is how decoder pre-training batches are
+    * actually laid out.
+    *
+    * Scale shape: one shuffle (the per-shard window, on the same
+    * partitioning a sharded write wants), then a row-local block-range
+    * explode. All arithmetic is exact integer `div`/`mod` — offsets
+    * stay well under 2^53 per shard even at the 100 TB design point,
+    * and the oracle replays the identical window + range explode.
+    *
+    * Output: (idCol, shard, block, start_in_doc, start_in_block, len);
+    * blocks are numbered globally within the shard's token stream.
+    */
+  def packBlocks(df: DataFrame, idCol: String, textCol: String,
+                 nShards: Int, blockTokens: Int): DataFrame = {
+    require(nShards > 0 && blockTokens > 0,
+      "packBlocks: nShards and blockTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val denom = 65536L
+    val bucket = pmod(pmod(col(idCol), lit(denom)) * lit(40503L), lit(denom))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__bucket").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val L = blockTokens.toLong
+    df.select(col(idCol), bucket.as("__bucket"),
+        size(split(col(textCol), " ")).cast("long").as("__n"))
+      .withColumn("shard", pmod(col("__bucket"), lit(nShards.toLong)).cast("int"))
+      .withColumn("off", coalesce(sum(col("__n") + lit(1L)).over(w), lit(0L)))
+      .withColumn("block", explode(sequence(
+        expr(s"off div $L"), expr(s"(off + __n - 1) div $L"))))
+      .withColumn("__bstart", col("block") * lit(L))
+      .select(
+        col(idCol),
+        col("shard"),
+        col("block"),
+        (greatest(col("__bstart"), col("off")) - col("off")).as("start_in_doc"),
+        (greatest(col("__bstart"), col("off")) - col("__bstart")).as("start_in_block"),
+        (least(col("__bstart") + lit(L), col("off") + col("__n")) -
+          greatest(col("__bstart"), col("off"))).as("len"))
+  }
+
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
                        rates: Map[String, Double],
                        portableHash: Boolean = true): DataFrame = {

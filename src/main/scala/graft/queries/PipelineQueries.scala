@@ -411,6 +411,12 @@ object PipelineQueries {
       Chunking.mixToBudget(Tables.documents(s, dir), "source", "doc_id",
         "text", budgetTokens = 2000L)),
 
+    // -- corpus mixing: temperature-scaled source weights (|s|^0.5 —
+    //    IEEE sqrt + integer micro-unit normalization, Weyl pick) ----
+    "q_mix_temperature" -> ((s, dir) =>
+      Chunking.mixTemperature(Tables.documents(s, dir), "source", "doc_id",
+        "text", budgetTokens = 4000L)),
+
     // -- corpus mixing: exact-k per stratum (eval-set builder) — same
     //    portable Weyl hash as the sampler; WindowGroupLimit top-k ----
     "q_sample_k_per_key" -> ((s, dir) =>
@@ -431,6 +437,12 @@ object PipelineQueries {
     // -- training order: deterministic global shuffle into shards ----
     "q_shard_assign" -> ((s, dir) =>
       Chunking.shardAssign(Tables.documents(s, dir), "doc_id", nShards = 8)),
+
+    // -- training layout: concat-with-EOD + exact L-token blocks
+    //    (span view — O(docs + crossings) rows, never token explode) --
+    "q_pack_blocks" -> ((s, dir) =>
+      Chunking.packBlocks(Tables.documents(s, dir), "doc_id", "text",
+        nShards = 8, blockTokens = 128)),
 
     // -- the FULL training-data prep pipeline in one query: quality
     //    gate → near-dup removal (LSH scale arm, fixture-equal to the
@@ -1249,6 +1261,56 @@ object PipelineQueries {
         |  CAST(d.nseg AS BIGINT) AS n_seg,
         |  CAST(d.nseg - coalesce(c.nkept, 0) AS BIGINT) AS n_dropped
         |FROM d LEFT JOIN c USING (doc_id)""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), tot AS (
+        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total
+        |  FROM t GROUP BY 1
+        |), w AS (
+        |  SELECT source, total,
+        |    CAST(floor(sqrt(CAST(total AS DOUBLE)) * 1000000.0) AS BIGINT) AS wq
+        |  FROM tot
+        |), ws AS (SELECT CAST(sum(wq) AS BIGINT) AS wsum FROM w),
+        |a AS (
+        |  SELECT source, total,
+        |    least(total, (4000 * wq) // wsum) AS alloc
+        |  FROM w CROSS JOIN ws
+        |), r AS (
+        |  SELECT source, alloc AS alloc_tokens,
+        |    least(1.0, CAST(alloc AS DOUBLE) / CAST(total AS DOUBLE)) AS rate
+        |  FROM a
+        |)
+        |SELECT t.source, t.doc_id, t.n_tokens, r.alloc_tokens, r.rate
+        |FROM t JOIN r USING (source)
+        |WHERE ((t.doc_id % 65536) * 40503) % 65536 < r.rate * 65536""".stripMargin,
+
+    "q_pack_blocks" ->
+      """WITH b AS (
+        |  SELECT doc_id, ((doc_id % 65536) * 40503) % 65536 AS bucket,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, bucket, n, CAST(bucket % 8 AS INTEGER) AS shard FROM b
+        |), o AS (
+        |  SELECT doc_id, shard, n,
+        |    CAST(coalesce(sum(n + 1) OVER (
+        |      PARTITION BY shard ORDER BY bucket, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM s
+        |), e AS (
+        |  SELECT doc_id, shard, n, off,
+        |    CAST(unnest(range(off // 128, (off + n - 1) // 128 + 1)) AS BIGINT) AS block
+        |  FROM o
+        |)
+        |SELECT doc_id, shard, block,
+        |  greatest(block * 128, off) - off AS start_in_doc,
+        |  greatest(block * 128, off) - block * 128 AS start_in_block,
+        |  least((block + 1) * 128, off + n) - greatest(block * 128, off) AS len
+        |FROM e""".stripMargin,
 
     "q_shard_assign" ->
       """WITH b AS (

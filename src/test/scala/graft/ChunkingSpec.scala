@@ -261,4 +261,88 @@ class ChunkingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     out.foreach { case (id, shard, _) => assert(grown(id) == shard) }
   }
+
+  test("mix temperature: sqrt flattening, budget split, caps, determinism") {
+    import spark.implicits._
+    // big: 400 docs × 10 tokens = 4000; small: 10 docs × 10 = 100.
+    // α=0.5 weights: sqrt(4000):sqrt(100) ≈ 6.3:1 — the small source
+    // gets ~14% of budget despite holding ~2.4% of tokens.
+    val docs = ((0L until 400L).map(i => ("big", i, words(10))) ++
+      (1000L until 1010L).map(i => ("small", i, words(10))))
+      .toDF("source", "id", "text")
+    val out = Chunking.mixTemperature(docs, "source", "id", "text",
+        budgetTokens = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+
+    val bySrc = out.groupBy(_._1)
+    val (wBig, wSmall) = (math.floor(math.sqrt(4000.0) * 1e6).toLong,
+      math.floor(math.sqrt(100.0) * 1e6).toLong)
+    val allocBig = math.min(4000L, 1000L * wBig / (wBig + wSmall))
+    val allocSmall = math.min(100L, 1000L * wSmall / (wBig + wSmall))
+    assert(bySrc("big").head._4 == allocBig, "big-source allocation")
+    assert(bySrc("small").head._4 == allocSmall, "small-source allocation")
+    // temperature flattening: sqrt gives the small source ~14% of the
+    // budget — MORE than its whole corpus, so it passes uncapped
+    // (rate 1.0) while the bulk source is cut to ~22%
+    assert(bySrc("small").head._5 == 1.0, "small source passes whole")
+    assert(bySrc("big").head._5 < 0.25,
+      s"big source downsampled, rate ${bySrc("big").head._5}")
+    // sampled mass tracks the allocation (Weyl low-discrepancy pick:
+    // slack of a few documents over 400 consecutive ids)
+    bySrc.foreach { case (_, rows) =>
+      val mass = rows.map(_._3).sum
+      assert(mass <= rows.head._4 + 100, s"mass $mass vs alloc ${rows.head._4}")
+      assert(mass >= rows.head._4 - 100, s"mass $mass vs alloc ${rows.head._4}")
+    }
+    // deterministic: a re-run picks the identical documents
+    val again = Chunking.mixTemperature(docs, "source", "id", "text", 1000L)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(again == out.map(_._2).toSet)
+  }
+
+  test("pack blocks: spans match a brute-force stream cut; tokens conserved; blocks exact-width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 60L).map(id => (id, words(5 + rnd.nextInt(40)).trim))
+    val (nShards, bt) = (4, 32)
+    val got = Chunking.packBlocks(docs.toDF("id", "text"), "id", "text",
+        nShards, bt)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+
+    // brute force: lay out each shard's stream doc-by-doc (+1 EOD slot),
+    // cut every doc interval at multiples of bt
+    def weyl(id: Long) = ((id % 65536) * 40503) % 65536
+    val expected = docs
+      .map { case (id, t) => (id, weyl(id), t.split(" ").length.toLong) }
+      .groupBy { case (id, b, _) => (b % nShards).toInt }
+      .toSeq.flatMap { case (shard, rows) =>
+        var off = 0L
+        rows.sortBy { case (id, b, _) => (b, id) }.flatMap { case (id, _, n) =>
+          val spans = (off until off + n).groupBy(_ / bt).toSeq.map {
+            case (blk, toks) =>
+              (id, shard, blk, toks.min - off, toks.min - blk * bt,
+                toks.length.toLong)
+          }
+          off += n + 1
+          spans
+        }
+      }
+    assert(got.toSet == expected.toSet, s"${got.length} vs ${expected.length} spans")
+    // conservation: every doc's spans tile exactly its token count
+    val byDoc = got.groupBy(_._1)
+    docs.foreach { case (id, t) =>
+      assert(byDoc(id).map(_._6).sum == t.split(" ").length.toLong, s"doc $id")
+    }
+    // within a block: spans disjoint, inside [0, bt), never overlapping
+    got.groupBy(g => (g._2, g._3)).foreach { case ((shard, blk), spans) =>
+      val slots = spans.flatMap(s => s._5 until (s._5 + s._6))
+      assert(slots.distinct.length == slots.length,
+        s"block ($shard,$blk): overlapping spans")
+      assert(slots.forall(p => p >= 0 && p < bt),
+        s"block ($shard,$blk): span outside block")
+    }
+  }
 }

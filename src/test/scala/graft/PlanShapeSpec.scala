@@ -84,7 +84,9 @@ class PlanShapeSpec extends SparkSpec {
         "q_prep_pipeline", "q_dedup_clusters", "q_decontaminate",
         "q_embed_quantize", "q_embed_topk_int8",
         "q_semdedup", "q_semdedup_clustered", "q_importance",
-        "q_ngram_containment", "q_split_by_cluster", "q_semdedup_cells")) {
+        "q_ngram_containment", "q_split_by_cluster", "q_semdedup_cells",
+        "q_ngram_containment_banded", "q_substring_dup",
+        "q_segment_dedup", "q_bm25_topk")) {
     // markers are the DERIVED heavy expressions only (a legitimate
     // user predicate — e.g. q_curation's quality gate — may contain a
     // lambda and SHOULD push to the scan; it evaluates once there):
@@ -122,6 +124,35 @@ class PlanShapeSpec extends SparkSpec {
     val pack = plan("q_pack_greedy")
     val exchanges = pack.linesIterator.count(_.trim.startsWith("+- Exchange"))
     assert(exchanges <= 2, s"q_pack_greedy grew an extra shuffle ($exchanges):\n${pack.take(1200)}")
+  }
+
+  test("round-8 training-layout plans: broadcasts, one shuffle, rank-limit pushdown") {
+    // bm25: the query-term table and the df table ride broadcasts (the
+    // corpus-side postings stream must never shuffle for them), and
+    // the per-query top-k is a rank-limit window, not a global sort
+    val bm25 = plan("q_bm25_topk")
+    assert(bm25.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"bm25: query-term and df joins must broadcast:\n${bm25.take(1200)}")
+    assert(bm25.contains("WindowGroupLimit"),
+      "bm25: top-k must ride the rank-limit pushdown")
+    // segment dedup: the boilerplate anti-join is an equality join —
+    // never a cartesian/all-pairs shape
+    val seg = plan("q_segment_dedup")
+    assert(!seg.contains("CartesianProduct") &&
+      !seg.contains("BroadcastNestedLoopJoin"),
+      "segment dedup plans an all-pairs join")
+    // shard assign + block packing: exactly ONE data shuffle — the
+    // hash partition on the shard id that a sharded write wants anyway
+    for (q <- Seq("q_shard_assign", "q_pack_blocks")) {
+      val p = plan(q)
+      assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+        s"$q must shuffle exactly once, on the shard id:\n${p.take(1200)}")
+    }
+    // temperature mixing: the allocation table is broadcast back — the
+    // corpus itself never shuffles for the sampling decision
+    val mix = plan("q_mix_temperature")
+    assert(mix.contains("BroadcastHashJoin"),
+      s"mix_temperature: alloc table must broadcast:\n${mix.take(1200)}")
   }
 
   test("q_importance broadcasts both vocabulary-sized count tables") {
