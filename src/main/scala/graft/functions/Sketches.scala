@@ -62,6 +62,57 @@ object Sketches {
     */
   def centroidDists(vec: Column, centroids: Array[Double], k: Int): Column =
     GraftBridge.column(CentroidDistsExpr(GraftBridge.expression(vec), centroids, k))
+
+  /** Affine map of an array<double> vector: out[c] = Σ_d m[c·dims+d]·x[d]
+    * + bias[c], one compiled pass — the PCA/whitening projection inner
+    * loop (the mean subtraction is folded into `bias` by the driver,
+    * so the kernel is a single fused multiply-add sweep per row).
+    */
+  def matVec(vec: Column, m: Array[Double], bias: Array[Double]): Column =
+    GraftBridge.column(MatVecExpr(GraftBridge.expression(vec), m, bias))
+}
+
+/** out[c] = Σ_d m[c·dims+d] · x[d] + bias[c] for c < k — the affine
+  * projection kernel behind `Similarity.pcaProject`. Same null/shape
+  * discipline as `CentroidDistsExpr`: wrong length or a null element
+  * propagates NULL so the caller can quarantine malformed vectors.
+  */
+case class MatVecExpr(child: Expression, m: Array[Double], bias: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+
+  private val k = bias.length
+  private val dims = if (k > 0) m.length / k else 0
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if k > 0 && dims > 0 &&
+      m.length == k * dims => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<double> and k·dims matrix, got $t / ${m.length}/${bias.length}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    if (vec.numElements() != dims) return null
+    var d0 = 0
+    while (d0 < dims) { if (vec.isNullAt(d0)) return null; d0 += 1 }
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val off = c * dims
+      var s = bias(c)
+      var d = 0
+      while (d < dims) { s += m(off + d) * vec.getDouble(d); d += 1 }
+      out(c) = s
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecExpr =
+    copy(child = newChild)
 }
 
 case class MinHashSigExpr(child: Expression, numHashes: Int)

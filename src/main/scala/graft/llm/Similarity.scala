@@ -600,4 +600,148 @@ object Similarity {
           sqrt((col("nsqa") * col("nsqb")).cast("double"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** PCA over the embedding store — the dimensionality-reduction /
+    * whitening pass that precedes ANN indexing and clustering on a
+    * real pipeline (shorter vectors: smaller index, faster kernels).
+    *
+    * Scale shape is the classic one (MLlib's RowMatrix): ONE
+    * `treeAggregate` pass accumulates (n, Σx, Σxxᵀ) — d²+d+1 doubles
+    * per partition, ~33 KB at d=64, independent of corpus size — the
+    * driver runs an O(d³) cyclic-Jacobi eigensolve on the d×d
+    * covariance (deterministic: fixed sweep order, convergence on the
+    * off-diagonal norm, sign fixed per vector), and the k×d projection
+    * goes back BROADCAST inside the compiled `MatVecExpr` kernel with
+    * the mean subtraction folded into its bias. The corpus is read
+    * twice and never shuffled.
+    *
+    * Returns (mean[d], components[k·d] row-major — orthonormal rows in
+    * descending-eigenvalue order, eigenvalues[k]).
+    */
+  def pcaTrain(df: DataFrame, idCol: String, embCol: String,
+               k: Int): (Array[Double], Array[Double], Array[Double]) = {
+    val d = dimsOf(df, embCol)
+    require(k > 0 && k <= d, s"pcaTrain: need 0 < k <= dims, got $k/$d")
+    val vecs = df
+      .select(expr(s"transform($embCol, x -> CAST(x AS double))").as("vd"))
+      .where(col("vd").isNotNull && size(col("vd")) === d)
+    // acc layout: [0] = n, [1..d] = Σx, [1+d ..] = Σxxᵀ (row-major)
+    val zero = new Array[Double](1 + d + d * d)
+    val acc = vecs.rdd.map(_.getSeq[Double](0).toArray).treeAggregate(zero)(
+      (a, v) => {
+        a(0) += 1.0
+        var i = 0
+        while (i < d) {
+          a(1 + i) += v(i)
+          val off = 1 + d + i * d
+          var j = 0
+          while (j < d) { a(off + j) += v(i) * v(j); j += 1 }
+          i += 1
+        }
+        a
+      },
+      (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    val n = acc(0)
+    require(n > 0, "pcaTrain: no well-formed vectors")
+    val mean = Array.tabulate(d)(i => acc(1 + i) / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      acc(1 + d + i * d + j) / n - mean(i) * mean(j))
+    val (eig, vecsOut) = jacobiEig(cov)
+    val order = eig.indices.sortBy(i => -eig(i)).take(k)
+    val comps = new Array[Double](k * d)
+    val eigK = new Array[Double](k)
+    for ((src, c) <- order.zipWithIndex) {
+      eigK(c) = eig(src)
+      // column src of the accumulated rotation is the eigenvector;
+      // fix its sign so the largest-magnitude entry is positive
+      // (eigenvectors are defined up to sign — this pins a canonical
+      // representative so reruns and tests are stable)
+      var maxAbs = 0.0; var maxIdx = 0
+      var i = 0
+      while (i < d) {
+        val x = math.abs(vecsOut(i)(src))
+        if (x > maxAbs + 1e-15) { maxAbs = x; maxIdx = i }
+        i += 1
+      }
+      val s = if (vecsOut(maxIdx)(src) < 0) -1.0 else 1.0
+      i = 0
+      while (i < d) { comps(c * d + i) = s * vecsOut(i)(src); i += 1 }
+    }
+    (mean, comps, eigK)
+  }
+
+  /** Deterministic cyclic Jacobi for a symmetric matrix: returns
+    * (eigenvalues, rotation V with eigenvectors as COLUMNS). Fixed
+    * (p,q) sweep order, stop when the off-diagonal Frobenius mass
+    * drops below 1e-12 of the diagonal's (or 64 sweeps).
+    */
+  private def jacobiEig(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offMass(): Double = {
+      var s = 0.0
+      for (i <- 0 until d; j <- 0 until d if i != j) s += a(i)(j) * a(i)(j)
+      s
+    }
+    val diagMass = math.max(1e-300, (0 until d).map(i => a(i)(i) * a(i)(i)).sum)
+    var sweep = 0
+    while (sweep < 64 && offMass() > 1e-12 * diagMass) {
+      for (p <- 0 until d; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-300) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        var i = 0
+        while (i < d) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+          i += 1
+        }
+        i = 0
+        while (i < d) {
+          val api = a(p)(i); val aqi = a(q)(i)
+          a(p)(i) = c * api - s * aqi
+          a(q)(i) = s * api + c * aqi
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+          i += 1
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Project every vector onto the top-k principal components (rows of
+    * the trained basis); `whiten = true` additionally scales each
+    * output dimension to unit variance (1/√λ, λ floored at 1e-12 so a
+    * rank-deficient direction maps to ~0 instead of exploding).
+    * Output: (idCol, proj array<double>[k]). Projection runs in the
+    * broadcast compiled kernel; see `pcaTrain` for the scale story.
+    */
+  def pcaProject(df: DataFrame, idCol: String, embCol: String, k: Int,
+                 whiten: Boolean = false): DataFrame = {
+    val (mean, comps, eig) = pcaTrain(df, idCol, embCol, k)
+    val d = mean.length
+    val m = new Array[Double](k * d)
+    var c = 0
+    while (c < k) {
+      val scale = if (whiten) 1.0 / math.sqrt(math.max(eig(c), 1e-12)) else 1.0
+      var i = 0
+      while (i < d) { m(c * d + i) = comps(c * d + i) * scale; i += 1 }
+      c += 1
+    }
+    val bias = Array.tabulate(k) { cc =>
+      var s = 0.0; var i = 0
+      while (i < d) { s -= m(cc * d + i) * mean(i); i += 1 }
+      s
+    }
+    df.select(col(idCol),
+      expr(s"transform($embCol, x -> CAST(x AS double))").as("__vd"))
+      .select(col(idCol),
+        graft.functions.Sketches.matVec(col("__vd"), m, bias).as("proj"))
+  }
 }

@@ -304,6 +304,12 @@ object PipelineQueries {
       Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, dir), "vec_id",
         "embedding", threshold = 0.35)),
 
+    // -- embedding preprocessing: PCA projection (treeAggregate gram,
+    //    driver Jacobi eigensolve, broadcast compiled MatVec kernel) --
+    "q_pca_project" -> ((s, dir) =>
+      Similarity.pcaProject(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 8)),
+
     // -- semantic dedup, exact arm: keep-lowest over all cosine pairs
     //    ≥ 0.35 (SemDeDup's rule on the whole corpus — the oracle
     //    tier; quantized cosine keeps it cross-engine exact) ---------
