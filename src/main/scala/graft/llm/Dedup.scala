@@ -781,6 +781,40 @@ object Dedup {
           .as("n_dropped"))
   }
 
+  /** Intra-document repeated-segment removal — the within-doc half of
+    * the boilerplate story (`segmentDedup` is the corpus-wide half):
+    * a document that repeats the same `w`-token segment keeps only the
+    * FIRST occurrence; later copies are cut and the survivors
+    * reassembled in order. This is the transform counterpart of the
+    * `repetitionStats` signals — scrape loops and template stutter get
+    * removed, not just scored.
+    *
+    * Entirely row-local: segmenting, first-occurrence marking and
+    * reassembly are one higher-order-function chain per row (the
+    * segment list is w-fold smaller than the token list, so the
+    * quadratic first-index probe is bounded and cache-hot) — no
+    * explode, no shuffle, no state. Scales as a pure map at any
+    * corpus size.
+    *
+    * Output: (idCol, clean_text, n_seg, n_dropped).
+    */
+  def intraDocDedup(df: DataFrame, idCol: String, textCol: String,
+                    w: Int): DataFrame = {
+    require(w > 0, "intraDocDedup: w > 0")
+    df.withColumn("__toks", TextOps.tokens(textCol))
+      .withColumn("__segs", expr(
+        s"""transform(sequence(0, CAST(ceil(size(__toks) / CAST($w AS double)) AS int) - 1),
+           |  i -> array_join(slice(__toks, i * $w + 1, $w), ' '))""".stripMargin))
+      .withColumn("__kept", expr(
+        // keep segment i iff no earlier identical segment exists;
+        // array_position returns the FIRST 1-based index
+        "filter(__segs, (s, i) -> array_position(__segs, s) = i + 1)"))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__segs")).cast("long").as("n_seg"),
+        (size(col("__segs")) - size(col("__kept"))).cast("long").as("n_dropped"))
+  }
+
   /** Cross-batch (incremental) dedup, exact arm: which `incoming`
     * documents are genuinely new vs an `existing` corpus? Left-anti
     * join on the content hash — both sides shuffle (hash, id) pairs

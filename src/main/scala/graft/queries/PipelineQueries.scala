@@ -440,6 +440,11 @@ object PipelineQueries {
       Dedup.segmentDedup(Tables.documents(s, dir), "doc_id", "text",
         w = 4, minDocs = 3)),
 
+    // -- dedup: intra-document repeated-segment removal (row-local
+    //    HOF chain — the transform twin of q_repetition's signals) ----
+    "q_intradoc_dedup" -> ((s, dir) =>
+      Dedup.intraDocDedup(Tables.documents(s, dir), "doc_id", "text", w = 2)),
+
     // -- training order: deterministic global shuffle into shards ----
     "q_shard_assign" -> ((s, dir) =>
       Chunking.shardAssign(Tables.documents(s, dir), "doc_id", nShards = 8)),
@@ -1293,6 +1298,22 @@ object PipelineQueries {
         |SELECT t.source, t.doc_id, t.n_tokens, r.alloc_tokens, r.rate
         |FROM t JOIN r USING (source)
         |WHERE ((t.doc_id % 65536) * 40503) % 65536 < r.rate * 65536""".stripMargin,
+
+    "q_intradoc_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(toks) / 2.0) AS INTEGER)),
+        |      i -> array_to_string(list_slice(toks, i*2+1, i*2+2), ' ')) AS segs
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(segs,
+        |    (seg, i) -> list_position(segs, seg) = i), ' ') AS clean_text,
+        |  CAST(len(segs) AS BIGINT) AS n_seg,
+        |  CAST(len(segs) - len(list_filter(segs,
+        |    (seg, i) -> list_position(segs, seg) = i)) AS BIGINT) AS n_dropped
+        |FROM s""".stripMargin,
 
     "q_pack_blocks" ->
       """WITH b AS (

@@ -422,6 +422,32 @@ class LlmDedupSpec extends SparkSpec {
     assert(bloom.size >= (exact.size * 0.99).toInt, s"≤1% over-drop (fpp), got ${bloom.size}/${exact.size}")
   }
 
+  test("intra-doc dedup: later copies cut, first kept in place, unique docs untouched") {
+    import spark.implicits._
+    val df = Seq(
+      // "nav bar" repeats at segments 0, 2, 4 → segments 2 and 4 cut
+      (1L, "nav bar alpha beta nav bar gamma delta nav bar"),
+      (2L, "one two three four five six"),          // no repeats
+      (3L, "x y x y x y x y"),                      // template stutter
+      (4L, "solo")).toDF("doc_id", "text")
+    val out = Dedup.intraDocDedup(df, "doc_id", "text", w = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("nav bar alpha beta gamma delta", 5L, 2L)))
+    assert(out(2L) == (("one two three four five six", 3L, 0L)))
+    assert(out(3L) == (("x y", 4L, 3L)))
+    assert(out(4L) == (("solo", 1L, 0L)))
+    // idempotent by construction (kept segments are already distinct)
+    val again = Dedup.intraDocDedup(
+      Dedup.intraDocDedup(df, "doc_id", "text", w = 2)
+        .select(col("doc_id"), col("clean_text").as("text")),
+      "doc_id", "text", w = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    again.foreach { case (id, txt, dropped) =>
+      assert(txt == out(id)._1 && dropped == 0L, s"doc $id not idempotent")
+    }
+  }
+
   test("segment dedup: boilerplate cut everywhere, unique text kept in order, all-boiler doc surfaces empty") {
     import spark.implicits._
     // 3-token segments; the planted boilerplate "nav bar footer" opens
