@@ -153,6 +153,18 @@ class PlanShapeSpec extends SparkSpec {
     val mix = plan("q_mix_temperature")
     assert(mix.contains("BroadcastHashJoin"),
       s"mix_temperature: alloc table must broadcast:\n${mix.take(1200)}")
+    // PCA projection: after the driver-side train, the projection pass
+    // is a pure map through the broadcast MatVec kernel — an Exchange
+    // here would mean the corpus shuffles for a per-row transform
+    val pca = plan("q_pca_project")
+    assert(!pca.contains("Exchange"),
+      s"pca_project must be map-only:\n${pca.take(1200)}")
+    assert(pca.contains("mat_vec"),
+      "pca_project must run the compiled MatVec kernel")
+    // intra-doc dedup: likewise a pure row-local HOF chain
+    val intra = plan("q_intradoc_dedup")
+    assert(!intra.contains("Exchange"),
+      s"intradoc_dedup must be map-only:\n${intra.take(1200)}")
   }
 
   test("q_importance broadcasts both vocabulary-sized count tables") {
