@@ -455,6 +455,26 @@ object PipelineQueries {
       Chunking.packBlocks(Tables.documents(s, dir), "doc_id", "text",
         nShards = 8, blockTokens = 128)),
 
+    // -- the round-8 TRAINING-LAYOUT layer end-to-end in one query:
+    //    intra-doc repetition cut → temperature-scaled source mixing →
+    //    deterministic shards → exact-width block spans. Every stage
+    //    is oracle-expressible, so the whole chain is replayed in one
+    //    DuckDB CTE and hash-checked — the q_prep_pipeline discipline
+    //    applied to the layout layer. -------------------------------
+    "q_training_layout" -> ((s, dir) => {
+      val cleaned = Dedup.intraDocDedup(Tables.documents(s, dir),
+          "doc_id", "text", w = 2)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val withSrc = cleaned.join(
+        Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
+      val picked = Chunking.mixTemperature(withSrc, "source", "doc_id",
+          "text", budgetTokens = 20000L)
+        .select("doc_id")
+      Chunking.packBlocks(
+        withSrc.join(picked, Seq("doc_id"), "left_semi"),
+        "doc_id", "text", nShards = 4, blockTokens = 256)
+    }),
+
     // -- the FULL training-data prep pipeline in one query: quality
     //    gate → near-dup removal (LSH scale arm, fixture-equal to the
     //    exact tier) → token-window chunking → greedy packing per
@@ -1298,6 +1318,60 @@ object PipelineQueries {
         |SELECT t.source, t.doc_id, t.n_tokens, r.alloc_tokens, r.rate
         |FROM t JOIN r USING (source)
         |WHERE ((t.doc_id % 65536) * 40503) % 65536 < r.rate * 65536""".stripMargin,
+
+    // The layout layer's end-to-end chain, replayed stage by stage:
+    // intra-doc keep-first → temperature mix on the CLEANED text →
+    // Weyl shards → block spans. Same CTEs as the stage oracles.
+    "q_training_layout" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(toks) / 2.0) AS INTEGER)),
+        |      i -> array_to_string(list_slice(toks, i*2+1, i*2+2), ' ')) AS segs
+        |  FROM t0
+        |),
+        |cln AS (
+        |  SELECT doc_id, array_to_string(list_filter(segs,
+        |    (seg, i) -> list_position(segs, seg) = i), ' ') AS text
+        |  FROM sg
+        |),
+        |d AS (SELECT c.doc_id, d0.source, c.text
+        |      FROM cln c JOIN documents d0 USING (doc_id)),
+        |t AS (SELECT source, doc_id, text,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM d),
+        |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total
+        |        FROM t GROUP BY 1),
+        |w AS (SELECT source, total,
+        |        CAST(floor(sqrt(CAST(total AS DOUBLE)) * 1000000.0) AS BIGINT) AS wq
+        |      FROM tot),
+        |ws AS (SELECT CAST(sum(wq) AS BIGINT) AS wsum FROM w),
+        |a AS (SELECT source, total, least(total, (20000 * wq) // wsum) AS alloc
+        |      FROM w CROSS JOIN ws),
+        |r AS (SELECT source,
+        |        least(1.0, CAST(alloc AS DOUBLE) / CAST(total AS DOUBLE)) AS rate
+        |      FROM a),
+        |kept AS (
+        |  SELECT t.doc_id, t.text FROM t JOIN r USING (source)
+        |  WHERE ((t.doc_id % 65536) * 40503) % 65536 < r.rate * 65536
+        |),
+        |b AS (SELECT doc_id, ((doc_id % 65536) * 40503) % 65536 AS bucket,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |      FROM kept),
+        |s AS (SELECT doc_id, bucket, n, CAST(bucket % 4 AS INTEGER) AS shard FROM b),
+        |o AS (SELECT doc_id, shard, n,
+        |        CAST(coalesce(sum(n + 1) OVER (
+        |          PARTITION BY shard ORDER BY bucket, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |      FROM s),
+        |e AS (SELECT doc_id, shard, n, off,
+        |        CAST(unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS BIGINT) AS block
+        |      FROM o)
+        |SELECT doc_id, shard, block,
+        |  greatest(block * 256, off) - off AS start_in_doc,
+        |  greatest(block * 256, off) - block * 256 AS start_in_block,
+        |  least((block + 1) * 256, off + n) - greatest(block * 256, off) AS len
+        |FROM e""".stripMargin,
 
     "q_intradoc_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
