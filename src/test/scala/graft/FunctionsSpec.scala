@@ -64,6 +64,36 @@ class FunctionsSpec extends SparkSpec {
     assert(bad.isNullAt(0))
   }
 
+  test("mat_vec kernel is bit-identical to the aggregate/zip_with HOF it replaces") {
+    import org.apache.spark.sql.functions._
+    // same discipline as the centroid_dists gate: awkward doubles, and
+    // the HOF must seed the fold with the bias and sweep dims in order
+    // — exactly the kernel's summation
+    val m = Array(0.1, -0.2, 1.0 / 3.0, 0.7, -7.0, 0.37)
+    val bias = Array(0.25, -1.0 / 7.0)
+    val df = spark.range(50).select(
+      expr("transform(sequence(0, 2), d -> CAST(id AS double) / 7.0 - CAST(d AS double) * 0.37)")
+        .as("vd"))
+    def hofRow(row: Seq[Double], b: Double) =
+      aggregate(zip_with(col("vd"), typedLit(row), (x, w) => w * x),
+        lit(b), (a, v) => a + v)
+    val rows = df.select(
+        graft.functions.Sketches.matVec(col("vd"), m, bias).as("kernel"),
+        array(hofRow(m.take(3).toSeq, bias(0)),
+          hofRow(m.drop(3).toSeq, bias(1))).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      val kv = r.getSeq[Double](0).map(java.lang.Double.doubleToRawLongBits)
+      val hv = r.getSeq[Double](1).map(java.lang.Double.doubleToRawLongBits)
+      assert(kv == hv, s"kernel ${r.getSeq[Double](0)} != hof ${r.getSeq[Double](1)}")
+    }
+    // malformed input propagates NULL, matching the quarantine contract
+    val bad = spark.range(1).select(expr("array(1.0d, 2.0d)").as("vd"))
+      .select(graft.functions.Sketches.matVec(col("vd"), m, bias).as("p"))
+      .head()
+    assert(bad.isNullAt(0))
+  }
+
   test("incremental reader: first poll takes all, next polls take only the delta") {
     val schema = StructType(Seq(
       StructField("ts", TimestampType), StructField("v", LongType)))
