@@ -116,6 +116,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming intra-doc cleaning: the row-local dedup tier runs unchanged on a stream") {
+    // intraDocDedup is a pure HOF select — no state, no watermark, no
+    // output-mode constraint — so the SAME operator object serves the
+    // batch oracle query and the streaming ingest path (the map-only
+    // plan gate in PlanShapeSpec is what makes this composition safe)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val cleaned = graft.llm.Dedup.intraDocDedup(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", w = 2)
+    val q = cleaned.writeStream.outputMode("append")
+      .format("memory").queryName("intradoc_stream_out").start()
+    try {
+      in.addData((1L, "nav bar alpha beta nav bar"), (2L, "x y x y x y"))
+      q.processAllAvailable()
+      in.addData((3L, "clean doc here now"))  // second microbatch
+      q.processAllAvailable()
+      val rows = spark.table("intradoc_stream_out")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+      assert(rows == Map(
+        1L -> (("nav bar alpha beta", 1L)),
+        2L -> (("x y", 2L)),
+        3L -> (("clean doc here now", 0L))), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming greedy packing: overflow closes packs, silence flushes the tail") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
