@@ -165,6 +165,13 @@ class PlanShapeSpec extends SparkSpec {
     val intra = plan("q_intradoc_dedup")
     assert(!intra.contains("Exchange"),
       s"intradoc_dedup must be map-only:\n${intra.take(1200)}")
+    // layout capstone: equality joins and ONE 1-row broadcast nested
+    // loop (the wsum scalar) — never a cartesian, never a second BNLJ
+    val layout = plan("q_training_layout")
+    assert(!layout.contains("CartesianProduct"),
+      "training_layout plans a cartesian join")
+    assert(layout.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"training_layout: only the 1-row wsum scalar may ride a BNLJ:\n${layout.take(1500)}")
   }
 
   test("q_importance broadcasts both vocabulary-sized count tables") {
