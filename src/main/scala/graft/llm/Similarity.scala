@@ -601,6 +601,54 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Exact kNN graph: every corpus vector's k nearest neighbors by
+    * quantized cosine — the input table for graph-based ANN index
+    * builds, agglomerative clustering, and label propagation. This is
+    * the ORACLE tier and is quadratic by contract (the theta join
+    * parallelizes over the left's repartitioned blocks, same shape as
+    * `cosineNearDupPairs`); `knnGraphLsh` is the bucketed scale arm.
+    * The per-node cut is a rank-limit window, so only k rows per node
+    * survive the shuffle. Ties break on the neighbor id.
+    * Output: (src, dst, rank, cos).
+    */
+  def knnGraph(df: DataFrame, idCol: String, embCol: String, k: Int,
+               partitions: Int = 32): DataFrame = {
+    val vecs = df.select(col(idCol), quantize(embCol).as("v"))
+      .withColumn("nsq", normSqQ("v"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst").asc)
+    vecs.repartition(partitions).as("a")
+      .join(vecs.as("b"), col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("src"), col(s"b.$idCol").as("dst"),
+        (dotQ("a.v", "b.v").cast("double") /
+          sqrt((col("a.nsq") * col("b.nsq")).cast("double"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** kNN graph, bucketed SCALE arm: candidate neighbors come from
+    * shared hyperplane-LSH buckets (the same multi-table signature +
+    * in-bucket pair machinery as `cosineNearDupPairsLsh`, so bucket
+    * sizes stay ~64 and pair volume is ~N·32·tables instead of N²),
+    * then each node ranks its candidates by exact quantized cosine
+    * and keeps k. Approximate BY CONTRACT: a true neighbor that
+    * shares no bucket in any table is missed, so the arm is
+    * recall-gated against `knnGraph` in AnnSpec rather than
+    * oracle-compared; recall rises with `tables` (more chances to
+    * collide) exactly like `annTopK`'s multiprobe story.
+    */
+  def knnGraphLsh(df: DataFrame, idCol: String, embCol: String, k: Int,
+                  nbits: Int = 0, tables: Int = 32): DataFrame = {
+    val pairs = cosineNearDupPairsLsh(df, idCol, embCol,
+      threshold = -1.0, nbits = nbits, tables = tables)
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst").asc)
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** PCA over the embedding store — the dimensionality-reduction /
     * whitening pass that precedes ANN indexing and clustering on a
     * real pipeline (shorter vectors: smaller index, faster kernels).

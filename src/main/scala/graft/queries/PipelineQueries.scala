@@ -304,6 +304,18 @@ object PipelineQueries {
       Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, dir), "vec_id",
         "embedding", threshold = 0.35)),
 
+    // -- similarity: exact kNN graph (quadratic oracle tier; the
+    //    rank-limit window cuts to k rows per node) -------------------
+    "q_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 3)),
+
+    // -- similarity: kNN graph on the bucketed SCALE arm (shared-
+    //    bucket candidates, exact rerank; recall-gated in AnnSpec) ----
+    "q_knn_graph_lsh" -> ((s, dir) =>
+      Similarity.knnGraphLsh(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 3)),
+
     // -- embedding preprocessing: PCA projection (treeAggregate gram,
     //    driver Jacobi eigensolve, broadcast compiled MatVec kernel) --
     "q_pca_project" -> ((s, dir) =>
@@ -1109,6 +1121,27 @@ object PipelineQueries {
         |  FROM p
         |)
         |SELECT probe_id, neighbor_id, "rank", cos FROM r WHERE "rank" <= 5""".stripMargin,
+
+    "q_knn_graph" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q
+        |), p AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) AS DOUBLE) /
+        |      sqrt(CAST(a.nsq * b.nsq AS DOUBLE)) AS cos
+        |  FROM n a JOIN n b ON b.vec_id != a.vec_id
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY src ORDER BY cos DESC, dst) AS INTEGER) AS "rank"
+        |  FROM p
+        |)
+        |SELECT src, dst, "rank", cos FROM r WHERE "rank" <= 3""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH q AS (

@@ -123,6 +123,29 @@ class AnnSpec extends SparkSpec {
       s"int8 rerank diverged: missing ${truth.toSet -- got.toSet}")
   }
 
+  test("kNN graph: LSH arm recall floor vs the exact graph, monotone in tables; exact arm well-formed") {
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = emb.count()
+    assert(exact.size == n * 3, "exact graph: exactly k edges per node")
+    assert(!exact.exists(e => e._1 == e._2), "no self edges")
+    def lshEdges(tables: Int) =
+      Similarity.knnGraphLsh(emb, "vec_id", "embedding", k = 3,
+          tables = tables)
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = lshEdges(32)
+    val narrow = lshEdges(4)
+    val recallWide = (wide & exact).size.toDouble / exact.size
+    val recallNarrow = (narrow & exact).size.toDouble / exact.size
+    assert(recallWide >= 0.9, s"recall@32tables $recallWide")
+    assert(recallWide >= recallNarrow - 0.02,
+      s"recall must not DROP with more tables: $recallNarrow -> $recallWide")
+  }
+
   test("int8 quantization: bounded element error, cosine fidelity, zero-vector safe") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row

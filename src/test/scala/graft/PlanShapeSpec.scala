@@ -56,7 +56,7 @@ class PlanShapeSpec extends SparkSpec {
     // anywhere in their plans means the scale story regressed to the
     // exact tier's theta join
     for (q <- Seq("q_minhash_lsh", "q_simhash_neardup", "q_curation_lsh",
-        "q_embed_neardup_lsh", "q_ann_lsh", "q_ann_ivf")) {
+        "q_embed_neardup_lsh", "q_ann_lsh", "q_ann_ivf", "q_knn_graph_lsh")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q plans an all-pairs join")
