@@ -422,6 +422,55 @@ class LlmDedupSpec extends SparkSpec {
     assert(bloom.size >= (exact.size * 0.99).toInt, s"≤1% over-drop (fpp), got ${bloom.size}/${exact.size}")
   }
 
+  test("substring spans equal a brute-force diagonal walk on a random small-vocab corpus") {
+    import spark.implicits._
+    // 4-symbol vocabulary forces many CHANCE shared runs (P(match)=¼
+    // per aligned position), so this exercises merge/maximality far
+    // beyond the planted cases; one genuinely lifted passage on top.
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("a", "b", "c", "d")
+    val base = (0L until 15L).map(i =>
+      (i, Array.fill(30)(vocab(rnd.nextInt(4))).toSeq))
+    val lifted = {
+      val src = base(3)._2
+      (100L, base(7)._2.take(5) ++ src.slice(10, 22) ++ base(7)._2.drop(25))
+    }
+    val docs = base :+ lifted
+    val k = 4
+    val got = Dedup.substringSpans(
+        docs.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text"),
+        "doc_id", "text", k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+
+    // brute force: for every ordered pair and every diagonal, emit the
+    // maximal aligned token runs of length >= k
+    val byId = docs.toMap
+    val expected = (for {
+      ia <- docs.map(_._1); ib <- docs.map(_._1) if ia < ib
+      ta = byId(ia).toArray; tb = byId(ib).toArray
+      d <- -(ta.length - 1) to (tb.length - 1)
+      } yield {
+        val spans = scala.collection.mutable.ListBuffer[(Long, Long, Int, Int, Long)]()
+        var i = math.max(0, -d)
+        while (i < ta.length && i + d < tb.length) {
+          if (ta(i) == tb(i + d)) {
+            val start = i
+            while (i < ta.length && i + d < tb.length && ta(i) == tb(i + d)) i += 1
+            val len = i - start
+            if (len >= k) spans += ((ia, ib, start, start + d, len.toLong))
+          } else i += 1
+        }
+        spans.toList
+      }).flatten.toSet
+    assert(got == expected,
+      s"got ${got.size} spans, expected ${expected.size}; " +
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // the planted lift surfaces as one 12-token span at the right spot
+    assert(expected.contains((3L, 100L, 10, 5, 12L)))
+  }
+
   test("intra-doc dedup: later copies cut, first kept in place, unique docs untouched") {
     import spark.implicits._
     val df = Seq(
