@@ -10,10 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * similarity search, text analysis, multimodal plumbing). `oracleSql`
   * carries the DuckDB-equivalent SQL for every query whose semantics
   * are SQL-expressible with cross-engine-deterministic arithmetic.
-  * The inherently approximate operators (q_simhash_neardup, q_ann_lsh,
-  * q_ann_ivf) intentionally have NO oracle entry — the driver records
-  * a rows-only check — and are instead recall/property-tested against
-  * their exact counterparts in LlmDedupSpec and AnnSpec. The LSH
+  * The inherently approximate / driver-algebra operators intentionally
+  * have NO oracle entry — the driver records a rows-only check — and
+  * are instead recall/property-tested against their exact
+  * counterparts; the AUTHORITATIVE rows-only list, with one pinned
+  * reason and the gating spec per query, is
+  * ContractSpec.rowsOnlyByDesign (a new query cannot ship without an
+  * oracle or an entry there). The LSH
   * scale arms whose fixture output EQUALS their exact twin
   * (q_minhash_lsh, q_curation_lsh, q_embed_neardup_lsh) carry the
   * twin's oracle; q_ngram_jaccard_capped under-counts BY CONTRACT and
