@@ -636,6 +636,12 @@ object Similarity {
     * recall-gated against `knnGraph` in AnnSpec rather than
     * oracle-compared; recall rises with `tables` (more chances to
     * collide) exactly like `annTopK`'s multiprobe story.
+    *
+    * Honest crossover: candidate volume is ~N·32·tables (linear —
+    * the growth law is gated in ScalePatternsSpec), so the arm only
+    * beats the exact N²/2 scan once N ≫ 64·tables; at the sf0.1
+    * bench's N=2000 the exact tier is legitimately faster, and this
+    * arm is the shape that survives when N² stops fitting anywhere.
     */
   def knnGraphLsh(df: DataFrame, idCol: String, embCol: String, k: Int,
                   nbits: Int = 0, tables: Int = 32): DataFrame = {

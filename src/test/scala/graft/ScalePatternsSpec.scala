@@ -123,6 +123,30 @@ class ScalePatternsSpec extends SparkSpec {
     assert(total == Tables.documents(spark, Sf).count(), "no rows lost to splitting")
   }
 
+  test("LSH bucket candidates grow LINEARLY with corpus size, not quadratically") {
+    // the sub-quadratic claim, measured as a GROWTH LAW: auto-depth
+    // keeps buckets ~64 deep, so in-bucket pair volume per table is
+    // ~N·32 — linear in N — while all-pairs grows as N². (At small N
+    // the arm's candidate set can approach all-pairs — crossover sits
+    // near N ≈ 64·tables, which is why the exact tier legitimately
+    // wins the sf0.1 bench at N=2000; see BASELINE's kNN note. The
+    // law that must hold at EVERY N is the growth rate.) 4× the
+    // vectors must cost well under 16× the candidates.
+    def syntheticVecs(n: Int) = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), d -> CAST(sin(CAST(id AS double) " +
+        "* (CAST(d AS double) + 1.3) + 0.7) AS float))").as("embedding"))
+    def volume(n: Int): Long = graft.llm.Similarity.cosineNearDupPairsLsh(
+      syntheticVecs(n), "vec_id", "embedding", threshold = -1.0, tables = 8)
+      .count()
+    val (v1, v4) = (volume(512), volume(2048))
+    assert(v4 > 0 && v1 > 0)
+    val growth = v4.toDouble / v1
+    assert(growth < 8.0,
+      s"candidates grew ${growth}× for 4× vectors ($v1 -> $v4) — " +
+        "quadratic growth means the auto-depth bucket sizing regressed")
+  }
+
   test("approx-distinct scale arm tracks the exact distinct count within rsd") {
     // q_distinct_approx (HLL++, bounded sketch state, the 100 TB arm)
     // vs the exact countDistinct — the declared rsd is 2%; allow 3×
