@@ -487,6 +487,34 @@ object PipelineQueries {
         "doc_id", "text", nShards = 4, blockTokens = 256)
     }),
 
+    // -- funnel audit of the layout chain: one row per stage with doc
+    //    and token counts — the loud-never-silent pattern (L-18/L-53)
+    //    applied to the whole pipeline, so a stage that silently eats
+    //    the corpus shows up as a cliff in a 4-row table -------------
+    "q_layout_funnel" -> ((s, dir) => {
+      val raw = Tables.documents(s, dir)
+      val cleaned = Dedup.intraDocDedup(raw, "doc_id", "text", w = 2)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val withSrc = cleaned.join(raw.select("doc_id", "source"), Seq("doc_id"))
+      val kept = withSrc.join(
+        Chunking.mixTemperature(withSrc, "source", "doc_id", "text",
+          budgetTokens = 20000L).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val blocks = Chunking.packBlocks(kept, "doc_id", "text",
+        nShards = 4, blockTokens = 256)
+      def stage(df: DataFrame, name: String, textCol: String) =
+        df.agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      stage(raw, "raw", "text")
+        .unionAll(stage(cleaned, "intradoc", "text"))
+        .unionAll(stage(kept, "mix", "text"))
+        .unionAll(blocks.agg(
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(col("len")).as("n_tokens"))
+          .select(lit("pack").as("stage"), col("n_docs"), col("n_tokens")))
+    }),
+
     // -- the FULL training-data prep pipeline in one query: quality
     //    gate → near-dup removal (LSH scale arm, fixture-equal to the
     //    exact tier) → token-window chunking → greedy packing per
@@ -1351,6 +1379,52 @@ object PipelineQueries {
         |SELECT t.source, t.doc_id, t.n_tokens, r.alloc_tokens, r.rate
         |FROM t JOIN r USING (source)
         |WHERE ((t.doc_id % 65536) * 40503) % 65536 < r.rate * 65536""".stripMargin,
+
+    "q_layout_funnel" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(toks) / 2.0) AS INTEGER)),
+        |      i -> array_to_string(list_slice(toks, i*2+1, i*2+2), ' ')) AS segs
+        |  FROM t0
+        |),
+        |cln AS (
+        |  SELECT doc_id, array_to_string(list_filter(segs,
+        |    (seg, i) -> list_position(segs, seg) = i), ' ') AS text
+        |  FROM sg
+        |),
+        |d AS (SELECT c.doc_id, d0.source, c.text
+        |      FROM cln c JOIN documents d0 USING (doc_id)),
+        |t AS (SELECT source, doc_id, text,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM d),
+        |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total
+        |        FROM t GROUP BY 1),
+        |w AS (SELECT source, total,
+        |        CAST(floor(sqrt(CAST(total AS DOUBLE)) * 1000000.0) AS BIGINT) AS wq
+        |      FROM tot),
+        |ws AS (SELECT CAST(sum(wq) AS BIGINT) AS wsum FROM w),
+        |a AS (SELECT source, total, least(total, (20000 * wq) // wsum) AS alloc
+        |      FROM w CROSS JOIN ws),
+        |r AS (SELECT source,
+        |        least(1.0, CAST(alloc AS DOUBLE) / CAST(total AS DOUBLE)) AS rate
+        |      FROM a),
+        |kept AS (
+        |  SELECT t.doc_id, t.text, t.n_tokens FROM t JOIN r USING (source)
+        |  WHERE ((t.doc_id % 65536) * 40503) % 65536 < r.rate * 65536
+        |)
+        |SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents
+        |UNION ALL
+        |SELECT 'intradoc', CAST(count(*) AS BIGINT),
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM cln
+        |UNION ALL
+        |SELECT 'mix', CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_tokens) AS BIGINT) FROM kept
+        |UNION ALL
+        |SELECT 'pack', CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_tokens) AS BIGINT) FROM kept""".stripMargin,
 
     // The layout layer's end-to-end chain, replayed stage by stage:
     // intra-doc keep-first → temperature mix on the CLEANED text →
