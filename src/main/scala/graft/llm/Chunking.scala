@@ -269,6 +269,8 @@ object Chunking {
     */
   def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, "shardAssign: nShards must be positive")
+    for (c <- Seq("__bucket", "shard", "pos") if df.columns.contains(c))
+      require(false, s"shardAssign: '$c' is reserved for internal use — rename it")
     import org.apache.spark.sql.expressions.Window
     val denom = 65536L
     val bucket = pmod(pmod(col(idCol), lit(denom)) * lit(40503L), lit(denom))
@@ -303,6 +305,9 @@ object Chunking {
   def mixTemperature(df: DataFrame, sourceCol: String, idCol: String,
                      textCol: String, budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, "mixTemperature: budgetTokens must be positive")
+    for (c <- Seq("__total", "__wq", "__wsum", "__alloc", "__rate",
+        "n_tokens", "alloc_tokens", "rate") if df.columns.contains(c))
+      require(false, s"mixTemperature: '$c' is reserved for internal use — rename it")
     val withTok = df.select(col(sourceCol), col(idCol),
       size(split(col(textCol), " ")).cast("long").as("n_tokens"))
     val totals = withTok.groupBy(sourceCol)
@@ -360,6 +365,9 @@ object Chunking {
                  nShards: Int, blockTokens: Int): DataFrame = {
     require(nShards > 0 && blockTokens > 0,
       "packBlocks: nShards and blockTokens must be positive")
+    for (c <- Seq("__bucket", "__n", "shard", "off", "block", "__bstart")
+         if df.columns.contains(c))
+      require(false, s"packBlocks: '$c' is reserved for internal use — rename it")
     import org.apache.spark.sql.expressions.Window
     val denom = 65536L
     val bucket = pmod(pmod(col(idCol), lit(denom)) * lit(40503L), lit(denom))

@@ -747,6 +747,9 @@ object Dedup {
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
                    w: Int, minDocs: Int): DataFrame = {
     require(w > 0 && minDocs >= 2, "segmentDedup: w > 0, minDocs >= 2")
+    for (c <- Seq("__toks", "__nseg", "__i", "seg_text", "clean_text",
+        "__nkept", "__nd", "n_seg", "n_dropped") if df.columns.contains(c))
+      require(false, s"segmentDedup: '$c' is reserved for internal use — rename it")
     val base = df
       .withColumn("__toks", TextOps.tokens(textCol))
       .withColumn("__nseg",
@@ -801,6 +804,9 @@ object Dedup {
   def intraDocDedup(df: DataFrame, idCol: String, textCol: String,
                     w: Int): DataFrame = {
     require(w > 0, "intraDocDedup: w > 0")
+    for (c <- Seq("__toks", "__segs", "__kept", "clean_text", "n_seg",
+        "n_dropped") if df.columns.contains(c))
+      require(false, s"intraDocDedup: '$c' is reserved for internal use — rename it")
     df.withColumn("__toks", TextOps.tokens(textCol))
       .withColumn("__segs", expr(
         s"""transform(sequence(0, CAST(ceil(size(__toks) / CAST($w AS double)) AS int) - 1),

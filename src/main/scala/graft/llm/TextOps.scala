@@ -328,6 +328,11 @@ object TextOps {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "bm25TopK: every query needs at least one term")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "bm25TopK: qids must be unique (merge a query's terms into one entry)")
+    for (c <- Seq("__toks", "dl", "qid", "term", "tf", "df", "__c",
+        "score_micro", "rank") if df.columns.contains(c))
+      require(false, s"bm25TopK: '$c' is reserved for internal use — rename it")
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
