@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   * of exactly-representable doubles (|dot| ≤ 6.4e7 « 2^53, norm
   * product ≤ 3.2e14 « 2^53): bit-identical on Spark and DuckDB.
   * Hyperplane weights come from xxhash64, Spark-side only.
+  *
+  * Zero-norm vectors: the cosine tiers divide by the norm product, so
+  * under Spark 4's default ANSI mode an all-zero embedding fails the
+  * query LOUDLY (DIVIDE_BY_ZERO) rather than silently propagating
+  * NaN — deliberate: the engines disagree on float x/0 (DuckDB yields
+  * ±inf), so a silent path could never be oracle-checked. A corpus
+  * that can legitimately contain zero vectors should quarantine them
+  * upstream (the k-means tiers already do, via `normalizedVecs`'s
+  * null-marking CASE).
   */
 object Similarity {
 
