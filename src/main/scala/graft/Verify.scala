@@ -19,6 +19,16 @@ object Verify {
     // queries. Unset (the driver's invocation) → the full inventory.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // A mistyped name would otherwise match nothing and the run would
+    // "pass" by dumping nothing — fail loudly instead (r8 advisor).
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[verify] FATAL: SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

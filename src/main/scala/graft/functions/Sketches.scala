@@ -83,6 +83,18 @@ case class MatVecExpr(child: Expression, m: Array[Double], bias: Array[Double])
   private val k = bias.length
   private val dims = if (k > 0) m.length / k else 0
 
+  // Case-class equality on Array params is reference equality, which
+  // defeats Catalyst canonicalization / subexpression elimination for
+  // semantically identical kernels (r8 advisor) — compare contents.
+  override def equals(o: Any): Boolean = o match {
+    case e: MatVecExpr => child == e.child &&
+      java.util.Arrays.equals(m, e.m) && java.util.Arrays.equals(bias, e.bias)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Integer.valueOf(java.util.Arrays.hashCode(m)),
+    Integer.valueOf(java.util.Arrays.hashCode(bias)))
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) if k > 0 && dims > 0 &&
       m.length == k * dims => TypeCheckResult.TypeCheckSuccess
@@ -275,6 +287,16 @@ case class CentroidDistsExpr(child: Expression, centroids: Array[Double], k: Int
     extends UnaryExpression with CodegenFallback {
 
   private val dims = if (k > 0) centroids.length / k else 0
+
+  // Content equality for the same reason as MatVecExpr (r8 advisor).
+  override def equals(o: Any): Boolean = o match {
+    case e: CentroidDistsExpr => child == e.child && k == e.k &&
+      java.util.Arrays.equals(centroids, e.centroids)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Integer.valueOf(k),
+    Integer.valueOf(java.util.Arrays.hashCode(centroids)))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) if k > 0 && dims > 0 &&

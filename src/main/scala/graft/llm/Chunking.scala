@@ -320,12 +320,23 @@ object Chunking {
     val wsum = totals.agg(sum("__wq").as("__wsum"))
     val alloc = totals.crossJoin(broadcast(wsum))
       // alloc = budget · wq / wsum, in integer arithmetic (· before
-      // div, no doubles — budget·wq must stay under 2^63, which holds
-      // for token budgets up to ~10^9 at micro-unit weights; larger
-      // budgets would shrink the quantization unit)
+      // div, no doubles). budget·wq must stay under 2^63: wq =
+      // floor(sqrt(total)·1e6), so the safe budget is ~9.2e18/(1e6·
+      // sqrt(total)) — e.g. a 1e12-token source (wq = 1e12) overflows
+      // at budgets above ~9.2e6 (r8 advisor; the earlier "~1e9 is
+      // safe" note was wrong for large sources). The guard below
+      // raises a named error BEFORE the multiply rather than letting
+      // ANSI overflow surface as a generic ARITHMETIC_OVERFLOW; it
+      // rides the per-source alloc expression on the tiny totals
+      // table, so it cannot be pruned away and costs nothing.
       .withColumn("__alloc",
         least(col("__total"),
-          expr(s"($budgetTokens * __wq) div __wsum")))
+          when(col("__wq") > lit(Long.MaxValue) / lit(budgetTokens),
+            expr("raise_error('mixTemperature: budgetTokens * source weight " +
+              "overflows int64 — lower the budget or rescale the " +
+              "quantization unit (wq = floor(sqrt(total_tokens)*1e6))')")
+              .cast("long"))
+          .otherwise(expr(s"($budgetTokens * __wq) div __wsum"))))
       .withColumn("__rate",
         least(lit(1.0),
           col("__alloc").cast("double") / col("__total").cast("double")))

@@ -688,17 +688,29 @@ object Similarity {
     val vecs = df
       .select(expr(s"transform($embCol, x -> CAST(x AS double))").as("vd"))
       .where(col("vd").isNotNull && size(col("vd")) === d)
-    // acc layout: [0] = n, [1..d] = Σx, [1+d ..] = Σxxᵀ (row-major)
+    // Shifted one-pass accumulation (r8 advisor): E[xxᵀ] - μμᵀ suffers
+    // catastrophic cancellation when the mean is large relative to the
+    // variance (spurious ~-1e-9 eigenvalues that whitening amplifies).
+    // Centering on the corpus's FIRST vector before accumulating keeps
+    // the Gram entries O(variance) instead of O(mean²) while staying a
+    // single distributed pass; cov is shift-invariant, and the true
+    // mean is recovered as shift + mean(centered). The 1-row take is a
+    // bounded driver probe, same class as the date-bounds collect.
+    val firstRow = vecs.take(1)
+    require(firstRow.nonEmpty, "pcaTrain: no well-formed vectors")
+    val shift = firstRow(0).getSeq[Double](0).toArray
+    // acc layout: [0] = n, [1..d] = Σ(x-s), [1+d ..] = Σ(x-s)(x-s)ᵀ
     val zero = new Array[Double](1 + d + d * d)
     val acc = vecs.rdd.map(_.getSeq[Double](0).toArray).treeAggregate(zero)(
       (a, v) => {
         a(0) += 1.0
         var i = 0
         while (i < d) {
-          a(1 + i) += v(i)
+          val xi = v(i) - shift(i)
+          a(1 + i) += xi
           val off = 1 + d + i * d
           var j = 0
-          while (j < d) { a(off + j) += v(i) * v(j); j += 1 }
+          while (j < d) { a(off + j) += xi * (v(j) - shift(j)); j += 1 }
           i += 1
         }
         a
@@ -706,9 +718,10 @@ object Similarity {
       (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
     val n = acc(0)
     require(n > 0, "pcaTrain: no well-formed vectors")
-    val mean = Array.tabulate(d)(i => acc(1 + i) / n)
+    val meanC = Array.tabulate(d)(i => acc(1 + i) / n)
+    val mean = Array.tabulate(d)(i => shift(i) + meanC(i))
     val cov = Array.tabulate(d, d)((i, j) =>
-      acc(1 + d + i * d + j) / n - mean(i) * mean(j))
+      acc(1 + d + i * d + j) / n - meanC(i) * meanC(j))
     val (eig, vecsOut) = jacobiEig(cov)
     val order = eig.indices.sortBy(i => -eig(i)).take(k)
     val comps = new Array[Double](k * d)

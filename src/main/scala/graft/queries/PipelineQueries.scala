@@ -317,10 +317,21 @@ object PipelineQueries {
         "embedding", k = 3)),
 
     // -- embedding preprocessing: PCA projection (treeAggregate gram,
-    //    driver Jacobi eigensolve, broadcast compiled MatVec kernel) --
+    //    driver Jacobi eigensolve, broadcast compiled MatVec kernel).
+    //    The API (`pcaProject`) returns (vec_id, proj array<double>);
+    //    the harness query posexplodes that to one (vec_id, dim,
+    //    value_micro) row per output dimension so the driver's
+    //    column-sorting comparator sees only scalars — an array cell
+    //    is unhashable to its pandas canonicalizer and previously
+    //    registered NOTHING (r8 verdict #1). value_micro quantizes to
+    //    int micro-units; the row count (N·k) is what the rows-only
+    //    contract pins, and the float laws stay gated in PcaSpec. ----
     "q_pca_project" -> ((s, dir) =>
       Similarity.pcaProject(Tables.embeddings(s, dir), "vec_id",
-        "embedding", k = 8)),
+        "embedding", k = 8)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim"),
+          floor(col("v") * lit(1e6)).cast("long").as("value_micro"))),
 
     // -- semantic dedup, exact arm: keep-lowest over all cosine pairs
     //    ≥ 0.35 (SemDeDup's rule on the whole corpus — the oracle

@@ -46,4 +46,25 @@ class ContractSpec extends SparkSpec {
   test("flagship entry returns rows on the smoke fixture") {
     assert(SparkEntry.entry(spark).limit(1).count() == 1L)
   }
+
+  test("every harness query emits only atomic columns") {
+    // The driver canonicalizes by sorting EVERY column in pandas; an
+    // array/map/struct cell is unhashable there and the query then
+    // registers NOTHING — not even a row count (r8 verdict #1,
+    // q_pca_project). Schema resolution is analysis-only, so this
+    // sweeps all queries cheaply.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        q(spark, dir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"complex-typed columns would be invisible to the driver: $offenders")
+  }
 }
