@@ -46,8 +46,15 @@ object Bench {
     // fake a regression on them, so if a canary's MIN moves 2×, it's
     // real — and if the rest of the cheap tier moves while the canary
     // mins hold, it's smear.
+    // The last three are the r8 mid-tier movers (q_multimodal_meta
+    // 0.29→1.59, q_quality_rules 0.29→1.27, q_decontaminate 0.62→1.58
+    // vs r7, beyond the smear band but with no min-of-3 protection at
+    // the time) — pinned here so a real plan regression in the
+    // multimodal header parse / quality rules / decontamination
+    // broadcast becomes distinguishable from ambient contention.
     val canaries = Set("q_filter_lifecycle", "q_filter_range",
-      "q_project_rename", "q_ts_trunc", "q_null_fill", "q_enum_remap")
+      "q_project_rename", "q_ts_trunc", "q_null_fill", "q_enum_remap",
+      "q_multimodal_meta", "q_quality_rules", "q_decontaminate")
     // Each query runs twice and the SECOND timing is kept: run-to-run
     // variance at sf0.1 is ~±1 s per query (VERDICT r2), which would
     // mask real regressions on sub-second queries; the first run eats
@@ -69,9 +76,12 @@ object Bench {
         }
         val t1 = timed()
         val t2 = timed()
+        // min-of-3 threshold at 1 s (was 2 s): the r8 movers sat in the
+        // 1-2 s tier where a 2-5× swing had no protection (r8 verdict
+        // "What's wrong" #2)
         times(name) =
           if (canaries.contains(name)) { val t3 = timed(); Seq(t1, t2, t3).min }
-          else if (t2 < 2.0) t2
+          else if (t2 < 1.0) t2
           else { val t3 = timed(); Seq(t1, t2, t3).min }
       } catch {
         case e: Throwable =>

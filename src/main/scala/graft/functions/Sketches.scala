@@ -70,6 +70,61 @@ object Sketches {
     */
   def matVec(vec: Column, m: Array[Double], bias: Array[Double]): Column =
     GraftBridge.column(MatVecExpr(GraftBridge.expression(vec), m, bias))
+
+  /** Asymmetric-distance (ADC) score of a product-quantized vector:
+    * Σ_j lut[j·kEff + code_j], where code_j is byte j of the packed
+    * int64 code. The probe-side lookup table arrives as a per-probe
+    * array<double> column (built once per probe by `matVec` against
+    * the block-diagonal codebook matrix), so scoring a candidate is m
+    * table lookups — never a d-element dot product. This is the whole
+    * point of PQ: the corpus side of the scan reads 8 BYTES per
+    * vector (one long) instead of d floats.
+    */
+  def pqAdc(lut: Column, code: Column, m: Int, kEff: Int): Column =
+    GraftBridge.column(PqAdcExpr(GraftBridge.expression(lut),
+      GraftBridge.expression(code), m, kEff))
+}
+
+/** score = Σ_{j<m} lut[j·kEff + byte_j(code)] — the PQ asymmetric-
+  * distance kernel behind `Similarity.pqTopK`. NULL on a malformed
+  * lut length or an out-of-range code byte (kEff < 256 leaves unused
+  * byte values), so a corrupt code surfaces as an excluded candidate
+  * rather than a wrong score.
+  */
+case class PqAdcExpr(left: Expression, right: Expression, m: Int, kEff: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), LongType)
+        if m > 0 && m <= 8 && kEff > 0 && kEff <= 256 =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<double>, bigint) and 1<=m<=8, 1<=kEff<=256, got $t")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(lutAny: Any, codeAny: Any): Any = {
+    val lut = lutAny.asInstanceOf[ArrayData]
+    if (lut.numElements() != m * kEff) return null
+    val code = codeAny.asInstanceOf[Long]
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val c = ((code >>> (8 * j)) & 0xffL).toInt
+      if (c >= kEff) return null
+      if (lut.isNullAt(j * kEff + c)) return null
+      s += lut.getDouble(j * kEff + c)
+      j += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** out[c] = Σ_d m[c·dims+d] · x[d] + bias[c] for c < k — the affine

@@ -582,6 +582,51 @@ object Dedup {
         col("span_tokens"))
   }
 
+  /** Cross-document substring-span REMOVAL — the transform twin of
+    * `substringSpans` (detect → remove, the same pairing the intra-doc
+    * operators L-21/L-65 demonstrate): every verified verbatim span of
+    * ≥ `k` tokens shared between two documents is cut from the
+    * HIGHER-id document (keep-first by doc id — the canonical Lee et
+    * al. 2022 policy restated on ids instead of corpus offsets), so
+    * exactly one copy of every lifted passage survives. A document's
+    * cut set is the UNION of its covered positions across all
+    * partners and diagonals, so overlapping spans from different
+    * partners cannot double-cut or miss.
+    *
+    * Scale shape: `substringSpans` does the heavy lifting (near-unique
+    * window anchors, one pair-key shuffle); the removal itself is one
+    * groupBy of the (tiny) span table per losing doc + a LEFT join
+    * back to the corpus + a row-local index-filter HOF — span-free
+    * documents ride the join untouched, and no text ever shuffles for
+    * them. A fully-covered document surfaces with empty text and its
+    * token count in `removed_tokens` — loud-never-silent, nothing
+    * vanishes.
+    *
+    * Output: (idCol, textCol [cleaned, single-space rejoin],
+    * removed_tokens). Idempotence on span-free output is gated in
+    * LlmDedupSpec.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    for (c <- Seq("removed_tokens", "__ivs", "__toks", "__kept")
+         if df.columns.contains(c))
+      require(false, s"spanDedup: '$c' is reserved for internal use — rename it")
+    val spans = substringSpans(df, idCol, textCol, k)
+    val ivs = spans
+      .select(col("id_b").as(idCol),
+        struct(col("pos_b").as("s"), col("span_tokens").as("l")).as("__iv"))
+      .groupBy(idCol).agg(collect_list(col("__iv")).as("__ivs"))
+    df.join(ivs, Seq(idCol), "left")
+      .withColumn("__toks", TextOps.tokens(textCol))
+      .withColumn("__kept",
+        when(col("__ivs").isNull, col("__toks"))
+          .otherwise(expr(
+            "filter(__toks, (t, i) -> NOT exists(__ivs, v -> i >= v.s AND i < v.s + v.l))")))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as(textCol),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("removed_tokens"))
+  }
+
   /** 64-bit SimHash over a pre-hashed token multiset column
     * (array<bigint> of xxhash64(token)): bit b is the sign of
     * Σ_tokens (±1 by bit b). Frequent tokens weigh naturally (the

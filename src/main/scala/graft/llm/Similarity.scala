@@ -134,6 +134,188 @@ object Similarity {
     df.select(size(expr(embCol)).as("d")).head(1)
       .headOption.map(_.getInt(0)).getOrElse(1)
 
+  /** Tag every row with a `quarantine_reason` (NULL = clean): the
+    * executable form of the zero-norm contract documented on this
+    * object's scaladoc — the cosine tiers fail LOUDLY on an all-zero
+    * vector (ANSI DIVIDE_BY_ZERO) and expect dirty corpora to
+    * quarantine upstream; this is the upstream. Reasons, in fixed
+    * precedence order (first match wins, so a row carries exactly one):
+    * `null_vector`, `wrong_dims`, `null_element`, `non_finite`
+    * (NaN/±Inf), `zero_norm`. Pure row-local Column logic — a map at
+    * any scale, no UDF, SQL-expressible on both engines (DuckDB
+    * oracle on `q_embed_quarantine`).
+    */
+  def auditEmbeddings(df: DataFrame, idCol: String, embCol: String,
+                      expectedDims: Option[Int] = None): DataFrame = {
+    require(!df.columns.contains("quarantine_reason"),
+      "auditEmbeddings: 'quarantine_reason' is reserved for output — rename it")
+    val d = expectedDims.getOrElse(dimsOf(df, embCol))
+    val asD = s"transform($embCol, x -> CAST(x AS double))"
+    df.withColumn("quarantine_reason",
+      when(col(embCol).isNull, lit("null_vector"))
+        .when(size(col(embCol)) =!= d, lit("wrong_dims"))
+        .when(expr(s"exists($embCol, x -> isnull(x))"), lit("null_element"))
+        .when(expr(s"exists($asD, x -> isnan(x) OR x = CAST('Infinity' AS double)" +
+          " OR x = CAST('-Infinity' AS double))"), lit("non_finite"))
+        .when(expr(s"forall($asD, x -> x = CAST(0 AS double))"), lit("zero_norm"))
+        .otherwise(lit(null).cast("string")))
+  }
+
+  /** The (clean, quarantined) split over `auditEmbeddings`: clean keeps
+    * the input schema and is safe for every cosine tier; quarantined
+    * rows carry their reason — loud-never-silent, nothing vanishes.
+    * (Both frames re-evaluate the audit predicate; a real pipeline
+    * would persist the audit once and split the cached frame.)
+    */
+  def quarantineEmbeddings(df: DataFrame, idCol: String, embCol: String,
+                           expectedDims: Option[Int] = None): (DataFrame, DataFrame) = {
+    val a = auditEmbeddings(df, idCol, embCol, expectedDims)
+    (a.filter(col("quarantine_reason").isNull).drop("quarantine_reason"),
+      a.filter(col("quarantine_reason").isNotNull))
+  }
+
+  /** Product-quantization ANN: the compression rung below int8 on the
+    * brute → int8 → IVF/LSH ladder. The vector space is split into `m`
+    * subspaces of d/m dims; each subspace gets its own `nCentroids`-
+    * centroid k-means codebook (trained driver-side on ONE bounded
+    * hash-selected sample — the same recipe and sampler as `ivfTopK`);
+    * a vector is stored as its m nearest-centroid ids, packed one byte
+    * each into a single int64. At m=8 that is 8 BYTES per vector
+    * (d/m·8× less than int8's d bytes, 4·d/8× less than float32) —
+    * at 100 TB the PQ code table for a trillion 64-dim vectors is
+    * ~8 TB and fits a modest cluster's page cache, which is why every
+    * large-scale vector store (FAISS IVFPQ, SCaNN) quantizes this way.
+    *
+    * Query = classic ADC (asymmetric distance computation): the probe
+    * stays un-quantized; its dot product against every centroid of
+    * every codebook is ONE `matVec` through the block-diagonal
+    * codebook matrix (m·kEff rows, zeros outside block j — built
+    * driver-side, broadcast as expression literals), giving a per-
+    * probe lookup table; scoring a candidate is then m table lookups
+    * in the compiled `pq_adc` kernel (`functions/Sketches.scala`) —
+    * never a d-element multiply. Corpus vectors are L2-normalized
+    * before encoding, so the ADC dot approximates cosine directly.
+    * Stage 2 reranks the `k·rerankFactor` shortlist with the exact
+    * quantized cosine, touching wide vectors ONLY for shortlisted ids
+    * (the `topKInt8Rerank` shape). Approximate by design → rows-only;
+    * recall vs `bruteForceTopK` and the 8-byte storage bound are gated
+    * in AnnSpec.
+    *
+    * Scale notes: the ADC scan shuffles only (probe_id, id, adc) into
+    * the rank-limit window — the packed code is the ONLY per-vector
+    * payload read, and wide vectors ride the (tiny) rerank join.
+    * Zero-norm vectors quarantine to a null code (no direction → never
+    * a candidate), same CASE-not-filter discipline as `ivfTopK`.
+    */
+  /** Train the m per-subspace codebooks on one bounded sample. */
+  private def pqBooks(vecs: DataFrame, idCol: String, nRows: Long, m: Int,
+                      sub: Int, nCentroids: Int, lloydIters: Int,
+                      trainSample: Int): Option[(Array[Array[Double]], Int)] = {
+    val sample = sampleNormalized(vecs, idCol, nRows,
+      math.max(trainSample, nCentroids))
+    if (sample.isEmpty) return None
+    val kEff = math.min(nCentroids, sample.length)
+    Some((Array.tabulate(m) { j =>
+      lloyd(sample.map(_.slice(j * sub, (j + 1) * sub)), kEff, lloydIters).flatten
+    }, kEff))
+  }
+
+  /** Encode against trained codebooks: code_j = argmin centroid of
+    * subspace j, packed one byte each into a single int64.
+    */
+  private def pqEncodeWith(vecs: DataFrame, idCol: String,
+                           books: Array[Array[Double]], kEff: Int,
+                           m: Int, sub: Int): DataFrame = {
+    var enc = vecs
+    for (j <- 0 until m)
+      enc = enc.withColumn(s"__d$j", graft.functions.Sketches.centroidDists(
+        expr(s"slice(nd, ${j * sub + 1}, $sub)"), books(j), kEff))
+    val packed = (0 until m).map(j =>
+      expr(s"shiftleft(array_position(__d$j, array_min(__d$j)) - 1, ${8 * j})"))
+      .reduce(_ + _)
+    enc.select(col(idCol), packed.as("pq_code"))
+  }
+
+  private def pqParams(df: DataFrame, embCol: String, m: Int,
+                       nCentroids: Int): Int = {
+    val d = dimsOf(df, embCol)
+    require(m >= 1 && m <= 8, s"PQ: 1 <= m <= 8 (codes pack one byte each into an int64), got $m")
+    require(d % m == 0, s"PQ: dims $d must divide into m=$m subspaces")
+    require(nCentroids >= 1 && nCentroids <= 256, s"PQ: codes are 8-bit, got $nCentroids")
+    d
+  }
+
+  /** The storage artifact alone: (idCol, pq_code bigint) — 8 bytes per
+    * vector. A zero-norm vector encodes to a NULL code (no direction;
+    * same quarantine as the other cosine tiers). See `pqTopK` for the
+    * full design story.
+    */
+  def pqEncode(df: DataFrame, idCol: String, embCol: String, m: Int = 8,
+               nCentroids: Int = 256, lloydIters: Int = 5,
+               trainSample: Int = 1024): DataFrame = {
+    val d = pqParams(df, embCol, m, nCentroids)
+    val sub = d / m
+    val vecs = normalizedVecs(df, idCol, embCol)
+    pqBooks(vecs, idCol, df.count(), m, sub, nCentroids, lloydIters,
+        trainSample) match {
+      case None => df.limit(0).select(col(idCol), lit(0L).as("pq_code"))
+      case Some((books, kEff)) => pqEncodeWith(vecs, idCol, books, kEff, m, sub)
+    }
+  }
+
+  def pqTopK(df: DataFrame, idCol: String, embCol: String,
+             probePred: Column, k: Int, m: Int = 8, nCentroids: Int = 256,
+             lloydIters: Int = 5, trainSample: Int = 1024,
+             rerankFactor: Int = 4): DataFrame = {
+    val d = pqParams(df, embCol, m, nCentroids)
+    val sub = d / m
+    val vecs = normalizedVecs(df, idCol, embCol)
+    val trained = pqBooks(vecs, idCol, df.count(), m, sub, nCentroids,
+      lloydIters, trainSample)
+    if (trained.isEmpty)
+      return df.limit(0).select(
+        col(idCol).as("probe_id"), col(idCol).as("neighbor_id"),
+        lit(1).as("rank"), lit(0.0).as("cos"))
+    val (books, kEff) = trained.get
+    val encoded = pqEncodeWith(vecs, idCol, books, kEff, m, sub)
+
+    // --- probe LUT: lut = M_blockdiag · probe, one compiled matVec --
+    val bigM = new Array[Double](m * kEff * d)
+    for (j <- 0 until m; c <- 0 until kEff; t <- 0 until sub)
+      bigM((j * kEff + c) * d + j * sub + t) = books(j)(c * sub + t)
+    val probes = broadcast(vecs.filter(probePred)
+      .select(col(idCol).as("probe_id"),
+        graft.functions.Sketches.matVec(col("nd"), bigM,
+          new Array[Double](m * kEff)).as("__lut")))
+
+    // --- ADC scan + rank-limit shortlist (narrow rows only) ---------
+    val shortlist = probes.join(encoded, col("probe_id") =!= col(idCol))
+      .withColumn("adc", graft.functions.Sketches.pqAdc(
+        col("__lut"), col("pq_code"), m, kEff))
+      .filter(col("adc").isNotNull)
+      .select(col("probe_id"), col(idCol), col("adc"))
+      .withColumn("r8", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("adc").desc, col(idCol))))
+      .filter(col("r8") <= k * rerankFactor)
+      .select(col("probe_id"), col(idCol))
+
+    // --- exact rerank on the shortlist only -------------------------
+    val wide = df.select(col(idCol), quantize(embCol).as("v"))
+      .withColumn("nsq", normSqQ("v"))
+    val pv = broadcast(wide.filter(probePred)
+      .select(col(idCol).as("probe_id"), col("v").as("pv"), col("nsq").as("pnsq")))
+    shortlist
+      .join(wide, idCol)
+      .join(pv, "probe_id")
+      .withColumn("cos",
+        dotQ("pv", "v").cast("double") /
+          sqrt((col("pnsq") * col("nsq")).cast("double")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** ANN top-k via multiprobe hyperplane LSH. Candidates = corpus
     * vectors whose bucket equals the probe's bucket or differs in at
     * most `probeFlips` of the low `nbits` bits (enumerated buckets,
@@ -236,10 +418,15 @@ object Similarity {
     * zero-norm. Shared by `ivfTopK` and `semanticDedupClustered`; the
     * scale notes live on `ivfTopK`.
     */
-  private def trainKmeans(vecs: DataFrame, idCol: String, nRows: Long,
-                          nClusters: Int, lloydIters: Int,
-                          trainSample: Int): Option[(Array[Double], Int)] = {
-    val want = math.max(trainSample, nClusters)
+  /** Deterministic bounded sample of normalized vectors: the `want`
+    * rows with the smallest xxhash64(id), realized as a hash-threshold
+    * filter + TakeOrdered over the ~8× oversampled survivors (one
+    * scan, no corpus-wide sort; falls back to the full scan when the
+    * filter underfills — see the scale notes on `ivfTopK`). Shared by
+    * `trainKmeans` and the PQ codebook trainer.
+    */
+  private def sampleNormalized(vecs: DataFrame, idCol: String,
+                               nRows: Long, want: Int): Array[Array[Double]] = {
     val hash = xxhash64(col(idCol).cast("string"))
     val frac = 8.0 * want.toDouble / math.max(nRows, 1L).toDouble
     def takeSample(src: DataFrame): Array[Array[Double]] =
@@ -258,15 +445,21 @@ object Similarity {
     var sample = takeSample(filtered)
     if (sample.length < math.min(want.toLong, nRows) && frac < 0.5)
       sample = takeSample(vecs)
-    if (sample.isEmpty) return None
-    val kEff = math.min(nClusters, sample.length)
+    sample
+  }
+
+  /** Deterministic driver-side Lloyd iterations (seeded on the first
+    * kEff sample vectors; an emptied cluster keeps its old centroid).
+    */
+  private def lloyd(sample: Array[Array[Double]], kEff: Int,
+                    iters: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = sample.take(kEff).map(_.clone())
     def sqd(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    for (_ <- 1 to lloydIters) {
+    for (_ <- 1 to iters) {
       val sums = Array.fill(kEff)(new Array[Double](sample.head.length))
       val counts = new Array[Long](kEff)
       for (v <- sample) {
@@ -281,7 +474,17 @@ object Similarity {
         if (counts(c) == 0) old else sums(c).map(_ / counts(c))
       }
     }
-    Some((centroids.flatten, kEff))
+    centroids
+  }
+
+  private def trainKmeans(vecs: DataFrame, idCol: String, nRows: Long,
+                          nClusters: Int, lloydIters: Int,
+                          trainSample: Int): Option[(Array[Double], Int)] = {
+    val want = math.max(trainSample, nClusters)
+    val sample = sampleNormalized(vecs, idCol, nRows, want)
+    if (sample.isEmpty) return None
+    val kEff = math.min(nClusters, sample.length)
+    Some((lloyd(sample, kEff, lloydIters).flatten, kEff))
   }
 
   def ivfTopK(df: DataFrame, idCol: String, embCol: String,
@@ -416,6 +619,25 @@ object Similarity {
           .otherwise(expr("transform(__v, x -> CAST(floor(x / scale) AS bigint))"))
           .as("qvec"))
 
+  /** Like `quantizeInt8` but APPENDS the 8-bit code column to the
+    * input row instead of projecting it out — the streaming arm needs
+    * the event-time column to ride along. Same math, same zero-scale
+    * guard; the scale itself is not kept (the scale-free int8 cosine
+    * is the only consumer there).
+    */
+  def quantizeInt8Attach(df: DataFrame, embCol: String, as: String): DataFrame = {
+    for (c <- Seq("__v8", "__scale8", as) if df.columns.contains(c))
+      require(false, s"quantizeInt8Attach: '$c' is reserved — rename it")
+    df.withColumn("__v8", expr(s"transform($embCol, x -> CAST(x AS double))"))
+      .withColumn("__scale8",
+        array_max(expr("transform(__v8, x -> abs(x))")) / lit(127.0))
+      .withColumn(as,
+        when(col("__scale8") === 0.0,
+            expr("transform(__v8, x -> CAST(0 AS bigint))"))
+          .otherwise(expr("transform(__v8, x -> CAST(floor(x / __scale8) AS bigint))")))
+      .drop("__v8", "__scale8")
+  }
+
   /** Reconstruct an approximate float vector from `quantizeInt8`
     * output: x̂ = (q + 0.5)·scale (midpoint of the floor bucket —
     * halves the worst-case error vs q·scale).
@@ -435,9 +657,11 @@ object Similarity {
 
   /** Flattened (tables × nbits × dims) plane array for the compiled
     * `HyperplaneSigsExpr` kernel; seed scheme is stable (it pins the
-    * verified candidate completeness at the oracle SF).
+    * verified candidate completeness at the oracle SF). Shared with
+    * the streaming arm (`EventStream.semanticDedupStream`) so both
+    * sides of a stream-static bucket join hash identically.
     */
-  private def planeArray(tables: Int, nbits: Int, dims: Int): Array[Double] = {
+  private[graft] def planeArray(tables: Int, nbits: Int, dims: Int): Array[Double] = {
     val out = new Array[Double](tables * nbits * dims)
     var i = 0
     for (t <- 0 until tables; j <- 0 until nbits; d <- 0 until dims) {

@@ -261,6 +261,13 @@ object PipelineQueries {
     "q_substring_dup" -> ((s, dir) =>
       Dedup.substringSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)),
 
+    // -- dedup tier 6b: the REMOVAL twin — cut every verified cross-
+    //    doc span from the higher-id doc (keep-first), union of
+    //    covered positions, single-space token rejoin; span-free docs
+    //    pass through and fully-covered docs surface empty. ----------
+    "q_span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text", k = 8)),
+
     // -- data selection: DSIR-style importance weights toward the EN
     //    slice — add-one-smoothed integer gram masses, one final
     //    divide (cross-engine exact); both count tables broadcast ----
@@ -388,6 +395,44 @@ object PipelineQueries {
     //    cost of a training pass. Rows-only + recall gate in AnnSpec. --
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        probePred = col("vec_id") < 10, k = 10).orderBy("probe_id", "rank")),
+
+    // -- embedding hygiene: the quarantine splitter made executable —
+    //    the fixture is clean, so both engines UNION the same planted
+    //    dirty rows (zero vector, all-NaN, wrong dims, null element,
+    //    null vector, one +Inf) and must agree on every reason tag.
+    //    Oracle-checkable because the audit is pure row-local CASE
+    //    logic; 'clean' is coalesced in so the output carries no
+    //    nulls. --------------------------------------------------------
+    "q_embed_quarantine" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS double))").as("embedding"))
+      val dirty = s.sql(
+        """SELECT CAST(-1 AS BIGINT) AS vec_id,
+          |       transform(sequence(1, 64), i -> CAST(0 AS double)) AS embedding
+          |UNION ALL SELECT CAST(-2 AS BIGINT),
+          |       transform(sequence(1, 64), i -> CAST('NaN' AS double))
+          |UNION ALL SELECT CAST(-3 AS BIGINT),
+          |       array(CAST(1 AS double), CAST(2 AS double))
+          |UNION ALL SELECT CAST(-4 AS BIGINT),
+          |       transform(sequence(1, 64), i -> IF(i = 1, CAST(NULL AS double), CAST(1 AS double)))
+          |UNION ALL SELECT CAST(-5 AS BIGINT),
+          |       CAST(NULL AS ARRAY<double>)
+          |UNION ALL SELECT CAST(-6 AS BIGINT),
+          |       transform(sequence(1, 64), i -> IF(i = 1, CAST('Infinity' AS double), CAST(1 AS double)))""".stripMargin)
+      Similarity.auditEmbeddings(base.unionByName(dirty), "vec_id",
+          "embedding", expectedDims = Some(64))
+        .select(col("vec_id"),
+          coalesce(col("quarantine_reason"), lit("clean")).as("quarantine_reason"))
+    }),
+
+    // -- similarity: product-quantization ANN — 8-byte codes (m=8
+    //    subspaces × ≤256 centroids packed into one int64), per-probe
+    //    LUT via the block-diagonal matVec, compiled pq_adc scoring,
+    //    exact rerank of the shortlist. The compression rung below
+    //    int8. Rows-only; recall + storage-bound gates in AnnSpec. ---
+    "q_ann_pq" -> ((s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         probePred = col("vec_id") < 10, k = 10).orderBy("probe_id", "rank")),
 
     // -- multimodal: binary media column round-trip — build fake media,
@@ -1072,6 +1117,72 @@ object PipelineQueries {
         |WHERE list_slice(ta.toks, s.pos_a + 1, s.pos_a + s.span_tokens)
         |    = list_slice(tb.toks, s.pos_b + 1, s.pos_b + s.span_tokens)""".stripMargin,
 
+    // the removal twin replays the whole verified-span chain, then
+    // cuts covered positions from each higher-id doc (DuckDB list
+    // lambdas are 1-indexed — hence i - 1 against the 0-based spans)
+    "q_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    list_transform(toks, tok -> list_reduce(
+        |      list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(range(1, len(tok) + 1), i -> CAST(ascii(tok[i]) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007)) AS th
+        |  FROM t WHERE len(toks) >= 8
+        |), wh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, n - 6), i -> list_reduce(
+        |      list_prepend(CAST(11 AS BIGINT), list_slice(th, i, i + 7)),
+        |      (a, b) -> (a * 37 + b) % 1000000007)) AS ws
+        |  FROM h
+        |), p AS (
+        |  SELECT doc_id, CAST(unnest(range(0, len(ws))) AS INTEGER) AS pos,
+        |    unnest(ws) AS wh
+        |  FROM wh
+        |), anch AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.pos AS pos_a, b.pos AS pos_b, b.pos - a.pos AS diag
+        |  FROM p a JOIN p b ON a.wh = b.wh AND a.doc_id < b.doc_id
+        |), isl AS (
+        |  SELECT id_a, id_b, diag, pos_a, pos_b,
+        |    pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag
+        |                               ORDER BY pos_a) AS grp
+        |  FROM anch
+        |), spans AS (
+        |  SELECT id_a, id_b,
+        |    CAST(min(pos_a) AS INTEGER) AS pos_a,
+        |    CAST(min(pos_b) AS INTEGER) AS pos_b,
+        |    CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        |  FROM isl GROUP BY id_a, id_b, diag, grp
+        |), verified AS (
+        |  SELECT s.id_a, s.id_b, s.pos_a, s.pos_b, s.span_tokens
+        |  FROM spans s
+        |  JOIN t ta ON ta.doc_id = s.id_a
+        |  JOIN t tb ON tb.doc_id = s.id_b
+        |  WHERE list_slice(ta.toks, s.pos_a + 1, s.pos_a + s.span_tokens)
+        |      = list_slice(tb.toks, s.pos_b + 1, s.pos_b + s.span_tokens)
+        |), ivs AS (
+        |  SELECT id_b AS doc_id,
+        |    list(struct_pack(s := pos_b, l := span_tokens)) AS ivs
+        |  FROM verified GROUP BY id_b
+        |), alltoks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), kept AS (
+        |  SELECT a.doc_id, a.toks,
+        |    CASE WHEN v.ivs IS NULL THEN a.toks
+        |         ELSE list_filter(a.toks, (tok, i) ->
+        |           NOT len(list_filter(v.ivs, iv ->
+        |             i - 1 >= iv.s AND i - 1 < iv.s + iv.l)) > 0) END AS keep
+        |  FROM alltoks a LEFT JOIN ivs v USING (doc_id)
+        |)
+        |SELECT doc_id,
+        |  -- DuckDB array_to_string([]) is NULL where Spark's
+        |  -- array_join([]) is '' — coalesce so a fully-covered doc
+        |  -- surfaces as empty text on both engines
+        |  COALESCE(array_to_string(keep, ' '), '') AS text,
+        |  CAST(len(toks) - len(keep) AS BIGINT) AS removed_tokens
+        |FROM kept""".stripMargin,
+
     "q_importance" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |g AS (
@@ -1181,6 +1292,34 @@ object PipelineQueries {
         |  FROM p
         |)
         |SELECT src, dst, "rank", cos FROM r WHERE "rank" <= 3""".stripMargin,
+
+    "q_embed_quarantine" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+        |), dirty AS (
+        |  SELECT CAST(-1 AS BIGINT) AS vec_id,
+        |         list_transform(generate_series(1, 64), i -> CAST(0 AS DOUBLE)) AS embedding
+        |  UNION ALL SELECT CAST(-2 AS BIGINT),
+        |         list_transform(generate_series(1, 64), i -> CAST('NaN' AS DOUBLE))
+        |  UNION ALL SELECT CAST(-3 AS BIGINT),
+        |         [CAST(1 AS DOUBLE), CAST(2 AS DOUBLE)]
+        |  UNION ALL SELECT CAST(-4 AS BIGINT),
+        |         list_transform(generate_series(1, 64), i -> CASE WHEN i = 1 THEN NULL ELSE CAST(1 AS DOUBLE) END)
+        |  UNION ALL SELECT CAST(-5 AS BIGINT),
+        |         CAST(NULL AS DOUBLE[])
+        |  UNION ALL SELECT CAST(-6 AS BIGINT),
+        |         list_transform(generate_series(1, 64), i -> CASE WHEN i = 1 THEN CAST('Infinity' AS DOUBLE) ELSE CAST(1 AS DOUBLE) END)
+        |), u AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM dirty
+        |)
+        |SELECT vec_id, COALESCE(CASE
+        |  WHEN embedding IS NULL THEN 'null_vector'
+        |  WHEN len(embedding) <> 64 THEN 'wrong_dims'
+        |  WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN 'null_element'
+        |  WHEN len(list_filter(embedding, x -> isnan(x) OR x = CAST('Infinity' AS DOUBLE) OR x = CAST('-Infinity' AS DOUBLE))) > 0 THEN 'non_finite'
+        |  WHEN len(list_filter(embedding, x -> x <> CAST(0 AS DOUBLE))) = 0 THEN 'zero_norm'
+        |  ELSE NULL END, 'clean') AS quarantine_reason
+        |FROM u""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH q AS (

@@ -336,6 +336,88 @@ object EventStream {
       .select(col(idCol), col(tsCol))
   }
 
+  /** Streaming semantic dedup — the unbounded arm of the SemDeDup
+    * tier (`Similarity.semanticDedup`, L-43): an incoming document
+    * stream with embeddings is checked against a STATIC int8-quantized
+    * corpus store, and every document with a near-duplicate in the
+    * store (int8 cosine ≥ `threshold`) emits exactly ONE alert row
+    * within the watermark — the daily-crawl ingest gate for the
+    * semantic tier.
+    *
+    * Shape (the decontaminateStream pattern applied to embeddings):
+    * candidates come from multi-table hyperplane-LSH bucket EQUALITY —
+    * both sides hash with the SAME driver-precomputed planes
+    * (`Similarity.planeArray`), so the stream-static join is a plain
+    * equi-join on (table, bucket), never a distance predicate; the
+    * static side is (table, bucket, id, 8-bit code, norm) — the int8
+    * store is the broadcast/build side and the stream never shuffles.
+    * Each candidate verifies with the scale-free int8 cosine (the
+    * per-vector quantization scales cancel in the ratio), and
+    * `dropDuplicatesWithinWatermark` collapses multi-table/multi-
+    * neighbor matches to one alert per doc with bounded state.
+    *
+    * Approximate by design on two counts — LSH candidate misses and
+    * int8 rounding — both one-sided gates of the exact batch twin,
+    * which re-checks the landed corpus (`StreamingSpec` gates planted
+    * dups alert in-watermark, clean docs stay silent, and alerts agree
+    * with the batch arm on the fixture). Zero-norm vectors have no
+    * direction: both sides drop them here (n8 > 0), and a corpus that
+    * can contain them should quarantine upstream
+    * (`Similarity.quarantineEmbeddings`).
+    *
+    * Output: (idCol, tsCol, dup_of — ONE witness store id; which
+    * witness survives the drop-duplicates is first-seen, not ranked).
+    */
+  def semanticDedupStream(docs: DataFrame, store: DataFrame,
+                          idCol: String, embCol: String, tsCol: String,
+                          storeIdCol: String, threshold: Double,
+                          tables: Int = 8, nbits: Int = 0,
+                          watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.llm.Similarity
+    for (c <- Seq("table", "bucket", "dup_of", "__q8", "__n8", "__vd")
+         if docs.columns.contains(c))
+      require(false,
+        s"semanticDedupStream: '$c' is reserved for internal use — rename it")
+    val dims = store.select(size(expr(embCol)).as("d")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    val bits =
+      if (nbits > 0) nbits
+      else math.max(1, math.ceil(math.log(
+        math.max(store.count(), 2L) / 64.0) / math.log(2.0)).toInt)
+    val planes = Similarity.planeArray(tables, bits, dims)
+
+    def withInt8(df: DataFrame, id: String): DataFrame =
+      Similarity.quantizeInt8(df, id, embCol)
+        .withColumn("__n8", graft.functions.Sketches.dotQ(col("qvec"), col("qvec")))
+        .filter(col("__n8") > 0)
+        .select(col(id), col("qvec").as("__q8"), col("__n8"))
+
+    val storeSide = withInt8(store, storeIdCol)
+      .join(store.select(col(storeIdCol),
+        expr(s"transform($embCol, x -> CAST(x AS double))").as("__vd")), storeIdCol)
+      .select(col(storeIdCol).as("dup_of"), col("__q8").as("__sq8"),
+        col("__n8").as("__sn8"),
+        posexplode(graft.functions.Sketches.hyperplaneSigs(
+          col("__vd"), planes, tables, bits)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+
+    docs.withWatermark(tsCol, watermarkDelay)
+      .withColumn("__vd", expr(s"transform($embCol, x -> CAST(x AS double))"))
+      .transform(d => Similarity.quantizeInt8Attach(d, embCol, "__q8"))
+      .withColumn("__n8", graft.functions.Sketches.dotQ(col("__q8"), col("__q8")))
+      .filter(col("__n8") > 0)
+      .select(col(idCol), col(tsCol), col("__q8"), col("__n8"),
+        posexplode(graft.functions.Sketches.hyperplaneSigs(
+          col("__vd"), planes, tables, bits)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+      .join(storeSide, Seq("table", "bucket"))
+      .filter(graft.functions.Sketches.dotQ(col("__q8"), col("__sq8"))
+        .cast("double") /
+        sqrt((col("__n8") * col("__sn8")).cast("double")) >= threshold)
+      .dropDuplicatesWithinWatermark(idCol)
+      .select(col(idCol), col(tsCol), col("dup_of"))
+  }
+
   /** Micro-batch XES sink: every micro-batch of an event-log-shaped
     * stream lands as one sharded XES directory (`batch-<id>/part-*`),
     * written fully distributed by `XesWriter.writeShards` — no driver

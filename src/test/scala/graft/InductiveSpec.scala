@@ -150,4 +150,20 @@ class InductiveSpec extends SparkSpec {
     assert(dot.contains("xlabel=\"source\"") && dot.contains("xlabel=\"sink\""))
     assert(dot == Inductive.toDot(net), "sorted emission ⇒ byte-stable")
   }
+
+  test("DOT export matches the checked-in golden for the textbook L1 net") {
+    // byte-stability alone can't catch a rendering change (both runs
+    // would drift together) — the golden file makes one a visible diff.
+    // Regenerate deliberately if the format evolves:
+    //   Inductive.toDot(toPetriNet(mine(dfgOf(l1), Set("a"), Set("d"))))
+    //   -> src/test/resources/l1_petri_net.dot (UTF-8; note the ● token)
+    val net = Inductive.toPetriNet(
+      Inductive.mine(dfgOf(l1), starts = Set("a"), ends = Set("d")))
+    val golden = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource("/l1_petri_net.dot").toURI)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(Inductive.toDot(net) == golden,
+      "DOT rendering changed — diff against src/test/resources/l1_petri_net.dot and regenerate if intentional")
+  }
 }

@@ -261,6 +261,41 @@ class LlmDedupSpec extends SparkSpec {
     assert(two == Set((0, 0, 8L), (20, 10, 10L)), s"got $two")
   }
 
+  test("span removal: keep-first cut at planted positions, pass-through, idempotence") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val aToks = (1 to 40).map(i => s"a$i")
+    // doc 2 lifts a10..a21 (12 tokens) at 0-based position 10; doc 4 is
+    // span-free; doc 6 lifts the same passage AGAIN (transitive case:
+    // both 2 and 6 must lose it, only doc 1 — the lowest id — keeps it)
+    val lifted = aToks.slice(9, 21)
+    val doc2toks = (1 to 10).map(i => s"b$i") ++ lifted ++ (11 to 40).map(i => s"b$i")
+    val doc6toks = (1 to 5).map(i => s"e$i") ++ lifted ++ (6 to 40).map(i => s"e$i")
+    val doc4 = (1 to 40).map(i => s"d$i").mkString(" ")
+    val df = spark.createDataFrame(Seq(
+      Row(1L, aToks.mkString(" ")), Row(2L, doc2toks.mkString(" ")),
+      Row(4L, doc4), Row(6L, doc6toks.mkString(" "))).asJava, schema)
+    val out = Dedup.spanDedup(df, "id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // nothing vanishes
+    assert(out.keySet == Set(1L, 2L, 4L, 6L))
+    // keeper and span-free doc untouched
+    assert(out(1L) == (aToks.mkString(" "), 0L))
+    assert(out(4L) == (doc4, 0L))
+    // both higher-id holders lose exactly the lifted passage
+    assert(out(2L) == (((1 to 10).map(i => s"b$i") ++ (11 to 40).map(i => s"b$i")).mkString(" "), 12L))
+    assert(out(6L) == (((1 to 5).map(i => s"e$i") ++ (6 to 40).map(i => s"e$i")).mkString(" "), 12L))
+    // idempotence: a second pass over the cleaned corpus cuts nothing —
+    // texts unchanged, removed_tokens all zero (the counter is per-pass)
+    val cleaned = Dedup.spanDedup(df, "id", "text", k = 8).select("id", "text")
+    val again = Dedup.spanDedup(cleaned, "id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(again.view.mapValues(_._1).toMap == out.view.mapValues(_._1).toMap,
+      "second spanDedup pass changed text")
+    assert(again.values.forall(_._2 == 0L),
+      s"second spanDedup pass removed tokens: $again")
+  }
+
   test("MinHash estimate tracks true Jaccard on controlled documents") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("text", StringType)))

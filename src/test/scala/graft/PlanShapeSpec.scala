@@ -126,6 +126,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 2, s"q_pack_greedy grew an extra shuffle ($exchanges):\n${pack.take(1200)}")
   }
 
+  test("round-9 plans: PQ kernel + equi-join span removal + map-only quarantine") {
+    // PQ ANN: the ADC scan must run the compiled pq_adc kernel, and the
+    // only non-equi join allowed is the broadcast probe BNLJ (the
+    // topKInt8Rerank shape); a CartesianProduct means the probe side
+    // lost its broadcast
+    val pq = plan("q_ann_pq")
+    assert(pq.contains("pq_adc"), "q_ann_pq must score through the compiled ADC kernel")
+    assert(!pq.contains("CartesianProduct"), "q_ann_pq plans a cartesian")
+    // span removal: anchors and the cut-set join are EQUALITY joins —
+    // never an all-pairs shape (the substringSpans contract carried
+    // into the transform twin)
+    val span = plan("q_span_dedup")
+    assert(!span.contains("CartesianProduct") &&
+      !span.contains("BroadcastNestedLoopJoin"),
+      "q_span_dedup plans an all-pairs join")
+    // quarantine: a row-local CASE — the audit must never shuffle
+    val quar = plan("q_embed_quarantine")
+    assert(!quar.contains("Exchange"),
+      s"q_embed_quarantine must be map-only:\n${quar.take(1200)}")
+  }
+
   test("round-8 training-layout plans: broadcasts, one shuffle, rank-limit pushdown") {
     // bm25: the query-term table and the df table ride broadcasts (the
     // corpus-side postings stream must never shuffle for them), and

@@ -14,6 +14,7 @@ object StreamingSpec {
   final case class Ev(user_id: Long, ts: Timestamp, event_type: String)
   final case class XesEv(case_id: String, ts: Timestamp, activity: String)
   final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+  final case class EmbDoc(doc_id: Long, ts: Timestamp, embedding: Seq[Double])
   final case class Win(user_id: Long, start_ts: Timestamp, end_ts: Timestamp, promo_id: Long)
 }
 
@@ -203,6 +204,56 @@ class StreamingSpec extends SparkSpec {
         .map(_.getLong(0)).toSeq
       assert(got.sorted == Seq(1L, 3L), s"alerts: $got")
       assert(got.size == 2, "one alert per contaminated doc, never per gram")
+    } finally q.stop()
+  }
+
+  test("streaming semantic dedup: planted near-dups alert once in-watermark, clean docs silent, agrees with batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.Similarity
+    val store = Seq(
+      (101L, Seq(1.0, 0.2, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0)),
+      (102L, Seq(0.0, 0.0, 1.0, 0.4, 0.0, 0.0, 0.2, 0.0)),
+      (103L, Seq(0.3, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.5))
+    ).toDF("vec_id", "embedding")
+    val near101 = Seq(0.99, 0.21, 0.0, 0.0, 0.1, 0.0, 0.0, 0.01)
+    val in = MemoryStream[EmbDoc]
+    val alerts = EventStream.semanticDedupStream(in.toDF(), store,
+      "doc_id", "embedding", "ts", "vec_id", threshold = 0.9,
+      tables = 4, nbits = 2)
+    val q = alerts.writeStream.outputMode("append")
+      .format("memory").queryName("semdedup_out").start()
+    try {
+      in.addData(
+        EmbDoc(1L, ts("2024-01-01 10:00:00"), near101),                      // near-copy of 101
+        EmbDoc(2L, ts("2024-01-01 10:01:00"),
+          Seq(0.0, 1.0, 0.0, 0.0, -0.5, 0.0, 0.3, 0.0)),                     // clean
+        EmbDoc(3L, ts("2024-01-01 10:02:00"),
+          Seq(0.0, 0.0, 1.0, 0.4, 0.0, 0.0, 0.2, 0.0)))                      // exact copy of 102
+      q.processAllAvailable()
+      val got = spark.table("semdedup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(got == Set((1L, 101L), (3L, 102L)), s"alerts: $got")
+      // same doc id again inside the watermark: state dedups, no re-alert
+      in.addData(EmbDoc(1L, ts("2024-01-01 10:03:00"), near101))
+      q.processAllAvailable()
+      assert(spark.table("semdedup_out").count() == 2,
+        "one alert per doc, never per table/neighbor/retry")
+      // batch-twin agreement: the exact SemDeDup pair scan over
+      // (stream docs ∪ store) must flag exactly the alerted doc ids
+      // as having a store-side partner at the same threshold
+      val combined = Seq(
+        (1L, near101),
+        (2L, Seq(0.0, 1.0, 0.0, 0.0, -0.5, 0.0, 0.3, 0.0)),
+        (3L, Seq(0.0, 0.0, 1.0, 0.4, 0.0, 0.0, 0.2, 0.0))
+      ).toDF("id", "embedding").unionByName(
+        store.select(col("vec_id").as("id"), col("embedding")))
+      val batchFlagged = Similarity.cosineNearDupPairs(combined, "id",
+          "embedding", threshold = 0.9)
+        .filter(col("id_a") < 100 && col("id_b") >= 100)
+        .select("id_a").collect().map(_.getLong(0)).toSet
+      assert(batchFlagged == got.map(_._1),
+        s"stream alerts ${got.map(_._1)} != batch twin $batchFlagged")
     } finally q.stop()
   }
 
