@@ -32,6 +32,70 @@ object PipelineQueries {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
+  /** Shared DuckDB-oracle prefix for the layout capstones: the
+    * verified cross-doc span-removal chain (L-72, same CTEs as the
+    * `q_span_dedup` oracle, `sp_`-prefixed to avoid name collisions)
+    * ending in `sp_clean(doc_id, text)`, plus `t0` re-tokenizing the
+    * cleaned text — so `q_training_layout` / `q_layout_funnel` replay
+    * the same 5-stage chain the Spark side composes.
+    */
+  private val LayoutSpanPrefixSql: String =
+    """WITH sp_t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sp_h AS (
+      |  SELECT doc_id, toks, len(toks) AS n,
+      |    list_transform(toks, tok -> list_reduce(
+      |      list_prepend(CAST(7 AS BIGINT),
+      |        list_transform(range(1, len(tok) + 1), i -> CAST(ascii(tok[i]) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007)) AS th
+      |  FROM sp_t WHERE len(toks) >= 8
+      |), sp_w AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, n - 6), i -> list_reduce(
+      |      list_prepend(CAST(11 AS BIGINT), list_slice(th, i, i + 7)),
+      |      (a, b) -> (a * 37 + b) % 1000000007)) AS ws
+      |  FROM sp_h
+      |), sp_p AS (
+      |  SELECT doc_id, CAST(unnest(range(0, len(ws))) AS INTEGER) AS pos,
+      |    unnest(ws) AS wh
+      |  FROM sp_w
+      |), sp_anch AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.pos AS pos_a, b.pos AS pos_b, b.pos - a.pos AS diag
+      |  FROM sp_p a JOIN sp_p b ON a.wh = b.wh AND a.doc_id < b.doc_id
+      |), sp_isl AS (
+      |  SELECT id_a, id_b, diag, pos_a, pos_b,
+      |    pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag
+      |                               ORDER BY pos_a) AS grp
+      |  FROM sp_anch
+      |), sp_spans AS (
+      |  SELECT id_a, id_b,
+      |    CAST(min(pos_a) AS INTEGER) AS pos_a,
+      |    CAST(min(pos_b) AS INTEGER) AS pos_b,
+      |    CAST(count(*) + 7 AS BIGINT) AS span_tokens
+      |  FROM sp_isl GROUP BY id_a, id_b, diag, grp
+      |), sp_ver AS (
+      |  SELECT s.id_b, s.pos_b, s.span_tokens
+      |  FROM sp_spans s
+      |  JOIN sp_t ta ON ta.doc_id = s.id_a
+      |  JOIN sp_t tb ON tb.doc_id = s.id_b
+      |  WHERE list_slice(ta.toks, s.pos_a + 1, s.pos_a + s.span_tokens)
+      |      = list_slice(tb.toks, s.pos_b + 1, s.pos_b + s.span_tokens)
+      |), sp_ivs AS (
+      |  SELECT id_b AS doc_id,
+      |    list(struct_pack(s := pos_b, l := span_tokens)) AS ivs
+      |  FROM sp_ver GROUP BY id_b
+      |), sp_clean AS (
+      |  SELECT a.doc_id, COALESCE(array_to_string(
+      |    CASE WHEN v.ivs IS NULL THEN a.toks
+      |         ELSE list_filter(a.toks, (tok, i) ->
+      |           NOT len(list_filter(v.ivs, iv ->
+      |             i - 1 >= iv.s AND i - 1 < iv.s + iv.l)) > 0) END,
+      |    ' '), '') AS text
+      |  FROM sp_t a LEFT JOIN sp_ivs v USING (doc_id)
+      |),
+      |t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM sp_clean),
+      |""".stripMargin
+
   /** Quality-stat columns shared by q_text_stats and q_curation — the
     * expressions must stay IDENTICAL between uses (and mirrored in the
     * oracle SQL) for cross-engine double determinism.
@@ -530,8 +594,13 @@ object PipelineQueries {
     //    DuckDB CTE and hash-checked — the q_prep_pipeline discipline
     //    applied to the layout layer. -------------------------------
     "q_training_layout" -> ((s, dir) => {
-      val cleaned = Dedup.intraDocDedup(Tables.documents(s, dir),
-          "doc_id", "text", w = 2)
+      // r9: cross-doc span removal FIRST (keep-first, L-72), so lifted
+      // passages don't inflate a source's token budget downstream —
+      // then intra-doc stutter, mix, shard, pack as before
+      val spanned = Dedup.spanDedup(Tables.documents(s, dir),
+          "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("text"))
+      val cleaned = Dedup.intraDocDedup(spanned, "doc_id", "text", w = 2)
         .select(col("doc_id"), col("clean_text").as("text"))
       val withSrc = cleaned.join(
         Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
@@ -549,7 +618,9 @@ object PipelineQueries {
     //    the corpus shows up as a cliff in a 4-row table -------------
     "q_layout_funnel" -> ((s, dir) => {
       val raw = Tables.documents(s, dir)
-      val cleaned = Dedup.intraDocDedup(raw, "doc_id", "text", w = 2)
+      val spanned = Dedup.spanDedup(raw, "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("text"))
+      val cleaned = Dedup.intraDocDedup(spanned, "doc_id", "text", w = 2)
         .select(col("doc_id"), col("clean_text").as("text"))
       val withSrc = cleaned.join(raw.select("doc_id", "source"), Seq("doc_id"))
       val kept = withSrc.join(
@@ -563,6 +634,7 @@ object PipelineQueries {
             sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
           .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
       stage(raw, "raw", "text")
+        .unionAll(stage(spanned, "span", "text"))
         .unionAll(stage(cleaned, "intradoc", "text"))
         .unionAll(stage(kept, "mix", "text"))
         .unionAll(blocks.agg(
@@ -1531,8 +1603,8 @@ object PipelineQueries {
         |WHERE ((t.doc_id % 65536) * 40503) % 65536 < r.rate * 65536""".stripMargin,
 
     "q_layout_funnel" ->
-      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |sg AS (
+      (LayoutSpanPrefixSql +
+      """|sg AS (
         |  SELECT doc_id,
         |    list_transform(range(0, CAST(ceil(len(toks) / 2.0) AS INTEGER)),
         |      i -> array_to_string(list_slice(toks, i*2+1, i*2+2), ' ')) AS segs
@@ -1567,6 +1639,9 @@ object PipelineQueries {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |FROM documents
         |UNION ALL
+        |SELECT 'span', CAST(count(*) AS BIGINT),
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM sp_clean
+        |UNION ALL
         |SELECT 'intradoc', CAST(count(*) AS BIGINT),
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM cln
         |UNION ALL
@@ -1574,14 +1649,15 @@ object PipelineQueries {
         |  CAST(sum(n_tokens) AS BIGINT) FROM kept
         |UNION ALL
         |SELECT 'pack', CAST(count(*) AS BIGINT),
-        |  CAST(sum(n_tokens) AS BIGINT) FROM kept""".stripMargin,
+        |  CAST(sum(n_tokens) AS BIGINT) FROM kept""".stripMargin),
 
     // The layout layer's end-to-end chain, replayed stage by stage:
-    // intra-doc keep-first → temperature mix on the CLEANED text →
-    // Weyl shards → block spans. Same CTEs as the stage oracles.
+    // cross-doc span removal (r9) → intra-doc keep-first → temperature
+    // mix on the CLEANED text → Weyl shards → block spans. Same CTEs
+    // as the stage oracles.
     "q_training_layout" ->
-      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |sg AS (
+      (LayoutSpanPrefixSql +
+      """|sg AS (
         |  SELECT doc_id,
         |    list_transform(range(0, CAST(ceil(len(toks) / 2.0) AS INTEGER)),
         |      i -> array_to_string(list_slice(toks, i*2+1, i*2+2), ' ')) AS segs
@@ -1628,7 +1704,7 @@ object PipelineQueries {
         |  greatest(block * 256, off) - off AS start_in_doc,
         |  greatest(block * 256, off) - block * 256 AS start_in_block,
         |  least((block + 1) * 256, off + n) - greatest(block * 256, off) AS len
-        |FROM e""".stripMargin,
+        |FROM e""".stripMargin),
 
     "q_intradoc_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
