@@ -596,12 +596,16 @@ object PipelineQueries {
     "q_training_layout" -> ((s, dir) => {
       // r9: cross-doc span removal FIRST (keep-first, L-72), so lifted
       // passages don't inflate a source's token budget downstream —
-      // then intra-doc stutter, mix, shard, pack as before
+      // then intra-doc stutter, mix, shard, pack as before. The
+      // cleaned prefix is persisted: mixTemperature consumes it twice
+      // (budget aggregate + sampling join) and packBlocks a third
+      // time, and each consumer would otherwise re-run the span chain
+      // (see q_layout_funnel for the measured cost of not doing this).
       val spanned = Dedup.spanDedup(Tables.documents(s, dir),
           "doc_id", "text", k = 8)
         .select(col("doc_id"), col("text"))
       val cleaned = Dedup.intraDocDedup(spanned, "doc_id", "text", w = 2)
-        .select(col("doc_id"), col("clean_text").as("text"))
+        .select(col("doc_id"), col("clean_text").as("text")).persist()
       val withSrc = cleaned.join(
         Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
       val picked = Chunking.mixTemperature(withSrc, "source", "doc_id",
@@ -618,10 +622,16 @@ object PipelineQueries {
     //    the corpus shows up as a cliff in a 4-row table -------------
     "q_layout_funnel" -> ((s, dir) => {
       val raw = Tables.documents(s, dir)
+      // The funnel fans FIVE consumers out of one cleaning chain; each
+      // union branch re-evaluates its whole lineage, so without a
+      // persist the span chain (the expensive stage) runs once PER
+      // BRANCH (measured: 8.0 s vs 1.4 s pre-span at sf0.1). Persisting
+      // the two shared prefixes is exactly what a production audit
+      // does before fanning out — semantics-free, results identical.
       val spanned = Dedup.spanDedup(raw, "doc_id", "text", k = 8)
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text")).persist()
       val cleaned = Dedup.intraDocDedup(spanned, "doc_id", "text", w = 2)
-        .select(col("doc_id"), col("clean_text").as("text"))
+        .select(col("doc_id"), col("clean_text").as("text")).persist()
       val withSrc = cleaned.join(raw.select("doc_id", "source"), Seq("doc_id"))
       val kept = withSrc.join(
         Chunking.mixTemperature(withSrc, "source", "doc_id", "text",
