@@ -134,6 +134,136 @@ object Similarity {
     df.select(size(expr(embCol)).as("d")).head(1)
       .headOption.map(_.getInt(0)).getOrElse(1)
 
+  /** IVFPQ — the top rung of the ANN ladder (brute → int8 → IVF/LSH →
+    * PQ → this), the shape FAISS's IVFPQ and friends standardized from
+    * Jégou et al. 2011 ("Product Quantization for Nearest Neighbor
+    * Search"): a coarse k-means quantizer routes every vector to a
+    * cell (the IVF part — candidates shrink to ~nProbe/nClusters of
+    * the corpus per probe), and each vector stores only the PQ code of
+    * its RESIDUAL from the cell centroid (the PQ part — 8 bytes per
+    * vector). Residuals concentrate near zero, so the same 256
+    * centroids per subspace spend their resolution on a much smaller
+    * ball than raw-vector PQ — which is why this pairing, not PQ
+    * alone, is the standard trillion-vector layout.
+    *
+    * Training is one bounded hash-selected sample, driver-side, for
+    * BOTH quantizers (coarse Lloyd, then per-subspace Lloyd on the
+    * sample's residuals). Query: each probe explodes to its nProbe
+    * nearest cells; ONE compiled `matVec` of the FULL probe vector
+    * against the block-diagonal residual codebooks gives a per-probe
+    * ADC table shared across its cells, and each (probe, cell) row
+    * adds the scalar <probe, centroid> bias — the inner-product ADC
+    * decomposition (see the inline note). Candidates arrive by cell
+    * EQUALITY join (the ivfTopK shape — never a distance predicate)
+    * carrying only their 8-byte code, are scored by m table lookups in
+    * `pq_adc` plus the bias, rank-limited to k·rerankFactor, and
+    * exact-reranked.
+    *
+    * Null/zero-norm discipline is inherited wholesale: null `nd`
+    * takes the -1 sentinel cell (never probed) via the same
+    * coalesce-non-nullable key as `ivfTopK`, and the residual is a
+    * lazy CASE so the -1 row never evaluates `element_at(…, 0)`
+    * (ANSI would throw on the zero index). Approximate by design
+    * (cell misses + residual quantization) → rows-only; recall gated
+    * in AnnSpec.
+    */
+  def ivfpqTopK(df: DataFrame, idCol: String, embCol: String,
+                probePred: Column, k: Int, nClusters: Int = 16,
+                nProbe: Int = 4, m: Int = 8, nCentroids: Int = 256,
+                lloydIters: Int = 5, trainSample: Int = 1024,
+                rerankFactor: Int = 4): DataFrame = {
+    val d = pqParams(df, embCol, m, nCentroids)
+    val sub = d / m
+    val vecs = normalizedVecs(df, idCol, embCol)
+    val sample = sampleNormalized(vecs, idCol, df.count(),
+      math.max(trainSample, math.max(nClusters, nCentroids)))
+    if (sample.isEmpty)
+      return df.limit(0).select(
+        col(idCol).as("probe_id"), col(idCol).as("neighbor_id"),
+        lit(1).as("rank"), lit(0.0).as("cos"))
+    val kCoarse = math.min(nClusters, sample.length)
+    val coarse = lloyd(sample, kCoarse, lloydIters)
+    val flatCoarse = coarse.flatten
+    def nearestCell(v: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < kCoarse) {
+        var s = 0.0; var i = 0
+        while (i < d) { val t = v(i) - coarse(c)(i); s += t * t; i += 1 }
+        if (s < bd) { bd = s; best = c }
+        c += 1
+      }
+      best
+    }
+    val residSample = sample.map { v =>
+      val cc = coarse(nearestCell(v))
+      Array.tabulate(d)(i => v(i) - cc(i))
+    }
+    val kEff = math.min(nCentroids, residSample.length)
+    val books = Array.tabulate(m) { j =>
+      lloyd(residSample.map(_.slice(j * sub, (j + 1) * sub)), kEff, lloydIters).flatten
+    }
+    // coarse centroids as a SQL literal for the residual zip_with (16
+    // cells × dims doubles — plan-sized, same class as the plane/
+    // centroid literals elsewhere)
+    val centLit = coarse.map(c =>
+      c.map(x => s"${x}D").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    def residExpr(ndCol: String): Column = expr(
+      s"""CASE WHEN cell >= 0 THEN
+         |  zip_with($ndCol, element_at($centLit, CAST(cell + 1 AS int)),
+         |           (x, c) -> x - c)
+         |ELSE NULL END""".stripMargin)
+
+    val members = pqEncodeWith(
+      vecs
+        .withColumn("__cd", graft.functions.Sketches.centroidDists(
+          col("nd"), flatCoarse, kCoarse))
+        .withColumn("cell",
+          coalesce(expr("array_position(__cd, array_min(__cd)) - 1"), lit(-1L)))
+        .withColumn("__resid", residExpr("nd")),
+      idCol, books, kEff, m, sub, vecCol = "__resid", keep = Seq("cell"))
+
+    // Inner-product ADC decomposition (cross-cell comparable):
+    //   <p, x> ≈ <p, cent_cell(x)> + <p, x_residual-reconstructed>
+    // so the lookup table is built from the FULL probe vector against
+    // the residual codebooks — ONE matVec per probe, shared across its
+    // nProbe cells — and each (probe, cell) row adds the scalar
+    // <p, cent_cell> bias. Scoring by the residual-vs-residual dot
+    // instead would drop the <cent, x_r> cross term and make scores
+    // incomparable across a probe's nProbe cells.
+    val bigM = new Array[Double](m * kEff * d)
+    for (j <- 0 until m; c <- 0 until kEff; t <- 0 until sub)
+      bigM((j * kEff + c) * d + j * sub + t) = books(j)(c * sub + t)
+    val probes = broadcast(
+      vecs.filter(probePred)
+        .withColumn("__cd", graft.functions.Sketches.centroidDists(
+          col("nd"), flatCoarse, kCoarse))
+        .withColumn("__lut", graft.functions.Sketches.matVec(
+          col("nd"), bigM, new Array[Double](m * kEff)))
+        .select(col(idCol).as("probe_id"), col("nd").as("__nd"), col("__lut"),
+          explode(expr(
+            s"""slice(array_sort(transform(__cd, (x, i) -> struct(x AS d, i AS c))),
+               |  1, $nProbe)""".stripMargin)).as("pc"))
+        .select(col("probe_id"), col("__lut"),
+          coalesce(col("pc.c").cast("long"), lit(-1L)).as("cell"),
+          expr(s"""CASE WHEN pc.c >= 0 THEN
+                  |  aggregate(zip_with(__nd, element_at($centLit, CAST(pc.c + 1 AS int)),
+                  |    (x, c) -> x * c), CAST(0.0 AS double), (a, b) -> a + b)
+                  |ELSE NULL END""".stripMargin).as("__bias")))
+
+    val shortlist = probes.join(members, Seq("cell"))
+      .filter(col("probe_id") =!= col(idCol))
+      .withColumn("adc", col("__bias") + graft.functions.Sketches.pqAdc(
+        col("__lut"), col("pq_code"), m, kEff))
+      .filter(col("adc").isNotNull)
+      .select(col("probe_id"), col(idCol), col("adc"))
+      .withColumn("r8", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("adc").desc, col(idCol))))
+      .filter(col("r8") <= k * rerankFactor)
+      .select(col("probe_id"), col(idCol))
+    rerankExact(shortlist, df, idCol, embCol, probePred, k)
+  }
+
   /** Tag every row with a `quarantine_reason` (NULL = clean): the
     * executable form of the zero-norm contract documented on this
     * object's scaladoc — the cosine tiers fail LOUDLY on an all-zero
@@ -221,19 +351,22 @@ object Similarity {
   }
 
   /** Encode against trained codebooks: code_j = argmin centroid of
-    * subspace j, packed one byte each into a single int64.
+    * subspace j of `vecCol`, packed one byte each into a single int64.
+    * Extra columns named in `keep` ride along (the IVFPQ variant keeps
+    * its coarse cell id next to the code).
     */
   private def pqEncodeWith(vecs: DataFrame, idCol: String,
                            books: Array[Array[Double]], kEff: Int,
-                           m: Int, sub: Int): DataFrame = {
+                           m: Int, sub: Int, vecCol: String = "nd",
+                           keep: Seq[String] = Nil): DataFrame = {
     var enc = vecs
     for (j <- 0 until m)
       enc = enc.withColumn(s"__d$j", graft.functions.Sketches.centroidDists(
-        expr(s"slice(nd, ${j * sub + 1}, $sub)"), books(j), kEff))
+        expr(s"slice($vecCol, ${j * sub + 1}, $sub)"), books(j), kEff))
     val packed = (0 until m).map(j =>
       expr(s"shiftleft(array_position(__d$j, array_min(__d$j)) - 1, ${8 * j})"))
       .reduce(_ + _)
-    enc.select(col(idCol), packed.as("pq_code"))
+    enc.select(col(idCol) +: packed.as("pq_code") +: keep.map(col): _*)
   }
 
   private def pqParams(df: DataFrame, embCol: String, m: Int,
@@ -298,8 +431,16 @@ object Similarity {
         Window.partitionBy("probe_id").orderBy(col("adc").desc, col(idCol))))
       .filter(col("r8") <= k * rerankFactor)
       .select(col("probe_id"), col(idCol))
+    rerankExact(shortlist, df, idCol, embCol, probePred, k)
+  }
 
-    // --- exact rerank on the shortlist only -------------------------
+  /** Shared exact-rerank tail of the compressed-code tiers: re-score a
+    * (probe_id, idCol) shortlist with the exact quantized cosine —
+    * wide vectors are read ONLY for shortlisted ids and the broadcast
+    * probes.
+    */
+  private def rerankExact(shortlist: DataFrame, df: DataFrame, idCol: String,
+                          embCol: String, probePred: Column, k: Int): DataFrame = {
     val wide = df.select(col(idCol), quantize(embCol).as("v"))
       .withColumn("nsq", normSqQ("v"))
     val pv = broadcast(wide.filter(probePred)

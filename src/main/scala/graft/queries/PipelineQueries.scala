@@ -499,6 +499,17 @@ object PipelineQueries {
       Similarity.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         probePred = col("vec_id") < 10, k = 10).orderBy("probe_id", "rank")),
 
+    // -- similarity: IVFPQ — coarse cells route candidates (cell
+    //    EQUALITY join, nProbe/nClusters of the corpus per probe) and
+    //    each vector stores only the 8-byte PQ code of its residual;
+    //    inner-product ADC = <p,cent> bias + per-probe LUT lookups.
+    //    The top rung of the ANN ladder. Rows-only; recall +
+    //    monotonicity gates in AnnSpec. -------------------------------
+    "q_ann_ivfpq" -> ((s, dir) =>
+      Similarity.ivfpqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        probePred = col("vec_id") < 10, k = 10, nProbe = 8)
+        .orderBy("probe_id", "rank")),
+
     // -- multimodal: binary media column round-trip — build fake media,
     //    stub-decode typed metadata, sample frames. The oracle predicts
     //    every decoded field from the source columns, so the binary

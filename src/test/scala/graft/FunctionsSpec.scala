@@ -94,6 +94,41 @@ class FunctionsSpec extends SparkSpec {
     assert(bad.isNullAt(0))
   }
 
+  test("pq_adc kernel is bit-identical to the aggregate/element_at HOF it replaces") {
+    import org.apache.spark.sql.functions._
+    val m = 4; val kEff = 16
+    // lut from awkward doubles; codes with every byte masked to < kEff
+    val df = spark.range(200).toDF("i")
+      .withColumn("lut", expr(
+        s"transform(sequence(0, ${m * kEff - 1}), j -> sin(CAST(i * 31 + j AS double)))"))
+      .withColumn("code", expr("CAST(xxhash64(i) & 252645135 AS bigint)")) // 0x0F0F0F0F
+    val hof = expr(
+      s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS double),
+         |  (a, j) -> a + element_at(lut,
+         |    CAST(j * $kEff + (shiftright(code, 8 * j) & ${kEff - 1}) + 1 AS int)))""".stripMargin)
+    val rows = df.select(
+        graft.functions.Sketches.pqAdc(col("lut"), col("code"), m, kEff).as("kernel"),
+        hof.as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"kernel ${r.getDouble(0)} != hof ${r.getDouble(1)}")
+    }
+    // out-of-range code byte (>= kEff) and short lut both propagate NULL
+    val bad = spark.range(1)
+      .select(expr(s"transform(sequence(0, ${m * kEff - 1}), j -> CAST(j AS double))").as("lut"),
+        expr("CAST(255 AS bigint)").as("code"))
+      .select(graft.functions.Sketches.pqAdc(col("lut"), col("code"), m, kEff).as("p"))
+      .head()
+    assert(bad.isNullAt(0))
+    val short = spark.range(1)
+      .select(expr("array(1.0d)").as("lut"), expr("CAST(0 AS bigint)").as("code"))
+      .select(graft.functions.Sketches.pqAdc(col("lut"), col("code"), m, kEff).as("p"))
+      .head()
+    assert(short.isNullAt(0))
+  }
+
   test("incremental reader: first poll takes all, next polls take only the delta") {
     val schema = StructType(Seq(
       StructField("ts", TimestampType), StructField("v", LongType)))

@@ -86,7 +86,7 @@ class PlanShapeSpec extends SparkSpec {
         "q_semdedup", "q_semdedup_clustered", "q_importance",
         "q_ngram_containment", "q_split_by_cluster", "q_semdedup_cells",
         "q_ngram_containment_banded", "q_substring_dup",
-        "q_segment_dedup", "q_bm25_topk")) {
+        "q_segment_dedup", "q_bm25_topk", "q_ann_pq", "q_span_dedup")) {
     // markers are the DERIVED heavy expressions only (a legitimate
     // user predicate — e.g. q_curation's quality gate — may contain a
     // lambda and SHOULD push to the scan; it evaluates once there):
@@ -145,6 +145,14 @@ class PlanShapeSpec extends SparkSpec {
     val quar = plan("q_embed_quarantine")
     assert(!quar.contains("Exchange"),
       s"q_embed_quarantine must be map-only:\n${quar.take(1200)}")
+    // IVFPQ: candidates must arrive by cell EQUALITY (the ivfTopK
+    // contract) and score through the compiled ADC kernel — an
+    // all-pairs operator means the cell routing regressed
+    val ivfpq = plan("q_ann_ivfpq")
+    assert(ivfpq.contains("pq_adc"), "q_ann_ivfpq must score through pq_adc")
+    assert(!ivfpq.contains("CartesianProduct") &&
+      !ivfpq.contains("BroadcastNestedLoopJoin"),
+      "q_ann_ivfpq plans an all-pairs join")
   }
 
   test("round-8 training-layout plans: broadcasts, one shuffle, rank-limit pushdown") {
