@@ -247,6 +247,22 @@ object PipelineQueries {
         .select(col("doc_id"), col("r.ok_n_tokens"), col("r.ok_mean_len"),
           col("r.ok_alpha"), col("r.ok_stop"), col("r.ok_all"))),
 
+    // -- quality tier 2: the LEARNED scorer — hashed-unigram logistic
+    //    model, weakly supervised by the Gopher rule battery (the
+    //    CCNet bootstrap), trained driver-side on a bounded
+    //    deterministic sample, scored as a row-local HOF map. The GD
+    //    weights are not SQL-expressible → rows-only; determinism,
+    //    held-out agreement and content-sensitivity gated in
+    //    TextOpsSpec. ---------------------------------------------------
+    "q_quality_learned" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (w, b) = TextOps.trainQualityScorerWeak(docs, "doc_id", "text", StopEn)
+      TextOps.qualityScoreLearned(docs, "doc_id", "text", w, b)
+        .select(col("doc_id"),
+          floor(col("q_score") * lit(1e6)).cast("long").as("score_micro"),
+          (col("q_prob") >= 0.5).as("pred"))
+    }),
+
     // -- text analysis: within-document repetition signals (the
     //    Gopher/RefinedWeb repetitious-text filters) ------------------
     "q_repetition" -> ((s, dir) =>

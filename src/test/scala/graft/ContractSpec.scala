@@ -16,6 +16,7 @@ class ContractSpec extends SparkSpec {
     "q_ann_ivf" -> "approximate by design; recall-gated in AnnSpec",
     "q_ann_pq" -> "PQ codebooks are data-dependent k-means; recall + 8-byte storage bound gated in AnnSpec",
     "q_ann_ivfpq" -> "coarse cells + residual PQ codebooks are data-dependent; recall/monotonicity gated in AnnSpec",
+    "q_quality_learned" -> "gradient-descent weights are not SQL-expressible; determinism + weak-label agreement + content-sensitivity gated in TextOpsSpec",
     "q_simhash_neardup" -> "sketch-approximate; property-gated in LlmDedupSpec",
     "q_ngram_jaccard_capped" -> "under-counts BY CONTRACT; q_hot_postings audits the drops",
     "q_inductive_tree" -> "tree recursion not SQL-expressible; InductiveSpec gates",

@@ -224,4 +224,38 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => ((r.getInt(0), r.getLong(1)), (r.getLong(2), r.getInt(3)))).toMap
     assert(onlyFilter == got.filter(_._1._1 == 2), "missing term contributes zero")
   }
+
+  test("learned quality scorer: deterministic weights, in-sample and HELD-OUT agreement") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val stop = Seq("the", "a", "of", "and", "is", "to")
+    val (w1, b1) = TextOps.trainQualityScorerWeak(docs, "doc_id", "text", stop)
+    val (w2, b2) = TextOps.trainQualityScorerWeak(docs, "doc_id", "text", stop)
+    // bounded deterministic sample + full-batch GD → bit-equal weights
+    assert(w1.toSeq == w2.toSeq && b1 == b2, "training must be deterministic")
+    def agreement(model: (Array[Double], Double), over: org.apache.spark.sql.DataFrame): Double = {
+      val scored = TextOps.qualityScoreLearned(over, "doc_id", "text", model._1, model._2)
+      val labels = over.withColumn("__t", TextOps.tokens("text"))
+        .select(col("doc_id"),
+          TextOps.gopherRules("__t", stop).getField("ok_all").as("y"))
+      val ok = scored.join(labels, "doc_id")
+        .select(((col("q_prob") >= 0.5) === col("y")).as("ok"))
+        .collect().map(_.getBoolean(0))
+      ok.count(identity).toDouble / ok.length
+    }
+    // in-sample: the weak labels are recoverable from lexical buckets +
+    // the log-length feature (measured 0.96 at the converged defaults;
+    // without the length slot the model tops out at the ~0.55 base
+    // rate — the rules' dominant axis is the token count)
+    val accIn = agreement((w1, b1), docs)
+    assert(accIn >= 0.9, s"in-sample weak-label agreement $accIn below floor")
+    // held-out: train on even doc_ids only, evaluate on odd doc_ids the
+    // trainer never saw — the generalization claim, not memorization
+    // (measured 0.956; the learned length threshold + stopword signal
+    // transfer cleanly)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val modelEven = TextOps.trainQualityScorerWeak(even, "doc_id", "text", stop)
+    val accOut = agreement(modelEven, odd)
+    assert(accOut >= 0.9, s"held-out weak-label agreement $accOut below floor")
+  }
 }
