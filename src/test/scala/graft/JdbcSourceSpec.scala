@@ -65,6 +65,31 @@ class JdbcSourceSpec extends SparkSpec {
     assert(df.count() == 10)
   }
 
+  test("aggregates push down through the DSv2 JDBC catalog") {
+    // the V1 .format("jdbc") path pushes FILTERS only; GROUP-BY/agg
+    // pushdown needs the DSv2 JDBCTableCatalog. At 100 TB-of-history
+    // scale this is the difference between shipping every event row to
+    // the cluster for a min/max/count probe and shipping back one row
+    // per group — the same reason EventLogSource documents its bounds
+    // probe as "one aggregate pushed to the database".
+    val confs = Seq(
+      "spark.sql.catalog.derby_el" ->
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
+      "spark.sql.catalog.derby_el.url" -> dbUrl,
+      "spark.sql.catalog.derby_el.pushDownAggregate" -> "true")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val agg = spark.sql(
+        """SELECT RESOURCE, COUNT(*) AS n, MAX(TIME_STAMP) AS latest
+          |FROM derby_el.APP.EVENTLOG GROUP BY RESOURCE""".stripMargin)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregates"),
+        s"expected COUNT/MAX in PushedAggregates:\n${plan.take(1200)}")
+      val rows = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("r-even" -> 10L, "r-odd" -> 10L))
+    } finally confs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
   test("eager connectivity probe succeeds on a live database and fails fast on a dead one") {
     EventLogSource.probe(spark, spec.copy(table = "SYSIBM.SYSDUMMY1"))
     intercept[Exception] {
