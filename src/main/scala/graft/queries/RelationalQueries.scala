@@ -251,6 +251,17 @@ object RelationalQueries {
           count(lit(1)).as("n_orders"))
     }),
 
+    // The DECISION INPUT for both skew valves: before salting a join
+    // (q_join_salted's static valve) or tuning AQE's split thresholds
+    // (the runtime valve), measure which keys are actually hot. One
+    // count shuffle on the join key under study — the same shuffle the
+    // join itself would do — a 1-row totals broadcast back, then
+    // TakeOrdered for the top-20. Profiles the very key the salted
+    // valve scatters (o_custkey).
+    "q_skew_profile" -> ((s, dir) =>
+      graft.operators.Skew.skewProfile(
+        Tables.orders(s, dir), "o_custkey", topN = 20)),
+
     // Approximate-distinct scale arm: HLL++ sketch per group — bounded
     // state, one pass, no exact-distinct shuffle of (key, value) pairs.
     // Engine-specific sketch → rows-only in the driver; held to the
@@ -363,6 +374,27 @@ object RelationalQueries {
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+
+    // skew profile: the ratio chain mirrors the Spark side op-for-op —
+    // (cnt·1e6)/n_rows and ((cnt·n_keys)/n_rows)·1e6, each step one
+    // correctly-rounded IEEE double op, floored to integer micro-units
+    "q_skew_profile" ->
+      """WITH counts AS (
+        |  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
+        |), totals AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys
+        |  FROM counts
+        |), top AS (
+        |  SELECT o_custkey, cnt, n_rows, n_keys FROM counts, totals
+        |  ORDER BY cnt DESC, o_custkey LIMIT 20
+        |)
+        |SELECT o_custkey, cnt,
+        |  CAST(FLOOR(CAST(cnt AS DOUBLE) * 1000000.0
+        |    / CAST(n_rows AS DOUBLE)) AS BIGINT) AS share_micro,
+        |  CAST(FLOOR(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE) * 1000000.0) AS BIGINT) AS skew_micro,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, o_custkey) AS INTEGER) AS rank
+        |FROM top""".stripMargin,
 
     "q_semi_join" ->
       """SELECT l_orderkey, count(*) AS n_lines FROM lineitem

@@ -64,6 +64,35 @@ class ScalePatternsSpec extends SparkSpec {
     }
   }
 
+  test("skewProfile: exact counts, micro-unit ratios, TakeOrdered plan") {
+    import spark.implicits._
+    // 100 rows on key 7, one row each on keys 100..109 → 110 rows, 11 keys.
+    val df = spark.range(0, 110L)
+      .select(when(col("id") < 100L, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val prof = Skew.skewProfile(df, "k", topN = 3)
+    val rows = prof.collect()
+    assert(rows.length == 3)
+    val top = rows.find(_.getAs[Int]("rank") == 1).get
+    assert(top.getAs[Long]("k") == 7L && top.getAs[Long]("cnt") == 100L)
+    // floor(100 * 1e6 / 110) and floor(100 * 11 / 110 * 1e6), exactly
+    assert(top.getAs[Long]("share_micro") == 909090L)
+    assert(top.getAs[Long]("skew_micro") == 10000000L)
+    // tie tail: keys 100 and 101 (cnt 1 each), key-asc tie-break
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(7L, 100L, 101L))
+    // a 1-row key eats a tenth of the mean share: floor(1·11/110·1e6)
+    val second = rows.find(_.getAs[Int]("rank") == 2).get
+    assert(second.getAs[Long]("skew_micro") == 100000L)
+    // plan: top-N must be TakeOrdered (local top-N + driver merge),
+    // never a global Sort of the full key table
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"skewProfile top-N should plan as TakeOrdered:\n${plan.take(1200)}")
+    assert(intercept[IllegalArgumentException] {
+      Skew.skewProfile(df.withColumnRenamed("payload", "cnt"), "k", 3)
+    }.getMessage.contains("reserved"))
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val wh = Files.createTempDirectory("graft-wh")
     wh.toFile.deleteOnExit()
