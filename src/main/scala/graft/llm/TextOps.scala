@@ -445,14 +445,44 @@ object TextOps {
       "bm25TopK: every query needs at least one term")
     require(queries.map(_._1).distinct.size == queries.size,
       "bm25TopK: qids must be unique (merge a query's terms into one entry)")
-    for (c <- Seq("__toks", "dl", "qid", "term", "tf", "df", "__c",
-        "score_micro", "rank") if df.columns.contains(c))
-      require(false, s"bm25TopK: '$c' is reserved for internal use — rename it")
-    import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
     val qterms = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
       .toDF("qid", "term")
+    rankScores(bm25Scores(df, idCol, textCol, qterms, k1, b), idCol, k)
+  }
+
+  /** BM25 top-k with DOCUMENTS as the probes — query-by-example
+    * retrieval ("more documents like this one"): each probe doc's
+    * DISTINCT token set is the query; the probe itself is excluded
+    * from its own ranking (it would trivially win). The lexical arm
+    * of hybrid retrieval — see `Retrieval.rrfFuse`.
+    *
+    * The probe set is small BY CONTRACT (it rides the same broadcast
+    * as a literal query table); the corpus side is unchanged from
+    * `bm25TopK` — postings of probe terms are the only wide shuffle.
+    */
+  def bm25TopKByDoc(df: DataFrame, idCol: String, textCol: String,
+                    probePred: Column, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = df.filter(probePred)
+      .select(col(idCol).as("qid"),
+        explode(array_distinct(tokens(textCol))).as("term"))
+    rankScores(
+      bm25Scores(df, idCol, textCol, qterms, k1, b)
+        .filter(col(idCol) =!= col("qid")),
+      idCol, k)
+  }
+
+  /** Shared BM25 scoring core: (qid, `idCol`, score_micro) for every
+    * (probe, doc) pair with at least one matching term. `qterms` is
+    * a (qid, term) table, distinct per qid, small enough to broadcast.
+    */
+  private def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+                         qterms: DataFrame, k1: Double, b: Double): DataFrame = {
+    for (c <- Seq("__toks", "dl", "qid", "term", "tf", "df", "__c",
+        "score_micro", "rank") if df.columns.contains(c))
+      require(false, s"bm25: '$c' is reserved for internal use — rename it")
     val docs = df
       .withColumn("__toks", tokens(textCol))
       .select(col(idCol), col("__toks"), size(col("__toks")).as("dl"))
@@ -474,13 +504,18 @@ object TextOps {
     val denom = tfd + lit(k1 * (1 - b)) +
       lit(k1 * b) * (col("dl").cast("double") / avgdl)
     val contrib = idf * (tfd * lit(k1 + 1)) / denom
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score_micro").desc, col(idCol).asc)
     tf.join(broadcast(docFreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("__c", floor(contrib * lit(1e6)).cast("long"))
       .groupBy(col("qid"), col(idCol))
       .agg(sum(col("__c")).as("score_micro"))
+  }
+
+  private def rankScores(scores: DataFrame, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+    scores
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col(idCol), col("score_micro"), col("rank"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Chunking, Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Chunking, Dedup, Multimodal, Retrieval, Similarity, TextOps}
 
 /** Training-data pipeline operators (the "beyond the reference" layer)
   * over the driver's `documents` and `embeddings` tables.
@@ -592,6 +592,28 @@ object PipelineQueries {
     "q_bm25_topk" -> ((s, dir) =>
       TextOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
         Bm25Queries, k = 5, k1 = Bm25K1, b = Bm25B)),
+
+    // -- retrieval: HYBRID query-by-example — dense cosine arm +
+    //    lexical BM25-by-doc arm, fused by integer reciprocal-rank
+    //    fusion (both arms' rank tables are tiny; fusion never sees
+    //    corpus-sized data) ----------------------------------------
+    "q_hybrid_rrf" -> ((s, dir) =>
+      Retrieval.hybridTopKByDoc(
+        Tables.documents(s, dir), Tables.embeddings(s, dir),
+        "doc_id", "text", "vec_id", "embedding",
+        probePred = _ < 3, kArm = 20, k = 10,
+        c = 60, k1 = Bm25K1, b = Bm25B)),
+
+    // -- retrieval: the hybrid's SCALE arm — dense arm swapped to
+    //    multiprobe hyperplane-LSH ANN; lexical arm and integer RRF
+    //    fusion unchanged (rows-only: bucket misses are approximate;
+    //    recall vs the exact hybrid gated in RetrievalSpec) ----------
+    "q_hybrid_rrf_ann" -> ((s, dir) =>
+      Retrieval.hybridTopKByDocAnn(
+        Tables.documents(s, dir), Tables.embeddings(s, dir),
+        "doc_id", "text", "vec_id", "embedding",
+        probePred = _ < 3, kArm = 20, k = 10,
+        c = 60, k1 = Bm25K1, b = Bm25B)),
 
     // -- dedup: segment-level boilerplate removal (the CCNet/
     //    RefinedWeb line-dedup pass on token segments) ---------------
@@ -1592,6 +1614,69 @@ object PipelineQueries {
         |  FROM agg)
         |SELECT CAST(qid AS INTEGER) AS qid, doc_id, score_micro, "rank"
         |FROM r WHERE "rank" <= 5""".stripMargin,
+
+    // Hybrid RRF: the lexical arm replays the BM25 chain with probe
+    // docs' distinct tokens as the query (self excluded BEFORE the
+    // rank window), the dense arm replays the quantized-cosine chain,
+    // and fusion is pure integer arithmetic: floor(1e9/(60+rank)) per
+    // arm — one correctly-rounded divide + floor — summed as BIGINTs.
+    "q_hybrid_rrf" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |qt AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS term
+        |       FROM tok WHERE doc_id < 3),
+        |stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM tok),
+        |ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok),
+        |tf AS (
+        |  SELECT q.qid, e.doc_id, e.term, count(*) AS tf, max(e.dl) AS dl
+        |  FROM ex e JOIN qt q ON e.term = q.term GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.qid, tf.doc_id,
+        |    CAST(floor(
+        |      (CAST(s.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE)) *
+        |      (CAST(tf.tf AS DOUBLE) * ${Bm25K1 + 1}) /
+        |      (CAST(tf.tf AS DOUBLE) + ${Bm25K1 * (1 - Bm25B)} + ${Bm25K1 * Bm25B} *
+        |        (CAST(tf.dl AS DOUBLE) /
+        |         (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+        |      * 1000000.0) AS BIGINT) AS c
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats s),
+        |agg AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+        |        FROM sc WHERE doc_id != qid GROUP BY 1, 2),
+        |lex AS (SELECT qid, doc_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS r
+        |  FROM agg),
+        |qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |nv AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM qv),
+        |dp AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS doc_id,
+        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) AS DOUBLE) /
+        |      sqrt(CAST(a.nsq * b.nsq AS DOUBLE)) AS cos
+        |  FROM nv a JOIN nv b ON a.vec_id < 3 AND b.vec_id != a.vec_id),
+        |den AS (SELECT qid, doc_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, doc_id) AS r
+        |  FROM dp),
+        |u AS (
+        |  SELECT qid, doc_id,
+        |    CAST(FLOOR(1000000000.0 / (60.0 + CAST(r AS DOUBLE))) AS BIGINT) AS c
+        |  FROM lex WHERE r <= 20
+        |  UNION ALL
+        |  SELECT qid, doc_id,
+        |    CAST(FLOOR(1000000000.0 / (60.0 + CAST(r AS DOUBLE))) AS BIGINT) AS c
+        |  FROM den WHERE r <= 20),
+        |f AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+        |        count(*) AS n_arms
+        |      FROM u GROUP BY 1, 2),
+        |fr AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS "rank"
+        |  FROM f)
+        |SELECT qid, doc_id, rrf_micro, n_arms, "rank"
+        |FROM fr WHERE "rank" <= 10""".stripMargin,
 
     "q_segment_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

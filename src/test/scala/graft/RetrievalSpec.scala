@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Retrieval, TextOps}
+
+/** Gates for hybrid retrieval: exact RRF arithmetic, agreement
+  * semantics, the by-doc BM25 arm's self-exclusion, and the fused
+  * query's end-to-end laws on the real fixture tables.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  test("rrfFuse: exact nano-unit contributions and agreement ordering") {
+    import spark.implicits._
+    // arm A ranks docs (10, 11, 12); arm B ranks (11, 20, 21).
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("qid", "id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 20L, 2), (1L, 21L, 3)).toDF("qid", "id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a, b), "qid", "id", "rank", k = 10)
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("rrf_micro"), r.getAs[Long]("n_arms"), r.getAs[Int]("rank")))
+      .sortBy(_._4)
+    // doc 11 (rank 2 + rank 1) beats every single-arm doc:
+    // floor(1e9/62) + floor(1e9/61) = 16129032 + 16393442
+    assert(fused.head == ((11L, 16129032L + 16393442L, 2L, 1)))
+    // doc 10: single arm at rank 1 → floor(1e9/61)
+    assert(fused(1) == ((10L, 16393442L, 1L, 2)))
+    // ties broken by id: docs 12 and 21 both floor(1e9/63) = 15873015
+    val tied = fused.filter(_._2 == 15873015L).map(_._1)
+    assert(tied.toSeq == Seq(12L, 21L))
+  }
+
+  test("rrfFuse: single ranking preserves the input order") {
+    import spark.implicits._
+    val a = Seq((1L, 5L, 1), (1L, 9L, 2), (1L, 3L, 3)).toDF("qid", "id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a), "qid", "id", "rank", k = 2)
+      .orderBy("rank").collect()
+    assert(fused.map(_.getAs[Long]("id")).toSeq == Seq(5L, 9L))
+    assert(fused.forall(_.getAs[Long]("n_arms") == 1L))
+  }
+
+  test("bm25TopKByDoc: probe doc is excluded from its own ranking") {
+    val docs = Tables.documents(spark, Sf)
+    val ranked = TextOps.bm25TopKByDoc(docs, "doc_id", "text",
+      col("doc_id") < 3, k = 20)
+    val rows = ranked.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("doc_id") != r.getAs[Long]("qid")),
+      "a probe doc must never rank against itself")
+    // ranks are 1..n contiguous per qid
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to g.length))
+    }
+  }
+
+  test("hybridTopKByDoc: arms agree with their standalone tiers; a doc in both arms outranks equal-rank singles") {
+    import graft.llm.Similarity
+    val docs = Tables.documents(spark, Sf)
+    val embeds = Tables.embeddings(spark, Sf)
+    val fused = Retrieval.hybridTopKByDoc(docs, embeds,
+      "doc_id", "text", "vec_id", "embedding",
+      probePred = _ < 3, kArm = 20, k = 10)
+    val rows = fused.collect()
+    assert(rows.map(_.getAs[Long]("qid")).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, g) =>
+      assert(g.length == 10)
+      // fused score strictly ordered by (rrf_micro desc, doc_id asc)
+      val byRank = g.sortBy(_.getAs[Int]("rank"))
+      val pairs = byRank.map(r => (r.getAs[Long]("rrf_micro"), r.getAs[Long]("doc_id")))
+      assert(pairs.sliding(2).forall { case Array((s1, d1), (s2, d2)) =>
+        s1 > s2 || (s1 == s2 && d1 < d2) })
+    }
+    // every fused member is present in at least one arm's top-20
+    val lex = TextOps.bm25TopKByDoc(docs, "doc_id", "text", col("doc_id") < 3, 20)
+      .select(col("qid"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val den = Similarity.bruteForceTopK(embeds, "vec_id", "embedding",
+        col("vec_id") < 3, 20)
+      .select(col("probe_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val members = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"))).toSet
+    assert(members.subsetOf(lex union den))
+    // n_arms = 2 exactly on the intersection
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"))
+      val expected = (if (lex(key)) 1 else 0) + (if (den(key)) 1 else 0)
+      assert(r.getAs[Long]("n_arms") == expected)
+    }
+  }
+
+  test("hybrid ANN arm: fused recall vs the exact hybrid; lexical ranks unharmed") {
+    val docs = Tables.documents(spark, Sf)
+    val embeds = Tables.embeddings(spark, Sf)
+    def fusedSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"))).toSet
+    val exact = fusedSet(Retrieval.hybridTopKByDoc(docs, embeds,
+      "doc_id", "text", "vec_id", "embedding", _ < 3, kArm = 20, k = 10))
+    val ann = fusedSet(Retrieval.hybridTopKByDocAnn(docs, embeds,
+      "doc_id", "text", "vec_id", "embedding", _ < 3, kArm = 20, k = 10,
+      nbits = 5, probeFlips = 2))
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.8, s"fused recall $recall < 0.8 (|exact|=${exact.size})")
+    // the lexical arm is EXACT inside the ANN hybrid: every fused
+    // member the dense-ANN arm did not surface must carry precisely
+    // its lexical RRF contribution, floor(1e9/(60+lex_rank))
+    val lexRank = TextOps.bm25TopKByDoc(docs, "doc_id", "text",
+      col("doc_id") < 3, 20).select("qid", "doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val annRows = Retrieval.hybridTopKByDocAnn(docs, embeds,
+      "doc_id", "text", "vec_id", "embedding", _ < 3, kArm = 20, k = 10,
+      nbits = 5, probeFlips = 2).collect()
+    val singleArmLex = annRows.filter { r =>
+      r.getAs[Long]("n_arms") == 1L &&
+        lexRank.contains((r.getAs[Long]("qid"), r.getAs[Long]("doc_id")))
+    }
+    assert(singleArmLex.nonEmpty, "fixture should have lexical-only fused members")
+    singleArmLex.foreach { r =>
+      val lr = lexRank((r.getAs[Long]("qid"), r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("rrf_micro") == math.floor(1e9 / (60.0 + lr)).toLong)
+    }
+  }
+}
