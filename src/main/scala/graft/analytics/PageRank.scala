@@ -1,0 +1,77 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over an edge list — centrality for the kNN graph of the
+  * embedding store (which documents are the most "representative":
+  * the standard graph signal for coreset selection and curriculum
+  * ordering, run on the `Similarity.knnGraph` output).
+  *
+  * EXACT INTEGER formulation, so the result is oracle-checkable and
+  * partitioning-independent: mass is carried in pico-units (initial
+  * mass = 1e12 div N per node) and one update step is
+  *   pr'(v) = base + Σ_{u→v} (pr(u) · 17) div (20 · outdeg(u))
+  * with base = (1e12 · 3) div (20 · N) — damping 0.85 as the RATIONAL
+  * 17/20, every op a BIGINT multiply or integral divide (Spark `div`
+  * and DuckDB `//` agree on positive operands). Floors leak a little
+  * mass (bounded by one pico-unit per term) — deterministically, on
+  * both engines. Overflow headroom: total mass ≤ 1e12, so pr·17 ≤
+  * 1.7e13 « 2^63.
+  *
+  * Scale shape: the edge list and out-degree table are computed once
+  * and persisted; each iteration is one broadcast-or-shuffle join of
+  * the (node, mass) table with the edges and one partial-aggregated
+  * groupBy on dst — the per-iteration shuffle carries one row per
+  * (dst × partition). Lineage is cut with localCheckpoint every
+  * iteration (the connectedComponents pattern — without it the plan
+  * doubles per round). Nodes with no in-edges keep receiving `base`
+  * via the left join from the node table — nothing vanishes.
+  */
+object PageRank {
+
+  val MassUnit: Long = 1000000000000L // 1e12 pico-units of total mass
+
+  /** Ranks the `topN` heaviest nodes of `edges` (directed src→dst).
+    * Returns (`srcCol`, pr_pico, rank) — rank 1 = highest mass, ties
+    * broken by node id ascending. The top-N cut is TakeOrdered (local
+    * top-N per partition + driver merge — the skewProfile shape), so
+    * the full node table is never globally sorted; the rank window
+    * runs over ≤ topN rows.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 10, topN: Int = Int.MaxValue): DataFrame = {
+    require(iters >= 1 && iters <= 100, "pageRank: iters must be in [1, 100]")
+    require(topN > 0, "pageRank: topN must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .persist()
+    val nodes = e.select(col("__src").as("__v"))
+      .union(e.select(col("__dst").as("__v"))).distinct().persist()
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val base = (MassUnit * 3L) / (20L * n)
+    val deg = e.groupBy("__src").agg(count(lit(1)).as("__od")).persist()
+    var pr = nodes.select(col("__v"), lit(MassUnit / n).as("__mass"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr, e("__src") === pr("__v"))
+        .join(deg, "__src")
+        .select(col("__dst"),
+          expr("(__mass * 17L) div (20L * __od)").as("__c"))
+        .groupBy("__dst").agg(sum(col("__c")).as("__in"))
+      pr = nodes
+        .join(contrib, nodes("__v") === contrib("__dst"), "left")
+        .select(col("__v"),
+          (lit(base) + coalesce(col("__in"), lit(0L))).as("__mass"))
+        .localCheckpoint(eager = true)
+    }
+    e.unpersist(); deg.unpersist(); nodes.unpersist()
+    val cut = pr.select(col("__v").as(srcCol), col("__mass").as("pr_pico"))
+      .orderBy(col("pr_pico").desc, col(srcCol).asc)
+    (if (topN == Int.MaxValue) cut else cut.limit(topN))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pr_pico").desc, col(srcCol).asc)).cast("int"))
+  }
+}

@@ -913,4 +913,32 @@ object Dedup {
       GraftBridge.expression(xxhash64(col(textCol)))))
     incoming.filter(!might).select(col(idCol))
   }
+
+  /** Ensemble near-dup evidence: the lexical pair tier (id_a, id_b,
+    * jaccard) full-outer-joined with the semantic pair tier (id_a,
+    * id_b, cos) over an aligned id space. `evidence` = both | lexical
+    * | semantic: 'both' pairs are the near-certain removals, single-
+    * arm pairs are where the two notions of duplicate DISAGREE — the
+    * review queue. Metrics absent from an arm surface as −1 sentinels,
+    * never NULL (the harness csv-hashes column values, and −1 is
+    * outside both metrics' ranges).
+    *
+    * Scale shape: both inputs are already-thresholded PAIR tables —
+    * tiny next to their corpora — so the join is pair-table-sized
+    * regardless of which arms (exact tiers or LSH arms) produced them.
+    */
+  def ensemblePairs(lex: DataFrame, sem: DataFrame): DataFrame = {
+    require(Seq("id_a", "id_b", "jaccard").forall(lex.columns.contains),
+      "ensemblePairs: lexical side needs (id_a, id_b, jaccard)")
+    require(Seq("id_a", "id_b", "cos").forall(sem.columns.contains),
+      "ensemblePairs: semantic side needs (id_a, id_b, cos)")
+    lex.select("id_a", "id_b", "jaccard")
+      .join(sem.select("id_a", "id_b", "cos"), Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"),
+        when(col("jaccard").isNotNull && col("cos").isNotNull, lit("both"))
+          .when(col("jaccard").isNotNull, lit("lexical"))
+          .otherwise(lit("semantic")).as("evidence"),
+        coalesce(col("jaccard"), lit(-1.0)).as("jaccard"),
+        coalesce(col("cos"), lit(-1.0)).as("cos"))
+  }
 }

@@ -77,6 +77,29 @@ object Retrieval {
       .withColumnRenamed("id", docIdCol)
   }
 
+  /** Budgeted context assembly — the last stage of a RAG pipeline:
+    * walk each probe's ranked candidates in rank order and keep the
+    * prefix whose running token total stays within `budgetTokens`.
+    * The top-ranked candidate is kept even if it alone exceeds the
+    * budget (the packGreedy never-split rule: an empty context is
+    * worse than an oversized one — and loud-never-silent: a probe
+    * never vanishes from the output).
+    *
+    * One window over probes×k rank-table rows (tiny); the running sum
+    * is integer token counts — exact and order-free given the total
+    * (rank) ordering.
+    */
+  def contextPack(ranked: DataFrame, qidCol: String, rankCol: String,
+                  tokensCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "contextPack: budgetTokens must be positive")
+    require(!ranked.columns.contains("cum_tokens"),
+      "contextPack: 'cum_tokens' is reserved — rename it")
+    val w = Window.partitionBy(col(qidCol)).orderBy(col(rankCol).asc)
+    ranked
+      .withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budgetTokens || col(rankCol) === 1)
+  }
+
   /** The SCALE arm of `hybridTopKByDoc`: identical fusion, but the
     * dense arm is multiprobe hyperplane-LSH ANN (`Similarity.annTopK`)
     * instead of the brute-force scan — bucket-join candidates, so the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Chunking, Dedup, Multimodal, Retrieval, Similarity, TextOps}
+import graft.llm.{Chunking, Dedup, LanguageModel, Multimodal, Retrieval, Similarity, TextOps}
 
 /** Training-data pipeline operators (the "beyond the reference" layer)
   * over the driver's `documents` and `embeddings` tables.
@@ -614,6 +614,67 @@ object PipelineQueries {
         "doc_id", "text", "vec_id", "embedding",
         probePred = _ < 3, kArm = 20, k = 10,
         c = 60, k1 = Bm25K1, b = Bm25B)),
+
+    // -- retrieval capstone: RAG context assembly — chunk the corpus
+    //    (non-overlapping 32-token windows), BM25-rank chunks per
+    //    probe query, keep each probe's rank-order prefix within a
+    //    128-token context budget (top chunk kept even if oversized —
+    //    the packGreedy never-split rule). Every stage is exact
+    //    integer/rank arithmetic → the whole chain is one DuckDB
+    //    oracle. ------------------------------------------------------
+    "q_rag_context" -> ((s, dir) => {
+      val chunks = Chunking.chunkDocuments(
+          Tables.documents(s, dir).select("doc_id", "text"),
+          "doc_id", "text", chunkTokens = 32, overlapTokens = 0)
+        .withColumn("chunk_uid",
+          col("doc_id") * lit(10000L) + col("chunk_idx"))
+      val ranked = TextOps.bm25TopK(chunks.select("chunk_uid", "chunk_text"),
+        "chunk_uid", "chunk_text", Bm25Queries, k = 20, k1 = Bm25K1, b = Bm25B)
+      val withMeta = ranked.join(
+        chunks.select("chunk_uid", "doc_id", "chunk_idx", "chunk_tokens"),
+        Seq("chunk_uid"))
+      Retrieval.contextPack(withMeta, "qid", "rank", "chunk_tokens",
+          budgetTokens = 128L)
+        .select(col("qid"), col("doc_id"), col("chunk_idx"), col("rank"),
+          col("chunk_tokens"), col("cum_tokens"))
+    }),
+
+    // -- graph: PageRank over the exact kNN graph — centrality as the
+    //    coreset/curriculum signal on the embedding store. Exact
+    //    integer pico-unit mass with damping 17/20, so the whole
+    //    10-iteration fixpoint replays in DuckDB (unrolled CTEs) ------
+    "q_pagerank" -> ((s, dir) =>
+      graft.analytics.PageRank.pageRank(
+        Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k = 3).select(col("src"), col("dst")),
+        "src", "dst", iters = 10, topN = 50)),
+
+    // -- dedup: ENSEMBLE evidence view — the lexical exact tier
+    //    (bigram Jaccard) full-outer-joined with the semantic exact
+    //    tier (embedding cosine) on the aligned id space: evidence =
+    //    both | lexical | semantic per pair. 'both' pairs are the
+    //    near-certain removals; single-arm pairs are where the two
+    //    notions of duplicate DISAGREE — the review queue. Metrics
+    //    absent from an arm surface as -1 sentinels (never NULL — the
+    //    harness csv-hashes column values). ---------------------------
+    "q_dedup_ensemble" -> ((s, dir) =>
+      Dedup.ensemblePairs(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id",
+          "text", blockCol = "lang", n = 2, threshold = 0.5),
+        Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.35))),
+
+    // -- quality: CCNet perplexity tier — bigram LM trained on the
+    //    English reference slice, every doc scored in micro-nat mean
+    //    surprise, head/middle/tail terciles per source (rows-only:
+    //    ln is not cross-engine exact; LmSpec pins semantics with a
+    //    driver-reimplementation bit-equality gate) ------------------
+    "q_perplexity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lm = LanguageModel.trainBigramLm(docs, "text",
+        col("lang") === "en", vocabSize = 2048, maxBigrams = 16384)
+      LanguageModel.perplexityBuckets(docs, "doc_id", "text", "source", lm)
+    }),
 
     // -- dedup: segment-level boilerplate removal (the CCNet/
     //    RefinedWeb line-dedup pass on token segments) ---------------
@@ -1614,6 +1675,150 @@ object PipelineQueries {
         |  FROM agg)
         |SELECT CAST(qid AS INTEGER) AS qid, doc_id, score_micro, "rank"
         |FROM r WHERE "rank" <= 5""".stripMargin,
+
+    // PageRank: knn-graph SQL verbatim → out-degrees → 10 UNROLLED
+    // iteration CTEs, each one BIGINT multiply + integral divide
+    // (DuckDB // ≡ Spark div on positive operands) — bit-exact replay
+    "q_pagerank" -> {
+      val step = (1 to 10).map { i =>
+        s"""pr$i AS (
+           |  SELECT nd.v,
+           |    (1000000000000 * 3) // (20 * (SELECT count(*) FROM nodes))
+           |      + coalesce(s.inm, 0) AS mass
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT e.dst AS v,
+           |      CAST(sum((p.mass * 17) // (20 * d.od)) AS BIGINT) AS inm
+           |    FROM e JOIN pr${i - 1} p ON e.src = p.v
+           |    JOIN deg d ON e.src = d.src
+           |    GROUP BY 1) s USING (v))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q
+        |), p AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) AS DOUBLE) /
+        |      sqrt(CAST(a.nsq * b.nsq AS DOUBLE)) AS cos
+        |  FROM n a JOIN n b ON b.vec_id != a.vec_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+        |  FROM p
+        |), e AS (SELECT src, dst FROM r WHERE rnk <= 3),
+        |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+        |pr0 AS (SELECT v, 1000000000000 // (SELECT count(*) FROM nodes) AS mass
+        |        FROM nodes),
+        |$step
+        |SELECT src, pr_pico, CAST(rnk AS INTEGER) AS "rank" FROM (
+        |  SELECT v AS src, mass AS pr_pico,
+        |    row_number() OVER (ORDER BY mass DESC, v) AS rnk
+        |  FROM pr10)
+        |WHERE rnk <= 50""".stripMargin
+    },
+
+    // Ensemble dedup evidence: both exact tiers' SQL verbatim, glued
+    // by one FULL OUTER JOIN + CASE — absent metrics become -1
+    "q_dedup_ensemble" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS grams
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+        |), lex AS (
+        |  SELECT id_a, id_b, jaccard FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        CAST(len(a.grams) + len(b.grams)
+        |             - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
+        |    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.5
+        |), q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q
+        |), sem AS (
+        |  SELECT id_a, id_b, cos FROM (
+        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |      CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) AS DOUBLE) /
+        |        sqrt(CAST(a.nsq * b.nsq AS DOUBLE)) AS cos
+        |    FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |  WHERE cos >= 0.35
+        |)
+        |SELECT coalesce(lex.id_a, sem.id_a) AS id_a,
+        |  coalesce(lex.id_b, sem.id_b) AS id_b,
+        |  CASE WHEN lex.id_a IS NOT NULL AND sem.id_a IS NOT NULL THEN 'both'
+        |       WHEN lex.id_a IS NOT NULL THEN 'lexical'
+        |       ELSE 'semantic' END AS evidence,
+        |  coalesce(lex.jaccard, -1.0) AS jaccard,
+        |  coalesce(sem.cos, -1.0) AS cos
+        |FROM lex FULL OUTER JOIN sem
+        |  ON lex.id_a = sem.id_a AND lex.id_b = sem.id_b""".stripMargin,
+
+    // RAG context assembly: chunk replay (q_chunk's windowing at
+    // overlap 0) → BM25 over chunks (same interpolated constants) →
+    // rank-order running token sum cut at the budget, top chunk
+    // always kept
+    "q_rag_context" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL
+        |), sgen AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0, greatest(n, 1), 32)) AS start FROM t
+        |), ch AS (
+        |  SELECT doc_id, CAST(start // 32 AS INTEGER) AS chunk_idx,
+        |    array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text,
+        |    CAST(least(32, n - start) AS BIGINT) AS chunk_tokens,
+        |    doc_id * 10000 + (start // 32) AS chunk_uid
+        |  FROM sgen
+        |), q(qid, term) AS (VALUES ${
+        Bm25Queries.flatMap { case (qid, ts) =>
+          ts.map(t => s"($qid, '$t')") }.mkString(", ")}),
+        |tok AS (SELECT chunk_uid, string_split(chunk_text, ' ') AS toks FROM ch),
+        |stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM tok),
+        |ex AS (SELECT chunk_uid, len(toks) AS dl, unnest(toks) AS term FROM tok),
+        |tf AS (
+        |  SELECT q.qid, e.chunk_uid, e.term, count(*) AS tf, max(e.dl) AS dl
+        |  FROM ex e JOIN q ON e.term = q.term GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(DISTINCT chunk_uid) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.qid, tf.chunk_uid,
+        |    CAST(floor(
+        |      (CAST(s.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE)) *
+        |      (CAST(tf.tf AS DOUBLE) * ${Bm25K1 + 1}) /
+        |      (CAST(tf.tf AS DOUBLE) + ${Bm25K1 * (1 - Bm25B)} + ${Bm25K1 * Bm25B} *
+        |        (CAST(tf.dl AS DOUBLE) /
+        |         (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+        |      * 1000000.0) AS BIGINT) AS c
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats s),
+        |agg AS (SELECT qid, chunk_uid, CAST(sum(c) AS BIGINT) AS score_micro
+        |        FROM sc GROUP BY 1, 2),
+        |rk AS (SELECT qid, chunk_uid, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY score_micro DESC, chunk_uid) AS INTEGER) AS "rank"
+        |  FROM agg),
+        |topk AS (SELECT * FROM rk WHERE "rank" <= 20),
+        |j AS (
+        |  SELECT topk.qid, ch.doc_id, ch.chunk_idx, topk."rank", ch.chunk_tokens
+        |  FROM topk JOIN ch USING (chunk_uid)),
+        |cum AS (
+        |  SELECT *, CAST(SUM(chunk_tokens) OVER (
+        |    PARTITION BY qid ORDER BY "rank") AS BIGINT) AS cum_tokens
+        |  FROM j)
+        |SELECT CAST(qid AS INTEGER) AS qid, doc_id, chunk_idx, "rank",
+        |  chunk_tokens, cum_tokens
+        |FROM cum WHERE cum_tokens <= 128 OR "rank" = 1""".stripMargin,
 
     // Hybrid RRF: the lexical arm replays the BM25 chain with probe
     // docs' distinct tokens as the query (self excluded BEFORE the

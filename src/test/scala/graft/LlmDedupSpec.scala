@@ -563,4 +563,18 @@ class LlmDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     out.foreach { case (id, (txt, _, _)) => assert(again(id) == txt) }
   }
+
+  test("ensemble pairs: both/lexical/semantic branches, -1 sentinels, no pair lost") {
+    import spark.implicits._
+    val lex = Seq((1L, 2L, 0.9), (3L, 4L, 0.6)).toDF("id_a", "id_b", "jaccard")
+    val sem = Seq((1L, 2L, 0.99), (5L, 6L, 0.5)).toDF("id_a", "id_b", "cos")
+    val out = Dedup.ensemblePairs(lex, sem).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[String]("evidence"), r.getAs[Double]("jaccard"), r.getAs[Double]("cos")))
+      .toMap
+    assert(out.size == 3, "full outer join must keep every pair exactly once")
+    assert(out((1L, 2L)) == (("both", 0.9, 0.99)))
+    assert(out((3L, 4L)) == (("lexical", 0.6, -1.0)))
+    assert(out((5L, 6L)) == (("semantic", -1.0, 0.5)))
+  }
 }

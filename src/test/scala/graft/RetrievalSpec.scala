@@ -89,6 +89,21 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("contextPack: rank-prefix within budget; oversized top chunk kept") {
+    import spark.implicits._
+    val ranked = Seq(
+      // probe 1: 60+50 fit in 128, 30 would overflow at rank 3? 60+50+30=140>128
+      (1, 1, 100L, 60L), (1, 2, 101L, 50L), (1, 3, 102L, 30L),
+      // probe 2: top chunk alone exceeds the budget — still kept
+      (2, 1, 200L, 500L), (2, 2, 201L, 10L)
+    ).toDF("qid", "rank", "chunk_uid", "chunk_tokens")
+    val packed = Retrieval.contextPack(ranked, "qid", "rank", "chunk_tokens", 128L)
+      .collect().map(r => (r.getAs[Int]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cum_tokens"))).sortBy(t => (t._1, t._2))
+    assert(packed.toSeq == Seq((1, 1, 60L), (1, 2, 110L), (2, 1, 500L)),
+      s"got ${packed.toSeq}")
+  }
+
   test("hybrid ANN arm: fused recall vs the exact hybrid; lexical ranks unharmed") {
     val docs = Tables.documents(spark, Sf)
     val embeds = Tables.embeddings(spark, Sf)
