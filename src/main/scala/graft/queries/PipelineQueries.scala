@@ -639,6 +639,32 @@ object PipelineQueries {
           col("chunk_tokens"), col("cum_tokens"))
     }),
 
+    // -- audit capstone: per-source corpus DATA CARD — doc/token
+    //    volume, language spread, Gopher-rule pass count, exact-dup
+    //    involvement — the one-row-per-source report a dataset release
+    //    ships. One pass: a content-keyed window marks dup docs, the
+    //    rule battery is row-local, then a single source groupBy; the
+    //    mean is ONE IEEE divide of exact integers. ------------------
+    "q_corpus_report" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .withColumn("__ndup", count(lit(1)).over(Window.partitionBy(col("text"))))
+        .withColumn("__toks", TextOps.tokens("text"))
+        .select(col("source"), col("lang"),
+          size(col("__toks")).cast("long").as("__n"),
+          TextOps.gopherRules("__toks", StopEn, minTokens = 50)
+            .getField("ok_all").as("__ok"),
+          (col("__ndup") > 1).as("__dup"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__n")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("__ok"), 1L).otherwise(0L)).as("n_quality_ok"),
+          sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_docs"))
+        .withColumn("mean_tokens",
+          col("n_tokens").cast("double") / col("n_docs").cast("double"))
+    }),
+
     // -- graph: PageRank over the exact kNN graph — centrality as the
     //    coreset/curriculum signal on the embedding store. Exact
     //    integer pico-unit mass with damping 17/20, so the whole
@@ -1675,6 +1701,37 @@ object PipelineQueries {
         |  FROM agg)
         |SELECT CAST(qid AS INTEGER) AS qid, doc_id, score_micro, "rank"
         |FROM r WHERE "rank" <= 5""".stripMargin,
+
+    // Corpus report: dup window + the q_quality_rules CTE + one
+    // source groupBy; the mean is one IEEE divide of exact integers
+    "q_corpus_report" ->
+      """WITH t AS (
+        |  SELECT source, lang, doc_id, string_split(text, ' ') AS toks,
+        |    count(*) OVER (PARTITION BY text) > 1 AS dup
+        |  FROM documents
+        |), s AS (
+        |  SELECT source, lang, dup,
+        |    CAST(len(toks) AS BIGINT) AS n,
+        |    (len(toks) BETWEEN 50 AND 100000) AND
+        |    ((CAST(list_sum(list_transform(toks, t -> CAST(len(t) AS BIGINT))) AS DOUBLE)
+        |       / CAST(len(toks) AS DOUBLE)) BETWEEN 3.0 AND 10.0) AND
+        |    ((CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+        |       / CAST(len(toks) AS DOUBLE)) >= 0.8) AND
+        |    (len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to'))) >= 2)
+        |      AS ok_all
+        |  FROM t
+        |), g AS (
+        |  SELECT source,
+        |    count(*) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    count(DISTINCT lang) AS n_langs,
+        |    CAST(sum(CASE WHEN ok_all THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+        |    CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+        |  FROM s GROUP BY 1
+        |)
+        |SELECT source, n_docs, n_tokens, n_langs, n_quality_ok, n_dup_docs,
+        |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens
+        |FROM g""".stripMargin,
 
     // PageRank: knn-graph SQL verbatim → out-degrees → 10 UNROLLED
     // iteration CTEs, each one BIGINT multiply + integral divide

@@ -564,6 +564,34 @@ class LlmDedupSpec extends SparkSpec {
     out.foreach { case (id, (txt, _, _)) => assert(again(id) == txt) }
   }
 
+  test("corpus report: dup window, quality count, language spread on a planted fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-report").toString
+    // 60 tokens, mean token length 4.7, all alpha, 6 stopword hits —
+    // passes every Gopher rule
+    val longOk = (1 to 6).map(_ =>
+      "quick brown foxes jumped over lazy sleeping dogs the end").mkString(" ")
+    Seq(
+      // srcA: two exact dups + one unique long clean doc
+      (1L, "dup dup dup", "en", "srcA", 11L),
+      (2L, "dup dup dup", "en", "srcA", 11L),
+      (3L, longOk, "en", "srcA", longOk.length.toLong),
+      // srcB: one short doc, two langs
+      (4L, "tiny", "de", "srcB", 4L),
+      (5L, "klein auch", "fr", "srcB", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_corpus_report")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_langs"), r.getAs[Long]("n_quality_ok"),
+          r.getAs[Long]("n_dup_docs"), r.getAs[Double]("mean_tokens"))).toMap
+    // srcA: 3 docs; dups 1,2 counted BOTH (involvement, not losers);
+    // only doc 3 passes the 50-token Gopher floor
+    assert(out("srcA") == ((3L, 66L, 1L, 1L, 2L, 22.0)))
+    assert(out("srcB") == ((2L, 3L, 2L, 0L, 0L, 1.5)))
+  }
+
   test("ensemble pairs: both/lexical/semantic branches, -1 sentinels, no pair lost") {
     import spark.implicits._
     val lex = Seq((1L, 2L, 0.9), (3L, 4L, 0.6)).toDF("id_a", "id_b", "jaccard")
