@@ -32,6 +32,49 @@ object PipelineQueries {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
+  /** Shared oracle prefix for the PageRank-derived queries: the exact
+    * kNN-graph SQL (k = 3), out-degrees, and 10 UNROLLED integer
+    * iteration CTEs (damping 17/20 — DuckDB `//` ≡ Spark `div` on
+    * positive operands), ending at `pr10(v, mass)`.
+    */
+  private lazy val PageRankCtes: String = {
+    val step = (1 to 10).map { i =>
+      s"""pr$i AS (
+         |  SELECT nd.v,
+         |    (1000000000000 * 3) // (20 * (SELECT count(*) FROM nodes))
+         |      + coalesce(s.inm, 0) AS mass
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS v,
+         |      CAST(sum((p.mass * 17) // (20 * d.od)) AS BIGINT) AS inm
+         |    FROM e JOIN pr${i - 1} p ON e.src = p.v
+         |    JOIN deg d ON e.src = d.src
+         |    GROUP BY 1) s USING (v))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v,
+      |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq
+      |  FROM q
+      |), p AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) AS DOUBLE) /
+      |      sqrt(CAST(a.nsq * b.nsq AS DOUBLE)) AS cos
+      |  FROM n a JOIN n b ON b.vec_id != a.vec_id
+      |), r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+      |  FROM p
+      |), e AS (SELECT src, dst FROM r WHERE rnk <= 3),
+      |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+      |deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+      |pr0 AS (SELECT v, 1000000000000 // (SELECT count(*) FROM nodes) AS mass
+      |        FROM nodes),
+      |$step""".stripMargin
+  }
+
   /** Shared DuckDB-oracle prefix for the layout capstones: the
     * verified cross-doc span-removal chain (L-72, same CTEs as the
     * `q_span_dedup` oracle, `sp_`-prefixed to avoid name collisions)
@@ -637,6 +680,29 @@ object PipelineQueries {
           budgetTokens = 128L)
         .select(col("qid"), col("doc_id"), col("chunk_idx"), col("rank"),
           col("chunk_tokens"), col("cum_tokens"))
+    }),
+
+    // -- training order capstone: CURRICULUM layout — every doc's
+    //    PageRank centrality over the kNN graph becomes its training
+    //    position: Weyl shard (the q_shard_assign bucket — membership
+    //    stays append-stable and write-aligned), position within the
+    //    shard by centrality descending (most-representative docs
+    //    first — the curriculum/coreset ordering the PageRank scaladoc
+    //    promises). Integer end-to-end → full DuckDB replay. ----------
+    "q_curriculum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pr = graft.analytics.PageRank.pageRank(
+        Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k = 3).select(col("src"), col("dst")),
+        "src", "dst", iters = 10)
+        .select(col("src").as("doc_id"), col("pr_pico"))
+      val bucket = pmod(pmod(col("doc_id"), lit(65536L)) * lit(40503L),
+        lit(65536L))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("pr_pico").desc, col("doc_id").asc)
+      pr.withColumn("shard", pmod(bucket, lit(8L)).cast("int"))
+        .withColumn("pos", row_number().over(w).cast("int"))
+        .select(col("doc_id"), col("shard"), col("pos"), col("pr_pico"))
     }),
 
     // -- audit capstone: per-source corpus DATA CARD — doc/token
@@ -1736,48 +1802,28 @@ object PipelineQueries {
     // PageRank: knn-graph SQL verbatim → out-degrees → 10 UNROLLED
     // iteration CTEs, each one BIGINT multiply + integral divide
     // (DuckDB // ≡ Spark div on positive operands) — bit-exact replay
-    "q_pagerank" -> {
-      val step = (1 to 10).map { i =>
-        s"""pr$i AS (
-           |  SELECT nd.v,
-           |    (1000000000000 * 3) // (20 * (SELECT count(*) FROM nodes))
-           |      + coalesce(s.inm, 0) AS mass
-           |  FROM nodes nd LEFT JOIN (
-           |    SELECT e.dst AS v,
-           |      CAST(sum((p.mass * 17) // (20 * d.od)) AS BIGINT) AS inm
-           |    FROM e JOIN pr${i - 1} p ON e.src = p.v
-           |    JOIN deg d ON e.src = d.src
-           |    GROUP BY 1) s USING (v))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH q AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-        |  FROM embeddings
-        |), n AS (
-        |  SELECT vec_id, v,
-        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq
-        |  FROM q
-        |), p AS (
-        |  SELECT a.vec_id AS src, b.vec_id AS dst,
-        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) AS DOUBLE) /
-        |      sqrt(CAST(a.nsq * b.nsq AS DOUBLE)) AS cos
-        |  FROM n a JOIN n b ON b.vec_id != a.vec_id
-        |), r AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY src ORDER BY cos DESC, dst) AS rnk
-        |  FROM p
-        |), e AS (SELECT src, dst FROM r WHERE rnk <= 3),
-        |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
-        |deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
-        |pr0 AS (SELECT v, 1000000000000 // (SELECT count(*) FROM nodes) AS mass
-        |        FROM nodes),
-        |$step
+    "q_pagerank" ->
+      s"""$PageRankCtes
         |SELECT src, pr_pico, CAST(rnk AS INTEGER) AS "rank" FROM (
         |  SELECT v AS src, mass AS pr_pico,
         |    row_number() OVER (ORDER BY mass DESC, v) AS rnk
         |  FROM pr10)
-        |WHERE rnk <= 50""".stripMargin
-    },
+        |WHERE rnk <= 50""".stripMargin,
+
+    // Curriculum layout: the pagerank chain verbatim, then the
+    // q_shard_assign Weyl bucket and a per-shard centrality-desc
+    // position window
+    "q_curriculum" ->
+      s"""$PageRankCtes,
+        |cur AS (
+        |  SELECT v AS doc_id, mass AS pr_pico,
+        |    CAST((((v % 65536) * 40503) % 65536) % 8 AS INTEGER) AS shard
+        |  FROM pr10)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY shard ORDER BY pr_pico DESC, doc_id) AS INTEGER) AS pos,
+        |  pr_pico
+        |FROM cur""".stripMargin,
 
     // Ensemble dedup evidence: both exact tiers' SQL verbatim, glued
     // by one FULL OUTER JOIN + CASE — absent metrics become -1

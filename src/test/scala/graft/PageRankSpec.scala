@@ -45,6 +45,24 @@ class PageRankSpec extends SparkSpec {
     assert((1L to 9L).map(byId).map(_._2).toSeq == (2 to 10))
   }
 
+  test("curriculum layout: one row per vector, Weyl shards, centrality-desc positions") {
+    val rows = SparkEntry.queries("q_curriculum")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val nVecs = Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    assert(rows.length == nVecs, "every vector gets exactly one curriculum slot")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("shard") == (((id % 65536L) * 40503L) % 65536L % 8L).toInt)
+    }
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (_, g) =>
+      val byPos = g.sortBy(_.getAs[Int]("pos"))
+      assert(byPos.map(_.getAs[Int]("pos")).toSeq == (1 to g.length))
+      val order = byPos.map(r => (r.getAs[Long]("pr_pico"), r.getAs[Long]("doc_id")))
+      assert(order.sliding(2).forall { case Array((m1, d1), (m2, d2)) =>
+        m1 > m2 || (m1 == m2 && d1 < d2) }, "positions must follow (pr desc, id asc)")
+    }
+  }
+
   test("deterministic across runs and partitionings; topN cuts after full fixpoint") {
     import spark.implicits._
     val edges = (0 until 40).flatMap { i =>
