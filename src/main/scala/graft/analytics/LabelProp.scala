@@ -1,0 +1,82 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation over an edge list — semi-supervised
+  * labeling on the embedding store's kNN graph: a small seeded set
+  * (human-annotated docs) spreads labels to the rest of the corpus,
+  * the standard cheap annotator for quality/domain/topic tags
+  * (Zhu & Ghahramani 2002's hard-label variant).
+  *
+  * One round: every non-seed node takes the MAJORITY label of its
+  * in-neighbors' current labels (null-labeled neighbors don't vote),
+  * keeping its previous label when no neighbor has one; seeds are
+  * immutable. Ties break toward the SMALLEST label id — with the
+  * vote count an exact integer, every step is deterministic and the
+  * whole fixpoint replays in DuckDB (unrolled CTEs, the PageRank
+  * pattern). Labels and votes are integers end-to-end; no floats
+  * anywhere.
+  *
+  * Scale shape: per iteration one (dst, label)-keyed partial-agg
+  * count shuffle and one rank-limit argmax window per node — both on
+  * the label-bearing edge subset, not the corpus; lineage cut by
+  * localCheckpoint every 2 rounds (the tuned PageRank cadence).
+  * Direction note: pass a symmetrized edge list for the classic
+  * undirected semantics (`symmetrize`).
+  */
+object LabelProp {
+
+  /** union of both directions — label influence flows along kNN edges
+    * both ways (i's neighbor j is evidence about i AND vice versa,
+    * even when the kNN relation itself is asymmetric)
+    */
+  def symmetrize(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+
+  /** Propagate `iters` rounds. `seeds` must have (`idCol`, seed) with
+    * seed null for unlabeled nodes and covering EVERY node (it is the
+    * node table). Returns (`idCol`, label, origin) where origin ∈
+    * {seed, propagated} and label is null only for nodes no label
+    * ever reached — loud, never dropped.
+    */
+  def propagate(edges: DataFrame, seeds: DataFrame, idCol: String,
+                seedCol: String, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 100, "propagate: iters must be in [1, 100]")
+    val e = edges.select(col("src"), col("dst")).persist()
+    val base = seeds.select(col(idCol).as("__v"), col(seedCol).cast("int").as("__seed"))
+      .persist()
+    var lab = base.select(col("__v"), col("__seed").as("__lbl"))
+      .localCheckpoint(eager = true)
+    for (i <- 1 to iters) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("__c").desc, col("__nl").asc)
+      val majority = e
+        .join(lab.filter(col("__lbl").isNotNull), e("src") === lab("__v"))
+        .groupBy(col("dst"), col("__lbl").as("__nl"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("dst"), col("__nl"))
+      lab = base
+        .join(lab.select(col("__v").as("__pv"), col("__lbl").as("__prev")),
+          base("__v") === col("__pv"))
+        .join(majority, base("__v") === majority("dst"), "left")
+        .select(col("__v"),
+          when(col("__seed").isNotNull, col("__seed"))
+            .otherwise(coalesce(col("__nl"), col("__prev"))).as("__lbl"))
+      if (i % 2 == 0 || i == iters) lab = lab.localCheckpoint(eager = true)
+    }
+    e.unpersist()
+    val out = base.join(lab, Seq("__v"))
+      .select(col("__v").as(idCol), col("__lbl").as("label"),
+        when(col("__seed").isNotNull, lit("seed"))
+          .when(col("__lbl").isNotNull, lit("propagated"))
+          .otherwise(lit(null).cast("string")).as("origin"))
+    base.unpersist()
+    out
+  }
+}

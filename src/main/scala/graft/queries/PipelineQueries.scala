@@ -37,19 +37,10 @@ object PipelineQueries {
     * iteration CTEs (damping 17/20 — DuckDB `//` ≡ Spark `div` on
     * positive operands), ending at `pr10(v, mass)`.
     */
-  private lazy val PageRankCtes: String = {
-    val step = (1 to 10).map { i =>
-      s"""pr$i AS (
-         |  SELECT nd.v,
-         |    (1000000000000 * 3) // (20 * (SELECT count(*) FROM nodes))
-         |      + coalesce(s.inm, 0) AS mass
-         |  FROM nodes nd LEFT JOIN (
-         |    SELECT e.dst AS v,
-         |      CAST(sum((p.mass * 17) // (20 * d.od)) AS BIGINT) AS inm
-         |    FROM e JOIN pr${i - 1} p ON e.src = p.v
-         |    JOIN deg d ON e.src = d.src
-         |    GROUP BY 1) s USING (v))""".stripMargin
-    }.mkString(",\n")
+  /** The exact kNN-graph SQL (k = 3) ending at `e(src, dst)` — the
+    * shared prefix of every graph-layer oracle.
+    */
+  private lazy val KnnEdgesCte: String =
     s"""WITH q AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
@@ -67,12 +58,62 @@ object PipelineQueries {
       |  SELECT *, row_number() OVER (
       |    PARTITION BY src ORDER BY cos DESC, dst) AS rnk
       |  FROM p
-      |), e AS (SELECT src, dst FROM r WHERE rnk <= 3),
+      |), e AS (SELECT src, dst FROM r WHERE rnk <= 3)""".stripMargin
+
+  private lazy val PageRankCtes: String = {
+    val step = (1 to 10).map { i =>
+      s"""pr$i AS (
+         |  SELECT nd.v,
+         |    (1000000000000 * 3) // (20 * (SELECT count(*) FROM nodes))
+         |      + coalesce(s.inm, 0) AS mass
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS v,
+         |      CAST(sum((p.mass * 17) // (20 * d.od)) AS BIGINT) AS inm
+         |    FROM e JOIN pr${i - 1} p ON e.src = p.v
+         |    JOIN deg d ON e.src = d.src
+         |    GROUP BY 1) s USING (v))""".stripMargin
+    }.mkString(",\n")
+    s"""$KnnEdgesCte,
       |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
       |deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
       |pr0 AS (SELECT v, 1000000000000 // (SELECT count(*) FROM nodes) AS mass
       |        FROM nodes),
       |$step""".stripMargin
+  }
+
+  /** Label-propagation oracle: symmetrized edges, seeded base, 5
+    * unrolled majority-vote rounds (count desc, label asc tie-break).
+    */
+  private lazy val LabelPropSql: String = {
+    val step = (1 to 5).map { i =>
+      s"""lab$i AS (
+         |  SELECT b.v,
+         |    CASE WHEN b.seed IS NOT NULL THEN b.seed
+         |         ELSE coalesce(m.nl, p.lbl) END AS lbl
+         |  FROM base b
+         |  JOIN lab${i - 1} p ON b.v = p.v
+         |  LEFT JOIN (
+         |    SELECT dst AS v, nl FROM (
+         |      SELECT eu.dst, l.lbl AS nl, count(*) AS c,
+         |        row_number() OVER (PARTITION BY eu.dst
+         |          ORDER BY count(*) DESC, l.lbl) AS rn
+         |      FROM eu JOIN lab${i - 1} l ON eu.src = l.v
+         |      WHERE l.lbl IS NOT NULL
+         |      GROUP BY eu.dst, l.lbl) x
+         |    WHERE rn = 1) m ON b.v = m.v)""".stripMargin
+    }.mkString(",\n")
+    s"""$KnnEdgesCte,
+      |eu AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      |base AS (SELECT vec_id AS v,
+      |           CASE WHEN vec_id % 5 = 0 THEN label END AS seed
+      |         FROM embeddings),
+      |lab0 AS (SELECT v, seed AS lbl FROM base),
+      |$step
+      |SELECT b.v AS vec_id, coalesce(lab5.lbl, -1) AS label,
+      |  CASE WHEN b.seed IS NOT NULL THEN 'seed'
+      |       WHEN lab5.lbl IS NOT NULL THEN 'propagated'
+      |       ELSE 'unreached' END AS origin
+      |FROM base b JOIN lab5 ON b.v = lab5.v""".stripMargin
   }
 
   /** Shared DuckDB-oracle prefix for the layout capstones: the
@@ -680,6 +721,26 @@ object PipelineQueries {
           budgetTokens = 128L)
         .select(col("qid"), col("doc_id"), col("chunk_idx"), col("rank"),
           col("chunk_tokens"), col("cum_tokens"))
+    }),
+
+    // -- graph: semi-supervised LABEL PROPAGATION over the kNN graph —
+    //    a 1-in-5 seeded slice spreads its labels by per-round
+    //    neighbor majority vote (count desc, label asc tie-break,
+    //    seeds immutable); integer votes end-to-end, 5 unrolled
+    //    rounds replay in DuckDB. Sentinels (-1 / 'unreached') keep
+    //    the harness output null-free. ------------------------------
+    "q_label_prop" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val edges = graft.analytics.LabelProp.symmetrize(
+        Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
+          .select(col("src"), col("dst")), "src", "dst")
+      val seeds = emb.select(col("vec_id"),
+        when(col("vec_id") % 5 === 0, col("label")).as("seed"))
+      graft.analytics.LabelProp.propagate(edges, seeds, "vec_id", "seed",
+          iters = 5)
+        .select(col("vec_id"),
+          coalesce(col("label"), lit(-1)).as("label"),
+          coalesce(col("origin"), lit("unreached")).as("origin"))
     }),
 
     // -- training order capstone: CURRICULUM layout — every doc's
@@ -1809,6 +1870,8 @@ object PipelineQueries {
         |    row_number() OVER (ORDER BY mass DESC, v) AS rnk
         |  FROM pr10)
         |WHERE rnk <= 50""".stripMargin,
+
+    "q_label_prop" -> LabelPropSql,
 
     // Curriculum layout: the pagerank chain verbatim, then the
     // q_shard_assign Weyl bucket and a per-shard centrality-desc

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.LabelProp
+
+/** Laws for synchronous label propagation: cluster convergence, seed
+  * immutability, the smallest-label tie-break, and loud unreached
+  * nodes. (The harness fixture's embeddings are near-isotropic, so
+  * propagated labels sit at chance there BY DATA — the oracle checks
+  * the mechanics; these gates check the semantics on graphs with
+  * actual structure.)
+  */
+class LabelPropSpec extends SparkSpec {
+
+  test("two rings converge to their seed's label; seeds never change") {
+    import spark.implicits._
+    // ring 0-9 seeded at node 0 (label 7), ring 10-19 at node 10
+    // (label 3); rings are disjoint
+    val edges = ((0 until 10).map(i => (i.toLong, ((i + 1) % 10).toLong)) ++
+      (0 until 10).map(i => (10L + i, 10L + (i + 1) % 10))).toDF("src", "dst")
+    val seeds = (0L until 20L).map(v =>
+      (v, if (v == 0L) Some(7) else if (v == 10L) Some(3) else None))
+      .toDF("vec_id", "seed")
+    val out = LabelProp.propagate(
+      LabelProp.symmetrize(edges, "src", "dst"), seeds, "vec_id", "seed",
+      iters = 6).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (Option(r.get(1)).map(_.asInstanceOf[Int]), r.getAs[String]("origin"))).toMap
+    // symmetrized ring: 6 rounds reach 6 hops each way — whole ring
+    (0L until 10L).foreach(v => assert(out(v)._1.contains(7), s"node $v"))
+    (10L until 20L).foreach(v => assert(out(v)._1.contains(3), s"node $v"))
+    assert(out(0L)._2 == "seed" && out(10L)._2 == "seed")
+    assert(out(1L)._2 == "propagated" && out(19L)._2 == "propagated")
+  }
+
+  test("equal votes break toward the smallest label; seeds hold against majority") {
+    import spark.implicits._
+    // node 2 hears label 9 (from seed 0) and label 4 (from seed 1) —
+    // one vote each → takes 4. Seed 3 (label 8) neighbors both seeds
+    // but must keep 8.
+    val edges = Seq((0L, 2L), (1L, 2L), (0L, 3L), (1L, 3L)).toDF("src", "dst")
+    val seeds = Seq((0L, Some(9)), (1L, Some(4)), (2L, None), (3L, Some(8)))
+      .toDF("vec_id", "seed")
+    val out = LabelProp.propagate(
+      LabelProp.symmetrize(edges, "src", "dst"), seeds, "vec_id", "seed",
+      iters = 3).collect()
+      .map(r => r.getAs[Long]("vec_id") -> Option(r.get(1)).map(_.asInstanceOf[Int]))
+      .toMap
+    assert(out(2L).contains(4), "tie must break to the smallest label")
+    assert(out(3L).contains(8), "a seed never flips")
+  }
+
+  test("nodes no label can reach surface as unreached, never vanish") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (2L, 3L)).toDF("src", "dst") // 2-3 unlabeled island
+    val seeds = Seq((0L, Some(5)), (1L, None), (2L, None), (3L, None))
+      .toDF("vec_id", "seed")
+    val out = LabelProp.propagate(
+      LabelProp.symmetrize(edges, "src", "dst"), seeds, "vec_id", "seed",
+      iters = 4).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (Option(r.get(1)).map(_.asInstanceOf[Int]), Option(r.getAs[String]("origin"))))
+      .toMap
+    assert(out.size == 4)
+    assert(out(1L) == ((Some(5), Some("propagated"))))
+    assert(out(2L) == ((None, None)) && out(3L) == ((None, None)),
+      "unreached nodes keep null label and null origin — loud, not dropped")
+  }
+}
