@@ -282,6 +282,71 @@ object Chunking {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Multi-epoch reshuffle: a DIFFERENT deterministic traversal order
+    * per training epoch, without ever re-shuffling the data — the
+    * "reshuffle each epoch" loaders do, made reproducible and
+    * shard-local (shard membership stays the append-stable
+    * `shardAssign` bucket; only the within-shard ORDER changes per
+    * epoch, which is how real loaders work: shards are the I/O unit,
+    * the reorder is in-memory per shard).
+    *
+    * Per (epoch, shard) the new position is the affine permutation
+    *   pos' = (a · (pos-1) + b) mod n + 1
+    * which is bijective iff gcd(a, n) = 1: `a` is the first integer
+    * from a seeded per-(epoch, shard) starting point in [2, 998] that
+    * is coprime with the shard size (found by a bounded driver-side
+    * walk — and expressible in the DuckDB oracle as
+    * `list_filter(range(...), x -> gcd(x, n) = 1)[1]`, which is what
+    * makes the whole operator hash-checkable), `b` a seeded offset.
+    * `a` ≤ ~1000 keeps `a·n` far from BIGINT overflow for any
+    * realistic shard (n < ~9e15). An affine map sends consecutive
+    * positions to stride-`a` positions — exactly the
+    * break-adjacent-document-locality property an epoch reshuffle is
+    * for; it is NOT cryptographic mixing and is documented as such.
+    *
+    * Scale shape: the only aggregation is the per-shard count
+    * (nShards rows to the driver — bounded); the params table
+    * (epochs × nShards rows) broadcast-joins back on shard, and the
+    * position map is row-local arithmetic. Nothing corpus-sized
+    * shuffles beyond what `shardAssign` already did.
+    *
+    * Output: (epoch, idCol, shard, pos) — pos is the epoch's traversal
+    * position within the shard, 1-based.
+    */
+  def epochOrder(df: DataFrame, idCol: String, nShards: Int,
+                 epochs: Int, seed: Long): DataFrame = {
+    require(epochs >= 1 && epochs <= 1024, "epochOrder: epochs must be in [1, 1024]")
+    require(seed >= 0, "epochOrder: seed must be non-negative")
+    for (c <- Seq("epoch", "__a", "__b", "__n") if df.columns.contains(c))
+      require(false, s"epochOrder: '$c' is reserved for internal use — rename it")
+    val spark = df.sparkSession
+    // materialize the sharded layout once (the write a training layout
+    // does anyway) — it feeds both the bounded counts collect and the
+    // per-epoch map, without replaying the rank window per consumer
+    val sharded = shardAssign(df, idCol, nShards).localCheckpoint(eager = true)
+    val counts = sharded.groupBy("shard").count()
+      .collect().map(r => r.getAs[Int]("shard") -> r.getAs[Long]("count")).toMap
+    val params = for {
+      e <- 1 to epochs
+      (sh, n) <- counts.toSeq.sortBy(_._1)
+    } yield {
+      val base = (40503L * e + 2654435761L * sh + seed) % 997L + 2L
+      val a = (base until base + 1000L).find(c =>
+        BigInt(c).gcd(BigInt(n)) == 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"epochOrder: no coprime stride in [$base, ${base + 1000}) for shard size $n"))
+      val b = (seed * 31L + e * 17L + sh * 101L) % n
+      (e, sh, a, b, n)
+    }
+    import spark.implicits._
+    val paramsDf = params.toDF("epoch", "shard", "__a", "__b", "__n")
+    sharded
+      .join(broadcast(paramsDf), "shard")
+      .select(col("epoch"), col(idCol), col("shard"),
+        (((col("__a") * (col("pos") - 1) + col("__b")) % col("__n")) + 1)
+          .cast("int").as("pos"))
+  }
+
   /** Temperature-scaled source mixing — the Pile/LLaMA recipe: source
     * s gets sampling weight |s|^α (α < 1 upweights small, high-value
     * sources relative to bulk crawl), normalized across sources, and a

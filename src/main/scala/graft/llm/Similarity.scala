@@ -1185,4 +1185,55 @@ object Similarity {
       .select(col(idCol),
         graft.functions.Sketches.matVec(col("__vd"), m, bias).as("proj"))
   }
+
+  /** Source-centroid domain-similarity matrix — the mixture-design
+    * input: per-source mean embedding (the "domain vector"), then
+    * pairwise cosine between sources. Which crawl dumps overlap, which
+    * curated source is closest to the eval domain, which pair is
+    * redundant under temperature mixing — all read off this S×S map
+    * (the Pile/DoReMi-style domain geometry, computed exactly).
+    *
+    * Cross-engine-exact arithmetic: embeddings are milli-quantized,
+    * per-(source, dim) sums are exact BIGINTs, and the centroid
+    * component is ONE IEEE divide of exactly-representable integers
+    * (|Σq| must stay < 2^53 — at |q| ≤ ~4000 that is ~2e12 docs per
+    * source before the bound bites). The pairwise dot/norm folds run
+    * LEFT-TO-RIGHT over the dim-ordered centroid arrays (`aggregate`
+    * here ≡ `list_reduce` in DuckDB), so every double is
+    * bit-reproducible. An all-zero-centroid source fails the cosine
+    * divide loudly under ANSI — the cosine-tier contract.
+    *
+    * Scale shape: ONE posexplode shuffle whose partial aggregation
+    * collapses to S·d rows per partition before the exchange (the
+    * map-side combine is the whole story — corpus rows never reach
+    * the reduce side); everything after is S-sized. The pair join is
+    * S²/2 rows of d-length arrays — trivia next to the corpus scan.
+    * Output: (source_a, source_b, cos, n_a, n_b), source_a < source_b.
+    */
+  def sourceCentroidSim(docs: DataFrame, embs: DataFrame,
+                        docIdCol: String, sourceCol: String,
+                        embIdCol: String, embCol: String): DataFrame = {
+    val joined = docs.select(col(docIdCol).as("__id"), col(sourceCol).as("__src"))
+      .join(embs.select(col(embIdCol).as("__id"), quantize(embCol).as("__vq")),
+        "__id")
+    val sums = joined
+      .select(col("__src"), posexplode(col("__vq")).as(Seq("__dim", "__q")))
+      .groupBy(col("__src"), col("__dim"))
+      .agg(sum(col("__q")).as("__sq"), count(lit(1)).as("__n"))
+    val cen = sums
+      .groupBy(col("__src"))
+      .agg(sort_array(collect_list(struct(col("__dim"), col("__sq"))))
+        .as("__pairs"), max(col("__n")).as("__n"))
+      .select(col("__src"),
+        expr("transform(__pairs, x -> CAST(x.__sq AS double) / CAST(__n AS double))")
+          .as("__cen"),
+        col("__n"))
+    val withNorm = cen.withColumn("__nsq",
+      expr("aggregate(transform(__cen, x -> x * x), CAST(0.0 AS double), (a, b) -> a + b)"))
+    withNorm.as("a").join(withNorm.as("b"), col("a.__src") < col("b.__src"))
+      .select(col("a.__src").as("source_a"), col("b.__src").as("source_b"),
+        (expr("aggregate(zip_with(a.__cen, b.__cen, (x, y) -> x * y), CAST(0.0 AS double), (acc, p) -> acc + p)") /
+          sqrt(col("a.__nsq") * col("b.__nsq"))).as("cos"),
+        col("a.__n").as("n_a"), col("b.__n").as("n_b"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Chunking, Dedup, LanguageModel, Multimodal, Retrieval, Similarity, TextOps}
+import graft.llm.{Chunking, Coreset, Dedup, LanguageModel, Multimodal, Retrieval, Similarity, TextOps}
 
 /** Training-data pipeline operators (the "beyond the reference" layer)
   * over the driver's `documents` and `embeddings` tables.
@@ -114,6 +114,52 @@ object PipelineQueries {
       |       WHEN lab5.lbl IS NOT NULL THEN 'propagated'
       |       ELSE 'unreached' END AS origin
       |FROM base b JOIN lab5 ON b.v = lab5.v""".stripMargin
+  }
+
+  /** k-center greedy oracle: the full Gonzalez trace unrolled — round
+    * i's argmin is ORDER BY best, vec_id LIMIT 1 over the incremental
+    * best-similarity table, exactly the TakeOrdered the Spark side
+    * runs. Every number is either an exact BIGINT (quantized dot,
+    * norms) or one IEEE multiply/sqrt/divide/greatest on
+    * exactly-representable integers — bit-identical across engines.
+    */
+  private lazy val CoresetSql: String = {
+    def cosTo(l: String, r: String): String =
+      s"CAST(list_sum(list_transform(list_zip($l.v, $r.v), z -> z[1] * z[2])) AS DOUBLE)" +
+        s" / sqrt(CAST($l.nsq * $r.nsq AS DOUBLE))"
+    val k = 8
+    val rounds = (2 to k).map { i =>
+      val chosen = (1 until i).map(j => s"SELECT vec_id FROM c$j")
+        .mkString(" UNION ALL ")
+      s"""c$i AS MATERIALIZED (
+         |  SELECT vec_id, v, nsq, best FROM b${i - 1}
+         |  WHERE vec_id NOT IN ($chosen)
+         |  ORDER BY best, vec_id LIMIT 1),
+         |b$i AS MATERIALIZED (
+         |  SELECT b.vec_id, b.v, b.nsq,
+         |    greatest(b.best, ${cosTo("b", "c")}) AS best
+         |  FROM b${i - 1} b, c$i c)""".stripMargin
+    }.mkString(",\n")
+    val out = (2 to k).map(i =>
+      s"UNION ALL SELECT vec_id, CAST($i AS INTEGER), best FROM c$i")
+      .mkString("\n")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings
+       |), n AS MATERIALIZED (
+       |  SELECT vec_id, v,
+       |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq
+       |  FROM q
+       |),
+       |c1 AS MATERIALIZED (SELECT vec_id, v, nsq FROM n ORDER BY vec_id LIMIT 1),
+       |b1 AS MATERIALIZED (
+       |  SELECT b.vec_id, b.v, b.nsq, ${cosTo("b", "c")} AS best
+       |  FROM n b, c1 c),
+       |$rounds
+       |SELECT vec_id, CAST(1 AS INTEGER) AS sel_round,
+       |  CAST(-2.0 AS DOUBLE) AS far_cos FROM c1
+       |$out""".stripMargin
   }
 
   /** Shared DuckDB-oracle prefix for the layout capstones: the
@@ -792,6 +838,18 @@ object PipelineQueries {
           col("n_tokens").cast("double") / col("n_docs").cast("double"))
     }),
 
+    // -- audit: source-centroid DOMAIN-SIMILARITY matrix — per-source
+    //    mean embedding, pairwise cosine between sources: the
+    //    mixture-design companion to q_corpus_report (which crawl
+    //    dumps overlap; which source is redundant under temperature
+    //    mixing). One posexplode shuffle that map-side-combines to
+    //    S·d rows; exact integer sums, one IEEE divide per centroid
+    //    component, dim-ordered folds for the pair cosines ------------
+    "q_source_sim" -> ((s, dir) =>
+      Similarity.sourceCentroidSim(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), "doc_id", "source", "vec_id",
+        "embedding")),
+
     // -- graph: PageRank over the exact kNN graph — centrality as the
     //    coreset/curriculum signal on the embedding store. Exact
     //    integer pico-unit mass with damping 17/20, so the whole
@@ -801,6 +859,15 @@ object PipelineQueries {
         Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
           "embedding", k = 3).select(col("src"), col("dst")),
         "src", "dst", iters = 10, topN = 50)),
+
+    // -- coreset: k-center greedy (Gonzalez farthest-point) — the
+    //    DIVERSITY selection signal pairing q_pagerank's centrality:
+    //    k passes, zero shuffles, one TakeOrdered row collected per
+    //    round; the whole greedy trace replays in DuckDB because every
+    //    similarity is exact-integer + one IEEE divide ---------------
+    "q_coreset" -> ((s, dir) =>
+      Coreset.kCenters(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8)),
 
     // -- dedup: ENSEMBLE evidence view — the lexical exact tier
     //    (bigram Jaccard) full-outer-joined with the semantic exact
@@ -843,6 +910,14 @@ object PipelineQueries {
     // -- training order: deterministic global shuffle into shards ----
     "q_shard_assign" -> ((s, dir) =>
       Chunking.shardAssign(Tables.documents(s, dir), "doc_id", nShards = 8)),
+
+    // -- training order: multi-epoch reshuffle — a different seeded
+    //    affine permutation of each shard's traversal order per epoch
+    //    (bijective by coprime stride, gcd-checked driver-side and
+    //    gcd-replayed in the oracle); shard membership untouched ------
+    "q_epoch_order" -> ((s, dir) =>
+      Chunking.epochOrder(Tables.documents(s, dir), "doc_id",
+        nShards = 8, epochs = 2, seed = 42L)),
 
     // -- training layout: concat-with-EOD + exact L-token blocks
     //    (span view — O(docs + crossings) rows, never token explode) --
@@ -1873,6 +1948,40 @@ object PipelineQueries {
 
     "q_label_prop" -> LabelPropSql,
 
+    "q_coreset" -> CoresetSql,
+
+    "q_source_sim" ->
+      """WITH j AS (
+        |  SELECT d.source, e.embedding
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |), x AS (
+        |  SELECT source,
+        |    CAST(unnest(range(0, len(embedding))) AS INTEGER) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM j
+        |), s AS (
+        |  SELECT source, dim, CAST(sum(q) AS BIGINT) AS sq, count(*) AS n
+        |  FROM x GROUP BY 1, 2
+        |), c AS (
+        |  SELECT source, list(sq ORDER BY dim) AS sqs, max(n) AS n
+        |  FROM s GROUP BY source
+        |), cen AS (
+        |  SELECT source,
+        |    list_transform(sqs, v -> CAST(v AS DOUBLE) / n) AS cen, n
+        |  FROM c
+        |), cn AS (
+        |  SELECT source, cen, n,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(cen, x -> x * x)), (a, b) -> a + b) AS nsq
+        |  FROM cen
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_zip(a.cen, b.cen), z -> z[1] * z[2])),
+        |    (acc, p) -> acc + p) / sqrt(a.nsq * b.nsq) AS cos,
+        |  a.n AS n_a, b.n AS n_b
+        |FROM cn a JOIN cn b ON a.source < b.source""".stripMargin,
+
     // Curriculum layout: the pagerank chain verbatim, then the
     // q_shard_assign Weyl bucket and a per-shard centrality-desc
     // position window
@@ -2250,6 +2359,32 @@ object PipelineQueries {
         |  CAST(row_number() OVER (
         |    PARTITION BY shard ORDER BY bucket, doc_id) AS INTEGER) AS pos
         |FROM s""".stripMargin,
+
+    "q_epoch_order" ->
+      """WITH w AS (
+        |  SELECT doc_id, ((doc_id % 65536) * 40503) % 65536 AS bucket
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, CAST(bucket % 8 AS INTEGER) AS shard, bucket FROM w
+        |), p AS (
+        |  SELECT doc_id, shard,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY shard ORDER BY bucket, doc_id) AS INTEGER) AS pos
+        |  FROM s
+        |), cnt AS (
+        |  SELECT shard, count(*) AS n FROM p GROUP BY 1
+        |), params AS (
+        |  SELECT CAST(e.epoch AS INTEGER) AS epoch, c.shard, c.n,
+        |    list_filter(range(
+        |        (40503 * e.epoch + 2654435761 * c.shard + 42) % 997 + 2,
+        |        (40503 * e.epoch + 2654435761 * c.shard + 42) % 997 + 1002),
+        |      a -> gcd(a, c.n) = 1)[1] AS stride,
+        |    (42 * 31 + e.epoch * 17 + c.shard * 101) % c.n AS off
+        |  FROM (SELECT unnest([1, 2]) AS epoch) e, cnt c
+        |)
+        |SELECT pr.epoch, p.doc_id, p.shard,
+        |  CAST(((pr.stride * (p.pos - 1) + pr.off) % pr.n) + 1 AS INTEGER) AS pos
+        |FROM p JOIN params pr USING (shard)""".stripMargin,
 
     "q_mix_budget" ->
       """WITH t AS (

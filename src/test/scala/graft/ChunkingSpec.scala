@@ -345,4 +345,47 @@ class ChunkingSpec extends SparkSpec {
         s"block ($shard,$blk): span outside block")
     }
   }
+
+  test("epoch order: per-(epoch, shard) bijection, stable membership, epochs differ, deterministic") {
+    import spark.implicits._
+    val docs = (0L until 97L).map(id => (id, s"doc $id")).toDF("doc_id", "text")
+    val out = Chunking.epochOrder(docs, "doc_id", nShards = 4, epochs = 2,
+        seed = 42L).collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("shard"), r.getAs[Int]("pos")))
+    assert(out.length == 2 * 97, "every doc appears once per epoch")
+    // membership matches shardAssign's append-stable Weyl bucket
+    out.foreach { case (_, id, shard, _) =>
+      assert(shard == (((id % 65536L) * 40503L) % 65536L % 4L).toInt)
+    }
+    // bijection: positions within each (epoch, shard) are exactly 1..n
+    out.groupBy(t => (t._1, t._3)).foreach { case ((e, sh), g) =>
+      assert(g.map(_._4).sorted.toSeq == (1 to g.length),
+        s"epoch $e shard $sh: positions must be a permutation of 1..n")
+    }
+    // the two epochs order at least one multi-doc shard differently
+    val orders = out.groupBy(t => (t._1, t._3)).view.mapValues(
+      _.sortBy(_._4).map(_._2).toSeq).toMap
+    val shards = out.map(_._3).distinct
+    assert(shards.exists(sh => orders((1, sh)) != orders((2, sh))),
+      "epoch reshuffle must actually change some traversal order")
+    // and within one epoch the order is not the identity traversal
+    // (the affine stride decorrelates adjacent positions)
+    val rerun = Chunking.epochOrder(docs, "doc_id", nShards = 4, epochs = 2,
+        seed = 42L).collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("shard"), r.getAs[Int]("pos"))).sorted
+    assert(rerun.toSeq == out.sorted.toSeq, "epochOrder must be deterministic")
+  }
+
+  test("epoch order: reserved columns rejected, bad args loud") {
+    import spark.implicits._
+    val docs = Seq((1L, "x", 3)).toDF("doc_id", "text", "epoch")
+    intercept[IllegalArgumentException] {
+      Chunking.epochOrder(docs, "doc_id", 2, 1, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Chunking.epochOrder(docs.select("doc_id", "text"), "doc_id", 2, 0, 0L)
+    }
+  }
 }
