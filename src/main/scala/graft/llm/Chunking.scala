@@ -347,6 +347,47 @@ object Chunking {
           .cast("int").as("pos"))
   }
 
+  /** Size-targeted shard plan: per source, how many output files a
+    * write should produce so each lands near `targetBytes` — the
+    * SMALL-FILES/GIANT-FILES valve every 100 TB pipeline needs ahead
+    * of its parquet sink (a 100 TB write at the default parallelism
+    * produces either millions of KB-files or a handful of TB-files;
+    * both kill the downstream scan). Integer ceiling division on
+    * exact byte sums, so the plan is oracle-checkable.
+    * Output: (sourceCol, n_docs, total_bytes, n_shards).
+    */
+  def shardPlan(df: DataFrame, textCol: String, sourceCol: String,
+                targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "shardPlan: targetBytes must be positive")
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col(textCol)).cast("long")).as("total_bytes"))
+      .withColumn("n_shards",
+        greatest(lit(1L),
+          expr(s"(total_bytes + ${targetBytes - 1}) div $targetBytes"))
+          .cast("int"))
+  }
+
+  /** Executes a size-targeted write: computes the GLOBAL shard count
+    * from `shardPlan`'s arithmetic (one bounded aggregate), then
+    * `repartitionByRange(n, idCol)` — deterministic contiguous id
+    * ranges, which preserves id-range pruning for downstream readers —
+    * and writes parquet. Returns the shard count so callers can
+    * assert the file fan-out. The repartition is the ONE shuffle a
+    * sized write needs; everything else is the write itself.
+    */
+  def writeSizedShards(df: DataFrame, idCol: String, textCol: String,
+                       targetBytes: Long, path: String): Int = {
+    require(targetBytes > 0, "writeSizedShards: targetBytes must be positive")
+    val row = df.agg(
+      sum(octet_length(col(textCol)).cast("long")).as("b")).head()
+    val bytes = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    df.repartitionByRange(n, col(idCol))
+      .write.mode("overwrite").parquet(path)
+    n
+  }
+
   /** Temperature-scaled source mixing — the Pile/LLaMA recipe: source
     * s gets sampling weight |s|^α (α < 1 upweights small, high-value
     * sources relative to bulk crawl), normalized across sources, and a

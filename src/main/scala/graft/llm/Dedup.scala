@@ -829,6 +829,51 @@ object Dedup {
           .as("n_dropped"))
   }
 
+  /** Cross-source content-overlap matrix: for every unordered source
+    * pair, how many DISTINCT w-token segments (the `segmentDedup`
+    * stride-w segmentation — same boundaries, same w) appear in both
+    * sources. The lexical companion to the source-centroid cosine
+    * matrix: where that one says two crawls point the same semantic
+    * direction, this one says verbatim content actually FLOWS between
+    * them (mirrored boilerplate, syndicated text, re-crawled dumps) —
+    * the per-source-pair evidence behind a decision to collapse two
+    * sources before mixing. Pairs sharing nothing are absent, not
+    * zero-padded (the output is the sparse upper triangle).
+    *
+    * Scale shape: segment explode is row-local; the (source, segment)
+    * DISTINCT is one shuffle on the segment text (map-side combine
+    * collapses within-partition repeats first); the self-join is an
+    * EQUALITY join on segment text — never all-pairs — and the pair
+    * count partial-aggregates to S²/2 rows. Hot boilerplate segments
+    * (shared by many sources) fan out S_seg² pairs per segment —
+    * bounded by S², the source count, not the corpus.
+    */
+  def crossSourceOverlap(df: DataFrame, textCol: String,
+                         sourceCol: String, w: Int): DataFrame = {
+    require(w > 0, "crossSourceOverlap: w must be positive")
+    for (c <- Seq("__toks", "__nseg", "__i", "__seg", "source_a",
+        "source_b", "n_shared") if df.columns.contains(c))
+      require(false, s"crossSourceOverlap: '$c' is reserved for internal use — rename it")
+    val segs = df
+      .withColumn("__toks", TextOps.tokens(textCol))
+      .withColumn("__nseg",
+        ceil(size(col("__toks")).cast("double") / w).cast("int"))
+      .select(col(sourceCol),
+        explode(expr(s"sequence(0, __nseg - 1)")).as("__i"),
+        col("__toks"))
+      .select(col(sourceCol),
+        array_join(slice(col("__toks"), col("__i") * w + 1, lit(w)), " ")
+          .as("__seg"))
+      .distinct()
+    segs.as("a")
+      .join(segs.as("b"),
+        col("a.__seg") === col("b.__seg") &&
+          col(s"a.$sourceCol") < col(s"b.$sourceCol"))
+      .groupBy(col(s"a.$sourceCol").as("source_a"),
+        col(s"b.$sourceCol").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Intra-document repeated-segment removal — the within-doc half of
     * the boilerplate story (`segmentDedup` is the corpus-wide half):
     * a document that repeats the same `w`-token segment keeps only the

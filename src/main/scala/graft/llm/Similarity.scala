@@ -1230,7 +1230,11 @@ object Similarity {
         col("__n"))
     val withNorm = cen.withColumn("__nsq",
       expr("aggregate(transform(__cen, x -> x * x), CAST(0.0 AS double), (a, b) -> a + b)"))
-    withNorm.as("a").join(withNorm.as("b"), col("a.__src") < col("b.__src"))
+    // broadcast one side: the pair join is S-sized, but without the
+    // hint Spark's unknown-stats planner picks CartesianProduct — the
+    // shape the scale sweeps (rightly) flag
+    withNorm.as("a")
+      .join(broadcast(withNorm.as("b")), col("a.__src") < col("b.__src"))
       .select(col("a.__src").as("source_a"), col("b.__src").as("source_b"),
         (expr("aggregate(zip_with(a.__cen, b.__cen, (x, y) -> x * y), CAST(0.0 AS double), (acc, p) -> acc + p)") /
           sqrt(col("a.__nsq") * col("b.__nsq"))).as("cos"),

@@ -907,6 +907,21 @@ object PipelineQueries {
     "q_intradoc_dedup" -> ((s, dir) =>
       Dedup.intraDocDedup(Tables.documents(s, dir), "doc_id", "text", w = 2)),
 
+    // -- audit: cross-source segment-overlap matrix — the LEXICAL
+    //    companion to q_source_sim: distinct shared stride-4 segments
+    //    per source pair (verbatim content flow between crawls);
+    //    equality join on segment text, never all-pairs ---------------
+    "q_source_overlap" -> ((s, dir) =>
+      Dedup.crossSourceOverlap(Tables.documents(s, dir), "text",
+        "source", w = 4)),
+
+    // -- sink planning: size-targeted shard counts per source — the
+    //    small-files valve ahead of a parquet write; exact integer
+    //    ceiling division, one aggregate -----------------------------
+    "q_shard_plan" -> ((s, dir) =>
+      Chunking.shardPlan(Tables.documents(s, dir), "text", "source",
+        targetBytes = 65536L)),
+
     // -- training order: deterministic global shuffle into shards ----
     "q_shard_assign" -> ((s, dir) =>
       Chunking.shardAssign(Tables.documents(s, dir), "doc_id", nShards = 8)),
@@ -2359,6 +2374,29 @@ object PipelineQueries {
         |  CAST(row_number() OVER (
         |    PARTITION BY shard ORDER BY bucket, doc_id) AS INTEGER) AS pos
         |FROM s""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |d AS (SELECT source, toks,
+        |        CAST(ceil(len(toks) / 4.0) AS INTEGER) AS nseg FROM t),
+        |seg AS (
+        |  SELECT DISTINCT source,
+        |    array_to_string(list_slice(toks, i*4+1, i*4+4), ' ') AS seg_text
+        |  FROM d, unnest(range(0, nseg)) AS u(i)
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM seg a JOIN seg b
+        |  ON a.seg_text = b.seg_text AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_shard_plan" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |  CAST(greatest(1,
+        |    (CAST(sum(strlen(text)) AS BIGINT) + 65535) // 65536)
+        |    AS INTEGER) AS n_shards
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q_epoch_order" ->
       """WITH w AS (

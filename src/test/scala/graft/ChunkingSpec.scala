@@ -388,4 +388,33 @@ class ChunkingSpec extends SparkSpec {
       Chunking.epochOrder(docs.select("doc_id", "text"), "doc_id", 2, 0, 0L)
     }
   }
+
+  test("shard plan: exact byte sums and ceiling division") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa", "A"),        // 4 bytes
+      (2L, "bbbbbb", "A"),      // 6 bytes -> A: 10 bytes, 2 docs
+      (3L, "c" * 25, "B")       // B: 25 bytes, 1 doc
+    ).toDF("doc_id", "text", "source")
+    val plan = Chunking.shardPlan(docs, "text", "source", targetBytes = 8L)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_bytes"), r.getAs[Int]("n_shards"))).toSet
+    assert(plan == Set(("A", 2L, 10L, 2), ("B", 1L, 25L, 4)),
+      s"got $plan")
+  }
+
+  test("sized shard write: file fan-out equals the plan, rows conserved") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sized_").toString
+    val docs = (0L until 50L).map(id => (id, "x" * 100)).toDF("doc_id", "text")
+    // 5000 bytes at 1200 target -> ceil = 5 shards
+    val n = Chunking.writeSizedShards(docs, "doc_id", "text", 1200L, dir)
+    assert(n == 5, s"expected 5 shards, planned $n")
+    val parts = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts == n, s"expected $n part files, found $parts")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 50L)
+    assert(back.columns.toSet == Set("doc_id", "text"))
+  }
 }

@@ -605,4 +605,21 @@ class LlmDedupSpec extends SparkSpec {
     assert(out((3L, 4L)) == (("lexical", 0.6, -1.0)))
     assert(out((5L, 6L)) == (("semantic", -1.0, 0.5)))
   }
+
+  test("cross-source overlap: distinct shared segments per pair, sparse strict triangle") {
+    import spark.implicits._
+    // w=2 segments; "p q" and "r s" shared by A and B (B repeats "p q"
+    // twice — must still count ONCE); C shares nothing with anyone.
+    val docs = Seq(
+      (1L, "p q r s", "A"),
+      (2L, "p q r s x1 x2", "B"),
+      (3L, "p q p q", "B"),
+      (4L, "z1 z2 z3 z4", "C")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.llm.Dedup.crossSourceOverlap(docs, "text", "source", w = 2)
+      .collect().map(r => (r.getAs[String]("source_a"),
+        r.getAs[String]("source_b"), r.getAs[Long]("n_shared"))).toSet
+    assert(out == Set(("A", "B", 2L)),
+      s"A-B share exactly {p q, r s}; C pairs are absent, got $out")
+  }
 }

@@ -255,4 +255,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!filterLines.exists(_.contains("array_position")),
       s"assignment expression leaked into a Filter:\n${filterLines.mkString("\n")}")
   }
+
+  test("round-9 third-batch plans: equality joins, broadcasts, bounded shuffles") {
+    // source overlap: the segment self-join is an EQUALITY join —
+    // never a cartesian/all-pairs shape
+    val ov = plan("q_source_overlap")
+    assert(!ov.contains("CartesianProduct") &&
+      !ov.contains("BroadcastNestedLoopJoin"),
+      s"source overlap plans an all-pairs join:\n${ov.take(1200)}")
+    // source sim: corpus-side work is equality joins + partial-agged
+    // groupBys; the only nested-loop is the S-sized centroid pair join
+    val sim = plan("q_source_sim")
+    assert(!sim.contains("CartesianProduct"),
+      s"source sim plans a cartesian:\n${sim.take(1200)}")
+    assert(sim.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"only the S-sized pair join may nested-loop:\n${sim.take(1500)}")
+    // epoch order: the corpus was already sharded (checkpointed) —
+    // the per-epoch map adds ONLY the params broadcast, no new shuffle
+    val ep = plan("q_epoch_order")
+    assert(ep.contains("BroadcastHashJoin"),
+      s"epoch order: params table must broadcast:\n${ep.take(1200)}")
+    assert(ep.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+      s"epoch order must not re-shuffle the sharded corpus:\n${ep.take(1200)}")
+    // shard plan: one aggregate -> exactly one shuffle on the source id
+    val sp = plan("q_shard_plan")
+    assert(sp.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"shard plan is one partial-agged aggregate:\n${sp.take(1200)}")
+  }
 }
