@@ -1166,7 +1166,19 @@ object Similarity {
   def pcaProject(df: DataFrame, idCol: String, embCol: String, k: Int,
                  whiten: Boolean = false): DataFrame = {
     val (mean, comps, eig) = pcaTrain(df, idCol, embCol, k)
+    pcaProjectWith(df, idCol, embCol, mean, comps, eig, whiten)
+  }
+
+  /** Projection through an already-trained (possibly
+    * `api.ModelStore`-loaded) basis — train once, project everywhere;
+    * same broadcast compiled-kernel map as `pcaProject`.
+    */
+  def pcaProjectWith(df: DataFrame, idCol: String, embCol: String,
+                     mean: Array[Double], comps: Array[Double],
+                     eig: Array[Double], whiten: Boolean = false): DataFrame = {
+    val k = eig.length
     val d = mean.length
+    require(comps.length == k * d, "pcaProjectWith: components must be k x d")
     val m = new Array[Double](k * d)
     var c = 0
     while (c < k) {
