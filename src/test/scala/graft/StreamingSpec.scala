@@ -500,4 +500,43 @@ class StreamingSpec extends SparkSpec {
       assert(caseIds.sorted == Seq("c1", "c2"))
     } finally q.stop()
   }
+
+  test("streaming artifact scoring: a ModelStore-loaded scorer runs unchanged on a stream") {
+    // the train-batch / score-stream split: the quality scorer is a
+    // row-local HOF with the weight table as a plan literal, so the
+    // SAME operator serves the batch query and the streaming ingest
+    // path once the weights come from the store — no retrain on the
+    // hot path, no state, no watermark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (w, b) = graft.llm.TextOps.trainQualityScorerWeak(docs, "doc_id",
+      "text", Seq("the", "a", "of", "and", "is", "to"), dims = 128,
+      iters = 50, trainSample = 64)
+    val path = java.nio.file.Files.createTempDirectory("graft_qs_").toString + "/m"
+    graft.api.ModelStore.saveQualityScorer(spark, w, b, path)
+    val (lw, lb) = graft.api.ModelStore.loadQualityScorer(spark, path)
+    val in = MemoryStream[(Long, String)]
+    val scored = graft.llm.TextOps.qualityScoreLearned(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", lw, lb)
+    val q = scored.writeStream.outputMode("append")
+      .format("memory").queryName("qscore_stream_out").start()
+    try {
+      val probe = docs.limit(3).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      in.addData(probe.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("qscore_stream_out")
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("q_score"))))
+        .sortBy(_._1).toSeq
+      val batch = graft.llm.TextOps.qualityScoreLearned(
+        docs.limit(3), "doc_id", "text", lw, lb)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("q_score"))))
+        .sortBy(_._1).toSeq
+      assert(streamed == batch,
+        "stream scoring must be bit-equal to the batch tier")
+    } finally q.stop()
+  }
 }
