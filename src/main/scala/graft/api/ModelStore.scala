@@ -102,6 +102,27 @@ object ModelStore {
     (mean, comps, eig)
   }
 
+  // ---- IVF centroid table (Similarity.ivfTrain / ivfTopKWith) -------
+
+  def saveIvf(spark: SparkSession, flatCentroids: Array[Double],
+              kEff: Int, path: String): Unit = {
+    require(kEff > 0 && flatCentroids.nonEmpty &&
+      flatCentroids.length % kEff == 0,
+      "saveIvf: centroids must be kEff x d row-major")
+    write(spark, flatCentroids.zipWithIndex.map { case (v, i) =>
+      Rec("cent", i.toLong, "", "", 0L, v)
+    }.toSeq :+ Rec("meta", 0L, "kEff", "", kEff.toLong, 0.0), path)
+  }
+
+  def loadIvf(spark: SparkSession, path: String): (Array[Double], Int) = {
+    val cent = read(spark, path, "cent").map(_._5)
+    val meta = read(spark, path, "meta")
+    require(meta.length == 1 && meta.head._2 == "kEff" && cent.nonEmpty &&
+      cent.length % meta.head._4.toInt == 0,
+      s"loadIvf: malformed artifact in $path")
+    (cent, meta.head._4.toInt)
+  }
+
   // ---- Quality scorer (TextOps.trainQualityScorerWeak /
   //      qualityScoreLearned) ----------------------------------------
 

@@ -922,6 +922,36 @@ object Dedup {
       .join(existing.select(md5(col(textCol)).as("__h")), Seq("__h"), "left_anti")
       .select(col(idCol))
 
+  /** Snapshot diff — the crawl-refresh ledger: given the previous and
+    * current corpus snapshots keyed by id, classify every id as
+    * added / removed / changed / unchanged (content compared
+    * verbatim). The bookkeeping that decides what the incremental
+    * tiers (L-31/L-32, the streaming dedup) actually need to process
+    * on a refresh, and what a dataset changelog publishes.
+    *
+    * Scale shape: ONE full-outer equi-join keyed on the id — the
+    * minimal shuffle for any old/new reconciliation — with byte sizes
+    * computed row-local before the join so the post-join compare is
+    * cheap. Byte columns carry -1 sentinels on the absent side (never
+    * NULL — the harness csv-hashes column values; same discipline as
+    * `ensemblePairs`). Output: (idCol, status, bytes_old, bytes_new).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), col(textCol).as("__to"),
+      octet_length(col(textCol)).cast("long").as("__bo"))
+    val n = newDf.select(col(idCol), col(textCol).as("__tn"),
+      octet_length(col(textCol)).cast("long").as("__bn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__to").isNull, lit("added"))
+          .when(col("__tn").isNull, lit("removed"))
+          .when(col("__to") =!= col("__tn"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        coalesce(col("__bo"), lit(-1L)).as("bytes_old"),
+        coalesce(col("__bn"), lit(-1L)).as("bytes_new"))
+  }
+
   /** Cross-batch dedup, Bloom scale arm: the daily-crawl shape where
     * `existing` is the full corpus and `incoming` a small new batch.
     * A Bloom filter over the existing hashes is built DISTRIBUTED

@@ -668,12 +668,33 @@ object Similarity {
       return df.limit(0).select(
         col(idCol).as("probe_id"), col(idCol).as("neighbor_id"),
         lit(1).as("rank"), lit(0.0).as("cos"))
+    val (c, ke) = trained.get
+    ivfTopKWith(df, idCol, embCol, probePred, k, c, ke, nProbe)
+  }
 
-    // assignment distances run in the compiled CentroidDistsExpr kernel
-    // (one pass per row; the aggregate/zip_with HOF array it replaces —
-    // bit-identical, FunctionsSpec — was ~3·k·dims interpreted lambda
-    // calls per row and dominated this query's wall time)
-    val (flatCentroids, kEff) = trained.get
+  /** The IVF trainer alone — centroids for `api.ModelStore`
+    * persistence (index-build once, search every run; the pcaTrain /
+    * pcaProjectWith split applied to the ANN ladder). Returns
+    * (flat row-major centroids, effective cluster count), or None on
+    * an empty / all-zero-norm corpus.
+    */
+  def ivfTrain(df: DataFrame, idCol: String, embCol: String,
+               nClusters: Int = 16, lloydIters: Int = 5,
+               trainSample: Int = 512): Option[(Array[Double], Int)] =
+    trainKmeans(normalizedVecs(df, idCol, embCol), idCol, df.count(),
+      nClusters, lloydIters, trainSample)
+
+  /** IVF search through an already-trained (possibly store-loaded)
+    * centroid table — identical plan to `ivfTopK` after its train
+    * step; see that scaladoc for the quarantine/pushdown/broadcast
+    * reasoning.
+    */
+  def ivfTopKWith(df: DataFrame, idCol: String, embCol: String,
+                  probePred: Column, k: Int, flatCentroids: Array[Double],
+                  kEff: Int, nProbe: Int = 4): DataFrame = {
+    require(kEff > 0 && flatCentroids.length % kEff == 0,
+      "ivfTopKWith: centroids must be kEff x d row-major")
+    val vecs = normalizedVecs(df, idCol, embCol)
     def withDists(d: DataFrame): DataFrame =
       d.withColumn("__d",
         graft.functions.Sketches.centroidDists(col("nd"), flatCentroids, kEff))

@@ -907,6 +907,21 @@ object PipelineQueries {
     "q_intradoc_dedup" -> ((s, dir) =>
       Dedup.intraDocDedup(Tables.documents(s, dir), "doc_id", "text", w = 2)),
 
+    // -- bookkeeping: SNAPSHOT DIFF — the crawl-refresh ledger
+    //    (added/removed/changed/unchanged per id, one full-outer
+    //    equi-join); old/new views are deterministic slices of the
+    //    fixture so the ledger itself is the thing under test ---------
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prev = docs.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), col("text"))
+      val curr = docs.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      Dedup.snapshotDiff(prev, curr, "doc_id", "text")
+    }),
+
     // -- audit: cross-source segment-overlap matrix — the LEXICAL
     //    companion to q_source_sim: distinct shared stride-4 segments
     //    per source pair (verbatim content flow between crawls);
@@ -2374,6 +2389,20 @@ object PipelineQueries {
         |  CAST(row_number() OVER (
         |    PARTITION BY shard ORDER BY bucket, doc_id) AS INTEGER) AS pos
         |FROM s""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 3),
+        |n AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 5 != 4)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text != n.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  CAST(coalesce(strlen(o.text), -1) AS BIGINT) AS bytes_old,
+        |  CAST(coalesce(strlen(n.text), -1) AS BIGINT) AS bytes_new
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
     "q_source_overlap" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),

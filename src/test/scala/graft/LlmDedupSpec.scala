@@ -622,4 +622,20 @@ class LlmDedupSpec extends SparkSpec {
     assert(out == Set(("A", "B", 2L)),
       s"A-B share exactly {p q, r s}; C pairs are absent, got $out")
   }
+
+  test("snapshot diff: all four statuses, exact byte ledger, -1 sentinels") {
+    import spark.implicits._
+    val prev = Seq((1L, "same"), (2L, "old text"), (3L, "goes away"))
+      .toDF("doc_id", "text")
+    val curr = Seq((1L, "same"), (2L, "new text!"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Dedup.snapshotDiff(prev, curr, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status"),
+        r.getAs[Long]("bytes_old"), r.getAs[Long]("bytes_new"))).toSet
+    assert(out == Set(
+      (1L, "unchanged", 4L, 4L),
+      (2L, "changed", 8L, 9L),
+      (3L, "removed", 9L, -1L),
+      (4L, "added", -1L, 9L)), s"got $out")
+  }
 }

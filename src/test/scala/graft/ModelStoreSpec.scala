@@ -94,4 +94,24 @@ class ModelStoreSpec extends SparkSpec {
       ModelStore.loadBigramLm(spark, path)
     }
   }
+
+  test("IVF centroids round-trip bit-exactly and searches agree") {
+    val trained = Similarity.ivfTrain(embs, "vec_id", "embedding",
+      nClusters = 8, trainSample = 128)
+    assert(trained.nonEmpty)
+    val (cent, kEff) = trained.get
+    val path = tmp("graft_ivf_")
+    ModelStore.saveIvf(spark, cent, kEff, path)
+    val (c2, k2) = ModelStore.loadIvf(spark, path)
+    assert(c2.toSeq == cent.toSeq && k2 == kEff)
+    def search(cc: Array[Double], kk: Int) =
+      Similarity.ivfTopKWith(embs, "vec_id", "embedding",
+          col("vec_id") % 50 === 0, k = 5, cc, kk, nProbe = 4)
+        .collect().map(r => (r.getAs[Long]("probe_id"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"),
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("cos"))))
+        .sortBy(t => (t._1, t._3)).toSeq
+    assert(search(c2, k2) == search(cent, kEff),
+      "a loaded index must search bit-equal")
+  }
 }
