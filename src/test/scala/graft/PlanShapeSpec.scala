@@ -282,4 +282,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(sp.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
       s"shard plan is one partial-agged aggregate:\n${sp.take(1200)}")
   }
+
+  test("q_snapshot_diff: one full-outer equi-join, never a nested loop") {
+    val p = plan("q_snapshot_diff")
+    assert(p.contains("FullOuter"),
+      s"the ledger is a full-outer reconciliation:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"snapshot diff must stay an equi-join:\n${p.take(1200)}")
+  }
 }
