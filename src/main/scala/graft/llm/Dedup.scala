@@ -769,6 +769,103 @@ object Dedup {
     labels
   }
 
+  /** Dedup-aware SOFT retention weights — the downweight-instead-of-drop
+    * alternative when removal is too aggressive (templated-but-distinct
+    * docs, licensed boilerplate with unique payloads): every near-dup
+    * cluster collectively counts ONCE in the training mix instead of
+    * `size` times, but no document vanishes. Weights are exact integer
+    * micro-units (1e6 = 1.0): a singleton keeps 1_000_000; a cluster of
+    * size s gives each member floor(1e6/s) and assigns the division
+    * remainder 1e6 − s·floor(1e6/s) to the cluster's MIN-ID member, so
+    * Σ weight over every cluster is EXACTLY 1_000_000 — corpus mass is
+    * conserved to the micro-unit and the weights compose losslessly
+    * with the integer mixing tiers (`mixToBudget`/`mixTemperature`).
+    *
+    * Scale shape: the pair graph (from any dedup tier — the LSH arms
+    * slot in unchanged) is closed under `connectedComponents`
+    * (pointer-jumped, O(log diameter) rounds); docs outside every pair
+    * ride a LEFT join and become their own singleton cluster; cluster
+    * sizes are one partial-agg shuffle collapsing to #clusters rows;
+    * the weight itself is row-local integer arithmetic. The doc table
+    * is shuffled once, on the id join key.
+    *
+    * Output: (idCol, cluster_id, cluster_size, weight_micro).
+    */
+  /** Per-document n-gram NOVELTY — the dedup-QA metric of the
+    * substring-dedup literature (what fraction of a doc is text the
+    * corpus has not seen before it): for every document, the share of
+    * its DISTINCT n-grams whose globally FIRST occurrence (minimum
+    * doc id over all docs containing the gram — the id is the crawl-
+    * order proxy) is this document. A novelty near 0 flags a doc
+    * assembled almost entirely from earlier text (lifted/templated)
+    * even when no single pair crosses a near-dup threshold; the
+    * corpus-level histogram is the standard before/after evidence
+    * that a dedup pass worked.
+    *
+    * Scale shape: gram explode is row-local; one partial-agged
+    * min-shuffle on the gram computes first owners; one join back on
+    * the gram and one per-doc count-agg — all keyed shuffles, no
+    * pairwise surface at all (this is the metric you CAN afford when
+    * the Σf² pair tiers are out of budget). At 100 TB the gram text
+    * would be pre-hashed to 8 bytes before the shuffle; raw text here
+    * keeps the oracle comparison collision-free (the segmentDedup
+    * note). Short docs (< n tokens, zero grams) surface with
+    * n_grams = 0 and novelty_micro = −1 — out-of-range sentinel,
+    * never NULL, never dropped.
+    *
+    * Output: (idCol, n_grams, n_novel, novelty_micro).
+    */
+  def gramNovelty(df: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame = {
+    require(n >= 1, "gramNovelty: n must be >= 1")
+    for (c <- Seq("gram", "n_grams", "n_novel", "novelty_micro", "__toks",
+        "__g", "__first") if df.columns.contains(c))
+      require(c == idCol,
+        s"gramNovelty: '$c' is reserved for internal use — rename it")
+    val grams = df
+      .filter(col(textCol).isNotNull)
+      .withColumn("__toks", TextOps.tokens(textCol))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), explode(TextOps.ngrams("__toks", n)).as("gram"))
+    val firstOwner = grams.groupBy("gram")
+      .agg(min(col(idCol)).as("__first"))
+    val perDoc = grams.join(firstOwner, Seq("gram"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col(idCol) === col("__first"), 1L).otherwise(0L)).as("n_novel"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).cast("long").as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).cast("long").as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          expr("coalesce(n_novel, 0) * 1000000 div n_grams"))
+          .otherwise(lit(-1L)).cast("long").as("novelty_micro"))
+  }
+
+  def softDedupWeights(docs: DataFrame, idCol: String,
+                       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    for (c <- Seq("cluster_id", "cluster_size", "weight_micro", "__minid")
+        if docs.columns.contains(c))
+      require(c == idCol,
+        s"softDedupWeights: '$c' is reserved for internal use — rename it")
+    val cc = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("cluster_id"))
+    val labeled = docs.select(col(idCol).cast("long").as(idCol))
+      .join(cc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    val sizes = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"), min(col(idCol)).as("__minid"))
+    labeled.join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id").cast("long").as("cluster_id"),
+        col("cluster_size").cast("long").as("cluster_size"),
+        (expr("1000000L div cluster_size") +
+          when(col(idCol) === col("__minid"),
+            lit(1000000L) - col("cluster_size") * expr("1000000L div cluster_size"))
+            .otherwise(lit(0L))).cast("long").as("weight_micro"))
+  }
+
   /** Segment-level boilerplate removal — the corpus-wide line-dedup
     * pass of the CCNet/RefinedWeb pipelines, realized on token
     * segments (this corpus is single-line text, so the "line" unit is
@@ -950,6 +1047,49 @@ object Dedup {
           .otherwise(lit("unchanged")).as("status"),
         coalesce(col("__bo"), lit(-1L)).as("bytes_old"),
         coalesce(col("__bn"), lit(-1L)).as("bytes_new"))
+  }
+
+  /** Snapshot DRIFT report — the distributional companion to
+    * `snapshotDiff`'s per-id ledger: per-source token mass in the old
+    * and new snapshots, micro-unit corpus shares, the share delta,
+    * and the total-variation distance between the two source mixes
+    * (TV = ½·Σ|p_s − q_s|, the standard drift statistic, stamped on
+    * every row). A crawl refresh that silently doubled one source's
+    * share — the thing that skews the next mixing run — surfaces here
+    * as one loud number. All arithmetic is exact integers: shares are
+    * floor(toks·1e6 / total) BIGINTs, TV is an integer sum halved, so
+    * the report replays bit-for-bit in any engine.
+    *
+    * Scale shape: two partial-agg shuffles each collapsing to S
+    * (=#sources) rows BEFORE the exchange; the full-outer join,
+    * 1-row totals broadcast, and the unbounded window all run on
+    * S-sized data — corpus rows are never shuffled. Absent sources
+    * surface with 0 tokens (never NULL); an EMPTY snapshot fails loud
+    * on the share division (ANSI) rather than reporting 0 drift.
+    *
+    * Output: (source, toks_old, toks_new, share_old_micro,
+    * share_new_micro, delta_micro, tv_micro).
+    */
+  def snapshotDrift(oldDf: DataFrame, newDf: DataFrame,
+                    srcCol: String, textCol: String): DataFrame = {
+    def perSource(df: DataFrame, as: String): DataFrame =
+      df.groupBy(col(srcCol).as("source"))
+        .agg(sum(size(graft.llm.TextOps.tokens(textCol)).cast("long")).as(as))
+    val joined = perSource(oldDf, "toks_old")
+      .join(perSource(newDf, "toks_new"), Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("toks_old"), lit(0L)).as("toks_old"),
+        coalesce(col("toks_new"), lit(0L)).as("toks_new"))
+    val totals = joined.agg(sum("toks_old").cast("long").as("__tot_old"),
+      sum("toks_new").cast("long").as("__tot_new"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("source"), col("toks_old"), col("toks_new"),
+        expr("toks_old * 1000000L div __tot_old").as("share_old_micro"),
+        expr("toks_new * 1000000L div __tot_new").as("share_new_micro"))
+      .withColumn("delta_micro",
+        col("share_new_micro") - col("share_old_micro"))
+      .withColumn("tv_micro",
+        expr("sum(abs(delta_micro)) OVER () div 2").cast("long"))
   }
 
   /** Cross-batch dedup, Bloom scale arm: the daily-crawl shape where

@@ -511,6 +511,41 @@ object TextOps {
       .agg(sum(col("__c")).as("score_micro"))
   }
 
+  /** BM25 top-k THROUGH a prebuilt inverted index
+    * (`Retrieval.buildLexIndex`): the search path joins the broadcast
+    * query-term table against the postings — the corpus text is never
+    * touched and never re-tokenized, which is the entire point of
+    * paying the index build once. Bit-equal to `bm25TopK` by
+    * construction: the same exact integers (tf, df, dl, n_docs,
+    * sum_dl) flow through the same IEEE formula and the same
+    * micro-unit floor, so `RetrievalSpec` gates equality rather than
+    * recall.
+    */
+  def bm25TopKIndexed(postings: DataFrame, stats: DataFrame, idCol: String,
+                      queries: Seq[(Int, Seq[String])], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25TopKIndexed: every query needs at least one term")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "bm25TopKIndexed: qids must be unique (merge a query's terms into one entry)")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
+      .toDF("qid", "term")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = col("n_docs").cast("double") / col("df").cast("double")
+    val tfd = col("tf").cast("double")
+    val denom = tfd + lit(k1 * (1 - b)) +
+      lit(k1 * b) * (col("dl").cast("double") / avgdl)
+    val contrib = idf * (tfd * lit(k1 + 1)) / denom
+    val scores = postings.join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__c", floor(contrib * lit(1e6)).cast("long"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("__c")).as("score_micro"))
+    rankScores(scores, idCol, k)
+  }
+
   private def rankScores(scores: DataFrame, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid"))

@@ -860,6 +860,19 @@ object PipelineQueries {
           "embedding", k = 3).select(col("src"), col("dst")),
         "src", "dst", iters = 10, topN = 50)),
 
+    // -- graph: triangle count + local clustering coefficient over the
+    //    SAME kNN graph — redundancy (how replaceable a doc is)
+    //    pairing q_pagerank's centrality; degree-ordered orientation
+    //    (Schank–Wagner) bounds the wedge fan-out at O(√m) per node,
+    //    exact integers ⇒ full DuckDB replay ---------------------------
+    "q_triangles" -> ((s, dir) =>
+      graft.analytics.Triangles.localTriangles(
+        Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k = 3).select(col("src"), col("dst")),
+        "src", "dst")
+        .select(col("id").as("vec_id"), col("degree"), col("triangles"),
+          col("lcc_micro"))),
+
     // -- coreset: k-center greedy (Gonzalez farthest-point) — the
     //    DIVERSITY selection signal pairing q_pagerank's centrality:
     //    k passes, zero shuffles, one TakeOrdered row collected per
@@ -920,6 +933,22 @@ object PipelineQueries {
           when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text"))
       Dedup.snapshotDiff(prev, curr, "doc_id", "text")
+    }),
+
+    // -- bookkeeping: snapshot DRIFT — the distributional companion to
+    //    q_snapshot_diff over the SAME old/new slices: per-source token
+    //    shares in exact micro-units, the share delta, and the total-
+    //    variation distance of the source mix stamped on every row.
+    //    Everything integer ⇒ bit-for-bit cross-engine -----------------
+    "q_snapshot_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prev = docs.filter(col("doc_id") % 7 =!= 3)
+        .select(col("source"), col("text"))
+      val curr = docs.filter(col("doc_id") % 5 =!= 4)
+        .select(col("source"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      Dedup.snapshotDrift(prev, curr, "source", "text")
     }),
 
     // -- audit: cross-source segment-overlap matrix — the LEXICAL
@@ -1059,6 +1088,19 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
+    // -- dedup: SOFT retention weights — downweight instead of drop:
+    //    each near-dup cluster collectively counts ONCE (exact integer
+    //    micro-units, remainder to the min-id member so per-cluster
+    //    mass is exactly 1e6 — conserved, composable with the integer
+    //    mixing tiers). Pairs from the LSH scale arm (fixture-equal to
+    //    the exact tier), so the oracle replays the exact pair graph --
+    "q_soft_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.5)
+      Dedup.softDedupWeights(docs, "doc_id", pairs, "id_a", "id_b")
+    }),
+
     // -- tokenizer: BPE trained on THIS corpus's word-frequency table
     //    (one count shuffle + driver merge loop over the bounded
     //    vocab), then per-source subword stats with the encode paid
@@ -1086,6 +1128,14 @@ object PipelineQueries {
         docs.filter(pmod(col("doc_id"), lit(50)) === 0),
         "doc_id", "text", n = 5, minShared = 3L)
     }),
+
+    // -- dedup QA: per-document n-gram NOVELTY — share of each doc's
+    //    distinct trigrams first seen (min doc id = crawl-order proxy)
+    //    in that doc; near-0 flags text assembled from earlier docs
+    //    even when no pair crosses a near-dup threshold. Keyed
+    //    shuffles only — the affordable metric when pair tiers aren't -
+    "q_novelty" -> ((s, dir) =>
+      Dedup.gramNovelty(Tables.documents(s, dir), "doc_id", "text", n = 3)),
 
     // -- dedup retention policy: keep the BEST-QUALITY document per
     //    near-dup cluster (not the lowest id) — the policy a curation
@@ -1976,6 +2026,47 @@ object PipelineQueries {
         |  FROM pr10)
         |WHERE rnk <= 50""".stripMargin,
 
+    // the shared kNN CTE + canonical undirected edges + degree-ordered
+    // orientation + wedge/close joins — the exact Schank–Wagner replay;
+    // lcc in integer micro-units (// ≡ div on positive operands)
+    "q_triangles" ->
+      s"""$KnnEdgesCte,
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src != dst
+        |), dg AS (
+        |  SELECT v, count(*) AS degree FROM (
+        |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY 1
+        |), ori AS (
+        |  SELECT CASE WHEN da.degree <= db.degree THEN u.a ELSE u.b END AS src,
+        |         CASE WHEN da.degree <= db.degree THEN u.b ELSE u.a END AS dst
+        |  FROM und u JOIN dg da ON da.v = u.a JOIN dg db ON db.v = u.b
+        |), od AS (
+        |  SELECT o.src, o.dst, d.degree AS dd
+        |  FROM ori o JOIN dg d ON d.v = o.dst
+        |), wedge AS (
+        |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        |  FROM od e1 JOIN od e2 ON e1.src = e2.src
+        |  WHERE e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst)
+        |), tri AS (
+        |  SELECT wg.u, wg.v, wg.w
+        |  FROM wedge wg JOIN ori o ON o.src = wg.v AND o.dst = wg.w
+        |), pern AS (
+        |  SELECT v, count(*) AS triangles FROM (
+        |    SELECT u AS v FROM tri
+        |    UNION ALL SELECT v FROM tri
+        |    UNION ALL SELECT w FROM tri)
+        |  GROUP BY 1
+        |)
+        |SELECT d.v AS vec_id, CAST(d.degree AS BIGINT) AS degree,
+        |  CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+        |  CAST(CASE WHEN d.degree >= 2
+        |    THEN 2000000 * coalesce(p.triangles, 0)
+        |      // (d.degree * (d.degree - 1))
+        |    ELSE 0 END AS BIGINT) AS lcc_micro
+        |FROM dg d LEFT JOIN pern p ON p.v = d.v""".stripMargin,
+
     "q_label_prop" -> LabelPropSql,
 
     "q_coreset" -> CoresetSql,
@@ -2404,6 +2495,40 @@ object PipelineQueries {
         |  CAST(coalesce(strlen(n.text), -1) AS BIGINT) AS bytes_new
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
+    // q_snapshot_diff's old/new slices, aggregated to per-source token
+    // mass; integer micro-unit shares (DuckDB // ≡ Spark div on
+    // positive operands; sums wrapped in CAST — DuckDB sum(BIGINT) is
+    // HUGEINT), TV distance = halved integer sum over all sources
+    "q_snapshot_drift" ->
+      """WITH o AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks_old
+        |  FROM documents WHERE doc_id % 7 != 3 GROUP BY 1
+        |), n AS (
+        |  SELECT source, CAST(sum(len(string_split(
+        |      CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END,
+        |      ' '))) AS BIGINT) AS toks_new
+        |  FROM documents WHERE doc_id % 5 != 4 GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(o.source, n.source) AS source,
+        |    coalesce(toks_old, 0) AS toks_old,
+        |    coalesce(toks_new, 0) AS toks_new
+        |  FROM o FULL OUTER JOIN n ON o.source = n.source
+        |), s AS (
+        |  SELECT source, toks_old, toks_new,
+        |    toks_old * 1000000 // CAST((SELECT sum(toks_old) FROM j) AS BIGINT)
+        |      AS share_old_micro,
+        |    toks_new * 1000000 // CAST((SELECT sum(toks_new) FROM j) AS BIGINT)
+        |      AS share_new_micro
+        |  FROM j
+        |)
+        |SELECT source, toks_old, toks_new,
+        |  CAST(share_old_micro AS BIGINT) AS share_old_micro,
+        |  CAST(share_new_micro AS BIGINT) AS share_new_micro,
+        |  CAST(share_new_micro - share_old_micro AS BIGINT) AS delta_micro,
+        |  CAST(CAST(sum(abs(share_new_micro - share_old_micro)) OVER ()
+        |    AS BIGINT) // 2 AS BIGINT) AS tv_micro
+        |FROM s""".stripMargin,
+
     "q_source_overlap" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
         |d AS (SELECT source, toks,
@@ -2583,6 +2708,46 @@ object PipelineQueries {
         |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY node""".stripMargin,
 
+    // q_dedup_clusters' reachability CTE + singleton fill via LEFT
+    // join + exact integer micro-unit weights (DuckDB // ≡ Spark div
+    // on positive BIGINTs); remainder to the min-id member so each
+    // cluster sums to exactly 1e6
+    "q_soft_dedup" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      CAST(len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT src AS node, src AS r FROM edges
+        |  UNION
+        |  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+        |), cc AS (
+        |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+        |), lab AS (
+        |  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+        |), sz AS (
+        |  SELECT cluster_id, count(*) AS cluster_size, min(doc_id) AS minid
+        |  FROM lab GROUP BY 1
+        |)
+        |SELECT l.doc_id, CAST(l.cluster_id AS BIGINT) AS cluster_id,
+        |  CAST(s.cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(1000000 // s.cluster_size + CASE WHEN l.doc_id = s.minid
+        |    THEN 1000000 - s.cluster_size * (1000000 // s.cluster_size)
+        |    ELSE 0 END AS BIGINT) AS weight_micro
+        |FROM lab l JOIN sz s USING (cluster_id)""".stripMargin,
+
     "q_vocab_topk" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token
@@ -2609,6 +2774,34 @@ object PipelineQueries {
         |FROM g c JOIN g b ON c.gram = b.gram
         |WHERE c.doc_id % 50 != 0 AND b.doc_id % 50 = 0
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    // distinct trigrams per doc, global first owner = min doc_id,
+    // integer micro-unit share; short docs −1 sentinel via LEFT join
+    "q_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks) - 1), i ->
+        |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [] END)) AS gram
+        |  FROM t
+        |), f AS (
+        |  SELECT gram, min(doc_id) AS first_id FROM g GROUP BY 1
+        |), pd AS (
+        |  SELECT g.doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN g.doc_id = f.first_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_novel
+        |  FROM g JOIN f USING (gram) GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(pd.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST(CASE WHEN coalesce(pd.n_grams, 0) > 0
+        |    THEN coalesce(pd.n_novel, 0) * 1000000 // pd.n_grams
+        |    ELSE -1 END AS BIGINT) AS novelty_micro
+        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
 
     // reachability CTE (exact pairs, fixture-equal to the LSH arm) +
     // the oracle-shared quality composite + row_number per cluster

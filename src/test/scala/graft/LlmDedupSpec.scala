@@ -638,4 +638,72 @@ class LlmDedupSpec extends SparkSpec {
       (3L, "removed", 9L, -1L),
       (4L, "added", -1L, 9L)), s"got $out")
   }
+
+  test("softDedupWeights: per-cluster mass exactly 1e6, remainder on min id, singletons untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t"), (2L, "t"), (3L, "t"),    // cluster of 3 (via pairs)
+      (10L, "u"), (11L, "u"),             // cluster of 2
+      (20L, "v"), (21L, "w")              // singletons (no pair)
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = graft.llm.Dedup.softDedupWeights(docs, "doc_id", pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 7, "every doc surfaces exactly once")
+    // floor(1e6/3) = 333333; the division remainder 1 goes to min id 1
+    assert(out(1L) == ((1L, 3L, 333334L)))
+    assert(out(2L) == ((1L, 3L, 333333L)))
+    assert(out(3L) == ((1L, 3L, 333333L)))
+    assert(out(10L) == ((10L, 2L, 500000L)))
+    assert(out(11L) == ((10L, 2L, 500000L)))
+    assert(out(20L) == ((20L, 1L, 1000000L)))
+    assert(out(21L) == ((21L, 1L, 1000000L)))
+    // conservation: each cluster sums to EXACTLY 1e6 micro-units
+    val byCluster = out.values.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    assert(byCluster.values.forall(_ == 1000000L),
+      s"per-cluster mass must be exactly 1e6, got $byCluster")
+  }
+
+  test("gramNovelty: first doc fully novel, verbatim copy zero, short doc -1 sentinel") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),   // 3 distinct trigrams, all first here
+      (2L, "a b c d e"),   // exact copy — nothing novel
+      (3L, "a b c x y z"), // 4 trigrams, 'a b c' seen in doc 1 → 3/4
+      (4L, "q r")          // < n tokens: 0 grams, -1 sentinel
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Dedup.gramNovelty(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((3L, 3L, 1000000L)))
+    assert(out(2L) == ((3L, 0L, 0L)))
+    assert(out(3L) == ((4L, 3L, 750000L)))
+    assert(out(4L) == ((0L, 0L, -1L)))
+  }
+
+  test("snapshotDrift: exact micro-unit shares, TV distance, absent sources loud zeros") {
+    import spark.implicits._
+    val oldDf = Seq(("s1", "a b c d"), ("s2", "e f g h"))
+      .toDF("source", "text") // 4 + 4 tokens → shares 500000 / 500000
+    val newDf = Seq(("s1", "a b c d e f"), ("s3", "x y"))
+      .toDF("source", "text") // 6 + 2 → shares 750000 / 250000
+    val rows = graft.llm.Dedup.snapshotDrift(oldDf, newDf, "source", "text")
+      .collect()
+    val m = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(m.keySet == Set("s1", "s2", "s3"))
+    assert(m("s1") == ((4L, 6L, 500000L, 750000L, 250000L)))
+    assert(m("s2") == ((4L, 0L, 500000L, 0L, -500000L)), "removed source: 0 tokens, never NULL")
+    assert(m("s3") == ((0L, 2L, 0L, 250000L, 250000L)), "added source: 0 old tokens")
+    // TV = (|250000| + |-500000| + |250000|) div 2, stamped on every row
+    assert(rows.forall(_.getLong(6) == 500000L))
+  }
+
+  test("snapshotDrift: identical snapshots have zero deltas and zero TV") {
+    val d = docs.select(col("source"), col("text"))
+    val rows = graft.llm.Dedup.snapshotDrift(d, d, "source", "text").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(5) == 0L && r.getLong(6) == 0L))
+  }
 }
