@@ -248,6 +248,48 @@ object Chunking {
     (withTok, totals)
   }
 
+  /** Dedup-adjusted source mixture — the COMPOSITION of the soft-dedup
+    * weights (`Dedup.softDedupWeights`) with the mixing layer's
+    * decision input: per source, raw vs EFFECTIVE token mass, where a
+    * document contributes floor(n_tokens · weight_micro / 1e6) tokens
+    * — so a near-dup cluster's text counts ONCE toward its sources'
+    * shares no matter how many copies the crawl caught. The effective
+    * micro-unit share is what a temperature mix / budget sampler
+    * should draw from after soft dedup; comparing it to the raw share
+    * shows exactly how much each source's apparent mass was duplicate
+    * inflation (the CommonCrawl-vs-curated correction in the
+    * SlimPajama writeup).
+    *
+    * All arithmetic exact integers (floor-scaled products, integer
+    * share division) ⇒ full DuckDB replay. Scale shape: one id-keyed
+    * join of the weight table onto the corpus, one per-source
+    * partial-agg shuffle collapsing to S rows, 1-row total broadcast
+    * back — the corpus never shuffles on anything but the id join.
+    *
+    * Output: (sourceCol, n_docs, raw_tokens, eff_tokens,
+    * eff_share_micro).
+    */
+  def weightedSourceMix(docs: DataFrame, sourceCol: String, idCol: String,
+                        textCol: String, weights: DataFrame): DataFrame = {
+    for (c <- Seq("__nt", "__eff", "n_docs", "raw_tokens", "eff_tokens",
+        "eff_share_micro", "weight_micro") if docs.columns.contains(c))
+      require(false, s"weightedSourceMix: '$c' is reserved for internal use — rename it")
+    val joined = docs
+      .select(col(sourceCol), col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("__nt"))
+      .join(weights.select(col(idCol), col("weight_micro")), Seq(idCol))
+      .withColumn("__eff", expr("__nt * weight_micro div 1000000"))
+    val perSource = joined.groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__nt").cast("long").as("raw_tokens"),
+        sum("__eff").cast("long").as("eff_tokens"))
+    val total = perSource.agg(sum("eff_tokens").cast("long").as("__tot"))
+    perSource.crossJoin(broadcast(total))
+      .select(col(sourceCol), col("n_docs"), col("raw_tokens"),
+        col("eff_tokens"),
+        expr("eff_tokens * 1000000 div __tot").as("eff_share_micro"))
+  }
+
   /** Deterministic global shuffle + sharding — the "shuffle the corpus
     * before training" step, made reproducible. Each document's shard
     * is the portable Weyl bucket of its id modulo `nShards` (so shard

@@ -521,8 +521,8 @@ object TextOps {
     * micro-unit floor, so `RetrievalSpec` gates equality rather than
     * recall.
     */
-  def bm25TopKIndexed(postings: DataFrame, stats: DataFrame, idCol: String,
-                      queries: Seq[(Int, Seq[String])], k: Int,
+  def bm25TopKIndexed(postings: DataFrame, termDf: DataFrame, stats: DataFrame,
+                      idCol: String, queries: Seq[(Int, Seq[String])], k: Int,
                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "bm25TopKIndexed: every query needs at least one term")
@@ -532,13 +532,22 @@ object TextOps {
     import spark.implicits._
     val qterms = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
       .toDF("qid", "term")
+    // the literal In-filter (not just the join) is what reaches the
+    // parquet scan as a pushed filter: with the index term-sorted on
+    // disk, row-group min/max stats skip every posting list the query
+    // never probes — the search reads O(matching postings), not the
+    // index (PlanShapeSpec gates the pushdown). The df side-table is
+    // In-filtered the same way and rides the same broadcast tier.
+    val probedTerms = queries.flatMap(_._2).distinct
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = col("n_docs").cast("double") / col("df").cast("double")
     val tfd = col("tf").cast("double")
     val denom = tfd + lit(k1 * (1 - b)) +
       lit(k1 * b) * (col("dl").cast("double") / avgdl)
     val contrib = idf * (tfd * lit(k1 + 1)) / denom
-    val scores = postings.join(broadcast(qterms), "term")
+    val scores = postings.filter(col("term").isin(probedTerms: _*))
+      .join(broadcast(qterms), "term")
+      .join(broadcast(termDf.filter(col("term").isin(probedTerms: _*))), "term")
       .crossJoin(broadcast(stats))
       .withColumn("__c", floor(contrib * lit(1e6)).cast("long"))
       .groupBy(col("qid"), col(idCol))

@@ -723,6 +723,23 @@ object PipelineQueries {
       TextOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
         Bm25Queries, k = 5, k1 = Bm25K1, b = Bm25B)),
 
+    // -- retrieval: the PERSISTED inverted index behind the lexical
+    //    arm — per-term document frequency + total term frequency,
+    //    rank-limited audit of the build-once/search-many table
+    //    (indexed search itself is bit-equality-gated in
+    //    RetrievalSpec; the ivfTrain/ivfTopKWith pattern) -------------
+    "q_inverted_index" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val idx = Retrieval.buildLexIndex(Tables.documents(s, dir),
+        "doc_id", "text")
+      idx.termDf.join(idx.postings.groupBy("term")
+          .agg(sum(col("tf")).cast("long").as("total_tf")), Seq("term"))
+        .select(col("term"), col("df"), col("total_tf"))
+        .orderBy(col("df").desc, col("term")).limit(30)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("df").desc, col("term"))))
+    }),
+
     // -- retrieval: HYBRID query-by-example — dense cosine arm +
     //    lexical BM25-by-doc arm, fused by integer reciprocal-rank
     //    fusion (both arms' rank tables are tiny; fusion never sees
@@ -1099,6 +1116,18 @@ object PipelineQueries {
       val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
         threshold = 0.5)
       Dedup.softDedupWeights(docs, "doc_id", pairs, "id_a", "id_b")
+    }),
+
+    // -- mixing: the soft-dedup weights COMPOSED into the mixture
+    //    decision input — per source raw vs EFFECTIVE token mass
+    //    (cluster text counts once) and the effective micro-unit
+    //    share a post-dedup sampler draws from ------------------------
+    "q_weighted_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.5)
+      val w = Dedup.softDedupWeights(docs, "doc_id", pairs, "id_a", "id_b")
+      Chunking.weightedSourceMix(docs, "source", "doc_id", "text", w)
     }),
 
     // -- tokenizer: BPE trained on THIS corpus's word-frequency table
@@ -1984,6 +2013,24 @@ object PipelineQueries {
         |SELECT CAST(qid AS INTEGER) AS qid, doc_id, score_micro, "rank"
         |FROM r WHERE "rank" <= 5""".stripMargin,
 
+    // the index's per-term audit: df = distinct docs per term,
+    // total_tf = summed in-doc counts, top 30 by (df desc, term)
+    "q_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), ex AS (
+        |  SELECT doc_id, unnest(toks) AS term FROM tok
+        |), tf AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM ex GROUP BY 1, 2
+        |), st AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(tf) AS BIGINT) AS total_tf
+        |  FROM tf GROUP BY 1
+        |)
+        |SELECT term, df, total_tf,
+        |  CAST(row_number() OVER (ORDER BY df DESC, term) AS INTEGER) AS "rank"
+        |FROM st ORDER BY df DESC, term LIMIT 30""".stripMargin,
+
     // Corpus report: dup window + the q_quality_rules CTE + one
     // source groupBy; the mean is one IEEE divide of exact integers
     "q_corpus_report" ->
@@ -2747,6 +2794,63 @@ object PipelineQueries {
         |    THEN 1000000 - s.cluster_size * (1000000 // s.cluster_size)
         |    ELSE 0 END AS BIGINT) AS weight_micro
         |FROM lab l JOIN sz s USING (cluster_id)""".stripMargin,
+
+    // q_soft_dedup's weight chain as a CTE, composed into the
+    // per-source effective-mass aggregation (floor-scaled integer
+    // products; // ≡ div on positive operands)
+    "q_weighted_mix" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      CAST(len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT src AS node, src AS r FROM edges
+        |  UNION
+        |  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+        |), cc AS (
+        |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+        |), lab AS (
+        |  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+        |), sz AS (
+        |  SELECT cluster_id, count(*) AS cluster_size, min(doc_id) AS minid
+        |  FROM lab GROUP BY 1
+        |), wtab AS (
+        |  SELECT l.doc_id,
+        |    CAST(1000000 // s.cluster_size + CASE WHEN l.doc_id = s.minid
+        |      THEN 1000000 - s.cluster_size * (1000000 // s.cluster_size)
+        |      ELSE 0 END AS BIGINT) AS weight_micro
+        |  FROM lab l JOIN sz s USING (cluster_id)
+        |), nt AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents d
+        |), eff AS (
+        |  SELECT nt.source, nt.ntok,
+        |    (nt.ntok * w.weight_micro) // 1000000 AS e
+        |  FROM nt JOIN wtab w ON w.doc_id = nt.doc_id
+        |), ps AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(ntok) AS BIGINT) AS raw_tokens,
+        |    CAST(sum(e) AS BIGINT) AS eff_tokens
+        |  FROM eff GROUP BY 1
+        |)
+        |SELECT source, n_docs, raw_tokens, eff_tokens,
+        |  CAST(eff_tokens * 1000000
+        |    // CAST((SELECT sum(eff_tokens) FROM ps) AS BIGINT)
+        |    AS BIGINT) AS eff_share_micro
+        |FROM ps""".stripMargin,
 
     "q_vocab_topk" ->
       """WITH tok AS (

@@ -79,6 +79,76 @@ object EventStream {
         col("window.end").as("window_end"),
         col(keyCol), col("n_events"))
 
+  final case class DriftDoc(source: String, text: String, ts: Timestamp)
+  final case class DriftState(counts: Map[String, Long])
+  final case class DriftReport(windowStart: Timestamp, source: String,
+      toks: Long, shareMicro: Long, baselineMicro: Long, deltaMicro: Long,
+      tvMicro: Long)
+
+  /** Streaming source-mix drift monitor — the unbounded arm of
+    * `Dedup.snapshotDrift` (L-97): per tumbling event-time window, the
+    * incoming corpus's per-source token shares are compared against a
+    * STATIC baseline mix (micro-unit shares, e.g. yesterday's
+    * `snapshotDrift`/`weightedSourceMix` output), and the window's
+    * report — share, delta, and the window's total-variation distance
+    * stamped on every row — emits EXACTLY ONCE when the watermark
+    * closes the window. The alert shape for "the crawl mix silently
+    * shifted" during ingestion, hours before any batch snapshot diff
+    * would run.
+    *
+    * Why custom state and not two chained windowed aggregates: the TV
+    * distance needs every source's share of the SAME window in one
+    * place; keyed state per open window (one tiny map: S sources →
+    * token counts) gets exactly that, with an event-time timeout at
+    * window end as the emit-once trigger — the `assembleTraces`
+    * pattern. State is bounded by (open windows × sources); sources a
+    * window never saw surface with 0 tokens (never dropped, the
+    * snapshotDrift discipline). Integer arithmetic end-to-end, bit-
+    * equal to the batch twin's formula — gated in `StreamingSpec`.
+    */
+  def driftStream(docs: Dataset[DriftDoc], baseline: Map[String, Long],
+                  windowMinutes: Int,
+                  watermarkDelay: String = "10 minutes"): Dataset[DriftReport] = {
+    require(windowMinutes > 0, "driftStream: windowMinutes must be positive")
+    require(baseline.nonEmpty, "driftStream: baseline mix must be non-empty")
+    import docs.sparkSession.implicits._
+    val wMs = windowMinutes * 60000L
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(d => math.floorDiv(d.ts.getTime, wMs) * wMs)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (winStart: Long, it: Iterator[DriftDoc], state: GroupState[DriftState]) => {
+          if (state.hasTimedOut) {
+            val counts = state.get.counts
+            state.remove()
+            val tot = counts.values.sum
+            // same integer formula as the batch twin: floor micro
+            // shares, TV = halved absolute-delta sum over the UNION
+            // of observed and baseline sources
+            val shares = counts.map { case (s, t) => s -> t * 1000000L / tot }
+            val all = (shares.keySet ++ baseline.keySet).toSeq.sorted
+            val tv = all.map(s => math.abs(
+              shares.getOrElse(s, 0L) - baseline.getOrElse(s, 0L))).sum / 2
+            all.iterator.map { s =>
+              val sh = shares.getOrElse(s, 0L)
+              val bl = baseline.getOrElse(s, 0L)
+              DriftReport(new Timestamp(winStart), s,
+                counts.getOrElse(s, 0L), sh, bl, sh - bl, tv)
+            }
+          } else {
+            val acc = it.foldLeft(
+              state.getOption.fold(Map.empty[String, Long])(_.counts)) { (m, d) =>
+              // split(" ", -1) ≡ the batch tier's size(split(text, ' '))
+              val t = if (d.text == null) 0L else d.text.split(" ", -1).length.toLong
+              m.updated(d.source, m.getOrElse(d.source, 0L) + t)
+            }
+            state.update(DriftState(acc))
+            state.setTimeoutTimestamp(winStart + wMs)
+            Iterator.empty
+          }
+        })
+  }
+
   final case class TraceEvent(caseId: String, ts: Timestamp, activity: String)
   final case class TraceState(events: Seq[TraceEvent])
   final case class CompletedTrace(caseId: String, nEvents: Int,

@@ -417,4 +417,22 @@ class ChunkingSpec extends SparkSpec {
     assert(back.count() == 50L)
     assert(back.columns.toSet == Set("doc_id", "text"))
   }
+
+  test("weightedSourceMix: singleton weights keep raw mass; a dup cluster's text counts once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "w w w w"),  // 4 tokens, duplicate pair {1, 2}
+      (2L, "s1", "w w w w"),
+      (3L, "s2", "x y z a")   // 4 tokens, singleton
+    ).toDF("doc_id", "source", "text")
+    val w = Seq((1L, 500000L), (2L, 500000L), (3L, 1000000L))
+      .toDF("doc_id", "weight_micro")
+    val m = Chunking.weightedSourceMix(docs, "source", "doc_id", "text", w)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // s1's 8 raw tokens deflate to 4 effective (the pair counts once),
+    // restoring the 50/50 share the duplicates had skewed to 2/3
+    assert(m("s1") == ((2L, 8L, 4L, 500000L)))
+    assert(m("s2") == ((1L, 4L, 4L, 500000L)))
+  }
 }

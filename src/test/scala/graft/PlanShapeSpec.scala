@@ -50,6 +50,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [In(user_id"))
   }
 
+  test("indexed BM25 search pushes the probed-term In filter to the postings scan") {
+    // with the index term-sorted on disk, the pushed In + row-group
+    // min/max stats mean a search reads O(matching postings), not the
+    // whole index — the claim in bm25TopKIndexed's comment
+    import graft.llm.Retrieval
+    val dir = java.nio.file.Files.createTempDirectory("lexidx-plan").toString
+    Retrieval.saveLexIndex(
+      Retrieval.buildLexIndex(Tables.documents(spark, Sf), "doc_id", "text"), dir)
+    val loaded = Retrieval.loadLexIndex(spark, "doc_id", dir)
+    val p = Retrieval.bm25TopKWith(loaded, "doc_id",
+        Seq(0 -> Seq("key", "row")), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(term"))
+  }
+
   test("scale-arm plans contain no all-pairs join operator") {
     // the whole point of the LSH/IVF arms: candidates come from bucket
     // EQUALITY joins, so a BroadcastNestedLoopJoin or CartesianProduct
@@ -60,6 +75,20 @@ class PlanShapeSpec extends SparkSpec {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q plans an all-pairs join")
+    }
+  }
+
+  test("fourth-batch plans: keyed joins only, no all-pairs surface") {
+    // q_novelty's whole claim is "the dedup metric with NO pairwise
+    // surface"; q_triangles' wedge join must stay an equi-join on src;
+    // q_soft_dedup / q_weighted_mix ride id-keyed joins around the CC;
+    // q_inverted_index / q_snapshot_drift are pure keyed aggs. The
+    // 1-row broadcast scalars (stats/totals) are the only nested-loop
+    // joins allowed — assert no CartesianProduct anywhere.
+    for (q <- Seq("q_novelty", "q_triangles", "q_soft_dedup",
+        "q_weighted_mix", "q_inverted_index", "q_snapshot_drift")) {
+      assert(!plan(q).contains("CartesianProduct"),
+        s"$q plans a cartesian product")
     }
   }
 

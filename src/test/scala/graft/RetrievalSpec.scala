@@ -135,4 +135,85 @@ class RetrievalSpec extends SparkSpec {
       assert(r.getAs[Long]("rrf_micro") == math.floor(1e9 / (60.0 + lr)).toLong)
     }
   }
+
+  private val IdxQueries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("key", "row"),
+    1 -> Seq("hash", "table"),
+    2 -> Seq("zebra", "join")) // 'zebra' absent from the corpus on purpose
+
+  test("lex index: postings/termDf/docLens/stats carry exact integers on a constructed corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val idx = Retrieval.buildLexIndex(docs, "doc_id", "text")
+    val postings = idx.postings.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(postings == Map(
+      ("a", 1L) -> ((2L, 3L)),  // tf 2, dl 3
+      ("a", 2L) -> ((1L, 2L)),
+      ("b", 1L) -> ((1L, 3L)),
+      ("c", 2L) -> ((1L, 2L))))
+    val dfm = idx.termDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfm == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+    val lens = idx.docLens.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lens == Map(1L -> 3L, 2L -> 2L))
+    val st = idx.stats.collect()
+    assert(st.length == 1 && st(0).getLong(0) == 2L && st(0).getLong(1) == 5L)
+  }
+
+  test("lex index: incremental update is bit-identical to a full rebuild") {
+    import spark.implicits._
+    // old corpus → diff (doc 2 changed, doc 3 removed, doc 9 added) →
+    // every index table AND the search must equal the from-scratch
+    // rebuild on the new corpus
+    val oldDocs = Seq((1L, "key row key"), (2L, "hash table scan"),
+      (3L, "merge batch"), (4L, "join row")).toDF("doc_id", "text")
+    val newDocs = Seq((1L, "key row key"), (2L, "hash hash join"),
+      (4L, "join row"), (9L, "scan table row")).toDF("doc_id", "text")
+    val removed = Seq(2L, 3L).toDF("doc_id")
+    val added = newDocs.filter(col("doc_id").isin(2L, 9L))
+    val inc = Retrieval.updateLexIndex(
+      Retrieval.buildLexIndex(oldDocs, "doc_id", "text"),
+      removed, added, "doc_id", "text")
+    val full = Retrieval.buildLexIndex(newDocs, "doc_id", "text")
+    assert(inc.postings.collect().toSet == full.postings.collect().toSet)
+    assert(inc.termDf.collect().toSet == full.termDf.collect().toSet,
+      "df deltas must drop vanished terms and add new ones exactly")
+    assert(inc.docLens.collect().toSet == full.docLens.collect().toSet)
+    assert(inc.stats.collect().toSet == full.stats.collect().toSet)
+    val q = Seq(0 -> Seq("key", "row"), 1 -> Seq("hash", "scan"))
+    assert(Retrieval.bm25TopKWith(inc, "doc_id", q, k = 4).collect().toSet ==
+      Retrieval.bm25TopKWith(full, "doc_id", q, k = 4).collect().toSet)
+  }
+
+  test("lex index: indexed BM25 search is bit-equal to the from-scratch scan") {
+    val docs = Tables.documents(spark, Sf)
+    val idx = Retrieval.buildLexIndex(docs, "doc_id", "text")
+    val fresh = TextOps.bm25TopK(docs, "doc_id", "text", IdxQueries, k = 5)
+      .collect().toSet
+    val indexed = Retrieval.bm25TopKWith(idx, "doc_id", IdxQueries, k = 5)
+      .collect().toSet
+    assert(fresh.nonEmpty && indexed == fresh,
+      s"indexed search must equal the scan bit-for-bit: ${indexed.size} vs ${fresh.size}")
+  }
+
+  test("lex index: parquet round-trip searches bit-equal; foreign schema fails loud") {
+    val dir = java.nio.file.Files.createTempDirectory("lexidx").toString
+    val docs = Tables.documents(spark, Sf)
+    val idx = Retrieval.buildLexIndex(docs, "doc_id", "text")
+    Retrieval.saveLexIndex(idx, dir)
+    val loaded = Retrieval.loadLexIndex(spark, "doc_id", dir)
+    assert(Retrieval.bm25TopKWith(loaded, "doc_id", IdxQueries, k = 5).collect().toSet ==
+      Retrieval.bm25TopKWith(idx, "doc_id", IdxQueries, k = 5).collect().toSet)
+    // a directory holding some other table must not score silently
+    val bad = java.nio.file.Files.createTempDirectory("lexidx-bad").toString
+    docs.limit(5).write.mode("overwrite").parquet(bad + "/postings")
+    idx.termDf.write.mode("overwrite").parquet(bad + "/term_df")
+    idx.docLens.write.mode("overwrite").parquet(bad + "/doc_lens")
+    idx.stats.write.mode("overwrite").parquet(bad + "/stats")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.loadLexIndex(spark, "doc_id", bad)
+    }
+    assert(e.getMessage.contains("unexpected postings schema"))
+  }
 }

@@ -539,4 +539,44 @@ class StreamingSpec extends SparkSpec {
         "stream scoring must be bit-equal to the batch tier")
     } finally q.stop()
   }
+
+  test("streaming drift monitor: window reports emit once with exact shares/TV, silent sources surface") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStream.DriftDoc
+    val baseline = Map("s1" -> 500000L, "s2" -> 500000L)
+    val in = MemoryStream[DriftDoc]
+    val out = EventStream.driftStream(in.toDS(), baseline,
+      windowMinutes = 10, watermarkDelay = "5 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("drift_out").start()
+    try {
+      in.addData(
+        DriftDoc("s1", "a b c d", ts("2024-01-01 10:01:00")),
+        DriftDoc("s2", "e f g h", ts("2024-01-01 10:02:00")),   // window 10:00 matches baseline
+        DriftDoc("s1", "a b c d e f", ts("2024-01-01 10:11:00")),
+        DriftDoc("s3", "x y", ts("2024-01-01 10:12:00")))       // window 10:10 drifted
+      q.processAllAvailable()
+      in.addData(DriftDoc("s1", "flush", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      def rows = spark.table("drift_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      val w1 = ts("2024-01-01 10:00:00")
+      val w2 = ts("2024-01-01 10:10:00")
+      assert(rows == Set(
+        (w1, "s1", 4L, 500000L, 500000L, 0L, 0L),
+        (w1, "s2", 4L, 500000L, 500000L, 0L, 0L),
+        // drifted window: s2 went silent (0 tokens, NOT dropped), s3
+        // is new; TV = (250000 + 500000 + 250000) / 2
+        (w2, "s1", 6L, 750000L, 500000L, 250000L, 500000L),
+        (w2, "s2", 0L, 0L, 500000L, -500000L, 500000L),
+        (w2, "s3", 2L, 250000L, 0L, 250000L, 500000L)), s"got $rows")
+      // a late event behind the watermark must not re-emit a window
+      val before = rows.size
+      in.addData(DriftDoc("s1", "late late", ts("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      assert(rows.size == before, "closed windows report exactly once")
+    } finally q.stop()
+  }
 }
