@@ -269,4 +269,12 @@ object Retrieval {
                    k1: Double = 1.2, b: Double = 0.75): DataFrame =
     TextOps.bm25TopKIndexed(idx.postings, idx.termDf, idx.stats, idCol,
       queries, k, k1, b)
+
+  /** Query-by-example through the index: see
+    * `TextOps.bm25TopKByDocIndexed`.
+    */
+  def bm25TopKByDocWith(idx: LexIndex, idCol: String, probeIds: Seq[Long],
+                        k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    TextOps.bm25TopKByDocIndexed(idx.postings, idx.termDf, idx.stats, idCol,
+      probeIds, k, k1, b)
 }

@@ -555,6 +555,49 @@ object TextOps {
     rankScores(scores, idCol, k)
   }
 
+  /** Query-by-example THROUGH the index — `bm25TopKByDoc`'s semantics
+    * (each probe doc's distinct tokens are the query, self excluded)
+    * with BOTH sides served by the index: the probes' query terms are
+    * read from their own posting rows (a doc's postings ARE its
+    * distinct tokens), so neither the probes nor the corpus text is
+    * ever touched. The probe fetch is a driver collect bounded BY the
+    * same small-probe-set contract that lets `bm25TopKByDoc`
+    * broadcast its query table; the corpus-side scan keeps the
+    * pushed-term pruning. Bit-equal to `bm25TopKByDoc` — gated in
+    * `RetrievalSpec`.
+    */
+  def bm25TopKByDocIndexed(postings: DataFrame, termDf: DataFrame,
+                           stats: DataFrame, idCol: String,
+                           probeIds: Seq[Long], k: Int,
+                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(probeIds.nonEmpty && probeIds.size <= 10000,
+      "bm25TopKByDocIndexed: probe set is small BY CONTRACT (it becomes a broadcast query table)")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    // bounded: probes × their distinct terms (the broadcast contract)
+    val probeRows = postings.filter(col(idCol).isin(probeIds: _*))
+      .select(col(idCol).cast("long"), col("term")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    require(probeRows.nonEmpty, "bm25TopKByDocIndexed: no probe has postings")
+    val qterms = probeRows.toSeq.toDF("qid", "term")
+    val probedTerms = probeRows.map(_._2).distinct.toSeq
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = col("n_docs").cast("double") / col("df").cast("double")
+    val tfd = col("tf").cast("double")
+    val denom = tfd + lit(k1 * (1 - b)) +
+      lit(k1 * b) * (col("dl").cast("double") / avgdl)
+    val contrib = idf * (tfd * lit(k1 + 1)) / denom
+    val scores = postings.filter(col("term").isin(probedTerms: _*))
+      .join(broadcast(qterms), "term")
+      .join(broadcast(termDf.filter(col("term").isin(probedTerms: _*))), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__c", floor(contrib * lit(1e6)).cast("long"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("__c")).as("score_micro"))
+      .filter(col(idCol) =!= col("qid"))
+    rankScores(scores, idCol, k)
+  }
+
   private def rankScores(scores: DataFrame, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid"))

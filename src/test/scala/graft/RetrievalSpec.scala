@@ -197,6 +197,17 @@ class RetrievalSpec extends SparkSpec {
       s"indexed search must equal the scan bit-for-bit: ${indexed.size} vs ${fresh.size}")
   }
 
+  test("lex index: by-doc probes through the index are bit-equal to bm25TopKByDoc") {
+    val docs = Tables.documents(spark, Sf)
+    val idx = Retrieval.buildLexIndex(docs, "doc_id", "text")
+    val scan = TextOps.bm25TopKByDoc(docs, "doc_id", "text",
+      col("doc_id") < 3, k = 10).collect().toSet
+    val indexed = Retrieval.bm25TopKByDocWith(idx, "doc_id",
+      Seq(0L, 1L, 2L), k = 10).collect().toSet
+    assert(scan.nonEmpty && indexed == scan,
+      "the probe's postings ARE its distinct tokens — results must match bit-for-bit")
+  }
+
   test("lex index: parquet round-trip searches bit-equal; foreign schema fails loud") {
     val dir = java.nio.file.Files.createTempDirectory("lexidx").toString
     val docs = Tables.documents(spark, Sf)

@@ -37,4 +37,31 @@ class SourcesSpec extends SparkSpec {
     val df = messages("""{"botName":"sam","agentId":"a1"}""")
     assert(MessageSource.agentIdsForBot(df, "REMARKS", "nobody").isEmpty)
   }
+
+  test("readJsonl: every line lands exactly once — parsed or quarantined with its raw text") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.sources.CorpusReader
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello world"}""",
+      """{"doc_id": 2, "text": "second doc"}""",
+      """{"doc_id": "notanumber", "text": "type drift"}""", // schema drift
+      """{"doc_id": 3, "text": "trunc""""                   // truncated shard
+    )
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (clean, quarantined) = CorpusReader.readJsonl(spark, dir, schema)
+    val good = clean.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(good == Set((1L, "hello world"), (2L, "second doc")))
+    assert(clean.columns.toSeq == Seq("doc_id", "text"),
+      "clean side carries exactly the declared schema")
+    val bad = quarantined.collect().map(_.getString(0)).toSet
+    assert(bad == Set(lines(2), lines(3)),
+      s"both malformed lines quarantined verbatim, got $bad")
+    assert(clean.count() + quarantined.count() == lines.size,
+      "conservation: nothing dropped, nothing duplicated")
+  }
 }
