@@ -566,4 +566,47 @@ object Chunking {
       .where(bucket < col("__rate") * lit(denom.toDouble))
       .select(col(idCol), col(stratumCol))
   }
+
+  /** Release manifest: the per-shard integrity ledger a dataset
+    * publication ships beside the parquet — doc count, byte volume,
+    * id range (the range-pruning contract `writeSizedShards` readers
+    * rely on), and an ORDER-FREE content checksum, one row per Weyl
+    * shard (the same append-stable `shardAssign` bucket, so the
+    * manifest row addresses exactly the files that shard writes).
+    *
+    * The checksum must be (a) insensitive to row order — shard
+    * contents are set-semantics, and a distributed aggregate must not
+    * depend on arrival order — and (b) reproducible on ANY engine a
+    * consumer validates with. Per doc: h = md5(id || '|' || text)
+    * (id inside the hash, so a re-keyed row changes the digest), then
+    * the position-weighted hex fold d = Σ_{i=1..32} ascii(h[i])·i²,
+    * summed per shard as exact BIGINTs. The fold keeps ~21 bits per
+    * doc on top of md5's avalanche — an INTEGRITY check (bit rot,
+    * truncated loads, re-keyed rows), not a cryptographic commitment,
+    * and documented as such: d ≤ 3.4e6, so a shard needs ~2.7e12 docs
+    * to overflow int64 — far beyond any real shard.
+    *
+    * Scale shape: everything before the aggregate is row-local (md5 +
+    * a 32-step fold per row); ONE partial-aggregated shuffle on the
+    * shard id collapsing to nShards rows pre-exchange. The corpus
+    * never moves.
+    */
+  def releaseManifest(df: DataFrame, idCol: String, textCol: String,
+                      nShards: Int): DataFrame = {
+    require(nShards > 0, "releaseManifest: nShards must be positive")
+    val denom = 65536L
+    val bucket = pmod(pmod(col(idCol), lit(denom)) * lit(40503L), lit(denom))
+    df.select(col(idCol),
+        pmod(bucket, lit(nShards.toLong)).cast("int").as("shard"),
+        octet_length(col(textCol)).cast("long").as("__bytes"),
+        md5(concat(col(idCol).cast("string"), lit("|"), col(textCol))).as("__h"))
+      .withColumn("__d", expr(
+        "aggregate(sequence(1, 32), 0L, (acc, i) -> acc + ascii(substring(__h, i, 1)) * i * i)"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__bytes")).as("n_bytes"),
+        min(col(idCol)).as("id_min"),
+        max(col(idCol)).as("id_max"),
+        sum(col("__d")).as("checksum"))
+  }
 }

@@ -1156,4 +1156,127 @@ object Dedup {
         coalesce(col("jaccard"), lit(-1.0)).as("jaccard"),
         coalesce(col("cos"), lit(-1.0)).as("cos"))
   }
+
+  /** Dedup-threshold sweep: the DECISION INPUT for picking the near-dup
+    * threshold (the skewProfile pattern applied to the dedup tier).
+    * One pass over the Jaccard pair table at a LOW `floor` yields, for
+    * every decile threshold t ≥ floor, the exact number of pairs that
+    * would fire and the exact number of distinct documents a dedup at
+    * t would touch — the curve whose knee picks the production
+    * threshold, computed before committing to one.
+    *
+    * Scale shape: the expensive part is the candidate pair table, paid
+    * ONCE at the floor (every higher threshold is a subset — no
+    * re-join per threshold). Everything downstream is pair-table-sized:
+    * a ≤9-row threshold table broadcast against pairs (theta join on
+    * jaccard ≥ t — a broadcast nested loop over single-digit rows),
+    * one groupBy for pair counts, and one over the exploded id column
+    * for distinct-doc counts (2·|pairs|·|thresholds| rows max, all
+    * tiny next to the corpus). Empty deciles surface as loud zeros.
+    * The jaccard doubles and the t = d/10 comparisons are the same
+    * correctly-rounded IEEE ops in DuckDB — the sweep is hash-exact.
+    */
+  def thresholdSweep(df: DataFrame, idCol: String, textCol: String,
+                     blockCol: String, n: Int,
+                     floor: Double = 0.2): DataFrame = {
+    require(floor > 0.0 && floor <= 1.0,
+      s"thresholdSweep: floor in (0,1], got $floor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = ngramJaccardPairs(df, idCol, textCol, blockCol, n, floor)
+    val lo = math.ceil(floor * 10).toInt
+    val ths = (lo to 10).toDF("th_decile")
+    val t = col("th_decile").cast("double") / lit(10.0)
+    val pg = pairs.join(broadcast(ths), col("jaccard") >= t)
+      .groupBy("th_decile").agg(count(lit(1)).as("pairs_ge"))
+    val dg = pairs
+      .select(col("jaccard"), explode(array(col("id_a"), col("id_b"))).as("id"))
+      .join(broadcast(ths), col("jaccard") >= t)
+      .groupBy("th_decile").agg(countDistinct(col("id")).as("docs_ge"))
+    ths.join(pg, Seq("th_decile"), "left")
+      .join(dg, Seq("th_decile"), "left")
+      .select(col("th_decile"),
+        coalesce(col("pairs_ge"), lit(0L)).as("pairs_ge"),
+        coalesce(col("docs_ge"), lit(0L)).as("docs_ge"))
+  }
+
+  /** Character-level near-dup verification: Levenshtein similarity on
+    * candidate pairs. The tier BETWEEN set-based n-gram Jaccard (which
+    * ignores token order entirely — "a b c d" ≡ "d c b a") and exact
+    * substring spans (which demand verbatim runs): edit distance
+    * charges every insertion/deletion/substitution, so it catches
+    * light paraphrase and template-edit duplicates that Jaccard
+    * over-scores and span matching misses, while staying an EXACT,
+    * cross-engine-reproducible integer (both Spark and DuckDB
+    * implement the same unit-cost Levenshtein).
+    *
+    * Candidates come from the n-gram Jaccard inverted-index join at a
+    * LOW floor (`candidateThreshold`) — a deliberate recall-first
+    * gate: edit similarity ≥ t forces high gram overlap, so a loose
+    * Jaccard floor over-generates rather than misses (the fixture's
+    * near-dup pairs sit well above 0.3 Jaccard; the spec pins
+    * candidate-completeness on planted paraphrases). Each surviving
+    * pair is then scored
+    *
+    *   sim_micro = ((maxlen − lev) · 1e6) div maxlen
+    *
+    * integer micro-units, addition-free — bit-equal in DuckDB
+    * (`// maxlen` on non-negative operands ≡ Spark `div`), since
+    * lev ≤ max(len_a, len_b) always.
+    *
+    * Scale shape: the pair table (already thresholded, tiny next to
+    * the corpus) re-joins `df` twice on the id to fetch text — at
+    * corpus scale that is two id-keyed shuffles of the PAIR table
+    * against bucketed text (`operators/Bucketing` makes them
+    * exchange-free on a bucketed corpus). The O(len²) DP per pair is
+    * the real cost, so the verify runs Spark's BANDED kernel
+    * `levenshtein(a, b, K)`: cost O(K·min(len)) and early exit at
+    * distance > K. K is computed ONCE driver-side from the corpus max
+    * text length (a 1-row bounded aggregate, the date-bounds pattern):
+    * any pair passing `simThreshold` has lev ≤ maxlen·(1−t) ≤
+    * maxTextLen·(1−t) = K, so the band NEVER clips a passing pair —
+    * the banded plan is output-identical to the unbanded one
+    * (spec-gated) and carries the same DuckDB oracle. Pairs the band
+    * rejects surface as lev = −1 and are dropped by the threshold
+    * filter, not silently mis-scored.
+    *
+    * At 100 TB the LSH arm (`minhashNearDups` candidates) slots in for
+    * the candidate stage unchanged — the verify is candidate-agnostic.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, n: Int,
+                        candidateThreshold: Double, simThreshold: Double,
+                        banded: Boolean = true): DataFrame = {
+    require(simThreshold > 0.0 && simThreshold <= 1.0,
+      s"editDistancePairs: simThreshold in (0,1], got $simThreshold")
+    val cands = ngramJaccardPairs(df, idCol, textCol, blockCol, n,
+      candidateThreshold).select("id_a", "id_b")
+    val txt = df.select(col(idCol), col(textCol))
+    val thMicro = math.floor(simThreshold * 1e6).toLong
+    val paired = cands
+      .join(txt.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed(textCol, "__ta"), Seq("id_a"))
+      .join(txt.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed(textCol, "__tb"), Seq("id_b"))
+      .withColumn("maxlen",
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long"))
+    val lev =
+      if (!banded) levenshtein(col("__ta"), col("__tb"))
+      else {
+        // exact band: K ≥ maxlen·(1−t) for every row, so lev > K ⇒
+        // sim < t on any pair — the −1 early-exit only ever drops
+        // pairs the threshold filter would drop anyway
+        val maxLenRow = df.agg(max(length(col(textCol)))).head()
+        val maxTextLen = if (maxLenRow.isNullAt(0)) 0L else maxLenRow.getInt(0).toLong
+        levenshtein(col("__ta"), col("__tb"),
+          math.ceil(maxTextLen * (1.0 - simThreshold)).toInt)
+      }
+    paired
+      .withColumn("lev", lev.cast("long"))
+      .filter(col("lev") >= 0L)
+      .withColumn("sim_micro",
+        expr("((maxlen - lev) * 1000000L) div maxlen"))
+      .filter(col("sim_micro") >= thMicro)
+      .select(col("id_a"), col("id_b"), col("lev"), col("sim_micro"))
+  }
 }

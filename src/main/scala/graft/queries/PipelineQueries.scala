@@ -914,6 +914,28 @@ object PipelineQueries {
         Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
           "vec_id", "embedding", threshold = 0.35))),
 
+    // -- dedup: threshold-sweep decision table — for every decile
+    //    threshold above the 0.2 floor, the exact pair count and the
+    //    exact distinct docs a dedup at that threshold would touch.
+    //    Candidates paid ONCE at the floor; thresholds broadcast. ----
+    "q_dedup_sweep" -> ((s, dir) =>
+      Dedup.thresholdSweep(Tables.documents(s, dir), "doc_id", "text",
+        blockCol = "lang", n = 2, floor = 0.2)),
+
+    // -- dedup: character-level Levenshtein verification tier — the
+    //    rung between set-based Jaccard (order-blind) and exact
+    //    substring spans (verbatim-only). Candidates from the Jaccard
+    //    inverted index at a loose 0.3 floor, then each pair scored by
+    //    Spark's BANDED levenshtein kernel (band bound computed exactly
+    //    from the corpus max length, so banding never clips a passing
+    //    pair — output-identical to the unbanded plan, spec-gated).
+    //    sim_micro is integer ((maxlen-lev)*1e6 div maxlen): DuckDB
+    //    replays bit-equal with the same lev + `//`. ------------------
+    "q_editdist_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
+        blockCol = "lang", n = 2,
+        candidateThreshold = 0.3, simThreshold = 0.5)),
+
     // -- quality: CCNet perplexity tier — bigram LM trained on the
     //    English reference slice, every doc scored in micro-nat mean
     //    surprise, head/middle/tail terciles per source (rows-only:
@@ -986,6 +1008,15 @@ object PipelineQueries {
     // -- training order: deterministic global shuffle into shards ----
     "q_shard_assign" -> ((s, dir) =>
       Chunking.shardAssign(Tables.documents(s, dir), "doc_id", nShards = 8)),
+
+    // -- release engineering: per-shard integrity manifest — doc
+    //    count, byte volume, id range, order-free md5-fold checksum
+    //    over the same Weyl shards as q_shard_assign. One partial-agg
+    //    shuffle collapsing to nShards rows; exact integers, DuckDB
+    //    replays md5 + the i² hex fold bit-for-bit. ------------------
+    "q_release_manifest" -> ((s, dir) =>
+      Chunking.releaseManifest(Tables.documents(s, dir), "doc_id", "text",
+        nShards = 8)),
 
     // -- training order: multi-epoch reshuffle — a different seeded
     //    affine permutation of each shard's traversal order per epoch
@@ -2165,6 +2196,73 @@ object PipelineQueries {
         |  pr_pico
         |FROM cur""".stripMargin,
 
+    // Threshold sweep: the jaccard pair CTE at the 0.2 floor, theta-
+    // joined against the decile table — same IEEE doubles, same
+    // comparisons, loud zero rows for empty deciles
+    "q_dedup_sweep" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS grams
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+        |), p AS (
+        |  SELECT id_a, id_b, jaccard FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        CAST(len(a.grams) + len(b.grams)
+        |             - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
+        |    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.2
+        |), th AS (
+        |  SELECT CAST(unnest(range(2, 11)) AS INTEGER) AS th_decile
+        |), pg AS (
+        |  SELECT th_decile, CAST(count(*) AS BIGINT) AS pairs_ge
+        |  FROM th JOIN p ON p.jaccard >= CAST(th_decile AS DOUBLE) / 10.0
+        |  GROUP BY th_decile
+        |), u AS (
+        |  SELECT id_a AS id, jaccard FROM p
+        |  UNION ALL SELECT id_b AS id, jaccard FROM p
+        |), dg AS (
+        |  SELECT th_decile, CAST(count(DISTINCT id) AS BIGINT) AS docs_ge
+        |  FROM th JOIN u ON u.jaccard >= CAST(th_decile AS DOUBLE) / 10.0
+        |  GROUP BY th_decile
+        |)
+        |SELECT th.th_decile,
+        |  coalesce(pg.pairs_ge, 0) AS pairs_ge,
+        |  coalesce(dg.docs_ge, 0) AS docs_ge
+        |FROM th LEFT JOIN pg USING (th_decile) LEFT JOIN dg USING (th_decile)""".stripMargin,
+
+    // Levenshtein verification tier: the q_ngram_jaccard candidate CTE
+    // at the 0.3 floor, text joined back, DuckDB's levenshtein + `//`
+    // replaying Spark's banded kernel + `div` bit-for-bit
+    "q_editdist_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS grams
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+        |), p AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        CAST(len(a.grams) + len(b.grams)
+        |             - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
+        |    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.3
+        |), s AS (
+        |  SELECT p.id_a, p.id_b,
+        |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+        |    CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS maxlen
+        |  FROM p
+        |  JOIN documents da ON da.doc_id = p.id_a
+        |  JOIN documents db ON db.doc_id = p.id_b
+        |)
+        |SELECT id_a, id_b, lev,
+        |  ((maxlen - lev) * 1000000) // maxlen AS sim_micro
+        |FROM s WHERE ((maxlen - lev) * 1000000) // maxlen >= 500000""".stripMargin,
+
     // Ensemble dedup evidence: both exact tiers' SQL verbatim, glued
     // by one FULL OUTER JOIN + CASE — absent metrics become -1
     "q_dedup_ensemble" ->
@@ -2598,6 +2696,29 @@ object PipelineQueries {
         |    (CAST(sum(strlen(text)) AS BIGINT) + 65535) // 65536)
         |    AS INTEGER) AS n_shards
         |FROM documents GROUP BY source""".stripMargin,
+
+    // Release manifest: the q_shard_assign Weyl bucket + per-doc
+    // md5 hex fold (ascii(h[i])·i², positions 1..32) summed as exact
+    // BIGINTs — order-free, so DuckDB's scan order is irrelevant
+    "q_release_manifest" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    CAST((((doc_id % 65536) * 40503) % 65536) % 8 AS INTEGER) AS shard,
+        |    md5(concat(CAST(doc_id AS VARCHAR), '|', text)) AS h
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, text, shard,
+        |    CAST(list_sum(list_transform(range(1, 33),
+        |      i -> ascii(substr(h, CAST(i AS INTEGER), 1)) * i * i)) AS BIGINT) AS dig
+        |  FROM s
+        |)
+        |SELECT shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+        |  min(doc_id) AS id_min,
+        |  max(doc_id) AS id_max,
+        |  CAST(sum(dig) AS BIGINT) AS checksum
+        |FROM d GROUP BY shard""".stripMargin,
 
     "q_epoch_order" ->
       """WITH w AS (

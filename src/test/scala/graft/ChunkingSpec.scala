@@ -435,4 +435,38 @@ class ChunkingSpec extends SparkSpec {
     assert(m("s1") == ((2L, 8L, 4L, 500000L)))
     assert(m("s2") == ((1L, 4L, 4L, 500000L)))
   }
+
+  test("releaseManifest: exact ledger, order-free checksum, content+key sensitivity") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha"), (1L, "beta"), (8L, "gamma"), (65536L, "delta"))
+      .toDF("doc_id", "text")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Chunking.releaseManifest(df, "doc_id", "text", nShards = 8)
+        .collect()
+        .map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+    val m = manifest(docs)
+    // Weyl buckets: id 0 → 0, id 65536 → 0 (65536 % 65536 = 0), so
+    // shard 0 holds {0, 65536}; id 1 → 40503 % 8 = 7; id 8 → (8·40503)
+    // % 65536 = 61464, % 8 = 0 — also shard 0. Check the ledger parts.
+    assert(m.values.map(_._1).sum == 4L, "every doc lands in exactly one shard")
+    val s0 = m(0)
+    assert(s0._1 == 3L && s0._2 == ("alpha".length + "gamma".length + "delta".length).toLong)
+    assert(s0._3 == 0L && s0._4 == 65536L, "id range spans the shard's members")
+    assert(m(7) == ((1L, 4L, 1L, 1L, m(7)._5)))
+    // order-free: a reversed input produces the identical manifest
+    assert(manifest(docs.orderBy(col("doc_id").desc)) == m)
+    // content sensitivity: one flipped character moves the checksum
+    val flipped = Seq((0L, "alphb"), (1L, "beta"), (8L, "gamma"), (65536L, "delta"))
+      .toDF("doc_id", "text")
+    assert(manifest(flipped)(0)._5 != s0._5, "bit rot must move the checksum")
+    // key sensitivity: same text under a re-keyed id changes the digest
+    // (8 and 65536 share shard 0 — swap their texts, byte sum is equal)
+    val rekeyed = Seq((0L, "alpha"), (1L, "beta"), (8L, "delta"), (65536L, "gamma"))
+      .toDF("doc_id", "text")
+    val r0 = manifest(rekeyed)(0)
+    assert(r0._2 == s0._2 && r0._5 != s0._5,
+      "re-keyed rows keep the byte sum but must move the checksum")
+  }
 }

@@ -706,4 +706,85 @@ class LlmDedupSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getLong(5) == 0L && r.getLong(6) == 0L))
   }
+
+  test("thresholdSweep: monotone curve, exact counts vs brute force, loud empty deciles") {
+    val out = Dedup.thresholdSweep(docs, "doc_id", "text", "lang",
+        n = 2, floor = 0.2)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == (2 to 10).toSet, "one row per decile incl. empty ones")
+    // both curves are non-increasing in the threshold
+    for (d <- 2 to 9) {
+      assert(out(d)._1 >= out(d + 1)._1, s"pairs_ge must not rise at decile ${d + 1}")
+      assert(out(d)._2 >= out(d + 1)._2, s"docs_ge must not rise at decile ${d + 1}")
+    }
+    // exact agreement with an independent per-threshold recompute
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 2, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for (d <- Seq(2, 5, 8)) {
+      val sel = pairs.filter(_._3 >= d.toDouble / 10.0)
+      assert(out(d)._1 == sel.length.toLong, s"pairs_ge mismatch at decile $d")
+      assert(out(d)._2 == sel.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong,
+        s"docs_ge mismatch at decile $d")
+    }
+  }
+
+  /** Reference unit-cost Levenshtein (classic DP) for the edit tier. */
+  private def levRef(a: String, b: String): Long = {
+    val prev = Array.tabulate(b.length + 1)(_.toLong)
+    val cur = new Array[Long](b.length + 1)
+    for (i <- 1 to a.length) {
+      cur(0) = i.toLong
+      for (j <- 1 to b.length) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0L else 1L)
+        cur(j) = math.min(sub, math.min(prev(j) + 1L, cur(j - 1) + 1L))
+      }
+      Array.copy(cur, 0, prev, 0, cur.length)
+    }
+    prev(b.length)
+  }
+
+  test("editDistancePairs: planted paraphrase scores exactly, blocks hold, unrelated absent") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog"
+    val para = "the quick brown fox jumped over the lazy dog"
+    val fixture = Seq(
+      (1L, base, "en"),
+      (2L, para, "en"),
+      (3L, "completely different words entirely unrelated text here", "en"),
+      (4L, base, "de"), // identical text, other block — must NOT pair with 1
+      (5L, base, "en")  // verbatim copy of 1
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.editDistancePairs(fixture, "doc_id", "text", "lang",
+        n = 2, candidateThreshold = 0.3, simThreshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set((1L, 2L), (1L, 5L), (2L, 5L)),
+      s"expected the paraphrase + copy pairs only, got ${out.keySet}")
+    val levP = levRef(base, para)
+    val maxP = math.max(base.length, para.length).toLong
+    assert(out((1L, 2L)) == ((levP, (maxP - levP) * 1000000L / maxP)),
+      "sim_micro must be the exact integer micro-unit formula")
+    assert(out((1L, 5L)) == ((0L, 1000000L)), "verbatim copy: lev 0, sim 1e6")
+    assert(out((2L, 5L)) == out((1L, 2L)), "copy inherits the paraphrase score")
+  }
+
+  test("editDistancePairs: banded kernel is output-identical to the unbanded plan") {
+    def run(banded: Boolean): Set[(Long, Long, Long, Long)] =
+      Dedup.editDistancePairs(docs, "doc_id", "text", "lang",
+          n = 2, candidateThreshold = 0.3, simThreshold = 0.5, banded = banded)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val b = run(banded = true)
+    assert(b.nonEmpty, "fixture should contain edit-similar pairs")
+    assert(b == run(banded = false),
+      "the exact band bound must make banding a pure optimization")
+    // spot-check the kernel against the reference DP on the fixture text
+    val txt = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((idA, idB, lev, _) <- b.take(5))
+      assert(lev == levRef(txt(idA), txt(idB)),
+        s"Spark levenshtein($idA,$idB) disagrees with the reference DP")
+  }
 }

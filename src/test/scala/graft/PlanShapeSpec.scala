@@ -118,7 +118,8 @@ class PlanShapeSpec extends SparkSpec {
         "q_segment_dedup", "q_bm25_topk", "q_ann_pq", "q_ann_ivfpq",
         "q_span_dedup", "q_quality_learned",
         "q_hybrid_rrf", "q_hybrid_rrf_ann", "q_perplexity",
-        "q_dedup_ensemble", "q_rag_context", "q_corpus_report")) {
+        "q_dedup_ensemble", "q_rag_context", "q_corpus_report",
+        "q_editdist_pairs")) {
     // markers are the DERIVED heavy expressions only (a legitimate
     // user predicate — e.g. q_curation's quality gate — may contain a
     // lambda and SHOULD push to the scan; it evaluates once there):
