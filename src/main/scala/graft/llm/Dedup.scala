@@ -459,6 +459,124 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Persisted MinHash-LSH signature index: signatures + band rows +
+    * a 1-row parameter table. The `buildLexIndex`/`updateLexIndex`
+    * pattern applied to the NEAR-DUP arm — sketch the corpus once,
+    * then every daily-crawl batch probes and maintains the store at
+    * touched-data cost. Because a document's signature depends on
+    * NOTHING but its own text (unlike df in the lexical index), the
+    * incremental update is bit-equal to a full rebuild by
+    * construction — anti-join the removed ids, union the added docs'
+    * fresh rows — and the spec gates that equality end-to-end.
+    */
+  case class MinhashIndex(sigs: DataFrame, bands: DataFrame, meta: DataFrame)
+
+  def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, nBands: Int = 16,
+                        shingleN: Int = 2): MinhashIndex = {
+    require(numHashes % nBands == 0, "numHashes must divide into bands")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
+      .select(col(idCol), col("sig"))
+    val bandRows = lshBands(sigs, idCol, nBands, numHashes / nBands)
+      .select(col(idCol), col("band"), col("band_key"))
+    val meta = Seq((numHashes, nBands, shingleN))
+      .toDF("num_hashes", "bands", "shingle_n")
+    MinhashIndex(sigs, bandRows, meta)
+  }
+
+  /** Probe incoming docs against the stored corpus: band-collision
+    * candidates (an equi-join on (band, band_key) — parallelism scales
+    * with bucket cardinality, never an all-pairs product), then each
+    * candidate scored by the SIGNATURE-estimated Jaccard — the
+    * unbiased matching-components estimator, in exact integer
+    * micro-units (matches·1e6 div numHashes) so reruns and engines
+    * agree bit-for-bit. The estimator (not true Jaccard) is the
+    * honest incremental choice: the store keeps 64·8 B per doc, never
+    * the text — at 100 TB the index is ~0.1% of the corpus and the
+    * probe touches only the batch's bands. The batch-twin gate:
+    * candidates equal a full `lshBands` run on the union restricted
+    * to new↔old pairs (spec-gated), and `minhashEstimate` tracking of
+    * true Jaccard is gated separately on controlled documents.
+    */
+  def minhashProbe(idx: MinhashIndex, incoming: DataFrame,
+                   idCol: String, textCol: String,
+                   thresholdMicro: Long): DataFrame = {
+    val m = idx.meta.head() // bounded 1-row parameter table
+    val (nh, nb, sn) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    val inSigs = minhashSignatures(incoming, idCol, textCol, nh, sn)
+      .select(col(idCol), col("sig"))
+    val inBands = lshBands(inSigs, idCol, nb, nh / nb)
+    val cands = inBands
+      .select(col(idCol).as("id_new"), col("band"), col("band_key"))
+      .join(idx.bands.select(col(idCol).as("id_old"), col("band"),
+        col("band_key")), Seq("band", "band_key"))
+      .filter(col("id_new") =!= col("id_old"))
+      .select("id_new", "id_old").distinct()
+    cands
+      .join(inSigs.select(col(idCol).as("id_new"), col("sig").as("__sn")),
+        Seq("id_new"))
+      .join(idx.sigs.select(col(idCol).as("id_old"), col("sig").as("__so")),
+        Seq("id_old"))
+      .withColumn("matches", expr(
+        "aggregate(zip_with(__sn, __so, (a, b) -> CASE WHEN a = b THEN 1L ELSE 0L END), 0L, (acc, x) -> acc + x)"))
+      .withColumn("est_micro", expr(s"(matches * 1000000L) div ${nh}L"))
+      .filter(col("est_micro") >= thresholdMicro)
+      .select(col("id_new"), col("id_old"), col("est_micro"))
+  }
+
+  /** Apply a snapshot diff to the index: `removedIds` = removed +
+    * changed ids, `addedDocs` = added + changed docs (the
+    * `snapshotDiff` ledger's convention, same as `updateLexIndex`).
+    * Touched-data cost, full-rebuild result — bit-equal because
+    * signatures are row-local (spec-gated on all three tables AND a
+    * probe through the updated index).
+    */
+  def updateMinhashIndex(idx: MinhashIndex, removedIds: DataFrame,
+                         addedDocs: DataFrame, idCol: String,
+                         textCol: String): MinhashIndex = {
+    require(removedIds.columns.toSeq == Seq(idCol),
+      s"updateMinhashIndex: removedIds must be exactly ($idCol)")
+    val m = idx.meta.head()
+    val rem = removedIds.distinct()
+    val add = buildMinhashIndex(addedDocs, idCol, textCol,
+      m.getInt(0), m.getInt(1), m.getInt(2))
+    MinhashIndex(
+      idx.sigs.join(rem, Seq(idCol), "left_anti").unionByName(add.sigs),
+      idx.bands.join(rem, Seq(idCol), "left_anti").unionByName(add.bands),
+      idx.meta)
+  }
+
+  /** Write the index: band rows clustered on `band_key` so a probe's
+    * bucket join prunes row groups (the postings-layout reasoning of
+    * `saveLexIndex`); signatures id-clustered for the verify join.
+    */
+  def saveMinhashIndex(idx: MinhashIndex, idCol: String, dir: String): Unit = {
+    idx.bands.repartition(col("band_key")).sortWithinPartitions("band_key")
+      .write.mode("overwrite").parquet(dir + "/bands")
+    idx.sigs.repartition(col(idCol)).sortWithinPartitions(idCol)
+      .write.mode("overwrite").parquet(dir + "/sigs")
+    idx.meta.write.mode("overwrite").parquet(dir + "/meta")
+  }
+
+  /** Load a saved index; LOUD on an unexpected schema — a stale or
+    * foreign directory must not probe silently wrong.
+    */
+  def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                       idCol: String, dir: String): MinhashIndex = {
+    val s = spark.read.parquet(dir + "/sigs")
+    val b = spark.read.parquet(dir + "/bands")
+    val m = spark.read.parquet(dir + "/meta")
+    require(s.columns.toSeq == Seq(idCol, "sig"),
+      s"loadMinhashIndex: unexpected sigs schema ${s.columns.mkString(",")}")
+    require(b.columns.toSeq == Seq(idCol, "band", "band_key"),
+      s"loadMinhashIndex: unexpected bands schema ${b.columns.mkString(",")}")
+    require(m.columns.toSeq == Seq("num_hashes", "bands", "shingle_n"),
+      s"loadMinhashIndex: unexpected meta schema ${m.columns.mkString(",")}")
+    MinhashIndex(s, b, m)
+  }
+
   /** Shared-passage pairs (winnowing-style containment): two documents
     * pair when they share at least `minShared` distinct w-token
     * windows — the copied-paragraph detector that set-similarity

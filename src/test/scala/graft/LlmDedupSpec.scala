@@ -707,6 +707,82 @@ class LlmDedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(5) == 0L && r.getLong(6) == 0L))
   }
 
+  test("minhash index: probe alerts on planted dup, batch-twin candidates, est exactness") {
+    import spark.implicits._
+    val corpus = docs.select("doc_id", "text")
+    val copiedText = docs.orderBy(length(col("text")).desc, col("doc_id"))
+      .select("doc_id", "text").head()
+    val incoming = Seq(
+      (900001L, copiedText.getString(1)), // verbatim copy of an indexed doc
+      (900002L, "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8") // disjoint shingles
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildMinhashIndex(corpus, "doc_id", "text")
+    val alerts = Dedup.minhashProbe(idx, incoming, "doc_id", "text",
+        thresholdMicro = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(alerts.exists(a =>
+        a._1 == 900001L && a._2 == copiedText.getLong(0) && a._3 == 1000000L),
+      s"verbatim copy must alert at exactly 1e6, got ${alerts.mkString(",")}")
+    assert(!alerts.exists(_._1 == 900002L), "disjoint-shingle doc must not alert")
+    // batch twin: threshold-0 probe candidates == a full lshBands run
+    // on the union, restricted to new↔old pairs
+    val probeAll = Dedup.minhashProbe(idx, incoming, "doc_id", "text", 0L)
+      .select("id_new", "id_old").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unionSigs = Dedup.minhashSignatures(
+      corpus.unionByName(incoming), "doc_id", "text", 64, 2)
+    val unionBands = Dedup.lshBands(unionSigs.select("doc_id", "sig"), "doc_id", 16, 4)
+    val newIds = Set(900001L, 900002L)
+    val twin = unionBands.as("a")
+      .join(unionBands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("n"), col("b.doc_id").as("o"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => newIds.contains(p._1) && !newIds.contains(p._2)).toSet
+    assert(probeAll == twin,
+      "probe candidates must equal the full-union banding restricted to new-old pairs")
+  }
+
+  test("minhash index: incremental update is bit-equal to a full rebuild; round-trip; loud schema") {
+    import spark.implicits._
+    val ids = docs.select("doc_id").orderBy("doc_id").limit(3)
+      .collect().map(_.getLong(0))
+    val (changedId, removedId) = (ids(0), ids(1))
+    val oldCorpus = docs.select("doc_id", "text")
+    val newCorpus = oldCorpus
+      .filter(col("doc_id") =!= removedId)
+      .withColumn("text", when(col("doc_id") === changedId,
+        concat(col("text"), lit(" changed tail"))).otherwise(col("text")))
+      .unionByName(Seq((900100L, "brand new document text for the update"))
+        .toDF("doc_id", "text"))
+    val removedIds = Seq(changedId, removedId).toDF("doc_id")
+    val addedDocs = newCorpus.filter(col("doc_id").isin(changedId, 900100L))
+    val updated = Dedup.updateMinhashIndex(
+      Dedup.buildMinhashIndex(oldCorpus, "doc_id", "text"),
+      removedIds, addedDocs, "doc_id", "text")
+    val rebuilt = Dedup.buildMinhashIndex(newCorpus, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(updated.sigs) == rows(rebuilt.sigs), "sigs must match the rebuild")
+    assert(rows(updated.bands) == rows(rebuilt.bands), "bands must match the rebuild")
+    val probeBatch = Seq((900200L, "brand new document text for the update"))
+      .toDF("doc_id", "text")
+    def probe(i: Dedup.MinhashIndex): Set[String] =
+      rows(Dedup.minhashProbe(i, probeBatch, "doc_id", "text", 500000L))
+    assert(probe(updated) == probe(rebuilt), "probe must be identical through both")
+    assert(probe(updated).nonEmpty, "the planted twin of the added doc must alert")
+    // parquet round-trip: loaded index probes bit-equal; foreign schema loud
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx").toString
+    Dedup.saveMinhashIndex(updated, "doc_id", dir)
+    val loaded = Dedup.loadMinhashIndex(spark, "doc_id", dir)
+    assert(probe(loaded) == probe(updated), "loaded index must probe bit-equal")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.loadMinhashIndex(spark, "wrong_id", dir)
+    }
+    assert(err.getMessage.contains("unexpected"), "schema mismatch must fail loud")
+  }
+
   test("thresholdSweep: monotone curve, exact counts vs brute force, loud empty deciles") {
     val out = Dedup.thresholdSweep(docs, "doc_id", "text", "lang",
         n = 2, floor = 0.2)
