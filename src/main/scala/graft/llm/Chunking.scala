@@ -567,6 +567,42 @@ object Chunking {
       .select(col(idCol), col(stratumCol))
   }
 
+  /** Per-source token-length histogram in power-of-2 buckets — the
+    * DECISION INPUT for the packing layer (`packGreedy` budget,
+    * `packBlocks` width, `chunkDocuments` window): what fraction of
+    * each source's documents land in which length band, with exact
+    * micro-unit shares. The skewProfile/thresholdSweep pattern applied
+    * to sequence length.
+    *
+    * The bucket is floor(log2 n)+1 computed EXACTLY as the length of
+    * the minimal binary string (`bin(n)` exists in both engines with
+    * identical output for positives) — never a floating log2, whose
+    * boundary rounding is libm-dependent. Empty/null docs land in a
+    * loud bucket 0 instead of vanishing. Everything is row-local
+    * before one partial-agg shuffle collapsing to |sources|·~40 rows;
+    * the share window runs over that collapsed table.
+    */
+  def lengthHistogram(df: DataFrame, sourceCol: String,
+                      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = when(col(textCol).isNull, lit(0L))
+      .otherwise(size(split(col(textCol), " ")).cast("long"))
+    val w = Window.partitionBy(col(sourceCol))
+    df.select(col(sourceCol), n.as("__n"))
+      .withColumn("bucket", when(col("__n") <= 0L, lit(0))
+        .otherwise(length(bin(col("__n")))).cast("int"))
+      .groupBy(col(sourceCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("tok_sum"))
+      .withColumn("lo", expr(
+        "CASE WHEN bucket = 0 THEN 0L ELSE shiftleft(1L, bucket - 1) END"))
+      .withColumn("hi", expr(
+        "CASE WHEN bucket = 0 THEN 0L ELSE shiftleft(1L, bucket) - 1L END"))
+      .withColumn("__tot", sum(col("n_docs")).over(w))
+      .withColumn("share_micro", expr("(n_docs * 1000000L) div __tot"))
+      .select(col(sourceCol), col("bucket"), col("lo"), col("hi"),
+        col("n_docs"), col("tok_sum"), col("share_micro"))
+  }
+
   /** Release manifest: the per-shard integrity ledger a dataset
     * publication ships beside the parquet — doc count, byte volume,
     * id range (the range-pruning contract `writeSizedShards` readers

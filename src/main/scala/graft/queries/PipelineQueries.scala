@@ -1009,6 +1009,13 @@ object PipelineQueries {
     "q_shard_assign" -> ((s, dir) =>
       Chunking.shardAssign(Tables.documents(s, dir), "doc_id", nShards = 8)),
 
+    // -- context shaping: per-source token-length histogram in exact
+    //    power-of-2 buckets (length-of-bin, never float log2) with
+    //    integer micro-unit shares — the packing-width decision input.
+    //    One partial-agg shuffle collapsing to sources × ~40 rows. ----
+    "q_length_hist" -> ((s, dir) =>
+      Chunking.lengthHistogram(Tables.documents(s, dir), "source", "text")),
+
     // -- release engineering: per-shard integrity manifest — doc
     //    count, byte volume, id range, order-free md5-fold checksum
     //    over the same Weyl shards as q_shard_assign. One partial-agg
@@ -2696,6 +2703,36 @@ object PipelineQueries {
         |    (CAST(sum(strlen(text)) AS BIGINT) + 65535) // 65536)
         |    AS INTEGER) AS n_shards
         |FROM documents GROUP BY source""".stripMargin,
+
+    // Length histogram: bucket = length of the minimal binary string
+    // (bin() identical in both engines), shares by integer division
+    // against the per-source window total
+    "q_length_hist" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN text IS NULL THEN 0
+        |         ELSE len(string_split(text, ' ')) END AS n
+        |  FROM documents
+        |), b AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN n <= 0 THEN 0 ELSE length(bin(n)) END AS INTEGER) AS bucket,
+        |    n
+        |  FROM d
+        |), h AS (
+        |  SELECT source, bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS tok_sum
+        |  FROM b GROUP BY source, bucket
+        |)
+        |SELECT source, bucket,
+        |  CAST(CASE WHEN bucket = 0 THEN 0
+        |       ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END AS BIGINT) AS lo,
+        |  CAST(CASE WHEN bucket = 0 THEN 0
+        |       ELSE (CAST(1 AS BIGINT) << bucket) - 1 END AS BIGINT) AS hi,
+        |  n_docs, tok_sum,
+        |  (n_docs * 1000000) //
+        |    CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS share_micro
+        |FROM h""".stripMargin,
 
     // Release manifest: the q_shard_assign Weyl bucket + per-doc
     // md5 hex fold (ascii(h[i])·i², positions 1..32) summed as exact

@@ -436,6 +436,29 @@ class ChunkingSpec extends SparkSpec {
     assert(m("s2") == ((1L, 4L, 4L, 500000L)))
   }
 
+  test("lengthHistogram: exact power-of-2 buckets, micro shares sum, loud empty bucket") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a"),                   // 1 token  → bucket 1 [1,1]
+      ("s1", "a b"),                 // 2 tokens → bucket 2 [2,3]
+      ("s1", "a b c"),               // 3 tokens → bucket 2
+      ("s1", "a b c d e f g h"),     // 8 tokens → bucket 4 [8,15]
+      ("s2", null.asInstanceOf[String]) // null → bucket 0, loud
+    ).toDF("source", "text")
+    val out = Chunking.lengthHistogram(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(out(("s1", 1)) == ((1L, 1L, 1L, 1L, 250000L)))
+    assert(out(("s1", 2)) == ((2L, 3L, 2L, 5L, 500000L)))
+    assert(out(("s1", 4)) == ((8L, 15L, 1L, 8L, 250000L)))
+    assert(out(("s2", 0)) == ((0L, 0L, 1L, 0L, 1000000L)),
+      "null text must surface in bucket 0, never vanish")
+    // shares within a source sum to ≤ 1e6 (floor division) and > 1e6 - #buckets
+    val s1 = out.collect { case (("s1", _), v) => v._5 }.sum
+    assert(s1 <= 1000000L && s1 > 1000000L - 3)
+  }
+
   test("releaseManifest: exact ledger, order-free checksum, content+key sensitivity") {
     import spark.implicits._
     val docs = Seq((0L, "alpha"), (1L, "beta"), (8L, "gamma"), (65536L, "delta"))
