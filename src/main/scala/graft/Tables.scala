@@ -18,16 +18,25 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read it as raw nanos and floor-divide to
-    * micros — exactly what DuckDB does when it coerces nanos to its
-    * micro-precision timestamps, so oracle comparisons stay bit-equal.
+  /** The events parquet has shipped `ts` in two physical encodings
+    * across driver test-data generations: TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader rejects — read as raw nanos via the
+    * legacy flag and floor-divide to micros, exactly DuckDB's nanos
+    * coercion) and plain TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ).
+    * Normalize BOTH to session-zone TimestampType; every session here
+    * pins spark.sql.session.timeZone=UTC, so wall values — and the
+    * DuckDB oracle hashes — are identical either way.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(spark, dir, "events")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
+    val ts = df.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000")) // raw nanos
+      case _        => col("ts").cast("timestamp")           // micros NTZ
+    }
+    df.withColumn("ts", ts)
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
