@@ -1,0 +1,85 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Staged conversion-funnel analysis over an event log — the classic
+  * product-analytics companion to the process-mining views (DFG,
+  * variants): for an ordered list of steps, how many users reach each
+  * step IN ORDER, and the step-to-step conversion rates.
+  *
+  * Semantics (the strict-ordering definition every analytics engine
+  * documents): a user reaches step k at time t_k = the earliest event
+  * of type steps(k) STRICTLY AFTER t_{k-1} (t_0 = earliest steps(0)
+  * event). An event at exactly t_{k-1} does not count — simultaneous
+  * events cannot witness an ordering, and the strict rule is the one
+  * that stays deterministic under ties without consulting event ids.
+  *
+  * Scale shape: ONE shuffle on the user column; the k staged times are
+  * k chained Window projections over the SAME partitioning (Catalyst
+  * reuses the Exchange and sort — plan-gated), each referencing the
+  * previous stage's column. A NULL previous stage propagates NULL
+  * through the strict comparison, so unreached stages need no special
+  * casing. The per-user collapse is an ordinary partial aggregate
+  * (users × k rows pre-exchange), and everything after it is k-row
+  * arithmetic — the conversion-share window runs over k rows, so its
+  * single-partition WindowExec is a non-issue by construction.
+  *
+  * Conversion shares are exact integer micro-units (n·1e6 div base),
+  * so the DuckDB oracle replays bit-for-bit.
+  */
+object Funnel {
+
+  /** Per-user staged reach times: (user, t_0 .. t_{k-1}). */
+  def stageTimes(df: DataFrame, userCol: String, typeCol: String,
+                 tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: need at least one step")
+    require(steps.distinct.size == steps.size, "funnel: steps must be distinct")
+    val w = Window.partitionBy(col(userCol))
+    val staged = steps.zipWithIndex.foldLeft(
+      df.select(col(userCol), col(typeCol), col(tsCol))) {
+      case (acc, (step, 0)) =>
+        acc.withColumn("__t0",
+          min(when(col(typeCol) === step, col(tsCol))).over(w))
+      case (acc, (step, i)) =>
+        acc.withColumn(s"__t$i",
+          min(when(col(typeCol) === step && col(tsCol) > col(s"__t${i - 1}"),
+            col(tsCol))).over(w))
+    }
+    staged.groupBy(col(userCol))
+      .agg(min("__t0").as("t0"),
+        (1 until steps.size).map(i => min(s"__t$i").as(s"t$i")): _*)
+  }
+
+  /** The funnel report: one row per step with users reached, share of
+    * the first step, and share of the previous step (micro-units).
+    */
+  def funnel(df: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    val times = stageTimes(df, userCol, typeCol, tsCol, steps)
+    val stackArgs = steps.zipWithIndex
+      .map { case (s, i) => s"$i, '$s', t$i" }.mkString(", ")
+    val perStep = times
+      .select(expr(s"stack(${steps.size}, $stackArgs) AS (step_idx, step, t)"))
+      .groupBy(col("step_idx"), col("step"))
+      .agg(count(col("t")).as("n_users"))
+    // k-row tail: shares against the first and previous step. A zero
+    // base (funnel dead from some step on) yields 0, never a division
+    // error — dead steps stay visible as loud zero rows.
+    val w = Window.orderBy(col("step_idx"))
+    perStep
+      .withColumn("__first", first(col("n_users")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__prev",
+        coalesce(lag(col("n_users"), 1).over(w), col("n_users")))
+      .withColumn("conv_first_micro",
+        when(col("__first") === 0L, 0L)
+          .otherwise(expr("(n_users * 1000000L) div __first")))
+      .withColumn("conv_prev_micro",
+        when(col("__prev") === 0L, 0L)
+          .otherwise(expr("(n_users * 1000000L) div __prev")))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        col("conv_first_micro"), col("conv_prev_micro"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.analytics.{Dfg, Variants}
+import graft.analytics.{Cohort, Dfg, Funnel, SeqExamples, Variants}
 import graft.api.EventLogGenerator
 import graft.operators.{EventOps, Sessionize}
 
@@ -420,6 +420,24 @@ object EventQueries {
             .as("last_ts_rendered"))
     }),
 
+    // Conversion funnel: staged strict-ordering reach times (k chained
+    // windows over ONE user shuffle), k-row report with exact integer
+    // micro-unit step conversions.
+    "q_funnel" -> ((s, dir) =>
+      Funnel.funnel(Tables.events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
+
+    // Cohort retention triangle: first-seen-day cohorts × day offsets;
+    // output bounded by the calendar span squared, never corpus size.
+    "q_cohort_retention" -> ((s, dir) =>
+      Cohort.retention(Tables.events(s, dir), "user_id", "ts")),
+
+    // Next-event training examples over sessions: bounded look-back
+    // context (never all-prefixes), one shuffle on the session key.
+    "q_seq_examples" -> ((s, dir) =>
+      SeqExamples.nextEventExamples(sessions(Tables.events(s, dir)),
+        "session_id", "event_type", "ts", "event_id", contextLen = 5)),
+
     // Window functions: running per-user aggregates.
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -690,6 +708,84 @@ object EventQueries {
          |  strftime(max("TIME_STAMP"), '%Y-%m-%dT%H:%M:%S.') ||
          |    substr(strftime(max("TIME_STAMP"), '%f'), 1, 3) || 'Z' AS last_ts_rendered
          |FROM ranked GROUP BY 1""".stripMargin,
+
+    // Funnel: the same staged strict-after chain as Funnel.stageTimes —
+    // each stage's window may only see times after the previous stage's
+    // (NULL propagates through the strict comparison), then the k-row
+    // conversion arithmetic in exact integer micro-units.
+    "q_funnel" ->
+      """WITH u0 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t0
+        |  FROM events
+        |), u1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM u0
+        |), u2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM u1
+        |), pu AS (
+        |  SELECT user_id, min(t0) AS t0, min(t1) AS t1, min(t2) AS t2
+        |  FROM u2 GROUP BY 1
+        |), st AS (
+        |  SELECT 0 AS step_idx, 'view' AS step, t0 AS t FROM pu
+        |  UNION ALL SELECT 1, 'click', t1 FROM pu
+        |  UNION ALL SELECT 2, 'purchase', t2 FROM pu
+        |), agg AS (
+        |  SELECT step_idx, step, CAST(count(t) AS BIGINT) AS n_users
+        |  FROM st GROUP BY 1, 2
+        |), conv AS (
+        |  SELECT *, first_value(n_users) OVER (ORDER BY step_idx) AS f,
+        |    coalesce(lag(n_users) OVER (ORDER BY step_idx), n_users) AS p
+        |  FROM agg
+        |)
+        |SELECT CAST(step_idx AS INTEGER) AS step_idx, step, n_users,
+        |  CAST(CASE WHEN f = 0 THEN 0
+        |       ELSE (n_users * 1000000) // f END AS BIGINT) AS conv_first_micro,
+        |  CAST(CASE WHEN p = 0 THEN 0
+        |       ELSE (n_users * 1000000) // p END AS BIGINT) AS conv_prev_micro
+        |FROM conv""".stripMargin,
+
+    // Cohort retention: first-seen-day cohorts, distinct active days,
+    // integer micro-unit retention against the cohort size.
+    "q_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), o AS (
+        |  SELECT f.cohort_day,
+        |    date_diff('day', f.cohort_day, a.day) AS offset_days, a.user_id
+        |  FROM a JOIN f USING (user_id)
+        |), g AS (
+        |  SELECT cohort_day, offset_days, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM o GROUP BY 1, 2
+        |), sz AS (
+        |  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM f GROUP BY 1
+        |)
+        |SELECT g.cohort_day, CAST(g.offset_days AS INTEGER) AS offset_days,
+        |  g.n_users, sz.cohort_size,
+        |  (g.n_users * 1000000) // sz.cohort_size AS retention_micro
+        |FROM g JOIN sz USING (cohort_day)""".stripMargin,
+
+    // Next-event examples: the frame-bounded list() window replays
+    // Spark's frame-bounded collect_list over the same (ts, event_id)
+    // order bit-for-bit.
+    "q_seq_examples" ->
+      s"""$SessionsCte, ex AS (
+         |  SELECT session_id,
+         |    CAST(row_number() OVER (PARTITION BY session_id
+         |      ORDER BY ts, event_id) AS INTEGER) AS pos,
+         |    array_to_string(list(event_type) OVER (
+         |      PARTITION BY session_id ORDER BY ts, event_id
+         |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), ' ') AS context,
+         |    event_type AS label
+         |  FROM s
+         |)
+         |SELECT * FROM ex WHERE pos >= 2""".stripMargin,
 
     "q_window_running" ->
       """SELECT event_id, user_id,

@@ -1,0 +1,140 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Cohort, Funnel, SeqExamples}
+
+/** Laws for the event-analytics trio: staged conversion funnel (strict
+  * ordering — out-of-order and simultaneous events must not count),
+  * cohort retention (the diagonal is 1e6 by construction), and
+  * next-event training examples (bounded context, no cross-session
+  * leakage).
+  */
+class FunnelCohortSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: strict ordering — out-of-order and simultaneous steps don't count") {
+    import spark.implicits._
+    val events = Seq(
+      // u1 converts fully in order
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:01:00")),
+      (1L, "purchase", ts("2024-01-01 10:02:00")),
+      // u2: purchase BEFORE click — reaches click, not purchase
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "purchase", ts("2024-01-01 10:00:30")),
+      (2L, "click", ts("2024-01-01 10:01:00")),
+      // u3: click at EXACTLY the view time — strict rule: not reached
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      (3L, "click", ts("2024-01-01 10:00:00")),
+      // u4: never views; a click alone reaches nothing
+      (4L, "click", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Funnel.funnel(events, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0) == (("view", 3L, 1000000L, 1000000L)))
+    assert(out(1) == (("click", 2L, 666666L, 666666L)))
+    assert(out(2) == (("purchase", 1L, 333333L, 500000L)))
+  }
+
+  test("funnel: a user may re-enter a step — the earliest valid witness wins") {
+    import spark.implicits._
+    // view@10:00, click@9:59 (before view — invalid), click@10:05 (valid)
+    val events = Seq(
+      (1L, "click", ts("2024-01-01 09:59:00")),
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val t = Funnel.stageTimes(events, "user_id", "event_type", "ts",
+      Seq("view", "click")).collect()
+    assert(t.length == 1)
+    assert(t(0).getTimestamp(1) == ts("2024-01-01 10:00:00"))
+    assert(t(0).getTimestamp(2) == ts("2024-01-01 10:05:00"))
+  }
+
+  test("funnel: dead step surfaces as a loud zero row, later conversions 0 not error") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "purchase", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Funnel.funnel(events, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .orderBy("step_idx").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 0L, 0L))
+    assert(out(1).getLong(3) == 0L && out(2).getLong(4) == 0L)
+  }
+
+  test("funnel: reach counts are monotonically non-increasing on the real table") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val out = Funnel.funnel(events, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase")).orderBy("step_idx")
+      .collect().map(_.getLong(2))
+    assert(out.sliding(2).forall { case Array(a, b) => a >= b })
+  }
+
+  test("cohort retention: diagonal is exactly 1e6 and counts the whole cohort") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")),
+      (2L, ts("2024-01-01 12:00:00")),
+      (3L, ts("2024-01-02 09:00:00")), (3L, ts("2024-01-04 09:00:00")),
+      // same-day repeat must not double-count activity
+      (3L, ts("2024-01-04 19:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Cohort.retention(events, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("2024-01-01", 0)) == ((2L, 2L, 1000000L)))
+    assert(out(("2024-01-01", 1)) == ((1L, 2L, 500000L)))
+    assert(out(("2024-01-02", 0)) == ((1L, 1L, 1000000L)))
+    assert(out(("2024-01-02", 2)) == ((1L, 1L, 1000000L)))
+    assert(out.size == 4)
+  }
+
+  test("cohort retention: every cohort's offset-0 row equals its size on the real table") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val out = Cohort.retention(events, "user_id", "ts")
+    val diag = out.filter(col("offset_days") === 0)
+      .filter(col("n_users") =!= col("cohort_size") ||
+        col("retention_micro") =!= 1000000L)
+    assert(diag.count() == 0)
+  }
+
+  test("seq examples: exact bounded contexts, pos 1 dropped, no cross-session leakage") {
+    import spark.implicits._
+    val events = Seq(
+      ("s1", "a", 1L), ("s1", "b", 2L), ("s1", "c", 3L), ("s1", "d", 4L),
+      ("s2", "x", 5L), ("s2", "y", 6L)
+    ).map { case (sess, t, i) =>
+      (sess, t, ts(f"2024-01-01 10:00:0$i"), i)
+    }.toDF("session_id", "event_type", "ts", "event_id")
+    val out = SeqExamples.nextEventExamples(events, "session_id",
+      "event_type", "ts", "event_id", contextLen = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getString(3)))).toMap
+    assert(out(("s1", 2)) == (("a", "b")))
+    assert(out(("s1", 3)) == (("a b", "c")))
+    assert(out(("s1", 4)) == (("b c", "d")), "context is the LAST 2, not all")
+    assert(out(("s2", 2)) == (("x", "y")), "s2 context must not see s1")
+    assert(out.size == 4, "pos-1 rows carry no context and are dropped")
+  }
+
+  test("seq examples: tie at the same ts is broken by event_id in both order and context") {
+    import spark.implicits._
+    val t0 = ts("2024-01-01 10:00:00")
+    val events = Seq(
+      ("s1", "b", t0, 2L), ("s1", "a", t0, 1L), ("s1", "c", t0, 3L)
+    ).toDF("session_id", "event_type", "ts", "event_id")
+    val out = SeqExamples.nextEventExamples(events, "session_id",
+      "event_type", "ts", "event_id", contextLen = 5)
+      .collect().map(r => r.getInt(1) -> ((r.getString(2), r.getString(3)))).toMap
+    assert(out(2) == (("a", "b")))
+    assert(out(3) == (("a b", "c")))
+  }
+}

@@ -313,6 +313,41 @@ class PlanShapeSpec extends SparkSpec {
       s"shard plan is one partial-agged aggregate:\n${sp.take(1200)}")
   }
 
+  test("funnel stage times: k chained windows + user collapse over ONE Exchange") {
+    import graft.analytics.Funnel
+    val p = Funnel.stageTimes(Tables.events(spark, Sf),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    // the staged windows all partition on user, and the per-user
+    // collapse reuses that partitioning — the whole corpus shuffles once
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"funnel must shuffle the corpus exactly once:\n${p.take(1500)}")
+    assert(p.linesIterator.count(_.contains("Window ")) == 3)
+  }
+
+  test("q_seq_examples: row_number and the context collect share one WindowExec") {
+    val p = plan("q_seq_examples")
+    // sessionize (user) + examples (session) = exactly two corpus
+    // shuffles; pos and context must not add a third window pass
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"seq examples is sessionize + ONE session-keyed window:\n${p.take(1500)}")
+    val exampleWindows = p.linesIterator.count(l =>
+      l.contains("Window ") && l.contains("collect_list"))
+    assert(exampleWindows == 1 &&
+      p.linesIterator.filter(_.contains("collect_list"))
+        .forall(_.contains("row_number")),
+      s"pos + context must share a single WindowExec:\n${p.take(1500)}")
+  }
+
+  test("q_cohort_retention: corpus shuffles on natural keys; sizes ride a broadcast") {
+    val p = plan("q_cohort_retention")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cohort sizes must broadcast back:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cohort retention must stay equi-join:\n${p.take(1500)}")
+  }
+
   test("q_snapshot_diff: one full-outer equi-join, never a nested loop") {
     val p = plan("q_snapshot_diff")
     assert(p.contains("FullOuter"),
