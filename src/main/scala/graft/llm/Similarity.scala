@@ -1021,6 +1021,67 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for every anchor
+    * vector, the k MOST similar vectors carrying a DIFFERENT label —
+    * the pairs that teach a metric model the most (easy negatives are
+    * already far; hard ones sit inside the margin). The standard
+    * companion to the kNN graph when the embedding store has labels.
+    *
+    * Exact tier: the knnGraph quadratic scan BY CONTRACT (the oracle
+    * tier — same quantized-cosine integers, so DuckDB replays it
+    * bit-for-bit) with the label inequality in the join condition, so
+    * same-label pairs are discarded BEFORE the rank window, never
+    * after (a post-rank filter would silently under-fill k).
+    * `hardNegativesLsh` is the same semantics over LSH candidates —
+    * the corpus-scale arm, recall-gated in AnnSpec like knnGraphLsh.
+    */
+  def hardNegatives(df: DataFrame, idCol: String, embCol: String,
+                    labelCol: String, k: Int,
+                    partitions: Int = 32): DataFrame = {
+    val vecs = df.select(col(idCol), col(labelCol), quantize(embCol).as("v"))
+      .withColumn("nsq", normSqQ("v"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst").asc)
+    vecs.repartition(partitions).as("a")
+      .join(vecs.as("b"), col(s"a.$idCol") =!= col(s"b.$idCol") &&
+        col(s"a.$labelCol") =!= col(s"b.$labelCol"))
+      .select(col(s"a.$idCol").as("src"), col(s"a.$labelCol").as("src_label"),
+        col(s"b.$idCol").as("dst"), col(s"b.$labelCol").as("dst_label"),
+        (dotQ("a.v", "b.v").cast("double") /
+          sqrt((col("a.nsq") * col("b.nsq")).cast("double"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Hard negatives, bucketed SCALE arm: LSH candidate pairs (linear
+    * pair volume), labels attached by two id-keyed equi-joins, the
+    * label inequality applied BEFORE the rank window — identical
+    * fill-k semantics to the exact tier on whatever candidates the
+    * buckets surface. Same honest N ≫ 64·tables crossover as
+    * knnGraphLsh.
+    */
+  def hardNegativesLsh(df: DataFrame, idCol: String, embCol: String,
+                       labelCol: String, k: Int,
+                       nbits: Int = 0, tables: Int = 32): DataFrame = {
+    val labels = df.select(col(idCol), col(labelCol))
+    val pairs = cosineNearDupPairsLsh(df, idCol, embCol,
+      threshold = -1.0, nbits = nbits, tables = tables)
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst").asc)
+    sym
+      .join(labels.withColumnRenamed(idCol, "src")
+        .withColumnRenamed(labelCol, "src_label"), "src")
+      .join(labels.withColumnRenamed(idCol, "dst")
+        .withColumnRenamed(labelCol, "dst_label"), "dst")
+      .filter(col("src_label") =!= col("dst_label"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("src_label"), col("dst"), col("dst_label"),
+        col("cos"), col("rank"))
+  }
+
   /** kNN graph, bucketed SCALE arm: candidate neighbors come from
     * shared hyperplane-LSH buckets (the same multi-table signature +
     * in-bucket pair machinery as `cosineNearDupPairsLsh`, so bucket

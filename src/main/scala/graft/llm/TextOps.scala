@@ -145,6 +145,56 @@ object TextOps {
         Window.orderBy(col("n").desc, col("token"))))
   }
 
+  /** Per-source DISTINCTIVE vocabulary: for each source, the terms
+    * whose in-source frequency most exceeds their corpus frequency —
+    * lift = (o/r)/(c/T), the exponential of PMI, kept in EXACT integer
+    * micro-units so both engines replay it bit-for-bit (a log-based
+    * score would hang cross-engine equality on libm). The corpus-
+    * comparison report a curation pass reads before deciding what a
+    * source actually contributes.
+    *
+    * Numerator o·T·1e6 and denominator r·c run in DECIMAL(38,0):
+    * products of two token masses stay under 1e38 through ~1e15-token
+    * corpora (100 TB is ~2.5e13), and Spark's integral `div` on
+    * decimals ≡ DuckDB's HUGEINT `//` — positive operands, truncation
+    * = floor on both. `minCount` keeps one-off typos from topping the
+    * ranking (lift of a singleton term is huge and meaningless).
+    *
+    * Scale shape: one (source, term) partial-agg shuffle over the
+    * corpus, then everything runs on COLLAPSED tables — the term
+    * totals shuffle the (source, term) table, source totals (S rows)
+    * and the corpus total (1 row) ride back on broadcasts, and the
+    * top-k window partitions by source over minCount-filtered terms.
+    * No pairwise surface anywhere.
+    */
+  def discriminativeTerms(df: DataFrame, sourceCol: String, textCol: String,
+                          topK: Int, minCount: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK > 0, "discriminativeTerms: topK must be positive")
+    require(minCount >= 1, "discriminativeTerms: minCount must be >= 1")
+    val st = df.filter(col(textCol).isNotNull)
+      .select(col(sourceCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(sourceCol), col("term"))
+      .agg(count(lit(1)).as("o"))
+    val termTot = st.groupBy(col("term")).agg(sum(col("o")).as("c"))
+    val srcTot = st.groupBy(col(sourceCol)).agg(sum(col("o")).as("r"))
+    val corpusTot = st.agg(sum(col("o")).as("t_all"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("lift_micro").desc, col("term").asc)
+    st.filter(col("o") >= minCount)
+      .join(termTot, "term")
+      .join(broadcast(srcTot), sourceCol)
+      .crossJoin(broadcast(corpusTot))
+      .withColumn("lift_micro", expr(
+        """(CAST(o AS DECIMAL(38,0)) * CAST(t_all AS DECIMAL(38,0)) * 1000000)
+          | div (CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))""".stripMargin))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(sourceCol), col("term"), col("o").as("n_in_source"),
+        col("c").as("n_total"), col("lift_micro"), col("rank"))
+  }
+
   def langScore(toksCol: String, words: Seq[String]): Column =
     // typedLit array, not a spliced '$w' IN-list: caller-supplied words
     // containing quotes must not be able to break the expression parse

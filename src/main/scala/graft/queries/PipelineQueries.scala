@@ -533,6 +533,20 @@ object PipelineQueries {
       Similarity.knnGraphLsh(Tables.embeddings(s, dir), "vec_id",
         "embedding", k = 3)),
 
+    // -- contrastive training data: hard negatives — top-k most-
+    //    similar DIFFERENT-label vectors per anchor (quadratic oracle
+    //    tier; label filter BEFORE the rank window so k always fills
+    //    from valid candidates) --------------------------------------
+    "q_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label", k = 3)),
+
+    // -- hard negatives on the LSH candidate arm (corpus-scale;
+    //    recall-gated in AnnSpec) ------------------------------------
+    "q_hard_negatives_lsh" -> ((s, dir) =>
+      Similarity.hardNegativesLsh(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label", k = 3)),
+
     // -- embedding preprocessing: PCA projection (treeAggregate gram,
     //    driver Jacobi eigensolve, broadcast compiled MatVec kernel).
     //    The API (`pcaProject`) returns (vec_id, proj array<double>);
@@ -1184,6 +1198,13 @@ object PipelineQueries {
     //    TakeOrdered top-k, never a full-vocab sort --------------------
     "q_vocab_topk" -> ((s, dir) =>
       TextOps.vocabTopK(Tables.documents(s, dir), "text", k = 20)),
+
+    // -- corpus comparison: per-source distinctive vocabulary by exact
+    //    integer lift (PMI without the log); one corpus shuffle, then
+    //    collapsed-table arithmetic + a per-source top-k window ------
+    "q_discriminative" -> ((s, dir) =>
+      TextOps.discriminativeTerms(Tables.documents(s, dir), "source",
+        "text", topK = 15, minCount = 5L)),
 
     // -- decontamination: corpus docs (doc_id%50 ≠ 0) sharing ≥ 3
     //    distinct 5-grams with a "benchmark" slice (%50 = 0); the
@@ -1859,6 +1880,31 @@ object PipelineQueries {
         |  FROM p
         |)
         |SELECT src, dst, "rank", cos FROM r WHERE "rank" <= 3""".stripMargin,
+
+    // Hard negatives: the q_knn_graph replay with the label inequality
+    // in the pair join — same quantized integers, bit-equal cosines
+    "q_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, label, v,
+        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q
+        |), p AS (
+        |  SELECT a.vec_id AS src, a.label AS src_label,
+        |    b.vec_id AS dst, b.label AS dst_label,
+        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) AS DOUBLE) /
+        |      sqrt(CAST(a.nsq * b.nsq AS DOUBLE)) AS cos
+        |  FROM n a JOIN n b ON b.vec_id != a.vec_id AND b.label != a.label
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY src ORDER BY cos DESC, dst) AS INTEGER) AS "rank"
+        |  FROM p
+        |)
+        |SELECT src, src_label, dst, dst_label, cos, "rank"
+        |FROM r WHERE "rank" <= 3""".stripMargin,
 
     "q_embed_quarantine" ->
       """WITH base AS (
@@ -3020,6 +3066,36 @@ object PipelineQueries {
         |SELECT token, n,
         |  CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS "rank"
         |FROM c ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // Discriminative terms: lift in HUGEINT micro-units — o·T·1e6 //
+    // (r·c) replays Spark's DECIMAL(38,0) integral div exactly
+    // (positive operands: truncation = floor on both engines)
+    "q_discriminative" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL
+        |), st AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS o
+        |  FROM tok WHERE term != '' GROUP BY 1, 2
+        |), tt AS (
+        |  SELECT term, CAST(sum(o) AS BIGINT) AS c FROM st GROUP BY 1
+        |), rt AS (
+        |  SELECT source, CAST(sum(o) AS BIGINT) AS r FROM st GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS t_all FROM st
+        |), sc AS (
+        |  SELECT st.source, st.term, st.o, tt.c,
+        |    CAST((CAST(st.o AS HUGEINT) * tot.t_all * 1000000) //
+        |      (CAST(rt.r AS HUGEINT) * tt.c) AS BIGINT) AS lift_micro
+        |  FROM st JOIN tt USING (term) JOIN rt USING (source) CROSS JOIN tot
+        |  WHERE st.o >= 5
+        |), rk AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY lift_micro DESC, term) AS INTEGER) AS "rank"
+        |  FROM sc
+        |)
+        |SELECT source, term, o AS n_in_source, c AS n_total, lift_micro, "rank"
+        |FROM rk WHERE "rank" <= 15""".stripMargin,
 
     "q_decontaminate" ->
       """WITH t AS (

@@ -246,6 +246,33 @@ class AnnSpec extends SparkSpec {
       s"recall must not DROP with more tables: $recallNarrow -> $recallWide")
   }
 
+  test("hard negatives: never same-label, labels faithful, LSH arm recall floor") {
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.hardNegatives(emb, "vec_id", "embedding", "label", k = 3)
+    val rows = exact.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(1) != r.getInt(3)),
+      "a hard negative must carry a different label than its anchor")
+    // labels on the output must be the store's labels, not fabricated
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall(r => labels(r.getLong(0)) == r.getInt(1) &&
+      labels(r.getLong(2)) == r.getInt(3)))
+    // every anchor fills k when enough different-label vectors exist
+    val byAnchor = rows.groupBy(_.getLong(0))
+    assert(byAnchor.values.forall(_.length == 3),
+      "label filter runs BEFORE the rank window, so k must fill")
+    val exactSet = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.hardNegativesLsh(emb, "vec_id", "embedding",
+        "label", k = 3, tables = 32)
+      .collect()
+    assert(lsh.forall(r => r.getInt(1) != r.getInt(3)))
+    val lshSet = lsh.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (lshSet & exactSet).size.toDouble / exactSet.size
+    assert(recall >= 0.9, s"hard-negative LSH recall $recall")
+  }
+
   test("int8 quantization: bounded element error, cosine fidelity, zero-vector safe") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row

@@ -225,6 +225,31 @@ class TextOpsSpec extends SparkSpec {
     assert(onlyFilter == got.filter(_._1._1 == 2), "missing term contributes zero")
   }
 
+  test("discriminative terms: exclusive term maxes lift, uniform term ~1e6, minCount excludes rare") {
+    import spark.implicits._
+    // two sources, 10 tokens each; "zebra" exclusive to s1 (5×),
+    // "the" uniform (5 in each), "rare" appears twice (< minCount 3)
+    val docs = Seq(
+      ("s1", "zebra zebra zebra zebra zebra the the the the the"),
+      ("s2", "rare rare the the the the the cat cat cat")
+    ).toDF("source", "text")
+    val out = TextOps.discriminativeTerms(docs, "source", "text",
+      topK = 10, minCount = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    // zebra: o=5, r=10, c=5, T=20 → lift = 5·20/(10·5) = 2 → 2e6
+    assert(out(("s1", "zebra")) == ((5L, 5L, 2000000L, 1)))
+    // the: o=5, r=10, c=10, T=20 → exactly 1e6 in both sources
+    assert(out(("s1", "the"))._3 == 1000000L)
+    assert(out(("s2", "the"))._3 == 1000000L)
+    // cat: o=3, r=10, c=3, T=20 → 2e6, rank 1 in s2
+    assert(out(("s2", "cat")) == ((3L, 3L, 2000000L, 1)))
+    assert(!out.keySet.exists(_._2 == "rare"),
+      "minCount must exclude sub-threshold terms")
+    // an exclusive term's lift is exactly T/r — the maximum possible
+    assert(out.forall { case (_, (_, _, lift, _)) => lift <= 2000000L })
+  }
+
   test("learned quality scorer: deterministic weights, in-sample and HELD-OUT agreement") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val stop = Seq("the", "a", "of", "and", "is", "to")
