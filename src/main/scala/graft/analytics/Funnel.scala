@@ -31,11 +31,24 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
-  /** Per-user staged reach times: (user, t_0 .. t_{k-1}). */
+  /** Per-user staged reach times: (user, t_0 .. t_{k-1}).
+    *
+    * `withinSec`, when set, requires every later stage to land within
+    * that many seconds of t_0 — the "complete the funnel within T of
+    * entry" conversion window, ANCHORED AT THE EARLIEST ENTRY BY
+    * CONTRACT: a user whose first entry times out is not re-tried
+    * from a later entry event. That anchoring is what keeps the
+    * operator a deterministic one-window pass (and SQL-replayable);
+    * the re-entrant definition is a per-entry dynamic program over a
+    * sorted scan — a different operator with no relational oracle.
+    * Exact timestamp-interval arithmetic, no seconds truncation.
+    */
   def stageTimes(df: DataFrame, userCol: String, typeCol: String,
-                 tsCol: String, steps: Seq[String]): DataFrame = {
+                 tsCol: String, steps: Seq[String],
+                 withinSec: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel: need at least one step")
     require(steps.distinct.size == steps.size, "funnel: steps must be distinct")
+    require(withinSec.forall(_ > 0), "funnel: withinSec must be positive")
     val w = Window.partitionBy(col(userCol))
     val staged = steps.zipWithIndex.foldLeft(
       df.select(col(userCol), col(typeCol), col(tsCol))) {
@@ -43,9 +56,14 @@ object Funnel {
         acc.withColumn("__t0",
           min(when(col(typeCol) === step, col(tsCol))).over(w))
       case (acc, (step, i)) =>
+        val inWindow = withinSec match {
+          case None => lit(true)
+          case Some(t) =>
+            col(tsCol) <= col("__t0") + expr(s"INTERVAL $t SECONDS")
+        }
         acc.withColumn(s"__t$i",
-          min(when(col(typeCol) === step && col(tsCol) > col(s"__t${i - 1}"),
-            col(tsCol))).over(w))
+          min(when(col(typeCol) === step && col(tsCol) > col(s"__t${i - 1}") &&
+            inWindow, col(tsCol))).over(w))
     }
     staged.groupBy(col(userCol))
       .agg(min("__t0").as("t0"),
@@ -56,8 +74,9 @@ object Funnel {
     * the first step, and share of the previous step (micro-units).
     */
   def funnel(df: DataFrame, userCol: String, typeCol: String,
-             tsCol: String, steps: Seq[String]): DataFrame = {
-    val times = stageTimes(df, userCol, typeCol, tsCol, steps)
+             tsCol: String, steps: Seq[String],
+             withinSec: Option[Long] = None): DataFrame = {
+    val times = stageTimes(df, userCol, typeCol, tsCol, steps, withinSec)
     val stackArgs = steps.zipWithIndex
       .map { case (s, i) => s"$i, '$s', t$i" }.mkString(", ")
     val perStep = times

@@ -126,6 +126,24 @@ object Bpe {
     * for a shuffle-hash join on the token key for that regime;
     * row-identical either way.
     */
+  /** Tokenizer fertility report — the standard tokenizer-evaluation
+    * metric, per group (typically language): subwords emitted per
+    * whitespace word and characters per subword, both in exact
+    * integer micro-units over `subwordStats`' ledger. High fertility
+    * on a language = the merge table under-serves it — the number a
+    * multilingual vocab budget negotiation actually reads. Same scale
+    * shape as subwordStats (encode once per distinct word); the ratio
+    * arithmetic runs on the collapsed per-group rows.
+    */
+  def fertility(df: DataFrame, groupCol: String, textCol: String,
+                merges: Seq[(String, String)],
+                broadcastEncoded: Boolean = true): DataFrame =
+    subwordStats(df, groupCol, textCol, merges, broadcastEncoded)
+      .withColumn("fertility_micro",
+        expr("(n_subwords * 1000000L) div n_words"))
+      .withColumn("chars_per_subword_micro",
+        expr("(n_chars * 1000000L) div n_subwords"))
+
   def subwordStats(df: DataFrame, groupCol: String, textCol: String,
                    merges: Seq[(String, String)],
                    broadcastEncoded: Boolean = true): DataFrame = {

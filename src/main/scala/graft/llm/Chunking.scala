@@ -627,6 +627,105 @@ object Chunking {
     * shard id collapsing to nShards rows pre-exchange. The corpus
     * never moves.
     */
+  /** PPS-systematic corpus sample with Horvitz-Thompson weights — the
+    * low-variance alternative to the Bernoulli-style `mixToBudget`
+    * rate sampler: per source, exactly `picksPerSource` token-position
+    * boundaries are laid at a fixed stride through a DETERMINISTIC
+    * pseudo-random document order (the Weyl-hash order `shardAssign`
+    * uses), and a document is picked once per boundary its token span
+    * covers. Inclusion is proportional-to-size by construction, the
+    * per-source hit total is EXACTLY `picksPerSource` (a conservation
+    * law the spec pins — systematic sampling's whole point is that
+    * the sample size never varies), and the emitted HT weight
+    * `(n_hits · total_s · 1e6) div (n_tokens · m)` makes weighted
+    * token sums unbiased for the full corpus in exact integer
+    * micro-units.
+    *
+    * Scale shape: one shuffle on the source key for the order window
+    * + running token sum; the S-row totals table rides back on a
+    * broadcast; the boundary-hit arithmetic is row-local integer
+    * floors — no sort of the corpus beyond the per-source window, no
+    * pairwise surface. Empty documents can never straddle a boundary
+    * and drop out by construction.
+    */
+  def ppsSystematicSample(df: DataFrame, sourceCol: String, idCol: String,
+                          textCol: String, picksPerSource: Int): DataFrame = {
+    require(picksPerSource > 0, "ppsSystematicSample: picks must be positive")
+    for (c <- Seq("__bucket", "__nt", "__cum", "__tot", "__stride",
+        "__bhi", "__blo", "n_tokens", "n_hits", "weight_micro")
+        if df.columns.contains(c))
+      require(false, s"ppsSystematicSample: '$c' is reserved — rename it")
+    import org.apache.spark.sql.expressions.Window
+    val denom = 65536L
+    val m = picksPerSource.toLong
+    val ord = Window.partitionBy(col(sourceCol))
+      .orderBy(col("__bucket").asc, col(idCol).asc)
+    val base = df.select(col(sourceCol), col(idCol),
+        pmod(pmod(col(idCol), lit(denom)) * lit(40503L), lit(denom)).as("__bucket"),
+        size(split(col(textCol), " ")).cast("long").as("__nt"))
+      .filter(col("__nt") > 0L)
+    val totals = base.groupBy(col(sourceCol))
+      .agg(sum("__nt").as("__tot"))
+      .withColumn("__stride", expr(s"__tot div ${m}L"))
+    val cum = base
+      .withColumn("__cum", sum(col("__nt")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(totals), sourceCol)
+    // a source with fewer tokens than picks has stride 0 — fail LOUD,
+    // an oversampled source is a caller error, not a silent clamp
+    cum.withColumn("__stride",
+        when(col("__stride") <= 0L, expr(
+          s"raise_error('ppsSystematicSample: a source has fewer than $picksPerSource tokens')"))
+          .otherwise(col("__stride")))
+      // boundaries sit at token positions j·stride, j = 0..m-1; the doc
+      // spans [cum - nt, cum); hits = boundaries inside the span,
+      // capped at index m-1 (stride·m may undershoot the total by the
+      // division remainder — the tail past the last boundary is simply
+      // never sampled, which is what keeps the count exact)
+      .withColumn("__bhi", least(expr("(__cum - 1L) div __stride"), lit(m - 1L)))
+      .withColumn("__blo", when(col("__cum") === col("__nt"), lit(-1L))
+        .otherwise(least(expr("(__cum - __nt - 1L) div __stride"), lit(m - 1L))))
+      .withColumn("n_hits", col("__bhi") - col("__blo"))
+      .filter(col("n_hits") > 0L)
+      // DECIMAL(38,0) keeps n_hits·total·1e6 exact past int64 (a
+      // 100 TB source's token mass ×1e6 overflows a long)
+      .withColumn("weight_micro", expr(
+        s"""(CAST(n_hits AS DECIMAL(38,0)) * CAST(__tot AS DECIMAL(38,0)) * 1000000)
+           | div (CAST(__nt AS DECIMAL(38,0)) * ${m})""".stripMargin))
+      .select(col(sourceCol), col(idCol), col("__nt").as("n_tokens"),
+        col("n_hits"), col("weight_micro"))
+  }
+
+  /** Release-to-release manifest reconciliation — the integrity check
+    * a publication pipeline runs BEFORE shipping a refresh: which
+    * shards changed, appeared, or vanished between two
+    * `releaseManifest` ledgers, without touching the corpus at all.
+    * Shard-count rows in, shard-count rows out — one full-outer
+    * equi-join on the shard id (the snapshotDiff convention: every
+    * shard surfaces with a status, `unchanged` included, and missing
+    * sides carry -1 sentinels, never NULLs). `changed` compares the
+    * WHOLE ledger row — checksum, doc count, byte volume, id range —
+    * so a count-preserving content edit and a checksum-colliding
+    * add/remove pair both still trip on the other fields.
+    */
+  def manifestDiff(oldManifest: DataFrame, newManifest: DataFrame): DataFrame = {
+    val cols = Seq("n_docs", "n_bytes", "id_min", "id_max", "checksum")
+    val o = oldManifest.select(col("shard") +: cols.map(c => col(c).as(s"__o_$c")): _*)
+    val n = newManifest.select(col("shard") +: cols.map(c => col(c).as(s"__n_$c")): _*)
+    val anyDiff = cols.map(c => col(s"__o_$c") =!= col(s"__n_$c"))
+      .reduce(_ || _)
+    o.join(n, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        when(col("__o_checksum").isNull, lit("added"))
+          .when(col("__n_checksum").isNull, lit("removed"))
+          .when(anyDiff, lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        coalesce(col("__o_n_docs"), lit(-1L)).as("n_docs_old"),
+        coalesce(col("__n_n_docs"), lit(-1L)).as("n_docs_new"),
+        coalesce(col("__o_n_bytes"), lit(-1L)).as("n_bytes_old"),
+        coalesce(col("__n_n_bytes"), lit(-1L)).as("n_bytes_new"))
+  }
+
   def releaseManifest(df: DataFrame, idCol: String, textCol: String,
                       nShards: Int): DataFrame = {
     require(nShards > 0, "releaseManifest: nShards must be positive")

@@ -427,6 +427,13 @@ object EventQueries {
       Funnel.funnel(Tables.events(s, dir), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))),
 
+    // Windowed funnel: same staged chain, every later step constrained
+    // to land within 24 h of the user's FIRST entry (anchored BY
+    // CONTRACT — see Funnel.stageTimes); exact interval arithmetic.
+    "q_funnel_windowed" -> ((s, dir) =>
+      Funnel.funnel(Tables.events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), withinSec = Some(86400L))),
+
     // Cohort retention triangle: first-seen-day cohorts × day offsets;
     // output bounded by the calendar span squared, never corpus size.
     "q_cohort_retention" -> ((s, dir) =>
@@ -724,6 +731,42 @@ object EventQueries {
         |    OVER (PARTITION BY user_id) AS t1 FROM u0
         |), u2 AS (
         |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM u1
+        |), pu AS (
+        |  SELECT user_id, min(t0) AS t0, min(t1) AS t1, min(t2) AS t2
+        |  FROM u2 GROUP BY 1
+        |), st AS (
+        |  SELECT 0 AS step_idx, 'view' AS step, t0 AS t FROM pu
+        |  UNION ALL SELECT 1, 'click', t1 FROM pu
+        |  UNION ALL SELECT 2, 'purchase', t2 FROM pu
+        |), agg AS (
+        |  SELECT step_idx, step, CAST(count(t) AS BIGINT) AS n_users
+        |  FROM st GROUP BY 1, 2
+        |), conv AS (
+        |  SELECT *, first_value(n_users) OVER (ORDER BY step_idx) AS f,
+        |    coalesce(lag(n_users) OVER (ORDER BY step_idx), n_users) AS p
+        |  FROM agg
+        |)
+        |SELECT CAST(step_idx AS INTEGER) AS step_idx, step, n_users,
+        |  CAST(CASE WHEN f = 0 THEN 0
+        |       ELSE (n_users * 1000000) // f END AS BIGINT) AS conv_first_micro,
+        |  CAST(CASE WHEN p = 0 THEN 0
+        |       ELSE (n_users * 1000000) // p END AS BIGINT) AS conv_prev_micro
+        |FROM conv""".stripMargin,
+
+    "q_funnel_windowed" ->
+      """WITH u0 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t0
+        |  FROM events
+        |), u1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0
+        |      AND ts <= t0 + INTERVAL 86400 SECOND THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM u0
+        |), u2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1
+        |      AND ts <= t0 + INTERVAL 86400 SECOND THEN ts END)
         |    OVER (PARTITION BY user_id) AS t2 FROM u1
         |), pu AS (
         |  SELECT user_id, min(t0) AS t0, min(t1) AS t1, min(t2) AS t2

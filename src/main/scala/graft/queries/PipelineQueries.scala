@@ -1039,6 +1039,35 @@ object PipelineQueries {
       Chunking.releaseManifest(Tables.documents(s, dir), "doc_id", "text",
         nShards = 8)),
 
+    // -- sampling: PPS-systematic with HT weights — exactly 20
+    //    boundary hits per source through the Weyl-hash order; the
+    //    low-variance companion to the rate-based mixing tiers -------
+    "q_pps_sample" -> ((s, dir) =>
+      Chunking.ppsSystematicSample(Tables.documents(s, dir), "source",
+        "doc_id", "text", picksPerSource = 20)),
+
+    // -- tokenizer evaluation: per-language fertility (subwords per
+    //    word) over the trained merge table; rows-only — the merge
+    //    table is data-dependent (the q_bpe_tokens contract) ---------
+    "q_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.llm.Bpe.train(docs, "text", numMerges = 50)
+      graft.llm.Bpe.fertility(docs, "lang", "text", merges)
+    }),
+
+    // -- release engineering: manifest reconciliation between an "old
+    //    release" slice (doc_id % 50 ≠ 0, the decontamination split)
+    //    and the full corpus — shard-count rows in and out, corpus
+    //    untouched ---------------------------------------------------
+    "q_manifest_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Chunking.manifestDiff(
+        Chunking.releaseManifest(
+          docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          "doc_id", "text", nShards = 8),
+        Chunking.releaseManifest(docs, "doc_id", "text", nShards = 8))
+    }),
+
     // -- training order: multi-epoch reshuffle — a different seeded
     //    affine permutation of each shard's traversal order per epoch
     //    (bijective by coprime stride, gcd-checked driver-side and
@@ -2802,6 +2831,79 @@ object PipelineQueries {
         |  max(doc_id) AS id_max,
         |  CAST(sum(dig) AS BIGINT) AS checksum
         |FROM d GROUP BY shard""".stripMargin,
+
+    // PPS-systematic sample: running token sums through the Weyl-hash
+    // order, boundary hits by integer floors (all operands
+    // non-negative, so DuckDB's floor // ≡ Spark's truncating div),
+    // HT weights in HUGEINT ≡ Spark DECIMAL(38,0)
+    "q_pps_sample" ->
+      """WITH base AS (
+        |  SELECT source, doc_id,
+        |    ((doc_id % 65536) * 40503) % 65536 AS bucket,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents
+        |), nz AS (
+        |  SELECT * FROM base WHERE nt > 0
+        |), cum AS (
+        |  SELECT source, doc_id, nt,
+        |    CAST(sum(nt) OVER (PARTITION BY source ORDER BY bucket, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        |  FROM nz
+        |), tot AS (
+        |  SELECT source, CAST(sum(nt) AS BIGINT) AS t,
+        |    CAST(sum(nt) AS BIGINT) // 20 AS stride
+        |  FROM nz GROUP BY 1
+        |), h AS (
+        |  SELECT cum.source, cum.doc_id, cum.nt, tot.t,
+        |    least((cum.c - 1) // tot.stride, 19) AS bhi,
+        |    CASE WHEN cum.c = cum.nt THEN -1
+        |         ELSE least((cum.c - cum.nt - 1) // tot.stride, 19) END AS blo
+        |  FROM cum JOIN tot USING (source)
+        |)
+        |SELECT source, doc_id, nt AS n_tokens,
+        |  bhi - blo AS n_hits,
+        |  CAST((CAST(bhi - blo AS HUGEINT) * t * 1000000) //
+        |    (CAST(nt AS HUGEINT) * 20) AS BIGINT) AS weight_micro
+        |FROM h WHERE bhi - blo > 0""".stripMargin,
+
+    // Manifest diff: both ledgers replayed from the q_release_manifest
+    // CTE, full-outer on shard, whole-row change comparison
+    "q_manifest_diff" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    CAST((((doc_id % 65536) * 40503) % 65536) % 8 AS INTEGER) AS shard,
+        |    md5(concat(CAST(doc_id AS VARCHAR), '|', text)) AS h
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, text, shard,
+        |    CAST(list_sum(list_transform(range(1, 33),
+        |      i -> ascii(substr(h, CAST(i AS INTEGER), 1)) * i * i)) AS BIGINT) AS dig
+        |  FROM s
+        |), m_old AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+        |    min(doc_id) AS id_min, max(doc_id) AS id_max,
+        |    CAST(sum(dig) AS BIGINT) AS checksum
+        |  FROM d WHERE doc_id % 50 != 0 GROUP BY shard
+        |), m_new AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+        |    min(doc_id) AS id_min, max(doc_id) AS id_max,
+        |    CAST(sum(dig) AS BIGINT) AS checksum
+        |  FROM d GROUP BY shard
+        |)
+        |SELECT coalesce(o.shard, n.shard) AS shard,
+        |  CASE WHEN o.checksum IS NULL THEN 'added'
+        |       WHEN n.checksum IS NULL THEN 'removed'
+        |       WHEN o.n_docs != n.n_docs OR o.n_bytes != n.n_bytes
+        |         OR o.id_min != n.id_min OR o.id_max != n.id_max
+        |         OR o.checksum != n.checksum THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  coalesce(o.n_docs, -1) AS n_docs_old,
+        |  coalesce(n.n_docs, -1) AS n_docs_new,
+        |  coalesce(o.n_bytes, -1) AS n_bytes_old,
+        |  coalesce(n.n_bytes, -1) AS n_bytes_new
+        |FROM m_old o FULL OUTER JOIN m_new n ON o.shard = n.shard""".stripMargin,
 
     "q_epoch_order" ->
       """WITH w AS (

@@ -121,4 +121,18 @@ class BpeSpec extends SparkSpec {
     assert(got("abab") == Seq("abab"))
     assert(got("ccc") == Seq("cc", "c"))
   }
+
+  test("fertility: exact micro ratios per group on constructed merges") {
+    import spark.implicits._
+    // merges = [(a,b)]: "ab" → 1 subword; "abcd" → [ab, c, d] = 3
+    val docs = Seq(
+      ("en", "ab ab"),   // 2 words, 2 subwords, 4 chars
+      ("de", "abcd")     // 1 word, 3 subwords, 4 chars
+    ).toDF("lang", "text")
+    val out = Bpe.fertility(docs, "lang", "text", Seq(("a", "b")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("en") == ((2L, 2L, 4L, 1000000L, 2000000L)))
+    assert(out("de") == ((1L, 3L, 4L, 3000000L, 1333333L)))
+  }
 }

@@ -492,4 +492,59 @@ class ChunkingSpec extends SparkSpec {
     assert(r0._2 == s0._2 && r0._5 != s0._5,
       "re-keyed rows keep the byte sum but must move the checksum")
   }
+
+  test("ppsSystematicSample: exact hit conservation, PPS certainty, determinism, loud oversample") {
+    import spark.implicits._
+    // source s1: one giant doc (60 tokens) among small ones — PPS must
+    // pick it with multiplicity; s2: uniform docs
+    val giant = ("s1", 100L, (1 to 60).map(_ => "w").mkString(" "))
+    val docs = (Seq(giant) ++ (1 to 20).map(i => ("s1", i.toLong, "a b c")) ++
+      (1 to 10).map(i => ("s2", i.toLong, "x y z w v"))).toDF("source", "doc_id", "text")
+    val out = Chunking.ppsSystematicSample(docs, "source", "doc_id", "text",
+      picksPerSource = 10)
+    val rows = out.collect()
+    // conservation: every source lands EXACTLY m boundary hits
+    val hits = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(3)).sum)
+    assert(hits("s1") == 10L && hits("s2") == 10L,
+      s"systematic sampling must hit exactly m per source, got $hits")
+    // certainty pick: s1 totals 120 tokens, stride 12 — the 60-token
+    // giant spans 5 boundaries regardless of where the order puts it
+    val g = rows.find(r => r.getString(0) == "s1" && r.getLong(1) == 100L).get
+    assert(g.getLong(3) == 5L, s"giant doc must be hit total/stride times, got $g")
+    // HT weight of the giant: hits·total·1e6 div (nt·m) = 5·120e6/(60·10) = 1e6
+    assert(g.getLong(4) == 1000000L)
+    // determinism: a reshuffled input produces the identical sample
+    val again = Chunking.ppsSystematicSample(docs.orderBy(rand(42)), "source",
+      "doc_id", "text", picksPerSource = 10).collect()
+    assert(again.map(_.toString).sorted.toSeq == rows.map(_.toString).sorted.toSeq)
+    // oversample: a 3-token source cannot yield 10 picks — loud
+    val tiny = Seq(("s3", 1L, "a b c")).toDF("source", "doc_id", "text")
+    val ex = intercept[Exception] {
+      Chunking.ppsSystematicSample(tiny, "source", "doc_id", "text", 10).collect()
+    }
+    assert(ex.getMessage.contains("fewer than 10 tokens"))
+  }
+
+  test("manifestDiff: added/removed/changed/unchanged statuses, -1 sentinels, content-edit trips") {
+    import spark.implicits._
+    def manifest(rows: Seq[(Long, String)]) =
+      Chunking.releaseManifest(rows.toDF("doc_id", "text"), "doc_id", "text",
+        nShards = 8)
+    // shards: 0 holds {0, 8}, 7 holds {1}, id 2 → (2·40503)%65536=15470
+    // % 8 = 6 → shard 6
+    val oldM = manifest(Seq((0L, "alpha"), (8L, "gamma"), (1L, "beta")))
+    val newM = manifest(Seq((0L, "alphb"), (8L, "gamma"), (2L, "new doc")))
+    val d = Chunking.manifestDiff(oldM, newM)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(d(0)._1 == "changed",
+      "a count-preserving one-character edit must trip the checksum")
+    assert(d(0)._2 == 2L && d(0)._3 == 2L)
+    assert(d(7) == (("removed", 1L, -1L, 4L, -1L)))
+    assert(d(6) == (("added", -1L, 1L, -1L, 7L)))
+    assert(d.size == 3)
+    // identical ledgers: every shard unchanged
+    val same = Chunking.manifestDiff(oldM, oldM).collect()
+    assert(same.forall(_.getString(1) == "unchanged"))
+  }
 }

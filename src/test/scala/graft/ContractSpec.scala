@@ -30,6 +30,7 @@ class ContractSpec extends SparkSpec {
     "q_pca_project" -> "Jacobi eigensolve is not SQL-expressible; orthonormality/rotation/variance/whitening laws gated in PcaSpec",
     "q_knn_graph_lsh" -> "bucket-miss approximate by design; recall vs the exact kNN graph gated in AnnSpec",
     "q_hard_negatives_lsh" -> "bucket-miss approximate by design; recall vs the exact hard-negative tier + never-same-label law gated in AnnSpec",
+    "q_fertility" -> "trained merge table is not SQL-expressible (the q_bpe_tokens contract); exact-ratio law on constructed merges gated in BpeSpec",
     "q_hybrid_rrf_ann" -> "dense arm is LSH-approximate; fused recall vs the exact hybrid gated in RetrievalSpec",
     "q_perplexity" -> "ln is not bit-identical cross-engine; driver-reimplementation bit-equality + ordering/conservation laws gated in LmSpec")
 

@@ -78,6 +78,35 @@ class FunnelCohortSpec extends SparkSpec {
     assert(out.sliding(2).forall { case Array(a, b) => a >= b })
   }
 
+  test("windowed funnel: in-window converts, out-of-window doesn't, anchored at FIRST entry") {
+    import spark.implicits._
+    val events = Seq(
+      // u1: click 30 s after view — inside a 60 s window
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:00:30")),
+      // u2: click 2 min after view — outside
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 10:02:00")),
+      // u3: first view's window expires, a SECOND view would catch the
+      // click — anchored contract: still not converted
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      (3L, "view", ts("2024-01-01 10:05:00")),
+      (3L, "click", ts("2024-01-01 10:05:30"))
+    ).toDF("user_id", "event_type", "ts")
+    val t = Funnel.stageTimes(events, "user_id", "event_type", "ts",
+      Seq("view", "click"), withinSec = Some(60L))
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(2))).toMap
+    assert(t(1L).contains(ts("2024-01-01 10:00:30")))
+    assert(t(2L).isEmpty)
+    assert(t(3L).isEmpty,
+      "the window anchors at the EARLIEST entry by contract — no re-entry")
+    // without a window u2 and u3 both convert
+    val open = Funnel.stageTimes(events, "user_id", "event_type", "ts",
+      Seq("view", "click"))
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(2))).toMap
+    assert(open(2L).nonEmpty && open(3L).nonEmpty)
+  }
+
   test("cohort retention: diagonal is exactly 1e6 and counts the whole cohort") {
     import spark.implicits._
     val events = Seq(
