@@ -51,6 +51,77 @@ object Dfg {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** First-order Markov transition model over cases — the DFG with
+    * `__START__`/`__END__` pseudo-states and exact integer transition
+    * probabilities: the generative baseline a next-event predictor is
+    * measured against, and the row-normalized matrix simulation /
+    * log-replay tooling consumes. Every event emits its outgoing
+    * transition (to `__END__` for the case's last event) and first
+    * events additionally emit the `__START__` entry — so per state,
+    * outgoing counts sum to that state's visit count and the
+    * micro-unit probabilities row-normalize by construction (floored
+    * integer division; the ≤ state-degree shortfall is the documented
+    * rounding, never a hidden renormalization).
+    *
+    * Same scale shape as `edges`: one case-keyed window shuffle, the
+    * transition explode is row-local (≤ 2 rows per event), and the
+    * probability window runs over the collapsed |states|²-bounded
+    * count table.
+    */
+  def transitionMatrix(df: DataFrame, caseCol: String, activityCol: String,
+                       tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieCol))
+    val pw = Window.partitionBy(col("state"))
+    df.withColumn("__next", lead(col(activityCol), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .select(explode(when(col("__rn") === 1,
+          array(
+            struct(lit("__START__").as("state"), col(activityCol).as("next_state")),
+            struct(col(activityCol).as("state"),
+              coalesce(col("__next"), lit("__END__")).as("next_state"))))
+        .otherwise(array(
+          struct(col(activityCol).as("state"),
+            coalesce(col("__next"), lit("__END__")).as("next_state"))))).as("t"))
+      .select(col("t.state"), col("t.next_state"))
+      .groupBy(col("state"), col("next_state"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__sum", sum(col("n")).over(pw))
+      .withColumn("p_micro", expr("(n * 1000000L) div __sum"))
+      .select(col("state"), col("next_state"), col("n"), col("p_micro"))
+  }
+
+  /** Footprint conformance — the checking half of process mining: per
+    * case, how much of its directly-follows behavior a MODEL (a table
+    * of allowed `(activity, next_activity)` pairs, e.g. the frequent
+    * edges of a reference log) actually covers. Output per case:
+    * observed pair count, violations, and fitness in exact integer
+    * micro-units. A one-event case has no pairs and is VACUOUSLY
+    * conformant (fitness 1e6, n_pairs 0 — visible, documented, never
+    * a division error).
+    *
+    * Scale shape: the model is |activities|²-bounded and rides a
+    * broadcast; the log pays the same case-keyed window shuffle as
+    * `edges` plus a per-case partial aggregate. No pairwise surface.
+    */
+  def footprintConformance(df: DataFrame, caseCol: String,
+                           activityCol: String, tsCol: String,
+                           tieCol: String, modelEdges: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieCol))
+    val model = modelEdges
+      .select(col("activity"), col("next_activity"), lit(1).as("__ok"))
+      .distinct()
+    df.withColumn("next_activity", lead(col(activityCol), 1).over(w))
+      .select(col(caseCol), col(activityCol).as("activity"), col("next_activity"))
+      .join(broadcast(model), Seq("activity", "next_activity"), "left")
+      .groupBy(col(caseCol))
+      .agg(count(col("next_activity")).as("n_pairs"),
+        sum(when(col("next_activity").isNotNull && col("__ok").isNull, 1L)
+          .otherwise(0L)).as("n_violations"))
+      .withColumn("fitness_micro",
+        when(col("n_pairs") === 0L, lit(1000000L))
+          .otherwise(expr("((n_pairs - n_violations) * 1000000L) div n_pairs")))
+  }
+
   /** Alpha-miner footprint relations over the DFG edges: for every
     * ordered activity pair with a directly-follows edge, `parallel`
     * when the reverse edge also exists, else `causal`. (The `choice`

@@ -420,6 +420,24 @@ object EventQueries {
             .as("last_ts_rendered"))
     }),
 
+    // First-order Markov transition model over sessions: DFG +
+    // __START__/__END__ pseudo-states + exact integer row
+    // probabilities — the generative next-event baseline.
+    "q_markov" -> ((s, dir) =>
+      Dfg.transitionMatrix(sessions(Tables.events(s, dir)),
+        "session_id", "event_type", "ts", "event_id")),
+
+    // Footprint conformance: every session checked against the
+    // frequent-edge model (n >= 5) of the SAME log — the
+    // self-conformance report that surfaces rare deviating cases.
+    "q_conformance" -> ((s, dir) => {
+      val sess = sessions(Tables.events(s, dir))
+      val model = Dfg.edges(sess, "session_id", "event_type", "ts", "event_id")
+        .filter(col("n") >= 5L)
+      Dfg.footprintConformance(sess, "session_id", "event_type", "ts",
+        "event_id", model)
+    }),
+
     // Conversion funnel: staged strict-ordering reach times (k chained
     // windows over ONE user shuffle), k-row report with exact integer
     // micro-unit step conversions.
@@ -715,6 +733,66 @@ object EventQueries {
          |  strftime(max("TIME_STAMP"), '%Y-%m-%dT%H:%M:%S.') ||
          |    substr(strftime(max("TIME_STAMP"), '%f'), 1, 3) || 'Z' AS last_ts_rendered
          |FROM ranked GROUP BY 1""".stripMargin,
+
+    // Markov transitions: every event emits its outgoing transition
+    // (coalesced to __END__), first events add the __START__ entry;
+    // probabilities by integer division over the per-state window
+    "q_markov" ->
+      s"""$SessionsCte, ordered AS (
+         |  SELECT session_id, event_type,
+         |    row_number() OVER (PARTITION BY session_id
+         |      ORDER BY ts, event_id) AS rn,
+         |    lead(event_type) OVER (PARTITION BY session_id
+         |      ORDER BY ts, event_id) AS nxt
+         |  FROM s
+         |), tr AS (
+         |  SELECT '__START__' AS state, event_type AS next_state
+         |  FROM ordered WHERE rn = 1
+         |  UNION ALL
+         |  SELECT event_type, coalesce(nxt, '__END__') FROM ordered
+         |), c AS (
+         |  SELECT state, next_state, CAST(count(*) AS BIGINT) AS n
+         |  FROM tr GROUP BY 1, 2
+         |)
+         |SELECT state, next_state, n,
+         |  (n * 1000000) // CAST(sum(n) OVER (PARTITION BY state) AS BIGINT)
+         |    AS p_micro
+         |FROM c""".stripMargin,
+
+    // Conformance: pairs per session left-joined against the frequent-
+    // edge model; sessions without pairs are vacuously fit (1e6)
+    "q_conformance" ->
+      s"""$SessionsCte, pairs AS (
+         |  SELECT session_id, event_type AS activity,
+         |    lead(event_type) OVER (PARTITION BY session_id
+         |      ORDER BY ts, event_id) AS next_activity
+         |  FROM s
+         |), model AS (
+         |  SELECT activity, next_activity FROM (
+         |    SELECT activity, next_activity, count(*) AS n FROM (
+         |      SELECT session_id, event_type AS activity,
+         |        lead(event_type) OVER (PARTITION BY session_id
+         |          ORDER BY ts, event_id) AS next_activity
+         |      FROM s) d
+         |    WHERE next_activity IS NOT NULL GROUP BY 1, 2) e
+         |  WHERE n >= 5
+         |), j AS (
+         |  SELECT p.session_id, p.next_activity,
+         |    CASE WHEN p.next_activity IS NOT NULL AND m.activity IS NULL
+         |      THEN 1 ELSE 0 END AS viol
+         |  FROM pairs p LEFT JOIN model m
+         |    ON p.activity = m.activity AND p.next_activity = m.next_activity
+         |), g AS (
+         |  SELECT session_id,
+         |    CAST(count(next_activity) AS BIGINT) AS n_pairs,
+         |    CAST(sum(viol) AS BIGINT) AS n_violations
+         |  FROM j GROUP BY 1
+         |)
+         |SELECT session_id, n_pairs, n_violations,
+         |  CAST(CASE WHEN n_pairs = 0 THEN 1000000
+         |       ELSE ((n_pairs - n_violations) * 1000000) // n_pairs
+         |       END AS BIGINT) AS fitness_micro
+         |FROM g""".stripMargin,
 
     // Funnel: the same staged strict-after chain as Funnel.stageTimes —
     // each stage's window may only see times after the previous stage's

@@ -191,6 +191,59 @@ object EventStream {
         })
   }
 
+  final case class FunnelEvent(userId: Long, ts: Timestamp, eventType: String)
+  final case class FunnelState(staged: Seq[Option[Timestamp]])
+  final case class Conversion(userId: Long, enteredTs: Timestamp,
+      convertedTs: Timestamp, durationSec: Long)
+
+  /** Streaming conversion funnel — the unbounded arm of
+    * `analytics.Funnel`: per user, staged strict-after reach times
+    * folded over the event stream, one `Conversion` record emitted
+    * EXACTLY ONCE when the final stage fills (once full, the state
+    * never resets, so a second purchase cannot re-emit).
+    *
+    * State per user is k timestamps — BOUNDED BY CONSTRUCTION, the
+    * reason this shape runs unbounded where a buffer-everything
+    * design (assembleTraces) needs a close condition. The price is an
+    * ordering contract: the greedy fold equals the batch operator's
+    * staged minima only when each user's events arrive in event-time
+    * order ACROSS micro-batches (the Kafka partition-by-user
+    * reality); WITHIN a batch arrival order is irrelevant — the group
+    * iterator is sorted by (ts, eventType) before folding. A stale
+    * cross-batch straggler is simply a missed earlier witness: stage
+    * times can only be later than the batch twin's, never wrong-
+    * ordered — the law the spec pins.
+    */
+  def funnelStream(events: Dataset[FunnelEvent],
+                   steps: Seq[String]): Dataset[Conversion] = {
+    require(steps.nonEmpty, "funnelStream: need at least one step")
+    require(steps.distinct.size == steps.size, "funnelStream: steps must be distinct")
+    import events.sparkSession.implicits._
+    val k = steps.size
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
+          var staged = state.getOption.fold(
+            Seq.fill[Option[Timestamp]](k)(None))(_.staged)
+          val wasDone = staged.last.isDefined
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.eventType))
+          for (e <- sorted) {
+            val i = steps.indexOf(e.eventType)
+            if (i >= 0 && staged(i).isEmpty &&
+                (i == 0 || staged(i - 1).exists(p => e.ts.after(p))))
+              staged = staged.updated(i, Some(e.ts))
+          }
+          state.update(FunnelState(staged))
+          if (!wasDone && staged.last.isDefined) {
+            val t0 = staged.head.get
+            val tk = staged.last.get
+            Iterator.single(Conversion(userId, t0, tk,
+              (tk.getTime - t0.getTime) / 1000L))
+          } else Iterator.empty
+        })
+  }
+
   /** Streaming exact deduplication — the unbounded arm of the batch
     * dedup tier (graft.llm.Dedup.exactGroups): documents keyed by
     * content hash, duplicates dropped via

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Cohort, Funnel, SeqExamples}
+import graft.analytics.{Cohort, Dfg, Funnel, SeqExamples}
 
 /** Laws for the event-analytics trio: staged conversion funnel (strict
   * ordering — out-of-order and simultaneous events must not count),
@@ -152,6 +152,47 @@ class FunnelCohortSpec extends SparkSpec {
     assert(out(("s1", 4)) == (("b c", "d")), "context is the LAST 2, not all")
     assert(out(("s2", 2)) == (("x", "y")), "s2 context must not see s1")
     assert(out.size == 4, "pos-1 rows carry no context and are dropped")
+  }
+
+  test("markov transitions: start/end pseudo-states, exact counts, rows normalize") {
+    import spark.implicits._
+    // two traces: a→b→c and a→c
+    val events = Seq(
+      ("t1", "a", 1L), ("t1", "b", 2L), ("t1", "c", 3L),
+      ("t2", "a", 4L), ("t2", "c", 5L)
+    ).map { case (s, a, i) => (s, a, ts(f"2024-01-01 10:00:0$i"), i) }
+      .toDF("case_id", "activity", "ts", "event_id")
+    val out = Dfg.transitionMatrix(events, "case_id", "activity", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("__START__", "a")) == ((2L, 1000000L)))
+    assert(out(("a", "b")) == ((1L, 500000L)))
+    assert(out(("a", "c")) == ((1L, 500000L)))
+    assert(out(("b", "c")) == ((1L, 1000000L)))
+    assert(out(("c", "__END__")) == ((2L, 1000000L)))
+    assert(out.size == 5)
+    // per-state counts sum to the state's visit count (a visited twice)
+    val aOut = out.collect { case ((s, _), (n, _)) if s == "a" => n }.sum
+    assert(aOut == 2L)
+  }
+
+  test("footprint conformance: violations counted, vacuous case fit, model pairs pass") {
+    import spark.implicits._
+    val model = Seq(("a", "b"), ("b", "c")).toDF("activity", "next_activity")
+    val events = Seq(
+      ("t1", "a", 1L), ("t1", "b", 2L), ("t1", "c", 3L),   // fully conformant
+      ("t2", "a", 4L), ("t2", "c", 5L),                    // a→c: violation
+      ("t3", "a", 6L)                                       // one event: vacuous
+    ).map { case (s, a, i) => (s, a, ts(f"2024-01-01 10:00:0$i"), i) }
+      .toDF("case_id", "activity", "ts", "event_id")
+    val out = Dfg.footprintConformance(events, "case_id", "activity", "ts",
+      "event_id", model)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("t1") == ((2L, 0L, 1000000L)))
+    assert(out("t2") == ((1L, 1L, 0L)))
+    assert(out("t3") == ((0L, 0L, 1000000L)),
+      "a pairless case is vacuously conformant and must stay VISIBLE")
   }
 
   test("seq examples: tie at the same ts is broken by event_id in both order and context") {

@@ -501,6 +501,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: emits once on completion, agrees with batch, never re-emits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStream.{Conversion, FunnelEvent}
+    val in = MemoryStream[FunnelEvent]
+    val q = EventStream.funnelStream(in.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      // u1 converts across batches; u2 stalls at click; u3's purchase
+      // arrives BEFORE its click — strict order must reject it
+      in.addData(
+        FunnelEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+        FunnelEvent(2L, ts("2024-01-01 10:00:00"), "view"),
+        FunnelEvent(3L, ts("2024-01-01 10:00:00"), "view"),
+        FunnelEvent(3L, ts("2024-01-01 10:00:10"), "purchase"))
+      q.processAllAvailable()
+      in.addData(
+        FunnelEvent(1L, ts("2024-01-01 10:01:00"), "click"),
+        FunnelEvent(2L, ts("2024-01-01 10:01:00"), "click"),
+        FunnelEvent(3L, ts("2024-01-01 10:01:00"), "click"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_stream").count() == 0,
+        "no conversion before the final stage fills")
+      in.addData(
+        FunnelEvent(1L, ts("2024-01-01 10:02:30"), "purchase"),
+        // u1 purchases AGAIN — must not re-emit
+        FunnelEvent(1L, ts("2024-01-01 10:03:00"), "purchase"))
+      q.processAllAvailable()
+      val out = spark.table("funnel_stream").as[Conversion].collect()
+      assert(out.toSeq == Seq(Conversion(1L, ts("2024-01-01 10:00:00"),
+        ts("2024-01-01 10:02:30"), 150L)),
+        s"exactly one conversion for u1, got ${out.toSeq}")
+      // batch twin on the same events: identical staged outcome
+      val batch = Seq(
+        (1L, "view", ts("2024-01-01 10:00:00")),
+        (1L, "click", ts("2024-01-01 10:01:00")),
+        (1L, "purchase", ts("2024-01-01 10:02:30")),
+        (1L, "purchase", ts("2024-01-01 10:03:00")),
+        (2L, "view", ts("2024-01-01 10:00:00")),
+        (2L, "click", ts("2024-01-01 10:01:00")),
+        (3L, "view", ts("2024-01-01 10:00:00")),
+        (3L, "purchase", ts("2024-01-01 10:00:10")),
+        (3L, "click", ts("2024-01-01 10:01:00"))
+      ).toDF("user_id", "event_type", "ts")
+      val bt = graft.analytics.Funnel.stageTimes(batch, "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
+        .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+      assert(bt(1L).contains(ts("2024-01-01 10:02:30")) && bt(2L).isEmpty &&
+        bt(3L).isEmpty, "stream conversions must agree with the batch twin")
+      // one more purchase much later — state is terminal, still silent
+      in.addData(FunnelEvent(1L, ts("2024-01-01 11:00:00"), "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_stream").count() == 1)
+    } finally q.stop()
+  }
+
   test("streaming index maintenance: upserts land bit-equal to a rebuild, snapshots immutable") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
