@@ -348,6 +348,43 @@ class PlanShapeSpec extends SparkSpec {
       s"cohort retention must stay equi-join:\n${p.take(1500)}")
   }
 
+  test("continuation-batch plans: bounded shuffles, broadcasts where claimed, no cartesians") {
+    def shape(name: String) = {
+      val p = plan(name)
+      (p, p.linesIterator.count(_.contains("Exchange hashpartitioning")),
+        p.linesIterator.count(_.contains("BroadcastHashJoin")),
+        p.linesIterator.count(_.contains("CartesianProduct")))
+    }
+    // markov: corpus pays sessionize + the transition window; the
+    // count agg and probability window run on the |states|²-bounded
+    // collapsed table — 4 hash exchanges total, nothing pairwise
+    val (mp, mex, _, mc) = shape("q_markov")
+    assert(mex <= 4 && mc == 0, s"markov shuffles grew:\n${mp.take(1200)}")
+    // conformance: the model derivation re-scans sessions (two window
+    // passes by design — self-conformance composes two ops); the model
+    // itself must ride a broadcast, never a shuffle join
+    val (cp, cex, cbc, cc) = shape("q_conformance")
+    assert(cex <= 5 && cbc >= 1 && cc == 0,
+      s"conformance must broadcast the model:\n${cp.take(1200)}")
+    // pps sample: ONE corpus shuffle for the source window, one
+    // collapsed totals agg, totals broadcast back
+    val (pp, pex, pbc, pc) = shape("q_pps_sample")
+    assert(pex == 2 && pbc >= 1 && pc == 0,
+      s"pps sample is one corpus window + broadcast totals:\n${pp.take(1200)}")
+    // manifest diff: two shard-count aggregates, tiny full-outer
+    val (dp, dex, _, dc) = shape("q_manifest_diff")
+    assert(dex <= 2 && dp.contains("FullOuter") && dc == 0,
+      s"manifest diff is two ledgers + a full-outer:\n${dp.take(1200)}")
+    // discriminative terms: the only nested loop allowed is the 1-row
+    // corpus-total scalar (the established crossJoin(broadcast) shape)
+    val ddp = plan("q_discriminative")
+    assert(!ddp.contains("CartesianProduct") &&
+      ddp.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"only the 1-row scalar may nested-loop:\n${ddp.take(1500)}")
+    val (hp, _, _, hc) = shape("q_hard_negatives_lsh")
+    assert(hc == 0, s"hard negatives LSH must stay bucket-joined:\n${hp.take(1200)}")
+  }
+
   test("q_snapshot_diff: one full-outer equi-join, never a nested loop") {
     val p = plan("q_snapshot_diff")
     assert(p.contains("FullOuter"),
