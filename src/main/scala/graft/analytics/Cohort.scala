@@ -23,6 +23,44 @@ import org.apache.spark.sql.functions._
   */
 object Cohort {
 
+  /** Rolling active users — DAU / WAU / MAU and the DAU/MAU
+    * stickiness ratio per calendar day, the other standard growth
+    * view. A user is active for report day r under window w when they
+    * have any activity in the trailing w days (r-w, r].
+    *
+    * Scale shape: the corpus collapses to distinct (user, day) FIRST
+    * (one natural-key shuffle); the ×28 report-day explode, the
+    * (user, report_day) min-gap aggregate, and the per-day conditional
+    * counts all run on that users×days-bounded table. The data's
+    * calendar range rides back as a 1-row broadcast (the date-bounds
+    * pattern), clipping report days to observed time — a day with
+    * zero DAU still surfaces as long as its trailing 28 days saw any
+    * activity (only a >28-day fully-dead stretch has no row, since a
+    * report day exists exactly where some window is non-empty);
+    * stickiness is 0 when MAU is 0, never a division error.
+    */
+  def rollingActives(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val maxW = 28
+    val ud = df
+      .select(col(userCol), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val bounds = ud.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    ud.select(col(userCol), explode(sequence(lit(0), lit(maxW - 1))).as("__i"),
+        col("day"))
+      .select(col(userCol), expr("date_add(day, __i)").as("day"), col("__i"))
+      .groupBy(col(userCol), col("day"))
+      .agg(min(col("__i")).as("__gap"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("__d1"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("__gap") < 1, 1L).otherwise(0L)).as("dau"),
+        sum(when(col("__gap") < 7, 1L).otherwise(0L)).as("wau"),
+        sum(when(col("__gap") < 28, 1L).otherwise(0L)).as("mau"))
+      .withColumn("stickiness_micro",
+        when(col("mau") === 0L, 0L)
+          .otherwise(expr("(dau * 1000000L) div mau")))
+  }
+
   def retention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val firsts = df
       .groupBy(col(userCol))

@@ -46,4 +46,46 @@ object Variants {
     counts(df, caseCol, activityCol, tsCol, tieCol)
       .orderBy(col("n_cases").desc, col("variant"))
       .limit(k)
+
+  /** Variant performance table — the throughput-time KPI view process
+    * analysts read next to the variant counts: per distinct activity
+    * sequence, case count and duration min / median / p90 / max in
+    * whole seconds. The "median" and "p90" are LOWER ORDER STATISTICS
+    * (rank ceil(n/2) and ceil(9n/10) under a deterministic
+    * (duration, case-id) order) — exact, engine-replayable integers,
+    * never an interpolated double (interpolation halving is where
+    * cross-engine float drift creeps in).
+    *
+    * Scale shape: the per-case collapse is `perCase`'s single
+    * case-keyed aggregate with the duration folded into the same
+    * buffer; the rank window and the final aggregate both partition
+    * on the variant, so Catalyst reuses one variant Exchange over the
+    * CASE-COUNT-sized table. Nothing corpus-sized shuffles twice.
+    */
+  def performance(df: DataFrame, caseCol: String, activityCol: String,
+                  tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cases = df.groupBy(col(caseCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(tsCol), col(tieCol), col(activityCol)))),
+            e => e(activityCol)),
+          "->").as("variant"),
+        (max(col(tsCol)).cast("long") - min(col(tsCol)).cast("long"))
+          .as("duration_sec"))
+    val w = Window.partitionBy(col("variant"))
+      .orderBy(col("duration_sec").asc, col(caseCol).asc)
+    cases
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("variant"))))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_cases"),
+        min(col("duration_sec")).as("dur_min"),
+        max(when(col("__rk") === expr("(__n + 1) div 2"),
+          col("duration_sec"))).as("dur_median"),
+        max(when(col("__rk") === expr("(9 * __n + 9) div 10"),
+          col("duration_sec"))).as("dur_p90"),
+        max(col("duration_sec")).as("dur_max"))
+  }
 }

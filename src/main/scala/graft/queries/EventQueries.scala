@@ -420,6 +420,17 @@ object EventQueries {
             .as("last_ts_rendered"))
     }),
 
+    // Variant performance: throughput-time KPIs per activity sequence;
+    // median/p90 are exact lower order statistics, never interpolated.
+    "q_variant_perf" -> ((s, dir) =>
+      Variants.performance(sessions(Tables.events(s, dir)),
+        "session_id", "event_type", "ts", "event_id")),
+
+    // Rolling actives: DAU/WAU/MAU + stickiness per day off the
+    // distinct (user, day) table; ×28 explode on the collapsed table.
+    "q_rolling_actives" -> ((s, dir) =>
+      Cohort.rollingActives(Tables.events(s, dir), "user_id", "ts")),
+
     // First-order Markov transition model over sessions: DFG +
     // __START__/__END__ pseudo-states + exact integer row
     // probabilities — the generative next-event baseline.
@@ -733,6 +744,53 @@ object EventQueries {
          |  strftime(max("TIME_STAMP"), '%Y-%m-%dT%H:%M:%S.') ||
          |    substr(strftime(max("TIME_STAMP"), '%f'), 1, 3) || 'Z' AS last_ts_rendered
          |FROM ranked GROUP BY 1""".stripMargin,
+
+    // Variant performance: the list-sort variant derivation + exact
+    // order-statistic ranks (ceil(n/2), ceil(9n/10)) under the
+    // deterministic (duration, session_id) order
+    "q_variant_perf" ->
+      s"""$SessionsCte, pc AS (
+         |  SELECT session_id,
+         |    array_to_string(list(event_type ORDER BY ts, event_id), '->') AS variant,
+         |    date_diff('second', min(ts), max(ts)) AS duration_sec
+         |  FROM s GROUP BY session_id
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY variant
+         |      ORDER BY duration_sec, session_id) AS r,
+         |    count(*) OVER (PARTITION BY variant) AS n
+         |  FROM pc
+         |)
+         |SELECT variant, CAST(count(*) AS BIGINT) AS n_cases,
+         |  min(duration_sec) AS dur_min,
+         |  max(CASE WHEN r = (n + 1) // 2 THEN duration_sec END) AS dur_median,
+         |  max(CASE WHEN r = (9 * n + 9) // 10 THEN duration_sec END) AS dur_p90,
+         |  max(duration_sec) AS dur_max
+         |FROM rk GROUP BY variant""".stripMargin,
+
+    // Rolling actives: distinct (user, day), ×28 report-day explode,
+    // min-gap per (user, report day), conditional counts
+    "q_rolling_actives" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), b AS (
+        |  SELECT max(day) AS d1 FROM ud
+        |), e AS (
+        |  SELECT user_id, day + CAST(i AS INTEGER) AS day, i
+        |  FROM ud, unnest(range(0, 28)) AS t(i)
+        |), g AS (
+        |  SELECT user_id, day, CAST(min(i) AS BIGINT) AS gap
+        |  FROM e GROUP BY 1, 2
+        |)
+        |SELECT g.day,
+        |  CAST(sum(CASE WHEN gap < 1 THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+        |  CAST(sum(CASE WHEN gap < 7 THEN 1 ELSE 0 END) AS BIGINT) AS wau,
+        |  CAST(sum(CASE WHEN gap < 28 THEN 1 ELSE 0 END) AS BIGINT) AS mau,
+        |  CAST(CASE WHEN sum(CASE WHEN gap < 28 THEN 1 ELSE 0 END) = 0 THEN 0
+        |    ELSE (sum(CASE WHEN gap < 1 THEN 1 ELSE 0 END) * 1000000) //
+        |      sum(CASE WHEN gap < 28 THEN 1 ELSE 0 END) END AS BIGINT)
+        |    AS stickiness_micro
+        |FROM g, b WHERE g.day <= b.d1
+        |GROUP BY g.day""".stripMargin,
 
     // Markov transitions: every event emits its outgoing transition
     // (coalesced to __END__), first events add the __START__ entry;

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Cohort, Dfg, Funnel, SeqExamples}
+import graft.analytics.{Cohort, Dfg, Funnel, SeqExamples, Variants}
 
 /** Laws for the event-analytics trio: staged conversion funnel (strict
   * ordering — out-of-order and simultaneous events must not count),
@@ -152,6 +152,48 @@ class FunnelCohortSpec extends SparkSpec {
     assert(out(("s1", 4)) == (("b c", "d")), "context is the LAST 2, not all")
     assert(out(("s2", 2)) == (("x", "y")), "s2 context must not see s1")
     assert(out.size == 4, "pos-1 rows carry no context and are dropped")
+  }
+
+  test("variant performance: exact order-statistic durations per sequence") {
+    import spark.implicits._
+    // four cases of a->b with durations 10/20/30/40 s, one case of a
+    val events = (Seq(
+      ("c1", "a", "2024-01-01 10:00:00", 1L), ("c1", "b", "2024-01-01 10:00:10", 2L),
+      ("c2", "a", "2024-01-01 10:00:00", 3L), ("c2", "b", "2024-01-01 10:00:20", 4L),
+      ("c3", "a", "2024-01-01 10:00:00", 5L), ("c3", "b", "2024-01-01 10:00:30", 6L),
+      ("c4", "a", "2024-01-01 10:00:00", 7L), ("c4", "b", "2024-01-01 10:00:40", 8L),
+      ("c5", "a", "2024-01-01 10:00:00", 9L)
+    )).map { case (c, a, t, i) => (c, a, ts(t), i) }
+      .toDF("case_id", "activity", "ts", "event_id")
+    val out = Variants.performance(events, "case_id", "activity", "ts", "event_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // median = rank ceil(4/2)=2 → 20; p90 = rank ceil(9·4/10)=4 → 40
+    assert(out("a->b") == ((4L, 10L, 20L, 40L, 40L)))
+    // single case: every statistic is its own duration (0 s)
+    assert(out("a") == ((1L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("rolling actives: exact DAU/WAU/MAU, zero-DAU days surface, stickiness exact") {
+    import spark.implicits._
+    // u1 active Jan 1; u2 active Jan 1 and Jan 9; nothing on Jan 2-8
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-09 11:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Cohort.rollingActives(events, "user_id", "ts")
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("2024-01-01") == ((2L, 2L, 2L, 1000000L)))
+    // Jan 2: nobody active that day, both in the trailing week
+    assert(out("2024-01-02") == ((0L, 2L, 2L, 0L)))
+    // Jan 8: the Jan-1 cohort left the 7-day window, still in the 28-day
+    assert(out("2024-01-08") == ((0L, 0L, 2L, 0L)))
+    // Jan 9: u2 returns — DAU 1, WAU 1, MAU still 2
+    assert(out("2024-01-09") == ((1L, 1L, 2L, 500000L)))
+    // report days clip at the last observed day
+    assert(!out.contains("2024-01-10") && out.size == 9)
   }
 
   test("markov transitions: start/end pseudo-states, exact counts, rows normalize") {
