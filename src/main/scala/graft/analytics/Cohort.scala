@@ -61,6 +61,31 @@ object Cohort {
           .otherwise(expr("(dau * 1000000L) div mau")))
   }
 
+  /** Burst profile — the automation/bot screen the reference's domain
+    * (bot event logs) actually needs: per user, the PEAK number of
+    * events inside any trailing `windowSec`-second window, total
+    * events, and a burst flag at `threshold`. A scripted client fires
+    * dozens of events in a minute; a human cannot.
+    *
+    * The peak is a RANGE-frame count over epoch seconds (same-second
+    * peers included in both engines, so ties are frame-symmetric and
+    * the result engine-deterministic), then a per-user max — one
+    * shuffle on the user key, window and aggregate sharing it.
+    */
+  def burstProfile(df: DataFrame, userCol: String, tsCol: String,
+                   windowSec: Long, threshold: Long): DataFrame = {
+    require(windowSec > 0 && threshold > 0, "burstProfile: positive params")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-windowSec, 0)
+    df.withColumn("__inwin", count(lit(1)).over(w))
+      .groupBy(col(userCol))
+      .agg(max(col("__inwin")).as("peak_in_window"),
+        count(lit(1)).as("n_events"))
+      .withColumn("is_burst", col("peak_in_window") >= threshold)
+  }
+
   def retention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val firsts = df
       .groupBy(col(userCol))

@@ -51,6 +51,44 @@ object Dfg {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Performance-annotated DFG — the waiting-time view process-mining
+    * tools draw on the discovery graph's edges (pm4py's "performance
+    * DFG"): per directly-follows pair, transition count and the gap
+    * seconds min / median / p90 / max. Like `Variants.performance`,
+    * the mid statistics are exact LOWER ORDER STATISTICS (ranks
+    * ceil(n/2), ceil(9n/10)) under the deterministic (gap, event-id)
+    * order — integers an oracle replays, never interpolated doubles.
+    *
+    * Scale shape: the case window is the same one `edges` pays; the
+    * rank window and final aggregate both partition on the edge pair,
+    * sharing one Exchange over the PAIR-count-sized table (bounded by
+    * corpus transitions, collapsing to |activities|² output rows).
+    */
+  def performanceEdges(df: DataFrame, caseCol: String, activityCol: String,
+                       tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .withColumn("next_activity", lead(col(activityCol), 1).over(w))
+      .withColumn("__gap",
+        lead(col(tsCol), 1).over(w).cast("long") - col(tsCol).cast("long"))
+      .filter(col("next_activity").isNotNull)
+      .select(col(activityCol).as("activity"), col("next_activity"),
+        col("__gap"), col(tieCol))
+    val ew = Window.partitionBy(col("activity"), col("next_activity"))
+    pairs
+      .withColumn("__rk", row_number().over(
+        ew.orderBy(col("__gap").asc, col(tieCol).asc)))
+      .withColumn("__n", count(lit(1)).over(ew))
+      .groupBy(col("activity"), col("next_activity"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__gap")).as("gap_min"),
+        max(when(col("__rk") === expr("(__n + 1) div 2"), col("__gap")))
+          .as("gap_median"),
+        max(when(col("__rk") === expr("(9 * __n + 9) div 10"), col("__gap")))
+          .as("gap_p90"),
+        max(col("__gap")).as("gap_max"))
+  }
+
   /** First-order Markov transition model over cases — the DFG with
     * `__START__`/`__END__` pseudo-states and exact integer transition
     * probabilities: the generative baseline a next-event predictor is

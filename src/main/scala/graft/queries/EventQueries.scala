@@ -420,6 +420,18 @@ object EventQueries {
             .as("last_ts_rendered"))
     }),
 
+    // Performance DFG: waiting-time statistics on the discovery
+    // graph's edges — exact order statistics, the pm4py companion view.
+    "q_dfg_perf" -> ((s, dir) =>
+      Dfg.performanceEdges(sessions(Tables.events(s, dir)),
+        "session_id", "event_type", "ts", "event_id")),
+
+    // Burst profile: per-user peak events in any trailing 60 s window
+    // — the automation screen for a bot event log.
+    "q_burst" -> ((s, dir) =>
+      Cohort.burstProfile(Tables.events(s, dir), "user_id", "ts",
+        windowSec = 60L, threshold = 5L)),
+
     // Variant performance: throughput-time KPIs per activity sequence;
     // median/p90 are exact lower order statistics, never interpolated.
     "q_variant_perf" -> ((s, dir) =>
@@ -744,6 +756,45 @@ object EventQueries {
          |  strftime(max("TIME_STAMP"), '%Y-%m-%dT%H:%M:%S.') ||
          |    substr(strftime(max("TIME_STAMP"), '%f'), 1, 3) || 'Z' AS last_ts_rendered
          |FROM ranked GROUP BY 1""".stripMargin,
+
+    // Performance DFG: gap = epoch-second difference, mid statistics
+    // by the exact rank selection under the (gap, event_id) order
+    "q_dfg_perf" ->
+      s"""$SessionsCte, pr AS (
+         |  SELECT session_id, event_type AS activity, event_id,
+         |    lead(event_type) OVER win AS next_activity,
+         |    date_diff('second', ts, lead(ts) OVER win) AS gap
+         |  FROM s
+         |  WINDOW win AS (PARTITION BY session_id ORDER BY ts, event_id)
+         |), p AS (
+         |  SELECT * FROM pr WHERE next_activity IS NOT NULL
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY activity, next_activity
+         |      ORDER BY gap, event_id) AS r,
+         |    count(*) OVER (PARTITION BY activity, next_activity) AS n
+         |  FROM p
+         |)
+         |SELECT activity, next_activity, CAST(count(*) AS BIGINT) AS n,
+         |  min(gap) AS gap_min,
+         |  max(CASE WHEN r = (n + 1) // 2 THEN gap END) AS gap_median,
+         |  max(CASE WHEN r = (9 * n + 9) // 10 THEN gap END) AS gap_p90,
+         |  max(gap) AS gap_max
+         |FROM rk GROUP BY 1, 2""".stripMargin,
+
+    // Burst profile: RANGE frame over epoch seconds (same-second peers
+    // included in both engines), then the per-user max
+    "q_burst" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |    CAST(count(*) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |      RANGE BETWEEN 60 PRECEDING AND CURRENT ROW) AS BIGINT) AS inwin
+        |  FROM events
+        |)
+        |SELECT user_id, max(inwin) AS peak_in_window,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  max(inwin) >= 5 AS is_burst
+        |FROM c GROUP BY 1""".stripMargin,
 
     // Variant performance: the list-sort variant derivation + exact
     // order-statistic ranks (ceil(n/2), ceil(9n/10)) under the

@@ -196,6 +196,35 @@ class FunnelCohortSpec extends SparkSpec {
     assert(!out.contains("2024-01-10") && out.size == 9)
   }
 
+  test("performance DFG: exact gap order statistics per edge") {
+    import spark.implicits._
+    // a->b four times with gaps 10/20/30/40 s (in separate cases)
+    val events = (1 to 4).flatMap { c =>
+      Seq((s"c$c", "a", ts("2024-01-01 10:00:00"), c * 10L),
+        (s"c$c", "b", ts(f"2024-01-01 10:00:${c * 10}%02d"), c * 10L + 1))
+    }.toDF("case_id", "activity", "ts", "event_id")
+    val out = Dfg.performanceEdges(events, "case_id", "activity", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out(("a", "b")) == ((4L, 10L, 20L, 40L, 40L)))
+    assert(out.size == 1)
+  }
+
+  test("burst profile: scripted burst flags, human pace doesn't, same-second peers count") {
+    import spark.implicits._
+    val burst = (1 to 6).map(i => (1L, ts(f"2024-01-01 10:00:0$i")))      // 6 in 6 s
+    val human = (0 to 5).map(i => (2L, ts(f"2024-01-01 1$i:00:00")))      // hourly
+    val sameSec = (1 to 5).map(_ => (3L, ts("2024-01-01 10:00:00")))      // 5 ties
+    val out = Cohort.burstProfile((burst ++ human ++ sameSec).toDF("user_id", "ts"),
+      "user_id", "ts", windowSec = 60L, threshold = 5L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((6L, 6L, true)))
+    assert(out(2L) == ((1L, 6L, false)))
+    assert(out(3L) == ((5L, 5L, true)),
+      "same-second events are RANGE-frame peers and must all count")
+  }
+
   test("markov transitions: start/end pseudo-states, exact counts, rows normalize") {
     import spark.implicits._
     // two traces: a→b→c and a→c
