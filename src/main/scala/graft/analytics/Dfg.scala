@@ -128,6 +128,47 @@ object Dfg {
       .select(col("state"), col("next_state"), col("n"), col("p_micro"))
   }
 
+  /** Order-n Markov transitions — `transitionMatrix` generalized to
+    * n-gram states (the higher-order process model / n-gram LM over
+    * activities): the state for each event is its previous `order`
+    * activities, positions before the trace start padded with
+    * `__START__`, joined with `|`; each case additionally emits its
+    * terminal (last `order` activities) → `__END__` transition.
+    * Probabilities are the same floored integer micro-units.
+    *
+    * Same scale shape as the first-order matrix: the lags ride the
+    * one case window (Catalyst computes all `order` lags in one
+    * WindowExec), the transition rows are row-local, and the count /
+    * probability tail runs on the |states|·|activities|-bounded
+    * collapsed table — the state-space growth is the CALLER'S model
+    * choice, not a shuffle problem.
+    */
+  def ngramTransitions(df: DataFrame, caseCol: String, activityCol: String,
+                       tsCol: String, tieCol: String, order: Int): DataFrame = {
+    require(order >= 1 && order <= 4, "ngramTransitions: order must be 1..4")
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieCol))
+    val pw = Window.partitionBy(col("state"))
+    val lags = (order to 1 by -1).map(j =>
+      coalesce(lag(col(activityCol), j).over(w), lit("__START__")))
+    // terminal state drops the oldest lag and appends the last activity
+    val endLags = (order - 1 to 1 by -1).map(j =>
+      coalesce(lag(col(activityCol), j).over(w), lit("__START__"))) :+
+      col(activityCol)
+    val base = df
+      .withColumn("state", concat_ws("|", lags: _*))
+      .withColumn("__endstate", concat_ws("|", endLags: _*))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(caseCol))))
+    base.select(col("state"), col(activityCol).as("next_state"))
+      .unionByName(base.filter(col("__rn") === col("__cnt"))
+        .select(col("__endstate").as("state"), lit("__END__").as("next_state")))
+      .groupBy(col("state"), col("next_state"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__sum", sum(col("n")).over(pw))
+      .withColumn("p_micro", expr("(n * 1000000L) div __sum"))
+      .select(col("state"), col("next_state"), col("n"), col("p_micro"))
+  }
+
   /** Footprint conformance — the checking half of process mining: per
     * case, how much of its directly-follows behavior a MODEL (a table
     * of allowed `(activity, next_activity)` pairs, e.g. the frequent

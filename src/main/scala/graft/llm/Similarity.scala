@@ -1111,6 +1111,44 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Matryoshka truncation-fidelity report — the diagnostic an
+    * MRL-style dimensionality cut reads before shrinking the ANN
+    * index: for each candidate prefix width, how much of each
+    * vector's energy the first w dimensions retain. The cosine
+    * between a zero-padded truncation and its own full vector
+    * collapses to sqrt(prefix_norm² / full_norm²), so fidelity is an
+    * exact norm-prefix ratio: integer quantized norms, one double
+    * sqrt (correctly-rounded IEEE in both engines), floored to
+    * micro-units before the integer mean — never a summed double.
+    *
+    * Row-local width explode (|widths| rows per vector) on the
+    * quantized grid, one partial-agg shuffle collapsing to |widths|
+    * rows. Zero vectors are excluded LOUDLY into a `n_zero` column
+    * rather than poisoning the ratio with a 0/0.
+    */
+  def truncationFidelity(df: DataFrame, idCol: String, embCol: String,
+                         widths: Seq[Int]): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ > 0),
+      "truncationFidelity: widths must be positive")
+    val vecs = df.select(col(idCol), quantize(embCol).as("v"))
+      .withColumn("__nsq", graft.functions.Sketches.dotQ(col("v"), col("v")))
+      .filter(col("v").isNotNull)
+    val wArr = widths.sorted.map(w => lit(w))
+    vecs
+      .select(col(idCol), col("v"), col("__nsq"),
+        explode(array(wArr: _*)).as("width"))
+      .withColumn("__pnsq", expr(
+        "aggregate(slice(v, 1, width), 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("__fid", when(col("__nsq") > 0L,
+        floor(sqrt(col("__pnsq").cast("double") / col("__nsq").cast("double"))
+          * lit(1000000.0)).cast("long")))
+      .groupBy(col("width"))
+      .agg(count(col("__fid")).as("n_vecs"),
+        sum(when(col("__nsq") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        expr("sum(__fid) div count(__fid)").as("mean_fid_micro"),
+        min(col("__fid")).as("min_fid_micro"))
+  }
+
   /** PCA over the embedding store — the dimensionality-reduction /
     * whitening pass that precedes ANN indexing and clustering on a
     * real pipeline (shorter vectors: smaller index, faster kernels).

@@ -443,6 +443,12 @@ object EventQueries {
     "q_rolling_actives" -> ((s, dir) =>
       Cohort.rollingActives(Tables.events(s, dir), "user_id", "ts")),
 
+    // Order-2 Markov: bigram states with __START__ padding and the
+    // terminal → __END__ transition — the higher-order process model.
+    "q_markov2" -> ((s, dir) =>
+      Dfg.ngramTransitions(sessions(Tables.events(s, dir)),
+        "session_id", "event_type", "ts", "event_id", order = 2)),
+
     // First-order Markov transition model over sessions: DFG +
     // __START__/__END__ pseudo-states + exact integer row
     // probabilities — the generative next-event baseline.
@@ -842,6 +848,30 @@ object EventQueries {
         |    AS stickiness_micro
         |FROM g, b WHERE g.day <= b.d1
         |GROUP BY g.day""".stripMargin,
+
+    // Order-2 Markov: two lags coalesced to __START__, terminal rows
+    // from rn = cnt; same integer probability tail
+    "q_markov2" ->
+      s"""$SessionsCte, o AS (
+         |  SELECT session_id, event_type,
+         |    coalesce(lag(event_type, 2) OVER win, '__START__') AS l2,
+         |    coalesce(lag(event_type, 1) OVER win, '__START__') AS l1,
+         |    row_number() OVER win AS rn,
+         |    count(*) OVER (PARTITION BY session_id) AS cnt
+         |  FROM s
+         |  WINDOW win AS (PARTITION BY session_id ORDER BY ts, event_id)
+         |), tr AS (
+         |  SELECT l2 || '|' || l1 AS state, event_type AS next_state FROM o
+         |  UNION ALL
+         |  SELECT l1 || '|' || event_type, '__END__' FROM o WHERE rn = cnt
+         |), c AS (
+         |  SELECT state, next_state, CAST(count(*) AS BIGINT) AS n
+         |  FROM tr GROUP BY 1, 2
+         |)
+         |SELECT state, next_state, n,
+         |  (n * 1000000) // CAST(sum(n) OVER (PARTITION BY state) AS BIGINT)
+         |    AS p_micro
+         |FROM c""".stripMargin,
 
     // Markov transitions: every event emits its outgoing transition
     // (coalesced to __END__), first events add the __START__ entry;

@@ -547,6 +547,13 @@ object PipelineQueries {
       Similarity.hardNegativesLsh(Tables.embeddings(s, dir), "vec_id",
         "embedding", "label", k = 3)),
 
+    // -- embedding diagnostics: matryoshka truncation fidelity — the
+    //    energy the first w dims retain, per candidate width; exact
+    //    norm-prefix ratio on the quantized grid ---------------------
+    "q_trunc_fidelity" -> ((s, dir) =>
+      Similarity.truncationFidelity(Tables.embeddings(s, dir), "vec_id",
+        "embedding", widths = Seq(8, 16, 32, 64))),
+
     // -- embedding preprocessing: PCA projection (treeAggregate gram,
     //    driver Jacobi eigensolve, broadcast compiled MatVec kernel).
     //    The API (`pcaProject`) returns (vec_id, proj array<double>);
@@ -1909,6 +1916,34 @@ object PipelineQueries {
         |  FROM p
         |)
         |SELECT src, dst, "rank", cos FROM r WHERE "rank" <= 3""".stripMargin,
+
+    // Truncation fidelity: the same quantized grid, prefix-norm
+    // ratio, one double sqrt, floored micro-units, integer mean
+    "q_trunc_fidelity" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q WHERE v IS NOT NULL
+        |), e AS (
+        |  SELECT vec_id, v, nsq, CAST(w AS INTEGER) AS width
+        |  FROM n, unnest([8, 16, 32, 64]) AS t(w)
+        |), f AS (
+        |  SELECT width, nsq,
+        |    CASE WHEN nsq > 0 THEN CAST(floor(
+        |      sqrt(CAST(CAST(list_sum(list_transform(v[1:width], x -> x * x))
+        |          AS BIGINT) AS DOUBLE) / CAST(nsq AS DOUBLE)) * 1000000.0)
+        |      AS BIGINT) END AS fid
+        |  FROM e
+        |)
+        |SELECT width, CAST(count(fid) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN nsq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(CAST(sum(fid) AS HUGEINT) // count(fid) AS BIGINT) AS mean_fid_micro,
+        |  min(fid) AS min_fid_micro
+        |FROM f GROUP BY width""".stripMargin,
 
     // Hard negatives: the q_knn_graph replay with the label inequality
     // in the pair join — same quantized integers, bit-equal cosines

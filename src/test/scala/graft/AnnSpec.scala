@@ -246,6 +246,24 @@ class AnnSpec extends SparkSpec {
       s"recall must not DROP with more tables: $recallNarrow -> $recallWide")
   }
 
+  test("truncation fidelity: exact prefix-energy ratios, zero vectors loud not poisonous") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    val vecs = Seq(
+      (1L, Seq(3.0f, 4.0f, 0.0f, 0.0f)),   // all energy in the first 2 dims
+      (2L, Seq(0.0f, 0.0f, 0.0f, 2.0f)),   // none before dim 4
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f))    // zero vector — must not poison
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.truncationFidelity(vecs, "vec_id", "embedding",
+      widths = Seq(2, 4))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // width 2: v1 fid = 1e6 exactly, v2 fid = 0; mean = 500000
+    assert(out(2) == ((2L, 1L, 500000L, 0L)))
+    // width 4 = full dims: every non-zero vector is exactly 1e6
+    assert(out(4) == ((2L, 1L, 1000000L, 1000000L)))
+  }
+
   test("hard negatives: never same-label, labels faithful, LSH arm recall floor") {
     import graft.llm.Similarity
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

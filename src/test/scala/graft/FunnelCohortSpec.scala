@@ -247,6 +247,23 @@ class FunnelCohortSpec extends SparkSpec {
     assert(aOut == 2L)
   }
 
+  test("order-2 markov: start padding, terminal bigram, exact probabilities") {
+    import spark.implicits._
+    // one trace a→b→c
+    val events = Seq(("t1", "a", 1L), ("t1", "b", 2L), ("t1", "c", 3L))
+      .map { case (s, a, i) => (s, a, ts(f"2024-01-01 10:00:0$i"), i) }
+      .toDF("case_id", "activity", "ts", "event_id")
+    val out = Dfg.ngramTransitions(events, "case_id", "activity", "ts",
+      "event_id", order = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("__START__|__START__", "a")) == ((1L, 1000000L)))
+    assert(out(("__START__|a", "b")) == ((1L, 1000000L)))
+    assert(out(("a|b", "c")) == ((1L, 1000000L)))
+    assert(out(("b|c", "__END__")) == ((1L, 1000000L)))
+    assert(out.size == 4)
+  }
+
   test("footprint conformance: violations counted, vacuous case fit, model pairs pass") {
     import spark.implicits._
     val model = Seq(("a", "b"), ("b", "c")).toDF("activity", "next_activity")
