@@ -443,6 +443,15 @@ object EventQueries {
     "q_rolling_actives" -> ((s, dir) =>
       Cohort.rollingActives(Tables.events(s, dir), "user_id", "ts")),
 
+    // Markov simulation: synthetic traces walked from the discovered
+    // transition matrix — deterministic LCG draws, broadcast matrix,
+    // one tiny frontier join per step.
+    "q_markov_sim" -> ((s, dir) =>
+      graft.analytics.Simulate.markovTraces(
+        Dfg.transitionMatrix(sessions(Tables.events(s, dir)),
+          "session_id", "event_type", "ts", "event_id"),
+        nTraces = 100, maxLen = 20, seed = 1L)),
+
     // Order-2 Markov: bigram states with __START__ padding and the
     // terminal → __END__ transition — the higher-order process model.
     "q_markov2" -> ((s, dir) =>
@@ -848,6 +857,49 @@ object EventQueries {
         |    AS stickiness_micro
         |FROM g, b WHERE g.day <= b.d1
         |GROUP BY g.day""".stripMargin,
+
+    // Markov simulation: the q_markov matrix CTE + cumulative count
+    // ranges + a RECURSIVE walk replaying the LCG draws bit-for-bit
+    "q_markov_sim" ->
+      s"""WITH RECURSIVE ${SessionsCte.stripPrefix("WITH ")}, ordered AS (
+         |  SELECT session_id, event_type,
+         |    row_number() OVER (PARTITION BY session_id
+         |      ORDER BY ts, event_id) AS rn,
+         |    lead(event_type) OVER (PARTITION BY session_id
+         |      ORDER BY ts, event_id) AS nxt
+         |  FROM s
+         |), tr AS (
+         |  SELECT '__START__' AS state, event_type AS next_state
+         |  FROM ordered WHERE rn = 1
+         |  UNION ALL
+         |  SELECT event_type, coalesce(nxt, '__END__') FROM ordered
+         |), c AS (
+         |  SELECT state, next_state, CAST(count(*) AS BIGINT) AS n
+         |  FROM tr GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT state, next_state, n,
+         |    CAST(coalesce(sum(n) OVER (PARTITION BY state ORDER BY next_state
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS lo,
+         |    CAST(coalesce(sum(n) OVER (PARTITION BY state ORDER BY next_state
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n AS BIGINT) AS hi,
+         |    CAST(sum(n) OVER (PARTITION BY state) AS BIGINT) AS tot
+         |  FROM c
+         |), walk(trace_id, pos, state) AS (
+         |  SELECT CAST(i AS BIGINT), 0, '__START__'
+         |  FROM unnest(range(0, 100)) t(i)
+         |  UNION ALL
+         |  SELECT w.trace_id, w.pos + 1, m.next_state
+         |  FROM walk w JOIN cum m ON m.state = w.state
+         |    AND (((1103515245 * ((w.trace_id * 1000003 +
+         |        CAST(w.pos + 1 AS BIGINT) * 7919 + 1) % 1048576) + 12345)
+         |        % 2147483648) % m.tot) >= m.lo
+         |    AND (((1103515245 * ((w.trace_id * 1000003 +
+         |        CAST(w.pos + 1 AS BIGINT) * 7919 + 1) % 1048576) + 12345)
+         |        % 2147483648) % m.tot) < m.hi
+         |  WHERE w.state != '__END__' AND w.pos < 20
+         |)
+         |SELECT trace_id, CAST(pos AS INTEGER) AS pos, state AS activity
+         |FROM walk WHERE pos >= 1 AND state != '__END__'""".stripMargin,
 
     // Order-2 Markov: two lags coalesced to __START__, terminal rows
     // from rn = cnt; same integer probability tail

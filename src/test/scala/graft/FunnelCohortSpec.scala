@@ -283,6 +283,40 @@ class FunnelCohortSpec extends SparkSpec {
       "a pairless case is vacuously conformant and must stay VISIBLE")
   }
 
+  test("markov simulation: only allowed transitions, deterministic, truncates cycles at maxLen") {
+    import spark.implicits._
+    import graft.analytics.Simulate
+    // discover from a real-shaped fixture, simulate, conformance-check
+    // the simulated log back against the mined model: fitness must be
+    // exactly 1e6 — a walk cannot invent a transition
+    val events = Seq(
+      ("t1", "a", 1L), ("t1", "b", 2L), ("t1", "c", 3L),
+      ("t2", "a", 4L), ("t2", "c", 5L), ("t2", "b", 6L)
+    ).map { case (s, a, i) => (s, a, ts(f"2024-01-01 10:00:0$i"), i) }
+      .toDF("case_id", "activity", "ts", "event_id")
+    val matrix = Dfg.transitionMatrix(events, "case_id", "activity", "ts", "event_id")
+    val sim = Simulate.markovTraces(matrix, nTraces = 50, maxLen = 10, seed = 7L)
+      .withColumn("ts", expr("timestamp_micros(pos * 1000000L)"))
+    val model = matrix
+      .filter(col("state") =!= "__START__" && col("next_state") =!= "__END__")
+      .select(col("state").as("activity"),
+        col("next_state").as("next_activity"))
+    val conf = Dfg.footprintConformance(sim, "trace_id", "activity", "ts",
+      "pos", model)
+    assert(conf.count() == 50)
+    assert(conf.filter(col("fitness_micro") =!= 1000000L).count() == 0,
+      "a simulated walk cannot step outside the mined model")
+    // deterministic: identical rerun
+    val again = Simulate.markovTraces(matrix, 50, 10, 7L).collect()
+    assert(again.map(_.toString).sorted.toSeq ==
+      Simulate.markovTraces(matrix, 50, 10, 7L).collect().map(_.toString).sorted.toSeq)
+    // a pure cycle truncates at maxLen instead of walking forever
+    val cyc = Seq(("__START__", "a", 1L), ("a", "a", 1L)).toDF("state", "next_state", "n")
+    val walked = Simulate.markovTraces(cyc, nTraces = 3, maxLen = 5, seed = 1L)
+    assert(walked.count() == 15)
+    assert(walked.groupBy("trace_id").count().filter(col("count") =!= 5L).count() == 0)
+  }
+
   test("seq examples: tie at the same ts is broken by event_id in both order and context") {
     import spark.implicits._
     val t0 = ts("2024-01-01 10:00:00")
