@@ -79,6 +79,29 @@ object EventStream {
         col("window.end").as("window_end"),
         col(keyCol), col("n_events"))
 
+  /** Streaming burst alerts — the unbounded arm of the batch
+    * `Cohort.burstProfile` automation screen: per user, sliding
+    * event-time windows of `windowSec` seconds (slide = half the
+    * window), one alert row per (window, user) whose count reaches
+    * `threshold`, emitted once at watermark close. The half-window
+    * slide is the detection contract: any burst spanning ≤
+    * windowSec/2 seconds lies entirely inside SOME window, so it
+    * cannot slip between window edges (the batch tier's trailing
+    * RANGE frame stays the exact arbiter; this is the alerting
+    * surface). State = open windows × active users, watermark-
+    * evicted — the windowedCounts unbounded story unchanged.
+    */
+  def burstAlerts(events: DataFrame, userCol: String, tsCol: String,
+                  windowSec: Int, threshold: Long,
+                  watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(windowSec >= 2 && windowSec % 2 == 0,
+      "burstAlerts: windowSec must be even and >= 2 (slide = half window)")
+    require(threshold > 0, "burstAlerts: threshold must be positive")
+    windowedCounts(events, tsCol, userCol, s"$windowSec seconds",
+      Some(s"${windowSec / 2} seconds"), watermarkDelay)
+      .filter(col("n_events") >= threshold)
+  }
+
   final case class DriftDoc(source: String, text: String, ts: Timestamp)
   final case class DriftState(counts: Map[String, Long])
   final case class DriftReport(windowStart: Timestamp, source: String,

@@ -317,6 +317,29 @@ class FunnelCohortSpec extends SparkSpec {
     assert(walked.groupBy("trace_id").count().filter(col("count") =!= 5L).count() == 0)
   }
 
+  test("markov simulation: full generator loop — simulated log renders as valid XES") {
+    import spark.implicits._
+    import graft.analytics.Simulate
+    val events = Seq(("t1", "a", 1L), ("t1", "b", 2L), ("t2", "a", 3L))
+      .map { case (s, a, i) => (s, a, ts(f"2024-01-01 10:00:0$i"), i) }
+      .toDF("case_id", "activity", "ts", "event_id")
+    val matrix = Dfg.transitionMatrix(events, "case_id", "activity", "ts", "event_id")
+    val sim = Simulate.markovTraces(matrix, nTraces = 5, maxLen = 8, seed = 3L)
+      .select(
+        concat(lit("sim-"), col("trace_id")).as("case:concept:name"),
+        expr("timestamp_micros(CAST(pos AS BIGINT) * 1000000L)").as("time:timestamp"),
+        col("activity").as("concept:name"), col("pos"))
+    val xml = graft.xes.XesWriter.traceXml(sim, tieCols = Seq("pos")).collect()
+    assert(xml.length == 5, "every simulated trace renders as one XES trace")
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    xml.foreach { case (_, x) =>
+      val doc = dbf.newDocumentBuilder().parse(
+        new java.io.ByteArrayInputStream(x.getBytes("UTF-8")))
+      assert(doc.getElementsByTagName("event").getLength >= 1,
+        "a simulated trace is never empty")
+    }
+  }
+
   test("seq examples: tie at the same ts is broken by event_id in both order and context") {
     import spark.implicits._
     val t0 = ts("2024-01-01 10:00:00")

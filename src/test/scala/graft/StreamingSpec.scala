@@ -501,6 +501,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming burst alerts: planted burst fires, human pace silent, emits at watermark close") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStream.burstAlerts(in.toDF(), "user_id", "ts",
+        windowSec = 60, threshold = 5L, watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("burst_alerts")
+      .outputMode("append").start()
+    try {
+      // u1: six events in 20 s (a burst); u2: one event per 10 min
+      in.addData((1 to 6).map(i => Ev(1L, ts(f"2024-01-01 10:00:0$i"), "click")) ++
+        (0 to 5).map(i => Ev(2L, ts(f"2024-01-01 10:${i}0:00"), "view")): _*)
+      q.processAllAvailable()
+      // flush event far in the future closes all windows
+      in.addData(Ev(9L, ts("2024-01-01 12:00:00"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("burst_alerts")
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.nonEmpty && rows.forall(_._1 == 1L),
+        s"only the burst user may alert, got ${rows.toSeq}")
+      assert(rows.exists(_._2 == 6L),
+        "the 20 s burst lies entirely inside some half-slid window")
+    } finally q.stop()
+  }
+
   test("streaming funnel: emits once on completion, agrees with batch, never re-emits") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
