@@ -744,4 +744,96 @@ object Chunking {
         max(col(idCol)).as("id_max"),
         sum(col("__d")).as("checksum"))
   }
+
+  /** UniMax source mixing (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): allocate a token budget as UNIFORMLY across
+    * sources as possible, subject to a per-source repetition cap of
+    * `maxEpochs` epochs — the published alternative to temperature
+    * sampling (`mixTemperature`) that never over-repeats a small
+    * source however extreme the size skew.
+    *
+    * The allocation is the classic waterfill, computed EXACTLY in
+    * integers. Sources sort ascending by cap = total·maxEpochs (source
+    * name breaking ties); a source is fully funded iff the even split
+    * of what remains at its turn covers its whole cap:
+    * funded(i) ⇔ cap_i ≤ (budget − prefix(i−1)) div (n−i+1). With
+    * ascending caps the funded set is a prefix, so the whole decision
+    * is one window pass over the |sources|-bounded totals table; the
+    * division form of the test also keeps every intermediate under
+    * int64 without needing cap·m products. Unfunded sources split the
+    * remainder by integer div (documented shortfall < n_unfunded
+    * tokens — never a hidden renormalization).
+    *
+    * Because an allocation may exceed a source's size (that is the
+    * point — epochs > 1), the per-document output carries `n_copies`:
+    * alloc div total full epochs for every document, plus one more for
+    * documents picked by the portable Weyl hash at the
+    * fractional-epoch threshold (alloc mod total)·65536 div total — an
+    * INTEGER bucket bound, so the pick needs no float rate at all.
+    * n_copies ≤ maxEpochs by construction ((alloc mod total) = 0
+    * whenever alloc = cap); documents with n_copies = 0 are dropped.
+    * The ·65536 stays exact while total < 2^63/65536 ≈ 1.4e14 tokens
+    * per source — above any single source at the 100 TB design point.
+    *
+    * Scale shape: one aggregate to the |sources| table, all waterfill
+    * arithmetic on that tiny table (the single-partition window is
+    * |sources| rows by construction), the alloc row broadcast back —
+    * zero corpus shuffles (the mixTemperature contract).
+    *
+    * Output: (sourceCol, idCol, n_tokens, alloc_tokens, n_copies).
+    */
+  def mixUniMax(df: DataFrame, sourceCol: String, idCol: String,
+                textCol: String, budgetTokens: Long, maxEpochs: Int): DataFrame = {
+    require(budgetTokens > 0, "mixUniMax: budgetTokens must be positive")
+    require(maxEpochs > 0, "mixUniMax: maxEpochs must be positive")
+    for (c <- Seq("__total", "__cap", "__rk", "__n", "__pref", "__funded",
+        "__pfund", "__nf", "__n2", "__alloc", "__full", "__fb",
+        "n_tokens", "alloc_tokens", "n_copies") if df.columns.contains(c))
+      require(false, s"mixUniMax: '$c' is reserved for internal use — rename it")
+    import org.apache.spark.sql.expressions.Window
+    val withTok = df.select(col(sourceCol), col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val totals = withTok.groupBy(sourceCol)
+      .agg(sum("n_tokens").as("__total"))
+      // cap = total·maxEpochs; the guard raises a NAMED error before
+      // the multiply can overflow int64 (the mixTemperature pattern).
+      .withColumn("__cap",
+        when(col("__total") > lit(Long.MaxValue / maxEpochs),
+          expr("raise_error('mixUniMax: total_tokens * maxEpochs overflows " +
+            "int64 — lower maxEpochs')").cast("long"))
+          .otherwise(col("__total") * lit(maxEpochs.toLong)))
+    val w = Window.orderBy(col("__cap"), col(sourceCol))
+    val wAll = Window.partitionBy()
+    val ranked = totals
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__pref", sum("__cap").over(w))
+      // funded test in division form: nonneg numerator guaranteed by
+      // the first conjunct, so trunc-div ≡ floor-div on both engines.
+      .withColumn("__funded",
+        (lit(budgetTokens) - (col("__pref") - col("__cap")) >= 0) &&
+          col("__cap") <= expr(
+            s"($budgetTokens - (__pref - __cap)) div (__n - __rk + 1)"))
+    val fAgg = ranked.agg(
+      coalesce(sum(when(col("__funded"), col("__cap"))), lit(0L)).as("__pfund"),
+      coalesce(sum(when(col("__funded"), lit(1L)).otherwise(lit(0L))), lit(0L))
+        .as("__nf"),
+      count(lit(1)).as("__n2"))
+    val alloc = ranked.crossJoin(broadcast(fAgg))
+      .withColumn("__alloc",
+        when(col("__funded"), col("__cap"))
+          .otherwise(expr(s"($budgetTokens - __pfund) div (__n2 - __nf)")))
+      .select(col(sourceCol), col("__total"), col("__alloc"))
+    val denom = 65536L
+    val bucket = pmod(pmod(col(idCol), lit(denom)) * lit(40503L), lit(denom))
+    withTok.join(broadcast(alloc), Seq(sourceCol))
+      .withColumn("__full", expr("__alloc div __total"))
+      .withColumn("__fb", expr(s"((__alloc % __total) * $denom) div __total"))
+      .withColumn("n_copies",
+        col("__full") + when(bucket < col("__fb"), lit(1L)).otherwise(lit(0L)))
+      .where(col("n_copies") > 0)
+      .select(col(sourceCol), col(idCol), col("n_tokens"),
+        col("__alloc").as("alloc_tokens"), col("n_copies"))
+  }
 }

@@ -733,6 +733,14 @@ object PipelineQueries {
       Chunking.mixTemperature(Tables.documents(s, dir), "source", "doc_id",
         "text", budgetTokens = 4000L)),
 
+    // -- corpus mixing: UniMax epoch-capped uniform allocation (the
+    //    published fairness alternative to temperature sampling —
+    //    exact integer waterfill on the |sources| table, per-doc
+    //    repetition counts, zero corpus shuffles) --------------------
+    "q_mix_unimax" -> ((s, dir) =>
+      Chunking.mixUniMax(Tables.documents(s, dir), "source", "doc_id",
+        "text", budgetTokens = 6000L, maxEpochs = 2)),
+
     // -- corpus mixing: exact-k per stratum (eval-set builder) — same
     //    portable Weyl hash as the sampler; WindowGroupLimit top-k ----
     "q_sample_k_per_key" -> ((s, dir) =>
@@ -2586,6 +2594,50 @@ object PipelineQueries {
         |SELECT t.source, t.doc_id, t.n_tokens, r.alloc_tokens, r.rate
         |FROM t JOIN r USING (source)
         |WHERE ((t.doc_id % 65536) * 40503) % 65536 < r.rate * 65536""".stripMargin,
+
+    // UniMax waterfill replay: same ascending-(cap, source) window,
+    // the same division-form funded test (nonneg numerator ⇒ DuckDB
+    // floor `//` ≡ Spark trunc `div`), integer remainder split, and
+    // the integer fractional-epoch Weyl threshold.
+    "q_mix_unimax" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), tot AS (
+        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total
+        |  FROM t GROUP BY 1
+        |), c AS (
+        |  SELECT source, total, total * 2 AS cap FROM tot
+        |), o AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    sum(cap) OVER (ORDER BY cap, source ROWS UNBOUNDED PRECEDING) AS pref
+        |  FROM c
+        |), f AS (
+        |  SELECT *, (6000 - (pref - cap)) >= 0 AND
+        |            cap <= (6000 - (pref - cap)) // (n - rk + 1) AS funded
+        |  FROM o
+        |), g AS (
+        |  SELECT coalesce(sum(CASE WHEN funded THEN cap END), 0) AS pfund,
+        |         coalesce(sum(CASE WHEN funded THEN 1 ELSE 0 END), 0) AS nf,
+        |         CAST(count(*) AS BIGINT) AS n2
+        |  FROM f
+        |), a AS (
+        |  SELECT f.source, f.total,
+        |    CASE WHEN f.funded THEN f.cap
+        |         ELSE (6000 - g.pfund) // (g.n2 - g.nf) END AS alloc
+        |  FROM f CROSS JOIN g
+        |)
+        |SELECT t.source, t.doc_id, t.n_tokens, a.alloc AS alloc_tokens,
+        |  a.alloc // a.total +
+        |    (CASE WHEN ((t.doc_id % 65536) * 40503) % 65536 <
+        |      ((a.alloc % a.total) * 65536) // a.total THEN 1 ELSE 0 END)
+        |    AS n_copies
+        |FROM t JOIN a USING (source)
+        |WHERE a.alloc // a.total +
+        |    (CASE WHEN ((t.doc_id % 65536) * 40503) % 65536 <
+        |      ((a.alloc % a.total) * 65536) // a.total THEN 1 ELSE 0 END) > 0""".stripMargin,
 
     "q_layout_funnel" ->
       (LayoutSpanPrefixSql +

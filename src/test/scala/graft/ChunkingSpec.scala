@@ -301,6 +301,54 @@ class ChunkingSpec extends SparkSpec {
     assert(again == out.map(_._2).toSet)
   }
 
+  test("mix unimax: waterfill prefix, uniform remainder, epoch cap, repetition counts") {
+    import spark.implicits._
+    // caps at maxEpochs=2 (ascending): small 20, mid 200, big 2000.
+    // budget 331 → small fully funded (20 ≤ 331 div 3); mid fails
+    // (200 > 311 div 2 = 155); remainder 311 splits 155/155 with a
+    // loud 1-token div shortfall — never a renormalization.
+    val docs = (Seq(("small", 5000L, words(10))) ++
+      (1000L until 1010L).map(i => ("mid", i, words(10))) ++
+      (0L until 100L).map(i => ("big", i, words(10))))
+      .toDF("source", "id", "text")
+    val out = Chunking.mixUniMax(docs, "source", "id", "text",
+        budgetTokens = 331L, maxEpochs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val bySrc = out.groupBy(_._1)
+
+    // waterfill allocations: cap for the funded prefix, equal split after
+    assert(bySrc("small").head._4 == 20L, "funded source gets its full cap")
+    assert(bySrc("mid").head._4 == 155L && bySrc("big").head._4 == 155L,
+      "unfunded sources split the remainder uniformly")
+    // epoch cap: a fully-funded source repeats EXACTLY maxEpochs times
+    assert(bySrc("small").map(_._5).toSet == Set(2L),
+      "capped source: every doc at maxEpochs copies, no fractional pick")
+    assert(out.forall(_._5 <= 2L), "n_copies never exceeds maxEpochs")
+    assert(out.forall(_._5 >= 1L), "zero-copy docs are dropped")
+    // mid: alloc 155 over 100 tokens → every doc ≥ 1 full copy, the
+    // 55-token fractional epoch picked at the integer Weyl threshold
+    assert(bySrc("mid").length == 10 && bySrc("mid").exists(_._5 == 2L))
+    // sampled mass tracks each allocation within Weyl slack
+    bySrc.foreach { case (src, rows) =>
+      val mass = rows.map(r => r._3 * r._5).sum
+      assert(math.abs(mass - rows.head._4) <= 100,
+        s"$src mass $mass vs alloc ${rows.head._4}")
+    }
+    // ample budget: every source hits its cap exactly, all docs at 2 copies
+    val capped = Chunking.mixUniMax(docs, "source", "id", "text",
+        budgetTokens = 10000L, maxEpochs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    assert(capped.forall(_._3 == 2L), "ample budget: maxEpochs everywhere")
+    assert(capped.map(c => (c._1, c._2)).toSet ==
+      Set(("small", 20L), ("mid", 200L), ("big", 2000L)),
+      "ample budget: alloc = cap per source")
+    // deterministic re-run
+    val again = Chunking.mixUniMax(docs, "source", "id", "text", 331L, 2)
+      .collect().map(r => (r.getLong(1), r.getLong(4))).toSet
+    assert(again == out.map(r => (r._2, r._5)).toSet)
+  }
+
   test("pack blocks: spans match a brute-force stream cut; tokens conserved; blocks exact-width") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
