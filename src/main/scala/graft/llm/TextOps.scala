@@ -687,4 +687,48 @@ object TextOps {
       counted._1.as("redacted") +:
         counted._2.map { case (n, c) => c.as(s"n_$n") }: _*)
   }
+
+  /** Taxonomy tagging via a token-level Aho–Corasick automaton
+    * (`functions/DictTag.scala`): ONE compiled pass over each
+    * document's tokens matches the WHOLE dictionary — the scale answer
+    * to |dict| separate regex/LIKE scans, so the dictionary can grow
+    * to thousands of phrases without the plan growing with it.
+    * Occurrences are counted at every token end position: overlapping
+    * matches all count, and a phrase that is a suffix of a longer
+    * phrase is found through the fail-link closure.
+    *
+    * The dictionary is collected to the driver — BOUNDED by `maxDict`
+    * (the kmeans-centroid / BPE-vocab pattern: a dictionary is a
+    * model artifact, not data) — and ships inside the compiled
+    * expression; tag ids rejoin by `element_at` on a broadcast
+    * literal, so the whole operator is row-local: NO Exchange
+    * (plan-gated in `TextOpsSpec`).
+    *
+    * Output: (idCol, tag_id, n_hits) — hit rows only; a document with
+    * no dictionary phrase emits nothing (the downstream join decides
+    * untagged semantics).
+    */
+  def tagDictionary(df: DataFrame, idCol: String, textCol: String,
+                    dict: DataFrame, tagCol: String, phraseCol: String,
+                    maxDict: Int = 65536): DataFrame = {
+    val rows = dict.select(col(tagCol).cast("long"), col(phraseCol)).collect()
+    require(rows.nonEmpty, "tagDictionary: empty dictionary")
+    require(rows.length <= maxDict,
+      s"tagDictionary: dictionary has ${rows.length} rows, cap is $maxDict")
+    val sorted = rows.map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    require(sorted.forall(_._2 != null), "tagDictionary: null phrase")
+    require(sorted.map(_._1).distinct.length == sorted.length,
+      "tagDictionary: duplicate tag ids")
+    require(sorted.map(_._2).distinct.length == sorted.length,
+      "tagDictionary: duplicate phrases")
+    val tagIds = sorted.map(_._1).toSeq
+    val phrases = sorted.map(_._2)
+    df.select(col(idCol),
+        posexplode(graft.functions.AhoCorasick.dictTagCounts(
+          split(col(textCol), " "), phrases)).as(Seq("__i", "n_hits")))
+      .where(col("n_hits") > 0)
+      .select(col(idCol),
+        element_at(typedLit(tagIds), col("__i") + 1).as("tag_id"),
+        col("n_hits"))
+  }
 }

@@ -752,6 +752,33 @@ object PipelineQueries {
       TextOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
         Bm25Queries, k = 5, k1 = Bm25K1, b = Bm25B)),
 
+    // -- text analysis: Aho–Corasick taxonomy tagging — the whole
+    //    (top-10 unigram + top-10 bigram) dictionary matched in ONE
+    //    compiled pass per document, overlapping occurrences counted
+    //    at every token end position. The dictionary derivation uses
+    //    TakeOrdered (orderBy+limit) — never a corpus-wide window —
+    //    then ranks the 10-row result. -----------------------------
+    "q_dict_tags" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(split(col("text"), " ").as("t"))
+      val w = Window.orderBy(col("c").desc, col("p").asc)
+      val uni = toks.select(explode(col("t")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("p").asc).limit(10)
+        .withColumn("tag_id", row_number().over(w).cast("long"))
+      // t[i] subscripts are 0-based in Spark SQL; sequence guard keeps
+      // single-token docs off sequence's descending-range surprise
+      val bi = toks.select(explode(expr(
+          "CASE WHEN size(t) >= 2 THEN transform(sequence(2, size(t)), " +
+            "i -> concat(t[i-2], ' ', t[i-1])) ELSE array() END")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("p").asc).limit(10)
+        .withColumn("tag_id", (row_number().over(w) + lit(10)).cast("long"))
+      val dict = uni.select("tag_id", "p").unionAll(bi.select("tag_id", "p"))
+      TextOps.tagDictionary(docs, "doc_id", "text", dict, "tag_id", "p")
+    }),
+
     // -- retrieval: the PERSISTED inverted index behind the lexical
     //    arm — per-term document frequency + total term frequency,
     //    rank-limited audit of the build-once/search-many table
@@ -2594,6 +2621,42 @@ object PipelineQueries {
         |SELECT t.source, t.doc_id, t.n_tokens, r.alloc_tokens, r.rate
         |FROM t JOIN r USING (source)
         |WHERE ((t.doc_id % 65536) * 40503) % 65536 < r.rate * 65536""".stripMargin,
+
+    // Aho–Corasick tagging replay: same top-10 unigram/bigram dict
+    // derivation (QUALIFY rank ≡ TakeOrdered + row_number, identical
+    // (count desc, phrase asc) tie-break), then brute-force position
+    // counting — every start position whose token slice equals the
+    // phrase, which is exactly the automaton's every-end-position
+    // overlapping-count semantics.
+    "q_dict_tags" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), uc AS (SELECT unnest(t) AS p FROM toks),
+        |ug AS (SELECT p, count(*) AS c FROM uc GROUP BY 1),
+        |ur AS (SELECT p, CAST(row_number() OVER (ORDER BY c DESC, p) AS BIGINT)
+        |         AS tag_id
+        |       FROM ug QUALIFY tag_id <= 10),
+        |bc AS (SELECT unnest(CASE WHEN len(t) >= 2
+        |         THEN list_transform(range(2, len(t) + 1),
+        |                i -> t[i-1] || ' ' || t[i])
+        |         ELSE [] END) AS p FROM toks),
+        |bg AS (SELECT p, count(*) AS c FROM bc GROUP BY 1),
+        |br AS (SELECT p,
+        |         CAST(10 + row_number() OVER (ORDER BY c DESC, p) AS BIGINT)
+        |         AS tag_id
+        |       FROM bg QUALIFY tag_id <= 20),
+        |dict AS (SELECT p, tag_id,
+        |           CAST(len(string_split(p, ' ')) AS BIGINT) AS lp
+        |         FROM (SELECT * FROM ur UNION ALL SELECT * FROM br)),
+        |hits AS (
+        |  SELECT tk.doc_id, d.tag_id,
+        |    CAST(len(list_filter(
+        |      range(1, CAST(len(tk.t) AS BIGINT) - d.lp + 2),
+        |      i -> array_to_string(list_slice(tk.t, i, i + d.lp - 1), ' ') = d.p))
+        |      AS BIGINT) AS n_hits
+        |  FROM toks tk CROSS JOIN dict d
+        |)
+        |SELECT doc_id, tag_id, n_hits FROM hits WHERE n_hits > 0""".stripMargin,
 
     // UniMax waterfill replay: same ascending-(cap, source) window,
     // the same division-form funded test (nonneg numerator ⇒ DuckDB

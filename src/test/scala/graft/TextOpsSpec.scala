@@ -283,4 +283,41 @@ class TextOpsSpec extends SparkSpec {
     val accOut = agreement(modelEven, odd)
     assert(accOut >= 0.9, s"held-out weak-label agreement $accOut below floor")
   }
+
+  test("dict tagging: overlapping, suffix-closure, cross-phrase counts; map-only plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a"),            // "a a" overlaps itself: 2 hits
+      (2L, "x a b c y"),        // suffix closure: "b c" inside "a b c"
+      (3L, "a b a b a"),        // "a b":2, "b a":2 — interleaved phrases
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val dict = Seq(
+      (1L, "a a"), (2L, "a b c"), (3L, "b c"),
+      (4L, "a b"), (5L, "b a"), (6L, "absent phrase")).toDF("tag_id", "p")
+    val out = TextOps.tagDictionary(docs, "doc_id", "text", dict, "tag_id", "p")
+    val got = out.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map(
+      (1L, 1L) -> 2L,                     // overlapping occurrences both count
+      (2L, 2L) -> 1L, (2L, 3L) -> 1L,     // long phrase AND its suffix phrase
+      (2L, 4L) -> 1L,                     // interior prefix "a b" also hits
+      (3L, 4L) -> 2L, (3L, 5L) -> 2L),    // interleaved phrases all found
+      s"unexpected tag counts: $got")
+    // the operator is row-local after the dictionary collect: no Exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"tagDictionary must be map-only:\n$plan")
+    // guards are loud, not silent
+    intercept[IllegalArgumentException] {
+      TextOps.tagDictionary(docs, "doc_id", "text",
+        Seq((1L, "a"), (1L, "b")).toDF("tag_id", "p"), "tag_id", "p")
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.tagDictionary(docs, "doc_id", "text",
+        Seq((1L, "a"), (2L, "a")).toDF("tag_id", "p"), "tag_id", "p")
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.tagDictionary(docs, "doc_id", "text", dict, "tag_id", "p",
+        maxDict = 3)
+    }
+  }
 }
