@@ -956,6 +956,76 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"))
   }
 
+  /** Public k-means cluster assignment — the shared front half of every
+    * clustered tier (semanticDedupClustered, IVF), exposed for the
+    * topics/diagnostics layer: (idCol, cluster) with the −1 zero-norm
+    * quarantine sentinel. Map-only after the bounded centroid train
+    * (compiled `CentroidDistsExpr`, centroids ride the closure).
+    */
+  def clusterAssign(df: DataFrame, idCol: String, embCol: String,
+                    nClusters: Int = 16, lloydIters: Int = 5,
+                    trainSample: Int = 512): DataFrame = {
+    val vecs = normalizedVecs(df, idCol, embCol)
+    val trained = trainKmeans(vecs, idCol, df.count(), nClusters,
+      lloydIters, trainSample)
+    if (trained.isEmpty)
+      return df.limit(0).select(col(idCol), lit(-1L).as("cluster"))
+    val (flatCentroids, kEff) = trained.get
+    vecs
+      .withColumn("__d",
+        graft.functions.Sketches.centroidDists(col("nd"), flatCentroids, kEff))
+      .withColumn("cluster",
+        coalesce(expr("array_position(__d, array_min(__d)) - 1"), lit(-1L)))
+      .select(col(idCol), col("cluster"))
+  }
+
+  /** Simplified-silhouette clustering diagnostic — the O(N·k) variant
+    * (per point: a = distance to its OWN (nearest) centroid, b =
+    * distance to the second-nearest; s = (b−a)/max(a,b)), the scale
+    * substitute for the O(N²) pairwise silhouette. With a = min the
+    * score lives in [0, 1]: near-0 points sit on a cluster boundary,
+    * near-1 points are unambiguous — the "is k right / did Lloyd
+    * degenerate" screen read before trusting any clustered tier.
+    *
+    * Exactness discipline: per-point scores floor to integer
+    * micro-units, the per-cluster mean is sum div n — addition-order-
+    * free. Zero-norm vectors land in the −1 quarantine cell with NULL
+    * silhouette (loud, never a 0/0); with a degenerate single
+    * effective centroid every silhouette is NULL (no second centroid
+    * to compare against — surfaced, not defaulted). Map-only + ONE
+    * cluster-keyed aggregate.
+    */
+  def clusterQuality(df: DataFrame, idCol: String, embCol: String,
+                     nClusters: Int = 16, lloydIters: Int = 5,
+                     trainSample: Int = 512): DataFrame = {
+    val vecs = normalizedVecs(df, idCol, embCol)
+    val trained = trainKmeans(vecs, idCol, df.count(), nClusters,
+      lloydIters, trainSample)
+    if (trained.isEmpty)
+      return df.limit(0).select(col(idCol).as("cluster"),
+        col(idCol).as("n_members"), col(idCol).as("silhouette_micro"))
+    val (flatCentroids, kEff) = trained.get
+    vecs
+      .withColumn("__d",
+        graft.functions.Sketches.centroidDists(col("nd"), flatCentroids, kEff))
+      .withColumn("cluster",
+        coalesce(expr("array_position(__d, array_min(__d)) - 1"), lit(-1L)))
+      .withColumn("__s", expr("array_sort(__d)"))
+      // try_element_at: a single effective centroid has no second
+      // distance — NULL silhouette, not an ANSI index error. Identical
+      // twin centroids can put a==b==0: the tiny floor in max() turns
+      // that 0/0 into a clean s=0, deterministically.
+      .withColumn("__sil",
+        when(col("cluster") === lit(-1L), lit(null).cast("long"))
+          .otherwise(floor(lit(1e6) *
+            (expr("try_element_at(__s, 2)") - expr("try_element_at(__s, 1)")) /
+            greatest(expr("try_element_at(__s, 1)"),
+              expr("try_element_at(__s, 2)"), lit(1e-300))).cast("long")))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        expr("sum(__sil) div count(__sil)").as("silhouette_micro"))
+  }
+
   def cosineNearDupPairsLsh(df: DataFrame, idCol: String, embCol: String,
                             threshold: Double, nbits: Int = 0,
                             tables: Int = 32): DataFrame = {

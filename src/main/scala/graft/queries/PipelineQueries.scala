@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Chunking, Coreset, Dedup, LanguageModel, Multimodal, Retrieval, Similarity, TextOps}
+import graft.llm.{Chunking, Coreset, Dedup, LanguageModel, Multimodal, Retrieval, Similarity, TextOps, Topics}
 
 /** Training-data pipeline operators (the "beyond the reference" layer)
   * over the driver's `documents` and `embeddings` tables.
@@ -594,6 +594,24 @@ object PipelineQueries {
     "q_semdedup_cells" -> ((s, dir) =>
       Similarity.semanticDedupCells(Tables.embeddings(s, dir), "vec_id",
         "embedding").orderBy("cell")),
+
+    // -- clustering diagnostic: simplified silhouette per k-means
+    //    cell (O(N·k), per-point floored micro-units, integer mean) —
+    //    the "is k right / did Lloyd degenerate" screen read before
+    //    trusting any clustered tier -------------------------------
+    "q_cluster_quality" -> ((s, dir) =>
+      Similarity.clusterQuality(Tables.embeddings(s, dir), "vec_id",
+        "embedding", nClusters = 8)),
+
+    // -- topic-modeling capstone (BERTopic shape): k-means cells over
+    //    embeddings become topics, labeled by exact-integer
+    //    discriminative-term lift (the c-TF-IDF idea) — pure
+    //    composition of clusterAssign + discriminativeTerms, no new
+    //    scale surface ---------------------------------------------
+    "q_topic_model" -> ((s, dir) =>
+      Topics.topicModel(Tables.documents(s, dir), Tables.embeddings(s, dir),
+        "doc_id", "text", "vec_id", "embedding", nClusters = 8,
+        topTerms = 5)),
 
     // -- similarity storage tier: per-vector symmetric int8
     //    quantization (4× density; floor keeps it cross-engine) -------
