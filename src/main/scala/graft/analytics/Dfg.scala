@@ -222,4 +222,52 @@ object Dfg {
         when(col("has_rev").isNotNull, "parallel").otherwise("causal").as("relation"),
         col("n"))
   }
+
+  /** Next-event prediction backtest — the EVALUATION closing the
+    * generative loop that `transitionMatrix` opens: train the
+    * first-order model on one log slice, predict the successor of
+    * every test transition as the argmax outgoing edge of its source
+    * type, and report exact per-state hit rates — the yardstick any
+    * learned sequence model has to beat before it ships.
+    *
+    * Determinism discipline: argmax ties break lexicographically on
+    * the next state; accuracy is exact integer micro-units over
+    * PREDICTED transitions. States never seen in training surface via
+    * n_pred < n_test (loud — neither silently scored as misses nor
+    * dropped), and a state with zero predictions reports NULL accuracy
+    * instead of a division error. A grand-total `__ALL__` row makes
+    * the headline number exact too.
+    *
+    * Scale shape: one case-keyed window per slice, counts collapse to
+    * the |types|²-bounded table, the prediction table (≤ |types| rows)
+    * joins back by broadcast — the corpus is never shuffled twice.
+    */
+  def backtestNextEvent(train: DataFrame, test: DataFrame, caseCol: String,
+                        activityCol: String, tsCol: String,
+                        tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieCol))
+    def pairs(df: DataFrame): DataFrame =
+      df.withColumn("__next", lead(col(activityCol), 1).over(w))
+        .filter(col("__next").isNotNull)
+        .select(col(activityCol).as("state"), col("__next").as("next_state"))
+    val pw = Window.partitionBy(col("state"))
+      .orderBy(col("n").desc, col("next_state").asc)
+    val pred = pairs(train)
+      .groupBy(col("state"), col("next_state"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__rk", row_number().over(pw))
+      .filter(col("__rk") === 1)
+      .select(col("state"), col("next_state").as("predicted"))
+    val scored = pairs(test).join(broadcast(pred), Seq("state"), "left")
+    def score(grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+      grouped.agg(count(lit(1)).as("n_test"),
+        sum(when(col("predicted").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_pred"),
+        sum(when(col("predicted") === col("next_state"), lit(1L))
+          .otherwise(lit(0L))).as("n_hit"))
+    score(scored.groupBy(col("state")))
+      .unionByName(score(scored.groupBy(lit("__ALL__").as("state"))))
+      .withColumn("acc_micro",
+        expr("(n_hit * 1000000L) div nullif(n_pred, 0L)"))
+  }
 }

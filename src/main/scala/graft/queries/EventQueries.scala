@@ -465,6 +465,19 @@ object EventQueries {
       Dfg.transitionMatrix(sessions(Tables.events(s, dir)),
         "session_id", "event_type", "ts", "event_id")),
 
+    // Markov next-event BACKTEST: train the transition argmax on the
+    // even-user_id sessions, score next-event predictions on the odd
+    // half (grouped holdout — context never crosses users, so the
+    // split is leakage-safe by construction). Exact integer hit
+    // rates; unseen states surface via n_pred < n_test, loud.
+    "q_markov_backtest" -> ((s, dir) => {
+      val sess = sessions(Tables.events(s, dir))
+      Dfg.backtestNextEvent(
+        sess.filter(col("user_id") % 2 === 0),
+        sess.filter(col("user_id") % 2 === 1),
+        "session_id", "event_type", "ts", "event_id")
+    }),
+
     // Footprint conformance: every session checked against the
     // frequent-edge model (n >= 5) of the SAME log — the
     // self-conformance report that surfaces rare deviating cases.
@@ -949,6 +962,49 @@ object EventQueries {
          |  (n * 1000000) // CAST(sum(n) OVER (PARTITION BY state) AS BIGINT)
          |    AS p_micro
          |FROM c""".stripMargin,
+
+    // Backtest replay: same session CTE, argmax with the identical
+    // (count desc, next asc) tie-break, CASE-null hit scoring (a NULL
+    // prediction can never equal a next state), NULLIF accuracy.
+    "q_markov_backtest" ->
+      s"""$SessionsCte, tp AS (
+         |  SELECT user_id, event_type AS state,
+         |    lead(event_type) OVER (PARTITION BY session_id
+         |      ORDER BY ts, event_id) AS next_state
+         |  FROM s
+         |), trn AS (
+         |  SELECT state, next_state FROM tp
+         |  WHERE next_state IS NOT NULL AND user_id % 2 = 0
+         |), tc AS (
+         |  SELECT state, next_state, CAST(count(*) AS BIGINT) AS n
+         |  FROM trn GROUP BY 1, 2
+         |), pr AS (
+         |  SELECT state, next_state AS predicted FROM tc
+         |  QUALIFY row_number() OVER (PARTITION BY state
+         |    ORDER BY n DESC, next_state) = 1
+         |), sc AS (
+         |  SELECT t.state, t.next_state, p.predicted
+         |  FROM (SELECT state, next_state FROM tp
+         |        WHERE next_state IS NOT NULL AND user_id % 2 = 1) t
+         |  LEFT JOIN pr p USING (state)
+         |), ps AS (
+         |  SELECT state, CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(sum(CASE WHEN predicted IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_pred,
+         |    CAST(sum(CASE WHEN predicted = next_state THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hit
+         |  FROM sc GROUP BY 1
+         |  UNION ALL
+         |  SELECT '__ALL__', CAST(count(*) AS BIGINT),
+         |    CAST(sum(CASE WHEN predicted IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT),
+         |    CAST(sum(CASE WHEN predicted = next_state THEN 1 ELSE 0 END)
+         |      AS BIGINT)
+         |  FROM sc
+         |)
+         |SELECT state, n_test, n_pred, n_hit,
+         |  (n_hit * 1000000) // NULLIF(n_pred, 0) AS acc_micro
+         |FROM ps""".stripMargin,
 
     // Conformance: pairs per session left-joined against the frequent-
     // edge model; sessions without pairs are vacuously fit (1e6)

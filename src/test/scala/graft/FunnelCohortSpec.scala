@@ -247,6 +247,35 @@ class FunnelCohortSpec extends SparkSpec {
     assert(aOut == 2L)
   }
 
+  test("markov backtest: argmax tie-break, unseen states loud, exact hit rates") {
+    import spark.implicits._
+    def log(rows: (String, String, Long)*) = rows
+      .map { case (s, a, i) => (s, a, ts(f"2024-01-01 10:00:${i}%02d"), i) }
+      .toDF("case_id", "activity", "ts", "event_id")
+    // train: from a, b wins 2-1 over c; from b, tie c/x breaks to c
+    val train = log(
+      ("t1", "a", 1L), ("t1", "b", 2L), ("t1", "c", 3L),
+      ("t2", "a", 4L), ("t2", "b", 5L), ("t2", "x", 6L),
+      ("t3", "a", 7L), ("t3", "c", 8L))
+    // test: a→b hit, a→c miss, b→c hit, d→e UNSEEN state d
+    val test = log(
+      ("s1", "a", 1L), ("s1", "b", 2L), ("s1", "c", 3L),
+      ("s2", "a", 4L), ("s2", "c", 5L),
+      ("s3", "d", 6L), ("s3", "e", 7L))
+    val out = Dfg.backtestNextEvent(train, test, "case_id", "activity",
+        "ts", "event_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out("a") == ((2L, 2L, 1L, 500000L)), s"state a: ${out("a")}")
+    assert(out("b") == ((1L, 1L, 1L, 1000000L)), "tie broke to c: b→c hits")
+    assert(out("d") == ((1L, 0L, 0L, -1L)),
+      "unseen state: counted, unpredicted, NULL accuracy — never a div error")
+    assert(out("__ALL__") == ((4L, 3L, 2L, 666666L)),
+      s"grand total row: ${out("__ALL__")}")
+    assert(out.size == 4)
+  }
+
   test("order-2 markov: start padding, terminal bigram, exact probabilities") {
     import spark.implicits._
     // one trace a→b→c
