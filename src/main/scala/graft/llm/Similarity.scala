@@ -1306,7 +1306,7 @@ object Similarity {
     * (p,q) sweep order, stop when the off-diagonal Frobenius mass
     * drops below 1e-12 of the diagonal's (or 64 sweeps).
     */
-  private def jacobiEig(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+  private[llm] def jacobiEig(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val d = a0.length
     val a = a0.map(_.clone())
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
@@ -1320,7 +1320,13 @@ object Similarity {
     while (sweep < 64 && offMass() > 1e-12 * diagMass) {
       for (p <- 0 until d; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-300) {
         val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
-        val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        // sign(0) must be 1 here: equal diagonal entries (θ = 0) need
+        // the full 45° rotation — math.signum(0.0) = 0 would turn the
+        // rotation into the identity and stall the sweep entirely (a
+        // zero-diagonal PPMI matrix exposed this; covariance inputs
+        // almost never have exactly-equal diagonals)
+        val sg = if (theta >= 0.0) 1.0 else -1.0
+        val t = sg / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
         val c = 1.0 / math.sqrt(t * t + 1.0)
         val s = t * c
         var i = 0

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Chunking, Coreset, Dedup, LanguageModel, Multimodal, Retrieval, Similarity, TextOps, Topics}
+import graft.llm.{Chunking, Coreset, Dedup, LanguageModel, Multimodal, Retrieval, Similarity, TextOps, Topics, WordVectors}
 
 /** Training-data pipeline operators (the "beyond the reference" layer)
   * over the driver's `documents` and `embeddings` tables.
@@ -602,6 +602,15 @@ object PipelineQueries {
     "q_cluster_quality" -> ((s, dir) =>
       Similarity.clusterQuality(Tables.embeddings(s, dir), "vec_id",
         "embedding", nClusters = 8)),
+
+    // -- distributional semantics: PPMI-SVD static word embeddings
+    //    trained FROM the corpus (Levy & Goldberg 2014) — one
+    //    (term, ctx) shuffle to the V²-bounded count table, PPMI +
+    //    shared deterministic Jacobi on the driver's model artifact,
+    //    harness-sortable (term, dim, value_micro) out --------------
+    "q_word_vectors" -> ((s, dir) =>
+      WordVectors.ppmiSvd(Tables.documents(s, dir), "text",
+        vocabSize = 64, window = 3, dims = 8)),
 
     // -- topic-modeling capstone (BERTopic shape): k-means cells over
     //    embeddings become topics, labeled by exact-integer

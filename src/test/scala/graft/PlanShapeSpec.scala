@@ -385,6 +385,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(hc == 0, s"hard negatives LSH must stay bucket-joined:\n${hp.take(1200)}")
   }
 
+  test("round-9 fourth-batch plans: unimax broadcast-only corpus, backtest broadcast prediction") {
+    def shape(name: String) = {
+      val p = plan(name)
+      (p, p.linesIterator.count(_.contains("Exchange hashpartitioning")),
+        p.linesIterator.count(_.contains("BroadcastHashJoin")),
+        p.linesIterator.count(_.contains("CartesianProduct")))
+    }
+    // unimax: ONE corpus-side hash exchange (the per-source totals
+    // aggregate); the waterfill runs on the tiny totals table and the
+    // alloc row rejoins the corpus by broadcast — never a shuffle join
+    val (up, _, ubc, uc) = shape("q_mix_unimax")
+    assert(ubc >= 1 && uc == 0,
+      s"unimax alloc must rejoin by broadcast:\n${up.take(1500)}")
+    assert(!up.contains("SortMergeJoin"),
+      s"unimax must not shuffle-join the corpus:\n${up.take(1500)}")
+    // markov backtest: prediction table (≤ |types|) broadcasts back
+    // onto the test pairs; no cartesian anywhere
+    val (bp, _, bbc, bc) = shape("q_markov_backtest")
+    assert(bbc >= 1 && bc == 0,
+      s"backtest prediction must ride a broadcast:\n${bp.take(1500)}")
+  }
+
   test("q_snapshot_diff: one full-outer equi-join, never a nested loop") {
     val p = plan("q_snapshot_diff")
     assert(p.contains("FullOuter"),
