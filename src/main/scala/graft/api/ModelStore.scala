@@ -140,4 +140,22 @@ object ModelStore {
       s"loadQualityScorer: malformed artifact in $path")
     (w, b.head._5)
   }
+
+  // ---- Word vectors (WordVectors.ppmiSvd / docEmbeddings) -----------
+  // Micro-unit rows persist EXACTLY (they are longs), so a loaded
+  // table is bit-equal to the trained one — the same round-trip
+  // guarantee as every other slot here.
+
+  def saveWordVectors(spark: SparkSession, rows: Seq[(String, Int, Long)],
+                      path: String): Unit =
+    write(spark, rows.zipWithIndex.map { case ((t, d, v), i) =>
+      Rec("wv", i.toLong, t, d.toString, v, 0.0)
+    }, path)
+
+  def loadWordVectors(spark: SparkSession,
+                      path: String): Seq[(String, Int, Long)] = {
+    val rows = read(spark, path, "wv").map(t => (t._2, t._3.toInt, t._4)).toSeq
+    require(rows.nonEmpty, s"loadWordVectors: malformed artifact in $path")
+    rows
+  }
 }

@@ -91,4 +91,59 @@ object WordVectors {
       StructType(Seq(StructField("term", StringType),
         StructField("dim", IntegerType), StructField("value_micro", LongType))))
   }
+
+  /** Document embeddings from a trained word-vector table: the mean of
+    * the known-token vectors, in exact integer micro-units (elementwise
+    * sum, one truncating div by the known count — addition-order-free).
+    * Closes the self-trained loop: corpus → `ppmiSvd` → doc vectors
+    * that feed the existing ANN / near-dup / clustering tiers with no
+    * external model anywhere.
+    *
+    * The vector table is a bounded model artifact (≤ 65536 rows
+    * REQUIRED — V ≤ 256 × dims ≤ 256) and ships as a broadcast literal
+    * map, so the operator is row-local: NO shuffle, NO join (plan-gated
+    * in `WordVectorsSpec`). Lookups use try_element_at — an
+    * out-of-vocabulary token is a NULL to filter, never an ANSI
+    * MAP_KEY error.
+    *
+    * Output: (idCol, dim, value_micro, n_known). A document with NO
+    * known token surfaces as one loud (dim = −1, NULL value, n_known
+    * 0) row — never silently dropped, never a division error.
+    */
+  def docEmbeddings(df: DataFrame, idCol: String, textCol: String,
+                    vectors: DataFrame): DataFrame = {
+    for (c <- Seq("__t", "__vmap", "__known", "__n", "__sums")
+        if df.columns.contains(c))
+      require(false, s"docEmbeddings: '$c' is reserved for internal use — rename it")
+    val rows = vectors.select(col("term"), col("dim").cast("int"),
+      col("value_micro").cast("long")).collect()
+    require(rows.nonEmpty, "docEmbeddings: empty vector table")
+    require(rows.length <= 65536,
+      "docEmbeddings: vector table exceeds the model-artifact bound (65536 rows)")
+    val byTerm = rows.groupBy(_.getString(0))
+    val dims = rows.map(_.getInt(1)).max + 1
+    require(byTerm.values.forall(rs =>
+        rs.length == dims && rs.map(_.getInt(1)).sorted.sameElements(0 until dims)),
+      "docEmbeddings: ragged vector table — every term needs dims 0..d-1 exactly once")
+    val vmap: Map[String, Seq[Long]] = byTerm.map { case (t, rs) =>
+      val arr = new Array[Long](dims)
+      for (r <- rs) arr(r.getInt(1)) = r.getLong(2)
+      t -> (arr.toSeq: Seq[Long])
+    }
+    df.select(col(idCol), split(col(textCol), " ").as("__t"))
+      .withColumn("__vmap", typedLit(vmap))
+      .withColumn("__known", expr(
+        "filter(transform(__t, x -> try_element_at(__vmap, x)), v -> v IS NOT NULL)"))
+      .withColumn("__n", size(col("__known")).cast("long"))
+      .withColumn("__sums", expr(
+        s"""aggregate(__known, array_repeat(0L, $dims),
+           |  (acc, v) -> zip_with(acc, v, (a, b) -> a + b))""".stripMargin))
+      .select(col(idCol), col("__n"),
+        explode(expr(
+          s"""CASE WHEN __n > 0 THEN transform(sequence(0, ${dims - 1}),
+             |  d -> struct(d AS dim, element_at(__sums, d + 1) div __n AS value_micro))
+             |ELSE array(struct(-1 AS dim, CAST(NULL AS BIGINT) AS value_micro)) END""".stripMargin)).as("e"))
+      .select(col(idCol), col("e.dim").as("dim"),
+        col("e.value_micro").as("value_micro"), col("__n").as("n_known"))
+  }
 }

@@ -612,6 +612,17 @@ object PipelineQueries {
       WordVectors.ppmiSvd(Tables.documents(s, dir), "text",
         vocabSize = 64, window = 3, dims = 8)),
 
+    // -- the self-trained loop closed: documents embedded as the
+    //    exact-integer mean of their own corpus-trained word vectors
+    //    (broadcast literal map, row-local — no shuffle, no join;
+    //    OOV-only docs surface as a loud dim=-1 row) ----------------
+    "q_doc_embed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      WordVectors.docEmbeddings(docs, "doc_id", "text",
+        WordVectors.ppmiSvd(docs, "text", vocabSize = 64, window = 3,
+          dims = 8))
+    }),
+
     // -- topic-modeling capstone (BERTopic shape): k-means cells over
     //    embeddings become topics, labeled by exact-integer
     //    discriminative-term lift (the c-TF-IDF idea) — pure

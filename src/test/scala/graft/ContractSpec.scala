@@ -35,7 +35,8 @@ class ContractSpec extends SparkSpec {
     "q_perplexity" -> "ln is not bit-identical cross-engine; driver-reimplementation bit-equality + ordering/conservation laws gated in LmSpec",
     "q_cluster_quality" -> "k-means centroids are data-dependent; separation-ordering + partition laws gated in TopicsSpec",
     "q_topic_model" -> "k-means cell assignment is data-dependent; planted-topic term exclusivity + determinism gated in TopicsSpec",
-    "q_word_vectors" -> "ln + Jacobi eigensolve are not SQL-expressible; identical-context-synonym / shape / determinism laws gated in WordVectorsSpec")
+    "q_word_vectors" -> "ln + Jacobi eigensolve are not SQL-expressible; identical-context-synonym / shape / determinism laws gated in WordVectorsSpec",
+    "q_doc_embed" -> "consumes the q_word_vectors model (same non-SQL train); exact-mean / OOV-loud / map-only-plan laws gated in WordVectorsSpec")
 
   test("every query has an oracle or a documented rows-only reason") {
     val qs = SparkEntry.queries.keySet

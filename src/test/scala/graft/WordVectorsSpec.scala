@@ -68,4 +68,47 @@ class WordVectorsSpec extends SparkSpec {
       WordVectors.ppmiSvd(docs, "text", 5, 2, 6)
     }
   }
+
+  test("doc embeddings: exact integer means, OOV docs loud, map-only plan, store round-trip") {
+    val vectors = Seq(
+      ("alpha", 0, 1000000L), ("alpha", 1, -2000000L),
+      ("beta", 0, 3000000L), ("beta", 1, 5000001L)).toDF("term", "dim", "value_micro")
+    val docs = Seq(
+      (1L, "alpha"),                 // exactly alpha's vector
+      (2L, "alpha beta"),            // elementwise mean, truncating div
+      (3L, "unknown words only"),    // loud dim=-1 row
+      (4L, "alpha unknown alpha")    // OOV token skipped, n_known = 2
+    ).toDF("doc_id", "text")
+    val out = WordVectors.docEmbeddings(docs, "doc_id", "text", vectors)
+    val got = out.collect().map(r => (r.getLong(0), r.getInt(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(1L).toSet == Set((1L, 0, Some(1000000L), 1L), (1L, 1, Some(-2000000L), 1L)))
+    // (1e6+3e6) div 2 = 2e6; (-2e6+5000001) div 2 = 3000001 div 2 = 1500000
+    assert(byDoc(2L).toSet == Set((2L, 0, Some(2000000L), 2L), (2L, 1, Some(1500000L), 2L)))
+    assert(byDoc(3L).toSet == Set((3L, -1, None, 0L)),
+      "OOV-only doc: one loud row, never dropped, never a div error")
+    assert(byDoc(4L).toSet == Set((4L, 0, Some(1000000L), 2L), (4L, 1, Some(-2000000L), 2L)))
+    // the operator is row-local after the model collect: no Exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"docEmbeddings must be map-only:\n$plan")
+    // ragged vector tables refuse loudly
+    intercept[IllegalArgumentException] {
+      WordVectors.docEmbeddings(docs, "doc_id", "text",
+        Seq(("alpha", 0, 1L), ("beta", 0, 1L), ("beta", 1, 2L))
+          .toDF("term", "dim", "value_micro"))
+    }
+    // ModelStore round-trip is bit-equal (micro-units are longs)
+    val trained = vectors.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val path = java.nio.file.Files.createTempDirectory("wv").toString + "/wv"
+    graft.api.ModelStore.saveWordVectors(spark, trained, path)
+    val loaded = graft.api.ModelStore.loadWordVectors(spark, path)
+    assert(loaded.toSet == trained.toSet)
+    val viaStore = WordVectors.docEmbeddings(docs, "doc_id", "text",
+      loaded.toDF("term", "dim", "value_micro"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toSet
+    assert(viaStore == got.toSet, "store-loaded model embeds bit-equal")
+  }
 }
