@@ -319,6 +319,34 @@ object RelationalQueries {
           min("v").as("min_v"), max("v").as("max_v"))
     }),
 
+    // Z-score anomaly screen — the parametric sibling of the IQR
+    // fences: milli-quantized values, DECIMAL(38,0)-exact moments
+    // (n·SS stays under 10^38 even at the 100 TB design point), and a
+    // score that costs exactly ONE sqrt and ONE division in IEEE
+    // doubles: z = (n·v − S)/sqrt(n·SS − S²) — both operands exact
+    // integers, so the float tail is two correctly-rounded ops,
+    // reproducible on any engine. Constant groups (den = 0) yield
+    // NULL z via NULLIF — no outliers by definition, never a division
+    // error. Moment table broadcast back; the corpus never shuffles.
+    "q_zscore" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("v", expr("CAST(floor(value * 1000) AS BIGINT)"))
+      val stats = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(v AS DECIMAL(38,0))")).as("__s"),
+          sum(expr("CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))"))
+            .as("__ss"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z_micro", expr(
+          """CAST(floor(1000000.0 *
+            |  CAST(n * CAST(v AS DECIMAL(38,0)) - __s AS DOUBLE) /
+            |  sqrt(CAST(nullif(n * __ss - __s * __s,
+            |                   CAST(0 AS DECIMAL(38,0))) AS DOUBLE)))
+            |AS BIGINT)""".stripMargin))
+        .filter(abs(col("z_micro")) >= 3000000L)
+        .select(col("event_type"), col("event_id"), col("v"), col("z_micro"))
+    }),
+
     // The SQL-text surface: the same engine through spark.sql over a
     // registered view — parity between the Column API and SQL parsing.
     "q_sql_surface" -> ((s, dir) => {
@@ -518,5 +546,28 @@ object RelationalQueries {
         |  SELECT event_type,
         |    quantile_cont(CAST(floor(value * 1000) AS BIGINT),
         |                  [0.25, 0.5, 0.75]) AS qs
-        |  FROM events GROUP BY 1)""".stripMargin)
+        |  FROM events GROUP BY 1)""".stripMargin,
+
+    // Z-score replay: HUGEINT is DuckDB's exact twin of the
+    // DECIMAL(38,0) moments; the float tail is the same two
+    // correctly-rounded IEEE ops (one sqrt, one division).
+    "q_zscore" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events
+        |), st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS HUGEINT)) AS s,
+        |    sum(CAST(v AS HUGEINT) * v) AS ss
+        |  FROM ev GROUP BY 1
+        |), sc AS (
+        |  SELECT e.event_type, e.event_id, e.v,
+        |    CAST(floor(1000000.0 * CAST(st.n * e.v - st.s AS DOUBLE) /
+        |      sqrt(CAST(NULLIF(st.n * st.ss - st.s * st.s, 0) AS DOUBLE)))
+        |      AS BIGINT) AS z_micro
+        |  FROM ev e JOIN st USING (event_type)
+        |)
+        |SELECT event_type, event_id, v, z_micro
+        |FROM sc WHERE abs(z_micro) >= 3000000""".stripMargin)
 }

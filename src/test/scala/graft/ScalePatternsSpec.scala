@@ -215,4 +215,40 @@ class ScalePatternsSpec extends SparkSpec {
         s"$k: exact ($e25,$e50,$e75) vs approx ($a25,$a50,$a75)")
     }
   }
+
+  test("z-score screen: exact score on a constructed group; constant groups yield no outliers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // group g: 9 values at 10.0, one at 100.0 — the spike's z is
+    // (n·v − S)/sqrt(n·SS − S²) = (10·100000−190000)/sqrt(10·8.2e9−3.61e10)
+    // computed below exactly; group c is CONSTANT: den = 0, NULL z, no row
+    val ev = ((1 to 9).map(i => (i.toLong, "g", 10.0)) ++
+      Seq((10L, "g", 100.0)) ++
+      (11 to 15).map(i => (i.toLong, "c", 7.0)))
+      .toDF("event_id", "event_type", "value")
+    val vq = (v: Double) => math.floor(v * 1000).toLong
+    val vs = ((1 to 9).map(_ => vq(10.0)) :+ vq(100.0)).map(BigInt(_))
+    val n = BigInt(10); val s = vs.sum; val ss = vs.map(x => x * x).sum
+    val zExp = math.floor(1e6 * (n * vs.last - s).toDouble /
+      math.sqrt((n * ss - s * s).toDouble)).toLong
+    val stats = ev.withColumn("v", expr("CAST(floor(value * 1000) AS BIGINT)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(v AS DECIMAL(38,0))")).as("__s"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))")).as("__ss"))
+    val out = ev.withColumn("v", expr("CAST(floor(value * 1000) AS BIGINT)"))
+      .join(broadcast(stats), "event_type")
+      .withColumn("z_micro", expr(
+        """CAST(floor(1000000.0 *
+          |  CAST(n * CAST(v AS DECIMAL(38,0)) - __s AS DOUBLE) /
+          |  sqrt(CAST(nullif(n * __ss - __s * __s,
+          |                   CAST(0 AS DECIMAL(38,0))) AS DOUBLE)))
+          |AS BIGINT)""".stripMargin))
+      .filter(abs(col("z_micro")) >= 3000000L)
+      .collect().map(r => (r.getLong(r.fieldIndex("event_id")),
+        r.getLong(r.fieldIndex("z_micro"))))
+    assert(out.toSeq == Seq((10L, zExp)),
+      s"exactly the planted spike, at the exact score: ${out.toSeq} vs $zExp")
+    assert(zExp >= 3000000L, "fixture sanity: the spike clears 3 sigma")
+  }
 }
