@@ -319,6 +319,32 @@ object RelationalQueries {
           min("v").as("min_v"), max("v").as("max_v"))
     }),
 
+    // Column profiler — the ANALYZE-TABLE surface: per column, exact
+    // row/null/distinct counts and string-order min/max in ONE scan.
+    // The unpivot is a row-local stack; the distinct count rides a
+    // (col, value) pre-aggregate, so the exact-NDV pass shuffles the
+    // collapsed value table, never the corpus twice — the honest
+    // exact tier (the sketch arm for wide NDV is L-49). String casts
+    // keep it cross-engine: every profiled column here is
+    // BIGINT/VARCHAR, whose casts are bit-identical on both engines
+    // (doubles would not be — they are profiled via the quantized
+    // screens instead).
+    "q_profile" -> ((s, dir) => {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      Tables.documents(s, dir)
+        .select(expr("stack(" + cols.length + ", " +
+          cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") +
+          ") AS (col_name, v)"))
+        .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
+        .groupBy("col_name").agg(
+          sum("cnt").cast("long").as("n"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+            .cast("long").as("n_null"),
+          sum(when(col("v").isNotNull, lit(1L)).otherwise(lit(0L)))
+            .cast("long").as("n_distinct"),
+          min("v").as("min_s"), max("v").as("max_s"))
+    }),
+
     // Z-score anomaly screen — the parametric sibling of the IQR
     // fences: milli-quantized values, DECIMAL(38,0)-exact moments
     // (n·SS stays under 10^38 even at the 100 TB design point), and a
@@ -547,6 +573,19 @@ object RelationalQueries {
         |    quantile_cont(CAST(floor(value * 1000) AS BIGINT),
         |                  [0.25, 0.5, 0.75]) AS qs
         |  FROM events GROUP BY 1)""".stripMargin,
+
+    // Profiler replay: one UNION ALL branch per column; count(DISTINCT)
+    // ignores NULLs in both engines, matching the n_distinct contract.
+    "q_profile" ->
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT)
+           |    AS n_distinct,
+           |  min(CAST($c AS VARCHAR)) AS min_s,
+           |  max(CAST($c AS VARCHAR)) AS max_s
+           |FROM documents""".stripMargin).mkString("\nUNION ALL\n"),
 
     // Z-score replay: HUGEINT is DuckDB's exact twin of the
     // DECIMAL(38,0) moments; the float tail is the same two
