@@ -688,6 +688,59 @@ object TextOps {
         counted._2.map { case (n, c) => c.as(s"n_$n") }: _*)
   }
 
+  /** PMI collocation extraction — the classic NLP screen for "words
+    * that belong together" (Church & Hanks 1990), the distributed
+    * ORACLE companion to `WordVectors.ppmiSvd`: same symmetric
+    * ±window co-occurrence pairs, but the score is the exact integer
+    * LIFT n(w,c)·N / (n(w)·n(c)) — the exponential of PMI, which
+    * ranks identically without ever touching `ln` (the
+    * discriminativeTerms trick), so the whole table is hash-verifiable
+    * cross-engine.
+    *
+    * Scale shape: row-local pair explode, ONE (w, c) shuffle to the
+    * co-occurrence counts, marginals from the collapsed table (w-sums
+    * broadcast back, the 1-row total a broadcast scalar), per-term
+    * rank window on the count table. No vocabulary cap needed — the
+    * counts table is |vocab|²-bounded by the data itself and minCount
+    * thins the tail before the window.
+    *
+    * Output: (term, context, n, lift_micro, rank ≤ topK); ties break
+    * (lift desc, context asc).
+    */
+  def collocations(df: DataFrame, textCol: String, window: Int,
+                   topK: Int, minCount: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1 && window <= 8, "collocations: window must be in [1, 8]")
+    require(topK > 0, "collocations: topK must be positive")
+    require(minCount >= 1, "collocations: minCount must be >= 1")
+    val pairs = df.select(split(col(textCol), " ").as("t"))
+      .select(explode(expr(
+        s"""flatten(transform(t, (x, i) ->
+           |  transform(filter(sequence(greatest(0, i - $window),
+           |                            least(size(t) - 1, i + $window)),
+           |                   j -> j != i),
+           |            j -> struct(x AS w, t[j] AS c))))""".stripMargin)).as("p"))
+      .select(col("p.w"), col("p.c"))
+      .where(col("w") =!= "" && col("c") =!= "")
+      .groupBy("w", "c").agg(count(lit(1)).as("n"))
+    val wTot = pairs.groupBy("w").agg(sum(col("n")).as("__rw"))
+    val cTot = pairs.groupBy("c").agg(sum(col("n")).as("__rc"))
+    val total = pairs.agg(sum(col("n")).as("__nn"))
+    val rw = Window.partitionBy(col("w"))
+      .orderBy(col("lift_micro").desc, col("c").asc)
+    pairs.filter(col("n") >= minCount)
+      .join(broadcast(wTot), "w")
+      .join(broadcast(cTot), "c")
+      .crossJoin(broadcast(total))
+      .withColumn("lift_micro", expr(
+        """(CAST(n AS DECIMAL(38,0)) * CAST(__nn AS DECIMAL(38,0)) * 1000000)
+          | div (CAST(__rw AS DECIMAL(38,0)) * CAST(__rc AS DECIMAL(38,0)))""".stripMargin))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= topK)
+      .select(col("w").as("term"), col("c").as("context"),
+        col("n"), col("lift_micro"), col("rank"))
+  }
+
   /** Taxonomy tagging via a token-level Aho–Corasick automaton
     * (`functions/DictTag.scala`): ONE compiled pass over each
     * document's tokens matches the WHOLE dictionary — the scale answer

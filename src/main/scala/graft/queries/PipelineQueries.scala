@@ -603,6 +603,13 @@ object PipelineQueries {
       Similarity.clusterQuality(Tables.embeddings(s, dir), "vec_id",
         "embedding", nClusters = 8)),
 
+    // -- collocation extraction: per-term top-k co-occurrence partners
+    //    by exact integer lift (= exp(PMI), ranks identically with no
+    //    ln) — the distributed ORACLE companion to q_word_vectors ----
+    "q_collocations" -> ((s, dir) =>
+      TextOps.collocations(Tables.documents(s, dir), "text",
+        window = 3, topK = 5, minCount = 5)),
+
     // -- distributional semantics: PPMI-SVD static word embeddings
     //    trained FROM the corpus (Levy & Goldberg 2014) — one
     //    (term, ctx) shuffle to the V²-bounded count table, PPMI +
@@ -2659,6 +2666,33 @@ object PipelineQueries {
         |SELECT t.source, t.doc_id, t.n_tokens, r.alloc_tokens, r.rate
         |FROM t JOIN r USING (source)
         |WHERE ((t.doc_id % 65536) * 40503) % 65536 < r.rate * 65536""".stripMargin,
+
+    // Collocation replay: the same ±3 window pair explode (DuckDB's
+    // 1-based t[i] over correlated unnest ranges ≡ Spark's 0-based
+    // transform/sequence), HUGEINT lift ≡ DECIMAL(38,0) integral div.
+    "q_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+        |pj AS (SELECT t, i,
+        |         unnest(range(greatest(1, i - 3), least(len(t), i + 3) + 1)) AS j
+        |       FROM pos),
+        |pr AS (SELECT t[i] AS w, t[j] AS c FROM pj
+        |       WHERE j != i AND t[i] != '' AND t[j] != ''),
+        |cnt AS (SELECT w, c, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2),
+        |wt AS (SELECT w, CAST(sum(n) AS BIGINT) AS rw FROM cnt GROUP BY 1),
+        |ct AS (SELECT c, CAST(sum(n) AS BIGINT) AS rc FROM cnt GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cnt),
+        |sc AS (
+        |  SELECT cnt.w, cnt.c, cnt.n,
+        |    CAST((CAST(cnt.n AS HUGEINT) * nn * 1000000) //
+        |      (CAST(rw AS HUGEINT) * rc) AS BIGINT) AS lift_micro
+        |  FROM cnt JOIN wt USING (w) JOIN ct USING (c) CROSS JOIN tt
+        |  WHERE cnt.n >= 5
+        |)
+        |SELECT w AS term, c AS context, n, lift_micro,
+        |  CAST(row_number() OVER (PARTITION BY w
+        |    ORDER BY lift_micro DESC, c) AS INT) AS rank
+        |FROM sc QUALIFY rank <= 5""".stripMargin,
 
     // Aho–Corasick tagging replay: same top-10 unigram/bigram dict
     // derivation (QUALIFY rank ≡ TakeOrdered + row_number, identical

@@ -284,6 +284,28 @@ class TextOpsSpec extends SparkSpec {
     assert(accOut >= 0.9, s"held-out weak-label agreement $accOut below floor")
   }
 
+  test("collocations: a planted bigram tops its term's ranking; minCount prunes; exact lift") {
+    import spark.implicits._
+    // "san francisco" always adjacent; "san" also appears far from
+    // "diego" (once — under minCount); fillers rotate so no accidental
+    // high-lift partner
+    val docs = ((1 to 10).map(i => (i.toLong, s"san francisco f${i % 5} g${i % 7} h${i % 3}")) :+
+      (11L, "san diego x1 x2 x3")).toDF("doc_id", "text")
+    val out = TextOps.collocations(docs, "text", window = 1, topK = 3,
+        minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    val sanTop = out.filter(r => r._1 == "san" && r._5 == 1)
+    assert(sanTop.length == 1 && sanTop.head._2 == "francisco",
+      s"planted collocation must rank first: ${out.filter(_._1 == "san").toSeq}")
+    assert(!out.exists(r => r._1 == "san" && r._2 == "diego"),
+      "a 1-count pair is pruned by minCount")
+    // exact lift replay for (san, francisco) at window 1:
+    // pairs are adjacency both directions; n(san→francisco)=10
+    val pairsOf = out.filter(r => r._1 == "san" && r._2 == "francisco").head
+    assert(pairsOf._3 == 10L)
+  }
+
   test("dict tagging: overlapping, suffix-closure, cross-phrase counts; map-only plan") {
     import spark.implicits._
     val docs = Seq(
