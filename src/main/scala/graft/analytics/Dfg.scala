@@ -242,6 +242,54 @@ object Dfg {
     * the |types|²-bounded table, the prediction table (≤ |types| rows)
     * joins back by broadcast — the corpus is never shuffled twice.
     */
+  /** DFG concept-drift report — the process-mining drift screen: how
+    * far the directly-follows distribution moved between two log
+    * slices (classically: time halves). Per edge, counts and exact
+    * integer micro-unit shares in each slice plus |Δshare|; a final
+    * `__TV__` row carries the total-variation distance ΣΔ div 2 — the
+    * headline "how much did the process change" number, exact.
+    *
+    * Empty-slice discipline: a slice with no transitions yields NULL
+    * shares via NULLIF (surfaced, never a division error); edges
+    * absent from one slice join in with loud zero counts through the
+    * full-outer union of edge keys.
+    *
+    * Scale shape: one case window per slice, counts collapse to the
+    * |types|²-bounded tables, the full-outer join and the 1-row total
+    * run on those — the corpus never shuffles twice.
+    */
+  def dfgDrift(a: DataFrame, b: DataFrame, caseCol: String,
+               activityCol: String, tsCol: String,
+               tieCol: String): DataFrame = {
+    def edges(df: DataFrame, out: String): DataFrame = {
+      val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieCol))
+      df.withColumn("__next", lead(col(activityCol), 1).over(w))
+        .filter(col("__next").isNotNull)
+        .groupBy(col(activityCol).as("activity"),
+          col("__next").as("next_activity"))
+        .agg(count(lit(1)).as(out))
+        .select(col("activity"), col("next_activity"), col(out))
+    }
+    val j = edges(a, "__na").join(edges(b, "__nb"),
+        Seq("activity", "next_activity"), "full_outer")
+      .select(col("activity"), col("next_activity"),
+        coalesce(col("__na"), lit(0L)).as("n_a"),
+        coalesce(col("__nb"), lit(0L)).as("n_b"))
+    val tot = j.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    val sc = j.crossJoin(broadcast(tot))
+      .withColumn("share_a_micro", expr("(n_a * 1000000L) div nullif(__ta, 0L)"))
+      .withColumn("share_b_micro", expr("(n_b * 1000000L) div nullif(__tb, 0L)"))
+      .withColumn("delta_micro", abs(col("share_a_micro") - col("share_b_micro")))
+    sc.select(col("activity"), col("next_activity"), col("n_a"), col("n_b"),
+        col("share_a_micro"), col("share_b_micro"), col("delta_micro"))
+      .unionByName(sc.groupBy(col("__ta"), col("__tb"))
+        .agg(expr("CAST(sum(delta_micro) AS BIGINT) div 2").as("delta_micro"))
+        .select(lit("__TV__").as("activity"), lit("").as("next_activity"),
+          col("__ta").as("n_a"), col("__tb").as("n_b"),
+          lit(1000000L).as("share_a_micro"), lit(1000000L).as("share_b_micro"),
+          col("delta_micro")))
+  }
+
   def backtestNextEvent(train: DataFrame, test: DataFrame, caseCol: String,
                         activityCol: String, tsCol: String,
                         tieCol: String): DataFrame = {

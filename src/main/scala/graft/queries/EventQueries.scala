@@ -465,6 +465,27 @@ object EventQueries {
       Dfg.transitionMatrix(sessions(Tables.events(s, dir)),
         "session_id", "event_type", "ts", "event_id")),
 
+    // DFG concept drift: the directly-follows distribution of the
+    // EARLY sessions vs the LATE ones (whole sessions assigned by
+    // their first event against the exact midpoint of the log's
+    // epoch-micros range), per-edge share deltas + the total-variation
+    // headline, all in exact integer micro-units.
+    "q_dfg_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sess = sessions(Tables.events(s, dir))
+      val bounds = sess.agg(
+        min(unix_micros(col("ts"))).as("__t0"),
+        max(unix_micros(col("ts"))).as("__t1"))
+      val tagged = sess.crossJoin(broadcast(bounds))
+        .withColumn("__mid", expr("(__t0 + __t1) div 2"))
+        .withColumn("__st", min(unix_micros(col("ts")))
+          .over(Window.partitionBy(col("session_id"))))
+      Dfg.dfgDrift(
+        tagged.filter(col("__st") < col("__mid")),
+        tagged.filter(col("__st") >= col("__mid")),
+        "session_id", "event_type", "ts", "event_id")
+    }),
+
     // Markov next-event BACKTEST: train the transition argmax on the
     // even-user_id sessions, score next-event predictions on the odd
     // half (grouped holdout — context never crosses users, so the
@@ -962,6 +983,58 @@ object EventQueries {
          |  (n * 1000000) // CAST(sum(n) OVER (PARTITION BY state) AS BIGINT)
          |    AS p_micro
          |FROM c""".stripMargin,
+
+    // Drift replay: same session CTE, same epoch-micros midpoint and
+    // per-session first-event tagging, full-outer edge union with
+    // loud zeros, NULLIF shares, ΣΔ div 2 total variation.
+    "q_dfg_drift" ->
+      s"""$SessionsCte, bnd AS (
+         |  SELECT min(CAST(epoch_us(ts) AS BIGINT)) AS t0,
+         |         max(CAST(epoch_us(ts) AS BIGINT)) AS t1
+         |  FROM s
+         |), tagged AS (
+         |  SELECT s.*, (bnd.t0 + bnd.t1) // 2 AS mid,
+         |    min(CAST(epoch_us(ts) AS BIGINT))
+         |      OVER (PARTITION BY session_id) AS sst
+         |  FROM s CROSS JOIN bnd
+         |), pa AS (
+         |  SELECT event_type, lead(event_type) OVER (PARTITION BY session_id
+         |    ORDER BY ts, event_id) AS nxt
+         |  FROM tagged WHERE sst < mid
+         |), pb AS (
+         |  SELECT event_type, lead(event_type) OVER (PARTITION BY session_id
+         |    ORDER BY ts, event_id) AS nxt
+         |  FROM tagged WHERE sst >= mid
+         |), ea AS (
+         |  SELECT event_type AS activity, nxt AS next_activity,
+         |    CAST(count(*) AS BIGINT) AS na
+         |  FROM pa WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |), eb AS (
+         |  SELECT event_type AS activity, nxt AS next_activity,
+         |    CAST(count(*) AS BIGINT) AS nb
+         |  FROM pb WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |), j AS (
+         |  SELECT activity, next_activity,
+         |    coalesce(na, 0) AS n_a, coalesce(nb, 0) AS n_b
+         |  FROM ea FULL JOIN eb USING (activity, next_activity)
+         |), t AS (
+         |  SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+         |         CAST(sum(n_b) AS BIGINT) AS tb FROM j
+         |), sc AS (
+         |  SELECT activity, next_activity, n_a, n_b,
+         |    (n_a * 1000000) // NULLIF(ta, 0) AS share_a_micro,
+         |    (n_b * 1000000) // NULLIF(tb, 0) AS share_b_micro,
+         |    abs((n_a * 1000000) // NULLIF(ta, 0) -
+         |        (n_b * 1000000) // NULLIF(tb, 0)) AS delta_micro
+         |  FROM j CROSS JOIN t
+         |)
+         |SELECT activity, next_activity, n_a, n_b,
+         |  share_a_micro, share_b_micro, delta_micro
+         |FROM sc
+         |UNION ALL
+         |SELECT '__TV__', '', t.ta, t.tb, 1000000, 1000000,
+         |  CAST(sum(sc.delta_micro) AS BIGINT) // 2
+         |FROM sc CROSS JOIN t GROUP BY t.ta, t.tb""".stripMargin,
 
     // Backtest replay: same session CTE, argmax with the identical
     // (count desc, next asc) tie-break, CASE-null hit scoring (a NULL

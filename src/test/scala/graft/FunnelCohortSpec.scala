@@ -247,6 +247,32 @@ class FunnelCohortSpec extends SparkSpec {
     assert(aOut == 2L)
   }
 
+  test("dfg drift: exact share deltas, exclusive edges loud, TV headline") {
+    import spark.implicits._
+    def log(rows: (String, String, Long)*) = rows
+      .map { case (s, a, i) => (s, a, ts(f"2024-01-01 10:00:${i}%02d"), i) }
+      .toDF("case_id", "activity", "ts", "event_id")
+    // A: a→b ×3, a→c ×1, x→y ×1 (tot 5); B: a→b ×1, a→c ×3 (tot 4)
+    val a = log(
+      ("t1", "a", 1L), ("t1", "b", 2L), ("t2", "a", 3L), ("t2", "b", 4L),
+      ("t3", "a", 5L), ("t3", "b", 6L), ("t4", "a", 7L), ("t4", "c", 8L),
+      ("t5", "x", 9L), ("t5", "y", 10L))
+    val b = log(
+      ("u1", "a", 1L), ("u1", "b", 2L), ("u2", "a", 3L), ("u2", "c", 4L),
+      ("u3", "a", 5L), ("u3", "c", 6L), ("u4", "a", 7L), ("u4", "c", 8L))
+    val out = Dfg.dfgDrift(a, b, "case_id", "activity", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(out(("a", "b")) == ((3L, 1L, 600000L, 250000L, 350000L)))
+    assert(out(("a", "c")) == ((1L, 3L, 200000L, 750000L, 550000L)))
+    assert(out(("x", "y")) == ((1L, 0L, 200000L, 0L, 200000L)),
+      "an edge exclusive to one slice surfaces with a loud zero")
+    assert(out(("__TV__", "")) == ((5L, 4L, 1000000L, 1000000L, 550000L)),
+      s"total variation = sum(delta) div 2: ${out(("__TV__", ""))}")
+    assert(out.size == 4)
+  }
+
   test("markov backtest: argmax tie-break, unseen states loud, exact hit rates") {
     import spark.implicits._
     def log(rows: (String, String, Long)*) = rows
