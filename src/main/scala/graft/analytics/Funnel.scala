@@ -101,4 +101,38 @@ object Funnel {
       .select(col("step_idx"), col("step"), col("n_users"),
         col("conv_first_micro"), col("conv_prev_micro"))
   }
+
+  /** First/last-touch conversion attribution — the marketing-analytics
+    * companion to the funnel: for every conversion event, which
+    * touchpoint "gets the credit". Definitions pinned for determinism:
+    *
+    *  - first_touch = the session's FIRST event type (frame-complete
+    *    first_value under the (ts, tie) order) — a conversion that
+    *    opens its session self-attributes, loudly visible as a
+    *    conversion-typed touch;
+    *  - last_touch = the nearest STRICTLY-PRECEDING non-conversion
+    *    event type in the session (IGNORE NULLS last_value over the
+    *    [unbounded, -1] frame), `direct` when none exists.
+    *
+    * Both are one expression over the ONE session-keyed window the
+    * log already pays; the report collapses to the |types|²-bounded
+    * (first_touch, last_touch) count table. Exact counts — the DuckDB
+    * oracle replays bit-for-bit.
+    */
+  def attribution(df: DataFrame, caseCol: String, typeCol: String,
+                  tsCol: String, tieCol: String,
+                  conversionType: String): DataFrame = {
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__first",
+        first(col(typeCol)).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("__last_np",
+        last(when(col(typeCol) =!= conversionType, col(typeCol)),
+          ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col(typeCol) === conversionType)
+      .groupBy(col("__first").as("first_touch"),
+        coalesce(col("__last_np"), lit("direct")).as("last_touch"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

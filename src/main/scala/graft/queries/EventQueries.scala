@@ -465,6 +465,13 @@ object EventQueries {
       Dfg.transitionMatrix(sessions(Tables.events(s, dir)),
         "session_id", "event_type", "ts", "event_id")),
 
+    // Conversion attribution: per purchase, the session's first-touch
+    // and the nearest strictly-preceding non-purchase touch ('direct'
+    // when none) — exact counts over the one session window.
+    "q_attribution" -> ((s, dir) =>
+      Funnel.attribution(sessions(Tables.events(s, dir)), "session_id",
+        "event_type", "ts", "event_id", "purchase")),
+
     // DFG concept drift: the directly-follows distribution of the
     // EARLY sessions vs the LATE ones (whole sessions assigned by
     // their first event against the exact midpoint of the log's
@@ -983,6 +990,23 @@ object EventQueries {
          |  (n * 1000000) // CAST(sum(n) OVER (PARTITION BY state) AS BIGINT)
          |    AS p_micro
          |FROM c""".stripMargin,
+
+    // Attribution replay: the same frame-exact first_value /
+    // IGNORE-NULLS last_value pair over the session window.
+    "q_attribution" ->
+      s"""$SessionsCte, t AS (
+         |  SELECT event_type,
+         |    first_value(event_type) OVER (PARTITION BY session_id
+         |      ORDER BY ts, event_id) AS ft,
+         |    last_value(CASE WHEN event_type != 'purchase'
+         |        THEN event_type END IGNORE NULLS)
+         |      OVER (PARTITION BY session_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+         |  FROM s
+         |)
+         |SELECT ft AS first_touch, coalesce(lt, 'direct') AS last_touch,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM t WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
 
     // Drift replay: same session CTE, same epoch-micros midpoint and
     // per-session first-event tagging, full-outer edge union with

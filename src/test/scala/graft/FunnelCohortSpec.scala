@@ -247,6 +247,30 @@ class FunnelCohortSpec extends SparkSpec {
     assert(aOut == 2L)
   }
 
+  test("attribution: first/last touch pinned, direct conversions, self-opening sessions") {
+    import spark.implicits._
+    val events = Seq(
+      // s1: view → click → purchase: first=view, last=click
+      ("s1", "view", 1L), ("s1", "click", 2L), ("s1", "purchase", 3L),
+      // s2: purchase opens the session: first=purchase (self), last=direct
+      ("s2", "purchase", 1L), ("s2", "view", 2L),
+      // s3: two purchases — the second's last touch skips the first
+      // purchase back to the click
+      ("s3", "click", 1L), ("s3", "purchase", 2L), ("s3", "purchase", 3L),
+      // s4: no purchase — contributes nothing
+      ("s4", "view", 1L))
+      .map { case (s, a, i) => (s, a, ts(f"2024-01-01 10:00:0$i"), i) }
+      .toDF("case_id", "activity", "ts", "event_id")
+    val out = Funnel.attribution(events, "case_id", "activity", "ts",
+        "event_id", "purchase")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("view", "click") -> 1L,
+      ("purchase", "direct") -> 1L,
+      ("click", "click") -> 2L),
+      s"attribution table: $out")
+  }
+
   test("dfg drift: exact share deltas, exclusive edges loud, TV headline") {
     import spark.implicits._
     def log(rows: (String, String, Long)*) = rows
