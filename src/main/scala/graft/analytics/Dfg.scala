@@ -290,6 +290,58 @@ object Dfg {
           col("delta_micro")))
   }
 
+  /** Eventually-follows graph — the other standard process-discovery
+    * relation next to the DFG (pm4py's `efg`): for every ordered pair
+    * of positions i < j within a case, one (activity_i, activity_j)
+    * observation, so `n` counts occurrence PAIRS (same-activity pairs
+    * included). Heuristic miners and long-term-dependency checks read
+    * this where the DFG only sees adjacency; every DFG edge is an EFG
+    * edge with n_efg >= n_dfg (a law the spec pins).
+    *
+    * Scale shape: one case-key window for positions, then a case
+    * EQUI-join with the i<j rank predicate as post-filter — pair
+    * volume is Σ L(L−1)/2 over case lengths, QUADRATIC IN CASE LENGTH
+    * BY CONTRACT (the relation itself is defined over all position
+    * pairs). Cases here come from gap sessionization, so L is bounded
+    * by the session gap, not by corpus size — the same bounded-case
+    * argument the variants explode rests on. Output collapses to
+    * ≤ |activities|² rows in a partial-aggregated count.
+    */
+  def eventuallyFollows(df: DataFrame, caseCol: String, activityCol: String,
+                        tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieCol))
+    val pos = df.withColumn("__rn", row_number().over(w))
+      .select(col(caseCol), col(activityCol), col("__rn"))
+    val lhs = pos.select(col(caseCol).as("__c"), col(activityCol).as("activity"),
+      col("__rn").as("__ri"))
+    val rhs = pos.select(col(caseCol).as("__c2"),
+      col(activityCol).as("eventually"), col("__rn").as("__rj"))
+    lhs.join(rhs, col("__c") === col("__c2") && col("__ri") < col("__rj"))
+      .groupBy(col("activity"), col("eventually"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Activity rework report — per activity, how often a case executes
+    * it MORE THAN ONCE: cases touched, cases with rework, the extra
+    * (beyond-first) occurrence total, and the rework share in exact
+    * integer micro-units. The process-quality screen read next to the
+    * variants table: rework is where loops, retries and ping-pong
+    * transfers hide.
+    *
+    * Scale shape: ONE partial-aggregated (case, activity) count
+    * shuffle; everything after runs on the collapsed table, which then
+    * collapses again to ≤ |activities| rows. No window, no join.
+    */
+  def rework(df: DataFrame, caseCol: String, activityCol: String): DataFrame =
+    df.groupBy(col(caseCol), col(activityCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(activityCol).as("activity"))
+      .agg(count(lit(1)).as("n_cases"),
+        sum(when(col("__cnt") >= 2L, 1L).otherwise(0L)).as("n_rework_cases"),
+        sum(col("__cnt") - 1L).as("extra_occurrences"))
+      .withColumn("rework_micro",
+        expr("(n_rework_cases * 1000000L) div n_cases"))
+
   def backtestNextEvent(train: DataFrame, test: DataFrame, caseCol: String,
                         activityCol: String, tsCol: String,
                         tieCol: String): DataFrame = {

@@ -1,0 +1,77 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-axis views over an event log: run-length episode compaction
+  * (the SCD2/gaps-and-islands shape) and exact-integer CUSUM
+  * change-point detection on daily volume.
+  */
+object Timeline {
+
+  /** Run-length episode compaction — collapse each user's consecutive
+    * same-activity events into one episode row (start/end timestamp,
+    * event count): the islands half of gaps-and-islands, and the same
+    * shape that compacts a change-log into SCD2 validity intervals
+    * (attribute runs → effective_from/effective_to). A 100 TB raw
+    * click stream compacts to its behavioral segments without ever
+    * leaving the user partition.
+    *
+    * Plan shape: ONE Exchange on the user key — the episode id is a
+    * running sum of boundary flags (`lag` ≠ current) over the same
+    * partition+order the flag itself uses, so both windows share one
+    * sort; the groupBy that follows is partial-aggregated. The
+    * first event of a user opens episode 1 (lag NULL => boundary).
+    */
+  def episodes(df: DataFrame, userCol: String, activityCol: String,
+               tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val boundary = when(lag(col(activityCol), 1).over(w).isNull ||
+      lag(col(activityCol), 1).over(w) =!= col(activityCol), 1L).otherwise(0L)
+    df.withColumn("__ep", sum(boundary)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("__ep").as("episode"), col(activityCol))
+      .agg(min(col(tsCol)).as("start_ts"), max(col(tsCol)).as("end_ts"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Daily-volume CUSUM change-point screen — the classic
+    * cumulative-sum control chart (Page 1954) on the log's daily event
+    * count, in EXACT integers end to end: mean_micro is one floored
+    * integral division of BIGINTs, each day's deviation is
+    * n·1e6 − mean_micro, and the CUSUM is their running sum — so the
+    * whole chart replays bit-for-bit in any engine and the argmax
+    * |CUSUM| day (the estimated change point, flagged on every row
+    * that ties the max) needs no float comparison. The calendar is
+    * DENSIFIED between the observed min and max day, so a dead day
+    * counts as 0 instead of silently shrinking the denominator.
+    *
+    * Scale shape: the corpus collapses to per-day counts in ONE
+    * partial-aggregated shuffle; the date bounds ride back as a 1-row
+    * broadcast (the minmax-bounds pattern), and the densify/window/
+    * flag steps all run on the calendar-span-bounded table.
+    */
+  def volumeChangepoint(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"),
+      sum(col("n")).as("__total"), count(lit(1)).as("__nobs"))
+    val dense = bounds.select(explode(sequence(col("__d0"), col("__d1")))
+        .as("day"), col("__total"))
+      .join(daily, Seq("day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("__days", count(lit(1)).over(Window.partitionBy(col("__total"))))
+      .withColumn("mean_micro", expr("(__total * 1000000L) div __days"))
+      .withColumn("dev_micro", col("n") * lit(1000000L) - col("mean_micro"))
+    val wo = Window.partitionBy(col("__total")).orderBy(col("day"))
+    dense
+      .withColumn("cusum_micro", sum(col("dev_micro"))
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__peak", max(abs(col("cusum_micro")))
+        .over(Window.partitionBy(col("__total"))))
+      .withColumn("is_changepoint", abs(col("cusum_micro")) === col("__peak"))
+      .select(col("day"), col("n"), col("mean_micro"), col("dev_micro"),
+        col("cusum_micro"), col("is_changepoint"))
+  }
+}

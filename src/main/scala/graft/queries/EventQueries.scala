@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.analytics.{Cohort, Dfg, Funnel, SeqExamples, Variants}
+import graft.analytics.{Cohort, Dfg, Funnel, SeqExamples, Timeline, Variants}
 import graft.api.EventLogGenerator
 import graft.operators.{EventOps, Sessionize}
 
@@ -541,6 +541,39 @@ object EventQueries {
     "q_seq_examples" -> ((s, dir) =>
       SeqExamples.nextEventExamples(sessions(Tables.events(s, dir)),
         "session_id", "event_type", "ts", "event_id", contextLen = 5)),
+
+    // Eventually-follows graph: all ordered position pairs within a
+    // session — quadratic in CASE LENGTH by contract (the relation is
+    // defined over position pairs), bounded by the session gap.
+    "q_efg" -> ((s, dir) =>
+      Dfg.eventuallyFollows(sessions(Tables.events(s, dir)),
+        "session_id", "event_type", "ts", "event_id")),
+
+    // Activity rework report: per activity, cases with >1 occurrence
+    // and the extra-occurrence mass — one (case, activity) shuffle.
+    "q_rework" -> ((s, dir) =>
+      Dfg.rework(sessions(Tables.events(s, dir)),
+        "session_id", "event_type")),
+
+    // Run-length episode compaction: consecutive same-type events per
+    // user collapse to one row — both windows and the final aggregate
+    // share ONE user-key Exchange.
+    "q_episodes" -> ((s, dir) =>
+      Timeline.episodes(Tables.events(s, dir), "user_id", "event_type",
+        "ts", "event_id")),
+
+    // Daily-volume CUSUM change-point: exact-integer control chart on
+    // the densified calendar; corpus collapses to per-day counts first.
+    "q_changepoint" -> ((s, dir) =>
+      Timeline.volumeChangepoint(Tables.events(s, dir), "ts")),
+
+    // Sequential patterns: contiguous activity k-grams (k=2,3) with
+    // CASE support >= 5 — one lead-chain window pass, one distinct,
+    // one partial-aggregated count.
+    "q_seq_patterns" -> ((s, dir) =>
+      Variants.seqPatterns(sessions(Tables.events(s, dir)),
+        "session_id", "event_type", "ts", "event_id",
+        maxK = 3, minSupport = 5L)),
 
     // Window functions: running per-user aggregates.
     "q_window_running" -> ((s, dir) => {
@@ -1257,5 +1290,96 @@ object EventQueries {
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+
+    "q_efg" ->
+      s"""$SessionsCte, pos AS (
+         |  SELECT session_id, event_type,
+         |    row_number() OVER (PARTITION BY session_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM s
+         |)
+         |SELECT a.event_type AS activity, b.event_type AS eventually,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM pos a JOIN pos b
+         |  ON a.session_id = b.session_id AND a.rn < b.rn
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_rework" ->
+      s"""$SessionsCte, ca AS (
+         |  SELECT session_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM s GROUP BY 1, 2
+         |)
+         |SELECT event_type AS activity, CAST(count(*) AS BIGINT) AS n_cases,
+         |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_rework_cases,
+         |  CAST(sum(cnt - 1) AS BIGINT) AS extra_occurrences,
+         |  CAST((sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS rework_micro
+         |FROM ca GROUP BY 1""".stripMargin,
+
+    "q_episodes" ->
+      """WITH b AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |), e AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS episode
+        |  FROM b
+        |)
+        |SELECT user_id, episode, event_type, min(ts) AS start_ts,
+        |  max(ts) AS end_ts, CAST(count(*) AS BIGINT) AS n_events
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_seq_patterns" ->
+      s"""$SessionsCte, o AS (
+         |  SELECT session_id, event_type AS a1,
+         |    lead(event_type, 1) OVER (PARTITION BY session_id
+         |      ORDER BY ts, event_id) AS a2,
+         |    lead(event_type, 2) OVER (PARTITION BY session_id
+         |      ORDER BY ts, event_id) AS a3
+         |  FROM s
+         |), g AS (
+         |  SELECT session_id, 2 AS k, a1 || '->' || a2 AS pattern
+         |  FROM o WHERE a2 IS NOT NULL
+         |  UNION ALL
+         |  SELECT session_id, 3, a1 || '->' || a2 || '->' || a3
+         |  FROM o WHERE a3 IS NOT NULL
+         |), d AS (SELECT DISTINCT session_id, k, pattern FROM g)
+         |SELECT CAST(k AS INTEGER) AS k, pattern,
+         |  CAST(count(*) AS BIGINT) AS n_cases
+         |FROM d GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |), b AS (
+        |  SELECT min(day) AS d0, max(day) AS d1,
+        |    CAST(sum(n) AS BIGINT) AS total,
+        |    CAST(max(day) - min(day) + 1 AS BIGINT) AS days
+        |  FROM daily
+        |), cal AS (
+        |  SELECT d0 + CAST(i AS INTEGER) AS day, total, days
+        |  FROM b, unnest(range(0, days)) t(i)
+        |), dense AS (
+        |  SELECT c.day, CAST(coalesce(n, 0) AS BIGINT) AS n,
+        |    (total * 1000000) // days AS mean_micro,
+        |    CAST(coalesce(n, 0) AS BIGINT) * 1000000
+        |      - (total * 1000000) // days AS dev_micro
+        |  FROM cal c LEFT JOIN daily d ON c.day = d.day
+        |), cus AS (
+        |  SELECT day, n, mean_micro, dev_micro,
+        |    CAST(sum(dev_micro) OVER (ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum_micro
+        |  FROM dense
+        |)
+        |SELECT day, n, mean_micro, dev_micro, cusum_micro,
+        |  abs(cusum_micro) = max(abs(cusum_micro)) OVER () AS is_changepoint
+        |FROM cus""".stripMargin)
 }

@@ -1,0 +1,143 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Dfg, Timeline, Variants}
+
+/** Laws for the time-axis and order-relation views: eventually-follows
+  * (all position pairs, DFG-dominance), activity rework, run-length
+  * episode compaction (conservation + alternation), and the CUSUM
+  * change-point chart (integer remainder law + planted step).
+  */
+class TimelineSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def log(rows: (String, String, String, Long)*) = {
+    import spark.implicits._
+    rows.map { case (c, a, t, id) => (c, a, ts(t), id) }
+      .toDF("case_id", "activity", "ts", "event_id")
+  }
+
+  test("eventuallyFollows: all ordered position pairs, incl. same-activity") {
+    // one case a,b,a,c: pairs (1,2)(1,3)(1,4)(2,3)(2,4)(3,4)
+    val df = log(
+      ("c1", "a", "2024-01-01 10:00:00", 1L),
+      ("c1", "b", "2024-01-01 10:01:00", 2L),
+      ("c1", "a", "2024-01-01 10:02:00", 3L),
+      ("c1", "c", "2024-01-01 10:03:00", 4L))
+    val out = Dfg.eventuallyFollows(df, "case_id", "activity", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("a", "b") -> 1L, ("a", "a") -> 1L, ("a", "c") -> 2L,
+      ("b", "a") -> 1L, ("b", "c") -> 1L))
+  }
+
+  test("eventuallyFollows dominates the DFG edge-wise") {
+    val df = log(
+      ("c1", "a", "2024-01-01 10:00:00", 1L),
+      ("c1", "b", "2024-01-01 10:01:00", 2L),
+      ("c1", "c", "2024-01-01 10:02:00", 3L),
+      ("c2", "a", "2024-01-01 11:00:00", 4L),
+      ("c2", "c", "2024-01-01 11:05:00", 5L),
+      ("c2", "b", "2024-01-01 11:06:00", 6L))
+    val efg = Dfg.eventuallyFollows(df, "case_id", "activity", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val dfg = Dfg.edges(df, "case_id", "activity", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    dfg.foreach { case (edge, n) =>
+      assert(efg.getOrElse(edge, 0L) >= n, s"EFG must dominate DFG at $edge")
+    }
+    // and strictly more pair mass whenever any case has length >= 3
+    assert(efg.values.sum > dfg.values.sum)
+  }
+
+  test("rework: repeat counts and micro share") {
+    // a: in 2 cases, reworked in 1 (3 occurrences in c1); b: never reworked
+    val df = log(
+      ("c1", "a", "2024-01-01 10:00:00", 1L),
+      ("c1", "a", "2024-01-01 10:01:00", 2L),
+      ("c1", "a", "2024-01-01 10:02:00", 3L),
+      ("c2", "a", "2024-01-01 11:00:00", 4L),
+      ("c2", "b", "2024-01-01 11:01:00", 5L))
+    val out = Dfg.rework(df, "case_id", "activity")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((2L, 1L, 2L, 500000L)))
+    assert(out("b") == ((1L, 0L, 0L, 0L)))
+  }
+
+  test("episodes: run-length islands — conservation, alternation, bounds") {
+    val df = log(
+      ("u1", "view", "2024-01-01 10:00:00", 1L),
+      ("u1", "view", "2024-01-01 10:01:00", 2L),
+      ("u1", "click", "2024-01-01 10:02:00", 3L),
+      ("u1", "view", "2024-01-01 10:03:00", 4L), // view again: NEW episode
+      ("u2", "click", "2024-01-01 10:00:00", 5L))
+    val out = Timeline.episodes(df, "case_id", "activity", "ts", "event_id")
+      .orderBy("case_id", "episode").collect()
+    assert(out.length == 4)
+    // conservation: episode event counts sum to the input size
+    assert(out.map(_.getLong(5)).sum == 5L)
+    val u1 = out.filter(_.getString(0) == "u1")
+    assert(u1.map(r => (r.getLong(1), r.getString(2), r.getLong(5))).toSeq ==
+      Seq((1L, "view", 2L), (2L, "click", 1L), (3L, "view", 1L)))
+    // bounds: first episode spans its two events
+    assert(u1(0).getTimestamp(3) == ts("2024-01-01 10:00:00"))
+    assert(u1(0).getTimestamp(4) == ts("2024-01-01 10:01:00"))
+    // alternation: consecutive episodes of a user differ in activity
+    u1.sliding(2).foreach { case Array(p, n) =>
+      assert(p.getString(2) != n.getString(2))
+    }
+  }
+
+  test("seqPatterns: case support (not occurrences), k levels, minSupport") {
+    // c1 = a,b,a,b: the a->b 2-gram occurs TWICE but supports once
+    val df = log(
+      ("c1", "a", "2024-01-01 10:00:00", 1L),
+      ("c1", "b", "2024-01-01 10:01:00", 2L),
+      ("c1", "a", "2024-01-01 10:02:00", 3L),
+      ("c1", "b", "2024-01-01 10:03:00", 4L),
+      ("c2", "a", "2024-01-01 11:00:00", 5L),
+      ("c2", "b", "2024-01-01 11:01:00", 6L))
+    val out = Variants.seqPatterns(df, "case_id", "activity", "ts", "event_id",
+        maxK = 3, minSupport = 1L)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (2, "a->b") -> 2L, (2, "b->a") -> 1L,
+      (3, "a->b->a") -> 1L, (3, "b->a->b") -> 1L))
+    // minSupport prunes the singletons
+    val top = Variants.seqPatterns(df, "case_id", "activity", "ts", "event_id",
+        maxK = 3, minSupport = 2L)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(top == Map((2, "a->b") -> 2L))
+  }
+
+  test("changepoint: planted step is flagged; remainder law; dense calendar") {
+    import spark.implicits._
+    // 4 days at 2 events/day then 4 days at 10 — change after day 4;
+    // day 6 is EMPTY (densified to n=0)
+    val rows = (for {
+      d <- 1 to 8 if d != 6
+      i <- 1 to (if (d <= 4) 2 else 10)
+    } yield (f"2024-01-0$d 10:$i%02d:00", d.toLong * 100 + i)).map {
+      case (t, id) => (ts(t), id)
+    }
+    val df = rows.toDF("ts", "event_id")
+    val out = Timeline.volumeChangepoint(df, "ts").orderBy("day").collect()
+    assert(out.length == 8, "calendar densified over the full span")
+    val day6 = out(5)
+    assert(day6.getLong(1) == 0L, "dead day surfaces as 0")
+    // total=2*4+10*3=38 over 8 days -> mean_micro = 4_750_000
+    assert(out.head.getLong(2) == 4750000L)
+    // remainder law: final cusum = total*1e6 - days*mean_micro in [0, days)
+    assert(out.last.getLong(4) == 38L * 1000000L - 8L * 4750000L)
+    assert(out.last.getLong(4) >= 0L && out.last.getLong(4) < 8L * 1000000L)
+    // the most negative CUSUM (largest |.|) sits at the last low day (day 4
+    // here: 3 low-rate days follow day 1... deviations -2.75M x4 then +5.25M)
+    val flagged = out.filter(_.getBoolean(5)).map(_.getDate(0).toString)
+    assert(flagged.toSeq == Seq("2024-01-04"))
+  }
+}
