@@ -47,6 +47,46 @@ object Variants {
       .orderBy(col("n_cases").desc, col("variant"))
       .limit(k)
 
+  /** Sequential pattern support — contiguous activity k-grams (k in
+    * 2..maxK) with CASE support (distinct cases containing the
+    * pattern at least once): the frequent-subsequence view sitting
+    * between the DFG (k=2 occurrence counts) and full variants (whole
+    * traces). Support counts CASES, not occurrences, so a loop that
+    * repeats a pattern a hundred times in one case still counts once —
+    * the standard sequential-pattern-mining semantics.
+    *
+    * Scale shape: the k-gram levels are built from ONE lead-chain pass
+    * (all `lead` offsets share the same window partition+order, so one
+    * Exchange + one sort), packed into a per-row array and exploded
+    * once — never one window pass per k. Then a (case, k, gram)
+    * DISTINCT (the case-support collapse) and a partial-aggregated
+    * count; output is bounded by the distinct-gram space, never corpus
+    * size.
+    */
+  def seqPatterns(df: DataFrame, caseCol: String, activityCol: String,
+                  tsCol: String, tieCol: String, maxK: Int = 3,
+                  minSupport: Long = 1L, sep: String = "->"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxK >= 2, "seqPatterns: maxK must be >= 2")
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieCol))
+    val withLeads = (1 until maxK).foldLeft(df) { (d, i) =>
+      d.withColumn(s"__a$i", lead(col(activityCol), i).over(w))
+    }
+    val levels = (2 to maxK).map { k =>
+      val parts = col(activityCol) +: (1 until k).map(i => col(s"__a$i"))
+      when(col(s"__a${k - 1}").isNotNull,
+        struct(lit(k).as("k"), concat_ws(sep, parts: _*).as("pattern")))
+    }
+    withLeads
+      .select(col(caseCol), explode(array(levels: _*)).as("__g"))
+      .filter(col("__g").isNotNull)
+      .select(col(caseCol), col("__g.k").as("k"), col("__g.pattern").as("pattern"))
+      .distinct()
+      .groupBy(col("k"), col("pattern"))
+      .agg(count(lit(1)).as("n_cases"))
+      .filter(col("n_cases") >= minSupport)
+  }
+
   /** Variant performance table — the throughput-time KPI view process
     * analysts read next to the variant counts: per distinct activity
     * sequence, case count and duration min / median / p90 / max in

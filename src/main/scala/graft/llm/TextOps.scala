@@ -195,6 +195,44 @@ object TextOps {
         col("c").as("n_total"), col("lift_micro"), col("rank"))
   }
 
+  /** Per-source lexical diversity / concentration report — the corpus-QA
+    * screen next to the data card: token and type volume, type-token
+    * ratio, the SIMPSON concentration index Σn(n−1)/(N(N−1)) (the
+    * probability two random tokens are the same type — the exact
+    * rational stand-in for Shannon entropy, which would hang
+    * cross-engine equality on libm logs), and the share of the single
+    * most frequent term. High concentration flags templated / boilerplate
+    * sources before they flood a mixture.
+    *
+    * Exactness: n(n−1) sums go through DECIMAL(38,0) (a 100 TB source
+    * can hold ~1e12 tokens of one term — n² overflows BIGINT), the
+    * divisions are integral micro-unit divs ≡ DuckDB HUGEINT `//`.
+    * Single-token sources yield NULL simpson via NULLIF, never a
+    * division error.
+    *
+    * Scale shape: ONE corpus (source, term) shuffle (partial-aggregated),
+    * then everything runs on the collapsed vocabulary table, ending
+    * ≤ |sources| rows. No window over corpus data, no join.
+    */
+  def lexicalDiversity(df: DataFrame, sourceCol: String,
+                       textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(sourceCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(sourceCol), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(sourceCol))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        max(col("n")).as("__maxn"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * (n - 1)")).as("__rep"))
+      .select(col(sourceCol), col("n_tokens"), col("n_types"),
+        expr("(n_types * 1000000L) div n_tokens").as("ttr_micro"),
+        expr("""CAST((__rep * 1000000) div
+               |nullif(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1), 0)
+               |AS BIGINT)""".stripMargin).as("simpson_micro"),
+        expr("(__maxn * 1000000L) div n_tokens").as("top_share_micro"))
+
   def langScore(toksCol: String, words: Seq[String]): Column =
     // typedLit array, not a spliced '$w' IN-list: caller-supplied words
     // containing quotes must not be able to break the expression parse

@@ -610,6 +610,12 @@ object PipelineQueries {
       TextOps.collocations(Tables.documents(s, dir), "text",
         window = 3, topK = 5, minCount = 5)),
 
+    // Lexical diversity / concentration per source: type-token ratio,
+    // exact-rational Simpson index, top-term share — one (source, term)
+    // shuffle, arithmetic on the collapsed vocabulary table.
+    "q_lexical_diversity" -> ((s, dir) =>
+      TextOps.lexicalDiversity(Tables.documents(s, dir), "source", "text")),
+
     // -- distributional semantics: PPMI-SVD static word embeddings
     //    trained FROM the corpus (Levy & Goldberg 2014) — one
     //    (term, ctx) shuffle to the V²-bounded count table, PPMI +
@@ -2693,6 +2699,28 @@ object PipelineQueries {
         |  CAST(row_number() OVER (PARTITION BY w
         |    ORDER BY lift_micro DESC, c) AS INT) AS rank
         |FROM sc QUALIFY rank <= 5""".stripMargin,
+
+    // Lexical diversity replay: same (source, term) collapse; the
+    // n(n−1) repeat mass goes through HUGEINT ≡ Spark DECIMAL(38,0),
+    // all shares are integral micro-unit divs.
+    "q_lexical_diversity" ->
+      """WITH st AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL
+        |), f AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS n
+        |  FROM st WHERE term != '' GROUP BY 1, 2
+        |)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  (CAST(count(*) AS BIGINT) * 1000000) // CAST(sum(n) AS BIGINT)
+        |    AS ttr_micro,
+        |  CAST((sum(CAST(n AS HUGEINT) * (n - 1)) * 1000000) //
+        |    nullif(CAST(sum(n) AS HUGEINT) * (CAST(sum(n) AS BIGINT) - 1), 0)
+        |    AS BIGINT) AS simpson_micro,
+        |  (CAST(max(n) AS BIGINT) * 1000000) // CAST(sum(n) AS BIGINT)
+        |    AS top_share_micro
+        |FROM f GROUP BY 1""".stripMargin,
 
     // Aho–Corasick tagging replay: same top-10 unigram/bigram dict
     // derivation (QUALIFY rank ≡ TakeOrdered + row_number, identical

@@ -342,4 +342,21 @@ class TextOpsSpec extends SparkSpec {
         maxDict = 3)
     }
   }
+
+  test("lexicalDiversity: exact Simpson/TTR/top-share; single-token NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      ("X", "a a b"),       // X: n=3, types=2, rep=2*1=2
+      ("Y", "a"),           // Y: single token -> NULL simpson
+      ("Z", "a b c d"))     // Z: uniform -> simpson 0
+      .toDF("source", "text")
+    val out = TextOps.lexicalDiversity(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))).toMap
+    // X: ttr 2e6/3=666666, simpson 2e6/(3*2)=333333, top 2e6/3=666666
+    assert(out("X") == ((3L, 2L, 666666L, 333333L, 666666L)))
+    assert(out("Y") == ((1L, 1L, 1000000L, -1L, 1000000L)))
+    assert(out("Z") == ((4L, 4L, 1000000L, 0L, 250000L)))
+  }
 }
