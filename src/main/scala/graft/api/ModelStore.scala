@@ -55,6 +55,17 @@ object ModelStore {
   def loadBpe(spark: SparkSession, path: String): Seq[(String, String)] =
     read(spark, path, "merge").map(t => (t._2, t._3)).toSeq
 
+  // ---- Unigram piece table (Unigram.train / Unigram.encode) ---------
+
+  def saveUnigram(spark: SparkSession, pieces: Seq[(String, Long)],
+                  path: String): Unit =
+    write(spark, pieces.zipWithIndex.map { case ((p, c), i) =>
+      Rec("piece", i.toLong, p, "", c, 0.0)
+    }, path)
+
+  def loadUnigram(spark: SparkSession, path: String): Seq[(String, Long)] =
+    read(spark, path, "piece").map(t => (t._2, t._4)).toSeq
+
   // ---- Bigram LM (LanguageModel.trainBigramLm / perplexityScore) ----
 
   def saveBigramLm(spark: SparkSession, lm: BigramLm, path: String): Unit = {

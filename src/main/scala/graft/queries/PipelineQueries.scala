@@ -1316,6 +1316,21 @@ object PipelineQueries {
       graft.llm.Bpe.subwordStats(docs, "source", "text", merges)
     }),
 
+    // -- unigram-LM tokenizer (Kudo 2018): the OTHER tokenizer family;
+    //    Viterbi-best segmentation under a hard-EM-trained piece
+    //    table, compiled kernel, same encode-once-per-distinct-word
+    //    ledger as q_bpe_tokens (the same rows-only contract) --------
+    //    (vocab 40 / pieces <= 4 chars: the fixture has only 31
+    //    distinct words, so a larger budget would trivially make every
+    //    word its own piece and the ledger degenerate to fertility 1)
+    "q_unigram_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pieces = graft.llm.Unigram.train(docs, "text", vocabSize = 40,
+        maxPieceLen = 4)
+      graft.llm.Unigram.subwordStats(docs, "source", "text", pieces,
+        maxPieceLen = 4)
+    }),
+
     // -- vocabulary: top-k token frequencies (tokenizer-training feed);
     //    TakeOrdered top-k, never a full-vocab sort --------------------
     "q_vocab_topk" -> ((s, dir) =>

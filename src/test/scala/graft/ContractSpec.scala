@@ -26,6 +26,7 @@ class ContractSpec extends SparkSpec {
     "q_distinct_approx" -> "HLL++ sketch is engine-specific; gated to exact within rsd in ScalePatternsSpec",
     "q_semdedup_clustered" -> "k-means cell assignment is data-dependent; removals ⊆ exact + planted-dup recall gated in SemDedupSpec",
     "q_bpe_tokens" -> "trained merge table is not SQL-expressible; textbook merges/roundtrip/replay-equivalence gated in BpeSpec",
+    "q_unigram_tokens" -> "hard-EM piece table + Viterbi DP are not SQL-expressible; optimality/conservation/determinism/roundtrip gated in UnigramSpec",
     "q_semdedup_cells" -> "k-means cells are data-dependent; conservation + pair-volume laws gated in SemDedupSpec",
     "q_pca_project" -> "Jacobi eigensolve is not SQL-expressible; orthonormality/rotation/variance/whitening laws gated in PcaSpec",
     "q_knn_graph_lsh" -> "bucket-miss approximate by design; recall vs the exact kNN graph gated in AnnSpec",
