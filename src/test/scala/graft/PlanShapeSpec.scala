@@ -407,6 +407,48 @@ class PlanShapeSpec extends SparkSpec {
       s"backtest prediction must ride a broadcast:\n${bp.take(1500)}")
   }
 
+  test("round-9 fifth-batch plans: shuffle bounds, equi-joins, no cartesians") {
+    def shape(name: String) = {
+      val p = plan(name)
+      (p, p.linesIterator.count(_.contains("Exchange hashpartitioning")),
+        p.linesIterator.count(_.contains("CartesianProduct")))
+    }
+    // EFG: the position self-join must be an EQUI-join on the case key
+    // (the i<j rank predicate rides as post-filter), never pairwise
+    val (ep, eex, ec) = shape("q_efg")
+    assert(ec == 0 && !ep.contains("BroadcastNestedLoopJoin") &&
+      ep.contains("HashJoin"),
+      s"EFG must case-equi-join (hash, any build side):\n${ep.take(1200)}")
+    assert(eex <= 5, s"EFG shuffles grew:\n${ep.take(1200)}")
+    // episodes: boundary flag, running episode id and the final
+    // aggregate all share ONE user-key Exchange over corpus data
+    val (pp2, pex2, pc2) = shape("q_episodes")
+    assert(pex2 <= 2 && pc2 == 0,
+      s"episodes is one user window + partial-agg collapse:\n${pp2.take(1200)}")
+    // changepoint: corpus collapses to per-day counts first; the only
+    // nested loop allowed is the 1-row bounds broadcast
+    val cp2 = plan("q_changepoint")
+    assert(!cp2.contains("CartesianProduct") &&
+      cp2.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"changepoint: only the 1-row bounds may nested-loop:\n${cp2.take(1500)}")
+    // seq patterns: the sessionize prefix pays 2 window ops (lag +
+    // running sum, one Exchange); the lead chain must add exactly ONE
+    // more — a 4th window would betray a per-k re-scan
+    val sp = plan("q_seq_patterns")
+    assert(sp.linesIterator.count(_.contains("Window")) <= 3 &&
+      !sp.contains("CartesianProduct"),
+      s"seqPatterns must build all k levels in one lead-chain pass:\n${sp.take(1200)}")
+    // lexical diversity: no join anywhere — two nested aggregates only
+    val lp = plan("q_lexical_diversity")
+    assert(!lp.contains("Join"), s"lexicalDiversity must be join-free:\n${lp.take(1200)}")
+    // rework: sessionize prefix (one user Exchange) + two aggregates —
+    // no join anywhere, and only the 2 sessionize windows
+    val rp = plan("q_rework")
+    assert(!rp.contains("Join") &&
+      rp.linesIterator.count(_.contains("Window")) <= 2,
+      s"rework is sessionize + aggregates only:\n${rp.take(1200)}")
+  }
+
   test("q_snapshot_diff: one full-outer equi-join, never a nested loop") {
     val p = plan("q_snapshot_diff")
     assert(p.contains("FullOuter"),
