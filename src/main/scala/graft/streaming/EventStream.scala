@@ -214,6 +214,66 @@ object EventStream {
         })
   }
 
+  final case class EpisodeEvent(userId: Long, ts: Timestamp, activity: String)
+  final case class EpisodeState(activity: String, startTs: Timestamp,
+      endTs: Timestamp, nEvents: Long)
+  final case class Episode(userId: Long, activity: String, startTs: Timestamp,
+      endTs: Timestamp, nEvents: Long)
+
+  /** Streaming run-length episode compaction — the unbounded arm of
+    * `analytics.Timeline.episodes`, and the shape that turns a raw
+    * change-stream into SCD2 interval upserts on the fly: per user,
+    * consecutive same-activity events fold into ONE open episode;
+    * an activity switch EMITS the closed episode exactly once and
+    * opens the next; `closeAfterMinutes` of event-time silence (past
+    * the watermark) flushes the final open episode and frees the key.
+    *
+    * State per user is ONE episode record — bounded by construction
+    * (the funnelStream argument), with the timeout reclaiming even
+    * that for idle users. Ordering contract, same as funnelStream:
+    * the fold equals the batch operator under per-user event-time
+    * ordered delivery ACROSS batches; WITHIN a batch the group sorts
+    * by (ts, activity) first, so arrival order is irrelevant. A
+    * cross-batch straggler would extend or re-open the wrong run —
+    * exactly the records the watermark is sized to exclude.
+    */
+  def episodeStream(events: Dataset[EpisodeEvent], closeAfterMinutes: Int,
+                    watermarkDelay: String = "30 minutes"): Dataset[Episode] = {
+    require(closeAfterMinutes > 0, "episodeStream: positive close gap")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, it: Iterator[EpisodeEvent], state: GroupState[EpisodeState]) => {
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Episode(userId, s.activity, s.startTs, s.endTs, s.nEvents))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.activity))
+            var open = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Episode]
+            for (e <- sorted) open match {
+              case Some(s) if s.activity == e.activity =>
+                open = Some(s.copy(endTs = e.ts, nEvents = s.nEvents + 1))
+              case Some(s) =>
+                closed += Episode(userId, s.activity, s.startTs, s.endTs, s.nEvents)
+                open = Some(EpisodeState(e.activity, e.ts, e.ts, 1L))
+              case None =>
+                open = Some(EpisodeState(e.activity, e.ts, e.ts, 1L))
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                s.endTs.getTime + closeAfterMinutes * 60000L)
+            }
+            closed.iterator
+          }
+        })
+  }
+
   final case class FunnelEvent(userId: Long, ts: Timestamp, eventType: String)
   final case class FunnelState(staged: Seq[Option[Timestamp]])
   final case class Conversion(userId: Long, enteredTs: Timestamp,

@@ -347,6 +347,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming episodes: switch emits closed runs, timeout flushes the open one, agrees with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStream.{Episode, EpisodeEvent}
+    val in = MemoryStream[EpisodeEvent]
+    val q = EventStream.episodeStream(in.toDS(), closeAfterMinutes = 5,
+        watermarkDelay = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("episodes_out").start()
+    try {
+      // u1: a,a then (next batch) b — the a-run must close on the switch;
+      // within-batch arrival order is deliberately scrambled
+      in.addData(
+        EpisodeEvent(1L, ts("2024-01-01 10:01:00"), "a"),
+        EpisodeEvent(1L, ts("2024-01-01 10:00:00"), "a"))
+      q.processAllAvailable()
+      assert(spark.table("episodes_out").count() == 0,
+        "an open run must not emit")
+      in.addData(EpisodeEvent(1L, ts("2024-01-01 10:02:00"), "b"))
+      q.processAllAvailable()
+      val closedA = spark.table("episodes_out").as[Episode].collect()
+      assert(closedA.toSeq == Seq(Episode(1L, "a",
+        ts("2024-01-01 10:00:00"), ts("2024-01-01 10:01:00"), 2L)),
+        s"switch must close the a-run exactly once, got ${closedA.toSeq}")
+      // two flush batches advance the watermark past endTs + 5 min and
+      // let the event-time timeout flush the open b-run
+      in.addData(EpisodeEvent(99L, ts("2024-01-02 00:00:00"), "z"))
+      q.processAllAvailable()
+      in.addData(EpisodeEvent(98L, ts("2024-01-02 00:00:01"), "z"))
+      q.processAllAvailable()
+      val all = spark.table("episodes_out").as[Episode].collect()
+        .filter(_.userId == 1L)
+      assert(all.toSet == Set(
+        Episode(1L, "a", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:01:00"), 2L),
+        Episode(1L, "b", ts("2024-01-01 10:02:00"), ts("2024-01-01 10:02:00"), 1L)),
+        s"timeout must flush the open run once, got ${all.toSet}")
+      // batch twin on the same u1 events: identical episode rows
+      val batch = Seq(
+        (1L, "a", ts("2024-01-01 10:00:00"), 1L),
+        (1L, "a", ts("2024-01-01 10:01:00"), 2L),
+        (1L, "b", ts("2024-01-01 10:02:00"), 3L))
+        .toDF("user_id", "activity", "ts", "event_id")
+      val bt = graft.analytics.Timeline
+        .episodes(batch, "user_id", "activity", "ts", "event_id")
+        .collect().map(r => (r.getString(2), r.getTimestamp(3),
+          r.getTimestamp(4), r.getLong(5))).toSet
+      assert(bt == all.map(e => (e.activity, e.startTs, e.endTs, e.nEvents)).toSet,
+        "stream episodes must agree with the batch twin")
+    } finally q.stop()
+  }
+
   test("stream-static as-of enrich: latest preceding state attaches, none -> null") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
