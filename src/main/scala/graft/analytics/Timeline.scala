@@ -36,6 +36,48 @@ object Timeline {
         count(lit(1)).as("n_events"))
   }
 
+  /** Calendar densify + LOCF (last observation carried forward) — the
+    * standard as-of daily panel a metrics warehouse derives from an
+    * irregular event stream: per user one row PER CALENDAR DAY from
+    * their first observed day to the log's last day, carrying the most
+    * recent observed value forward across the gaps (`is_observed`
+    * distinguishes carried rows — loud, never silent). Values are
+    * CARRIED, never recomputed, so doubles pass through bit-exact and
+    * the whole panel is hash-verifiable cross-engine.
+    *
+    * The day's representative value is the value of its LAST event
+    * under the deterministic (ts, tie) order. LOCF itself is
+    * `last(value, ignoreNulls)` over the user's day order — frame-
+    * complete by construction (rows unbounded preceding).
+    *
+    * Scale shape: the corpus collapses to (user, day) rows in one
+    * window + partial-agg pass on the user key; the densify explode
+    * runs on the users × calendar-span-bounded panel (the
+    * rollingActives argument), with the global last day riding a
+    * 1-row broadcast. The LOCF window reuses the user partitioning.
+    */
+  def densifyLocf(df: DataFrame, userCol: String, valueCol: String,
+                  tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol), to_date(col(tsCol)))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    val daily = df
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(userCol), to_date(col(tsCol)).as("day"),
+        col(valueCol).as("__v"))
+    val lastDay = daily.agg(max(col("day")).as("__d1"))
+    val wl = Window.partitionBy(col(userCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .groupBy(col(userCol)).agg(min(col("day")).as("__d0"))
+      .crossJoin(broadcast(lastDay))
+      .select(col(userCol), explode(sequence(col("__d0"), col("__d1"))).as("day"))
+      .join(daily, Seq(userCol, "day"), "left")
+      .withColumn("value_filled", last(col("__v"), ignoreNulls = true).over(wl))
+      .select(col(userCol), col("day"), col("value_filled"),
+        col("__v").isNotNull.as("is_observed"))
+  }
+
   /** Daily-volume CUSUM change-point screen — the classic
     * cumulative-sum control chart (Page 1954) on the log's daily event
     * count, in EXACT integers end to end: mean_micro is one floored

@@ -575,6 +575,19 @@ object EventQueries {
         "session_id", "event_type", "ts", "event_id",
         maxK = 3, minSupport = 5L)),
 
+    // Calendar densify + LOCF: per user one row per day from first
+    // observation to the log's last day, latest value carried forward
+    // (bit-exact — values are carried, never recomputed).
+    "q_locf" -> ((s, dir) =>
+      Timeline.densifyLocf(Tables.events(s, dir), "user_id", "value",
+        "ts", "event_id")),
+
+    // Association pairs over sessions: unordered item pairs with case
+    // support, both confidences and lift in exact integer micro-units.
+    "q_cooccurrence" -> ((s, dir) =>
+      graft.analytics.Baskets.cooccurrence(sessions(Tables.events(s, dir)),
+        "session_id", "event_type", minSupport = 5L)),
+
     // Window functions: running per-user aggregates.
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1335,6 +1348,54 @@ object EventQueries {
         |SELECT user_id, episode, event_type, min(ts) AS start_ts,
         |  max(ts) AS end_ts, CAST(count(*) AS BIGINT) AS n_events
         |FROM e GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_locf" ->
+      """WITH d0 AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, value,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |), daily AS (
+        |  SELECT user_id, day, value AS v FROM d0 WHERE rn = 1
+        |), b AS (SELECT max(day) AS d1 FROM daily
+        |), u AS (SELECT user_id, min(day) AS dmin FROM daily GROUP BY 1
+        |), cal AS (
+        |  SELECT user_id, dmin + CAST(i AS INTEGER) AS day
+        |  FROM u, b, unnest(range(0, d1 - dmin + 1)) t(i)
+        |), j AS (
+        |  SELECT c.user_id, c.day, v
+        |  FROM cal c LEFT JOIN daily d
+        |    ON c.user_id = d.user_id AND c.day = d.day
+        |)
+        |SELECT user_id, day,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS value_filled,
+        |  v IS NOT NULL AS is_observed
+        |FROM j""".stripMargin,
+
+    "q_cooccurrence" ->
+      s"""$SessionsCte, it AS (
+         |  SELECT DISTINCT session_id, event_type FROM s
+         |), sup AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS supp
+         |  FROM it GROUP BY 1
+         |), n AS (
+         |  SELECT CAST(count(DISTINCT session_id) AS BIGINT) AS n_cases FROM it
+         |), pr AS (
+         |  SELECT a.event_type AS item_a, b.event_type AS item_b,
+         |    CAST(count(*) AS BIGINT) AS supp_ab
+         |  FROM it a JOIN it b
+         |    ON a.session_id = b.session_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2 HAVING count(*) >= 5
+         |)
+         |SELECT item_a, item_b, supp_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+         |  (supp_ab * 1000000) // sa.supp AS conf_ab_micro,
+         |  (supp_ab * 1000000) // sb.supp AS conf_ba_micro,
+         |  CAST((CAST(supp_ab AS HUGEINT) * n_cases * 1000000) //
+         |    (CAST(sa.supp AS HUGEINT) * sb.supp) AS BIGINT) AS lift_micro
+         |FROM pr JOIN sup sa ON pr.item_a = sa.event_type
+         |  JOIN sup sb ON pr.item_b = sb.event_type
+         |  CROSS JOIN n""".stripMargin,
 
     "q_seq_patterns" ->
       s"""$SessionsCte, o AS (

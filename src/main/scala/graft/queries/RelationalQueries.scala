@@ -329,6 +329,48 @@ object RelationalQueries {
     // BIGINT/VARCHAR, whose casts are bit-identical on both engines
     // (doubles would not be — they are profiled via the quantized
     // screens instead).
+    // Referential-integrity audit: per FK relation, child rows, NULL
+    // keys (tracked separately, never counted as orphans) and orphan
+    // rows whose key misses the parent. Parent sides collapse to
+    // DISTINCT keys first, so a (hypothetically) duplicated parent key
+    // cannot multiply child rows, and dimension-sized parents ride a
+    // broadcast under AQE; the fact-to-fact relation (lineitem→orders)
+    // is left unhinted — at 100 TB it is a key-partitioned shuffle
+    // join by design. Output is one row per declared relation.
+    "q_fk_audit" -> ((s, dir) => {
+      def rel(name: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame =
+        child.select(col(ck))
+          .join(parent.select(col(pk).as("__pk")).distinct(),
+            col(ck) === col("__pk"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col(ck).isNull, 1L).otherwise(0L)).as("n_null_keys"),
+            sum(when(col(ck).isNotNull && col("__pk").isNull, 1L)
+              .otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("relation"), col("n_child"),
+            col("n_null_keys"), col("n_orphans"))
+      rel("orders.o_custkey->customer", Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey")
+        .unionByName(rel("lineitem.l_orderkey->orders",
+          Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey"))
+        .unionByName(rel("lineitem.l_partkey->part",
+          Tables.lineitem(s, dir), "l_partkey",
+          Tables.load(s, dir, "part"), "p_partkey"))
+        .unionByName(rel("lineitem.l_suppkey->supplier",
+          Tables.lineitem(s, dir), "l_suppkey",
+          Tables.load(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(rel("customer.c_nationkey->nation",
+          Tables.customer(s, dir), "c_nationkey",
+          Tables.load(s, dir, "nation"), "n_nationkey"))
+        .unionByName(rel("supplier.s_nationkey->nation",
+          Tables.load(s, dir, "supplier"), "s_nationkey",
+          Tables.load(s, dir, "nation"), "n_nationkey"))
+        .unionByName(rel("nation.n_regionkey->region",
+          Tables.load(s, dir, "nation"), "n_regionkey",
+          Tables.load(s, dir, "region"), "r_regionkey"))
+    }),
+
     "q_profile" -> ((s, dir) => {
       val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
       Tables.documents(s, dir)
@@ -608,5 +650,33 @@ object RelationalQueries {
         |  FROM ev e JOIN st USING (event_type)
         |)
         |SELECT event_type, event_id, v, z_micro
-        |FROM sc WHERE abs(z_micro) >= 3000000""".stripMargin)
+        |FROM sc WHERE abs(z_micro) >= 3000000""".stripMargin,
+
+    "q_fk_audit" -> {
+      def rel(name: String, child: String, ck: String,
+              parent: String, pk: String): String =
+        s"""SELECT '$name' AS relation,
+           |  CAST(count(*) AS BIGINT) AS n_child,
+           |  CAST(sum(CASE WHEN c.$ck IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null_keys,
+           |  CAST(sum(CASE WHEN c.$ck IS NOT NULL AND p.$pk IS NULL
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+           |FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
+           |  ON c.$ck = p.$pk""".stripMargin
+      Seq(
+        rel("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        rel("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        rel("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        rel("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        rel("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        rel("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"),
+        rel("nation.n_regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey")).mkString("\nUNION ALL\n")
+    })
 }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Dfg, Timeline, Variants}
+import graft.analytics.{Baskets, Dfg, Timeline, Variants}
 
 /** Laws for the time-axis and order-relation views: eventually-follows
   * (all position pairs, DFG-dominance), activity rework, run-length
@@ -113,6 +113,47 @@ class TimelineSpec extends SparkSpec {
         maxK = 3, minSupport = 2L)
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(top == Map((2, "a->b") -> 2L))
+  }
+
+  test("densifyLocf: carry-forward panel — latest-of-day wins, gaps fill, carried rows flagged") {
+    import spark.implicits._
+    val df = Seq(
+      // u1 day1: two events — the LATER one (value 2.5) represents the day
+      (1L, ts("2024-01-01 09:00:00"), 1.5, 1L),
+      (1L, ts("2024-01-01 18:00:00"), 2.5, 2L),
+      (1L, ts("2024-01-03 10:00:00"), 7.0, 3L),
+      (2L, ts("2024-01-02 10:00:00"), 4.0, 4L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val out = Timeline.densifyLocf(df, "user_id", "value", "ts", "event_id")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.size == 5, s"u1: 3 days, u2: 2 days (to the global last day): $out")
+    assert(out((1L, "2024-01-01")) == ((2.5, true)), "later event of the day wins")
+    assert(out((1L, "2024-01-02")) == ((2.5, false)), "gap day carries, flagged")
+    assert(out((1L, "2024-01-03")) == ((7.0, true)))
+    assert(out((2L, "2024-01-02")) == ((4.0, true)))
+    assert(out((2L, "2024-01-03")) == ((4.0, false)), "carried to the global last day")
+  }
+
+  test("cooccurrence: case support, both confidences, exact lift") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "a"), ("s1", "b"), ("s1", "a"), // duplicate a counts once
+      ("s2", "a"), ("s2", "b"),
+      ("s3", "a"))
+      .toDF("case_id", "item")
+    val out = Baskets.cooccurrence(df, "case_id", "item")
+      .collect().map(r => (r.getString(1), r.getString(0)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))))
+    // columns: item_b joined last → (item_b, item_a, supp_ab, supp_a, ...)
+    assert(out.length == 1)
+    val ((b, a), (sab, sa, sb, cab, cba, lift)) = out.head
+    assert((a, b) == (("a", "b")))
+    assert((sab, sa, sb) == ((2L, 3L, 2L)))
+    assert(cab == 666666L, "conf a->b = 2/3")
+    assert(cba == 1000000L, "conf b->a = 2/2")
+    assert(lift == 1000000L, "lift = 2*3/(3*2) = 1")
   }
 
   test("changepoint: planted step is flagged; remainder law; dense calendar") {
