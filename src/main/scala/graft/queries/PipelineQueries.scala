@@ -755,6 +755,19 @@ object PipelineQueries {
           Zorder.mortonCode(col("zx"), col("zy")).as("z"))
     }),
 
+    // -- physical layout: Hilbert index on the same dimensions — the
+    //    locality upgrade over Z-order (continuous curve, tighter
+    //    per-file boxes); compiled integer kernel, recursive-CTE
+    //    oracle replays the 16-level reflect/swap loop bit-for-bit --
+    "q_hilbert" -> ((s, dir) => {
+      import graft.operators.Hilbert
+      Tables.documents(s, dir)
+        .withColumn("hx", pmod(col("doc_id"), lit(4096)).cast("long"))
+        .withColumn("hy", size(split(col("text"), " ")).cast("long"))
+        .select(col("doc_id"), col("hx"), col("hy"),
+          Hilbert.hilbertIndex(col("hx"), col("hy")).as("h"))
+    }),
+
     // -- context shaping: token-window chunking with overlap ------------
     "q_chunk" -> ((s, dir) =>
       Chunking.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
@@ -2180,6 +2193,36 @@ object PipelineQueries {
         |    2 * list_sum(list_transform(range(0, 16), i -> ((zy >> i) & 1) << (2 * i)))
         |    AS BIGINT) AS z
         |FROM t""".stripMargin,
+
+    // Hilbert replay: the canonical xy2d loop as a recursive CTE —
+    // every step is integer CASE arithmetic (quadrant digit via xor,
+    // s-local reflect + swap when ry=0), 16 iterations, final rows at
+    // s=0. Negative intermediates are fine: &, CASE and arithmetic are
+    // two's-complement BIGINT in both engines.
+    "q_hilbert" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT doc_id, CAST(doc_id % 4096 AS BIGINT) AS hx,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS hy
+        |  FROM documents
+        |), it(doc_id, x, y, d, s) AS (
+        |  SELECT doc_id, hx & 65535, hy & 65535,
+        |    CAST(0 AS BIGINT), CAST(32768 AS BIGINT)
+        |  FROM pts
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CASE WHEN (y & s) = 0 THEN
+        |      CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END
+        |    ELSE x END,
+        |    CASE WHEN (y & s) = 0 THEN
+        |      CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END
+        |    ELSE y END,
+        |    d + s * s * xor(CASE WHEN (x & s) > 0 THEN 3 ELSE 0 END,
+        |                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+        |    s // 2
+        |  FROM it WHERE s > 0
+        |)
+        |SELECT p.doc_id, p.hx, p.hy, i.d AS h
+        |FROM it i JOIN pts p USING (doc_id) WHERE i.s = 0""".stripMargin,
 
     // starts = 0, 24, 48, … < n − overlap  ⇔  Spark
     // sequence(0, greatest(n-9, 0), 24);
