@@ -1,0 +1,38 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Organizational mining over an event log — the resource-level views
+  * process-mining suites derive next to the control-flow DFG (van der
+  * Aalst's "social network miner"; the reference's EVENTLOG rows carry
+  * the acting agent in REMARKS, cf. `event_reader.py:119-126`'s
+  * flattened columns). Where `Dfg` asks "which ACTIVITY follows
+  * which", these ask "which RESOURCE hands work to which".
+  */
+object Social {
+
+  /** Handover-of-work network: for each ordered resource pair
+    * (res_from, res_to), how often a res_to event directly follows a
+    * res_from event within the same case, plus the distinct-case
+    * support. Self-loops (res_from == res_to) are kept — they are the
+    * "work stays put" mass, and dropping them would make the row sums
+    * stop reconciling against the DFG transition count.
+    *
+    * Scale shape: ONE case-key Exchange for the lag window (the same
+    * sort `Dfg.edges` pays — a caller computing both should derive
+    * them from one sorted pass); the mixed distinct aggregate then
+    * collapses via (pair, case) partial aggregation before the final
+    * |resources|²-bounded pair table. No joins, no explode.
+    */
+  def handover(df: DataFrame, caseCol: String, resourceCol: String,
+               tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__prev", lag(col(resourceCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("res_from"), col(resourceCol).as("res_to"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(caseCol)).as("n_cases"))
+  }
+}

@@ -78,6 +78,83 @@ object Timeline {
         col("__v").isNotNull.as("is_observed"))
   }
 
+  /** Work-in-progress (open-case concurrency) profile — for every
+    * calendar day on which the count changes, how many cases are
+    * simultaneously open (a case is open from its first event's day
+    * through its last event's day, inclusive). The classic sweep-line:
+    * each case contributes +1 on its start day and −1 on the day AFTER
+    * its end day; the running sum of the per-day deltas is the open
+    * count. Days with no boundary are omitted (the count is constant
+    * across them); the final end_day+1 row closes the chart at 0 —
+    * an executed conservation check (sum of deltas is zero).
+    *
+    * Scale shape: the corpus collapses to one (start, end) row per
+    * case in a single partial-aggregated shuffle, then to per-day
+    * deltas bounded by the CALENDAR span — the running-sum window runs
+    * on that tiny table (single partition over ≤ span·2 rows BY
+    * CONTRACT, same as `volumeChangepoint`'s chart), never on corpus
+    * data.
+    */
+  def wipDaily(df: DataFrame, caseCol: String, tsCol: String): DataFrame = {
+    val spans = df.groupBy(col(caseCol)).agg(
+      to_date(min(col(tsCol))).as("__start"),
+      to_date(max(col(tsCol))).as("__end"))
+    // Both boundary rows come out of ONE pass over the span table (a
+    // row-local explode) — a UNION of two selects would recompute the
+    // whole per-case collapse, and the corpus scan under it, twice.
+    val deltas = spans.select(explode(array(
+        struct(col("__start").as("day"), lit(1L).as("__d")),
+        struct(date_add(col("__end"), 1).as("day"), lit(-1L).as("__d"))))
+        .as("__b"))
+      .select(col("__b.day").as("day"), col("__b.__d").as("__d"))
+      .groupBy(col("day")).agg(sum(col("__d")).as("delta"))
+      .withColumn("__g", lit(0))
+    deltas
+      .withColumn("open_cases", sum(col("delta")).over(
+        Window.partitionBy(col("__g")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("delta"), col("open_cases"))
+  }
+
+  /** Inter-arrival ("time since the user's previous action") statistics
+    * by action type — per event_type of the CURRENT event, the count,
+    * exact BIGINT sum, and p50/p90/p99 of the microsecond gap back to
+    * the same user's previous event (any type) under the deterministic
+    * (ts, tie) order. Each user's first event has no predecessor and is
+    * excluded. The percentiles are exact LOWER ORDER STATISTICS at
+    * ranks ceil(q·(n+1)) under the (gap, tie) order — the same
+    * integer-rank convention as `Dfg.performanceEdges`, replayable
+    * bit-for-bit by any engine with row_number (never interpolated
+    * doubles).
+    *
+    * Scale shape: one user-key Exchange for the lag window, then one
+    * Exchange on the type key shared by the rank window and the final
+    * partial-aggregated collapse to |event types| rows. At 100 TB the
+    * per-type rank sort is the cost — swap in `approx_percentile`
+    * (the `q_quantiles_approx` arm) for a one-pass bounded sketch.
+    */
+  def interarrival(df: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val tw = Window.partitionBy(col(typeCol))
+    df.withColumn("__gap_us",
+        unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)))
+      .filter(col("__gap_us").isNotNull)
+      .select(col(typeCol), col("__gap_us"), col(tieCol))
+      .withColumn("__rk", row_number().over(
+        tw.orderBy(col("__gap_us"), col(tieCol))))
+      .withColumn("__n", count(lit(1)).over(tw))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__gap_us")).as("sum_gap_us"),
+        max(when(col("__rk") === expr("(__n + 1) div 2"), col("__gap_us")))
+          .as("p50_us"),
+        max(when(col("__rk") === expr("(9 * __n + 9) div 10"), col("__gap_us")))
+          .as("p90_us"),
+        max(when(col("__rk") === expr("(99 * __n + 99) div 100"), col("__gap_us")))
+          .as("p99_us"))
+  }
+
   /** Daily-volume CUSUM change-point screen — the classic
     * cumulative-sum control chart (Page 1954) on the log's daily event
     * count, in EXACT integers end to end: mean_micro is one floored

@@ -603,6 +603,46 @@ object Chunking {
         col("n_docs"), col("tok_sum"), col("share_micro"))
   }
 
+  /** Sorted dynamic batching ledger — the padded-batch counterpart to
+    * `packBlocks`' concat packing: inference/eval serving pads every
+    * sequence in a batch to the batch max, so the per-batch padding
+    * waste is what length-sorted batching exists to minimize (the
+    * fairseq/HF `group_by_length` discipline). Documents are bucketed
+    * by token count (`bucketWidth` tokens per bucket), ordered
+    * longest-first inside the bucket with the id tie-break, and cut
+    * into batches of `batchSize`; each batch row reports exact-integer
+    * occupancy: padded slots = n_docs · max_tokens, waste = padded −
+    * Σ tokens. Waste per doc is bounded by bucketWidth − 1 BY
+    * CONSTRUCTION (all docs in a bucket are within one width of its
+    * max) — that bound, not the sort, is what survives at scale.
+    *
+    * Scale shape: the length bucket is the window PARTITION key, so
+    * the sort is per-bucket (one Exchange, no global ordering), and
+    * the batch aggregate partial-combines on (bucket, batch). A
+    * skew-heavy corpus concentrates in few buckets — tighten
+    * bucketWidth to re-spread, the same valve `q_join_salted` gates.
+    */
+  def lengthBatches(df: DataFrame, idCol: String, textCol: String,
+                    bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth > 0, s"lengthBatches: bucketWidth > 0, got $bucketWidth")
+    require(batchSize > 0, s"lengthBatches: batchSize > 0, got $batchSize")
+    import org.apache.spark.sql.expressions.Window
+    val n = when(col(textCol).isNull, lit(0L))
+      .otherwise(size(split(col(textCol), " ")).cast("long"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_tokens").desc, col(idCol))
+    df.select(col(idCol), n.as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div ${bucketWidth}L"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch", expr(s"(__rn - 1) div $batchSize"))
+      .groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("max_tokens"))
+      .withColumn("waste_tokens", col("padded_tokens") - col("sum_tokens"))
+  }
+
   /** Release manifest: the per-shard integrity ledger a dataset
     * publication ships beside the parquet — doc count, byte volume,
     * id range (the range-pruning contract `writeSizedShards` readers

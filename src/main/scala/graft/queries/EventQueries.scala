@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.analytics.{Cohort, Dfg, Funnel, SeqExamples, Timeline, Variants}
+import graft.analytics.{Cohort, Dfg, Funnel, SeqExamples, Social, Timeline, Variants}
 import graft.api.EventLogGenerator
 import graft.operators.{EventOps, Sessionize}
 
@@ -587,6 +587,28 @@ object EventQueries {
     "q_cooccurrence" -> ((s, dir) =>
       graft.analytics.Baskets.cooccurrence(sessions(Tables.events(s, dir)),
         "session_id", "event_type", minSupport = 5L)),
+
+    // Handover-of-work social network: who passes work to whom within
+    // a session — the resource-level DFG (resource = props.k mod 10),
+    // self-loops kept so row sums reconcile with transition counts.
+    "q_handover" -> ((s, dir) =>
+      Social.handover(
+        sessions(Tables.events(s, dir)).withColumn("res",
+          get_json_object(col("props"), "$.k").cast("int") % 10),
+        "session_id", "res", "ts", "event_id")),
+
+    // Work-in-progress profile: open-session concurrency per boundary
+    // day via the sweep-line (+1 start day, -1 day after end); the
+    // corpus collapses to one span row per session before the tiny
+    // calendar-bounded running sum.
+    "q_wip" -> ((s, dir) =>
+      Timeline.wipDaily(sessions(Tables.events(s, dir)), "session_id", "ts")),
+
+    // Inter-arrival gap statistics by action type: time since the
+    // user's previous event, exact integer-rank p50/p90/p99.
+    "q_interarrival" -> ((s, dir) =>
+      Timeline.interarrival(Tables.events(s, dir), "user_id", "event_type",
+        "ts", "event_id")),
 
     // Window functions: running per-user aggregates.
     "q_window_running" -> ((s, dir) => {
@@ -1396,6 +1418,57 @@ object EventQueries {
          |FROM pr JOIN sup sa ON pr.item_a = sa.event_type
          |  JOIN sup sb ON pr.item_b = sb.event_type
          |  CROSS JOIN n""".stripMargin,
+
+    "q_handover" ->
+      s"""$SessionsCte, r AS (
+         |  SELECT session_id, event_id, ts,
+         |    CAST(json_extract_string(props, '$$.k') AS INTEGER) % 10 AS res
+         |  FROM s
+         |), p AS (
+         |  SELECT session_id, res, lag(res) OVER (
+         |    PARTITION BY session_id ORDER BY ts, event_id) AS prev
+         |  FROM r
+         |)
+         |SELECT prev AS res_from, res AS res_to,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT session_id) AS BIGINT) AS n_cases
+         |FROM p WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "q_wip" ->
+      s"""$SessionsCte, spans AS (
+         |  SELECT session_id, CAST(min(ts) AS DATE) AS d0,
+         |    CAST(max(ts) AS DATE) AS d1
+         |  FROM s GROUP BY 1
+         |), deltas AS (
+         |  SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM (
+         |    SELECT d0 AS day, 1 AS d FROM spans
+         |    UNION ALL
+         |    SELECT d1 + 1 AS day, -1 AS d FROM spans)
+         |  GROUP BY 1
+         |)
+         |SELECT day, delta, CAST(SUM(delta) OVER (
+         |  ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_cases
+         |FROM deltas""".stripMargin,
+
+    "q_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type, event_id,
+        |    date_diff('microsecond', lag(ts) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, gap_us,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY gap_us, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS nn
+        |  FROM g WHERE gap_us IS NOT NULL
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+        |  max(CASE WHEN rk = (nn + 1) // 2 THEN gap_us END) AS p50_us,
+        |  max(CASE WHEN rk = (9 * nn + 9) // 10 THEN gap_us END) AS p90_us,
+        |  max(CASE WHEN rk = (99 * nn + 99) // 100 THEN gap_us END) AS p99_us
+        |FROM r GROUP BY 1""".stripMargin,
 
     "q_seq_patterns" ->
       s"""$SessionsCte, o AS (

@@ -1136,6 +1136,16 @@ object PipelineQueries {
     "q_length_hist" -> ((s, dir) =>
       Chunking.lengthHistogram(Tables.documents(s, dir), "source", "text")),
 
+    // -- serving/eval layout: sorted dynamic batching — bucket by
+    //    token length (width 64), longest-first inside the bucket, cut
+    //    into batches of 8; per batch the exact padded-slot and waste
+    //    token accounting (per-doc waste < bucketWidth BY
+    //    CONSTRUCTION). Bucket is the window PARTITION key — the sort
+    //    is per-bucket, never global. -------------------------------
+    "q_length_batching" -> ((s, dir) =>
+      Chunking.lengthBatches(Tables.documents(s, dir), "doc_id", "text",
+        bucketWidth = 64, batchSize = 8)),
+
     // -- release engineering: per-shard integrity manifest — doc
     //    count, byte volume, id range, order-free md5-fold checksum
     //    over the same Weyl shards as q_shard_assign. One partial-agg
@@ -3086,6 +3096,29 @@ object PipelineQueries {
         |    (CAST(sum(strlen(text)) AS BIGINT) + 65535) // 65536)
         |    AS INTEGER) AS n_shards
         |FROM documents GROUP BY source""".stripMargin,
+
+    // Sorted dynamic batching: per-bucket longest-first row_number cut
+    // into batches of 8; all columns exact BIGINTs
+    "q_length_batching" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN text IS NULL THEN 0
+        |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_tokens, n_tokens // 64 AS bucket,
+        |    row_number() OVER (PARTITION BY n_tokens // 64
+        |      ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM t
+        |)
+        |SELECT bucket, (rn - 1) // 8 AS batch,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  max(n_tokens) AS max_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(count(*) * max(n_tokens) AS BIGINT) AS padded_tokens,
+        |  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+        |    AS waste_tokens
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     // Length histogram: bucket = length of the minimal binary string
     // (bin() identical in both engines), shares by integer division

@@ -507,6 +507,40 @@ class ChunkingSpec extends SparkSpec {
     assert(s1 <= 1000000L && s1 > 1000000L - 3)
   }
 
+  test("lengthBatches: per-bucket longest-first batches, exact waste, bounded per-doc padding") {
+    import spark.implicits._
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("t").mkString(" "))
+    // bucketWidth=4: ids 1-3 → bucket 0 (1,2,3 tokens); 4-6 → bucket 1
+    // (5,6,7); 7 → bucket 2 (9). batchSize=2.
+    val df = Seq(doc(1, 1), doc(2, 2), doc(3, 3), doc(4, 5), doc(5, 6),
+      doc(6, 7), doc(7, 9)).toDF("doc_id", "text")
+    val out = Chunking.lengthBatches(df, "doc_id", "text",
+      bucketWidth = 4, batchSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // bucket 0 longest-first: (3,2) then (1); bucket 1: (7,6) then (5)
+    assert(out == Map(
+      (0L, 0L) -> ((2L, 3L, 5L, 6L, 1L)),
+      (0L, 1L) -> ((1L, 1L, 1L, 1L, 0L)),
+      (1L, 0L) -> ((2L, 7L, 13L, 14L, 1L)),
+      (1L, 1L) -> ((1L, 5L, 5L, 5L, 0L)),
+      (2L, 0L) -> ((1L, 9L, 9L, 9L, 0L))))
+    // conservation: every token appears in exactly one batch
+    assert(out.values.map(_._3).sum == 33L)
+    // the bound the bucketing exists for: waste < bucketWidth per doc
+    out.foreach { case (k, (n, _, _, _, waste)) =>
+      assert(waste < 4L * n, s"batch $k wastes ≥ bucketWidth per doc")
+    }
+    // bad args are loud
+    intercept[IllegalArgumentException] {
+      Chunking.lengthBatches(df, "doc_id", "text", 0, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Chunking.lengthBatches(df, "doc_id", "text", 4, 0)
+    }
+  }
+
   test("releaseManifest: exact ledger, order-free checksum, content+key sensitivity") {
     import spark.implicits._
     val docs = Seq((0L, "alpha"), (1L, "beta"), (8L, "gamma"), (65536L, "delta"))

@@ -449,6 +449,36 @@ class PlanShapeSpec extends SparkSpec {
       s"rework is sessionize + aggregates only:\n${rp.take(1200)}")
   }
 
+  test("round-9 sixth-batch plans: join-free aggregates, partitioned sorts") {
+    // handover: sessionize window + the mixed-distinct pair aggregate —
+    // no join of any kind (the network is a lag, never a self-join)
+    val hp = plan("q_handover")
+    assert(!hp.contains("Join") && !hp.contains("CartesianProduct"),
+      s"handover must be window+aggregate only:\n${hp.take(1200)}")
+    // wip: corpus → per-case spans → per-day deltas BEFORE the
+    // single-partition running sum; no join, bounded keyed Exchanges
+    // ... and the boundary explode is row-local: ONE corpus scan, three
+    // keyed Exchanges (sessionize window, case spans, day deltas)
+    val wp = plan("q_wip")
+    assert(!wp.contains("Join") && count(wp, "Scan parquet") == 1 &&
+      wp.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3,
+      s"wip is collapse-then-cumsum over one scan:\n${wp.take(1200)}")
+    // interarrival: user lag window + type rank window + final agg —
+    // no join, and the type groupBy must REUSE the rank window's
+    // partitioning (≤ 2 keyed Exchanges total)
+    val ip = plan("q_interarrival")
+    assert(!ip.contains("Join") &&
+      ip.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"interarrival reuses the type partitioning:\n${ip.take(1200)}")
+    // length batching: the sort is PARTITIONED by the length bucket —
+    // a global-order range Exchange would be the 100 TB killer
+    val lp = plan("q_length_batching")
+    assert(!lp.contains("Exchange rangepartitioning") && !lp.contains("Join"),
+      s"lengthBatches must never global-sort:\n${lp.take(1200)}")
+    assert(lp.contains("hashpartitioning(bucket"),
+      s"the batching window partitions on the bucket:\n${lp.take(1200)}")
+  }
+
   test("q_snapshot_diff: one full-outer equi-join, never a nested loop") {
     val p = plan("q_snapshot_diff")
     assert(p.contains("FullOuter"),

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Baskets, Dfg, Timeline, Variants}
+import graft.analytics.{Baskets, Dfg, Social, Timeline, Variants}
 
 /** Laws for the time-axis and order-relation views: eventually-follows
   * (all position pairs, DFG-dominance), activity rework, run-length
@@ -180,5 +180,64 @@ class TimelineSpec extends SparkSpec {
     // here: 3 low-rate days follow day 1... deviations -2.75M x4 then +5.25M)
     val flagged = out.filter(_.getBoolean(5)).map(_.getDate(0).toString)
     assert(flagged.toSeq == Seq("2024-01-04"))
+  }
+
+  test("wipDaily: sweep-line overlap counts, delta conservation, closing zero") {
+    // c1 open Jan 1-3, c2 open Jan 2 only, c3 open Jan 5-6 — so two
+    // cases overlap on Jan 2, and Jan 4 / Jan 7 are the closing rows
+    val df = log(
+      ("c1", "a", "2024-01-01 10:00:00", 1L),
+      ("c1", "a", "2024-01-03 10:00:00", 2L),
+      ("c2", "a", "2024-01-02 09:00:00", 3L),
+      ("c3", "a", "2024-01-05 10:00:00", 4L),
+      ("c3", "a", "2024-01-06 10:00:00", 5L))
+    val out = Timeline.wipDaily(df, "case_id", "ts").orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 1L, 1L), ("2024-01-02", 1L, 2L),
+      ("2024-01-03", -1L, 1L), ("2024-01-04", -1L, 0L),
+      ("2024-01-05", 1L, 1L), ("2024-01-07", -1L, 0L)))
+    assert(out.map(_._2).sum == 0L, "every +1 has its -1")
+    assert(out.last._3 == 0L, "the chart closes at zero")
+  }
+
+  test("interarrival: per-type gap stats at exact integer ranks; first events excluded") {
+    // u1: a@0s, b@10s, a@40s → gaps 10s (attributed to b), 30s (to a)
+    // u2: x@0s, b@5s → gap 5s (to b); x never receives a gap
+    val df = log(
+      ("u1", "a", "2024-01-01 10:00:00", 1L),
+      ("u1", "b", "2024-01-01 10:00:10", 2L),
+      ("u1", "a", "2024-01-01 10:00:40", 3L),
+      ("u2", "x", "2024-01-01 11:00:00", 4L),
+      ("u2", "b", "2024-01-01 11:00:05", 5L))
+    val out = Timeline.interarrival(df, "case_id", "activity", "ts", "event_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out("a") == ((1L, 30000000L, 30000000L, 30000000L, 30000000L)))
+    // b gaps sorted: [5s, 10s] → p50 at rank (2+1) div 2 = 1 → 5s;
+    // p90 at rank (9*2+9) div 10 = 2 → 10s; p99 rank 2 → 10s
+    assert(out("b") == ((2L, 15000000L, 5000000L, 10000000L, 10000000L)))
+    assert(!out.contains("x"), "a type seen only as a first event is absent")
+  }
+
+  test("handover: direct resource passes, self-loops kept, case support") {
+    // c1 resources r1,r2,r2,r1 → r1->r2, r2->r2, r2->r1; c2: r1,r2
+    val df = log(
+      ("c1", "r1", "2024-01-01 10:00:00", 1L),
+      ("c1", "r2", "2024-01-01 10:01:00", 2L),
+      ("c1", "r2", "2024-01-01 10:02:00", 3L),
+      ("c1", "r1", "2024-01-01 10:03:00", 4L),
+      ("c2", "r1", "2024-01-01 11:00:00", 5L),
+      ("c2", "r2", "2024-01-01 11:01:00", 6L))
+    val out = Social.handover(df, "case_id", "activity", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      ("r1", "r2") -> ((2L, 2L)),
+      ("r2", "r2") -> ((1L, 1L)),
+      ("r2", "r1") -> ((1L, 1L))))
+    // transition-mass reconciliation: handover n sums = total transitions
+    assert(out.values.map(_._1).sum == 4L)
   }
 }
