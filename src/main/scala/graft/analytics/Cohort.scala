@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Cohort retention over an event log: users grouped by the calendar
@@ -84,6 +84,120 @@ object Cohort {
       .agg(max(col("__inwin")).as("peak_in_window"),
         count(lit(1)).as("n_events"))
       .withColumn("is_burst", col("peak_in_window") >= threshold)
+  }
+
+  /** RFM feature table (recency / frequency / monetary — the classic
+    * customer-value segmentation a marketing warehouse derives first):
+    * per user the days since their last event (anchored at the LOG's
+    * last day, broadcast back), event count, and exact DECIMAL value
+    * sum, each scored 1–5 against corpus quintile boundaries and
+    * concatenated into the familiar `segment` code ("555" = best).
+    *
+    * Scoring is by comparison against the four exact-percentile
+    * boundaries (a 1-row broadcast) — NEVER a global `ntile`, whose
+    * single-partition full sort is the 100 TB killer; ties get equal
+    * scores by construction (boundary comparisons, no rank). Recency
+    * scores are INVERTED (small gap = high score) as RFM convention
+    * demands. Monetary goes through integer cents so the boundaries
+    * replay cross-engine.
+    *
+    * Scale shape: one partial-aggregated user collapse, two 1-row
+    * bounds aggregates broadcast back — the user table never sorts
+    * globally. The UNCACHED plan recomputes the collapse under each
+    * bounds pass (visible as repeated scans); at production scale
+    * persist/checkpoint the |users|-sized collapse first — the same
+    * caching valve `pageRank` applies internally.
+    */
+  def rfm(df: DataFrame, userCol: String, tsCol: String,
+          valueCol: String): DataFrame = {
+    val users = df.groupBy(col(userCol))
+      .agg(max(to_date(col(tsCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("__m"))
+      .withColumn("monetary_cents",
+        (col("__m") * 100).cast("long"))
+    val bounds = users.agg(
+      max(col("__last")).as("__d1"),
+      expr("percentile(frequency, array(0.2D, 0.4D, 0.6D, 0.8D))").as("__fq"),
+      expr("percentile(monetary_cents, array(0.2D, 0.4D, 0.6D, 0.8D))").as("__mq"))
+    def score(c: Column, qs: Column): Column =
+      when(c <= element_at(qs, 1), 1)
+        .when(c <= element_at(qs, 2), 2)
+        .when(c <= element_at(qs, 3), 3)
+        .when(c <= element_at(qs, 4), 4)
+        .otherwise(5)
+    val scored = users.crossJoin(broadcast(bounds))
+      .withColumn("recency_days",
+        datediff(col("__d1"), col("__last")).cast("long"))
+    // recency quantiles need the recency column itself — a second
+    // 1-row aggregate over the user table, still broadcast-sized
+    val rq = scored.agg(expr(
+      "percentile(recency_days, array(0.2D, 0.4D, 0.6D, 0.8D))").as("__rq"))
+    scored.crossJoin(broadcast(rq))
+      .withColumn("r_score", lit(6) - score(col("recency_days"), col("__rq")))
+      .withColumn("f_score", score(col("frequency"), col("__fq")))
+      .withColumn("m_score", score(col("monetary_cents"), col("__mq")))
+      .select(col(userCol), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"),
+        col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
+  }
+
+  /** Automation (bot) screen — the composite read over the behavioral
+    * signals this layer already measures one-by-one: per user, the
+    * trailing-`windowSec` burst peak (the L-124 RANGE frame), the
+    * median inter-event gap as an exact lower order statistic (the
+    * L-155 rank convention), event count and distinct action types —
+    * each thresholded into an evidence flag, summed into an integer
+    * `score`. Emits EVERY user with their flags (downstream filters
+    * by score) — a screen that silently dropped the innocent would
+    * hide its own false-positive rate.
+    *
+    * Single-event users have no gap: their median surfaces as the
+    * −1 sentinel and the gap flag stays false — loud, never NULL.
+    *
+    * Scale shape: ONE user-keyed Exchange shared by the range-frame
+    * window, the gap lag, the gap-rank window and the final
+    * aggregate (all partition on the user key; the rank's different
+    * sort order costs a sort, not a shuffle).
+    */
+  def automationScreen(df: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, tieCol: String,
+                       windowSec: Long = 30L, peakThreshold: Long = 5L,
+                       gapP50MaxSec: Long = 60L, minEvents: Long = 50L,
+                       maxTypes: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+    val wr = w.orderBy(col(tsCol).cast("long")).rangeBetween(-windowSec, 0)
+    val wo = w.orderBy(col(tsCol), col(tieCol))
+    // each user's single null gap (their first event) sorts LAST via
+    // the MaxValue coalesce — engine NULL-ordering conventions differ
+    // (Spark NULLS FIRST asc, DuckDB NULLS LAST), so never rank on a
+    // nullable column directly
+    val wg = w.orderBy(coalesce(col("__gap"), lit(Long.MaxValue)),
+      col(tieCol))
+    df.withColumn("__inwin", count(lit(1)).over(wr))
+      .withColumn("__gap",
+        unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(wo)))
+      .withColumn("__rk", row_number().over(wg))
+      .withColumn("__ng", count(col("__gap")).over(w))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col(typeCol)).as("n_types"),
+        max(col("__inwin")).as("peak_in_window"),
+        coalesce(max(when(col("__rk") === expr("(__ng + 1) div 2"),
+          col("__gap"))), lit(-1L)).as("gap_p50_us"))
+      .withColumn("flag_burst", col("peak_in_window") >= peakThreshold)
+      .withColumn("flag_fast",
+        col("gap_p50_us") >= 0L &&
+          col("gap_p50_us") <= gapP50MaxSec * 1000000L)
+      .withColumn("flag_monotone",
+        col("n_events") >= minEvents && col("n_types") <= maxTypes)
+      .withColumn("score",
+        col("flag_burst").cast("int") + col("flag_fast").cast("int") +
+          col("flag_monotone").cast("int"))
   }
 
   def retention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {

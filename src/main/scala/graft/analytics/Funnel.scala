@@ -135,4 +135,59 @@ object Funnel {
         coalesce(col("__last_np"), lit("direct")).as("last_touch"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Position-based ("U-shaped") multi-touch attribution — the
+    * fractional-credit middle ground between `attribution`'s
+    * first/last extremes: each case's FIRST conversion distributes
+    * exactly 1e6 micro-units of credit over the non-conversion
+    * touches strictly before it — 40% to the first touch, 40% to the
+    * last, 20% split across the middles by integer division with the
+    * remainder assigned to the EARLIEST middle (deterministic, and
+    * per-case conservation is exact — a law the spec executes). A
+    * single touch takes the full 1e6, two touches split 50/50, and a
+    * touchless conversion credits the `direct` pseudo-touch — loud,
+    * never dropped. Only the first conversion per case attributes
+    * (the linear-layout contract: later conversions would need
+    * per-conversion prefix lists — an all-prefixes quadratic surface).
+    *
+    * Scale shape: ONE corpus scan and ONE case-keyed Exchange shared
+    * by the first-conversion window, the running touch rank and the
+    * per-case touch count (the `direct` row is emitted BY THE
+    * CONVERSION ROW ITSELF when its case has no touches — a separate
+    * touchless-cases branch would recompute the whole scan, the
+    * q_wip lesson); the final collapse is a partial-aggregated
+    * groupBy on the |types|-bounded touch key. No join, no explode.
+    */
+  def multiTouch(df: DataFrame, caseCol: String, typeCol: String,
+                 tsCol: String, tieCol: String,
+                 conversionType: String): DataFrame = {
+    val w = Window.partitionBy(col(caseCol))
+    val wo = w.orderBy(col(tsCol), col(tieCol))
+    val isTouch = col("__is_touch")
+    df
+      .withColumn("__conv", min(when(col(typeCol) === conversionType,
+        struct(col(tsCol), col(tieCol)))).over(w))
+      .filter(col("__conv").isNotNull)
+      .withColumn("__is_touch", col(typeCol) =!= conversionType &&
+        struct(col(tsCol), col(tieCol)) < col("__conv"))
+      .withColumn("__k", sum(when(isTouch, 1L).otherwise(0L)).over(w))
+      .withColumn("__rn", sum(when(isTouch, 1L).otherwise(0L))
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("touch", when(isTouch, col(typeCol))
+        .when(struct(col(tsCol), col(tieCol)) === col("__conv") &&
+          col("__k") === 0L, lit("direct")))
+      .filter(col("touch").isNotNull)
+      .withColumn("credit_micro", expr(
+        """CASE WHEN __k = 0 THEN 1000000L
+          |     WHEN __k = 1 THEN 1000000L
+          |     WHEN __k = 2 THEN 500000L
+          |     WHEN __rn = 1 OR __rn = __k THEN 400000L
+          |     ELSE 200000L div (__k - 2) +
+          |       (CASE WHEN __rn = 2
+          |             THEN 200000L % (__k - 2) ELSE 0L END)
+          |END""".stripMargin))
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_micro")).as("credit_micro"))
+  }
 }

@@ -35,4 +35,39 @@ object Social {
       .agg(count(lit(1)).as("n"),
         countDistinct(col(caseCol)).as("n_cases"))
   }
+
+  /** Batch-work detection (Martin et al.'s batch-processing
+    * identification): runs where ONE resource performs the SAME
+    * activity across cases with at most `gapSec` between consecutive
+    * executions — the "clerk stamps forty forms in a row" pattern that
+    * distorts per-case waiting-time statistics if not recognized.
+    * Unlike `Timeline.episodes` (within one case) this compacts
+    * ACROSS cases: the partition key is (resource, activity) and the
+    * batch id is the classic gap-sessionize running boundary sum.
+    * Only runs of ≥ `minSize` executions are batches; the
+    * distinct-case count distinguishes true cross-case batching from
+    * one case looping.
+    *
+    * Scale shape: ONE Exchange on the (resource, activity) key shared
+    * by the lag window, the boundary running sum and the
+    * partial-aggregated batch collapse.
+    */
+  def batchWork(df: DataFrame, caseCol: String, resourceCol: String,
+                activityCol: String, tsCol: String, tieCol: String,
+                gapSec: Long, minSize: Long): DataFrame = {
+    require(gapSec > 0 && minSize >= 2,
+      s"batchWork: gapSec > 0 and minSize >= 2, got ($gapSec, $minSize)")
+    val w = Window.partitionBy(col(resourceCol), col(activityCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val boundary = when(lag(col(tsCol), 1).over(w).isNull ||
+      col(tsCol).cast("long") - lag(col(tsCol), 1).over(w).cast("long")
+        > gapSec, 1L).otherwise(0L)
+    df.withColumn("__b", sum(boundary)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(resourceCol), col(activityCol), col("__b").as("batch"))
+      .agg(min(col(tsCol)).as("start_ts"), max(col(tsCol)).as("end_ts"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col(caseCol)).as("n_cases"))
+      .filter(col("n_events") >= minSize)
+  }
 }

@@ -155,6 +155,31 @@ object Timeline {
           .as("p99_us"))
   }
 
+  /** Weekday × hour seasonality profile per event type — the load
+    * heat-map capacity planning and anomaly baselining read (is
+    * Tuesday 14:00 normally busy?): per (type, weekday 0=Monday,
+    * hour) cell the event count, the exact micro-unit share of the
+    * type's total, and a peak flag (ties all flagged — deterministic,
+    * no float comparison). Weekday is ISO-based on both engines
+    * (Spark `weekday` ≡ DuckDB `isodow − 1`), never the
+    * locale-convention `dayofweek`.
+    *
+    * Scale shape: the corpus collapses to ≤ |types|·168 cells in ONE
+    * partial-aggregated shuffle; the share/peak windows run on the
+    * collapsed table.
+    */
+  def seasonality(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val tw = Window.partitionBy(col(typeCol))
+    df.groupBy(col(typeCol), expr(s"weekday($tsCol)").as("dow"),
+        hour(col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot", sum(col("n")).over(tw))
+      .withColumn("share_micro", expr("(n * 1000000L) div __tot"))
+      .withColumn("is_peak", col("n") === max(col("n")).over(tw))
+      .select(col(typeCol), col("dow"), col("hour"), col("n"),
+        col("share_micro"), col("is_peak"))
+  }
+
   /** Daily-volume CUSUM change-point screen — the classic
     * cumulative-sum control chart (Page 1954) on the log's daily event
     * count, in EXACT integers end to end: mean_micro is one floored
@@ -171,15 +196,50 @@ object Timeline {
     * broadcast (the minmax-bounds pattern), and the densify/window/
     * flag steps all run on the calendar-span-bounded table.
     */
-  def volumeChangepoint(df: DataFrame, tsCol: String): DataFrame = {
+  /** Densified per-day event counts (dead days = loud 0) over the
+    * observed [min, max] day span, with the total riding along as the
+    * constant window-partition key — shared by the CUSUM chart and
+    * the forecast backtest. Corpus collapses in ONE partial-agg
+    * shuffle; everything downstream is calendar-bounded.
+    */
+  private def denseDailyCounts(df: DataFrame, tsCol: String): DataFrame = {
     val daily = df.groupBy(to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n"))
-    val bounds = daily.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"),
-      sum(col("n")).as("__total"), count(lit(1)).as("__nobs"))
-    val dense = bounds.select(explode(sequence(col("__d0"), col("__d1")))
-        .as("day"), col("__total"))
+    daily.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"),
+        sum(col("n")).as("__total"))
+      .select(explode(sequence(col("__d0"), col("__d1"))).as("day"),
+        col("__total"))
       .join(daily, Seq("day"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
+  }
+
+  /** Seasonal-naive forecast backtest — the capacity-planning baseline
+    * every fancier model must beat (Hyndman's "no forecast should be
+    * published without it"): predict each day's event count with the
+    * SAME WEEKDAY LAST WEEK (lag 7 on the densified calendar) and
+    * with yesterday (lag 1, the persistence baseline), and report
+    * both absolute errors in exact integers plus a strict
+    * weekly-beats-naive flag per day. Days before the first full week
+    * have no seasonal prediction and are excluded BY CONTRACT (a
+    * backtest over undefined predictions would be silent fiction).
+    *
+    * Scale shape: the `denseDailyCounts` collapse, then two lags over
+    * one calendar-bounded window.
+    */
+  def seasonalNaiveBacktest(df: DataFrame, tsCol: String): DataFrame = {
+    val wo = Window.partitionBy(col("__total")).orderBy(col("day"))
+    denseDailyCounts(df, tsCol)
+      .withColumn("pred_weekly", lag(col("n"), 7).over(wo))
+      .withColumn("pred_naive", lag(col("n"), 1).over(wo))
+      .filter(col("pred_weekly").isNotNull)
+      .select(col("day"), col("n"), col("pred_weekly"), col("pred_naive"),
+        abs(col("n") - col("pred_weekly")).as("err_weekly"),
+        abs(col("n") - col("pred_naive")).as("err_naive"))
+      .withColumn("weekly_wins", col("err_weekly") < col("err_naive"))
+  }
+
+  def volumeChangepoint(df: DataFrame, tsCol: String): DataFrame = {
+    val dense = denseDailyCounts(df, tsCol)
       .withColumn("__days", count(lit(1)).over(Window.partitionBy(col("__total"))))
       .withColumn("mean_micro", expr("(__total * 1000000L) div __days"))
       .withColumn("dev_micro", col("n") * lit(1000000L) - col("mean_micro"))

@@ -1219,6 +1219,52 @@ object Similarity {
         min(col("__fid")).as("min_fid_micro"))
   }
 
+  /** Embedding-drift monitor — the SEMANTIC member of the drift family
+    * (L-97 tracks token mass, L-102 streams it): per label, the cosine
+    * between the old and new snapshots' class centroids. Because
+    * cosine is scale-invariant, the centroid cosine equals the cosine
+    * of the per-dimension INTEGER SUMS on the quantized grid — so the
+    * whole comparison is exact BIGINT arithmetic (per-dim sums ≤
+    * n·maxq, dots ≤ d·(n·maxq)² ≪ 2^63) with ONE correctly-rounded
+    * double division and two sqrts at the very end, floored to
+    * micro-units. A label present on only one side (or with a
+    * zero-sum centroid) surfaces with the −2e6 sentinel — outside the
+    * cosine range, loud, never NULL.
+    *
+    * Scale shape: each snapshot collapses row-locally (posexplode) to
+    * labels × d integer sums in one partial-aggregated shuffle; the
+    * full-outer equi-join and the label collapse run on those tiny
+    * tables. Corpus vectors never pairwise-join.
+    */
+  def embedDrift(oldDf: DataFrame, newDf: DataFrame, labelCol: String,
+                 embCol: String): DataFrame = {
+    def dimSums(df: DataFrame, s: String, n: String): DataFrame =
+      df.select(col(labelCol).as("label"),
+          posexplode(quantize(embCol)).as(Seq("dim", "__q")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("__q")).as(s), count(lit(1)).as(n))
+    dimSums(oldDf, "__so", "__no")
+      .join(dimSums(newDf, "__sn", "__nn"), Seq("label", "dim"), "full_outer")
+      .groupBy(col("label"))
+      .agg(max(coalesce(col("__no"), lit(0L))).as("n_old"),
+        max(coalesce(col("__nn"), lit(0L))).as("n_new"),
+        sum(coalesce(col("__so"), lit(0L)) * coalesce(col("__sn"), lit(0L)))
+          .as("__dot"),
+        sum(coalesce(col("__so"), lit(0L)) * coalesce(col("__so"), lit(0L)))
+          .as("__o2"),
+        sum(coalesce(col("__sn"), lit(0L)) * coalesce(col("__sn"), lit(0L)))
+          .as("__n2"))
+      .withColumn("centroid_cos_micro",
+        when(col("__o2") > 0L && col("__n2") > 0L,
+          floor(col("__dot").cast("double") /
+            (sqrt(col("__o2").cast("double")) *
+              sqrt(col("__n2").cast("double"))) * lit(1000000.0))
+            .cast("long"))
+          .otherwise(lit(-2000000L)))
+      .select(col("label"), col("n_old"), col("n_new"),
+        col("centroid_cos_micro"))
+  }
+
   /** PCA over the embedding store — the dimensionality-reduction /
     * whitening pass that precedes ANN indexing and clustering on a
     * real pipeline (shorter vectors: smaller index, faster kernels).

@@ -745,13 +745,16 @@ object TextOps {
     * Output: (term, context, n, lift_micro, rank ≤ topK); ties break
     * (lift desc, context asc).
     */
-  def collocations(df: DataFrame, textCol: String, window: Int,
-                   topK: Int, minCount: Long = 5L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(window >= 1 && window <= 8, "collocations: window must be in [1, 8]")
-    require(topK > 0, "collocations: topK must be positive")
-    require(minCount >= 1, "collocations: minCount must be >= 1")
-    val pairs = df.select(split(col(textCol), " ").as("t"))
+  /** Directed within-±window co-occurrence counts (w, c, n) — the
+    * shared surface under `collocations` (PMI lift) and `textRank`
+    * (keyword centrality). Symmetric by construction: every unordered
+    * co-occurrence emits both directions with equal counts. The pair
+    * explode is a row-local HOF (no join), collapsed by one
+    * partial-aggregated shuffle on the vocabulary-bounded pair key.
+    */
+  private def windowPairs(df: DataFrame, textCol: String,
+                          window: Int): DataFrame =
+    df.select(split(col(textCol), " ").as("t"))
       .select(explode(expr(
         s"""flatten(transform(t, (x, i) ->
            |  transform(filter(sequence(greatest(0, i - $window),
@@ -761,6 +764,14 @@ object TextOps {
       .select(col("p.w"), col("p.c"))
       .where(col("w") =!= "" && col("c") =!= "")
       .groupBy("w", "c").agg(count(lit(1)).as("n"))
+
+  def collocations(df: DataFrame, textCol: String, window: Int,
+                   topK: Int, minCount: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1 && window <= 8, "collocations: window must be in [1, 8]")
+    require(topK > 0, "collocations: topK must be positive")
+    require(minCount >= 1, "collocations: minCount must be >= 1")
+    val pairs = windowPairs(df, textCol, window)
     val wTot = pairs.groupBy("w").agg(sum(col("n")).as("__rw"))
     val cTot = pairs.groupBy("c").agg(sum(col("n")).as("__rc"))
     val total = pairs.agg(sum(col("n")).as("__nn"))
@@ -777,6 +788,32 @@ object TextOps {
       .filter(col("rank") <= topK)
       .select(col("w").as("term"), col("c").as("context"),
         col("n"), col("lift_micro"), col("rank"))
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    * centrality over the word co-occurrence graph — a word is a
+    * keyword when it co-occurs with many words that themselves
+    * co-occur widely. The graph is `windowPairs`' symmetric ±window
+    * co-occurrence table thinned to edges seen ≥ `minEdgeCount` times
+    * (the noise floor TextRank runs with), ranked by the EXACT-INTEGER
+    * `PageRank.pageRank` — so the whole pipeline, iterations included,
+    * replays bit-for-bit in an engine with integral division.
+    *
+    * Scale shape: the pair explode is row-local and collapses to the
+    * vocabulary-bounded edge table in one shuffle; everything after
+    * runs on that collapsed graph (the q_pagerank contract — per
+    * iteration one dst-keyed partial-agg shuffle, top-N by
+    * TakeOrdered, never a global sort of the corpus).
+    */
+  def textRank(df: DataFrame, textCol: String, window: Int, topN: Int,
+               minEdgeCount: Long = 2L, iters: Int = 10): DataFrame = {
+    require(window >= 1 && window <= 8, "textRank: window must be in [1, 8]")
+    require(minEdgeCount >= 1, "textRank: minEdgeCount must be >= 1")
+    val e = windowPairs(df, textCol, window)
+      .filter(col("n") >= minEdgeCount)
+      .select(col("w").as("src"), col("c").as("dst"))
+    graft.analytics.PageRank.pageRank(e, "src", "dst", iters, topN)
+      .withColumnRenamed("src", "term")
   }
 
   /** Taxonomy tagging via a token-level Aho–Corasick automaton

@@ -320,6 +320,25 @@ object EventQueries {
       rows.result().toDF("node_id", "parent_id", "kind", "activity")
     }),
 
+    // Token-based replay fitness against the mined inductive net: one
+    // replay per DISTINCT variant (the standard optimization), the
+    // compiled kernel walking each variant with produced/consumed/
+    // missing/remaining token counts — graded conformance where
+    // q_conformance's footprint check is binary per pair.
+    "q_token_replay" -> ((s, dir) => {
+      import graft.analytics.{Inductive, Replay}
+      val base = sessions(Tables.events(s, dir))
+      val edges = Dfg.edges(base, "session_id", "event_type", "ts", "event_id")
+        .select("activity", "next_activity").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val se = Dfg.startEndCounts(base, "session_id", "event_type", "ts", "event_id")
+        .select("activity", "position").collect()
+      val starts = se.collect { case r if r.getString(1) == "start" => r.getString(0) }.toSet
+      val ends = se.collect { case r if r.getString(1) == "end" => r.getString(0) }.toSet
+      val net = Inductive.toPetriNet(Inductive.mine(edges, starts, ends))
+      Replay.tokenReplay(base, "session_id", "event_type", "ts", "event_id", net)
+    }),
+
     // O-27: trace variants.
     "q_variants" -> ((s, dir) =>
       Variants.counts(sessions(Tables.events(s, dir)),
@@ -472,6 +491,36 @@ object EventQueries {
       Funnel.attribution(sessions(Tables.events(s, dir)), "session_id",
         "event_type", "ts", "event_id", "purchase")),
 
+    // Position-based (U-shaped) multi-touch attribution: each case's
+    // first purchase spreads exactly 1e6 credit micro-units 40/20/40
+    // over its preceding touches; touchless conversions credit
+    // 'direct'. One scan, one case Exchange.
+    "q_multitouch" -> ((s, dir) =>
+      Funnel.multiTouch(sessions(Tables.events(s, dir)), "session_id",
+        "event_type", "ts", "event_id", "purchase")),
+
+    // Weekday × hour seasonality heat-map per event type with exact
+    // micro-unit shares and deterministic peak flags.
+    "q_seasonality" -> ((s, dir) =>
+      Timeline.seasonality(Tables.events(s, dir), "event_type", "ts")),
+
+    // RFM customer-value features: quintile scores against broadcast
+    // exact-percentile boundaries — never a global ntile sort.
+    "q_rfm" -> ((s, dir) =>
+      Cohort.rfm(Tables.events(s, dir), "user_id", "ts", "value")),
+
+    // Seasonal-naive forecast backtest on the densified daily volume:
+    // lag-7 prediction vs the lag-1 persistence baseline, exact
+    // integer errors.
+    "q_seasonal_naive" -> ((s, dir) =>
+      Timeline.seasonalNaiveBacktest(Tables.events(s, dir), "ts")),
+
+    // Automation screen: burst peak + median-gap + monotony evidence
+    // flags summed per user — every user emitted with their flags.
+    "q_automation_screen" -> ((s, dir) =>
+      Cohort.automationScreen(Tables.events(s, dir), "user_id",
+        "event_type", "ts", "event_id")),
+
     // DFG concept drift: the directly-follows distribution of the
     // EARLY sessions vs the LATE ones (whole sessions assigned by
     // their first event against the exact midpoint of the log's
@@ -609,6 +658,16 @@ object EventQueries {
     "q_interarrival" -> ((s, dir) =>
       Timeline.interarrival(Tables.events(s, dir), "user_id", "event_type",
         "ts", "event_id")),
+
+    // Batch-work detection: cross-case runs of one resource repeating
+    // one activity within a 1 h gap — the (resource, activity)
+    // sessionize that `episodes` does within a case.
+    "q_batch_work" -> ((s, dir) =>
+      Social.batchWork(
+        sessions(Tables.events(s, dir)).withColumn("res",
+          get_json_object(col("props"), "$.k").cast("int") % 10),
+        "session_id", "res", "event_type", "ts", "event_id",
+        gapSec = 3600L, minSize = 3L)),
 
     // Window functions: running per-user aggregates.
     "q_window_running" -> ((s, dir) => {
@@ -1419,6 +1478,155 @@ object EventQueries {
          |  JOIN sup sb ON pr.item_b = sb.event_type
          |  CROSS JOIN n""".stripMargin,
 
+    "q_multitouch" ->
+      s"""$SessionsCte, conv AS (
+         |  SELECT session_id, ts, event_id,
+         |    row_number() OVER (PARTITION BY session_id
+         |      ORDER BY ts, event_id) AS crn
+         |  FROM s WHERE event_type = 'purchase'
+         |), fc AS (
+         |  SELECT session_id, ts AS cts, event_id AS cid
+         |  FROM conv WHERE crn = 1
+         |), t AS (
+         |  SELECT s.*, cts, cid,
+         |    (s.event_type != 'purchase' AND
+         |     (s.ts < cts OR (s.ts = cts AND s.event_id < cid))) AS is_touch
+         |  FROM s JOIN fc USING (session_id)
+         |), k AS (
+         |  SELECT *,
+         |    SUM(CASE WHEN is_touch THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY session_id) AS kk,
+         |    SUM(CASE WHEN is_touch THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY session_id ORDER BY ts, event_id
+         |        ROWS UNBOUNDED PRECEDING) AS rn
+         |  FROM t
+         |), cr AS (
+         |  SELECT
+         |    CASE WHEN is_touch THEN event_type
+         |         WHEN ts = cts AND event_id = cid AND kk = 0
+         |           THEN 'direct' END AS touch,
+         |    CASE WHEN kk <= 1 THEN 1000000
+         |         WHEN kk = 2 THEN 500000
+         |         WHEN rn = 1 OR rn = kk THEN 400000
+         |         ELSE 200000 // (kk - 2) +
+         |           (CASE WHEN rn = 2 THEN 200000 % (kk - 2) ELSE 0 END)
+         |    END AS credit
+         |  FROM k
+         |)
+         |SELECT touch, CAST(count(*) AS BIGINT) AS n_touches,
+         |  CAST(sum(credit) AS BIGINT) AS credit_micro
+         |FROM cr WHERE touch IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q_seasonality" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+        |    CAST(hour(ts) AS INTEGER) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3
+        |)
+        |SELECT event_type, dow, hour, n,
+        |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY event_type)
+        |    AS BIGINT) AS share_micro,
+        |  n = MAX(n) OVER (PARTITION BY event_type) AS is_peak
+        |FROM c""".stripMargin,
+
+    "q_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(max(ts) AS DATE) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS monetary_cents
+        |  FROM events GROUP BY 1
+        |), b AS (
+        |  SELECT max(last_day) AS d1,
+        |    quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fq,
+        |    quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8]) AS mq
+        |  FROM u
+        |), r AS (
+        |  SELECT u.*, CAST(d1 - last_day AS BIGINT) AS recency_days, fq, mq
+        |  FROM u CROSS JOIN b
+        |), rq AS (
+        |  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rqs
+        |  FROM r
+        |), sc AS (
+        |  SELECT user_id, recency_days, frequency, monetary_cents,
+        |    CAST(6 - (CASE WHEN recency_days <= rqs[1] THEN 1
+        |                   WHEN recency_days <= rqs[2] THEN 2
+        |                   WHEN recency_days <= rqs[3] THEN 3
+        |                   WHEN recency_days <= rqs[4] THEN 4
+        |                   ELSE 5 END) AS INTEGER) AS r_score,
+        |    CAST(CASE WHEN frequency <= fq[1] THEN 1
+        |              WHEN frequency <= fq[2] THEN 2
+        |              WHEN frequency <= fq[3] THEN 3
+        |              WHEN frequency <= fq[4] THEN 4
+        |              ELSE 5 END AS INTEGER) AS f_score,
+        |    CAST(CASE WHEN monetary_cents <= mq[1] THEN 1
+        |              WHEN monetary_cents <= mq[2] THEN 2
+        |              WHEN monetary_cents <= mq[3] THEN 3
+        |              WHEN monetary_cents <= mq[4] THEN 4
+        |              ELSE 5 END AS INTEGER) AS m_score
+        |  FROM r CROSS JOIN rq
+        |)
+        |SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+        |  CAST(m_score AS VARCHAR) AS segment
+        |FROM sc""".stripMargin,
+
+    "q_seasonal_naive" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |), bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily
+        |), cal AS (
+        |  SELECT d0 + CAST(i AS INTEGER) AS day
+        |  FROM bnd, unnest(range(0, d1 - d0 + 1)) t(i)
+        |), dense AS (
+        |  SELECT c.day, coalesce(n, 0) AS n
+        |  FROM cal c LEFT JOIN daily d ON c.day = d.day
+        |), lagged AS (
+        |  SELECT day, n,
+        |    lag(n, 7) OVER (ORDER BY day) AS pred_weekly,
+        |    lag(n, 1) OVER (ORDER BY day) AS pred_naive
+        |  FROM dense
+        |)
+        |SELECT day, n, pred_weekly, pred_naive,
+        |  abs(n - pred_weekly) AS err_weekly,
+        |  abs(n - pred_naive) AS err_naive,
+        |  abs(n - pred_weekly) < abs(n - pred_naive) AS weekly_wins
+        |FROM lagged WHERE pred_weekly IS NOT NULL""".stripMargin,
+
+    "q_automation_screen" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CAST(count(*) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS inwin,
+        |    date_diff('microsecond', lag(ts) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
+        |  FROM events
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY coalesce(gap, 9223372036854775807), event_id) AS rk,
+        |    count(gap) OVER (PARTITION BY user_id) AS ng
+        |  FROM g
+        |), a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |    max(inwin) AS peak_in_window,
+        |    CAST(coalesce(max(CASE WHEN rk = (ng + 1) // 2 THEN gap END), -1)
+        |      AS BIGINT) AS gap_p50_us
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT user_id, n_events, n_types, peak_in_window, gap_p50_us,
+        |  peak_in_window >= 5 AS flag_burst,
+        |  gap_p50_us >= 0 AND gap_p50_us <= 60000000 AS flag_fast,
+        |  n_events >= 50 AND n_types <= 2 AS flag_monotone,
+        |  CAST(CAST(peak_in_window >= 5 AS INTEGER) +
+        |    CAST(gap_p50_us >= 0 AND gap_p50_us <= 60000000 AS INTEGER) +
+        |    CAST(n_events >= 50 AND n_types <= 2 AS INTEGER) AS INTEGER)
+        |    AS score
+        |FROM a""".stripMargin,
+
     "q_handover" ->
       s"""$SessionsCte, r AS (
          |  SELECT session_id, event_id, ts,
@@ -1469,6 +1677,28 @@ object EventQueries {
         |  max(CASE WHEN rk = (9 * nn + 9) // 10 THEN gap_us END) AS p90_us,
         |  max(CASE WHEN rk = (99 * nn + 99) // 100 THEN gap_us END) AS p99_us
         |FROM r GROUP BY 1""".stripMargin,
+
+    "q_batch_work" ->
+      s"""$SessionsCte, r AS (
+         |  SELECT session_id, event_id, ts, event_type,
+         |    CAST(json_extract_string(props, '$$.k') AS INTEGER) % 10 AS res
+         |  FROM s
+         |), b AS (
+         |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+         |      OR date_diff('second', lag(ts) OVER w, ts) > 3600
+         |    THEN 1 ELSE 0 END AS is_new
+         |  FROM r WINDOW w AS (PARTITION BY res, event_type
+         |    ORDER BY ts, event_id)
+         |), g AS (
+         |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY res, event_type
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS batch
+         |  FROM b
+         |)
+         |SELECT res, event_type, batch, min(ts) AS start_ts,
+         |  max(ts) AS end_ts, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT session_id) AS BIGINT) AS n_cases
+         |FROM g GROUP BY 1, 2, 3 HAVING count(*) >= 3""".stripMargin,
 
     "q_seq_patterns" ->
       s"""$SessionsCte, o AS (

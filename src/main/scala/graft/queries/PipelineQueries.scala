@@ -60,8 +60,13 @@ object PipelineQueries {
       |  FROM p
       |), e AS (SELECT src, dst FROM r WHERE rnk <= 3)""".stripMargin
 
-  private lazy val PageRankCtes: String = {
-    val step = (1 to 10).map { i =>
+  /** The nodes/deg/pr0 + unrolled-iteration CTE chain of the exact
+    * integer PageRank, over whatever CTE named `e` (src, dst) precedes
+    * it — shared by the kNN-graph oracle (q_pagerank) and the word
+    * co-occurrence-graph oracle (q_textrank).
+    */
+  private def pageRankStepCtes(iters: Int): String = {
+    val step = (1 to iters).map { i =>
       s"""pr$i AS (
          |  SELECT nd.v,
          |    (1000000000000 * 3) // (20 * (SELECT count(*) FROM nodes))
@@ -73,13 +78,16 @@ object PipelineQueries {
          |    JOIN deg d ON e.src = d.src
          |    GROUP BY 1) s USING (v))""".stripMargin
     }.mkString(",\n")
-    s"""$KnnEdgesCte,
-      |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+    s"""nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
       |deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
       |pr0 AS (SELECT v, 1000000000000 // (SELECT count(*) FROM nodes) AS mass
       |        FROM nodes),
       |$step""".stripMargin
   }
+
+  private lazy val PageRankCtes: String =
+    s"""$KnnEdgesCte,
+      |${pageRankStepCtes(10)}""".stripMargin
 
   /** Label-propagation oracle: symmetrized edges, seeded base, 5
     * unrolled majority-vote rounds (count desc, label asc tie-break).
@@ -610,6 +618,14 @@ object PipelineQueries {
       TextOps.collocations(Tables.documents(s, dir), "text",
         window = 3, topK = 5, minCount = 5)),
 
+    // -- text: TextRank keywords — exact-integer PageRank over the
+    //    ±2-window word co-occurrence graph (edges seen >= 5 times);
+    //    the corpus collapses to the vocabulary-bounded edge table in
+    //    one shuffle, the 10 iterations replay in unrolled CTEs. -----
+    "q_textrank" -> ((s, dir) =>
+      TextOps.textRank(Tables.documents(s, dir), "text",
+        window = 2, topN = 50, minEdgeCount = 5)),
+
     // Lexical diversity / concentration per source: type-token ratio,
     // exact-rational Simpson index, top-term share — one (source, term)
     // shuffle, arithmetic on the collapsed vocabulary table.
@@ -1108,6 +1124,16 @@ object PipelineQueries {
           when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text"))
       Dedup.snapshotDrift(prev, curr, "source", "text")
+    }),
+
+    // -- embeddings: semantic drift — per label the cosine between the
+    //    old/new snapshot centroids, all-integer on the quantized grid
+    //    (cosine is scale-invariant ⇒ sums stand in for means); the
+    //    even/odd vec_id halves play the two snapshots. --------------
+    "q_embed_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.embedDrift(e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1), "label", "embedding")
     }),
 
     // -- audit: cross-source segment-overlap matrix — the LEXICAL
@@ -2768,6 +2794,26 @@ object PipelineQueries {
         |    ORDER BY lift_micro DESC, c) AS INT) AS rank
         |FROM sc QUALIFY rank <= 5""".stripMargin,
 
+    // TextRank replay: the collocations pair CTE (window 2) as the
+    // edge table, then the same unrolled exact-integer PageRank chain
+    // as q_pagerank
+    "q_textrank" ->
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+         |pos0 AS (SELECT t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+         |pj0 AS (SELECT t, i,
+         |         unnest(range(greatest(1, i - 2), least(len(t), i + 2) + 1)) AS j
+         |       FROM pos0),
+         |wp AS (SELECT t[i] AS w, t[j] AS c FROM pj0
+         |       WHERE j != i AND t[i] != '' AND t[j] != ''),
+         |cnt AS (SELECT w, c, CAST(count(*) AS BIGINT) AS n FROM wp GROUP BY 1, 2),
+         |e AS (SELECT w AS src, c AS dst FROM cnt WHERE n >= 5),
+         |${pageRankStepCtes(10)}
+         |SELECT src AS term, pr_pico, CAST(rnk AS INTEGER) AS "rank" FROM (
+         |  SELECT v AS src, mass AS pr_pico,
+         |    row_number() OVER (ORDER BY mass DESC, v) AS rnk
+         |  FROM pr10)
+         |WHERE rnk <= 50""".stripMargin,
+
     // Lexical diversity replay: same (source, term) collapse; the
     // n(n−1) repeat mass goes through HUGEINT ≡ Spark DECIMAL(38,0),
     // all shares are integral micro-unit divs.
@@ -3042,6 +3088,42 @@ object PipelineQueries {
 
     // q_snapshot_diff's old/new slices, aggregated to per-source token
     // mass; integer micro-unit shares (DuckDB // ≡ Spark div on
+    // Embedding drift: parallel unnest(range)/unnest(list) replays the
+    // posexplode; integer centroid sums, one double division at the end
+    "q_embed_drift" ->
+      """WITH q AS (
+        |  SELECT CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS side, label,
+        |    CAST(unnest(range(0, len(v))) AS INTEGER) AS dim, unnest(v) AS qv
+        |  FROM (SELECT vec_id, label, list_transform(embedding, x ->
+        |        CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |        FROM embeddings)
+        |), ds AS (
+        |  SELECT side, label, dim, CAST(sum(qv) AS BIGINT) AS sq,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM q GROUP BY 1, 2, 3
+        |), j AS (
+        |  SELECT coalesce(o.label, nw.label) AS label,
+        |    coalesce(o.sq, 0) AS so, coalesce(nw.sq, 0) AS sn,
+        |    coalesce(o.n, 0) AS no, coalesce(nw.n, 0) AS nn
+        |  FROM (SELECT * FROM ds WHERE side = 0) o
+        |  FULL OUTER JOIN (SELECT * FROM ds WHERE side = 1) nw
+        |    ON o.label = nw.label AND o.dim = nw.dim
+        |), a AS (
+        |  SELECT label, CAST(max(no) AS BIGINT) AS n_old,
+        |    CAST(max(nn) AS BIGINT) AS n_new,
+        |    CAST(sum(so * sn) AS BIGINT) AS dot,
+        |    CAST(sum(so * so) AS BIGINT) AS o2,
+        |    CAST(sum(sn * sn) AS BIGINT) AS n2
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT label, n_old, n_new,
+        |  CASE WHEN o2 > 0 AND n2 > 0 THEN
+        |    CAST(floor(CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(o2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
+        |      * 1000000) AS BIGINT)
+        |  ELSE CAST(-2000000 AS BIGINT) END AS centroid_cos_micro
+        |FROM a""".stripMargin,
+
     // positive operands; sums wrapped in CAST — DuckDB sum(BIGINT) is
     // HUGEINT), TV distance = halved integer sum over all sources
     "q_snapshot_drift" ->

@@ -321,4 +321,32 @@ class AnnSpec extends SparkSpec {
     val zq = Similarity.quantizeInt8(z, "vec_id", "embedding").collect().head
     assert(zq.getDouble(1) == 0.0 && zq.getSeq[Long](2).forall(_ == 0L))
   }
+
+  test("embedDrift: centroid cosine extremes, one-sided and zero sentinels") {
+    import spark.implicits._
+    // 3-4-5 vectors so the integer norms are PERFECT SQUARES and the
+    // final double ratio is exactly ±1.0 / 0.0 — no floor-of-0.999…
+    def d(rows: (Int, Seq[Float])*) =
+      rows.toDF("label", "embedding")
+    val old = d((1, Seq(3f, 4f)), (2, Seq(3f, 4f)), (3, Seq(3f, 4f)),
+      (4, Seq(0f, 0f)))
+    val nw = d(
+      (1, Seq(3f, 4f)),   // identical centroid → +1e6
+      (2, Seq(-3f, -4f)), // opposite → −1e6
+      (5, Seq(3f, 4f)),   // label absent in old → sentinel
+      (4, Seq(0f, 0f)))   // zero centroid both sides → sentinel
+    val out = Similarity.embedDrift(old, nw, "label", "embedding")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1) == ((1L, 1L, 1000000L)))
+    assert(out(2) == ((1L, 1L, -1000000L)))
+    assert(out(3) == ((1L, 0L, -2000000L)), "one-sided label is a loud sentinel")
+    assert(out(5) == ((0L, 1L, -2000000L)))
+    assert(out(4) == ((1L, 1L, -2000000L)), "zero centroids never divide")
+    // orthogonal centroids → exactly 0
+    val o2 = Similarity.embedDrift(
+      d((9, Seq(5f, 0f))), d((9, Seq(0f, 5f))), "label", "embedding")
+      .collect().head.getLong(3)
+    assert(o2 == 0L)
+  }
 }

@@ -431,4 +431,124 @@ class FunnelCohortSpec extends SparkSpec {
     assert(out(2) == (("a", "b")))
     assert(out(3) == (("a b", "c")))
   }
+
+  test("rfm: boundary scoring, inverted recency, ties equal, segment format") {
+    import spark.implicits._
+    // five users with strictly increasing frequency/monetary and
+    // strictly increasing staleness — u5 is most recent AND heaviest
+    val events = (1 to 5).flatMap { u =>
+      (1 to u).map(i =>
+        (u.toLong, ts(f"2024-01-${u * 2}%02d 10:0$i:00"), u * 10.0))
+    }.toDF("user_id", "ts", "value")
+    val out = graft.analytics.Cohort.rfm(events, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4),
+          r.getInt(5), r.getInt(6), r.getString(7)))).toMap
+    // u5: recency 0 (the anchor), frequency 5, monetary 5*50 = 250.00
+    assert(out(5L) == ((0L, 5L, 25000L, 5, 5, 5, "555")))
+    // u1: stalest, lightest — all 1s
+    assert(out(1L)._7 == "111")
+    // monotone: higher user id ⇒ component scores never decrease
+    (1 to 4).foreach { u =>
+      assert(out(u.toLong)._4 <= out(u + 1L)._4 &&
+        out(u.toLong)._5 <= out(u + 1L)._5 &&
+        out(u.toLong)._6 <= out(u + 1L)._6)
+    }
+    // identical users tie on every score (boundary comparisons, no rank)
+    val twins = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5.0),
+      (2L, ts("2024-01-01 10:00:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    val t = graft.analytics.Cohort.rfm(twins, "user_id", "ts", "value")
+      .collect().map(_.getString(7)).distinct
+    assert(t.length == 1, "equal behavior must score equally")
+  }
+
+  test("automationScreen: scripted bot flags, human silent, sentinel median") {
+    import spark.implicits._
+    // bot: 60 events, 1 s apart, one type — trips all three flags
+    val bot = (1 to 60).map(i =>
+      (1L, "click", ts(f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d"),
+        i.toLong))
+    // human: 4 events, hours apart, varied types
+    val human = Seq(
+      (2L, "view", ts("2024-01-01 08:00:00"), 100L),
+      (2L, "click", ts("2024-01-01 11:00:00"), 101L),
+      (2L, "purchase", ts("2024-01-01 15:00:00"), 102L),
+      (2L, "view", ts("2024-01-01 19:00:00"), 103L))
+    // singleton: no gap — the −1 sentinel, never NULL
+    val single = Seq((3L, "view", ts("2024-01-01 09:00:00"), 200L))
+    val out = graft.analytics.Cohort.automationScreen(
+      (bot ++ human ++ single).toDF("user_id", "event_type", "ts", "event_id"),
+      "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+          r.getInt(8)))).toMap
+    val (botGap, b1, b2, b3, botScore) = out(1L)
+    assert(botGap == 1000000L && b1 && b2 && b3 && botScore == 3)
+    val (_, h1, h2, h3, humanScore) = out(2L)
+    assert(!h1 && !h2 && !h3 && humanScore == 0)
+    val (sGap, _, sFast, _, sScore) = out(3L)
+    assert(sGap == -1L && !sFast && sScore == 0,
+      "a single-event user has the −1 sentinel and no fast flag")
+  }
+
+  test("multiTouch: U-shaped credits, remainder placement, direct, conservation") {
+    import spark.implicits._
+    val events = Seq(
+      // cA: 4 touches then purchase → 400k / 100k / 100k / 400k
+      ("cA", "a", "2024-01-01 10:00:00", 1L),
+      ("cA", "b", "2024-01-01 10:01:00", 2L),
+      ("cA", "c", "2024-01-01 10:02:00", 3L),
+      ("cA", "d", "2024-01-01 10:03:00", 4L),
+      ("cA", "purchase", "2024-01-01 10:04:00", 5L),
+      // cB: 3 touches → 400k / 200k / 400k; post-conversion event and
+      // a SECOND purchase must be ignored
+      ("cB", "a", "2024-01-01 11:00:00", 6L),
+      ("cB", "b", "2024-01-01 11:01:00", 7L),
+      ("cB", "c", "2024-01-01 11:02:00", 8L),
+      ("cB", "purchase", "2024-01-01 11:03:00", 9L),
+      ("cB", "a", "2024-01-01 11:04:00", 10L),
+      ("cB", "purchase", "2024-01-01 11:05:00", 11L),
+      // cC: touchless conversion → direct 1e6
+      ("cC", "purchase", "2024-01-01 12:00:00", 12L),
+      // cD: one touch → the full 1e6; cE: no conversion → nothing
+      ("cD", "d", "2024-01-01 13:00:00", 13L),
+      ("cD", "purchase", "2024-01-01 13:01:00", 14L),
+      ("cE", "a", "2024-01-01 14:00:00", 15L))
+      .map { case (c, t, s, id) => (c, t, ts(s), id) }
+      .toDF("case_id", "event_type", "ts", "event_id")
+    val out = Funnel.multiTouch(events, "case_id", "event_type", "ts",
+      "event_id", "purchase")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // a: cA first (400k) + cB first (400k); b: cA mid (100k) + cB mid
+    // (200k); c: cA mid (100k) + cB last (400k); d: cA last (400k) +
+    // cD single (1e6); direct: cC
+    assert(out("a") == ((2L, 800000L)))
+    assert(out("b") == ((2L, 300000L)))
+    assert(out("c") == ((2L, 500000L)))
+    assert(out("d") == ((2L, 1400000L)))
+    assert(out("direct") == ((1L, 1000000L)))
+    // conservation: 4 converting cases × exactly 1e6
+    assert(out.values.map(_._2).sum == 4000000L)
+    // remainder placement: 5 touches → middles get 66667 / 66666 /
+    // 66667? no — 200000 div 3 = 66666, remainder 2 ALL to the
+    // earliest middle: 66668 / 66666 / 66666
+    val five = Seq(
+      ("cF", "t1", "2024-01-02 10:00:00", 20L),
+      ("cF", "t2", "2024-01-02 10:01:00", 21L),
+      ("cF", "t3", "2024-01-02 10:02:00", 22L),
+      ("cF", "t4", "2024-01-02 10:03:00", 23L),
+      ("cF", "t5", "2024-01-02 10:04:00", 24L),
+      ("cF", "purchase", "2024-01-02 10:05:00", 25L))
+      .map { case (c, t, s, id) => (c, t, ts(s), id) }
+      .toDF("case_id", "event_type", "ts", "event_id")
+    val f = Funnel.multiTouch(five, "case_id", "event_type", "ts",
+      "event_id", "purchase")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(f == Map("t1" -> 400000L, "t2" -> 66668L, "t3" -> 66666L,
+      "t4" -> 66666L, "t5" -> 400000L))
+    assert(f.values.sum == 1000000L, "per-case credit is exactly 1e6")
+  }
 }

@@ -479,6 +479,67 @@ class PlanShapeSpec extends SparkSpec {
       s"the batching window partitions on the bucket:\n${lp.take(1200)}")
   }
 
+  test("round-9 seventh-batch plans: one-scan attributions, kernel replay") {
+    // multitouch: the direct row is emitted by the conversion row
+    // itself — ONE corpus scan, no join, windows share the session key
+    val mp = plan("q_multitouch")
+    assert(!mp.contains("Join") && count(mp, "Scan parquet") == 1 &&
+      mp.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3,
+      s"multitouch is one scan + shared windows:\n${mp.take(1200)}")
+    // seasonality: corpus collapses to ≤ types·168 cells before any window
+    val sp2 = plan("q_seasonality")
+    assert(!sp2.contains("Join") && count(sp2, "Scan parquet") == 1 &&
+      sp2.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"seasonality is collapse-then-window:\n${sp2.take(1200)}")
+    // textrank: the iteration chain must keep the pageRank contract —
+    // top-N by TakeOrdered, never a cartesian
+    val tp = plan("q_textrank")
+    assert(!tp.contains("CartesianProduct") &&
+      tp.contains("TakeOrderedAndProject"),
+      s"textrank inherits the pageRank top-N shape:\n${tp.take(1200)}")
+    // token replay: sessionize window + per-case collect + variant
+    // collapse (three keyed Exchanges) and the net rides INSIDE the
+    // compiled kernel — no join anywhere
+    val rp2 = plan("q_token_replay")
+    assert(!rp2.contains("Join") && rp2.contains("token_replay") &&
+      rp2.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3,
+      s"token replay is per-variant kernel work:\n${rp2.take(1200)}")
+  }
+
+  test("round-9 eighth-batch plans: no global sorts, shared user windows") {
+    // rfm: quintiles come from broadcast percentile bounds — a global
+    // ntile (single-partition full sort) must never appear
+    val fp = plan("q_rfm")
+    assert(!fp.contains("Exchange rangepartitioning") &&
+      !fp.contains("RunningWindowFunction") &&
+      fp.linesIterator.count(_.contains("Window")) == 0,
+      s"rfm must score by broadcast boundaries, not a global rank:\n${fp.take(1200)}")
+    // seasonal naive: densify join only — never a cartesian
+    val np = plan("q_seasonal_naive")
+    assert(!np.contains("CartesianProduct"),
+      s"seasonal naive is densify + lags:\n${np.take(1200)}")
+    // automation screen: all three windows and the aggregate share the
+    // user key — one scan, no join, bounded Exchanges
+    val ap = plan("q_automation_screen")
+    assert(!ap.contains("Join") && count(ap, "Scan parquet") == 1 &&
+      ap.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"automation screen shares the user partition:\n${ap.take(1200)}")
+  }
+
+  test("round-9 ninth-batch plans: keyed sessionize, equi-join drift") {
+    // batch work: the (resource, activity) sessionize — no join, one
+    // scan, windows + aggregate share the partition key
+    val bp = plan("q_batch_work")
+    assert(!bp.contains("Join") && count(bp, "Scan parquet") == 1,
+      s"batchWork is a keyed sessionize:\n${bp.take(1200)}")
+    // embed drift: the only join is the (label, dim) full-outer
+    // equi-join over the collapsed centroid-sum tables
+    val dp = plan("q_embed_drift")
+    assert(dp.contains("FullOuter") && !dp.contains("CartesianProduct") &&
+      !dp.contains("BroadcastNestedLoopJoin"),
+      s"embedDrift joins collapsed sums only:\n${dp.take(1200)}")
+  }
+
   test("q_snapshot_diff: one full-outer equi-join, never a nested loop") {
     val p = plan("q_snapshot_diff")
     assert(p.contains("FullOuter"),

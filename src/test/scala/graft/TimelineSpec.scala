@@ -182,6 +182,32 @@ class TimelineSpec extends SparkSpec {
     assert(flagged.toSeq == Seq("2024-01-04"))
   }
 
+  test("seasonalNaiveBacktest: planted weekly pattern, warmup excluded, dense lag") {
+    import spark.implicits._
+    // 21 days of a strict weekly pattern (weekday d%7 gets d%7+1
+    // events) with day 10 EMPTY — the densify must lag over the zero,
+    // and the weekly prediction is exact everywhere except around the
+    // hole
+    val rows = for {
+      d <- 1 to 21 if d != 10
+      i <- 1 to ((d % 7) + 1)
+    } yield (ts(f"2024-01-$d%02d 10:${i}%02d:00"), d.toLong * 100 + i)
+    val out = Timeline.seasonalNaiveBacktest(
+      rows.toDF("ts", "event_id"), "ts").orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getBoolean(6)))
+    // days 1-7 are warmup (no lag-7) — excluded
+    assert(out.length == 14 && out.head._1 == "2024-01-08")
+    // perfect weekly days: err_weekly = 0
+    val clean = out.filter(r => r._1 != "2024-01-10" && r._1 != "2024-01-17")
+    assert(clean.forall(_._4 == 0L), "weekly lag must be exact off the hole")
+    // the empty day surfaces as n = 0 with its weekly error loud
+    val hole = out.find(_._1 == "2024-01-10").get
+    assert(hole._2 == 0L && hole._4 == (10 % 7) + 1)
+    // and the pattern makes weekly beat naive on most regular days
+    assert(clean.count(_._5) > clean.length / 2)
+  }
+
   test("wipDaily: sweep-line overlap counts, delta conservation, closing zero") {
     // c1 open Jan 1-3, c2 open Jan 2 only, c3 open Jan 5-6 — so two
     // cases overlap on Jan 2, and Jan 4 / Jan 7 are the closing rows
@@ -219,6 +245,34 @@ class TimelineSpec extends SparkSpec {
     // p90 at rank (9*2+9) div 10 = 2 → 10s; p99 rank 2 → 10s
     assert(out("b") == ((2L, 15000000L, 5000000L, 10000000L, 10000000L)))
     assert(!out.contains("x"), "a type seen only as a first event is absent")
+  }
+
+  test("batchWork: cross-case runs split on gap, minSize floor, loud args") {
+    // r1/a: three executions 10 s apart spanning cases c1,c2,c1 — one
+    // batch of 3 over 2 cases; after a 2 h gap two more — below the
+    // minSize=3 floor, dropped. r2/a concurrent events must not merge.
+    val df = log(
+      ("c1", "a", "2024-01-01 10:00:00", 1L),
+      ("c2", "a", "2024-01-01 10:00:10", 2L),
+      ("c1", "a", "2024-01-01 10:00:20", 3L),
+      ("c1", "a", "2024-01-01 12:30:00", 4L),
+      ("c3", "a", "2024-01-01 12:30:05", 5L),
+      ("c9", "a", "2024-01-01 10:00:05", 6L))
+      .withColumn("res", when(col("event_id") === 6L, "r2").otherwise("r1"))
+    val out = Social.batchWork(df, "case_id", "res", "activity",
+      "ts", "event_id", gapSec = 3600L, minSize = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(5), r.getLong(6)))).toMap
+    assert(out == Map(("r1", "a") -> ((3L, 2L))),
+      "one batch of 3 events over 2 cases; the tail pair and r2 drop")
+    intercept[IllegalArgumentException] {
+      Social.batchWork(df, "case_id", "res", "activity", "ts", "event_id",
+        gapSec = 0L, minSize = 3L)
+    }
+    intercept[IllegalArgumentException] {
+      Social.batchWork(df, "case_id", "res", "activity", "ts", "event_id",
+        gapSec = 3600L, minSize = 1L)
+    }
   }
 
   test("handover: direct resource passes, self-loops kept, case support") {
