@@ -79,4 +79,55 @@ object LabelProp {
     base.unpersist()
     out
   }
+
+  /** Newman modularity of a node partition over an undirected graph —
+    * the PARTITION-quality diagnostic pairing `Similarity
+    * .clusterQuality`'s point-level silhouette: per community c,
+    * Q_c = e_c/m − (d_c/2m)², where e_c counts undirected
+    * intra-community edges, d_c sums the community's degrees and m is
+    * the undirected edge count. Read before trusting a community
+    * structure (label propagation output, or whether ground-truth
+    * classes are graph-coherent at all): Q near 0 means the partition
+    * does no better than random wiring.
+    *
+    * Exact integers end to end: q_contrib_micro =
+    * e_c·1e6 div m − d_c²·1e6 div (4m²), every product through
+    * DECIMAL(38,0) (≡ DuckDB HUGEINT `//`), all operands non-negative
+    * so `div` ≡ `//`. The two floors are per-community and
+    * deterministic; Q itself is their sum.
+    *
+    * `edges` must be the SYMMETRIZED directed pair list (each
+    * undirected edge both ways — `symmetrize`'s output); nodes
+    * carrying labels but no edges contribute n_nodes only.
+    *
+    * Scale shape: two id-keyed equi-joins attach endpoint labels, one
+    * partial-aggregated collapse to |labels| rows, the m total rides
+    * back on a 1-row broadcast. No pairwise surface beyond the edge
+    * list itself.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame, srcCol: String,
+                 dstCol: String, idCol: String, labelCol: String): DataFrame = {
+    val lab = labels.select(col(idCol).as("__v"), col(labelCol).as("__l"))
+    val e2 = edges
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .join(lab.select(col("__v").as("__s"), col("__l").as("__ls")), Seq("__s"))
+      .join(lab.select(col("__v").as("__d"), col("__l").as("__ld")), Seq("__d"))
+    val perLabel = e2.groupBy(col("__ls").as("label"))
+      .agg((count(lit(1))).as("degree_sum"),
+        (sum(when(col("__ls") === col("__ld"), 1L).otherwise(0L)) / 2)
+          .cast("long").as("internal_edges"))
+    val m = e2.agg((count(lit(1)) / 2).cast("long").as("__m"))
+    val nodes = lab.groupBy(col("__l").as("label"))
+      .agg(count(lit(1)).as("n_nodes"))
+    nodes.join(perLabel, Seq("label"), "left")
+      .na.fill(0L, Seq("degree_sum", "internal_edges"))
+      .crossJoin(broadcast(m))
+      .withColumn("q_contrib_micro", expr(
+        """CAST(CAST(internal_edges AS DECIMAL(38,0)) * 1000000
+          |  div CAST(__m AS DECIMAL(38,0)) AS BIGINT)
+          |- CAST(CAST(degree_sum AS DECIMAL(38,0)) * degree_sum * 1000000
+          |  div (4 * CAST(__m AS DECIMAL(38,0)) * __m) AS BIGINT)""".stripMargin))
+      .select(col("label"), col("n_nodes"), col("internal_edges"),
+        col("degree_sum"), col("q_contrib_micro"))
+  }
 }

@@ -155,6 +155,37 @@ object Timeline {
           .as("p99_us"))
   }
 
+  /** Daily SLA report — per calendar day (of case start), how many
+    * cases began and their duration p50/p90/max in whole seconds, the
+    * percentiles as exact LOWER ORDER STATISTICS at ranks
+    * ceil(q·(n+1)) under the (duration, case-id) order (the
+    * `interarrival` convention — replayable integer ranks, never
+    * interpolated doubles). The operations-review view over the same
+    * spans `wipDaily` sweeps.
+    *
+    * Scale shape: one case collapse (partial-aggregated), then the
+    * rank window and final aggregate share one day-keyed Exchange
+    * over the per-case table.
+    */
+  def slaDaily(df: DataFrame, caseCol: String, tsCol: String): DataFrame = {
+    val spans = df.groupBy(col(caseCol))
+      .agg(min(col(tsCol)).as("__t0"), max(col(tsCol)).as("__t1"))
+      .select(col(caseCol), to_date(col("__t0")).as("day"),
+        (col("__t1").cast("long") - col("__t0").cast("long")).as("dur_sec"))
+    val dw = Window.partitionBy(col("day"))
+    spans
+      .withColumn("__rk", row_number().over(
+        dw.orderBy(col("dur_sec"), col(caseCol))))
+      .withColumn("__n", count(lit(1)).over(dw))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(when(col("__rk") === expr("(__n + 1) div 2"), col("dur_sec")))
+          .as("p50_sec"),
+        max(when(col("__rk") === expr("(9 * __n + 9) div 10"), col("dur_sec")))
+          .as("p90_sec"),
+        max(col("dur_sec")).as("max_sec"))
+  }
+
   /** Weekday × hour seasonality profile per event type — the load
     * heat-map capacity planning and anomaly baselining read (is
     * Tuesday 14:00 normally busy?): per (type, weekday 0=Monday,

@@ -47,6 +47,53 @@ object Variants {
       .orderBy(col("n_cases").desc, col("variant"))
       .limit(k)
 
+  /** k-anonymity report for event-log publication (the suppression
+    * half of the PRETSA/log-sanitization literature): a published
+    * trace whose variant is shared by fewer than k cases re-identifies
+    * its subject, so sub-k variants must be suppressed. Per variant:
+    * case support, the keep verdict, and the GLOBAL suppressed-case
+    * share in exact micro-units stamped on every row (the
+    * snapshotDrift convention — the publication decision needs the
+    * damage number next to each verdict).
+    *
+    * Scale shape: the `perCase` collapse (one case-keyed shuffle),
+    * one partial-aggregated variant count, then window arithmetic on
+    * the |variants|-bounded table.
+    */
+  def kAnonymityReport(df: DataFrame, caseCol: String, activityCol: String,
+                       tsCol: String, tieCol: String, k: Long): DataFrame = {
+    require(k >= 2, s"kAnonymityReport: k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(0))
+    counts(df, caseCol, activityCol, tsCol, tieCol)
+      .withColumn("kept", col("n_cases") >= k)
+      .withColumn("__tot", sum(col("n_cases")).over(w))
+      .withColumn("__sup", sum(when(col("kept"), 0L)
+        .otherwise(col("n_cases"))).over(w))
+      .withColumn("suppressed_share_micro",
+        expr("(__sup * 1000000L) div __tot"))
+      .select(col("variant"), col("n_cases"), col("kept"),
+        col("suppressed_share_micro"))
+  }
+
+  /** The publication op itself: the event rows of cases whose variant
+    * passes `kAnonymityReport`'s floor — sub-k cases drop WHOLE (a
+    * partially-suppressed trace is still a fingerprint). One extra
+    * case-keyed semi-join against the kept case list; the spec pins
+    * that every surviving variant has ≥ k cases and survivors are
+    * byte-identical to their input rows.
+    */
+  def anonymizeLog(df: DataFrame, caseCol: String, activityCol: String,
+                   tsCol: String, tieCol: String, k: Long): DataFrame = {
+    require(k >= 2, s"anonymizeLog: k must be >= 2, got $k")
+    val keptCases = perCase(df, caseCol, activityCol, tsCol, tieCol)
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("variant"))))
+      .filter(col("__n") >= k)
+      .select(col(caseCol))
+    df.join(keptCases, Seq(caseCol), "left_semi")
+  }
+
   /** Sequential pattern support — contiguous activity k-grams (k in
     * 2..maxK) with CASE support (distinct cases containing the
     * pattern at least once): the frequent-subsequence view sitting

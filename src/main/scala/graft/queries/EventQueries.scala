@@ -659,6 +659,18 @@ object EventQueries {
       Timeline.interarrival(Tables.events(s, dir), "user_id", "event_type",
         "ts", "event_id")),
 
+    // k-anonymity publication report: variants below 5-case support
+    // must be suppressed before an event log ships; global damage
+    // share stamped on every row.
+    "q_log_anonymize" -> ((s, dir) =>
+      Variants.kAnonymityReport(sessions(Tables.events(s, dir)),
+        "session_id", "event_type", "ts", "event_id", k = 5L)),
+
+    // Daily SLA report: session-duration p50/p90/max per start day as
+    // exact integer rank statistics.
+    "q_sla_report" -> ((s, dir) =>
+      Timeline.slaDaily(sessions(Tables.events(s, dir)), "session_id", "ts")),
+
     // Batch-work detection: cross-case runs of one resource repeating
     // one activity within a 1 h gap — the (resource, activity)
     // sessionize that `episodes` does within a case.
@@ -1677,6 +1689,39 @@ object EventQueries {
         |  max(CASE WHEN rk = (9 * nn + 9) // 10 THEN gap_us END) AS p90_us,
         |  max(CASE WHEN rk = (99 * nn + 99) // 100 THEN gap_us END) AS p99_us
         |FROM r GROUP BY 1""".stripMargin,
+
+    "q_log_anonymize" ->
+      s"""$SessionsCte, percase AS (
+         |  SELECT session_id,
+         |    string_agg(event_type, '->' ORDER BY ts, event_id) AS variant
+         |  FROM s GROUP BY 1
+         |), vc AS (
+         |  SELECT variant, CAST(count(*) AS BIGINT) AS n_cases
+         |  FROM percase GROUP BY 1
+         |)
+         |SELECT variant, n_cases, n_cases >= 5 AS kept,
+         |  CAST((SUM(CASE WHEN n_cases >= 5 THEN 0 ELSE n_cases END) OVER ()
+         |    * 1000000) // SUM(n_cases) OVER () AS BIGINT)
+         |    AS suppressed_share_micro
+         |FROM vc""".stripMargin,
+
+    "q_sla_report" ->
+      s"""$SessionsCte, spans AS (
+         |  SELECT session_id, CAST(min(ts) AS DATE) AS day,
+         |    date_diff('second', min(ts), max(ts)) AS dur_sec
+         |  FROM s GROUP BY 1
+         |), r AS (
+         |  SELECT day, dur_sec,
+         |    row_number() OVER (PARTITION BY day
+         |      ORDER BY dur_sec, session_id) AS rk,
+         |    count(*) OVER (PARTITION BY day) AS nn
+         |  FROM spans
+         |)
+         |SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+         |  max(CASE WHEN rk = (nn + 1) // 2 THEN dur_sec END) AS p50_sec,
+         |  max(CASE WHEN rk = (9 * nn + 9) // 10 THEN dur_sec END) AS p90_sec,
+         |  max(dur_sec) AS max_sec
+         |FROM r GROUP BY 1""".stripMargin,
 
     "q_batch_work" ->
       s"""$SessionsCte, r AS (

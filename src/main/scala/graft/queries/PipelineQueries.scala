@@ -58,7 +58,7 @@ object PipelineQueries {
       |  SELECT *, row_number() OVER (
       |    PARTITION BY src ORDER BY cos DESC, dst) AS rnk
       |  FROM p
-      |), e AS (SELECT src, dst FROM r WHERE rnk <= 3)""".stripMargin
+      |), e AS MATERIALIZED (SELECT src, dst FROM r WHERE rnk <= 3)""".stripMargin
 
   /** The nodes/deg/pr0 + unrolled-iteration CTE chain of the exact
     * integer PageRank, over whatever CTE named `e` (src, dst) precedes
@@ -78,8 +78,13 @@ object PipelineQueries {
          |    JOIN deg d ON e.src = d.src
          |    GROUP BY 1) s USING (v))""".stripMargin
     }.mkString(",\n")
-    s"""nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
-      |deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+    // MATERIALIZED is load-bearing at scale: every iteration references
+    // nodes TWICE (the left join + the count subquery), so DuckDB's
+    // default CTE inlining re-evaluates the whole edge derivation
+    // ~2^iters times — the sf0.1 textrank oracle went from >40 min of
+    // CPU to seconds with the bases pinned
+    s"""nodes AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+      |deg AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY 1),
       |pr0 AS (SELECT v, 1000000000000 // (SELECT count(*) FROM nodes) AS mass
       |        FROM nodes),
       |$step""".stripMargin
@@ -940,6 +945,19 @@ object PipelineQueries {
         .select(col("vec_id"),
           coalesce(col("label"), lit(-1)).as("label"),
           coalesce(col("origin"), lit("unreached")).as("origin"))
+    }),
+
+    // -- graph: Newman modularity of the ground-truth label partition
+    //    over the kNN graph — is the class structure graph-coherent?
+    //    Exact integers; per-label Q contributions. -----------------
+    "q_modularity" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.analytics.LabelProp.modularity(
+        graft.analytics.LabelProp.symmetrize(
+          Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
+            .select(col("src"), col("dst")), "src", "dst"),
+        emb.select(col("vec_id"), col("label")),
+        "src", "dst", "vec_id", "label")
     }),
 
     // -- training order capstone: CURRICULUM layout — every doc's
@@ -2393,6 +2411,35 @@ object PipelineQueries {
     // PageRank: knn-graph SQL verbatim → out-degrees → 10 UNROLLED
     // iteration CTEs, each one BIGINT multiply + integral divide
     // (DuckDB // ≡ Spark div on positive operands) — bit-exact replay
+    // Modularity: shared kNN CTE + UNION-symmetrized edges + label
+    // joins; both Q terms through HUGEINT // ≡ Spark DECIMAL div
+    "q_modularity" ->
+      s"""$KnnEdgesCte,
+        |eu AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |el AS (
+        |  SELECT eu.src, eu.dst, a.label AS ls, b.label AS ld
+        |  FROM eu JOIN embeddings a ON eu.src = a.vec_id
+        |  JOIN embeddings b ON eu.dst = b.vec_id
+        |), pl AS (
+        |  SELECT ls AS label, CAST(count(*) AS BIGINT) AS degree_sum,
+        |    CAST(SUM(CASE WHEN ls = ld THEN 1 ELSE 0 END) // 2 AS BIGINT)
+        |      AS internal_edges
+        |  FROM el GROUP BY 1
+        |), mm AS (SELECT CAST(count(*) // 2 AS BIGINT) AS m FROM el
+        |), nnod AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM embeddings GROUP BY 1
+        |)
+        |SELECT nnod.label, n_nodes,
+        |  coalesce(internal_edges, 0) AS internal_edges,
+        |  coalesce(degree_sum, 0) AS degree_sum,
+        |  CAST(CAST(coalesce(internal_edges, 0) AS HUGEINT) * 1000000
+        |    // CAST(m AS HUGEINT) AS BIGINT)
+        |  - CAST(CAST(coalesce(degree_sum, 0) AS HUGEINT)
+        |    * coalesce(degree_sum, 0) * 1000000
+        |    // (4 * CAST(m AS HUGEINT) * m) AS BIGINT) AS q_contrib_micro
+        |FROM nnod LEFT JOIN pl ON nnod.label = pl.label CROSS JOIN mm""".stripMargin,
+
     "q_pagerank" ->
       s"""$PageRankCtes
         |SELECT src, pr_pico, CAST(rnk AS INTEGER) AS "rank" FROM (
@@ -2806,7 +2853,7 @@ object PipelineQueries {
          |wp AS (SELECT t[i] AS w, t[j] AS c FROM pj0
          |       WHERE j != i AND t[i] != '' AND t[j] != ''),
          |cnt AS (SELECT w, c, CAST(count(*) AS BIGINT) AS n FROM wp GROUP BY 1, 2),
-         |e AS (SELECT w AS src, c AS dst FROM cnt WHERE n >= 5),
+         |e AS MATERIALIZED (SELECT w AS src, c AS dst FROM cnt WHERE n >= 5),
          |${pageRankStepCtes(10)}
          |SELECT src AS term, pr_pico, CAST(rnk AS INTEGER) AS "rank" FROM (
          |  SELECT v AS src, mass AS pr_pico,

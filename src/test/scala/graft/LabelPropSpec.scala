@@ -67,4 +67,31 @@ class LabelPropSpec extends SparkSpec {
     assert(out(2L) == ((None, None)) && out(3L) == ((None, None)),
       "unreached nodes keep null label and null origin — loud, not dropped")
   }
+
+  test("modularity: two clean cliques score 1/4 each, one blob scores 0, split community goes negative") {
+    import spark.implicits._
+    def und(pairs: (Long, Long)*) =
+      LabelProp.symmetrize(pairs.toDF("src", "dst"), "src", "dst")
+    // two disjoint triangles, labels = components: per community
+    // e_c = 3, d_c = 6, m = 6 → Q_c = 3/6 − (6/12)² = 0.25
+    val tri = und((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val labels = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 1), (6L, 1))
+      .toDF("vec_id", "label")
+    val q = LabelProp.modularity(tri, labels, "src", "dst", "vec_id", "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(q(0) == ((3L, 3L, 6L, 250000L)) && q(1) == ((3L, 3L, 6L, 250000L)))
+    // everything one community: Q = m/m − (2m/2m)² = 0 exactly
+    val one = labels.withColumn("label", lit(7))
+    val q1 = LabelProp.modularity(tri, one, "src", "dst", "vec_id", "label")
+      .collect().map(_.getLong(4))
+    assert(q1.toSeq == Seq(0L))
+    // a community cut across the two triangles: no internal edges,
+    // negative contribution — the diagnostic the metric exists for
+    val bad = Seq((1L, 0), (4L, 0), (2L, 1), (3L, 1), (5L, 1), (6L, 1))
+      .toDF("vec_id", "label")
+    val qb = LabelProp.modularity(tri, bad, "src", "dst", "vec_id", "label")
+      .collect().map(r => r.getInt(0) -> r.getLong(4)).toMap
+    assert(qb(0) < 0L, "a cross-cut community must score negative")
+  }
 }

@@ -540,6 +540,24 @@ class PlanShapeSpec extends SparkSpec {
       s"embedDrift joins collapsed sums only:\n${dp.take(1200)}")
   }
 
+  test("round-9 tenth-batch plans: collapsed-table windows, equi-join labels") {
+    // k-anonymity report: window math over the collapsed variant
+    // table — no join, one scan
+    val kp = plan("q_log_anonymize")
+    assert(!kp.contains("Join") && count(kp, "Scan parquet") == 1,
+      s"kAnonymityReport is collapse + window:\n${kp.take(1200)}")
+    // SLA report: case collapse then day-keyed rank window + aggregate
+    val lp2 = plan("q_sla_report")
+    assert(!lp2.contains("Join") && count(lp2, "Scan parquet") == 1 &&
+      lp2.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3,
+      s"slaDaily shares the day Exchange:\n${lp2.take(1200)}")
+    // modularity: label attaches are equi-joins over the collapsed
+    // edge list (the kNN tier itself is quadratic BY CONTRACT)
+    val mp2 = plan("q_modularity")
+    assert(!mp2.contains("CartesianProduct"),
+      s"modularity never plans a cartesian:\n${mp2.take(1200)}")
+  }
+
   test("q_snapshot_diff: one full-outer equi-join, never a nested loop") {
     val p = plan("q_snapshot_diff")
     assert(p.contains("FullOuter"),

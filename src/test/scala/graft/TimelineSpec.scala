@@ -247,6 +247,60 @@ class TimelineSpec extends SparkSpec {
     assert(!out.contains("x"), "a type seen only as a first event is absent")
   }
 
+  test("anonymizeLog: sub-k cases drop whole, survivors untouched, report conserves") {
+    import graft.analytics.Variants
+    // variant a->b: 3 cases; variant a->c: 1 case — k=2 keeps only a->b
+    val df = log(
+      ("c1", "a", "2024-01-01 10:00:00", 1L),
+      ("c1", "b", "2024-01-01 10:01:00", 2L),
+      ("c2", "a", "2024-01-01 11:00:00", 3L),
+      ("c2", "b", "2024-01-01 11:01:00", 4L),
+      ("c3", "a", "2024-01-01 12:00:00", 5L),
+      ("c3", "b", "2024-01-01 12:01:00", 6L),
+      ("c4", "a", "2024-01-01 13:00:00", 7L),
+      ("c4", "c", "2024-01-01 13:01:00", 8L))
+    val kept = Variants.anonymizeLog(df, "case_id", "activity", "ts",
+      "event_id", k = 2L)
+    assert(kept.select("case_id").distinct().count() == 3L &&
+      kept.filter(col("case_id") === "c4").isEmpty,
+      "the unique-variant case drops WHOLE")
+    // survivors are byte-identical input rows
+    assert(kept.exceptAll(df.filter(col("case_id") =!= "c4")).isEmpty &&
+      df.filter(col("case_id") =!= "c4").exceptAll(kept).isEmpty)
+    // the report's verdicts and damage share agree
+    val rep = Variants.kAnonymityReport(df, "case_id", "activity", "ts",
+      "event_id", k = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(rep("a->b") == ((3L, true, 250000L)))
+    assert(rep("a->c") == ((1L, false, 250000L)), "1 of 4 cases suppressed")
+    // replaying the anonymized log through the report leaves nothing sub-k
+    val clean = Variants.kAnonymityReport(kept, "case_id", "activity", "ts",
+      "event_id", k = 2L).collect()
+    assert(clean.forall(_.getBoolean(2)) &&
+      clean.forall(_.getLong(3) == 0L), "anonymization is idempotent")
+  }
+
+  test("slaDaily: exact rank percentiles per start day") {
+    // day 1: durations 60, 120, 300 → p50 = 120 (rank 2), p90 = 300
+    // (rank (27+9)/10 = 3), max 300; day 2: single 30 s session
+    val df = log(
+      ("s1", "a", "2024-01-01 10:00:00", 1L),
+      ("s1", "a", "2024-01-01 10:01:00", 2L),
+      ("s2", "a", "2024-01-01 11:00:00", 3L),
+      ("s2", "a", "2024-01-01 11:02:00", 4L),
+      ("s3", "a", "2024-01-01 12:00:00", 5L),
+      ("s3", "a", "2024-01-01 12:05:00", 6L),
+      ("s4", "a", "2024-01-02 09:00:00", 7L),
+      ("s4", "a", "2024-01-02 09:00:30", 8L))
+    val out = Timeline.slaDaily(df, "case_id", "ts").orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 3L, 120L, 300L, 300L),
+      ("2024-01-02", 1L, 30L, 30L, 30L)))
+  }
+
   test("batchWork: cross-case runs split on gap, minSize floor, loud args") {
     // r1/a: three executions 10 s apart spanning cases c1,c2,c1 — one
     // batch of 3 over 2 cases; after a 2 h gap two more — below the
