@@ -51,6 +51,38 @@ object Dfg {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Frequency-simplified DFG — the pm4py/Disco "simplification
+    * slider": rank edges by frequency and keep the head that covers
+    * `keepShareMicro` of the total transition mass (an edge is kept
+    * while the cumulative mass BEFORE it is still under the target, so
+    * the heaviest edge always survives and coverage overshoots by at
+    * most one edge — deterministic, (n desc, edge) tie-break). Every
+    * edge is emitted with its cumulative micro share and verdict —
+    * the slider needs the whole curve, not just the survivors.
+    *
+    * Scale shape: `edges`' one case-keyed window, then rank/cumsum
+    * windows on the |activities|²-bounded edge table (single
+    * partition BY CONTRACT — the collapsed-table convention).
+    */
+  def simplified(df: DataFrame, caseCol: String, activityCol: String,
+                 tsCol: String, tieCol: String,
+                 keepShareMicro: Long): DataFrame = {
+    require(keepShareMicro > 0L && keepShareMicro <= 1000000L,
+      s"simplified: keepShareMicro in (0, 1e6], got $keepShareMicro")
+    val w = Window.partitionBy(lit(0))
+    val wo = w.orderBy(col("n").desc, col("activity"), col("next_activity"))
+    edges(df, caseCol, activityCol, tsCol, tieCol)
+      .withColumn("__tot", sum(col("n")).over(w))
+      .withColumn("__before", coalesce(sum(col("n")).over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cum_micro",
+        expr("((__before + n) * 1000000L) div __tot"))
+      .withColumn("kept",
+        expr(s"(__before * 1000000L) div __tot") < keepShareMicro)
+      .select(col("activity"), col("next_activity"), col("n"),
+        col("cum_micro"), col("kept"))
+  }
+
   /** Performance-annotated DFG — the waiting-time view process-mining
     * tools draw on the discovery graph's edges (pm4py's "performance
     * DFG"): per directly-follows pair, transition count and the gap

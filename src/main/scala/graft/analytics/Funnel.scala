@@ -136,6 +136,47 @@ object Funnel {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Activity → outcome lift — the root-cause view product analytics
+    * reads after the funnel: for every non-conversion activity, how
+    * much MORE likely a case containing it is to convert than the
+    * average case. Per activity: distinct-case support, converting
+    * support, conversion rate, the corpus baseline rate, and
+    * lift = P(convert | activity) / P(convert), all in exact integer
+    * micro-units (the cross-product through DECIMAL(38,0) ≡ DuckDB
+    * HUGEINT). Correlation, not causation — the standard caveat, but
+    * the standard screen too.
+    *
+    * Scale shape: one case collapse for outcomes, one distinct
+    * (case, activity) collapse, one case-keyed equi-join between
+    * them, then the |activities|-bounded aggregate with the 1-row
+    * corpus baseline broadcast back.
+    */
+  def outcomeLift(df: DataFrame, caseCol: String, typeCol: String,
+                  conversionType: String): DataFrame = {
+    val outcomes = df.groupBy(col(caseCol))
+      .agg(max(when(col(typeCol) === conversionType, 1L).otherwise(0L))
+        .as("__y"))
+    val base = outcomes.agg(count(lit(1)).as("__n_cases"),
+      sum(col("__y")).as("__n_conv"))
+    df.filter(col(typeCol) =!= conversionType)
+      .select(col(caseCol), col(typeCol)).distinct()
+      .join(outcomes, Seq(caseCol))
+      .groupBy(col(typeCol).as("activity"))
+      .agg(count(lit(1)).as("n_cases_with"),
+        sum(col("__y")).as("n_conv_with"))
+      .crossJoin(broadcast(base))
+      .withColumn("rate_micro",
+        expr("(n_conv_with * 1000000L) div n_cases_with"))
+      .withColumn("baseline_micro",
+        expr("(__n_conv * 1000000L) div __n_cases"))
+      .withColumn("lift_micro", expr(
+        """CAST(CAST(n_conv_with AS DECIMAL(38,0)) * __n_cases * 1000000
+          |  div (CAST(n_cases_with AS DECIMAL(38,0)) * __n_conv)
+          |  AS BIGINT)""".stripMargin))
+      .select(col("activity"), col("n_cases_with"), col("n_conv_with"),
+        col("rate_micro"), col("baseline_micro"), col("lift_micro"))
+  }
+
   /** Position-based ("U-shaped") multi-touch attribution — the
     * fractional-credit middle ground between `attribution`'s
     * first/last extremes: each case's FIRST conversion distributes

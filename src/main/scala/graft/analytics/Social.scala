@@ -36,6 +36,55 @@ object Social {
         countDistinct(col(caseCol)).as("n_cases"))
   }
 
+  /** Organizational role discovery input — the resource-similarity
+    * matrix of the "roles from activity profiles" literature (Song &
+    * van der Aalst's organizational mining): each resource's profile
+    * is its integer activity-count vector; for every unordered
+    * resource pair the profile cosine in floored micro-units (exact
+    * BIGINT dot/norms — counts, not floats — with the one-division-
+    * two-sqrts tail the drift monitor uses) plus a `same_role` verdict
+    * at `threshMicro`. EVERY unordered pair of observed resources
+    * appears — a pair with no shared activity surfaces with cosine
+    * 0, never vanishes (the matrix is the clustering input; a
+    * missing cell would read as "unknown", not "orthogonal").
+    *
+    * Scale shape: the corpus collapses to the |resources|×|activities|
+    * profile table in ONE partial-aggregated shuffle; the pair
+    * enumeration (a |resources|² cross of the DISTINCT resource list
+    * BY CONTRACT — a collapsed-table surface, never a corpus one),
+    * the shared-activity dot aggregate and the verdict all run on
+    * tiny tables.
+    */
+  def roleSimilarity(df: DataFrame, resourceCol: String,
+                     activityCol: String, threshMicro: Long): DataFrame = {
+    val prof = df.groupBy(col(resourceCol).as("__r"),
+        col(activityCol).as("__a"))
+      .agg(count(lit(1)).as("__c"))
+    val res = prof.select(col("__r")).distinct()
+    val dots = prof.select(col("__r").as("res_a"), col("__a"),
+        col("__c").as("__ca"))
+      .join(prof.select(col("__r").as("res_b"), col("__a"),
+        col("__c").as("__cb")), Seq("__a"))
+      .filter(col("res_a") < col("res_b"))
+      .groupBy(col("res_a"), col("res_b"))
+      .agg(sum(col("__ca") * col("__cb")).as("__dot"))
+    res.select(col("__r").as("res_a"))
+      .crossJoin(res.select(col("__r").as("res_b")))
+      .filter(col("res_a") < col("res_b"))
+      .join(dots, Seq("res_a", "res_b"), "left")
+      .join(prof.groupBy(col("__r").as("res_a"))
+        .agg(sum(col("__c") * col("__c")).as("__na")), Seq("res_a"))
+      .join(prof.groupBy(col("__r").as("res_b"))
+        .agg(sum(col("__c") * col("__c")).as("__nb")), Seq("res_b"))
+      .withColumn("cos_micro",
+        floor(coalesce(col("__dot"), lit(0L)).cast("double") /
+          (sqrt(col("__na").cast("double")) *
+            sqrt(col("__nb").cast("double"))) * lit(1000000.0))
+          .cast("long"))
+      .withColumn("same_role", col("cos_micro") >= threshMicro)
+      .select(col("res_a"), col("res_b"), col("cos_micro"), col("same_role"))
+  }
+
   /** Batch-work detection (Martin et al.'s batch-processing
     * identification): runs where ONE resource performs the SAME
     * activity across cases with at most `gapSec` between consecutive

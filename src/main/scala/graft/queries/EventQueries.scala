@@ -659,6 +659,27 @@ object EventQueries {
       Timeline.interarrival(Tables.events(s, dir), "user_id", "event_type",
         "ts", "event_id")),
 
+    // DFG simplification slider: rank edges by mass, keep the head
+    // covering 80% of transitions — every edge emitted with its
+    // cumulative share and verdict.
+    "q_dfg_simplify" -> ((s, dir) =>
+      Dfg.simplified(sessions(Tables.events(s, dir)), "session_id",
+        "event_type", "ts", "event_id", keepShareMicro = 800000L)),
+
+    // Organizational role discovery: resource activity-profile cosine
+    // matrix with a same-role verdict at 0.9.
+    "q_role_similarity" -> ((s, dir) =>
+      Social.roleSimilarity(
+        Tables.events(s, dir).withColumn("res",
+          get_json_object(col("props"), "$.k").cast("int") % 10),
+        "res", "event_type", threshMicro = 900000L)),
+
+    // Activity→outcome lift: which activities co-occur with
+    // conversion more than the baseline — exact integer micro-units.
+    "q_outcome_lift" -> ((s, dir) =>
+      Funnel.outcomeLift(sessions(Tables.events(s, dir)), "session_id",
+        "event_type", "purchase")),
+
     // k-anonymity publication report: variants below 5-case support
     // must be suppressed before an event log ships; global damage
     // share stamped on every row.
@@ -1689,6 +1710,82 @@ object EventQueries {
         |  max(CASE WHEN rk = (9 * nn + 9) // 10 THEN gap_us END) AS p90_us,
         |  max(CASE WHEN rk = (99 * nn + 99) // 100 THEN gap_us END) AS p99_us
         |FROM r GROUP BY 1""".stripMargin,
+
+    "q_dfg_simplify" ->
+      s"""$SessionsCte, nxt AS (
+         |  SELECT event_type, lead(event_type) OVER (
+         |    PARTITION BY session_id ORDER BY ts, event_id) AS next_activity
+         |  FROM s
+         |), d AS (
+         |  SELECT event_type AS activity, next_activity,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM nxt WHERE next_activity IS NOT NULL GROUP BY 1, 2
+         |), t AS (
+         |  SELECT *, SUM(n) OVER () AS tot,
+         |    coalesce(SUM(n) OVER (ORDER BY n DESC, activity, next_activity
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+         |  FROM d
+         |)
+         |SELECT activity, next_activity, n,
+         |  CAST(((bef + n) * 1000000) // tot AS BIGINT) AS cum_micro,
+         |  (bef * 1000000) // tot < 800000 AS kept
+         |FROM t""".stripMargin,
+
+    "q_role_similarity" ->
+      """WITH r0 AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+        |    AS res, event_type FROM events
+        |), prof AS (
+        |  SELECT res, event_type AS a, CAST(count(*) AS BIGINT) AS c
+        |  FROM r0 GROUP BY 1, 2
+        |), rs AS (SELECT DISTINCT res FROM prof
+        |), dots AS (
+        |  SELECT a1.res AS res_a, b1.res AS res_b,
+        |    CAST(SUM(a1.c * b1.c) AS BIGINT) AS dot
+        |  FROM prof a1 JOIN prof b1 ON a1.a = b1.a AND a1.res < b1.res
+        |  GROUP BY 1, 2
+        |), na AS (
+        |  SELECT res, CAST(SUM(c * c) AS BIGINT) AS nsq FROM prof GROUP BY 1
+        |), m AS (
+        |  SELECT p.res_a, p.res_b,
+        |    CAST(floor(CAST(coalesce(dot, 0) AS DOUBLE) /
+        |      (sqrt(CAST(x.nsq AS DOUBLE)) * sqrt(CAST(y.nsq AS DOUBLE)))
+        |      * 1000000) AS BIGINT) AS cos_micro
+        |  FROM (SELECT a.res AS res_a, b.res AS res_b
+        |        FROM rs a JOIN rs b ON a.res < b.res) p
+        |  LEFT JOIN dots ON p.res_a = dots.res_a AND p.res_b = dots.res_b
+        |  JOIN na x ON p.res_a = x.res
+        |  JOIN na y ON p.res_b = y.res
+        |)
+        |SELECT res_a, res_b, cos_micro, cos_micro >= 900000 AS same_role
+        |FROM m""".stripMargin,
+
+    "q_outcome_lift" ->
+      s"""$SessionsCte, oc AS (
+         |  SELECT session_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+         |  FROM s GROUP BY 1
+         |), base AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_cases,
+         |    CAST(sum(y) AS BIGINT) AS n_conv
+         |  FROM oc
+         |), it AS (
+         |  SELECT DISTINCT session_id, event_type
+         |  FROM s WHERE event_type != 'purchase'
+         |), ag AS (
+         |  SELECT event_type AS activity, CAST(count(*) AS BIGINT)
+         |      AS n_cases_with,
+         |    CAST(SUM(y) AS BIGINT) AS n_conv_with
+         |  FROM it JOIN oc USING (session_id) GROUP BY 1
+         |)
+         |SELECT activity, n_cases_with, n_conv_with,
+         |  CAST((n_conv_with * 1000000) // n_cases_with AS BIGINT)
+         |    AS rate_micro,
+         |  CAST((n_conv * 1000000) // n_cases AS BIGINT) AS baseline_micro,
+         |  CAST(CAST(n_conv_with AS HUGEINT) * n_cases * 1000000
+         |    // (CAST(n_cases_with AS HUGEINT) * n_conv) AS BIGINT)
+         |    AS lift_micro
+         |FROM ag CROSS JOIN base""".stripMargin,
 
     "q_log_anonymize" ->
       s"""$SessionsCte, percase AS (

@@ -432,6 +432,28 @@ class FunnelCohortSpec extends SparkSpec {
     assert(out(3) == (("a b", "c")))
   }
 
+  test("outcomeLift: perfect predictor doubles baseline, anti-predictor zeroes") {
+    import spark.implicits._
+    // 4 cases, 2 convert. "a" appears only in the converting pair,
+    // "b" in all four, "c" only in the non-converting pair.
+    val events = Seq(
+      ("c1", "a"), ("c1", "b"), ("c1", "purchase"),
+      ("c2", "a"), ("c2", "b"), ("c2", "purchase"),
+      ("c3", "b"), ("c3", "c"),
+      ("c4", "b"), ("c4", "c"))
+      .toDF("case_id", "event_type")
+    val out = Funnel.outcomeLift(events, "case_id", "event_type", "purchase")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out("a") == ((2L, 2L, 1000000L, 500000L, 2000000L)),
+      "an activity only in converting cases lifts 2× over the 50% base")
+    assert(out("b") == ((4L, 2L, 500000L, 500000L, 1000000L)),
+      "a ubiquitous activity has lift exactly 1")
+    assert(out("c") == ((2L, 0L, 0L, 500000L, 0L)),
+      "an anti-predictor bottoms out at 0, never goes missing")
+  }
+
   test("rfm: boundary scoring, inverted recency, ties equal, segment format") {
     import spark.implicits._
     // five users with strictly increasing frequency/monetary and

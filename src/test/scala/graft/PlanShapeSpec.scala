@@ -558,6 +558,24 @@ class PlanShapeSpec extends SparkSpec {
       s"modularity never plans a cartesian:\n${mp2.take(1200)}")
   }
 
+  test("round-9 eleventh-batch plans: collapsed-table tails only") {
+    // DFG slider: one scan, no join — windows on the edge table
+    val sp3 = plan("q_dfg_simplify")
+    assert(!sp3.contains("Join") && count(sp3, "Scan parquet") == 1,
+      s"dfg simplification is rank math on the collapsed edges:\n${sp3.take(1200)}")
+    // role similarity: the |resources|² cross runs on the DISTINCT
+    // list (broadcast nested loop over tiny sides) — never a
+    // CartesianProduct over corpus rows
+    val rp3 = plan("q_role_similarity")
+    assert(!rp3.contains("CartesianProduct"),
+      s"role cross stays on the collapsed resource list:\n${rp3.take(1200)}")
+    // outcome lift: case equi-join + the 1-row baseline broadcast only
+    val op = plan("q_outcome_lift")
+    assert(!op.contains("CartesianProduct") &&
+      op.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"outcome lift: only the 1-row baseline may nested-loop:\n${op.take(1200)}")
+  }
+
   test("q_snapshot_diff: one full-outer equi-join, never a nested loop") {
     val p = plan("q_snapshot_diff")
     assert(p.contains("FullOuter"),

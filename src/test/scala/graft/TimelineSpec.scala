@@ -247,6 +247,47 @@ class TimelineSpec extends SparkSpec {
     assert(!out.contains("x"), "a type seen only as a first event is absent")
   }
 
+  test("dfgSimplify: prefix-kept edges, overshoot-by-at-most-one, full curve emitted") {
+    // edge masses 6, 3, 1 (total 10); threshold 70% → keep 6 (before 0)
+    // and 3 (before 60%), drop 1 (before 90%)
+    val df = log(
+      (Seq.tabulate(6)(i => ("c" + i, "a", f"2024-01-01 10:0$i:00", i * 10L + 1)) ++
+        Seq.tabulate(6)(i => ("c" + i, "b", f"2024-01-01 10:0$i:30", i * 10L + 2)) ++
+        Seq.tabulate(3)(i => ("c" + i, "c", f"2024-01-01 10:0${i + 4}:40", i * 10L + 3)) ++
+        Seq(("c9", "x", "2024-01-01 11:00:00", 91L),
+          ("c9", "y", "2024-01-01 11:01:00", 92L))): _*)
+    val out = Dfg.simplified(df, "case_id", "activity", "ts", "event_id",
+      keepShareMicro = 700000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(("a", "b")) == ((6L, 600000L, true)))
+    assert(out(("b", "c")) == ((3L, 900000L, true)),
+      "overshoot: the edge crossing the threshold is kept")
+    assert(out(("x", "y")) == ((1L, 1000000L, false)),
+      "the tail edge is dropped but still emitted with its share")
+    // the kept set is a prefix: kept mass minus its last edge < target
+    assert(600000L < 700000L && 900000L >= 700000L)
+  }
+
+  test("roleSimilarity: identical profiles 1e6, disjoint pairs surface as 0") {
+    import spark.implicits._
+    // r1 and r2: identical (a:3, b:4) profiles; r3: only activity c
+    val rows =
+      Seq.fill(3)(("r1", "a")) ++ Seq.fill(4)(("r1", "b")) ++
+        Seq.fill(3)(("r2", "a")) ++ Seq.fill(4)(("r2", "b")) ++
+        Seq.fill(5)(("r3", "c"))
+    val out = Social.roleSimilarity(rows.toDF("res", "activity"),
+      "res", "activity", threshMicro = 900000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(("r1", "r2")) == ((1000000L, true)),
+      "3-4-5 profiles make the ratio exactly 1.0")
+    assert(out(("r1", "r3")) == ((0L, false)) &&
+      out(("r2", "r3")) == ((0L, false)),
+      "no shared activity is COSINE ZERO, not a missing row")
+    assert(out.size == 3, "every unordered pair appears exactly once")
+  }
+
   test("anonymizeLog: sub-k cases drop whole, survivors untouched, report conserves") {
     import graft.analytics.Variants
     // variant a->b: 3 cases; variant a->c: 1 case — k=2 keeps only a->b
