@@ -136,6 +136,99 @@ object Funnel {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Conversion path analysis — the "which routes lead here" view next
+    * to the funnel: per case that converts, the ordered tail of up to
+    * `depth` non-conversion touches immediately before the FIRST
+    * conversion (the same first-conversion/strictly-before contract as
+    * `multiTouch`), collapsed to a path string and counted. Touchless
+    * conversions surface as the `direct` path — never dropped. Depth
+    * keeps the operator LINEAR: unbounded paths are the variants
+    * table's job; anchored bounded tails are what path reports read.
+    *
+    * Scale shape: one corpus scan, one case-keyed Exchange shared by
+    * the windows and the per-case path collapse, then a
+    * partial-aggregated count on the bounded path key.
+    */
+  def conversionPaths(df: DataFrame, caseCol: String, typeCol: String,
+                      tsCol: String, tieCol: String, conversionType: String,
+                      depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 8,
+      s"conversionPaths: depth in [1, 8], got $depth")
+    val w = Window.partitionBy(col(caseCol))
+    val wo = w.orderBy(col(tsCol), col(tieCol))
+    val isTouch = col("__is_touch")
+    df
+      .withColumn("__conv", min(when(col(typeCol) === conversionType,
+        struct(col(tsCol), col(tieCol)))).over(w))
+      .filter(col("__conv").isNotNull)
+      .withColumn("__is_touch", col(typeCol) =!= conversionType &&
+        struct(col(tsCol), col(tieCol)) < col("__conv"))
+      .withColumn("__k", sum(when(isTouch, 1L).otherwise(0L)).over(w))
+      .withColumn("__rn", sum(when(isTouch, 1L).otherwise(0L))
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__step", when(isTouch && col("__rn") > col("__k") - depth,
+          col(typeCol))
+        .when(struct(col(tsCol), col(tieCol)) === col("__conv") &&
+          col("__k") === 0L, lit("direct")))
+      .filter(col("__step").isNotNull)
+      .groupBy(col(caseCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__rn"), col("__step")))),
+        e => e("__step")), "->").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_cases"))
+  }
+
+  /** One-row process health report — the event-side capstone mirroring
+    * the corpus side's `q_corpus_report`: total events, cases, users,
+    * distinct variants, the top variant's case count, cases with
+    * rework (any repeated activity), converting cases, and the median
+    * case duration as an exact order statistic. The numbers a process
+    * owner reads before opening any detailed view — and because every
+    * one is an exact integer, the whole dashboard is hash-verifiable.
+    *
+    * Scale shape: ONE case collapse (n, duration, distinct count,
+    * conversion flag, variant string in one aggregate buffer), then
+    * variant counting and the duration rank run on the case table;
+    * the three 1-row aggregates cross-broadcast into the final row.
+    */
+  def processReport(df: DataFrame, caseCol: String, userCol: String,
+                    typeCol: String, tsCol: String, tieCol: String,
+                    conversionType: String): DataFrame = {
+    val perCase = df.groupBy(col(caseCol))
+      .agg(count(lit(1)).as("__n"),
+        // min, not first: the case's user is constant (the session id
+        // derives from it) and min is ENGINE-DETERMINISTIC
+        min(col(userCol)).as("__u"),
+        (max(col(tsCol)).cast("long") - min(col(tsCol)).cast("long"))
+          .as("__dur"),
+        countDistinct(col(typeCol)).as("__ndist"),
+        max(when(col(typeCol) === conversionType, 1L).otherwise(0L))
+          .as("__conv"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(tsCol), col(tieCol),
+            col(typeCol)))), e => e(typeCol)), "->").as("__variant"))
+    val w0 = Window.partitionBy(lit(0))
+    val ranked = perCase
+      .withColumn("__rk", row_number().over(
+        w0.orderBy(col("__dur"), col(caseCol))))
+      .withColumn("__nc", count(lit(1)).over(w0))
+    val caseAgg = ranked.agg(
+      sum(col("__n")).as("n_events"),
+      count(lit(1)).as("n_cases"),
+      countDistinct(col("__u")).as("n_users"),
+      countDistinct(col("__variant")).as("n_variants"),
+      sum(when(col("__ndist") < col("__n"), 1L).otherwise(0L))
+        .as("rework_cases"),
+      sum(col("__conv")).as("conversion_cases"),
+      max(when(col("__rk") === expr("(__nc + 1) div 2"), col("__dur")))
+        .as("p50_duration_sec"))
+    val topVariant = perCase.groupBy(col("__variant"))
+      .agg(count(lit(1)).as("__vn"))
+      .agg(max(col("__vn")).as("top_variant_cases"))
+    caseAgg.crossJoin(broadcast(topVariant))
+  }
+
   /** Activity → outcome lift — the root-cause view product analytics
     * reads after the funnel: for every non-conversion activity, how
     * much MORE likely a case containing it is to convert than the

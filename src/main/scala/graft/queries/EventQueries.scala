@@ -659,6 +659,19 @@ object EventQueries {
       Timeline.interarrival(Tables.events(s, dir), "user_id", "event_type",
         "ts", "event_id")),
 
+    // Conversion path analysis: the ≤3-step tails leading into the
+    // first purchase, with the direct pseudo-path; linear by bounded
+    // depth.
+    "q_funnel_paths" -> ((s, dir) =>
+      Funnel.conversionPaths(sessions(Tables.events(s, dir)), "session_id",
+        "event_type", "ts", "event_id", "purchase", depth = 3)),
+
+    // One-row process health report — the event-side capstone
+    // mirroring q_corpus_report; every number an exact integer.
+    "q_process_report" -> ((s, dir) =>
+      Funnel.processReport(sessions(Tables.events(s, dir)), "session_id",
+        "user_id", "event_type", "ts", "event_id", "purchase")),
+
     // DFG simplification slider: rank edges by mass, keep the head
     // covering 80% of transitions — every edge emitted with its
     // cumulative share and verdict.
@@ -1710,6 +1723,70 @@ object EventQueries {
         |  max(CASE WHEN rk = (9 * nn + 9) // 10 THEN gap_us END) AS p90_us,
         |  max(CASE WHEN rk = (99 * nn + 99) // 100 THEN gap_us END) AS p99_us
         |FROM r GROUP BY 1""".stripMargin,
+
+    "q_funnel_paths" ->
+      s"""$SessionsCte, conv AS (
+         |  SELECT session_id, ts, event_id,
+         |    row_number() OVER (PARTITION BY session_id
+         |      ORDER BY ts, event_id) AS crn
+         |  FROM s WHERE event_type = 'purchase'
+         |), fc AS (
+         |  SELECT session_id, ts AS cts, event_id AS cid
+         |  FROM conv WHERE crn = 1
+         |), t AS (
+         |  SELECT s.*, cts, cid,
+         |    (s.event_type != 'purchase' AND
+         |     (s.ts < cts OR (s.ts = cts AND s.event_id < cid))) AS is_touch
+         |  FROM s JOIN fc USING (session_id)
+         |), k AS (
+         |  SELECT *,
+         |    SUM(CASE WHEN is_touch THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY session_id) AS kk,
+         |    SUM(CASE WHEN is_touch THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY session_id ORDER BY ts, event_id
+         |        ROWS UNBOUNDED PRECEDING) AS rn
+         |  FROM t
+         |), steps AS (
+         |  SELECT session_id, rn,
+         |    CASE WHEN is_touch AND rn > kk - 3 THEN event_type
+         |         WHEN ts = cts AND event_id = cid AND kk = 0
+         |           THEN 'direct' END AS step
+         |  FROM k
+         |), pc AS (
+         |  SELECT session_id, string_agg(step, '->' ORDER BY rn) AS path
+         |  FROM steps WHERE step IS NOT NULL GROUP BY 1
+         |)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_cases
+         |FROM pc GROUP BY 1""".stripMargin,
+
+    "q_process_report" ->
+      s"""$SessionsCte, pc AS (
+         |  SELECT session_id, CAST(count(*) AS BIGINT) AS n,
+         |    min(user_id) AS u,
+         |    date_diff('second', min(ts), max(ts)) AS dur,
+         |    CAST(count(DISTINCT event_type) AS BIGINT) AS ndist,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         |    string_agg(event_type, '->' ORDER BY ts, event_id) AS variant
+         |  FROM s GROUP BY 1
+         |), r AS (
+         |  SELECT *, row_number() OVER (ORDER BY dur, session_id) AS rk,
+         |    count(*) OVER () AS nc
+         |  FROM pc
+         |), vt AS (
+         |  SELECT CAST(max(vn) AS BIGINT) AS top_variant_cases FROM (
+         |    SELECT variant, count(*) AS vn FROM pc GROUP BY 1)
+         |)
+         |SELECT CAST(sum(n) AS BIGINT) AS n_events,
+         |  CAST(count(*) AS BIGINT) AS n_cases,
+         |  CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+         |  CAST(count(DISTINCT variant) AS BIGINT) AS n_variants,
+         |  CAST(sum(CASE WHEN ndist < n THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS rework_cases,
+         |  CAST(sum(conv) AS BIGINT) AS conversion_cases,
+         |  CAST(max(CASE WHEN rk = (nc + 1) // 2 THEN dur END) AS BIGINT)
+         |    AS p50_duration_sec,
+         |  (SELECT top_variant_cases FROM vt) AS top_variant_cases
+         |FROM r""".stripMargin,
 
     "q_dfg_simplify" ->
       s"""$SessionsCte, nxt AS (

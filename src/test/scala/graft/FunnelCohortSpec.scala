@@ -432,6 +432,58 @@ class FunnelCohortSpec extends SparkSpec {
     assert(out(3) == (("a b", "c")))
   }
 
+  test("conversionPaths: depth-bounded tails, direct path, post-conversion ignored") {
+    import spark.implicits._
+    val events = Seq(
+      // cA: 4 touches — depth 3 keeps only the last three
+      ("cA", "a", "2024-01-01 10:00:00", 1L),
+      ("cA", "b", "2024-01-01 10:01:00", 2L),
+      ("cA", "c", "2024-01-01 10:02:00", 3L),
+      ("cA", "d", "2024-01-01 10:03:00", 4L),
+      ("cA", "purchase", "2024-01-01 10:04:00", 5L),
+      // cB: same tail b->c->d via a different prefix — must merge
+      ("cB", "x", "2024-01-01 11:00:00", 6L),
+      ("cB", "b", "2024-01-01 11:01:00", 7L),
+      ("cB", "c", "2024-01-01 11:02:00", 8L),
+      ("cB", "d", "2024-01-01 11:03:00", 9L),
+      ("cB", "purchase", "2024-01-01 11:04:00", 10L),
+      ("cB", "z", "2024-01-01 11:05:00", 11L),
+      // cC: touchless; cD: no conversion at all
+      ("cC", "purchase", "2024-01-01 12:00:00", 12L),
+      ("cD", "a", "2024-01-01 13:00:00", 13L))
+      .map { case (c, t, s, id) => (c, t, ts(s), id) }
+      .toDF("case_id", "event_type", "ts", "event_id")
+    val out = Funnel.conversionPaths(events, "case_id", "event_type", "ts",
+      "event_id", "purchase", depth = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("b->c->d" -> 2L, "direct" -> 1L),
+      "tails merge across prefixes, direct surfaces, non-converters absent")
+  }
+
+  test("processReport: one hash-verifiable row of exact process KPIs") {
+    import spark.implicits._
+    // 3 cases from 2 users: c1 = a,b,purchase (120 s); c2 = a,a (60 s,
+    // rework); c3 = b (0 s). variants: a->b->purchase, a->a, b.
+    val events = Seq(
+      ("c1", 1L, "a", "2024-01-01 10:00:00", 1L),
+      ("c1", 1L, "b", "2024-01-01 10:01:00", 2L),
+      ("c1", 1L, "purchase", "2024-01-01 10:02:00", 3L),
+      ("c2", 1L, "a", "2024-01-01 11:00:00", 4L),
+      ("c2", 1L, "a", "2024-01-01 11:01:00", 5L),
+      ("c3", 2L, "b", "2024-01-01 12:00:00", 6L))
+      .map { case (c, u, t, s, id) => (c, u, t, ts(s), id) }
+      .toDF("case_id", "user_id", "event_type", "ts", "event_id")
+    val r = Funnel.processReport(events, "case_id", "user_id", "event_type",
+      "ts", "event_id", "purchase").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 3L, 2L, 3L)), "events / cases / users / variants")
+    assert((r.getLong(4), r.getLong(5)) == ((1L, 1L)),
+      "one rework case, one converting case")
+    // durations sorted: 0, 60, 120 → median rank (3+1) div 2 = 2 → 60
+    assert(r.getLong(6) == 60L)
+    assert(r.getLong(7) == 1L, "all variants unique → top support 1")
+  }
+
   test("outcomeLift: perfect predictor doubles baseline, anti-predictor zeroes") {
     import spark.implicits._
     // 4 cases, 2 convert. "a" appears only in the converting pair,

@@ -576,6 +576,20 @@ class PlanShapeSpec extends SparkSpec {
       s"outcome lift: only the 1-row baseline may nested-loop:\n${op.take(1200)}")
   }
 
+  test("round-9 twelfth-batch plans: one-scan paths, collapsed report") {
+    // conversion paths: one corpus scan, no join — the direct row is
+    // emitted by the conversion row itself (the multiTouch shape)
+    val cp3 = plan("q_funnel_paths")
+    assert(!cp3.contains("Join") && count(cp3, "Scan parquet") == 1,
+      s"paths are one scan + shared case windows:\n${cp3.take(1200)}")
+    // process report: the only nested loop is the 1-row top-variant
+    // broadcast; everything runs on the case-collapse table
+    val pr3 = plan("q_process_report")
+    assert(!pr3.contains("CartesianProduct") &&
+      pr3.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"process report: only the 1-row cross may nested-loop:\n${pr3.take(1200)}")
+  }
+
   test("q_snapshot_diff: one full-outer equi-join, never a nested loop") {
     val p = plan("q_snapshot_diff")
     assert(p.contains("FullOuter"),
