@@ -374,6 +374,147 @@ object Dfg {
       .withColumn("rework_micro",
         expr("(n_rework_cases * 1000000L) div n_cases"))
 
+  /** Heuristics-miner dependency graph (Weijters & van der Aalst 2006,
+    * "Process mining with the Heuristics Miner algorithm") — the
+    * noise-robust order relation the heuristics family mines instead
+    * of the raw DFG: for a != b the dependency measure
+    * (|a>b| - |b>a|) / (|a>b| + |b>a| + 1), for a == b the length-one
+    * loop measure |a>a| / (|a>a| + 1), and the length-TWO loop measure
+    * (|a>b>a| + |b>a>b|) / (|a>b>a| + |b>a>b| + 1) that rescues
+    * two-activity loops the plain measure suppresses. All three in
+    * EXACT integer micro-units: the signed division goes through
+    * sign-decomposition — integral div on NON-NEGATIVE operands under
+    * an explicit CASE, because Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors, and the two only agree when the
+    * numerator is non-negative (the cross-engine trap the zscore /
+    * drift family already pins). One row per OBSERVED directly-follows
+    * edge (n_ab >= 1); the reverse direction surfaces through n_ba,
+    * never as its own phantom row.
+    *
+    * Scale shape: ONE case-keyed window pass computes BOTH the lead-1
+    * edge and the lead-2 loop observation (same partition + order, one
+    * Exchange + one sort), collapsing partial-aggregated to ONE
+    * |activities|²-bounded pair table that carries the loop count as a
+    * conditional sum. The reverse direction is then merged JOIN-FREE:
+    * ordered pairs re-key to their unordered (least, greatest) form
+    * with a direction flag, one tiny aggregate zips both directions
+    * side by side, and a conditional explode re-emits each observed
+    * ordered row with its counterpart's counts in place. A first draft
+    * self-joined the edge table against itself four ways — Spark
+    * replicates the un-cached corpus subtree per join branch, so the
+    * "tiny" joins silently re-scanned and re-windowed the corpus 4×
+    * (caught by this file's plan gate); the unordered-merge shape does
+    * it in one pass with zero joins. `kept` applies the classic
+    * dependency threshold, emitted per row so the slider is
+    * re-runnable without touching the corpus.
+    */
+  def heuristicDependencies(df: DataFrame, caseCol: String,
+                            activityCol: String, tsCol: String,
+                            tieCol: String,
+                            thresholdMicro: Long = 900000L): DataFrame = {
+    require(thresholdMicro >= 0L && thresholdMicro <= 1000000L,
+      s"heuristicDependencies: thresholdMicro in [0, 1e6], got $thresholdMicro")
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .withColumn("__n1", lead(col(activityCol), 1).over(w))
+      .withColumn("__n2", lead(col(activityCol), 2).over(w))
+      .filter(col("__n1").isNotNull)
+      .select(col(activityCol).as("__a"), col("__n1").as("__b"),
+        // a>b>a loop observation (a != b), carried as a 0/1 column so
+        // the loop table costs no second corpus pass and no union
+        when(col("__n2").isNotNull && col("__n2") === col(activityCol) &&
+          col(activityCol) =!= col("__n1"), lit(1L)).otherwise(lit(0L))
+          .as("__loop"))
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__n"), sum(col("__loop")).as("__nl"))
+    val merged = pairs
+      .withColumn("__lo", least(col("__a"), col("__b")))
+      .withColumn("__hi", greatest(col("__a"), col("__b")))
+      .withColumn("__fwd", col("__a") <= col("__b"))
+      .groupBy(col("__lo"), col("__hi"))
+      .agg(
+        sum(when(col("__fwd"), col("__n")).otherwise(lit(0L))).as("__nf"),
+        sum(when(!col("__fwd"), col("__n")).otherwise(lit(0L))).as("__nr"),
+        sum(when(col("__fwd"), col("__nl")).otherwise(lit(0L))).as("__lf"),
+        sum(when(!col("__fwd"), col("__nl")).otherwise(lit(0L))).as("__lr"))
+    val fwdRow = struct(col("__lo").as("activity"),
+      col("__hi").as("next_activity"), col("__nf").as("n_ab"),
+      col("__nr").as("n_ba"), col("__lf").as("n_aba"),
+      col("__lr").as("n_bab"))
+    val revRow = struct(col("__hi").as("activity"),
+      col("__lo").as("next_activity"), col("__nr").as("n_ab"),
+      col("__nf").as("n_ba"), col("__lr").as("n_aba"),
+      col("__lf").as("n_bab"))
+    merged
+      .select(explode(when(col("__lo") =!= col("__hi"),
+        array(fwdRow, revRow)).otherwise(array(fwdRow))).as("__e"))
+      .select(col("__e.*"))
+      // only OBSERVED directly-follows edges get a row; the reverse
+      // direction surfaces through n_ba, never as a phantom row
+      .filter(col("n_ab") > 0L)
+      // the reverse of a>a is a>a itself, so a self-loop's n_ba IS its
+      // n_ab (what a reverse-direction join would naturally produce)
+      .withColumn("n_ba",
+        when(col("activity") === col("next_activity"), col("n_ab"))
+          .otherwise(col("n_ba")))
+      .withColumn("dep_micro",
+        when(col("activity") === col("next_activity"),
+          expr("(n_ab * 1000000L) div (n_ab + 1L)"))
+        .otherwise(expr(
+          """CASE WHEN n_ab >= n_ba
+            |  THEN ((n_ab - n_ba) * 1000000L) div (n_ab + n_ba + 1L)
+            |  ELSE -(((n_ba - n_ab) * 1000000L) div (n_ab + n_ba + 1L))
+            |END""".stripMargin)))
+      .withColumn("l2_micro",
+        when(col("activity") === col("next_activity"),
+          lit(null).cast("long"))
+        .otherwise(expr(
+          "((n_aba + n_bab) * 1000000L) div (n_aba + n_bab + 1L)")))
+      .withColumn("kept", col("dep_micro") >= lit(thresholdMicro))
+      .select(col("activity"), col("next_activity"), col("n_ab"),
+        col("n_ba"), col("n_aba"), col("n_bab"), col("dep_micro"),
+        col("l2_micro"), col("kept"))
+  }
+
+  /** DFG escaping-edges precision (the simplified ETC-style metric of
+    * Muñoz-Gama & Carmona 2010, as pm4py's DFG-based precision
+    * baseline): mine the allowed directly-follows edges from a MODEL
+    * log (support >= minSupport), then measure, per source activity
+    * in the EVALUATION log, how much of its outgoing transition mass
+    * "escapes" the model — precision = allowed mass / total mass in
+    * exact integer micro-units, plus the mass-weighted `__ALL__`
+    * headline row. The graded companion to the binary footprint
+    * conformance check: a model that allows everything scores 1e6, a
+    * drifted model shows exactly WHERE the new behavior escapes.
+    *
+    * Scale shape: both logs collapse through `edges`' one case-keyed
+    * window to |activities|²-bounded tables; the allowed-set join runs
+    * on those, with the model side broadcast. The `__ALL__` headline
+    * comes from a ROLLUP over the same scored table — one Expand pass,
+    * not a union whose second branch would re-scan and re-window the
+    * whole eval log (the recompute trap the heuristic-deps gate
+    * caught in its first draft).
+    */
+  def dfgPrecision(model: DataFrame, eval: DataFrame, caseCol: String,
+                   activityCol: String, tsCol: String, tieCol: String,
+                   minSupport: Long = 1L): DataFrame = {
+    require(minSupport >= 1L, s"dfgPrecision: minSupport >= 1, got $minSupport")
+    val allowed = edges(model, caseCol, activityCol, tsCol, tieCol)
+      .filter(col("n") >= minSupport)
+      .select(col("activity"), col("next_activity"), lit(true).as("__ok"))
+    edges(eval, caseCol, activityCol, tsCol, tieCol)
+      .join(broadcast(allowed), Seq("activity", "next_activity"), "left")
+      .rollup(col("activity"))
+      .agg(sum(col("n")).as("n_total"),
+        sum(when(col("__ok").isNull, col("n")).otherwise(lit(0L)))
+          .as("n_escaping"))
+      .withColumn("activity", coalesce(col("activity"), lit("__ALL__")))
+      .withColumn("precision_micro",
+        expr("((n_total - n_escaping) * 1000000L) div n_total"))
+      .select(col("activity"), col("n_total"), col("n_escaping"),
+        col("precision_micro"))
+  }
+
   def backtestNextEvent(train: DataFrame, test: DataFrame, caseCol: String,
                         activityCol: String, tsCol: String,
                         tieCol: String): DataFrame = {

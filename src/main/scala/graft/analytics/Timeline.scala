@@ -284,4 +284,62 @@ object Timeline {
       .select(col("day"), col("n"), col("mean_micro"), col("dev_micro"),
         col("cusum_micro"), col("is_changepoint"))
   }
+
+  /** Daily-volume OLS trend — the "is traffic growing" one-row
+    * headline next to the CUSUM chart: least-squares slope and
+    * intercept of events-per-day against the day index on the
+    * DENSIFIED calendar (a dead day pulls the trend down as a loud 0
+    * instead of silently shrinking the sample), plus Pearson r² as the
+    * fit quality — all EXACT integer micro-units. The closed-form
+    * sums n·Σxy − Σx·Σy etc. run in DECIMAL(38,0) ≡ HUGEINT; the two
+    * signed divisions go through sign-decomposition (integral div on
+    * non-negative operands — the Spark-truncates / DuckDB-floors trap),
+    * and r² = num²·1e6 / (denx·deny) has a non-negative numerator by
+    * construction. Degenerate inputs surface as NULL, never a crash:
+    * a single-day log has denx = 0 (no slope is defined), a constant
+    * log has deny = 0 (r² is 0/0). Headroom: num² · 1e6 must stay
+    * under 10^38 — |num| ≤ T·X with T total events, X span days, so
+    * the exact-r² design point is T·X < 10^16 (e.g. 10^12 events over
+    * 10^4 days); beyond it BOTH engines fail LOUD on decimal/HUGEINT
+    * overflow rather than returning a quietly wrong fit.
+    *
+    * Scale shape: the shared `denseDailyCounts` collapse (one
+    * partial-agg shuffle over the corpus), then one aggregate over the
+    * calendar-span-bounded table. One row out.
+    */
+  def volumeTrend(df: DataFrame, tsCol: String): DataFrame = {
+    val wAll = Window.partitionBy(col("__total"))
+    denseDailyCounts(df, tsCol)
+      .withColumn("x",
+        datediff(col("day"), min(col("day")).over(wAll)).cast("long"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("__sx"), sum(col("n")).as("total_events"),
+        sum(col("x") * col("x")).as("__sxx"),
+        // n² and x·n accumulate in DECIMAL(38,0): a 1e10-events day
+        // squares past Long range long before the r² bound bites.
+        sum(col("n").cast("decimal(38,0)") * col("n")).as("__syy"),
+        sum(col("x").cast("decimal(38,0)") * col("n")).as("__sxy"))
+      .withColumn("__num", expr(
+        "CAST(n_days AS DECIMAL(38,0)) * __sxy - CAST(__sx AS DECIMAL(38,0)) * total_events"))
+      .withColumn("__denx", expr(
+        "CAST(n_days AS DECIMAL(38,0)) * __sxx - CAST(__sx AS DECIMAL(38,0)) * __sx"))
+      .withColumn("__deny", expr(
+        "CAST(n_days AS DECIMAL(38,0)) * __syy - CAST(total_events AS DECIMAL(38,0)) * total_events"))
+      .withColumn("__ic", expr(
+        "CAST(total_events AS DECIMAL(38,0)) * __sxx - CAST(__sx AS DECIMAL(38,0)) * __sxy"))
+      .withColumn("slope_micro", expr(
+        """CASE WHEN __denx = 0 THEN NULL
+          |  WHEN __num >= 0 THEN (__num * 1000000) div __denx
+          |  ELSE -((-__num * 1000000) div __denx) END""".stripMargin))
+      .withColumn("intercept_micro", expr(
+        """CASE WHEN __denx = 0 THEN NULL
+          |  WHEN __ic >= 0 THEN (__ic * 1000000) div __denx
+          |  ELSE -((-__ic * 1000000) div __denx) END""".stripMargin))
+      .withColumn("r2_micro", expr(
+        """CASE WHEN __denx = 0 OR __deny = 0 THEN NULL
+          |  ELSE (__num * __num * 1000000) div (__denx * __deny) END""".stripMargin))
+      .select(col("n_days"), col("total_events"), col("slope_micro"),
+        col("intercept_micro"), col("r2_micro"))
+  }
 }

@@ -542,6 +542,36 @@ object EventQueries {
         "session_id", "event_type", "ts", "event_id")
     }),
 
+    // Heuristics-miner dependency graph: signed dependency, L1-loop
+    // and L2-loop measures in exact micro-units over the session DFG.
+    "q_heuristic_deps" -> ((s, dir) =>
+      Dfg.heuristicDependencies(sessions(Tables.events(s, dir)),
+        "session_id", "event_type", "ts", "event_id")),
+
+    // DFG escaping-edges precision: the early-half model (support >= 5)
+    // evaluated on the late-half log — the graded companion to the
+    // binary footprint conformance check and the drift report.
+    "q_dfg_precision" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sess = sessions(Tables.events(s, dir))
+      val bounds = sess.agg(
+        min(unix_micros(col("ts"))).as("__t0"),
+        max(unix_micros(col("ts"))).as("__t1"))
+      val tagged = sess.crossJoin(broadcast(bounds))
+        .withColumn("__mid", expr("(__t0 + __t1) div 2"))
+        .withColumn("__st", min(unix_micros(col("ts")))
+          .over(Window.partitionBy(col("session_id"))))
+      Dfg.dfgPrecision(
+        tagged.filter(col("__st") < col("__mid")),
+        tagged.filter(col("__st") >= col("__mid")),
+        "session_id", "event_type", "ts", "event_id", minSupport = 5L)
+    }),
+
+    // Daily-volume OLS trend: one-row slope/intercept/r² in exact
+    // integer micro-units on the densified calendar.
+    "q_trend" -> ((s, dir) =>
+      Timeline.volumeTrend(Tables.events(s, dir), "ts")),
+
     // Markov next-event BACKTEST: train the transition argmax on the
     // even-user_id sessions, score next-event predictions on the odd
     // half (grouped holdout — context never crosses users, so the
@@ -1232,6 +1262,151 @@ object EventQueries {
          |SELECT '__TV__', '', t.ta, t.tb, 1000000, 1000000,
          |  CAST(sum(sc.delta_micro) AS BIGINT) // 2
          |FROM sc CROSS JOIN t GROUP BY t.ta, t.tb""".stripMargin,
+
+    // Heuristics-miner replay: one two-lead window pass, edge + aba
+    // loop collapses, reverse joins, the SAME sign-decomposed CASE
+    // arithmetic (// on non-negative operands only — DuckDB floors,
+    // Spark truncates, they agree only above zero).
+    "q_heuristic_deps" ->
+      s"""$SessionsCte, seq AS (
+         |  SELECT event_type AS activity,
+         |    lead(event_type, 1) OVER (PARTITION BY session_id
+         |      ORDER BY ts, event_id) AS n1,
+         |    lead(event_type, 2) OVER (PARTITION BY session_id
+         |      ORDER BY ts, event_id) AS n2
+         |  FROM s
+         |), e AS (
+         |  SELECT activity, n1 AS next_activity,
+         |    CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM seq WHERE n1 IS NOT NULL GROUP BY 1, 2
+         |), l AS (
+         |  SELECT activity, n1 AS next_activity,
+         |    CAST(count(*) AS BIGINT) AS n_aba
+         |  FROM seq
+         |  WHERE n2 IS NOT NULL AND n2 = activity AND activity <> n1
+         |  GROUP BY 1, 2
+         |), j AS (
+         |  SELECT e.activity, e.next_activity, e.n_ab,
+         |    coalesce(r.n_ab, 0) AS n_ba,
+         |    coalesce(l1.n_aba, 0) AS n_aba,
+         |    coalesce(l2.n_aba, 0) AS n_bab
+         |  FROM e
+         |  LEFT JOIN e r ON r.activity = e.next_activity
+         |    AND r.next_activity = e.activity
+         |  LEFT JOIN l l1 ON l1.activity = e.activity
+         |    AND l1.next_activity = e.next_activity
+         |  LEFT JOIN l l2 ON l2.activity = e.next_activity
+         |    AND l2.next_activity = e.activity
+         |), d AS (
+         |  SELECT *,
+         |    CASE WHEN activity = next_activity
+         |        THEN (n_ab * 1000000) // (n_ab + 1)
+         |      WHEN n_ab >= n_ba
+         |        THEN ((n_ab - n_ba) * 1000000) // (n_ab + n_ba + 1)
+         |      ELSE -(((n_ba - n_ab) * 1000000) // (n_ab + n_ba + 1))
+         |    END AS dep_micro
+         |  FROM j
+         |)
+         |SELECT activity, next_activity, n_ab, n_ba, n_aba, n_bab,
+         |  dep_micro,
+         |  CASE WHEN activity = next_activity THEN NULL
+         |    ELSE ((n_aba + n_bab) * 1000000) // (n_aba + n_bab + 1)
+         |  END AS l2_micro,
+         |  dep_micro >= 900000 AS kept
+         |FROM d""".stripMargin,
+
+    // Precision replay: the drift CTE's session tagging, early-half
+    // model with HAVING >= 5, left join, escaping-mass CASE sums,
+    // UNION ALL headline row.
+    "q_dfg_precision" ->
+      s"""$SessionsCte, bnd AS (
+         |  SELECT min(CAST(epoch_us(ts) AS BIGINT)) AS t0,
+         |         max(CAST(epoch_us(ts) AS BIGINT)) AS t1
+         |  FROM s
+         |), tagged AS (
+         |  SELECT s.*, (bnd.t0 + bnd.t1) // 2 AS mid,
+         |    min(CAST(epoch_us(ts) AS BIGINT))
+         |      OVER (PARTITION BY session_id) AS sst
+         |  FROM s CROSS JOIN bnd
+         |), pm AS (
+         |  SELECT event_type, lead(event_type) OVER (PARTITION BY session_id
+         |    ORDER BY ts, event_id) AS nxt
+         |  FROM tagged WHERE sst < mid
+         |), pe AS (
+         |  SELECT event_type, lead(event_type) OVER (PARTITION BY session_id
+         |    ORDER BY ts, event_id) AS nxt
+         |  FROM tagged WHERE sst >= mid
+         |), model AS (
+         |  SELECT event_type AS activity, nxt AS next_activity
+         |  FROM pm WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  HAVING count(*) >= 5
+         |), ev AS (
+         |  SELECT event_type AS activity, nxt AS next_activity,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM pe WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |), sc AS (
+         |  SELECT ev.activity, ev.n, (m.activity IS NOT NULL) AS ok
+         |  FROM ev LEFT JOIN model m ON m.activity = ev.activity
+         |    AND m.next_activity = ev.next_activity
+         |), g AS (
+         |  SELECT activity, CAST(sum(n) AS BIGINT) AS n_total,
+         |    CAST(sum(CASE WHEN ok THEN 0 ELSE n END) AS BIGINT)
+         |      AS n_escaping
+         |  FROM sc GROUP BY 1
+         |  UNION ALL
+         |  SELECT '__ALL__', CAST(sum(n) AS BIGINT),
+         |    CAST(sum(CASE WHEN ok THEN 0 ELSE n END) AS BIGINT)
+         |  FROM sc
+         |)
+         |SELECT activity, n_total, n_escaping,
+         |  ((n_total - n_escaping) * 1000000) // n_total AS precision_micro
+         |FROM g""".stripMargin,
+
+    // Trend replay: the changepoint densify CTE with a day index, one
+    // HUGEINT moment row, the identical sign-decomposed divisions.
+    "q_trend" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |), b AS (
+        |  SELECT min(day) AS d0,
+        |    CAST(max(day) - min(day) + 1 AS BIGINT) AS days
+        |  FROM daily
+        |), cal AS (
+        |  SELECT d0 + CAST(i AS INTEGER) AS day, CAST(i AS BIGINT) AS x
+        |  FROM b, unnest(range(0, days)) t(i)
+        |), dense AS (
+        |  SELECT x, CAST(coalesce(n, 0) AS BIGINT) AS n
+        |  FROM cal c LEFT JOIN daily d ON c.day = d.day
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS HUGEINT) AS sx,
+        |    CAST(sum(n) AS BIGINT) AS total_events,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(x AS HUGEINT) * n) AS HUGEINT) AS sxy
+        |  FROM dense
+        |), k AS (
+        |  SELECT n_days, total_events,
+        |    CAST(n_days AS HUGEINT) * sxy - sx * total_events AS num,
+        |    CAST(n_days AS HUGEINT) * sxx - sx * sx AS denx,
+        |    CAST(n_days AS HUGEINT) * syy
+        |      - CAST(total_events AS HUGEINT) * total_events AS deny,
+        |    CAST(total_events AS HUGEINT) * sxx - sx * sxy AS ic
+        |  FROM m
+        |)
+        |SELECT n_days, total_events,
+        |  CAST(CASE WHEN denx = 0 THEN NULL
+        |    WHEN num >= 0 THEN (num * 1000000) // denx
+        |    ELSE -((-num * 1000000) // denx) END AS BIGINT) AS slope_micro,
+        |  CAST(CASE WHEN denx = 0 THEN NULL
+        |    WHEN ic >= 0 THEN (ic * 1000000) // denx
+        |    ELSE -((-ic * 1000000) // denx) END AS BIGINT)
+        |    AS intercept_micro,
+        |  CAST(CASE WHEN denx = 0 OR deny = 0 THEN NULL
+        |    ELSE (num * num * 1000000) // (denx * deny) END AS BIGINT)
+        |    AS r2_micro
+        |FROM k""".stripMargin,
 
     // Backtest replay: same session CTE, argmax with the identical
     // (count desc, next asc) tie-break, CASE-null hit scoring (a NULL

@@ -590,6 +590,32 @@ class PlanShapeSpec extends SparkSpec {
       s"process report: only the 1-row cross may nested-loop:\n${pr3.take(1200)}")
   }
 
+  test("round-9 thirteenth-batch plans: one-pass lead chain, collapsed joins") {
+    // heuristic deps: BOTH leads ride the sessionize window pass (2
+    // sessionize windows + 1 lead window), ONE corpus scan, and the
+    // direction merge is JOIN-FREE (the self-join draft re-scanned and
+    // re-windowed the corpus 4× — this gate is what caught it)
+    val hd = plan("q_heuristic_deps")
+    assert(hd.linesIterator.count(_.contains("Window")) <= 3 &&
+      !hd.contains("Join") && count(hd, "Scan parquet") == 1,
+      s"heuristic deps is one join-free corpus pass:\n${hd.take(1200)}")
+    // precision: the allowed-edge set joins BROADCAST (it is bounded by
+    // |activities|²), the headline row comes from one rollup Expand —
+    // never a union re-scan; the only nested loops are the two 1-row
+    // bounds broadcasts (model branch + eval branch)
+    val dp = plan("q_dfg_precision")
+    assert(!dp.contains("CartesianProduct") &&
+      dp.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2 &&
+      dp.contains("BroadcastHashJoin") && dp.contains("Expand"),
+      s"precision: broadcast model, rollup headline, bounds-only nested-loop:\n${dp.take(1500)}")
+    // trend: the corpus collapses to daily counts first; windows and
+    // the moment aggregate run on the calendar-bounded dense table
+    val tr = plan("q_trend")
+    assert(!tr.contains("CartesianProduct") &&
+      tr.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"trend: only the 1-row bounds may nested-loop:\n${tr.take(1200)}")
+  }
+
   test("q_snapshot_diff: one full-outer equi-join, never a nested loop") {
     val p = plan("q_snapshot_diff")
     assert(p.contains("FullOuter"),

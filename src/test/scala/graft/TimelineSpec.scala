@@ -389,4 +389,135 @@ class TimelineSpec extends SparkSpec {
     // transition-mass reconciliation: handover n sums = total transitions
     assert(out.values.map(_._1).sum == 4L)
   }
+
+  test("heuristicDependencies: textbook measures — balanced pair, L1/L2 loops") {
+    // c1 = a,b,a,b,a: n(a,b)=2, n(b,a)=2 → dep 0; aba=2, bab=1 → l2 = 3e6//4
+    // c2 = x,x,x: L1 loop n(x,x)=2 → dep = 2e6//3; l2 NULL
+    // c3 = p,q: one-directional → dep = 1e6//2, n_ba = 0
+    val df = log(
+      ("c1", "a", "2024-01-01 10:00:00", 1L),
+      ("c1", "b", "2024-01-01 10:01:00", 2L),
+      ("c1", "a", "2024-01-01 10:02:00", 3L),
+      ("c1", "b", "2024-01-01 10:03:00", 4L),
+      ("c1", "a", "2024-01-01 10:04:00", 5L),
+      ("c2", "x", "2024-01-01 11:00:00", 6L),
+      ("c2", "x", "2024-01-01 11:01:00", 7L),
+      ("c2", "x", "2024-01-01 11:02:00", 8L),
+      ("c3", "p", "2024-01-01 12:00:00", 9L),
+      ("c3", "q", "2024-01-01 12:01:00", 10L))
+    val out = Dfg.heuristicDependencies(df, "case_id", "activity", "ts",
+        "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("a", "b"))
+    assert(ab.getLong(2) == 2L && ab.getLong(3) == 2L)     // n_ab, n_ba
+    assert(ab.getLong(4) == 2L && ab.getLong(5) == 1L)     // n_aba, n_bab
+    assert(ab.getLong(6) == 0L)                            // dep
+    assert(ab.getLong(7) == 750000L)                       // l2
+    val xx = out(("x", "x"))
+    assert(xx.getLong(2) == 2L && xx.getLong(6) == 666666L)
+    assert(xx.isNullAt(7), "L1 loop must have NULL l2")
+    val pq = out(("p", "q"))
+    assert(pq.getLong(3) == 0L && pq.getLong(6) == 500000L)
+    // the unobserved reverse direction must NOT emit a phantom row
+    assert(!out.contains(("q", "p")))
+  }
+
+  test("heuristicDependencies: signed measure is exact and antisymmetric") {
+    // n(a,b)=1, n(b,a)=2 → dep(a,b) = -(1e6 // 4) = -250000, dep(b,a)=+250000
+    val df = log(
+      ("c1", "a", "2024-01-01 10:00:00", 1L),
+      ("c1", "b", "2024-01-01 10:01:00", 2L),
+      ("c2", "b", "2024-01-01 11:00:00", 3L),
+      ("c2", "a", "2024-01-01 11:01:00", 4L),
+      ("c3", "b", "2024-01-01 12:00:00", 5L),
+      ("c3", "a", "2024-01-01 12:01:00", 6L))
+    val out = Dfg.heuristicDependencies(df, "case_id", "activity", "ts",
+        "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(6))
+      .toMap
+    assert(out(("a", "b")) == -250000L && out(("b", "a")) == 250000L)
+  }
+
+  test("heuristicDependencies: kept threshold at the classic 0.9") {
+    def chain(n: Int, base: Long) = (1 to n).flatMap { i =>
+      Seq((s"c$i", "a", f"2024-01-01 10:${i}%02d:00", base + 2 * i),
+        (s"c$i", "b", f"2024-01-01 10:${i}%02d:30", base + 2 * i + 1))
+    }
+    val kept9 = Dfg.heuristicDependencies(log(chain(9, 0L): _*),
+        "case_id", "activity", "ts", "event_id")
+      .filter(col("activity") === "a").collect().head
+    assert(kept9.getLong(6) == 900000L && kept9.getBoolean(8))
+    val kept8 = Dfg.heuristicDependencies(log(chain(8, 100L): _*),
+        "case_id", "activity", "ts", "event_id")
+      .filter(col("activity") === "a").collect().head
+    assert(kept8.getLong(6) == 888888L && !kept8.getBoolean(8))
+  }
+
+  test("dfgPrecision: escaping mass, minSupport, perfect-model 1e6") {
+    val model = log(
+      ("m1", "a", "2024-01-01 10:00:00", 1L),
+      ("m1", "b", "2024-01-01 10:01:00", 2L))
+    val eval = log(
+      ("e1", "a", "2024-01-01 11:00:00", 3L),
+      ("e1", "b", "2024-01-01 11:01:00", 4L),
+      ("e2", "a", "2024-01-01 12:00:00", 5L),
+      ("e2", "b", "2024-01-01 12:01:00", 6L),
+      ("e3", "a", "2024-01-01 13:00:00", 7L),
+      ("e3", "b", "2024-01-01 13:01:00", 8L),
+      ("e4", "a", "2024-01-01 14:00:00", 9L),
+      ("e4", "c", "2024-01-01 14:01:00", 10L))
+    val out = Dfg.dfgPrecision(model, eval, "case_id", "activity", "ts",
+        "event_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // a: 4 transitions, 1 escaping (a>c) → 750000; headline identical
+    assert(out("a") == ((4L, 1L, 750000L)))
+    assert(out("__ALL__") == ((4L, 1L, 750000L)))
+    // raising minSupport above the model's edge count escapes everything
+    val strict = Dfg.dfgPrecision(model, eval, "case_id", "activity", "ts",
+        "event_id", minSupport = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(strict("a") == 0L && strict("__ALL__") == 0L)
+    // model ⊇ eval behavior → precision 1e6
+    val perfect = Dfg.dfgPrecision(eval, eval, "case_id", "activity", "ts",
+        "event_id")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(perfect.values.forall(_ == 1000000L))
+  }
+
+  test("volumeTrend: exact fit on a perfect line recovers slope/intercept/r2") {
+    import spark.implicits._
+    // day i (i = 0..4) has i+1 events → y = x + 1 exactly
+    val rows = for { i <- 0 to 4; j <- 0 until i + 1 } yield
+      (ts(f"2024-03-${i + 1}%02d 10:00:00"), (10 * i + j).toLong)
+    val df = rows.toDF("ts", "event_id")
+    val r = Timeline.volumeTrend(df, "ts").collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 15L)
+    assert(r.getLong(2) == 1000000L, "slope")
+    assert(r.getLong(3) == 1000000L, "intercept")
+    assert(r.getLong(4) == 1000000L, "r2")
+  }
+
+  test("volumeTrend: dead days densify to loud zeros; degenerate inputs NULL") {
+    import spark.implicits._
+    // days 0 and 2 have 2 events each, day 1 none → x=(0,1,2), y=(2,0,2):
+    // num = 0 → slope 0, r2 0; ic = 8 → intercept 8e6 div 6 = 1333333
+    val gap = Seq(
+      (ts("2024-03-01 10:00:00"), 1L), (ts("2024-03-01 11:00:00"), 2L),
+      (ts("2024-03-03 10:00:00"), 3L), (ts("2024-03-03 11:00:00"), 4L))
+      .toDF("ts", "event_id")
+    val g = Timeline.volumeTrend(gap, "ts").collect().head
+    assert(g.getLong(0) == 3L && g.getLong(2) == 0L && g.getLong(4) == 0L)
+    assert(g.getLong(3) == 1333333L)
+    // constant volume: deny = 0 → r2 NULL (0/0), slope exactly 0
+    val const = Seq(
+      (ts("2024-03-01 10:00:00"), 1L), (ts("2024-03-02 10:00:00"), 2L),
+      (ts("2024-03-03 10:00:00"), 3L)).toDF("ts", "event_id")
+    val c = Timeline.volumeTrend(const, "ts").collect().head
+    assert(c.getLong(2) == 0L && c.isNullAt(4))
+    // single day: denx = 0 → no trend is defined, all three NULL
+    val one = Seq((ts("2024-03-01 10:00:00"), 1L)).toDF("ts", "event_id")
+    val o = Timeline.volumeTrend(one, "ts").collect().head
+    assert(o.getLong(0) == 1L && o.isNullAt(2) && o.isNullAt(3) && o.isNullAt(4))
+  }
 }
