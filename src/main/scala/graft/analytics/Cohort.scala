@@ -222,4 +222,56 @@ object Cohort {
       .select(col("cohort_day"), col("offset_days"), col("n_users"),
         col("__cohort_size").as("cohort_size"), col("retention_micro"))
   }
+
+  /** Gini coefficient of per-key activity — the "do whale users own
+    * the log" concentration headline (the distribution-inequality
+    * sibling of L-146's per-source Simpson index): with per-key event
+    * counts x(1) ≤ … ≤ x(n), G = (2·Σ i·x(i) − (n+1)·Σx) / (n·Σx),
+    * in exact integer micro-units. The naive formulation needs a
+    * GLOBAL RANK of all n keys — a single-partition sort of 10^9 users
+    * at 100 TB, the ntile trap the RFM screen already dodges. This one
+    * uses the VALUE-HISTOGRAM identity instead: keys sharing a count v
+    * occupy a contiguous rank block, and the block's Σ i·x(i) is
+    * v·(R·m + m(m+1)/2) with R the keys before it — so the rank
+    * window runs on the (v, m) histogram, bounded by DISTINCT activity
+    * levels (≤ max events per key, a tiny table at any corpus size),
+    * never on keys. Within-block order is arbitrary and provably
+    * cancels (same v), so the result is deterministic without any
+    * tie-break. Products run in DECIMAL(38,0) ≡ HUGEINT; a keyless
+    * input yields zero rows (nothing to measure), an all-equal log
+    * yields exactly 0, maximal concentration approaches 1 − 1/n.
+    *
+    * Scale shape: one key-collapse shuffle (partial-aggregated), one
+    * histogram collapse, then windows + the final 1-row aggregate on
+    * the histogram table (single partition BY CONTRACT — it is
+    * value-bounded, not corpus-bounded).
+    */
+  def gini(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__v"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__m"))
+    val wo = Window.partitionBy(lit(0)).orderBy(col("__v"))
+    hist
+      .withColumn("__r", coalesce(sum(col("__m")).over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // block contribution to Σ rank·x: v · (R·m + m(m+1)/2)
+      .withColumn("__w", expr(
+        """CAST(__v AS DECIMAL(38,0)) *
+          |  (CAST(__r AS DECIMAL(38,0)) * __m +
+          |   (CAST(__m AS DECIMAL(38,0)) * (__m + 1)) div 2)""".stripMargin))
+      .groupBy()
+      .agg(sum(col("__m")).as("n_keys"),
+        sum(expr("CAST(__v AS DECIMAL(38,0)) * __m")).as("total_events"),
+        sum(col("__w")).as("__sw"))
+      .withColumn("gini_micro", expr(
+        """CAST(((2 * __sw - CAST(n_keys + 1 AS DECIMAL(38,0)) * total_events)
+          |  * 1000000)
+          | div nullif(CAST(n_keys AS DECIMAL(38,0)) * total_events,
+          |            CAST(0 AS DECIMAL(38,0))) AS BIGINT)""".stripMargin))
+      .select(col("n_keys"),
+        col("total_events").cast("long").as("total_events"),
+        col("gini_micro"))
+  }
 }

@@ -1,0 +1,109 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Forensic / audit screens over numeric facts — the fraud-detection
+  * classics a warehouse runs next to the data-quality gates (z-score
+  * fences, column profiler): Benford's-law digit conformity and the
+  * exact 2×2 chi-square independence test. Both are single-scan
+  * partial aggregates with exact integer arithmetic, so they
+  * hash-verify cross-engine and scale to any corpus the scan itself
+  * survives.
+  */
+object Forensics {
+
+  /** Benford micro-unit expectations: floor(log10(1 + 1/d) · 1e6) for
+    * d = 1..9, pinned as constants so no libm log enters the pipeline.
+    * They sum to exactly 1e6.
+    */
+  private val BenfordMicro =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L,
+      51153L, 45757L)
+
+  /** Benford's-law first-digit screen (Newcomb 1881 / Benford 1938;
+    * Nigrini's forensic-accounting workhorse): the distribution of the
+    * first significant digit of a positive amount column against the
+    * logarithmic expectation — invoices, payments and order totals
+    * follow it, fabricated numbers usually don't. Amounts quantize to
+    * cents by the floor(value·100) convention; the first digit comes
+    * from the DECIMAL STRING of that integer (exact on both engines —
+    * no log10, no float power), zero/negative amounts are excluded BY
+    * CONTRACT (Benford is defined on positive magnitudes). ALL nine
+    * digits are emitted — an absent digit is the loudest possible
+    * deviation and must surface as n = 0, not as a missing row — with
+    * observed/expected micro shares, |Δ|, and Nigrini's MAD conformity
+    * statistic (Σ|Δ| div 9) stamped on every row (a column, not an
+    * extra row: a union summary would re-scan the corpus subtree — the
+    * q_wip recompute lesson).
+    *
+    * Scale shape: the corpus collapses to ≤ 9 digit counts in ONE
+    * partial-aggregated shuffle; the spine join and windows run on the
+    * 9-row table (single partition BY CONTRACT).
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val observed = df
+      .select(expr(s"CAST(floor($valueCol * 100) AS BIGINT)").as("__cents"))
+      .filter(col("__cents") > 0L)
+      .select(expr("CAST(substring(CAST(__cents AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").as("digit"),
+        element_at(array(BenfordMicro.map(lit): _*), col("id").cast("int"))
+          .as("expected_micro"))
+    val w = Window.partitionBy(lit(0))
+    spine.join(observed, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("__tot", sum(col("n")).over(w))
+      .withColumn("share_micro", expr("(n * 1000000L) div nullif(__tot, 0L)"))
+      .withColumn("delta_micro", abs(col("share_micro") - col("expected_micro")))
+      .withColumn("mad_micro",
+        expr("CAST(sum(delta_micro) OVER () AS BIGINT) div 9"))
+      .select(col("digit"), col("n"), col("share_micro"),
+        col("expected_micro"), col("delta_micro"), col("mad_micro"))
+  }
+
+  /** Exact 2×2 chi-square independence test (Pearson 1900) between a
+    * boolean group split and a boolean outcome — the A/B-test
+    * significance screen: χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)),
+    * which for the 2×2 table needs NO expected-value floats — the
+    * whole statistic is one integral division of exact DECIMAL(38,0)
+    * ≡ HUGEINT products ((ad−bc)² is non-negative by construction, so
+    * the floor/truncate divergence never applies). Per-group
+    * conversion rates ride along in micro-units; a degenerate margin
+    * (an empty group or a constant outcome) yields NULL via NULLIF —
+    * independence is undefined there, never a division error.
+    * Headroom: N·(ad−bc)²·1e6 under 10^38 holds through N ≈ 10^6.4 of
+    * perfectly-split data (worst case (ad−bc)² ≈ N⁴/16); beyond that
+    * BOTH engines fail loud on decimal/HUGEINT overflow — at true
+    * 100 TB row counts run the screen per-stratum (the natural A/B
+    * shape) or accept the documented double-precision valve of the
+    * z-score family.
+    *
+    * Scale shape: ONE conditional-sum aggregate over the corpus — the
+    * cheapest possible screen. One row out.
+    */
+  def chi2(df: DataFrame, groupCol: String, outcomeCol: String): DataFrame =
+    df.select(col(groupCol).as("__g"), col(outcomeCol).as("__o"))
+      .agg(
+        sum(when(col("__g") && col("__o"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("__g") && !col("__o"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__g") && col("__o"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("__g") && !col("__o"), 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("rate_g_micro", expr("(a * 1000000L) div nullif(a + b, 0L)"))
+      .withColumn("rate_o_micro", expr("(c * 1000000L) div nullif(c + d, 0L)"))
+      .withColumn("chi2_micro", expr(
+        """(CAST(n AS DECIMAL(38,0)) *
+          |   (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c) *
+          |   (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c) *
+          |   1000000)
+          | div nullif(
+          |   CAST(a + b AS DECIMAL(38,0)) * (c + d) *
+          |     CAST(a + c AS DECIMAL(38,0)) * (b + d),
+          |   CAST(0 AS DECIMAL(38,0)))""".stripMargin))
+      .select(col("a"), col("b"), col("c"), col("d"), col("n"),
+        col("rate_g_micro"), col("rate_o_micro"), col("chi2_micro"))
+}

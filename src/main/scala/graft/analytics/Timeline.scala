@@ -342,4 +342,65 @@ object Timeline {
       .select(col("n_days"), col("total_events"), col("slope_micro"),
         col("intercept_micro"), col("r2_micro"))
   }
+
+  /** Non-parametric trend pair for the daily volume — the robust
+    * sibling of `volumeTrend`'s OLS: the Mann-Kendall statistic
+    * S = Σ sign(y_j − y_i) over day pairs i < j with Kendall's
+    * tau = S / (n(n−1)/2), plus the Theil-Sen slope (median of all
+    * pairwise slopes — up to ~29% outlier days cannot move it, where
+    * one flash-crowd day drags OLS arbitrarily). S and tau are EXACT
+    * integers end to end; each pairwise slope is ONE IEEE double
+    * division (bit-identical cross-engine — the zscore convention:
+    * single float ops are fine, float ACCUMULATION is not), the
+    * median is the exact lower order statistic at rank
+    * ceil((n_pairs+1)/2) under the (slope, day_i, day_j) order, and
+    * only the final floor(·1e6) quantizes.
+    *
+    * Scale shape: the `denseDailyCounts` collapse, then a self
+    * EQUI-join on the span key with day_i < day_j as post-filter —
+    * QUADRATIC IN CALENDAR DAYS BY CONTRACT (the statistic is defined
+    * over all day pairs; a decade is ~6.7M pairs — trivial — and the
+    * corpus only ever pays the daily collapse). The rank window runs
+    * single-partition on the pair table, bounded by the same
+    * contract.
+    */
+  def pairwiseTrend(df: DataFrame, tsCol: String): DataFrame = {
+    // materialize the (tiny, calendar-bounded) daily table before the
+    // self-join: without this, BOTH join branches re-scan and
+    // re-collapse the corpus — the recompute trap the heuristic-deps
+    // gate caught, here cut by an eager localCheckpoint because the
+    // two branches differ (no common Exchange to reuse)
+    val dense = denseDailyCounts(df, tsCol).localCheckpoint(true)
+    val lhs = dense.select(col("__total"), col("day").as("__d1"),
+      col("n").as("__y1"))
+    val rhs = dense.select(col("__total").as("__t2"), col("day").as("__d2"),
+      col("n").as("__y2"))
+    val pairs = lhs.join(rhs,
+        col("__total") === col("__t2") && col("__d1") < col("__d2"))
+      .withColumn("__dy", col("__y2") - col("__y1"))
+      .withColumn("__slope",
+        col("__dy").cast("double") /
+          datediff(col("__d2"), col("__d1")).cast("double"))
+    val wo = Window.partitionBy(col("__total"))
+      .orderBy(col("__slope"), col("__d1"), col("__d2"))
+    pairs
+      .withColumn("__np", count(lit(1)).over(Window.partitionBy(col("__total"))))
+      .withColumn("__rk", row_number().over(wo))
+      .groupBy(col("__total"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(signum(col("__dy")).cast("long")).as("s"),
+        // rank ceil((n_pairs+1)/2) = (n_pairs+2) div 2 — the exact
+        // lower median under the repo's order-statistic convention
+        max(when(col("__rk") === expr("(__np + 2) div 2"),
+          col("__slope"))).as("__med"))
+      .withColumn("tau_micro", expr(
+        """CASE WHEN n_pairs = 0 THEN NULL
+          |  WHEN s >= 0 THEN (s * 1000000L) div n_pairs
+          |  ELSE -((-s * 1000000L) div n_pairs) END""".stripMargin))
+      .withColumn("theilsen_micro",
+        expr("CAST(floor(__med * 1000000.0) AS BIGINT)"))
+      .select(col("n_pairs"), col("s"), col("tau_micro"),
+        col("theilsen_micro"))
+  }
 }

@@ -84,6 +84,53 @@ object TextOps {
        |  i -> aggregate(slice($thashesCol, i, $w), 11L,
        |         (a, h) -> (a * 37 + h) % $HashPrime))""".stripMargin)
 
+  /** Full winnowing fingerprint selection (Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003 — the MOSS algorithm): over the document's
+    * w-gram window-hash sequence, slide a selection window of `win`
+    * hashes and keep the minimum of each window, RIGHTMOST on ties
+    * (the paper's rule), deduplicating repeated selections. The
+    * upgrade over the single-min `fingerprint` sketch: winnowing
+    * GUARANTEES that any shared token run of length ≥ w + win − 1
+    * yields a shared selected fingerprint, while keeping density ≤ 1
+    * fingerprint per window (consecutive selected positions are at
+    * most `win` apart) — the local-sensitivity property MOSS-style
+    * plagiarism and near-dup detection rest on. Documents shorter
+    * than `w` tokens fall back to one whole-document polynomial at
+    * pos 1 — a loud single row, never a silent drop.
+    *
+    * Scale shape: entirely ROW-LOCAL higher-order-function array work
+    * (argmin via an `aggregate` with a (pos, fp) struct accumulator,
+    * scanning ascending with `<=` so ties land rightmost) followed by
+    * one explode — no shuffle at all beyond the source partitioning;
+    * a relational formulation would pay a win× starts-join blowup
+    * (the shape the DuckDB oracle deliberately uses, since it has no
+    * per-row state).
+    */
+  def winnow(df: DataFrame, idCol: String, textCol: String, w: Int = 5,
+             win: Int = 4): DataFrame = {
+    require(w >= 2 && win >= 1, s"winnow: w >= 2 and win >= 1, got ($w, $win)")
+    df.withColumn("__toks", tokens(textCol))
+      .withColumn("__th", tokenHashes("__toks"))
+      .withColumn("__wh", expr(
+        s"""CASE WHEN size(__th) >= $w
+           |  THEN transform(sequence(1, size(__th) - ${w - 1}),
+           |         i -> aggregate(slice(__th, i, $w), 11L,
+           |                (a, h) -> (a * 37 + h) % $HashPrime))
+           |  ELSE array(aggregate(__th, 11L,
+           |         (a, h) -> (a * 37 + h) % $HashPrime))
+           |END""".stripMargin))
+      .select(col(idCol), explode(array_distinct(expr(
+        s"""transform(sequence(1, greatest(size(__wh) - ${win - 1}, 1)),
+           |  i -> aggregate(sequence(i, least(i + ${win - 1}, size(__wh))),
+           |         named_struct('pos', 0, 'fp',
+           |           CAST(${Long.MaxValue}L AS BIGINT)),
+           |         (acc, j) -> CASE WHEN element_at(__wh, j) <= acc.fp
+           |           THEN named_struct('pos', j, 'fp', element_at(__wh, j))
+           |           ELSE acc END))""".stripMargin))).as("__s"))
+      .select(col(idCol), col("__s.pos").cast("long").as("pos"),
+        col("__s.fp").as("fp"))
+  }
+
   /** Per-document TF-IDF keyword extraction with a RATIONAL idf
     * (score = tf · N / df, two IEEE ops in a fixed order) instead of
     * the logarithmic one — libm log implementations are not guaranteed

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.analytics.{Cohort, Dfg, Funnel, SeqExamples, Social, Timeline, Variants}
+import graft.analytics.{Cohort, Dfg, Funnel, Privacy, SeqExamples, Social, Timeline, Variants}
 import graft.api.EventLogGenerator
 import graft.operators.{EventOps, Sessionize}
 
@@ -571,6 +571,24 @@ object EventQueries {
     // integer micro-units on the densified calendar.
     "q_trend" -> ((s, dir) =>
       Timeline.volumeTrend(Tables.events(s, dir), "ts")),
+
+    // Mann-Kendall S / Kendall tau + Theil-Sen median slope — the
+    // robust non-parametric sibling of q_trend, exact integers plus
+    // one IEEE division per pair.
+    "q_pairwise_trend" -> ((s, dir) =>
+      Timeline.pairwiseTrend(Tables.events(s, dir), "ts")),
+
+    // Gini concentration of per-user activity via the value-histogram
+    // identity — no global user rank anywhere.
+    "q_gini" -> ((s, dir) =>
+      Cohort.gini(Tables.events(s, dir), "user_id")),
+
+    // ε-DP per-user count release (Laplace mechanism, deterministic
+    // seeded noise) — the aggregate-protection half of the privacy
+    // family next to q_log_anonymize. Rows-only by design.
+    "q_dp_counts" -> ((s, dir) =>
+      Privacy.dpCounts(Tables.events(s, dir), "user_id",
+        epsilonMicro = 1000000L, seed = 42L)),
 
     // Markov next-event BACKTEST: train the transition argmax on the
     // even-user_id sessions, score next-event predictions on the odd
@@ -1407,6 +1425,77 @@ object EventQueries {
         |    ELSE (num * num * 1000000) // (denx * deny) END AS BIGINT)
         |    AS r2_micro
         |FROM k""".stripMargin,
+
+    // Pairwise-trend replay: the densify CTE, the day-pair join, the
+    // SAME single IEEE division per slope, the exact lower-median rank
+    // (n+2)//2 under (slope, day1, day2), floor-then-cast micro.
+    "q_pairwise_trend" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |), b AS (
+        |  SELECT min(day) AS d0,
+        |    CAST(max(day) - min(day) + 1 AS BIGINT) AS days
+        |  FROM daily
+        |), cal AS (
+        |  SELECT d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, unnest(range(0, days)) t(i)
+        |), dense AS (
+        |  SELECT c.day, CAST(coalesce(n, 0) AS BIGINT) AS n
+        |  FROM cal c LEFT JOIN daily d ON c.day = d.day
+        |), p AS (
+        |  SELECT d1.day AS day1, d2.day AS day2, d2.n - d1.n AS dy,
+        |    CAST(d2.n - d1.n AS DOUBLE)
+        |      / CAST(date_diff('day', d1.day, d2.day) AS DOUBLE) AS slope
+        |  FROM dense d1 JOIN dense d2 ON d1.day < d2.day
+        |), r AS (
+        |  SELECT *, row_number() OVER (ORDER BY slope, day1, day2) AS rk,
+        |    count(*) OVER () AS np
+        |  FROM p
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN dy > 0 THEN 1 WHEN dy < 0 THEN -1
+        |      ELSE 0 END) AS BIGINT) AS s,
+        |    max(CASE WHEN rk = (np + 2) // 2 THEN slope END) AS med
+        |  FROM r
+        |)
+        |SELECT n_pairs, s,
+        |  CASE WHEN n_pairs = 0 THEN NULL
+        |    WHEN s >= 0 THEN (s * 1000000) // n_pairs
+        |    ELSE -((-s * 1000000) // n_pairs) END AS tau_micro,
+        |  CAST(floor(med * 1000000.0) AS BIGINT) AS theilsen_micro
+        |FROM t""".stripMargin,
+
+    // Gini replay: identical value-histogram identity — rank blocks
+    // over the (v, m) table, HUGEINT block sums, one-row statistic.
+    "q_gini" ->
+      """WITH per AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1
+        |), h AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS m FROM per GROUP BY 1
+        |), r AS (
+        |  SELECT v, m,
+        |    CAST(coalesce(sum(m) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS rr
+        |  FROM h
+        |), w AS (
+        |  SELECT v, m,
+        |    CAST(v AS HUGEINT) * (CAST(rr AS HUGEINT) * m +
+        |      (CAST(m AS HUGEINT) * (m + 1)) // 2) AS wv
+        |  FROM r
+        |), t AS (
+        |  SELECT CAST(sum(m) AS BIGINT) AS n_keys,
+        |    CAST(sum(CAST(v AS HUGEINT) * m) AS HUGEINT) AS total,
+        |    CAST(sum(wv) AS HUGEINT) AS sw
+        |  FROM w
+        |)
+        |SELECT n_keys, CAST(total AS BIGINT) AS total_events,
+        |  CAST(((2 * sw - CAST(n_keys + 1 AS HUGEINT) * total) * 1000000)
+        |    // nullif(CAST(n_keys AS HUGEINT) * total, 0) AS BIGINT)
+        |    AS gini_micro
+        |FROM t""".stripMargin,
 
     // Backtest replay: same session CTE, argmax with the identical
     // (count desc, next asc) tie-break, CASE-null hit scoring (a NULL

@@ -512,6 +512,12 @@ object PipelineQueries {
         .withColumn("th", TextOps.tokenHashes("toks"))
         .select(col("doc_id"), TextOps.fingerprint("th", w = 5).as("fp"))),
 
+    // -- full MOSS winnowing: per-window rightmost-min fingerprint
+    //    selection with the shared-run guarantee, all row-local -------
+    "q_winnow" -> ((s, dir) =>
+      TextOps.winnow(Tables.documents(s, dir), "doc_id", "text",
+        w = 5, win = 4)),
+
     // -- similarity: exact quantized-cosine top-k (brute-force oracle
     //    tier; probe side broadcast, corpus never shuffled) ------------
     "q_embed_topk" -> ((s, dir) =>
@@ -2042,6 +2048,49 @@ object PipelineQueries {
         |           (a, b) -> (a * 37 + b) % 1000000007)
         |  END AS fp
         |FROM h""".stripMargin,
+
+    // Winnowing replay: the fingerprint oracle's hash chain, then the
+    // RELATIONAL formulation of per-window rightmost-min selection —
+    // a starts×positions range join + row_number qualify (DuckDB has
+    // no per-row struct-accumulator state; the win× join blowup is
+    // exactly what the Spark side's row-local HOF avoids).
+    "q_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), h AS (
+        |  SELECT doc_id, len(toks) AS nt,
+        |    list_transform(toks, tok -> list_reduce(
+        |      list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(range(1, len(tok) + 1),
+        |          i -> CAST(ascii(tok[i]) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007)) AS th
+        |  FROM t
+        |), wh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nt >= 5
+        |      THEN list_transform(range(1, nt - 3), i -> list_reduce(
+        |             list_prepend(CAST(11 AS BIGINT), list_slice(th, i, i + 4)),
+        |             (a, b) -> (a * 37 + b) % 1000000007))
+        |      ELSE [list_reduce(list_prepend(CAST(11 AS BIGINT), th),
+        |             (a, b) -> (a * 37 + b) % 1000000007)]
+        |    END AS wh
+        |  FROM h
+        |), p AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, wh[CAST(i AS INTEGER)] AS fp,
+        |    len(wh) AS m
+        |  FROM wh, unnest(range(1, len(wh) + 1)) u(i)
+        |), st AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS s
+        |  FROM (SELECT doc_id, greatest(m - 3, 1) AS ns FROM p GROUP BY 1, m) q,
+        |       unnest(range(1, ns + 1)) u(i)
+        |), sel AS (
+        |  SELECT p.doc_id, p.pos, p.fp,
+        |    row_number() OVER (PARTITION BY p.doc_id, st.s
+        |      ORDER BY p.fp ASC, p.pos DESC) AS rk
+        |  FROM st JOIN p ON p.doc_id = st.doc_id
+        |    AND p.pos >= st.s AND p.pos < st.s + 4
+        |)
+        |SELECT DISTINCT doc_id, pos, fp FROM sel WHERE rk = 1""".stripMargin,
 
     "q_embed_topk" ->
       """WITH q AS (

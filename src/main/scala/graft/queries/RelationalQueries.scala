@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.analytics.Forensics
 
 /** Relational headline queries over the star-schema tables — the shapes
   * a 100 TB deployment actually runs: scan-heavy aggregation, dimension
@@ -415,6 +416,20 @@ object RelationalQueries {
         .select(col("event_type"), col("event_id"), col("v"), col("z_micro"))
     }),
 
+    // Benford first-digit screen on order totals: exact micro-unit
+    // digit shares vs the pinned logarithmic expectation, Nigrini MAD.
+    "q_benford" -> ((s, dir) =>
+      Forensics.benford(Tables.orders(s, dir), "o_totalprice")),
+
+    // Exact 2×2 chi-square independence: hash-split user cohort vs
+    // purchase outcome — the A/B significance screen, one scan.
+    "q_chi2" -> ((s, dir) =>
+      Forensics.chi2(
+        Tables.events(s, dir)
+          .withColumn("is_even", col("user_id") % 2 === 0)
+          .withColumn("converted", col("event_type") === "purchase"),
+        "is_even", "converted")),
+
     // The SQL-text surface: the same engine through spark.sql over a
     // registered view — parity between the Column API and SQL parsing.
     "q_sql_surface" -> ((s, dir) => {
@@ -426,6 +441,67 @@ object RelationalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // Benford replay: same floor-cents quantization, decimal-string
+    // first digit (no log10 anywhere), pinned expectation CASE, the
+    // 9-row spine LEFT JOIN so absent digits surface as n = 0.
+    "q_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), obs AS (
+        |  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |      AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM c WHERE cents > 0 GROUP BY 1
+        |), spine AS (
+        |  SELECT CAST(d AS BIGINT) AS digit,
+        |    CAST(CASE d WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |      WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |      WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |      ELSE 45757 END AS BIGINT) AS expected_micro
+        |  FROM range(1, 10) t(d)
+        |), j AS (
+        |  SELECT spine.digit, CAST(coalesce(n, 0) AS BIGINT) AS n,
+        |    expected_micro
+        |  FROM spine LEFT JOIN obs ON spine.digit = obs.digit
+        |), sh AS (
+        |  SELECT digit, n, expected_micro,
+        |    (n * 1000000) // nullif(CAST(sum(n) OVER () AS BIGINT), 0)
+        |      AS share_micro
+        |  FROM j
+        |), dl AS (
+        |  SELECT *, abs(share_micro - expected_micro) AS delta_micro
+        |  FROM sh
+        |)
+        |SELECT digit, n, share_micro, expected_micro, delta_micro,
+        |  CAST(sum(delta_micro) OVER () AS BIGINT) // 9 AS mad_micro
+        |FROM dl""".stripMargin,
+
+    // Chi-square replay: conditional-sum 2×2 cells, the identical
+    // HUGEINT cross-product statistic ((ad−bc)² is non-negative, so
+    // floor vs truncate never diverges), NULLIF degenerate margins.
+    "q_chi2" ->
+      """WITH f AS (
+        |  SELECT (user_id % 2 = 0) AS g, (event_type = 'purchase') AS o
+        |  FROM events
+        |), t AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN g AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN g AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT g AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT g AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM f
+        |)
+        |SELECT a, b, c, d, a + b + c + d AS n,
+        |  (a * 1000000) // nullif(a + b, 0) AS rate_g_micro,
+        |  (c * 1000000) // nullif(c + d, 0) AS rate_o_micro,
+        |  CAST((CAST(a + b + c + d AS HUGEINT) *
+        |      (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) *
+        |      (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) * 1000000)
+        |    // nullif(CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d), 0)
+        |    AS BIGINT) AS chi2_micro
+        |FROM t""".stripMargin,
+
     "q_interval_join" ->
       """WITH w AS (
         |  SELECT user_id, ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts,

@@ -12,6 +12,7 @@ class ContractSpec extends SparkSpec {
     * review-visible form.
     */
   private val rowsOnlyByDesign = Map(
+    "q_dp_counts" -> "hash-seeded Laplace noise (ln) is not a cross-engine-hashable surface; determinism/scale/unbiasedness gated in ForensicsSpec",
     "q_ann_lsh" -> "approximate by design; recall-gated in AnnSpec",
     "q_ann_ivf" -> "approximate by design; recall-gated in AnnSpec",
     "q_ann_pq" -> "PQ codebooks are data-dependent k-means; recall + 8-byte storage bound gated in AnnSpec",

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Forensics
+
+/** Laws for the forensic screens: Benford first-digit conformity
+  * (pinned expectations, all-nine-digits emission, exact MAD) and the
+  * exact 2×2 chi-square (zero under independence, N·1e6 under perfect
+  * association, NULL on degenerate margins).
+  */
+class ForensicsSpec extends SparkSpec {
+
+  test("benford: exact shares, absent digits surface as 0, exact MAD") {
+    import spark.implicits._
+    // cents: 100, 199 (digit 1 ×2), 250 (digit 2), 999 (digit 9);
+    // 0.005 → 0 cents and −3.0 are excluded by the positive contract
+    val df = Seq(1.00, 1.99, 2.50, 9.99, 0.005, -3.0).toDF("amount")
+    val out = Forensics.benford(df, "amount").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 9, "all nine digits must be emitted")
+    assert(out(1L).getLong(1) == 2L && out(2L).getLong(1) == 1L &&
+      out(9L).getLong(1) == 1L)
+    assert((3L to 8L).forall(d => out(d).getLong(1) == 0L),
+      "absent digits are loud zero rows")
+    // shares of 4 observations: 1→500000, 2→250000, 9→250000
+    assert(out(1L).getLong(2) == 500000L && out(1L).getLong(4) == 198970L)
+    assert(out(2L).getLong(4) == 73909L && out(9L).getLong(4) == 204243L)
+    // absent digits: |0 − expected| = expected
+    assert(out(3L).getLong(4) == 124939L)
+    // MAD = Σ|Δ| div 9 = 954244 div 9, stamped identically on every row
+    assert(out.values.forall(_.getLong(5) == 106027L))
+  }
+
+  test("benford: no positive amounts → NULL shares, never a crash") {
+    import spark.implicits._
+    val out = Forensics.benford(Seq(-1.0, 0.0).toDF("amount"), "amount")
+      .collect()
+    assert(out.length == 9 && out.forall(r => r.getLong(1) == 0L &&
+      r.isNullAt(2) && r.isNullAt(5)))
+  }
+
+  test("chi2: independence → 0, perfect association → N·1e6, textbook value") {
+    import spark.implicits._
+    def table(a: Int, b: Int, c: Int, d: Int) =
+      (Seq.fill(a)((true, true)) ++ Seq.fill(b)((true, false)) ++
+        Seq.fill(c)((false, true)) ++ Seq.fill(d)((false, false)))
+        .toDF("g", "o")
+    val indep = Forensics.chi2(table(10, 10, 10, 10), "g", "o").collect().head
+    assert(indep.getLong(7) == 0L && indep.getLong(5) == 500000L)
+    val perfect = Forensics.chi2(table(10, 0, 0, 10), "g", "o").collect().head
+    assert(perfect.getLong(7) == 20000000L, "perfect association = N·1e6")
+    // a=20 b=10 c=10 d=20: 60·300²·1e6 / 30⁴ = 6666666 (floor-exact)
+    val hand = Forensics.chi2(table(20, 10, 10, 20), "g", "o").collect().head
+    assert(hand.getLong(7) == 6666666L)
+    assert(hand.getLong(5) == 666666L && hand.getLong(6) == 333333L)
+  }
+
+  test("chi2: degenerate margin → NULL statistic, not a division error") {
+    import spark.implicits._
+    // outcome constantly false: (a+c) margin is 0
+    val df = Seq((true, false), (false, false), (true, false)).toDF("g", "o")
+    val r = Forensics.chi2(df, "g", "o").collect().head
+    assert(r.isNullAt(7) && r.getLong(5) == 0L)
+  }
+
+  test("dpCounts: deterministic, count-preserving, noise scales with 1/ε") {
+    import graft.analytics.Privacy
+    import spark.implicits._
+    val df = (1 to 200).flatMap(k => Seq.fill(k % 5 + 1)(k.toLong))
+      .toDF("key")
+    def run(eps: Long) = Privacy.dpCounts(df, "key", eps, seed = 7L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val a = run(1000000L)
+    assert(a == run(1000000L), "same seed must reproduce the release")
+    // released = n + round(noise) — the mechanism is auditable
+    a.values.foreach { case (n, noise, rel) =>
+      assert(rel == n + math.round(noise))
+    }
+    // ε = 1 → Laplace(1): |noise| is Exp(1); 200-key mean must sit in
+    // a generous band around 1 (deterministic given the seed)
+    val meanAbs = a.values.map(v => math.abs(v._2)).sum / a.size
+    assert(meanAbs > 0.5 && meanAbs < 2.0, s"meanAbs=$meanAbs")
+    // doubling ε exactly halves every noise draw (same uniforms)
+    val b = run(2000000L)
+    a.foreach { case (k, (_, noise, _)) =>
+      assert(math.abs(b(k)._2 - noise / 2) < 1e-12)
+    }
+    // the release must not silently clamp: some draw goes negative
+    // below the smallest count at a strong-noise epsilon
+    val noisy = Privacy.dpCounts(df, "key", 10000L, seed = 7L).collect()
+    assert(noisy.exists(_.getLong(3) < 0L),
+      "negative releases must survive (consumers clamp, not the release)")
+    intercept[IllegalArgumentException] {
+      Privacy.dpCounts(df, "key", 0L, seed = 7L)
+    }
+  }
+
+  test("gini: all-equal → 0, hand-computed concentration, histogram identity") {
+    import graft.analytics.Cohort
+    import spark.implicits._
+    def logOf(counts: Long*) = counts.zipWithIndex
+      .flatMap { case (c, k) => Seq.fill(c.toInt)(k.toLong) }.toDF("user_id")
+    val eq = Cohort.gini(logOf(3, 3, 3), "user_id").collect().head
+    assert(eq.getLong(0) == 3L && eq.getLong(1) == 9L && eq.getLong(2) == 0L)
+    // sorted x = (1,1,1,9): G = (2·42 − 5·12)/(4·12) = 0.5 exactly
+    val conc = Cohort.gini(logOf(9, 1, 1, 1), "user_id").collect().head
+    assert(conc.getLong(2) == 500000L)
+    // tie blocks cancel: any permutation of equal counts is identical
+    val perm = Cohort.gini(logOf(1, 9, 1, 1), "user_id").collect().head
+    assert(perm.getLong(2) == 500000L)
+  }
+
+  test("pairwiseTrend: monotone series → tau 1e6 and exact slope; flat → 0") {
+    import graft.analytics.Timeline
+    import java.sql.Timestamp
+    import spark.implicits._
+    // day i has i+1 events (5 days): every pair rises → S = n_pairs,
+    // tau = 1e6; all pairwise slopes are exactly 1 → Theil-Sen 1e6
+    val up = (for { i <- 0 to 4; j <- 0 to i }
+      yield Timestamp.valueOf(f"2024-03-${i + 1}%02d 10:00:00")).toDF("ts")
+    val u = Timeline.pairwiseTrend(up, "ts").collect().head
+    assert(u.getLong(0) == 10L && u.getLong(1) == 10L)
+    assert(u.getLong(2) == 1000000L && u.getLong(3) == 1000000L)
+    // constant volume: S = 0, tau 0, median slope 0
+    val flat = (1 to 3).map(i =>
+      Timestamp.valueOf(f"2024-03-$i%02d 10:00:00")).toDF("ts")
+    val f = Timeline.pairwiseTrend(flat, "ts").collect().head
+    assert(f.getLong(1) == 0L && f.getLong(2) == 0L && f.getLong(3) == 0L)
+    // one outlier day cannot move the Theil-Sen median the way it
+    // moves OLS: days (1,1,1,1,100) — median pairwise slope stays 0
+    val outlier = ((for (i <- 0 to 3) yield
+      Seq(Timestamp.valueOf(f"2024-03-${i + 1}%02d 10:00:00"))) :+
+      Seq.fill(100)(Timestamp.valueOf("2024-03-05 10:00:00")))
+      .flatten.toDF("ts")
+    val o = Timeline.pairwiseTrend(outlier, "ts").collect().head
+    assert(o.getLong(3) == 0L, "Theil-Sen must shrug off the flash-crowd day")
+  }
+}

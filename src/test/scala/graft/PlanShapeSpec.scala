@@ -616,6 +616,43 @@ class PlanShapeSpec extends SparkSpec {
       s"trend: only the 1-row bounds may nested-loop:\n${tr.take(1200)}")
   }
 
+  test("round-9 fourteenth-batch plans: shuffle-free winnow, collapsed screens") {
+    // winnow is row-local HOF work + one explode: NO shuffle, NO join
+    // — the whole point of the struct-accumulator argmin over the
+    // relational starts-join the oracle spells out
+    val wn = plan("q_winnow")
+    assert(!wn.contains("Exchange") && !wn.contains("Join") &&
+      count(wn, "Scan parquet") == 1,
+      s"winnow must be shuffle-free row-local work:\n${wn.take(1200)}")
+    // benford: corpus collapses to ≤9 digit rows in one partial-agg
+    // shuffle; the spine join and windows run on the 9-row table
+    val bf = plan("q_benford")
+    assert(!bf.contains("CartesianProduct") &&
+      count(bf, "Scan parquet") == 1,
+      s"benford is one scan + digit-collapsed tail:\n${bf.take(1200)}")
+    // chi2: ONE conditional-sum aggregate — no join, no window
+    val c2 = plan("q_chi2")
+    assert(!c2.contains("Join") && !c2.contains("Window") &&
+      count(c2, "Scan parquet") == 1,
+      s"chi2 is a single aggregate pass:\n${c2.take(1200)}")
+    // pairwise trend: the checkpointed daily table means the corpus
+    // never appears in the pair join — ZERO parquet scans in the plan
+    // (they happened once, at checkpoint time), no cartesian
+    val pt = plan("q_pairwise_trend")
+    assert(count(pt, "Scan parquet") == 0 && !pt.contains("CartesianProduct"),
+      s"pairwise trend joins the checkpointed daily table only:\n${pt.take(1200)}")
+    // gini: two nested collapses + histogram windows — join-free
+    val gn = plan("q_gini")
+    assert(!gn.contains("Join") && count(gn, "Scan parquet") == 1,
+      s"gini is collapse + histogram windows, no join:\n${gn.take(1200)}")
+    // dp counts: one key collapse + row-local noise — join-free,
+    // window-free
+    val dpc = plan("q_dp_counts")
+    assert(!dpc.contains("Join") && !dpc.contains("Window") &&
+      count(dpc, "Scan parquet") == 1,
+      s"dpCounts is one collapse + row-local noise:\n${dpc.take(1200)}")
+  }
+
   test("q_snapshot_diff: one full-outer equi-join, never a nested loop") {
     val p = plan("q_snapshot_diff")
     assert(p.contains("FullOuter"),

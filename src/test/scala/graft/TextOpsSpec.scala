@@ -359,4 +359,50 @@ class TextOpsSpec extends SparkSpec {
     assert(out("Y") == ((1L, 1L, 1000000L, -1L, 1000000L)))
     assert(out("Z") == ((4L, 4L, 1000000L, 0L, 250000L)))
   }
+
+  test("winnow: shared 8-token run guarantees a shared fingerprint") {
+    // w=5, win=4 → guarantee threshold w + win − 1 = 8 shared tokens
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val df = frame(
+      1L -> s"one two three $run nine ten eleven",
+      2L -> s"zz yy xx ww $run vv uu",
+      3L -> "completely different words with no overlap at all here")
+    val sel = TextOps.winnow(df, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    assert((sel(1L) & sel(2L)).nonEmpty,
+      "docs sharing a w+win−1 run must share a selected fingerprint")
+    assert((sel(1L) & sel(3L)).isEmpty)
+  }
+
+  test("winnow: density bound and position range") {
+    val df = frame(4L -> (1 to 40).map(i => s"tok${i * 7 % 13}x$i").mkString(" "))
+    val pos = TextOps.winnow(df, "id", "text").collect()
+      .map(_.getLong(1)).sorted
+    val m = 40 - 4 // window-hash count for 40 tokens at w=5
+    assert(pos.head >= 1L && pos.last <= m.toLong)
+    // winnowing's density property: ≤ win gap between selections
+    pos.sliding(2).foreach { case Array(a, b) =>
+      assert(b - a <= 4L, s"gap $a→$b exceeds the selection window")
+    }
+  }
+
+  test("winnow: rightmost tie-break on a constant document") {
+    // 10 identical tokens → 6 equal window hashes; each of the 3
+    // selection windows keeps its RIGHTMOST position: {4, 5, 6}
+    val df = frame(5L -> Array.fill(10)("same").mkString(" "))
+    val rows = TextOps.winnow(df, "id", "text").collect()
+    assert(rows.map(_.getLong(1)).toSet == Set(4L, 5L, 6L))
+    assert(rows.map(_.getLong(2)).toSet.size == 1)
+  }
+
+  test("winnow: short document falls back to one whole-doc row at pos 1") {
+    val df = frame(6L -> "a b c")
+    val rows = TextOps.winnow(df, "id", "text").collect()
+    assert(rows.length == 1 && rows.head.getLong(1) == 1L)
+    val fp = df.withColumn("th", TextOps.tokenHashes("toks"))
+      .select(TextOps.fingerprint("th", w = 5)).collect().head.getLong(0)
+    assert(rows.head.getLong(2) == fp,
+      "short-doc winnow row must equal the fingerprint fallback")
+  }
 }
