@@ -174,4 +174,78 @@ object LanguageModel {
       .select(col(idCol), col(groupCol), col("n_bigrams"),
         col("surprise"), col("bucket"))
   }
+
+  /** Moore-Lewis cross-entropy data selection (Moore & Lewis, ACL
+    * 2010 — the classic "intelligent selection" recipe every domain-
+    * adaptation pipeline reruns): score each document under an
+    * IN-DOMAIN bigram LM and a GENERAL one, keep documents where
+    * ml_score = H_in − H_gen < threshold — text that looks more like
+    * the target domain than like the background corpus. The
+    * difference cancels the document's own entropy, which is what
+    * makes the ranking work where a raw in-domain perplexity cut
+    * would just select short/common text.
+    *
+    * Scale shape: ONE pair explode over the corpus (NOT two
+    * `perplexityScore` passes — that would tokenize and shuffle the
+    * corpus twice); both models' vocab/unigram/bigram tables ride
+    * six BROADCAST joins on the exploded stream (model sizes are
+    * bounded by construction), both surprise sums come out of one
+    * partial-aggregated groupBy, and the final doc join is the only
+    * other shuffle. Docs with < 2 tokens surface with NULL scores and
+    * selected = false — unjudgeable is not selectable, but it is
+    * visible.
+    */
+  def mooreLewis(df: DataFrame, idCol: String, textCol: String,
+                 inLm: BigramLm, genLm: BigramLm, threshold: Double = 0.0,
+                 alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "mooreLewis: alpha must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def vocabDf(lm: BigramLm, n: String) = broadcast(
+      lm.vocab.iterator.map(_._1).filter(_ != UnkToken).toSeq.toDF(n))
+    def uniDf(lm: BigramLm, w: String, c: String) = broadcast(
+      lm.vocab.toSeq.toDF(w, c))
+    def biDf(lm: BigramLm, w1: String, w2: String, c: String) = broadcast(
+      lm.bigrams.toSeq.map { case ((a, b), n) => (a, b, n) }.toDF(w1, w2, c))
+    def surprise(c2: String, c1: String, fanout: Int) =
+      floor(lit(-1e6) * log(
+        (coalesce(col(c2), lit(0L)).cast("double") + lit(alpha)) /
+          (col(c1).cast("double") + lit(alpha * fanout)))).cast("long")
+    val pairs = df
+      .withColumn("__toks", TextOps.tokens(textCol))
+      .select(col(idCol), explode(pairExpr("__toks")).as("p"))
+      .select(col(idCol), col("p.w1r").as("w1r"), col("p.w2r").as("w2r"))
+      // per-model UNK mapping (the vocabularies differ)
+      .join(vocabDf(inLm, "__i1"), col("w1r") === col("__i1"), "left")
+      .join(vocabDf(inLm, "__i2"), col("w2r") === col("__i2"), "left")
+      .join(vocabDf(genLm, "__g1"), col("w1r") === col("__g1"), "left")
+      .join(vocabDf(genLm, "__g2"), col("w2r") === col("__g2"), "left")
+      .select(col(idCol),
+        coalesce(col("__i1"), lit(UnkToken)).as("wi1"),
+        coalesce(col("__i2"), lit(UnkToken)).as("wi2"),
+        coalesce(col("__g1"), lit(UnkToken)).as("wg1"),
+        coalesce(col("__g2"), lit(UnkToken)).as("wg2"))
+    val scored = pairs
+      .join(uniDf(inLm, "wi1", "ci1"), Seq("wi1"))
+      .join(biDf(inLm, "wi1", "wi2", "ci2"), Seq("wi1", "wi2"), "left")
+      .join(uniDf(genLm, "wg1", "cg1"), Seq("wg1"))
+      .join(biDf(genLm, "wg1", "wg2", "cg2"), Seq("wg1", "wg2"), "left")
+      .withColumn("__si", surprise("ci2", "ci1", inLm.vocabSize + 1))
+      .withColumn("__sg", surprise("cg2", "cg1", genLm.vocabSize + 1))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__si")).as("__smi"), sum(col("__sg")).as("__smg"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("surprise_in", col("__smi").cast("double") /
+        col("n_bigrams").cast("double") / lit(1e6))
+      .withColumn("surprise_gen", col("__smg").cast("double") /
+        col("n_bigrams").cast("double") / lit(1e6))
+      .withColumn("ml_score", col("surprise_in") - col("surprise_gen"))
+      .withColumn("selected",
+        coalesce(col("ml_score") < lit(threshold), lit(false)))
+      .select(col(idCol), col("n_bigrams"), col("surprise_in"),
+        col("surprise_gen"), col("ml_score"), col("selected"))
+  }
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type 2 build — the warehouse-classic
+  * history table (Kimball): a stream of (key, ts, value) change events
+  * becomes one row per VERSION with a [valid_from, valid_to) validity
+  * interval, `valid_to` NULL on the current row. The batch compaction
+  * dual of the streaming episode upserts (L-148) and the interval
+  * representation of what LOCF (L-149) reads back out point-in-time.
+  */
+object Scd2 {
+
+  /** Build the SCD2 history: per key, order change events by
+    * (ts, tie), collapse CONSECUTIVE duplicates (a no-op change must
+    * not open a new version — re-publishing the same value is not
+    * history), then each surviving change opens a version closed by
+    * the next one's `valid_from` (half-open intervals, so versions
+    * TILE: valid_to(i) = valid_from(i+1) exactly, no gaps, no
+    * overlaps — an executed law). Version numbers restart at 1 per
+    * key. If several changes share one (ts, tie) the LAST under the
+    * (ts, tie, value) order wins deterministically — but zero-width
+    * versions are collapsed out rather than emitted (a [t, t)
+    * interval matches no point-in-time query and would be dead
+    * history).
+    *
+    * Scale shape: the boundary-flag lag, the running version sum and
+    * the final collapse all ride ONE key Exchange (the `episodes`
+    * pattern) — a 100 TB change log builds its dimension without
+    * leaving its key partition. Join-free, plan-gated.
+    */
+  def build(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+            valueCol: String): DataFrame = {
+    // (ts, tie, value) order: value as the FINAL tie makes the
+    // version chain deterministic even when the tie column itself
+    // collides across two different values at one instant
+    val wo = Window.partitionBy(col("key"))
+      .orderBy(col("__ts"), col("__tie"), col("value"))
+    val flagged = df
+      .select(col(keyCol).as("key"), col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"), col(valueCol).as("value"))
+      .withColumn("__prev", lag(col("value"), 1).over(wo))
+      // a version boundary: first event of the key, or a value change
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("__prev") =!= col("value"), 1L).otherwise(0L))
+      .withColumn("__ver", sum(col("__new")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val versions = flagged
+      .groupBy(col("key"), col("__ver").as("version"))
+      .agg(min(col("__ts")).as("valid_from"), max(col("value")).as("value"))
+    val wv = Window.partitionBy(col("key")).orderBy(col("version"))
+    versions
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      // zero-width versions ([t, t)) are unobservable — drop them and
+      // renumber so the version chain stays dense
+      .filter(col("valid_to").isNull || col("valid_to") =!= col("valid_from"))
+      .withColumn("version", row_number().over(wv).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("key"), col("version"), col("value"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+}

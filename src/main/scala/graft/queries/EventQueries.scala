@@ -590,6 +590,19 @@ object EventQueries {
       Privacy.dpCounts(Tables.events(s, dir), "user_id",
         epsilonMicro = 1000000L, seed = 42L)),
 
+    // Lifecycle start/complete pairing into activity instances (the
+    // pm4py interval-log conversion) — every mismatch surfaces loud.
+    "q_lifecycle_intervals" -> ((s, dir) =>
+      graft.analytics.Lifecycle.intervals(
+        withLifecycle(sessions(Tables.events(s, dir))),
+        "session_id", "event_type", "lifecycle", "ts", "event_id")),
+
+    // SCD2 dimension build from the user's event-type change stream:
+    // tiling validity intervals, no-op changes collapsed.
+    "q_scd2" -> ((s, dir) =>
+      graft.operators.Scd2.build(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type")),
+
     // Markov next-event BACKTEST: train the transition argmax on the
     // even-user_id sessions, score next-event predictions on the odd
     // half (grouped holdout — context never crosses users, so the
@@ -1496,6 +1509,78 @@ object EventQueries {
         |    // nullif(CAST(n_keys AS HUGEINT) * total, 0) AS BIGINT)
         |    AS gini_micro
         |FROM t""".stripMargin,
+
+    // Interval replay: session CTE + lifecycle CASE, per-phase
+    // row_number index, the join-free conditional-MAX pairing, the
+    // sign-decomposed duration, the four-way status CASE.
+    "q_lifecycle_intervals" ->
+      s"""$SessionsCte, lf AS (
+         |  SELECT session_id, event_type,
+         |    CASE WHEN value < 5 THEN 'start' ELSE 'complete' END AS phase,
+         |    ts, event_id
+         |  FROM s
+         |), ix AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY session_id, event_type, phase
+         |    ORDER BY ts, event_id) AS idx
+         |  FROM lf
+         |), g AS (
+         |  SELECT session_id AS case_id, event_type AS activity,
+         |    CAST(idx AS BIGINT) AS idx,
+         |    max(CASE WHEN phase = 'start' THEN ts END) AS start_ts,
+         |    max(CASE WHEN phase = 'complete' THEN ts END) AS end_ts
+         |  FROM ix GROUP BY 1, 2, 3
+         |), d AS (
+         |  SELECT *,
+         |    CASE WHEN epoch_us(end_ts) >= epoch_us(start_ts)
+         |      THEN (epoch_us(end_ts) - epoch_us(start_ts)) // 1000000
+         |      ELSE -((epoch_us(start_ts) - epoch_us(end_ts)) // 1000000)
+         |    END AS dur_sec
+         |  FROM g
+         |)
+         |SELECT case_id, activity, idx, start_ts, end_ts, dur_sec,
+         |  CASE WHEN start_ts IS NULL THEN 'orphan'
+         |    WHEN end_ts IS NULL THEN 'open'
+         |    WHEN dur_sec < 0 THEN 'negative'
+         |    ELSE 'matched' END AS status
+         |FROM d""".stripMargin,
+
+    // SCD2 replay: the same (ts, tie, value) order, boundary-flag
+    // running sum, version collapse, lead-close, zero-width drop and
+    // dense renumbering.
+    "q_scd2" ->
+      """WITH base AS (
+        |  SELECT user_id AS key, ts, event_id, event_type AS value
+        |  FROM events
+        |), o AS (
+        |  SELECT *, lag(value) OVER (PARTITION BY key
+        |    ORDER BY ts, event_id, value) AS prev
+        |  FROM base
+        |), f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR prev <> value
+        |    THEN 1 ELSE 0 END AS nw
+        |  FROM o
+        |), v AS (
+        |  SELECT *, CAST(sum(nw) OVER (PARTITION BY key
+        |    ORDER BY ts, event_id, value ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS ver
+        |  FROM f
+        |), g AS (
+        |  SELECT key, ver, min(ts) AS valid_from, max(value) AS value
+        |  FROM v GROUP BY 1, 2
+        |), l AS (
+        |  SELECT *, lead(valid_from) OVER (PARTITION BY key
+        |    ORDER BY ver) AS valid_to
+        |  FROM g
+        |), k AS (
+        |  SELECT * FROM l WHERE valid_to IS NULL OR valid_to <> valid_from
+        |)
+        |SELECT key,
+        |  CAST(row_number() OVER (PARTITION BY key ORDER BY ver)
+        |    AS BIGINT) AS version,
+        |  value, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM k""".stripMargin,
 
     // Backtest replay: same session CTE, argmax with the identical
     // (count desc, next asc) tie-break, CASE-null hit scoring (a NULL

@@ -1108,6 +1108,18 @@ object PipelineQueries {
       LanguageModel.perplexityBuckets(docs, "doc_id", "text", "source", lm)
     }),
 
+    // -- Moore-Lewis cross-entropy selection: in-domain ('en') vs
+    //    general LM, one pair explode scoring both — rows-only (ln),
+    //    single-pass ≡ two-pass bit-equality gated in LmSpec ---------
+    "q_moore_lewis" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val inLm = LanguageModel.trainBigramLm(docs, "text",
+        col("lang") === "en", vocabSize = 2048, maxBigrams = 16384)
+      val genLm = LanguageModel.trainBigramLm(docs, "text",
+        lit(true), vocabSize = 2048, maxBigrams = 16384)
+      LanguageModel.mooreLewis(docs, "doc_id", "text", inLm, genLm)
+    }),
+
     // -- dedup: segment-level boilerplate removal (the CCNet/
     //    RefinedWeb line-dedup pass on token segments) ---------------
     "q_segment_dedup" -> ((s, dir) =>

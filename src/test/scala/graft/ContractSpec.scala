@@ -36,6 +36,7 @@ class ContractSpec extends SparkSpec {
     "q_fertility" -> "trained merge table is not SQL-expressible (the q_bpe_tokens contract); exact-ratio law on constructed merges gated in BpeSpec",
     "q_hybrid_rrf_ann" -> "dense arm is LSH-approximate; fused recall vs the exact hybrid gated in RetrievalSpec",
     "q_perplexity" -> "ln is not bit-identical cross-engine; driver-reimplementation bit-equality + ordering/conservation laws gated in LmSpec",
+    "q_moore_lewis" -> "ln is not bit-identical cross-engine; single-pass ≡ two-pass bit-equality + domain-ordering laws gated in LmSpec",
     "q_cluster_quality" -> "k-means centroids are data-dependent; separation-ordering + partition laws gated in TopicsSpec",
     "q_topic_model" -> "k-means cell assignment is data-dependent; planted-topic term exclusivity + determinism gated in TopicsSpec",
     "q_word_vectors" -> "ln + Jacobi eigensolve are not SQL-expressible; identical-context-synonym / shape / determinism laws gated in WordVectorsSpec",

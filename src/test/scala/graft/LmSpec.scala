@@ -119,4 +119,44 @@ class LmSpec extends SparkSpec {
       assert(h > 0.15 && h < 0.55, s"head fraction $h degenerate for $src")
     }
   }
+
+  test("mooreLewis: single pass bit-matches two perplexityScore runs") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "in", "the cat sat on the mat and the cat sat on the mat"),
+      (1L, "in", "the cat sat on the mat and the dog sat on the mat"),
+      (2L, "gen", "stocks fell on the news and bonds rose on the news"),
+      (3L, "gen", "stocks rose on the data and bonds fell on the data"),
+      (10L, "eval", "the cat sat on the mat"),
+      (11L, "eval", "stocks fell on the data"),
+      (12L, "eval", "the")
+    ).toDF("doc_id", "src", "text")
+    val inLm = LanguageModel.trainBigramLm(df, "text", col("src") === "in",
+      vocabSize = 16, maxBigrams = 64)
+    val genLm = LanguageModel.trainBigramLm(df, "text", col("src") === "gen",
+      vocabSize = 16, maxBigrams = 64)
+    val ml = LanguageModel.mooreLewis(df, "doc_id", "text", inLm, genLm)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val si = LanguageModel.perplexityScore(df, "doc_id", "text", inLm)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val sg = LanguageModel.perplexityScore(df, "doc_id", "text", genLm)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    ml.foreach { case (id, r) =>
+      val (i2, g2) = (si(id), sg(id))
+      if (i2.isEmpty) assert(r.isNullAt(2) && r.isNullAt(3))
+      else {
+        assert(r.getDouble(2) == i2.get,
+          s"doc $id: fused in-surprise must BIT-match the two-pass run")
+        assert(r.getDouble(3) == g2.get)
+      }
+    }
+    // domain ordering: the cat doc selects, the stocks doc does not
+    assert(ml(10L).getBoolean(5) && ml(10L).getDouble(4) < 0)
+    assert(!ml(11L).getBoolean(5) && ml(11L).getDouble(4) > 0)
+    // the 1-token doc is unjudgeable: NULL score, selected FALSE, visible
+    assert(ml(12L).isNullAt(4) && !ml(12L).getBoolean(5))
+    assert(ml.size == 7, "every doc must surface")
+  }
 }

@@ -653,6 +653,28 @@ class PlanShapeSpec extends SparkSpec {
       s"dpCounts is one collapse + row-local noise:\n${dpc.take(1200)}")
   }
 
+  test("round-9 fifteenth-batch plans: join-free pairing, broadcast LMs") {
+    // lifecycle pairing: the conditional-MAX groupBy replaces the
+    // start/complete self-join — one scan, zero joins
+    val li = plan("q_lifecycle_intervals")
+    assert(!li.contains("Join") && count(li, "Scan parquet") == 1,
+      s"interval pairing is window + conditional-MAX, join-free:\n${li.take(1200)}")
+    // scd2: boundary lag, version sum and collapse ride the key
+    // partitioning; join-free, one scan
+    val sc = plan("q_scd2")
+    assert(!sc.contains("Join") && count(sc, "Scan parquet") == 1 &&
+      sc.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3,
+      s"scd2 is one keyed window chain + collapse:\n${sc.take(1200)}")
+    // moore-lewis: all EIGHT model-side joins must BROADCAST (model
+    // sizes are bounded) — the only shuffle join allowed is the final
+    // doc_id rejoin of the scored aggregate to the corpus
+    val mw = plan("q_moore_lewis")
+    assert(mw.linesIterator.count(_.contains("SortMergeJoin")) <= 1 &&
+      mw.linesIterator.count(_.contains("BroadcastHashJoin")) >= 8 &&
+      !mw.contains("CartesianProduct"),
+      s"mooreLewis model joins must broadcast (only the doc rejoin shuffles):\n${mw.take(1500)}")
+  }
+
   test("q_snapshot_diff: one full-outer equi-join, never a nested loop") {
     val p = plan("q_snapshot_diff")
     assert(p.contains("FullOuter"),

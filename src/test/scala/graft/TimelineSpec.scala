@@ -485,6 +485,90 @@ class TimelineSpec extends SparkSpec {
     assert(perfect.values.forall(_ == 1000000L))
   }
 
+  test("lifecycle intervals: index pairing, open/orphan/negative all loud") {
+    import spark.implicits._
+    val df = Seq(
+      // c1/a: two clean instances (idx 1 and 2)
+      ("c1", "a", "start", "2024-01-01 10:00:00", 1L),
+      ("c1", "a", "complete", "2024-01-01 10:05:00", 2L),
+      ("c1", "a", "start", "2024-01-01 11:00:00", 3L),
+      ("c1", "a", "complete", "2024-01-01 11:30:00", 4L),
+      // c1/b: open instance (no complete)
+      ("c1", "b", "start", "2024-01-01 12:00:00", 5L),
+      // c2/a: orphan complete (no start)
+      ("c2", "a", "complete", "2024-01-01 13:00:00", 6L),
+      // c3/x: complete BEFORE start → negative duration, kept
+      ("c3", "x", "complete", "2024-01-01 14:00:00", 7L),
+      ("c3", "x", "start", "2024-01-01 14:10:00", 8L),
+      // a foreign phase must be ignored, not mispaired
+      ("c1", "a", "schedule", "2024-01-01 09:00:00", 9L))
+      .map { case (c, a, p, t, id) => (c, a, p, ts(t), id) }
+      .toDF("case_id", "activity", "phase", "ts", "event_id")
+    val out = graft.analytics.Lifecycle.intervals(df, "case_id", "activity",
+        "phase", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r)
+      .toMap
+    assert(out.size == 5)
+    val i1 = out(("c1", "a", 1L))
+    assert(i1.getString(6) == "matched" && i1.getLong(5) == 300L)
+    assert(out(("c1", "a", 2L)).getLong(5) == 1800L)
+    val open = out(("c1", "b", 1L))
+    assert(open.getString(6) == "open" && open.isNullAt(4) && open.isNullAt(5))
+    val orphan = out(("c2", "a", 1L))
+    assert(orphan.getString(6) == "orphan" && orphan.isNullAt(3))
+    val neg = out(("c3", "x", 1L))
+    assert(neg.getString(6) == "negative" && neg.getLong(5) == -600L)
+  }
+
+  test("scd2: tiling versions, no-op collapse, point-in-time = LOCF") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", "2024-01-01 10:00:00", 1L, "A"),
+      ("u1", "2024-01-02 10:00:00", 2L, "A"), // no-op: must NOT open v2
+      ("u1", "2024-01-03 10:00:00", 3L, "B"),
+      ("u1", "2024-01-04 10:00:00", 4L, "A"), // back to A: a NEW version
+      ("u2", "2024-01-01 10:00:00", 5L, "X"))
+      .map { case (k, t, id, v) => (k, ts(t), id, v) }
+      .toDF("key", "ts", "event_id", "value")
+    val out = graft.operators.Scd2.build(df, "key", "ts", "event_id", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(out.size == 4)
+    val v1 = out(("u1", 1L)); val v2 = out(("u1", 2L)); val v3 = out(("u1", 3L))
+    assert(v1.getString(2) == "A" && v2.getString(2) == "B" &&
+      v3.getString(2) == "A")
+    // half-open tiling: valid_to(i) = valid_from(i+1), last open
+    assert(v1.getTimestamp(4) == v2.getTimestamp(3))
+    assert(v2.getTimestamp(4) == v3.getTimestamp(3))
+    assert(v3.isNullAt(4) && v3.getBoolean(5))
+    assert(!v1.getBoolean(5) && !v2.getBoolean(5))
+    assert(out(("u2", 1L)).getBoolean(5))
+    // point-in-time reconstruction agrees with LOCF semantics
+    def at(t: String) = out.collect {
+      case ((k, _), r) if k == "u1" &&
+        !r.getTimestamp(3).after(ts(t)) &&
+        (r.isNullAt(4) || r.getTimestamp(4).after(ts(t))) => r.getString(2)
+    }
+    assert(at("2024-01-02 12:00:00") == Seq("A"))
+    assert(at("2024-01-03 12:00:00") == Seq("B"))
+    assert(at("2024-01-05 12:00:00") == Seq("A"))
+  }
+
+  test("scd2: colliding instant picks the last value, zero-width dropped") {
+    import spark.implicits._
+    // two different values at the SAME (ts, tie): (ts, tie, value)
+    // order makes B the survivor; A's zero-width version vanishes
+    val df = Seq(
+      ("u1", "2024-01-01 10:00:00", 1L, "Z"),
+      ("u1", "2024-01-02 10:00:00", 2L, "A"),
+      ("u1", "2024-01-02 10:00:00", 2L, "B"))
+      .map { case (k, t, id, v) => (k, ts(t), id, v) }
+      .toDF("key", "ts", "event_id", "value")
+    val out = graft.operators.Scd2.build(df, "key", "ts", "event_id", "value")
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "Z", 2L -> "B"),
+      "zero-width [t,t) versions must be collapsed out, last value wins")
+  }
+
   test("volumeTrend: exact fit on a perfect line recovers slope/intercept/r2") {
     import spark.implicits._
     // day i (i = 0..4) has i+1 events → y = x + 1 exactly
