@@ -277,4 +277,47 @@ object Retrieval {
                         k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
     TextOps.bm25TopKByDocIndexed(idx.postings, idx.termDf, idx.stats, idCol,
       probeIds, k, k1, b)
+
+  /** Exact phrase search over positional postings — the "quoted query"
+    * every lexical engine supports beside BM25's bag-of-words: find
+    * documents containing the EXACT token sequence, with occurrence
+    * counts and the first match position (1-based). The classic
+    * positional-index algorithm: a token at position p matching
+    * phrase term i votes for anchor p − i; an anchor with all m
+    * DISTINCT offsets present is an occurrence. That turns the
+    * m-way positional self-join of the textbook formulation into ONE
+    * aggregation: explode positions, keep only the phrase's terms
+    * (everything else never leaves the scan), broadcast-join the
+    * (term → offset) table, group by (doc, anchor) counting votes —
+    * a repeated phrase term votes for several anchors from one
+    * position, which the anchor arithmetic handles for free.
+    *
+    * Scale shape: one corpus scan; only matching-term postings (a
+    * phrase-selectivity fraction of the corpus) reach the single
+    * (doc, anchor) shuffle; the term table broadcasts. Compare the
+    * DuckDB oracle, which scans every window of every document — the
+    * plan gap between an index probe and a brute-force scan.
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    require(phrase.forall(t => t.nonEmpty && !t.contains(" ")),
+      s"phraseSearch: phrase terms must be non-empty single tokens: $phrase")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = phrase.length
+    val terms = broadcast(phrase.zipWithIndex.toDF("__t", "__off"))
+    df.withColumn("__toks", TextOps.tokens(textCol))
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__pos", "__term")))
+      .filter(col("__term").isin(phrase.distinct: _*))
+      .join(terms, col("__term") === col("__t"))
+      .select(col(idCol), (col("__pos") - col("__off")).as("__p0"))
+      .filter(col("__p0") >= 0)
+      .groupBy(col(idCol), col("__p0"))
+      .agg(count(lit(1)).as("__k"))
+      .filter(col("__k") === m)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"),
+        (min(col("__p0")) + 1).cast("long").as("first_pos"))
+  }
 }

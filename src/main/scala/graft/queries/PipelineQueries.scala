@@ -843,6 +843,21 @@ object PipelineQueries {
       TextOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
         Bm25Queries, k = 5, k1 = Bm25K1, b = Bm25B)),
 
+    // -- retrieval: exact phrase search via positional anchor votes —
+    //    one aggregation instead of the m-way positional self-join;
+    //    the oracle brute-scans every window, the engine probes ------
+    "q_phrase_search" -> ((s, dir) =>
+      Retrieval.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
+        Seq("slow", "hash", "batch"))),
+
+    // -- exact heavy hitters: Misra-Gries candidates + exact verify —
+    //    only candidate occurrences ever shuffle, output is exact ----
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.operators.HeavyHitters.topFrequency(
+        Tables.documents(s, dir)
+          .select(explode(TextOps.tokens("text")).as("term")),
+        "term", k = 50)),
+
     // -- text analysis: Aho–Corasick taxonomy tagging — the whole
     //    (top-10 unigram + top-10 bigram) dictionary matched in ONE
     //    compiled pass per document, overlapping occurrences counted
@@ -2390,6 +2405,39 @@ object PipelineQueries {
 
     // Constants are interpolated from the SAME Scala doubles the Spark
     // side folds (toString round-trips the exact bit pattern), so both
+    // Phrase replay: the brute-force window scan the positional index
+    // exists to avoid — every start position of every document checked
+    // against all three tokens.
+    "q_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), occ AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p
+        |  FROM t, unnest(range(1, len(toks) - 1)) u(i)
+        |  WHERE toks[CAST(i AS INTEGER)] = 'slow'
+        |    AND toks[CAST(i AS INTEGER) + 1] = 'hash'
+        |    AND toks[CAST(i AS INTEGER) + 2] = 'batch'
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  min(p) AS first_pos
+        |FROM occ GROUP BY 1""".stripMargin,
+
+    // Heavy-hitter replay: the naive full-vocabulary count the
+    // candidate+verify plan avoids shuffling — same strict threshold,
+    // same exact shares.
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |), i AS (
+        |  SELECT unnest(toks) AS item FROM t
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total FROM i
+        |), c AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS n FROM i GROUP BY 1
+        |)
+        |SELECT item, n, (n * 1000000) // nullif(total, 0) AS share_micro
+        |FROM c, tot WHERE n * 50 > total""".stripMargin,
+
     // engines evaluate identical IEEE operations in identical order.
     "q_bm25_topk" ->
       s"""WITH q(qid, term) AS (VALUES ${

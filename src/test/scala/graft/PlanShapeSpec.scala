@@ -675,6 +675,22 @@ class PlanShapeSpec extends SparkSpec {
       s"mooreLewis model joins must broadcast (only the doc rejoin shuffles):\n${mw.take(1500)}")
   }
 
+  test("round-9 sixteenth-batch plans: anchor-vote phrase, candidate verify") {
+    // phrase search: the anchor-vote aggregation replaces the m-way
+    // positional self-join — one scan, the term table broadcast, no
+    // shuffle join anywhere
+    val ph = plan("q_phrase_search")
+    assert(count(ph, "Scan parquet") == 1 && ph.contains("BroadcastHashJoin") &&
+      !ph.contains("SortMergeJoin") && !ph.contains("CartesianProduct"),
+      s"phrase search is one scan + broadcast terms + anchor groupBy:\n${ph.take(1200)}")
+    // heavy hitters: the verify pass joins the corpus to the
+    // BROADCAST candidate set — the full-vocabulary shuffle the
+    // operator exists to avoid must not appear
+    val hhp = plan("q_heavy_hitters")
+    assert(hhp.contains("BroadcastHashJoin") && !hhp.contains("SortMergeJoin"),
+      s"heavy hitters must broadcast the candidate set:\n${hhp.take(1200)}")
+  }
+
   test("q_snapshot_diff: one full-outer equi-join, never a nested loop") {
     val p = plan("q_snapshot_diff")
     assert(p.contains("FullOuter"),

@@ -227,4 +227,35 @@ class RetrievalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unexpected postings schema"))
   }
+
+  test("phraseSearch: counts, 1-based first position, boundaries, repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x slow hash batch y slow hash batch"), // two occurrences
+      (2L, "slow hash batch"),                     // exact-boundary doc
+      (3L, "slow hash x batch"),                   // broken phrase: no match
+      (4L, "hash batch slow"),                     // right terms, wrong order
+      (5L, "zz yy")).toDF("doc_id", "text")
+    val out = graft.llm.Retrieval.phraseSearch(docs, "doc_id", "text",
+        Seq("slow", "hash", "batch"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((2L, 2L)), 2L -> ((1L, 1L))),
+      "only true phrase occurrences may match; positions are 1-based")
+    // a REPEATED phrase term: one token position votes for several
+    // anchors — "a b a" over "a b a b a" occurs at 1 and 3, overlapping
+    val rep = Seq((7L, "a b a b a")).toDF("doc_id", "text")
+    val r = graft.llm.Retrieval.phraseSearch(rep, "doc_id", "text",
+      Seq("a", "b", "a")).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L)
+    // single-term phrase degenerates to term occurrence counting
+    val one = graft.llm.Retrieval.phraseSearch(docs, "doc_id", "text",
+      Seq("hash")).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(one == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    intercept[IllegalArgumentException] {
+      graft.llm.Retrieval.phraseSearch(docs, "doc_id", "text", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      graft.llm.Retrieval.phraseSearch(docs, "doc_id", "text", Seq("a b"))
+    }
+  }
 }

@@ -251,4 +251,40 @@ class ScalePatternsSpec extends SparkSpec {
       s"exactly the planted spike, at the exact score: ${out.toSeq} vs $zExp")
     assert(zExp >= 3000000L, "fixture sanity: the spike clears 3 sigma")
   }
+
+  test("heavyHitters: exact output, adversarial partition split, strict cut") {
+    import spark.implicits._
+    import graft.operators.HeavyHitters
+    // N = 20, k = 4 → threshold: n·4 > 20. 'a' ×6 in, 'b' ×5 is
+    // EXACTLY N/k and must be excluded (strict >), tail ×1 out.
+    val items = (Seq.fill(6)("a") ++ Seq.fill(5)("b") ++
+      (1 to 9).map(i => s"t$i")).toDF("item")
+    val out = HeavyHitters.topFrequency(items, "item", k = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == Map("a" -> ((6L, 300000L))),
+      s"exactly the strict heavy hitter: $out")
+    // adversarial split: the heavy item scattered one-per-partition
+    // must still surface with its EXACT count (the pigeonhole
+    // guarantee on the candidate union)
+    // N = 80, k = 3 → threshold 26.7; hh ×40 clears it globally while
+    // every partition sees only a few copies among noise
+    val scattered = ((1 to 40).map(i => (i.toLong, "hh")) ++
+      (1 to 40).map(i => (i.toLong, s"noise$i")))
+      .toDF("pid", "item").repartition(16, col("pid"))
+    val hh = HeavyHitters.topFrequency(scattered, "item", k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == Map("hh" -> 40L), s"scattered heavy hitter lost: $hh")
+    // agreement with the naive exact plan on mixed data
+    val mixed = (1 to 300).map(i => s"w${i % 23 % (i % 7 + 1)}").toDF("item")
+    val naive = mixed.groupBy("item").agg(count(lit(1)).as("n"))
+      .filter(col("n") * 10 > 300)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mg = HeavyHitters.topFrequency(mixed, "item", k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mg == naive, s"MG+verify must equal the naive exact plan")
+    intercept[IllegalArgumentException] {
+      HeavyHitters.topFrequency(items, "item", k = 1)
+    }
+  }
 }
