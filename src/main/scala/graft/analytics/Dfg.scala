@@ -543,4 +543,45 @@ object Dfg {
       .withColumn("acc_micro",
         expr("(n_hit * 1000000L) div nullif(n_pred, 0L)"))
   }
+
+  /** Remaining-time prediction backtest — the duration sibling of
+    * `backtestNextEvent` and the mandatory baseline of the
+    * predictive-process-monitoring literature (van der Aalst et al.'s
+    * annotated-transition-system predictor, state = current
+    * activity): train the mean remaining seconds per activity on one
+    * case population, score MAE on a held-out one. Remaining time =
+    * case end − event time, so every quantity is a NON-NEGATIVE exact
+    * integer (the one place a duration model gets to skip
+    * sign-decomposition); the mean and the MAE are integral
+    * divisions. Unseen test states surface via n_pred < n_test —
+    * loud, the backtestNextEvent convention — and the `__ALL__`
+    * headline comes from a ROLLUP, not a union re-scan.
+    *
+    * Scale shape: one case-keyed window per population for the case
+    * end, the model collapses to ≤ |activities| rows and broadcasts
+    * back, one Expand aggregate. The windows ride the sessionize
+    * Exchange the log already pays.
+    */
+  def backtestRemainingTime(train: DataFrame, test: DataFrame,
+                            caseCol: String, activityCol: String,
+                            tsCol: String, tieCol: String): DataFrame = {
+    def rem(df: DataFrame): DataFrame =
+      df.withColumn("__end", max(unix_micros(col(tsCol)))
+          .over(Window.partitionBy(col(caseCol))))
+        .select(col(activityCol).as("state"),
+          expr(s"(__end - unix_micros($tsCol)) div 1000000L").as("rem_sec"))
+    val model = rem(train).groupBy(col("state"))
+      .agg(count(lit(1)).as("n_train"), sum(col("rem_sec")).as("__sum"))
+      .withColumn("pred_sec", expr("__sum div n_train"))
+      .select(col("state"), col("pred_sec"))
+    rem(test).join(broadcast(model), Seq("state"), "left")
+      .rollup(col("state"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("pred_sec").isNotNull, 1L).otherwise(0L)).as("n_pred"),
+        sum(when(col("pred_sec").isNotNull,
+          abs(col("rem_sec") - col("pred_sec"))).otherwise(0L)).as("__ae"))
+      .withColumn("state", coalesce(col("state"), lit("__ALL__")))
+      .withColumn("mae_sec", expr("__ae div nullif(n_pred, 0L)"))
+      .select(col("state"), col("n_test"), col("n_pred"), col("mae_sec"))
+  }
 }

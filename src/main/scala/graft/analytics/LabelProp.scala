@@ -130,4 +130,53 @@ object LabelProp {
       .select(col("label"), col("n_nodes"), col("internal_edges"),
         col("degree_sum"), col("q_contrib_micro"))
   }
+
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003 —
+    * the baseline every link-prediction paper still reports): for
+    * node pairs at distance two in the undirected graph, the count of
+    * shared neighbors and the neighborhood-Jaccard
+    * |Γa ∩ Γc| / |Γa ∪ Γc| in exact integer micro-units. Pairs that
+    * are ALREADY edges are excluded (predicting the present isn't
+    * prediction); candidates below `minCommon` shared neighbors are
+    * thinned before any join fan-out materializes downstream.
+    *
+    * Input contract: a SYMMETRIZED, deduplicated edge list (the
+    * `symmetrize` output — the same contract `modularity` reads).
+    *
+    * Scale shape: the wedge enumeration is ONE equi-join of the edge
+    * list with itself on the center node — Σ deg² pair volume, the
+    * triangle-counting bound class, bounded here by the kNN degree
+    * cap k — collapsing partial-aggregated to the candidate table;
+    * degrees ride a broadcast, the existing-edge exclusion is one
+    * anti-join. The edge list is eagerly checkpointed: it appears in
+    * FOUR plan branches (two wedge sides, degrees, exclusion), and
+    * without the checkpoint each branch would recompute the full kNN
+    * build it came from (the pairwiseTrend lesson at graph scale).
+    */
+  def linkPredict(edges: DataFrame, srcCol: String, dstCol: String,
+                  minCommon: Long = 2L): DataFrame = {
+    require(minCommon >= 1L, s"linkPredict: minCommon >= 1, got $minCommon")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src").as("__v"))
+      .agg(count(lit(1)).as("__deg"))
+    val cand = e.select(col("src").as("__a"), col("dst").as("__b"))
+      .join(e.select(col("src").as("__b2"), col("dst").as("__c")),
+        col("__b") === col("__b2"))
+      .filter(col("__a") < col("__c"))
+      .groupBy(col("__a"), col("__c"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .join(e.select(col("src").as("__a"), col("dst").as("__c")),
+        Seq("__a", "__c"), "left_anti")
+    cand
+      .join(broadcast(deg.select(col("__v").as("__a"),
+        col("__deg").as("deg_src"))), Seq("__a"))
+      .join(broadcast(deg.select(col("__v").as("__c"),
+        col("__deg").as("deg_dst"))), Seq("__c"))
+      .withColumn("jaccard_micro",
+        expr("(common * 1000000L) div (deg_src + deg_dst - common)"))
+      .select(col("__a").as("src"), col("__c").as("dst"), col("common"),
+        col("deg_src"), col("deg_dst"), col("jaccard_micro"))
+  }
 }

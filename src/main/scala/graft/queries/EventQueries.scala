@@ -603,6 +603,17 @@ object EventQueries {
       graft.operators.Scd2.build(Tables.events(s, dir),
         "user_id", "ts", "event_id", "event_type")),
 
+    // Remaining-time backtest: per-activity mean remaining seconds
+    // trained on even users, MAE on odd — the duration sibling of the
+    // Markov backtest, exact integers end to end.
+    "q_remaining_time" -> ((s, dir) => {
+      val sess = sessions(Tables.events(s, dir))
+      Dfg.backtestRemainingTime(
+        sess.filter(col("user_id") % 2 === 0),
+        sess.filter(col("user_id") % 2 === 1),
+        "session_id", "event_type", "ts", "event_id")
+    }),
+
     // Markov next-event BACKTEST: train the transition argmax on the
     // even-user_id sessions, score next-event predictions on the odd
     // half (grouped holdout — context never crosses users, so the
@@ -1581,6 +1592,44 @@ object EventQueries {
         |  value, valid_from, valid_to,
         |  (valid_to IS NULL) AS is_current
         |FROM k""".stripMargin,
+
+    // Remaining-time replay: per-session end window, integral mean
+    // per state on the even half, MAE with CASE-null scoring on the
+    // odd half, UNION ALL headline (≡ the Spark rollup).
+    "q_remaining_time" ->
+      s"""$SessionsCte, r AS (
+         |  SELECT user_id, event_type AS state,
+         |    (max(CAST(epoch_us(ts) AS BIGINT))
+         |       OVER (PARTITION BY session_id)
+         |     - CAST(epoch_us(ts) AS BIGINT)) // 1000000 AS rem_sec
+         |  FROM s
+         |), model AS (
+         |  SELECT state,
+         |    CAST(sum(rem_sec) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |      AS pred_sec
+         |  FROM r WHERE user_id % 2 = 0 GROUP BY 1
+         |), sc AS (
+         |  SELECT r.state, r.rem_sec, m.pred_sec
+         |  FROM r LEFT JOIN model m ON r.state = m.state
+         |  WHERE r.user_id % 2 = 1
+         |), g AS (
+         |  SELECT state, CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(sum(CASE WHEN pred_sec IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_pred,
+         |    CAST(sum(CASE WHEN pred_sec IS NOT NULL
+         |      THEN abs(rem_sec - pred_sec) ELSE 0 END) AS BIGINT) AS ae
+         |  FROM sc GROUP BY 1
+         |  UNION ALL
+         |  SELECT '__ALL__', CAST(count(*) AS BIGINT),
+         |    CAST(sum(CASE WHEN pred_sec IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT),
+         |    CAST(sum(CASE WHEN pred_sec IS NOT NULL
+         |      THEN abs(rem_sec - pred_sec) ELSE 0 END) AS BIGINT)
+         |  FROM sc
+         |)
+         |SELECT state, n_test, n_pred,
+         |  ae // nullif(n_pred, 0) AS mae_sec
+         |FROM g""".stripMargin,
 
     // Backtest replay: same session CTE, argmax with the identical
     // (count desc, next asc) tie-break, CASE-null hit scoring (a NULL

@@ -981,6 +981,28 @@ object PipelineQueries {
         "src", "dst", "vec_id", "label")
     }),
 
+    // -- graph: common-neighbor link prediction over the symmetrized
+    //    kNN graph — distance-2 candidates with exact neighborhood
+    //    Jaccard, existing edges excluded ---------------------------
+    "q_link_predict" -> ((s, dir) =>
+      graft.analytics.LabelProp.linkPredict(
+        graft.analytics.LabelProp.symmetrize(
+          Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
+            "embedding", k = 3).select(col("src"), col("dst")),
+          "src", "dst"),
+        "src", "dst", minCommon = 2L)),
+
+    // -- layout: small-file compaction planning over a deterministic
+    //    synthetic manifest (per-source micro-shards sized by chars) —
+    //    biggest-first cumulative binning, already-compact flagged ---
+    "q_compaction_plan" -> ((s, dir) =>
+      graft.operators.Compaction.plan(
+        Tables.documents(s, dir)
+          .groupBy(col("source").as("part"),
+            (col("doc_id") % 20).as("file"))
+          .agg(sum(col("n_chars")).as("bytes")),
+        "part", "file", "bytes", targetBytes = 4096L)),
+
     // -- training order capstone: CURRICULUM layout — every doc's
     //    PageRank centrality over the kNN graph becomes its training
     //    position: Weyl shard (the q_shard_assign bucket — membership
@@ -2405,6 +2427,48 @@ object PipelineQueries {
 
     // Constants are interpolated from the SAME Scala doubles the Spark
     // side folds (toString round-trips the exact bit pattern), so both
+    // Link-prediction replay: the shared kNN CTE, UNION symmetrize,
+    // wedge self-join, anti-exclusion of present edges, broadcast-less
+    // relational degrees — same exact Jaccard micro-units.
+    "q_link_predict" ->
+      s"""$KnnEdgesCte,
+        |eu AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d
+        |        FROM eu GROUP BY 1),
+        |cand AS (
+        |  SELECT a.src AS s, b.dst AS t, CAST(count(*) AS BIGINT) AS common
+        |  FROM eu a JOIN eu b ON a.dst = b.src
+        |  WHERE a.src < b.dst
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), nc AS (
+        |  SELECT c.* FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM eu
+        |    WHERE eu.src = c.s AND eu.dst = c.t)
+        |)
+        |SELECT nc.s AS src, nc.t AS dst, common,
+        |  da.d AS deg_src, db.d AS deg_dst,
+        |  (common * 1000000) // (da.d + db.d - common) AS jaccard_micro
+        |FROM nc JOIN deg da ON nc.s = da.v JOIN deg db ON nc.t = db.v""".stripMargin,
+
+    // Compaction replay: identical biggest-first walk and cumulative
+    // integer binning per partition.
+    "q_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT source AS part, doc_id % 20 AS file,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1, 2
+        |), c AS (
+        |  SELECT part, file, bytes,
+        |    CAST(coalesce(sum(bytes) OVER (PARTITION BY part
+        |      ORDER BY bytes DESC, file
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS bef
+        |  FROM f
+        |)
+        |SELECT part, file, bytes, bef // 4096 AS bin,
+        |  bytes >= 4096 AS already_compact
+        |FROM c""".stripMargin,
+
     // Phrase replay: the brute-force window scan the positional index
     // exists to avoid — every start position of every document checked
     // against all three tokens.

@@ -94,4 +94,33 @@ class LabelPropSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(4)).toMap
     assert(qb(0) < 0L, "a cross-cut community must score negative")
   }
+
+  test("linkPredict: wedges, Jaccard, existing-edge and threshold exclusion") {
+    import spark.implicits._
+    def sym(pairs: (Long, Long)*) = LabelProp.symmetrize(
+      pairs.toDF("src", "dst"), "src", "dst")
+    // square 1-2-3-4-1: (1,3) and (2,4) are the distance-2 pairs,
+    // each with BOTH remaining corners as common neighbors →
+    // jaccard = 2/(2+2-2) = 1e6 exactly
+    val square = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val out = LabelProp.linkPredict(square, "src", "dst", minCommon = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(5)))).toMap
+    assert(out == Map((1L, 3L) -> ((2L, 1000000L)),
+      (2L, 4L) -> ((2L, 1000000L))))
+    // a triangle has no non-edge distance-2 pairs: every wedge closes
+    val tri = sym((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(LabelProp.linkPredict(tri, "src", "dst", 1L).collect().isEmpty,
+      "existing edges must never be predicted")
+    // path 1-2-3: one wedge, one common neighbor — the minCommon
+    // valve thins it out at 2, keeps it at 1 (jaccard 1/(1+1-1))
+    val path = sym((1L, 2L), (2L, 3L))
+    assert(LabelProp.linkPredict(path, "src", "dst", 2L).collect().isEmpty)
+    val p1 = LabelProp.linkPredict(path, "src", "dst", 1L).collect()
+    assert(p1.length == 1 && p1.head.getLong(2) == 1L &&
+      p1.head.getLong(5) == 1000000L)
+    intercept[IllegalArgumentException] {
+      LabelProp.linkPredict(path, "src", "dst", 0L)
+    }
+  }
 }

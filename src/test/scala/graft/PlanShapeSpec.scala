@@ -691,6 +691,27 @@ class PlanShapeSpec extends SparkSpec {
       s"heavy hitters must broadcast the candidate set:\n${hhp.take(1200)}")
   }
 
+  test("round-9 seventeenth-batch plans: checkpointed wedges, partitioned bins") {
+    // link prediction: the kNN build ran once at checkpoint time —
+    // the wedge/degree/exclusion branches must all read the
+    // checkpointed edge list, never re-scan parquet
+    val lk = plan("q_link_predict")
+    assert(count(lk, "Scan parquet") == 0 && !lk.contains("CartesianProduct") &&
+      lk.contains("BroadcastHashJoin"),
+      s"linkPredict works off the checkpointed edges:\n${lk.take(1200)}")
+    // compaction: per-partition cumsum — join-free, one scan, and the
+    // window must be PARTITIONED (a global file sort would serialize
+    // the whole manifest)
+    val cpl = plan("q_compaction_plan")
+    assert(!cpl.contains("Join") && count(cpl, "Scan parquet") == 1,
+      s"compaction plan is collapse + partitioned window:\n${cpl.take(1200)}")
+    // remaining time: model broadcasts back, headline via one Expand
+    val rt = plan("q_remaining_time")
+    assert(rt.contains("BroadcastHashJoin") && rt.contains("Expand") &&
+      !rt.contains("CartesianProduct"),
+      s"remaining-time: broadcast model + rollup headline:\n${rt.take(1200)}")
+  }
+
   test("q_snapshot_diff: one full-outer equi-join, never a nested loop") {
     val p = plan("q_snapshot_diff")
     assert(p.contains("FullOuter"),

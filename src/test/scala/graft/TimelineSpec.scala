@@ -569,6 +569,31 @@ class TimelineSpec extends SparkSpec {
       "zero-width [t,t) versions must be collapsed out, last value wins")
   }
 
+  test("backtestRemainingTime: exact MAE, unseen state loud, headline row") {
+    // train case tr1 (activity a at t0 and t60, b at t30; end t60):
+    //   remaining: a→60, a→0, b→30 → pred a = 30, b = 30
+    val train = log(
+      ("tr1", "a", "2024-01-01 10:00:00", 1L),
+      ("tr1", "b", "2024-01-01 10:00:30", 2L),
+      ("tr1", "a", "2024-01-01 10:01:00", 3L))
+    // test case te1: a at t0 (remaining 90 → AE 60), b at t90
+    // (remaining 0 → AE 30), and unseen activity z at t10 (no pred)
+    val test = log(
+      ("te1", "a", "2024-01-01 11:00:00", 4L),
+      ("te1", "z", "2024-01-01 11:00:10", 5L),
+      ("te1", "b", "2024-01-01 11:01:30", 6L))
+    val out = Dfg.backtestRemainingTime(train, test, "case_id", "activity",
+        "ts", "event_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out("a") == ((1L, 1L, 60L)))
+    assert(out("b") == ((1L, 1L, 30L)))
+    assert(out("z") == ((1L, 0L, -1L)), "unseen state: n_pred 0, NULL MAE")
+    // headline: 2 scored of 3, MAE = (60 + 30) div 2 = 45
+    assert(out("__ALL__") == ((3L, 2L, 45L)))
+  }
+
   test("volumeTrend: exact fit on a perfect line recovers slope/intercept/r2") {
     import spark.implicits._
     // day i (i = 0..4) has i+1 events → y = x + 1 exactly

@@ -96,4 +96,34 @@ class ZorderSpec extends SparkSpec {
     // and the layout loses no rows
     assert(spark.read.parquet(zPath).count() == 4096L)
   }
+
+  test("compaction plan: biggest-first bins, overshoot bound, compact flag") {
+    import spark.implicits._
+    import graft.operators.Compaction
+    // partition p: sizes 5000, 3000, 2000, 1500, 500 at target 4096 —
+    // walk desc: before = 0, 5000, 8000, 10000, 11500
+    //            bin    = 0,    1,    1,     2,     2
+    val files = Seq(
+      ("p", 1L, 5000L), ("p", 2L, 3000L), ("p", 3L, 2000L),
+      ("p", 4L, 1500L), ("p", 5L, 500L), ("q", 9L, 100L))
+      .toDF("part", "file", "bytes")
+    val out = Compaction.plan(files, "part", "file", "bytes", 4096L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(("p", 1L)) == ((0L, true)), "full file: own bin, no rewrite")
+    assert(out(("p", 2L)) == ((1L, false)) && out(("p", 3L)) == ((1L, false)))
+    assert(out(("p", 4L)) == ((2L, false)) && out(("p", 5L)) == ((2L, false)))
+    assert(out(("q", 9L)) == ((0L, false)), "partitions bin independently")
+    // overshoot bound: every bin total < target + its largest member
+    val byBin = Compaction.plan(files, "part", "file", "bytes", 4096L)
+      .collect().groupBy(r => (r.getString(0), r.getLong(3)))
+    byBin.values.foreach { rs =>
+      val sizes = rs.map(_.getLong(2))
+      assert(sizes.sum < 4096L + sizes.max,
+        s"bin overshoot beyond one file: ${sizes.toSeq}")
+    }
+    intercept[IllegalArgumentException] {
+      Compaction.plan(files, "part", "file", "bytes", 0L)
+    }
+  }
 }
