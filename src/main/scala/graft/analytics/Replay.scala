@@ -79,4 +79,45 @@ object Replay {
         "(500000L * (consumed - missing)) div consumed + " +
           "(500000L * (produced - remaining)) div produced"))
   }
+
+  /** Per-variant OPTIMAL alignments (Adriansyah et al. 2011) — the
+    * exact conformance metric above `tokenReplay`'s heuristic counts:
+    * minimum-cost path through the synchronous product (sync 0,
+    * log/labeled-model 1, τ 0), with the standard alignment fitness
+    * 1 − cost / (emptyTraceCost + |trace|) in exact integer
+    * micro-units (the pm4py normalization: the worst alignment logs
+    * every event and walks the cheapest model path). cost = 0 ⟺ the
+    * net accepts the variant — gated against `Inductive.accepts`.
+    *
+    * Scale shape: identical to `tokenReplay` — one case collapse, one
+    * variant collapse, then the compiled Dijkstra kernel row-local
+    * over |variants| rows with the net baked into the expression; the
+    * empty-trace cost is ONE driver-side kernel call, a constant in
+    * the plan.
+    */
+  def alignments(df: DataFrame, caseCol: String, activityCol: String,
+                 tsCol: String, tieCol: String,
+                 net: Inductive.PetriNet): DataFrame = {
+    val spec = serialize(net)
+    val emptyCost =
+      graft.functions.Alignment.align(TokenReplay.parse(spec), Vector.empty)._1
+    df.groupBy(col(caseCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col(tsCol), col(tieCol),
+          col(activityCol)))),
+        e => e(activityCol)).as("__seq"))
+      .groupBy(array_join(col("__seq"), "->").as("variant"))
+      .agg(count(lit(1)).as("n_cases"), first(col("__seq")).as("__seq"))
+      .withColumn("__a",
+        graft.functions.Alignment.alignCounts(col("__seq"), spec))
+      .select(col("variant"), col("n_cases"),
+        size(col("__seq")).cast("long").as("n_events"),
+        col("__a.cost").as("cost"),
+        col("__a.log_moves").as("log_moves"),
+        col("__a.model_moves").as("model_moves"),
+        col("__a.sync_moves").as("sync_moves"))
+      .withColumn("fitness_micro", expr(
+        s"(((${emptyCost}L + n_events) - cost) * 1000000L) " +
+          s"div nullif(${emptyCost}L + n_events, 0L)"))
+  }
 }

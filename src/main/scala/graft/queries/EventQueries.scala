@@ -339,6 +339,23 @@ object EventQueries {
       Replay.tokenReplay(base, "session_id", "event_type", "ts", "event_id", net)
     }),
 
+    // Optimal A*/Dijkstra alignments per variant against the mined
+    // net — the exact conformance metric above token replay; cost 0
+    // ⟺ accepts, spec-gated. Rows-only by design (search kernel).
+    "q_alignments" -> ((s, dir) => {
+      import graft.analytics.{Inductive, Replay}
+      val base = sessions(Tables.events(s, dir))
+      val edges = Dfg.edges(base, "session_id", "event_type", "ts", "event_id")
+        .select("activity", "next_activity").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val se = Dfg.startEndCounts(base, "session_id", "event_type", "ts", "event_id")
+        .select("activity", "position").collect()
+      val starts = se.collect { case r if r.getString(1) == "start" => r.getString(0) }.toSet
+      val ends = se.collect { case r if r.getString(1) == "end" => r.getString(0) }.toSet
+      val net = Inductive.toPetriNet(Inductive.mine(edges, starts, ends))
+      Replay.alignments(base, "session_id", "event_type", "ts", "event_id", net)
+    }),
+
     // O-27: trace variants.
     "q_variants" -> ((s, dir) =>
       Variants.counts(sessions(Tables.events(s, dir)),

@@ -710,6 +710,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(rt.contains("BroadcastHashJoin") && rt.contains("Expand") &&
       !rt.contains("CartesianProduct"),
       s"remaining-time: broadcast model + rollup headline:\n${rt.take(1200)}")
+    // alignments: the net rides inside the compiled kernel — the
+    // variant table joins NOTHING; same contract as token replay
+    val al = plan("q_alignments")
+    assert(!al.contains("Join") &&
+      al.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3,
+      s"alignments: kernel over the collapsed variant table, join-free:\n${al.take(1200)}")
   }
 
   test("q_snapshot_diff: one full-outer equi-join, never a nested loop") {

@@ -109,4 +109,69 @@ class ReplaySpec extends SparkSpec {
     assert(n3 == 1L && e3 == 1L && !fits3 && f3 == 500000L,
       "the broken variant scores (2-1)/2 + (2-1)/2")
   }
+
+  private def alignOn(tree: Inductive.Tree, trace: String*) = {
+    val net = Inductive.toPetriNet(tree)
+    graft.functions.Alignment.align(
+      TokenReplay.parse(Replay.serialize(net)), trace.toIndexedSeq)
+  }
+
+  test("alignments: textbook costs on sequence, xor, and, loop nets") {
+    val seqN = Sequence(List(Leaf("a"), Leaf("b"), Leaf("c")))
+    assert(alignOn(seqN, "a", "b", "c") == ((0L, 0L, 0L, 3L)))
+    // skipping b: ONE model move, both others synchronize
+    assert(alignOn(seqN, "a", "c") == ((1L, 0L, 1L, 2L)))
+    // inserting noise: ONE log move
+    assert(alignOn(seqN, "a", "b", "x", "c") == ((1L, 1L, 0L, 3L)))
+    // empty trace: the full model path is model moves
+    assert(alignOn(seqN) == ((3L, 0L, 3L, 0L)))
+    val xor = Xor(List(Leaf("a"), Leaf("b")))
+    assert(alignOn(xor, "a")._1 == 0L)
+    // both branches: one synchronizes, the other is a log move
+    assert(alignOn(xor, "a", "b") == ((1L, 1L, 0L, 1L)))
+    val and = And(List(Leaf("a"), Leaf("b")))
+    assert(alignOn(and, "b", "a")._1 == 0L, "AND order must align free")
+    val loop = Loop(Leaf("a"), Leaf("b"))
+    assert(alignOn(loop, "a", "b", "a", "b", "a")._1 == 0L)
+    // OOV activity can only be a log move — never a crash
+    assert(alignOn(seqN, "a", "zz", "b", "c") == ((1L, 1L, 0L, 3L)))
+  }
+
+  test("alignments: cost 0 ⟺ accepts, and cost ≤ worst on every variant") {
+    val traces = Seq(Seq("a", "b", "d"), Seq("a", "c", "d"),
+      Seq("a", "b", "b", "d"), Seq("a", "d"), Seq("b", "a", "d"),
+      Seq("d"), Seq("a", "b", "c", "d"))
+    val edges = traces.flatMap(tr => tr.zip(tr.tail)).distinct
+    val tree = mine(edges, starts = Set("a", "b"), ends = Set("d"))
+    val net = toPetriNet(tree)
+    val parsed = TokenReplay.parse(Replay.serialize(net))
+    val empty = graft.functions.Alignment.align(parsed, Vector.empty)._1
+    traces.foreach { tr =>
+      val (c, lg, md, sc) = graft.functions.Alignment.align(
+        parsed, tr.toIndexedSeq)
+      assert((c == 0L) == accepts(net, tr),
+        s"cost-0 ⟺ accepts must hold on $tr (cost $c)")
+      assert(c <= empty + tr.length, s"cost must not exceed worst on $tr")
+      assert(lg + sc == tr.length,
+        s"every trace event is a log or sync move on $tr")
+    }
+  }
+
+  test("alignments: distributed wrapper fitness is exact and ordered") {
+    import spark.implicits._
+    val tree = Sequence(List(Leaf("a"), Leaf("b")))
+    val df = Seq(
+      ("c1", "a", Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      ("c1", "b", Timestamp.valueOf("2024-01-01 10:01:00"), 2L),
+      ("c2", "b", Timestamp.valueOf("2024-01-01 11:00:00"), 3L))
+      .toDF("case_id", "activity", "ts", "event_id")
+    val out = Replay.alignments(df, "case_id", "activity", "ts", "event_id",
+        Inductive.toPetriNet(tree))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(7)))).toMap
+    // perfect variant: cost 0, fitness 1e6; 'b' alone: cost 1 (model
+    // move a), worst = emptyCost(2) + 1 = 3 → fitness 666666
+    assert(out("a->b") == ((0L, 1000000L)))
+    assert(out("b") == ((1L, 666666L)))
+  }
 }
