@@ -1494,4 +1494,67 @@ object Similarity {
           sqrt(col("a.__nsq") * col("b.__nsq"))).as("cos"),
         col("a.__n").as("n_a"), col("b.__n").as("n_b"))
   }
+
+  /** Exact DBSCAN (Ester et al. 1996) over cosine ε-neighborhoods —
+    * the density clustering that, unlike k-means, needs no k and
+    * labels outliers instead of absorbing them: a point with ≥
+    * `minPts` neighbors at cos ≥ `threshold` (SELF EXCLUDED — the
+    * pinned convention) is CORE; clusters are connected components of
+    * the core-core neighbor graph (min-id canonical labels); a
+    * non-core point with a core neighbor is BORDER and joins the
+    * MINIMUM cluster id among its core neighbors — the deterministic
+    * pin for the classic border ambiguity (sequential DBSCAN assigns
+    * border points by discovery order, which has no distributed
+    * meaning); everything else is NOISE. EVERY input point is
+    * emitted with a role — a clustering that silently dropped its
+    * outliers would defeat the reason to run DBSCAN.
+    *
+    * Scale shape: the ε-graph comes from the exact quadratic pair
+    * tier BY CONTRACT (`cosineNearDupPairsLsh` is the drop-in scale
+    * arm — same output contract, banded); the pair list is
+    * checkpointed (it feeds the degree, core-edge and border
+    * branches), and everything after runs on the graph, not the
+    * vectors: degrees partial-aggregate, components are
+    * `connectedComponents`' O(log diameter) min-label rounds, border
+    * assignment is one join + min.
+    */
+  def dbscan(df: DataFrame, idCol: String, embCol: String,
+             threshold: Double, minPts: Long): DataFrame = {
+    require(minPts >= 1L, s"dbscan: minPts >= 1, got $minPts")
+    val pairs = cosineNearDupPairs(df, idCol, embCol, threshold)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .localCheckpoint(true)
+    val edges = pairs.union(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val core = edges.groupBy(col("id_a").as("id"))
+      .agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") >= minPts)
+      .select(col("id"))
+    val coreEdges = edges
+      .join(core.select(col("id").as("id_a")), Seq("id_a"))
+      .join(core.select(col("id").as("id_b")), Seq("id_b"))
+      .filter(col("id_a") < col("id_b"))
+    val comp = Dedup.connectedComponents(coreEdges, "id_a", "id_b")
+    // isolated cores (no core neighbor) are their own singleton
+    // cluster — min-id canonical trivially
+    val coreClusters = core
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id"))
+        .as("__ccl"))
+    val borderAssign = edges
+      .select(col("id_a").as("id"), col("id_b").as("__nb"))
+      .join(coreClusters.select(col("id").as("__nb"),
+        col("__ccl").as("__ncl")), Seq("__nb"))
+      .groupBy(col("id")).agg(min(col("__ncl")).as("__bcl"))
+    df.select(col(idCol).cast("long").as("id"))
+      .join(coreClusters, Seq("id"), "left")
+      .join(borderAssign, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("__ccl").isNotNull, lit("core"))
+          .when(col("__bcl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("__ccl").isNotNull, col("__ccl"))
+          .otherwise(col("__bcl")).as("cluster_id"))
+  }
 }

@@ -356,6 +356,23 @@ object EventQueries {
       Replay.alignments(base, "session_id", "event_type", "ts", "event_id", net)
     }),
 
+    // The four-quadrant model-quality report: alignment fitness,
+    // model-side DF precision, token generalization, arc-degree
+    // simplicity — one row. Rows-only by design.
+    "q_model_quality" -> ((s, dir) => {
+      import graft.analytics.{Inductive, ModelQuality}
+      val base = sessions(Tables.events(s, dir))
+      val edges = Dfg.edges(base, "session_id", "event_type", "ts", "event_id")
+        .select("activity", "next_activity").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val se = Dfg.startEndCounts(base, "session_id", "event_type", "ts", "event_id")
+        .select("activity", "position").collect()
+      val starts = se.collect { case r if r.getString(1) == "start" => r.getString(0) }.toSet
+      val ends = se.collect { case r if r.getString(1) == "end" => r.getString(0) }.toSet
+      val net = Inductive.toPetriNet(Inductive.mine(edges, starts, ends))
+      ModelQuality.report(base, "session_id", "event_type", "ts", "event_id", net)
+    }),
+
     // O-27: trace variants.
     "q_variants" -> ((s, dir) =>
       Variants.counts(sessions(Tables.events(s, dir)),

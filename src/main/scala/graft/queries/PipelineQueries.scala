@@ -529,6 +529,12 @@ object PipelineQueries {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.35)),
 
+    // -- clustering: exact DBSCAN over the cosine ε-graph — density
+    //    roles with min-id canonical clusters, border ties pinned ----
+    "q_dbscan" -> ((s, dir) =>
+      Similarity.dbscan(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.35, minPts = 2L)),
+
     // -- similarity: the near-dup pair search on its SCALE arm —
     //    multi-table LSH bucket-join candidates + exact quantized-
     //    cosine verify. Carries the SAME DuckDB oracle as
@@ -2280,6 +2286,52 @@ object PipelineQueries {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
         |)
         |SELECT * FROM p WHERE cos >= 0.35""".stripMargin,
+
+    // DBSCAN replay: the near-dup pair CTE, symmetric ε-graph,
+    // self-excluded degrees, reachability components over core-core
+    // edges, min-cluster border assignment, every point emitted.
+    "q_dbscan" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q
+        |), p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE CAST(list_sum(list_transform(list_zip(a.v, b.v),
+        |      z -> z[1] * z[2])) AS DOUBLE) /
+        |    sqrt(CAST(a.nsq * b.nsq AS DOUBLE)) >= 0.35
+        |), e AS (
+        |  SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p
+        |), core AS (
+        |  SELECT id_a AS id FROM e GROUP BY 1 HAVING count(*) >= 2
+        |), ce AS (
+        |  SELECT e.id_a AS src, e.id_b AS dst FROM e
+        |  JOIN core c1 ON e.id_a = c1.id JOIN core c2 ON e.id_b = c2.id
+        |), reach AS (
+        |  SELECT id AS node, id AS r FROM core
+        |  UNION
+        |  SELECT re.node, ce.dst FROM reach re JOIN ce ON ce.src = re.r
+        |), comp AS (
+        |  SELECT node AS id, CAST(min(r) AS BIGINT) AS ccl
+        |  FROM reach GROUP BY 1
+        |), bord AS (
+        |  SELECT e.id_a AS id, CAST(min(c.ccl) AS BIGINT) AS bcl
+        |  FROM e JOIN comp c ON e.id_b = c.id GROUP BY 1
+        |)
+        |SELECT emb.vec_id,
+        |  CASE WHEN comp.id IS NOT NULL THEN 'core'
+        |    WHEN bord.bcl IS NOT NULL THEN 'border'
+        |    ELSE 'noise' END AS role,
+        |  CASE WHEN comp.id IS NOT NULL THEN comp.ccl
+        |    ELSE bord.bcl END AS cluster_id
+        |FROM embeddings emb
+        |LEFT JOIN comp ON emb.vec_id = comp.id
+        |LEFT JOIN bord ON emb.vec_id = bord.id""".stripMargin,
 
     // SemDeDup exact arm: the same quantized pair list as
     // q_embed_neardup, reduced to one keep/remove decision per doc

@@ -349,4 +349,35 @@ class AnnSpec extends SparkSpec {
       .collect().head.getLong(3)
     assert(o2 == 0L)
   }
+
+  test("dbscan: core/border/noise roles, min-id clusters, minPts escalation") {
+    import spark.implicits._
+    // angles 0°, ±5° form a dense blob; 28° touches only the 5°
+    // member; 90° is isolated
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.996f, 0.087f)),
+      (3L, Seq(0.996f, -0.087f)), (4L, Seq(0.883f, 0.469f)),
+      (5L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.dbscan(vecs, "vec_id", "embedding",
+        threshold = 0.9, minPts = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out.size == 5, "every point must be emitted")
+    assert(out(1L) == (("core", 1L)) && out(2L) == (("core", 1L)) &&
+      out(3L) == (("core", 1L)))
+    assert(out(4L) == (("border", 1L)), "one core neighbor → border")
+    assert(out(5L) == (("noise", -1L)), "isolated point stays noise")
+    // minPts = 3: only the 5° member keeps 3 neighbors — the blob
+    // collapses to one core with three borders
+    val strict = Similarity.dbscan(vecs, "vec_id", "embedding",
+        threshold = 0.9, minPts = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(strict(2L) == (("core", 2L)))
+    assert(Seq(1L, 3L, 4L).forall(strict(_) == (("border", 2L))))
+    assert(strict(5L) == (("noise", -1L)))
+    intercept[IllegalArgumentException] {
+      Similarity.dbscan(vecs, "vec_id", "embedding", 0.9, 0L)
+    }
+  }
 }

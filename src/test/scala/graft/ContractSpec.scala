@@ -23,6 +23,7 @@ class ContractSpec extends SparkSpec {
     "q_inductive_tree" -> "tree recursion not SQL-expressible; InductiveSpec gates",
     "q_token_replay" -> "mined net + τ-path search are not SQL-expressible; textbook token counts / accepts-agreement / never-stall laws gated in ReplaySpec",
     "q_alignments" -> "synchronous-product Dijkstra is not SQL-expressible; textbook costs / cost-0⟺accepts / OOV / bound laws gated in ReplaySpec",
+    "q_model_quality" -> "alignment kernel + √ generalization are not SQL-expressible; flower-vs-strict tension + perfect-model laws gated in ReplaySpec",
     "q_dedup_incremental_bloom" -> "one-sided fpp error; bloom ⊆ exact gated in LlmDedupSpec",
     "q_quantiles_approx" -> "sketch-approximate; gated to exact tier in ScalePatternsSpec",
     "q_embed_topk_int8" -> "8-bit shortlist is approximate; recall-gated in AnnSpec",

@@ -174,4 +174,41 @@ class ReplaySpec extends SparkSpec {
     assert(out("a->b") == ((0L, 1000000L)))
     assert(out("b") == ((1L, 666666L)))
   }
+
+  test("model quality: the flower/strict tension and the perfect model") {
+    import spark.implicits._
+    import graft.analytics.ModelQuality
+    def logDf(traces: Seq[Seq[String]]) = traces.zipWithIndex.flatMap {
+      case (tr, c) => tr.zipWithIndex.map { case (a, i) =>
+        (s"c$c", a, Timestamp.valueOf(f"2024-01-01 10:${i}%02d:00"),
+          (c * 100 + i).toLong)
+      }
+    }.toDF("case_id", "activity", "ts", "event_id")
+    val seqLog = logDf(Seq.fill(4)(Seq("a", "b", "c")))
+    val strict = Inductive.toPetriNet(
+      Sequence(List(Leaf("a"), Leaf("b"), Leaf("c"))))
+    val flower = Inductive.toPetriNet(
+      Loop(Xor(List(Leaf("a"), Leaf("b"), Leaf("c"))), Silent))
+    def row(net: Inductive.PetriNet) =
+      ModelQuality.report(seqLog, "case_id", "activity", "ts", "event_id",
+        net).collect().head
+    val s = row(strict); val f = row(flower)
+    // the strict model is perfect on its own log
+    assert(s.getLong(2) == 1000000L && s.getLong(3) == 1000000L,
+      s"strict: fitness ${s.getLong(2)}, precision ${s.getLong(3)}")
+    // the flower replays everything but allows far more than observed
+    assert(f.getLong(2) == 1000000L, "flower fitness must be perfect")
+    assert(f.getLong(3) < s.getLong(3),
+      s"flower precision ${f.getLong(3)} must crater vs strict")
+    // generalization/simplicity are in range and deterministic
+    Seq(s, f).foreach { r =>
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
+      assert(r.getLong(5) > 0L && r.getLong(5) <= 1000000L)
+    }
+    assert(row(strict).toSeq == s.toSeq, "report must be deterministic")
+    // netDirectlyFollows on the strict net is exactly the chain
+    val parsed = TokenReplay.parse(Replay.serialize(strict))
+    assert(ModelQuality.netDirectlyFollows(parsed) ==
+      Set(("a", "b"), ("b", "c")))
+  }
 }
