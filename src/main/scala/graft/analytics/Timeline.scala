@@ -155,6 +155,44 @@ object Timeline {
           .as("p99_us"))
   }
 
+  /** Waiting-time decomposition per activity — the CASE-keyed sibling
+    * of `interarrival` (which profiles the USER axis) and the other
+    * half of the sojourn split the lifecycle pairing (L-184) gives
+    * service time for: the gap between an event and its PREDECESSOR
+    * IN THE CASE, attributed to the waiting activity — where queues,
+    * handover delays and batching (L-165's pattern) actually show up.
+    * Per activity: count, exact microsecond sum, and p50/p90/p99 as
+    * exact lower order statistics at ranks ceil(q·(n+1)) under the
+    * (gap, tie) order — the `interarrival` conventions verbatim, so
+    * the two views are comparable cell by cell. Case-opening events
+    * have no predecessor and are excluded BY CONTRACT (their wait is
+    * the inter-CASE arrival, a different question).
+    *
+    * Scale shape: one case-keyed lag window, then the rank window and
+    * final aggregate share one activity-keyed Exchange.
+    */
+  def waitingTime(df: DataFrame, caseCol: String, activityCol: String,
+                  tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieCol))
+    val aw = Window.partitionBy(col(activityCol))
+    df.withColumn("__gap_us",
+        unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)))
+      .filter(col("__gap_us").isNotNull)
+      .select(col(activityCol), col("__gap_us"), col(tieCol))
+      .withColumn("__rk", row_number().over(
+        aw.orderBy(col("__gap_us"), col(tieCol))))
+      .withColumn("__n", count(lit(1)).over(aw))
+      .groupBy(col(activityCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__gap_us")).as("sum_wait_us"),
+        max(when(col("__rk") === expr("(__n + 1) div 2"), col("__gap_us")))
+          .as("p50_us"),
+        max(when(col("__rk") === expr("(9 * __n + 9) div 10"), col("__gap_us")))
+          .as("p90_us"),
+        max(when(col("__rk") === expr("(99 * __n + 99) div 100"), col("__gap_us")))
+          .as("p99_us"))
+  }
+
   /** Daily SLA report — per calendar day (of case start), how many
     * cases began and their duration p50/p90/max in whole seconds, the
     * percentiles as exact LOWER ORDER STATISTICS at ranks

@@ -637,6 +637,13 @@ object EventQueries {
       graft.operators.Scd2.build(Tables.events(s, dir),
         "user_id", "ts", "event_id", "event_type")),
 
+    // Waiting-time decomposition: the case-keyed sibling of
+    // q_interarrival — per activity, the gap to the case predecessor
+    // with exact order-statistic percentiles.
+    "q_waiting_time" -> ((s, dir) =>
+      Timeline.waitingTime(sessions(Tables.events(s, dir)),
+        "session_id", "event_type", "ts", "event_id")),
+
     // Remaining-time backtest: per-activity mean remaining seconds
     // trained on even users, MAE on odd — the duration sibling of the
     // Markov backtest, exact integers end to end.
@@ -2155,6 +2162,28 @@ object EventQueries {
         |  max(CASE WHEN rk = (9 * nn + 9) // 10 THEN gap_us END) AS p90_us,
         |  max(CASE WHEN rk = (99 * nn + 99) // 100 THEN gap_us END) AS p99_us
         |FROM r GROUP BY 1""".stripMargin,
+
+    // Waiting replay: session CTE, case-keyed lag gaps, identical
+    // integer percentile ranks.
+    "q_waiting_time" ->
+      s"""$SessionsCte, g AS (
+         |  SELECT event_type, event_id,
+         |    date_diff('microsecond', lag(ts) OVER (
+         |      PARTITION BY session_id ORDER BY ts, event_id), ts) AS gap_us
+         |  FROM s
+         |), r AS (
+         |  SELECT event_type, gap_us,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY gap_us, event_id) AS rk,
+         |    count(*) OVER (PARTITION BY event_type) AS nn
+         |  FROM g WHERE gap_us IS NOT NULL
+         |)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(gap_us) AS BIGINT) AS sum_wait_us,
+         |  max(CASE WHEN rk = (nn + 1) // 2 THEN gap_us END) AS p50_us,
+         |  max(CASE WHEN rk = (9 * nn + 9) // 10 THEN gap_us END) AS p90_us,
+         |  max(CASE WHEN rk = (99 * nn + 99) // 100 THEN gap_us END) AS p99_us
+         |FROM r GROUP BY 1""".stripMargin,
 
     "q_funnel_paths" ->
       s"""$SessionsCte, conv AS (

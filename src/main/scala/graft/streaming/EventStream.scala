@@ -274,6 +274,56 @@ object EventStream {
         })
   }
 
+  final case class CountEvent(item: String, ts: Timestamp)
+  final case class TrendState(n: Long, alerted: Boolean, lastTs: Timestamp)
+  final case class TrendAlert(item: String, n: Long, ts: Timestamp)
+
+  /** Streaming trending-item alerts — the unbounded arm of the
+    * Misra-Gries heavy-hitter operator (L-188): per item, ONE alert
+    * the moment its cumulative count reaches `threshold`, never a
+    * second (the alerted flag latches, the funnelStream exactly-once
+    * shape). The alert carries the count at crossing and the
+    * latest event time that contributed.
+    *
+    * State is one (count, flag, ts) per LIVE item — the bound comes
+    * from the `staleMinutes` event-time timeout: an item silent past
+    * the watermark + staleness is evicted, so state tracks the
+    * RECENT item universe, not the all-time one. The documented
+    * consequence (a law, not a bug): a slow burner whose activity
+    * spans eviction gaps restarts its count and can re-alert on a
+    * fresh burst — this is a TRENDING detector, recency is the
+    * semantics; the batch heavy-hitter operator is the all-time
+    * truth.
+    */
+  def trendingAlerts(events: Dataset[CountEvent], threshold: Long,
+                     staleMinutes: Int,
+                     watermarkDelay: String = "10 minutes"): Dataset[TrendAlert] = {
+    require(threshold > 0L, "trendingAlerts: threshold must be positive")
+    require(staleMinutes > 0, "trendingAlerts: staleMinutes must be positive")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.item)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (item: String, it: Iterator[CountEvent], state: GroupState[TrendState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = it.toSeq
+            val prev = state.getOption.getOrElse(
+              TrendState(0L, alerted = false, batch.head.ts))
+            val n = prev.n + batch.size
+            val maxTs = (prev.lastTs +: batch.map(_.ts)).maxBy(_.getTime)
+            val fire = !prev.alerted && n >= threshold
+            state.update(TrendState(n, prev.alerted || fire, maxTs))
+            state.setTimeoutTimestamp(maxTs.getTime + staleMinutes * 60000L)
+            if (fire) Iterator.single(TrendAlert(item, n, maxTs))
+            else Iterator.empty
+          }
+        })
+  }
+
   final case class FunnelEvent(userId: Long, ts: Timestamp, eventType: String)
   final case class FunnelState(staged: Seq[Option[Timestamp]])
   final case class Conversion(userId: Long, enteredTs: Timestamp,

@@ -802,4 +802,49 @@ class StreamingSpec extends SparkSpec {
       assert(rows.size == before, "closed windows report exactly once")
     } finally q.stop()
   }
+
+  test("trendingAlerts: latch-once crossing, silence below, stale reset") {
+    import graft.streaming.EventStream.{CountEvent, TrendAlert}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[CountEvent]
+    val q = EventStream.trendingAlerts(in.toDS(), threshold = 3L,
+        staleMinutes = 5, watermarkDelay = "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trend_out").start()
+    try {
+      in.addData(CountEvent("hot", ts("2024-01-01 10:00:00")),
+        CountEvent("hot", ts("2024-01-01 10:00:10")),
+        CountEvent("cool", ts("2024-01-01 10:00:20")))
+      q.processAllAvailable()
+      assert(spark.table("trend_out").count() == 0,
+        "below threshold must stay silent")
+      in.addData(CountEvent("hot", ts("2024-01-01 10:00:30")))
+      q.processAllAvailable()
+      val first = spark.table("trend_out").as[TrendAlert].collect()
+      assert(first.toSeq == Seq(TrendAlert("hot", 3L,
+        ts("2024-01-01 10:00:30"))),
+        s"the crossing emits exactly one alert, got ${first.toSeq}")
+      // more activity must NOT re-alert (the latch)
+      in.addData(CountEvent("hot", ts("2024-01-01 10:00:40")),
+        CountEvent("hot", ts("2024-01-01 10:00:50")))
+      q.processAllAvailable()
+      assert(spark.table("trend_out").count() == 1, "alert latches once")
+      // push the watermark far past hot's staleness window, evicting
+      // its state; a FRESH burst then re-alerts — recency semantics
+      in.addData(CountEvent("zz", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      in.addData(CountEvent("zz2", ts("2024-01-01 11:00:01")))
+      q.processAllAvailable()
+      in.addData(CountEvent("hot", ts("2024-01-01 11:10:00")),
+        CountEvent("hot", ts("2024-01-01 11:10:01")),
+        CountEvent("hot", ts("2024-01-01 11:10:02")))
+      q.processAllAvailable()
+      val after = spark.table("trend_out").as[TrendAlert].collect()
+        .filter(_.item == "hot")
+      assert(after.length == 2 && after.exists(_.n == 3L),
+        s"a fresh burst after eviction re-alerts with a reset count: ${after.toSeq}")
+    } finally q.stop()
+  }
 }

@@ -569,6 +569,25 @@ class TimelineSpec extends SparkSpec {
       "zero-width [t,t) versions must be collapsed out, last value wins")
   }
 
+  test("waitingTime: case-keyed gaps, opener exclusion, exact ranks") {
+    // c1: a@0, b@+30s, b@+90s → waits: b 30s, b 60s; c2: a@0 (opener
+    // only, excluded), z@+10s → z 10s
+    val df = log(
+      ("c1", "a", "2024-01-01 10:00:00", 1L),
+      ("c1", "b", "2024-01-01 10:00:30", 2L),
+      ("c1", "b", "2024-01-01 10:01:30", 3L),
+      ("c2", "a", "2024-01-01 11:00:00", 4L),
+      ("c2", "z", "2024-01-01 11:00:10", 5L))
+    val out = Timeline.waitingTime(df, "case_id", "activity", "ts",
+        "event_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // b: n=2, sum=90s, p50 = rank ceil(3/2)=2? (n+1) div 2 = 1 → 30s
+    assert(out("b") == ((2L, 90000000L, 30000000L)))
+    assert(out("z") == ((1L, 10000000L, 10000000L)))
+    assert(!out.contains("a"), "case openers have no wait by contract")
+  }
+
   test("backtestRemainingTime: exact MAE, unseen state loud, headline row") {
     // train case tr1 (activity a at t0 and t60, b at t30; end t60):
     //   remaining: a→60, a→0, b→30 → pred a = 30, b = 30
