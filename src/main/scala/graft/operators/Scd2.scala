@@ -61,4 +61,32 @@ object Scd2 {
       .select(col("key"), col("version"), col("value"),
         col("valid_from"), col("valid_to"), col("is_current"))
   }
+
+  /** Point-in-time join of a fact table against an SCD2 dimension
+    * (the lakehouse consumption pattern `build` exists for): each
+    * fact row picks the dimension version whose half-open
+    * [valid_from, valid_to) interval contains its timestamp. Because
+    * versions TILE (build's executed law), every fact at or after its
+    * key's first version matches EXACTLY ONE row — also an executed
+    * law here; facts BEFORE the first version (or with no dimension
+    * key at all) surface with a NULL version, never dropped.
+    *
+    * Scale shape: one key equi-join with the interval predicate as
+    * post-filter — SCD2 versions per key are few, so this is the
+    * plain dimension-join shape (broadcast when the dimension is
+    * small, key-partitioned otherwise; AQE decides), NOT the
+    * bucketed interval-join machinery built for high-cardinality
+    * overlapping intervals.
+    */
+  def pitJoin(facts: DataFrame, dim: DataFrame, keyCol: String,
+              tsCol: String): DataFrame = {
+    val d = dim.select(col("key").as("__k"), col("version"), col("value"),
+      col("valid_from"), col("valid_to"))
+    facts.join(d,
+        facts(keyCol) === col("__k") &&
+          facts(tsCol) >= col("valid_from") &&
+          (col("valid_to").isNull || facts(tsCol) < col("valid_to")),
+        "left")
+      .drop("__k")
+  }
 }

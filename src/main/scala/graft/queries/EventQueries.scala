@@ -637,6 +637,19 @@ object EventQueries {
       graft.operators.Scd2.build(Tables.events(s, dir),
         "user_id", "ts", "event_id", "event_type")),
 
+    // Point-in-time join of the event facts against their own SCD2
+    // dimension — the lakehouse consumption pattern for q_scd2.
+    "q_pit_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = graft.operators.Scd2.build(ev, "user_id", "ts",
+        "event_id", "event_type")
+      graft.operators.Scd2.pitJoin(
+          ev.select(col("user_id"), col("ts"), col("event_id")),
+          dim, "user_id", "ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("version"), col("value"))
+    }),
+
     // Waiting-time decomposition: the case-keyed sibling of
     // q_interarrival — per activity, the gap to the case predecessor
     // with exact order-statistic percentiles.
@@ -2162,6 +2175,44 @@ object EventQueries {
         |  max(CASE WHEN rk = (9 * nn + 9) // 10 THEN gap_us END) AS p90_us,
         |  max(CASE WHEN rk = (99 * nn + 99) // 100 THEN gap_us END) AS p99_us
         |FROM r GROUP BY 1""".stripMargin,
+
+    // PIT replay: the q_scd2 chain as a CTE, then the half-open
+    // interval membership join.
+    "q_pit_join" ->
+      """WITH base AS (
+        |  SELECT user_id AS key, ts, event_id, event_type AS value
+        |  FROM events
+        |), o AS (
+        |  SELECT *, lag(value) OVER (PARTITION BY key
+        |    ORDER BY ts, event_id, value) AS prev
+        |  FROM base
+        |), f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR prev <> value
+        |    THEN 1 ELSE 0 END AS nw
+        |  FROM o
+        |), v AS (
+        |  SELECT *, CAST(sum(nw) OVER (PARTITION BY key
+        |    ORDER BY ts, event_id, value ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS ver
+        |  FROM f
+        |), g AS (
+        |  SELECT key, ver, min(ts) AS valid_from, max(value) AS value
+        |  FROM v GROUP BY 1, 2
+        |), l AS (
+        |  SELECT *, lead(valid_from) OVER (PARTITION BY key
+        |    ORDER BY ver) AS valid_to
+        |  FROM g
+        |), dim AS (
+        |  SELECT key,
+        |    CAST(row_number() OVER (PARTITION BY key ORDER BY ver)
+        |      AS BIGINT) AS version,
+        |    value, valid_from, valid_to
+        |  FROM l WHERE valid_to IS NULL OR valid_to <> valid_from
+        |)
+        |SELECT e.event_id, e.user_id, e.ts, d.version, d.value
+        |FROM events e LEFT JOIN dim d ON e.user_id = d.key
+        |  AND e.ts >= d.valid_from
+        |  AND (d.valid_to IS NULL OR e.ts < d.valid_to)""".stripMargin,
 
     // Waiting replay: session CTE, case-keyed lag gaps, identical
     // integer percentile ranks.

@@ -430,6 +430,17 @@ object RelationalQueries {
           .withColumn("converted", col("event_type") === "purchase"),
         "is_even", "converted")),
 
+    // 2-D skyline: cheapest-for-its-recency orders — local sweep
+    // prefilter per partition, global sweep on the survivors.
+    "q_skyline" -> ((s, dir) =>
+      graft.operators.Skyline.skyline(
+        Tables.orders(s, dir).select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+            .as("price_cents"),
+          expr("CAST(datediff(o_orderdate, DATE'1990-01-01') AS BIGINT)")
+            .as("order_day")),
+        "price_cents", "order_day")),
+
     // The SQL-text surface: the same engine through spark.sql over a
     // registered view — parity between the Column API and SQL parsing.
     "q_sql_surface" -> ((s, dir) => {
@@ -441,6 +452,23 @@ object RelationalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // Skyline replay: the textbook NOT EXISTS dominance predicate —
+    // the quadratic formulation the two-phase sweep avoids.
+    "q_skyline" ->
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    CAST(date_diff('day', DATE '1990-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS order_day
+        |  FROM orders
+        |)
+        |SELECT * FROM t a WHERE NOT EXISTS (
+        |  SELECT 1 FROM t b
+        |  WHERE b.price_cents <= a.price_cents
+        |    AND b.order_day >= a.order_day
+        |    AND (b.price_cents < a.price_cents
+        |         OR b.order_day > a.order_day))""".stripMargin,
+
     // Benford replay: same floor-cents quantization, decimal-string
     // first digit (no log10 anywhere), pinned expectation CASE, the
     // 9-row spine LEFT JOIN so absent digits surface as n = 0.

@@ -718,6 +718,21 @@ class PlanShapeSpec extends SparkSpec {
       s"alignments: kernel over the collapsed variant table, join-free:\n${al.take(1200)}")
   }
 
+  test("round-9 eighteenth-batch plans: two-phase skyline, equi PIT join") {
+    // skyline: the local sweep shows as a MapPartitions over ONE scan;
+    // the global window runs on the survivors — no join anywhere
+    val sk = plan("q_skyline")
+    assert(sk.contains("MapPartitions") && !sk.contains("Join") &&
+      count(sk, "Scan parquet") == 1,
+      s"skyline is local-sweep prefilter + survivor window:\n${sk.take(1200)}")
+    // PIT join: the interval predicate must ride a KEY equi-join as a
+    // post-filter — never a nested loop over facts × versions
+    val pj = plan("q_pit_join")
+    assert(!pj.contains("CartesianProduct") &&
+      !pj.contains("BroadcastNestedLoopJoin"),
+      s"pitJoin must stay a keyed equi-join:\n${pj.take(1200)}")
+  }
+
   test("q_snapshot_diff: one full-outer equi-join, never a nested loop") {
     val p = plan("q_snapshot_diff")
     assert(p.contains("FullOuter"),

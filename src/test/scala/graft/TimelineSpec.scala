@@ -553,6 +553,33 @@ class TimelineSpec extends SparkSpec {
     assert(at("2024-01-05 12:00:00") == Seq("A"))
   }
 
+  test("scd2 pitJoin: exactly one version per fact, pre-history NULL") {
+    import spark.implicits._
+    val changes = Seq(
+      ("u1", "2024-01-02 10:00:00", 1L, "A"),
+      ("u1", "2024-01-04 10:00:00", 2L, "B"))
+      .map { case (k, t, id, v) => (k, ts(t), id, v) }
+      .toDF("key", "ts", "event_id", "value")
+    val dim = graft.operators.Scd2.build(changes, "key", "ts", "event_id",
+      "value")
+    val facts = Seq(
+      (10L, "u1", "2024-01-01 09:00:00"), // before history → NULL
+      (11L, "u1", "2024-01-02 10:00:00"), // exactly at v1 start → A
+      (12L, "u1", "2024-01-03 12:00:00"), // inside v1 → A
+      (13L, "u1", "2024-01-09 12:00:00"), // open current version → B
+      (14L, "u9", "2024-01-03 12:00:00")) // unknown key → NULL
+      .map { case (id, k, t) => (id, k, ts(t)) }
+      .toDF("fact_id", "key", "ts")
+    val out = graft.operators.Scd2.pitJoin(facts, dim, "key", "ts")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) null else r.getString(4))).toMap
+    assert(out == Map(10L -> null, 11L -> "A", 12L -> "A", 13L -> "B",
+      14L -> null))
+    // tiling ⇒ exactly one row per fact, even with a left join
+    assert(graft.operators.Scd2.pitJoin(facts, dim, "key", "ts").count() ==
+      facts.count())
+  }
+
   test("scd2: colliding instant picks the last value, zero-width dropped") {
     import spark.implicits._
     // two different values at the SAME (ts, tie): (ts, tie, value)
