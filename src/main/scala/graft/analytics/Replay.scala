@@ -64,6 +64,10 @@ object Replay {
         e => e(activityCol)).as("__seq"))
       .groupBy(array_join(col("__seq"), "->").as("variant"))
       .agg(count(lit(1)).as("n_cases"), first(col("__seq")).as("__seq"))
+      // the variant table is tiny, so AQE coalesces it to ONE
+      // partition — which would run every replay SERIALLY; the replay
+      // kernel is the expensive part, so spread variants first
+      .repartition(32)
       .withColumn("__r", TokenReplay.tokenReplayCounts(col("__seq"), spec))
       .select(col("variant"), col("n_cases"),
         size(col("__seq")).cast("long").as("n_events"),
@@ -108,6 +112,10 @@ object Replay {
         e => e(activityCol)).as("__seq"))
       .groupBy(array_join(col("__seq"), "->").as("variant"))
       .agg(count(lit(1)).as("n_cases"), first(col("__seq")).as("__seq"))
+      // spread variants before the Dijkstra kernel: AQE's coalesce of
+      // the tiny variant table would serialize the whole search (the
+      // tokenReplay lesson — the kernel IS the cost here)
+      .repartition(32)
       .withColumn("__a",
         graft.functions.Alignment.alignCounts(col("__seq"), spec))
       .select(col("variant"), col("n_cases"),

@@ -24,10 +24,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, St
   * tuple (cost, logMoves, modelMoves, pathLength) — each move adds
   * componentwise and the order is monotone, so the tuple-optimal
   * alignment is unique up to the tuple, making the reported move
-  * DECOMPOSITION deterministic, not just the scalar cost. Ties inside
-  * the frontier resolve by (position, marking bytes, move id) — no
-  * hash-order anywhere. The search is visited-bounded and FAILS LOUD
-  * on state-space overflow (never a silently truncated cost).
+  * DECOMPOSITION deterministic, not just the scalar cost — and the
+  * whole search is a single-threaded loop expanding transitions in
+  * index order, so no hash-iteration order ever reaches a decision.
+  * The search is visited-bounded and FAILS LOUD on state-space
+  * overflow (never a silently truncated cost).
   *
   * Reuses `TokenReplay`'s net model/parser — same serialized spec,
   * same unique-label contract.
@@ -43,46 +44,58 @@ object Alignment {
 
   /** Align one trace; returns (cost, logMoves, modelMoves, syncMoves).
     * Every trace aligns (log moves always exist), so this is total.
+    *
+    * Performance notes (the first draft was the bench's slowest
+    * query): states are keyed by a STRING encoding of the marking
+    * (Strings cache their hash; an ArraySeq re-murmurs every map
+    * lookup), markings are carried as raw arrays next to the key, and
+    * the heap orders by the cost tuple ALONE — a per-comparison state
+    * tie-break is unnecessary for determinism, because the settled
+    * goal's MINIMAL tuple is unique regardless of pop order among
+    * equals, and the tuple is the entire output.
     */
   def align(net: TokenReplay.Net, trace: IndexedSeq[String]): (Long, Long, Long, Long) = {
     val n = trace.length
-    final case class State(marking: mutable.ArraySeq[Int], pos: Int)
-    val goalMark: mutable.ArraySeq[Int] = {
+    // state key: marking chars + pos (place counts < 2^16 by far)
+    def keyOf(m: Array[Int], pos: Int): String = {
+      val cs = new Array[Char](m.length + 1)
+      var i = 0
+      while (i < m.length) { cs(i) = m(i).toChar; i += 1 }
+      cs(m.length) = pos.toChar
+      new String(cs)
+    }
+    val goalKey = {
       val a = new Array[Int](net.nPlaces); a(net.sinkIdx) = 1
-      mutable.ArraySeq.from(a)
+      keyOf(a, n)
     }
-    val start = {
-      val a = new Array[Int](net.nPlaces); a(net.sourceIdx) = 1
-      State(mutable.ArraySeq.from(a), 0)
+    val startMark = {
+      val a = new Array[Int](net.nPlaces); a(net.sourceIdx) = 1; a
     }
-    // min-heap on (tuple cost, then a deterministic state tie-break)
-    implicit val qOrd: Ordering[(CostT, State)] = Ordering.by {
-      case (c, s) => (c, s.pos, s.marking.mkString(","))
-    }
-    val queue = mutable.PriorityQueue.empty[(CostT, State)](qOrd.reverse)
-    val settled = mutable.HashSet.empty[State]
-    val best = mutable.HashMap.empty[State, CostT]
-    def push(c: CostT, s: State): Unit =
-      if (!settled(s) && best.get(s).forall(costOrd.gt(_, c))) {
-        best.update(s, c); queue.enqueue((c, s))
+    final case class Entry(c: CostT, mark: Array[Int], pos: Int, key: String)
+    implicit val qOrd: Ordering[Entry] = Ordering.by((e: Entry) => e.c)
+    val queue = mutable.PriorityQueue.empty[Entry](qOrd.reverse)
+    val settled = mutable.HashSet.empty[String]
+    val best = mutable.HashMap.empty[String, CostT]
+    def push(c: CostT, m: Array[Int], pos: Int): Unit = {
+      val k = keyOf(m, pos)
+      if (!settled(k) && best.get(k).forall(costOrd.gt(_, c))) {
+        best.update(k, c); queue.enqueue(Entry(c, m, pos, k))
       }
-    def plus(c: CostT, d: CostT): CostT =
-      (c._1 + d._1, c._2 + d._2, c._3 + d._3, c._4 + d._4)
-    push((0L, 0L, 0L, 0L), start)
+    }
+    def plus(c: CostT, a: Long, b: Long, d: Long, e: Long): CostT =
+      (c._1 + a, c._2 + b, c._3 + d, c._4 + e)
+    push((0L, 0L, 0L, 0L), startMark, 0)
     while (queue.nonEmpty) {
-      val (c, s) = queue.dequeue()
-      if (!settled(s) && best.get(s).contains(c)) {
-        if (s.pos == n && s.marking == goalMark)
-          return (c._1, c._2, c._3, n - c._2)
-        settled += s
+      val Entry(c, m, pos, k) = queue.dequeue()
+      if (!settled(k) && best.get(k).contains(c)) {
+        if (k == goalKey) return (c._1, c._2, c._3, n - c._2)
+        settled += k
         if (settled.size >= SettleCap)
           throw new IllegalStateException(
             s"align: product state space exceeded $SettleCap states — " +
               "net/trace too large for exact alignment")
-        val m = s.marking.toArray
         // log move: consume the trace event, model stands still
-        if (s.pos < n)
-          push(plus(c, (1L, 1L, 0L, 1L)), State(s.marking, s.pos + 1))
+        if (pos < n) push(plus(c, 1L, 1L, 0L, 1L), m, pos + 1)
         // model / synchronous moves over every enabled transition
         var t = 0
         while (t < net.inOf.length) {
@@ -90,15 +103,13 @@ object Alignment {
             val nm = m.clone()
             net.inOf(t).foreach(p => nm(p) -= 1)
             net.outOf(t).foreach(p => nm(p) += 1)
-            val nmSeq = mutable.ArraySeq.from(nm)
             val isTau = java.util.Arrays.binarySearch(net.taus, t) >= 0
             // model-only move: τ free, labeled costs 1
-            push(plus(c, (if (isTau) 0L else 1L, 0L, 1L, 1L)),
-              State(nmSeq, s.pos))
+            push(plus(c, if (isTau) 0L else 1L, 0L, 1L, 1L), nm, pos)
             // synchronous move: label matches the current trace event
-            if (!isTau && s.pos < n &&
-                net.labelOf.getOrDefault(trace(s.pos), -2) == t)
-              push(plus(c, (0L, 0L, 0L, 1L)), State(nmSeq, s.pos + 1))
+            if (!isTau && pos < n &&
+                net.labelOf.getOrDefault(trace(pos), -2) == t)
+              push(plus(c, 0L, 0L, 0L, 1L), nm, pos + 1)
           }
           t += 1
         }
