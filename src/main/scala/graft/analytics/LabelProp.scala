@@ -131,6 +131,61 @@ object LabelProp {
         col("degree_sum"), col("q_contrib_micro"))
   }
 
+  /** Multi-source BFS hop distances — the graph primitive under
+    * "how far is everything from the seed set" (freshness radius from
+    * trusted sources, blast-radius analysis, level-of-separation
+    * features): per node, the MINIMUM hop count from any source, NULL
+    * for unreachable nodes (emitted, never dropped — unreachable is
+    * the interesting answer). Min-propagation rounds (hop' =
+    * min(hop, neighbor hop + 1)) converge in diameter rounds, with
+    * the same cheap Σ-based convergence probe as
+    * `connectedComponents`; `maxIters` bounds both the rounds and the
+    * reported distance — a node past that radius reports NULL BY
+    * CONTRACT (matching the oracle's recursion bound).
+    *
+    * Scale shape: the edge list is checkpointed once; each round is
+    * one equi-join + partial-aggregated min — O(diameter) rounds of
+    * edge-linear work, never a frontier collect.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              sources: DataFrame, idCol: String,
+              maxIters: Int = 20): DataFrame = {
+    require(maxIters >= 1 && maxIters <= 100,
+      s"bfsHops: maxIters in [1, 100], got $maxIters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id")).distinct()
+    val seeds = sources.select(col(idCol).as("id")).distinct()
+      .withColumn("__h", lit(0L))
+    var labels = nodes.join(seeds, Seq("id"), "left")
+      .select(col("id"), col("__h").as("hops"))
+      .localCheckpoint(true)
+    def probe(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        sum(when(col("hops").isNull, 1L).otherwise(0L)),
+        coalesce(sum(col("hops")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = probe(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neigh = e
+        .join(labels.select(col("id").as("src"), col("hops").as("__nh")),
+          Seq("src"))
+        .filter(col("__nh").isNotNull)
+        .select(col("dst").as("id"), (col("__nh") + 1L).as("hops"))
+      labels = labels.union(neigh)
+        .groupBy(col("id")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+      val cur = probe(labels)
+      converged = cur == prev
+      prev = cur
+      i += 1
+    }
+    labels
+  }
+
   /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003 —
     * the baseline every link-prediction paper still reports): for
     * node pairs at distance two in the undirected graph, the count of

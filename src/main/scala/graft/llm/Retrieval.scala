@@ -278,6 +278,60 @@ object Retrieval {
     TextOps.bm25TopKByDocIndexed(idx.postings, idx.termDf, idx.stats, idCol,
       probeIds, k, k1, b)
 
+  /** 1e6/log2(r+1) for r = 1..10, floored — the NDCG discount table as
+    * PINNED integer constants, so no libm log2 enters the metric and
+    * the whole evaluation hash-verifies cross-engine.
+    */
+  private[llm] val DiscountMicro = Seq(1000000L, 630929L, 500000L, 430676L,
+    386852L, 356207L, 333333L, 315464L, 301029L, 289064L)
+  private[llm] val DiscountPrefix = DiscountMicro.scanLeft(0L)(_ + _)
+
+  /** Binary-relevance retrieval evaluation at cutoff k ≤ 10 — the IR
+    * report card every retrieval tier in this library (BM25, dense,
+    * hybrid RRF, ANN arms) can be scored with: per query, hits@k,
+    * MRR, precision@k, recall and NDCG@k, ALL in exact integer
+    * micro-units — the log2 discounts are the pinned constant table
+    * above, the ideal DCG is its prefix sum at min(n_rel, k), and
+    * every division is integral. Queries with no relevant documents
+    * report NULL recall/NDCG (undefined, never a fake zero); queries
+    * whose top-k missed every relevant doc report MRR/precision 0 —
+    * the miss IS the signal.
+    *
+    * Scale shape: one (qid, doc) equi-join of the run against the
+    * qrels, one per-qid partial aggregate, the n_rel table broadcast
+    * back. Output is one row per query in the run.
+    */
+  def evalBinary(run: DataFrame, qrels: DataFrame, qidCol: String,
+                 docCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 10, s"evalBinary: k in [1, 10] (pinned " +
+      s"discount table), got $k")
+    val rel = qrels.select(col(qidCol), col(docCol), lit(true).as("__rel"))
+    val nrel = qrels.groupBy(col(qidCol)).agg(count(lit(1)).as("n_rel"))
+    val disc = element_at(array(DiscountMicro.map(lit): _*),
+      col(rankCol).cast("int"))
+    val idcgArr = array(DiscountPrefix.tail.map(lit): _*)
+    run.filter(col(rankCol) <= k)
+      .join(rel, Seq(qidCol, docCol), "left")
+      .groupBy(col(qidCol))
+      .agg(
+        sum(when(col("__rel"), 1L).otherwise(0L)).as("n_hits"),
+        min(when(col("__rel"), col(rankCol).cast("long"))).as("__fr"),
+        sum(when(col("__rel"), disc).otherwise(0L)).as("__dcg"))
+      .join(broadcast(nrel), Seq(qidCol), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("mrr_micro",
+        coalesce(expr("1000000L div __fr"), lit(0L)))
+      .withColumn("precision_micro", expr(s"(n_hits * 1000000L) div ${k}L"))
+      .withColumn("recall_micro",
+        expr("(n_hits * 1000000L) div nullif(n_rel, 0L)"))
+      .withColumn("__idcg", when(col("n_rel") === 0L, lit(null))
+        .otherwise(element_at(idcgArr,
+          least(col("n_rel"), lit(k.toLong)).cast("int"))))
+      .withColumn("ndcg_micro", expr("(__dcg * 1000000L) div __idcg"))
+      .select(col(qidCol), col("n_rel"), col("n_hits"), col("mrr_micro"),
+        col("precision_micro"), col("recall_micro"), col("ndcg_micro"))
+  }
+
   /** Exact phrase search over positional postings — the "quoted query"
     * every lexical engine supports beside BM25's bag-of-words: find
     * documents containing the EXACT token sequence, with occurrence

@@ -529,6 +529,36 @@ object PipelineQueries {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.35)),
 
+    // -- retrieval evaluation: MRR / precision / recall / NDCG@10 in
+    //    exact micro-units over the brute-force dense run, with
+    //    same-label embeddings as the binary relevance judgments -----
+    "q_retrieval_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val run = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 10)
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val qrels = lbl.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("label"))
+        .join(lbl.select(col("vec_id").as("neighbor_id"), col("label")),
+          Seq("label"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"))
+      Retrieval.evalBinary(run, qrels, "probe_id", "neighbor_id",
+        "rank", k = 10)
+    }),
+
+    // -- graph: multi-source BFS hop distances over the symmetrized
+    //    kNN graph — unreachable nodes surface as NULL ---------------
+    "q_bfs_hops" -> ((s, dir) => {
+      val edges = graft.analytics.LabelProp.symmetrize(
+        Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k = 3).select(col("src"), col("dst")),
+        "src", "dst")
+      graft.analytics.LabelProp.bfsHops(edges, "src", "dst",
+        edges.select(col("src")).filter(col("src") < 5), "src",
+        maxIters = 20)
+    }),
+
     // -- clustering: exact DBSCAN over the cosine ε-graph — density
     //    roles with min-id canonical clusters, border ties pinned ----
     "q_dbscan" -> ((s, dir) =>
@@ -2286,6 +2316,83 @@ object PipelineQueries {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
         |)
         |SELECT * FROM p WHERE cos >= 0.35""".stripMargin,
+
+    // Retrieval-eval replay: the brute-force top-10 CTE, same-label
+    // qrels, the PINNED discount CASE table and its prefix sums —
+    // no log2 anywhere.
+    "q_retrieval_eval" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q
+        |), p AS (
+        |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) AS DOUBLE) /
+        |      sqrt(CAST(a.nsq * b.nsq AS DOUBLE)) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id != a.vec_id
+        |), run AS (
+        |  SELECT probe_id, neighbor_id, rnk FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |    FROM p) WHERE rnk <= 10
+        |), qr AS (
+        |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label
+        |    AND a.vec_id < 10 AND b.vec_id != a.vec_id
+        |), nrel AS (
+        |  SELECT probe_id, CAST(count(*) AS BIGINT) AS n_rel
+        |  FROM qr GROUP BY 1
+        |), sc AS (
+        |  SELECT run.probe_id, run.rnk,
+        |    (qr.probe_id IS NOT NULL) AS rel,
+        |    CASE run.rnk WHEN 1 THEN 1000000 WHEN 2 THEN 630929
+        |      WHEN 3 THEN 500000 WHEN 4 THEN 430676 WHEN 5 THEN 386852
+        |      WHEN 6 THEN 356207 WHEN 7 THEN 333333 WHEN 8 THEN 315464
+        |      WHEN 9 THEN 301029 ELSE 289064 END AS disc
+        |  FROM run LEFT JOIN qr ON run.probe_id = qr.probe_id
+        |    AND run.neighbor_id = qr.neighbor_id
+        |), g AS (
+        |  SELECT probe_id,
+        |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |    min(CASE WHEN rel THEN CAST(rnk AS BIGINT) END) AS fr,
+        |    CAST(sum(CASE WHEN rel THEN disc ELSE 0 END) AS BIGINT) AS dcg
+        |  FROM sc GROUP BY 1
+        |), j AS (
+        |  SELECT g.probe_id, coalesce(n_rel, 0) AS n_rel, n_hits, fr, dcg,
+        |    CASE least(coalesce(n_rel, 0), 10)
+        |      WHEN 0 THEN NULL WHEN 1 THEN 1000000 WHEN 2 THEN 1630929
+        |      WHEN 3 THEN 2130929 WHEN 4 THEN 2561605 WHEN 5 THEN 2948457
+        |      WHEN 6 THEN 3304664 WHEN 7 THEN 3637997 WHEN 8 THEN 3953461
+        |      WHEN 9 THEN 4254490 ELSE 4543554 END AS idcg
+        |  FROM g LEFT JOIN nrel ON g.probe_id = nrel.probe_id
+        |)
+        |SELECT probe_id, n_rel, n_hits,
+        |  coalesce(1000000 // fr, 0) AS mrr_micro,
+        |  (n_hits * 1000000) // 10 AS precision_micro,
+        |  (n_hits * 1000000) // nullif(n_rel, 0) AS recall_micro,
+        |  (dcg * 1000000) // idcg AS ndcg_micro
+        |FROM j""".stripMargin,
+
+    // BFS replay: the shared kNN CTE, UNION symmetrize, bounded
+    // recursive frontier, min-hop per node, NULL for unreached.
+    "q_bfs_hops" ->
+      s"""WITH RECURSIVE ${KnnEdgesCte.stripPrefix("WITH ")},
+        |eu AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |nodes AS (SELECT DISTINCT src AS id FROM eu),
+        |walk AS (
+        |  SELECT id, CAST(0 AS BIGINT) AS h FROM nodes WHERE id < 5
+        |  UNION
+        |  SELECT eu.dst, w.h + 1 FROM walk w JOIN eu ON eu.src = w.id
+        |  WHERE w.h < 20
+        |), mh AS (
+        |  SELECT id, min(h) AS hops FROM walk GROUP BY 1
+        |)
+        |SELECT nodes.id, mh.hops
+        |FROM nodes LEFT JOIN mh ON nodes.id = mh.id""".stripMargin,
 
     // DBSCAN replay: the near-dup pair CTE, symmetric ε-graph,
     // self-excluded degrees, reachability components over core-core

@@ -95,6 +95,37 @@ class LabelPropSpec extends SparkSpec {
     assert(qb(0) < 0L, "a cross-cut community must score negative")
   }
 
+  test("bfsHops: path distances, multi-source min, unreachable NULL") {
+    import spark.implicits._
+    def sym(pairs: (Long, Long)*) = LabelProp.symmetrize(
+      pairs.toDF("src", "dst"), "src", "dst")
+    // path 1-2-3-4 plus a separate component 8-9
+    val g = sym((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L))
+    def seeds(ids: Long*) = ids.toDF("id")
+    val one = LabelProp.bfsHops(g, "src", "dst", seeds(1L), "id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      8L -> -1L, 9L -> -1L),
+      s"single-source hops wrong: $one")
+    // multi-source takes the minimum over seeds
+    val multi = LabelProp.bfsHops(g, "src", "dst", seeds(1L, 4L), "id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(multi == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L,
+      8L -> -1L, 9L -> -1L))
+    // the maxIters radius is a contract: hops past it stay NULL
+    val capped = LabelProp.bfsHops(g, "src", "dst", seeds(1L), "id",
+        maxIters = 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(capped(3L) == 2L && capped(4L) == -1L,
+      s"radius cap must leave far nodes NULL: $capped")
+    intercept[IllegalArgumentException] {
+      LabelProp.bfsHops(g, "src", "dst", seeds(1L), "id", maxIters = 0)
+    }
+  }
+
   test("linkPredict: wedges, Jaccard, existing-edge and threshold exclusion") {
     import spark.implicits._
     def sym(pairs: (Long, Long)*) = LabelProp.symmetrize(

@@ -228,6 +228,39 @@ class RetrievalSpec extends SparkSpec {
     assert(e.getMessage.contains("unexpected postings schema"))
   }
 
+  test("evalBinary: exact MRR/precision/recall/NDCG with pinned discounts") {
+    import spark.implicits._
+    // q1: rels {11,12,13}; run hits at ranks 2 and 4 →
+    //   mrr 500000, p@5 = 2/5, recall 2/3,
+    //   dcg = 630929 + 430676, idcg = prefix(3) = 2130929 → 498188
+    // q2: rels {21,22} exactly at ranks 1,2 → all metrics perfect
+    // q3: no rels at all → mrr/precision 0, recall/ndcg NULL
+    val run = Seq(
+      (1L, 99L, 1), (1L, 11L, 2), (1L, 98L, 3), (1L, 12L, 4), (1L, 97L, 5),
+      (2L, 21L, 1), (2L, 22L, 2), (2L, 96L, 3),
+      (3L, 95L, 1), (3L, 94L, 2)).toDF("qid", "doc", "rank")
+    val qrels = Seq((1L, 11L), (1L, 12L), (1L, 13L), (2L, 21L), (2L, 22L))
+      .toDF("qid", "doc")
+    val out = graft.llm.Retrieval.evalBinary(run, qrels, "qid", "doc",
+        "rank", k = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val q1 = out(1L)
+    assert(q1.getLong(1) == 3L && q1.getLong(2) == 2L)
+    assert(q1.getLong(3) == 500000L && q1.getLong(4) == 400000L &&
+      q1.getLong(5) == 666666L)
+    assert(q1.getLong(6) == 498188L, s"NDCG exact: ${q1.getLong(6)}")
+    val q2 = out(2L)
+    assert(q2.getLong(3) == 1000000L && q2.getLong(6) == 1000000L &&
+      q2.getLong(5) == 1000000L)
+    val q3 = out(3L)
+    assert(q3.getLong(3) == 0L && q3.getLong(4) == 0L &&
+      q3.isNullAt(5) && q3.isNullAt(6),
+      "no-relevant queries report NULL recall/NDCG, zero MRR")
+    intercept[IllegalArgumentException] {
+      graft.llm.Retrieval.evalBinary(run, qrels, "qid", "doc", "rank", 11)
+    }
+  }
+
   test("phraseSearch: counts, 1-based first position, boundaries, repeats") {
     import spark.implicits._
     val docs = Seq(
