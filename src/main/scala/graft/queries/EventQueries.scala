@@ -650,6 +650,14 @@ object EventQueries {
           col("version"), col("value"))
     }),
 
+    // Quantile normalization: every event type's value distribution
+    // remapped onto the purchase distribution — exact order-statistic
+    // lookup against the reference's rank-span histogram.
+    "q_quantile_norm" -> ((s, dir) =>
+      graft.operators.Normalize.quantileNormalize(
+        Tables.events(s, dir), "event_type", "value", "event_id",
+        col("event_type") === "purchase")),
+
     // Waiting-time decomposition: the case-keyed sibling of
     // q_interarrival — per activity, the gap to the case predecessor
     // with exact order-statistic percentiles.
@@ -2175,6 +2183,37 @@ object EventQueries {
         |  max(CASE WHEN rk = (9 * nn + 9) // 10 THEN gap_us END) AS p90_us,
         |  max(CASE WHEN rk = (99 * nn + 99) // 100 THEN gap_us END) AS p99_us
         |FROM r GROUP BY 1""".stripMargin,
+
+    // Quantile-norm replay: reference rank-span histogram, keyed
+    // ranks, the identical HUGEINT ceiling division, span range join.
+    "q_quantile_norm" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(value * 1000) AS BIGINT) AS rv,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), sp AS (
+        |  SELECT rv,
+        |    CAST(sum(m) OVER (ORDER BY rv ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS hi,
+        |    CAST(sum(m) OVER (ORDER BY rv ROWS UNBOUNDED PRECEDING)
+        |      - m + 1 AS BIGINT) AS lo,
+        |    CAST(sum(m) OVER () AS BIGINT) AS nref
+        |  FROM h
+        |), rk AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(floor(value * 1000) AS BIGINT), event_id)
+        |      AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM events
+        |)
+        |SELECT rk.event_type, rk.event_id, rk.v AS v_milli,
+        |  rk.r AS "rank", sp.rv AS norm_milli
+        |FROM rk JOIN sp
+        |  ON least(CAST((CAST(rk.r AS HUGEINT) * (sp.nref + 1) + rk.n)
+        |      // CAST(rk.n + 1 AS HUGEINT) AS BIGINT), sp.nref)
+        |    BETWEEN sp.lo AND sp.hi""".stripMargin,
 
     // PIT replay: the q_scd2 chain as a CTE, then the half-open
     // interval membership join.

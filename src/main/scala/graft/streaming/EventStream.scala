@@ -274,6 +274,41 @@ object EventStream {
         })
   }
 
+  /** Watermarked LEFT-OUTER stream-stream join — the ad-attribution
+    * shape (impressions ⟕ clicks within an attribution window) and
+    * the missing outer member of the stream-join family next to the
+    * inner `intervalJoinStream`: matched pairs emit as soon as both
+    * sides arrive; an impression with NO click emits EXACTLY ONCE
+    * with NULL click columns — but only after the click-side
+    * watermark passes its attribution window, because until then a
+    * matching click could still arrive (the null-emission delay is
+    * the SEMANTIC price of outer streaming joins, pinned in the
+    * spec, not hidden). State on both sides is bounded by the
+    * watermark + window — the time-range condition is what lets
+    * Spark evict, so it is REQUIRED, not optional.
+    */
+  def attributionJoinStream(impressions: DataFrame, clicks: DataFrame,
+                            keyCol: String, impTsCol: String,
+                            clickTsCol: String, windowSeconds: Long,
+                            impDelay: String = "10 minutes",
+                            clickDelay: String = "10 minutes"): DataFrame = {
+    require(windowSeconds > 0,
+      "attributionJoinStream: windowSeconds must be positive")
+    val rk = "__ck"
+    require(!clicks.columns.contains(rk) && !impressions.columns.contains(rk),
+      s"attributionJoinStream: '$rk' is reserved — rename it")
+    val l = impressions.withWatermark(impTsCol, impDelay)
+    val r = clicks.withColumnRenamed(keyCol, rk)
+      .withWatermark(clickTsCol, clickDelay)
+    l.join(r,
+        col(keyCol) === col(rk) &&
+          col(clickTsCol) >= col(impTsCol) &&
+          col(clickTsCol) <= col(impTsCol) +
+            expr(s"INTERVAL $windowSeconds SECONDS"),
+        "left_outer")
+      .drop(rk)
+  }
+
   final case class CountEvent(item: String, ts: Timestamp)
   final case class TrendState(n: Long, alerted: Boolean, lastTs: Timestamp)
   final case class TrendAlert(item: String, n: Long, ts: Timestamp)

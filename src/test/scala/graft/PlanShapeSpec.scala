@@ -731,6 +731,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pj.contains("CartesianProduct") &&
       !pj.contains("BroadcastNestedLoopJoin"),
       s"pitJoin must stay a keyed equi-join:\n${pj.take(1200)}")
+    // quantile norm: the only nested loop is the BROADCAST span range
+    // join (value-bounded histogram) — never a cartesian
+    val qn = plan("q_quantile_norm")
+    assert(!qn.contains("CartesianProduct") &&
+      qn.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1 &&
+      count(qn, "Scan parquet") == 2,
+      s"quantile norm: broadcast span lookup over two scans:\n${qn.take(1200)}")
   }
 
   test("q_snapshot_diff: one full-outer equi-join, never a nested loop") {

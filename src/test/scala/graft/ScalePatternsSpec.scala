@@ -252,6 +252,53 @@ class ScalePatternsSpec extends SparkSpec {
     assert(zExp >= 3000000L, "fixture sanity: the spike clears 3 sigma")
   }
 
+  test("quantileNormalize: identity on ref, exact targets, monotone, loud") {
+    import spark.implicits._
+    import graft.operators.Normalize
+    // ref group 'p': values 10, 20, 30 (milli 10000/20000/30000);
+    // group 'x': two values → ranks 1,2 of n=2 map to target ranks
+    // ceil(1·4/3)=2 → 20000 and ceil(2·4/3)=3 → 30000
+    val df = Seq(
+      ("p", 10.0, 1L), ("p", 20.0, 2L), ("p", 30.0, 3L),
+      ("x", 1.0, 4L), ("x", 2.0, 5L)).toDF("grp", "value", "id")
+    val out = Normalize.quantileNormalize(df, "grp", "value", "id",
+        col("grp") === "p")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(4L) == ((1L, 20000L)) && out(5L) == ((2L, 30000L)),
+      s"x-group targets wrong: $out")
+    // the reference group maps exactly onto itself
+    assert(out(1L) == ((1L, 10000L)) && out(2L) == ((2L, 20000L)) &&
+      out(3L) == ((3L, 30000L)))
+    // monotone within every group by construction of the rank mapping
+    val by = Normalize.quantileNormalize(df, "grp", "value", "id",
+        col("grp") === "p")
+      .collect().groupBy(_.getString(0))
+    by.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(4) <= b.getLong(4))
+        case _ =>
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Normalize.quantileNormalize(df, "grp", "value", "id",
+        col("grp") === "nope")
+    }
+    // a group LARGER than the reference: every row still emits (the
+    // top ranks clamp to the reference max instead of vanishing)
+    val big = Seq(("p", 10.0, 1L), ("p", 20.0, 2L)) ++
+      (10L to 16L).map(i => ("y", i.toDouble, i))
+    val bdf = big.toDF("grp", "value", "id")
+    val bout = Normalize.quantileNormalize(bdf, "grp", "value", "id",
+      col("grp") === "p")
+    assert(bout.count() == big.size.toLong,
+      "no row may vanish when the group outsizes the reference")
+    val yTop = bout.filter(col("grp") === "y" && col("rank") === 7L)
+      .collect().head
+    assert(yTop.getLong(4) == 20000L, "top ranks clamp to the ref max")
+  }
+
   test("heavyHitters: exact output, adversarial partition split, strict cut") {
     import spark.implicits._
     import graft.operators.HeavyHitters

@@ -803,6 +803,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoinStream: matches emit, unmatched NULL after watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventStream.attributionJoinStream(
+        imps.toDF().toDF("key", "imp_ts"),
+        clicks.toDF().toDF("key", "click_ts"),
+        "key", "imp_ts", "click_ts", windowSeconds = 60,
+        impDelay = "1 minute", clickDelay = "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      // impression 1 gets a click inside the window; 2 never does;
+      // 3's click is OUTSIDE the attribution window (too late)
+      imps.addData((1L, ts("2024-01-01 10:00:00")),
+        (2L, ts("2024-01-01 10:00:05")),
+        (3L, ts("2024-01-01 10:00:10")))
+      clicks.addData((1L, ts("2024-01-01 10:00:30")),
+        (3L, ts("2024-01-01 10:02:10")))
+      q.processAllAvailable()
+      val matched = spark.table("attr_out").collect()
+        .map(r => r.getLong(0) -> !r.isNullAt(2)).toMap
+      assert(matched.getOrElse(1L, false),
+        "the in-window match must emit without waiting for watermark")
+      assert(!matched.contains(2L) && !matched.contains(3L),
+        "unmatched impressions must NOT emit before the watermark closes them")
+      // push both watermarks far past every window end
+      imps.addData((99L, ts("2024-01-01 12:00:00")))
+      clicks.addData((99L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      imps.addData((98L, ts("2024-01-01 12:00:01")))
+      clicks.addData((98L, ts("2024-01-01 12:00:01")))
+      q.processAllAvailable()
+      val all = spark.table("attr_out").collect()
+        .filter(r => r.getLong(0) == 2L || r.getLong(0) == 3L)
+      assert(all.length == 2 && all.forall(_.isNullAt(2)),
+        s"unmatched impressions emit exactly once with NULL click: ${all.toSeq}")
+    } finally q.stop()
+  }
+
   test("trendingAlerts: latch-once crossing, silence below, stale reset") {
     import graft.streaming.EventStream.{CountEvent, TrendAlert}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
