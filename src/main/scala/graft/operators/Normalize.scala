@@ -41,34 +41,46 @@ object Normalize {
       .select(quant.as("__rv"))
       .groupBy(col("__rv")).agg(count(lit(1)).as("__m"))
     // bounded driver probe on the collapsed histogram (the pcaTrain
-    // class): an empty reference must fail loud, not emit zero rows
-    require(!hist.isEmpty, "quantileNormalize: empty reference distribution")
+    // class): an empty reference must fail loud, not emit zero rows —
+    // and the same probe yields nref as a plan literal
+    val nRefRow = hist.agg(coalesce(sum(col("__m")), lit(0L))).head()
+    val nRef = nRefRow.getLong(0)
+    require(nRef > 0L, "quantileNormalize: empty reference distribution")
     val wv = Window.partitionBy(lit(0)).orderBy(col("__rv"))
     val spans = hist
       .withColumn("__hi", sum(col("__m")).over(
         wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__lo", col("__hi") - col("__m") + 1L)
-      .withColumn("__nref", sum(col("__m")).over(Window.partitionBy(lit(0))))
-      .select(col("__rv"), col("__lo"), col("__hi"), col("__nref"))
+      .select(col("__rv"), col("__lo"), col("__hi"))
+    // bucketed span lookup: a raw BETWEEN join is a nested loop that
+    // re-evaluates its predicate per (row x span) pair — O(n·spans),
+    // caught at 440 s on the sf0.1 bench. Spans explode into
+    // fixed-width rank buckets (amplification <= nref/W + |spans|, a
+    // bounded table), the target rank is computed ONCE per row, and
+    // the lookup becomes a broadcast EQUI join on the bucket with the
+    // BETWEEN as cheap post-filter — each rank still hits exactly one
+    // span.
+    val W = 1024L
+    val bspans = spans.withColumn("__b",
+      explode(expr(s"sequence(__lo div ${W}L, __hi div ${W}L)")))
     val wg = Window.partitionBy(col(groupCol))
-    val ranked = df
-      .withColumn("__v", quant)
+    df.withColumn("__v", quant)
       .withColumn("__r", row_number().over(
         wg.orderBy(col("__v"), col(tieCol))).cast("long"))
       .withColumn("__n", count(lit(1)).over(wg))
-    ranked
-      .join(broadcast(spans),
-        // target rank ceil(r·(nref+1)/(n+1)) ∈ [lo, hi] — exact
-        // integer ceiling division through DECIMAL(38,0), CLAMPED to
-        // nref: for a group LARGER than the reference the top ranks
-        // ceil past nref+1, and without the clamp those rows would
-        // silently vanish from the join (caught at sf0.01 — 4 rows
-        // short; the every-row-emitted law now pins it)
-        expr("""least(
-                |  CAST((CAST(__r AS DECIMAL(38,0)) * (__nref + 1) + __n)
-                |    div CAST(__n + 1 AS DECIMAL(38,0)) AS BIGINT),
-                |  __nref)
-                |BETWEEN __lo AND __hi""".stripMargin))
+      // target rank ceil(r·(nref+1)/(n+1)) — exact ceiling division
+      // through DECIMAL(38,0), CLAMPED to nref: a group LARGER than
+      // the reference ceils its top ranks past nref+1, and without
+      // the clamp those rows silently vanished from the join (caught
+      // at sf0.01 — 4 rows short; the every-row-emitted law pins it)
+      .withColumn("__tr", expr(
+        s"""least(
+           |  CAST((CAST(__r AS DECIMAL(38,0)) * ${nRef + 1}L + __n)
+           |    div CAST(__n + 1 AS DECIMAL(38,0)) AS BIGINT),
+           |  ${nRef}L)""".stripMargin))
+      .withColumn("__b", expr(s"__tr div ${W}L"))
+      .join(broadcast(bspans), Seq("__b"))
+      .filter(col("__tr") >= col("__lo") && col("__tr") <= col("__hi"))
       .select(col(groupCol), col(tieCol), col("__v").as("v_milli"),
         col("__r").as("rank"), col("__rv").as("norm_milli"))
   }
