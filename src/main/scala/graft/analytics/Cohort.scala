@@ -270,6 +270,10 @@ object Cohort {
           |  * 1000000)
           | div nullif(CAST(n_keys AS DECIMAL(38,0)) * total_events,
           |            CAST(0 AS DECIMAL(38,0))) AS BIGINT)""".stripMargin))
+      // a keyless input: the global agg still emits its one row, all
+      // NULL — filter it so "zero rows when nothing to measure" is
+      // literally true (r9 advisor)
+      .filter(col("n_keys").isNotNull)
       .select(col("n_keys"),
         col("total_events").cast("long").as("total_events"),
         col("gini_micro"))

@@ -154,9 +154,16 @@ object LabelProp {
       s"bfsHops: maxIters in [1, 100], got $maxIters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("id")).distinct()
     val seeds = sources.select(col(idCol).as("id")).distinct()
       .withColumn("__h", lit(0L))
+    // node universe = src ∪ dst ∪ seeds: on a DIRECTED edge list a
+    // sink-only node must still surface (with NULL — unreachable is
+    // the interesting answer), and a seed with no out-edges must keep
+    // its hop-0 row rather than vanish in the join (r9 advisor).
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .union(seeds.select(col("id")))
+      .distinct()
     var labels = nodes.join(seeds, Seq("id"), "left")
       .select(col("id"), col("__h").as("hops"))
       .localCheckpoint(true)

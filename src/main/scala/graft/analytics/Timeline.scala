@@ -424,7 +424,12 @@ object Timeline {
     pairs
       .withColumn("__np", count(lit(1)).over(Window.partitionBy(col("__total"))))
       .withColumn("__rk", row_number().over(wo))
-      .groupBy(col("__total"))
+      // GLOBAL aggregate, not groupBy(__total): __total is constant so
+      // the non-degenerate result is identical, but a single-day log
+      // (zero pairs) must still emit its one n_pairs=0 row — matching
+      // the oracle's global aggregate and making the n_pairs=0 CASE
+      // branch reachable (r9 advisor)
+      .groupBy()
       .agg(
         count(lit(1)).as("n_pairs"),
         sum(signum(col("__dy")).cast("long")).as("s"),

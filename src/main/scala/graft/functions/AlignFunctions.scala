@@ -56,11 +56,22 @@ object Alignment {
     */
   def align(net: TokenReplay.Net, trace: IndexedSeq[String]): (Long, Long, Long, Long) = {
     val n = trace.length
-    // state key: marking chars + pos (place counts < 2^16 by far)
+    // the 16-bit state-key packing below aliases beyond Char range —
+    // fail loud rather than return a wrong (too-low) cost (r9 advisor)
+    require(n < 65536,
+      s"align: trace length $n exceeds the 16-bit state-key range")
+    // state key: marking chars + pos (place counts < 2^16 by far —
+    // and guarded below, never silently aliased)
     def keyOf(m: Array[Int], pos: Int): String = {
       val cs = new Array[Char](m.length + 1)
       var i = 0
-      while (i < m.length) { cs(i) = m(i).toChar; i += 1 }
+      while (i < m.length) {
+        if (m(i) >= 65535)
+          throw new IllegalStateException(
+            s"align: marking count ${m(i)} at place $i exceeds the " +
+              "16-bit state-key range — refusing to alias states")
+        cs(i) = m(i).toChar; i += 1
+      }
       cs(m.length) = pos.toChar
       new String(cs)
     }

@@ -51,12 +51,33 @@ object Scd2 {
       .groupBy(col("key"), col("__ver").as("version"))
       .agg(min(col("__ts")).as("valid_from"), max(col("value")).as("value"))
     val wv = Window.partitionBy(col("key")).orderBy(col("version"))
-    versions
+    val kept = versions
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
       // zero-width versions ([t, t)) are unobservable — drop them and
       // renumber so the version chain stays dense
       .filter(col("valid_to").isNull || col("valid_to") =!= col("valid_from"))
-      .withColumn("version", row_number().over(wv).cast("long"))
+    // Second consecutive-duplicate collapse: dropping a zero-width
+    // version can butt two SAME-value versions against each other
+    // (per key A@t1, then B and A colliding at t2 — B's [t2, t2) is
+    // dropped, leaving A[t1,t2) followed by A[t2,…)), which would
+    // violate the no-op-change contract (r9 advisor). Merge adjacent
+    // equal-value versions, keeping the earlier valid_from; because
+    // the kept versions still TILE, valid_to is re-derived as the
+    // next merged version's valid_from — exact, not an approximation.
+    // The versions table is per-key-tiny, so the extra window +
+    // partial-aggregated collapse is noise next to the event scan.
+    val merged = kept
+      .withColumn("__p2", lag(col("value"), 1).over(wv))
+      .withColumn("__n2", when(col("__p2").isNull ||
+        col("__p2") =!= col("value"), 1L).otherwise(0L))
+      .withColumn("__mver", sum(col("__n2")).over(
+        wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("key"), col("__mver"))
+      .agg(min(col("valid_from")).as("valid_from"), max(col("value")).as("value"))
+    val wm = Window.partitionBy(col("key")).orderBy(col("__mver"))
+    merged
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wm))
+      .withColumn("version", row_number().over(wm).cast("long"))
       .withColumn("is_current", col("valid_to").isNull)
       .select(col("key"), col("version"), col("value"),
         col("valid_from"), col("valid_to"), col("is_current"))

@@ -1619,8 +1619,10 @@ object EventQueries {
          |FROM d""".stripMargin,
 
     // SCD2 replay: the same (ts, tie, value) order, boundary-flag
-    // running sum, version collapse, lead-close, zero-width drop and
-    // dense renumbering.
+    // running sum, version collapse, lead-close, zero-width drop,
+    // the second consecutive-duplicate collapse (a zero-width drop
+    // can butt two same-value versions — r9 advisor) and dense
+    // renumbering.
     "q_scd2" ->
       """WITH base AS (
         |  SELECT user_id AS key, ts, event_id, event_type AS value
@@ -1647,13 +1649,29 @@ object EventQueries {
         |  FROM g
         |), k AS (
         |  SELECT * FROM l WHERE valid_to IS NULL OR valid_to <> valid_from
+        |), m0 AS (
+        |  SELECT *, lag(value) OVER (PARTITION BY key ORDER BY ver) AS pv
+        |  FROM k
+        |), m1 AS (
+        |  SELECT *, CAST(sum(CASE WHEN pv IS NULL OR pv <> value
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY key
+        |    ORDER BY ver ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mver
+        |  FROM m0
+        |), m AS (
+        |  SELECT key, mver, min(valid_from) AS valid_from,
+        |    max(value) AS value
+        |  FROM m1 GROUP BY 1, 2
+        |), l2 AS (
+        |  SELECT *, lead(valid_from) OVER (PARTITION BY key
+        |    ORDER BY mver) AS valid_to
+        |  FROM m
         |)
         |SELECT key,
-        |  CAST(row_number() OVER (PARTITION BY key ORDER BY ver)
+        |  CAST(row_number() OVER (PARTITION BY key ORDER BY mver)
         |    AS BIGINT) AS version,
         |  value, valid_from, valid_to,
         |  (valid_to IS NULL) AS is_current
-        |FROM k""".stripMargin,
+        |FROM l2""".stripMargin,
 
     // Remaining-time replay: per-session end window, integral mean
     // per state on the even half, MAE with CASE-null scoring on the
@@ -2241,12 +2259,28 @@ object EventQueries {
         |  SELECT *, lead(valid_from) OVER (PARTITION BY key
         |    ORDER BY ver) AS valid_to
         |  FROM g
+        |), k AS (
+        |  SELECT * FROM l WHERE valid_to IS NULL OR valid_to <> valid_from
+        |), m0 AS (
+        |  SELECT *, lag(value) OVER (PARTITION BY key ORDER BY ver) AS pv
+        |  FROM k
+        |), m1 AS (
+        |  SELECT *, CAST(sum(CASE WHEN pv IS NULL OR pv <> value
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY key
+        |    ORDER BY ver ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mver
+        |  FROM m0
+        |), m AS (
+        |  SELECT key, mver, min(valid_from) AS valid_from,
+        |    max(value) AS value
+        |  FROM m1 GROUP BY 1, 2
         |), dim AS (
         |  SELECT key,
-        |    CAST(row_number() OVER (PARTITION BY key ORDER BY ver)
+        |    CAST(row_number() OVER (PARTITION BY key ORDER BY mver)
         |      AS BIGINT) AS version,
-        |    value, valid_from, valid_to
-        |  FROM l WHERE valid_to IS NULL OR valid_to <> valid_from
+        |    value, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY key
+        |      ORDER BY mver) AS valid_to
+        |  FROM m
         |)
         |SELECT e.event_id, e.user_id, e.ts, d.version, d.value
         |FROM events e LEFT JOIN dim d ON e.user_id = d.key

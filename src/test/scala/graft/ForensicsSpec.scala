@@ -110,6 +110,8 @@ class ForensicsSpec extends SparkSpec {
     // tie blocks cancel: any permutation of equal counts is identical
     val perm = Cohort.gini(logOf(1, 9, 1, 1), "user_id").collect().head
     assert(perm.getLong(2) == 500000L)
+    // keyless input: ZERO rows, not one all-NULL row (r9 advisor)
+    assert(Cohort.gini(logOf(), "user_id").count() == 0L)
   }
 
   test("pairwiseTrend: monotone series → tau 1e6 and exact slope; flat → 0") {
@@ -136,5 +138,12 @@ class ForensicsSpec extends SparkSpec {
       .flatten.toDF("ts")
     val o = Timeline.pairwiseTrend(outlier, "ts").collect().head
     assert(o.getLong(3) == 0L, "Theil-Sen must shrug off the flash-crowd day")
+    // single-day log: zero pairs — still ONE row with n_pairs = 0 and
+    // NULL tau/slope, matching the oracle's global aggregate shape
+    // (r9 advisor: the n_pairs=0 CASE branch must be reachable)
+    val oneDay = Seq.fill(3)(Timestamp.valueOf("2024-03-01 10:00:00")).toDF("ts")
+    val d = Timeline.pairwiseTrend(oneDay, "ts").collect()
+    assert(d.length == 1, "degenerate input must emit its one-row aggregate")
+    assert(d.head.getLong(0) == 0L && d.head.isNullAt(2) && d.head.isNullAt(3))
   }
 }

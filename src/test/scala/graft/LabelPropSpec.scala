@@ -126,6 +126,19 @@ class LabelPropSpec extends SparkSpec {
     }
   }
 
+  test("bfsHops on a DIRECTED edge list: sink-only nodes surface, edge-less seeds keep hop 0") {
+    import spark.implicits._
+    // directed chain 1→2→3 plus sink-only 9 (appears only as dst) and
+    // seed 7 with no edges at all (r9 advisor: neither may vanish)
+    val g = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("src", "dst")
+    val out = LabelProp.bfsHops(g, "src", "dst", Seq(1L, 7L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L,
+      7L -> 0L, 8L -> -1L, 9L -> -1L),
+      s"directed universe wrong: $out")
+  }
+
   test("linkPredict: wedges, Jaccard, existing-edge and threshold exclusion") {
     import spark.implicits._
     def sym(pairs: (Long, Long)*) = LabelProp.symmetrize(

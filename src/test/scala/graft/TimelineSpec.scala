@@ -596,6 +596,29 @@ class TimelineSpec extends SparkSpec {
       "zero-width [t,t) versions must be collapsed out, last value wins")
   }
 
+  test("scd2: zero-width drop never leaves two adjacent same-value versions") {
+    import spark.implicits._
+    // r9 advisor scenario: B@t1, then A and B colliding at t2. The
+    // (ts, tie, value) order visits A(t2) before B(t2), so A opens a
+    // version that B immediately re-closes at the same instant —
+    // A's [t2, t2) is dropped; WITHOUT the second collapse this
+    // leaves B[t1,t2) butted against B[t2,…), violating the no-op
+    // contract. Expected: ONE open B version from t1.
+    val df = Seq(
+      ("u1", "2024-01-01 10:00:00", 1L, "B"),
+      ("u1", "2024-01-02 10:00:00", 2L, "A"),
+      ("u1", "2024-01-02 10:00:00", 2L, "B"))
+      .map { case (k, t, id, v) => (k, ts(t), id, v) }
+      .toDF("key", "ts", "event_id", "value")
+    val out = graft.operators.Scd2.build(df, "key", "ts", "event_id", "value")
+      .collect()
+    assert(out.length == 1, s"expected one merged version, got ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(1) == 1L && r.getString(2) == "B" &&
+      r.getTimestamp(3) == ts("2024-01-01 10:00:00") &&
+      r.isNullAt(4) && r.getBoolean(5))
+  }
+
   test("waitingTime: case-keyed gaps, opener exclusion, exact ranks") {
     // c1: a@0, b@+30s, b@+90s → waits: b 30s, b 60s; c2: a@0 (opener
     // only, excluded), z@+10s → z 10s
