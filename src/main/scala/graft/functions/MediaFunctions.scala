@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** Compiled perceptual-fingerprint kernels for opaque media columns.
+  *
+  * The reference pipeline stops at text; the multimodal family treats
+  * image/audio/video as `binary` payloads (llm/Multimodal.scala), and
+  * near-duplicate detection over those payloads needs a fingerprint
+  * that is (a) robust to small local edits and uniform re-encodes,
+  * (b) a fixed-width integer so the SimHash hamming-banding machinery
+  * (llm/Dedup.scala simhashNearDups) applies unchanged, and (c) pure
+  * deterministic integer arithmetic so a DuckDB oracle can replay it
+  * bit-for-bit. dHash (difference hash — the gradient variant of the
+  * classic aHash/pHash family) fits all three; a production build
+  * would swap the byte grid for decoded luma pixels (pHash's DCT is
+  * the other standard choice), and ONLY this kernel changes — the
+  * banding, verification, and quarantine plumbing downstream are
+  * fingerprint-agnostic.
+  */
+object MediaFunctions {
+
+  /** 64-bit dHash of the payload bytes after `offset` header bytes.
+    * NULL on an empty payload (no content has no fingerprint — the
+    * quarantine tier owns that case, CASE-not-filter discipline).
+    */
+  def dhash64(bytes: Column, offset: Int): Column =
+    GraftBridge.column(DHash64Expr(GraftBridge.expression(bytes), offset))
+}
+
+/** 64-bit dHash over a binary payload: resample the payload bytes onto
+  * an 8×9 grid by RELATIVE position (byte i of an n-byte payload lands
+  * in cell ⌊i·72/n⌋ — so the grid, like an image thumbnail, is
+  * length-invariant), then bit (r,c) = 1 iff mean(cell[r][c]) >
+  * mean(cell[r][c+1]) — the horizontal-gradient sign, 8 rows × 8
+  * comparisons = 64 bits. The mean comparison is cross-multiplied
+  * (s1·l2 > s2·l1) so the whole kernel is exact integer arithmetic —
+  * no division, no doubles — and a SQL oracle replays it bit-for-bit.
+  *
+  * Robustness shape (gated in MultimodalSpec): a localized byte edit
+  * touches one cell, flipping at most its two adjacent comparisons →
+  * hamming ≤ 2; uniformly duplicating every byte (the 2× "resize")
+  * moves cell means only at ⌊⌋ boundary slivers → hamming lands in an
+  * intermediate band (~8 bits on text payloads), well below unrelated
+  * content (~32 expected) though above the tight localized-edit
+  * threshold — the gap a production pHash (DCT over decoded pixels)
+  * closes with ONLY this kernel swapped. Overflow-safe by
+  * bounds: s ≤ 255·l and l ≤ n, so s·l < 255·n²/72·2 stays inside
+  * Int64 for any JVM array (n < 2³¹).
+  *
+  * One compiled loop per row over the raw byte[] (the Sketches.scala
+  * rationale: HOF lambdas are interpreted per element; CodegenFallback
+  * costs one virtual call per ROW).
+  */
+case class DHash64Expr(child: Expression, offset: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType && offset >= 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary input and offset >= 0, got ${child.dataType} / $offset")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dhash64"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val n = bytes.length - offset
+    if (n <= 0) return null
+    val s = new Array[Long](72)
+    val l = new Array[Long](72)
+    var i = 0
+    while (i < n) {
+      val k = ((i.toLong * 72L) / n).toInt
+      s(k) += (bytes(offset + i) & 0xff).toLong
+      l(k) += 1L
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      val k1 = (b >> 3) * 9 + (b & 7)
+      if (s(k1) * l(k1 + 1) > s(k1 + 1) * l(k1)) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DHash64Expr =
+    copy(child = newChild)
+}

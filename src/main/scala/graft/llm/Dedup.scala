@@ -1369,6 +1369,48 @@ object Dedup {
       s"editDistancePairs: simThreshold in (0,1], got $simThreshold")
     val cands = ngramJaccardPairs(df, idCol, textCol, blockCol, n,
       candidateThreshold).select("id_a", "id_b")
+    levVerify(df, idCol, textCol, cands, simThreshold, banded)
+  }
+
+  /** The 100 TB arm of the edit-distance tier: the candidate stage is
+    * `minhashNearDups` (banded LSH — cost ∝ bucket collisions, never
+    * Σf² over an uncapped inverted index), the verify is the SAME
+    * banded-Levenshtein kernel as `editDistancePairs` — the
+    * composition that tier's scaladoc promises ("the verify is
+    * candidate-agnostic"). Approximate only on the candidate side
+    * (bucket misses), so output ⊆ the exact arm at equal thresholds;
+    * recall on planted paraphrases and the ⊆ law are gated in
+    * LlmDedupSpec, and the harness entry (q_editdist_pairs_lsh) is
+    * rows-only BY CONTRACT for that one-sided reason.
+    *
+    * Default banding is 32 × 2 (vs the Jaccard arm's 16 × 4):
+    * candidates here feed an exact verify, so false positives only
+    * cost a Levenshtein call while a miss loses a pair — the S-curve
+    * at 2 rows/band collides >95% even at Jaccard 0.3, pushing
+    * candidate recall toward the recall-first contract of the exact
+    * arm's loose gram floor.
+    */
+  def editDistancePairsLsh(df: DataFrame, idCol: String, textCol: String,
+                           candidateThreshold: Double, simThreshold: Double,
+                           numHashes: Int = 64, bands: Int = 32,
+                           shingleN: Int = 2, blockCol: Option[String] = None,
+                           banded: Boolean = true): DataFrame = {
+    require(simThreshold > 0.0 && simThreshold <= 1.0,
+      s"editDistancePairsLsh: simThreshold in (0,1], got $simThreshold")
+    val cands = minhashNearDups(df, idCol, textCol, candidateThreshold,
+      numHashes, bands, shingleN, blockCol).select("id_a", "id_b")
+    levVerify(df, idCol, textCol, cands, simThreshold, banded)
+  }
+
+  /** Shared verify stage of the two edit-distance arms: fetch both
+    * texts for each candidate pair, score banded Levenshtein, keep
+    * sim_micro ≥ threshold. See `editDistancePairs` for the band-K
+    * derivation (never clips a passing pair) and the micro-unit
+    * integer contract.
+    */
+  private def levVerify(df: DataFrame, idCol: String, textCol: String,
+                        cands: DataFrame, simThreshold: Double,
+                        banded: Boolean): DataFrame = {
     val txt = df.select(col(idCol), col(textCol))
     val thMicro = math.floor(simThreshold * 1e6).toLong
     val paired = cands

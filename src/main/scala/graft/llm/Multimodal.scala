@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with
@@ -93,6 +93,101 @@ object Multimodal {
         MediaRecord(r.getLong(idIdx), w, h, (bytes.length - HeaderBytes).toLong)
       }
     }(Encoders.product[MediaRecord])
+  }
+
+  /** 64-bit perceptual fingerprint (dHash) of the media payload —
+    * the compiled `graft_dhash64` kernel over the bytes after the
+    * header. NULL on an empty payload (quarantine owns that case).
+    * See functions/MediaFunctions.scala for the grid-resample design
+    * and the exact-integer oracle story.
+    */
+  def dHash64(mediaCol: String, headerBytes: Int = HeaderBytes): Column =
+    graft.functions.MediaFunctions.dhash64(col(mediaCol), headerBytes)
+
+  /** Perceptual near-duplicate pairs over a binary media column: the
+    * SimHash machinery (Dedup.simhashNearDups) re-keyed on dHash —
+    * candidates from 16-bit chunk equality (pigeonhole over 4 chunks:
+    * any pair within hamming ≤ 3 shares a chunk, so for
+    * maxHamming ≤ 3 the banded output EQUALS the exact all-pairs
+    * hamming join and carries a full DuckDB oracle), verified with
+    * exact bit_count(xor). This is the "same image, lightly edited"
+    * detector: the grid-resampled dHash maps a localized edit to ≤ 2
+    * flipped bits (inside the default verify threshold); a uniform
+    * re-encode drifts ~8 bits on byte payloads — separable from
+    * unrelated content (~32) but needing a wider threshold or the
+    * pHash kernel swap (see MediaFunctions) to land at ≤ 3.
+    *
+    * Scale shape (the simhashNearDups contract): one pass computes
+    * each row's 8-byte fingerprint — the binary payload itself NEVER
+    * shuffles; only (id, dhash) structs enter the bucket exchange.
+    * Buckets explode pairwise bucket-locally; a degenerate corpus
+    * (every image the same boilerplate logo) concentrates one bucket,
+    * which the posting-cap + audit valve of the n-gram tier would
+    * bound the same way if it surfaced in practice.
+    *
+    * Rows with NULL fingerprints (empty payloads) never pair — run
+    * `quarantineMedia` first; the filter here is belt-and-braces.
+    */
+  def mediaNearDups(df: DataFrame, idCol: String, mediaCol: String,
+                    maxHamming: Int = 2): DataFrame = {
+    val hashed = df
+      .select(col(idCol), dHash64(mediaCol).as("dhash"))
+      .filter(col("dhash").isNotNull)
+    hashed.select(
+        struct(col(idCol).as("id"), col("dhash").as("dh")).as("item"),
+        posexplode(expr("transform(sequence(0, 3), c -> shiftright(dhash, c * 16) & 65535)")))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+      .groupBy("chunk", "chunk_val")
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(expr(Dedup.bucketPairs("items"))).as("p"))
+      .select(col("p.l.id").as("id_a"), col("p.r.id").as("id_b"),
+        expr("bit_count(p.l.dh ^ p.r.dh)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Corrupt-media audit — the `Similarity.auditEmbeddings` pattern
+    * applied to the bytes column. Adds `quarantine_reason` (NULL =
+    * clean), checked in order:
+    *   - null_media:        the binary column is NULL
+    *   - short_header:      fewer bytes than the declared header
+    *   - empty_payload:     header only, zero payload bytes
+    *   - truncated_payload: payload shorter than the header's declared
+    *                        length (a partial write / cut upload)
+    *   - padded_payload:    payload longer than declared (trailing
+    *                        garbage appended)
+    * The declared length is the header's first int32 — a real codec
+    * swap changes only `declaredLen` (every container format carries
+    * a declared size to validate against). Pure Catalyst CASE over
+    * length + the header parse; map-only, no shuffle, payloads never
+    * leave their partition.
+    */
+  def auditMedia(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    require(!df.columns.contains("quarantine_reason"),
+      "auditMedia: 'quarantine_reason' is reserved for output — rename it")
+    val declared = expr(
+      s"cast(conv(hex(substring($mediaCol, 1, 4)), 16, 10) AS bigint)")
+    val payloadLen = (length(col(mediaCol)) - HeaderBytes).cast("long")
+    df.withColumn("quarantine_reason",
+      when(col(mediaCol).isNull, lit("null_media"))
+        .when(length(col(mediaCol)) < HeaderBytes, lit("short_header"))
+        .when(payloadLen === 0L, lit("empty_payload"))
+        .when(payloadLen < declared, lit("truncated_payload"))
+        .when(payloadLen > declared, lit("padded_payload"))
+        .otherwise(lit(null).cast("string")))
+  }
+
+  /** The (clean, quarantined) split over `auditMedia`: clean keeps the
+    * input schema and is safe for every downstream media tier;
+    * quarantined rows carry their reason — loud-never-silent, nothing
+    * vanishes (row conservation gated in MultimodalSpec).
+    */
+  def quarantineMedia(df: DataFrame, idCol: String, mediaCol: String)
+  : (DataFrame, DataFrame) = {
+    val a = auditMedia(df, idCol, mediaCol)
+    (a.filter(col("quarantine_reason").isNull).drop("quarantine_reason"),
+      a.filter(col("quarantine_reason").isNotNull))
   }
 
   /** The stub codec: big-endian int32 pair from the header, mapped to

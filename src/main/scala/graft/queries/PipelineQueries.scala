@@ -182,6 +182,55 @@ object PipelineQueries {
     * cleaned text — so `q_training_layout` / `q_layout_funnel` replay
     * the same 5-stage chain the Spark side composes.
     */
+  /** Shared DuckDB replay of the dHash kernel
+    * (functions/MediaFunctions.DHash64Expr): payload bytes via
+    * hex-pair extraction (the media payload IS the UTF-8 text in the
+    * fake-media fixture), grid cells by ⌊i·72/n⌋, integer cell sums,
+    * cross-multiplied mean comparisons — bit 63 is added as
+    * Long.MinValue because DuckDB rejects `1 << 63` as overflow.
+    * Parameterized on the docs CTE body so the near-dup variant can
+    * plant its perturbed copies upstream of the same hash pipeline.
+    * Ends with CTE `mdh(doc_id, dhash)`.
+    */
+  private def mediaDhashSql(docsCte: String): String =
+    s"""WITH mdh_docs AS (
+       |  $docsCte
+       |), mdh_t AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  FROM mdh_docs
+       |), mdh_b AS (
+       |  SELECT t.doc_id, (u.i * 72) // t.n AS cell,
+       |    CAST(('0x' || substring(t.hx, CAST(2 * u.i + 1 AS INT), 2)) AS BIGINT) AS byte
+       |  FROM mdh_t t, (SELECT unnest(range(0, (SELECT max(n) FROM mdh_t))) AS i) u
+       |  WHERE u.i < t.n
+       |), mdh_cells AS (
+       |  SELECT doc_id, cell, CAST(sum(byte) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS l
+       |  FROM mdh_b GROUP BY 1, 2
+       |), mdh_spine AS (
+       |  SELECT t.doc_id, u.k FROM mdh_t t, (SELECT unnest(range(0, 72)) AS k) u
+       |), mdh_g AS (
+       |  SELECT sp.doc_id,
+       |    list(coalesce(c.s, 0) ORDER BY sp.k) AS ss,
+       |    list(coalesce(c.l, 0) ORDER BY sp.k) AS ll
+       |  FROM mdh_spine sp LEFT JOIN mdh_cells c
+       |    ON c.doc_id = sp.doc_id AND c.cell = sp.k
+       |  GROUP BY 1
+       |), mdh AS (
+       |  SELECT doc_id,
+       |    CAST(coalesce(list_sum(list_transform(range(0, 63), b ->
+       |      CASE WHEN ss[CAST((b // 8) * 9 + (b % 8) + 1 AS INT)] *
+       |                ll[CAST((b // 8) * 9 + (b % 8) + 2 AS INT)]
+       |              > ss[CAST((b // 8) * 9 + (b % 8) + 2 AS INT)] *
+       |                ll[CAST((b // 8) * 9 + (b % 8) + 1 AS INT)]
+       |           THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END)), 0)
+       |     + CASE WHEN ss[71] * ll[72] > ss[72] * ll[71]
+       |            THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END
+       |      AS BIGINT) AS dhash
+       |  FROM mdh_g
+       |)""".stripMargin
+
   private val LayoutSpanPrefixSql: String =
     """WITH sp_t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sp_h AS (
@@ -805,6 +854,56 @@ object PipelineQueries {
           col("n_frames_total"), col("n_frames_kept"))
     }),
 
+    // -- multimodal: 64-bit perceptual fingerprint (dHash) of every
+    //    media payload — the compiled grid-resample kernel
+    //    (functions/MediaFunctions). Exact integer arithmetic, so the
+    //    oracle replays the whole hash bit-for-bit from the bytes. ----
+    "q_media_dhash" -> ((s, dir) => {
+      val media = Multimodal.withFakeMedia(Tables.documents(s, dir), "doc_id", "text")
+      media.select(col("doc_id"), Multimodal.dHash64("media").as("dhash"))
+    }),
+
+    // -- multimodal: perceptual near-dup pairs — planted perturbed
+    //    copies (one byte changed mid-payload, id + 1e6), dHash +
+    //    16-bit chunk banding + exact hamming verify. At maxHamming=2
+    //    the banding is COMPLETE (pigeonhole over 4 chunks covers
+    //    hamming ≤ 3), so the output equals the exact all-pairs join
+    //    and the oracle replays it fully — a hash-green near-dup
+    //    tier over binary media. ---------------------------------------
+    "q_media_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val perturbed = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("concat(substring(text, 1, length(text) div 2), 'q', " +
+            "substring(text, length(text) div 2 + 2))").as("text"))
+      val media = Multimodal.withFakeMedia(docs.unionByName(perturbed),
+        "doc_id", "text")
+      Multimodal.mediaNearDups(media, "doc_id", "media", maxHamming = 2)
+        .withColumn("hamming", col("hamming").cast("long"))
+    }),
+
+    // -- multimodal: corrupt-media quarantine — deterministic
+    //    corruption (null / cut header / header-only / halved payload
+    //    / appended garbage by doc_id mod 11), audited against the
+    //    header's declared length. The oracle predicts every reason
+    //    from doc_id alone, so the binary length arithmetic is what's
+    //    checked. -------------------------------------------------------
+    "q_media_quarantine" -> ((s, dir) => {
+      val media = Multimodal.withFakeMedia(Tables.documents(s, dir), "doc_id", "text")
+      val corrupted = media.withColumn("media",
+        when(pmod(col("doc_id"), lit(11)) === 5, lit(null).cast("binary"))
+          .when(pmod(col("doc_id"), lit(11)) === 7, expr("substring(media, 1, 4)"))
+          .when(pmod(col("doc_id"), lit(11)) === 9, expr("substring(media, 1, 8)"))
+          .when(pmod(col("doc_id"), lit(11)) === 3,
+            expr("substring(media, 1, 8 + (length(media) - 8) div 2)"))
+          .when(pmod(col("doc_id"), lit(11)) === 0,
+            expr("concat(media, to_binary('0000', 'hex'))"))
+          .otherwise(col("media")))
+      Multimodal.auditMedia(corrupted, "doc_id", "media")
+        .select(col("doc_id"),
+          coalesce(col("quarantine_reason"), lit("clean")).as("quarantine_reason"))
+    }),
+
     // -- layout: Z-order (Morton) code over two filter dimensions —
     //    the data-skipping clustering key. Pure codegen'd bit
     //    arithmetic; the oracle replays it with a shift-and-sum
@@ -1168,6 +1267,17 @@ object PipelineQueries {
       Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
         blockCol = "lang", n = 2,
         candidateThreshold = 0.3, simThreshold = 0.5)),
+
+    // -- near-dedup: the 100 TB arm of the edit-distance tier —
+    //    minhashNearDups LSH candidates feeding the SAME banded-
+    //    Levenshtein verify (the composition the exact tier's
+    //    scaladoc promises). Rows-only BY CONTRACT: bucket misses are
+    //    one-sided; ⊆-and-recall vs q_editdist_pairs gated in
+    //    LlmDedupSpec. -----------------------------------------------
+    "q_editdist_pairs_lsh" -> ((s, dir) =>
+      Dedup.editDistancePairsLsh(Tables.documents(s, dir), "doc_id", "text",
+        candidateThreshold = 0.3, simThreshold = 0.5,
+        blockCol = Some("lang"))),
 
     // -- quality: CCNet perplexity tier — bigram LM trained on the
     //    English reference slice, every doc scored in micro-nat mean
@@ -2491,6 +2601,43 @@ object PipelineQueries {
         |  CAST(ceil(CAST(ceil(CAST(n_chars AS DOUBLE) / 32) AS DOUBLE) / 2) AS INTEGER) AS n_frames_kept
         |FROM documents""".stripMargin,
 
+    // full bit-for-bit replay of the compiled dHash kernel — the
+    // fake-media payload is the UTF-8 text, so the oracle hashes the
+    // same bytes the binary column carries
+    "q_media_dhash" ->
+      (mediaDhashSql("SELECT doc_id, text FROM documents") +
+        "\nSELECT doc_id, dhash FROM mdh"),
+
+    // planted single-byte perturbations + exact all-pairs hamming —
+    // equals the banded Spark plan because 4-chunk pigeonhole banding
+    // is complete for hamming <= 3
+    "q_media_neardup" ->
+      (mediaDhashSql(
+        """SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000,
+          |    concat(substring(text, 1, length(text) // 2), 'q',
+          |           substring(text, length(text) // 2 + 2))
+          |  FROM documents WHERE doc_id % 5 = 0""".stripMargin) +
+        """
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+          |FROM mdh a JOIN mdh b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 2""".stripMargin),
+
+    // the corruption schedule is keyed on doc_id alone, so the oracle
+    // predicts every audit verdict without touching binary — the
+    // Spark side's length/header arithmetic is what's under test
+    "q_media_quarantine" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 5 THEN 'null_media'
+        |       WHEN doc_id % 11 = 7 THEN 'short_header'
+        |       WHEN doc_id % 11 = 9 THEN 'empty_payload'
+        |       WHEN doc_id % 11 = 3 THEN 'truncated_payload'
+        |       WHEN doc_id % 11 = 0 THEN 'padded_payload'
+        |       ELSE 'clean' END AS quarantine_reason
+        |FROM documents""".stripMargin,
+
     // bit interleave replayed as Σ_i bit_i(x)·4^i + 2·Σ_i bit_i(y)·4^i
     // — pure integer arithmetic, identical to the mask-shift chain
     "q_zorder" ->
@@ -3285,15 +3432,17 @@ object PipelineQueries {
         |         ELSE (6000 - g.pfund) // (g.n2 - g.nf) END AS alloc
         |  FROM f CROSS JOIN g
         |)
-        |SELECT t.source, t.doc_id, t.n_tokens, a.alloc AS alloc_tokens,
-        |  a.alloc // a.total +
+        |SELECT t.source, t.doc_id, t.n_tokens,
+        |  CAST(a.alloc AS BIGINT) AS alloc_tokens,
+        |  CAST(a.alloc // a.total +
         |    (CASE WHEN ((t.doc_id % 65536) * 40503) % 65536 <
         |      ((a.alloc % a.total) * 65536) // a.total THEN 1 ELSE 0 END)
-        |    AS n_copies
+        |    AS BIGINT) AS n_copies
         |FROM t JOIN a USING (source)
-        |WHERE a.alloc // a.total +
+        |WHERE CAST(a.alloc // a.total +
         |    (CASE WHEN ((t.doc_id % 65536) * 40503) % 65536 <
-        |      ((a.alloc % a.total) * 65536) // a.total THEN 1 ELSE 0 END) > 0""".stripMargin,
+        |      ((a.alloc % a.total) * 65536) // a.total THEN 1 ELSE 0 END)
+        |    AS BIGINT) > 0""".stripMargin,
 
     "q_layout_funnel" ->
       (LayoutSpanPrefixSql +

@@ -42,7 +42,8 @@ class ContractSpec extends SparkSpec {
     "q_cluster_quality" -> "k-means centroids are data-dependent; separation-ordering + partition laws gated in TopicsSpec",
     "q_topic_model" -> "k-means cell assignment is data-dependent; planted-topic term exclusivity + determinism gated in TopicsSpec",
     "q_word_vectors" -> "ln + Jacobi eigensolve are not SQL-expressible; identical-context-synonym / shape / determinism laws gated in WordVectorsSpec",
-    "q_doc_embed" -> "consumes the q_word_vectors model (same non-SQL train); exact-mean / OOV-loud / map-only-plan laws gated in WordVectorsSpec")
+    "q_doc_embed" -> "consumes the q_word_vectors model (same non-SQL train); exact-mean / OOV-loud / map-only-plan laws gated in WordVectorsSpec",
+    "q_editdist_pairs_lsh" -> "LSH candidate stage is bucket-miss approximate (one-sided); output ⊆ exact arm + planted-paraphrase recall gated in LlmDedupSpec")
 
   test("every query has an oracle or a documented rows-only reason") {
     val qs = SparkEntry.queries.keySet

@@ -863,4 +863,31 @@ class LlmDedupSpec extends SparkSpec {
       assert(lev == levRef(txt(idA), txt(idB)),
         s"Spark levenshtein($idA,$idB) disagrees with the reference DP")
   }
+
+  test("editDistancePairsLsh: output ⊆ exact arm, planted paraphrases recalled, scores identical") {
+    import spark.implicits._
+    // corpus + planted paraphrases: the LSH candidate stage may only
+    // LOSE pairs (bucket misses), never invent or rescore them
+    val planted = Seq(
+      (900001L, "the quick brown fox jumped over the lazy dog today", "en"),
+      (900002L, "the quick brown fox jumps over the lazy dog today", "en"))
+      .toDF("doc_id", "text", "lang")
+    val corpus = docs.select("doc_id", "text", "lang").unionByName(planted)
+    def toMapOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val exact = toMapOf(Dedup.editDistancePairs(corpus, "doc_id", "text", "lang",
+      n = 2, candidateThreshold = 0.3, simThreshold = 0.5))
+    val lsh = toMapOf(Dedup.editDistancePairsLsh(corpus, "doc_id", "text",
+      candidateThreshold = 0.3, simThreshold = 0.5, blockCol = Some("lang")))
+    assert(lsh.keySet.subsetOf(exact.keySet),
+      s"LSH arm invented pairs: ${lsh.keySet -- exact.keySet}")
+    lsh.foreach { case (k, v) =>
+      assert(exact(k) == v, s"pair $k scored differently in the two arms")
+    }
+    assert(lsh.contains((900001L, 900002L)),
+      "the planted near-verbatim paraphrase must survive the LSH candidate stage")
+    // the fixture is tiny and high-similarity — recall should be total here
+    assert(lsh.keySet == exact.keySet,
+      s"unexpected bucket misses on the fixture: ${exact.keySet -- lsh.keySet}")
+  }
 }
