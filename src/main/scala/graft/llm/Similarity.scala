@@ -541,7 +541,7 @@ object Similarity {
     * quarantined as nd = NULL via a CASE, never a filter — see the
     * pushdown-trap note in `ivfTopK`.
     */
-  private def normalizedVecs(df: DataFrame, idCol: String, embCol: String): DataFrame =
+  private[llm] def normalizedVecs(df: DataFrame, idCol: String, embCol: String): DataFrame =
     df.repartition(col(idCol))
       .select(col(idCol),
         expr(s"transform($embCol, x -> CAST(x AS double))").as("vd"))

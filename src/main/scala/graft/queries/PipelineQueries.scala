@@ -840,6 +840,32 @@ object PipelineQueries {
         probePred = col("vec_id") < 10, k = 10, nProbe = 8)
         .orderBy("probe_id", "rank")),
 
+    // -- similarity: the PERSISTED dense store end to end — build the
+    //    IVF index, save/load it (ModelStore model + cluster-clustered
+    //    members parquet), apply a daily diff with FROZEN centroids,
+    //    search through the store. The corpus parquet is never read by
+    //    the search itself; DenseIndexSpec gates store ≡ rebuild
+    //    bit-equality plus the streaming arm. Rows-only (k-means). ---
+    "q_dense_index_search" -> ((s, dir) => {
+      import graft.llm.DenseIndex
+      val emb = Tables.embeddings(s, dir)
+      val idx = DenseIndex.build(emb, "vec_id", "embedding",
+        nClusters = 16).get
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_dense_q_").toString + "/idx"
+      DenseIndex.save(idx, "vec_id", store)
+      // the daily diff: vectors 0..4 "re-crawled" (unchanged content —
+      // the update path still exercises remove + re-assign)
+      val diff = emb.filter(col("vec_id") < 5)
+      val maintained = DenseIndex.update(
+        DenseIndex.load(s, "vec_id", store),
+        diff.select("vec_id"), diff, "vec_id", "embedding")
+      DenseIndex.search(maintained,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 10, nProbe = 4)
+        .orderBy("probe_id", "rank")
+    }),
+
     // -- multimodal: binary media column round-trip — build fake media,
     //    stub-decode typed metadata, sample frames. The oracle predicts
     //    every decoded field from the source columns, so the binary

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.llm.{Dedup, Retrieval}
+import graft.llm.{Dedup, DenseIndex, Retrieval}
 
 /** Continuous index maintenance — the daily-crawl shape made UNBOUNDED:
   * a document stream upserts into the persisted lexical (L-99) and
@@ -114,6 +114,68 @@ object IndexMaintenance {
     Dedup.saveMinhashIndex(updated, idCol, new Path(indexDir, version).toString)
     publish(spark, indexDir, version)
   }
+
+  /** One dense-index (IVF) upsert — the r9-verdict gap closed: the
+    * ANN store gets the same daily-crawl arm as the lexical/MinHash
+    * indexes. First publish trains the coarse quantizer
+    * (`DenseIndex.build`); every later batch assigns its vectors
+    * against the FROZEN stored centroids (`DenseIndex.update`), which
+    * is what keeps the incremental result bit-equal to a rebuild over
+    * the updated corpus with the same model (DenseIndexSpec gates
+    * that equality through this very method). Centroids are NEVER
+    * retrained here — retraining rewrites every assignment and is an
+    * offline rebuild decision; instead each published snapshot
+    * carries its `drift` occupancy audit so the decay that would
+    * motivate a retrain is visible in the store itself
+    * (`denseNeedsRetrain` reads it back).
+    */
+  def upsertDenseBatch(batch: DataFrame, indexDir: String, idCol: String,
+                       embCol: String, version: String,
+                       nClusters: Int = 16, lloydIters: Int = 5,
+                       trainSample: Int = 512,
+                       skewFactor: Double = 4.0): Unit = {
+    val spark = batch.sparkSession
+    requireUniqueIds(batch, idCol)
+    val updated = latestVersion(spark, indexDir) match {
+      case None =>
+        DenseIndex.build(batch, idCol, embCol, nClusters, lloydIters,
+          trainSample).getOrElse(return ()) // nothing indexable yet
+      case Some(cur) =>
+        DenseIndex.update(DenseIndex.load(spark, idCol, cur),
+          batch.select(col(idCol)), batch, idCol, embCol)
+    }
+    val vDir = new Path(indexDir, version).toString
+    DenseIndex.save(updated, idCol, vDir)
+    // re-load so the drift audit reads the WRITTEN members, then store
+    // it beside them: the snapshot describes its own health
+    DenseIndex.drift(DenseIndex.load(spark, idCol, vDir), skewFactor)
+      .write.mode("overwrite").parquet(vDir + "/drift")
+    publish(spark, indexDir, version)
+  }
+
+  /** Does the published dense snapshot need an offline retrain? Reads
+    * the stored drift audit — no recompute, no corpus access.
+    */
+  def denseNeedsRetrain(spark: SparkSession, indexDir: String): Boolean =
+    latestVersion(spark, indexDir).exists { cur =>
+      !spark.read.parquet(cur + "/drift").filter(col("skewed")).isEmpty
+    }
+
+  /** The unbounded arm for the dense ANN store. */
+  def maintainDenseIndex(docs: DataFrame, indexDir: String,
+                         checkpointDir: String, idCol: String,
+                         embCol: String, nClusters: Int = 16,
+                         lloydIters: Int = 5, trainSample: Int = 512,
+                         skewFactor: Double = 4.0): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          upsertDenseBatch(batch, indexDir, idCol, embCol, s"v$batchId",
+            nClusters, lloydIters, trainSample, skewFactor)
+      }
+      .start()
 
   /** The unbounded arm: every micro-batch of `docs` upserts into the
     * lexical index at `indexDir`.

@@ -43,7 +43,8 @@ class ContractSpec extends SparkSpec {
     "q_topic_model" -> "k-means cell assignment is data-dependent; planted-topic term exclusivity + determinism gated in TopicsSpec",
     "q_word_vectors" -> "ln + Jacobi eigensolve are not SQL-expressible; identical-context-synonym / shape / determinism laws gated in WordVectorsSpec",
     "q_doc_embed" -> "consumes the q_word_vectors model (same non-SQL train); exact-mean / OOV-loud / map-only-plan laws gated in WordVectorsSpec",
-    "q_editdist_pairs_lsh" -> "LSH candidate stage is bucket-miss approximate (one-sided); output ⊆ exact arm + planted-paraphrase recall gated in LlmDedupSpec")
+    "q_editdist_pairs_lsh" -> "LSH candidate stage is bucket-miss approximate (one-sided); output ⊆ exact arm + planted-paraphrase recall gated in LlmDedupSpec",
+    "q_dense_index_search" -> "IVF centroids are data-dependent k-means; store ≡ rebuild bit-equality, streaming-maintenance equality, and drift gates in DenseIndexSpec")
 
   test("every query has an oracle or a documented rows-only reason") {
     val qs = SparkEntry.queries.keySet
