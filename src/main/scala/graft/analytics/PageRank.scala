@@ -41,7 +41,39 @@ object PageRank {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 10, topN: Int = Int.MaxValue,
-               checkpointEvery: Int = 2): DataFrame = {
+               checkpointEvery: Int = 2): DataFrame =
+    pageRankFrom(edges, srcCol, dstCol, None, iters, topN, checkpointEvery)
+
+  /** Warm-start arm — the daily-refresh shape: iterate from the
+    * PREVIOUS snapshot's stored masses instead of uniform. `prevRanks`
+    * is a (srcCol, pr_pico) frame (the `pageRank` output columns; any
+    * extra columns are ignored). Nodes of the new graph missing from
+    * the store (arrivals) start at the uniform mass; stored nodes
+    * absent from the new graph simply drop (their mass is not
+    * re-injected — the teleport term re-normalizes total mass toward
+    * 1e12 geometrically, exactly as it absorbs the floor leak).
+    *
+    * The payoff: the update map is a contraction with ratio 17/20, so
+    * starting ||pr_prev − pr*|| ≈ ε away from the new fixpoint (a
+    * small edge delta moves it little) needs log_{20/17}(ε/δ)
+    * iterations instead of the full cold count — on an UNCHANGED
+    * graph, warm(cold(k), j) is BY CONSTRUCTION identical to
+    * cold(k + j) (the q_pagerank_warm oracle replays exactly that
+    * composition in SQL), and PageRankSpec gates the perturbed-graph
+    * convergence story against the from-scratch fixpoint.
+    */
+  def pageRankWarm(edges: DataFrame, srcCol: String, dstCol: String,
+                   prevRanks: DataFrame, iters: Int = 3,
+                   topN: Int = Int.MaxValue,
+                   checkpointEvery: Int = 2): DataFrame =
+    pageRankFrom(edges, srcCol, dstCol,
+      Some(prevRanks.select(col(srcCol).as("__pv"),
+        col("pr_pico").as("__pmass"))),
+      iters, topN, checkpointEvery)
+
+  private def pageRankFrom(edges: DataFrame, srcCol: String, dstCol: String,
+                           prev: Option[DataFrame], iters: Int, topN: Int,
+                           checkpointEvery: Int): DataFrame = {
     require(iters >= 1 && iters <= 100, "pageRank: iters must be in [1, 100]")
     require(topN > 0, "pageRank: topN must be positive")
     require(checkpointEvery >= 1, "pageRank: checkpointEvery must be >= 1")
@@ -54,8 +86,13 @@ object PageRank {
     require(n > 0, "pageRank: empty graph")
     val base = (MassUnit * 3L) / (20L * n)
     val deg = e.groupBy("__src").agg(count(lit(1)).as("__od")).persist()
-    var pr = nodes.select(col("__v"), lit(MassUnit / n).as("__mass"))
-      .localCheckpoint(eager = true)
+    val init = prev match {
+      case None => nodes.select(col("__v"), lit(MassUnit / n).as("__mass"))
+      case Some(p) => nodes.join(p, nodes("__v") === p("__pv"), "left")
+        .select(col("__v"),
+          coalesce(col("__pmass"), lit(MassUnit / n)).as("__mass"))
+    }
+    var pr = init.localCheckpoint(eager = true)
     for (i <- 1 to iters) {
       val contrib = e
         .join(pr, e("__src") === pr("__v"))

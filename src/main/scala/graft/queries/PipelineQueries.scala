@@ -1235,6 +1235,21 @@ object PipelineQueries {
           "embedding", k = 3).select(col("src"), col("dst")),
         "src", "dst", iters = 10, topN = 50)),
 
+    // -- graph: warm-start PageRank — the daily-refresh composition:
+    //    5 cold iterations stand in for "yesterday's stored ranks",
+    //    3 warm iterations on top. On an unchanged graph the integer
+    //    update map composes exactly (warm(cold(5), 3) = cold(8)), so
+    //    the oracle replays 8 unrolled SQL steps; the perturbed-graph
+    //    convergence story is gated in PageRankSpec. -------------------
+    "q_pagerank_warm" -> ((s, dir) => {
+      val edges = Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 3).select(col("src"), col("dst"))
+      val prev = graft.analytics.PageRank.pageRank(
+        edges, "src", "dst", iters = 5)
+      graft.analytics.PageRank.pageRankWarm(
+        edges, "src", "dst", prev, iters = 3, topN = 50)
+    }),
+
     // -- graph: triangle count + local clustering coefficient over the
     //    SAME kNN graph — redundancy (how replaceable a doc is)
     //    pairing q_pagerank's centrality; degree-ordered orientation
@@ -2951,6 +2966,17 @@ object PipelineQueries {
         |  SELECT v AS src, mass AS pr_pico,
         |    row_number() OVER (ORDER BY mass DESC, v) AS rnk
         |  FROM pr10)
+        |WHERE rnk <= 50""".stripMargin,
+
+    // warm(cold(5), 3) on an unchanged graph IS cold(8) under the
+    // exact integer map — the oracle replays the 8-step composition
+    "q_pagerank_warm" ->
+      s"""$KnnEdgesCte,
+        |${pageRankStepCtes(8)}
+        |SELECT src, pr_pico, CAST(rnk AS INTEGER) AS "rank" FROM (
+        |  SELECT v AS src, mass AS pr_pico,
+        |    row_number() OVER (ORDER BY mass DESC, v) AS rnk
+        |  FROM pr8)
         |WHERE rnk <= 50""".stripMargin,
 
     // the shared kNN CTE + canonical undirected edges + degree-ordered

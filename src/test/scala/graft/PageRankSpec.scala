@@ -80,4 +80,60 @@ class PageRankSpec extends SparkSpec {
     assert(top5.sortBy(_._3).toSeq == full.sortBy(_._3).take(5).toSeq,
       "topN must be the prefix of the full ranking, not a re-converged fixpoint")
   }
+
+  test("warm start: composition law on an unchanged graph — warm(cold(5), 3) = cold(8) bit-for-bit") {
+    import spark.implicits._
+    val edges = (0 until 40).flatMap { i =>
+      Seq((i.toLong, ((i + 7) % 40).toLong), (i.toLong, ((i * 3 + 1) % 40).toLong))
+    }.filter { case (a, b) => a != b }.toDF("src", "dst")
+    val prev = PageRank.pageRank(edges, "src", "dst", iters = 5)
+    val warm = PageRank.pageRankWarm(edges, "src", "dst", prev, iters = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("pr_pico"), r.getAs[Int]("rank")))
+    val cold8 = PageRank.pageRank(edges, "src", "dst", iters = 8).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("pr_pico"), r.getAs[Int]("rank")))
+    assert(warm.sortBy(_._3).toSeq == cold8.sortBy(_._3).toSeq,
+      "the integer update map must compose exactly")
+  }
+
+  test("warm start: after an edge delta, few warm iterations converge to the from-scratch fixpoint") {
+    import spark.implicits._
+    val old = (0 until 40).flatMap { i =>
+      Seq((i.toLong, ((i + 7) % 40).toLong), (i.toLong, ((i * 3 + 1) % 40).toLong))
+    }.filter { case (a, b) => a != b }.toDF("src", "dst")
+    // the daily delta: 3 edges rewire, node 40 arrives
+    val nu = old.filter(!(col("src") === 0L && col("dst") === 7L))
+      .unionByName(Seq((0L, 11L), (5L, 40L), (40L, 5L)).toDF("src", "dst"))
+    val prev = PageRank.pageRank(old, "src", "dst", iters = 30)
+    val warm = PageRank.pageRankWarm(nu, "src", "dst", prev, iters = 20)
+      .collect().map(r => (r.getAs[Long]("src"),
+        r.getAs[Long]("pr_pico"), r.getAs[Int]("rank")))
+    val cold = PageRank.pageRank(nu, "src", "dst", iters = 30).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("pr_pico"), r.getAs[Int]("rank")))
+    // the contraction ratio is 17/20 per round: a rewired node starts
+    // ~5% of its mass from the new fixpoint, and 20 warm rounds shrink
+    // that by (17/20)^20 ≈ 0.039 — identical RANKING, masses within
+    // 0.5% relative (measured residual ~0.2%; 10 rounds leaves ~0.9%)
+    val warmById = warm.map(t => t._1 -> t._2).toMap
+    val coldById = cold.map(t => t._1 -> t._2).toMap
+    assert(warmById.keySet == coldById.keySet,
+      "the arriving node must surface, departed mass must not linger")
+    coldById.foreach { case (v, m) =>
+      assert(math.abs(warmById(v) - m) <= math.max(m / 200L, 50L),
+        s"node $v: warm ${warmById(v)} vs cold $m drifted past 0.5%")
+    }
+    // ranking: exact agreement wherever the fixpoint separates nodes
+    // by more than the warm residual; a pair tied within it may swap
+    // (observed once: two nodes 0.02% apart) — that is the tolerance,
+    // not a defect
+    val coldOrder = cold.sortBy(_._3)
+    coldOrder.sliding(2).foreach { case Array((a, ma, _), (b, mb, _)) =>
+      if (ma - mb > ma / 200L)
+        assert(warmById(a) > warmById(b),
+          s"separated pair $a > $b must keep its order under warm refresh")
+    }
+    assert(warm.sortBy(_._3).map(_._1).take(10).toSeq ==
+      coldOrder.map(_._1).take(10).toSeq,
+      "the head of the ranking must be reproduced exactly")
+  }
 }
