@@ -149,6 +149,37 @@ object Chunking {
     * (so ("train" → 0.9, "val" → 0.05, "test" → 0.05) is exhaustive
     * by construction). Insertion order of `weights` is the cut order.
     */
+  /** Leakage-safe train/val/test assignment: `hashSplit` keyed by the
+    * NEAR-DUP CLUSTER representative instead of the document id. A
+    * plain hash split puts two near-duplicate documents on opposite
+    * sides of the train/test fence with probability 2·p(1−p) each —
+    * at 100 TB that is millions of leaked pairs silently inflating
+    * eval, the exact failure benchmark decontamination exists to
+    * catch AFTER the fact; keying the split by the duplicate
+    * cluster's min-id keeps every member of a family on the same
+    * side BY CONSTRUCTION. Documents in no pair key by their own id
+    * (their own singleton cluster), so the split remains row-local
+    * for the overwhelming non-duplicated majority and append-stable
+    * in the `hashSplit` sense; the cluster table (pair-graph-sized,
+    * tiny next to the corpus) joins in once.
+    *
+    * `pairs` is any near-dup pair table (`minhashNearDups`, the exact
+    * Jaccard tier, `mediaNearDups`, ...) — the same composition
+    * freedom as `connectedComponents`, which this calls.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String,
+                       pairs: DataFrame, aCol: String, bCol: String,
+                       weights: Seq[(String, Double)]): DataFrame = {
+    require(!df.columns.contains("__rep"),
+      "leakageSafeSplit: '__rep' is reserved for internal use — rename it")
+    val cc = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("cluster_id"))
+    val keyed = df.join(cc, Seq(idCol), "left")
+      .withColumn("__rep", coalesce(col("cluster_id"), col(idCol)))
+      .drop("cluster_id")
+    hashSplit(keyed, "__rep", weights).drop("__rep")
+  }
+
   def hashSplit(df: DataFrame, idCol: String,
                 weights: Seq[(String, Double)]): DataFrame = {
     require(weights.nonEmpty && weights.map(_._2).sum <= 1.0 + 1e-9,

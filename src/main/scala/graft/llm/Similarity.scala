@@ -750,6 +750,41 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Semantic benchmark decontamination — the embedding-space sibling
+    * of `Dedup.contaminationPairs`: which corpus documents sit within
+    * cosine `threshold` of some benchmark item? Catches the leak the
+    * n-gram detector structurally misses — a PARAPHRASED test
+    * question shares no 5-gram with its source but lands at cosine
+    * 0.9 next to it (the published decontamination recipes run both
+    * detectors for exactly this reason; the two compose by unioning
+    * their (doc, bench) verdicts).
+    *
+    * Exact quantized cosine — deterministic and oracle-checkable.
+    * Shape mirrors the n-gram arm's broadcast contract: benchmarks
+    * are tiny next to a 100 TB corpus, so the BENCH side broadcasts
+    * and the corpus never shuffles — per corpus partition the cost is
+    * rows × |bench| compiled integer dot products, embarrassingly
+    * parallel. A benchmark too large to broadcast swaps the candidate
+    * stage for the LSH bucket join (`cosineNearDupPairsLsh`'s
+    * machinery) with this verify unchanged.
+    */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, embCol: String,
+                            threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"semanticContamination: threshold in (0, 1], got $threshold")
+    def q(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), quantize(embCol).as(s"__v_$as"))
+      .withColumn(s"__n_$as", normSqQ(s"__v_$as"))
+    q(corpus, "doc_id").repartition(32)
+      .crossJoin(broadcast(q(bench, "bench_id")))
+      .select(col("doc_id"), col("bench_id"),
+        (dotQ("__v_doc_id", "__v_bench_id").cast("double") /
+          sqrt((col("__n_doc_id") * col("__n_bench_id")).cast("double")))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Deterministic driver-side pseudo-random in [-0.5, 0.5] (splitmix64
     * finalizer). Plane weights are Spark-internal — no oracle ever sees
     * them — so they are precomputed here ONCE and shipped as literals:

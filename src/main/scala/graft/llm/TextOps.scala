@@ -609,9 +609,82 @@ object TextOps {
       idCol, k)
   }
 
+  /** RM3 pseudo-relevance feedback — the classic two-pass query
+    * expansion (Lavrenko & Croft's relevance model, interpolated):
+    * BM25 retrieves `fbDocs` feedback documents per query, their
+    * terms are weighted by the relevance model
+    * rm(t) = Σ_d (score(d) · tf(t,d)) div dl(d) (exact integers —
+    * score-weighted normalized term frequency), the top `fbTerms`
+    * terms (weight desc, term asc) are normalized to micro-units and
+    * interpolated with the uniform original-query weights at
+    * `origPct`/100, and the merged weighted query runs ONE more BM25
+    * pass where each term's contribution is floor(contrib · w) — the
+    * unweighted tier is the w = 1e6 special case of the same kernel,
+    * so the two stay bit-consistent by construction.
+    *
+    * Everything after the corpus tokenization is exact integer
+    * arithmetic or a shared IEEE formula, so the WHOLE two-pass
+    * pipeline replays in SQL and the harness query is hash-gated.
+    * Scale shape: pass 1 is `bm25TopK` (broadcast query table, one
+    * postings shuffle); the feedback join touches `fbDocs`·|queries|
+    * documents; the merged term table (≤ |q| + fbTerms per query)
+    * broadcasts into pass 2 — the corpus pays two scans, never a
+    * shuffle of itself.
+    */
+  def bm25Rm3TopK(df: DataFrame, idCol: String, textCol: String,
+                  queries: Seq[(Int, Seq[String])], k: Int,
+                  fbDocs: Int = 5, fbTerms: Int = 10, origPct: Int = 60,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1,
+      s"bm25Rm3TopK: fbDocs/fbTerms must be positive, got $fbDocs/$fbTerms")
+    require(origPct >= 0 && origPct <= 100,
+      s"bm25Rm3TopK: origPct in [0, 100], got $origPct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val fb = bm25TopK(df, idCol, textCol, queries, fbDocs, k1, b)
+      .select(col("qid"), col(idCol), col("score_micro"))
+    // relevance-model raw weights over ALL terms of the feedback docs
+    val rmRaw = df
+      .withColumn("__toks", tokens(textCol))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("dl"))
+      .join(fb, Seq(idCol))
+      .select(col("qid"), col(idCol), col("score_micro"), col("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("qid"), col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("score_micro")).as("sm"),
+        max(col("dl")).as("dl"))
+      .withColumn("__w", expr("(sm * tf) div dl"))
+      .groupBy(col("qid"), col("term"))
+      .agg(sum(col("__w")).as("rm_raw"))
+      .filter(col("rm_raw") > 0L)
+    val topTerms = rmRaw
+      .withColumn("__rk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("rm_raw").desc, col("term").asc)))
+      .filter(col("__rk") <= fbTerms)
+    val rmNorm = topTerms
+      .withColumn("__tot", sum(col("rm_raw")).over(Window.partitionBy("qid")))
+      .select(col("qid"), col("term"),
+        expr("(rm_raw * 1000000L) div __tot").as("rm_micro"))
+    val orig = queries.flatMap { case (qid, ts) =>
+      val d = ts.distinct
+      d.map(t => (qid, t, 1000000L / d.length))
+    }.toDF("qid", "term", "q_micro")
+    val merged = orig.join(rmNorm, Seq("qid", "term"), "full_outer")
+      .select(col("qid"), col("term"),
+        expr(s"(${origPct}L * coalesce(q_micro, 0L) + " +
+          s"${100 - origPct}L * coalesce(rm_micro, 0L)) div 100L")
+          .as("w_micro"))
+      .filter(col("w_micro") > 0L)
+    rankScores(bm25Scores(df, idCol, textCol, merged, k1, b), idCol, k)
+  }
+
   /** Shared BM25 scoring core: (qid, `idCol`, score_micro) for every
     * (probe, doc) pair with at least one matching term. `qterms` is
-    * a (qid, term) table, distinct per qid, small enough to broadcast.
+    * a (qid, term) table, distinct per qid, small enough to
+    * broadcast; an optional `w_micro` column weights each term's
+    * contribution as floor(contrib · w) — absent, every term weighs
+    * 1e6, which floors to EXACTLY the unweighted contribution.
     */
   private def bm25Scores(df: DataFrame, idCol: String, textCol: String,
                          qterms: DataFrame, k1: Double, b: Double): DataFrame = {
@@ -624,11 +697,15 @@ object TextOps {
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
+    val qtermsW =
+      if (qterms.columns.contains("w_micro")) qterms
+      else qterms.withColumn("w_micro", lit(1000000L))
     val tf = docs
       .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
-      .join(broadcast(qterms), "term")
+      .join(broadcast(qtermsW), "term")
       .groupBy(col("qid"), col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
+        max(col("w_micro")).as("w_micro"))
     // df counts a term once per document, not once per (query, term):
     // two queries sharing a term must see the same df.
     val docFreq = tf.select(col("term"), col(idCol)).distinct()
@@ -641,7 +718,8 @@ object TextOps {
     val contrib = idf * (tfd * lit(k1 + 1)) / denom
     tf.join(broadcast(docFreq), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("__c", floor(contrib * lit(1e6)).cast("long"))
+      .withColumn("__c",
+        floor(contrib * col("w_micro").cast("double")).cast("long"))
       .groupBy(col("qid"), col(idCol))
       .agg(sum(col("__c")).as("score_micro"))
   }

@@ -578,6 +578,33 @@ object PipelineQueries {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.35)),
 
+    // -- decontamination, semantic arm: corpus embeddings vs a
+    //    broadcast "benchmark" slice (vec_id < 20 stands in for the
+    //    eval set) — catches the paraphrased leak the n-gram detector
+    //    (q_decontaminate) structurally misses; exact quantized
+    //    cosine, corpus never shuffles ---------------------------------
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticContamination(
+        emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", threshold = 0.30)
+    }),
+
+    // -- splits: leakage-safe train/val/test — hashSplit keyed by the
+    //    near-dup CLUSTER representative, so a duplicate family can
+    //    never straddle the train/test fence; pairs from the LSH arm
+    //    (fixture-equal to the exact tier), singletons key by their
+    //    own id and stay row-local -------------------------------------
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.5)
+      graft.llm.Chunking.leakageSafeSplit(docs.select("doc_id", "source"),
+          "doc_id", pairs, "id_a", "id_b",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+    }),
+
     // -- retrieval evaluation: MRR / precision / recall / NDCG@10 in
     //    exact micro-units over the brute-force dense run, with
     //    same-label embeddings as the binary relevance judgments -----
@@ -1003,6 +1030,15 @@ object PipelineQueries {
     "q_bm25_topk" -> ((s, dir) =>
       TextOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
         Bm25Queries, k = 5, k1 = Bm25K1, b = Bm25B)),
+
+    // -- retrieval: RM3 pseudo-relevance feedback — two BM25 passes
+    //    with the relevance-model expansion terms interpolated into
+    //    the query at 60/40; every inter-pass number is an exact
+    //    integer, so the WHOLE two-pass pipeline hash-replays --------
+    "q_bm25_rm3" -> ((s, dir) =>
+      TextOps.bm25Rm3TopK(Tables.documents(s, dir), "doc_id", "text",
+        Bm25Queries, k = 5, fbDocs = 5, fbTerms = 10, origPct = 60,
+        k1 = Bm25K1, b = Bm25B)),
 
     // -- retrieval: exact phrase search via positional anchor votes —
     //    one aggregation instead of the m-way positional self-join;
@@ -2632,6 +2668,26 @@ object PipelineQueries {
         |)
         |SELECT * FROM p WHERE cos >= 0.35""".stripMargin,
 
+    // the semantic-decontamination replay: the q_embed_neardup
+    // quantized-cosine machinery split corpus-vs-bench
+    "q_decontaminate_semantic" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q
+        |), p AS (
+        |  SELECT c.vec_id AS doc_id, b.vec_id AS bench_id,
+        |    CAST(list_sum(list_transform(list_zip(c.v, b.v), z -> z[1] * z[2])) AS DOUBLE) /
+        |      sqrt(CAST(c.nsq * b.nsq AS DOUBLE)) AS cos
+        |  FROM n c CROSS JOIN n b
+        |  WHERE c.vec_id >= 20 AND b.vec_id < 20
+        |)
+        |SELECT * FROM p WHERE cos >= 0.30""".stripMargin,
+
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  'stub/v1' AS codec,
@@ -2878,6 +2934,92 @@ object PipelineQueries {
         |  FROM agg)
         |SELECT CAST(qid AS INTEGER) AS qid, doc_id, score_micro, "rank"
         |FROM r WHERE "rank" <= 5""".stripMargin,
+
+    // RM3 full replay: pass-1 BM25 (the q_bm25_topk CTEs) -> top-5
+    // feedback docs -> integer relevance-model weights -> top-10
+    // terms -> micro normalization -> 60/40 interpolation with the
+    // uniform original weights -> weighted pass-2 BM25. Every
+    // inter-pass number is an exact integer; the two IEEE formulas
+    // are interpolated from the same Scala doubles as q_bm25_topk.
+    "q_bm25_rm3" ->
+      s"""WITH q(qid, term, q_micro) AS (VALUES ${
+        Bm25Queries.flatMap { case (qid, ts) =>
+          val d = ts.distinct
+          d.map(t => s"($qid, '$t', ${1000000L / d.length})") }
+          .mkString(", ")}),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |stats AS MATERIALIZED (
+        |  SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM tok),
+        |ex AS MATERIALIZED (
+        |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok),
+        |tf1 AS (
+        |  SELECT q.qid, e.doc_id, e.term, count(*) AS tf, max(e.dl) AS dl
+        |  FROM ex e JOIN q ON e.term = q.term GROUP BY 1, 2, 3),
+        |df1 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf1 GROUP BY 1),
+        |sc1 AS (
+        |  SELECT tf1.qid, tf1.doc_id,
+        |    CAST(floor(
+        |      (CAST(s.n_docs AS DOUBLE) / CAST(df1.df AS DOUBLE)) *
+        |      (CAST(tf1.tf AS DOUBLE) * ${Bm25K1 + 1}) /
+        |      (CAST(tf1.tf AS DOUBLE) + ${Bm25K1 * (1 - Bm25B)} + ${Bm25K1 * Bm25B} *
+        |        (CAST(tf1.dl AS DOUBLE) /
+        |         (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+        |      * 1000000.0) AS BIGINT) AS c
+        |  FROM tf1 JOIN df1 USING (term) CROSS JOIN stats s),
+        |agg1 AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+        |         FROM sc1 GROUP BY 1, 2),
+        |fb AS (
+        |  SELECT qid, doc_id, score_micro FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS rn
+        |    FROM agg1) WHERE rn <= 5),
+        |rmtf AS (
+        |  SELECT f.qid, f.doc_id, e.term, count(*) AS tf,
+        |    max(f.score_micro) AS sm, max(e.dl) AS dl
+        |  FROM fb f JOIN ex e USING (doc_id) GROUP BY 1, 2, 3),
+        |rmraw AS (
+        |  SELECT qid, term, CAST(sum((sm * tf) // dl) AS BIGINT) AS rm_raw
+        |  FROM rmtf GROUP BY 1, 2 HAVING sum((sm * tf) // dl) > 0),
+        |tt AS (
+        |  SELECT qid, term, rm_raw FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY rm_raw DESC, term) AS rk
+        |    FROM rmraw) WHERE rk <= 10),
+        |rmn AS (
+        |  SELECT qid, term, CAST((rm_raw * 1000000) //
+        |    (sum(rm_raw) OVER (PARTITION BY qid)) AS BIGINT) AS rm_micro
+        |  FROM tt),
+        |mw AS (
+        |  SELECT qid, term, w FROM (
+        |    SELECT coalesce(o.qid, r.qid) AS qid,
+        |      coalesce(o.term, r.term) AS term,
+        |      CAST((60 * coalesce(o.q_micro, 0) +
+        |        40 * coalesce(r.rm_micro, 0)) // 100 AS BIGINT) AS w
+        |    FROM q o FULL OUTER JOIN rmn r
+        |      ON o.qid = r.qid AND o.term = r.term)
+        |  WHERE w > 0),
+        |tf2 AS (
+        |  SELECT m.qid, e.doc_id, e.term, count(*) AS tf,
+        |    max(e.dl) AS dl, max(m.w) AS w
+        |  FROM ex e JOIN mw m ON e.term = m.term GROUP BY 1, 2, 3),
+        |df2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf2 GROUP BY 1),
+        |sc2 AS (
+        |  SELECT tf2.qid, tf2.doc_id,
+        |    CAST(floor(
+        |      (CAST(s.n_docs AS DOUBLE) / CAST(df2.df AS DOUBLE)) *
+        |      (CAST(tf2.tf AS DOUBLE) * ${Bm25K1 + 1}) /
+        |      (CAST(tf2.tf AS DOUBLE) + ${Bm25K1 * (1 - Bm25B)} + ${Bm25K1 * Bm25B} *
+        |        (CAST(tf2.dl AS DOUBLE) /
+        |         (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+        |      * CAST(tf2.w AS DOUBLE)) AS BIGINT) AS c
+        |  FROM tf2 JOIN df2 USING (term) CROSS JOIN stats s),
+        |agg2 AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+        |         FROM sc2 GROUP BY 1, 2),
+        |r2 AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS INTEGER) AS "rank"
+        |  FROM agg2)
+        |SELECT CAST(qid AS INTEGER) AS qid, doc_id, score_micro, "rank"
+        |FROM r2 WHERE "rank" <= 5""".stripMargin,
 
     // the index's per-term audit: df = distinct docs per term,
     // total_tf = summed in-doc counts, top 30 by (df desc, term)
@@ -4369,6 +4511,41 @@ object PipelineQueries {
         |  CAST(min(doc_id) AS BIGINT) AS min_id,
         |  CAST(max(doc_id) AS BIGINT) AS max_id
         |FROM a GROUP BY 1""".stripMargin,
+
+    // q_dedup_clusters' reachability CTE keys the split by the
+    // cluster representative; singletons key by their own id
+    "q_split_leakage_safe" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      CAST(len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT src AS node, src AS r FROM edges
+        |  UNION
+        |  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+        |), cl AS (
+        |  SELECT node AS doc_id, min(r) AS cluster_id
+        |  FROM reach GROUP BY node
+        |), rep AS (
+        |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS rk
+        |  FROM documents d LEFT JOIN cl USING (doc_id)
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN ((rk % 65536) * 40503) % 65536 < 0.8 * 65536 THEN 'train'
+        |       WHEN ((rk % 65536) * 40503) % 65536 < 0.9 * 65536 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM rep""".stripMargin,
 
     // texts are corpus-unique, so the planted overlap is the shared
     // %10∈{4,5} slice and the new docs are exactly %10∈{6..9}

@@ -629,4 +629,32 @@ class ChunkingSpec extends SparkSpec {
     val same = Chunking.manifestDiff(oldM, oldM).collect()
     assert(same.forall(_.getString(1) == "unchanged"))
   }
+
+  test("leakageSafeSplit: a near-dup family never straddles the fence; singletons match hashSplit") {
+    import spark.implicits._
+    // three duplicate families (chains A~B~C via pairs) + singletons
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq(
+      (1L, 7L), (7L, 13L),          // family {1,7,13}
+      (2L, 22L),                    // family {2,22}
+      (5L, 11L), (11L, 31L), (5L, 31L) // family {5,11,31}
+    ).toDF("id_a", "id_b")
+    val w = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2)
+    val got = Chunking.leakageSafeSplit(docs, "doc_id", pairs,
+      "id_a", "id_b", w).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(got.size == 40, "every document gets exactly one split")
+    for (fam <- Seq(Seq(1L, 7L, 13L), Seq(2L, 22L), Seq(5L, 11L, 31L)))
+      assert(fam.map(got).distinct.size == 1,
+        s"family $fam straddles the fence: ${fam.map(got)}")
+    // each family lands where its MIN id would land alone
+    val solo = Chunking.hashSplit(docs, "doc_id", w).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(got(1L) == solo(1L) && got(2L) == solo(2L) && got(5L) == solo(5L))
+    // and every non-paired doc splits exactly as plain hashSplit
+    val paired = Set(1L, 7L, 13L, 2L, 22L, 5L, 11L, 31L)
+    (0L until 40L).filterNot(paired).foreach { i =>
+      assert(got(i) == solo(i), s"singleton $i moved: ${got(i)} vs ${solo(i)}")
+    }
+  }
 }

@@ -291,4 +291,71 @@ class RetrievalSpec extends SparkSpec {
       graft.llm.Retrieval.phraseSearch(docs, "doc_id", "text", Seq("a b"))
     }
   }
+
+  test("bm25Rm3TopK: feedback expansion retrieves the synonym doc the literal query cannot") {
+    import spark.implicits._
+    // docs 1-3 use 'automobile'; doc 4 bridges ('car automobile');
+    // doc 5 uses only 'car'. The query says 'car': pass 1 ranks the
+    // bridge + doc 5, the relevance model learns 'automobile' from
+    // them, and pass 2 surfaces docs 1-3 — the PRF promise. Filler
+    // terms keep dl varied so the test isn't a degenerate tie.
+    val docs = Seq(
+      (1L, "automobile engine repair manual torque"),
+      (2L, "automobile chassis rust inspection"),
+      (3L, "vintage automobile auction prices"),
+      (4L, "car automobile dealer showroom"),
+      (5L, "car wash subscription offer"),
+      (6L, "quarterly revenue forecast spreadsheet"),
+      (7L, "garden soil compost rotation"),
+      (8L, "chess opening theory repertoire")
+    ).toDF("doc_id", "text")
+    val q = Seq(0 -> Seq("car"))
+    val base = TextOps.bm25TopK(docs, "doc_id", "text", q, k = 8)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(base == Set(4L, 5L),
+      s"the literal query must only reach the 'car' docs, got $base")
+    val rm3 = TextOps.bm25Rm3TopK(docs, "doc_id", "text", q, k = 8,
+      fbDocs = 2, fbTerms = 5, origPct = 50)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(Set(1L, 2L, 3L).subsetOf(rm3),
+      s"expansion must surface the automobile docs, got $rm3")
+    assert(Set(4L, 5L).subsetOf(rm3),
+      "the original query's docs must not be lost")
+    // determinism: bit-identical rerun
+    val a = TextOps.bm25Rm3TopK(docs, "doc_id", "text", q, k = 8,
+      fbDocs = 2, fbTerms = 5, origPct = 50).collect().toSeq
+    val b = TextOps.bm25Rm3TopK(docs.repartition(5), "doc_id", "text", q,
+      k = 8, fbDocs = 2, fbTerms = 5, origPct = 50).collect().toSeq
+    assert(a.sortBy(_.getAs[Int]("rank")) == b.sortBy(_.getAs[Int]("rank")),
+      "RM3 must be partitioning-independent")
+  }
+
+  test("bm25Rm3TopK: origPct=100 reproduces the unweighted ranking; origPct=0 is pure feedback") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha alpha delta"),
+      (3L, "beta beta epsilon"),
+      (4L, "zeta eta theta"),
+      (5L, "alpha beta beta")
+    ).toDF("doc_id", "text")
+    val q = Seq(0 -> Seq("alpha", "beta"))
+    val plain = TextOps.bm25TopK(docs, "doc_id", "text", q, k = 5)
+      .collect().sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id")).toSeq
+    // all-original interpolation: every surviving term weight is the
+    // uniform q_micro, a per-query POSITIVE scalar — ranking invariant
+    val full = TextOps.bm25Rm3TopK(docs, "doc_id", "text", q, k = 5,
+      fbDocs = 2, fbTerms = 3, origPct = 100)
+      .collect().sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(full == plain,
+      s"origPct=100 must keep the literal ranking: $full vs $plain")
+    // all-feedback: the query's own terms still surface via the
+    // feedback docs (they contain them), so results stay non-empty
+    val fb = TextOps.bm25Rm3TopK(docs, "doc_id", "text", q, k = 5,
+      fbDocs = 2, fbTerms = 3, origPct = 0).collect()
+    assert(fb.nonEmpty)
+    intercept[IllegalArgumentException] {
+      TextOps.bm25Rm3TopK(docs, "doc_id", "text", q, k = 5, origPct = 101)
+    }
+  }
 }

@@ -98,4 +98,34 @@ class SemDedupSpec extends SparkSpec {
     for ((a, b) <- witnesses)
       assert(exactPairs.contains((a, b)), s"witness ($a,$b) is not a true near-dup pair")
   }
+
+  test("semanticContamination: scaled paraphrase flagged, orthogonal content silent, corpus side never drops") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    // bench item 0 along e0; corpus: 100 = 2x the bench vector
+    // (cosine 1 — the paraphrase), 101 = orthogonal, 102 = negated
+    def v(axis: Int, scale: Double) =
+      Seq.tabulate(8)(d => if (d == axis) scale else 0.0)
+    val bench = Seq((0L, v(0, 1.0)), (1L, v(1, 1.0)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (100L, v(0, 2.0)), (101L, v(2, 5.0)), (102L, v(0, -1.0)),
+      (103L, Seq.tabulate(8)(d => if (d <= 1) 1.0 else 0.0))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(corpus, bench,
+      "vec_id", "embedding", threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 100 hits bench 0 (cos 1); 103 hits BOTH bench items (cos ~0.707);
+    // the orthogonal and the negated stay silent at 0.5
+    assert(got == Set((100L, 0L), (103L, 0L), (103L, 1L)), s"got $got")
+    // thresholds compose monotonically: lowering can only add pairs
+    val loose = Similarity.semanticContamination(corpus, bench,
+      "vec_id", "embedding", threshold = 0.1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(loose))
+    intercept[IllegalArgumentException] {
+      Similarity.semanticContamination(corpus, bench, "vec_id",
+        "embedding", threshold = 0.0)
+    }
+  }
 }
