@@ -818,6 +818,43 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Per-source contamination dashboard — the capstone over the two
+    * leak detectors (the union-of-verdicts composition the published
+    * decontamination recipes run): given the corpus and the
+    * (doc-id) verdict sets of the LEXICAL arm (`contaminationPairs`)
+    * and the SEMANTIC arm (`Similarity.semanticContamination`), one
+    * row per source with its doc count, per-detector leak counts,
+    * the UNION leak count (a doc flagged by both counts once) and
+    * the leak rate in exact integer micro-units. The per-detector
+    * columns are what make the dashboard actionable: a source
+    * leaking lexically but not semantically is verbatim paste; the
+    * reverse is paraphrase — different remediations.
+    *
+    * Shape: two left-semi-ish joins of the (tiny) verdict id sets
+    * into the corpus, one source groupBy — the detectors themselves
+    * already paid their cost upstream; this is their aggregation,
+    * composable with ANY detector emitting ids.
+    */
+  def contaminationReport(corpus: DataFrame, idCol: String,
+                          srcCol: String, lexLeakIds: DataFrame,
+                          semLeakIds: DataFrame): DataFrame = {
+    def flag(ids: DataFrame, as: String) = ids
+      .select(col(ids.columns.head).as(idCol)).distinct()
+      .withColumn(as, lit(true))
+    corpus.select(col(idCol), col(srcCol))
+      .join(flag(lexLeakIds, "__lex"), Seq(idCol), "left")
+      .join(flag(semLeakIds, "__sem"), Seq(idCol), "left")
+      .groupBy(col(srcCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__lex"), 1L).otherwise(0L)).as("n_lexical"),
+        sum(when(col("__sem"), 1L).otherwise(0L)).as("n_semantic"),
+        sum(when(col("__lex") || col("__sem"), 1L).otherwise(0L))
+          .as("n_leaked"))
+      .withColumn("leak_rate_micro",
+        expr("(n_leaked * 1000000L) div n_docs"))
+  }
+
   /** Transitive duplicate clusters: near-dup PAIRS under-merge (A~B,
     * B~C but A≁C leaves two keep-decisions for one logical document
     * family), so cluster the pair graph and key each document by its

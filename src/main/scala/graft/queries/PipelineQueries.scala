@@ -94,6 +94,31 @@ object PipelineQueries {
     s"""$KnnEdgesCte,
       |${pageRankStepCtes(10)}""".stripMargin
 
+  /** k-core peeling oracle: canonical undirected edges, then `rounds`
+    * unconditionally unrolled drop-under-k rounds (the Spark side's
+    * convergence stop is a no-op past the fixpoint — the bfsHops
+    * contract). Every s_i is MATERIALIZED: d_{i+1} references it
+    * twice, and DuckDB's default inlining would re-derive the whole
+    * chain 2^rounds times (the PageRankCtes lesson).
+    */
+  private def kcoreStepCtes(rounds: Int, k: Int): String = {
+    val step = (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT e.src AS id, count(*) AS cd
+         |  FROM eu e JOIN s${i - 1} x ON e.src = x.id
+         |  JOIN s${i - 1} y ON e.dst = y.id GROUP BY 1),
+         |s$i AS MATERIALIZED (SELECT id FROM d$i WHERE cd >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""und AS MATERIALIZED (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM e WHERE src != dst),
+      |eu AS MATERIALIZED (
+      |  SELECT a AS src, b AS dst FROM und
+      |  UNION ALL SELECT b, a FROM und),
+      |s0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM eu),
+      |$step""".stripMargin
+  }
+
   /** Label-propagation oracle: symmetrized edges, seeded base, 5
     * unrolled majority-vote rounds (count desc, label asc tie-break).
     */
@@ -1299,6 +1324,22 @@ object PipelineQueries {
         .select(col("id").as("vec_id"), col("degree"), col("triangles"),
           col("lcc_micro"))),
 
+    // -- graph: 3-core of the ε-similarity graph (the DBSCAN ε-pairs
+    //    at cosine ≥ 0.3) — the density backbone: dense topic mass
+    //    survives the peel, the sparse tail cascades away (317/500
+    //    nodes at sf0.01 — a real peel, unlike the kNN graph whose
+    //    uniform out-degree makes every core trivial or empty).
+    //    Parallel peeling to the unique fixpoint; convergence-stop ≡
+    //    the oracle's unconditionally unrolled rounds (the bfsHops
+    //    contract). -------------------------------------------------
+    "q_kcore" -> ((s, dir) =>
+      graft.analytics.Kcore.kcoreMembers(
+        Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.3)
+          .select(col("id_a").as("src"), col("id_b").as("dst")),
+        "src", "dst", k = 3, maxRounds = 10)
+        .select(col("id").as("vec_id"), col("core_degree"))),
+
     // -- coreset: k-center greedy (Gonzalez farthest-point) — the
     //    DIVERSITY selection signal pairing q_pagerank's centrality:
     //    k passes, zero shuffles, one TakeOrdered row collected per
@@ -1697,6 +1738,25 @@ object PipelineQueries {
         docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(50)) === 0),
         "doc_id", "text", n = 5, minShared = 3L)
+    }),
+
+    // -- decontamination capstone: the per-source leak dashboard —
+    //    lexical (verbatim) and semantic (paraphrase) verdicts
+    //    unioned per document, aggregated per source with exact
+    //    micro-unit leak rates. Same %50 bench convention for both
+    //    arms so the denominators line up. --------------------------
+    "q_contamination_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      val lex = Dedup.contaminationPairs(corpus,
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", "text", n = 5, minShared = 3L).select("doc_id")
+      val emb = Tables.embeddings(s, dir)
+      val sem = Similarity.semanticContamination(
+        emb.filter(pmod(col("vec_id"), lit(50)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+        "vec_id", "embedding", threshold = 0.30).select("doc_id")
+      Dedup.contaminationReport(corpus, "doc_id", "source", lex, sem)
     }),
 
     // -- dedup QA: per-document n-gram NOVELTY — share of each doc's
@@ -3162,6 +3222,26 @@ object PipelineQueries {
         |    ELSE 0 END AS BIGINT) AS lcc_micro
         |FROM dg d LEFT JOIN pern p ON p.v = d.v""".stripMargin,
 
+    "q_kcore" ->
+      s"""WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM q
+        |), e AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) AS DOUBLE) /
+        |      sqrt(CAST(a.nsq * b.nsq AS DOUBLE)) >= 0.3
+        |),
+        |${kcoreStepCtes(10, 3)}
+        |SELECT e.src AS vec_id, CAST(count(*) AS BIGINT) AS core_degree
+        |FROM eu e JOIN s10 x ON e.src = x.id JOIN s10 y ON e.dst = y.id
+        |GROUP BY 1""".stripMargin,
+
     "q_label_prop" -> LabelPropSql,
 
     "q_coreset" -> CoresetSql,
@@ -4359,6 +4439,56 @@ object PipelineQueries {
         |FROM g c JOIN g b ON c.gram = b.gram
         |WHERE c.doc_id % 50 != 0 AND b.doc_id % 50 = 0
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    // the capstone: both detector CTEs (the q_decontaminate 5-gram
+    // join + the quantized-cosine cross join at the SAME %50 bench),
+    // distinct verdict ids, per-source aggregation with exact rates
+    "q_contamination_report" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
+        |    THEN list_transform(range(1, len(toks) - 3), i ->
+        |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |      toks[i+3] || ' ' || toks[i+4])
+        |    ELSE [] END)) AS gram
+        |  FROM t
+        |), lexp AS (
+        |  SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS shared
+        |  FROM g c JOIN g b ON c.gram = b.gram
+        |  WHERE c.doc_id % 50 != 0 AND b.doc_id % 50 = 0
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |), lex AS (SELECT DISTINCT doc_id FROM lexp
+        |), qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), nv AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq
+        |  FROM qv
+        |), semp AS (
+        |  SELECT c.vec_id AS doc_id
+        |  FROM nv c CROSS JOIN nv b
+        |  WHERE c.vec_id % 50 != 0 AND b.vec_id % 50 = 0
+        |    AND CAST(list_sum(list_transform(list_zip(c.v, b.v), z -> z[1] * z[2])) AS DOUBLE) /
+        |      sqrt(CAST(c.nsq * b.nsq AS DOUBLE)) >= 0.30
+        |), sem AS (SELECT DISTINCT doc_id FROM semp
+        |), agg AS (
+        |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lexical,
+        |    CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic,
+        |    CAST(sum(CASE WHEN l.doc_id IS NOT NULL OR s.doc_id IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+        |  FROM documents d
+        |  LEFT JOIN lex l USING (doc_id)
+        |  LEFT JOIN sem s ON s.doc_id = d.doc_id
+        |  WHERE d.doc_id % 50 != 0
+        |  GROUP BY 1
+        |)
+        |SELECT source, n_docs, n_lexical, n_semantic, n_leaked,
+        |  CAST((n_leaked * 1000000) // n_docs AS BIGINT) AS leak_rate_micro
+        |FROM agg""".stripMargin,
 
     // distinct trigrams per doc, global first owner = min doc_id,
     // integer micro-unit share; short docs −1 sentinel via LEFT join

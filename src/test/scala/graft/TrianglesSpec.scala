@@ -68,4 +68,55 @@ class TrianglesSpec extends SparkSpec {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("kcore: K4 plus a pendant chain — the clique survives the 3-peel, the chain cascades away") {
+    import spark.implicits._
+    import graft.analytics.Kcore
+    // K4 on {0,1,2,3}; chain 3-4-5-6 hangs off it; one self-loop and
+    // a duplicated/reversed edge to exercise canonicalization
+    val edges = (Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (5L, 5L), (2L, 1L)))
+      .toDF("src", "dst")
+    val got = Kcore.kcoreMembers(edges, "src", "dst", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      s"3-core must be exactly the K4 with in-core degree 3, got $got")
+    // chain cascade at k=2: the pendant chain peels from the tip
+    // inward, the K4 keeps its cycle
+    val core2 = Kcore.kcoreMembers(edges, "src", "dst", k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(core2 == Set(0L, 1L, 2L, 3L),
+      s"2-core must peel the whole open chain, got $core2")
+    // a pure path has NO 2-core — the cascade must run to empty
+    val path = (0L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(Kcore.kcoreMembers(path, "src", "dst", k = 2).isEmpty)
+    // partitioning-independence
+    val rep = Kcore.kcoreMembers(edges.repartition(7), "src", "dst", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == got)
+  }
+
+  test("contaminationReport: union counts once, per-detector columns split verbatim vs paraphrase, exact rates") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val corpus = Seq(
+      (1L, "web"), (2L, "web"), (3L, "web"), (4L, "web"),
+      (5L, "books"), (6L, "books")
+    ).toDF("doc_id", "source")
+    val lex = Seq(1L, 2L).toDF("doc_id")      // verbatim leaks
+    val sem = Seq(2L, 3L, 5L).toDF("doc_id")  // paraphrase leaks (2 = both)
+    val got = Dedup.contaminationReport(corpus, "doc_id", "source",
+      lex, sem).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // web: 4 docs, lex {1,2}, sem {2,3} -> union {1,2,3} = 3; rate 750000
+    assert(got("web") == ((4L, 2L, 2L, 3L, 750000L)), s"got ${got("web")}")
+    // books: 6 docs? no — 2 docs, sem {5} -> 1 leaked, rate 500000
+    assert(got("books") == ((2L, 0L, 1L, 1L, 500000L)), s"got ${got("books")}")
+    // duplicate verdict ids must not double-count
+    val dupVerdicts = Dedup.contaminationReport(corpus, "doc_id", "source",
+      Seq(1L, 1L, 1L).toDF("doc_id"), Seq.empty[Long].toDF("doc_id"))
+      .filter(col("source") === "web").head()
+    assert(dupVerdicts.getLong(2) == 1L && dupVerdicts.getLong(4) == 1L)
+  }
 }
