@@ -106,4 +106,52 @@ object Forensics {
           |   CAST(0 AS DECIMAL(38,0)))""".stripMargin))
       .select(col("a"), col("b"), col("c"), col("d"), col("n"),
         col("rate_g_micro"), col("rate_o_micro"), col("chi2_micro"))
+
+  /** Median-absolute-deviation outlier screen — the ROBUST sibling of
+    * the z-score tier (L-170): where mean/σ let one flash value drag
+    * the threshold (masking its neighbors), the median and MAD ignore
+    * up to ~50% contamination, the textbook Hampel identifier. All
+    * EXACT integers: values quantize to milli-units, the per-key
+    * median and the MAD are exact LOWER order statistics at rank
+    * ceil(n/2) under the deterministic (value, id) / (deviation, id)
+    * orders (the variantPerformance convention — never interpolated
+    * doubles), and the flag is the division-free cross-multiplied
+    * compare dev · 1e6 > threshold · mad. A CONSTANT group has
+    * mad = 0 and flags any deviating row — deviation from a constant
+    * is the loudest outlier, not a division error.
+    *
+    * Scale shape: two rank windows + two 1-row-per-key aggregates,
+    * all sharing ONE key partitioning; the moment tables broadcast
+    * back; the corpus never shuffles twice.
+    */
+  def madOutliers(df: DataFrame, keyCol: String, idCol: String,
+                  valueCol: String, thresholdMicro: Long): DataFrame = {
+    require(thresholdMicro > 0L,
+      s"madOutliers: thresholdMicro must be positive, got $thresholdMicro")
+    import org.apache.spark.sql.expressions.Window
+    val v = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(idCol),
+        expr(s"CAST(floor($valueCol * 1000) AS BIGINT)").as("v"))
+    val wk = Window.partitionBy(col(keyCol))
+    val med = v
+      .withColumn("__rn", row_number().over(
+        wk.orderBy(col("v").asc, col(idCol).asc)))
+      .withColumn("__n", count(lit(1)).over(wk))
+      .filter(col("__rn") === expr("CAST((__n + 1) div 2 AS INT)"))
+      .select(col(keyCol), col("v").as("med_v"))
+    val dev = v.join(broadcast(med), Seq(keyCol))
+      .withColumn("dev", abs(col("v") - col("med_v")))
+    val mad = dev
+      .withColumn("__rn", row_number().over(
+        wk.orderBy(col("dev").asc, col(idCol).asc)))
+      .withColumn("__n", count(lit(1)).over(wk))
+      .filter(col("__rn") === expr("CAST((__n + 1) div 2 AS INT)"))
+      .select(col(keyCol), col("dev").as("mad_v"))
+    dev.join(broadcast(mad), Seq(keyCol))
+      .withColumn("is_outlier",
+        col("dev") * 1000000L > lit(thresholdMicro) * col("mad_v"))
+      .select(col(keyCol), col(idCol), col("v"), col("med_v"),
+        col("mad_v"), col("is_outlier"))
+  }
 }

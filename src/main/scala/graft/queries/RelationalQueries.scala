@@ -416,6 +416,29 @@ object RelationalQueries {
         .select(col("event_type"), col("event_id"), col("v"), col("z_micro"))
     }),
 
+    // -- forensics: MAD outlier screen — the robust Hampel sibling of
+    //    q_zscore (median + MAD ignore up to ~50% contamination where
+    //    one flash value drags mean/σ). Exact integer order stats,
+    //    division-free cross-multiplied flag, threshold 3.5 ----------
+    "q_mad_outliers" -> ((s, dir) =>
+      Forensics.madOutliers(Tables.events(s, dir), "event_type",
+        "event_id", "value", thresholdMicro = 3500000L)),
+
+    // -- data contract: the publish gate — named row predicates +
+    //    uniqueness, each with its violation COUNT (never a boolean
+    //    that hides how broken the data is); one aggregate pass per
+    //    family. value_under_300 fails BY DESIGN on this fixture so
+    //    the counting path is exercised, not just the all-green one --
+    "q_data_contract" -> ((s, dir) =>
+      graft.operators.DataContract.report(Tables.events(s, dir),
+        Seq(
+          "event_type_known" -> col("event_type").isin(
+            "view", "click", "purchase", "signup", "error"),
+          "value_positive" -> (col("value") > 0.0),
+          "value_under_300" -> (col("value") <= 300.0),
+          "user_id_not_null" -> col("user_id").isNotNull),
+        uniqueKeys = Seq(Seq("event_id")))),
+
     // Benford first-digit screen on order totals: exact micro-unit
     // digit shares vs the pinned logarithmic expectation, Nigrini MAD.
     "q_benford" -> ((s, dir) =>
@@ -755,6 +778,58 @@ object RelationalQueries {
         |)
         |SELECT event_type, event_id, v, z_micro
         |FROM sc WHERE abs(z_micro) >= 3000000""".stripMargin,
+
+    // exact lower order statistics at rank (n+1)//2 under the pinned
+    // (value, id) / (deviation, id) orders; division-free flag
+    "q_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), m AS (
+        |  SELECT event_type, v AS med_v FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY v, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM v) WHERE rn = (n + 1) // 2
+        |), d AS (
+        |  SELECT v.event_type, v.event_id, v.v, m.med_v,
+        |    abs(v.v - m.med_v) AS dev
+        |  FROM v JOIN m USING (event_type)
+        |), md AS (
+        |  SELECT event_type, dev AS mad_v FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY dev, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM d) WHERE rn = (n + 1) // 2
+        |)
+        |SELECT d.event_type, d.event_id, d.v, d.med_v, md.mad_v,
+        |  d.dev * 1000000 > 3500000 * md.mad_v AS is_outlier
+        |FROM d JOIN md USING (event_type)""".stripMargin,
+
+    // one aggregate row unpivoted to (rule, counts); NULL predicate =
+    // violation via coalesce, exactly the Spark CASE
+    "q_data_contract" ->
+      """WITH r AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN coalesce(
+        |      event_type IN ('view', 'click', 'purchase', 'signup', 'error'),
+        |      FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v_type,
+        |    CAST(sum(CASE WHEN coalesce(value > 0.0, FALSE)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v_pos,
+        |    CAST(sum(CASE WHEN coalesce(value <= 300.0, FALSE)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v_cap,
+        |    CAST(sum(CASE WHEN user_id IS NOT NULL
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v_uid,
+        |    CAST(count(DISTINCT event_id) AS BIGINT) AS nd
+        |  FROM events
+        |)
+        |SELECT 'event_type_known' AS rule, n AS n_rows,
+        |  v_type AS n_violations, v_type = 0 AS pass FROM r
+        |UNION ALL SELECT 'value_positive', n, v_pos, v_pos = 0 FROM r
+        |UNION ALL SELECT 'value_under_300', n, v_cap, v_cap = 0 FROM r
+        |UNION ALL SELECT 'user_id_not_null', n, v_uid, v_uid = 0 FROM r
+        |UNION ALL SELECT 'unique(event_id)', n, n - nd, n = nd FROM r""".stripMargin,
 
     "q_fk_audit" -> {
       def rel(name: String, child: String, ck: String,

@@ -146,4 +146,32 @@ class ForensicsSpec extends SparkSpec {
     assert(d.length == 1, "degenerate input must emit its one-row aggregate")
     assert(d.head.getLong(0) == 0L && d.head.isNullAt(2) && d.head.isNullAt(3))
   }
+
+  test("madOutliers: robust where the z-score masks; constant group flags any deviator, never divides") {
+    import spark.implicits._
+    import graft.analytics.Forensics
+    // {1,2,3,4,100}: med 3.0 -> 3000 milli, devs {2000,1000,0,1000,97000},
+    // MAD 1000; only the 100 crosses 3.5 * MAD. The z-score CANNOT
+    // flag it: the outlier itself inflates sigma (z of 100 ~ 1.78).
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+      ("a", 5L, 100.0),
+      ("b", 6L, 7.0), ("b", 7L, 7.0), ("b", 8L, 7.0), ("b", 9L, 50.0)
+    ).toDF("k", "id", "value")
+    val got = Forensics.madOutliers(df, "k", "id", "value", 3500000L)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got(5L) == ((100000L, 3000L, 1000L, true)),
+      s"the flash value must flag, got ${got(5L)}")
+    assert(Seq(1L, 2L, 3L, 4L).forall(!got(_)._4),
+      "the clean bulk must stay silent")
+    // constant group 'b': med 7000, devs {0,0,0,43000}, MAD 0 — any
+    // deviation from a constant flags, and nothing divides by zero
+    assert(got(9L)._3 == 0L && got(9L)._4,
+      s"deviation from a constant must flag, got ${got(9L)}")
+    assert(Seq(6L, 7L, 8L).forall(!got(_)._4))
+    intercept[IllegalArgumentException] {
+      Forensics.madOutliers(df, "k", "id", "value", 0L)
+    }
+  }
 }
