@@ -609,6 +609,35 @@ object TextOps {
       idCol, k)
   }
 
+  /** Flesch reading-ease readability (Flesch 1948 — the curation
+    * filter the published pipelines bin documents with before
+    * curriculum ordering): 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/word), in floor-quantized micro-units.
+    * Sentences = count of sentence-ending punctuation ([.!?] chars),
+    * floored at 1 so punctuation-free text scores as ONE long
+    * sentence (loud low score, never a division error); syllables =
+    * vowel-GROUP count per the classic heuristic ('[aeiouy]+' runs —
+    * the same regex class both engines' regex dialects agree on).
+    * The two divisions and two multiply-subtracts are IEEE doubles
+    * in a fixed order on exact integer operands — bit-identical
+    * cross-engine, the q_zscore float-tail contract. Entirely
+    * row-local; no shuffle.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__toks", tokens(textCol))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_words"),
+        greatest(length(regexp_replace(col(textCol), "[^.!?]", "")), lit(1))
+          .cast("long").as("n_sentences"),
+        expr(s"CAST(size(regexp_extract_all(lower($textCol), '[aeiouy]+', 0)) AS BIGINT)")
+          .as("n_syllables"))
+      .filter(col("n_words") > 0L)
+      .withColumn("flesch_micro", expr(
+        """CAST(floor((206.835
+          |  - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          |  - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+          |  * 1000000.0) AS BIGINT)""".stripMargin))
+
   /** RM3 pseudo-relevance feedback — the classic two-pass query
     * expansion (Lavrenko & Croft's relevance model, interpolated):
     * BM25 retrieves `fbDocs` feedback documents per query, their

@@ -431,6 +431,12 @@ object PipelineQueries {
         .select("doc_id", "n_tokens", "n_uniq", "total_chars", "n_stop",
           "ttr", "avg_token_len", "stop_ratio", "quality")),
 
+    // -- text analysis: Flesch reading-ease in exact micro-units —
+    //    the curation bin before curriculum ordering; punctuation-free
+    //    text floors at ONE sentence (loud low score, no div error) --
+    "q_readability" -> ((s, dir) =>
+      TextOps.readability(Tables.documents(s, dir), "doc_id", "text")),
+
     // -- flagship composition: the canonical corpus-curation pipeline.
     //    Quality gate → near-duplicate removal (keep the lower doc_id
     //    of each Jaccard pair) → per-source corpus stats. Every stage
@@ -1996,6 +2002,23 @@ object PipelineQueries {
         |    CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3 +
         |    CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.2 AS quality
         |FROM s""".stripMargin,
+
+    // vowel-group syllables + [.!?] sentence chars, floored at 1;
+    // the same fixed-order IEEE tail both engines round identically
+    "q_readability" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_replace(text, '[^.!?]', '', 'g')), 1) AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(floor((206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT) AS flesch_micro
+        |FROM s WHERE n_words > 0""".stripMargin,
 
     "q_curation" ->
       """WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),

@@ -724,6 +724,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming media quarantine: the row-local audit runs unchanged on an ingest stream") {
+    // auditMedia is a pure Catalyst CASE over length + header parse —
+    // no state, no watermark — so the SAME operator serves the batch
+    // audit and the crawl-ingest stream; this pins that the binary
+    // column and the CASE survive the streaming planner and that the
+    // stream's verdicts equal the batch twin's per row.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.Multimodal
+    val batch = Multimodal.withFakeMedia(
+      Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text"),
+      "doc_id", "text").select("doc_id", "media")
+      .unionByName(Seq(
+        (3L, null.asInstanceOf[Array[Byte]]),   // null_media
+        (4L, Array[Byte](1, 2, 3)),             // short_header
+        (5L, Array.fill[Byte](8)(0))            // empty_payload
+      ).toDF("doc_id", "media"))
+    val want = Multimodal.auditMedia(batch, "doc_id", "media")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    val in = MemoryStream[(Long, Array[Byte])]
+    val audited = Multimodal.auditMedia(
+      in.toDF().toDF("doc_id", "media"), "doc_id", "media")
+    val q = audited.writeStream.outputMode("append")
+      .format("memory").queryName("media_quarantine_stream").start()
+    try {
+      in.addData(batch.collect().map(r =>
+        (r.getLong(0), r.getAs[Array[Byte]]("media"))).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("media_quarantine_stream")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+      assert(got == want,
+        s"stream verdicts must equal the batch twin: $got vs $want")
+      assert(got(3L).contains("null_media") && got(4L).contains("short_header")
+        && got(5L).contains("empty_payload") && got(1L).isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming artifact scoring: a ModelStore-loaded scorer runs unchanged on a stream") {
     // the train-batch / score-stream split: the quality scorer is a
     // row-local HOF with the weight table as a plan literal, so the

@@ -405,4 +405,34 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.head.getLong(2) == fp,
       "short-doc winnow row must equal the fingerprint fallback")
   }
+
+  test("readability: hand-computed Flesch, one-sentence floor, long sentences score lower") {
+    import spark.implicits._
+    import graft.llm.TextOps
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, "word " * 29 + "word"), // 30 words, no punctuation
+      (3L, "a. b. c. d. e. f. g. h. i. j.")
+    ).toDF("doc_id", "text")
+    val got = TextOps.readability(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // doc 1: 6 words, 2 sentences, 6 vowel groups
+    // flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19 (micro-floored via
+    // the same IEEE order as the operator — ulp-safe)
+    val want1 = math.floor(
+      (206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0)) * 1000000.0).toLong
+    assert(got(1L) == ((6L, 2L, 6L, want1)), s"got ${got(1L)} want $want1")
+    // doc 2: punctuation-free floors at ONE sentence -> the 30-word
+    // run is penalized as one long sentence, never a div-by-zero
+    assert(got(2L)._2 == 1L)
+    assert(got(2L)._4 < got(3L)._4,
+      "a 30-word sentence must score below ten 1-word sentences")
+    // syllable heuristic: vowel groups, not vowel chars
+    val one = TextOps.readability(
+      Seq((9L, "queue aeiou xyz")).toDF("doc_id", "text"),
+      "doc_id", "text").head()
+    // queue -> 'ueue' 1 group, aeiou -> 1 group, xyz -> 1 ('y')
+    assert(one.getLong(3) == 3L, s"got ${one.getLong(3)}")
+  }
 }
