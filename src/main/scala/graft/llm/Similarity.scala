@@ -1382,6 +1382,106 @@ object Similarity {
     (mean, comps, eigK)
   }
 
+  /** Orthogonal Procrustes alignment (Schönemann 1966; the
+    * Mikolov/MUSE cross-lingual embedding recipe): the orthogonal map
+    * W minimizing Σ‖W·x − y‖² over anchor pairs — align two embedding
+    * spaces (two encoder versions, two languages, two snapshots)
+    * WITHOUT distorting either's internal geometry (W is a rotation:
+    * all distances and cosines are preserved, the property a general
+    * least-squares map destroys). W = U·Vᵀ from the SVD of the
+    * cross-moment M = Σ y·xᵀ, realized on the existing machinery:
+    * ONE treeAggregate accumulates the d×d M (d² doubles per
+    * partition, corpus-size-independent — the pcaTrain shape), the
+    * driver takes eig(MᵀM) = V·Σ²·Vᵀ with the shared deterministic
+    * Jacobi, U = M·V·Σ⁻¹ column-wise (σ floored at 1e-12: a
+    * rank-deficient anchor set leaves that direction ~unconstrained
+    * and the floor keeps it finite rather than exploding — document
+    * anchors should span the space). Returns row-major W (d×d).
+    *
+    * Rows-only surface BY CONTRACT (float treeAggregate order +
+    * iterative Jacobi); ProcrustesSpec gates planted-rotation
+    * recovery, orthogonality, and geometry preservation.
+    */
+  def procrustesTrain(pairs: DataFrame, srcCol: String,
+                      tgtCol: String): Array[Double] = {
+    val rows = pairs
+      .select(expr(s"transform($srcCol, x -> CAST(x AS double))").as("x"),
+        expr(s"transform($tgtCol, x -> CAST(x AS double))").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull &&
+        size(col("x")) === size(col("y")))
+    val first = rows.take(1)
+    require(first.nonEmpty, "procrustesTrain: no well-formed anchor pairs")
+    val d = first(0).getSeq[Double](0).length
+    val zero = new Array[Double](d * d)
+    val m = rows.rdd
+      .map(r => (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray))
+      .filter { case (x, y) => x.length == d && y.length == d }
+      .treeAggregate(zero)(
+        (a, p) => {
+          val (x, y) = p
+          var i = 0
+          while (i < d) {
+            val yi = y(i); val off = i * d
+            var j = 0
+            while (j < d) { a(off + j) += yi * x(j); j += 1 }
+            i += 1
+          }
+          a
+        },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    // MᵀM is symmetric PSD: eig -> V, sqrt(eig) -> Σ
+    val mtm = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var r = 0
+      while (r < d) { s += m(r * d + i) * m(r * d + j); r += 1 }
+      s
+    }
+    val (eig, v) = jacobiEig(mtm)
+    val sigma = eig.map(e => math.sqrt(math.max(e, 0.0)))
+    // U columns: u_c = M v_c / σ_c (floored)
+    val u = Array.ofDim[Double](d, d)
+    var c = 0
+    while (c < d) {
+      val s = math.max(sigma(c), 1e-12)
+      var r = 0
+      while (r < d) {
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += m(r * d + j) * v(j)(c); j += 1 }
+        u(r)(c) = acc / s
+        r += 1
+      }
+      c += 1
+    }
+    // W = U Vᵀ, row-major
+    val w = new Array[Double](d * d)
+    var r = 0
+    while (r < d) {
+      var cc = 0
+      while (cc < d) {
+        var acc = 0.0; var k2 = 0
+        while (k2 < d) { acc += u(r)(k2) * v(cc)(k2); k2 += 1 }
+        w(r * d + cc) = acc
+        cc += 1
+      }
+      r += 1
+    }
+    w
+  }
+
+  /** Apply a trained Procrustes map: aligned = W·x through the
+    * compiled broadcast MatVec kernel (zero bias) — map-only, the
+    * pcaProjectWith plan shape.
+    */
+  def procrustesApply(df: DataFrame, idCol: String, embCol: String,
+                      w: Array[Double]): DataFrame = {
+    val d = math.sqrt(w.length).toInt
+    require(d * d == w.length, "procrustesApply: W must be square d x d")
+    df.select(col(idCol),
+        expr(s"transform($embCol, x -> CAST(x AS double))").as("__vd"))
+      .select(col(idCol),
+        graft.functions.Sketches.matVec(col("__vd"), w,
+          new Array[Double](d)).as("aligned"))
+  }
+
   /** Deterministic cyclic Jacobi for a symmetric matrix: returns
     * (eigenvalues, rotation V with eigenvectors as COLUMNS). Fixed
     * (p,q) sweep order, stop when the off-diagonal Frobenius mass

@@ -898,6 +898,35 @@ object PipelineQueries {
         probePred = col("vec_id") < 10, k = 10, nProbe = 8)
         .orderBy("probe_id", "rank")),
 
+    // -- similarity: orthogonal Procrustes alignment — align a
+    //    rotated twin of the embedding space back onto the original
+    //    (the cross-lingual / encoder-version-bridge recipe). The
+    //    planted map is a signed reverse permutation (exactly
+    //    orthogonal), anchors are the first 200 ids, and the output
+    //    is the per-vector cosine between aligned and target — ≈1
+    //    everywhere iff W recovered the rotation. Rows-only (float
+    //    treeAggregate + Jacobi); ProcrustesSpec gates recovery. ------
+    "q_procrustes_align" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("x"))
+      val rot = emb.withColumn("y", expr(
+        """transform(sequence(0, 63), i ->
+          |  CAST(IF(i % 2 = 0, 1, -1) AS DOUBLE) *
+          |  element_at(x, 64 - CAST(i AS INT)))""".stripMargin))
+      val w = Similarity.procrustesTrain(
+        rot.filter(col("vec_id") < 200).select(col("x"), col("y")),
+        "x", "y")
+      Similarity.procrustesApply(rot, "vec_id", "x", w)
+        .join(rot.select(col("vec_id"), col("y")), Seq("vec_id"))
+        .select(col("vec_id"), expr(
+          """aggregate(zip_with(aligned, y, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (s, v) -> s + v) /
+            |(sqrt(aggregate(transform(aligned, a -> a * a), CAST(0.0 AS DOUBLE), (s, v) -> s + v)) *
+            | sqrt(aggregate(transform(y, a -> a * a), CAST(0.0 AS DOUBLE), (s, v) -> s + v)))""".stripMargin)
+          .as("cos_align"))
+        .filter(col("vec_id") < 100)
+    }),
+
     // -- similarity: the PERSISTED dense store end to end — build the
     //    IVF index, save/load it (ModelStore model + cluster-clustered
     //    members parquet), apply a daily diff with FROZEN centroids,

@@ -748,4 +748,40 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"snapshot diff must stay an equi-join:\n${p.take(1200)}")
   }
+
+  test("q_media_neardup's bucket exchange carries fingerprints, never the media payload") {
+    // the mediaNearDups claim: one pass computes the 8-byte dHash and
+    // only (id, dhash) structs enter the shuffle — a plan that
+    // exchanges the binary column would ship the whole corpus
+    val p = plan("q_media_neardup")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.contains("media"),
+      s"the media payload must not enter any Exchange:\n$exchanges")
+    assert(!p.contains("CartesianProduct"),
+      "candidates come from the chunk equi-buckets, never all-pairs")
+  }
+
+  test("dense-index search broadcasts the probe side into a cluster equi-join") {
+    import graft.llm.DenseIndex
+    val emb = Tables.embeddings(spark, Sf)
+    val idx = DenseIndex.build(emb, "vec_id", "embedding", nClusters = 4).get
+    val p = DenseIndex.search(idx, emb.filter(
+        org.apache.spark.sql.functions.col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"probes must broadcast into the members join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the member probe is a cluster equi-join, never a nested loop")
+  }
+
+  test("q_data_contract is one aggregate pass: a single scan feeds every rule") {
+    val p = plan("q_data_contract")
+    // two scans total: one for the row-rule aggregate, one for the
+    // uniqueness aggregate — NOT one per rule
+    assert(count(p, "Scan parquet") == 2,
+      s"expected exactly 2 scans (row rules + uniqueness):\n${p.take(1500)}")
+  }
 }
