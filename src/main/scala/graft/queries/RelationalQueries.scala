@@ -439,6 +439,19 @@ object RelationalQueries {
           "user_id_not_null" -> col("user_id").isNotNull),
         uniqueKeys = Seq(Seq("event_id")))),
 
+    // -- storage: zone-map stats + prune audit — per day-shard value
+    //    envelopes and the planner verdict for value BETWEEN 100 AND
+    //    200; the data itself is never read by the audit. An
+    //    unclustered column scans almost everywhere — the honest
+    //    feedback the Z-order tier exists to change -------------------
+    "q_zone_map" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("day", expr("CAST(to_date(ts) AS STRING)"))
+      graft.operators.ZoneMaps.pruneAudit(
+        graft.operators.ZoneMaps.zoneMap(ev, "day", Seq("value", "user_id")),
+        "value", 100.0, 200.0)
+    }),
+
     // Benford first-digit screen on order totals: exact micro-unit
     // digit shares vs the pinned logarithmic expectation, Nigrini MAD.
     "q_benford" -> ((s, dir) =>
@@ -806,6 +819,20 @@ object RelationalQueries {
         |SELECT d.event_type, d.event_id, d.v, d.med_v, md.mad_v,
         |  d.dev * 1000000 > 3500000 * md.mad_v AS is_outlier
         |FROM d JOIN md USING (event_type)""".stripMargin,
+
+    // per-day envelopes + the overlap verdict; all-null shards prune
+    "q_zone_map" ->
+      """WITH z AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS shard,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(value) AS min_v, max(value) AS max_v,
+        |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT shard, n_rows, min_v, max_v, n_nulls,
+        |  coalesce(max_v >= 100.0 AND min_v <= 200.0, FALSE) AS scan_needed,
+        |  coalesce(min_v >= 100.0 AND max_v <= 200.0 AND n_nulls = 0, FALSE) AS exact
+        |FROM z""".stripMargin,
 
     // one aggregate row unpivoted to (rule, counts); NULL predicate =
     // violation via coalesce, exactly the Spark CASE

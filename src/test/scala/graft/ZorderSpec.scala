@@ -126,4 +126,39 @@ class ZorderSpec extends SparkSpec {
       Compaction.plan(files, "part", "file", "bytes", 0L)
     }
   }
+
+  test("zoneMap/pruneAudit: envelope overlap, all-null shard prunes, exact flag, loud args") {
+    import spark.implicits._
+    import graft.operators.ZoneMaps
+    val df = Seq(
+      ("s1", Some(1.0)), ("s1", Some(5.0)),     // below the range
+      ("s2", Some(8.0)), ("s2", Some(25.0)),    // straddles
+      ("s3", Some(12.0)), ("s3", Some(18.0)),   // fully inside
+      ("s4", None), ("s4", None),               // all-null
+      ("s5", Some(15.0)), ("s5", None)          // inside but has a null
+    ).toDF("shard", "v")
+    val zm = ZoneMaps.zoneMap(df, "shard", Seq("v"))
+    val audit = ZoneMaps.pruneAudit(zm, "v", 10.0, 20.0).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(audit == Map(
+      "s1" -> ((false, false)),  // envelope below: pruned
+      "s2" -> ((true, false)),   // overlaps: scan, not guaranteed
+      "s3" -> ((true, true)),    // inside, no nulls: every row matches
+      "s4" -> ((false, false)),  // all-null: range never matches NULL
+      "s5" -> ((true, false))    // inside but nulls: scan, not exact
+    ), s"got $audit")
+    // stats are exact per shard
+    val s2 = zm.filter(col("shard") === "s2").head()
+    assert(s2.getLong(1) == 2L && s2.getDouble(2) == 8.0 &&
+      s2.getDouble(3) == 25.0 && s2.getLong(4) == 0L)
+    intercept[IllegalArgumentException] {
+      ZoneMaps.pruneAudit(zm, "v", 20.0, 10.0)
+    }
+    intercept[IllegalArgumentException] {
+      ZoneMaps.pruneAudit(zm, "missing", 0.0, 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      ZoneMaps.zoneMap(df, "shard", Seq("nope"))
+    }
+  }
 }
