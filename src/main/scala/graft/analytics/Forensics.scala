@@ -107,6 +107,63 @@ object Forensics {
       .select(col("a"), col("b"), col("c"), col("d"), col("n"),
         col("rate_g_micro"), col("rate_o_micro"), col("chi2_micro"))
 
+  /** Numeric-distribution drift monitor — the production companion to
+    * the categorical source-mix drift (`Dedup.snapshotDrift`): bin a
+    * score/value column on a FIXED equal-width grid derived from the
+    * combined min/max of both snapshots (the grid must be shared, or
+    * the comparison measures the grid), report per-bin counts and
+    * exact micro-unit shares for both sides, the share delta, and the
+    * total-variation distance Σ|p−q|/2 stamped on every row — the
+    * PSI-style drift gate with TV in place of PSI's ln (ln is not
+    * cross-engine-hashable; TV is exact integers end to end and
+    * bounds every deployment decision PSI would drive). Every bin of
+    * the grid is EMITTED, empty on one or both sides included — a
+    * vanished bin is the loudest drift signal. Values quantize to
+    * milli-units first so binning is integer arithmetic; each side's
+    * share uses its own total (the snapshots may differ in size).
+    *
+    * Scale shape: one bounded min/max aggregate + one partial-
+    * aggregated bin count per side; the grid is a broadcast spine.
+    */
+  def histogramDrift(a: DataFrame, b: DataFrame, valueCol: String,
+                     nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000,
+      s"histogramDrift: nBins in [2, 1000], got $nBins")
+    val spark = a.sparkSession
+    import spark.implicits._
+    def q(df: DataFrame) = df.filter(col(valueCol).isNotNull)
+      .select(expr(s"CAST(floor($valueCol * 1000) AS BIGINT)").as("v"))
+    val qa = q(a); val qb = q(b)
+    val bounds = qa.unionByName(qb).agg(min("v"), max("v")).head()
+    require(!bounds.isNullAt(0), "histogramDrift: both snapshots empty")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // width ceil so bin index < nBins even at v = hi; a constant
+    // column (hi = lo) puts everything in bin 0 — one bin, zero TV
+    val width = math.max(1L, (hi - lo) / nBins + (if ((hi - lo) % nBins == 0) 0L else 1L))
+    def binned(df: DataFrame, as: String) = df
+      .select(expr(s"(v - ${lo}L) div ${width}L").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(as))
+    val spine = spark.range(nBins).select(col("id").as("bin"))
+    val joined = spine
+      .join(binned(qa, "n_a"), Seq("bin"), "left")
+      .join(binned(qb, "n_b"), Seq("bin"), "left")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+    val tot = joined.agg(sum("n_a"), sum("n_b")).head()
+    val (ta, tb) = (math.max(tot.getLong(0), 1L), math.max(tot.getLong(1), 1L))
+    val shares = joined
+      .withColumn("share_a_micro", expr(s"(n_a * 1000000L) div ${ta}L"))
+      .withColumn("share_b_micro", expr(s"(n_b * 1000000L) div ${tb}L"))
+      .withColumn("delta_micro", col("share_b_micro") - col("share_a_micro"))
+    val tv = shares.agg(sum(abs(col("delta_micro")))).head().getLong(0) / 2L
+    shares
+      .withColumn("lo_v", lit(lo) + col("bin") * width)
+      .withColumn("tv_micro", lit(tv))
+      .select(col("bin"), col("lo_v"), col("n_a"), col("n_b"),
+        col("share_a_micro"), col("share_b_micro"), col("delta_micro"),
+        col("tv_micro"))
+  }
+
   /** Median-absolute-deviation outlier screen — the ROBUST sibling of
     * the z-score tier (L-170): where mean/σ let one flash value drag
     * the threshold (masking its neighbors), the median and MAD ignore

@@ -452,6 +452,21 @@ object RelationalQueries {
         "value", 100.0, 200.0)
     }),
 
+    // -- forensics: numeric-distribution drift — even/odd event halves
+    //    play two snapshots, the second with a PLANTED +50 shift on
+    //    error events; shared equal-width grid from the combined
+    //    min/max, exact micro shares, TV distance stamped. The
+    //    PSI-style monitor with TV in place of ln ---------------------
+    "q_hist_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Forensics.histogramDrift(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1)
+          .withColumn("value", col("value") +
+            when(col("event_type") === "error", 50.0).otherwise(0.0)),
+        "value", nBins = 10)
+    }),
+
     // Benford first-digit screen on order totals: exact micro-unit
     // digit shares vs the pinned logarithmic expectation, Nigrini MAD.
     "q_benford" -> ((s, dir) =>
@@ -819,6 +834,52 @@ object RelationalQueries {
         |SELECT d.event_type, d.event_id, d.v, d.med_v, md.mad_v,
         |  d.dev * 1000000 > 3500000 * md.mad_v AS is_outlier
         |FROM d JOIN md USING (event_type)""".stripMargin,
+
+    // the shared-grid replay: combined bounds, ceil width, per-side
+    // totals, micro shares, TV = sum|delta|/2 cross-joined back
+    "q_hist_drift" ->
+      """WITH a AS (
+        |  SELECT CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+        |), b AS (
+        |  SELECT CAST(floor((value +
+        |      CASE WHEN event_type = 'error' THEN 50.0 ELSE 0.0 END) * 1000)
+        |    AS BIGINT) AS v
+        |  FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+        |), bounds AS (
+        |  SELECT min(v) AS lo, max(v) AS hi
+        |  FROM (SELECT v FROM a UNION ALL SELECT v FROM b)
+        |), w AS (
+        |  SELECT lo, greatest(1, (hi - lo) // 10 +
+        |    CASE WHEN (hi - lo) % 10 = 0 THEN 0 ELSE 1 END) AS width
+        |  FROM bounds
+        |), spine AS (
+        |  SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bin
+        |), ca AS (
+        |  SELECT (v - w.lo) // w.width AS bin, count(*) AS n_a
+        |  FROM a CROSS JOIN w GROUP BY 1
+        |), cb AS (
+        |  SELECT (v - w.lo) // w.width AS bin, count(*) AS n_b
+        |  FROM b CROSS JOIN w GROUP BY 1
+        |), j AS (
+        |  SELECT s.bin, coalesce(ca.n_a, 0) AS n_a, coalesce(cb.n_b, 0) AS n_b
+        |  FROM spine s LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)
+        |), tots AS (
+        |  SELECT greatest(sum(n_a), 1) AS ta, greatest(sum(n_b), 1) AS tb FROM j
+        |), sh AS (
+        |  SELECT j.bin, j.n_a, j.n_b,
+        |    CAST((j.n_a * 1000000) // t.ta AS BIGINT) AS share_a_micro,
+        |    CAST((j.n_b * 1000000) // t.tb AS BIGINT) AS share_b_micro
+        |  FROM j CROSS JOIN tots t
+        |), d AS (
+        |  SELECT *, share_b_micro - share_a_micro AS delta_micro FROM sh
+        |), tv AS (
+        |  SELECT CAST(sum(abs(delta_micro)) // 2 AS BIGINT) AS tv_micro FROM d
+        |)
+        |SELECT d.bin, w.lo + d.bin * w.width AS lo_v,
+        |  CAST(d.n_a AS BIGINT) AS n_a, CAST(d.n_b AS BIGINT) AS n_b,
+        |  d.share_a_micro, d.share_b_micro, d.delta_micro, tv.tv_micro
+        |FROM d CROSS JOIN w CROSS JOIN tv""".stripMargin,
 
     // per-day envelopes + the overlap verdict; all-null shards prune
     "q_zone_map" ->

@@ -174,4 +174,29 @@ class ForensicsSpec extends SparkSpec {
       Forensics.madOutliers(df, "k", "id", "value", 0L)
     }
   }
+
+  test("histogramDrift: identical snapshots read TV 0, a planted shift moves mass bins, empty bins emitted") {
+    import spark.implicits._
+    import graft.analytics.Forensics
+    val a = (0 until 100).map(i => (i % 10).toDouble).toDF("value")
+    val same = Forensics.histogramDrift(a, a, "value", nBins = 5).collect()
+    assert(same.length == 5, "every grid bin must be emitted")
+    assert(same.forall(_.getLong(7) == 0L), "identical snapshots: TV 0")
+    assert(same.forall(r => r.getLong(2) == r.getLong(3)))
+    // shift every value up by the full range: all B mass leaves A's bins
+    val b = a.withColumn("value", col("value") + 9.0)
+    val drift = Forensics.histogramDrift(a, b, "value", nBins = 6)
+      .collect().sortBy(_.getLong(0))
+    val tv = drift.head.getLong(7)
+    assert(tv > 400000L, s"a full-range shift must read high TV, got $tv")
+    // the grid covers BOTH snapshots: A occupies the low bins, B the
+    // high, and the deltas are negative low / positive high
+    assert(drift.head.getLong(6) < 0L && drift.last.getLong(6) > 0L)
+    intercept[IllegalArgumentException] {
+      Forensics.histogramDrift(a, a, "value", nBins = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Forensics.histogramDrift(a.limit(0), a.limit(0), "value")
+    }
+  }
 }
