@@ -877,6 +877,38 @@ object Dedup {
     * don't appear. If `maxIter` rounds don't converge, the labels are
     * returned as-is with a WARN — audit, not silent truncation.
     */
+  /** Incremental connected components — the warm arm of the cluster
+    * tier for the daily-crawl shape: yesterday's stored (id,
+    * cluster_id) labels stand in for yesterday's WHOLE pair graph
+    * (each component collapses to a star on its min id — the min
+    * label is preserved because a union of components keeps the min
+    * over all members), and only the DELTA pairs (any pair touching a
+    * new or changed doc) are run through min-label propagation on
+    * top. Cost: |stored| + |delta| edges instead of replaying every
+    * historical pair; result BIT-EQUAL to a from-scratch CC over
+    * old ∪ delta pairs (spec-gated, including the interesting case —
+    * a new doc BRIDGING two old components, whose merged label is the
+    * min of both).
+    *
+    * ADDITIONS-ONLY BY CONTRACT (the snapshotDiff crawl convention):
+    * a REMOVED historical pair is still fused inside the star and
+    * needs the from-scratch rebuild — documented, not silent, because
+    * the star collapse cannot know which old edges went away.
+    */
+  def connectedComponentsIncremental(storedLabels: DataFrame,
+                                     deltaPairs: DataFrame, aCol: String,
+                                     bCol: String,
+                                     maxIter: Int = 20): DataFrame = {
+    require(storedLabels.columns.toSeq == Seq("id", "cluster_id"),
+      "connectedComponentsIncremental: storedLabels must be (id, cluster_id)")
+    val star = storedLabels
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(aCol), col("cluster_id").as(bCol))
+    connectedComponents(
+      star.unionByName(deltaPairs.select(col(aCol), col(bCol))),
+      aCol, bCol, maxIter)
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
     val edges = pairs

@@ -1017,6 +1017,48 @@ object PipelineQueries {
           coalesce(col("quarantine_reason"), lit("clean")).as("quarantine_reason"))
     }),
 
+    // -- multimodal capstone: the full media-ingest pipeline —
+    //    corrupt-media quarantine, dHash fingerprints on the clean
+    //    side, hamming-banded near-dup pairs (planted 1-char twins),
+    //    connected components, keep-lowest decision. One status row
+    //    per input: quarantined(reason) / dup(of cluster min) / kept.
+    //    Every stage is the oracle-checked operator; the composition
+    //    is what's under test here ----------------------------------
+    "q_media_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val twins = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("""concat(substring(text, 1, length(text) div 2), 'q',
+                 |       substring(text, length(text) div 2 + 2))""".stripMargin)
+            .as("text"))
+      val corpus = docs.select("doc_id", "text").unionByName(twins)
+      val media = Multimodal.withFakeMedia(corpus, "doc_id", "text")
+      val corrupted = media.withColumn("media",
+        when(pmod(col("doc_id"), lit(11)) === 5, lit(null).cast("binary"))
+          .when(pmod(col("doc_id"), lit(11)) === 7, expr("substring(media, 1, 4)"))
+          .when(pmod(col("doc_id"), lit(11)) === 9, expr("substring(media, 1, 8)"))
+          .when(pmod(col("doc_id"), lit(11)) === 3,
+            expr("substring(media, 1, 8 + (length(media) - 8) div 2)"))
+          .when(pmod(col("doc_id"), lit(11)) === 0,
+            expr("concat(media, to_binary('0000', 'hex'))"))
+          .otherwise(col("media")))
+      val (clean, quar) = Multimodal.quarantineMedia(corrupted, "doc_id", "media")
+      val cc = Dedup.connectedComponents(
+        Multimodal.mediaNearDups(clean, "doc_id", "media", maxHamming = 2),
+        "id_a", "id_b")
+      clean.select("doc_id")
+        .join(cc.select(col("id").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("cluster_id").isNull || col("cluster_id") === col("doc_id"),
+            lit("kept")).otherwise(lit("dup")).as("status"),
+          when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+            col("cluster_id").cast("string")).otherwise(lit("-")).as("detail"))
+        .unionByName(quar.select(col("doc_id"),
+          lit("quarantined").as("status"),
+          col("quarantine_reason").as("detail")))
+    }),
+
     // -- layout: Z-order (Morton) code over two filter dimensions —
     //    the data-skipping clustering key. Pure codegen'd bit
     //    arithmetic; the oracle replays it with a shift-and-sum
@@ -1697,6 +1739,27 @@ object PipelineQueries {
       val pairs = Dedup.minhashNearDups(Tables.documents(s, dir),
         "doc_id", "text", threshold = 0.5)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
+    // -- dedup: INCREMENTAL clusters — yesterday's labels (docs %10<6)
+    //    collapse to star edges, only delta pairs (touching a new doc)
+    //    propagate on top; result ≡ the from-scratch clusters, so it
+    //    carries q_dedup_clusters' full-corpus oracle. At 100 TB the
+    //    delta comes from the persisted-index probe (minhashProbe),
+    //    never a full-corpus pair join; here the fixture derives it by
+    //    filtering the full pair set ---------------------------------
+    "q_dedup_clusters_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stored = Dedup.connectedComponents(
+        Dedup.minhashNearDups(docs.filter(pmod(col("doc_id"), lit(10)) < 6),
+          "doc_id", "text", threshold = 0.5),
+        "id_a", "id_b").select(col("id"), col("cluster_id"))
+      val delta = Dedup.minhashNearDups(docs, "doc_id", "text",
+          threshold = 0.5)
+        .filter(pmod(col("id_a"), lit(10)) >= 6 ||
+          pmod(col("id_b"), lit(10)) >= 6)
+      Dedup.connectedComponentsIncremental(stored, delta, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
@@ -2833,6 +2896,55 @@ object PipelineQueries {
           |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
           |FROM mdh a JOIN mdh b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.dhash, b.dhash)) <= 2""".stripMargin),
+
+    // the capstone replay: corruption-schedule verdicts, the dHash
+    // CTE over the clean corpus (originals + 1-char twins), exact
+    // all-pairs hamming (= the banded plan by pigeonhole), the
+    // reachability CC, and the keep/dup/quarantined statuses
+    "q_media_pipeline" -> {
+      val corpusCte =
+        """SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000,
+          |    concat(substring(text, 1, length(text) // 2), 'q',
+          |           substring(text, length(text) // 2 + 2))
+          |  FROM documents WHERE doc_id % 5 = 0""".stripMargin
+      mediaDhashSql(
+        s"""SELECT doc_id, text FROM ($corpusCte)
+           |  WHERE doc_id % 11 NOT IN (5, 7, 9, 3, 0)""".stripMargin)
+        .replace("WITH mdh_docs", "WITH RECURSIVE mdh_docs") +
+        """, mp_pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM mdh a JOIN mdh b ON a.doc_id < b.doc_id
+          |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+          |), mp_edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM mp_pairs
+          |  UNION SELECT id_b, id_a FROM mp_pairs
+          |), mp_reach AS (
+          |  SELECT src AS node, src AS r FROM mp_edges
+          |  UNION
+          |  SELECT re.node, e.dst FROM mp_reach re
+          |  JOIN mp_edges e ON e.src = re.r
+          |), mp_cl AS (
+          |  SELECT node AS doc_id, min(r) AS cluster_id
+          |  FROM mp_reach GROUP BY node
+          |)
+          |SELECT m.doc_id,
+          |  CASE WHEN c.cluster_id IS NULL OR c.cluster_id = m.doc_id
+          |       THEN 'kept' ELSE 'dup' END AS status,
+          |  CASE WHEN c.cluster_id IS NOT NULL AND c.cluster_id != m.doc_id
+          |       THEN CAST(c.cluster_id AS VARCHAR) ELSE '-' END AS detail
+          |FROM mdh m LEFT JOIN mp_cl c USING (doc_id)
+          |UNION ALL
+          |SELECT doc_id, 'quarantined',
+          |  CASE WHEN doc_id % 11 = 5 THEN 'null_media'
+          |       WHEN doc_id % 11 = 7 THEN 'short_header'
+          |       WHEN doc_id % 11 = 9 THEN 'empty_payload'
+          |       WHEN doc_id % 11 = 3 THEN 'truncated_payload'
+          |       ELSE 'padded_payload' END
+          |FROM (""".stripMargin + corpusCte +
+        ") WHERE doc_id % 11 IN (5, 7, 9, 3, 0)"
+    },
 
     // the corruption schedule is keyed on doc_id alone, so the oracle
     // predicts every audit verdict without touching binary — the
@@ -4315,6 +4427,33 @@ object PipelineQueries {
     // reachability fixpoint (UNION-distinct recursion) over the same
     // unblocked pair SQL as q_minhash_lsh; cluster = min reachable id
     "q_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      CAST(len(a.grams) + len(b.grams)
+        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT src AS node, src AS r FROM edges
+        |  UNION
+        |  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+        |)
+        |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY node""".stripMargin,
+
+    // the incremental arm is BIT-EQUAL to from-scratch clustering by
+    // the star-collapse argument, so it carries the same full-corpus
+    // reachability oracle verbatim
+    "q_dedup_clusters_incremental" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id,
         |    list_distinct(CASE WHEN len(toks) >= 2

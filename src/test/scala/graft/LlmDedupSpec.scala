@@ -890,4 +890,25 @@ class LlmDedupSpec extends SparkSpec {
     assert(lsh.keySet == exact.keySet,
       s"unexpected bucket misses on the fixture: ${exact.keySet -- lsh.keySet}")
   }
+
+  test("incremental CC: star + delta equals from-scratch, including a bridge merging two old components") {
+    import spark.implicits._
+    // yesterday: components {1,2,8} and {3,4}
+    val oldPairs = Seq((1L, 2L), (2L, 8L), (3L, 4L)).toDF("id_a", "id_b")
+    val stored = Dedup.connectedComponents(oldPairs, "id_a", "id_b")
+      .select("id", "cluster_id")
+    // today: doc 5 BRIDGES the two old components; 6-7 is a fresh pair
+    val delta = Seq((8L, 5L), (5L, 3L), (6L, 7L)).toDF("id_a", "id_b")
+    val inc = Dedup.connectedComponentsIncremental(stored, delta,
+      "id_a", "id_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(
+      oldPairs.unionByName(delta), "id_a", "id_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full,
+      s"incremental must equal from-scratch: $inc vs $full")
+    // the merged family takes the GLOBAL min across both old components
+    assert(Seq(1L, 2L, 3L, 4L, 5L, 8L).forall(inc(_) == 1L))
+    assert(inc(6L) == 6L && inc(7L) == 6L)
+  }
 }
