@@ -165,4 +165,51 @@ class DenseIndexSpec extends SparkSpec {
         "published snapshots must never mutate")
     } finally q.stop()
   }
+
+  test("streaming probes: a query stream searches the published snapshot, results equal the batch search") {
+    // the other half of the daily-crawl story: maintenance streams
+    // vectors IN, this streams queries THROUGH — each micro-batch
+    // resolves _LATEST once and searches that immutable snapshot, so
+    // a concurrent publish can never torture a half-read index
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val df = corpus(64)
+    val idx = DenseIndex.build(df, "vec_id", "embedding", nClusters = 4).get
+    val dir = tmpDir("dense-probe").toString
+    val idxDir = dir + "/idx/v0"
+    DenseIndex.save(idx, "vec_id", idxDir)
+    val in = MemoryStream[EmbRow]
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Long)]()
+    val q = in.toDF().select("vec_id", "embedding").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", dir + "/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val snap = DenseIndex.load(spark, "vec_id", idxDir)
+          out.synchronized {
+            out ++= DenseIndex.search(snap, batch, "vec_id", "embedding",
+              k = 4).collect().map(r => (r.getLong(0), r.getLong(1),
+              r.getInt(2), java.lang.Double.doubleToLongBits(r.getDouble(3))))
+            ()
+          }
+        }
+        ()
+      }.start()
+    try {
+      val probes = Seq(
+        EmbRow(901L, ts("2024-01-01 09:00:00"),
+          Seq.tabulate(8)(d => if (d == 1) 8.0 else 0.3)),
+        EmbRow(902L, ts("2024-01-01 09:00:01"),
+          Seq.tabulate(8)(d => if (d == 2) 7.0 else 0.1)))
+      in.addData(probes.toIndexedSeq)
+      q.processAllAvailable()
+      val want = DenseIndex.search(idx,
+        probes.map(p => (p.vec_id, p.embedding)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+      assert(out.toSet == want,
+        "streamed probe results must equal the batch search bit-for-bit")
+    } finally q.stop()
+  }
 }
