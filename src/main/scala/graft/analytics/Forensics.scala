@@ -107,6 +107,87 @@ object Forensics {
       .select(col("a"), col("b"), col("c"), col("d"), col("n"),
         col("rate_g_micro"), col("rate_o_micro"), col("chi2_micro"))
 
+  /** Poisson-bootstrap cumulative thresholds on a 1e6 grid:
+    * floor(1e6·P(X ≤ k)) for X ~ Poisson(1), k = 0..4; the tail
+    * (~0.37%) caps at weight 5. Pinned constants so no libm exp
+    * enters the pipeline (e⁻¹-derived, same class as BenfordMicro).
+    */
+  private val PoissonCum = Seq(367879L, 735758L, 919698L, 981011L, 996340L)
+
+  /** Deterministic Poisson-bootstrap confidence intervals (Chamandy
+    * et al., "Estimating Uncertainty for Massive Data Streams" — the
+    * bootstrap that works when the data cannot be resampled by index:
+    * each row gets an independent Poisson(1) pseudo-count per
+    * replica, so one pass computes ALL replica means). Per key:
+    * the point mean plus the [2.5%, 97.5%] percentile interval over
+    * `replicas` bootstrap means — the error bar any A/B readout or
+    * quality-metric report should carry.
+    *
+    * Deterministic END TO END: the pseudo-count comes from an exact
+    * integer mix hash of (id, replica) on a 1e6 grid against the
+    * pinned Poisson(1) inverse-CDF thresholds above (documented:
+    * hash-derived replication, not cryptographic randomness — rerun
+    * reproduces the same interval, the dpCounts seeding philosophy);
+    * values quantize to milli-units; each replica mean is an exact
+    * integer division; the interval bounds are exact LOWER order
+    * statistics at ranks ceil(0.025·R)/ceil(0.975·R) under the
+    * (mean, replica) order. Empty-weight replicas (possible on tiny
+    * keys) emit NULL means and are EXCLUDED from ranking with their
+    * count reported — never a fabricated zero.
+    *
+    * Scale shape: the replica explode is map-side (corpus × R rows
+    * partial-aggregate to keys × R before the shuffle); ranking runs
+    * on the keys × R table. R = 100-500 is the published sweet spot.
+    */
+  def bootstrapCi(df: DataFrame, keyCol: String, idCol: String,
+                  valueCol: String, replicas: Int = 200): DataFrame = {
+    require(replicas >= 20 && replicas <= 2000,
+      s"bootstrapCi: replicas in [20, 2000], got $replicas")
+    import org.apache.spark.sql.expressions.Window
+    val cumCase = PoissonCum.zipWithIndex
+      .map { case (c, k) => s"WHEN __h < ${c}L THEN ${k}L" }
+      .mkString("CASE ", " ", " ELSE 5L END")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(idCol),
+        expr(s"CAST(floor($valueCol * 1000) AS BIGINT)").as("v"))
+    val point = base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        expr("""CAST((sum(CAST(v AS DECIMAL(38,0))) * 1000)
+          | div count(1) AS BIGINT)""".stripMargin).as("mean_micro"))
+    val reps = base
+      .select(col(keyCol), col(idCol), col("v"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .withColumn("__h", expr(
+        s"pmod($idCol * 2654435761L + r * 40503L, 2147483648L) % 1000000L"))
+      .withColumn("w", expr(cumCase))
+      .groupBy(col(keyCol), col("r"))
+      .agg(sum(expr("CAST(w * v AS DECIMAL(38,0))")).as("__wv"),
+        sum(col("w")).as("__w"))
+      .withColumn("rep_mean_micro", expr(
+        """CAST((__wv * 1000) div nullif(CAST(__w AS DECIMAL(38,0)),
+          |  CAST(0 AS DECIMAL(38,0))) AS BIGINT)""".stripMargin))
+    val ranked = reps.filter(col("rep_mean_micro").isNotNull)
+      .withColumn("__rk", row_number().over(Window.partitionBy(col(keyCol))
+        .orderBy(col("rep_mean_micro").asc, col("r").asc)))
+      .withColumn("__nr", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+    def at(q: Double) = ranked
+      .filter(col("__rk") === expr(
+        s"CAST(ceil(CAST(__nr AS DOUBLE) * $q) AS INT)"))
+      .select(col(keyCol), col("rep_mean_micro"))
+    val empties = reps.groupBy(col(keyCol))
+      .agg(sum(when(col("rep_mean_micro").isNull, 1L).otherwise(0L))
+        .as("n_empty_replicas"))
+    point
+      .join(at(0.025).withColumnRenamed("rep_mean_micro", "lo_micro"),
+        Seq(keyCol), "left")
+      .join(at(0.975).withColumnRenamed("rep_mean_micro", "hi_micro"),
+        Seq(keyCol), "left")
+      .join(empties, Seq(keyCol), "left")
+      .select(col(keyCol), col("n"), col("mean_micro"),
+        col("lo_micro"), col("hi_micro"),
+        coalesce(col("n_empty_replicas"), lit(0L)).as("n_empty_replicas"))
+  }
+
   /** Numeric-distribution drift monitor — the production companion to
     * the categorical source-mix drift (`Dedup.snapshotDrift`): bin a
     * score/value column on a FIXED equal-width grid derived from the

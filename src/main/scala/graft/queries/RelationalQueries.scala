@@ -467,6 +467,13 @@ object RelationalQueries {
         "value", nBins = 10)
     }),
 
+    // -- forensics: deterministic Poisson-bootstrap CI — the error bar
+    //    per event-type mean value, 100 hash-derived replicas, exact
+    //    order-statistic percentile bounds -----------------------------
+    "q_bootstrap_ci" -> ((s, dir) =>
+      Forensics.bootstrapCi(Tables.events(s, dir), "event_type",
+        "event_id", "value", replicas = 100)),
+
     // Benford first-digit screen on order totals: exact micro-unit
     // digit shares vs the pinned logarithmic expectation, Nigrini MAD.
     "q_benford" -> ((s, dir) =>
@@ -834,6 +841,58 @@ object RelationalQueries {
         |SELECT d.event_type, d.event_id, d.v, d.med_v, md.mad_v,
         |  d.dev * 1000000 > 3500000 * md.mad_v AS is_outlier
         |FROM d JOIN md USING (event_type)""".stripMargin,
+
+    // pinned Poisson(1) inverse-CDF thresholds, the same integer mix
+    // hash, HUGEINT sums, exact percentile ranks over (mean, r)
+    "q_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), pt AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST((sum(CAST(v AS HUGEINT)) * 1000) // count(*) AS BIGINT)
+        |      AS mean_micro
+        |  FROM base GROUP BY 1
+        |), ex AS (
+        |  SELECT b.event_type, b.v, u.r,
+        |    (b.event_id * 2654435761 + u.r * 40503) % 2147483648 % 1000000 AS h
+        |  FROM base b CROSS JOIN
+        |    (SELECT CAST(unnest(range(0, 100)) AS BIGINT) AS r) u
+        |), wv AS (
+        |  SELECT event_type, r, v,
+        |    CASE WHEN h < 367879 THEN 0 WHEN h < 735758 THEN 1
+        |         WHEN h < 919698 THEN 2 WHEN h < 981011 THEN 3
+        |         WHEN h < 996340 THEN 4 ELSE 5 END AS w
+        |  FROM ex
+        |), reps AS (
+        |  SELECT event_type, r,
+        |    CAST((sum(CAST(w AS HUGEINT) * v) * 1000) //
+        |      nullif(sum(CAST(w AS HUGEINT)), 0) AS BIGINT) AS rep_mean_micro
+        |  FROM wv GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT event_type, rep_mean_micro,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY rep_mean_micro, r) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nr
+        |  FROM reps WHERE rep_mean_micro IS NOT NULL
+        |), lo AS (
+        |  SELECT event_type, rep_mean_micro AS lo_micro FROM rk
+        |  WHERE rn = CAST(ceil(CAST(nr AS DOUBLE) * 0.025) AS INT)
+        |), hi AS (
+        |  SELECT event_type, rep_mean_micro AS hi_micro FROM rk
+        |  WHERE rn = CAST(ceil(CAST(nr AS DOUBLE) * 0.975) AS INT)
+        |), emp AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN rep_mean_micro IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_empty_replicas
+        |  FROM reps GROUP BY 1
+        |)
+        |SELECT pt.event_type, pt.n, pt.mean_micro, lo.lo_micro, hi.hi_micro,
+        |  coalesce(emp.n_empty_replicas, 0) AS n_empty_replicas
+        |FROM pt LEFT JOIN lo USING (event_type)
+        |LEFT JOIN hi USING (event_type)
+        |LEFT JOIN emp USING (event_type)""".stripMargin,
 
     // the shared-grid replay: combined bounds, ceil width, per-side
     // totals, micro shares, TV = sum|delta|/2 cross-joined back

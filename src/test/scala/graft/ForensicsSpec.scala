@@ -199,4 +199,37 @@ class ForensicsSpec extends SparkSpec {
       Forensics.histogramDrift(a.limit(0), a.limit(0), "value")
     }
   }
+
+  test("bootstrapCi: interval brackets the mean, tightens with n, collapses on constants, partition-independent") {
+    import spark.implicits._
+    import graft.analytics.Forensics
+    def mk(key: String, n: Int, f: Int => Double) =
+      (0 until n).map(i => (key, (key.hashCode.abs % 1000) * 10000L + i, f(i)))
+    val df = (mk("small", 40, i => (i % 7).toDouble) ++
+      mk("large", 2000, i => (i % 7).toDouble) ++
+      mk("const", 100, _ => 42.0)).toDF("k", "id", "value")
+    val got = Forensics.bootstrapCi(df, "k", "id", "value", replicas = 100)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for ((k, (_, mean, lo, hi)) <- got) {
+      assert(lo <= mean && mean <= hi,
+        s"$k: interval [$lo, $hi] must bracket the point mean $mean")
+    }
+    // 50x the data -> a much tighter interval on the same distribution
+    val widthS = got("small")._4 - got("small")._3
+    val widthL = got("large")._4 - got("large")._3
+    assert(widthL * 3 < widthS,
+      s"large-n width $widthL must be well under small-n width $widthS")
+    // constant column: every resample has the same mean
+    assert(got("const")._3 == got("const")._2 &&
+      got("const")._4 == got("const")._2)
+    // hash-derived replication is partition-layout-free
+    val again = Forensics.bootstrapCi(df.repartition(13), "k", "id",
+      "value", replicas = 100).collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      Forensics.bootstrapCi(df, "k", "id", "value", replicas = 5)
+    }
+  }
 }
