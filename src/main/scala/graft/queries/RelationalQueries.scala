@@ -488,6 +488,38 @@ object RelationalQueries {
           .withColumn("converted", col("event_type") === "purchase"),
         "is_even", "converted")),
 
+    // -- product-analytics capstone: the A/B experiment report — arm
+    //    assignment via the append-stable hashSplit, per-user
+    //    conversion collapse, per-arm rates, the 2x2 chi-square
+    //    significance stamped on both rows, and a Poisson-bootstrap
+    //    CI per arm. One readout row per arm; every stage is an
+    //    oracle-checked operator, the composition is the test --------
+    "q_experiment_report" -> ((s, dir) => {
+      import graft.llm.Chunking
+      val users = Tables.events(s, dir).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      val armed = Chunking.hashSplit(users, "user_id",
+        Seq("A" -> 0.5, "B" -> 0.5)).withColumnRenamed("split", "arm")
+      val perArm = armed.groupBy("arm").agg(
+        count(lit(1)).as("n_users"),
+        sum(col("conv")).as("n_converted"))
+        .withColumn("rate_micro",
+          expr("(n_converted * 1000000L) div n_users"))
+      val chi = Forensics.chi2(
+        armed.withColumn("g", col("arm") === "A")
+          .withColumn("o", col("conv") === 1L), "g", "o")
+        .select(col("chi2_micro"))
+      val ci = Forensics.bootstrapCi(
+        armed.withColumn("value", col("conv").cast("double")),
+        "arm", "user_id", "value", replicas = 100)
+        .select(col("arm"), col("lo_micro"), col("hi_micro"))
+      perArm.join(ci, Seq("arm")).crossJoin(broadcast(chi))
+        .select(col("arm"), col("n_users"), col("n_converted"),
+          col("rate_micro"), col("lo_micro"), col("hi_micro"),
+          col("chi2_micro"))
+    }),
+
     // 2-D skyline: cheapest-for-its-recency orders — local sweep
     // prefilter per partition, global sweep on the survivors.
     "q_skyline" -> ((s, dir) =>
@@ -841,6 +873,74 @@ object RelationalQueries {
         |SELECT d.event_type, d.event_id, d.v, d.med_v, md.mad_v,
         |  d.dev * 1000000 > 3500000 * md.mad_v AS is_outlier
         |FROM d JOIN md USING (event_type)""".stripMargin,
+
+    // the capstone replay: user collapse, Weyl arm split, per-arm
+    // rates, the 2x2 chi-square, and the bootstrap CTE keyed by arm
+    "q_experiment_report" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1
+        |), armed AS (
+        |  SELECT user_id, conv,
+        |    CASE WHEN ((user_id % 65536) * 40503) % 65536 < 0.5 * 65536
+        |         THEN 'A' ELSE 'B' END AS arm
+        |  FROM u
+        |), pa AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(conv) AS BIGINT) AS n_converted
+        |  FROM armed GROUP BY 1
+        |), pa2 AS (
+        |  SELECT *, (n_converted * 1000000) // n_users AS rate_micro FROM pa
+        |), t AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 'A' AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN arm = 'A' AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN arm != 'A' AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN arm != 'A' AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM armed
+        |), chi AS (
+        |  SELECT CAST((CAST(a + b + c + d AS HUGEINT) *
+        |      (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) *
+        |      (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) * 1000000)
+        |    // nullif(CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d), 0)
+        |    AS BIGINT) AS chi2_micro
+        |  FROM t
+        |), base AS (
+        |  SELECT arm, user_id, CAST(conv * 1000 AS BIGINT) AS v FROM armed
+        |), ex AS (
+        |  SELECT b.arm, b.v, u2.r,
+        |    (b.user_id * 2654435761 + u2.r * 40503) % 2147483648 % 1000000 AS h
+        |  FROM base b CROSS JOIN
+        |    (SELECT CAST(unnest(range(0, 100)) AS BIGINT) AS r) u2
+        |), wv AS (
+        |  SELECT arm, r, v,
+        |    CASE WHEN h < 367879 THEN 0 WHEN h < 735758 THEN 1
+        |         WHEN h < 919698 THEN 2 WHEN h < 981011 THEN 3
+        |         WHEN h < 996340 THEN 4 ELSE 5 END AS w
+        |  FROM ex
+        |), reps AS (
+        |  SELECT arm, r,
+        |    CAST((sum(CAST(w AS HUGEINT) * v) * 1000) //
+        |      nullif(sum(CAST(w AS HUGEINT)), 0) AS BIGINT) AS rep_mean_micro
+        |  FROM wv GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT arm, rep_mean_micro,
+        |    row_number() OVER (PARTITION BY arm
+        |      ORDER BY rep_mean_micro, r) AS rn,
+        |    count(*) OVER (PARTITION BY arm) AS nr
+        |  FROM reps WHERE rep_mean_micro IS NOT NULL
+        |), lo AS (
+        |  SELECT arm, rep_mean_micro AS lo_micro FROM rk
+        |  WHERE rn = CAST(ceil(CAST(nr AS DOUBLE) * 0.025) AS INT)
+        |), hi AS (
+        |  SELECT arm, rep_mean_micro AS hi_micro FROM rk
+        |  WHERE rn = CAST(ceil(CAST(nr AS DOUBLE) * 0.975) AS INT)
+        |)
+        |SELECT pa2.arm, pa2.n_users, pa2.n_converted, pa2.rate_micro,
+        |  lo.lo_micro, hi.hi_micro, chi.chi2_micro
+        |FROM pa2 LEFT JOIN lo USING (arm) LEFT JOIN hi USING (arm)
+        |CROSS JOIN chi""".stripMargin,
 
     // pinned Poisson(1) inverse-CDF thresholds, the same integer mix
     // hash, HUGEINT sums, exact percentile ranks over (mean, r)
