@@ -609,6 +609,48 @@ object TextOps {
       idCol, k)
   }
 
+  /** Precision-recall curve for any score-vs-binary-label pair — the
+    * threshold-picking table behind every classifier-style filter in
+    * the pipeline (learned quality scorer, language-ID confidence,
+    * contamination score): one row per DISTINCT score threshold,
+    * descending, with cumulative tp/fp at "keep everything scoring
+    * ≥ t", fn = P − tp, and precision / recall / F1 in exact integer
+    * micro-units (F1 = 2·tp·1e6 div (2·tp + fp + fn) — no float
+    * enters). Rows sharing a score form ONE threshold (a tie cannot
+    * be half-kept).
+    *
+    * Scale shape: the corpus collapses to per-score (tp, fp) counts
+    * in one partial-aggregated shuffle; the cumulative window runs on
+    * the DISTINCT-SCORE table — single partition BY CONTRACT (the
+    * benford spine reasoning: thresholds are bounded, the corpus is
+    * not; a quantized score column keeps the table small by design).
+    */
+  def prCurve(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("threshold"))
+      .agg(sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("__p"),
+        sum(when(col(labelCol).cast("boolean"), 0L).otherwise(1L)).as("__n"))
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perScore
+      .withColumn("tp", sum(col("__p")).over(w))
+      .withColumn("fp", sum(col("__n")).over(w))
+      .withColumn("fn",
+        sum(col("__p")).over(Window.partitionBy().orderBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          - col("tp"))
+      .withColumn("precision_micro",
+        expr("(tp * 1000000L) div (tp + fp)"))
+      .withColumn("recall_micro",
+        expr("(tp * 1000000L) div nullif(tp + fn, 0L)"))
+      .withColumn("f1_micro",
+        expr("(2L * tp * 1000000L) div nullif(2L * tp + fp + fn, 0L)"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        col("precision_micro"), col("recall_micro"), col("f1_micro"))
+  }
+
   /** Flesch reading-ease readability (Flesch 1948 — the curation
     * filter the published pipelines bin documents with before
     * curriculum ordering): 206.835 − 1.015·(words/sentences) −

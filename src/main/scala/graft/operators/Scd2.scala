@@ -13,6 +13,50 @@ import org.apache.spark.sql.functions._
   */
 object Scd2 {
 
+  /** Temporal-integrity audit for any [from, to) interval table — the
+    * data-contract gate for dimension tables, session windows and
+    * SCD2 output: per key, interval count, GAP count (next interval
+    * opens after this one closes), OVERLAP count (next opens before
+    * this closes), zero-width count, open-interval count (to IS
+    * NULL — at most one is legal, and only at the end), and the
+    * verdict `tiles` = a perfect gap-free overlap-free tiling with
+    * at most one trailing open interval. Counts, never booleans
+    * alone — how broken matters (the DataContract philosophy). One
+    * key-partitioned window under the deterministic (from, to)
+    * order; an SCD2 build that violates this audit is a bug BY
+    * DEFINITION (the tiling contract), which makes this the
+    * executable form of that contract for FOREIGN interval data too.
+    */
+  def intervalAudit(df: DataFrame, keyCol: String, fromCol: String,
+                    toCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // asc_nulls_last: Spark defaults NULLs FIRST ascending, DuckDB
+    // LAST — the open interval must sort after closed ones on BOTH
+    // engines (the automation-screen NULL-ordering trap, pinned)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__f").asc, col("__t").asc_nulls_last)
+    df.select(col(keyCol), col(fromCol).as("__f"), col(toCol).as("__t"))
+      .withColumn("__nf", lead(col("__f"), 1).over(w))
+      .withColumn("__last", lead(col("__f"), 1).over(w).isNull)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(when(col("__nf").isNotNull && col("__t").isNotNull &&
+          col("__nf") > col("__t"), 1L).otherwise(0L)).as("n_gaps"),
+        sum(when(col("__nf").isNotNull &&
+          (col("__t").isNull || col("__nf") < col("__t")), 1L)
+          .otherwise(0L)).as("n_overlaps"),
+        sum(when(col("__t").isNotNull && col("__t") <= col("__f"), 1L)
+          .otherwise(0L)).as("n_zero_width"),
+        sum(when(col("__t").isNull, 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("__t").isNull && !col("__last"), 1L).otherwise(0L))
+          .as("n_open_not_last"))
+      .withColumn("tiles",
+        col("n_gaps") === 0L && col("n_overlaps") === 0L &&
+          col("n_zero_width") === 0L && col("n_open") <= 1L &&
+          col("n_open_not_last") === 0L)
+  }
+
   /** Build the SCD2 history: per key, order change events by
     * (ts, tie), collapse CONSECUTIVE duplicates (a no-op change must
     * not open a new version — re-publishing the same value is not

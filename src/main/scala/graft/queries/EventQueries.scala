@@ -637,6 +637,35 @@ object EventQueries {
       graft.operators.Scd2.build(Tables.events(s, dir),
         "user_id", "ts", "event_id", "event_type")),
 
+    // -- temporal integrity audit: the SCD2 tiling contract made
+    //    executable, run on the build's own output (every key must
+    //    tile) PLUS planted broken keys (gap, overlap, zero-width,
+    //    double-open) so the counting paths are exercised, not just
+    //    the all-green one ------------------------------------------
+    "q_interval_audit" -> ((s, dir) => {
+      val dim = graft.operators.Scd2.build(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "event_type")
+        .select(col("key"), col("valid_from"), col("valid_to"))
+      val planted = s.sql(
+        """SELECT CAST(-1 AS BIGINT) AS key,
+          |  CAST('2024-01-01 00:00:00' AS TIMESTAMP) AS valid_from,
+          |  CAST('2024-01-01 01:00:00' AS TIMESTAMP) AS valid_to
+          |UNION ALL SELECT -1, CAST('2024-01-01 02:00:00' AS TIMESTAMP),
+          |  CAST('2024-01-01 03:00:00' AS TIMESTAMP)
+          |UNION ALL SELECT -2, CAST('2024-01-01 00:00:00' AS TIMESTAMP),
+          |  CAST('2024-01-01 02:00:00' AS TIMESTAMP)
+          |UNION ALL SELECT -2, CAST('2024-01-01 01:00:00' AS TIMESTAMP),
+          |  CAST('2024-01-01 03:00:00' AS TIMESTAMP)
+          |UNION ALL SELECT -3, CAST('2024-01-01 00:00:00' AS TIMESTAMP),
+          |  CAST('2024-01-01 00:00:00' AS TIMESTAMP)
+          |UNION ALL SELECT -4, CAST('2024-01-01 00:00:00' AS TIMESTAMP),
+          |  CAST(NULL AS TIMESTAMP)
+          |UNION ALL SELECT -4, CAST('2024-01-01 01:00:00' AS TIMESTAMP),
+          |  CAST(NULL AS TIMESTAMP)""".stripMargin)
+      graft.operators.Scd2.intervalAudit(dim.unionByName(planted),
+        "key", "valid_from", "valid_to")
+    }),
+
     // Point-in-time join of the event facts against their own SCD2
     // dimension — the lakehouse consumption pattern for q_scd2.
     "q_pit_join" -> ((s, dir) => {
@@ -860,6 +889,56 @@ object EventQueries {
             .cast("double"))
         .select(col("event_id"), col("user_id"), col("rn"), col("running_value"))
     }))
+
+  private val Scd2Sql: String =
+    """WITH base AS (
+        |  SELECT user_id AS key, ts, event_id, event_type AS value
+        |  FROM events
+        |), o AS (
+        |  SELECT *, lag(value) OVER (PARTITION BY key
+        |    ORDER BY ts, event_id, value) AS prev
+        |  FROM base
+        |), f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR prev <> value
+        |    THEN 1 ELSE 0 END AS nw
+        |  FROM o
+        |), v AS (
+        |  SELECT *, CAST(sum(nw) OVER (PARTITION BY key
+        |    ORDER BY ts, event_id, value ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS ver
+        |  FROM f
+        |), g AS (
+        |  SELECT key, ver, min(ts) AS valid_from, max(value) AS value
+        |  FROM v GROUP BY 1, 2
+        |), l AS (
+        |  SELECT *, lead(valid_from) OVER (PARTITION BY key
+        |    ORDER BY ver) AS valid_to
+        |  FROM g
+        |), k AS (
+        |  SELECT * FROM l WHERE valid_to IS NULL OR valid_to <> valid_from
+        |), m0 AS (
+        |  SELECT *, lag(value) OVER (PARTITION BY key ORDER BY ver) AS pv
+        |  FROM k
+        |), m1 AS (
+        |  SELECT *, CAST(sum(CASE WHEN pv IS NULL OR pv <> value
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY key
+        |    ORDER BY ver ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mver
+        |  FROM m0
+        |), m AS (
+        |  SELECT key, mver, min(valid_from) AS valid_from,
+        |    max(value) AS value
+        |  FROM m1 GROUP BY 1, 2
+        |), l2 AS (
+        |  SELECT *, lead(valid_from) OVER (PARTITION BY key
+        |    ORDER BY mver) AS valid_to
+        |  FROM m
+        |)
+        |SELECT key,
+        |  CAST(row_number() OVER (PARTITION BY key ORDER BY mver)
+        |    AS BIGINT) AS version,
+        |  value, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM l2""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_filter_membership" ->
@@ -1623,55 +1702,48 @@ object EventQueries {
     // the second consecutive-duplicate collapse (a zero-width drop
     // can butt two same-value versions — r9 advisor) and dense
     // renumbering.
-    "q_scd2" ->
-      """WITH base AS (
-        |  SELECT user_id AS key, ts, event_id, event_type AS value
-        |  FROM events
-        |), o AS (
-        |  SELECT *, lag(value) OVER (PARTITION BY key
-        |    ORDER BY ts, event_id, value) AS prev
-        |  FROM base
-        |), f AS (
-        |  SELECT *, CASE WHEN prev IS NULL OR prev <> value
-        |    THEN 1 ELSE 0 END AS nw
-        |  FROM o
-        |), v AS (
-        |  SELECT *, CAST(sum(nw) OVER (PARTITION BY key
-        |    ORDER BY ts, event_id, value ROWS UNBOUNDED PRECEDING)
-        |    AS BIGINT) AS ver
-        |  FROM f
-        |), g AS (
-        |  SELECT key, ver, min(ts) AS valid_from, max(value) AS value
-        |  FROM v GROUP BY 1, 2
-        |), l AS (
-        |  SELECT *, lead(valid_from) OVER (PARTITION BY key
-        |    ORDER BY ver) AS valid_to
-        |  FROM g
-        |), k AS (
-        |  SELECT * FROM l WHERE valid_to IS NULL OR valid_to <> valid_from
-        |), m0 AS (
-        |  SELECT *, lag(value) OVER (PARTITION BY key ORDER BY ver) AS pv
-        |  FROM k
-        |), m1 AS (
-        |  SELECT *, CAST(sum(CASE WHEN pv IS NULL OR pv <> value
-        |      THEN 1 ELSE 0 END) OVER (PARTITION BY key
-        |    ORDER BY ver ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mver
-        |  FROM m0
-        |), m AS (
-        |  SELECT key, mver, min(valid_from) AS valid_from,
-        |    max(value) AS value
-        |  FROM m1 GROUP BY 1, 2
-        |), l2 AS (
-        |  SELECT *, lead(valid_from) OVER (PARTITION BY key
-        |    ORDER BY mver) AS valid_to
-        |  FROM m
+    "q_scd2" -> Scd2Sql,
+
+    // the SCD2 chain as a nested subquery, the planted broken keys,
+    // and the lead-window audit under (from, to NULLS LAST)
+    "q_interval_audit" ->
+      s"""WITH dim AS (
+        |  SELECT key, valid_from, valid_to FROM ($Scd2Sql)
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-1 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00',
+        |     TIMESTAMP '2024-01-01 01:00:00'),
+        |    (-1, TIMESTAMP '2024-01-01 02:00:00', TIMESTAMP '2024-01-01 03:00:00'),
+        |    (-2, TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 02:00:00'),
+        |    (-2, TIMESTAMP '2024-01-01 01:00:00', TIMESTAMP '2024-01-01 03:00:00'),
+        |    (-3, TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00'),
+        |    (-4, TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS TIMESTAMP)),
+        |    (-4, TIMESTAMP '2024-01-01 01:00:00', CAST(NULL AS TIMESTAMP))
+        |  ) v(key, valid_from, valid_to)
+        |), x AS (
+        |  SELECT key, valid_from AS f, valid_to AS t,
+        |    lead(valid_from) OVER (PARTITION BY key
+        |      ORDER BY valid_from, valid_to NULLS LAST) AS nf
+        |  FROM dim
+        |), a AS (
+        |  SELECT key,
+        |    CAST(count(*) AS BIGINT) AS n_intervals,
+        |    CAST(sum(CASE WHEN nf IS NOT NULL AND t IS NOT NULL AND nf > t
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |    CAST(sum(CASE WHEN nf IS NOT NULL AND (t IS NULL OR nf < t)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+        |    CAST(sum(CASE WHEN t IS NOT NULL AND t <= f
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_width,
+        |    CAST(sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_open,
+        |    CAST(sum(CASE WHEN t IS NULL AND nf IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_open_not_last
+        |  FROM x GROUP BY 1
         |)
-        |SELECT key,
-        |  CAST(row_number() OVER (PARTITION BY key ORDER BY mver)
-        |    AS BIGINT) AS version,
-        |  value, valid_from, valid_to,
-        |  (valid_to IS NULL) AS is_current
-        |FROM l2""".stripMargin,
+        |SELECT *,
+        |  (n_gaps = 0 AND n_overlaps = 0 AND n_zero_width = 0
+        |   AND n_open <= 1 AND n_open_not_last = 0) AS tiles
+        |FROM a""".stripMargin,
 
     // Remaining-time replay: per-session end window, integral mean
     // per state on the even half, MAE with CASE-null scoring on the

@@ -437,6 +437,18 @@ object PipelineQueries {
     "q_readability" -> ((s, dir) =>
       TextOps.readability(Tables.documents(s, dir), "doc_id", "text")),
 
+    // -- eval: precision-recall curve of the stop-word ratio as an
+    //    English detector (lang = 'en' is the label) — the
+    //    threshold-picking table every filter needs; exact micro
+    //    P/R/F1 at every distinct threshold --------------------------
+    "q_pr_curve" -> ((s, dir) =>
+      TextOps.prCurve(
+        withStats(Tables.documents(s, dir))
+          .withColumn("score_micro",
+            expr("(CAST(n_stop AS BIGINT) * 1000000L) div n_tokens"))
+          .withColumn("is_en", col("lang") === "en"),
+        "is_en", "score_micro")),
+
     // -- flagship composition: the canonical corpus-curation pipeline.
     //    Quality gate → near-duplicate removal (keep the lower doc_id
     //    of each Jaccard pair) → per-source corpus stats. Every stage
@@ -2094,6 +2106,36 @@ object PipelineQueries {
         |    CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3 +
         |    CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.2 AS quality
         |FROM s""".stripMargin,
+
+    // per-score collapse, descending cumulative window, exact P/R/F1
+    "q_pr_curve" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+        |), f AS (
+        |  SELECT (CAST(len(list_filter(toks,
+        |      t -> t IN ('the', 'a', 'of', 'and', 'is', 'to'))) AS BIGINT)
+        |      * 1000000) // len(toks) AS threshold,
+        |    (lang = 'en') AS y
+        |  FROM s
+        |), g AS (
+        |  SELECT threshold,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n
+        |  FROM f GROUP BY 1
+        |), c AS (
+        |  SELECT threshold,
+        |    CAST(sum(p) OVER (ORDER BY threshold DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+        |    CAST(sum(n) OVER (ORDER BY threshold DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp,
+        |    CAST(sum(p) OVER () AS BIGINT) AS ap
+        |  FROM g
+        |)
+        |SELECT threshold, tp, fp, ap - tp AS fn,
+        |  (tp * 1000000) // (tp + fp) AS precision_micro,
+        |  (tp * 1000000) // nullif(ap, 0) AS recall_micro,
+        |  (2 * tp * 1000000) // nullif(2 * tp + fp + (ap - tp), 0) AS f1_micro
+        |FROM c""".stripMargin,
 
     // vowel-group syllables + [.!?] sentence chars, floored at 1;
     // the same fixed-order IEEE tail both engines round identically

@@ -49,6 +49,45 @@ class DataContractSpec extends SparkSpec {
     assert(clean.getLong(2) == 0L && clean.getBoolean(3))
   }
 
+  test("intervalAudit: a perfect tiling passes; each failure mode counts exactly once; open-last is legal") {
+    import spark.implicits._
+    import graft.operators.Scd2
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // key 1: perfect tiling with a trailing open interval
+      (1L, t("2024-01-01 00:00:00"), Some(t("2024-01-01 01:00:00"))),
+      (1L, t("2024-01-01 01:00:00"), Some(t("2024-01-01 02:00:00"))),
+      (1L, t("2024-01-01 02:00:00"), None),
+      // key 2: gap between the tiles
+      (2L, t("2024-01-01 00:00:00"), Some(t("2024-01-01 01:00:00"))),
+      (2L, t("2024-01-01 02:00:00"), Some(t("2024-01-01 03:00:00")))
+    ).toDF("key", "valid_from", "valid_to")
+    val got = Scd2.intervalAudit(df, "key", "valid_from", "valid_to")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5), r.getBoolean(7))).toMap
+    assert(got(1L) == ((0L, 0L, 1L, true)),
+      s"open-last tiling must pass, got ${got(1L)}")
+    assert(got(2L) == ((1L, 0L, 0L, false)))
+  }
+
+  test("prCurve: perfect separation reaches F1 1e6 at the separating threshold; ties form one row") {
+    import spark.implicits._
+    import graft.llm.TextOps
+    val df = Seq(
+      (true, 90L), (true, 80L), (true, 80L),   // positives high, one tie
+      (false, 20L), (false, 10L)
+    ).toDF("y", "s")
+    val rows = TextOps.prCurve(df, "y", "s").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.size == 4, "tied scores must collapse to one threshold row")
+    // at threshold 80: tp=3 fp=0 -> P=R=F1=1e6
+    assert(rows(80L) == ((3L, 0L, 1000000L, 1000000L, 1000000L)),
+      s"got ${rows(80L)}")
+    // at threshold 10 everything is kept: recall 1, precision 3/5
+    assert(rows(10L)._3 == 600000L && rows(10L)._4 == 1000000L)
+  }
+
   test("report: row rules and uniqueness rules union into one gate") {
     import spark.implicits._
     val df = Seq((1L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("id", "v")
