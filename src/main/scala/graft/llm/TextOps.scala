@@ -651,6 +651,50 @@ object TextOps {
         col("precision_micro"), col("recall_micro"), col("f1_micro"))
   }
 
+  /** Exact ROC-AUC via the Mann-Whitney U statistic — the
+    * threshold-free companion to `prCurve`: AUC = P(score(pos) >
+    * score(neg)) + ½·P(tie), computed from DOUBLED average ranks so
+    * ties never produce a .5 (avg_rank·2 = 2·min_rank + (cnt−1), all
+    * integers), U·2 = Σ_pos avg_rank·2 − P·(P+1), and
+    * auc_micro = U·2 · 1e6 div (2·P·N) — exact integer end to end,
+    * DECIMAL(38,0) headroom on the rank sums (rank·P products pass
+    * int64 around 3B rows). One row out: (n_pos, n_neg, auc_micro);
+    * a single-class input yields NULL AUC via the nullif — undefined,
+    * never a fake 0.5.
+    *
+    * Scale shape: one score collapse (per-score counts), the rank
+    * arithmetic on the bounded distinct-score table (the prCurve
+    * spine), one broadcast-back join… actually no join at all: the
+    * per-score table carries both class counts, so U computes
+    * directly from Σ over scores. Single final 1-row aggregate.
+    */
+  def aucRoc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("s"))
+      .agg(sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("p"),
+        sum(when(col(labelCol).cast("boolean"), 0L).otherwise(1L)).as("n"))
+    // ascending score: min_rank of this score's block = 1 + Σ counts
+    // of strictly-smaller scores; doubled average rank of every row
+    // in the block = 2·min_rank + (block − 1)
+    val w = Window.orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perScore
+      .withColumn("__cum", sum(col("p") + col("n")).over(w))
+      .withColumn("__blk", col("p") + col("n"))
+      .withColumn("__minrk", col("__cum") - col("__blk") + 1L)
+      .withColumn("__avg2", lit(2L) * col("__minrk") + col("__blk") - 1L)
+      .agg(
+        sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+        sum(expr("CAST(p AS DECIMAL(38,0)) * __avg2")).as("__rs2"))
+      .withColumn("auc_micro", expr(
+        """CAST((__rs2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000
+          | div nullif(CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg,
+          |            CAST(0 AS DECIMAL(38,0))) AS BIGINT)""".stripMargin))
+      .select(col("n_pos"), col("n_neg"), col("auc_micro"))
+  }
+
   /** Flesch reading-ease readability (Flesch 1948 — the curation
     * filter the published pipelines bin documents with before
     * curriculum ordering): 206.835 − 1.015·(words/sentences) −

@@ -449,6 +449,16 @@ object PipelineQueries {
           .withColumn("is_en", col("lang") === "en"),
         "is_en", "score_micro")),
 
+    // -- eval: exact ROC-AUC of the same detector — Mann-Whitney U
+    //    over doubled average ranks, tie-exact, one row ---------------
+    "q_auc" -> ((s, dir) =>
+      TextOps.aucRoc(
+        withStats(Tables.documents(s, dir))
+          .withColumn("score_micro",
+            expr("(CAST(n_stop AS BIGINT) * 1000000L) div n_tokens"))
+          .withColumn("is_en", col("lang") === "en"),
+        "is_en", "score_micro")),
+
     // -- flagship composition: the canonical corpus-curation pipeline.
     //    Quality gate → near-duplicate removal (keep the lower doc_id
     //    of each Jaccard pair) → per-source corpus stats. Every stage
@@ -2106,6 +2116,38 @@ object PipelineQueries {
         |    CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3 +
         |    CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.2 AS quality
         |FROM s""".stripMargin,
+
+    // doubled-average-rank Mann-Whitney replay, HUGEINT rank sums
+    "q_auc" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+        |), f AS (
+        |  SELECT (CAST(len(list_filter(toks,
+        |      t -> t IN ('the', 'a', 'of', 'and', 'is', 'to'))) AS BIGINT)
+        |      * 1000000) // len(toks) AS sc,
+        |    (lang = 'en') AS y
+        |  FROM s
+        |), g AS (
+        |  SELECT sc,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n
+        |  FROM f GROUP BY 1
+        |), r AS (
+        |  SELECT *,
+        |    sum(p + n) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM g
+        |), a AS (
+        |  SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+        |    CAST(sum(n) AS BIGINT) AS n_neg,
+        |    sum(CAST(p AS HUGEINT) *
+        |      (2 * (cum - (p + n) + 1) + (p + n) - 1)) AS rs2
+        |  FROM r
+        |)
+        |SELECT n_pos, n_neg,
+        |  CAST((rs2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+        |    // nullif(CAST(2 AS HUGEINT) * n_pos * n_neg, 0) AS BIGINT)
+        |    AS auc_micro
+        |FROM a""".stripMargin,
 
     // per-score collapse, descending cumulative window, exact P/R/F1
     "q_pr_curve" ->

@@ -88,6 +88,34 @@ class DataContractSpec extends SparkSpec {
     assert(rows(10L)._3 == 600000L && rows(10L)._4 == 1000000L)
   }
 
+  test("aucRoc: tie-exact Mann-Whitney AUC; perfect/reversed/constant/single-class laws") {
+    import spark.implicits._
+    import graft.llm.TextOps
+    def auc(rows: Seq[(Boolean, Long)]): (Long, Long, Any) = {
+      val r = TextOps.aucRoc(rows.toDF("y", "s"), "y", "s").head()
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2))
+    }
+    // pos {3,2} vs neg {2,1}: 3 clean wins + one tie of 4 pairs
+    // -> U = 3.5, AUC = 7/8 exactly
+    assert(auc(Seq((true, 3L), (true, 2L), (false, 2L), (false, 1L)))
+      == ((2L, 2L, 875000L)))
+    assert(auc(Seq((true, 9L), (true, 8L), (false, 2L), (false, 1L)))
+      == ((2L, 2L, 1000000L)), "perfect separation is AUC 1")
+    assert(auc(Seq((true, 1L), (false, 8L), (false, 9L)))
+      == ((1L, 2L, 0L)), "perfectly inverted detector is AUC 0")
+    assert(auc(Seq((true, 5L), (true, 5L), (false, 5L)))
+      == ((2L, 1L, 500000L)), "constant score is chance: all ties")
+    assert(auc(Seq((true, 3L), (true, 1L)))._3 == null,
+      "single-class input has undefined AUC, never a fake 0.5")
+    // NULL score/label rows are ignored, not counted into either class
+    val withNulls = Seq(
+      (Some(true), Some(9L)), (Some(false), Some(1L)),
+      (None, Some(5L)), (Some(true), None)
+    ).toDF("y", "s")
+    val r = TextOps.aucRoc(withNulls, "y", "s").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L && r.getLong(2) == 1000000L)
+  }
+
   test("report: row rules and uniqueness rules union into one gate") {
     import spark.implicits._
     val df = Seq((1L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("id", "v")
