@@ -292,4 +292,466 @@ object Forensics {
       .select(col(keyCol), col(idCol), col("v"), col("med_v"),
         col("mad_v"), col("is_outlier"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift — the UNBINNED companion to
+    * `histogramDrift`: where the histogram gate measures drift through
+    * a chosen grid (and a sub-bin shift can hide inside a bin), KS is
+    * the supremum gap between the two EMPIRICAL CDFs over every
+    * distinct value, grid-free by construction. All exact integers:
+    * values quantize to milli-units (the shared convention), per-value
+    * class counts cumulate over the ascending distinct-value order,
+    * and the gap is the CROSS-MULTIPLIED |cum_a·n_b − cum_b·n_a|
+    * through DECIMAL(38,0) (cum·n passes int64 around 3B rows per
+    * side) — no division until the final
+    * ks_micro = max_gap · 1e6 div (n_a·n_b). One row out:
+    * (n_a, n_b, ks_micro, at_v) where at_v is the LOWEST value
+    * attaining the supremum (deterministic tie-break — "where does the
+    * drift live" is the actionable half of the statistic). Identical
+    * samples give 0; disjoint supports give exactly 1e6. An empty side
+    * fails loud — a one-sided KS is undefined, never silently 0.
+    *
+    * Scale shape: one partial-aggregated per-value collapse (the
+    * corpus's only shuffle), then the cumulative window on the
+    * bounded distinct-value table — single partition BY CONTRACT, the
+    * prCurve/benford spine class.
+    */
+  def ksTwoSample(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def q(df: DataFrame, side: Int) = df.filter(col(valueCol).isNotNull)
+      .select(expr(s"CAST(floor($valueCol * 1000) AS BIGINT)").as("v"),
+        lit(side).as("side"))
+    val perValue = q(a, 0).unionByName(q(b, 1))
+      .groupBy("v")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("c_b"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perValue
+      .withColumn("cum_a", sum("c_a").over(w))
+      .withColumn("cum_b", sum("c_b").over(w))
+    val tot = cum.agg(max("cum_a"), max("cum_b")).head()
+    val (na, nb) =
+      (if (tot.isNullAt(0)) 0L else tot.getLong(0),
+        if (tot.isNullAt(1)) 0L else tot.getLong(1))
+    require(na > 0L && nb > 0L,
+      s"ksTwoSample: both samples must be non-empty, got n_a=$na n_b=$nb")
+    cum
+      .withColumn("gap", expr(
+        s"abs(CAST(cum_a AS DECIMAL(38,0)) * ${nb}L - " +
+          s"CAST(cum_b AS DECIMAL(38,0)) * ${na}L)"))
+      .orderBy(col("gap").desc, col("v").asc)
+      .limit(1)
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        expr(s"CAST(gap * 1000000 div (CAST(${na} AS DECIMAL(38,0)) * ${nb}L) AS BIGINT)")
+          .as("ks_micro"),
+        col("v").as("at_v"))
+  }
+
+  /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between
+    * two categorical verdict columns: two quality detectors, two
+    * annotation passes, a model vs its distilled student. Raw accuracy
+    * rewards two detectors that both say "keep" 95% of the time for
+    * agreeing by luck; kappa subtracts exactly that chance term.
+    * Everything exact integers via the cross-multiplied identity
+    * κ = (N·Σ_k n_kk − Σ_k row_k·col_k) / (N² − Σ_k row_k·col_k):
+    * one row out with n, po_micro (observed agreement), pe_micro
+    * (chance agreement) and kappa_micro, all floor-div micro-units
+    * through DECIMAL(38,0) (N² passes int64 at ~3B rows). When both
+    * raters are constant the denominator is 0 and kappa is NULL via
+    * nullif — agreement indistinguishable from chance is undefined,
+    * never a fake 1e6 (the aucRoc single-class convention). Rows with
+    * a NULL on either side are excluded — an unrated item is not an
+    * agreement. Works for any number of classes.
+    *
+    * Scale shape: one per-(a,b)-cell collapse (the corpus's only
+    * shuffle, partial-aggregated map-side to |A|·|B| cells), then the
+    * marginal algebra on the bounded cell table; one final 1-row
+    * aggregate. No window, no join back to the corpus.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("ka"), col(bCol).as("kb"))
+      .agg(count(lit(1)).as("c"))
+    // Σ_k row_k·col_k over classes seen on EITHER side: full-outer
+    // join of the two marginals on the class label, so a class one
+    // rater never uses contributes 0 (coalesce), never a dropped term.
+    val peNum = cells.groupBy("ka").agg(sum("c").as("r"))
+      .join(cells.groupBy("kb").agg(sum("c").as("s")),
+        col("ka") === col("kb"), "full")
+      .agg(sum(expr(
+        "CAST(coalesce(r, 0) AS DECIMAL(38,0)) * coalesce(s, 0)"))
+        .as("__pe_num"))
+    cells
+      .agg(
+        sum("c").as("n"),
+        sum(when(col("ka") === col("kb"), col("c")).otherwise(0L)).as("__diag"))
+      .crossJoin(peNum)
+      .withColumn("po_micro",
+        expr("CAST(CAST(__diag AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"))
+      .withColumn("pe_micro", expr(
+        "CAST(__pe_num * 1000000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+      .withColumn("kappa_micro", expr(
+        """CAST((CAST(n AS DECIMAL(38,0)) * __diag - __pe_num) * 1000000
+          | div nullif(CAST(n AS DECIMAL(38,0)) * n - __pe_num,
+          |            CAST(0 AS DECIMAL(38,0))) AS BIGINT)""".stripMargin))
+      .select(col("n"), col("po_micro"), col("pe_micro"), col("kappa_micro"))
+  }
+
+  /** Spearman rank correlation — the MONOTONE-association companion to
+    * Kendall's tau (`Timeline.pairwiseTrend`): Pearson over the rank
+    * transforms, robust to any monotone rescaling of either column and
+    * to heavy tails that wreck raw-value Pearson. Ties take AVERAGE
+    * ranks, kept integer by the aucRoc DOUBLING trick (avg2 =
+    * 2·cum − cnt + 1 over the per-value cumulative); every moment
+    * (Σr, Σr², Σrxry) is an exact DECIMAL(38,0) integer (n·Σr² ≤ 4n⁴
+    * passes 38 digits to ~1.3B rows), so num = n·Σxy − Σx·Σy and the
+    * two variance terms d1/d2 are exact, and ONLY the final
+    * rho_micro = floor(1e6·num / (√d1·√d2)) touches floats — a PINNED
+    * IEEE order (two correctly-rounded sqrts of exact integers, one
+    * divide) both engines replay bit-for-bit, the q_zscore float-tail
+    * contract. The sqrt runs per-factor, never on d1·d2 (whose product
+    * would overflow 38 digits at ~4M rows). A constant column has
+    * d = 0 → NULL via CASE — correlation with a constant is undefined,
+    * never a fake 0 (the aucRoc single-class convention). Values
+    * quantize to milli-units (the shared convention) before ranking —
+    * rank-equivalent for any sub-milli-preserving data.
+    *
+    * Scale shape: one per-value collapse per column (two
+    * partial-aggregated shuffles), cumulative rank windows on the
+    * bounded distinct-value tables — single partition BY CONTRACT,
+    * the prCurve spine class — then two equi joins map ranks back to
+    * the corpus (broadcast when the value tables are small) and one
+    * 1-row moment aggregate.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(expr(s"CAST(floor($xCol * 1000) AS BIGINT)").as("x"),
+        expr(s"CAST(floor($yCol * 1000) AS BIGINT)").as("y"))
+    def rankMap(c: String) = {
+      val w = Window.orderBy(col(c).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+        .withColumn("__cum", sum("__cnt").over(w))
+        // doubled average rank: 2·min_rank + cnt − 1 = 2·cum − cnt + 1
+        .select(col(c),
+          (lit(2L) * col("__cum") - col("__cnt") + lit(1L)).as(s"r$c"))
+    }
+    base.join(rankMap("x"), Seq("x")).join(rankMap("y"), Seq("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(rx AS DECIMAL(38,0)) * ry")).as("__sxy"),
+        sum(expr("CAST(rx AS DECIMAL(38,0)) * rx")).as("__sxx"),
+        sum(expr("CAST(ry AS DECIMAL(38,0)) * ry")).as("__syy"),
+        sum(expr("CAST(rx AS DECIMAL(38,0))")).as("__sx"),
+        sum(expr("CAST(ry AS DECIMAL(38,0))")).as("__sy"))
+      .withColumn("__num", expr("n * __sxy - __sx * __sy"))
+      .withColumn("__d1", expr("n * __sxx - __sx * __sx"))
+      .withColumn("__d2", expr("n * __syy - __sy * __sy"))
+      .withColumn("rho_micro", expr(
+        """CASE WHEN __d1 IS NULL OR __d1 = 0 OR __d2 = 0 THEN NULL
+          |ELSE CAST(floor(1000000.0 * CAST(__num AS DOUBLE) /
+          |  (sqrt(CAST(__d1 AS DOUBLE)) * sqrt(CAST(__d2 AS DOUBLE))))
+          |  AS BIGINT) END""".stripMargin))
+      .select(col("n"), col("rho_micro"))
+  }
+
+  /** Fleiss' kappa (Fleiss 1971) — the MULTI-rater generalization of
+    * `cohenKappa`: chance-corrected agreement when EVERY item is rated
+    * by the same number n of raters (an annotation pool, an ensemble
+    * of quality detectors). From the item×category count table n_ik:
+    * Po = Σ n_ik(n_ik−1) / (N·n·(n−1)) and Pe = Σ_k (c_k/(N·n))², and
+    * after clearing denominators with T = N·n the whole statistic is
+    * the exact integer identity
+    * κ = (poNum·T − peNum·(n−1)) / ((n−1)·(T² − peNum)) — every term
+    * DECIMAL(38,0) (T³ headroom passes int64-squared to ~1e12
+    * ratings), po/pe/kappa floor-div micro-units. All raters constant
+    * on one category → Pe = 1 → NULL via nullif (the cohenKappa
+    * undefined convention). FAIL-LOUD contracts: a duplicate
+    * (item, rater) rating is a caller bug (one vote per rater); an
+    * UNEQUAL rater count per item breaks Fleiss' denominator — both
+    * require() with the offending evidence, never a silently wrong κ.
+    * NULL on any of (item, rater, category) is excluded first — an
+    * unrated item-slot is not a rating.
+    *
+    * Scale shape: one (item, category) cell collapse (the corpus's
+    * only data shuffle, map-side combined), marginals on the bounded
+    * cell table, two 1-row probes for the equal-n/duplicate guards,
+    * one final 1-row aggregate. No window, no join back.
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, raterCol: String,
+                  categoryCol: String): DataFrame = {
+    val base = df
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull &&
+        col(categoryCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(raterCol).as("__r"),
+        col(categoryCol).as("__k"))
+    val dup = base.groupBy("__i", "__r").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1L).limit(1).collect()
+    require(dup.isEmpty,
+      s"fleissKappa: duplicate (item, rater) rating, e.g. ${dup.headOption}")
+    val cells = base.groupBy("__i", "__k").agg(count(lit(1)).as("c"))
+    val shape = cells.groupBy("__i").agg(sum("c").as("ni"))
+      .agg(min("ni"), max("ni"), count(lit(1))).head()
+    require(!shape.isNullAt(0),
+      "fleissKappa: empty input — kappa over zero items is undefined")
+    val (nMin, nMax, nItems) =
+      (shape.getLong(0), shape.getLong(1), shape.getLong(2))
+    require(nMin == nMax,
+      s"fleissKappa: unequal raters per item ($nMin vs $nMax) — Fleiss requires a constant n")
+    require(nMin >= 2L, s"fleissKappa: need >= 2 raters per item, got $nMin")
+    val t = nItems * nMin
+    cells
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).as("__po_num"))
+      .crossJoin(cells.groupBy("__k").agg(sum("c").as("ck"))
+        .agg(sum(expr("CAST(ck AS DECIMAL(38,0)) * ck")).as("__pe_num")))
+      .select(lit(nItems).as("n_items"), lit(nMin).as("n_raters"),
+        expr(s"CAST(__po_num * 1000000 div (CAST(${t}L AS DECIMAL(38,0)) * ${nMin - 1}L) AS BIGINT)")
+          .as("po_micro"),
+        expr(s"CAST(__pe_num * 1000000 div (CAST(${t}L AS DECIMAL(38,0)) * ${t}L) AS BIGINT)")
+          .as("pe_micro"),
+        expr(
+          s"""CAST((__po_num * ${t}L - __pe_num * ${nMin - 1}L) * 1000000
+             | div nullif(${nMin - 1}L *
+             |   (CAST(${t}L AS DECIMAL(38,0)) * ${t}L - __pe_num),
+             |   CAST(0 AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
+          .as("kappa_micro"))
+  }
+
+  /** Deterministic randomization (permutation) test for a two-group
+    * mean difference — the SIGNIFICANCE companion to `bootstrapCi`'s
+    * error bars: is the observed gap between group means larger than
+    * chance relabeling produces? Each replica reassigns every row's
+    * group by ONE MIDDLE BIT OF THE SQUARE of the affine (id, replica)
+    * mix, forced into [2³⁰, 2³¹) first so the square always fills bits
+    * 60..62 (von Neumann middle-square; measured: 0 skewed replicas in
+    * 999, ~50% collision rate). The low bit of the affine mix itself
+    * is NOT usable — with odd multipliers parity(h) = parity(id + r),
+    * a deterministic stripe, and ANY single output bit of an affine
+    * map is affine; squaring is the cheapest arithmetic non-linearity
+    * both engines replay exactly in int64 (x² < 2⁶² by the range
+    * forcing). Documented: hash-derived randomization, not
+    * cryptographic randomness — a rerun reproduces the same p, the
+    * dpCounts seeding philosophy; random RELABELING, the standard
+    * large-N randomization test, not an exact fixed-margin permutation
+    * — at any real N the two are indistinguishable and relabeling
+    * needs no global shuffle of the label multiset. Group means are quantized to integer NANO-value
+    * units (milli-quantized values, micro-scaled division) BEFORE the
+    * comparison BY CONTRACT, so replica-vs-observed is an exact
+    * integer comparison; p_micro = (1 + #{stat_r ≥ stat_obs})·1e6
+    * div (R_valid + 1) — the add-one estimator, never a fake p = 0.
+    * A replica that relabels one side empty has an undefined mean and
+    * is EXCLUDED with its count reported, never a fabricated zero.
+    * An observed-empty side fails loud — no one-group test.
+    *
+    * Scale shape: the replica explode is map-side (corpus × R rows
+    * partial-aggregate to R rows before the shuffle); the verdict is
+    * one aggregate over the R-row replica table joined to the 1-row
+    * observed stats.
+    */
+  def permutationTest(df: DataFrame, idCol: String, groupCol: String,
+                      valueCol: String, replicas: Int = 200): DataFrame = {
+    require(replicas >= 20 && replicas <= 2000,
+      s"permutationTest: replicas in [20, 2000], got $replicas")
+    val base = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(idCol).as("__id"), col(groupCol).cast("boolean").as("__g"),
+        expr(s"CAST(floor($valueCol * 1000) AS BIGINT)").as("v"))
+    def sides(g: org.apache.spark.sql.Column) = Seq(
+      sum(when(g, expr("CAST(v AS DECIMAL(38,0))")).otherwise(
+        expr("CAST(0 AS DECIMAL(38,0))"))).as("sa"),
+      sum(when(g, 1L).otherwise(0L)).as("na"),
+      sum(when(!g, expr("CAST(v AS DECIMAL(38,0))")).otherwise(
+        expr("CAST(0 AS DECIMAL(38,0))"))).as("sb"),
+      sum(when(!g, 1L).otherwise(0L)).as("nb"))
+    val statExpr =
+      """abs(CAST(sa * 1000000 div nullif(CAST(na AS DECIMAL(38,0)),
+        |            CAST(0 AS DECIMAL(38,0))) AS BIGINT) -
+        |    CAST(sb * 1000000 div nullif(CAST(nb AS DECIMAL(38,0)),
+        |            CAST(0 AS DECIMAL(38,0))) AS BIGINT))""".stripMargin
+    val s = sides(col("__g"))
+    val obs = base.agg(s.head, s.tail: _*)
+      .withColumn("stat_nano", expr(statExpr))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("stat_nano"))
+    val o = obs.head()
+    require(o.getLong(0) > 0L && o.getLong(1) > 0L,
+      s"permutationTest: both groups must be non-empty, got n_a=${o.getLong(0)} n_b=${o.getLong(1)}")
+    val sr = sides((col("__h") % 2L) === 0L)
+    val reps = base
+      .select(col("__id"), col("v"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .withColumn("__x", expr(
+        "pmod(__id * 2654435761L + r * 97530707L + 12345L, 2147483648L) div 2 + 1073741824L"))
+      .withColumn("__h", expr("(__x * __x) div 2147483648L"))
+      .groupBy("r").agg(sr.head, sr.tail: _*)
+      .withColumn("rep_stat_nano",
+        expr(s"CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE $statExpr END"))
+    reps
+      .agg(
+        sum(when(col("rep_stat_nano").isNull, 1L).otherwise(0L))
+          .as("n_empty_replicas"),
+        sum(when(col("rep_stat_nano") >= o.getLong(2), 1L).otherwise(0L))
+          .as("n_ge"),
+        sum(when(col("rep_stat_nano").isNotNull, 1L).otherwise(0L))
+          .as("n_valid"))
+      .select(lit(o.getLong(0)).as("n_a"), lit(o.getLong(1)).as("n_b"),
+        lit(o.getLong(2)).as("stat_nano"), col("n_valid"),
+        col("n_empty_replicas"), col("n_ge"),
+        expr("((n_ge + 1) * 1000000L) div (n_valid + 1)").as("p_micro"))
+  }
+
+  /** Keyed randomization test — `permutationTest` run independently
+    * per key in ONE pass (the bootstrapCi shape: the replica explode
+    * partial-aggregates corpus × R to keys × R before any shuffle);
+    * the input table for multiple-testing control (`bhFdr`). Same
+    * middle-square relabeling, same nano-unit exact comparison, same
+    * add-one p. Per-key degeneracy is handled by EMISSION, not a
+    * crash (the keyed twin cannot fail loud on one bad key and drop
+    * the rest): a key whose OBSERVED groups are one-sided emits with
+    * NULL stat/p; one-side-empty replicas are excluded per key with
+    * their count reported.
+    */
+  def permutationTestByKey(df: DataFrame, keyCol: String, idCol: String,
+                           groupCol: String, valueCol: String,
+                           replicas: Int = 200): DataFrame = {
+    require(replicas >= 20 && replicas <= 2000,
+      s"permutationTestByKey: replicas in [20, 2000], got $replicas")
+    val base = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(keyCol).as("__key"), col(idCol).as("__id"),
+        col(groupCol).cast("boolean").as("__g"),
+        expr(s"CAST(floor($valueCol * 1000) AS BIGINT)").as("v"))
+    def sides(g: org.apache.spark.sql.Column) = Seq(
+      sum(when(g, expr("CAST(v AS DECIMAL(38,0))")).otherwise(
+        expr("CAST(0 AS DECIMAL(38,0))"))).as("sa"),
+      sum(when(g, 1L).otherwise(0L)).as("na"),
+      sum(when(!g, expr("CAST(v AS DECIMAL(38,0))")).otherwise(
+        expr("CAST(0 AS DECIMAL(38,0))"))).as("sb"),
+      sum(when(!g, 1L).otherwise(0L)).as("nb"))
+    val statExpr =
+      """CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE
+        |abs(CAST(sa * 1000000 div CAST(na AS DECIMAL(38,0)) AS BIGINT) -
+        |    CAST(sb * 1000000 div CAST(nb AS DECIMAL(38,0)) AS BIGINT))
+        |END""".stripMargin
+    val s = sides(col("__g"))
+    val obs = base.groupBy(col("__key")).agg(s.head, s.tail: _*)
+      .select(col("__key"), col("na").as("n_a"), col("nb").as("n_b"),
+        expr(statExpr).as("stat_nano"))
+    // one replica table (keys × R after the map-side partial agg),
+    // observed stats broadcast onto it so n_valid / n_empty / n_ge
+    // come out of a single per-key aggregate
+    val sr = sides((col("__h") % 2L) === 0L)
+    val reps = base
+      .select(col("__key"), col("__id"), col("v"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("r"))
+      .withColumn("__x", expr(
+        "pmod(__id * 2654435761L + r * 97530707L + 12345L, 2147483648L) div 2 + 1073741824L"))
+      .withColumn("__h", expr("(__x * __x) div 2147483648L"))
+      .groupBy(col("__key"), col("r")).agg(sr.head, sr.tail: _*)
+      .withColumn("rep_stat_nano", expr(statExpr))
+      .join(broadcast(obs.select(col("__key"), col("stat_nano"))),
+        Seq("__key"))
+      .groupBy(col("__key"))
+      .agg(
+        sum(when(col("rep_stat_nano").isNull, 1L).otherwise(0L))
+          .as("n_empty_replicas"),
+        sum(when(col("rep_stat_nano").isNotNull, 1L).otherwise(0L))
+          .as("n_valid"),
+        sum(when(col("rep_stat_nano") >= col("stat_nano"), 1L)
+          .otherwise(0L)).as("n_ge"))
+    obs
+      .join(reps, Seq("__key"), "left")
+      .select(col("__key").as(keyCol), col("n_a"), col("n_b"),
+        col("stat_nano"), col("n_valid"), col("n_empty_replicas"),
+        col("n_ge"),
+        expr("""CASE WHEN stat_nano IS NULL THEN NULL
+          |ELSE ((n_ge + 1) * 1000000L) div (n_valid + 1) END""".stripMargin)
+          .as("p_micro"))
+  }
+
+  /** Benjamini-Hochberg FDR control (Benjamini & Hochberg 1995) — the
+    * multiple-testing gate a battery of per-key tests needs: running
+    * 30 per-source drift tests at α = 0.05 each expects 1.5 false
+    * alarms; BH bounds the FALSE DISCOVERY RATE instead. Tests sort by
+    * p ascending (tie-break by id — deterministic), the largest rank
+    * k with p_(k)·m ≤ k·α survives (CROSS-MULTIPLIED exact integers —
+    * no division enters the gate), and BH rejects EVERY test of rank
+    * ≤ k — including ones whose own inequality fails, the step-up
+    * subtlety naive per-row thresholding gets wrong (pinned by law).
+    * Per test: rank, the BH critical value crit_micro = rank·α div m,
+    * whether its own inequality holds, and the step-up verdict. NULL
+    * p tests are EXCLUDED from m and emitted with NULL rank/verdict —
+    * a test that produced no p-value cannot count against the budget.
+    *
+    * Scale shape: runs on the TESTS table (one row per hypothesis —
+    * bounded by construction, the prCurve-spine class): one rank
+    * window + one max window over m rows, single partition BY
+    * CONTRACT.
+    */
+  def bhFdr(df: DataFrame, idCol: String, pCol: String,
+            alphaMicro: Long = 50000L): DataFrame = {
+    require(alphaMicro >= 1L && alphaMicro <= 1000000L,
+      s"bhFdr: alphaMicro in [1, 1e6], got $alphaMicro")
+    val w = Window.orderBy(col(pCol).asc, col(idCol).asc)
+    val all = Window.partitionBy(lit(1))
+    val ranked = df.filter(col(pCol).isNotNull)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("passes_own",
+        expr(s"$pCol * m <= rank * ${alphaMicro}L"))
+      .withColumn("__kstar",
+        max(when(col("passes_own"), col("rank")).otherwise(0L)).over(all))
+      .select(col(idCol), col(pCol), col("rank"), col("m"),
+        expr(s"(rank * ${alphaMicro}L) div m").as("crit_micro"),
+        col("passes_own"), (col("rank") <= col("__kstar")).as("rejected"))
+    val excluded = df.filter(col(pCol).isNull)
+      .select(col(idCol), col(pCol), lit(null).cast("long").as("rank"),
+        lit(null).cast("long").as("m"),
+        lit(null).cast("long").as("crit_micro"),
+        lit(null).cast("boolean").as("passes_own"),
+        lit(null).cast("boolean").as("rejected"))
+    ranked.unionByName(excluded)
+  }
+
+  /** Trimmed mean — the third robust-location tool next to the median
+    * (`madOutliers`) and the plain mean: per key, drop the k =
+    * ⌊n·trimPct/100⌋ smallest and k largest values by rank and average
+    * the rest, reported next to the RAW mean so the gap itself is the
+    * outlier signal (a large raw-vs-trimmed gap = tail mass). Exact
+    * integers: milli-quantized values, DECIMAL sums, micro floor-div
+    * means. Rank ties need no tie-break BY ARGUMENT: which of several
+    * EQUAL values gets trimmed cannot change the kept-set SUM — the
+    * output is deterministic even though row_number on ties is not.
+    * A fully-trimmed key (2k ≥ n can't happen at trimPct ≤ 25 and
+    * n ≥ 1, pinned by the require) would emit NULL via nullif, never
+    * a division error.
+    *
+    * Scale shape: one rank window + one count window sharing the
+    * per-key partition (one Exchange), one per-key aggregate.
+    */
+  def trimmedMean(df: DataFrame, keyCol: String, valueCol: String,
+                  trimPct: Int = 10): DataFrame = {
+    require(trimPct >= 1 && trimPct <= 25,
+      s"trimmedMean: trimPct in [1, 25], got $trimPct")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol),
+        expr(s"CAST(floor($valueCol * 1000) AS BIGINT)").as("v"))
+    val byKey = Window.partitionBy(col(keyCol))
+    base
+      .withColumn("__rk", row_number().over(byKey.orderBy(col("v").asc))
+        .cast("long"))
+      .withColumn("__n", count(lit(1)).over(byKey))
+      .withColumn("__k", expr(s"(__n * ${trimPct}L) div 100L"))
+      .groupBy(col(keyCol))
+      .agg(
+        max("__n").as("n"), max("__k").as("k_trimmed"),
+        expr("CAST(sum(CAST(v AS DECIMAL(38,0))) * 1000 div count(1) AS BIGINT)")
+          .as("mean_micro"),
+        expr(
+          """CAST(sum(CASE WHEN __rk > __k AND __rk <= __n - __k
+            |  THEN CAST(v AS DECIMAL(38,0))
+            |  ELSE CAST(0 AS DECIMAL(38,0)) END) * 1000
+            | div nullif(sum(CASE WHEN __rk > __k AND __rk <= __n - __k
+            |  THEN 1L ELSE 0L END), 0L) AS BIGINT)""".stripMargin)
+          .as("trimmed_mean_micro"))
+  }
 }

@@ -84,4 +84,53 @@ object Triangles {
           expr("2000000 * coalesce(triangles, 0) div (degree * (degree - 1))"))
           .otherwise(lit(0L)).cast("long").as("lcc_micro"))
   }
+
+  /** Degree assortativity (Newman 2002) — do hubs link to hubs
+    * (r > 0, social-network shape) or to leaves (r < 0, hub-and-spoke
+    * shape)? The one-number structure summary next to the local
+    * clustering coefficient: Pearson correlation over the
+    * (deg(src), deg(dst)) pairs of the symmetrized edge set (each
+    * undirected edge contributes BOTH orientations — the standard
+    * convention, making Σx = Σy and r symmetric by construction).
+    * Same exactness contract as `Forensics.spearman`: all moments are
+    * exact DECIMAL(38,0) integers (degrees ≤ n keep m·Σd² well inside
+    * 38 digits at any real edge count), and only the final
+    * r_micro = floor(1e6·num/(√d1·√d2)) touches floats — the pinned
+    * two-sqrt IEEE tail both engines replay bit-for-bit. A REGULAR
+    * graph (all degrees equal) has d = 0 → NULL — assortativity of a
+    * degree-constant graph is undefined, never a fake 0. Self-loops
+    * dropped, duplicate/directed input edges collapse in the same
+    * canonicalize step `localTriangles` uses.
+    *
+    * Scale shape: one canonicalize shuffle, one degree aggregate, two
+    * equi joins mapping degrees onto edge endpoints (broadcast when
+    * the degree table is small), one 1-row moment aggregate.
+    */
+  def assortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("d"))
+    sym
+      .join(deg.select(col("a"), col("d").as("dx")), Seq("a"))
+      .join(deg.select(col("a").as("b"), col("d").as("dy")), Seq("b"))
+      .agg(count(lit(1)).as("n_directed_edges"),
+        sum(expr("CAST(dx AS DECIMAL(38,0)) * dy")).as("__sxy"),
+        sum(expr("CAST(dx AS DECIMAL(38,0)) * dx")).as("__sxx"),
+        sum(expr("CAST(dy AS DECIMAL(38,0)) * dy")).as("__syy"),
+        sum(expr("CAST(dx AS DECIMAL(38,0))")).as("__sx"),
+        sum(expr("CAST(dy AS DECIMAL(38,0))")).as("__sy"))
+      .withColumn("r_micro", expr(
+        """CASE WHEN __sxy IS NULL
+          |  OR n_directed_edges * __sxx - __sx * __sx = 0
+          |  OR n_directed_edges * __syy - __sy * __sy = 0 THEN NULL
+          |ELSE CAST(floor(1000000.0 *
+          |  CAST(n_directed_edges * __sxy - __sx * __sy AS DOUBLE) /
+          |  (sqrt(CAST(n_directed_edges * __sxx - __sx * __sx AS DOUBLE)) *
+          |   sqrt(CAST(n_directed_edges * __syy - __sy * __sy AS DOUBLE))))
+          |  AS BIGINT) END""".stripMargin))
+      .select(col("n_directed_edges"), col("r_micro"))
+  }
 }

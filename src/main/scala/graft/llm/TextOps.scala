@@ -695,6 +695,136 @@ object TextOps {
       .select(col("n_pos"), col("n_neg"), col("auc_micro"))
   }
 
+  /** Calibration / reliability table + expected calibration error
+    * (Naeini et al. 2015's ECE on equal-width bins) — the third leg of
+    * the eval stool next to `prCurve` (threshold choice) and `aucRoc`
+    * (ranking): does a detector's SCORE mean what it says? Scores are
+    * micro-unit probabilities in [0, 1e6]; bin b holds
+    * score div (1e6/nBins) with the top edge closed into the last bin
+    * (a perfect 1e6 is confidence, not an eleventh bin). Per bin the
+    * exact integer table: n, n_pos, mean_score_micro = Σscore div n,
+    * pos_rate_micro = n_pos·1e6 div n, gap_micro = |mean − rate|, and
+    * ECE = Σ_b n_b·gap_b div N stamped on every row (the
+    * histogramDrift TV convention). EVERY bin of the fixed grid is
+    * emitted — an empty bin shows n = 0 with NULL rates (no fake 0
+    * gap), and is excluded from the ECE sum. Scores outside [0, 1e6]
+    * fail loud — an out-of-range "probability" is a caller bug, not a
+    * bin.
+    *
+    * Scale shape: one partial-aggregated bin collapse (the corpus's
+    * only shuffle — nBins cells), the ECE algebra on the bounded bin
+    * table, broadcast spine join so empties surface. No window.
+    */
+  def calibration(df: DataFrame, labelCol: String, scoreCol: String,
+                  nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000,
+      s"calibration: nBins in [2, 1000], got $nBins")
+    val spark = df.sparkSession
+    val width = 1000000L / nBins
+    val scored = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+    val oob = scored.filter(col("s") < 0L || col("s") > 1000000L).limit(1)
+    require(oob.isEmpty,
+      s"calibration: $scoreCol must be micro-units in [0, 1e6]")
+    val binned = scored
+      .withColumn("bin", least(expr(s"s div ${width}L"), lit(nBins - 1L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum(expr("CAST(s AS DECIMAL(38,0))")).as("__ssum"))
+      .withColumn("mean_score_micro",
+        expr("CAST(__ssum div n AS BIGINT)"))
+      .withColumn("pos_rate_micro", expr(
+        "CAST(CAST(n_pos AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"))
+      .withColumn("gap_micro",
+        abs(col("mean_score_micro") - col("pos_rate_micro")))
+    val tot = binned
+      .agg(sum("n").as("__N"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * gap_micro")).as("__wgap"))
+    val spine = spark.range(nBins).select(col("id").as("bin"))
+    spine
+      .join(binned, Seq("bin"), "left")
+      .crossJoin(tot)
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("n_pos", coalesce(col("n_pos"), lit(0L)))
+      .withColumn("ece_micro",
+        expr("CAST(__wgap div nullif(__N, 0) AS BIGINT)"))
+      .select(col("bin"), (lit(width) * col("bin")).as("lo_micro"),
+        col("n"), col("n_pos"), col("mean_score_micro"),
+        col("pos_rate_micro"), col("gap_micro"), col("ece_micro"))
+  }
+
+  /** Cumulative gains / lift table — the TRIAGE readout of the eval
+    * stool (prCurve picks a threshold, aucRoc ranks, calibration
+    * trusts the score, lift answers "how much better than random is
+    * reviewing the top 10%?"): rank the corpus by score descending,
+    * cut into nBuckets equal-population buckets, and per bucket report
+    * n / n_pos, the cumulative capture rate (share of ALL positives
+    * caught at or above this bucket, micro-units), and the cumulative
+    * lift vs the base rate (cum_pos·N·1e6 div (cum_n·P) — cross-
+    * multiplied exact integers, 1e6 = random). Buckets are
+    * SCORE-BLOCK-ATOMIC: a tied score cannot be half-assigned (the
+    * prCurve tie law), so each distinct-score block lands in the
+    * bucket of its first row (bucket = cum_before·nBuckets div N) and
+    * a giant tie block can leave later buckets EMPTY — those emit
+    * n = 0 with the cumulative columns still correctly stamped (spine
+    * join, then cumulate), never a dropped row. `min_score` per bucket
+    * is the implied threshold ("review everything ≥ this"). Zero
+    * positives → capture/lift NULL via nullif — lift over no positives
+    * is undefined, never a fake 0.
+    *
+    * Scale shape: one per-score collapse (the corpus's only shuffle),
+    * cumulative windows on the bounded distinct-score table — single
+    * partition BY CONTRACT, the prCurve spine class — then an
+    * nBuckets-row aggregate + broadcast spine join.
+    */
+  def liftCurve(df: DataFrame, labelCol: String, scoreCol: String,
+                nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000,
+      s"liftCurve: nBuckets in [2, 1000], got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val perScore = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("c"), sum("y").as("cp"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buckets = perScore
+      .withColumn("__cum_n", sum("c").over(w))
+      .crossJoin(perScore.agg(
+        sum("c").as("__N"),
+        sum("cp").as("__P")))
+      .withColumn("bucket",
+        expr(s"((__cum_n - c) * ${nBuckets}L) div __N"))
+      .groupBy("bucket")
+      .agg(sum("c").as("n"), sum("cp").as("n_pos"), min("s").as("min_score"),
+        max("__N").as("__N"), max("__P").as("__P"))
+    val spine = spark.range(nBuckets).select(col("id").as("bucket"))
+    val wb = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(buckets, Seq("bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("n_pos", coalesce(col("n_pos"), lit(0L)))
+      .withColumn("__cum_n", sum("n").over(wb))
+      .withColumn("__cum_pos", sum("n_pos").over(wb))
+      .withColumn("capture_micro", expr(
+        """(__cum_pos * 1000000L) div
+          |  nullif(max(__P) OVER (), 0L)""".stripMargin))
+      .withColumn("lift_micro", expr(
+        """CAST(CAST(__cum_pos AS DECIMAL(38,0)) * max(__N) OVER ()
+          |  * 1000000 div nullif(
+          |    CAST(__cum_n AS DECIMAL(38,0)) * max(__P) OVER (),
+          |    CAST(0 AS DECIMAL(38,0))) AS BIGINT)""".stripMargin))
+      .select(col("bucket"), col("n"), col("n_pos"), col("min_score"),
+        col("__cum_n").as("cum_n"), col("__cum_pos").as("cum_pos"),
+        col("capture_micro"), col("lift_micro"))
+  }
+
   /** Flesch reading-ease readability (Flesch 1948 — the curation
     * filter the published pipelines bin documents with before
     * curriculum ordering): 206.835 − 1.015·(words/sentences) −

@@ -459,6 +459,28 @@ object PipelineQueries {
           .withColumn("is_en", col("lang") === "en"),
         "is_en", "score_micro")),
 
+    // -- eval: reliability table of the same detector — fixed-width
+    //    score bins, exact mean-score vs positive-rate gap, ECE
+    //    stamped on every row; empty bins emitted with NULL rates ----
+    "q_calibration" -> ((s, dir) =>
+      TextOps.calibration(
+        withStats(Tables.documents(s, dir))
+          .withColumn("score_micro",
+            expr("(CAST(n_stop AS BIGINT) * 1000000L) div n_tokens"))
+          .withColumn("is_en", col("lang") === "en"),
+        "is_en", "score_micro", nBins = 10)),
+
+    // -- eval: cumulative gains/lift of the same detector — score-
+    //    block-atomic deciles, exact capture rate and cross-multiplied
+    //    lift vs base rate; empty buckets emitted, cum-stamped --------
+    "q_lift_curve" -> ((s, dir) =>
+      TextOps.liftCurve(
+        withStats(Tables.documents(s, dir))
+          .withColumn("score_micro",
+            expr("(CAST(n_stop AS BIGINT) * 1000000L) div n_tokens"))
+          .withColumn("is_en", col("lang") === "en"),
+        "is_en", "score_micro", nBuckets = 10)),
+
     // -- flagship composition: the canonical corpus-curation pipeline.
     //    Quality gate → near-duplicate removal (keep the lower doc_id
     //    of each Jaccard pair) → per-source corpus stats. Every stage
@@ -2148,6 +2170,96 @@ object PipelineQueries {
         |    // nullif(CAST(2 AS HUGEINT) * n_pos * n_neg, 0) AS BIGINT)
         |    AS auc_micro
         |FROM a""".stripMargin,
+
+    // fixed-grid bin collapse, HUGEINT score sums, spine LEFT JOIN so
+    // empty bins surface with NULL rates; ECE = sum(n*gap) // N
+    "q_calibration" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+        |), f AS (
+        |  SELECT (CAST(len(list_filter(toks,
+        |      t -> t IN ('the', 'a', 'of', 'and', 'is', 'to'))) AS BIGINT)
+        |      * 1000000) // len(toks) AS sc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM s
+        |), b AS (
+        |  SELECT least(sc // 100000, 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    sum(CAST(sc AS HUGEINT)) AS ssum
+        |  FROM f GROUP BY 1
+        |), g AS (
+        |  SELECT bin, n, n_pos,
+        |    CAST(ssum // n AS BIGINT) AS mean_score_micro,
+        |    CAST(CAST(n_pos AS HUGEINT) * 1000000 // n AS BIGINT)
+        |      AS pos_rate_micro
+        |  FROM b
+        |), g2 AS (
+        |  SELECT *, abs(mean_score_micro - pos_rate_micro) AS gap_micro
+        |  FROM g
+        |), t AS (
+        |  SELECT sum(n) AS N,
+        |    sum(CAST(n AS HUGEINT) * gap_micro) AS wgap
+        |  FROM g2
+        |), spine AS (
+        |  SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bin
+        |)
+        |SELECT spine.bin, spine.bin * 100000 AS lo_micro,
+        |  coalesce(g2.n, 0) AS n, coalesce(g2.n_pos, 0) AS n_pos,
+        |  g2.mean_score_micro, g2.pos_rate_micro, g2.gap_micro,
+        |  CAST(t.wgap // nullif(t.N, 0) AS BIGINT) AS ece_micro
+        |FROM spine LEFT JOIN g2 USING (bin) CROSS JOIN t""".stripMargin,
+
+    // per-score collapse, desc cumulative, block-atomic bucket =
+    // cum_before·10 // N, spine join, cum re-stamped over all buckets
+    "q_lift_curve" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+        |), f AS (
+        |  SELECT (CAST(len(list_filter(toks,
+        |      t -> t IN ('the', 'a', 'of', 'and', 'is', 'to'))) AS BIGINT)
+        |      * 1000000) // len(toks) AS sc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM s
+        |), ps AS (
+        |  SELECT sc, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(y) AS BIGINT) AS cp
+        |  FROM f GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS N, CAST(sum(cp) AS BIGINT) AS P
+        |  FROM ps
+        |), cum AS (
+        |  SELECT sc, c, cp,
+        |    CAST(sum(c) OVER (ORDER BY sc DESC ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_n
+        |  FROM ps
+        |), bk AS (
+        |  SELECT ((cum.cum_n - cum.c) * 10) // tot.N AS bucket,
+        |    CAST(sum(cum.c) AS BIGINT) AS n,
+        |    CAST(sum(cum.cp) AS BIGINT) AS n_pos,
+        |    min(cum.sc) AS min_score
+        |  FROM cum CROSS JOIN tot GROUP BY 1
+        |), spine AS (
+        |  SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bucket
+        |), j AS (
+        |  SELECT spine.bucket, coalesce(bk.n, 0) AS n,
+        |    coalesce(bk.n_pos, 0) AS n_pos, bk.min_score
+        |  FROM spine LEFT JOIN bk USING (bucket)
+        |), cj AS (
+        |  SELECT bucket, n, n_pos, min_score,
+        |    CAST(sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_n,
+        |    CAST(sum(n_pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_pos
+        |  FROM j
+        |)
+        |SELECT cj.bucket, cj.n, cj.n_pos, cj.min_score, cj.cum_n, cj.cum_pos,
+        |  CAST((cj.cum_pos * 1000000) // nullif(tot.P, 0) AS BIGINT)
+        |    AS capture_micro,
+        |  CAST(CAST(cj.cum_pos AS HUGEINT) * tot.N * 1000000
+        |    // nullif(CAST(cj.cum_n AS HUGEINT) * tot.P, 0) AS BIGINT)
+        |    AS lift_micro
+        |FROM cj CROSS JOIN tot""".stripMargin,
 
     // per-score collapse, descending cumulative window, exact P/R/F1
     "q_pr_curve" ->

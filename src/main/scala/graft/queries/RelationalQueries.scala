@@ -467,12 +467,66 @@ object RelationalQueries {
         "value", nBins = 10)
     }),
 
+    // -- forensics: the UNBINNED drift statistic on the same planted
+    //    shift — exact two-sample KS via cross-multiplied ECDFs, with
+    //    the supremum's location (lowest attaining value) ------------
+    "q_ks_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Forensics.ksTwoSample(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1)
+          .withColumn("value", col("value") +
+            when(col("event_type") === "error", 50.0).otherwise(0.0)),
+        "value")
+    }),
+
+    // -- eval: chance-corrected agreement between the day-parity user
+    //    halves' verdict columns — Cohen's kappa on (high-value?,
+    //    error?) detector pairs, exact cross-multiplied integers ------
+    "q_kappa" -> ((s, dir) =>
+      Forensics.cohenKappa(
+        Tables.events(s, dir)
+          .withColumn("pred_hot", col("value") >= 100.0)
+          .withColumn("is_err", col("event_type") === "error"),
+        "pred_hot", "is_err")),
+
     // -- forensics: deterministic Poisson-bootstrap CI — the error bar
     //    per event-type mean value, 100 hash-derived replicas, exact
     //    order-statistic percentile bounds -----------------------------
     "q_bootstrap_ci" -> ((s, dir) =>
       Forensics.bootstrapCi(Tables.events(s, dir), "event_type",
         "event_id", "value", replicas = 100)),
+
+    // -- stats: Spearman rank correlation between lineitem quantity and
+    //    extended price — monotone association through exact doubled
+    //    average ranks; only the final rho divides (pinned IEEE tail) --
+    "q_spearman" -> ((s, dir) =>
+      Forensics.spearman(Tables.lineitem(s, dir),
+        "l_quantity", "l_extendedprice")),
+
+    // -- eval: Fleiss' kappa across THREE detectors rating every event
+    //    (two value thresholds + the error flag, unpivoted to
+    //    (item, rater, verdict)) — the multi-rater agreement readout ---
+    "q_fleiss" -> ((s, dir) =>
+      Forensics.fleissKappa(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull && col("event_type").isNotNull)
+          .select(col("event_id"), expr(
+            """stack(3,
+              |  'r1', CASE WHEN value >= 100.0 THEN 'hot' ELSE 'cold' END,
+              |  'r2', CASE WHEN value >= 120.0 THEN 'hot' ELSE 'cold' END,
+              |  'r3', CASE WHEN event_type = 'error' THEN 'hot' ELSE 'cold' END)
+              |AS (rater, verdict)""".stripMargin)),
+        "event_id", "rater", "verdict")),
+
+    // -- stats: deterministic randomization test — is the error-type
+    //    mean value gap significant vs 100 hash-relabeled replicas?
+    //    Middle-square relabeling, exact nano-unit stat comparison -----
+    "q_permutation_test" -> ((s, dir) =>
+      Forensics.permutationTest(
+        Tables.events(s, dir)
+          .withColumn("is_err", col("event_type") === "error"),
+        "event_id", "is_err", "value", replicas = 100)),
 
     // Benford first-digit screen on order totals: exact micro-unit
     // digit shares vs the pinned logarithmic expectation, Nigrini MAD.
@@ -1039,6 +1093,202 @@ object RelationalQueries {
         |  CAST(d.n_a AS BIGINT) AS n_a, CAST(d.n_b AS BIGINT) AS n_b,
         |  d.share_a_micro, d.share_b_micro, d.delta_micro, tv.tv_micro
         |FROM d CROSS JOIN w CROSS JOIN tv""".stripMargin,
+
+    // per-value class counts, cumulative ECDFs, cross-multiplied
+    // HUGEINT gap, supremum row by (gap DESC, v ASC)
+    "q_ks_drift" ->
+      """WITH a AS (
+        |  SELECT CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+        |), b AS (
+        |  SELECT CAST(floor((value +
+        |      CASE WHEN event_type = 'error' THEN 50.0 ELSE 0.0 END) * 1000)
+        |    AS BIGINT) AS v
+        |  FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+        |), u AS (
+        |  SELECT v, 0 AS side FROM a UNION ALL SELECT v, 1 FROM b
+        |), pv AS (
+        |  SELECT v,
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM u GROUP BY 1
+        |), c AS (
+        |  SELECT v,
+        |    sum(c_a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |    sum(c_b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+        |  FROM pv
+        |), t AS (
+        |  SELECT max(cum_a) AS na, max(cum_b) AS nb FROM c
+        |), g AS (
+        |  SELECT c.v,
+        |    abs(CAST(c.cum_a AS HUGEINT) * t.nb -
+        |        CAST(c.cum_b AS HUGEINT) * t.na) AS gap,
+        |    t.na, t.nb
+        |  FROM c CROSS JOIN t
+        |)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(gap * 1000000 // (CAST(na AS HUGEINT) * nb) AS BIGINT)
+        |    AS ks_micro,
+        |  v AS at_v
+        |FROM g ORDER BY gap DESC, v ASC LIMIT 1""".stripMargin,
+
+    // contingency cells, full-outer marginal product, cross-multiplied
+    // kappa with the nullif-undefined denominator
+    "q_kappa" ->
+      """WITH f AS (
+        |  SELECT (value >= 100.0) AS ka, (event_type = 'error') AS kb
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |), cells AS (
+        |  SELECT ka, kb, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 1, 2
+        |), rm AS (
+        |  SELECT ka AS k, sum(c) AS r FROM cells GROUP BY 1
+        |), cm AS (
+        |  SELECT kb AS k, sum(c) AS s2 FROM cells GROUP BY 1
+        |), pe AS (
+        |  SELECT sum(CAST(coalesce(r, 0) AS HUGEINT) * coalesce(s2, 0))
+        |    AS pe_num
+        |  FROM rm FULL JOIN cm USING (k)
+        |), t AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ka = kb THEN c ELSE 0 END) AS BIGINT) AS diag
+        |  FROM cells
+        |)
+        |SELECT n,
+        |  CAST(CAST(diag AS HUGEINT) * 1000000 // n AS BIGINT) AS po_micro,
+        |  CAST(pe_num * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT)
+        |    AS pe_micro,
+        |  CAST((CAST(n AS HUGEINT) * diag - pe_num) * 1000000
+        |    // nullif(CAST(n AS HUGEINT) * n - pe_num, 0) AS BIGINT)
+        |    AS kappa_micro
+        |FROM t CROSS JOIN pe""".stripMargin,
+
+    // per-value collapses → doubled average ranks, exact HUGEINT
+    // moments, the pinned IEEE tail (two sqrts, one divide, floor)
+    "q_spearman" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(l_quantity * 1000) AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 1000) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |), px AS (
+        |  SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1
+        |), rx AS (
+        |  SELECT x, 2 * sum(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+        |    - cnt + 1 AS rx FROM px
+        |), py AS (
+        |  SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1
+        |), ry AS (
+        |  SELECT y, 2 * sum(cnt) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+        |    - cnt + 1 AS ry FROM py
+        |), j AS (
+        |  SELECT rx.rx, ry.ry FROM b JOIN rx USING (x) JOIN ry USING (y)
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(rx AS HUGEINT) * ry) AS sxy,
+        |    sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+        |    sum(CAST(ry AS HUGEINT) * ry) AS syy,
+        |    sum(CAST(rx AS HUGEINT)) AS sx,
+        |    sum(CAST(ry AS HUGEINT)) AS sy
+        |  FROM j
+        |)
+        |SELECT n,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |  ELSE CAST(floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) END
+        |    AS rho_micro
+        |FROM m""".stripMargin,
+
+    // three unpivoted raters per event, item×category cells, the
+    // cleared-denominator Fleiss identity in exact HUGEINT integers
+    "q_fleiss" ->
+      """WITH f AS (
+        |  SELECT event_id, value, event_type FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |), r AS (
+        |  SELECT event_id,
+        |    CASE WHEN value >= 100.0 THEN 'hot' ELSE 'cold' END AS k FROM f
+        |  UNION ALL
+        |  SELECT event_id,
+        |    CASE WHEN value >= 120.0 THEN 'hot' ELSE 'cold' END FROM f
+        |  UNION ALL
+        |  SELECT event_id,
+        |    CASE WHEN event_type = 'error' THEN 'hot' ELSE 'cold' END FROM f
+        |), cells AS (
+        |  SELECT event_id, k, CAST(count(*) AS BIGINT) AS c
+        |  FROM r GROUP BY 1, 2
+        |), po AS (
+        |  SELECT sum(CAST(c AS HUGEINT) * (c - 1)) AS po_num FROM cells
+        |), pe AS (
+        |  SELECT sum(CAST(ck AS HUGEINT) * ck) AS pe_num
+        |  FROM (SELECT k, sum(c) AS ck FROM cells GROUP BY 1)
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(count(*) AS BIGINT) * 3 AS tt FROM f
+        |)
+        |SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
+        |  CAST(po_num * 1000000 // (CAST(tt AS HUGEINT) * 2) AS BIGINT)
+        |    AS po_micro,
+        |  CAST(pe_num * 1000000 // (CAST(tt AS HUGEINT) * tt) AS BIGINT)
+        |    AS pe_micro,
+        |  CAST((po_num * tt - pe_num * 2) * 1000000
+        |    // nullif(2 * (CAST(tt AS HUGEINT) * tt - pe_num), 0) AS BIGINT)
+        |    AS kappa_micro
+        |FROM t CROSS JOIN po CROSS JOIN pe""".stripMargin,
+
+    // middle-square relabeling per (id, replica), exact nano-unit
+    // means, add-one p; empty-side replicas NULL and excluded
+    "q_permutation_test" ->
+      """WITH b AS (
+        |  SELECT event_id AS id, (event_type = 'error') AS g,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |), obs AS (
+        |  SELECT sum(CASE WHEN g THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+        |    CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    sum(CASE WHEN NOT g THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb,
+        |    CAST(sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM b
+        |), ob AS (
+        |  SELECT na AS n_a, nb AS n_b,
+        |    abs(CAST(sa * 1000000 // na AS BIGINT) -
+        |        CAST(sb * 1000000 // nb AS BIGINT)) AS stat_nano
+        |  FROM obs
+        |), ex AS (
+        |  SELECT r.r, b.v,
+        |    (((b.id * 2654435761 + r.r * 97530707 + 12345) % 2147483648) // 2
+        |      + 1073741824) AS x2
+        |  FROM b CROSS JOIN (SELECT unnest(range(0, 100)) AS r) r
+        |), pr AS (
+        |  SELECT r,
+        |    sum(CASE WHEN ((x2 * x2) // 2147483648) % 2 = 0
+        |        THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+        |    CAST(sum(CASE WHEN ((x2 * x2) // 2147483648) % 2 = 0
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    sum(CASE WHEN ((x2 * x2) // 2147483648) % 2 = 1
+        |        THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb,
+        |    CAST(sum(CASE WHEN ((x2 * x2) // 2147483648) % 2 = 1
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM ex GROUP BY 1
+        |), rs AS (
+        |  SELECT r, CASE WHEN na = 0 OR nb = 0 THEN NULL
+        |    ELSE abs(CAST(sa * 1000000 // na AS BIGINT) -
+        |             CAST(sb * 1000000 // nb AS BIGINT)) END AS stat
+        |  FROM pr
+        |), agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN stat IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_empty_replicas,
+        |    CAST(sum(CASE WHEN stat >= (SELECT stat_nano FROM ob)
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+        |    CAST(sum(CASE WHEN stat IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_valid
+        |  FROM rs
+        |)
+        |SELECT ob.n_a, ob.n_b, ob.stat_nano, agg.n_valid,
+        |  agg.n_empty_replicas, agg.n_ge,
+        |  ((agg.n_ge + 1) * 1000000) // (agg.n_valid + 1) AS p_micro
+        |FROM ob CROSS JOIN agg""".stripMargin,
 
     // per-day envelopes + the overlap verdict; all-null shards prune
     "q_zone_map" ->

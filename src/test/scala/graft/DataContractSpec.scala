@@ -116,6 +116,39 @@ class DataContractSpec extends SparkSpec {
     assert(r.getLong(0) == 1L && r.getLong(1) == 1L && r.getLong(2) == 1000000L)
   }
 
+  test("calibration: exact per-bin gap and ECE, top edge closes into last bin, empty bins NULL, loud out-of-range") {
+    import spark.implicits._
+    import graft.llm.TextOps
+    // bin 0 (scores 0..99999): 4 rows at 50000, 1 of 4 positive →
+    // mean 50000, rate 250000, gap 200000; bin 9 gets the 1e6 score
+    val df = Seq(
+      (false, 50000L), (false, 50000L), (false, 50000L), (true, 50000L),
+      (true, 1000000L), (true, 950000L)
+    ).toDF("y", "s")
+    val rows = TextOps.calibration(df, "y", "s", nBins = 10).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 10, "every bin of the grid must be emitted")
+    val b0 = rows(0L)
+    assert(b0.getLong(2) == 4L && b0.getLong(3) == 1L
+      && b0.getLong(4) == 50000L && b0.getLong(5) == 250000L
+      && b0.getLong(6) == 200000L, s"got $b0")
+    val b9 = rows(9L)
+    assert(b9.getLong(2) == 2L, "a perfect 1e6 score joins the last bin")
+    assert(b9.getLong(4) == 975000L && b9.getLong(5) == 1000000L
+      && b9.getLong(6) == 25000L)
+    val b5 = rows(5L)
+    assert(b5.getLong(2) == 0L && b5.isNullAt(4) && b5.isNullAt(6),
+      "an empty bin shows n=0 with NULL rates, never a fake 0 gap")
+    // ECE = (4·200000 + 2·25000) div 6 = 141666, same on every row
+    assert(rows.values.forall(_.getLong(7) == 141666L))
+    intercept[IllegalArgumentException] {
+      TextOps.calibration(Seq((true, 1000001L)).toDF("y", "s"), "y", "s")
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.calibration(df, "y", "s", nBins = 1)
+    }
+  }
+
   test("report: row rules and uniqueness rules union into one gate") {
     import spark.implicits._
     val df = Seq((1L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("id", "v")
@@ -126,5 +159,43 @@ class DataContractSpec extends SparkSpec {
     assert(got("v_positive") == ((0L, true)))
     assert(got("unique(id)") == ((1L, false)))
     assert(got.size == 2)
+  }
+
+  test("liftCurve: hand gains/lift, tie block atomic, empty buckets cum-stamped, zero positives NULL, loud args") {
+    import spark.implicits._
+    import graft.llm.TextOps
+    // 10 rows, scores 10..1, positives at the top 3 scores, 5 buckets
+    val df = (1 to 10).map(i => (i <= 3, (11 - i).toLong)).toDF("y", "s")
+    val rows = TextOps.liftCurve(df, "y", "s", nBuckets = 5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 5)
+    val b0 = rows(0L)
+    // bucket 0 = scores {10, 9}: both positive; capture 2/3, lift
+    // = 2·10·1e6 div (2·3) = 3333333
+    assert(b0.getLong(1) == 2L && b0.getLong(2) == 2L
+      && b0.getLong(3) == 9L && b0.getLong(6) == 666666L
+      && b0.getLong(7) == 3333333L, s"got $b0")
+    val b1 = rows(1L)
+    assert(b1.getLong(2) == 1L && b1.getLong(6) == 1000000L,
+      s"all positives captured by bucket 1: $b1")
+    // the bottom bucket's cumulative lift is exactly 1e6 (= random)
+    assert(rows(4L).getLong(7) == 1000000L && rows(4L).getLong(4) == 10L)
+    // one giant tie block: everything lands in bucket 0 (a tie cannot
+    // be half-assigned), later buckets empty but cum-stamped
+    val tie = (1 to 10).map(i => (i <= 5, 7L)).toDF("y", "s")
+    val t = TextOps.liftCurve(tie, "y", "s", nBuckets = 5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(t(0L).getLong(1) == 10L && t(0L).getLong(7) == 1000000L)
+    assert(t(3L).getLong(1) == 0L && t(3L).getLong(4) == 10L
+      && t(3L).getLong(5) == 5L && t(3L).getLong(7) == 1000000L,
+      s"empty bucket carries the cumulative columns: ${t(3L)}")
+    assert(t(3L).isNullAt(3), "an empty bucket has no min_score")
+    // zero positives: capture/lift undefined, never a fake 0
+    val neg = (1 to 10).map(i => (false, i.toLong)).toDF("y", "s")
+    assert(TextOps.liftCurve(neg, "y", "s", nBuckets = 5).collect()
+      .forall(r => r.isNullAt(6) && r.isNullAt(7)))
+    intercept[IllegalArgumentException] {
+      TextOps.liftCurve(df, "y", "s", nBuckets = 1)
+    }
   }
 }

@@ -232,4 +232,229 @@ class ForensicsSpec extends SparkSpec {
       Forensics.bootstrapCi(df, "k", "id", "value", replicas = 5)
     }
   }
+
+  test("ksTwoSample: identical → 0, disjoint → 1e6, hand supremum with location, loud on empty side") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("value")
+    val same = Forensics.ksTwoSample(a, a, "value").head()
+    assert(same.getLong(0) == 4L && same.getLong(1) == 4L
+      && same.getLong(2) == 0L)
+    val far = Seq(10.0, 11.0).toDF("value")
+    val dis = Forensics.ksTwoSample(a, far, "value").head()
+    assert(dis.getLong(2) == 1000000L,
+      "disjoint supports must reach exactly 1e6")
+    assert(dis.getLong(3) == 4000L,
+      "sup attained at A's last value (milli-units), lowest tie")
+    // A={1,2}, B={1,3}: gaps at v=1: |1·2−1·2|=0, v=2: |2·2−1·2|=2,
+    // v=3: 0 → D = 2/(2·2) = 0.5 at v=2
+    val ha = Seq(1.0, 2.0).toDF("value")
+    val hb = Seq(1.0, 3.0).toDF("value")
+    val h = Forensics.ksTwoSample(ha, hb, "value").head()
+    assert(h.getLong(2) == 500000L && h.getLong(3) == 2000L, s"got $h")
+    intercept[IllegalArgumentException] {
+      Forensics.ksTwoSample(a, a.limit(0), "value")
+    }
+  }
+
+  test("cohenKappa: perfect → 1e6, textbook 2x2, below-chance negative, constant raters → NULL") {
+    import spark.implicits._
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    val p = Forensics.cohenKappa(perfect, "a", "b").head()
+    assert(p.getLong(0) == 3L && p.getLong(3) == 1000000L, s"got $p")
+    // textbook: 2x2 with diag 20+15=35 of 50, margins a:(25,25)
+    // b:(30,20) → pe=(25·30+25·20)/2500=0.5, po=0.7, κ=0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val t = Forensics.cohenKappa(rows.toDF("a", "b"), "a", "b").head()
+    assert(t.getLong(0) == 50L && t.getLong(1) == 700000L
+      && t.getLong(2) == 500000L && t.getLong(3) == 400000L, s"got $t")
+    // systematic disagreement: below chance, kappa negative
+    val anti = Seq(("x", "y"), ("y", "x"), ("x", "y"), ("y", "x"))
+    val k = Forensics.cohenKappa(anti.toDF("a", "b"), "a", "b").head()
+    assert(k.getLong(3) < 0L, s"below-chance agreement must be negative, got $k")
+    // both raters constant: denominator 0 → NULL, never a fake 1e6
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val c = Forensics.cohenKappa(const, "a", "b").head()
+    assert(c.isNullAt(3), "constant raters: kappa undefined")
+    // a NULL on either side is excluded, not an agreement
+    val withNull = Seq((Some("x"), Some("x")), (None, Some("x")),
+      (Some("y"), None)).toDF("a", "b")
+    assert(Forensics.cohenKappa(withNull, "a", "b").head().getLong(0) == 1L)
+  }
+
+  test("spearman: exact ±1e6 on monotone n=7, hand tie case, monotone invariance, constant → NULL") {
+    import spark.implicits._
+    // n = 7 makes d = n²(n²−1)/3 = 784 = 28² — the sqrt is exact, so
+    // the perfect/reversed laws are EXACT 1e6, not within-an-ulp
+    val xs = (1 to 7).map(_.toDouble)
+    val mono = xs.map(v => (v, 2.0 * v)).toDF("x", "y")
+    val m = Forensics.spearman(mono, "x", "y").head()
+    assert(m.getLong(0) == 7L && m.getLong(1) == 1000000L, s"got $m")
+    val rev = xs.map(v => (v, -v)).toDF("x", "y")
+    assert(Forensics.spearman(rev, "x", "y").head().getLong(1) == -1000000L)
+    // hand tie case: rx = (2,5,5,8), ry = (2,4,6,8) doubled ranks →
+    // num = 72, d1 = 72, d2 = 80; expected replays the pinned IEEE tail
+    val tied = Seq((1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 4.0))
+      .toDF("x", "y")
+    val expect = math.floor(1000000.0 * 72.0 /
+      (math.sqrt(72.0) * math.sqrt(80.0))).toLong
+    assert(Forensics.spearman(tied, "x", "y").head().getLong(1) == expect)
+    // rank correlation is invariant under monotone transforms of a column
+    val base = Seq(1.0, 3.0, 2.0, 7.0, 5.0, 4.0, 6.0)
+    val a = base.zip(xs).toDF("x", "y")
+    val b = base.map(v => v * v).zip(xs).toDF("x", "y")
+    assert(Forensics.spearman(a, "x", "y").head().getLong(1) ==
+      Forensics.spearman(b, "x", "y").head().getLong(1))
+    // constant column: undefined, never a fake 0
+    val const = xs.map(v => (1.0, v)).toDF("x", "y")
+    assert(Forensics.spearman(const, "x", "y").head().isNullAt(1))
+    // null rows on either side are excluded
+    val withNull = Seq((Some(1.0), Some(1.0)), (None, Some(2.0)),
+      (Some(3.0), None)).toDF("x", "y")
+    assert(Forensics.spearman(withNull, "x", "y").head().getLong(0) == 1L)
+  }
+
+  test("fleissKappa: perfect → 1e6, hand 2×3 case → 1/4, constant → NULL, loud on unequal/duplicate/empty") {
+    import spark.implicits._
+    val perfect = (1 to 3).flatMap(i =>
+      Seq("r1", "r2", "r3").map(r => (i.toLong, r, s"cat$i")))
+      .toDF("item", "rater", "k")
+    val p = Forensics.fleissKappa(perfect, "item", "rater", "k").head()
+    assert(p.getLong(0) == 3L && p.getLong(1) == 3L
+      && p.getLong(4) == 1000000L, s"got $p")
+    // hand case: item1 = a,a,b; item2 = b,b,b → Po = 2/3, Pe = 5/9,
+    // κ = (1/9)/(4/9) = 1/4 exactly
+    val hand = Seq((1L, "r1", "a"), (1L, "r2", "a"), (1L, "r3", "b"),
+      (2L, "r1", "b"), (2L, "r2", "b"), (2L, "r3", "b")).toDF("i", "r", "k")
+    val h = Forensics.fleissKappa(hand, "i", "r", "k").head()
+    assert(h.getLong(2) == 666666L && h.getLong(3) == 555555L
+      && h.getLong(4) == 250000L, s"got $h")
+    // every rating one category: Pe = 1 → undefined, never a fake 1e6
+    val const = (1 to 3).flatMap(i =>
+      Seq("r1", "r2").map(r => (i.toLong, r, "a"))).toDF("i", "r", "k")
+    assert(Forensics.fleissKappa(const, "i", "r", "k").head().isNullAt(4))
+    intercept[IllegalArgumentException] { // item 2 rated by only 2 raters
+      Forensics.fleissKappa(hand.filter(!(col("i") === 2L && col("r") === "r3")),
+        "i", "r", "k").head()
+    }
+    intercept[IllegalArgumentException] { // a rater voting twice on one item
+      Forensics.fleissKappa(hand.unionAll(
+        Seq((1L, "r1", "b")).toDF("i", "r", "k")), "i", "r", "k").head()
+    }
+    intercept[IllegalArgumentException] {
+      Forensics.fleissKappa(hand.limit(0), "i", "r", "k").head()
+    }
+  }
+
+  test("permutationTest: planted effect → small p, null effect → p = 1e6, deterministic, empty replicas excluded, loud on one-sided") {
+    import spark.implicits._
+    // 20 vs 20 rows, effect size huge vs zero within-group spread:
+    // no parity relabeling reproduces the observed gap
+    val planted = ((1 to 20).map(i => (i.toLong, true, 1000.0)) ++
+      (21 to 40).map(i => (i.toLong, false, 1.0))).toDF("id", "g", "v")
+    val pl = Forensics.permutationTest(planted, "id", "g", "v", replicas = 99)
+      .head()
+    assert(pl.getLong(0) == 20L && pl.getLong(1) == 20L)
+    assert(pl.getLong(2) == 999000000000L, s"stat: got $pl") // (1000−1)·1e9 nano
+    assert(pl.getLong(6) <= 20000L, s"planted effect must be significant: $pl")
+    // identical groups: every replica stat ≥ 0 = observed → p = 1e6
+    val nullEff = (1 to 40).map(i => (i.toLong, i % 2 == 0, 5.0)).toDF("id", "g", "v")
+    val ne = Forensics.permutationTest(nullEff, "id", "g", "v", replicas = 99)
+      .head()
+    assert(ne.getLong(6) == 1000000L, s"got $ne")
+    // deterministic end to end: rerun reproduces the row
+    val again = Forensics.permutationTest(planted, "id", "g", "v", replicas = 99)
+      .head()
+    assert(again == pl)
+    // two rows: some replicas put both on one side → excluded, reported
+    val tiny = Seq((1L, true, 1.0), (2L, false, 2.0)).toDF("id", "g", "v")
+    val t = Forensics.permutationTest(tiny, "id", "g", "v", replicas = 99).head()
+    assert(t.getLong(4) > 0L, s"empty replicas must be reported: $t")
+    assert(t.getLong(3) + t.getLong(4) == 99L, "valid + empty = replicas")
+    intercept[IllegalArgumentException] {
+      Forensics.permutationTest(planted.filter(col("g")), "id", "g", "v")
+    }
+    intercept[IllegalArgumentException] {
+      Forensics.permutationTest(planted, "id", "g", "v", replicas = 5)
+    }
+  }
+
+  test("permutationTestByKey: per-key ≡ the single test, one-sided key emits NULL, effect key significant next to null key") {
+    import spark.implicits._
+    val df = (
+      (1 to 20).map(i => ("eff", i.toLong, i % 2 == 0,
+        if (i % 2 == 0) 1000.0 else 1.0)) ++
+      (21 to 60).map(i => ("null", i.toLong, i % 2 == 0, 5.0)) ++
+      Seq(("onesided", 61L, true, 3.0), ("onesided", 62L, true, 4.0))
+    ).toDF("k", "id", "g", "v")
+    val got = Forensics.permutationTestByKey(df, "k", "id", "g", "v",
+      replicas = 99).collect().map(r => r.getString(0) -> r).toMap
+    assert(got.size == 3, "every key emits, degenerate included")
+    assert(got("eff").getLong(7) <= 100000L,
+      s"planted effect: ${got("eff")}")
+    assert(got("null").getLong(7) == 1000000L, s"${got("null")}")
+    assert(got("onesided").isNullAt(3) && got("onesided").isNullAt(7),
+      "a one-sided key is undefined, emitted, never a crash")
+    // the keyed run restricted to one key ≡ the single-key operator
+    val single = Forensics.permutationTest(df.filter(col("k") === "eff"),
+      "id", "g", "v", replicas = 99).head()
+    val eff = got("eff")
+    assert((1 to 6).forall(i => eff.getLong(i) == single.getLong(i - 1)),
+      s"keyed $eff vs single $single")
+    assert(eff.getLong(7) == single.getLong(6))
+  }
+
+  test("bhFdr: hand step-up, the rank-1-rescued-by-rank-2 subtlety, NULL p excluded from m, loud args") {
+    import spark.implicits._
+    val tests = Seq(("t1", 1000L), ("t2", 20000L), ("t3", 30000L),
+      ("t4", 200000L), ("t5", 700000L)).toDF("id", "p_micro")
+    val got = Forensics.bhFdr(tests, "id", "p_micro", alphaMicro = 50000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // crit = rank·1e4; ranks 1..3 pass their own, 4..5 don't → k* = 3
+    assert(got("t1").getBoolean(6) && got("t2").getBoolean(6)
+      && got("t3").getBoolean(6))
+    assert(!got("t4").getBoolean(6) && !got("t5").getBoolean(6))
+    assert(got("t3").getLong(4) == 30000L, s"crit: ${got("t3")}")
+    assert(got.values.forall(_.getLong(3) == 5L))
+    // STEP-UP: rank 1 fails its own inequality but rank 2 passes →
+    // BOTH rejected (the naive per-row threshold gets this wrong)
+    val up = Forensics.bhFdr(Seq(("a", 40000L), ("b", 49000L))
+      .toDF("id", "p_micro"), "id", "p_micro", 50000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!up("a").getBoolean(5) && up("b").getBoolean(5),
+      "own-inequality flags")
+    assert(up("a").getBoolean(6) && up("b").getBoolean(6),
+      "step-up rejects everything at rank ≤ k*")
+    // NULL p: excluded from m, emitted with NULL verdict
+    val withNull = Forensics.bhFdr(
+      Seq(("a", Some(1000L)), ("x", None)).toDF("id", "p_micro"),
+      "id", "p_micro", 50000L).collect().map(r => r.getString(0) -> r).toMap
+    assert(withNull("a").getLong(3) == 1L && withNull("x").isNullAt(6))
+    intercept[IllegalArgumentException] {
+      Forensics.bhFdr(tests, "id", "p_micro", alphaMicro = 0L)
+    }
+  }
+
+  test("trimmedMean: resists the flash value the raw mean swallows, exact micro, tiny keys keep everything") {
+    import spark.implicits._
+    val df = Seq(("k", 1.0), ("k", 2.0), ("k", 3.0), ("k", 4.0),
+      ("k", 100.0), ("tiny", 7.0)).toDF("key", "v")
+    val got = Forensics.trimmedMean(df, "key", "v", trimPct = 20)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = got("k")
+    // n=5, k=1: keep {2,3,4} → 3.0 exactly; raw mean 22.0
+    assert(k.getLong(1) == 5L && k.getLong(2) == 1L
+      && k.getLong(3) == 22000000L && k.getLong(4) == 3000000L, s"got $k")
+    val tiny = got("tiny")
+    assert(tiny.getLong(2) == 0L && tiny.getLong(4) == 7000000L,
+      s"n=1 trims nothing: $tiny")
+    // tie-insensitivity BY ARGUMENT, executed: equal values at the
+    // trim boundary cannot change the kept-set sum
+    val ties = Seq.fill(4)(("t", 5.0)).toDF("key", "v")
+    assert(Forensics.trimmedMean(ties, "key", "v", 25).head()
+      .getLong(4) == 5000000L)
+    intercept[IllegalArgumentException] {
+      Forensics.trimmedMean(df, "key", "v", trimPct = 30)
+    }
+  }
 }

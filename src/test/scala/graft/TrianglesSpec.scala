@@ -119,4 +119,34 @@ class TrianglesSpec extends SparkSpec {
       .filter(col("source") === "web").head()
     assert(dupVerdicts.getLong(2) == 1L && dupVerdicts.getLong(4) == 1L)
   }
+
+  test("assortativity: star → exactly −1e6, regular ring → NULL, dup/directed edges collapse, hand value") {
+    import spark.implicits._
+    // K1,5: hub degree 5 meets leaf degree 1 on every edge; d1 = d2 =
+    // n²(n−1)² is a PERFECT SQUARE so the IEEE tail is exact → −1e6
+    val star = (1 to 5).map(l => (0L, l.toLong)).toDF("a", "b")
+    val s = Triangles.assortativity(star, "a", "b").head()
+    assert(s.getLong(0) == 10L && s.getLong(1) == -1000000L, s"got $s")
+    // a ring is 2-regular: degree variance 0 → undefined, never fake 0
+    val ring = (0 to 5).map(i => (i.toLong, ((i + 1) % 6).toLong))
+      .toDF("a", "b")
+    assert(Triangles.assortativity(ring, "a", "b").head().isNullAt(1))
+    // duplicates, reversed duplicates and self-loops collapse/drop
+    val messy = star.unionAll(star.select(col("b").as("a"),
+      col("a").as("b"))).unionAll(Seq((3L, 3L)).toDF("a", "b"))
+    assert(Triangles.assortativity(messy, "a", "b").head() == s)
+    // hand graph: path 1-2-3 plus pendant 3-4; replicate the pinned
+    // IEEE tail with the driver's own moments
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val p = Triangles.assortativity(path, "a", "b").head()
+    // degrees: 1→1, 2→2, 3→2, 4→1; directed pairs (dx, dy):
+    // (1,2),(2,1),(2,2),(2,2),(2,1),(1,2) → n=6, Σxy=16, Σx=Σy=10,
+    // Σx²=Σy²=18 → num = 96−100 = −4, d = 108−100 = 8
+    val expect = math.floor(1000000.0 * -4.0 /
+      (math.sqrt(8.0) * math.sqrt(8.0))).toLong
+    assert(p.getLong(0) == 6L && p.getLong(1) == expect, s"got $p")
+    // empty edge set: one NULL row, never a crash
+    assert(Triangles.assortativity(star.limit(0), "a", "b").head()
+      .isNullAt(1))
+  }
 }
