@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.analytics.Forensics
+import graft.analytics.{Forensics, Triangles}
+import graft.llm.Linkage
 
 /** Relational headline queries over the star-schema tables — the shapes
   * a 100 TB deployment actually runs: scan-heavy aggregation, dimension
@@ -527,6 +528,47 @@ object RelationalQueries {
         Tables.events(s, dir)
           .withColumn("is_err", col("event_type") === "error"),
         "event_id", "is_err", "value", replicas = 100)),
+
+    // -- stats: multiple-testing control — per-event-type keyed
+    //    randomization tests (user-parity split, effect PLANTED on the
+    //    error key so a rejection path executes) fed into the
+    //    Benjamini-Hochberg step-up at α = 5% ------------------------
+    "q_fdr" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("grp", col("user_id") % 2 === 0)
+        .withColumn("value", col("value") +
+          when(col("event_type") === "error" && col("user_id") % 2 === 0,
+            50.0).otherwise(0.0))
+      Forensics.bhFdr(
+        Forensics.permutationTestByKey(ev, "event_type", "event_id",
+          "grp", "value", replicas = 100)
+          .select(col("event_type"), col("p_micro")),
+        "event_type", "p_micro", alphaMicro = 50000L)
+    }),
+
+    // -- robust stats: 10%-trimmed mean per event type next to the raw
+    //    mean — the raw-vs-trimmed gap is the tail-mass signal ---------
+    "q_trimmed_mean" -> ((s, dir) =>
+      Forensics.trimmedMean(Tables.events(s, dir), "event_type", "value",
+        trimPct = 10)),
+
+    // -- graph: degree assortativity of the part-supplier bipartite
+    //    graph (node ids disambiguated by parity) — do high-degree
+    //    parts meet high-degree suppliers? ----------------------------
+    "q_assortativity" -> ((s, dir) =>
+      Triangles.assortativity(
+        Tables.lineitem(s, dir).select(
+          (col("l_partkey") * 2).as("pa"),
+          (col("l_suppkey") * 2 + 1).as("pb")),
+        "pa", "pb")),
+
+    // -- linkage: best fuzzy match per part name — first-token
+    //    blocking, compiled Jaro-Winkler verify at ≥ 0.9, every record
+    //    emitted (unmatched with NULL match). Rows-only BY CONTRACT:
+    //    the JW match-window kernel is imperative ---------------------
+    "q_record_linkage" -> ((s, dir) =>
+      Linkage.bestMatches(Tables.part(s, dir), "p_partkey", "p_name",
+        thresholdMicro = 900000L)),
 
     // Benford first-digit screen on order totals: exact micro-unit
     // digit shares vs the pinned logarithmic expectation, Nigrini MAD.
@@ -1289,6 +1331,135 @@ object RelationalQueries {
         |  agg.n_empty_replicas, agg.n_ge,
         |  ((agg.n_ge + 1) * 1000000) // (agg.n_valid + 1) AS p_micro
         |FROM ob CROSS JOIN agg""".stripMargin,
+
+    // per-key keyed permutation replay (planted error-key effect) →
+    // BH step-up: rank window, cross-multiplied own-inequality, k*
+    "q_fdr" ->
+      """WITH b AS (
+        |  SELECT event_type AS key, event_id AS id, (user_id % 2 = 0) AS g,
+        |    CAST(floor((value +
+        |      CASE WHEN event_type = 'error' AND user_id % 2 = 0
+        |        THEN 50.0 ELSE 0.0 END) * 1000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |), obs AS (
+        |  SELECT key,
+        |    sum(CASE WHEN g THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+        |    CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    sum(CASE WHEN NOT g THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb,
+        |    CAST(sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM b GROUP BY 1
+        |), ob AS (
+        |  SELECT key, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE
+        |    abs(CAST(sa * 1000000 // na AS BIGINT) -
+        |        CAST(sb * 1000000 // nb AS BIGINT)) END AS stat_nano
+        |  FROM obs
+        |), ex AS (
+        |  SELECT b.key, r.r, b.v,
+        |    (((b.id * 2654435761 + r.r * 97530707 + 12345) % 2147483648)
+        |      // 2 + 1073741824) AS x2
+        |  FROM b CROSS JOIN (SELECT unnest(range(0, 100)) AS r) r
+        |), pr AS (
+        |  SELECT key, r,
+        |    sum(CASE WHEN ((x2 * x2) // 2147483648) % 2 = 0
+        |        THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+        |    CAST(sum(CASE WHEN ((x2 * x2) // 2147483648) % 2 = 0
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    sum(CASE WHEN ((x2 * x2) // 2147483648) % 2 = 1
+        |        THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb,
+        |    CAST(sum(CASE WHEN ((x2 * x2) // 2147483648) % 2 = 1
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM ex GROUP BY 1, 2
+        |), rs AS (
+        |  SELECT key, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE
+        |    abs(CAST(sa * 1000000 // na AS BIGINT) -
+        |        CAST(sb * 1000000 // nb AS BIGINT)) END AS stat
+        |  FROM pr
+        |), ag AS (
+        |  SELECT rs.key,
+        |    CAST(sum(CASE WHEN rs.stat IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_valid,
+        |    CAST(sum(CASE WHEN rs.stat >= ob.stat_nano THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_ge
+        |  FROM rs JOIN ob ON rs.key = ob.key GROUP BY 1
+        |), p AS (
+        |  SELECT ob.key, CASE WHEN ob.stat_nano IS NULL THEN NULL
+        |    ELSE ((ag.n_ge + 1) * 1000000) // (ag.n_valid + 1) END AS p_micro
+        |  FROM ob JOIN ag ON ob.key = ag.key
+        |), ranked AS (
+        |  SELECT key, p_micro,
+        |    CAST(row_number() OVER (ORDER BY p_micro, key) AS BIGINT) AS rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM p WHERE p_micro IS NOT NULL
+        |), flags AS (
+        |  SELECT *, (p_micro * m <= rank * 50000) AS passes_own FROM ranked
+        |), ks AS (
+        |  SELECT max(CASE WHEN passes_own THEN rank ELSE 0 END) AS kstar
+        |  FROM flags
+        |)
+        |SELECT flags.key AS event_type, flags.p_micro, flags.rank, flags.m,
+        |  (flags.rank * 50000) // flags.m AS crit_micro,
+        |  flags.passes_own, (flags.rank <= ks.kstar) AS rejected
+        |FROM flags CROSS JOIN ks
+        |UNION ALL
+        |SELECT key, p_micro, NULL, NULL, NULL, NULL, NULL
+        |FROM p WHERE p_micro IS NULL""".stripMargin,
+
+    // per-key rank/count windows, conditional HUGEINT sums; which of
+    // several EQUAL boundary values trims is sum-invariant
+    "q_trimmed_mean" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, v,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY v)
+        |      AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM b
+        |)
+        |SELECT event_type, max(n) AS n, max((n * 10) // 100) AS k_trimmed,
+        |  CAST(sum(CAST(v AS HUGEINT)) * 1000 // count(*) AS BIGINT)
+        |    AS mean_micro,
+        |  CAST(sum(CASE WHEN rk > (n * 10) // 100
+        |        AND rk <= n - (n * 10) // 100
+        |      THEN CAST(v AS HUGEINT) ELSE 0 END) * 1000
+        |    // nullif(sum(CASE WHEN rk > (n * 10) // 100
+        |        AND rk <= n - (n * 10) // 100
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS trimmed_mean_micro
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // canonicalize → symmetrize → degree joins → exact HUGEINT
+    // moments → the pinned two-sqrt IEEE tail
+    "q_assortativity" ->
+      """WITH e AS (
+        |  SELECT l_partkey * 2 AS pa, l_suppkey * 2 + 1 AS pb FROM lineitem
+        |), und AS (
+        |  SELECT DISTINCT least(pa, pb) AS a, greatest(pa, pb) AS b
+        |  FROM e WHERE pa <> pb
+        |), sym AS (
+        |  SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+        |), deg AS (
+        |  SELECT a, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1
+        |), j AS (
+        |  SELECT da.d AS dx, db.d AS dy
+        |  FROM sym JOIN deg da ON sym.a = da.a JOIN deg db ON sym.b = db.a
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(dx AS HUGEINT) * dy) AS sxy,
+        |    sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+        |    sum(CAST(dy AS HUGEINT) * dy) AS syy,
+        |    sum(CAST(dx AS HUGEINT)) AS sx,
+        |    sum(CAST(dy AS HUGEINT)) AS sy
+        |  FROM j
+        |)
+        |SELECT n AS n_directed_edges,
+        |  CASE WHEN sxy IS NULL
+        |    OR n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |  ELSE CAST(floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) END
+        |    AS r_micro
+        |FROM m""".stripMargin,
 
     // per-day envelopes + the overlap verdict; all-null shards prune
     "q_zone_map" ->

@@ -73,4 +73,26 @@ class LinkageSpec extends SparkSpec {
       Linkage.linkByName(recs, "id", "name", 2000000L)
     }
   }
+
+  test("bestMatches: one row per record, highest-score tie-broken match, unmatched emit NULL with 0 candidates") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "jonathan smith"), (2L, "jonathan smyth"),
+      (3L, "jonathan smith"),                         // exact twin of 1
+      (4L, "jonathan zzzzzz"),                        // in-block, below 0.9
+      (5L, "maria lopez")                             // alone in its block
+    ).toDF("id", "name")
+    val got = Linkage.bestMatches(recs, "id", "name", 900000L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 5, "every record emits")
+    // 1's best is its exact twin 3 (1e6 beats smyth's ~0.97)
+    assert(got(1L).getLong(1) == 3L && got(1L).getLong(2) == 1000000L)
+    assert(got(3L).getLong(1) == 1L, "exact twins choose each other")
+    assert(got(2L).getLong(1) == 1L,
+      "tie on score (1 and 3 are identical texts) breaks to the lower id")
+    assert(got(4L).isNullAt(1) && got(4L).getLong(3) == 0L,
+      s"below-threshold record emits NULL match: ${got(4L)}")
+    assert(got(5L).isNullAt(1), "a block of one has no candidates")
+    assert(got(1L).getLong(3) == 2L, "n_candidates counts verified matches")
+  }
 }
