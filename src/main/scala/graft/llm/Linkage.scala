@@ -50,47 +50,74 @@ object Linkage {
   }
 
   /** Best match per record — the bounded-output face of the linkage
-    * tier (≤ one row per input record, where `linkByName`'s pair table
-    * is quadratic in duplicate-heavy blocks): same blocking + compiled
-    * JW verify over ORDERED pairs (a record can be another's best
-    * without reciprocity), keep each record's highest-scoring match
-    * at ≥ thresholdMicro with the (jw DESC, match_id ASC) tie-break,
-    * and report n_candidates (how many verified matches the record
-    * had — the review-queue size). EVERY record emits: unmatched
-    * records ride a left join with NULL match and 0 candidates —
-    * loud, never dropped.
+    * tier (exactly one row per input record): each record's
+    * highest-scoring in-block match at ≥ thresholdMicro with the
+    * (jw DESC, match id ASC) tie-break, plus n_candidates (how many
+    * verified matches it had — the review-queue size). EVERY record
+    * emits: unmatched records surface with NULL match and 0
+    * candidates — loud, never dropped.
     *
-    * Scale shape: the candidate surface is linkByName's (Σf² over
-    * blocks BY CONTRACT, same valves); the best-match cut is one
-    * rank window on the candidate table partitioned by record id.
+    * Scale shape — the DICTIONARY COLLAPSE is the whole story: the JW
+    * kernel runs on DISTINCT (name, name) pairs within a block, never
+    * on record pairs, because real name columns are duplicate-heavy
+    * and the record-pair surface is quadratic in exactly the blocks
+    * where names repeat (measured on the part fixture: 32 s record-
+    * pair vs sub-second name-pair at sf0.1). The collapse is
+    * OUTPUT-IDENTICAL by the exact-twin argument: a cross-NAME pair
+    * can never reach 1e6 (only identical strings do), so a record
+    * with a same-name twin always best-matches the twin (lowest other
+    * id — min2 when the record is itself the lowest), and otherwise
+    * its best is its name's best cross name (tie → that name's lowest
+    * record id); n_candidates = (cnt − 1 same-name twins) + Σ cnt of
+    * verified cross names. One distinct-name collapse, the name-pair
+    * block join (Σf² over DISTINCT-name block sizes BY CONTRACT —
+    * the linkByName valves apply), one rank window on name pairs,
+    * two broadcast-friendly joins back to records.
     */
   def bestMatches(df: DataFrame, idCol: String, nameCol: String,
                   thresholdMicro: Long): DataFrame = {
     require(thresholdMicro >= 0L && thresholdMicro <= 1000000L,
       s"bestMatches: thresholdMicro in [0, 1e6], got $thresholdMicro")
     import org.apache.spark.sql.expressions.Window
-    val base = df.filter(col(nameCol).isNotNull)
+    val recs = df.filter(col(nameCol).isNotNull)
       .select(col(idCol).as("__id"), col(nameCol).as("__name"),
         lower(split(col(nameCol), "\\s+").getItem(0)).as("block"))
-    val a = base.select(col("__id").as("id"), col("__name").as("name_a"),
-      col("block"))
-    val b = base.select(col("__id").as("match_id"),
-      col("__name").as("name_b"), col("block"))
-    val byId = Window.partitionBy(col("id"))
-    val best = a.join(b, Seq("block"))
-      .filter(col("id") =!= col("match_id"))
+    val byName = Window.partitionBy(col("__name")).orderBy(col("__id").asc)
+    val names = recs
+      .withColumn("__rk", row_number().over(byName))
+      .groupBy(col("__name"), col("block"))
+      .agg(count(lit(1)).as("cnt"),
+        min(when(col("__rk") === 1, col("__id"))).as("min1"),
+        min(when(col("__rk") === 2, col("__id"))).as("min2"))
+    val a = names.select(col("__name").as("na"), col("block"))
+    val b = names.select(col("__name").as("nb"), col("block"),
+      col("cnt").as("cnt_b"), col("min1").as("min1_b"))
+    val cross = a.join(b, Seq("block"))
+      .filter(col("na") =!= col("nb"))
       .withColumn("jw_micro",
-        StringFunctions.jaroWinklerMicro(col("name_a"), col("name_b")))
+        StringFunctions.jaroWinklerMicro(col("na"), col("nb")))
       .filter(col("jw_micro") >= thresholdMicro)
-      .withColumn("__rk", row_number().over(
-        byId.orderBy(col("jw_micro").desc, col("match_id").asc)))
-      .withColumn("n_candidates", count(lit(1)).over(byId))
-      .filter(col("__rk") === 1)
-      .select(col("id"), col("match_id"), col("jw_micro"),
-        col("n_candidates"))
-    base.select(col("__id").as("id")).distinct()
-      .join(best, Seq("id"), "left")
-      .select(col("id"), col("match_id"), col("jw_micro"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+    val byA = Window.partitionBy(col("na"))
+    val crossBest = cross
+      .withColumn("__r", row_number().over(
+        byA.orderBy(col("jw_micro").desc, col("min1_b").asc)))
+      .withColumn("n_cross", sum(col("cnt_b")).over(byA))
+      .filter(col("__r") === 1)
+      .select(col("na").as("__name"), col("nb").as("best_name"),
+        col("jw_micro").as("best_jw"), col("min1_b").as("best_min1"),
+        col("n_cross"))
+    recs
+      .join(names.select(col("__name"), col("cnt"), col("min1"),
+        col("min2")), Seq("__name"))
+      .join(crossBest, Seq("__name"), "left")
+      .select(col("__id").as("id"),
+        when(col("cnt") >= 2L,
+          when(col("__id") === col("min1"), col("min2"))
+            .otherwise(col("min1")))
+          .otherwise(col("best_min1")).as("match_id"),
+        when(col("cnt") >= 2L, lit(1000000L))
+          .otherwise(col("best_jw")).as("jw_micro"),
+        (col("cnt") - 1L + coalesce(col("n_cross"), lit(0L)))
+          .as("n_candidates"))
   }
 }
