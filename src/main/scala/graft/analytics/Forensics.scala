@@ -712,6 +712,110 @@ object Forensics {
     ranked.unionByName(excluded)
   }
 
+  /** r×c chi-square independence + Cramér's V — the general-table
+    * association test next to the exact 2×2 `chi2`: are two
+    * categorical columns (event type × weekday, source × language
+    * verdict) independent? χ² = N·Σ n²ᵢₖ/(rᵢ·cₖ) − N; the per-cell
+    * terms have DIFFERENT denominators, so unlike the 2×2 the exact
+    * rational sum has no bounded common denominator — each cell's
+    * term is floor-quantized to micro BEFORE the sum BY CONTRACT
+    * (deterministic and addition-order-free where float accumulation
+    * is not; underestimates by < #cells micro, and #cells is bounded
+    * by the level product). Cramér's V² = χ²/(N·(min(r,c)−1)) in
+    * micro — the [0,1e6]-normalized effect size χ²'s raw scale hides;
+    * a single-level column has dof 0 → NULL via nullif (association
+    * with a constant is undefined, the kappa convention). One row
+    * out: (n, r_levels, c_levels, dof, chi2_micro, v2_micro).
+    *
+    * Scale shape: one (a,b) cell collapse (the corpus's only shuffle,
+    * map-side combined to r·c cells), marginals on the bounded cell
+    * table broadcast back, one 1-row aggregate.
+    */
+  def chi2Contingency(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("ka"), col(bCol).as("kb"))
+      .agg(count(lit(1)).as("c"))
+    val rowm = cells.groupBy("ka").agg(sum("c").as("r"))
+    val colm = cells.groupBy("kb").agg(sum("c").as("s"))
+    val tot = cells.agg(
+      sum("c").as("n"),
+      countDistinct("ka").as("r_levels"),
+      countDistinct("kb").as("c_levels"))
+    cells
+      .join(broadcast(rowm), Seq("ka"))
+      .join(broadcast(colm), Seq("kb"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__term", expr(
+        """CAST(CAST(c AS DECIMAL(38,0)) * c * n * 1000000
+          | div (CAST(r AS DECIMAL(38,0)) * s) AS BIGINT)""".stripMargin))
+      .agg(max("n").as("n"), max("r_levels").as("r_levels"),
+        max("c_levels").as("c_levels"),
+        (sum("__term") - max("n") * lit(1000000L)).as("chi2_micro"))
+      .withColumn("dof",
+        (col("r_levels") - 1L) * (col("c_levels") - 1L))
+      .withColumn("v2_micro", expr(
+        """chi2_micro div nullif(
+          |  n * (least(r_levels, c_levels) - 1L), 0L)""".stripMargin))
+      .select(col("n"), col("r_levels"), col("c_levels"), col("dof"),
+        col("chi2_micro"), col("v2_micro"))
+  }
+
+  /** One-pass Pearson correlation matrix — the profiler's numeric
+    * association sweep (which measures move together BEFORE any
+    * modeling), completing the correlation family: Pearson here (raw
+    * linear), Spearman (monotone, rank), Kendall (`pairwiseTrend`).
+    * ONE aggregate computes every column's sum/sum-of-squares and
+    * every pair's cross-moment over milli-quantized values — exact
+    * DECIMAL(38,0) integers; rows with a NULL in ANY listed column
+    * are dropped (LISTWISE deletion BY CONTRACT — pairwise-complete
+    * matrices can be non-positive-definite and the n differs per
+    * pair; listwise keeps one n and one contract); only each pair's
+    * final r_micro touches floats — the pinned spearman two-sqrt IEEE
+    * tail. Constant columns → NULL for their pairs. One row per
+    * unordered pair (i < j in the given column order).
+    *
+    * Scale shape: one partial-aggregated 1-row moment pass (d² + d
+    * sums for d columns — driver-bounded by the column list), then
+    * the pair table is unpivoted from that single row with stack();
+    * the corpus never shuffles.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 16,
+      s"correlationMatrix: 2..16 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size,
+      s"correlationMatrix: duplicate columns in $cols")
+    val kept = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.zipWithIndex.map { case (c, i) =>
+        expr(s"CAST(floor($c * 1000) AS BIGINT)").as(s"v$i")
+      }: _*)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (i, j)
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+      cols.indices.map(i =>
+        sum(expr(s"CAST(v$i AS DECIMAL(38,0))")).as(s"s$i")) ++
+      cols.indices.map(i =>
+        sum(expr(s"CAST(v$i AS DECIMAL(38,0)) * v$i")).as(s"q$i")) ++
+      pairs.map { case (i, j) =>
+        sum(expr(s"CAST(v$i AS DECIMAL(38,0)) * v$j")).as(s"x${i}_$j") }
+    val m = kept.agg(aggs.head, aggs.tail: _*)
+    val rExprs = pairs.map { case (i, j) =>
+      s"""'${cols(i)}', '${cols(j)}',
+         |CASE WHEN x${i}_$j IS NULL
+         |  OR n * q$i - s$i * s$i = 0 OR n * q$j - s$j * s$j = 0 THEN NULL
+         |ELSE CAST(floor(1000000.0 *
+         |  CAST(n * x${i}_$j - s$i * s$j AS DOUBLE) /
+         |  (sqrt(CAST(n * q$i - s$i * s$i AS DOUBLE)) *
+         |   sqrt(CAST(n * q$j - s$j * s$j AS DOUBLE)))) AS BIGINT) END"""
+        .stripMargin
+    }.mkString(", ")
+    m.select(col("n"), expr(
+      s"stack(${pairs.size}, $rExprs) AS (col_a, col_b, r_micro)"))
+      .select(col("col_a"), col("col_b"), col("n"), col("r_micro"))
+  }
+
   /** Trimmed mean — the third robust-location tool next to the median
     * (`madOutliers`) and the plain mean: per key, drop the k =
     * ⌊n·trimPct/100⌋ smallest and k largest values by rank and average

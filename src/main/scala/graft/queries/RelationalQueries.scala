@@ -552,6 +552,19 @@ object RelationalQueries {
       Forensics.trimmedMean(Tables.events(s, dir), "event_type", "value",
         trimPct = 10)),
 
+    // -- stats: r×c chi-square + Cramér's V — is event type independent
+    //    of the weekday? Per-cell floor-quantized terms BY CONTRACT ----
+    "q_chi2_rc" -> ((s, dir) =>
+      Forensics.chi2Contingency(
+        Tables.events(s, dir).withColumn("dow", expr("weekday(ts)")),
+        "event_type", "dow")),
+
+    // -- profiler: one-pass Pearson correlation matrix over the four
+    //    lineitem numerics — exact integer moments, pinned IEEE tails --
+    "q_corr_matrix" -> ((s, dir) =>
+      Forensics.correlationMatrix(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
     // -- graph: degree assortativity of the part-supplier bipartite
     //    graph (node ids disambiguated by parity) — do high-degree
     //    parts meet high-degree suppliers? ----------------------------
@@ -1427,6 +1440,87 @@ object RelationalQueries {
         |        AND rk <= n - (n * 10) // 100
         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS trimmed_mean_micro
         |FROM r GROUP BY 1""".stripMargin,
+
+    // cell collapse + marginals, per-cell floor-quantized χ² terms,
+    // Cramér's V² with the nullif-undefined dof
+    "q_chi2_rc" ->
+      """WITH f AS (
+        |  SELECT event_type AS ka, (isodow(ts) - 1) AS kb FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |), cells AS (
+        |  SELECT ka, kb, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 1, 2
+        |), rm AS (
+        |  SELECT ka, sum(c) AS r FROM cells GROUP BY 1
+        |), cm AS (
+        |  SELECT kb, sum(c) AS s FROM cells GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT ka) AS BIGINT) AS r_levels,
+        |    CAST(count(DISTINCT kb) AS BIGINT) AS c_levels
+        |  FROM cells
+        |), terms AS (
+        |  SELECT CAST(CAST(c AS HUGEINT) * c * t.n * 1000000
+        |      // (CAST(r AS HUGEINT) * s) AS BIGINT) AS term
+        |  FROM cells JOIN rm USING (ka) JOIN cm USING (kb) CROSS JOIN t
+        |), g AS (
+        |  SELECT CAST(sum(term) AS BIGINT) AS tsum FROM terms
+        |)
+        |SELECT t.n, t.r_levels, t.c_levels,
+        |  (t.r_levels - 1) * (t.c_levels - 1) AS dof,
+        |  g.tsum - t.n * 1000000 AS chi2_micro,
+        |  CAST((g.tsum - t.n * 1000000)
+        |    // nullif(t.n * (least(t.r_levels, t.c_levels) - 1), 0)
+        |    AS BIGINT) AS v2_micro
+        |FROM t CROSS JOIN g""".stripMargin,
+
+    // one HUGEINT moment pass, six pair branches with the pinned
+    // two-sqrt IEEE tails
+    "q_corr_matrix" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(l_quantity * 1000) AS BIGINT) AS v0,
+        |    CAST(floor(l_extendedprice * 1000) AS BIGINT) AS v1,
+        |    CAST(floor(l_discount * 1000) AS BIGINT) AS v2,
+        |    CAST(floor(l_tax * 1000) AS BIGINT) AS v3
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v0 AS HUGEINT)) AS s0, sum(CAST(v1 AS HUGEINT)) AS s1,
+        |    sum(CAST(v2 AS HUGEINT)) AS s2, sum(CAST(v3 AS HUGEINT)) AS s3,
+        |    sum(CAST(v0 AS HUGEINT) * v0) AS q0,
+        |    sum(CAST(v1 AS HUGEINT) * v1) AS q1,
+        |    sum(CAST(v2 AS HUGEINT) * v2) AS q2,
+        |    sum(CAST(v3 AS HUGEINT) * v3) AS q3,
+        |    sum(CAST(v0 AS HUGEINT) * v1) AS x0_1,
+        |    sum(CAST(v0 AS HUGEINT) * v2) AS x0_2,
+        |    sum(CAST(v0 AS HUGEINT) * v3) AS x0_3,
+        |    sum(CAST(v1 AS HUGEINT) * v2) AS x1_2,
+        |    sum(CAST(v1 AS HUGEINT) * v3) AS x1_3,
+        |    sum(CAST(v2 AS HUGEINT) * v3) AS x2_3
+        |  FROM b
+        |), p AS (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+        |    x0_1 AS xy, s0 AS sa, s1 AS sb, q0 AS qa, q1 AS qb FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', n,
+        |    x0_2, s0, s2, q0, q2 FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', n,
+        |    x0_3, s0, s3, q0, q3 FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', n,
+        |    x1_2, s1, s2, q1, q2 FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', n,
+        |    x1_3, s1, s3, q1, q3 FROM m
+        |  UNION ALL SELECT 'l_discount', 'l_tax', n,
+        |    x2_3, s2, s3, q2, q3 FROM m
+        |)
+        |SELECT col_a, col_b, n,
+        |  CASE WHEN xy IS NULL
+        |    OR n * qa - sa * sa = 0 OR n * qb - sb * sb = 0 THEN NULL
+        |  ELSE CAST(floor(1000000.0 * CAST(n * xy - sa * sb AS DOUBLE) /
+        |    (sqrt(CAST(n * qa - sa * sa AS DOUBLE)) *
+        |     sqrt(CAST(n * qb - sb * sb AS DOUBLE)))) AS BIGINT) END
+        |    AS r_micro
+        |FROM p""".stripMargin,
 
     // canonicalize → symmetrize → degree joins → exact HUGEINT
     // moments → the pinned two-sqrt IEEE tail

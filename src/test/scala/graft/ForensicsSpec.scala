@@ -435,6 +435,76 @@ class ForensicsSpec extends SparkSpec {
     }
   }
 
+  test("chi2Contingency: independence → 0, perfect k×k association → V² = 1e6 exact, 2×2 agrees with the exact chi2 within cell quantization, single-level NULL") {
+    import spark.implicits._
+    // uniform 2×2: exactly independent → 0
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("g", "o")
+    val i = Forensics.chi2Contingency(ind, "g", "o").head()
+    assert(i.getLong(4) == 0L && i.getLong(5) == 0L, s"got $i")
+    // perfect 3×3 diagonal, 2 per cell: chi2 = N(k−1)·1e6, V² = 1e6
+    val diag = (1 to 3).flatMap(k => Seq.fill(2)((s"g$k", s"o$k")))
+      .toDF("g", "o")
+    val d = Forensics.chi2Contingency(diag, "g", "o").head()
+    assert(d.getLong(0) == 6L && d.getLong(3) == 4L
+      && d.getLong(4) == 6L * 2L * 1000000L && d.getLong(5) == 1000000L,
+      s"got $d")
+    // the textbook 2×2 (20,5,10,15): within #cells micro of the exact
+    // cross-multiplied chi2 (the per-cell floor quantization contract)
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(15)((false, false))
+    val g = Forensics.chi2Contingency(rows.toDF("g", "o"), "g", "o").head()
+    val exact = Forensics.chi2(rows.toDF("g", "o"), "g", "o")
+      .head().getLong(7)
+    assert(math.abs(g.getLong(4) - exact) <= 4L,
+      s"quantized ${g.getLong(4)} vs exact $exact")
+    // a single-level column: dof 0, V² undefined
+    val one = Seq(("a", "x"), ("a", "y")).toDF("g", "o")
+    val o = Forensics.chi2Contingency(one, "g", "o").head()
+    assert(o.getLong(3) == 0L && o.isNullAt(5))
+  }
+
+  test("correlationMatrix: exact ±1e6 on n=2 (d = (a−b)² is a perfect square), hand IEEE tail, listwise deletion, constant NULL, loud args") {
+    import spark.implicits._
+    // n=2 makes every variance term a perfect square → exact tails
+    val two = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0)).toDF("a", "b", "c")
+    val r2 = Forensics.correlationMatrix(two, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(r2.size == 3)
+    assert(r2(("a", "b")).getLong(3) == 1000000L)
+    assert(r2(("a", "c")).getLong(3) == -1000000L)
+    assert(r2(("b", "c")).getLong(3) == -1000000L)
+    // hand 3-point case replays the pinned IEEE tail
+    val h = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 4.0)).toDF("a", "b")
+    val hr = Forensics.correlationMatrix(h, Seq("a", "b")).head()
+    // milli: x=(1000,2000,3000) y=(1000,3000,4000): Σxy = 19e6,
+    // num = 3·19e6 − 6000·8000 = 9e6, d1 = 6e6, d2 = 14e6
+    val num = 3.0 * 19e6 - 48e6
+    val d1 = 3.0 * 14e6 - 36e6
+    val d2 = 3.0 * 26e6 - 64e6
+    val expect = math.floor(1000000.0 * num /
+      (math.sqrt(d1) * math.sqrt(d2))).toLong
+    assert(hr.getLong(2) == 3L && hr.getLong(3) == expect, s"got $hr")
+    // listwise: a NULL anywhere drops the row from EVERY pair
+    val withNull = Seq((Some(1.0), Some(1.0), Some(1.0)),
+      (Some(2.0), Some(2.0), None), (Some(3.0), Some(3.0), Some(3.0)))
+      .toDF("a", "b", "c")
+    assert(Forensics.correlationMatrix(withNull, Seq("a", "b", "c"))
+      .collect().forall(_.getLong(2) == 2L))
+    // constant column: its pairs are NULL, others unaffected
+    val const = Seq((1.0, 5.0, 1.0), (2.0, 5.0, 2.0)).toDF("a", "b", "c")
+    val cr = Forensics.correlationMatrix(const, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(cr(("a", "b")).isNullAt(3) && cr(("b", "c")).isNullAt(3))
+    assert(cr(("a", "c")).getLong(3) == 1000000L)
+    intercept[IllegalArgumentException] {
+      Forensics.correlationMatrix(h, Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      Forensics.correlationMatrix(h, Seq("a", "a"))
+    }
+  }
+
   test("trimmedMean: resists the flash value the raw mean swallows, exact micro, tiny keys keep everything") {
     import spark.implicits._
     val df = Seq(("k", 1.0), ("k", 2.0), ("k", 3.0), ("k", 4.0),
