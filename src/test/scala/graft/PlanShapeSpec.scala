@@ -784,4 +784,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Scan parquet") == 2,
       s"expected exactly 2 scans (row rules + uniqueness):\n${p.take(1500)}")
   }
+
+  test("q_spearman broadcasts both rank maps and scans only the two value columns") {
+    val p = plan("q_spearman")
+    assert(count(p, "BroadcastHashJoin") == 2,
+      "the corpus joins the bounded rank maps without shuffling itself")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double>"),
+      "column pruning must reach the scan")
+  }
+
+  test("q_corr_matrix never shuffles the corpus: one scan, no hash exchange") {
+    val p = plan("q_corr_matrix")
+    assert(count(p, "Scan parquet") == 1)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "a 1-row moment aggregate needs only the SinglePartition exchange")
+  }
+
+  test("q_chi2_rc broadcasts the marginals back onto the bounded cell table") {
+    val p = plan("q_chi2_rc")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      "row + column marginals broadcast, never a shuffle join")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_lift_curve collapses per score once; totals ride a broadcast, not a shuffle join") {
+    val p = plan("q_lift_curve")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row totals join must be a broadcast nested-loop at worst")
+  }
 }
