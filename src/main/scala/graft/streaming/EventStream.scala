@@ -172,6 +172,84 @@ object EventStream {
         })
   }
 
+  final case class ScoreEvent(value: Double, ts: Timestamp)
+  final case class KsState(counts: Map[Long, Long])
+  final case class KsReport(windowStart: Timestamp, nWindow: Long,
+      nRef: Long, ksMicro: Long, atV: Long, alert: Boolean)
+
+  /** Streaming score-distribution drift monitor — the unbounded arm of
+    * `Forensics.ksTwoSample` (L-227), the numeric twin of
+    * `driftStream`'s categorical TV: per tumbling event-time window,
+    * the window's empirical distribution (milli-quantized values) is
+    * KS-tested against a STATIC reference histogram (yesterday's score
+    * distribution — a driver-bounded model artifact, the ModelStore
+    * class), and the window's report emits EXACTLY ONCE at watermark
+    * close with the exact cross-multiplied ks_micro, the supremum's
+    * location (lowest attaining value — the batch tie-break), and the
+    * alert verdict. The production shape for "the quality scorer's
+    * input distribution shifted mid-crawl", hours before a batch
+    * snapshot diff would run.
+    *
+    * Bit-equal BY CONSTRUCTION to the batch twin on the same window
+    * (gated in StreamingSpec): same milli quantization, same
+    * cumulative-over-merged-distinct-values walk, same
+    * |cum_a·n_b − cum_b·n_a| cross-multiplication (BigInt headroom in
+    * the kernel — the DECIMAL(38,0) of the JVM side), same floor
+    * division. State per open window is its value histogram — bounded
+    * by DISTINCT milli-values per window, the batch op's own
+    * bounded-distinct contract carried over; event-time timeout is
+    * the emit-once trigger (the driftStream pattern).
+    */
+  def ksDriftStream(scores: Dataset[ScoreEvent], reference: Seq[(Long, Long)],
+                    windowMinutes: Int, alertMicro: Long,
+                    watermarkDelay: String = "10 minutes"): Dataset[KsReport] = {
+    require(windowMinutes > 0, "ksDriftStream: windowMinutes must be positive")
+    require(reference.nonEmpty && reference.forall(_._2 > 0L),
+      "ksDriftStream: reference histogram must be non-empty with positive counts")
+    require(alertMicro >= 0L && alertMicro <= 1000000L,
+      s"ksDriftStream: alertMicro in [0, 1e6], got $alertMicro")
+    import scores.sparkSession.implicits._
+    val refMap = reference.groupBy(_._1).map { case (v, g) =>
+      v -> g.map(_._2).sum }
+    val nRef = refMap.values.sum
+    val wMs = windowMinutes * 60000L
+    scores
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(d => math.floorDiv(d.ts.getTime, wMs) * wMs)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (winStart: Long, it: Iterator[ScoreEvent], state: GroupState[KsState]) => {
+          if (state.hasTimedOut) {
+            val counts = state.get.counts
+            state.remove()
+            val nb = counts.values.sum
+            val all = (counts.keySet ++ refMap.keySet).toSeq.sorted
+            var cumA = 0L
+            var cumB = 0L
+            var bestGap = BigInt(-1)
+            var atV = 0L
+            all.foreach { v =>
+              cumA += refMap.getOrElse(v, 0L)
+              cumB += counts.getOrElse(v, 0L)
+              val gap = (BigInt(cumA) * nb - BigInt(cumB) * nRef).abs
+              if (gap > bestGap) { bestGap = gap; atV = v }
+            }
+            val ksMicro =
+              ((bestGap * 1000000) / (BigInt(nRef) * nb)).toLong
+            Iterator.single(KsReport(new Timestamp(winStart), nb, nRef,
+              ksMicro, atV, ksMicro >= alertMicro))
+          } else {
+            val acc = it.foldLeft(
+              state.getOption.fold(Map.empty[Long, Long])(_.counts)) { (m, d) =>
+              val v = math.floor(d.value * 1000).toLong
+              m.updated(v, m.getOrElse(v, 0L) + 1L)
+            }
+            state.update(KsState(acc))
+            state.setTimeoutTimestamp(winStart + wMs)
+            Iterator.empty
+          }
+        })
+  }
+
   final case class TraceEvent(caseId: String, ts: Timestamp, activity: String)
   final case class TraceState(events: Seq[TraceEvent])
   final case class CompletedTrace(caseId: String, nEvents: Int,

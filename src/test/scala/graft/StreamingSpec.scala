@@ -800,6 +800,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ksDriftStream: clean window reads 0, shifted window alerts, both bit-equal to the batch KS, closed windows emit once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStream.ScoreEvent
+    import graft.analytics.Forensics
+    // reference = {1.0, 2.0, 3.0, 4.0} as a milli histogram
+    val reference = Seq(1000L -> 1L, 2000L -> 1L, 3000L -> 1L, 4000L -> 1L)
+    val in = MemoryStream[ScoreEvent]
+    val out = EventStream.ksDriftStream(in.toDS(), reference,
+      windowMinutes = 10, alertMicro = 500000L,
+      watermarkDelay = "5 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ks_out").start()
+    try {
+      val w1 = Seq(1.0, 2.0, 3.0, 4.0)           // ≡ reference → ks 0
+      val w2 = Seq(51.0, 52.0)                   // disjoint → ks 1e6
+      in.addData(w1.map(v => ScoreEvent(v, ts("2024-01-01 10:01:00"))): _*)
+      in.addData(w2.map(v => ScoreEvent(v, ts("2024-01-01 10:11:00"))): _*)
+      in.addData(ScoreEvent(9.9, ts("2024-01-01 11:00:00")))  // flush
+      q.processAllAvailable()
+      val rows = spark.table("ks_out").collect()
+        .map(r => r.getTimestamp(0) -> r).toMap
+      val clean = rows(ts("2024-01-01 10:00:00"))
+      assert(clean.getLong(3) == 0L && !clean.getBoolean(5), s"got $clean")
+      val drifted = rows(ts("2024-01-01 10:10:00"))
+      assert(drifted.getLong(3) == 1000000L && drifted.getBoolean(5))
+      // bit-equal to the batch twin on the same window slices
+      def batch(vals: Seq[Double]) = Forensics.ksTwoSample(
+        Seq(1.0, 2.0, 3.0, 4.0).toDF("value"), vals.toDF("value"), "value")
+        .head()
+      val b1 = batch(w1); val b2 = batch(w2)
+      assert(clean.getLong(3) == b1.getLong(2)
+        && clean.getLong(4) == b1.getLong(3), "clean ≡ batch incl. at_v")
+      assert(drifted.getLong(3) == b2.getLong(2)
+        && drifted.getLong(4) == b2.getLong(3), "drifted ≡ batch incl. at_v")
+      // a late event behind the watermark must not re-emit the window
+      val before = spark.table("ks_out").count()
+      in.addData(ScoreEvent(1.0, ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      assert(spark.table("ks_out").count() == before,
+        "closed windows report exactly once")
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: window reports emit once with exact shares/TV, silent sources surface") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
