@@ -755,6 +755,65 @@ object TextOps {
         col("pos_rate_micro"), col("gap_micro"), col("ece_micro"))
   }
 
+  /** Isotonic (PAV) calibration fit — the FIX to what `calibration`
+    * MEASURES: pool-adjacent-violators (Ayer et al. 1955, the sklearn
+    * `IsotonicRegression` kernel) fits the least-squares MONOTONE map
+    * from raw score to empirical positive rate, the standard
+    * post-hoc calibrator next to Platt scaling (which needs a
+    * logistic fit; PAV is exact integer arithmetic end to end).
+    * Returns one row per DISTINCT score — the mapping table an apply
+    * step broadcast-equi-joins on — carrying the score's own
+    * (n, n_pos), its pooled block (block, s_lo, s_hi) and the block's
+    * rate_micro = pos·1e6 div n. Violator comparison is
+    * CROSS-MULTIPLIED (pos₁·n₂ > pos₂·n₁ — no division enters the
+    * pooling), merges on STRICT violation only, so an
+    * already-monotone input is returned identity (every score its own
+    * block, pinned by law). Conservation: block (n, pos) sums equal
+    * the corpus's.
+    *
+    * Scale shape: one per-score collapse (the corpus's only shuffle);
+    * PAV is a driver loop over the BOUNDED distinct-score table (the
+    * BPE-merge class of driver work — sequential by nature, which is
+    * also why the gate is rows-only + laws, not a SQL oracle), capped
+    * loud at 100k distinct scores.
+    */
+  def isotonicFit(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val perScore = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+      .orderBy(col("s").asc)
+      .collect()
+    require(perScore.length <= 100000,
+      s"isotonicFit: ${perScore.length} distinct scores exceed the bounded" +
+        " driver-table contract (100k) — pre-quantize the score")
+    final case class Blk(lo: Long, hi: Long, pos: Long, n: Long)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Blk]
+    perScore.foreach { r =>
+      var b = Blk(r.getLong(0), r.getLong(0), r.getLong(2), r.getLong(1))
+      while (blocks.nonEmpty &&
+        blocks.last.pos * b.n > b.pos * blocks.last.n) {
+        val p = blocks.remove(blocks.length - 1)
+        b = Blk(p.lo, b.hi, p.pos + b.pos, p.n + b.n)
+      }
+      blocks += b
+    }
+    val byLo = blocks.zipWithIndex
+    var bi = 0
+    val rows = perScore.map { r =>
+      val s = r.getLong(0)
+      while (byLo(bi)._1.hi < s) bi += 1
+      val (blk, id) = byLo(bi)
+      (s, r.getLong(1), r.getLong(2), id.toLong, blk.lo, blk.hi,
+        blk.pos * 1000000L / blk.n)
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("s", "n", "n_pos", "block", "s_lo", "s_hi", "rate_micro")
+  }
+
   /** Cumulative gains / lift table — the TRIAGE readout of the eval
     * stool (prCurve picks a threshold, aucRoc ranks, calibration
     * trusts the score, lift answers "how much better than random is

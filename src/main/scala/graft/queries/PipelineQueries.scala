@@ -470,6 +470,18 @@ object PipelineQueries {
           .withColumn("is_en", col("lang") === "en"),
         "is_en", "score_micro", nBins = 10)),
 
+    // -- eval: isotonic (PAV) calibration fit of the same detector —
+    //    the FIX to what q_calibration measures; per-distinct-score
+    //    mapping table with pooled blocks. Rows-only BY CONTRACT:
+    //    PAV's pooling loop is sequential ---------------------------
+    "q_isotonic" -> ((s, dir) =>
+      TextOps.isotonicFit(
+        withStats(Tables.documents(s, dir))
+          .withColumn("score_micro",
+            expr("(CAST(n_stop AS BIGINT) * 1000000L) div n_tokens"))
+          .withColumn("is_en", col("lang") === "en"),
+        "is_en", "score_micro")),
+
     // -- eval: cumulative gains/lift of the same detector — score-
     //    block-atomic deciles, exact capture rate and cross-multiplied
     //    lift vs base rate; empty buckets emitted, cum-stamped --------

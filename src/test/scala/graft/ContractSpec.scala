@@ -46,7 +46,8 @@ class ContractSpec extends SparkSpec {
     "q_editdist_pairs_lsh" -> "LSH candidate stage is bucket-miss approximate (one-sided); output ⊆ exact arm + planted-paraphrase recall gated in LlmDedupSpec",
     "q_dense_index_search" -> "IVF centroids are data-dependent k-means; store ≡ rebuild bit-equality, streaming-maintenance equality, and drift gates in DenseIndexSpec",
     "q_procrustes_align" -> "float treeAggregate order + iterative Jacobi are not SQL-expressible; planted-rotation recovery / orthogonality / geometry-preservation gated in ProcrustesSpec",
-    "q_record_linkage" -> "the Jaro-Winkler match-window kernel is imperative, not SQL-expressible (DuckDB's builtin is a different variant); canonical Winkler vectors exact + kernel ≡ column + blocking/threshold laws gated in LinkageSpec")
+    "q_record_linkage" -> "the Jaro-Winkler match-window kernel is imperative, not SQL-expressible (DuckDB's builtin is a different variant); canonical Winkler vectors exact + kernel ≡ column + blocking/threshold laws gated in LinkageSpec",
+    "q_isotonic" -> "PAV's pooling loop is sequential, not SQL-expressible; hand-pooling / monotone / identity / conservation / ECE-improves laws gated in DataContractSpec")
 
   test("every query has an oracle or a documented rows-only reason") {
     val qs = SparkEntry.queries.keySet

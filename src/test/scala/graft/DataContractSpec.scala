@@ -161,6 +161,47 @@ class DataContractSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("isotonicFit: hand PAV pooling, monotone output, identity on monotone input, conservation, ECE improves after remap") {
+    import spark.implicits._
+    import graft.llm.TextOps
+    // scores 1,2,3 each ×5 with pos 4,1,3: (0.8, 0.2) violate → pool
+    // to 0.5; (0.5, 0.6) fine → blocks [1..2 @ 500000, 3..3 @ 600000]
+    val df = (Seq.fill(4)((true, 1L)) ++ Seq.fill(1)((false, 1L)) ++
+      Seq.fill(1)((true, 2L)) ++ Seq.fill(4)((false, 2L)) ++
+      Seq.fill(3)((true, 3L)) ++ Seq.fill(2)((false, 3L))).toDF("y", "s")
+    val fit = TextOps.isotonicFit(df, "y", "s").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(fit(1L).getLong(6) == 500000L && fit(2L).getLong(6) == 500000L
+      && fit(3L).getLong(6) == 600000L, s"got ${fit.values.toSeq}")
+    assert(fit(1L).getLong(4) == 1L && fit(1L).getLong(5) == 2L,
+      "block bounds cover the pooled scores")
+    // monotone non-decreasing rates over s, conservation of (n, pos)
+    val ordered = TextOps.isotonicFit(df, "y", "s").orderBy("s").collect()
+    assert(ordered.sliding(2).forall(p =>
+      p(0).getLong(6) <= p(1).getLong(6)))
+    assert(ordered.map(_.getLong(1)).sum == 15L
+      && ordered.map(_.getLong(2)).sum == 8L)
+    // an already-monotone input comes back identity: one block each
+    val mono = (Seq.fill(4)((false, 1L)) ++ Seq.fill(1)((true, 1L)) ++
+      Seq.fill(2)((true, 2L)) ++ Seq.fill(2)((false, 2L)) ++
+      Seq.fill(4)((true, 3L))).toDF("y", "s")
+    val mf = TextOps.isotonicFit(mono, "y", "s").collect()
+    assert(mf.forall(r => r.getLong(4) == r.getLong(0)
+      && r.getLong(5) == r.getLong(0)), "monotone input: every score its own block")
+    // the MEASURE→FIX loop: remapping through the fit lowers ECE on a
+    // miscalibrated detector (scores in micro-units for calibration)
+    val raw = (Seq.fill(80)((true, 900000L)) ++ Seq.fill(20)((false, 900000L)) ++
+      Seq.fill(60)((true, 100000L)) ++ Seq.fill(40)((false, 100000L)))
+      .toDF("y", "s")
+    val before = TextOps.calibration(raw, "y", "s").head().getLong(7)
+    val fitMap = TextOps.isotonicFit(raw, "y", "s")
+      .select(col("s"), col("rate_micro"))
+    val remapped = raw.join(fitMap, Seq("s"))
+      .select(col("y"), col("rate_micro").as("s"))
+    val after = TextOps.calibration(remapped, "y", "s").head().getLong(7)
+    assert(after < before, s"ECE must improve: $before -> $after")
+  }
+
   test("liftCurve: hand gains/lift, tie block atomic, empty buckets cum-stamped, zero positives NULL, loud args") {
     import spark.implicits._
     import graft.llm.TextOps
