@@ -816,6 +816,48 @@ object Forensics {
       .select(col("col_a"), col("col_b"), col("n"), col("r_micro"))
   }
 
+  /** Winsorize — the TRANSFORM member of the robust family (madOutliers
+    * FLAGS, trimmedMean AGGREGATES, winsorize REWRITES): per key, clamp
+    * every value into the exact [pctLo, pctHi] percentile fences —
+    * LOWER order statistics at ranks max(1, ⌈n·pct/100⌉) under the
+    * pinned (value, id) order, the madOutliers rank discipline — and
+    * emit every row with both raw and clamped value (milli-quantized,
+    * the shared convention). The tail treatment a robust-mean pipeline
+    * wants when rows cannot be DROPPED (budget accounting, conserved
+    * token counts): mass is preserved, only the extremes move to the
+    * fences.
+    *
+    * Scale shape: one rank window + one count window sharing the
+    * per-key Exchange, a 1-row-per-key fence aggregate broadcast back
+    * onto the rows; output is corpus-sized BY DESIGN (it is a
+    * transform).
+    */
+  def winsorize(df: DataFrame, keyCol: String, idCol: String,
+                valueCol: String, pctLo: Int = 5, pctHi: Int = 95): DataFrame = {
+    require(pctLo >= 1 && pctHi <= 99 && pctLo < pctHi,
+      s"winsorize: need 1 <= pctLo < pctHi <= 99, got ($pctLo, $pctHi)")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(idCol),
+        expr(s"CAST(floor($valueCol * 1000) AS BIGINT)").as("v"))
+    val byKey = Window.partitionBy(col(keyCol))
+    val ranked = base
+      .withColumn("__rk", row_number().over(
+        byKey.orderBy(col("v").asc, col(idCol).asc)).cast("long"))
+      .withColumn("__n", count(lit(1)).over(byKey))
+    val fences = ranked
+      .withColumn("__lo_rk",
+        expr(s"greatest(1L, (__n * ${pctLo}L + 99L) div 100L)"))
+      .withColumn("__hi_rk", expr(s"(__n * ${pctHi}L + 99L) div 100L"))
+      .groupBy(col(keyCol))
+      .agg(min(when(col("__rk") === col("__lo_rk"), col("v"))).as("lo_v"),
+        min(when(col("__rk") === col("__hi_rk"), col("v"))).as("hi_v"))
+    base
+      .join(broadcast(fences), Seq(keyCol))
+      .select(col(keyCol), col(idCol), col("v"),
+        least(greatest(col("v"), col("lo_v")), col("hi_v"))
+          .as("v_winsor"), col("lo_v"), col("hi_v"))
+  }
+
   /** Trimmed mean — the third robust-location tool next to the median
     * (`madOutliers`) and the plain mean: per key, drop the k =
     * ⌊n·trimPct/100⌋ smallest and k largest values by rank and average

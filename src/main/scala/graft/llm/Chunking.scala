@@ -907,4 +907,49 @@ object Chunking {
       .select(col(sourceCol), col(idCol), col("n_tokens"),
         col("__alloc").as("alloc_tokens"), col("n_copies"))
   }
+
+  /** Preference-pair construction — the DPO/RLHF data-prep step: per
+    * group (prompt, topic, source), pair the HIGHEST-scored member as
+    * `chosen` against the LOWEST-scored as `rejected`, with the score
+    * margin as the pair's training weight signal. Deterministic
+    * end to end: (score DESC, id ASC) picks chosen, (score ASC,
+    * id ASC) picks rejected — ties go to the lowest id on both sides.
+    * EVERY group emits one row (loud, never silent): `usable` is
+    * false when the margin is under `minMarginMicro` OR the group
+    * degenerates (one row, or all-equal scores where both picks land
+    * on the same id) — the caller filters on it, the audit reads the
+    * rest. Scores are integer micro-units BY CONVENTION (any
+    * monotone integer scale works — only order and differences
+    * enter).
+    *
+    * Scale shape: two rank windows sharing one per-group Exchange,
+    * then a 1-row-per-group aggregate — the trimmedMean class.
+    */
+  def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
+                      scoreCol: String, minMarginMicro: Long): DataFrame = {
+    require(minMarginMicro >= 0L,
+      s"preferencePairs: minMarginMicro must be >= 0, got $minMarginMicro")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol), col(idCol).as("__id"),
+        col(scoreCol).cast("long").as("__s"))
+    val byG = Window.partitionBy(col(groupCol))
+    base
+      .withColumn("__rt", row_number().over(
+        byG.orderBy(col("__s").desc, col("__id").asc)))
+      .withColumn("__rb", row_number().over(
+        byG.orderBy(col("__s").asc, col("__id").asc)))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        min(when(col("__rt") === 1, col("__id"))).as("chosen_id"),
+        min(when(col("__rt") === 1, col("__s"))).as("chosen_score"),
+        min(when(col("__rb") === 1, col("__id"))).as("rejected_id"),
+        min(when(col("__rb") === 1, col("__s"))).as("rejected_score"))
+      .withColumn("margin_micro",
+        col("chosen_score") - col("rejected_score"))
+      .withColumn("usable",
+        col("margin_micro") >= minMarginMicro &&
+          col("chosen_id") =!= col("rejected_id"))
+  }
 }

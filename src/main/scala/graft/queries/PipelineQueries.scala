@@ -470,6 +470,16 @@ object PipelineQueries {
           .withColumn("is_en", col("lang") === "en"),
         "is_en", "score_micro", nBins = 10)),
 
+    // -- training prep: DPO-style preference pairs — per source the
+    //    best-vs-worst stopword-scored docs, margin-gated, every group
+    //    emitted with its usable verdict ------------------------------
+    "q_preference_pairs" -> ((s, dir) =>
+      graft.llm.Chunking.preferencePairs(
+        withStats(Tables.documents(s, dir))
+          .withColumn("score_micro",
+            expr("(CAST(n_stop AS BIGINT) * 1000000L) div n_tokens")),
+        "source", "doc_id", "score_micro", minMarginMicro = 100000L)),
+
     // -- eval: isotonic (PAV) calibration fit of the same detector —
     //    the FIX to what q_calibration measures; per-distinct-score
     //    mapping table with pooled blocks. Rows-only BY CONTRACT:
@@ -2182,6 +2192,39 @@ object PipelineQueries {
         |    // nullif(CAST(2 AS HUGEINT) * n_pos * n_neg, 0) AS BIGINT)
         |    AS auc_micro
         |FROM a""".stripMargin,
+
+    // two rank windows under pinned (score, id) orders, 1-row-per-group
+    // aggregate, margin/degenerate gates
+    "q_preference_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM documents
+        |), f AS (
+        |  SELECT source, doc_id,
+        |    (CAST(len(list_filter(toks,
+        |      t -> t IN ('the', 'a', 'of', 'and', 'is', 'to'))) AS BIGINT)
+        |      * 1000000) // len(toks) AS sc
+        |  FROM s
+        |), r AS (
+        |  SELECT source, doc_id, sc,
+        |    row_number() OVER (PARTITION BY source ORDER BY sc DESC, doc_id)
+        |      AS rt,
+        |    row_number() OVER (PARTITION BY source ORDER BY sc ASC, doc_id)
+        |      AS rb
+        |  FROM f
+        |), g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    min(CASE WHEN rt = 1 THEN doc_id END) AS chosen_id,
+        |    min(CASE WHEN rt = 1 THEN sc END) AS chosen_score,
+        |    min(CASE WHEN rb = 1 THEN doc_id END) AS rejected_id,
+        |    min(CASE WHEN rb = 1 THEN sc END) AS rejected_score
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT source, n, chosen_id, chosen_score, rejected_id,
+        |  rejected_score, chosen_score - rejected_score AS margin_micro,
+        |  (chosen_score - rejected_score >= 100000
+        |    AND chosen_id <> rejected_id) AS usable
+        |FROM g""".stripMargin,
 
     // fixed-grid bin collapse, HUGEINT score sums, spine LEFT JOIN so
     // empty bins surface with NULL rates; ECE = sum(n*gap) // N

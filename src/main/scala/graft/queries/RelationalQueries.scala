@@ -552,6 +552,13 @@ object RelationalQueries {
       Forensics.trimmedMean(Tables.events(s, dir), "event_type", "value",
         trimPct = 10)),
 
+    // -- robust stats: winsorize — the TRANSFORM member of the robust
+    //    family: clamp every value into its event type's exact
+    //    [5%, 95%] percentile fences, every row emitted ---------------
+    "q_winsorize" -> ((s, dir) =>
+      Forensics.winsorize(Tables.events(s, dir), "event_type", "event_id",
+        "value", pctLo = 5, pctHi = 95)),
+
     // -- stats: r×c chi-square + Cramér's V — is event type independent
     //    of the weekday? Per-cell floor-quantized terms BY CONTRACT ----
     "q_chi2_rc" -> ((s, dir) =>
@@ -1440,6 +1447,29 @@ object RelationalQueries {
         |        AND rk <= n - (n * 10) // 100
         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS trimmed_mean_micro
         |FROM r GROUP BY 1""".stripMargin,
+
+    // per-key rank/count windows under the pinned (v, id) order, exact
+    // ceil-rank fences, clamp rides a broadcast join back
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type, event_id, CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, event_id, v,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v, event_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM b
+        |), f AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN rk = greatest(1, (n * 5 + 99) // 100) THEN v END)
+        |      AS lo_v,
+        |    min(CASE WHEN rk = (n * 95 + 99) // 100 THEN v END) AS hi_v
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT b.event_type, b.event_id, b.v,
+        |  least(greatest(b.v, f.lo_v), f.hi_v) AS v_winsor, f.lo_v, f.hi_v
+        |FROM b JOIN f USING (event_type)""".stripMargin,
 
     // cell collapse + marginals, per-cell floor-quantized χ² terms,
     // Cramér's V² with the nullif-undefined dof

@@ -657,4 +657,38 @@ class ChunkingSpec extends SparkSpec {
       assert(got(i) == solo(i), s"singleton $i moved: ${got(i)} vs ${solo(i)}")
     }
   }
+
+  test("preferencePairs: best-vs-worst per group, tie to lowest id, degenerate groups emit unusable, margin gate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("g1", 1L, 900000L), ("g1", 2L, 500000L), ("g1", 3L, 100000L),
+      ("g2", 4L, 700000L), ("g2", 5L, 700000L), ("g2", 6L, 200000L),
+      ("g3", 7L, 400000L), ("g3", 8L, 400000L),      // all equal
+      ("g4", 9L, 600000L),                           // group of one
+      ("g5", 10L, 500000L), ("g5", 11L, 450000L)     // under margin
+    ).toDF("g", "id", "s")
+    val got = graft.llm.Chunking.preferencePairs(df, "g", "id", "s",
+      minMarginMicro = 100000L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.size == 5, "every group emits, degenerate included")
+    val g1 = got("g1")
+    assert(g1.getLong(2) == 1L && g1.getLong(4) == 3L
+      && g1.getLong(6) == 800000L && g1.getBoolean(7), s"got $g1")
+    assert(got("g2").getLong(2) == 4L, "top-score tie breaks to the lowest id")
+    assert(!got("g3").getBoolean(7) &&
+      got("g3").getLong(2) == got("g3").getLong(4),
+      "all-equal scores cannot form a pair")
+    assert(!got("g4").getBoolean(7), "a singleton group is unusable")
+    assert(!got("g5").getBoolean(7) && got("g5").getLong(6) == 50000L,
+      "a real pair under the margin is emitted but flagged")
+    intercept[IllegalArgumentException] {
+      graft.llm.Chunking.preferencePairs(df, "g", "id", "s", -1L)
+    }
+    // null scores/ids are excluded before pairing
+    val withNull = Seq(("g", Some(1L), Some(10L)), ("g", Some(2L), None),
+      ("g", None, Some(30L))).toDF("g", "id", "s")
+    assert(graft.llm.Chunking.preferencePairs(withNull, "g", "id", "s", 0L)
+      .filter(col("g") === "g").head().getLong(1) == 1L)
+  }
 }

@@ -505,6 +505,26 @@ class ForensicsSpec extends SparkSpec {
     }
   }
 
+  test("winsorize: exact percentile fences clamp the tails, mass preserved, small keys untouched, loud args") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => ("k", i.toLong, i.toDouble)).toDF("key", "id", "v")
+    val got = Forensics.winsorize(df, "key", "id", "v", pctLo = 20, pctHi = 80)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    // n=10: lo rank ceil(200/100)=2 → fence 2000; hi rank 8 → 8000
+    assert(got.size == 10, "a transform emits every row")
+    assert(got(1L).getLong(3) == 2000L && got(1L).getLong(2) == 1000L)
+    assert(got(10L).getLong(3) == 8000L && got(9L).getLong(3) == 8000L)
+    assert(got(5L).getLong(3) == 5000L, "mid-mass values untouched")
+    assert(got.values.forall(r => r.getLong(4) == 2000L && r.getLong(5) == 8000L))
+    // a 5-row key at the default 5/95: fences are the extremes — no-op
+    val tiny = (1 to 5).map(i => ("t", i.toLong, i.toDouble)).toDF("key", "id", "v")
+    assert(Forensics.winsorize(tiny, "key", "id", "v").collect()
+      .forall(r => r.getLong(2) == r.getLong(3)))
+    intercept[IllegalArgumentException] {
+      Forensics.winsorize(df, "key", "id", "v", pctLo = 50, pctHi = 40)
+    }
+  }
+
   test("trimmedMean: resists the flash value the raw mean swallows, exact micro, tiny keys keep everything") {
     import spark.implicits._
     val df = Seq(("k", 1.0), ("k", 2.0), ("k", 3.0), ("k", 4.0),
