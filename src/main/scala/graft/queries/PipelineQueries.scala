@@ -470,6 +470,27 @@ object PipelineQueries {
           .withColumn("is_en", col("lang") === "en"),
         "is_en", "score_micro", nBins = 10)),
 
+    // -- capstone: the detector release report — the whole eval stool
+    //    on the stopword detector in ONE row: ranking (AUC), threshold
+    //    quality (best F1), score trust (ECE), triage power (top-decile
+    //    lift). Every stage is an already-oracle-checked operator; the
+    //    COMPOSITION is what this gates ------------------------------
+    "q_detector_report" -> ((s, dir) => {
+      val scored = withStats(Tables.documents(s, dir))
+        .withColumn("score_micro",
+          expr("(CAST(n_stop AS BIGINT) * 1000000L) div n_tokens"))
+        .withColumn("is_en", col("lang") === "en")
+      TextOps.aucRoc(scored, "is_en", "score_micro")
+        .select(col("auc_micro"))
+        .crossJoin(TextOps.prCurve(scored, "is_en", "score_micro")
+          .agg(max("f1_micro").as("best_f1_micro")))
+        .crossJoin(TextOps.calibration(scored, "is_en", "score_micro")
+          .agg(max("ece_micro").as("ece_micro")))
+        .crossJoin(TextOps.liftCurve(scored, "is_en", "score_micro")
+          .filter(col("bucket") === 0)
+          .select(col("lift_micro").as("lift_top_micro")))
+    }),
+
     // -- training prep: DPO-style preference pairs — per source the
     //    best-vs-worst stopword-scored docs, margin-gated, every group
     //    emitted with its usable verdict ------------------------------
@@ -2016,7 +2037,7 @@ object PipelineQueries {
         "doc_id", "text", expectedItems = 10000L, fpp = 0.001)
     }))
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
@@ -5126,4 +5147,21 @@ object PipelineQueries {
         |WHERE i.doc_id % 10 >= 4
         |  AND md5(i.text) NOT IN
         |    (SELECT md5(text) FROM documents WHERE doc_id % 10 < 6)""".stripMargin)
+
+  /** The detector-report capstone oracle COMPOSES the four eval-stool
+    * oracles verbatim (the q_experiment_report discipline: every stage
+    * is already oracle-checked, the composition is what this gates) —
+    * building it from the map entries means the capstone can never
+    * drift from its parts.
+    */
+  val oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    "q_detector_report" ->
+      s"""SELECT a.auc_micro, f.best_f1_micro, e.ece_micro, l.lift_top_micro
+         |FROM (${baseOracleSql("q_auc")}) a
+         |CROSS JOIN (SELECT max(f1_micro) AS best_f1_micro
+         |  FROM (${baseOracleSql("q_pr_curve")})) f
+         |CROSS JOIN (SELECT max(ece_micro) AS ece_micro
+         |  FROM (${baseOracleSql("q_calibration")})) e
+         |CROSS JOIN (SELECT lift_micro AS lift_top_micro
+         |  FROM (${baseOracleSql("q_lift_curve")}) WHERE bucket = 0) l""".stripMargin)
 }
