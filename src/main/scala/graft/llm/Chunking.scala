@@ -908,6 +908,70 @@ object Chunking {
         col("__alloc").as("alloc_tokens"), col("n_copies"))
   }
 
+  /** Neyman (optimal) allocation for stratified sampling (Neyman
+    * 1934) — the VARIANCE-aware counterpart of the proportional
+    * `stratifiedSample`: a fixed label/eval budget splits across
+    * strata ∝ N_h·σ_h, putting labelers where the data varies instead
+    * of where it is merely plentiful. Exact where it matters:
+    * N_h·σ_h = √(n_h·Σv² − S_h²) of exact DECIMAL integer moments
+    * (the spearman d-term), ONE correctly-rounded IEEE sqrt per
+    * stratum micro-floored into w_micro; the budget splits by the
+    * LARGEST-REMAINDER method — base = budget·w div Σw, the leftover
+    * (≤ strata − 1 by construction) goes to the largest remainders,
+    * (remainder DESC, key ASC) tie-break — so Σalloc = budget EXACTLY
+    * when no cap binds. alloc caps at n_h with the shortfall REPORTED,
+    * never silently redistributed (a second Neyman pass over the
+    * survivors is the caller's explicit decision). A zero-variance
+    * stratum has w = 0 and draws nothing (textbook Neyman); ALL
+    * strata constant → Σw = 0 → NULL allocations (undefined — the
+    * proportional sampler is the right tool, the kappa convention).
+    *
+    * Scale shape: one per-stratum moment collapse (the corpus's only
+    * shuffle), then rank/sum windows on the bounded strata table —
+    * single partition BY CONTRACT, the prCurve spine class.
+    */
+  def neymanAllocation(df: DataFrame, keyCol: String, valueCol: String,
+                       budget: Long): DataFrame = {
+    require(budget > 0L, s"neymanAllocation: budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val strata = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol),
+        expr(s"CAST(floor($valueCol * 1000) AS BIGINT)").as("v"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(v AS DECIMAL(38,0))")).as("__s"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("__q"))
+      .withColumn("w_micro", expr(
+        """CAST(floor(1000000.0 *
+          |  sqrt(CAST(n * __q - __s * __s AS DOUBLE))) AS BIGINT)""".stripMargin))
+    val all = Window.partitionBy(lit(1))
+    val rk = Window.partitionBy(lit(1))
+      .orderBy(col("__rem").desc, col(keyCol).asc)
+    strata
+      .withColumn("__wsum", sum("w_micro").over(all))
+      // budget·w_micro brushes int64 (w ~ 1e15 at 100k-row strata) —
+      // DECIMAL(38,0) ≡ HUGEINT headroom, cast back after the div
+      .withColumn("__base", expr(
+        s"""CASE WHEN __wsum = 0 THEN NULL ELSE
+           |CAST((CAST(${budget}L AS DECIMAL(38,0)) * w_micro)
+           |  div __wsum AS BIGINT) END""".stripMargin))
+      .withColumn("__rem", expr(
+        s"""CASE WHEN __wsum = 0 THEN NULL ELSE
+           |CAST((CAST(${budget}L AS DECIMAL(38,0)) * w_micro)
+           |  % __wsum AS BIGINT) END""".stripMargin))
+      .withColumn("__left", lit(budget) - sum("__base").over(all))
+      .withColumn("__rk", row_number().over(rk).cast("long"))
+      .withColumn("__a",
+        col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+      .select(col(keyCol), col("n"), col("w_micro"),
+        // least/greatest IGNORE NULLs — propagate the Σw=0 undefined
+        // case explicitly, never a fabricated allocation
+        when(col("__a").isNotNull, least(col("__a"), col("n")))
+          .as("alloc"),
+        when(col("__a").isNotNull,
+          greatest(col("__a") - col("n"), lit(0L))).as("shortfall"))
+  }
+
   /** Preference-pair construction — the DPO/RLHF data-prep step: per
     * group (prompt, topic, source), pair the HIGHEST-scored member as
     * `chosen` against the LOWEST-scored as `rejected`, with the score

@@ -1189,6 +1189,13 @@ object PipelineQueries {
       Chunking.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
         rates = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1))),
 
+    // -- sampling: Neyman (optimal) allocation — a 1000-row label
+    //    budget split across event types ∝ N_h·σ_h, largest-remainder
+    //    exact, caps report shortfall ---------------------------------
+    "q_neyman" -> ((s, dir) =>
+      Chunking.neymanAllocation(graft.Tables.events(s, dir), "event_type",
+        "value", budget = 1000L)),
+
     // -- corpus mixing: downsample every source to ≈ a token budget
     //    (rate from one aggregate, broadcast back; Weyl pick) ---------
     "q_mix_budget" -> ((s, dir) =>
@@ -2213,6 +2220,48 @@ object PipelineQueries {
         |    // nullif(CAST(2 AS HUGEINT) * n_pos * n_neg, 0) AS BIGINT)
         |    AS auc_micro
         |FROM a""".stripMargin,
+
+    // per-stratum exact moments → one IEEE sqrt weight, HUGEINT
+    // budget·w, largest-remainder split, cap + shortfall
+    "q_neyman" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS HUGEINT)) AS s, sum(CAST(v AS HUGEINT) * v) AS q
+        |  FROM b GROUP BY 1
+        |), w AS (
+        |  SELECT event_type, n,
+        |    CAST(floor(1000000.0 * sqrt(CAST(n * q - s * s AS DOUBLE)))
+        |      AS BIGINT) AS w_micro
+        |  FROM st
+        |), t AS (
+        |  SELECT *, sum(w_micro) OVER () AS wsum FROM w
+        |), a AS (
+        |  SELECT *,
+        |    CASE WHEN wsum = 0 THEN NULL ELSE
+        |      CAST((CAST(1000 AS HUGEINT) * w_micro) // wsum AS BIGINT)
+        |    END AS base,
+        |    CASE WHEN wsum = 0 THEN NULL ELSE
+        |      CAST((CAST(1000 AS HUGEINT) * w_micro) % wsum AS BIGINT)
+        |    END AS rem
+        |  FROM t
+        |), l AS (
+        |  SELECT *, 1000 - sum(base) OVER () AS leftover,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, event_type)
+        |      AS BIGINT) AS rk
+        |  FROM a
+        |)
+        |SELECT event_type, n, w_micro,
+        |  CASE WHEN base IS NULL THEN NULL ELSE
+        |    least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END, n)
+        |  END AS alloc,
+        |  CASE WHEN base IS NULL THEN NULL ELSE
+        |    greatest(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END - n,
+        |      0)
+        |  END AS shortfall
+        |FROM l""".stripMargin,
 
     // two rank windows under pinned (score, id) orders, 1-row-per-group
     // aggregate, margin/degenerate gates

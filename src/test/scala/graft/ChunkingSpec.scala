@@ -658,6 +658,45 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("neymanAllocation: sigma-proportional split, largest remainder, caps report shortfall, zero-variance draws nothing, all-constant NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // A = {1,2} → w = 1e9; B = {1,7} → w = 6e9 (exact perfect squares)
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 7.0))
+      .toDF("k", "v")
+    val g7 = graft.llm.Chunking.neymanAllocation(df, "k", "v", budget = 7L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(g7("A").getLong(2) == 1000000000L
+      && g7("B").getLong(2) == 6000000000L, s"weights: ${g7.values.toSeq}")
+    assert(g7("A").getLong(3) == 1L && g7("B").getLong(3) == 2L
+      && g7("B").getLong(4) == 4L,
+      s"1:6 split caps at n with the shortfall reported: ${g7.values.toSeq}")
+    // budget 3: bases (0, 2), remainders (3e9, 4e9) → B takes the +1
+    val g3 = graft.llm.Chunking.neymanAllocation(df, "k", "v", budget = 3L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(g3("A").getLong(3) == 0L && g3("B").getLong(3) == 2L,
+      s"largest remainder: ${g3.values.toSeq}")
+    // conservation when nothing caps: sum(alloc) = budget
+    val big = (1 to 50).map(i => ("A", i.toDouble)) ++
+      (1 to 50).map(i => ("B", i * 3.0))
+    val gb = graft.llm.Chunking.neymanAllocation(big.toDF("k", "v"), "k", "v",
+      budget = 10L).collect()
+    assert(gb.map(_.getLong(3)).sum == 10L)
+    // a zero-variance stratum draws nothing; a lone varying one takes all
+    val withConst = Seq(("C", 5.0), ("C", 5.0), ("D", 1.0), ("D", 9.0))
+      .toDF("k", "v")
+    val gc = graft.llm.Chunking.neymanAllocation(withConst, "k", "v", 2L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(gc("C").getLong(3) == 0L && gc("D").getLong(3) == 2L)
+    // every stratum constant: undefined, NULL allocations
+    val allConst = Seq(("C", 5.0), ("C", 5.0), ("E", 3.0)).toDF("k", "v")
+    assert(graft.llm.Chunking.neymanAllocation(allConst, "k", "v", 2L)
+      .collect().forall(_.isNullAt(3)))
+    intercept[IllegalArgumentException] {
+      graft.llm.Chunking.neymanAllocation(df, "k", "v", 0L)
+    }
+  }
+
   test("preferencePairs: best-vs-worst per group, tie to lowest id, degenerate groups emit unusable, margin gate") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
