@@ -55,4 +55,70 @@ object ZoneMaps {
         coalesce(col("min_v") >= lo && col("max_v") <= hi &&
           col("n_nulls") === 0L, lit(false)))
   }
+
+  /** Clustering-column advisor — the DECISION op the layout family
+    * feeds (Z-order/Hilbert give the mechanism, zone maps the
+    * measurement; this closes the loop): for each CANDIDATE column,
+    * simulate re-clustering the table into `nShards` equal-population
+    * contiguous shards sorted by that column (the liftCurve
+    * block-atomic bucket: per-value collapse, bucket =
+    * cum_before·nShards div N — a tied key value cannot straddle a
+    * simulated shard boundary, exactly as a sorted write would lay it
+    * out), build the zone map each layout WOULD produce, and run the
+    * prune audit for the target predicate. One row per candidate:
+    * shards/rows scanned and the exact micro scan fraction — sorted
+    * ascending, the top row IS the advice. Clustering by the
+    * predicate column itself should approach the predicate's
+    * selectivity; an uncorrelated candidate reads ~1e6 (full scan) —
+    * the honest baseline q_zone_map already shows. NULL candidate
+    * keys are EXCLUDED from that candidate's simulation BY CONTRACT
+    * (a NULL sorts nowhere; its rows_total reflects the exclusion —
+    * reported, not hidden, via per-candidate rows_total).
+    *
+    * Scale shape, per candidate: one per-value collapse (the only
+    * corpus shuffle), the cumulative window on the bounded
+    * distinct-value table, a bucket-map equi join back (broadcast
+    * when small), one zone-map pass, and the audit on the nShards
+    * stats table. The advisor reads stats, never re-sorts the data —
+    * the real re-cluster happens once, after the decision.
+    */
+  def clusterAdvisor(df: DataFrame, candidates: Seq[String],
+                     targetCol: String, lo: Double, hi: Double,
+                     nShards: Int): DataFrame = {
+    require(nShards >= 2 && nShards <= 100000,
+      s"clusterAdvisor: nShards in [2, 100000], got $nShards")
+    require(candidates.nonEmpty && candidates.forall(df.columns.contains),
+      s"clusterAdvisor: unknown candidates ${candidates.filterNot(df.columns.contains)}")
+    require(df.columns.contains(targetCol),
+      s"clusterAdvisor: unknown target $targetCol")
+    import org.apache.spark.sql.expressions.Window
+    val audits = candidates.map { cand =>
+      val base = df
+        .select(col(targetCol), expr(s"CAST(floor($cand * 1000) AS BIGINT)")
+          .as("__c"))
+        .filter(col("__c").isNotNull)
+      val pv = base.groupBy(col("__c")).agg(count(lit(1)).as("__cnt"))
+      val wv = Window.orderBy(col("__c").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bm = pv.withColumn("__cum", sum("__cnt").over(wv))
+        .crossJoin(broadcast(pv.agg(sum("__cnt").as("__N"))))
+        .select(col("__c"),
+          expr(s"((__cum - __cnt) * ${nShards}L) div __N").as("shard"))
+      val mapped = base.join(bm, Seq("__c"))
+        .select(col(targetCol), col("shard"))
+      pruneAudit(zoneMap(mapped, "shard", Seq(targetCol)), targetCol, lo, hi)
+        .agg(count(lit(1)).as("n_shards"),
+          sum(when(col("scan_needed"), 1L).otherwise(0L))
+            .as("shards_scanned"),
+          sum("n_rows").as("rows_total"),
+          sum(when(col("scan_needed"), col("n_rows")).otherwise(0L))
+            .as("rows_scanned"))
+        .withColumn("candidate", lit(cand))
+    }
+    audits.reduce(_.unionByName(_))
+      .withColumn("scan_fraction_micro",
+        expr("(rows_scanned * 1000000L) div nullif(rows_total, 0L)"))
+      .select(col("candidate"), col("n_shards"), col("shards_scanned"),
+        col("rows_total"), col("rows_scanned"), col("scan_fraction_micro"))
+  }
 }

@@ -440,6 +440,16 @@ object RelationalQueries {
           "user_id_not_null" -> col("user_id").isNotNull),
         uniqueKeys = Seq(Seq("event_id")))),
 
+    // -- storage: clustering-column ADVISOR — simulate re-clustering
+    //    events by each candidate into 32 sorted shards, measure the
+    //    zone-map scan fraction for value BETWEEN 100 AND 200; the
+    //    top row is the layout decision q_zone_map's honest full-scan
+    //    baseline motivates --------------------------------------------
+    "q_cluster_advisor" -> ((s, dir) =>
+      graft.operators.ZoneMaps.clusterAdvisor(Tables.events(s, dir),
+        Seq("value", "user_id", "event_id"), "value",
+        lo = 100.0, hi = 200.0, nShards = 32)),
+
     // -- storage: zone-map stats + prune audit — per day-shard value
     //    envelopes and the planner verdict for value BETWEEN 100 AND
     //    200; the data itself is never read by the audit. An
@@ -1584,6 +1594,42 @@ object RelationalQueries {
         |     sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) END
         |    AS r_micro
         |FROM m""".stripMargin,
+
+    // per candidate: value-collapse buckets, simulated zone map,
+    // envelope audit; UNION ALL over the candidate list
+    "q_cluster_advisor" -> Seq("value", "user_id", "event_id").map { c =>
+      s"""(WITH b AS (
+         |  SELECT value AS t, CAST(floor($c * 1000) AS BIGINT) AS c
+         |  FROM events WHERE $c IS NOT NULL
+         |), pv AS (
+         |  SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1
+         |), bm AS (
+         |  SELECT c, ((sum(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+         |      - cnt) * 32) // (SELECT sum(cnt) FROM pv) AS shard
+         |  FROM pv
+         |), m AS (
+         |  SELECT b.t, bm.shard FROM b JOIN bm USING (c)
+         |), zm AS (
+         |  SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+         |    min(t) AS min_v, max(t) AS max_v
+         |  FROM m GROUP BY 1
+         |), au AS (
+         |  SELECT n_rows,
+         |    coalesce(max_v >= 100.0 AND min_v <= 200.0, false)
+         |      AS scan_needed
+         |  FROM zm
+         |)
+         |SELECT '$c' AS candidate, CAST(count(*) AS BIGINT) AS n_shards,
+         |  CAST(sum(CASE WHEN scan_needed THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS shards_scanned,
+         |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+         |  CAST(sum(CASE WHEN scan_needed THEN n_rows ELSE 0 END) AS BIGINT)
+         |    AS rows_scanned
+         |FROM au)""".stripMargin
+    }.mkString(
+      "SELECT candidate, n_shards, shards_scanned, rows_total, rows_scanned,\n" +
+        "  CAST((rows_scanned * 1000000) // nullif(rows_total, 0) AS BIGINT)\n" +
+        "    AS scan_fraction_micro\nFROM (\n", "\nUNION ALL\n", "\n)"),
 
     // per-day envelopes + the overlap verdict; all-null shards prune
     "q_zone_map" ->

@@ -161,4 +161,36 @@ class ZorderSpec extends SparkSpec {
       ZoneMaps.zoneMap(df, "shard", Seq("nope"))
     }
   }
+
+  test("clusterAdvisor: the predicate column wins at exactly the selectivity, an uncorrelated layout full-scans, NULL keys excluded") {
+    import spark.implicits._
+    import graft.operators.ZoneMaps
+    // 100 rows; a = 1..100; b = a bit-scrambled permutation that
+    // interleaves low and high a-values in every b-decile
+    val rows = (1 to 100).map { i =>
+      (i.toDouble, ((i * 37) % 100).toDouble, i.toLong) }
+    val df = rows.toDF("a", "b", "id")
+    val got = ZoneMaps.clusterAdvisor(df, Seq("a", "b"), "a",
+      lo = 10.0, hi = 19.0, nShards = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // clustered by a: deciles (1-10)(11-20)... → the [10,19] box
+    // touches exactly 2 shards (20 rows of 100)
+    val byA = got("a")
+    assert(byA.getLong(1) == 10L && byA.getLong(2) == 2L
+      && byA.getLong(4) == 20L && byA.getLong(5) == 200000L, s"got $byA")
+    // clustered by the scrambled b: every decile's a-envelope spans
+    // the box → full scan
+    val byB = got("b")
+    assert(byB.getLong(2) == 10L && byB.getLong(5) == 1000000L, s"got $byB")
+    // NULL cluster keys are excluded from that candidate only
+    val withNull = rows.map { case (a, b, i) =>
+      (a, if (i <= 50) Some(b) else None, i) }.toDF("a", "b", "id")
+    val g2 = ZoneMaps.clusterAdvisor(withNull, Seq("a", "b"), "a",
+      10.0, 19.0, 10).collect().map(r => r.getString(0) -> r).toMap
+    assert(g2("a").getLong(3) == 100L && g2("b").getLong(3) == 50L,
+      "per-candidate rows_total reports the exclusion")
+    intercept[IllegalArgumentException] {
+      ZoneMaps.clusterAdvisor(df, Seq("nope"), "a", 0.0, 1.0, 10)
+    }
+  }
 }
