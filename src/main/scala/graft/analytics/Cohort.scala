@@ -278,4 +278,61 @@ object Cohort {
         col("total_events").cast("long").as("total_events"),
         col("gini_micro"))
   }
+
+  /** Kaplan-Meier survival estimator (Kaplan & Meier 1958) — the
+    * CENSORING-aware duration analysis the retention triangle can't
+    * express: "how long until churn/conversion" when many subjects
+    * are still alive at observation end. Right-censored rows
+    * (event = false) leave the risk set without counting as deaths —
+    * dropping them (what a naive duration histogram does) biases
+    * survival DOWN, pinned by law. Input is one row per subject
+    * (duration, event observed?); output one row per DISTINCT event
+    * time ascending: n_risk (subjects with duration ≥ t), d (deaths
+    * at t), n_censored (censorings at t — by the standard convention
+    * censored-at-t subjects are still at risk AT t), and
+    * s_micro = the product-limit Π(1 − dᵢ/nᵢ) FLOOR-QUANTIZED to
+    * micro at every step BY CONTRACT (the exact rational's
+    * denominator grows without bound; per-step floor keeps the
+    * estimate deterministic, monotone non-increasing, and within
+    * #steps micro of exact — the chi2Contingency quantization class).
+    * With NO censoring the estimator must equal the empirical
+    * survival count ratio (within that quantization) — the executed
+    * identity law.
+    *
+    * Scale shape: one per-(duration, event) collapse — the corpus's
+    * only shuffle — then a driver loop over the BOUNDED distinct-time
+    * table (the PAV/BPE class of driver work, and why the gate is
+    * rows-only + laws, not a SQL oracle), capped loud at 100k
+    * distinct times.
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val collapsed = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .select(expr(s"CAST(floor($durationCol * 1000) AS BIGINT)").as("t"),
+        col(eventCol).cast("boolean").as("e"))
+      .groupBy("t")
+      .agg(sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("e"), 1L).otherwise(0L)).as("c"))
+      .orderBy(col("t").asc)
+      .collect()
+    require(collapsed.length <= 100000,
+      s"kaplanMeier: ${collapsed.length} distinct times exceed the bounded" +
+        " driver-table contract (100k) — pre-quantize the duration")
+    val total = collapsed.map(r => r.getLong(1) + r.getLong(2)).sum
+    var atRisk = total
+    var s = 1000000L
+    val rows = collapsed.flatMap { r =>
+      val (t, d, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val row = if (d > 0) {
+        s = s * (atRisk - d) / atRisk // floor BY CONTRACT, atRisk >= d
+        Some((t, atRisk, d, c, s))
+      } else Some((t, atRisk, 0L, c, s))
+      atRisk -= d + c
+      row
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("t", "n_risk", "d", "n_censored", "s_micro")
+  }
 }

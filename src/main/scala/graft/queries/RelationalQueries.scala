@@ -562,6 +562,24 @@ object RelationalQueries {
       Forensics.trimmedMean(Tables.events(s, dir), "event_type", "value",
         trimPct = 10)),
 
+    // -- survival: Kaplan-Meier time-to-first-purchase per user, users
+    //    who never purchase right-censored at the corpus horizon.
+    //    Rows-only BY CONTRACT: the product-limit loop is sequential --
+    "q_kaplan_meier" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val per = ev.groupBy("user_id").agg(
+        min(col("ts").cast("long")).as("first_s"),
+        min(when(col("event_type") === "purchase", col("ts").cast("long")))
+          .as("purch_s"))
+      val horizon = ev.agg(max(col("ts").cast("long")).as("h"))
+      graft.analytics.Cohort.kaplanMeier(
+        per.crossJoin(broadcast(horizon))
+          .withColumn("dur_days",
+            expr("CAST(coalesce(purch_s, h) - first_s AS DOUBLE) / 86400.0"))
+          .withColumn("converted", col("purch_s").isNotNull),
+        "dur_days", "converted")
+    }),
+
     // -- robust stats: winsorize — the TRANSFORM member of the robust
     //    family: clamp every value into its event type's exact
     //    [5%, 95%] percentile fences, every row emitted ---------------

@@ -47,7 +47,8 @@ class ContractSpec extends SparkSpec {
     "q_dense_index_search" -> "IVF centroids are data-dependent k-means; store ≡ rebuild bit-equality, streaming-maintenance equality, and drift gates in DenseIndexSpec",
     "q_procrustes_align" -> "float treeAggregate order + iterative Jacobi are not SQL-expressible; planted-rotation recovery / orthogonality / geometry-preservation gated in ProcrustesSpec",
     "q_record_linkage" -> "the Jaro-Winkler match-window kernel is imperative, not SQL-expressible (DuckDB's builtin is a different variant); canonical Winkler vectors exact + kernel ≡ column + blocking/threshold laws gated in LinkageSpec",
-    "q_isotonic" -> "PAV's pooling loop is sequential, not SQL-expressible; hand-pooling / monotone / identity / conservation / ECE-improves laws gated in DataContractSpec")
+    "q_isotonic" -> "PAV's pooling loop is sequential, not SQL-expressible; hand-pooling / monotone / identity / conservation / ECE-improves laws gated in DataContractSpec",
+    "q_kaplan_meier" -> "the product-limit loop is sequential (per-step floor quantization), not SQL-expressible; textbook / censoring / no-censoring-identity / monotone / naive-bias laws gated in FunnelCohortSpec")
 
   test("every query has an oracle or a documented rows-only reason") {
     val qs = SparkEntry.queries.keySet

@@ -625,4 +625,35 @@ class FunnelCohortSpec extends SparkSpec {
       "t4" -> 66666L, "t5" -> 400000L))
     assert(f.values.sum == 1000000L, "per-case credit is exactly 1e6")
   }
+
+  test("kaplanMeier: textbook product-limit, censoring shrinks the risk set without dying, no-censoring identity, naive bias pinned") {
+    import spark.implicits._
+    import graft.analytics.Cohort
+    // textbook: durations 1,2+,3,4+,5 (+ = censored): S(1)=4/5,
+    // S(3)=4/5·2/3, S(5)=...·0 — floors: 800000, 533333, 0
+    val df = Seq((1.0, true), (2.0, false), (3.0, true), (4.0, false),
+      (5.0, true)).toDF("dur", "ev")
+    val km = Cohort.kaplanMeier(df, "dur", "ev").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(km.size == 5, "censoring times emit rows too (risk-set audit)")
+    assert(km(1000L).getLong(1) == 5L && km(1000L).getLong(4) == 800000L)
+    assert(km(2000L).getLong(3) == 1L && km(2000L).getLong(4) == 800000L,
+      "a censoring step leaves survival unchanged")
+    assert(km(3000L).getLong(1) == 3L && km(3000L).getLong(4) == 533333L,
+      s"got ${km(3000L)}")
+    assert(km(5000L).getLong(1) == 1L && km(5000L).getLong(4) == 0L)
+    // survival is monotone non-increasing over time
+    val ordered = Cohort.kaplanMeier(df, "dur", "ev").orderBy("t").collect()
+    assert(ordered.sliding(2).forall(p => p(0).getLong(4) >= p(1).getLong(4)))
+    // no censoring: KM ≡ the empirical survival ratio (exact here)
+    val full = Seq(1.0, 2.0, 3.0, 4.0).map((_, true)).toDF("dur", "ev")
+    val kf = Cohort.kaplanMeier(full, "dur", "ev").orderBy("t").collect()
+    assert(kf.map(_.getLong(4)).toSeq == Seq(750000L, 500000L, 250000L, 0L))
+    // the bias the estimator exists to avoid: DROPPING censored rows
+    // reads survival lower than treating them as at-risk
+    val naive = Cohort.kaplanMeier(df.filter($"ev"), "dur", "ev").collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(naive(3000L) < km(3000L).getLong(4),
+      "naive drop-censored underestimates survival")
+  }
 }
