@@ -169,4 +169,20 @@ object ModelStore {
     require(rows.nonEmpty, s"loadWordVectors: malformed artifact in $path")
     rows
   }
+
+  // ---- Isotonic calibration map (TextOps.isotonicFit/Apply) ---------
+  // (score, rate_micro) pairs — the bounded per-distinct-score mapping
+  // the PAV fit produces; the serve side broadcast-equi-joins it.
+
+  def saveIsotonic(spark: SparkSession, mapping: Seq[(Long, Long)],
+                   path: String): Unit =
+    write(spark, mapping.zipWithIndex.map { case ((s, r), i) =>
+      Rec("iso", i.toLong, s.toString, "", r, 0.0)
+    }, path)
+
+  def loadIsotonic(spark: SparkSession, path: String): Seq[(Long, Long)] = {
+    val rows = read(spark, path, "iso").map(t => (t._2.toLong, t._4)).toSeq
+    require(rows.nonEmpty, s"loadIsotonic: malformed artifact in $path")
+    rows
+  }
 }

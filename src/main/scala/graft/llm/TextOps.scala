@@ -814,6 +814,29 @@ object TextOps {
     rows.toDF("s", "n", "n_pos", "block", "s_lo", "s_hi", "rate_micro")
   }
 
+  /** Isotonic calibration APPLY — the serve side of `isotonicFit`:
+    * remap a raw score column through the fitted per-distinct-score
+    * mapping via one BROADCAST equi-join (the mapping is bounded by
+    * the fit's 100k contract). Stateless and watermark-free, so the
+    * SAME operator serves the batch query and the streaming ingest
+    * path once the mapping comes from `ModelStore.loadIsotonic` —
+    * the train-once / score-everywhere split the quality scorer
+    * pins, here for the calibration layer (MEASURE → FIX → SERVE).
+    * A score NEVER SEEN at fit gets calibrated_micro = NULL — LOUD
+    * BY CONTRACT: an unseen score has no empirical rate, and a
+    * silent nearest-block guess is a caller policy, not a default.
+    */
+  def isotonicApply(df: DataFrame, scoreCol: String,
+                    mapping: Seq[(Long, Long)]): DataFrame = {
+    require(mapping.nonEmpty, "isotonicApply: empty mapping")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = mapping.toDF("__iso_s", "calibrated_micro")
+    df.join(broadcast(m), col(scoreCol).cast("long") === col("__iso_s"),
+        "left")
+      .drop("__iso_s")
+  }
+
   /** Cumulative gains / lift table — the TRIAGE readout of the eval
     * stool (prCurve picks a threshold, aucRoc ranks, calibration
     * trusts the score, lift answers "how much better than random is

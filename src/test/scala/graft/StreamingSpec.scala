@@ -844,6 +844,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming isotonic calibration: a ModelStore-loaded mapping remaps a stream bit-equal to batch, unseen scores NULL") {
+    // MEASURE → FIX → SERVE: the PAV fit is batch-trained, persisted,
+    // and the apply is a stateless broadcast equi-join — the same
+    // operator on the stream and the batch path
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.TextOps
+    val train = (Seq.fill(8)((true, 900000L)) ++ Seq.fill(2)((false, 900000L)) ++
+      Seq.fill(6)((true, 100000L)) ++ Seq.fill(4)((false, 100000L)))
+      .toDF("y", "s")
+    val fit = TextOps.isotonicFit(train, "y", "s")
+      .select("s", "rate_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft_iso_")
+      .toString + "/m"
+    graft.api.ModelStore.saveIsotonic(spark, fit, path)
+    val loaded = graft.api.ModelStore.loadIsotonic(spark, path)
+    assert(loaded.sorted == fit.sorted, "store round-trip is exact")
+    val in = MemoryStream[(Long, Long)]
+    val out = TextOps.isotonicApply(
+      in.toDF().toDF("id", "s"), "s", loaded)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("iso_stream_out").start()
+    try {
+      in.addData((1L, 900000L), (2L, 100000L), (3L, 555555L)) // 3 unseen
+      q.processAllAvailable()
+      val got = spark.table("iso_stream_out").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      val batch = TextOps.isotonicApply(
+        Seq((1L, 900000L), (2L, 100000L), (3L, 555555L)).toDF("id", "s"),
+        "s", loaded).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      assert(got == batch, s"stream ≡ batch: $got vs $batch")
+      assert(got(3L).isEmpty, "an unseen score is NULL, never a guess")
+      assert(got(1L).contains(800000L) && got(2L).contains(600000L),
+        s"empirical rates served: $got")
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: window reports emit once with exact shares/TV, silent sources surface") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
