@@ -814,4 +814,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "the 1-row totals join must be a broadcast nested-loop at worst")
   }
+
+  test("q_winsorize broadcasts the per-key fences back onto the corpus") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_fdr's replica table joins the broadcast observed stats, never a shuffle join") {
+    val p = plan("q_fdr")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_neyman pays exactly one corpus shuffle (the stratum moment collapse)") {
+    val p = plan("q_neyman")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"one stratum collapse expected:\n${p.take(1200)}")
+  }
+
+  test("q_cluster_advisor simulates every layout without a sort-merge or raw cartesian join") {
+    val p = plan("q_cluster_advisor")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row totals ride broadcast nested-loop at worst")
+  }
 }
