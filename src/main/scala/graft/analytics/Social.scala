@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Social {
 
+  /** Loud upper bound on the dense role-matrix's distinct-resource
+    * cardinality: 10⁴ resources ⇒ ≤ 5·10⁷ unordered pairs, the
+    * largest dense similarity matrix org-mining clustering plausibly
+    * consumes. Beyond it `roleSimilarity` fails loud by contract.
+    */
+  val MaxRoleResources = 10000L
+
   /** Handover-of-work network: for each ordered resource pair
     * (res_from, res_to), how often a res_to event directly follows a
     * res_from event within the same case, plus the distinct-case
@@ -53,7 +60,17 @@ object Social {
     * enumeration (a |resources|² cross of the DISTINCT resource list
     * BY CONTRACT — a collapsed-table surface, never a corpus one),
     * the shared-activity dot aggregate and the verdict all run on
-    * tiny tables.
+    * bounded tables. The all-pairs contract is what makes the
+    * |resources|² surface irreducible, so it is guarded LOUD (the
+    * `kaplanMeier`/`isotonicFit` bounded-surface convention): more
+    * than `MaxRoleResources` distinct resources fails with an
+    * explicit error instead of materializing a quadratic blow-up —
+    * an org-mining role matrix past ~10⁸ cells is a caller error,
+    * not a workload. A corpus that genuinely needs pair output at
+    * that cardinality should consume the sparse `dots` join (only
+    * activity-sharing pairs, absent pair ⇒ cos 0) instead of the
+    * dense matrix. The small side of the guarded cross is broadcast,
+    * so the enumeration is a map-side nested loop, never a shuffle.
     */
   def roleSimilarity(df: DataFrame, resourceCol: String,
                      activityCol: String, threshMicro: Long): DataFrame = {
@@ -61,6 +78,12 @@ object Social {
         col(activityCol).as("__a"))
       .agg(count(lit(1)).as("__c"))
     val res = prof.select(col("__r")).distinct()
+    val nRes = res.count()
+    require(nRes <= MaxRoleResources,
+      s"roleSimilarity: $nRes distinct resources exceed the dense " +
+        s"all-pairs role-matrix contract ($MaxRoleResources) — " +
+        "cluster on the sparse activity-sharing dot join instead " +
+        "(absent pair = cosine 0 by contract)")
     val dots = prof.select(col("__r").as("res_a"), col("__a"),
         col("__c").as("__ca"))
       .join(prof.select(col("__r").as("res_b"), col("__a"),
@@ -69,7 +92,7 @@ object Social {
       .groupBy(col("res_a"), col("res_b"))
       .agg(sum(col("__ca") * col("__cb")).as("__dot"))
     res.select(col("__r").as("res_a"))
-      .crossJoin(res.select(col("__r").as("res_b")))
+      .crossJoin(broadcast(res.select(col("__r").as("res_b"))))
       .filter(col("res_a") < col("res_b"))
       .join(dots, Seq("res_a", "res_b"), "left")
       .join(prof.groupBy(col("__r").as("res_a"))

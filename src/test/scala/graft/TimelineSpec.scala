@@ -288,6 +288,22 @@ class TimelineSpec extends SparkSpec {
     assert(out.size == 3, "every unordered pair appears exactly once")
   }
 
+  test("roleSimilarity: the dense |resources|² surface is guarded LOUD") {
+    import spark.implicits._
+    // the all-pairs matrix is the contract, so the quadratic surface
+    // can't be removed — past MaxRoleResources it must refuse, not
+    // materialize (the kaplanMeier bounded-surface convention)
+    val wide = spark.range(Social.MaxRoleResources + 1)
+      .selectExpr("concat('r', id) AS res", "'a' AS activity")
+    val e = intercept[IllegalArgumentException] {
+      Social.roleSimilarity(wide, "res", "activity", 900000L).collect()
+    }
+    assert(e.getMessage.contains("distinct resources exceed"),
+      s"guard message should name the contract, got: ${e.getMessage}")
+    assert(e.getMessage.contains("activity-sharing dot join"),
+      "guard message should point at the sparse alternative")
+  }
+
   test("anonymizeLog: sub-k cases drop whole, survivors untouched, report conserves") {
     import graft.analytics.Variants
     // variant a->b: 3 cases; variant a->c: 1 case — k=2 keeps only a->b
