@@ -67,7 +67,22 @@ object Bench {
     // statistic: a query CAN run as fast as its best pass, so a real
     // 2× regression still moves the min while a noisy co-tenant no
     // longer fakes one.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional subset filter for clean-window re-measurement of named
+    // movers (the bench_diff adjudication protocol): a comma-separated
+    // SPARK_GRAFT_ONLY runs just those queries — and SKIPS the
+    // bench_out.json write, so a two-query adjudication pass can never
+    // clobber the committed full-suite baseline.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: $unknown")
+    }
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try {
         def timed(): Double = {
           val t0 = System.nanoTime()
@@ -99,7 +114,8 @@ object Bench {
     val total = times.values.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${times.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
-    Files.writeString(Paths.get("/root/repo/bench_out.json"), json)
+    if (only.isEmpty)
+      Files.writeString(Paths.get("/root/repo/bench_out.json"), json)
     println(json)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
