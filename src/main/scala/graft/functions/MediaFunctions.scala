@@ -31,6 +31,82 @@ object MediaFunctions {
     */
   def dhash64(bytes: Column, offset: Int): Column =
     GraftBridge.column(DHash64Expr(GraftBridge.expression(bytes), offset))
+
+  /** The byte-domain dHash kernel as a plain function — the SAME loop
+    * `DHash64Expr` compiles, exposed so the pixel-domain path
+    * (`Multimodal.dHashPixel`) can fall back to it for undecodable
+    * payloads with bit-identical results. Returns null (boxed) on an
+    * empty payload, mirroring the expression's NULL contract.
+    */
+  def dhash64Bytes(bytes: Array[Byte], offset: Int): java.lang.Long = {
+    val n = bytes.length - offset
+    if (n <= 0) return null
+    val s = new Array[Long](72)
+    val l = new Array[Long](72)
+    var i = 0
+    while (i < n) {
+      val k = ((i.toLong * 72L) / n).toInt
+      s(k) += (bytes(offset + i) & 0xff).toLong
+      l(k) += 1L
+      i += 1
+    }
+    foldGrid(s, l)
+  }
+
+  /** 64-bit PIXEL-DOMAIN dHash of a decoded image: integer BT.601
+    * luma (⌊(299R + 587G + 114B) / 1000⌋ ∈ [0,255]) resampled onto
+    * the same 8×9 grid by relative position (pixel (x,y) of a w×h
+    * image lands in cell (⌊y·8/h⌋, ⌊x·9/w⌋) — length-invariant like
+    * the byte kernel, so a resize moves cell membership only at ⌊⌋
+    * boundary slivers), then bit (r,c) = 1 iff mean(cell[r][c]) >
+    * mean(cell[r][c+1]) via the same cross-multiplied exact-integer
+    * comparison. This is the TRUE perceptual dHash: a quality-shifted
+    * re-encode (JPEG) perturbs individual pixels but barely moves
+    * 8×9-cell luma MEANS, so the re-encoded twin lands within a small
+    * hamming ball of the original — the case the byte-domain kernel
+    * is blind to (a re-encode rewrites every byte).
+    *
+    * Overflow-safe: luma ≤ 255 and each cell holds ≤ (h/8+1)(w/9+1)
+    * pixels, so s·l ≤ 255·(n/72 + n/9 + 1)² stays inside Int64 for
+    * any JVM image (n = w·h < 2³¹).
+    */
+  def dhash64Pixels(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val s = new Array[Long](72)
+    val l = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val row = (y.toLong * 8L / h).toInt * 9
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)) / 1000L
+        val k = row + (x.toLong * 9L / w).toInt
+        s(k) += luma
+        l(k) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    foldGrid(s, l)
+  }
+
+  /** Shared grid→bits fold: bit b = 1 iff cell (b/8, b%8)'s mean
+    * exceeds its right neighbour's, cross-multiplied (s₁·l₂ > s₂·l₁)
+    * so the whole comparison is exact integer arithmetic.
+    */
+  private def foldGrid(s: Array[Long], l: Array[Long]): Long = {
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      val k1 = (b >> 3) * 9 + (b & 7)
+      if (s(k1) * l(k1 + 1) > s(k1 + 1) * l(k1)) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
 }
 
 /** 64-bit dHash over a binary payload: resample the payload bytes onto
@@ -68,28 +144,8 @@ case class DHash64Expr(child: Expression, offset: Int)
   override def prettyName: String = "graft_dhash64"
   override def nullable: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
-    val n = bytes.length - offset
-    if (n <= 0) return null
-    val s = new Array[Long](72)
-    val l = new Array[Long](72)
-    var i = 0
-    while (i < n) {
-      val k = ((i.toLong * 72L) / n).toInt
-      s(k) += (bytes(offset + i) & 0xff).toLong
-      l(k) += 1L
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      val k1 = (b >> 3) * 9 + (b & 7)
-      if (s(k1) * l(k1 + 1) > s(k1 + 1) * l(k1)) out |= (1L << b)
-      b += 1
-    }
-    out
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    MediaFunctions.dhash64Bytes(input.asInstanceOf[Array[Byte]], offset)
 
   override protected def withNewChildInternal(newChild: Expression): DHash64Expr =
     copy(child = newChild)

@@ -4,21 +4,26 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with
-  * typed metadata, plus decode / frame-sample operators.
+  * typed metadata, plus decode / fingerprint / frame-sample operators.
   *
-  * The DESIGN is the deliverable — schema, partition-wise batch
-  * processing, bounded memory — while the actual codec is stubbed:
-  * this container has no image/audio libraries, so `decodeStub`
-  * parses a deterministic 8-byte header (two big-endian int32s)
-  * instead of invoking a real decoder. The Spark-side shape is real:
-  * the header parse is pure Catalyst (substring/hex/conv — codegen,
-  * no UDF), and `mapMediaPartitions` shows where a native decoder
-  * would sit (per-partition init, streaming iterator, one record in
-  * flight — the Scala analogue of a `mapInPandas` batch UDF).
+  * Two codec tiers coexist:
+  *   - `decodeStub` parses a deterministic 8-byte header (two
+  *     big-endian int32s) — pure Catalyst (substring/hex/conv,
+  *     codegen, no UDF), kept because its determinism is what lets
+  *     the metadata/quarantine family carry full DuckDB oracles.
+  *   - `dHashPixel` is a REAL decoder in the `mapMediaPartitions`
+  *     slot: the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP, no external
+  *     dependency) decodes the payload and the luma-grid dHash runs
+  *     on actual pixels, with the byte-domain kernel as the loud
+  *     fallback for undecodable payloads (audio/video/garbage).
+  * `mapMediaPartitions` remains the slot for any heavier native codec
+  * (per-partition init, streaming iterator, one record in flight —
+  * the Scala analogue of a `mapInPandas` batch UDF).
   *
   * Scale notes: binary payloads never enter a shuffle here — metadata
-  * extraction is map-only; anything that must group media rows should
-  * group the (id, meta) projection and re-join the payload column.
+  * extraction and decode are map-only; anything that must group media
+  * rows should group the (id, meta/fingerprint) projection and
+  * re-join the payload column.
   */
 object Multimodal {
 
@@ -129,23 +134,9 @@ object Multimodal {
     * `quarantineMedia` first; the filter here is belt-and-braces.
     */
   def mediaNearDups(df: DataFrame, idCol: String, mediaCol: String,
-                    maxHamming: Int = 2): DataFrame = {
-    val hashed = df
-      .select(col(idCol), dHash64(mediaCol).as("dhash"))
-      .filter(col("dhash").isNotNull)
-    hashed.select(
-        struct(col(idCol).as("id"), col("dhash").as("dh")).as("item"),
-        posexplode(expr("transform(sequence(0, 3), c -> shiftright(dhash, c * 16) & 65535)")))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-      .groupBy("chunk", "chunk_val")
-      .agg(sort_array(collect_list(col("item"))).as("items"))
-      .filter(size(col("items")) > 1)
-      .select(explode(expr(Dedup.bucketPairs("items"))).as("p"))
-      .select(col("p.l.id").as("id_a"), col("p.r.id").as("id_b"),
-        expr("bit_count(p.l.dh ^ p.r.dh)").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
+                    maxHamming: Int = 2): DataFrame =
+    hashNearDups(df.select(col(idCol), dHash64(mediaCol).as("dhash")),
+      idCol, "dhash", maxHamming)
 
   /** Corrupt-media audit — the `Similarity.auditEmbeddings` pattern
     * applied to the bytes column. Adds `quarantine_reason` (NULL =
@@ -199,5 +190,158 @@ object Multimodal {
       ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
         ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
     (16 + (be32(0) % 64).toInt, 16 + (be32(4) % 48).toInt)
+  }
+
+  /** One pixel-domain fingerprint row: `decoded` says which kernel
+    * produced the hash — true ⇒ the JDK codec decoded the payload and
+    * the hash is the luma-grid dHash; false ⇒ undecodable bytes fell
+    * back to the byte-domain kernel (bit-identical to `dHash64`).
+    * `dhash64` is None only for an empty payload.
+    */
+  final case class PixelHash(id: Long, dhash64: Option[Long], decoded: Boolean)
+
+  /** Pixel-domain perceptual fingerprint over a binary media column —
+    * the REAL codec in the `mapMediaPartitions` slot: decode the
+    * payload with the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP ship in
+    * every JVM — no new dependency), compute the luma-grid dHash
+    * (`MediaFunctions.dhash64Pixels`), and fall back to the
+    * byte-domain kernel for payloads ImageIO can't decode (the stub
+    * corpus, audio, video) — marked `decoded = false`, LOUD, so a
+    * caller never mistakes a byte fingerprint for a perceptual one.
+    *
+    * This closes the byte-kernel's documented blind spot: a
+    * quality-shifted re-encode (PNG → JPEG) rewrites every payload
+    * byte — the byte dHash lands ~32 bits away, invisible — but
+    * leaves 8×9-cell luma means nearly untouched, so the pixel dHash
+    * lands within a small hamming ball (≤ 3, gated in MultimodalSpec)
+    * and the banding machinery (`mediaNearDups`' 16-bit chunks)
+    * surfaces the pair.
+    *
+    * Scale shape: map-only — decode happens where the payload already
+    * sits, one record in flight per task (ImageIO streams from a
+    * ByteArrayInputStream; the decoded raster is freed per record),
+    * and only the 8-byte fingerprint ever enters a downstream
+    * shuffle. `headerBytes` skips a container prefix (0 for real
+    * image files; `HeaderBytes` for the stub corpus).
+    */
+  def dHashPixel(df: DataFrame, idCol: String, mediaCol: String,
+                 headerBytes: Int = 0): Dataset[PixelHash] = {
+    require(headerBytes >= 0, s"dHashPixel: headerBytes >= 0, got $headerBytes")
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx)
+        if (bytes == null || bytes.length <= headerBytes)
+          PixelHash(id, None, decoded = false)
+        else {
+          val payload =
+            if (headerBytes == 0) bytes
+            else java.util.Arrays.copyOfRange(bytes, headerBytes, bytes.length)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          if (img != null && img.getWidth > 0 && img.getHeight > 0)
+            PixelHash(id,
+              Some(graft.functions.MediaFunctions.dhash64Pixels(img)),
+              decoded = true)
+          else
+            PixelHash(id,
+              Option(graft.functions.MediaFunctions.dhash64Bytes(payload, 0))
+                .map(Long.unbox),
+              decoded = false)
+        }
+      }
+    }(Encoders.product[PixelHash])
+  }
+
+  /** Hamming near-dup pairs over a PRECOMPUTED 64-bit fingerprint
+    * column — `mediaNearDups`' banding machinery factored out so the
+    * pixel-domain hash (`dHashPixel`) rides the same chunks:
+    * candidates ONLY from 16-bit chunk equality (pigeonhole over 4
+    * chunks makes the banding COMPLETE for maxHamming ≤ 3), verified
+    * with exact bit_count(xor). NULL fingerprints never pair.
+    */
+  def hashNearDups(hashed0: DataFrame, idCol: String, hashCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"hashNearDups: the 4-chunk banding is complete only for " +
+        s"maxHamming <= 3, got $maxHamming")
+    val hashed = hashed0
+      .select(col(idCol), col(hashCol).as("__dh"))
+      .filter(col("__dh").isNotNull)
+    hashed.select(
+        struct(col(idCol).as("id"), col("__dh").as("dh")).as("item"),
+        posexplode(expr("transform(sequence(0, 3), c -> shiftright(__dh, c * 16) & 65535)")))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+      .groupBy("chunk", "chunk_val")
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(expr(Dedup.bucketPairs("items"))).as("p"))
+      .select(col("p.l.id").as("id_a"), col("p.r.id").as("id_b"),
+        expr("bit_count(p.l.dh ^ p.r.dh)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Deterministic synthetic PHOTO-LIKE image for the pixel-kernel
+    * fixtures and the harness query: a 72×72 grayscale frame built
+    * from exact integer arithmetic on the id — a diagonal luminance
+    * ramp plus three soft radial blobs at id-derived positions (the
+    * Weyl-mix constants the samplers use). Smooth content is the
+    * point: JPEG re-encoding perturbs pixels but not 8×9-cell means,
+    * while different ids move the blobs and flip many gradient signs
+    * — the separation `MultimodalSpec` gates. Encoded as PNG
+    * (lossless), so the decoded raster — and therefore the pixel
+    * dHash — is a pure function of the id.
+    */
+  def synthImage(id: Long): Array[Byte] = {
+    val side = 72
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // 64-bit Weyl multiply, positions from disjoint shifted fields:
+    // a small-modulus linear mix (the 16-bit sampler bucket) would
+    // alias ids mod a short period into IDENTICAL images
+    val h = id * 0x9E3779B97F4A7C15L
+    val cxs = Array.tabulate(3)(k => Math.floorMod(h >>> (20 * k), side.toLong).toInt)
+    val cys = Array.tabulate(3)(k => Math.floorMod(h >>> (20 * k + 10), side.toLong).toInt)
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        var luma = (x + y) / 2
+        var k = 0
+        while (k < 3) {
+          val dx = x - cxs(k)
+          val dy = y - cys(k)
+          val d2 = dx * dx + dy * dy
+          if (d2 < 576) luma += 200 - d2 / 3
+          k += 1
+        }
+        if (luma > 255) luma = 255
+        img.setRGB(x, y, (luma << 16) | (luma << 8) | luma)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Quality-shifted re-encode: decode any image payload and re-write
+    * it as JPEG with the JDK encoder's default quality — the most
+    * common real-world media near-duplicate (same picture, different
+    * compression), which rewrites every byte while preserving
+    * perceptual content. Fixture arm of the pixel-kernel gates.
+    */
+  def reencodeJpeg(imageBytes: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(imageBytes))
+    require(img != null, "reencodeJpeg: input is not a decodable image")
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
   }
 }

@@ -1063,6 +1063,37 @@ object PipelineQueries {
       media.select(col("doc_id"), Multimodal.dHash64("media").as("dhash"))
     }),
 
+    // -- multimodal: PIXEL-domain perceptual near-dups — the real
+    //    javax.imageio codec in the mapMediaPartitions slot. Every doc
+    //    becomes a deterministic synthetic PNG (Multimodal.synthImage);
+    //    every 5th doc also ships a JPEG re-encoded twin (id + 1e6) —
+    //    the quality-shifted duplicate that rewrites every byte, which
+    //    the byte-domain kernel provably cannot see (MultimodalSpec).
+    //    Output = the hamming≤3 banded near-dup pairs over the PIXEL
+    //    hashes: every planted twin (exactness gated in MultimodalSpec
+    //    on crafted ids), plus the handful of synthetic layouts that
+    //    genuinely land near-identical. Rows-only BY CONTRACT: the JDK
+    //    codec's decoded raster is not SQL-visible. -------------------
+    "q_media_dhash_pixel" -> ((s, dir) => {
+      import s.implicits._
+      // repartition the bare id column before the codec map: the doc
+      // table arrives as one file split, and PNG/JPEG encode+decode is
+      // CPU work that must spread across cores (the shuffled payload
+      // is just longs — media bytes are created post-shuffle)
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .repartition(32)
+        .mapPartitions(_.flatMap { id =>
+          val png = Multimodal.synthImage(id)
+          if (id % 5 == 0)
+            Iterator((id, png), (id + 1000000L, Multimodal.reencodeJpeg(png)))
+          else Iterator((id, png))
+        }).toDF("doc_id", "media")
+      Multimodal.hashNearDups(
+        Multimodal.dHashPixel(media, "doc_id", "media")
+          .select(col("id").as("doc_id"), col("dhash64").as("dhash_pixel")),
+        "doc_id", "dhash_pixel", maxHamming = 3)
+    }),
+
     // -- multimodal: perceptual near-dup pairs — planted perturbed
     //    copies (one byte changed mid-payload, id + 1e6), dHash +
     //    16-bit chunk banding + exact hamming verify. At maxHamming=2

@@ -155,6 +155,68 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == brute, "banded pairs must equal the exact hamming join")
   }
 
+  test("pixel dHash: a JPEG re-encode collides with its original, distinct images separate") {
+    import spark.implicits._
+    // the case the byte kernel is blind to: a quality-shifted
+    // re-encode rewrites every byte but preserves perceptual content
+    val ids = (1L to 10L)
+    val rows = ids.map(id => (id, Multimodal.synthImage(id))) ++
+      ids.map(id => (id + 1000L, Multimodal.reencodeJpeg(Multimodal.synthImage(id))))
+    val out = Multimodal.dHashPixel(
+        rows.toDF("doc_id", "media"), "doc_id", "media")
+      .collect().map(p => p.id -> p).toMap
+    assert(out.values.forall(_.decoded), "every payload is a real image")
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    for (id <- ids) {
+      val d = ham(out(id).dhash64.get, out(id + 1000L).dhash64.get)
+      assert(d <= 3,
+        s"JPEG re-encode of image $id must land within hamming 3, got $d")
+    }
+    for (a <- ids; b <- ids if a < b) {
+      val d = ham(out(a).dhash64.get, out(b).dhash64.get)
+      assert(d > 3, s"distinct images $a/$b must separate, got hamming $d")
+    }
+    // and the byte-domain kernel really is blind to the re-encode:
+    // the SAME pair sits ~half the hash apart on raw bytes
+    val byteHam = java.lang.Long.bitCount(
+      graft.functions.MediaFunctions.dhash64Bytes(Multimodal.synthImage(1L), 0) ^
+        graft.functions.MediaFunctions.dhash64Bytes(
+          Multimodal.reencodeJpeg(Multimodal.synthImage(1L)), 0))
+    assert(byteHam > 3, s"byte kernel should NOT see the re-encode pair ($byteHam)")
+  }
+
+  test("pixel dHash: undecodable payload falls back to the byte kernel, marked loud") {
+    import spark.implicits._
+    val text = "definitely not an image payload, just prose".getBytes("UTF-8")
+    val rows = Seq((1L, text), (2L, Multimodal.synthImage(7L)),
+      (3L, Array.empty[Byte]), (4L, null.asInstanceOf[Array[Byte]]))
+    val out = Multimodal.dHashPixel(
+        rows.toDF("doc_id", "media"), "doc_id", "media")
+      .collect().map(p => p.id -> p).toMap
+    assert(!out(1L).decoded && out(1L).dhash64.contains(
+      Long.unbox(graft.functions.MediaFunctions.dhash64Bytes(text, 0))),
+      "fallback must be bit-identical to the byte kernel")
+    assert(out(2L).decoded, "a real image decodes")
+    assert(out(3L).dhash64.isEmpty && !out(3L).decoded, "empty payload -> None")
+    assert(out(4L).dhash64.isEmpty && !out(4L).decoded, "null payload -> None")
+  }
+
+  test("hashNearDups over pixel hashes surfaces exactly the planted re-encoded twins") {
+    import spark.implicits._
+    val ids = (1L to 8L)
+    val rows = ids.map(id => (id, Multimodal.synthImage(id))) ++
+      ids.filter(_ % 2 == 0)
+        .map(id => (id + 1000L, Multimodal.reencodeJpeg(Multimodal.synthImage(id))))
+    val hashed = Multimodal.dHashPixel(
+        rows.toDF("doc_id", "media"), "doc_id", "media")
+      .select(col("id").as("doc_id"), col("dhash64").as("dh"))
+    val pairs = Multimodal.hashNearDups(hashed, "doc_id", "dh", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = ids.filter(_ % 2 == 0).map(id => (id, id + 1000L)).toSet
+    assert(pairs == expected,
+      s"pixel near-dups must be exactly the planted twins: got $pairs")
+  }
+
   test("media quarantine: every corruption type gets its reason, rows conserved") {
     val m = mediaOf(Seq(1L -> "healthy content here", 2L -> "x", 3L -> "soon cut"))
     val corrupted = m.withColumn("media",
