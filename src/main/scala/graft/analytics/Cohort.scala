@@ -301,9 +301,11 @@ object Cohort {
     *
     * Scale shape: one per-(duration, event) collapse — the corpus's
     * only shuffle — then a driver loop over the BOUNDED distinct-time
-    * table (the PAV/BPE class of driver work, and why the gate is
-    * rows-only + laws, not a SQL oracle), capped loud at 100k
-    * distinct times.
+    * table (the PAV/BPE class of driver work), capped loud at 100k
+    * distinct times. Unlike PAV (whose pooling stack pops arbitrarily
+    * far back), the product-limit is a per-row LINEAR recurrence, so
+    * a recursive-CTE oracle replays it exactly — q_kaplan_meier is
+    * hash-gated, not rows-only.
     */
   def kaplanMeier(df: DataFrame, durationCol: String,
                   eventCol: String): DataFrame = {

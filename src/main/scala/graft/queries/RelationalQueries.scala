@@ -563,8 +563,10 @@ object RelationalQueries {
         trimPct = 10)),
 
     // -- survival: Kaplan-Meier time-to-first-purchase per user, users
-    //    who never purchase right-censored at the corpus horizon.
-    //    Rows-only BY CONTRACT: the product-limit loop is sequential --
+    //    who never purchase right-censored at the corpus horizon. The
+    //    sequential product-limit is a per-row LINEAR recurrence, so
+    //    the oracle replays it as a recursive CTE (q_markov_sim class)
+    //    and the whole survival curve hash-matches --------------------
     "q_kaplan_meier" -> ((s, dir) => {
       val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
       val per = ev.groupBy("user_id").agg(
@@ -1475,6 +1477,47 @@ object RelationalQueries {
         |        AND rk <= n - (n * 10) // 100
         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS trimmed_mean_micro
         |FROM r GROUP BY 1""".stripMargin,
+
+    // the product-limit recurrence replayed as a RECURSIVE walk (the
+    // q_markov_sim class): s_i = floor(s_{i-1}·(n_i−d_i)/n_i) over the
+    // time-ordered collapsed table, n_risk by running subtraction —
+    // every step exact BIGINT, so the whole survival curve hash-matches
+    "q_kaplan_meier" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec
+        |  FROM events WHERE user_id IS NOT NULL
+        |), per AS (
+        |  SELECT user_id, min(tsec) AS first_s,
+        |    min(CASE WHEN event_type = 'purchase' THEN tsec END) AS purch_s
+        |  FROM ev GROUP BY user_id
+        |), hz AS (SELECT max(tsec) AS h FROM ev),
+        |durs AS (
+        |  SELECT CAST(floor(CAST(coalesce(purch_s, h) - first_s AS DOUBLE)
+        |      / 86400.0 * 1000) AS BIGINT) AS t,
+        |    purch_s IS NOT NULL AS e
+        |  FROM per, hz
+        |), base AS (
+        |  SELECT t,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS c,
+        |    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rn
+        |  FROM durs GROUP BY t
+        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM durs),
+        |rec(rn, t, n_risk, d, c, s) AS (
+        |  SELECT b.rn, b.t, tot.n, b.d, b.c,
+        |    CASE WHEN b.d > 0 THEN (1000000 * (tot.n - b.d)) // tot.n
+        |         ELSE CAST(1000000 AS BIGINT) END
+        |  FROM base b, tot WHERE b.rn = 1
+        |  UNION ALL
+        |  SELECT b.rn, b.t, r.n_risk - r.d - r.c, b.d, b.c,
+        |    CASE WHEN b.d > 0
+        |         THEN (r.s * ((r.n_risk - r.d - r.c) - b.d))
+        |           // (r.n_risk - r.d - r.c)
+        |         ELSE r.s END
+        |  FROM rec r JOIN base b ON b.rn = r.rn + 1
+        |)
+        |SELECT t, n_risk, d, c AS n_censored, s AS s_micro FROM rec""".stripMargin,
 
     // per-key rank/count windows under the pinned (v, id) order, exact
     // ceil-rank fences, clamp rides a broadcast join back
