@@ -222,6 +222,67 @@ object Chunking {
       .select(col(stratumCol), col(idCol), col("__rk").as("pick_rank"))
   }
 
+  /** Gumbel top-k: draw EXACTLY k rows per stratum WITHOUT replacement
+    * with inclusion probability proportional to a positive weight —
+    * the fixed-size WEIGHTED member of the sampling family
+    * (`mixToBudget` is rate-shaped, `ppsSystematicSample` is
+    * boundary-shaped, `sampleKPerKey` is uniform). The Gumbel-max /
+    * Efraimidis-Spirakis construction: each row gets
+    * key = ln(w) − ln(−ln(u)) — a Gumbel(ln w) draw — and the k
+    * LARGEST keys are the sample; top-k under Gumbel(ln w) noise is
+    * distributionally identical to sequential weighted
+    * draw-without-replacement (Yellott 1977; Efraimidis & Spirakis
+    * 2006's u^{1/w} keys are the same order statistic).
+    *
+    * u comes from the portable 16-bit Weyl bucket of the id (the
+    * `stratifiedSample`/`hashSplit` generator), u = (bucket+1)/65537
+    * ∈ (0,1) so both logarithms are finite; the draw is DETERMINISTIC
+    * and append-stable — a grown corpus re-draws nothing, a new row
+    * enters the sample only by outranking the standing top-k. The key
+    * is floor-quantized to micro BEFORE ranking (id tie-break), so
+    * the sample replays in the DuckDB oracle: ln is IEEE-double in
+    * both engines, and a floor flip needs the true key within ~1e-10
+    * of a micro boundary — negligible on any real corpus, and
+    * value-checked across engines by the driver gate every round.
+    * Non-positive or NULL weights fail LOUD (a silent drop would bias
+    * the design; a zero-weight row simply doesn't belong in the
+    * frame).
+    *
+    * Scale shape: the key is row-local arithmetic on the scan; the
+    * rank is ONE window over the stratum key, planning as
+    * partial+final WindowGroupLimit on Spark 4 — each map task keeps
+    * its local top-k, so the shuffle carries k rows per (task,
+    * stratum), never the corpus.
+    */
+  def sampleGumbelTopK(df: DataFrame, stratumCol: String, idCol: String,
+                       weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "sampleGumbelTopK: k must be positive")
+    for (c <- Seq("__b", "__w", "gumbel_micro", "sample_rank")
+        if df.columns.contains(c))
+      require(false, s"sampleGumbelTopK: '$c' is reserved — rename it")
+    import org.apache.spark.sql.expressions.Window
+    val denom = 65536L
+    val bucket = pmod(pmod(col(idCol), lit(denom)) * lit(40503L), lit(denom))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("gumbel_micro").desc, col(idCol).asc)
+    df.select(col(stratumCol), col(idCol),
+        when(col(weightCol).isNull || col(weightCol) <= 0,
+          expr(s"raise_error('sampleGumbelTopK: $weightCol must be a" +
+            " positive weight')"))
+          .otherwise(col(weightCol).cast("double")).as("__w"),
+        bucket.as("__b"))
+      // 65537.0D / 1000000.0D: the D suffix matters — a bare fractional
+      // literal parses as DECIMAL in Spark SQL, and decimal division
+      // would shift u by ~1e-4 off the oracle's double arithmetic
+      .withColumn("gumbel_micro", expr(
+        "CAST(floor((ln(__w) - ln(-ln(CAST(__b + 1 AS DOUBLE) / 65537.0D)))" +
+          " * 1000000.0D) AS BIGINT)"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .select(col(stratumCol), col(idCol), col("gumbel_micro"),
+        col("sample_rank"))
+  }
+
   /** Token-budget corpus mixing, row view: the documents the mixing
     * decision KEEPS — every source downsampled to ≈`budgetTokens` of
     * text (sources already under budget pass whole). The per-source

@@ -1252,6 +1252,15 @@ object PipelineQueries {
     "q_sample_k_per_key" -> ((s, dir) =>
       Chunking.sampleKPerKey(Tables.documents(s, dir), "lang", "doc_id", k = 20)),
 
+    // -- corpus mixing: Gumbel top-k — exactly 25 docs PER SOURCE
+    //    drawn ∝ n_chars without replacement (the fixed-size weighted
+    //    draw the proportional/Neyman/uniform arms don't cover).
+    //    Deterministic Weyl u + micro-floored Gumbel key → the whole
+    //    draw hash-replays in the oracle ------------------------------
+    "q_sample_gumbel" -> ((s, dir) =>
+      Chunking.sampleGumbelTopK(Tables.documents(s, dir), "source",
+        "doc_id", "n_chars", k = 25)),
+
     // -- retrieval: BM25 top-k per probe query (rational idf +
     //    micro-unit integer contributions — see TextOps.bm25TopK) ----
     "q_bm25_topk" -> ((s, dir) =>
@@ -4701,6 +4710,22 @@ object PipelineQueries {
         |    ORDER BY ((doc_id % 65536) * 40503) % 65536, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 20""".stripMargin,
+
+    // the Gumbel-max draw replayed term-for-term: same Weyl u, same
+    // IEEE-double ln chain, same micro floor, same (key desc, id) rank
+    "q_sample_gumbel" ->
+      """SELECT source, doc_id, gumbel_micro,
+        |  CAST(rk AS INTEGER) AS sample_rank FROM (
+        |  SELECT source, doc_id, gumbel_micro,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY gumbel_micro DESC, doc_id) AS rk
+        |  FROM (
+        |    SELECT source, doc_id,
+        |      CAST(floor((ln(CAST(n_chars AS DOUBLE)) -
+        |        ln(-ln((((doc_id % 65536) * 40503) % 65536 + 1) / 65537.0)))
+        |        * 1000000.0) AS BIGINT) AS gumbel_micro
+        |    FROM documents))
+        |WHERE rk <= 25""".stripMargin,
 
     "q_embed_quantize" ->
       """SELECT vec_id, scale, CAST(pos AS INTEGER) AS pos, q FROM (

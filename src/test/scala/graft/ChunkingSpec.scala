@@ -235,6 +235,44 @@ class ChunkingSpec extends SparkSpec {
     assert(math.abs(sx.count(_._2 == "en") / 1000.0 - 0.5) < 0.1)
   }
 
+  test("gumbelTopK: exact k, deterministic, dominance beyond the noise band, ~w-proportional") {
+    import spark.implicits._
+    // one stratum of 100 docs, k = 10: exactly k, ranks dense 1..k
+    val one = (0L until 100L).map(i => (i, "s", 10L)).toDF("id", "src", "w")
+    val p1 = Chunking.sampleGumbelTopK(one, "src", "id", "w", k = 10).collect()
+    assert(p1.length == 10 && p1.map(_.getInt(3)).sorted.sameElements(1 to 10))
+    val p2 = Chunking.sampleGumbelTopK(one, "src", "id", "w", k = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(p1.map(_.getLong(1)).toSet == p2, "same input, same draw")
+    // a stratum smaller than k surfaces whole
+    val tiny = Seq((1L, "t", 5L), (2L, "t", 5L)).toDF("id", "src", "w")
+    assert(Chunking.sampleGumbelTopK(tiny, "src", "id", "w", 10).count() == 2)
+    // dominance: the Gumbel noise g = -ln(-ln(u)) spans ~[-2.4, 11.1]
+    // on the 16-bit u grid, so a weight ratio beyond e^13.5 ALWAYS
+    // outranks — the certainty-inclusion law PPS designs share
+    val dom = ((0L until 50L).map(i => (i, "d", 10L)) :+ (999L, "d", 10000000000L))
+      .toDF("id", "src", "w")
+    val picked = Chunking.sampleGumbelTopK(dom, "src", "id", "w", k = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(picked == Set(999L), s"the e^13.5-dominant weight must win, got $picked")
+    // ~proportional: 1000 two-doc strata (light w=1 vs heavy w=9),
+    // k=1 — P(heavy) = 0.9 exactly under Gumbel; the deterministic
+    // Weyl u's should land in a generous band around 900/1000
+    val pairs = (0L until 1000L).flatMap(sid =>
+      Seq((2 * sid, s"p$sid", 1L), (2 * sid + 1, s"p$sid", 9L)))
+      .toDF("id", "src", "w")
+    val heavyWins = Chunking.sampleGumbelTopK(pairs, "src", "id", "w", k = 1)
+      .filter(col("id") % 2 === 1).count()
+    assert(heavyWins > 830 && heavyWins < 970,
+      s"heavy (w=9 vs 1) should win ~900/1000, got $heavyWins")
+    // non-positive weight fails LOUD, never silently drops
+    val bad = Seq((1L, "b", 0L)).toDF("id", "src", "w")
+    val e = intercept[Exception] {
+      Chunking.sampleGumbelTopK(bad, "src", "id", "w", 1).collect()
+    }
+    assert(e.getMessage.contains("positive weight"))
+  }
+
   test("shard assign: partition of the corpus, dense 1-based positions, append-stable membership") {
     import spark.implicits._
     val ids = (0L until 500L)
