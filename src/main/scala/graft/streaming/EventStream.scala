@@ -250,6 +250,88 @@ object EventStream {
         })
   }
 
+  final case class IsoDriftReport(windowStart: Timestamp, nWindow: Long,
+      nUnseen: Long, ksMicro: Long, atS: Long, recalibrate: Boolean)
+
+  /** Isotonic-serve drift guard — the composition that closes the
+    * MEASURE → FIX → SERVE loop (L-240 × L-248): while
+    * `TextOps.isotonicApply` serves a batch-trained calibration
+    * mapping on the stream (stateless, gated stream≡batch in
+    * StreamingSpec), THIS monitor watches the raw score distribution
+    * the calibrator is seeing against the FIT-TIME distribution —
+    * `isotonicFit`'s per-distinct-score (s, n) collapse, a bounded
+    * ModelStore-class artifact — and emits a LOUD `recalibrate` flag
+    * the moment a closed window's KS distance crosses `alertMicro`.
+    * An isotonic mapping is only as good as the score distribution it
+    * was fitted on; serving it silently through covariate shift is
+    * exactly the failure mode calibration exists to prevent.
+    *
+    * Two deliberate differences from the generic `ksDriftStream`:
+    * the window histogram is keyed by the SERVE-side quantization
+    * (`CAST(score AS LONG)` — the same truncation `isotonicApply`
+    * joins on), so the monitored distribution is bit-identical to
+    * the one being calibrated; and the report carries `nUnseen` —
+    * the window mass whose key has NO fit entry, i.e. exactly the
+    * rows the serve side returns calibrated_micro = NULL for. A
+    * drifting corpus usually announces itself there first.
+    *
+    * Same state/emit contract as the KS monitor: per-window bounded
+    * histogram state, exactly-once report at watermark close, exact
+    * cross-multiplied integer KS (BigInt headroom), deterministic
+    * supremum tie-break at the lowest attaining score.
+    */
+  def isotonicServeDriftStream(scores: Dataset[ScoreEvent],
+      fit: Seq[(Long, Long)], windowMinutes: Int, alertMicro: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[IsoDriftReport] = {
+    require(windowMinutes > 0,
+      "isotonicServeDriftStream: windowMinutes must be positive")
+    require(fit.nonEmpty && fit.forall(_._2 > 0L),
+      "isotonicServeDriftStream: fit histogram must be non-empty with" +
+        " positive counts")
+    require(alertMicro >= 0L && alertMicro <= 1000000L,
+      s"isotonicServeDriftStream: alertMicro in [0, 1e6], got $alertMicro")
+    import scores.sparkSession.implicits._
+    val refMap = fit.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+    val nRef = refMap.values.sum
+    val wMs = windowMinutes * 60000L
+    scores
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(d => math.floorDiv(d.ts.getTime, wMs) * wMs)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (winStart: Long, it: Iterator[ScoreEvent], state: GroupState[KsState]) => {
+          if (state.hasTimedOut) {
+            val counts = state.get.counts
+            state.remove()
+            val nb = counts.values.sum
+            val nUnseen = counts.collect {
+              case (s, n) if !refMap.contains(s) => n }.sum
+            val all = (counts.keySet ++ refMap.keySet).toSeq.sorted
+            var cumA = 0L
+            var cumB = 0L
+            var bestGap = BigInt(-1)
+            var atS = 0L
+            all.foreach { s =>
+              cumA += refMap.getOrElse(s, 0L)
+              cumB += counts.getOrElse(s, 0L)
+              val gap = (BigInt(cumA) * nb - BigInt(cumB) * nRef).abs
+              if (gap > bestGap) { bestGap = gap; atS = s }
+            }
+            val ksMicro = ((bestGap * 1000000) / (BigInt(nRef) * nb)).toLong
+            Iterator.single(IsoDriftReport(new Timestamp(winStart), nb,
+              nUnseen, ksMicro, atS, ksMicro >= alertMicro))
+          } else {
+            val acc = it.foldLeft(
+              state.getOption.fold(Map.empty[Long, Long])(_.counts)) { (m, d) =>
+              val s = d.value.toLong // the isotonicApply serve cast
+              m.updated(s, m.getOrElse(s, 0L) + 1L)
+            }
+            state.update(KsState(acc))
+            state.setTimeoutTimestamp(winStart + wMs)
+            Iterator.empty
+          }
+        })
+  }
+
   final case class TraceEvent(caseId: String, ts: Timestamp, activity: String)
   final case class TraceState(events: Seq[TraceEvent])
   final case class CompletedTrace(caseId: String, nEvents: Int,

@@ -885,6 +885,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("isotonic serve drift guard: recalibrate fires on the planted drift window, silent otherwise") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStream.ScoreEvent
+    import graft.llm.TextOps
+    // fit-time distribution: the SAME train the serve test calibrates
+    // on — per-distinct-score (s, n) from the PAV fit, 10×900000 and
+    // 10×100000
+    val train = (Seq.fill(8)((true, 900000L)) ++ Seq.fill(2)((false, 900000L)) ++
+      Seq.fill(6)((true, 100000L)) ++ Seq.fill(4)((false, 100000L)))
+      .toDF("y", "s")
+    val fitHist = TextOps.isotonicFit(train, "y", "s")
+      .select("s", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val in = MemoryStream[ScoreEvent]
+    val out = EventStream.isotonicServeDriftStream(in.toDS(), fitHist,
+      windowMinutes = 10, alertMicro = 400000L,
+      watermarkDelay = "5 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("iso_drift_out").start()
+    try {
+      // window 10:00 — scores in the fit proportions (50/50): KS 0
+      in.addData(
+        ScoreEvent(900000.0, ts("2024-01-01 10:01:00")),
+        ScoreEvent(100000.0, ts("2024-01-01 10:02:00")),
+        ScoreEvent(900000.0, ts("2024-01-01 10:03:00")),
+        ScoreEvent(100000.0, ts("2024-01-01 10:04:00")))
+      // window 10:10 — every score UNSEEN at fit: the serve side
+      // would NULL all three; the guard must flag
+      in.addData(
+        ScoreEvent(555555.0, ts("2024-01-01 10:11:00")),
+        ScoreEvent(555555.0, ts("2024-01-01 10:12:00")),
+        ScoreEvent(555556.0, ts("2024-01-01 10:13:00")))
+      in.addData(ScoreEvent(900000.0, ts("2024-01-01 11:00:00"))) // flush
+      q.processAllAvailable()
+      val rows = spark.table("iso_drift_out").collect()
+        .map(r => r.getTimestamp(0) -> r).toMap
+      val clean = rows(ts("2024-01-01 10:00:00"))
+      assert(clean.getLong(3) == 0L && !clean.getBoolean(5),
+        s"fit-shaped window must stay silent: $clean")
+      assert(clean.getLong(2) == 0L, "no unseen mass in the clean window")
+      val drifted = rows(ts("2024-01-01 10:10:00"))
+      assert(drifted.getBoolean(5), s"planted drift must flag: $drifted")
+      // unseen 555555s sit between the fit scores: ref CDF 0.5 vs
+      // window CDF 1.0 there → KS exactly 500000
+      assert(drifted.getLong(3) == 500000L, s"exact KS: $drifted")
+      assert(drifted.getLong(2) == 3L,
+        "every event the serve side would NULL is counted unseen")
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: window reports emit once with exact shares/TV, silent sources surface") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
