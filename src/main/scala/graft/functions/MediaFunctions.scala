@@ -93,6 +93,87 @@ object MediaFunctions {
     foldGrid(s, l)
   }
 
+  /** 64-bit PIXEL-DOMAIN pHash (the DCT member of the perceptual
+    * family — pHash.org's classic recipe): BT.601 integer luma
+    * resampled onto a 32×32 grid by relative position, 2D DCT-II,
+    * keep the 8×8 low-frequency block, bit (u,v) = 1 iff the
+    * coefficient exceeds the MEDIAN of the 63 non-DC coefficients
+    * (the DC position carries total brightness, not structure — its
+    * bit is pinned 0). Compared to the gradient dHash this trades the
+    * exact-integer story (the DCT is double arithmetic — fine here:
+    * both fingerprint kernels are mapPartitions-side with NO DuckDB
+    * oracle, the q_media_dhash_pixel contract) for robustness to
+    * HEAVIER distortion: low-frequency energy survives aggressive
+    * JPEG quantization and resampling that starts to smear 8×9 cell
+    * gradients. Deterministic for a given JVM; gated in
+    * MultimodalSpec against low-quality re-encodes and resizes.
+    */
+  def phash64Pixels(img: java.awt.image.BufferedImage): Long = {
+    val G = 32
+    val w = img.getWidth
+    val h = img.getHeight
+    val s = new Array[Long](G * G)
+    val l = new Array[Long](G * G)
+    var y = 0
+    while (y < h) {
+      val row = (y.toLong * G / h).toInt * G
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)) / 1000L
+        val k = row + (x.toLong * G / w).toInt
+        s(k) += luma
+        l(k) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    val m = new Array[Double](G * G)
+    var k = 0
+    while (k < G * G) {
+      // an empty cell (image smaller than the grid) inherits 0 — the
+      // relative-position map keeps cells contiguous, so this only
+      // happens below 32px where the fingerprint is degenerate anyway
+      m(k) = if (l(k) > 0) s(k).toDouble / l(k) else 0.0
+      k += 1
+    }
+    // cos((2i+1)uπ/64) table for the 8 low frequencies we keep
+    val cos = Array.tabulate(8, G)((u, i) =>
+      math.cos((2 * i + 1) * u * math.Pi / (2.0 * G)))
+    val coef = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var yy = 0
+        while (yy < G) {
+          var xx = 0
+          var rowAcc = 0.0
+          while (xx < G) {
+            rowAcc += m(yy * G + xx) * cos(u)(xx)
+            xx += 1
+          }
+          acc += rowAcc * cos(v)(yy)
+          yy += 1
+        }
+        coef(v * 8 + u) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val nonDc = coef.drop(1).sorted
+    val median = nonDc(31) // 63 non-DC values, middle element (0-based)
+    var out = 0L
+    var b = 1
+    while (b < 64) {
+      if (coef(b) > median) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** Shared grid→bits fold: bit b = 1 iff cell (b/8, b%8)'s mean
     * exceeds its right neighbour's, cross-multiplied (s₁·l₂ > s₂·l₁)
     * so the whole comparison is exact integer arithmetic.

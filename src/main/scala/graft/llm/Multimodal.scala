@@ -225,8 +225,27 @@ object Multimodal {
     * image files; `HeaderBytes` for the stub corpus).
     */
   def dHashPixel(df: DataFrame, idCol: String, mediaCol: String,
-                 headerBytes: Int = 0): Dataset[PixelHash] = {
-    require(headerBytes >= 0, s"dHashPixel: headerBytes >= 0, got $headerBytes")
+                 headerBytes: Int = 0): Dataset[PixelHash] =
+    fingerprintPartitions(df, idCol, mediaCol, headerBytes, "dHashPixel")(
+      graft.functions.MediaFunctions.dhash64Pixels)
+
+  /** DCT pHash over decoded pixels — the documented "production
+    * kernel swap" for DISTORTION-HEAVY corpora: low-frequency DCT
+    * energy survives aggressive JPEG quantization and resampling that
+    * starts to smear the gradient dHash's 8×9 cell means. SAME
+    * plumbing as `dHashPixel` (ONLY the kernel differs — the swap the
+    * family scaladocs promise), same byte-kernel fallback contract,
+    * same `hashNearDups` banding downstream.
+    */
+  def pHashPixel(df: DataFrame, idCol: String, mediaCol: String,
+                 headerBytes: Int = 0): Dataset[PixelHash] =
+    fingerprintPartitions(df, idCol, mediaCol, headerBytes, "pHashPixel")(
+      graft.functions.MediaFunctions.phash64Pixels)
+
+  private def fingerprintPartitions(df: DataFrame, idCol: String,
+      mediaCol: String, headerBytes: Int, op: String)
+      (kernel: java.awt.image.BufferedImage => Long): Dataset[PixelHash] = {
+    require(headerBytes >= 0, s"$op: headerBytes >= 0, got $headerBytes")
     val idIdx = df.schema.fieldIndex(idCol)
     val mIdx = df.schema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
@@ -243,9 +262,7 @@ object Multimodal {
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
             catch { case _: java.io.IOException => null }
           if (img != null && img.getWidth > 0 && img.getHeight > 0)
-            PixelHash(id,
-              Some(graft.functions.MediaFunctions.dhash64Pixels(img)),
-              decoded = true)
+            PixelHash(id, Some(kernel(img)), decoded = true)
           else
             PixelHash(id,
               Option(graft.functions.MediaFunctions.dhash64Bytes(payload, 0))
@@ -342,6 +359,32 @@ object Multimodal {
     require(img != null, "reencodeJpeg: input is not a decodable image")
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Quality-explicit variant: the LOW-quality arm of the re-encode
+    * fixtures (quality ∈ (0, 1]) — aggressive quantization is where
+    * the DCT pHash earns its keep over the gradient dHash.
+    */
+  def reencodeJpeg(imageBytes: Array[Byte], quality: Float): Array[Byte] = {
+    require(quality > 0f && quality <= 1f,
+      s"reencodeJpeg: quality in (0, 1], got $quality")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(imageBytes))
+    require(img != null, "reencodeJpeg: input is not a decodable image")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
     out.toByteArray
   }
 }

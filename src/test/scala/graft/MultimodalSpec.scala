@@ -183,6 +183,63 @@ class MultimodalSpec extends SparkSpec {
         graft.functions.MediaFunctions.dhash64Bytes(
           Multimodal.reencodeJpeg(Multimodal.synthImage(1L)), 0))
     assert(byteHam > 3, s"byte kernel should NOT see the re-encode pair ($byteHam)")
+    // the grid is RELATIVE-position, so a 2x upscale (the thumbnail /
+    // responsive-resize dup) also lands inside the hamming ball
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.synthImage(1L)))
+    val big = new java.awt.image.BufferedImage(144, 144,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = big.createGraphics()
+    g.drawImage(src, 0, 0, 144, 144, null)
+    g.dispose()
+    val resizedHam = java.lang.Long.bitCount(
+      graft.functions.MediaFunctions.dhash64Pixels(src) ^
+        graft.functions.MediaFunctions.dhash64Pixels(big))
+    assert(resizedHam <= 3, s"2x resize must stay in the ball, got $resizedHam")
+  }
+
+  test("pixel pHash: survives the LOW-quality re-encode and resize, separates distinct images") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    def decode(b: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    val ids = (1L to 10L)
+    // aggressive quantization (JPEG q=0.3) — the distortion tier the
+    // DCT kernel is FOR: low-frequency energy survives it
+    for (id <- ids) {
+      val orig = MediaFunctions.phash64Pixels(decode(Multimodal.synthImage(id)))
+      val low = MediaFunctions.phash64Pixels(
+        decode(Multimodal.reencodeJpeg(Multimodal.synthImage(id), 0.3f)))
+      assert(ham(orig, low) <= 3,
+        s"pHash must survive q=0.3 re-encode of image $id, got ${ham(orig, low)}")
+    }
+    // distinct images separate
+    val hashes = ids.map(id =>
+      id -> MediaFunctions.phash64Pixels(decode(Multimodal.synthImage(id)))).toMap
+    for (a <- ids; b <- ids if a < b)
+      assert(ham(hashes(a), hashes(b)) > 3,
+        s"distinct images $a/$b must separate, got ${ham(hashes(a), hashes(b))}")
+    // 2x resize stays in the ball (relative-position grid)
+    val src = decode(Multimodal.synthImage(3L))
+    val big = new java.awt.image.BufferedImage(144, 144,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = big.createGraphics()
+    g.drawImage(src, 0, 0, 144, 144, null)
+    g.dispose()
+    assert(ham(MediaFunctions.phash64Pixels(src),
+      MediaFunctions.phash64Pixels(big)) <= 3, "2x resize in the ball")
+    // the Dataset operator shares the dHashPixel plumbing: decoded
+    // flags + byte fallback behave identically
+    val rows = Seq((1L, Multimodal.synthImage(1L)),
+      (2L, "not an image".getBytes("UTF-8")))
+    val out = Multimodal.pHashPixel(rows.toDF("doc_id", "media"),
+      "doc_id", "media").collect().map(p => p.id -> p).toMap
+    assert(out(1L).decoded &&
+      out(1L).dhash64.contains(MediaFunctions.phash64Pixels(
+        decode(Multimodal.synthImage(1L)))))
+    assert(!out(2L).decoded && out(2L).dhash64.contains(Long.unbox(
+      MediaFunctions.dhash64Bytes("not an image".getBytes("UTF-8"), 0))))
   }
 
   test("pixel dHash: undecodable payload falls back to the byte kernel, marked loud") {
