@@ -263,6 +263,17 @@ class PlanShapeSpec extends SparkSpec {
       s"fixed-k sampling must cap per-key state before the shuffle:\n${p.take(1500)}")
   }
 
+  test("q_sample_gumbel caps per-stratum state pre-shuffle and stays cartesian-free") {
+    // the weighted draw's scaladoc claims the same rank-limit pushdown
+    // as the uniform sampler: the Gumbel key is row-local, so only the
+    // window rank shapes the shuffle — k rows per (task, stratum)
+    val p = plan("q_sample_gumbel")
+    assert(p.contains("WindowGroupLimit"),
+      s"Gumbel top-k must cap per-stratum state before the shuffle:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "the draw is one window over the corpus — no pairwise surface")
+  }
+
   test("q_grouping_sets and q_unpivot each scan lineitem exactly once") {
     // GROUPING SETS = one Expand + aggregate, never a UNION of scans;
     // UNPIVOT = one stack generator over one scan, never per-measure
