@@ -332,6 +332,70 @@ object EventStream {
         })
   }
 
+  final case class WeightedDoc(stratum: String, id: Long, weight: Long)
+  final case class GumbelState(items: List[(Long, Long)], version: Long)
+  final case class StandingSample(stratum: String, id: Long,
+      gumbelMicro: Long, sampleRank: Int, version: Long)
+
+  /** Streaming standing sample — the UNBOUNDED arm of
+    * `Chunking.sampleGumbelTopK` (L-250): maintain, per stratum, the
+    * CURRENT "exactly k docs ∝ weight without replacement" as
+    * documents arrive, emitting the post-batch top-k snapshot as a
+    * versioned ledger each micro-batch (the consumer reads the max
+    * version per stratum — every earlier version is the sample as it
+    * stood then, free provenance).
+    *
+    * Why this shape is exceptionally stream-friendly: the Gumbel key
+    * is a PURE row-local function of (id, weight) — same Weyl u, same
+    * IEEE ln chain, same micro floor as the batch operator — and a
+    * standing top-k of a set is ORDER-FREE, so there is NO ordering
+    * contract at all (stronger than funnelStream's event-time-ordered
+    * delivery clause): any arrival order, any batch slicing, produces
+    * the same final state, executed as a law in StreamingSpec. A
+    * re-delivered document maps to the identical (key, id) pair and
+    * dedupes — idempotent by construction. State is k pairs per
+    * stratum, bounded by construction; no watermark needed.
+    *
+    * Contract guards: weights are positive and IMMUTABLE per id — a
+    * doc re-sent with a different weight is refused LOUD when the old
+    * version is still standing (the L-113 duplicate-id convention;
+    * an already-evicted id's weight change is undetectable by design
+    * — the standing state is the only memory this operator keeps).
+    */
+  def gumbelSampleStream(docs: Dataset[WeightedDoc], k: Int)
+  : Dataset[StandingSample] = {
+    require(k > 0, "gumbelSampleStream: k must be positive")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.stratum)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (stratum: String, it: Iterator[WeightedDoc], state: GroupState[GumbelState]) => {
+          val prev = state.getOption.getOrElse(GumbelState(Nil, 0L))
+          val incoming = it.map { d =>
+            require(d.weight > 0,
+              s"gumbelSampleStream: weight must be positive (id ${d.id})")
+            val b = Math.floorMod(Math.floorMod(d.id, 65536L) * 40503L, 65536L)
+            val u = (b + 1).toDouble / 65537.0
+            val key = math.floor(
+              (math.log(d.weight.toDouble) - math.log(-math.log(u))) *
+                1000000.0).toLong
+            (key, d.id)
+          }.toList
+          val byId = (prev.items ++ incoming).groupBy(_._2)
+          byId.foreach { case (id, entries) =>
+            require(entries.map(_._1).distinct.size == 1,
+              s"gumbelSampleStream: id $id re-sent with a different weight" +
+                " — weights are immutable by contract")
+          }
+          val merged = byId.valuesIterator.map(_.head).toList
+            .sortBy { case (key, id) => (-key, id) }.take(k)
+          val version = prev.version + 1
+          state.update(GumbelState(merged, version))
+          merged.zipWithIndex.iterator.map { case ((key, id), i) =>
+            StandingSample(stratum, id, key, i + 1, version)
+          }
+        })
+  }
+
   final case class TraceEvent(caseId: String, ts: Timestamp, activity: String)
   final case class TraceState(events: Seq[TraceEvent])
   final case class CompletedTrace(caseId: String, nEvents: Int,

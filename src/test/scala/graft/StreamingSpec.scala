@@ -936,6 +936,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gumbel standing sample: final version ≡ batch draw, order-free, re-send idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStream.WeightedDoc
+    import graft.llm.Chunking
+    val docs = (0L until 200L).map(i => WeightedDoc("s", i, 1L + i % 17))
+    def finalSample(batches: Seq[Seq[WeightedDoc]], name: String): Seq[(Long, Long, Int)] = {
+      val in = MemoryStream[WeightedDoc]
+      val q = EventStream.gumbelSampleStream(in.toDS(), k = 10)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        val rows = spark.table(name).collect()
+        val vMax = rows.map(_.getLong(4)).max
+        rows.filter(_.getLong(4) == vMax)
+          .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).sortBy(_._3)
+      } finally q.stop()
+    }
+    // two batches, in-order: the final-version ledger equals the batch
+    // operator on the same corpus — same key, same rank, same ids
+    val streamed = finalSample(Seq(docs.take(120), docs.drop(120)), "gum1")
+    val batch = Chunking.sampleGumbelTopK(
+        docs.map(d => (d.stratum, d.id, d.weight)).toDF("src", "id", "w"),
+        "src", "id", "w", k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).sortBy(_._3)
+    assert(streamed == batch.toSeq, s"stream ≡ batch:\n$streamed\nvs\n$batch")
+    // order-free: scrambled slicing, same final state
+    val scrambled = finalSample(
+      Seq(docs.reverse.take(50), docs.reverse.slice(50, 57),
+        docs.reverse.drop(57)), "gum2")
+    assert(scrambled == streamed, "any arrival order, same standing sample")
+    // re-delivery of a standing doc is a no-op (identical (key, id))
+    val resent = finalSample(Seq(docs, docs.take(30)), "gum3")
+    assert(resent == streamed, "re-sent docs dedupe, versions advance")
+    // a standing doc re-sent with a DIFFERENT weight refuses loud
+    val in = MemoryStream[WeightedDoc]
+    val q = EventStream.gumbelSampleStream(in.toDS(), k = 5)
+      .writeStream.outputMode("append").format("memory").queryName("gum4").start()
+    try {
+      in.addData(WeightedDoc("s", 1L, 10L)); q.processAllAvailable()
+      in.addData(WeightedDoc("s", 1L, 20L))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+      assert(chain(e).exists(m => m != null && m.contains("immutable by contract")),
+        s"weight mutation must refuse loud: ${chain(e)}")
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: window reports emit once with exact shares/TV, silent sources surface") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
