@@ -174,6 +174,35 @@ object MediaFunctions {
     out
   }
 
+  /** 64-bit AUDIO fingerprint over decoded PCM samples: |amplitude|
+    * resampled onto the same 8×9 grid by relative frame position
+    * (length-invariant — a 2× resample of the same clip lands in the
+    * same cells), bit = energy-gradient sign via the shared
+    * cross-multiplied integer fold. The deliberate property: VOLUME
+    * is a common factor of both sides of every s₁·l₂ > s₂·l₁
+    * comparison, so an exact integer gain change (the loudness-
+    * normalized re-master, audio's re-encode analogue) preserves the
+    * fingerprint BIT-FOR-BIT — executed law; a localized click
+    * touches one cell → ≤ 2 flipped bits, the dHash argument. NULL
+    * on an empty clip. Overflow-safe: |sample| ≤ 32768 and cells hold
+    * ≤ n/72+1 frames, so s·l ≤ 32768·(n/72+1)² stays in Int64 for
+    * any clip under ~10¹⁴ frames.
+    */
+  def ahash64Samples(samples: Array[Int]): java.lang.Long = {
+    val n = samples.length
+    if (n <= 0) return null
+    val s = new Array[Long](72)
+    val l = new Array[Long](72)
+    var i = 0
+    while (i < n) {
+      val k = ((i.toLong * 72L) / n).toInt
+      s(k) += math.abs(samples(i).toLong)
+      l(k) += 1L
+      i += 1
+    }
+    foldGrid(s, l)
+  }
+
   /** Shared grid→bits fold: bit b = 1 iff cell (b/8, b%8)'s mean
     * exceeds its right neighbour's, cross-multiplied (s₁·l₂ > s₂·l₁)
     * so the whole comparison is exact integer arithmetic.

@@ -302,6 +302,154 @@ object Multimodal {
       .distinct()
   }
 
+  /** AUDIO fingerprint over a binary media column — the third modality
+    * of the family, same two-tier codec story as the pixel path: the
+    * JDK's `javax.sound.sampled` (WAV/AIFF/AU PCM ship in every JVM —
+    * no new dependency) decodes the payload, channels are mixed to
+    * their integer mean per frame, and the energy-gradient kernel
+    * (`MediaFunctions.ahash64Samples`) fingerprints the |amplitude|
+    * envelope on the shared 8×9 grid. The kernel's headline law:
+    * an exact integer GAIN change — the loudness-normalized re-master,
+    * audio's most common near-duplicate — preserves the fingerprint
+    * BIT-FOR-BIT (volume is a common factor of every cross-multiplied
+    * comparison), and the relative-position grid absorbs resampling
+    * the way the pixel grid absorbs a resize. Non-PCM16 encodings and
+    * undecodable payloads fall back to the byte kernel LOUD
+    * (`decoded = false`), the dHashPixel contract; downstream banding
+    * is the same `hashNearDups`.
+    *
+    * Scale shape: map-only decode where the payload sits (the frame
+    * buffer is the record's own bytes, one record in flight); only
+    * the 8-byte fingerprint enters any shuffle.
+    */
+  def audioHash(df: DataFrame, idCol: String, mediaCol: String,
+                headerBytes: Int = 0): Dataset[PixelHash] = {
+    require(headerBytes >= 0, s"audioHash: headerBytes >= 0, got $headerBytes")
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx)
+        if (bytes == null || bytes.length <= headerBytes)
+          PixelHash(id, None, decoded = false)
+        else {
+          val payload =
+            if (headerBytes == 0) bytes
+            else java.util.Arrays.copyOfRange(bytes, headerBytes, bytes.length)
+          val samples = decodePcm16(payload)
+          if (samples != null)
+            PixelHash(id,
+              Option(graft.functions.MediaFunctions.ahash64Samples(samples))
+                .map(Long.unbox),
+              decoded = true)
+          else
+            PixelHash(id,
+              Option(graft.functions.MediaFunctions.dhash64Bytes(payload, 0))
+                .map(Long.unbox),
+              decoded = false)
+        }
+      }
+    }(Encoders.product[PixelHash])
+  }
+
+  /** JDK-codec PCM decode: 16-bit signed PCM only (the WAV/AIFF
+    * reality `javax.sound.sampled` parses without extra providers);
+    * channels mix to their integer mean per frame. Returns null for
+    * anything the codec can't decode — the caller's fallback owns
+    * that case.
+    */
+  private def decodePcm16(payload: Array[Byte]): Array[Int] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = ais.getFormat
+      val frames = ais.getFrameLength
+      if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        f.getSampleSizeInBits != 16 || frames <= 0 || frames > Int.MaxValue / 4)
+        null
+      else {
+        val nch = f.getChannels
+        val big = f.isBigEndian
+        val data = ais.readAllBytes()
+        val n = math.min(frames.toInt, data.length / (2 * nch))
+        val samples = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          var acc = 0
+          var c = 0
+          while (c < nch) {
+            val off = (i * nch + c) * 2
+            val v =
+              if (big) (data(off) << 8) | (data(off + 1) & 0xff)
+              else (data(off + 1) << 8) | (data(off) & 0xff)
+            acc += v
+            c += 1
+          }
+          samples(i) = acc / nch
+          i += 1
+        }
+        samples
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => null
+      case _: java.io.IOException => null
+    }
+
+  /** Deterministic synthetic PCM for the audio fixtures: one second
+    * of 8 kHz mono — three carriers at id-derived frequencies, each
+    * AMPLITUDE-MODULATED by a slow id-derived envelope (1-7 Hz). The
+    * modulation is the point: the energy kernel fingerprints the
+    * |amplitude| ENVELOPE, so content must vary its loudness over
+    * time the way real audio does — a steady tone has a flat envelope
+    * whose cell means are all near-ties, fingerprint-degenerate by
+    * nature (the same reason a solid-gray image has no usable dHash).
+    */
+  def synthPcm(id: Long): Array[Int] = {
+    val n = 8000
+    val h = id * 0x9E3779B97F4A7C15L
+    val freqs = Array.tabulate(3)(k =>
+      200 + Math.floorMod(h >>> (16 * k), 1800L).toInt)
+    val mods = Array.tabulate(3)(k =>
+      1 + Math.floorMod(h >>> (12 * k + 40), 7L).toInt)
+    Array.tabulate(n) { i =>
+      var s = 0
+      var k = 0
+      while (k < 3) {
+        val env = 1500.0 * (1.0 + math.sin(2.0 * math.Pi * mods(k) * i / 8000.0))
+        s += (env * math.sin(2.0 * math.Pi * freqs(k) * i / 8000.0)).toInt
+        k += 1
+      }
+      s
+    }
+  }
+
+  /** `synthPcm` encoded as WAV (lossless PCM roundtrip), with the
+    * base samples scaled by an exact integer `gain` so a gain-2
+    * twin's samples are EXACTLY 2× the original's — the kernel's
+    * volume-invariance law executable bit-for-bit end to end.
+    */
+  def synthWav(id: Long, gain: Int = 1): Array[Byte] = {
+    require(gain >= 1 && gain <= 3, s"synthWav: gain in [1, 3], got $gain")
+    val base = synthPcm(id)
+    val n = base.length
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = base(i) * gain
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Deterministic synthetic PHOTO-LIKE image for the pixel-kernel
     * fixtures and the harness query: a 72×72 grayscale frame built
     * from exact integer arithmetic on the id — a diagonal luminance

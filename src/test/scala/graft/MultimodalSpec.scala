@@ -274,6 +274,61 @@ class MultimodalSpec extends SparkSpec {
       s"pixel near-dups must be exactly the planted twins: got $pairs")
   }
 
+  test("audio hash: gain twin bit-identical, resample in the ball, click local, fallback loud") {
+    import spark.implicits._
+    import graft.functions.MediaFunctions
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // kernel laws first: exact volume invariance is the headline —
+    // a common gain factors out of every cross-multiplied comparison
+    val base = Array.tabulate(5000)(i =>
+      (4000.0 * math.sin(i / 40.0) + 2000.0 * math.sin(i / 7.0)).toInt)
+    val loud = base.map(_ * 3)
+    assert(MediaFunctions.ahash64Samples(base) ==
+      MediaFunctions.ahash64Samples(loud), "integer gain is EXACTLY invariant")
+    // a localized click touches one cell -> <= 2 bits
+    val clicked = base.clone(); clicked(2500) = 32000
+    assert(ham(MediaFunctions.ahash64Samples(base),
+      MediaFunctions.ahash64Samples(clicked)) <= 2, "click stays local")
+    assert(MediaFunctions.ahash64Samples(Array.empty[Int]) == null,
+      "empty clip has no fingerprint")
+    // the Dataset operator over real WAV payloads: decode flags, the
+    // gain-2 twin collides bit-for-bat, distinct clips separate,
+    // text payloads fall back to the byte kernel bit-identically
+    val ids = (1L to 8L)
+    val rows = ids.map(id => (id, Multimodal.synthWav(id))) ++
+      ids.map(id => (id + 1000L, Multimodal.synthWav(id, gain = 2))) :+
+      (9999L, "not audio at all".getBytes("UTF-8"))
+    val out = Multimodal.audioHash(rows.toDF("doc_id", "media"),
+      "doc_id", "media").collect().map(p => p.id -> p).toMap
+    for (id <- ids) {
+      assert(out(id).decoded && out(id + 1000L).decoded, "WAVs decode")
+      assert(out(id).dhash64 == out(id + 1000L).dhash64,
+        s"gain-2 re-master of clip $id must hash IDENTICALLY")
+    }
+    for (a <- ids; b <- ids if a < b)
+      assert(ham(out(a).dhash64.get, out(b).dhash64.get) > 3,
+        s"distinct clips $a/$b separate")
+    assert(!out(9999L).decoded && out(9999L).dhash64.contains(Long.unbox(
+      MediaFunctions.dhash64Bytes("not audio at all".getBytes("UTF-8"), 0))),
+      "undecodable falls back to the byte kernel bit-identically")
+    // 2x resample (every sample doubled) rides the relative grid
+    for (id <- 1L to 3L) {
+      val doubled = Multimodal.synthPcm(id).flatMap(s => Array(s, s))
+      assert(ham(Long.unbox(MediaFunctions.ahash64Samples(doubled)),
+        out(id).dhash64.get) <= 3, s"2x resample of clip $id stays in the ball")
+    }
+    // end-to-end: banding surfaces exactly the planted gain twins
+    val hashed = Multimodal.audioHash(
+        ids.flatMap(id => Seq((id, Multimodal.synthWav(id)),
+          (id + 1000L, Multimodal.synthWav(id, gain = 2))))
+          .toDF("doc_id", "media"), "doc_id", "media")
+      .select(col("id").as("doc_id"), col("dhash64").as("ah"))
+    val pairs = Multimodal.hashNearDups(hashed, "doc_id", "ah", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == ids.map(id => (id, id + 1000L)).toSet,
+      s"audio near-dups must be exactly the planted re-masters: $pairs")
+  }
+
   test("media quarantine: every corruption type gets its reason, rows conserved") {
     val m = mediaOf(Seq(1L -> "healthy content here", 2L -> "x", 3L -> "soon cut"))
     val corrupted = m.withColumn("media",
