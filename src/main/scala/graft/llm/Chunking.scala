@@ -257,9 +257,23 @@ object Chunking {
   def sampleGumbelTopK(df: DataFrame, stratumCol: String, idCol: String,
                        weightCol: String, k: Int): DataFrame = {
     require(k > 0, "sampleGumbelTopK: k must be positive")
+    gumbelRanked(df, stratumCol, idCol, weightCol, "sampleGumbelTopK")
+      .filter(col("sample_rank") <= k)
+      .select(col(stratumCol), col(idCol), col("gumbel_micro"),
+        col("sample_rank"))
+  }
+
+  /** Shared Gumbel-key machinery: every row gets its micro-floored
+    * Gumbel(ln w) key and its (key DESC, id ASC) rank within the
+    * stratum. The literal rank filter the CALLERS apply immediately
+    * after is what lets Spark's rank-limit pushdown cap per-stratum
+    * state before the shuffle — keep any new consumer shaped that way.
+    */
+  private def gumbelRanked(df: DataFrame, stratumCol: String, idCol: String,
+                           weightCol: String, op: String): DataFrame = {
     for (c <- Seq("__b", "__w", "gumbel_micro", "sample_rank")
         if df.columns.contains(c))
-      require(false, s"sampleGumbelTopK: '$c' is reserved — rename it")
+      require(false, s"$op: '$c' is reserved — rename it")
     import org.apache.spark.sql.expressions.Window
     val denom = 65536L
     val bucket = pmod(pmod(col(idCol), lit(denom)) * lit(40503L), lit(denom))
@@ -267,7 +281,7 @@ object Chunking {
       .orderBy(col("gumbel_micro").desc, col(idCol).asc)
     df.select(col(stratumCol), col(idCol),
         when(col(weightCol).isNull || col(weightCol) <= 0,
-          expr(s"raise_error('sampleGumbelTopK: $weightCol must be a" +
+          expr(s"raise_error('$op: $weightCol must be a" +
             " positive weight')"))
           .otherwise(col(weightCol).cast("double")).as("__w"),
         bucket.as("__b"))
@@ -278,9 +292,50 @@ object Chunking {
         "CAST(floor((ln(__w) - ln(-ln(CAST(__b + 1 AS DOUBLE) / 65537.0D)))" +
           " * 1000000.0D) AS BIGINT)"))
       .withColumn("sample_rank", row_number().over(w))
-      .filter(col("sample_rank") <= k)
+  }
+
+  /** Allocation-driven Gumbel draw — the composition that completes
+    * the LABELING-BUDGET pipeline: `neymanAllocation` decides HOW MANY
+    * rows each stratum deserves (∝ N_h·σ_h — label where the data
+    * varies), and this draw decides WHICH rows fill each stratum's
+    * quota (∝ a positive importance weight, without replacement, the
+    * Gumbel-max machinery of `sampleGumbelTopK` with a PER-STRATUM k).
+    * Same deterministic/append-stable/SQL-replayable key.
+    *
+    * `maxAlloc` is the scale valve: the rank window filters against
+    * this LITERAL bound first — that is what lets the rank-limit
+    * pushdown cap per-stratum state before the shuffle, because a
+    * join-supplied bound can't be pushed into the window — and the
+    * per-stratum allocation (≤ maxAlloc, checked LOUD) prunes the
+    * survivors. Pass the allocation's budget: no stratum's quota can
+    * exceed it by construction.
+    *
+    * Allocation contract: a stratum absent from `alloc`, or carrying
+    * a NULL allocation (`neymanAllocation`'s all-constant undefined
+    * case), draws NOTHING — by contract, not silently: the allocator
+    * already reported those rows.
+    */
+  def sampleGumbelToAllocation(df: DataFrame, stratumCol: String,
+                               idCol: String, weightCol: String,
+                               alloc: DataFrame, allocCol: String,
+                               maxAlloc: Long): DataFrame = {
+    require(maxAlloc > 0, "sampleGumbelToAllocation: maxAlloc must be positive")
+    require(!df.columns.contains("__alloc"),
+      "sampleGumbelToAllocation: '__alloc' is reserved — rename it")
+    val a = alloc.select(col(stratumCol),
+      col(allocCol).cast("long").as("__alloc"))
+      .filter(col("__alloc").isNotNull && col("__alloc") > 0L)
+      .withColumn("__alloc",
+        when(col("__alloc") > maxAlloc,
+          expr(s"raise_error('sampleGumbelToAllocation: an allocation" +
+            s" exceeds maxAlloc = $maxAlloc — pass the budget')"))
+          .otherwise(col("__alloc")))
+    gumbelRanked(df, stratumCol, idCol, weightCol, "sampleGumbelToAllocation")
+      .filter(col("sample_rank") <= maxAlloc)
+      .join(broadcast(a), Seq(stratumCol))
+      .filter(col("sample_rank") <= col("__alloc"))
       .select(col(stratumCol), col(idCol), col("gumbel_micro"),
-        col("sample_rank"))
+        col("sample_rank"), col("__alloc").as("alloc"))
   }
 
   /** Token-budget corpus mixing, row view: the documents the mixing

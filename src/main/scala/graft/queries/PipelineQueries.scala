@@ -1261,6 +1261,23 @@ object PipelineQueries {
       Chunking.sampleGumbelTopK(Tables.documents(s, dir), "source",
         "doc_id", "n_chars", k = 25)),
 
+    // -- labeling-budget capstone: Neyman decides HOW MANY per stratum
+    //    (budget 1000 ∝ N_h·σ_h over event-type value variance), the
+    //    Gumbel draw decides WHICH rows fill each quota (∝ an exact
+    //    integer importance weight, without replacement). Both stages
+    //    are the oracle-checked operators; the whole composition
+    //    hash-replays ------------------------------------------------
+    "q_label_budget_draw" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .withColumn("label_weight", expr(
+          "CAST(1 + abs(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)"))
+      Chunking.sampleGumbelToAllocation(ev, "event_type", "event_id",
+        "label_weight",
+        Chunking.neymanAllocation(Tables.events(s, dir), "event_type",
+          "value", budget = 1000L),
+        "alloc", maxAlloc = 1000L)
+    }),
+
     // -- retrieval: BM25 top-k per probe query (rational idf +
     //    micro-unit integer contributions — see TextOps.bm25TopK) ----
     "q_bm25_topk" -> ((s, dir) =>
@@ -4710,6 +4727,59 @@ object PipelineQueries {
         |    ORDER BY ((doc_id % 65536) * 40503) % 65536, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 20""".stripMargin,
+
+    // the full composition replayed: the q_neyman allocation CTEs
+    // feed the Gumbel rank join — rank <= alloc per stratum
+    "q_label_budget_draw" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS HUGEINT)) AS s, sum(CAST(v AS HUGEINT) * v) AS q
+        |  FROM b GROUP BY 1
+        |), w AS (
+        |  SELECT event_type, n,
+        |    CAST(floor(1000000.0 * sqrt(CAST(n * q - s * s AS DOUBLE)))
+        |      AS BIGINT) AS w_micro
+        |  FROM st
+        |), t AS (SELECT *, sum(w_micro) OVER () AS wsum FROM w
+        |), a AS (
+        |  SELECT *,
+        |    CASE WHEN wsum = 0 THEN NULL ELSE
+        |      CAST((CAST(1000 AS HUGEINT) * w_micro) // wsum AS BIGINT)
+        |    END AS base,
+        |    CASE WHEN wsum = 0 THEN NULL ELSE
+        |      CAST((CAST(1000 AS HUGEINT) * w_micro) % wsum AS BIGINT)
+        |    END AS rem
+        |  FROM t
+        |), l AS (
+        |  SELECT *, 1000 - sum(base) OVER () AS leftover,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, event_type)
+        |      AS BIGINT) AS rk
+        |  FROM a
+        |), al AS (
+        |  SELECT event_type,
+        |    CASE WHEN base IS NULL THEN NULL ELSE
+        |      least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END, n)
+        |    END AS alloc
+        |  FROM l
+        |), keyed AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor((ln(CAST(1 + abs(CAST(floor(value * 1000) AS BIGINT))
+        |        AS DOUBLE)) -
+        |      ln(-ln((((event_id % 65536) * 40503) % 65536 + 1) / 65537.0)))
+        |      * 1000000.0) AS BIGINT) AS gumbel_micro
+        |  FROM events WHERE value IS NOT NULL
+        |), rk2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY gumbel_micro DESC, event_id) AS r
+        |  FROM keyed
+        |)
+        |SELECT k.event_type, k.event_id, k.gumbel_micro,
+        |  CAST(k.r AS INTEGER) AS sample_rank, al.alloc
+        |FROM rk2 k JOIN al USING (event_type)
+        |WHERE k.r <= al.alloc""".stripMargin,
 
     // the Gumbel-max draw replayed term-for-term: same Weyl u, same
     // IEEE-double ln chain, same micro floor, same (key desc, id) rank

@@ -273,6 +273,46 @@ class ChunkingSpec extends SparkSpec {
     assert(e.getMessage.contains("positive weight"))
   }
 
+  test("gumbelToAllocation: per-stratum quotas filled exactly, prefix of the top-k order, loud valve") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i =>
+      (i, if (i < 200) "big" else if (i < 280) "mid" else "tiny", 1L + i % 9))
+      .toDF("id", "src", "w")
+    val alloc = Seq(("big", 40L), ("mid", 15L), ("tiny", 200L), ("ghost", 5L))
+      .toDF("src", "alloc")
+    val out = Chunking.sampleGumbelToAllocation(rows, "src", "id", "w",
+      alloc, "alloc", maxAlloc = 1000L).collect()
+    val bySrc = out.groupBy(_.getString(0)).view.mapValues(_.toSeq).toMap
+    // each stratum fills exactly min(alloc, population); a stratum in
+    // the allocation but absent from the corpus draws nothing
+    assert(bySrc("big").size == 40 && bySrc("mid").size == 15)
+    assert(bySrc("tiny").size == 20, "an over-allocated stratum yields its population")
+    assert(!bySrc.contains("ghost"))
+    // the draw is the PREFIX of the fixed-k draw's order — the two
+    // operators share one key, so quotas compose consistently
+    val top40 = Chunking.sampleGumbelTopK(
+        rows.filter(col("src") === "big"), "src", "id", "w", k = 40)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    assert(bySrc("big").map(r => (r.getLong(1), r.getInt(3))).toSet == top40,
+      "allocation draw ≡ top-k draw at the same quota")
+    // a NULL allocation (the Neyman all-constant case) draws nothing
+    val nullAlloc = Seq(("big", Some(10L)), ("mid", None))
+      .toDF("src", "alloc")
+    val out2 = Chunking.sampleGumbelToAllocation(rows, "src", "id", "w",
+      nullAlloc, "alloc", maxAlloc = 1000L)
+      .select("src").distinct().collect().map(_.getString(0)).toSet
+    assert(out2 == Set("big"), "NULL-alloc strata absent by contract")
+    // an allocation above the declared valve refuses loud
+    val e = intercept[Exception] {
+      Chunking.sampleGumbelToAllocation(rows, "src", "id", "w",
+        Seq(("big", 50L)).toDF("src", "alloc"), "alloc", maxAlloc = 40L)
+        .collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("exceeds maxAlloc")
+      || e.getCause != null,
+      s"over-valve allocation must refuse: ${e.getMessage}")
+  }
+
   test("shard assign: partition of the corpus, dense 1-based positions, append-stable membership") {
     import spark.implicits._
     val ids = (0L until 500L)
