@@ -71,9 +71,37 @@ object PageRank {
         col("pr_pico").as("__pmass"))),
       iters, topN, checkpointEvery)
 
+  /** Personalized PageRank (random-walk-with-restart) — seed-set
+    * corpus expansion, the "find more documents like these" selection
+    * signal: the teleport mass lands ONLY on the seed set (init =
+    * 1e12 div |S| per seed, per-step base = (1e12·3) div (20·|S|) per
+    * seed, 0 everywhere else), so the stationary mass measures
+    * random-walk proximity to the seeds through the kNN graph. The
+    * integer map is otherwise IDENTICAL to `pageRank` — with S = all
+    * nodes the two operators coincide exactly (executed law), and a
+    * component with no seed holds mass EXACTLY 0 forever (mass enters
+    * only via seeds and moves only along edges — the locality law
+    * PageRankSpec executes on a two-component graph).
+    *
+    * Seeds must be nodes of the graph — an absent seed fails LOUD
+    * (silently dropping it would re-normalize the walk toward the
+    * surviving seeds, a different query than the caller asked).
+    * Output: (`srcCol`, ppr_pico, rank), rank 1 = closest to the
+    * seed set; the seeds themselves usually lead — drop them for the
+    * expansion read.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, iters: Int = 10,
+                           topN: Int = Int.MaxValue,
+                           checkpointEvery: Int = 2): DataFrame =
+    pageRankFrom(edges, srcCol, dstCol, None, iters, topN, checkpointEvery,
+      Some(seeds.select(col(srcCol).as("__sv")).distinct()))
+      .withColumnRenamed("pr_pico", "ppr_pico")
+
   private def pageRankFrom(edges: DataFrame, srcCol: String, dstCol: String,
                            prev: Option[DataFrame], iters: Int, topN: Int,
-                           checkpointEvery: Int): DataFrame = {
+                           checkpointEvery: Int,
+                           seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && iters <= 100, "pageRank: iters must be in [1, 100]")
     require(topN > 0, "pageRank: topN must be positive")
     require(checkpointEvery >= 1, "pageRank: checkpointEvery must be >= 1")
@@ -84,13 +112,43 @@ object PageRank {
       .union(e.select(col("__dst").as("__v"))).distinct().persist()
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
-    val base = (MassUnit * 3L) / (20L * n)
     val deg = e.groupBy("__src").agg(count(lit(1)).as("__od")).persist()
-    val init = prev match {
-      case None => nodes.select(col("__v"), lit(MassUnit / n).as("__mass"))
-      case Some(p) => nodes.join(p, nodes("__v") === p("__pv"), "left")
-        .select(col("__v"),
-          coalesce(col("__pmass"), lit(MassUnit / n)).as("__mass"))
+    // nodesB carries each node's per-step teleport mass: uniform for
+    // classic PageRank, seed-only for the personalized walk.
+    val nodesB = seeds match {
+      case None =>
+        nodes.select(col("__v"), lit((MassUnit * 3L) / (20L * n)).as("__base"))
+          .persist()
+      case Some(s) =>
+        val sd = s.persist()
+        val nSeeds = sd.count()
+        require(nSeeds > 0, "personalizedPageRank: empty seed set")
+        val missing = sd.join(nodes, sd("__sv") === nodes("__v"), "left_anti")
+          .count()
+        require(missing == 0,
+          s"personalizedPageRank: $missing seeds are not graph nodes — " +
+            "silently dropping them would re-normalize the walk toward " +
+            "the survivors; intersect the seed set with the graph first")
+        val flagged = nodes.join(sd, nodes("__v") === sd("__sv"), "left")
+          .select(col("__v"),
+            when(col("__sv").isNotNull,
+              lit((MassUnit * 3L) / (20L * nSeeds))).otherwise(lit(0L))
+              .as("__base"),
+            when(col("__sv").isNotNull, lit(MassUnit / nSeeds))
+              .otherwise(lit(0L)).as("__seedinit"))
+          .persist()
+        sd.unpersist()
+        flagged
+    }
+    val init = (seeds, prev) match {
+      case (Some(_), _) =>
+        nodesB.select(col("__v"), col("__seedinit").as("__mass"))
+      case (None, None) =>
+        nodes.select(col("__v"), lit(MassUnit / n).as("__mass"))
+      case (None, Some(p)) =>
+        nodes.join(p, nodes("__v") === p("__pv"), "left")
+          .select(col("__v"),
+            coalesce(col("__pmass"), lit(MassUnit / n)).as("__mass"))
     }
     var pr = init.localCheckpoint(eager = true)
     for (i <- 1 to iters) {
@@ -100,10 +158,10 @@ object PageRank {
         .select(col("__dst"),
           expr("(__mass * 17L) div (20L * __od)").as("__c"))
         .groupBy("__dst").agg(sum(col("__c")).as("__in"))
-      pr = nodes
-        .join(contrib, nodes("__v") === contrib("__dst"), "left")
-        .select(col("__v"),
-          (lit(base) + coalesce(col("__in"), lit(0L))).as("__mass"))
+      pr = nodesB
+        .join(contrib, nodesB("__v") === contrib("__dst"), "left")
+        .select(nodesB("__v"),
+          (col("__base") + coalesce(col("__in"), lit(0L))).as("__mass"))
       // checkpoint every K rounds, not every round: each eager
       // localCheckpoint is a blocking job submission (~the iteration
       // floor at small N), while the lineage between checkpoints is
@@ -114,7 +172,7 @@ object PageRank {
       if (i % checkpointEvery == 0 || i == iters)
         pr = pr.localCheckpoint(eager = true)
     }
-    e.unpersist(); deg.unpersist(); nodes.unpersist()
+    e.unpersist(); deg.unpersist(); nodes.unpersist(); nodesB.unpersist()
     val cut = pr.select(col("__v").as(srcCol), col("__mass").as("pr_pico"))
       .orderBy(col("pr_pico").desc, col(srcCol).asc)
     (if (topN == Int.MaxValue) cut else cut.limit(topN))

@@ -94,6 +94,40 @@ object PipelineQueries {
     s"""$KnnEdgesCte,
       |${pageRankStepCtes(10)}""".stripMargin
 
+  /** Personalized-PageRank oracle steps: same integer map as
+    * `pageRankStepCtes`, but the teleport term lands only on the
+    * MATERIALIZED seed CTE (src % 50 = 0 over the kNN edges — derived
+    * from the edge list on both engines so the seed set is a graph
+    * subset by construction) and pr0 starts seed-uniform.
+    */
+  private def pprStepCtes(iters: Int): String = {
+    val step = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT nd.v,
+         |    CASE WHEN sd.v IS NOT NULL THEN
+         |      (1000000000000 * 3) // (20 * (SELECT count(*) FROM seeds))
+         |    ELSE 0 END + coalesce(s.inm, 0) AS mass
+         |  FROM nodes nd
+         |  LEFT JOIN seeds sd ON nd.v = sd.v
+         |  LEFT JOIN (
+         |    SELECT e.dst AS v,
+         |      CAST(sum((p.mass * 17) // (20 * d.od)) AS BIGINT) AS inm
+         |    FROM e JOIN pr${i - 1} p ON e.src = p.v
+         |    JOIN deg d ON e.src = d.src
+         |    GROUP BY 1) s ON nd.v = s.v)""".stripMargin
+    }.mkString(",\n")
+    s"""nodes AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+      |seeds AS MATERIALIZED (SELECT DISTINCT src AS v FROM e WHERE src % 50 = 0),
+      |deg AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY 1),
+      |pr0 AS (
+      |  SELECT nd.v,
+      |    CASE WHEN sd.v IS NOT NULL THEN
+      |      1000000000000 // (SELECT count(*) FROM seeds)
+      |    ELSE 0 END AS mass
+      |  FROM nodes nd LEFT JOIN seeds sd ON nd.v = sd.v),
+      |$step""".stripMargin
+  }
+
   /** k-core peeling oracle: canonical undirected edges, then `rounds`
     * unconditionally unrolled drop-under-k rounds (the Spark side's
     * convergence stop is a no-op past the fixpoint — the bfsHops
@@ -1523,6 +1557,20 @@ object PipelineQueries {
         Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
           "embedding", k = 3).select(col("src"), col("dst")),
         "src", "dst", iters = 10, topN = 50)),
+
+    // -- graph: PERSONALIZED PageRank — seed-set corpus expansion
+    //    ("find more documents like these seeds"): teleport mass lands
+    //    only on the seed vectors (every 50th vec id), so stationary
+    //    mass = random-walk proximity to the seeds through the kNN
+    //    graph. Same exact integer map; 8 unrolled oracle steps -------
+    "q_ppr_expand" -> ((s, dir) => {
+      val edges = Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 3).select(col("src"), col("dst"))
+      val seeds = edges.select(col("src")).distinct()
+        .filter(pmod(col("src"), lit(50L)) === 0L)
+      graft.analytics.PageRank.personalizedPageRank(edges, "src", "dst",
+        seeds, iters = 8, topN = 100)
+    }),
 
     // -- graph: warm-start PageRank — the daily-refresh composition:
     //    5 cold iterations stand in for "yesterday's stored ranks",
@@ -3711,6 +3759,16 @@ object PipelineQueries {
         |    row_number() OVER (ORDER BY mass DESC, v) AS rnk
         |  FROM pr10)
         |WHERE rnk <= 50""".stripMargin,
+
+    // seed-teleport steps unrolled: same integer map, CASE-gated base
+    "q_ppr_expand" ->
+      s"""$KnnEdgesCte,
+        |${pprStepCtes(8)}
+        |SELECT src, ppr_pico, CAST(rnk AS INTEGER) AS "rank" FROM (
+        |  SELECT v AS src, mass AS ppr_pico,
+        |    row_number() OVER (ORDER BY mass DESC, v) AS rnk
+        |  FROM pr8)
+        |WHERE rnk <= 100""".stripMargin,
 
     // warm(cold(5), 3) on an unchanged graph IS cold(8) under the
     // exact integer map — the oracle replays the 8-step composition

@@ -81,6 +81,44 @@ class PageRankSpec extends SparkSpec {
       "topN must be the prefix of the full ranking, not a re-converged fixpoint")
   }
 
+  test("personalized: seed-free components hold exactly zero; all-seeds degenerates to pageRank; guards loud") {
+    import spark.implicits._
+    // two disconnected 4-cycles; seeds only in component A (0..3):
+    // mass enters via seeds and moves along edges, so component B is
+    // EXACTLY zero at every node — the locality law that makes PPR a
+    // seed-expansion signal rather than a popularity one
+    val cyc = (g: Long) => (0 until 4).map(i =>
+      (g * 10 + i, g * 10 + (i + 1) % 4))
+    val edges = (cyc(0L) ++ cyc(1L)).toDF("src", "dst")
+    val seeds = Seq(0L, 2L).toDF("src")
+    val ppr = PageRank.personalizedPageRank(edges, "src", "dst", seeds,
+      iters = 10).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 13L).forall(ppr(_) == 0L),
+      s"the seed-free component must hold exactly zero mass: $ppr")
+    assert(ppr(0L) > 0L && ppr(1L) > 0L, "the walk reaches non-seeds in A")
+    assert(ppr.values.sum <= PageRank.MassUnit, "mass never exceeds the unit")
+    // with S = all nodes the teleport term and init equal pageRank's —
+    // the two operators must coincide bit-for-bit
+    val all = edges.select("src").union(edges.select("dst")).distinct()
+    val asPpr = PageRank.personalizedPageRank(edges, "src", "dst", all,
+        iters = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    val asPr = PageRank.pageRank(edges, "src", "dst", iters = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(asPpr.sameElements(asPr), "S = all nodes ⟹ PPR ≡ PageRank exactly")
+    // guards: an out-of-graph seed and an empty seed set refuse loud
+    val e1 = intercept[IllegalArgumentException] {
+      PageRank.personalizedPageRank(edges, "src", "dst",
+        Seq(999L).toDF("src"), iters = 2).collect()
+    }
+    assert(e1.getMessage.contains("not graph nodes"))
+    val e2 = intercept[IllegalArgumentException] {
+      PageRank.personalizedPageRank(edges, "src", "dst",
+        spark.emptyDataset[Long].toDF("src"), iters = 2).collect()
+    }
+    assert(e2.getMessage.contains("empty seed set"))
+  }
+
   test("warm start: composition law on an unchanged graph — warm(cold(5), 3) = cold(8) bit-for-bit") {
     import spark.implicits._
     val edges = (0 until 40).flatMap { i =>
