@@ -263,6 +263,18 @@ class PlanShapeSpec extends SparkSpec {
       s"fixed-k sampling must cap per-key state before the shuffle:\n${p.take(1500)}")
   }
 
+  test("q_label_budget_draw: the LITERAL maxAlloc bound keeps the rank-limit pushdown firing") {
+    // the scaladoc's central claim: filtering the rank against the
+    // literal valve BEFORE the allocation join is what lets Spark cap
+    // per-stratum window state pre-shuffle — a join-supplied bound
+    // can't be pushed into the window
+    val p = plan("q_label_budget_draw")
+    assert(p.contains("WindowGroupLimit"),
+      s"the literal-bound rank filter must push down:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "allocation rides a broadcast equi-join, never a pairwise surface")
+  }
+
   test("q_sample_gumbel caps per-stratum state pre-shuffle and stays cartesian-free") {
     // the weighted draw's scaladoc claims the same rank-limit pushdown
     // as the uniform sampler: the Gumbel key is row-local, so only the
