@@ -1211,6 +1211,50 @@ object PipelineQueries {
           col("quarantine_reason").as("detail")))
     }),
 
+    // -- multimodal capstone v2: the media-ingest pipeline on REAL
+    //    images with the PIXEL kernel. Synthesized PNGs; every 5th doc
+    //    ships a JPEG re-encoded twin (id + 1e6) — the dup the byte
+    //    pipeline can't see; every 11th doc's payload is truncated to
+    //    60 bytes (the cut upload), which the JDK codec refuses —
+    //    QUARANTINE-BY-DECODE, the gate a real container format gets
+    //    (the header-arithmetic audit is the stub format's). Pixel
+    //    near-dups at hamming ≤3 → connected components → keep-lowest.
+    //    One status row per input: quarantined(undecodable) /
+    //    dup(of cluster min) / kept. Rows-only BY CONTRACT (codec
+    //    raster); stage laws in MultimodalSpec. ----------------------
+    "q_media_pipeline_pixel" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .repartition(32)
+        .mapPartitions(_.flatMap { id =>
+          val png = Multimodal.synthImage(id)
+          val self =
+            if (id % 11 == 0) (id, java.util.Arrays.copyOf(png, 60))
+            else (id, png)
+          if (id % 5 == 0 && id % 11 != 0)
+            Iterator(self, (id + 1000000L, Multimodal.reencodeJpeg(png)))
+          else Iterator(self)
+        }).toDF("doc_id", "media")
+      val hashed = Multimodal.dHashPixel(media, "doc_id", "media")
+        .select(col("id").as("doc_id"), col("dhash64").as("dh"),
+          col("decoded"))
+      val clean = hashed.filter(col("decoded"))
+      val cc = Dedup.connectedComponents(
+        Multimodal.hashNearDups(clean, "doc_id", "dh", maxHamming = 3),
+        "id_a", "id_b")
+      clean.select("doc_id")
+        .join(cc.select(col("id").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("cluster_id").isNull || col("cluster_id") === col("doc_id"),
+            lit("kept")).otherwise(lit("dup")).as("status"),
+          when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+            col("cluster_id").cast("string")).otherwise(lit("-")).as("detail"))
+        .unionByName(hashed.filter(!col("decoded")).select(col("doc_id"),
+          lit("quarantined").as("status"),
+          lit("undecodable").as("detail")))
+    }),
+
     // -- layout: Z-order (Morton) code over two filter dimensions —
     //    the data-skipping clustering key. Pure codegen'd bit
     //    arithmetic; the oracle replays it with a shift-and-sum

@@ -48,7 +48,8 @@ class ContractSpec extends SparkSpec {
     "q_procrustes_align" -> "float treeAggregate order + iterative Jacobi are not SQL-expressible; planted-rotation recovery / orthogonality / geometry-preservation gated in ProcrustesSpec",
     "q_record_linkage" -> "the Jaro-Winkler match-window kernel is imperative, not SQL-expressible (DuckDB's builtin is a different variant); canonical Winkler vectors exact + kernel ≡ column + blocking/threshold laws gated in LinkageSpec",
     "q_isotonic" -> "PAV's pooling stack pops arbitrarily far back (audited r12: unlike Kaplan-Meier's per-row linear recurrence it has no bounded-lookback recursive-CTE form); hand-pooling / monotone / identity / conservation / ECE-improves laws gated in DataContractSpec",
-    "q_media_dhash_pixel" -> "the JDK imageio codec's decoded raster is not SQL-visible; re-encode-collision / distinct-separation / byte-fallback-equality / exact-planted-twins laws gated in MultimodalSpec")
+    "q_media_dhash_pixel" -> "the JDK imageio codec's decoded raster is not SQL-visible; re-encode-collision / distinct-separation / byte-fallback-equality / exact-planted-twins laws gated in MultimodalSpec",
+    "q_media_pipeline_pixel" -> "composition of the pixel kernel (codec raster not SQL-visible) with the oracle-checked CC/keep stages; per-stage laws incl. truncated-payload quarantine-by-decode gated in MultimodalSpec")
 
   test("every query has an oracle or a documented rows-only reason") {
     val qs = SparkEntry.queries.keySet

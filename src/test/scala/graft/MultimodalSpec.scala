@@ -256,6 +256,15 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).decoded, "a real image decodes")
     assert(out(3L).dhash64.isEmpty && !out(3L).decoded, "empty payload -> None")
     assert(out(4L).dhash64.isEmpty && !out(4L).decoded, "null payload -> None")
+    // quarantine-by-decode: a TRUNCATED real container (cut upload)
+    // must refuse to decode, never yield a fingerprint that could pair
+    // — the gate the pixel pipeline uses instead of the stub format's
+    // header arithmetic
+    val cut = java.util.Arrays.copyOf(Multimodal.synthImage(5L), 60)
+    val out2 = Multimodal.dHashPixel(
+        Seq((7L, cut)).toDF("doc_id", "media"), "doc_id", "media")
+      .collect().head
+    assert(!out2.decoded, "a truncated PNG must not count as decoded")
   }
 
   test("hashNearDups over pixel hashes surfaces exactly the planted re-encoded twins") {
