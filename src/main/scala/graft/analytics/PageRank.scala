@@ -121,14 +121,22 @@ object PageRank {
           .persist()
       case Some(s) =>
         val sd = s.persist()
-        val nSeeds = sd.count()
-        require(nSeeds > 0, "personalizedPageRank: empty seed set")
-        val missing = sd.join(nodes, sd("__sv") === nodes("__v"), "left_anti")
-          .count()
-        require(missing == 0,
-          s"personalizedPageRank: $missing seeds are not graph nodes — " +
-            "silently dropping them would re-normalize the walk toward " +
-            "the survivors; intersect the seed set with the graph first")
+        // validation failures must not leak the caches persisted above
+        val nSeeds = try {
+          val n0 = sd.count()
+          require(n0 > 0, "personalizedPageRank: empty seed set")
+          val missing = sd.join(nodes, sd("__sv") === nodes("__v"), "left_anti")
+            .count()
+          require(missing == 0,
+            s"personalizedPageRank: $missing seeds are not graph nodes — " +
+              "silently dropping them would re-normalize the walk toward " +
+              "the survivors; intersect the seed set with the graph first")
+          n0
+        } catch {
+          case t: Throwable =>
+            sd.unpersist(); e.unpersist(); nodes.unpersist(); deg.unpersist()
+            throw t
+        }
         val flagged = nodes.join(sd, nodes("__v") === sd("__sv"), "left")
           .select(col("__v"),
             when(col("__sv").isNotNull,

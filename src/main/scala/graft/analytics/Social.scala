@@ -74,16 +74,25 @@ object Social {
     */
   def roleSimilarity(df: DataFrame, resourceCol: String,
                      activityCol: String, threshMicro: Long): DataFrame = {
+    // persist the collapsed profile: the guard's count() is an action,
+    // and prof feeds FOUR consumers (res, dots' two sides, both norm
+    // aggregates) — cached, the corpus is scanned once and the guard
+    // is nearly free; the cache is |resources|×|activities|, bounded
+    // by the very contract being enforced
     val prof = df.groupBy(col(resourceCol).as("__r"),
         col(activityCol).as("__a"))
       .agg(count(lit(1)).as("__c"))
+      .persist()
     val res = prof.select(col("__r")).distinct()
     val nRes = res.count()
-    require(nRes <= MaxRoleResources,
-      s"roleSimilarity: $nRes distinct resources exceed the dense " +
-        s"all-pairs role-matrix contract ($MaxRoleResources) — " +
-        "cluster on the sparse activity-sharing dot join instead " +
-        "(absent pair = cosine 0 by contract)")
+    if (nRes > MaxRoleResources) {
+      prof.unpersist()
+      require(false,
+        s"roleSimilarity: $nRes distinct resources exceed the dense " +
+          s"all-pairs role-matrix contract ($MaxRoleResources) — " +
+          "cluster on the sparse activity-sharing dot join instead " +
+          "(absent pair = cosine 0 by contract)")
+    }
     val dots = prof.select(col("__r").as("res_a"), col("__a"),
         col("__c").as("__ca"))
       .join(prof.select(col("__r").as("res_b"), col("__a"),

@@ -184,13 +184,17 @@ object MediaFunctions {
     * normalized re-master, audio's re-encode analogue) preserves the
     * fingerprint BIT-FOR-BIT — executed law; a localized click
     * touches one cell → ≤ 2 flipped bits, the dHash argument. NULL
-    * on an empty clip. Overflow-safe: |sample| ≤ 32768 and cells hold
-    * ≤ n/72+1 frames, so s·l ≤ 32768·(n/72+1)² stays in Int64 for
-    * any clip under ~10¹⁴ frames.
+    * on an empty clip. Overflow-bounded: |sample| ≤ 32768 and cells
+    * hold ≤ n/72+1 frames, so s·l ≤ 32768·(n/72+1)², inside Int64 for
+    * n ≲ 1.2·10⁹ full-scale samples (≈ 42 hours at 8 kHz) — guarded
+    * LOUD because Array[Int] can physically exceed it.
     */
   def ahash64Samples(samples: Array[Int]): java.lang.Long = {
     val n = samples.length
     if (n <= 0) return null
+    require(n <= 1200000000,
+      s"ahash64Samples: $n samples exceed the Int64 cross-multiply " +
+        "headroom (1.2e9) — fingerprint bounded clip segments instead")
     val s = new Array[Long](72)
     val l = new Array[Long](72)
     var i = 0

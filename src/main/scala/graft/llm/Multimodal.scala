@@ -227,7 +227,7 @@ object Multimodal {
   def dHashPixel(df: DataFrame, idCol: String, mediaCol: String,
                  headerBytes: Int = 0): Dataset[PixelHash] =
     fingerprintPartitions(df, idCol, mediaCol, headerBytes, "dHashPixel")(
-      graft.functions.MediaFunctions.dhash64Pixels)
+      imageDecode(graft.functions.MediaFunctions.dhash64Pixels))
 
   /** DCT pHash over decoded pixels — the documented "production
     * kernel swap" for DISTORTION-HEAVY corpora: low-frequency DCT
@@ -240,11 +240,37 @@ object Multimodal {
   def pHashPixel(df: DataFrame, idCol: String, mediaCol: String,
                  headerBytes: Int = 0): Dataset[PixelHash] =
     fingerprintPartitions(df, idCol, mediaCol, headerBytes, "pHashPixel")(
-      graft.functions.MediaFunctions.phash64Pixels)
+      imageDecode(graft.functions.MediaFunctions.phash64Pixels))
 
+  /** Decode-to-hash closure for the image kernels: ImageIO parse +
+    * the given pixel kernel, None when the codec can't decode. The
+    * catch is NonFatal, not just IOException — JDK ImageIO plugin
+    * readers are known to throw unchecked exceptions
+    * (ArrayIndexOutOfBounds / NegativeArraySize / IllegalArgument) on
+    * structurally corrupt GIF/JPEG/BMP payloads, and ONE such record
+    * in a real corpus must quarantine, never kill the job.
+    */
+  private def imageDecode(kernel: java.awt.image.BufferedImage => Long)
+  : Array[Byte] => Option[Long] = payload =>
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img != null && img.getWidth > 0 && img.getHeight > 0)
+        Some(kernel(img))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Shared two-tier fingerprint skeleton: `decode` returns the
+    * modality kernel's hash when the payload decodes (⇒ decoded =
+    * true), None otherwise — and the byte-domain kernel fingerprints
+    * the raw payload as the LOUD fallback tier. Every modality
+    * operator (pixel dHash, DCT pHash, audio) is this skeleton with a
+    * different closure, so the null/header/fallback contract lives in
+    * exactly one place.
+    */
   private def fingerprintPartitions(df: DataFrame, idCol: String,
       mediaCol: String, headerBytes: Int, op: String)
-      (kernel: java.awt.image.BufferedImage => Long): Dataset[PixelHash] = {
+      (decode: Array[Byte] => Option[Long]): Dataset[PixelHash] = {
     require(headerBytes >= 0, s"$op: headerBytes >= 0, got $headerBytes")
     val idIdx = df.schema.fieldIndex(idCol)
     val mIdx = df.schema.fieldIndex(mediaCol)
@@ -258,16 +284,13 @@ object Multimodal {
           val payload =
             if (headerBytes == 0) bytes
             else java.util.Arrays.copyOfRange(bytes, headerBytes, bytes.length)
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-            catch { case _: java.io.IOException => null }
-          if (img != null && img.getWidth > 0 && img.getHeight > 0)
-            PixelHash(id, Some(kernel(img)), decoded = true)
-          else
-            PixelHash(id,
+          decode(payload) match {
+            case Some(h) => PixelHash(id, Some(h), decoded = true)
+            case None => PixelHash(id,
               Option(graft.functions.MediaFunctions.dhash64Bytes(payload, 0))
                 .map(Long.unbox),
               decoded = false)
+          }
         }
       }
     }(Encoders.product[PixelHash])
@@ -323,35 +346,11 @@ object Multimodal {
     * the 8-byte fingerprint enters any shuffle.
     */
   def audioHash(df: DataFrame, idCol: String, mediaCol: String,
-                headerBytes: Int = 0): Dataset[PixelHash] = {
-    require(headerBytes >= 0, s"audioHash: headerBytes >= 0, got $headerBytes")
-    val idIdx = df.schema.fieldIndex(idCol)
-    val mIdx = df.schema.fieldIndex(mediaCol)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(idIdx)
-        val bytes = if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx)
-        if (bytes == null || bytes.length <= headerBytes)
-          PixelHash(id, None, decoded = false)
-        else {
-          val payload =
-            if (headerBytes == 0) bytes
-            else java.util.Arrays.copyOfRange(bytes, headerBytes, bytes.length)
-          val samples = decodePcm16(payload)
-          if (samples != null)
-            PixelHash(id,
-              Option(graft.functions.MediaFunctions.ahash64Samples(samples))
-                .map(Long.unbox),
-              decoded = true)
-          else
-            PixelHash(id,
-              Option(graft.functions.MediaFunctions.dhash64Bytes(payload, 0))
-                .map(Long.unbox),
-              decoded = false)
-        }
-      }
-    }(Encoders.product[PixelHash])
-  }
+                headerBytes: Int = 0): Dataset[PixelHash] =
+    fingerprintPartitions(df, idCol, mediaCol, headerBytes, "audioHash")(
+      payload => Option(decodePcm16(payload))
+        .flatMap(s => Option(graft.functions.MediaFunctions.ahash64Samples(s))
+          .map(Long.unbox)))
 
   /** JDK-codec PCM decode: 16-bit signed PCM only (the WAV/AIFF
     * reality `javax.sound.sampled` parses without extra providers);
@@ -392,8 +391,11 @@ object Multimodal {
         samples
       }
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => null
-      case _: java.io.IOException => null
+      // NonFatal, not just the two checked exceptions: audio plugin
+      // readers can throw unchecked on structurally corrupt payloads
+      // (the imageDecode rationale) — corrupt records quarantine,
+      // never kill the job
+      case scala.util.control.NonFatal(_) => null
     }
 
   /** Deterministic synthetic PCM for the audio fixtures: one second
@@ -410,8 +412,10 @@ object Multimodal {
     val h = id * 0x9E3779B97F4A7C15L
     val freqs = Array.tabulate(3)(k =>
       200 + Math.floorMod(h >>> (16 * k), 1800L).toInt)
+    // shifts stay strictly under 64: the JVM masks long shifts mod 64,
+    // so a shift of 64 would alias onto the LOW bits freqs(0) samples
     val mods = Array.tabulate(3)(k =>
-      1 + Math.floorMod(h >>> (12 * k + 40), 7L).toInt)
+      1 + Math.floorMod(h >>> (8 * k + 40), 7L).toInt)
     Array.tabulate(n) { i =>
       var s = 0
       var k = 0

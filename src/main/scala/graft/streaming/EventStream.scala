@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
@@ -208,10 +208,31 @@ object EventStream {
       "ksDriftStream: reference histogram must be non-empty with positive counts")
     require(alertMicro >= 0L && alertMicro <= 1000000L,
       s"ksDriftStream: alertMicro in [0, 1e6], got $alertMicro")
-    import scores.sparkSession.implicits._
     val refMap = reference.groupBy(_._1).map { case (v, g) =>
       v -> g.map(_._2).sum }
     val nRef = refMap.values.sum
+    ksWindowedStream(scores, refMap, nRef, windowMinutes, watermarkDelay,
+      v => math.floor(v * 1000).toLong) { (ws, _, nb, ksMicro, atV) =>
+      KsReport(new Timestamp(ws), nb, nRef, ksMicro, atV,
+        ksMicro >= alertMicro)
+    }(Encoders.product[KsReport])
+  }
+
+  /** Shared KS-window state machine: per tumbling event-time window a
+    * quantized value histogram accumulates in state; at watermark
+    * close the exact cross-multiplied KS against `refMap` computes
+    * once and `report` shapes the exactly-once emission. Both drift
+    * monitors (`ksDriftStream`, `isotonicServeDriftStream`) ARE this
+    * machine with a different quantizer and report row — the walk,
+    * the BigInt headroom, the tie-break, and the timeout contract
+    * live here exactly once.
+    */
+  private def ksWindowedStream[R](scores: Dataset[ScoreEvent],
+      refMap: Map[Long, Long], nRef: Long, windowMinutes: Int,
+      watermarkDelay: String, quantize: Double => Long)
+      (report: (Long, Map[Long, Long], Long, Long, Long) => R)
+      (enc: org.apache.spark.sql.Encoder[R]): Dataset[R] = {
+    import scores.sparkSession.implicits._
     val wMs = windowMinutes * 60000L
     scores
       .withWatermark("ts", watermarkDelay)
@@ -235,19 +256,18 @@ object EventStream {
             }
             val ksMicro =
               ((bestGap * 1000000) / (BigInt(nRef) * nb)).toLong
-            Iterator.single(KsReport(new Timestamp(winStart), nb, nRef,
-              ksMicro, atV, ksMicro >= alertMicro))
+            Iterator.single(report(winStart, counts, nb, ksMicro, atV))
           } else {
             val acc = it.foldLeft(
               state.getOption.fold(Map.empty[Long, Long])(_.counts)) { (m, d) =>
-              val v = math.floor(d.value * 1000).toLong
+              val v = quantize(d.value)
               m.updated(v, m.getOrElse(v, 0L) + 1L)
             }
             state.update(KsState(acc))
             state.setTimeoutTimestamp(winStart + wMs)
             Iterator.empty
           }
-        })
+        })(implicitly, enc)
   }
 
   final case class IsoDriftReport(windowStart: Timestamp, nWindow: Long,
@@ -290,46 +310,17 @@ object EventStream {
         " positive counts")
     require(alertMicro >= 0L && alertMicro <= 1000000L,
       s"isotonicServeDriftStream: alertMicro in [0, 1e6], got $alertMicro")
-    import scores.sparkSession.implicits._
     val refMap = fit.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
     val nRef = refMap.values.sum
-    val wMs = windowMinutes * 60000L
-    scores
-      .withWatermark("ts", watermarkDelay)
-      .groupByKey(d => math.floorDiv(d.ts.getTime, wMs) * wMs)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (winStart: Long, it: Iterator[ScoreEvent], state: GroupState[KsState]) => {
-          if (state.hasTimedOut) {
-            val counts = state.get.counts
-            state.remove()
-            val nb = counts.values.sum
-            val nUnseen = counts.collect {
-              case (s, n) if !refMap.contains(s) => n }.sum
-            val all = (counts.keySet ++ refMap.keySet).toSeq.sorted
-            var cumA = 0L
-            var cumB = 0L
-            var bestGap = BigInt(-1)
-            var atS = 0L
-            all.foreach { s =>
-              cumA += refMap.getOrElse(s, 0L)
-              cumB += counts.getOrElse(s, 0L)
-              val gap = (BigInt(cumA) * nb - BigInt(cumB) * nRef).abs
-              if (gap > bestGap) { bestGap = gap; atS = s }
-            }
-            val ksMicro = ((bestGap * 1000000) / (BigInt(nRef) * nb)).toLong
-            Iterator.single(IsoDriftReport(new Timestamp(winStart), nb,
-              nUnseen, ksMicro, atS, ksMicro >= alertMicro))
-          } else {
-            val acc = it.foldLeft(
-              state.getOption.fold(Map.empty[Long, Long])(_.counts)) { (m, d) =>
-              val s = d.value.toLong // the isotonicApply serve cast
-              m.updated(s, m.getOrElse(s, 0L) + 1L)
-            }
-            state.update(KsState(acc))
-            state.setTimeoutTimestamp(winStart + wMs)
-            Iterator.empty
-          }
-        })
+    // quantizer = the isotonicApply serve cast, so the monitored
+    // distribution is bit-identical to the one being calibrated
+    ksWindowedStream(scores, refMap, nRef, windowMinutes, watermarkDelay,
+      v => v.toLong) { (ws, counts, nb, ksMicro, atS) =>
+      val nUnseen = counts.collect {
+        case (s, n) if !refMap.contains(s) => n }.sum
+      IsoDriftReport(new Timestamp(ws), nb, nUnseen, ksMicro, atS,
+        ksMicro >= alertMicro)
+    }(Encoders.product[IsoDriftReport])
   }
 
   final case class WeightedDoc(stratum: String, id: Long, weight: Long)

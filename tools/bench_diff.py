@@ -117,13 +117,19 @@ def main(argv):
     if len(args) > 1:
         baselines.append((load(args[1]), args[1]))
     else:
+        # baselines live in the REPO ROOT, not wherever NEW.json sits or
+        # the tool is invoked from
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         out = subprocess.run(
-            ["git", "show", "HEAD:bench_out.json"],
+            ["git", "show", "HEAD:bench_out.json"], cwd=repo_root,
             capture_output=True, text=True, check=True)
         baselines.append((json.loads(out.stdout), "HEAD:bench_out.json"))
-        drv = latest_driver_bench(os.path.dirname(args[0]) or ".")
+        drv = latest_driver_bench(repo_root)
         if drv:
             baselines.append((load(drv), drv))
+        else:
+            print(f"NOTE: no BENCH_r*.json found in {repo_root} — "
+                  "driver-baseline gate skipped")
     any_slow = False
     for i, (old, old_name) in enumerate(baselines):
         if i:
