@@ -296,6 +296,35 @@ object Multimodal {
     }(Encoders.product[PixelHash])
   }
 
+  /** Column-APPENDING pixel fingerprint: adds `outCol` (nullable
+    * long) and `outCol_decoded` (boolean) while keeping every input
+    * column — the shape a STREAMING consumer needs (the Dataset-typed
+    * `dHashPixel` projects the row down to PixelHash, losing the
+    * event-time column a watermark rides on). A Scala UDF is the
+    * right tool here, not a Catalyst expression: the work is
+    * codec-bound (ImageIO decode), so codegen has nothing to win.
+    * Same two-tier contract as `dHashPixel`: decoded pixel hash, or
+    * the byte-kernel fallback with decoded = false, NULL on empty.
+    */
+  def withPixelHash(df: DataFrame, mediaCol: String, outCol: String): DataFrame = {
+    for (c <- Seq(outCol, s"${outCol}_decoded", "__ph")
+        if df.columns.contains(c))
+      require(false, s"withPixelHash: '$c' already exists — rename it")
+    val dec = imageDecode(graft.functions.MediaFunctions.dhash64Pixels)
+    val f = udf((bytes: Array[Byte]) =>
+      if (bytes == null || bytes.isEmpty) (None: Option[Long], false)
+      else dec(bytes) match {
+        case Some(h) => (Some(h), true)
+        case None =>
+          (Option(graft.functions.MediaFunctions.dhash64Bytes(bytes, 0))
+            .map(Long.unbox), false)
+      })
+    df.withColumn("__ph", f(col(mediaCol)))
+      .withColumn(outCol, col("__ph._1"))
+      .withColumn(s"${outCol}_decoded", col("__ph._2"))
+      .drop("__ph")
+  }
+
   /** Hamming near-dup pairs over a PRECOMPUTED 64-bit fingerprint
     * column — `mediaNearDups`' banding machinery factored out so the
     * pixel-domain hash (`dHashPixel`) rides the same chunks:

@@ -924,6 +924,58 @@ object EventStream {
       .select(col(idCol), col(tsCol), col("dup_of"))
   }
 
+  /** Streaming perceptual media dedup — the `semanticDedupStream`
+    * stream-static pattern applied to the media fingerprint store:
+    * incoming media rows are pixel-fingerprinted WHERE THEY ARRIVE
+    * (map-only — `Multimodal.withPixelHash`, the JDK codec + byte
+    * fallback), candidates come from 16-bit chunk EQUALITY against
+    * the static store's banded fingerprint table (a plain
+    * stream-static equi-join; the store is the build side, the
+    * stream's payload bytes never shuffle — only the 8-byte hash and
+    * the carried columns do), the exact `bit_count` verify keeps
+    * hamming ≤ `maxHamming` (banding COMPLETE at ≤ 3, the
+    * `hashNearDups` pigeonhole), and `dropDuplicatesWithinWatermark`
+    * emits exactly ONE alert per incoming doc — with SOME witness
+    * when several store rows match, the semanticDedupStream contract.
+    * This is the crawl-ingest shape: "is this incoming image a
+    * re-encode of something we already have?", answered before the
+    * payload is ever persisted. Undecodable payloads carry the
+    * byte-kernel fallback hash (decoded = false on the alert), so a
+    * byte-identical re-crawl of quarantine-tier content still
+    * surfaces; NULL hashes (empty payloads) never pair.
+    */
+  def mediaDedupStream(docs: DataFrame, store: DataFrame, idCol: String,
+                       mediaCol: String, tsCol: String, storeIdCol: String,
+                       storeHashCol: String, maxHamming: Int = 3,
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"mediaDedupStream: the 4-chunk banding is complete only for " +
+        s"maxHamming <= 3, got $maxHamming")
+    for (c <- Seq("chunk", "chunk_val", "dup_of", "hamming", "__dh",
+        "__dh_decoded", "__sdh") if docs.columns.contains(c))
+      require(false, s"mediaDedupStream: '$c' is reserved — rename it")
+    val storeSide = store
+      .select(col(storeIdCol).as("dup_of"),
+        col(storeHashCol).cast("long").as("__sdh"))
+      .filter(col("__sdh").isNotNull)
+      .select(col("dup_of"), col("__sdh"), posexplode(expr(
+        "transform(sequence(0, 3), c -> shiftright(__sdh, c * 16) & 65535)")))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    graft.llm.Multimodal.withPixelHash(docs, mediaCol, "__dh")
+      .withWatermark(tsCol, watermarkDelay)
+      .filter(col("__dh").isNotNull)
+      .select(col(idCol), col(tsCol), col("__dh"), col("__dh_decoded"),
+        posexplode(expr(
+          "transform(sequence(0, 3), c -> shiftright(__dh, c * 16) & 65535)")))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+      .join(storeSide, Seq("chunk", "chunk_val"))
+      .withColumn("hamming", expr("CAST(bit_count(__dh ^ __sdh) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicatesWithinWatermark(idCol)
+      .select(col(idCol), col(tsCol), col("dup_of"), col("hamming"),
+        col("__dh_decoded").as("decoded"))
+  }
+
   /** Micro-batch XES sink: every micro-batch of an event-log-shaped
     * stream lands as one sharded XES directory (`batch-<id>/part-*`),
     * written fully distributed by `XesWriter.writeShards` — no driver

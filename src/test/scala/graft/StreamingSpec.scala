@@ -936,6 +936,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("media dedup stream: re-encoded twin alerts once against the store, fresh/undecodable stay silent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.Multimodal
+    // static fingerprint store: the pixel hashes of 6 corpus images
+    val store = Multimodal.dHashPixel(
+        (1L to 6L).map(i => (i, Multimodal.synthImage(i)))
+          .toDF("doc_id", "media"), "doc_id", "media")
+      .select(col("id").as("sid"), col("dhash64").as("sdh"))
+    val in = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val out = EventStream.mediaDedupStream(
+      in.toDF().toDF("id", "media", "ts"), store,
+      "id", "media", "ts", "sid", "sdh",
+      maxHamming = 3, watermarkDelay = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("media_dedup_out").start()
+    try {
+      in.addData(
+        (100L, Multimodal.reencodeJpeg(Multimodal.synthImage(2L)),
+          ts("2024-01-01 10:00:00")),                      // twin of stored 2
+        (101L, Multimodal.synthImage(40L), ts("2024-01-01 10:01:00")), // fresh
+        (102L, "just prose, not an image".getBytes("UTF-8"),
+          ts("2024-01-01 10:02:00")))                      // undecodable
+      q.processAllAvailable()
+      val rows = spark.table("media_dedup_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3), r.getBoolean(4))))
+      assert(rows.map(_._1).toSeq == Seq(100L),
+        s"only the planted twin may alert: ${rows.toSeq}")
+      val (dupOf, hamming, decoded) = rows.head._2
+      assert(dupOf == 2L && hamming <= 3 && decoded,
+        s"alert must witness stored image 2 within the ball: ${rows.head}")
+      // in-watermark re-send of the same doc is suppressed
+      in.addData((100L, Multimodal.reencodeJpeg(Multimodal.synthImage(2L)),
+        ts("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      assert(spark.table("media_dedup_out").count() == 1,
+        "exactly one alert per doc within the watermark")
+    } finally q.stop()
+  }
+
   test("gumbel standing sample: final version ≡ batch draw, order-free, re-send idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
