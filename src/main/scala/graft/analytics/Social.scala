@@ -74,25 +74,28 @@ object Social {
     */
   def roleSimilarity(df: DataFrame, resourceCol: String,
                      activityCol: String, threshMicro: Long): DataFrame = {
-    // persist the collapsed profile: the guard's count() is an action,
-    // and prof feeds FOUR consumers (res, dots' two sides, both norm
-    // aggregates) — cached, the corpus is scanned once and the guard
-    // is nearly free; the cache is |resources|×|activities|, bounded
-    // by the very contract being enforced
+    // localCheckpoint (eager) the collapsed profile: the guard's
+    // count() is an action, and prof feeds FOUR consumers (res, dots'
+    // two sides, both norm aggregates) — materialized once, the
+    // corpus is scanned once and the guard is nearly free. Unlike
+    // persist(), the checkpointed blocks are released by the context
+    // cleaner when this plan is GC'd, so repeated invocations (the
+    // bench's min-of-passes loop) don't accumulate live cache entries
+    // with no unpersist hook on the returned lazy plan. The
+    // lineage-truncation tradeoff is acceptable here BECAUSE the
+    // table is bounded by the very contract being enforced
+    // (|resources|×|activities| with |resources| ≤ 10⁴).
     val prof = df.groupBy(col(resourceCol).as("__r"),
         col(activityCol).as("__a"))
       .agg(count(lit(1)).as("__c"))
-      .persist()
+      .localCheckpoint()
     val res = prof.select(col("__r")).distinct()
     val nRes = res.count()
-    if (nRes > MaxRoleResources) {
-      prof.unpersist()
-      require(false,
-        s"roleSimilarity: $nRes distinct resources exceed the dense " +
-          s"all-pairs role-matrix contract ($MaxRoleResources) — " +
-          "cluster on the sparse activity-sharing dot join instead " +
-          "(absent pair = cosine 0 by contract)")
-    }
+    require(nRes <= MaxRoleResources,
+      s"roleSimilarity: $nRes distinct resources exceed the dense " +
+        s"all-pairs role-matrix contract ($MaxRoleResources) — " +
+        "call roleSimilaritySparse instead: it emits only the " +
+        "activity-sharing pairs (absent pair = cosine 0 by contract)")
     val dots = prof.select(col("__r").as("res_a"), col("__a"),
         col("__c").as("__ca"))
       .join(prof.select(col("__r").as("res_b"), col("__a"),
@@ -110,6 +113,54 @@ object Social {
         .agg(sum(col("__c") * col("__c")).as("__nb")), Seq("res_b"))
       .withColumn("cos_micro",
         floor(coalesce(col("__dot"), lit(0L)).cast("double") /
+          (sqrt(col("__na").cast("double")) *
+            sqrt(col("__nb").cast("double"))) * lit(1000000.0))
+          .cast("long"))
+      .withColumn("same_role", col("cos_micro") >= threshMicro)
+      .select(col("res_a"), col("res_b"), col("cos_micro"), col("same_role"))
+  }
+
+  /** Sparse arm of the role-similarity matrix — the operator the
+    * dense guard's error message points a >`MaxRoleResources` caller
+    * at. Emits ONLY the unordered resource pairs that share at least
+    * one activity; an absent pair is cosine 0 BY CONTRACT (the caller
+    * treats a missing cell as orthogonal, which is exactly what the
+    * dense matrix would have said). Same exact arithmetic as the
+    * dense matrix — integer BIGINT dot/norms from the activity-count
+    * profiles, one floored micro-unit division at the end — so on
+    * every emitted pair the two operators agree cell-for-cell (law:
+    * `TimelineSpec` "dense and sparse agree on every emitted pair").
+    *
+    * Scale shape: NO cardinality cap and NO quadratic surface — the
+    * pair enumeration is an inverted-index self-equi-join on the
+    * activity key (pairs are generated per shared activity, the
+    * classic sparse dot-product join), so the output is bounded by
+    * Σ_a |resources(a)|², the activity-sharing mass, not
+    * |resources|². The profile aggregate feeds three consumers but
+    * is ONE shuffle: all three plans build on the identical groupBy
+    * Exchange, which Spark's exchange reuse dedups at runtime — no
+    * persist, no guard action, fully lazy.
+    */
+  def roleSimilaritySparse(df: DataFrame, resourceCol: String,
+                           activityCol: String,
+                           threshMicro: Long): DataFrame = {
+    val prof = df.groupBy(col(resourceCol).as("__r"),
+        col(activityCol).as("__a"))
+      .agg(count(lit(1)).as("__c"))
+    val norms = prof.groupBy(col("__r"))
+      .agg(sum(col("__c") * col("__c")).as("__nsq"))
+    prof.select(col("__r").as("res_a"), col("__a"), col("__c").as("__ca"))
+      .join(prof.select(col("__r").as("res_b"), col("__a"),
+        col("__c").as("__cb")), Seq("__a"))
+      .filter(col("res_a") < col("res_b"))
+      .groupBy(col("res_a"), col("res_b"))
+      .agg(sum(col("__ca") * col("__cb")).as("__dot"))
+      .join(norms.select(col("__r").as("res_a"), col("__nsq").as("__na")),
+        Seq("res_a"))
+      .join(norms.select(col("__r").as("res_b"), col("__nsq").as("__nb")),
+        Seq("res_b"))
+      .withColumn("cos_micro",
+        floor(col("__dot").cast("double") /
           (sqrt(col("__na").cast("double")) *
             sqrt(col("__nb").cast("double"))) * lit(1000000.0))
           .cast("long"))

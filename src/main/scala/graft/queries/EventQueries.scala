@@ -850,6 +850,16 @@ object EventQueries {
           get_json_object(col("props"), "$.k").cast("int") % 10),
         "res", "event_type", threshMicro = 900000L)),
 
+    // Sparse arm of the role matrix — the no-cap operator the dense
+    // guard points a >10⁴-resource caller at: only activity-sharing
+    // pairs, absent pair = cosine 0 by contract, same exact integer
+    // dot/norm arithmetic.
+    "q_role_similarity_sparse" -> ((s, dir) =>
+      Social.roleSimilaritySparse(
+        Tables.events(s, dir).withColumn("res",
+          get_json_object(col("props"), "$.k").cast("int") % 10),
+        "res", "event_type", threshMicro = 900000L)),
+
     // Activity→outcome lift: which activities co-occur with
     // conversion more than the baseline — exact integer micro-units.
     "q_outcome_lift" -> ((s, dir) =>
@@ -2493,6 +2503,32 @@ object EventQueries {
         |)
         |SELECT res_a, res_b, cos_micro, cos_micro >= 900000 AS same_role
         |FROM m""".stripMargin,
+
+    "q_role_similarity_sparse" ->
+      """WITH r0 AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+        |    AS res, event_type FROM events
+        |), prof AS (
+        |  SELECT res, event_type AS a, CAST(count(*) AS BIGINT) AS c
+        |  FROM r0 GROUP BY 1, 2
+        |), dots AS (
+        |  SELECT a1.res AS res_a, b1.res AS res_b,
+        |    CAST(SUM(a1.c * b1.c) AS BIGINT) AS dot
+        |  FROM prof a1 JOIN prof b1 ON a1.a = b1.a AND a1.res < b1.res
+        |  GROUP BY 1, 2
+        |), na AS (
+        |  SELECT res, CAST(SUM(c * c) AS BIGINT) AS nsq FROM prof GROUP BY 1
+        |)
+        |SELECT d.res_a, d.res_b,
+        |  CAST(floor(CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(x.nsq AS DOUBLE)) * sqrt(CAST(y.nsq AS DOUBLE)))
+        |    * 1000000) AS BIGINT) AS cos_micro,
+        |  CAST(floor(CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(x.nsq AS DOUBLE)) * sqrt(CAST(y.nsq AS DOUBLE)))
+        |    * 1000000) AS BIGINT) >= 900000 AS same_role
+        |FROM dots d
+        |JOIN na x ON d.res_a = x.res
+        |JOIN na y ON d.res_b = y.res""".stripMargin,
 
     "q_outcome_lift" ->
       s"""$SessionsCte, oc AS (

@@ -300,8 +300,43 @@ class TimelineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("distinct resources exceed"),
       s"guard message should name the contract, got: ${e.getMessage}")
-    assert(e.getMessage.contains("activity-sharing dot join"),
-      "guard message should point at the sparse alternative")
+    assert(e.getMessage.contains("roleSimilaritySparse"),
+      "guard message should name the exported sparse operator")
+  }
+
+  test("roleSimilaritySparse: only sharing pairs, no cap, dense agreement") {
+    import spark.implicits._
+    // r1/r2 share a+b, r2/r4 share b, r3 is disjoint (only c)
+    val rows =
+      Seq.fill(3)(("r1", "a")) ++ Seq.fill(4)(("r1", "b")) ++
+        Seq.fill(3)(("r2", "a")) ++ Seq.fill(4)(("r2", "b")) ++
+        Seq.fill(5)(("r3", "c")) ++ Seq.fill(2)(("r4", "b"))
+    val df = rows.toDF("res", "activity")
+    val sparse = Social.roleSimilaritySparse(df, "res", "activity",
+        threshMicro = 900000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(sparse.keySet == Set(("r1", "r2"), ("r1", "r4"), ("r2", "r4")),
+      "ONLY activity-sharing pairs are emitted; r3 appears nowhere")
+    assert(sparse(("r1", "r2")) == ((1000000L, true)))
+    // law: dense and sparse agree cell-for-cell on every emitted pair
+    val dense = Social.roleSimilarity(df, "res", "activity", 900000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    sparse.foreach { case (k, v) =>
+      assert(dense(k) == v, s"dense/sparse disagree on $k")
+    }
+    // and every dense pair ABSENT from sparse is exactly cosine 0
+    (dense.keySet -- sparse.keySet).foreach { k =>
+      assert(dense(k)._1 == 0L,
+        s"pair $k missing from sparse but dense cosine != 0")
+    }
+    // no cardinality cap: the dense guard's refusal width passes here
+    val wide = spark.range(Social.MaxRoleResources + 1)
+      .selectExpr("concat('r', id) AS res",
+        "concat('a', id) AS activity") // all-disjoint: zero pairs, fast
+    assert(Social.roleSimilaritySparse(wide, "res", "activity", 900000L)
+      .count() == 0L, "disjoint profiles produce an empty sparse matrix")
   }
 
   test("anonymizeLog: sub-k cases drop whole, survivors untouched, report conserves") {

@@ -43,10 +43,14 @@ def load(path):
     if "queries" in d:
         return d
     # driver-graded BENCH_r*.json: no parsed map, only a truncated
-    # output tail — recover whatever per-query timings survive in it
+    # output tail — recover whatever per-query timings survive in it.
+    # A match must be FOLLOWED by ',' or '}' (the JSON entry boundary):
+    # if the truncation cut a number mid-digits ("q_foo":123.45 -> 1),
+    # accepting it would record a silently-wrong timing and fake a >2x
+    # mover against the driver baseline.
     tail = d.get("tail", "")
     qs = {m.group(1): float(m.group(2)) for m in
-          re.finditer(r'"(q[\w]*)":([0-9]+(?:\.[0-9]+)?)', tail)}
+          re.finditer(r'"(q[\w]*)":([0-9]+(?:\.[0-9]+)?)(?=[,}])', tail)}
     if not qs:
         raise SystemExit(f"{path}: neither a Bench line (no 'queries') "
                          "nor a recoverable driver tail")
