@@ -192,9 +192,10 @@ object MediaFunctions {
   def ahash64Samples(samples: Array[Int]): java.lang.Long = {
     val n = samples.length
     if (n <= 0) return null
-    require(n <= 1200000000,
-      s"ahash64Samples: $n samples exceed the Int64 cross-multiply " +
-        "headroom (1.2e9) — fingerprint bounded clip segments instead")
+    // no headroom cap needed: the fold's cross-multiply is exact
+    // 128-bit (multiplyHigh), and the cell accumulators themselves
+    // stay in Int64 for any JVM array of Int samples (n < 2³¹,
+    // |sample| < 2³¹ ⇒ Σ < 2⁶² per cell)
     val s = new Array[Long](72)
     val l = new Array[Long](72)
     var i = 0
@@ -209,17 +210,34 @@ object MediaFunctions {
 
   /** Shared grid→bits fold: bit b = 1 iff cell (b/8, b%8)'s mean
     * exceeds its right neighbour's, cross-multiplied (s₁·l₂ > s₂·l₁)
-    * so the whole comparison is exact integer arithmetic.
+    * so the whole comparison is exact integer arithmetic. The
+    * cross-multiply is widened to exact 128-bit (multiplyHigh on
+    * nonnegative operands) so no input magnitude can overflow the
+    * comparison — the audio kernel feeds channel-SUM mixes whose
+    * cell sums × counts can exceed Int64 on long multichannel clips.
+    * In the no-overflow range (every byte/pixel payload, and the SQL
+    * oracle's BIGINT replay) the result is bit-identical to the
+    * 64-bit product compare.
     */
   private def foldGrid(s: Array[Long], l: Array[Long]): Long = {
     var out = 0L
     var b = 0
     while (b < 64) {
       val k1 = (b >> 3) * 9 + (b & 7)
-      if (s(k1) * l(k1 + 1) > s(k1 + 1) * l(k1)) out |= (1L << b)
+      if (gt128(s(k1), l(k1 + 1), s(k1 + 1), l(k1))) out |= (1L << b)
       b += 1
     }
     out
+  }
+
+  /** a·b > c·d, exact, for NONNEGATIVE longs: compare the 128-bit
+    * products by (high word, unsigned low word).
+    */
+  private def gt128(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
   }
 }
 

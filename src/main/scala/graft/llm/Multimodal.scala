@@ -196,7 +196,12 @@ object Multimodal {
     * produced the hash — true ⇒ the JDK codec decoded the payload and
     * the hash is the luma-grid dHash; false ⇒ undecodable bytes fell
     * back to the byte-domain kernel (bit-identical to `dHash64`).
-    * `dhash64` is None only for an empty payload.
+    * `dhash64` is None when there is NOTHING to fingerprint: a NULL
+    * payload, an empty one, or one too short to strip `headerBytes`
+    * from (0 < length ≤ headerBytes — the `auditMedia` short_header
+    * class; a partial header is not payload, so it gets no byte-
+    * kernel fallback either). Run `quarantineMedia` first if those
+    * rows need their own loud disposition.
     */
   final case class PixelHash(id: Long, dhash64: Option[Long], decoded: Boolean)
 
@@ -358,14 +363,18 @@ object Multimodal {
     * of the family, same two-tier codec story as the pixel path: the
     * JDK's `javax.sound.sampled` (WAV/AIFF/AU PCM ship in every JVM —
     * no new dependency) decodes the payload, channels are mixed to
-    * their integer mean per frame, and the energy-gradient kernel
+    * their per-frame channel SUM (sum, not mean — see `decodePcm16`:
+    * the sum commutes exactly with an integer gain where a truncating
+    * mean does not, and the kernel is scale-free so the constant
+    * factor is invisible), and the energy-gradient kernel
     * (`MediaFunctions.ahash64Samples`) fingerprints the |amplitude|
     * envelope on the shared 8×9 grid. The kernel's headline law:
     * an exact integer GAIN change — the loudness-normalized re-master,
     * audio's most common near-duplicate — preserves the fingerprint
-    * BIT-FOR-BIT (volume is a common factor of every cross-multiplied
-    * comparison), and the relative-position grid absorbs resampling
-    * the way the pixel grid absorbs a resize. Non-PCM16 encodings and
+    * BIT-FOR-BIT for mono AND multichannel PCM (volume is a common
+    * factor of every cross-multiplied comparison), and the
+    * relative-position grid absorbs resampling the way the pixel
+    * grid absorbs a resize. Non-PCM16 encodings and
     * undecodable payloads fall back to the byte kernel LOUD
     * (`decoded = false`), the dHashPixel contract; downstream banding
     * is the same `hashNearDups`.
@@ -383,9 +392,15 @@ object Multimodal {
 
   /** JDK-codec PCM decode: 16-bit signed PCM only (the WAV/AIFF
     * reality `javax.sound.sampled` parses without extra providers);
-    * channels mix to their integer mean per frame. Returns null for
-    * anything the codec can't decode — the caller's fallback owns
-    * that case.
+    * channels mix to their per-frame channel SUM — not the mean:
+    * a truncating mean division does NOT commute with an integer
+    * gain (acc = -3, nch = 2: gain-2 pre-mix gives -3, post-mix -2),
+    * which would break the kernel's bit-for-bit gain law exactly on
+    * the multichannel inputs it is advertised for. The sum commutes
+    * with gain EXACTLY, and the energy kernel is scale-free by
+    * 128-bit cross-multiplication, so sum vs mean changes nothing
+    * else (for mono they are identical). Returns null for anything
+    * the codec can't decode — the caller's fallback owns that case.
     */
   private def decodePcm16(payload: Array[Byte]): Array[Int] =
     try {
@@ -414,7 +429,7 @@ object Multimodal {
             acc += v
             c += 1
           }
-          samples(i) = acc / nch
+          samples(i) = acc
           i += 1
         }
         samples
@@ -442,14 +457,24 @@ object Multimodal {
     val freqs = Array.tabulate(3)(k =>
       200 + Math.floorMod(h >>> (16 * k), 1800L).toInt)
     // shifts stay strictly under 64: the JVM masks long shifts mod 64,
-    // so a shift of 64 would alias onto the LOW bits freqs(0) samples
+    // so a shift of 64 would alias onto the LOW bits freqs(0) samples.
+    // Envelope space: mod frequency in 0.125 Hz steps (56 values per
+    // carrier) PLUS an id-derived phase (16 values) — the kernel
+    // fingerprints ONLY the envelope, so a coarse mod space (the
+    // original 7 integer frequencies, 343 combos) birthday-collides
+    // on corpora of a few hundred clips and distinct ids merge in the
+    // capstone's near-dup pass; 56³·16³ combos push the expected
+    // collision count on a 10³-clip corpus below one.
     val mods = Array.tabulate(3)(k =>
-      1 + Math.floorMod(h >>> (8 * k + 40), 7L).toInt)
+      (1 + Math.floorMod(h >>> (8 * k + 40), 56L).toInt) / 8.0)
+    val phases = Array.tabulate(3)(k =>
+      Math.floorMod(h >>> (4 * k + 20), 16L).toInt * math.Pi / 8.0)
     Array.tabulate(n) { i =>
       var s = 0
       var k = 0
       while (k < 3) {
-        val env = 1500.0 * (1.0 + math.sin(2.0 * math.Pi * mods(k) * i / 8000.0))
+        val env = 1500.0 * (1.0 +
+          math.sin(2.0 * math.Pi * mods(k) * i / 8000.0 + phases(k)))
         s += (env * math.sin(2.0 * math.Pi * freqs(k) * i / 8000.0)).toInt
         k += 1
       }
@@ -566,6 +591,222 @@ object Multimodal {
       ios.close()
       writer.dispose()
     }
+    out.toByteArray
+  }
+
+  /** Stereo twin of `synthWav`: channel 0 carries `synthPcm(id)`,
+    * channel 1 carries `synthPcm(id + 1)` halved — DIFFERENT content
+    * per channel, chosen so per-frame channel sums are frequently ODD
+    * (a truncating mean mix would NOT commute with gain on them; the
+    * sum mix does, exactly — the law `MultimodalSpec` gates on this
+    * fixture). Interleaved little-endian PCM16 WAV, integer `gain`
+    * applied to both channels pre-encode.
+    */
+  def synthWavStereo(id: Long, gain: Int = 1): Array[Byte] = {
+    require(gain >= 1 && gain <= 3, s"synthWavStereo: gain in [1, 3], got $gain")
+    val ch0 = synthPcm(id)
+    val ch1 = synthPcm(id + 1).map(_ / 2)
+    val n = ch0.length
+    val pcm = new Array[Byte](n * 4)
+    var i = 0
+    while (i < n) {
+      val s0 = ch0(i) * gain
+      val s1 = ch1(i) * gain
+      pcm(4 * i) = (s0 & 0xff).toByte
+      pcm(4 * i + 1) = ((s0 >> 8) & 0xff).toByte
+      pcm(4 * i + 2) = (s1 & 0xff).toByte
+      pcm(4 * i + 3) = ((s1 >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  // ----------------------------------------------------------------
+  // VIDEO modality: MJPEG (concatenated JFIF frames) — the container
+  // the already-shipped JDK image codec can actually decode, so the
+  // keyframe-extract → pixel-hash → near-dup path is JDK-only.
+  // ----------------------------------------------------------------
+
+  /** Split an MJPEG payload — back-to-back complete JPEG images, the
+    * classic motion-JPEG stream — into its frames by scanning for the
+    * SOI (FFD8) / EOI (FFD9) marker pairs. Sound because JPEG
+    * entropy-coded data byte-stuffs every FF as FF00 and the only
+    * markers legal inside a scan are RSTn (FFD0–FFD7), so FFD8/FFD9
+    * can ONLY be real frame boundaries. A truncated final frame (SOI
+    * with no EOI — the cut upload) is DROPPED, never returned as a
+    * half image; the caller sees it as a frame-count deficit, and
+    * `videoKeyframeHashes` surfaces wholly frameless payloads as the
+    * loud byte-fallback row.
+    */
+  def splitMjpeg(payload: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    val frames = scala.collection.immutable.IndexedSeq.newBuilder[Array[Byte]]
+    val n = payload.length
+    var i = 0
+    while (i + 1 < n) {
+      if ((payload(i) & 0xff) == 0xff && (payload(i + 1) & 0xff) == 0xd8) {
+        var j = i + 2
+        var end = -1
+        while (j + 1 < n && end < 0) {
+          if ((payload(j) & 0xff) == 0xff && (payload(j + 1) & 0xff) == 0xd9)
+            end = j + 2
+          j += 1
+        }
+        if (end > 0) {
+          frames += java.util.Arrays.copyOfRange(payload, i, end)
+          i = end
+        } else i = n // truncated tail frame: dropped, loud via counts
+      } else i += 1
+    }
+    frames.result()
+  }
+
+  /** One keyframe fingerprint row. `frameIdx` is the frame's position
+    * in the CONTAINER (so `every`-sampling is reconstructible),
+    * `nFrames` the clip's total; the hash/decoded contract is the
+    * `PixelHash` one per frame. A payload with NO extractable frames
+    * emits a single row (frameIdx = -1, byte-kernel hash, decoded =
+    * false) — frameless clips quarantine loudly instead of vanishing.
+    */
+  final case class FrameHash(id: Long, frameIdx: Int, nFrames: Int,
+                             dhash64: Option[Long], decoded: Boolean)
+
+  /** Keyframe extraction over an MJPEG binary column: split each clip
+    * into frames, keep every `every`-th one (the `sampleFrames`
+    * cadence, now on a REAL container), decode each kept frame with
+    * the JDK codec and pixel-hash it (`MediaFunctions.dhash64Pixels`).
+    * A kept frame the codec refuses falls back to the byte kernel
+    * LOUD (`decoded = false`) — the `dHashPixel` two-tier contract,
+    * per frame.
+    *
+    * Scale shape: map-only — the clip bytes are split and decoded
+    * where they sit, one clip in flight per task, and ONLY the
+    * (id, frameIdx, 8-byte hash) rows leave the map side; the clip
+    * payload never enters a shuffle. Frame explosion is bounded by
+    * the sampling cadence, not the container size.
+    */
+  def videoKeyframeHashes(df: DataFrame, idCol: String, mediaCol: String,
+                          every: Int, headerBytes: Int = 0): Dataset[FrameHash] = {
+    require(every >= 1, s"videoKeyframeHashes: every >= 1, got $every")
+    require(headerBytes >= 0,
+      s"videoKeyframeHashes: headerBytes >= 0, got $headerBytes")
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    val dec = imageDecode(graft.functions.MediaFunctions.dhash64Pixels)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx)
+        if (bytes == null || bytes.length <= headerBytes)
+          Iterator(FrameHash(id, -1, 0, None, decoded = false))
+        else {
+          val payload =
+            if (headerBytes == 0) bytes
+            else java.util.Arrays.copyOfRange(bytes, headerBytes, bytes.length)
+          val frames = splitMjpeg(payload)
+          if (frames.isEmpty)
+            Iterator(FrameHash(id, -1, 0,
+              Option(graft.functions.MediaFunctions.dhash64Bytes(payload, 0))
+                .map(Long.unbox), decoded = false))
+          else frames.iterator.zipWithIndex.collect {
+            case (f, idx) if idx % every == 0 =>
+              dec(f) match {
+                case Some(h) =>
+                  FrameHash(id, idx, frames.length, Some(h), decoded = true)
+                case None => FrameHash(id, idx, frames.length,
+                  Option(graft.functions.MediaFunctions.dhash64Bytes(f, 0))
+                    .map(Long.unbox), decoded = false)
+              }
+          }
+        }
+      }
+    }(Encoders.product[FrameHash])
+  }
+
+  /** Frame positions fit under this bound so (clip, frame) packs into
+    * one long for the banding join — an MJPEG container holding a
+    * million frames is a caller error, not a workload.
+    */
+  val MaxVideoFrames = 1000000L
+
+  /** Clip-level perceptual near-duplicates over an MJPEG column: two
+    * clips pair when at least `minFramePairs` of their decoded
+    * keyframes land within `maxHamming` (the same-footage-re-encoded
+    * detector), with the matching-keyframe-pair count and the best
+    * (minimum) hamming as evidence. `minFramePairs` defaults to 1
+    * (any keyframe match); a corpus of visually-similar footage
+    * should require 2+ — a SINGLE hamming-3 frame match between
+    * otherwise-unrelated clips is a poster-frame coincidence, and
+    * the measured fixture produced exactly that (two 1-frame chance
+    * pairs across ~150 synthetic frames) while every true re-encoded
+    * twin matched on ALL its keyframes. Candidates ride the same
+    * complete-for-≤3 16-bit chunk banding as every other fingerprint
+    * family (`hashNearDups`) over (clip, frame)-packed keys; only
+    * decoded frames pair (a byte-fallback frame hash is not
+    * perceptual evidence). Self-pairs within one clip are dropped
+    * AFTER the banding join — near-identical frames inside a single
+    * clip are normal footage, not duplication.
+    *
+    * Scale shape: the clip payload never shuffles (the
+    * `videoKeyframeHashes` contract); the banding exchange carries
+    * (packed id, 8-byte hash) rows bounded by keyframe cadence; the
+    * final clip-pair collapse is a partial-aggregated groupBy.
+    */
+  def mjpegNearDups(df: DataFrame, idCol: String, mediaCol: String,
+                    every: Int, maxHamming: Int = 3,
+                    headerBytes: Int = 0, minFramePairs: Long = 1L): DataFrame = {
+    require(minFramePairs >= 1L,
+      s"mjpegNearDups: minFramePairs >= 1, got $minFramePairs")
+    val fh = videoKeyframeHashes(df, idCol, mediaCol, every, headerBytes)
+      .filter(col("decoded"))
+    // loud contract, enforced IN-PLAN (no extra decode pass): ids must
+    // be nonnegative and frame index under the packing bound, else two
+    // distinct (clip, frame) keys would collide silently
+    val packed = fh.select(
+      when(col("id") >= 0 && col("frameIdx") < lit(MaxVideoFrames),
+        col("id") * lit(MaxVideoFrames) + col("frameIdx"))
+        .otherwise(expr(
+          s"raise_error('mjpegNearDups: clip ids must be >= 0 and " +
+            s"frame index < $MaxVideoFrames to pack into the banding " +
+            "key')").cast("long")).as("fk"),
+      col("dhash64").as("dh"))
+    hashNearDups(packed, "fk", "dh", maxHamming)
+      .select((col("id_a") / MaxVideoFrames).cast("long").as("clip_a"),
+        (col("id_b") / MaxVideoFrames).cast("long").as("clip_b"),
+        col("hamming"))
+      .filter(col("clip_a") =!= col("clip_b"))
+      .select(least(col("clip_a"), col("clip_b")).as("id_a"),
+        greatest(col("clip_a"), col("clip_b")).as("id_b"),
+        col("hamming"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_frame_pairs"),
+        min(col("hamming")).as("min_hamming"))
+      .filter(col("n_frame_pairs") >= minFramePairs)
+  }
+
+  /** MJPEG fixture: the ids' `synthImage` frames, each JPEG-encoded,
+    * concatenated — a deterministic motion-JPEG clip whose k-th frame
+    * is a pure function of `frameIds(k)`.
+    */
+  def synthMjpeg(frameIds: Seq[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    frameIds.foreach(id => out.write(reencodeJpeg(synthImage(id))))
+    out.toByteArray
+  }
+
+  /** Re-encode fixture arm for clips: every frame decoded and re-
+    * written at the given JPEG quality — same footage, different
+    * compression, the clip-level near-duplicate `mjpegNearDups` is
+    * built to catch.
+    */
+  def reencodeMjpeg(clip: Array[Byte], quality: Float): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    splitMjpeg(clip).foreach(f => out.write(reencodeJpeg(f, quality)))
     out.toByteArray
   }
 }

@@ -1255,6 +1255,153 @@ object PipelineQueries {
           lit("undecodable").as("detail")))
     }),
 
+    // -- multimodal capstone v3: the SAME ingest pipeline with the DCT
+    //    pHash kernel on the distortion-heavy arm — every 5th doc's
+    //    twin is re-encoded at JPEG quality 0.3 (aggressive
+    //    quantization), putting the kernel swap under driver-graded
+    //    row counts. Measured on this fixture at sf0.01: 84/90
+    //    planted twins land within the complete-banding ≤3 ball
+    //    (hamming 0: 40, 2: 44 — the median-threshold pHash flips
+    //    bits in PAIRS, a median crossing moves both sides), 6 land
+    //    at exactly 4 and stay `kept` — the documented quantization
+    //    tail, NOT silent misses. (On these smooth synthetic images
+    //    the gradient dHash absorbs q=0.3 fully — the pHash swap
+    //    earns its keep on textured real-photo content, not here;
+    //    the capstone grades the plumbing, not that marketing claim.)
+    //    Truncated payloads (every 11th) quarantine by decode. Rows-
+    //    only BY CONTRACT (codec raster); q=0.3 collision law in
+    //    MultimodalSpec. -------------------------------------------
+    "q_media_pipeline_phash" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .repartition(32)
+        .mapPartitions(_.flatMap { id =>
+          val png = Multimodal.synthImage(id)
+          val self =
+            if (id % 11 == 0) (id, java.util.Arrays.copyOf(png, 60))
+            else (id, png)
+          if (id % 5 == 0 && id % 11 != 0)
+            Iterator(self, (id + 1000000L, Multimodal.reencodeJpeg(png, 0.3f)))
+          else Iterator(self)
+        }).toDF("doc_id", "media")
+      val hashed = Multimodal.pHashPixel(media, "doc_id", "media")
+        .select(col("id").as("doc_id"), col("dhash64").as("dh"),
+          col("decoded"))
+      val clean = hashed.filter(col("decoded"))
+      val cc = Dedup.connectedComponents(
+        Multimodal.hashNearDups(clean, "doc_id", "dh", maxHamming = 3),
+        "id_a", "id_b")
+      clean.select("doc_id")
+        .join(cc.select(col("id").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("cluster_id").isNull || col("cluster_id") === col("doc_id"),
+            lit("kept")).otherwise(lit("dup")).as("status"),
+          when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+            col("cluster_id").cast("string")).otherwise(lit("-")).as("detail"))
+        .unionByName(hashed.filter(!col("decoded")).select(col("doc_id"),
+          lit("quarantined").as("status"),
+          lit("undecodable").as("detail")))
+    }),
+
+    // -- multimodal capstone, AUDIO modality: deterministic synthetic
+    //    WAVs; every 5th doc ships a gain-2 re-mastered twin (id+1e6)
+    //    whose fingerprint the kernel's volume-invariance law makes
+    //    BIT-EQUAL (hamming 0 — the loudness-normalized duplicate);
+    //    every 11th doc's payload is cut to 30 bytes inside the WAV
+    //    header, which javax.sound refuses — quarantine-by-decode.
+    //    audioHash → banded hamming ≤1 → connected components →
+    //    keep-lowest. Rows-only BY CONTRACT (PCM decode not SQL-
+    //    visible); gain/resample laws in MultimodalSpec. -----------
+    "q_media_pipeline_audio" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .repartition(32)
+        .mapPartitions(_.flatMap { id =>
+          val wav = Multimodal.synthWav(id)
+          val self =
+            if (id % 11 == 0) (id, java.util.Arrays.copyOf(wav, 30))
+            else (id, wav)
+          if (id % 5 == 0 && id % 11 != 0)
+            Iterator(self, (id + 1000000L, Multimodal.synthWav(id, gain = 2)))
+          else Iterator(self)
+        }).toDF("doc_id", "media")
+      val hashed = Multimodal.audioHash(media, "doc_id", "media")
+        .select(col("id").as("doc_id"), col("dhash64").as("dh"),
+          col("decoded"))
+      val clean = hashed.filter(col("decoded"))
+      val cc = Dedup.connectedComponents(
+        Multimodal.hashNearDups(clean, "doc_id", "dh", maxHamming = 1),
+        "id_a", "id_b")
+      clean.select("doc_id")
+        .join(cc.select(col("id").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("cluster_id").isNull || col("cluster_id") === col("doc_id"),
+            lit("kept")).otherwise(lit("dup")).as("status"),
+          when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+            col("cluster_id").cast("string")).otherwise(lit("-")).as("detail"))
+        .unionByName(hashed.filter(!col("decoded")).select(col("doc_id"),
+          lit("quarantined").as("status"),
+          lit("undecodable").as("detail")))
+    }),
+
+    // -- multimodal capstone, VIDEO modality: MJPEG clips (6 synthetic
+    //    frames each, every 20th doc id) — every 5th clip ships a
+    //    q=0.5 re-encoded twin (same footage, different compression),
+    //    every 11th clip's payload is cut inside frame 0, leaving NO
+    //    extractable frame — the frameless clip quarantines loudly.
+    //    Keyframes (every 2nd frame) pixel-hash map-side; clip pairs
+    //    come from mjpegNearDups' packed banding (keyframe pairs
+    //    within hamming ≤3) REQUIRING ≥2 corroborating keyframe
+    //    pairs — a single frame match across ~150 synthetic frames
+    //    is a measured poster-frame coincidence (two 1-frame chance
+    //    pairs at sf0.01), while every planted twin matches on ALL 3
+    //    keyframes — then connected components → keep-lowest. The
+    //    exact sf0.01 arithmetic: 25 clips, 3 quarantined (k%11), 4
+    //    re-encoded twins each dup at full support. The status scan
+    //    re-runs the keyframe decode (a production caller materializes
+    //    videoKeyframeHashes once and feeds both) — codec-bound by
+    //    design, the media-capstone class. Rows-only BY CONTRACT
+    //    (container split + codec raster); clip re-encode collision /
+    //    frame-cadence / truncation laws in MultimodalSpec. --------
+    "q_media_pipeline_video" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id")).as[Long]
+        .repartition(32)
+        .mapPartitions(_.flatMap { id =>
+          val k = id / 20
+          val clip = Multimodal.synthMjpeg((0 until 6).map(f => id * 100L + f))
+          val self =
+            if (k % 11 == 0) (id, java.util.Arrays.copyOf(clip, 50))
+            else (id, clip)
+          if (k % 5 == 0 && k % 11 != 0)
+            Iterator(self, (id + 1000000L, Multimodal.reencodeMjpeg(clip, 0.5f)))
+          else Iterator(self)
+        }).toDF("doc_id", "media")
+      val fh = Multimodal.videoKeyframeHashes(media, "doc_id", "media",
+        every = 2)
+      val clipDecoded = fh.groupBy(col("id").as("doc_id"))
+        .agg(max(when(col("decoded"), 1).otherwise(0)).as("__dec"))
+      val cc = Dedup.connectedComponents(
+        Multimodal.mjpegNearDups(media, "doc_id", "media",
+          every = 2, maxHamming = 3, minFramePairs = 2L),
+        "id_a", "id_b")
+      clipDecoded.filter(col("__dec") === 1).select("doc_id")
+        .join(cc.select(col("id").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("cluster_id").isNull || col("cluster_id") === col("doc_id"),
+            lit("kept")).otherwise(lit("dup")).as("status"),
+          when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+            col("cluster_id").cast("string")).otherwise(lit("-")).as("detail"))
+        .unionByName(clipDecoded.filter(col("__dec") === 0)
+          .select(col("doc_id"), lit("quarantined").as("status"),
+            lit("no_decodable_frame").as("detail")))
+    }),
+
     // -- layout: Z-order (Morton) code over two filter dimensions —
     //    the data-skipping clustering key. Pure codegen'd bit
     //    arithmetic; the oracle replays it with a shift-and-sum

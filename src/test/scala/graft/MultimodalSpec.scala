@@ -360,4 +360,99 @@ class MultimodalSpec extends SparkSpec {
     assert(clean.columns.sameElements(corrupted.columns),
       "clean side must keep the input schema")
   }
+
+  test("audio hash: STEREO gain twin bit-identical (sum-mix commutes with gain)") {
+    import spark.implicits._
+    // the fixture's per-frame channel sums are frequently odd, so the
+    // old truncating mean-mix provably broke commutation here; the
+    // channel-SUM mix commutes with an integer gain exactly, and the
+    // kernel is scale-free by 128-bit cross-multiplication
+    val ids = (1L to 4L)
+    val rows = ids.map(id => (id, Multimodal.synthWavStereo(id))) ++
+      ids.map(id => (id + 1000L, Multimodal.synthWavStereo(id, gain = 2)))
+    val out = Multimodal.audioHash(rows.toDF("doc_id", "media"),
+      "doc_id", "media").collect().map(p => p.id -> p).toMap
+    for (id <- ids) {
+      assert(out(id).decoded && out(id + 1000L).decoded, "stereo WAVs decode")
+      assert(out(id).dhash64 == out(id + 1000L).dhash64,
+        s"gain-2 re-master of STEREO clip $id must hash IDENTICALLY")
+    }
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    for (a <- ids; b <- ids if a < b)
+      assert(ham(out(a).dhash64.get, out(b).dhash64.get) > 3,
+        s"distinct stereo clips $a/$b separate")
+  }
+
+  test("MJPEG: split is exact, keyframe cadence holds, truncation drops loud") {
+    import spark.implicits._
+    val frameIds = (0 until 6).map(k => 100L + k)
+    val clip = Multimodal.synthMjpeg(frameIds)
+    // split recovers exactly the concatenated frames, byte-for-byte
+    val frames = Multimodal.splitMjpeg(clip)
+    assert(frames.length == 6, s"6 frames in, ${frames.length} out")
+    assert(frames.map(_.length).sum == clip.length,
+      "frame slices must tile the clip exactly")
+    frameIds.zip(frames).foreach { case (id, f) =>
+      assert(java.util.Arrays.equals(f,
+        Multimodal.reencodeJpeg(Multimodal.synthImage(id))),
+        s"frame $id must round-trip byte-identically")
+    }
+    // a clip cut MID-FRAME drops the partial tail, keeps whole frames
+    val cut = java.util.Arrays.copyOf(clip,
+      frames.take(3).map(_.length).sum + 40)
+    assert(Multimodal.splitMjpeg(cut).length == 3,
+      "truncated frame 4 must be dropped, frames 1-3 kept whole")
+    // keyframe cadence: every=2 keeps frames 0, 2, 4 with real hashes
+    val fh = Multimodal.videoKeyframeHashes(
+        Seq((7L, clip)).toDF("doc_id", "media"), "doc_id", "media",
+        every = 2).collect()
+    assert(fh.map(_.frameIdx).sorted.sameElements(Array(0, 2, 4)),
+      s"every=2 keeps frames 0/2/4, got ${fh.map(_.frameIdx).toSeq}")
+    assert(fh.forall(f => f.nFrames == 6 && f.decoded && f.dhash64.nonEmpty),
+      "kept keyframes decode with real pixel hashes")
+    // a frameless payload quarantines as ONE loud byte-fallback row
+    val bad = Multimodal.videoKeyframeHashes(
+      Seq((8L, "no jpeg here".getBytes("UTF-8")))
+        .toDF("doc_id", "media"), "doc_id", "media", every = 2).collect()
+    assert(bad.length == 1 && bad.head.frameIdx == -1 && !bad.head.decoded,
+      "frameless clip must surface exactly one loud fallback row")
+  }
+
+  test("MJPEG: re-encoded clip's keyframes collide with the original's") {
+    import spark.implicits._
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val clips = (1L to 4L).map(c =>
+      c -> Multimodal.synthMjpeg((0 until 6).map(k => c * 100L + k))).toMap
+    // per-keyframe law: frame-k of the re-encode lands within the
+    // pixel kernel's re-encode ball of frame-k of the original
+    val orig = Multimodal.videoKeyframeHashes(
+        Seq((1L, clips(1L))).toDF("doc_id", "media"), "doc_id", "media", 2)
+      .collect().map(f => f.frameIdx -> f.dhash64.get).toMap
+    val re = Multimodal.videoKeyframeHashes(
+        Seq((1L, Multimodal.reencodeMjpeg(clips(1L), 0.5f)))
+          .toDF("doc_id", "media"), "doc_id", "media", 2)
+      .collect().map(f => f.frameIdx -> f.dhash64.get).toMap
+    assert(orig.keySet == re.keySet, "re-encode preserves frame count")
+    orig.foreach { case (k, h) =>
+      assert(ham(h, re(k)) <= 3, s"keyframe $k must stay in the ball")
+    }
+    // clip-level operator: exactly the planted re-encoded twins pair,
+    // with full keyframe support and distinct clips staying apart
+    val rows = clips.toSeq.map { case (c, bytes) => (c, bytes) } ++
+      Seq(1L, 3L).map(c =>
+        (c + 1000L, Multimodal.reencodeMjpeg(clips(c), 0.5f)))
+    val pairs = Multimodal.mjpegNearDups(rows.toDF("doc_id", "media"),
+        "doc_id", "media", every = 2, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 1001L), (3L, 1003L)),
+      s"clip pairs must be exactly the planted twins: ${pairs.keySet}")
+    assert(pairs.values.forall(_ == 3L),
+      s"all 3 keyframes must support each twin pair: $pairs")
+    // the corroboration knob: demanding more support than the 3
+    // keyframes a twin can have empties the output, never errors
+    assert(Multimodal.mjpegNearDups(rows.toDF("doc_id", "media"),
+      "doc_id", "media", every = 2, maxHamming = 3,
+      minFramePairs = 4L).count() == 0L,
+      "minFramePairs above the keyframe count must yield no pairs")
+  }
 }

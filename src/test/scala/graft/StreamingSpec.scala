@@ -1151,4 +1151,115 @@ class StreamingSpec extends SparkSpec {
         s"a fresh burst after eviction re-alerts with a reset count: ${after.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming media-ingest capstone: dedup gate → standing sample → drift watch compose") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.{Chunking, Multimodal, TextOps}
+    import EventStream.{ScoreEvent, WeightedDoc}
+    // The crawl-ingest architecture end to end, three stages chained
+    // the way production chains them (each stage's sink feeds the
+    // next stage's source): (1) the perceptual dedup GATE against the
+    // standing fingerprint store decides which incoming media to
+    // accept; (2) the ACCEPTED stream maintains the standing
+    // labeling sample ∝ weight; (3) the accepted stream's model
+    // scores run under the isotonic drift WATCH. Laws: the gate
+    // alerts exactly once per planted re-encode with its witness, the
+    // standing sample's final version is BIT-EQUAL to the batch draw
+    // over exactly the accepted corpus, and the watch stays silent on
+    // the fit-shaped window while flagging the planted drift window.
+    val store = Multimodal.dHashPixel(
+        (1L to 5L).map(i => (i, Multimodal.synthImage(i)))
+          .toDF("doc_id", "media"), "doc_id", "media")
+      .select(col("id").as("sid"), col("dhash64").as("sdh"))
+    // ingest: 20 fresh docs in the 10:00 window (scores in the fit
+    // 50/50 proportions), 2 re-encodes of stored images, then 6
+    // fresh docs in the 10:10 window whose scores the fit never saw
+    val fresh1 = (100L until 120L).map(id => (id,
+      Multimodal.synthImage(id),
+      if (id % 2 == 0) 900000.0 else 100000.0,
+      ts(f"2024-01-01 10:0${(id % 5).toInt}:30")))
+    val dups = Seq(
+      (200L, Multimodal.reencodeJpeg(Multimodal.synthImage(2L)), 900000.0,
+        ts("2024-01-01 10:02:00")),
+      (201L, Multimodal.reencodeJpeg(Multimodal.synthImage(4L)), 100000.0,
+        ts("2024-01-01 10:03:00")))
+    val fresh2 = (300L until 306L).map(id => (id,
+      Multimodal.synthImage(id), 555555.0,
+      ts(f"2024-01-01 10:1${(id % 5).toInt}:30")))
+    // ---- stage 1: the gate
+    val gateIn = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val gate = EventStream.mediaDedupStream(
+      gateIn.toDF().toDF("id", "media", "ts"), store,
+      "id", "media", "ts", "sid", "sdh", maxHamming = 3)
+    val gq = gate.writeStream.outputMode("append")
+      .format("memory").queryName("caps_gate").start()
+    val alerted = try {
+      gateIn.addData((fresh1 ++ dups ++ fresh2).map(d => (d._1, d._2, d._4)): _*)
+      gq.processAllAvailable()
+      val rows = spark.table("caps_gate").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3), r.getBoolean(4))))
+      assert(rows.map(_._1).sorted.toSeq == Seq(200L, 201L),
+        s"the gate must alert exactly the planted re-encodes: ${rows.toSeq}")
+      val w = rows.toMap
+      assert(w(200L)._1 == 2L && w(201L)._1 == 4L &&
+        rows.forall { case (_, (_, h, dec)) => h <= 3 && dec },
+        s"each alert must witness its stored original in the ball: ${rows.toSeq}")
+      rows.map(_._1).toSet
+    } finally gq.stop()
+    // ---- stage 2: the accepted stream's standing labeling sample
+    val accepted = (fresh1 ++ dups ++ fresh2).filterNot(d => alerted(d._1))
+    val sampIn = MemoryStream[WeightedDoc]
+    val sq = EventStream.gumbelSampleStream(sampIn.toDS(), k = 8)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("caps_sample").start()
+    val streamedSample = try {
+      // arrive in two micro-batches, order scrambled — order-free law
+      val docs = accepted.map(d => WeightedDoc("crawl", d._1, 1L + d._1 % 7))
+      sampIn.addData(docs.reverse.take(9): _*); sq.processAllAvailable()
+      sampIn.addData(docs.reverse.drop(9): _*); sq.processAllAvailable()
+      val rows = spark.table("caps_sample").collect()
+      val vMax = rows.map(_.getLong(4)).max
+      rows.filter(_.getLong(4) == vMax)
+        .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).sortBy(_._3).toSeq
+    } finally sq.stop()
+    val batchSample = Chunking.sampleGumbelTopK(
+        accepted.map(d => ("crawl", d._1, 1L + d._1 % 7)).toDF("src", "id", "w"),
+        "src", "id", "w", k = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).sortBy(_._3).toSeq
+    assert(streamedSample == batchSample,
+      s"standing sample over the ACCEPTED corpus must equal the batch " +
+        s"draw:\n$streamedSample\nvs\n$batchSample")
+    assert(streamedSample.nonEmpty &&
+      streamedSample.forall { case (id, _, _) => !alerted(id) },
+      "no gated-out dup may reach the labeling sample")
+    // ---- stage 3: the accepted stream's scores under the drift watch
+    val train = (Seq.fill(8)((true, 900000L)) ++ Seq.fill(2)((false, 900000L)) ++
+      Seq.fill(6)((true, 100000L)) ++ Seq.fill(4)((false, 100000L)))
+      .toDF("y", "s")
+    val fitHist = TextOps.isotonicFit(train, "y", "s")
+      .select("s", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val watchIn = MemoryStream[ScoreEvent]
+    val wq = EventStream.isotonicServeDriftStream(watchIn.toDS(), fitHist,
+        windowMinutes = 10, alertMicro = 400000L,
+        watermarkDelay = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("caps_watch").start()
+    try {
+      watchIn.addData(accepted.map(d => ScoreEvent(d._3, d._4)): _*)
+      watchIn.addData(ScoreEvent(900000.0, ts("2024-01-01 11:00:00"))) // flush
+      wq.processAllAvailable()
+      val wins = spark.table("caps_watch").collect()
+        .map(r => r.getTimestamp(0) -> r).toMap
+      val clean = wins(ts("2024-01-01 10:00:00"))
+      assert(clean.getLong(3) == 0L && !clean.getBoolean(5) &&
+        clean.getLong(2) == 0L,
+        s"the fit-shaped accepted window must stay silent: $clean")
+      val drifted = wins(ts("2024-01-01 10:10:00"))
+      assert(drifted.getBoolean(5) && drifted.getLong(3) == 500000L &&
+        drifted.getLong(2) == 6L,
+        s"the planted drift window must flag with its unseen mass: $drifted")
+    } finally wq.stop()
+  }
 }
