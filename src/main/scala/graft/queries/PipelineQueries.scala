@@ -3951,7 +3951,12 @@ object PipelineQueries {
         |  FROM pr10)
         |WHERE rnk <= 50""".stripMargin,
 
-    // seed-teleport steps unrolled: same integer map, CASE-gated base
+    // seed-teleport steps unrolled: same integer map, CASE-gated base.
+    // sf0.01-ONLY heavy class BY CONTRACT (the q_pagerank convention):
+    // the KnnEdgesCte replays the exact-kNN edge build in DuckDB,
+    // which is quadratic in the embedding count — fine at the gated
+    // sf0.01, prohibitive at sf0.1. The Spark side scales (cell-pruned
+    // candidate join); it is the ORACLE that is bounded.
     "q_ppr_expand" ->
       s"""$KnnEdgesCte,
         |${pprStepCtes(8)}

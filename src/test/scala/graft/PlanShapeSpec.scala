@@ -863,4 +863,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "the 1-row totals ride broadcast nested-loop at worst")
   }
+
+  test("q_role_similarity_sparse: no quadratic surface, no cartesian, equi-joins only") {
+    val p = plan("q_role_similarity_sparse")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the sparse arm must have NO pair-enumeration surface at all — " +
+        s"only the activity-key equi-join:\n${p.take(1500)}")
+  }
+
+  test("media capstones: clip/audio payload bytes never enter an exchange") {
+    // the banding exchanges must carry only (id, 8-byte hash) rows —
+    // walk the physical tree and assert no shuffle OUTPUTS the binary
+    // media column (the fixture synth runs post-repartition, decode is
+    // map-side, so every exchange downstream of the synth is hash-only)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    for (q <- Seq("q_media_pipeline_audio", "q_media_pipeline_video")) {
+      val p = SparkEntry.queries(q)(spark, Sf).queryExecution.executedPlan
+      val bad = p.collect {
+        case e: ShuffleExchangeExec if e.output.exists(_.name == "media") => e
+      }
+      assert(bad.isEmpty,
+        s"$q shuffles media payload bytes:\n${bad.mkString("\n").take(1200)}")
+    }
+  }
 }
