@@ -936,6 +936,72 @@ object TextOps {
           |  - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
           |  * 1000000.0) AS BIGINT)""".stripMargin))
 
+  /** Crawl-tier URL canonicalization — the FIRST dedup key of every
+    * web-scale ingest (CommonCrawl/C4-class pipelines dedup on the
+    * canonical URL before any content hash is ever computed, because
+    * the same page arrives as `HTTP://WWW.Site.COM:80/a?b=2&a=1#frag`
+    * and `http://www.site.com/a?a=1&b=2`): adds `outCol` with
+    *   - scheme and host lowercased (path/query case PRESERVED —
+    *     paths are case-significant on most origins),
+    *   - the scheme's default port stripped (`:80` for http, `:443`
+    *     for https — a NON-default port is identity, never dropped),
+    *   - the fragment dropped (client-side only, never sent),
+    *   - tracking parameters removed (`utm_*`, `gclid`, `fbclid` —
+    *     the query-string noise that splits one page into thousands
+    *     of "distinct" URLs),
+    *   - surviving query params sorted bytewise (order-insensitive
+    *     equality) and the `?` dropped when none survive,
+    *   - an empty path normalized to `/`.
+    * A value with no `scheme://host` shape canonicalizes to NULL —
+    * the LOUD malformed class (a silent passthrough would let junk
+    * rows form singleton "pages"); percent-encoding normalization is
+    * OUT OF SCOPE by contract (it needs a reserved-character table,
+    * and mixed encodings are rare enough to land in the content-hash
+    * tier one step later).
+    *
+    * Pure Catalyst (regex + HOF filter/sort on the split params — no
+    * UDF, whole-stage codegen), entirely row-local: a map at any
+    * scale. Every rule is regex/string arithmetic both engines
+    * evaluate identically, so the operator carries a full DuckDB
+    * oracle.
+    */
+  def canonicalizeUrl(df: DataFrame, urlCol: String,
+                      outCol: String = "canonical_url"): DataFrame = {
+    for (c <- Seq(outCol, "__nf", "__sch", "__hp", "__host", "__path",
+        "__q", "__ps") if df.columns.contains(c))
+      require(false, s"canonicalizeUrl: '$c' already exists — rename it")
+    df.withColumn("__nf", regexp_replace(col(urlCol), "#.*$", ""))
+      .withColumn("__sch",
+        lower(regexp_extract(col("__nf"), "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1)))
+      .withColumn("__hp",
+        lower(regexp_extract(col("__nf"),
+          "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]*)", 1)))
+      .withColumn("__host",
+        when(col("__sch") === "http", regexp_replace(col("__hp"), ":80$", ""))
+          .when(col("__sch") === "https",
+            regexp_replace(col("__hp"), ":443$", ""))
+          .otherwise(col("__hp")))
+      .withColumn("__path", {
+        val p = regexp_extract(col("__nf"),
+          "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*([^?]*)", 1)
+        when(p === "", lit("/")).otherwise(p)
+      })
+      .withColumn("__q", regexp_extract(col("__nf"), "\\?(.*)$", 1))
+      .withColumn("__ps", expr(
+        """array_join(sort_array(filter(split(__q, '&'),
+          |  p -> p != '' AND NOT (p rlike
+          |    '^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=|$)'))), '&')"""
+          .stripMargin))
+      .withColumn(outCol,
+        when(col("__sch") === "" || col("__host") === "",
+          lit(null).cast("string"))
+          .otherwise(concat(col("__sch"), lit("://"), col("__host"),
+            col("__path"),
+            when(col("__ps") === "", lit(""))
+              .otherwise(concat(lit("?"), col("__ps"))))))
+      .drop("__nf", "__sch", "__hp", "__host", "__path", "__q", "__ps")
+  }
+
   /** RM3 pseudo-relevance feedback — the classic two-pass query
     * expansion (Lavrenko & Croft's relevance model, interpolated):
     * BM25 retrieves `fbDocs` feedback documents per query, their

@@ -400,6 +400,50 @@ object PipelineQueries {
       Dedup.normalizedGroups(Tables.documents(s, dir), "doc_id", "text",
         dropTokens = Seq("the", "a"))),
 
+    // -- dedup tier 0: canonical-URL first-seen dedup — the key every
+    //    crawl dedups on BEFORE any content hash exists. Raw URLs are
+    //    synthesized deterministically from doc_id carrying every mess
+    //    the canonicalizer must absorb (scheme/host case, default
+    //    port, tracking params in scrambled order, fragments); ids k
+    //    and k+250 share a path key, so every canonical group has
+    //    exactly two members — except where the malformed plant
+    //    (doc_id % 97 = 0, no scheme → canonical NULL) removes one:
+    //    sf0.01 exact counts 250 kept / 244 dup / 6 malformed. -------
+    "q_url_canonical" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val raw = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("url", expr(
+          """CASE WHEN doc_id % 97 = 0
+            |  THEN concat('www.news-site.com/articles/',
+            |              CAST(doc_id % 250 AS STRING))
+            |  ELSE concat(
+            |    CASE WHEN doc_id % 3 = 0 THEN 'HTTP'
+            |         WHEN doc_id % 3 = 1 THEN 'http' ELSE 'hTtp' END,
+            |    '://',
+            |    CASE WHEN doc_id % 2 = 0 THEN 'WWW.News-Site.COM'
+            |         ELSE 'www.news-site.com' END,
+            |    CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END,
+            |    '/articles/', CAST(doc_id % 250 AS STRING),
+            |    CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1&utm_source=rss'
+            |         WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+            |         WHEN doc_id % 4 = 2 THEN '?utm_campaign=x&a=1&gclid=z&b=2'
+            |         ELSE '?a=1&utm_medium=&b=2' END,
+            |    CASE WHEN doc_id % 6 = 0 THEN '#comments' ELSE '' END)
+            |END""".stripMargin))
+      val canon = TextOps.canonicalizeUrl(raw, "url")
+      val w = Window.partitionBy(col("canonical_url"))
+      canon.filter(col("canonical_url").isNotNull)
+        .withColumn("__min", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("canonical_url"),
+          when(col("doc_id") === col("__min"), lit("kept"))
+            .otherwise(lit("dup")).as("status"),
+          when(col("doc_id") === col("__min"), lit("-"))
+            .otherwise(col("__min").cast("string")).as("detail"))
+        .unionByName(canon.filter(col("canonical_url").isNull)
+          .select(col("doc_id"), col("canonical_url"),
+            lit("malformed").as("status"), col("url").as("detail")))
+    }),
+
     // -- dedup tier 3 (exact arm): blocked bigram-Jaccard pairs --------
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -2353,6 +2397,66 @@ object PipelineQueries {
         |    t -> t NOT IN ('the', 'a')), ' ')) AS content_hash,
         |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_url_canonical" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0
+        |      THEN concat('www.news-site.com/articles/',
+        |                  CAST(doc_id % 250 AS VARCHAR))
+        |      ELSE concat(
+        |        CASE WHEN doc_id % 3 = 0 THEN 'HTTP'
+        |             WHEN doc_id % 3 = 1 THEN 'http' ELSE 'hTtp' END,
+        |        '://',
+        |        CASE WHEN doc_id % 2 = 0 THEN 'WWW.News-Site.COM'
+        |             ELSE 'www.news-site.com' END,
+        |        CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END,
+        |        '/articles/', CAST(doc_id % 250 AS VARCHAR),
+        |        CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1&utm_source=rss'
+        |             WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+        |             WHEN doc_id % 4 = 2 THEN '?utm_campaign=x&a=1&gclid=z&b=2'
+        |             ELSE '?a=1&utm_medium=&b=2' END,
+        |        CASE WHEN doc_id % 6 = 0 THEN '#comments' ELSE '' END)
+        |    END AS url
+        |  FROM documents
+        |), c1 AS (
+        |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM raw
+        |), c2 AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |    lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hp,
+        |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS p0,
+        |    regexp_extract(nf, '\?(.*)$', 1) AS q
+        |  FROM c1
+        |), c3 AS (
+        |  SELECT doc_id, url, sch,
+        |    CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+        |         WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+        |         ELSE hp END AS host,
+        |    CASE WHEN p0 = '' THEN '/' ELSE p0 END AS pth,
+        |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |      p -> p != '' AND NOT regexp_matches(p,
+        |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=|$)'))), '&') AS ps
+        |  FROM c2
+        |), cc AS (
+        |  SELECT doc_id, url,
+        |    CASE WHEN sch = '' OR host = '' THEN NULL
+        |      ELSE concat(sch, '://', host, pth,
+        |        CASE WHEN ps = '' THEN '' ELSE concat('?', ps) END) END
+        |      AS canonical_url
+        |  FROM c3
+        |), mn AS (
+        |  SELECT doc_id, canonical_url,
+        |    min(doc_id) OVER (PARTITION BY canonical_url) AS m
+        |  FROM cc WHERE canonical_url IS NOT NULL
+        |)
+        |SELECT doc_id, canonical_url,
+        |  CASE WHEN doc_id = m THEN 'kept' ELSE 'dup' END AS status,
+        |  CASE WHEN doc_id = m THEN '-' ELSE CAST(m AS VARCHAR) END AS detail
+        |FROM mn
+        |UNION ALL
+        |SELECT doc_id, canonical_url, 'malformed' AS status, url AS detail
+        |FROM cc WHERE canonical_url IS NULL""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH t AS (

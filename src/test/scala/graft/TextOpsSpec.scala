@@ -435,4 +435,43 @@ class TextOpsSpec extends SparkSpec {
     // queue -> 'ueue' 1 group, aeiou -> 1 group, xyz -> 1 ('y')
     assert(one.getLong(3) == 3L, s"got ${one.getLong(3)}")
   }
+
+  test("canonicalizeUrl: every rule exact, malformed NULL, identity preserved") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host case, default port, tracking junk, scrambled
+      // params, fragment — the full mess collapses
+      1L -> "HTTP://WWW.Site.COM:80/Articles/9?b=2&utm_source=rss&a=1#frag",
+      // already canonical: identity
+      2L -> "http://www.site.com/Articles/9?a=1&b=2",
+      // https default port strips; https != http (no cross-scheme merge)
+      3L -> "HTTPS://site.com:443/x",
+      // NON-default port is kept
+      4L -> "https://site.com:8443/x",
+      // empty path normalizes to '/'
+      5L -> "http://site.com",
+      // query emptied by the tracking filter: '?' dropped too
+      6L -> "http://site.com/a?utm_source=x&gclid=1&fbclid=2&utm_medium=",
+      // other schemes: port untouched (no default known), host lowered,
+      // path case PRESERVED
+      7L -> "FTP://Host.Example:80/Path/File.TXT",
+      // no scheme://host shape -> NULL, the loud malformed class
+      8L -> "www.site.com/path",
+      9L -> "not a url at all")
+    val out = TextOps.canonicalizeUrl(cases.toDF("id", "url"), "url")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(out(1L) == "http://www.site.com/Articles/9?a=1&b=2")
+    assert(out(2L) == "http://www.site.com/Articles/9?a=1&b=2",
+      "a canonical URL is a fixed point")
+    assert(out(1L) == out(2L), "the mess and the clean form collide")
+    assert(out(3L) == "https://site.com/x")
+    assert(out(4L) == "https://site.com:8443/x", "non-default port kept")
+    assert(out(5L) == "http://site.com/", "empty path becomes /")
+    assert(out(6L) == "http://site.com/a", "all-tracking query drops the ?")
+    assert(out(7L) == "ftp://host.example:80/Path/File.TXT",
+      "unknown scheme: no default-port rule; path case preserved")
+    assert(out(8L) == null && out(9L) == null,
+      "no scheme://host shape canonicalizes to NULL, never passes through")
+  }
 }
