@@ -759,11 +759,22 @@ object Multimodal {
     */
   def mjpegNearDups(df: DataFrame, idCol: String, mediaCol: String,
                     every: Int, maxHamming: Int = 3,
-                    headerBytes: Int = 0, minFramePairs: Long = 1L): DataFrame = {
+                    headerBytes: Int = 0, minFramePairs: Long = 1L): DataFrame =
+    mjpegNearDupsFromHashes(
+      videoKeyframeHashes(df, idCol, mediaCol, every, headerBytes),
+      maxHamming, minFramePairs)
+
+  /** The hash-level arm of `mjpegNearDups`, for callers that have the
+    * keyframe fingerprints materialized (the capstone decodes ONCE
+    * and feeds both this and the clip-status scan — the composition
+    * the `mjpegNearDups` scaladoc tells a production pipeline to
+    * run). Same contract from the hashes on.
+    */
+  def mjpegNearDupsFromHashes(fh0: Dataset[FrameHash], maxHamming: Int,
+                              minFramePairs: Long = 1L): DataFrame = {
     require(minFramePairs >= 1L,
       s"mjpegNearDups: minFramePairs >= 1, got $minFramePairs")
-    val fh = videoKeyframeHashes(df, idCol, mediaCol, every, headerBytes)
-      .filter(col("decoded"))
+    val fh = fh0.filter(col("decoded"))
     // loud contract, enforced IN-PLAN (no extra decode pass): ids must
     // be nonnegative and frame index under the packing bound, else two
     // distinct (clip, frame) keys would collide silently

@@ -1279,6 +1279,10 @@ object PipelineQueries {
             Iterator(self, (id + 1000000L, Multimodal.reencodeJpeg(png)))
           else Iterator(self)
         }).toDF("doc_id", "media")
+      // decode ONCE: the (id, 8-byte hash, flag) table is tiny and
+      // feeds four plan consumers (clean x2, banding, quarantine) that
+      // would otherwise each re-run the codec pass — localCheckpoint
+      // materializes it eagerly, the roleSimilarity convention
       val hashed = Multimodal.dHashPixel(media, "doc_id", "media")
         .select(col("id").as("doc_id"), col("dhash64").as("dh"),
           col("decoded"))
@@ -1328,9 +1332,11 @@ object PipelineQueries {
             Iterator(self, (id + 1000000L, Multimodal.reencodeJpeg(png, 0.3f)))
           else Iterator(self)
         }).toDF("doc_id", "media")
+      // decode ONCE (the q_media_pipeline_pixel materialization note)
       val hashed = Multimodal.pHashPixel(media, "doc_id", "media")
         .select(col("id").as("doc_id"), col("dhash64").as("dh"),
           col("decoded"))
+        .localCheckpoint()
       val clean = hashed.filter(col("decoded"))
       val cc = Dedup.connectedComponents(
         Multimodal.hashNearDups(clean, "doc_id", "dh", maxHamming = 3),
@@ -1370,9 +1376,11 @@ object PipelineQueries {
             Iterator(self, (id + 1000000L, Multimodal.synthWav(id, gain = 2)))
           else Iterator(self)
         }).toDF("doc_id", "media")
+      // decode ONCE (the q_media_pipeline_pixel materialization note)
       val hashed = Multimodal.audioHash(media, "doc_id", "media")
         .select(col("id").as("doc_id"), col("dhash64").as("dh"),
           col("decoded"))
+        .localCheckpoint()
       val clean = hashed.filter(col("decoded"))
       val cc = Dedup.connectedComponents(
         Multimodal.hashNearDups(clean, "doc_id", "dh", maxHamming = 1),
@@ -1403,10 +1411,10 @@ object PipelineQueries {
     //    pairs at sf0.01), while every planted twin matches on ALL 3
     //    keyframes — then connected components → keep-lowest. The
     //    exact sf0.01 arithmetic: 25 clips, 3 quarantined (k%11), 4
-    //    re-encoded twins each dup at full support. The status scan
-    //    re-runs the keyframe decode (a production caller materializes
-    //    videoKeyframeHashes once and feeds both) — codec-bound by
-    //    design, the media-capstone class. Rows-only BY CONTRACT
+    //    re-encoded twins each dup at full support. Keyframe hashes
+    //    are decoded ONCE (localCheckpoint) and feed both the banding
+    //    pairs and the clip-status scan — codec-bound by design, the
+    //    media-capstone class. Rows-only BY CONTRACT
     //    (container split + codec raster); clip re-encode collision /
     //    frame-cadence / truncation laws in MultimodalSpec. --------
     "q_media_pipeline_video" -> ((s, dir) => {
@@ -1425,13 +1433,16 @@ object PipelineQueries {
             Iterator(self, (id + 1000000L, Multimodal.reencodeMjpeg(clip, 0.5f)))
           else Iterator(self)
         }).toDF("doc_id", "media")
+      // decode ONCE: keyframe hashes materialize eagerly and feed BOTH
+      // the banding pairs and the clip-status scan — the composition
+      // the mjpegNearDups scaladoc tells a production pipeline to run
       val fh = Multimodal.videoKeyframeHashes(media, "doc_id", "media",
-        every = 2)
+        every = 2).localCheckpoint()
       val clipDecoded = fh.groupBy(col("id").as("doc_id"))
         .agg(max(when(col("decoded"), 1).otherwise(0)).as("__dec"))
       val cc = Dedup.connectedComponents(
-        Multimodal.mjpegNearDups(media, "doc_id", "media",
-          every = 2, maxHamming = 3, minFramePairs = 2L),
+        Multimodal.mjpegNearDupsFromHashes(fh,
+          maxHamming = 3, minFramePairs = 2L),
         "id_a", "id_b")
       clipDecoded.filter(col("__dec") === 1).select("doc_id")
         .join(cc.select(col("id").as("doc_id"), col("cluster_id")),
