@@ -976,6 +976,55 @@ object EventStream {
         col("__dh_decoded").as("decoded"))
   }
 
+  /** Streaming URL frontier dedup — the crawl-scheduler gate in FRONT
+    * of every fetch (one tier earlier than the media/semantic ingest
+    * gates, which need the payload: this one triages on the URL
+    * alone, before any bytes are spent): each arrival is
+    * canonicalized (`TextOps.canonicalizeUrl`, the L-264 rules) and
+    * verdicted against the standing frontier store of canonical URLs:
+    *   - `malformed` — no scheme://host shape (canonical NULL): junk
+    *     never silently becomes a fetchable "page",
+    *   - `seen`      — the canonical is already in the store, with
+    *     the store id as witness,
+    *   - `accepted`  — a new canonical: the fetch-queue feed.
+    * Within the watermark, re-arrivals of the SAME canonical collapse
+    * to the FIRST row (`dropDuplicatesWithinWatermark` on the
+    * canonical key — ten raw variants of one page cost one verdict;
+    * malformed rows have no canonical and keep per-id uniqueness).
+    *
+    * Scale shape: canonicalization is row-local Catalyst (no UDF);
+    * the store check is a stream-static LEFT join on the canonical
+    * key with the store as build side (witness collapsed to min id on
+    * the STATIC side, so a duplicated store row can never double a
+    * verdict); streaming state = one canonical key per in-flight page
+    * within the watermark.
+    */
+  def urlDedupStream(docs: DataFrame, store: DataFrame, idCol: String,
+                     urlCol: String, tsCol: String,
+                     storeCanonicalCol: String, storeIdCol: String,
+                     watermarkDelay: String = "10 minutes"): DataFrame = {
+    for (c <- Seq("canonical_url", "status", "seen_id", "__k")
+        if docs.columns.contains(c))
+      require(false, s"urlDedupStream: '$c' is reserved — rename it")
+    val storeSide = store
+      .select(col(storeCanonicalCol).as("canonical_url"),
+        col(storeIdCol).as("seen_id"))
+      .filter(col("canonical_url").isNotNull)
+      .groupBy(col("canonical_url"))
+      .agg(min(col("seen_id")).as("seen_id"))
+    graft.llm.TextOps.canonicalizeUrl(
+        docs.withWatermark(tsCol, watermarkDelay), urlCol, "canonical_url")
+      .withColumn("__k", coalesce(col("canonical_url"),
+        concat(lit("malformed:"), col(idCol).cast("string"))))
+      .dropDuplicatesWithinWatermark("__k")
+      .join(storeSide, Seq("canonical_url"), "left")
+      .select(col(idCol), col(tsCol), col("canonical_url"),
+        when(col("canonical_url").isNull, lit("malformed"))
+          .when(col("seen_id").isNotNull, lit("seen"))
+          .otherwise(lit("accepted")).as("status"),
+        col("seen_id"))
+  }
+
   /** Micro-batch XES sink: every micro-batch of an event-log-shaped
     * stream lands as one sharded XES directory (`batch-<id>/part-*`),
     * written fully distributed by `XesWriter.writeShards` — no driver

@@ -1152,6 +1152,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("urlDedupStream: seen/accepted/malformed triage, raw variants collapse to one verdict") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // frontier store: canonical forms of pages 1..2
+    val store = Seq(
+      (1L, "http://www.site.com/a?x=1"),
+      (2L, "https://site.com/b")).toDF("page_id", "canonical")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStream.urlDedupStream(
+        in.toDF().toDF("id", "url", "ts"), store,
+        "id", "url", "ts", "canonical", "page_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("url_frontier").start()
+    try {
+      in.addData(
+        // messy raw variant of stored page 2 -> seen, witness 2
+        (100L, "HTTPS://Site.COM:443/b?utm_source=rss#top", ts("2024-01-01 10:00:00")),
+        // fresh page -> accepted
+        (101L, "http://site.com/c?z=9", ts("2024-01-01 10:01:00")),
+        // a SECOND raw variant of the same fresh page, in-watermark ->
+        // collapses to the first verdict, no second row
+        (102L, "HTTP://SITE.com:80/c?z=9&fbclid=1", ts("2024-01-01 10:02:00")),
+        // two malformed arrivals: both surface (no canonical to collapse on)
+        (103L, "site.com/no-scheme", ts("2024-01-01 10:03:00")),
+        (104L, "not a url", ts("2024-01-01 10:04:00")))
+      q.processAllAvailable()
+      val rows = spark.table("url_frontier").collect()
+        .map(r => r.getLong(0) -> ((r.getString(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+      assert(rows.keySet == Set(100L, 101L, 103L, 104L),
+        s"variant 102 must collapse into 101's verdict: ${rows.keySet}")
+      assert(rows(100L) == (("seen", 2L)), s"stored page witnesses: $rows")
+      assert(rows(101L) == (("accepted", -1L)))
+      assert(rows(103L) == (("malformed", -1L)) &&
+        rows(104L) == (("malformed", -1L)),
+        "junk rows surface loudly, never become fetchable pages")
+      // the accepted row carries the canonical the frontier will store
+      val acc = spark.table("url_frontier").collect()
+        .find(_.getLong(0) == 101L).get
+      assert(acc.getString(2) == "http://site.com/c?z=9")
+    } finally q.stop()
+  }
+
   test("streaming media-ingest capstone: dedup gate → standing sample → drift watch compose") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
