@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for the training-data pipeline layer:
@@ -1000,6 +1000,66 @@ object TextOps {
             when(col("__ps") === "", lit(""))
               .otherwise(concat(lit("?"), col("__ps"))))))
       .drop("__nf", "__sch", "__hp", "__host", "__path", "__q", "__ps")
+  }
+
+  /** One compression-ratio row: ratio_micro = floor(compressed ·
+    * 1e6 / raw) — LOW means the text is repetitive boilerplate (it
+    * compresses away), HIGH means prose-like entropy; NULL for an
+    * empty text (nothing to measure, quarantine-class).
+    */
+  final case class CompressionStats(id: Long, nBytes: Long,
+      nCompressed: Long, ratioMicro: Option[Long])
+
+  /** Compression-ratio quality signal (the Gopher/RefinedWeb-class
+    * filter the rule stack lacks: scrape loops, keyword stuffing and
+    * template boilerplate deflate to a fraction of their size, while
+    * natural prose stays near its entropy — the one-number repetition
+    * detector that needs NO tokenizer and catches repetition at every
+    * granularity at once, where `repetitionStats` sees only
+    * token/bigram-level stutter). Deflate (JDK `Deflater`, zlib level
+    * 6, UTF-8 bytes) per document; ratio in exact micro-units.
+    *
+    * This is the legitimate `mapPartitions` case the Spark-first
+    * rules carve out: the work is codec-bound imperative byte
+    * crunching (no Catalyst expression computes deflate), and the
+    * Deflater is allocated ONCE per partition and `reset()` per row —
+    * per-row `udf` allocation would churn a native zlib handle per
+    * document. Map-only, no shuffle; the text never leaves its
+    * partition.
+    *
+    * No DuckDB oracle BY CONTRACT (the deflate byte count is not
+    * SQL-visible); the laws executed instead: bit-determinism against
+    * a driver-side re-run, repetitive ≪ diverse ordering, and the
+    * ratio staying within deflate's worst-case expansion bound.
+    */
+  def compressionRatio(df: DataFrame, idCol: String,
+                       textCol: String): Dataset[CompressionStats] = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val tIdx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(6)
+      // free the native zlib handle at task end even if the iterator
+      // is never exhausted (a downstream limit) — end() is idempotent
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
+      val buf = new Array[Byte](64 * 1024)
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val text = if (r.isNullAt(tIdx)) null else r.getString(tIdx)
+        if (text == null || text.isEmpty)
+          CompressionStats(id, 0L, 0L, None)
+        else {
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          CompressionStats(id, raw.length.toLong, n,
+            Some(math.floorDiv(n * 1000000L, raw.length.toLong)))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.product[CompressionStats])
   }
 
   /** RM3 pseudo-relevance feedback — the classic two-pass query

@@ -444,6 +444,16 @@ object PipelineQueries {
             lit("malformed").as("status"), col("url").as("detail")))
     }),
 
+    // -- quality: compression-ratio signal (the Gopher/RefinedWeb
+    //    repetition filter — deflate bytes over raw bytes in exact
+    //    micro-units; codec-bound mapPartitions with one reused
+    //    Deflater per partition). Rows-only BY CONTRACT (the deflate
+    //    byte count is not SQL-visible); determinism / ordering /
+    //    bound laws in TextOpsSpec. --------------------------------
+    "q_compression_ratio" -> ((s, dir) =>
+      TextOps.compressionRatio(Tables.documents(s, dir), "doc_id", "text")
+        .toDF("doc_id", "n_bytes", "n_compressed", "ratio_micro")),
+
     // -- dedup tier 3 (exact arm): blocked bigram-Jaccard pairs --------
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",

@@ -436,6 +436,46 @@ class TextOpsSpec extends SparkSpec {
     assert(one.getLong(3) == 3L, s"got ${one.getLong(3)}")
   }
 
+  test("compressionRatio: deterministic vs a driver re-run, repetition orders below prose") {
+    import spark.implicits._
+    val rep = ("spam ham " * 200).trim                  // boilerplate loop
+    val prose = (1 to 120).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")
+    val rows = Seq((1L, rep), (2L, prose), (3L, ""),
+      (4L, null.asInstanceOf[String]), (5L, "x"))
+    val out = TextOps.compressionRatio(rows.toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(c => c.id -> c).toMap
+    // bit-determinism: the operator's counts equal a driver-side
+    // Deflater re-run on the same bytes (zlib is deterministic per
+    // level; the law that replaces the impossible SQL oracle)
+    def deflate(s: String): Long = {
+      val d = new java.util.zip.Deflater(6)
+      try {
+        val raw = s.getBytes("UTF-8")
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](64 * 1024)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        n
+      } finally d.end()
+    }
+    for ((id, text) <- Seq(1L -> rep, 2L -> prose, 5L -> "x")) {
+      assert(out(id).nCompressed == deflate(text),
+        s"doc $id deflate count must equal the driver re-run")
+      assert(out(id).nBytes == text.getBytes("UTF-8").length.toLong)
+      assert(out(id).ratioMicro.contains(math.floorDiv(
+        out(id).nCompressed * 1000000L, out(id).nBytes)))
+    }
+    // the signal: the 200x boilerplate loop compresses away, prose
+    // stays near its entropy — a wide, stable gap, not a coin flip
+    assert(out(1L).ratioMicro.get * 5 < out(2L).ratioMicro.get,
+      s"repetition must sit far below prose: ${out(1L)} vs ${out(2L)}")
+    // deflate's worst case is a small constant expansion, never 2x
+    assert(out(5L).ratioMicro.get <= 2000000L * 11,
+      "single-char doc stays within deflate's stored-block overhead")
+    assert(out(3L).ratioMicro.isEmpty && out(4L).ratioMicro.isEmpty,
+      "empty/NULL text has no ratio — the quarantine class, never 0/0")
+  }
+
   test("canonicalizeUrl: every rule exact, malformed NULL, identity preserved") {
     import spark.implicits._
     val cases = Seq(
