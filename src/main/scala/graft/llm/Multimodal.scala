@@ -635,14 +635,22 @@ object Multimodal {
 
   /** Split an MJPEG payload — back-to-back complete JPEG images, the
     * classic motion-JPEG stream — into its frames by scanning for the
-    * SOI (FFD8) / EOI (FFD9) marker pairs. Sound because JPEG
-    * entropy-coded data byte-stuffs every FF as FF00 and the only
-    * markers legal inside a scan are RSTn (FFD0–FFD7), so FFD8/FFD9
-    * can ONLY be real frame boundaries. A truncated final frame (SOI
-    * with no EOI — the cut upload) is DROPPED, never returned as a
-    * half image; the caller sees it as a frame-count deficit, and
-    * `videoKeyframeHashes` surfaces wholly frameless payloads as the
-    * loud byte-fallback row.
+    * SOI (FFD8) / EOI (FFD9) marker pairs. Sound for BASELINE JFIF
+    * frames (every camera/encoder MJPEG stream, and everything
+    * ImageIO writes): entropy-coded data byte-stuffs every FF as FF00
+    * and the only markers legal inside a scan are RSTn (FFD0–FFD7),
+    * so FFD8/FFD9 in the compressed data can ONLY be real frame
+    * boundaries. CONTRACT CAVEAT: an APPn metadata segment can carry
+    * arbitrary binary — an EXIF-embedded THUMBNAIL is itself a JPEG
+    * whose EOI a raw marker scan would mistake for the frame's end;
+    * frames with thumbnail-bearing EXIF need a segment-aware parser
+    * (honoring APPn length headers) in this slot. MJPEG streams don't
+    * embed thumbnails in practice, so the raw scan is the right cost
+    * point here — the caveat is the contract, not a latent bug. A
+    * truncated final frame (SOI with no EOI — the cut upload) is
+    * DROPPED, never returned as a half image; the caller sees it as a
+    * frame-count deficit, and `videoKeyframeHashes` surfaces wholly
+    * frameless payloads as the loud byte-fallback row.
     */
   def splitMjpeg(payload: Array[Byte]): IndexedSeq[Array[Byte]] = {
     val frames = scala.collection.immutable.IndexedSeq.newBuilder[Array[Byte]]
