@@ -634,44 +634,101 @@ object Multimodal {
   // ----------------------------------------------------------------
 
   /** Split an MJPEG payload — back-to-back complete JPEG images, the
-    * classic motion-JPEG stream — into its frames by scanning for the
-    * SOI (FFD8) / EOI (FFD9) marker pairs. Sound for BASELINE JFIF
-    * frames (every camera/encoder MJPEG stream, and everything
-    * ImageIO writes): entropy-coded data byte-stuffs every FF as FF00
-    * and the only markers legal inside a scan are RSTn (FFD0–FFD7),
-    * so FFD8/FFD9 in the compressed data can ONLY be real frame
-    * boundaries. CONTRACT CAVEAT: an APPn metadata segment can carry
-    * arbitrary binary — an EXIF-embedded THUMBNAIL is itself a JPEG
-    * whose EOI a raw marker scan would mistake for the frame's end;
-    * frames with thumbnail-bearing EXIF need a segment-aware parser
-    * (honoring APPn length headers) in this slot. MJPEG streams don't
-    * embed thumbnails in practice, so the raw scan is the right cost
-    * point here — the caveat is the contract, not a latent bug. A
-    * truncated final frame (SOI with no EOI — the cut upload) is
-    * DROPPED, never returned as a half image; the caller sees it as a
-    * frame-count deficit, and `videoKeyframeHashes` surfaces wholly
-    * frameless payloads as the loud byte-fallback row.
+    * classic motion-JPEG stream — into its frames with a SEGMENT-AWARE
+    * walk, not a raw FFD9 scan: each frame's marker segments are
+    * stepped by their declared 2-byte lengths (APPn/COM/DQT/DHT/SOF/
+    * DRI/...), the entropy-coded data after an SOS is crossed on the
+    * byte-stuffing argument (FF is always FF00 inside a scan and only
+    * RSTn markers are legal there), and only the EOI reached at the
+    * frame's own structural level ends it. The length-honoring walk
+    * is what makes this exact even when an APPn segment carries
+    * arbitrary binary — the classic trap is an EXIF-embedded
+    * THUMBNAIL, itself a complete JPEG whose EOI a raw marker scan
+    * mistakes for the frame's end (executed law: a thumbnail-bearing
+    * frame splits at its true boundary). Fill bytes (FF padding
+    * before a marker) are stepped over.
+    *
+    * A frame the walk cannot complete — SOI with no EOI (the cut
+    * upload), a declared length running past the buffer, a nested
+    * SOI, a desync — DROPS that frame and everything after it (the
+    * truncated-tail rule generalized: past a malformed frame the
+    * stream has no trustworthy resync point; scanning ahead for the
+    * next FFD8 would happily "find" one inside the garbage). The
+    * caller sees the deficit in the frame counts, and
+    * `videoKeyframeHashes` surfaces wholly frameless payloads as the
+    * loud byte-fallback row.
     */
   def splitMjpeg(payload: Array[Byte]): IndexedSeq[Array[Byte]] = {
     val frames = scala.collection.immutable.IndexedSeq.newBuilder[Array[Byte]]
     val n = payload.length
+    def u8(k: Int): Int = payload(k) & 0xff
     var i = 0
-    while (i + 1 < n) {
-      if ((payload(i) & 0xff) == 0xff && (payload(i + 1) & 0xff) == 0xd8) {
+    var halted = false
+    while (!halted && i + 1 < n) {
+      if (u8(i) == 0xff && u8(i + 1) == 0xd8) {
         var j = i + 2
         var end = -1
-        while (j + 1 < n && end < 0) {
-          if ((payload(j) & 0xff) == 0xff && (payload(j + 1) & 0xff) == 0xd9)
-            end = j + 2
-          j += 1
+        var bad = false
+        while (!bad && end < 0) {
+          if (j + 1 >= n) bad = true // ran off the buffer: truncated
+          else if (u8(j) != 0xff) bad = true // desync: a marker must start here
+          else u8(j + 1) match {
+            case 0xd9 => end = j + 2 // EOI at the frame's own level
+            case 0xd8 => bad = true // nested SOI: malformed
+            case 0xff => j += 1 // fill byte before a marker
+            case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+              j += 2 // standalone markers (TEM, RSTn)
+            case m =>
+              if (j + 3 >= n) bad = true
+              else {
+                val len = (u8(j + 2) << 8) | u8(j + 3)
+                if (len < 2 || j + 2 + len > n) bad = true
+                else if (m == 0xda) {
+                  // SOS: cross the entropy-coded data to the next
+                  // structural marker (FF followed by neither the 00
+                  // stuffing nor an RSTn)
+                  var k = j + 2 + len
+                  var found = -1
+                  while (found < 0 && k + 1 < n) {
+                    if (u8(k) == 0xff && u8(k + 1) != 0x00 &&
+                      !(u8(k + 1) >= 0xd0 && u8(k + 1) <= 0xd7)) found = k
+                    else k += 1
+                  }
+                  if (found < 0) bad = true else j = found
+                } else j = j + 2 + len
+              }
+          }
         }
         if (end > 0) {
           frames += java.util.Arrays.copyOfRange(payload, i, end)
           i = end
-        } else i = n // truncated tail frame: dropped, loud via counts
+        } else halted = true // malformed/truncated: drop it and the rest
       } else i += 1
     }
     frames.result()
+  }
+
+  /** Fixture arm of the thumbnail trap: insert an APP1 segment whose
+    * payload embeds a COMPLETE second JPEG (the EXIF-thumbnail shape)
+    * right after the host frame's SOI. ImageIO skips the unknown APP1
+    * by its declared length, so the host still decodes to the same
+    * raster — but the embedded EOI sits mid-frame, which is exactly
+    * what a raw FFD9 scan trips over and the segment walk must not.
+    */
+  def withExifThumbnail(jpeg: Array[Byte], thumb: Array[Byte]): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "withExifThumbnail: host must start with SOI")
+    val header = "Exif  ".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val len = header.length + thumb.length + 2
+    require(len <= 0xffff, s"withExifThumbnail: APP1 payload too large ($len)")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(jpeg, 0, 2)
+    out.write(0xff); out.write(0xe1)
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    out.write(header, 0, header.length)
+    out.write(thumb, 0, thumb.length)
+    out.write(jpeg, 2, jpeg.length - 2)
+    out.toByteArray
   }
 
   /** One keyframe fingerprint row. `frameIdx` is the frame's position

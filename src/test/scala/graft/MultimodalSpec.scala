@@ -455,4 +455,33 @@ class MultimodalSpec extends SparkSpec {
       minFramePairs = 4L).count() == 0L,
       "minFramePairs above the keyframe count must yield no pairs")
   }
+
+  test("MJPEG: an EXIF-embedded thumbnail's EOI cannot fake a frame boundary") {
+    val f1 = Multimodal.reencodeJpeg(Multimodal.synthImage(1L))
+    val f2 = Multimodal.reencodeJpeg(Multimodal.synthImage(2L))
+    val thumb = Multimodal.reencodeJpeg(Multimodal.synthImage(99L))
+    val host = Multimodal.withExifThumbnail(f1, thumb)
+    // ImageIO skips the unknown APP1 by length: same decoded raster
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(host))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f1))
+    assert(img != null &&
+      graft.functions.MediaFunctions.dhash64Pixels(img) ==
+        graft.functions.MediaFunctions.dhash64Pixels(ref),
+      "the thumbnail-bearing host must decode to the same raster")
+    // the trap: a raw FFD9 scan would end the frame at the THUMBNAIL's
+    // EOI (inside APP1); the segment walk must find the true boundary
+    val clip = host ++ f2
+    val frames = Multimodal.splitMjpeg(clip)
+    assert(frames.length == 2, s"2 frames in, ${frames.length} out")
+    assert(frames(0).length == host.length &&
+      java.util.Arrays.equals(frames(0), host),
+      "frame 1 must end at its OWN EOI, not the embedded thumbnail's " +
+        s"(got ${frames(0).length} of ${host.length} bytes)")
+    assert(java.util.Arrays.equals(frames(1), f2))
+    // malformed mid-stream: a frame whose declared segment length runs
+    // past the buffer drops itself AND the rest (no fake resync)
+    val cut = java.util.Arrays.copyOf(host, 30) ++ f2
+    assert(Multimodal.splitMjpeg(cut).isEmpty,
+      "a malformed frame must not resync into the following garbage")
+  }
 }
