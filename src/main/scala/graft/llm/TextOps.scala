@@ -1034,9 +1034,14 @@ object TextOps {
     */
   def compressionRatio(df: DataFrame, idCol: String,
                        textCol: String): Dataset[CompressionStats] = {
-    val idIdx = df.schema.fieldIndex(idCol)
-    val tIdx = df.schema.fieldIndex(textCol)
-    df.mapPartitions { rows =>
+    // project BEFORE the object boundary: mapPartitions deserializes
+    // whole Rows, so without this the scan would read every column of
+    // the table just to deflate one (plan-gated: ReadSchema carries
+    // exactly (id, text))
+    val pruned = df.select(col(idCol), col(textCol))
+    val idIdx = 0
+    val tIdx = 1
+    pruned.mapPartitions { rows =>
       val deflater = new java.util.zip.Deflater(6)
       // free the native zlib handle at task end even if the iterator
       // is never exhausted (a downstream limit) — end() is idempotent

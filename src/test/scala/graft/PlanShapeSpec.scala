@@ -864,6 +864,22 @@ class PlanShapeSpec extends SparkSpec {
       "the 1-row totals ride broadcast nested-loop at worst")
   }
 
+  test("q_url_canonical scans ONLY doc_id; one key exchange for the first-seen window") {
+    val p = plan("q_url_canonical")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"the 500-char text column must be pruned from the scan:\n${p.take(1200)}")
+    assert(!p.contains("Join"),
+      "canonicalization + first-seen verdict is window math, never a join")
+  }
+
+  test("q_compression_ratio scans only (doc_id, text) and plans no shuffle") {
+    val p = plan("q_compression_ratio")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"column pruning must reach the scan:\n${p.take(1200)}")
+    assert(!p.contains("Exchange"),
+      "the deflate pass is map-only — text never leaves its partition")
+  }
+
   test("q_role_similarity_sparse: no quadratic surface, no cartesian, equi-joins only") {
     val p = plan("q_role_similarity_sparse")
     assert(!p.contains("CartesianProduct") &&
