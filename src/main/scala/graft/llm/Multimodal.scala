@@ -88,14 +88,16 @@ object Multimodal {
   def mapMediaPartitions(df: DataFrame, idCol: String, mediaCol: String)
                         (decoder: Array[Byte] => (Int, Int) = stubHeaderDecoder)
   : Dataset[MediaRecord] = {
-    val idIdx = df.schema.fieldIndex(idCol)
-    val mIdx = df.schema.fieldIndex(mediaCol)
-    df.mapPartitions { rows =>
+    // project BEFORE the object boundary: mapPartitions deserializes
+    // whole Rows, so on a wide table the scan would read every column
+    // just to decode one (the compressionRatio pruning lesson)
+    val pruned = df.select(col(idCol), col(mediaCol))
+    pruned.mapPartitions { rows =>
       // per-partition decoder init would go here (native lib handle)
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](mIdx)
+        val bytes = r.getAs[Array[Byte]](1)
         val (w, h) = decoder(bytes)
-        MediaRecord(r.getLong(idIdx), w, h, (bytes.length - HeaderBytes).toLong)
+        MediaRecord(r.getLong(0), w, h, (bytes.length - HeaderBytes).toLong)
       }
     }(Encoders.product[MediaRecord])
   }
@@ -277,9 +279,13 @@ object Multimodal {
       mediaCol: String, headerBytes: Int, op: String)
       (decode: Array[Byte] => Option[Long]): Dataset[PixelHash] = {
     require(headerBytes >= 0, s"$op: headerBytes >= 0, got $headerBytes")
-    val idIdx = df.schema.fieldIndex(idCol)
-    val mIdx = df.schema.fieldIndex(mediaCol)
-    df.mapPartitions { rows =>
+    // project BEFORE the object boundary: mapPartitions deserializes
+    // whole Rows, so on a wide table the scan would read every column
+    // just to fingerprint one (the compressionRatio pruning lesson)
+    val pruned = df.select(col(idCol), col(mediaCol))
+    val idIdx = 0
+    val mIdx = 1
+    pruned.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
         val bytes = if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx)
@@ -718,7 +724,9 @@ object Multimodal {
   def withExifThumbnail(jpeg: Array[Byte], thumb: Array[Byte]): Array[Byte] = {
     require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
       (jpeg(1) & 0xff) == 0xd8, "withExifThumbnail: host must start with SOI")
-    val header = "Exif  ".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val header =
+      "Exif".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+        Array[Byte](0, 0)
     val len = header.length + thumb.length + 2
     require(len <= 0xffff, s"withExifThumbnail: APP1 payload too large ($len)")
     val out = new java.io.ByteArrayOutputStream()
@@ -760,10 +768,13 @@ object Multimodal {
     require(every >= 1, s"videoKeyframeHashes: every >= 1, got $every")
     require(headerBytes >= 0,
       s"videoKeyframeHashes: headerBytes >= 0, got $headerBytes")
-    val idIdx = df.schema.fieldIndex(idCol)
-    val mIdx = df.schema.fieldIndex(mediaCol)
+    // project BEFORE the object boundary (the compressionRatio
+    // pruning lesson): only (id, clip) reaches the deserializer
+    val pruned = df.select(col(idCol), col(mediaCol))
+    val idIdx = 0
+    val mIdx = 1
     val dec = imageDecode(graft.functions.MediaFunctions.dhash64Pixels)
-    df.mapPartitions { rows =>
+    pruned.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(idIdx)
         val bytes = if (r.isNullAt(mIdx)) null else r.getAs[Array[Byte]](mIdx)
