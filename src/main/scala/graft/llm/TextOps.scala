@@ -1002,6 +1002,59 @@ object TextOps {
       .drop("__nf", "__sch", "__hp", "__host", "__path", "__q", "__ps")
   }
 
+  /** Robots-style URL policy verdicts — the crawl-COMPLIANCE gate
+    * that sits next to the frontier dedup: given a rule table
+    * (host, path prefix, allow), verdict each canonical URL by the
+    * robots.txt precedence every major crawler implements (Google's
+    * published rule): among the matching rules for the URL's host,
+    * the LONGEST prefix wins; a length tie between allow and disallow
+    * resolves to ALLOW; a URL whose host has no matching rule is
+    * allowed (robots default-allow). A NULL/malformed URL (no
+    * `scheme://host` shape — `canonicalizeUrl`'s loud class) is NEVER
+    * allowed: compliance can't be checked for a page that can't be
+    * fetched. Output: one verdict row per input id — (id, url,
+    * allowed, rule_prefix, rule_allow); rule_prefix/rule_allow are
+    * NULL when no rule matched (the default-allow case), so the
+    * verdict is always auditable back to its rule.
+    *
+    * Scale shape: the rule table is a BROADCAST build side (a robots
+    * corpus is bounded by hosts × rules-per-host, never by pages);
+    * the host equi-join multiplies each URL only by ITS host's rules;
+    * the longest-match pick is one partial-aggregated max of a
+    * (length, allow, prefix) struct per id — struct ordering IS the
+    * precedence rule (longer first, allow beating disallow on ties),
+    * so no window and no sort. Exact string arithmetic end to end —
+    * full DuckDB oracle.
+    */
+  def urlPolicyFilter(df: DataFrame, idCol: String, urlCol: String,
+                      rules: DataFrame): DataFrame = {
+    for (c <- Seq("__h", "__p", "__rule")
+        if df.columns.contains(c) || rules.columns.contains(c))
+      require(false, s"urlPolicyFilter: '$c' is reserved — rename it")
+    require(Seq("host", "prefix", "allow").forall(rules.columns.contains),
+      "urlPolicyFilter: rules need (host, prefix, allow) columns")
+    val ruleSide = broadcast(rules.select(col("host").as("__h"),
+      col("prefix"), col("allow")))
+    df.select(col(idCol), col(urlCol),
+        regexp_extract(col(urlCol),
+          "^[a-z][a-z0-9+.\\-]*://([^/?]*)", 1).as("__h"),
+        regexp_extract(col(urlCol),
+          "^[a-z][a-z0-9+.\\-]*://[^/?]*([^?]*)", 1).as("__p"))
+      .join(ruleSide, Seq("__h"), "left")
+      .withColumn("__rule",
+        when(col("prefix").isNotNull &&
+          col("__p").startsWith(col("prefix")),
+          struct(length(col("prefix")).as("l"), col("allow").as("a"),
+            col("prefix").as("p"))))
+      .groupBy(col(idCol), col(urlCol))
+      .agg(max(col("__rule")).as("__rule"))
+      .select(col(idCol), col(urlCol),
+        when(col(urlCol).isNull, lit(false))
+          .otherwise(coalesce(col("__rule.a"), lit(true))).as("allowed"),
+        col("__rule.p").as("rule_prefix"),
+        col("__rule.a").as("rule_allow"))
+  }
+
   /** One compression-ratio row: ratio_micro = floor(compressed ·
     * 1e6 / raw) — LOW means the text is repetitive boilerplate (it
     * compresses away), HIGH means prose-like entropy; NULL for an

@@ -388,6 +388,87 @@ object PipelineQueries {
         max(col("quality")).as("max_quality"))
   }
 
+  /** DuckDB twin of `synthUrls` + the L-264 canonicalization chain —
+    * the CTE prefix both crawl-tier oracles build on (`cc` carries
+    * (doc_id, url, canonical_url); NULL canonical = malformed).
+    */
+  private val UrlCanonCtes: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 97 = 0
+      |      THEN concat('www.news-site.com/articles/',
+      |                  CAST(doc_id % 250 AS VARCHAR))
+      |      ELSE concat(
+      |        CASE WHEN doc_id % 3 = 0 THEN 'HTTP'
+      |             WHEN doc_id % 3 = 1 THEN 'http' ELSE 'hTtp' END,
+      |        '://',
+      |        CASE WHEN doc_id % 2 = 0 THEN 'WWW.News-Site.COM'
+      |             ELSE 'www.news-site.com' END,
+      |        CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END,
+      |        '/articles/', CAST(doc_id % 250 AS VARCHAR),
+      |        CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1&utm_source=rss'
+      |             WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+      |             WHEN doc_id % 4 = 2 THEN '?utm_campaign=x&a=1&gclid=z&b=2'
+      |             ELSE '?a=1&utm_medium=&b=2' END,
+      |        CASE WHEN doc_id % 6 = 0 THEN '#comments' ELSE '' END)
+      |    END AS url
+      |  FROM documents
+      |), c1 AS (
+      |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM raw
+      |), c2 AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      |    lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hp,
+      |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS p0,
+      |    regexp_extract(nf, '\?(.*)$', 1) AS q
+      |  FROM c1
+      |), c3 AS (
+      |  SELECT doc_id, url, sch,
+      |    CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+      |         WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+      |         ELSE hp END AS host,
+      |    CASE WHEN p0 = '' THEN '/' ELSE p0 END AS pth,
+      |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |      p -> p != '' AND NOT regexp_matches(p,
+      |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=|$)'))), '&') AS ps
+      |  FROM c2
+      |), cc AS (
+      |  SELECT doc_id, url,
+      |    CASE WHEN sch = '' OR host = '' THEN NULL
+      |      ELSE concat(sch, '://', host, pth,
+      |        CASE WHEN ps = '' THEN '' ELSE concat('?', ps) END) END
+      |      AS canonical_url
+      |  FROM c3
+      |)""".stripMargin
+
+  /** Shared raw-URL synth for the crawl-tier queries: deterministic
+    * from doc_id, carrying every mess the canonicalizer must absorb
+    * (scheme/host case, default port, tracking params in scrambled
+    * order, fragments; mod-97 rows are malformed — no scheme). Ids k
+    * and k+250 share a path key. The DuckDB oracles replay the same
+    * CASE chain verbatim.
+    */
+  private def synthUrls(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("url", expr(
+        """CASE WHEN doc_id % 97 = 0
+          |  THEN concat('www.news-site.com/articles/',
+          |              CAST(doc_id % 250 AS STRING))
+          |  ELSE concat(
+          |    CASE WHEN doc_id % 3 = 0 THEN 'HTTP'
+          |         WHEN doc_id % 3 = 1 THEN 'http' ELSE 'hTtp' END,
+          |    '://',
+          |    CASE WHEN doc_id % 2 = 0 THEN 'WWW.News-Site.COM'
+          |         ELSE 'www.news-site.com' END,
+          |    CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END,
+          |    '/articles/', CAST(doc_id % 250 AS STRING),
+          |    CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1&utm_source=rss'
+          |         WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+          |         WHEN doc_id % 4 = 2 THEN '?utm_campaign=x&a=1&gclid=z&b=2'
+          |         ELSE '?a=1&utm_medium=&b=2' END,
+          |    CASE WHEN doc_id % 6 = 0 THEN '#comments' ELSE '' END)
+          |END""".stripMargin))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- dedup tier 1: exact content-hash groups ------------------------
@@ -411,26 +492,7 @@ object PipelineQueries {
     //    sf0.01 exact counts 250 kept / 244 dup / 6 malformed. -------
     "q_url_canonical" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val raw = Tables.documents(s, dir).select(col("doc_id"))
-        .withColumn("url", expr(
-          """CASE WHEN doc_id % 97 = 0
-            |  THEN concat('www.news-site.com/articles/',
-            |              CAST(doc_id % 250 AS STRING))
-            |  ELSE concat(
-            |    CASE WHEN doc_id % 3 = 0 THEN 'HTTP'
-            |         WHEN doc_id % 3 = 1 THEN 'http' ELSE 'hTtp' END,
-            |    '://',
-            |    CASE WHEN doc_id % 2 = 0 THEN 'WWW.News-Site.COM'
-            |         ELSE 'www.news-site.com' END,
-            |    CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END,
-            |    '/articles/', CAST(doc_id % 250 AS STRING),
-            |    CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1&utm_source=rss'
-            |         WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
-            |         WHEN doc_id % 4 = 2 THEN '?utm_campaign=x&a=1&gclid=z&b=2'
-            |         ELSE '?a=1&utm_medium=&b=2' END,
-            |    CASE WHEN doc_id % 6 = 0 THEN '#comments' ELSE '' END)
-            |END""".stripMargin))
-      val canon = TextOps.canonicalizeUrl(raw, "url")
+      val canon = TextOps.canonicalizeUrl(synthUrls(s, dir), "url")
       val w = Window.partitionBy(col("canonical_url"))
       canon.filter(col("canonical_url").isNotNull)
         .withColumn("__min", min(col("doc_id")).over(w))
@@ -442,6 +504,28 @@ object PipelineQueries {
         .unionByName(canon.filter(col("canonical_url").isNull)
           .select(col("doc_id"), col("canonical_url"),
             lit("malformed").as("status"), col("url").as("detail")))
+    }),
+
+    // -- crawl compliance: robots-style policy verdicts over the
+    //    canonical URLs — longest-prefix-wins with allow beating
+    //    disallow on length ties (the published robots.txt
+    //    precedence), default-allow when no rule matches, malformed
+    //    NEVER allowed. Broadcast rule table, one partial-agg struct
+    //    max per id; exact string arithmetic — full oracle. Rules:
+    //    /articles/1* disallowed with a /articles/12* allow carve-out;
+    //    /articles/2* carries an exact allow/disallow TIE (allow must
+    //    win, auditable via rule_prefix). ---------------------------
+    "q_url_policy" -> ((s, dir) => {
+      import s.implicits._
+      val canon = TextOps.canonicalizeUrl(synthUrls(s, dir), "url")
+        .select("doc_id", "canonical_url")
+      val rules = Seq(
+        ("www.news-site.com", "/articles/1", false),
+        ("www.news-site.com", "/articles/12", true),
+        ("www.news-site.com", "/articles/2", true),
+        ("www.news-site.com", "/articles/2", false),
+        ("other.example", "/", false)).toDF("host", "prefix", "allow")
+      TextOps.urlPolicyFilter(canon, "doc_id", "canonical_url", rules)
     }),
 
     // -- quality: compression-ratio signal (the Gopher/RefinedWeb
@@ -2420,53 +2504,7 @@ object PipelineQueries {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_url_canonical" ->
-      """WITH raw AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 97 = 0
-        |      THEN concat('www.news-site.com/articles/',
-        |                  CAST(doc_id % 250 AS VARCHAR))
-        |      ELSE concat(
-        |        CASE WHEN doc_id % 3 = 0 THEN 'HTTP'
-        |             WHEN doc_id % 3 = 1 THEN 'http' ELSE 'hTtp' END,
-        |        '://',
-        |        CASE WHEN doc_id % 2 = 0 THEN 'WWW.News-Site.COM'
-        |             ELSE 'www.news-site.com' END,
-        |        CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END,
-        |        '/articles/', CAST(doc_id % 250 AS VARCHAR),
-        |        CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1&utm_source=rss'
-        |             WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
-        |             WHEN doc_id % 4 = 2 THEN '?utm_campaign=x&a=1&gclid=z&b=2'
-        |             ELSE '?a=1&utm_medium=&b=2' END,
-        |        CASE WHEN doc_id % 6 = 0 THEN '#comments' ELSE '' END)
-        |    END AS url
-        |  FROM documents
-        |), c1 AS (
-        |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM raw
-        |), c2 AS (
-        |  SELECT doc_id, url,
-        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
-        |    lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hp,
-        |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS p0,
-        |    regexp_extract(nf, '\?(.*)$', 1) AS q
-        |  FROM c1
-        |), c3 AS (
-        |  SELECT doc_id, url, sch,
-        |    CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
-        |         WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
-        |         ELSE hp END AS host,
-        |    CASE WHEN p0 = '' THEN '/' ELSE p0 END AS pth,
-        |    array_to_string(list_sort(list_filter(string_split(q, '&'),
-        |      p -> p != '' AND NOT regexp_matches(p,
-        |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=|$)'))), '&') AS ps
-        |  FROM c2
-        |), cc AS (
-        |  SELECT doc_id, url,
-        |    CASE WHEN sch = '' OR host = '' THEN NULL
-        |      ELSE concat(sch, '://', host, pth,
-        |        CASE WHEN ps = '' THEN '' ELSE concat('?', ps) END) END
-        |      AS canonical_url
-        |  FROM c3
-        |), mn AS (
+      s"""$UrlCanonCtes, mn AS (
         |  SELECT doc_id, canonical_url,
         |    min(doc_id) OVER (PARTITION BY canonical_url) AS m
         |  FROM cc WHERE canonical_url IS NOT NULL
@@ -2478,6 +2516,34 @@ object PipelineQueries {
         |UNION ALL
         |SELECT doc_id, canonical_url, 'malformed' AS status, url AS detail
         |FROM cc WHERE canonical_url IS NULL""".stripMargin,
+
+    "q_url_policy" ->
+      s"""$UrlCanonCtes, rules(host, prefix, allow) AS (
+        |  VALUES ('www.news-site.com', '/articles/1', false),
+        |         ('www.news-site.com', '/articles/12', true),
+        |         ('www.news-site.com', '/articles/2', true),
+        |         ('www.news-site.com', '/articles/2', false),
+        |         ('other.example', '/', false)
+        |), m AS (
+        |  SELECT c.doc_id, c.canonical_url, r.prefix, r.allow
+        |  FROM cc c LEFT JOIN rules r
+        |    ON regexp_extract(c.canonical_url,
+        |         '^[a-z][a-z0-9+.-]*://([^/?]*)', 1) = r.host
+        |   AND starts_with(regexp_extract(c.canonical_url,
+        |         '^[a-z][a-z0-9+.-]*://[^/?]*([^?]*)', 1), r.prefix)
+        |), ranked AS (
+        |  SELECT doc_id, canonical_url, prefix, allow,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY length(prefix) DESC NULLS LAST,
+        |               allow DESC NULLS LAST,
+        |               prefix DESC NULLS LAST) AS rn
+        |  FROM m
+        |)
+        |SELECT doc_id, canonical_url,
+        |  CASE WHEN canonical_url IS NULL THEN false
+        |       ELSE coalesce(allow, true) END AS allowed,
+        |  prefix AS rule_prefix, allow AS rule_allow
+        |FROM ranked WHERE rn = 1""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH t AS (

@@ -476,6 +476,35 @@ class TextOpsSpec extends SparkSpec {
       "empty/NULL text has no ratio — the quarantine class, never 0/0")
   }
 
+  test("urlPolicyFilter: longest prefix wins, ties allow, default-allow, malformed never") {
+    import spark.implicits._
+    val rules = Seq(
+      ("site.com", "/a", false),        // disallow /a*
+      ("site.com", "/a/keep", true),    // longer allow carve-out
+      ("site.com", "/t", true),         // exact-length TIE on /t:
+      ("site.com", "/t", false),        //   allow must win
+      ("other.com", "/", false)         // different host entirely
+    ).toDF("host", "prefix", "allow")
+    val urls = Seq(
+      (1L, "http://site.com/a/x"),        // /a matches -> disallowed
+      (2L, "http://site.com/a/keep/y"),   // carve-out outranks /a
+      (3L, "http://site.com/t/z"),        // tie -> allow, auditable
+      (4L, "http://site.com/free"),       // no rule -> default allow
+      (5L, "http://elsewhere.org/a/x"),   // host unruled -> default allow
+      (6L, null.asInstanceOf[String]))    // malformed -> NEVER allowed
+    val out = TextOps.urlPolicyFilter(urls.toDF("id", "url"), "id", "url",
+        rules).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2),
+        if (r.isNullAt(3)) null else r.getString(3)))).toMap
+    assert(out(1L) == ((false, "/a")), s"got ${out(1L)}")
+    assert(out(2L) == ((true, "/a/keep")), "longest prefix must win")
+    assert(out(3L) == ((true, "/t")), "a length tie resolves to ALLOW")
+    assert(out(4L) == ((true, null)), "no matching rule is default-allow")
+    assert(out(5L) == ((true, null)), "an unruled host is default-allow")
+    assert(out(6L) == ((false, null)), "malformed is never allowed")
+    assert(out.size == 6, "exactly one verdict row per input id")
+  }
+
   test("canonicalizeUrl: every rule exact, malformed NULL, identity preserved") {
     import spark.implicits._
     val cases = Seq(

@@ -65,6 +65,16 @@ def main(argv):
                             else argv[argv.index(a) + 1])
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    only = None
+    for a in argv:
+        if a.startswith("--only"):
+            only = set((a.split("=", 1)[1] if "=" in a
+                        else argv[argv.index(a) + 1]).split(","))
+    if only:
+        unknown = only - set(oracle)
+        if unknown:
+            raise SystemExit(f"--only names unknown oracles: {unknown}")
+        oracle = {k: v for k, v in oracle.items() if k in only}
     counts = {"PASS": 0, "FAIL": 0, "TIMEOUT": 0, "ERROR": 0}
     for name in sorted(oracle):
         q = mp.Queue()
