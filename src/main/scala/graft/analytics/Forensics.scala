@@ -385,7 +385,7 @@ object Forensics {
       .agg(
         sum("c").as("n"),
         sum(when(col("ka") === col("kb"), col("c")).otherwise(0L)).as("__diag"))
-      .crossJoin(peNum)
+      .crossJoin(broadcast(peNum))
       .withColumn("po_micro",
         expr("CAST(CAST(__diag AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"))
       .withColumn("pe_micro", expr(
@@ -502,8 +502,8 @@ object Forensics {
     val t = nItems * nMin
     cells
       .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).as("__po_num"))
-      .crossJoin(cells.groupBy("__k").agg(sum("c").as("ck"))
-        .agg(sum(expr("CAST(ck AS DECIMAL(38,0)) * ck")).as("__pe_num")))
+      .crossJoin(broadcast(cells.groupBy("__k").agg(sum("c").as("ck"))
+        .agg(sum(expr("CAST(ck AS DECIMAL(38,0)) * ck")).as("__pe_num"))))
       .select(lit(nItems).as("n_items"), lit(nMin).as("n_raters"),
         expr(s"CAST(__po_num * 1000000 div (CAST(${t}L AS DECIMAL(38,0)) * ${nMin - 1}L) AS BIGINT)")
           .as("po_micro"),

@@ -84,7 +84,12 @@ object Social {
     // with no unpersist hook on the returned lazy plan. The
     // lineage-truncation tradeoff is acceptable here BECAUSE the
     // table is bounded by the very contract being enforced
-    // (|resources|×|activities| with |resources| ≤ 10⁴).
+    // (|resources|×|activities| with |resources| ≤ 10⁴). Caveat for
+    // long-lived returned plans on clusters with dynamic allocation:
+    // localCheckpoint blocks live on executors and are NOT
+    // recomputable after an executor loss (persist() would recover
+    // via lineage) — a caller keeping this plan across executor
+    // churn should consume it promptly or re-invoke on failure.
     val prof = df.groupBy(col(resourceCol).as("__r"),
         col(activityCol).as("__a"))
       .agg(count(lit(1)).as("__c"))

@@ -184,10 +184,13 @@ object MediaFunctions {
     * normalized re-master, audio's re-encode analogue) preserves the
     * fingerprint BIT-FOR-BIT — executed law; a localized click
     * touches one cell → ≤ 2 flipped bits, the dHash argument. NULL
-    * on an empty clip. Overflow-bounded: |sample| ≤ 32768 and cells
-    * hold ≤ n/72+1 frames, so s·l ≤ 32768·(n/72+1)², inside Int64 for
-    * n ≲ 1.2·10⁹ full-scale samples (≈ 42 hours at 8 kHz) — guarded
-    * LOUD because Array[Int] can physically exceed it.
+    * on an empty clip. No input-magnitude cap: the per-cell
+    * accumulators are Int64 and cannot overflow for ANY Array[Int]
+    * (n < 2³¹ samples × |sample| < 2³¹ ⇒ Σ < 2⁶² per cell) — the
+    * audio path deliberately feeds channel-SUM mixes up to ~2³¹ per
+    * sample — and comparison exactness is delegated to `foldGrid`'s
+    * exact 128-bit cross-multiply, which no cell magnitude can
+    * overflow.
     */
   def ahash64Samples(samples: Array[Int]): java.lang.Long = {
     val n = samples.length

@@ -810,6 +810,15 @@ object Multimodal {
     */
   val MaxVideoFrames = 1000000L
 
+  /** Largest clip id that packs into a long without overflow:
+    * `id * MaxVideoFrames + (MaxVideoFrames - 1) <= Long.MaxValue`.
+    * The packing guard in `mjpegNearDupsFromHashes` raises on anything
+    * above this — `id * 1e6` silently wraps for ids past ~9.2e12, and
+    * the double-division unpack would already mangle ids past ~9.0e9
+    * (2^53 / 1e6) — both failure modes are loud, not silent.
+    */
+  val MaxVideoClipId: Long = (Long.MaxValue - (MaxVideoFrames - 1L)) / MaxVideoFrames
+
   /** Clip-level perceptual near-duplicates over an MJPEG column: two
     * clips pair when at least `minFramePairs` of their decoded
     * keyframes land within `maxHamming` (the same-footage-re-encoded
@@ -855,16 +864,18 @@ object Multimodal {
     // be nonnegative and frame index under the packing bound, else two
     // distinct (clip, frame) keys would collide silently
     val packed = fh.select(
-      when(col("id") >= 0 && col("frameIdx") < lit(MaxVideoFrames),
+      when(col("id").between(0L, MaxVideoClipId) &&
+          col("frameIdx") < lit(MaxVideoFrames),
         col("id") * lit(MaxVideoFrames) + col("frameIdx"))
         .otherwise(expr(
-          s"raise_error('mjpegNearDups: clip ids must be >= 0 and " +
-            s"frame index < $MaxVideoFrames to pack into the banding " +
-            "key')").cast("long")).as("fk"),
+          s"raise_error('mjpegNearDups: clip ids must be in [0, " +
+            s"$MaxVideoClipId] and frame index < $MaxVideoFrames to " +
+            "pack into the banding key')").cast("long")).as("fk"),
       col("dhash64").as("dh"))
+    // integer `div`, not `/`: double division loses exactness past 2^53
     hashNearDups(packed, "fk", "dh", maxHamming)
-      .select((col("id_a") / MaxVideoFrames).cast("long").as("clip_a"),
-        (col("id_b") / MaxVideoFrames).cast("long").as("clip_b"),
+      .select(expr(s"id_a div ${MaxVideoFrames}L").as("clip_a"),
+        expr(s"id_b div ${MaxVideoFrames}L").as("clip_b"),
         col("hamming"))
       .filter(col("clip_a") =!= col("clip_b"))
       .select(least(col("clip_a"), col("clip_b")).as("id_a"),

@@ -745,7 +745,7 @@ object TextOps {
     val spine = spark.range(nBins).select(col("id").as("bin"))
     spine
       .join(binned, Seq("bin"), "left")
-      .crossJoin(tot)
+      .crossJoin(broadcast(tot))
       .withColumn("n", coalesce(col("n"), lit(0L)))
       .withColumn("n_pos", coalesce(col("n_pos"), lit(0L)))
       .withColumn("ece_micro",
@@ -877,9 +877,9 @@ object TextOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val buckets = perScore
       .withColumn("__cum_n", sum("c").over(w))
-      .crossJoin(perScore.agg(
+      .crossJoin(broadcast(perScore.agg(
         sum("c").as("__N"),
-        sum("cp").as("__P")))
+        sum("cp").as("__P"))))
       .withColumn("bucket",
         expr(s"((__cum_n - c) * ${nBuckets}L) div __N"))
       .groupBy("bucket")

@@ -654,13 +654,13 @@ object PipelineQueries {
         .withColumn("is_en", col("lang") === "en")
       TextOps.aucRoc(scored, "is_en", "score_micro")
         .select(col("auc_micro"))
-        .crossJoin(TextOps.prCurve(scored, "is_en", "score_micro")
-          .agg(max("f1_micro").as("best_f1_micro")))
-        .crossJoin(TextOps.calibration(scored, "is_en", "score_micro")
-          .agg(max("ece_micro").as("ece_micro")))
-        .crossJoin(TextOps.liftCurve(scored, "is_en", "score_micro")
+        .crossJoin(broadcast(TextOps.prCurve(scored, "is_en", "score_micro")
+          .agg(max("f1_micro").as("best_f1_micro"))))
+        .crossJoin(broadcast(TextOps.calibration(scored, "is_en", "score_micro")
+          .agg(max("ece_micro").as("ece_micro"))))
+        .crossJoin(broadcast(TextOps.liftCurve(scored, "is_en", "score_micro")
           .filter(col("bucket") === 0)
-          .select(col("lift_micro").as("lift_top_micro")))
+          .select(col("lift_micro").as("lift_top_micro"))))
     }),
 
     // -- training prep: DPO-style preference pairs — per source the

@@ -484,4 +484,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.splitMjpeg(cut).isEmpty,
       "a malformed frame must not resync into the following garbage")
   }
+
+  test("MJPEG: packed banding key is exact at the Long boundary, loud past it") {
+    import spark.implicits._
+    // the largest packable clip id: id * 1e6 + frameIdx brushes
+    // Long.MaxValue. Integer `div` must recover BOTH huge ids exactly —
+    // the old double-division unpack loses the last bits past 2^53 and
+    // can return the NEIGHBOURING clip id.
+    val big = Multimodal.MaxVideoClipId
+    val fh = Seq(
+      Multimodal.FrameHash(big, 0, 1, Some(0x1234L), decoded = true),
+      Multimodal.FrameHash(big - 1L, 0, 1, Some(0x1234L), decoded = true))
+      .toDS()
+    val rows = Multimodal.mjpegNearDupsFromHashes(fh, maxHamming = 0).collect()
+    assert(rows.length == 1, s"exactly one twin pair, got ${rows.toSeq}")
+    assert(rows.head.getLong(0) == big - 1L && rows.head.getLong(1) == big,
+      s"unpacked clip ids must be exact at the boundary: ${rows.head}")
+    // one past the bound: the pack would overflow Long — guard raises
+    // instead of wrapping silently
+    val over = Seq(
+      Multimodal.FrameHash(big + 1L, 0, 1, Some(0L), decoded = true),
+      Multimodal.FrameHash(0L, 0, 1, Some(0L), decoded = true)).toDS()
+    val e = intercept[Exception] {
+      Multimodal.mjpegNearDupsFromHashes(over, maxHamming = 0).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("mjpegNearDups"),
+      s"overflowing clip id must raise the packing guard, got: $e")
+  }
 }

@@ -55,21 +55,18 @@ def run_one(sf_dir, out_dir, name, sql, q):
 
 
 def main(argv):
-    args = [a for a in argv if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    out_dir = args[1] if len(args) > 1 else "/tmp/verify_sf01_full"
-    timeout = 120.0
-    for a in argv:
-        if a.startswith("--timeout"):
-            timeout = float(a.split("=", 1)[1] if "=" in a
-                            else argv[argv.index(a) + 1])
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("out_dir", nargs="?", default="/tmp/verify_sf01_full")
+    ap.add_argument("--timeout", type=float, default=120.0)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated oracle names")
+    ns = ap.parse_args(argv)
+    sf_dir, out_dir, timeout = ns.sf_dir, ns.out_dir, ns.timeout
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
-    only = None
-    for a in argv:
-        if a.startswith("--only"):
-            only = set((a.split("=", 1)[1] if "=" in a
-                        else argv[argv.index(a) + 1]).split(","))
+    only = set(ns.only.split(",")) if ns.only else None
     if only:
         unknown = only - set(oracle)
         if unknown:
