@@ -52,9 +52,15 @@ object Bench {
     // the time) — pinned here so a real plan regression in the
     // multimodal header parse / quality rules / decontamination
     // broadcast becomes distinguishable from ambient contention.
+    // q_hybrid_rrf_ann (r14): rows-only pinned — no oracle backstop —
+    // and >2× in two consecutive graded windows (r12, r13), both
+    // adjudicated smear; its band alone is noisy, so a real perf
+    // cliff in the RRF/ANN fusion is only catchable by an always-min
+    // reading.
     val canaries = Set("q_filter_lifecycle", "q_filter_range",
       "q_project_rename", "q_ts_trunc", "q_null_fill", "q_enum_remap",
-      "q_multimodal_meta", "q_quality_rules", "q_decontaminate")
+      "q_multimodal_meta", "q_quality_rules", "q_decontaminate",
+      "q_hybrid_rrf_ann")
     // Each query runs twice and the SECOND timing is kept: run-to-run
     // variance at sf0.1 is ~±1 s per query (VERDICT r2), which would
     // mask real regressions on sub-second queries; the first run eats

@@ -93,6 +93,55 @@ object MediaFunctions {
     foldGrid(s, l)
   }
 
+  /** Exact 8×8 integer mean-luma grid: BT.601 integer luma summed per
+    * relative-position cell, floor-divided by the cell's pixel count.
+    * The scene-cut detector's frame descriptor — exact integers so
+    * identical rasters (repeated frames, or the same raster
+    * re-encoded losslessly) produce IDENTICAL grids and a zero
+    * distance, deterministically.
+    */
+  def lumaGrid64(img: java.awt.image.BufferedImage): Array[Long] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val s = new Array[Long](64)
+    val l = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val row = (y.toLong * 8L / h).toInt * 8
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)) / 1000L
+        val k = row + (x.toLong * 8L / w).toInt
+        s(k) += luma
+        l(k) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      out(i) = if (l(i) == 0L) 0L else s(i) / l(i)
+      i += 1
+    }
+    out
+  }
+
+  /** L1 distance between two `lumaGrid64` grids: Σ|aᵢ − bᵢ| over the
+    * 64 cells — range [0, 16320] (64 × 255). The scene-cut statistic.
+    */
+  def lumaGridDist(a: Array[Long], b: Array[Long]): Long = {
+    var d = 0L
+    var i = 0
+    while (i < 64) {
+      d += math.abs(a(i) - b(i))
+      i += 1
+    }
+    d
+  }
+
   /** 64-bit PIXEL-DOMAIN pHash (the DCT member of the perceptual
     * family — pHash.org's classic recipe): BT.601 integer luma
     * resampled onto a 32×32 grid by relative position, 2D DCT-II,

@@ -804,6 +804,96 @@ object Multimodal {
     }(Encoders.product[FrameHash])
   }
 
+  /** SCENE-CHANGE keyframe selection over an MJPEG binary column —
+    * the content-driven alternative to `videoKeyframeHashes`'s fixed
+    * cadence: every frame is decoded, its exact 8×8 integer mean-luma
+    * grid (`MediaFunctions.lumaGrid64`) is compared to the
+    * IMMEDIATELY PREVIOUS frame's, and a frame is kept iff it opens
+    * the clip or its L1 grid distance ≥ `minSceneDiff` (a scene cut).
+    * Repeated/static frames inside a scene are skipped — distance 0
+    * by the exact-integer grid contract.
+    *
+    * The property this buys over cadence sampling is ALIGNMENT
+    * INVARIANCE: cadence keyframes are positional (frames 0, k, 2k…),
+    * so a twin clip missing ONE lead-in frame samples entirely
+    * different content and `mjpegNearDups` can miss it outright; scene
+    * keyframes are chosen by CONTENT, so the same cuts are selected at
+    * shifted positions and the twin still pairs at full support —
+    * executed law in MultimodalSpec (the cadence arm demonstrably
+    * misses the same planted twin).
+    *
+    * Contract mirrors `videoKeyframeHashes`: null/short payload and
+    * frameless clips quarantine as ONE loud fallback row; a mid-clip
+    * frame the codec refuses is emitted LOUD (byte-kernel hash,
+    * decoded = false) and treated as an unknown cut — the scene state
+    * resets, so the next decodable frame starts a new scene rather
+    * than silently extending the last one.
+    *
+    * Scale shape: map-only like the cadence arm — decode happens where
+    * the clip sits, one clip in flight per task, and only (id,
+    * frameIdx, 8-byte hash) rows leave the map side. The arm decodes
+    * EVERY frame (that is what content selection costs) but emits only
+    * scene starts, so the banding exchange is bounded by the clip's
+    * CUT count, not its length — on real footage (long static scenes)
+    * strictly fewer rows than any cadence that could catch the cuts.
+    */
+  def videoSceneKeyframeHashes(df: DataFrame, idCol: String,
+      mediaCol: String, minSceneDiff: Long,
+      headerBytes: Int = 0): Dataset[FrameHash] = {
+    require(minSceneDiff >= 1L,
+      s"videoSceneKeyframeHashes: minSceneDiff >= 1, got $minSceneDiff")
+    require(headerBytes >= 0,
+      s"videoSceneKeyframeHashes: headerBytes >= 0, got $headerBytes")
+    val pruned = df.select(col(idCol), col(mediaCol))
+    pruned.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.length <= headerBytes)
+          Iterator(FrameHash(id, -1, 0, None, decoded = false))
+        else {
+          val payload =
+            if (headerBytes == 0) bytes
+            else java.util.Arrays.copyOfRange(bytes, headerBytes, bytes.length)
+          val frames = splitMjpeg(payload)
+          if (frames.isEmpty)
+            Iterator(FrameHash(id, -1, 0,
+              Option(graft.functions.MediaFunctions.dhash64Bytes(payload, 0))
+                .map(Long.unbox), decoded = false))
+          else {
+            var prev: Array[Long] = null
+            frames.iterator.zipWithIndex.flatMap { case (f, idx) =>
+              val img =
+                try {
+                  val i = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(f))
+                  if (i != null && i.getWidth > 0 && i.getHeight > 0) i
+                  else null
+                } catch { case scala.util.control.NonFatal(_) => null }
+              if (img == null) {
+                prev = null // unknown cut: next decodable frame is kept
+                Iterator(FrameHash(id, idx, frames.length,
+                  Option(graft.functions.MediaFunctions.dhash64Bytes(f, 0))
+                    .map(Long.unbox), decoded = false))
+              } else {
+                val grid = graft.functions.MediaFunctions.lumaGrid64(img)
+                val cut = prev == null ||
+                  graft.functions.MediaFunctions.lumaGridDist(prev, grid) >=
+                    minSceneDiff
+                prev = grid
+                if (cut)
+                  Iterator(FrameHash(id, idx, frames.length,
+                    Some(graft.functions.MediaFunctions.dhash64Pixels(img)),
+                    decoded = true))
+                else Iterator.empty
+              }
+            }
+          }
+        }
+      }
+    }(Encoders.product[FrameHash])
+  }
+
   /** Frame positions fit under this bound so (clip, frame) packs into
     * one long for the banding join — an MJPEG container holding a
     * million frames is a caller error, not a workload.

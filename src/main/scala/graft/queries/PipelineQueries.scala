@@ -60,6 +60,105 @@ object PipelineQueries {
       |  FROM p
       |), e AS MATERIALIZED (SELECT src, dst FROM r WHERE rnk <= 3)""".stripMargin
 
+  /** Sub-quadratic bigram-overlap CTEs, ending at
+    * `ix(id_a, id_b, shared, la, lb)` — one row per document pair
+    * sharing AT LEAST ONE distinct bigram, with the exact distinct-
+    * intersection size and both set sizes.
+    *
+    * This is the r14 sweep rescue: the original all-pairs form
+    * (`t a JOIN t b ON a.doc_id < b.doc_id` + two `list_intersect`
+    * calls per pair) is quadratic in documents — 12.5M intersects at
+    * sf0.1 — and timed out DuckDB's 120 s sweep budget on every oracle
+    * that embeds it. The inverted-index form unnests the distinct
+    * grams once and self-joins the postings on the gram (Σf² work —
+    * the SAME bound the Spark tier's scaladoc documents for its own
+    * postings join), so `count(*)` per (id_a, id_b) group ≡
+    * `len(list_intersect(a.grams, b.grams))` on the distinct lists.
+    * COMPLETE for any POSITIVE similarity threshold: a pair sharing
+    * zero grams has jaccard/containment 0 (or the empty∪empty 0/0
+    * NULL the all-pairs form also dropped) and cannot pass. Every CTE
+    * is MATERIALIZED — the dedup-cluster oracles reference the pair
+    * table from a RECURSIVE reachability step, and DuckDB's default
+    * CTE inlining re-derives the whole index per iteration (the
+    * `pageRankStepCtes` lesson). Downstream similarity doubles are
+    * the SAME integers through the SAME single divide as the
+    * all-pairs form, so values stay bit-equal.
+    *
+    * `langBlocked` adds the `a.lang = b.lang` blocking of the
+    * language-tiered dedup queries (lang is per-document, so carrying
+    * it on the posting and equi-joining it is the same constraint).
+    */
+  private def gramIndexCtes(langBlocked: Boolean): String = {
+    val langCol = if (langBlocked) ", lang" else ""
+    val langJoin = if (langBlocked) " AND a.lang = b.lang" else ""
+    s"""t AS MATERIALIZED (
+      |  SELECT doc_id$langCol,
+      |    list_distinct(CASE WHEN len(toks) >= 2
+      |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |      ELSE [] END) AS grams
+      |  FROM (SELECT doc_id$langCol, string_split(text, ' ') AS toks FROM documents)
+      |), post AS MATERIALIZED (
+      |  SELECT doc_id$langCol, len(grams) AS lg, unnest(grams) AS g FROM t
+      |), ix AS MATERIALIZED (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+      |    any_value(a.lg) AS la, any_value(b.lg) AS lb
+      |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id$langJoin
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+  }
+
+  /** The jaccard-thresholded pair CTE over `gramIndexCtes`'s `ix`:
+    * `p(id_a, id_b, jaccard)` with jaccard ≥ `thresh` (must be > 0
+    * for the inverted-index completeness argument).
+    */
+  private def jaccardPairCte(thresh: String): String =
+    s"""p AS MATERIALIZED (
+      |  SELECT id_a, id_b,
+      |    CAST(shared AS DOUBLE) / CAST(la + lb - shared AS DOUBLE) AS jaccard
+      |  FROM ix
+      |  WHERE CAST(shared AS DOUBLE) / CAST(la + lb - shared AS DOUBLE) >= $thresh
+      |)""".stripMargin
+
+  /** The dedup-cluster reachability fixpoint over the UNBLOCKED 0.5
+    * jaccard tier, ending at `reach(node, r)` — the shared prefix of
+    * every cluster-keyed oracle (q_dedup_clusters and its consumers:
+    * soft weights, weighted mix, cluster splits). Must follow a
+    * `WITH RECURSIVE`. `edges` is MATERIALIZED for the same reason as
+    * the index CTEs: the recursive step references it every iteration.
+    */
+  private lazy val DedupReachCtes: String =
+    s"""${gramIndexCtes(langBlocked = false)},
+      |${jaccardPairCte("0.5")},
+      |edges AS MATERIALIZED (
+      |  SELECT id_a AS src, id_b AS dst FROM p
+      |  UNION SELECT id_b, id_a FROM p
+      |), reach AS (
+      |  SELECT src AS node, src AS r FROM edges
+      |  UNION
+      |  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+      |)""".stripMargin
+
+  /** The curation-tier duplicate-victim CTEs: the same inverted-index
+    * rescue as `gramIndexCtes`, but scoped to the quality-passed
+    * subset `g(doc_id, lang, grams)` that precedes it, lang-blocked,
+    * ending at `dup(doc_id)` — the b-side (higher doc_id) of every
+    * pair at jaccard ≥ 0.5, exactly the victims the all-pairs form
+    * emitted. Shared by q_curation / q_curation_lsh / q_prep_pipeline.
+    */
+  private lazy val CurationDupCtes: String =
+    s"""gpost AS MATERIALIZED (
+      |  SELECT doc_id, lang, len(grams) AS lg, unnest(grams) AS gr FROM g
+      |), gix AS MATERIALIZED (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+      |    any_value(a.lg) AS la, any_value(b.lg) AS lb
+      |  FROM gpost a JOIN gpost b
+      |    ON a.gr = b.gr AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), dup AS MATERIALIZED (
+      |  SELECT DISTINCT id_b AS doc_id FROM gix
+      |  WHERE CAST(shared AS DOUBLE) / CAST(la + lb - shared AS DOUBLE) >= 0.5
+      |)""".stripMargin
+
   /** The nodes/deg/pr0 + unrolled-iteration CTE chain of the exact
     * integer PageRank, over whatever CTE named `e` (src, dst) precedes
     * it — shared by the kNN-graph oracle (q_pagerank) and the word
@@ -1523,15 +1622,29 @@ object PipelineQueries {
           val self =
             if (k % 11 == 0) (id, java.util.Arrays.copyOf(clip, 50))
             else (id, clip)
-          if (k % 5 == 0 && k % 11 != 0)
-            Iterator(self, (id + 1000000L, Multimodal.reencodeMjpeg(clip, 0.5f)))
-          else Iterator(self)
+          val twins =
+            (if (k % 5 == 0 && k % 11 != 0)
+              Iterator((id + 1000000L, Multimodal.reencodeMjpeg(clip, 0.5f)))
+            else Iterator.empty) ++
+              // r14: cadence-SHIFTED twin — the re-encode missing its
+              // lead-in frame; positional (every-k) sampling reads
+              // disjoint content and misses it, scene keyframes pair
+              // it at full 5-scene support (MultimodalSpec law)
+              (if (k % 7 == 0 && k % 11 != 0)
+                Iterator((id + 2000000L, Multimodal.reencodeMjpeg(
+                  Multimodal.synthMjpeg((1 until 6).map(f => id * 100L + f)),
+                  0.5f)))
+              else Iterator.empty)
+          Iterator(self) ++ twins
         }).toDF("doc_id", "media")
       // decode ONCE: keyframe hashes materialize eagerly and feed BOTH
       // the banding pairs and the clip-status scan — the composition
-      // the mjpegNearDups scaladoc tells a production pipeline to run
-      val fh = Multimodal.videoKeyframeHashes(media, "doc_id", "media",
-        every = 2).localCheckpoint()
+      // the mjpegNearDups scaladoc tells a production pipeline to run.
+      // Scene-change selection (not cadence): all six fixture frames
+      // are distinct scenes, and ONLY content-driven keyframes catch
+      // the shifted twins planted above.
+      val fh = Multimodal.videoSceneKeyframeHashes(media, "doc_id", "media",
+        minSceneDiff = 100L).localCheckpoint()
       val clipDecoded = fh.groupBy(col("id").as("doc_id"))
         .agg(max(when(col("decoded"), 1).otherwise(0)).as("__dec"))
       val cc = Dedup.connectedComponents(
@@ -2546,78 +2659,35 @@ object PipelineQueries {
         |FROM ranked WHERE rn = 1""".stripMargin,
 
     "q_ngram_jaccard" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-        |      ELSE [] END) AS grams
-        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
-        |), p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |      CAST(len(a.grams) + len(b.grams)
-        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
-        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |)
-        |SELECT * FROM p WHERE jaccard >= 0.5""".stripMargin,
+      s"""WITH ${gramIndexCtes(langBlocked = true)},
+        |${jaccardPairCte("0.5")}
+        |SELECT * FROM p""".stripMargin,
 
-    // shared >= 1 before the threshold keeps 0/0 (two empty gram sets
-    // meeting in the DuckDB all-pairs form) out of the filter
+    // the inverted index only surfaces shared >= 1 pairs — exactly the
+    // rows the all-pairs form's `shared >= 1` guard kept (two empty
+    // gram sets can never share a posting)
     "q_ngram_containment" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-        |      ELSE [] END) AS grams
-        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
-        |), p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS shared,
-        |    least(len(a.grams), len(b.grams)) AS m
-        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |)
-        |SELECT id_a, id_b, shared,
-        |  CAST(shared AS DOUBLE) / CAST(m AS DOUBLE) AS containment
-        |FROM p WHERE shared >= 1
-        |  AND CAST(shared AS DOUBLE) / CAST(m AS DOUBLE) >= 0.8""".stripMargin,
+      s"""WITH ${gramIndexCtes(langBlocked = true)}
+        |SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+        |  CAST(shared AS DOUBLE) / CAST(least(la, lb) AS DOUBLE) AS containment
+        |FROM ix
+        |WHERE CAST(shared AS DOUBLE) / CAST(least(la, lb) AS DOUBLE) >= 0.8""".stripMargin,
 
     // the banded containment arm is exact by construction — same
     // oracle as the standard arm, verbatim
     "q_ngram_containment_banded" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-        |      ELSE [] END) AS grams
-        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
-        |), p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS shared,
-        |    least(len(a.grams), len(b.grams)) AS m
-        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |)
-        |SELECT id_a, id_b, shared,
-        |  CAST(shared AS DOUBLE) / CAST(m AS DOUBLE) AS containment
-        |FROM p WHERE shared >= 1
-        |  AND CAST(shared AS DOUBLE) / CAST(m AS DOUBLE) >= 0.8""".stripMargin,
+      s"""WITH ${gramIndexCtes(langBlocked = true)}
+        |SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+        |  CAST(shared AS DOUBLE) / CAST(least(la, lb) AS DOUBLE) AS containment
+        |FROM ix
+        |WHERE CAST(shared AS DOUBLE) / CAST(least(la, lb) AS DOUBLE) >= 0.8""".stripMargin,
 
     // the PPJoin arm is exact by construction — same oracle as the
     // standard arm, verbatim
     "q_ngram_jaccard_ppjoin" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-        |      ELSE [] END) AS grams
-        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
-        |), p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |      CAST(len(a.grams) + len(b.grams)
-        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
-        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |)
-        |SELECT * FROM p WHERE jaccard >= 0.5""".stripMargin,
+      s"""WITH ${gramIndexCtes(langBlocked = true)},
+        |${jaccardPairCte("0.5")}
+        |SELECT * FROM p""".stripMargin,
 
     // the audit side of the maxPostingLen cap is plain relational
     // algebra — it carries a full oracle even though the capped join
@@ -2642,20 +2712,9 @@ object PipelineQueries {
     // 16x4 banding (LlmDedupSpec gates set equality vs the exact arm).
     // Same oracle-borrowing pattern as q_embed_neardup_lsh below.
     "q_minhash_lsh" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-        |      ELSE [] END) AS grams
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |), p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |      CAST(len(a.grams) + len(b.grams)
-        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |)
-        |SELECT * FROM p WHERE jaccard >= 0.5""".stripMargin,
+      s"""WITH ${gramIndexCtes(langBlocked = false)},
+        |${jaccardPairCte("0.5")}
+        |SELECT * FROM p""".stripMargin,
 
     "q_text_stats" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -2921,7 +2980,7 @@ object PipelineQueries {
         |FROM s WHERE n_words > 0""".stripMargin,
 
     "q_curation" ->
-      """WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
         |s AS (
         |  SELECT doc_id, lang, source,
         |    CAST(len(toks) AS INTEGER) AS n_tokens,
@@ -2942,13 +3001,7 @@ object PipelineQueries {
         |      THEN list_transform(range(1, len(t.toks)), i -> t.toks[i] || ' ' || t.toks[i+1])
         |      ELSE [] END) AS grams
         |  FROM t JOIN passed USING (doc_id)
-        |), dup AS (
-        |  SELECT DISTINCT b.doc_id AS doc_id
-        |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |        CAST(len(a.grams) + len(b.grams)
-        |             - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
-        |), kept AS (
+        |), $CurationDupCtes, kept AS (
         |  SELECT * FROM passed
         |  WHERE doc_id NOT IN (SELECT doc_id FROM dup)
         |)
@@ -2963,7 +3016,7 @@ object PipelineQueries {
     // equals lang-blocked exact Jaccard"), so the whole pipeline output
     // must be bit-identical to q_curation's.
     "q_curation_lsh" ->
-      """WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
         |s AS (
         |  SELECT doc_id, lang, source,
         |    CAST(len(toks) AS INTEGER) AS n_tokens,
@@ -2984,13 +3037,7 @@ object PipelineQueries {
         |      THEN list_transform(range(1, len(t.toks)), i -> t.toks[i] || ' ' || t.toks[i+1])
         |      ELSE [] END) AS grams
         |  FROM t JOIN passed USING (doc_id)
-        |), dup AS (
-        |  SELECT DISTINCT b.doc_id AS doc_id
-        |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |        CAST(len(a.grams) + len(b.grams)
-        |             - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
-        |), kept AS (
+        |), $CurationDupCtes, kept AS (
         |  SELECT * FROM passed
         |  WHERE doc_id NOT IN (SELECT doc_id FROM dup)
         |)
@@ -4284,21 +4331,9 @@ object PipelineQueries {
     // joined against the decile table — same IEEE doubles, same
     // comparisons, loud zero rows for empty deciles
     "q_dedup_sweep" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-        |      ELSE [] END) AS grams
-        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
-        |), p AS (
-        |  SELECT id_a, id_b, jaccard FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |        CAST(len(a.grams) + len(b.grams)
-        |             - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
-        |    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-        |  WHERE jaccard >= 0.2
-        |), th AS (
+      s"""WITH ${gramIndexCtes(langBlocked = true)},
+        |${jaccardPairCte("0.2")},
+        |th AS (
         |  SELECT CAST(unnest(range(2, 11)) AS INTEGER) AS th_decile
         |), pg AS (
         |  SELECT th_decile, CAST(count(*) AS BIGINT) AS pairs_ge
@@ -4321,21 +4356,9 @@ object PipelineQueries {
     // at the 0.3 floor, text joined back, DuckDB's levenshtein + `//`
     // replaying Spark's banded kernel + `div` bit-for-bit
     "q_editdist_pairs" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-        |      ELSE [] END) AS grams
-        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
-        |), p AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |        CAST(len(a.grams) + len(b.grams)
-        |             - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
-        |    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-        |  WHERE jaccard >= 0.3
-        |), s AS (
+      s"""WITH ${gramIndexCtes(langBlocked = true)},
+        |${jaccardPairCte("0.3")},
+        |s AS (
         |  SELECT p.id_a, p.id_b,
         |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
         |    CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS maxlen
@@ -4350,21 +4373,10 @@ object PipelineQueries {
     // Ensemble dedup evidence: both exact tiers' SQL verbatim, glued
     // by one FULL OUTER JOIN + CASE — absent metrics become -1
     "q_dedup_ensemble" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-        |      ELSE [] END) AS grams
-        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
-        |), lex AS (
-        |  SELECT id_a, id_b, jaccard FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |        CAST(len(a.grams) + len(b.grams)
-        |             - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
-        |    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-        |  WHERE jaccard >= 0.5
-        |), q AS (
+      s"""WITH ${gramIndexCtes(langBlocked = true)},
+        |${jaccardPairCte("0.5")},
+        |lex AS (SELECT id_a, id_b, jaccard FROM p),
+        |q AS (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
         |  FROM embeddings
@@ -5259,7 +5271,7 @@ object PipelineQueries {
     // (exact pairs — the Spark side's LSH arm is fixture-equal),
     // q_chunk's window starts, q_pack_greedy's recursive accumulator
     "q_prep_pipeline" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH RECURSIVE t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
         |s AS (
         |  SELECT doc_id, lang, source,
         |    CAST(len(toks) AS INTEGER) AS n_tokens,
@@ -5280,13 +5292,7 @@ object PipelineQueries {
         |      THEN list_transform(range(1, len(t.toks)), i -> t.toks[i] || ' ' || t.toks[i+1])
         |      ELSE [] END) AS grams
         |  FROM t JOIN passed USING (doc_id)
-        |), dup AS (
-        |  SELECT DISTINCT b.doc_id AS doc_id
-        |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |        CAST(len(a.grams) + len(b.grams)
-        |             - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
-        |), clean AS (
+        |), $CurationDupCtes, clean AS (
         |  SELECT p.doc_id, p.source, t.toks,
         |    CAST(len(t.toks) AS BIGINT) AS nt
         |  FROM passed p JOIN t USING (doc_id)
@@ -5319,26 +5325,7 @@ object PipelineQueries {
     // reachability fixpoint (UNION-distinct recursion) over the same
     // unblocked pair SQL as q_minhash_lsh; cluster = min reachable id
     "q_dedup_clusters" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-        |      ELSE [] END) AS grams
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |), p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |      CAST(len(a.grams) + len(b.grams)
-        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
-        |), edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM p
-        |  UNION SELECT id_b, id_a FROM p
-        |), reach AS (
-        |  SELECT src AS node, src AS r FROM edges
-        |  UNION
-        |  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
-        |)
+      s"""WITH RECURSIVE $DedupReachCtes
         |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY node""".stripMargin,
 
@@ -5346,26 +5333,7 @@ object PipelineQueries {
     // the star-collapse argument, so it carries the same full-corpus
     // reachability oracle verbatim
     "q_dedup_clusters_incremental" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-        |      ELSE [] END) AS grams
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |), p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |      CAST(len(a.grams) + len(b.grams)
-        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
-        |), edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM p
-        |  UNION SELECT id_b, id_a FROM p
-        |), reach AS (
-        |  SELECT src AS node, src AS r FROM edges
-        |  UNION
-        |  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
-        |)
+      s"""WITH RECURSIVE $DedupReachCtes
         |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY node""".stripMargin,
 
@@ -5374,26 +5342,7 @@ object PipelineQueries {
     // on positive BIGINTs); remainder to the min-id member so each
     // cluster sums to exactly 1e6
     "q_soft_dedup" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-        |      ELSE [] END) AS grams
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |), p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |      CAST(len(a.grams) + len(b.grams)
-        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
-        |), edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM p
-        |  UNION SELECT id_b, id_a FROM p
-        |), reach AS (
-        |  SELECT src AS node, src AS r FROM edges
-        |  UNION
-        |  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
-        |), cc AS (
+      s"""WITH RECURSIVE $DedupReachCtes, cc AS (
         |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
         |), lab AS (
         |  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
@@ -5413,26 +5362,7 @@ object PipelineQueries {
     // per-source effective-mass aggregation (floor-scaled integer
     // products; // ≡ div on positive operands)
     "q_weighted_mix" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-        |      ELSE [] END) AS grams
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |), p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |      CAST(len(a.grams) + len(b.grams)
-        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
-        |), edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM p
-        |  UNION SELECT id_b, id_a FROM p
-        |), reach AS (
-        |  SELECT src AS node, src AS r FROM edges
-        |  UNION
-        |  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
-        |), cc AS (
+      s"""WITH RECURSIVE $DedupReachCtes, cc AS (
         |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
         |), lab AS (
         |  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
@@ -5604,26 +5534,7 @@ object PipelineQueries {
     // reachability CTE (exact pairs, fixture-equal to the LSH arm) +
     // the oracle-shared quality composite + row_number per cluster
     "q_dedup_keep_best" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-        |      ELSE [] END) AS grams
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |), p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |      CAST(len(a.grams) + len(b.grams)
-        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
-        |), edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM p
-        |  UNION SELECT id_b, id_a FROM p
-        |), reach AS (
-        |  SELECT src AS node, src AS r FROM edges
-        |  UNION
-        |  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
-        |), cc AS (
+      s"""WITH RECURSIVE $DedupReachCtes, cc AS (
         |  SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |  FROM reach GROUP BY node
         |), s AS (
@@ -5673,26 +5584,7 @@ object PipelineQueries {
     // the LSH arm is fixture-equal, spec-proven) + left join for the
     // singleton clusters + the q_split_assign Weyl cuts on cluster_id
     "q_split_by_cluster" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-        |      ELSE [] END) AS grams
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |), p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |      CAST(len(a.grams) + len(b.grams)
-        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
-        |), edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM p
-        |  UNION SELECT id_b, id_a FROM p
-        |), reach AS (
-        |  SELECT src AS node, src AS r FROM edges
-        |  UNION
-        |  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
-        |), cc AS (
+      s"""WITH RECURSIVE $DedupReachCtes, cc AS (
         |  SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |  FROM reach GROUP BY node
         |), assigned AS (
@@ -5728,26 +5620,7 @@ object PipelineQueries {
     // q_dedup_clusters' reachability CTE keys the split by the
     // cluster representative; singletons key by their own id
     "q_split_leakage_safe" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-        |      ELSE [] END) AS grams
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |), p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |      CAST(len(a.grams) + len(b.grams)
-        |           - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
-        |), edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM p
-        |  UNION SELECT id_b, id_a FROM p
-        |), reach AS (
-        |  SELECT src AS node, src AS r FROM edges
-        |  UNION
-        |  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
-        |), cl AS (
+      s"""WITH RECURSIVE $DedupReachCtes, cl AS (
         |  SELECT node AS doc_id, min(r) AS cluster_id
         |  FROM reach GROUP BY node
         |), rep AS (

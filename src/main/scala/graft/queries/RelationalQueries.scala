@@ -688,8 +688,17 @@ object RelationalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
-    // Skyline replay: the textbook NOT EXISTS dominance predicate —
-    // the quadratic formulation the two-phase sweep avoids.
+    // Skyline replay. r14: the textbook quadratic NOT EXISTS
+    // dominance predicate (the literal definition) timed out the
+    // sf0.1 sweep (22.5G pair comparisons at 150k orders); this
+    // window sweep is provably the same set — a row survives iff no
+    // STRICTLY cheaper row reaches its day (max-day over the integer
+    // RANGE frame ending 1 PRECEDING) and it holds the max day among
+    // its exact price peers (a same-price dominator needs a strictly
+    // later day; exact (price, day) twins all stay — the pinned tie
+    // contract). The definition-level check still exists
+    // independently: SkylineSpec gates the Spark sweep against
+    // literal brute force across 1/7/32-partition fixtures.
     "q_skyline" ->
       """WITH t AS (
         |  SELECT o_orderkey,
@@ -697,13 +706,16 @@ object RelationalQueries {
         |    CAST(date_diff('day', DATE '1990-01-01',
         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS order_day
         |  FROM orders
+        |), w AS (
+        |  SELECT *,
+        |    max(order_day) OVER (ORDER BY price_cents
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper,
+        |    max(order_day) OVER (PARTITION BY price_cents) AS best_same
+        |  FROM t
         |)
-        |SELECT * FROM t a WHERE NOT EXISTS (
-        |  SELECT 1 FROM t b
-        |  WHERE b.price_cents <= a.price_cents
-        |    AND b.order_day >= a.order_day
-        |    AND (b.price_cents < a.price_cents
-        |         OR b.order_day > a.order_day))""".stripMargin,
+        |SELECT o_orderkey, price_cents, order_day FROM w
+        |WHERE (best_cheaper IS NULL OR best_cheaper < order_day)
+        |  AND order_day = best_same""".stripMargin,
 
     // Benford replay: same floor-cents quantization, decimal-string
     // first digit (no log10 anywhere), pinned expectation CASE, the

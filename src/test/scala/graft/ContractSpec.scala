@@ -53,7 +53,7 @@ class ContractSpec extends SparkSpec {
     "q_media_pipeline_phash" -> "the DCT pHash kernel's decoded raster is not SQL-visible; exact sf0.01 fixture arithmetic: 46 quarantined (id%11), 84/90 planted q=0.3 twins within the <=3 complete-banding ball, 6 at exactly hamming 4 kept (median-threshold pHash flips bit-pairs); collision/separation laws gated in MultimodalSpec",
     "q_media_pipeline_audio" -> "javax.sound PCM decode is not SQL-visible; exact sf0.01 fixture arithmetic: 46 quarantined (30-byte header cut), ALL 90 gain-2 twins dup at hamming 0 (sum-mix commutes with integer gain; kernel scale-free by 128-bit cross-multiply), 0 envelope collisions across distinct ids; laws gated in MultimodalSpec",
     "q_compression_ratio" -> "the deflate byte count (JDK Deflater, zlib level 6) is not SQL-visible; driver-rerun bit-determinism / repetitive-below-diverse ordering / worst-case-expansion bound / empty-NULL laws gated in TextOpsSpec",
-    "q_media_pipeline_video" -> "MJPEG container split + codec raster are not SQL-visible; exact sf0.01 fixture arithmetic: 25 clips, 3 frameless-quarantined (50-byte cut), 4 q=0.5 re-encoded twins dup with ALL-3-keyframe support under minFramePairs=2 (single-frame chance pairs measured and excluded by design); split/cadence/truncation laws gated in MultimodalSpec")
+    "q_media_pipeline_video" -> "MJPEG container split + codec raster are not SQL-visible; exact sf0.01 fixture arithmetic (scene-change keyframes, r14): 25 clips, 3 frameless-quarantined (50-byte cut), 4 q=0.5 re-encoded twins dup at FULL 6-scene support, 3 cadence-SHIFTED twins (lead-in frame dropped, then re-encoded) dup at full 5-scene support — the class positional every-k sampling provably misses (MultimodalSpec law shows cadence pairs = 0 on the same twin) — 22 kept, 32 status rows conserving the corpus; minFramePairs=2 still excludes the measured single-frame chance pairs; split/scene/cadence/truncation laws gated in MultimodalSpec")
 
   test("every query has an oracle or a documented rows-only reason") {
     val qs = SparkEntry.queries.keySet

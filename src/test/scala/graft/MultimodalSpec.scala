@@ -485,6 +485,50 @@ class MultimodalSpec extends SparkSpec {
       "a malformed frame must not resync into the following garbage")
   }
 
+  test("MJPEG scene keyframes: content-selected, cadence-shift invariant") {
+    import spark.implicits._
+    // selectivity: a clip of repeated-frame scenes keeps EXACTLY the
+    // scene-opening frames — identical rasters have luma distance 0
+    val sceneClip = Multimodal.synthMjpeg(
+      Seq(11L, 11L, 11L, 22L, 22L, 33L))
+    val kept = Multimodal.videoSceneKeyframeHashes(
+        Seq((1L, sceneClip)).toDF("doc_id", "media"), "doc_id", "media",
+        minSceneDiff = 100L).collect()
+    assert(kept.map(_.frameIdx).sorted.sameElements(Array(0, 3, 5)),
+      s"scene starts are frames 0/3/5, got ${kept.map(_.frameIdx).toSeq}")
+    assert(kept.forall(f => f.decoded && f.nFrames == 6))
+    // alignment invariance: a re-encoded twin MISSING THE LEAD-IN
+    // frame. Cadence every=2 samples disjoint content (0/2/4 vs the
+    // shifted 1/3/5) and misses the twin outright; scene selection
+    // picks the same cuts at shifted positions and pairs at FULL
+    // support (all 5 shared frames are distinct scenes).
+    val distinct6 = (0 until 6).map(k => 500L + k)
+    val orig = Multimodal.synthMjpeg(distinct6)
+    val twinDroppedLead = Multimodal.reencodeMjpeg(
+      Multimodal.synthMjpeg(distinct6.drop(1)), 0.5f)
+    val rows = Seq((1L, orig), (2L, twinDroppedLead)).toDF("doc_id", "media")
+    val cadencePairs = Multimodal.mjpegNearDupsFromHashes(
+      Multimodal.videoKeyframeHashes(rows, "doc_id", "media", every = 2),
+      maxHamming = 3).count()
+    assert(cadencePairs == 0L,
+      s"cadence sampling must MISS the shifted twin (got $cadencePairs pairs)")
+    val scenePairs = Multimodal.mjpegNearDupsFromHashes(
+      Multimodal.videoSceneKeyframeHashes(rows, "doc_id", "media",
+        minSceneDiff = 100L), maxHamming = 3).collect()
+    assert(scenePairs.length == 1 &&
+      scenePairs.head.getLong(0) == 1L && scenePairs.head.getLong(1) == 2L,
+      s"scene keyframes must pair the shifted twin: ${scenePairs.toSeq}")
+    assert(scenePairs.head.getLong(2) == 5L,
+      s"the twin must pair at FULL support (5 shared scenes): " +
+        s"${scenePairs.head.getLong(2)}")
+    // the quarantine contract mirrors the cadence arm
+    val bad = Multimodal.videoSceneKeyframeHashes(
+      Seq((9L, "not a clip".getBytes("UTF-8"))).toDF("doc_id", "media"),
+      "doc_id", "media", minSceneDiff = 100L).collect()
+    assert(bad.length == 1 && bad.head.frameIdx == -1 && !bad.head.decoded,
+      "frameless clip must surface exactly one loud fallback row")
+  }
+
   test("MJPEG: packed banding key is exact at the Long boundary, loud past it") {
     import spark.implicits._
     // the largest packable clip id: id * 1e6 + frameIdx brushes
