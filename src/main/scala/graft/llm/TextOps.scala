@@ -1055,6 +1055,59 @@ object TextOps {
         col("__rule.a").as("rule_allow"))
   }
 
+  /** Per-host politeness scheduler — the crawl tier's FOURTH stage
+    * (canonicalize → frontier-dedup → policy-verdict → schedule):
+    * bucket URLs by canonical host into tumbling `windowSeconds`
+    * windows and give every (host, window) an arrival rank ordered by
+    * (ts, id); the first `perHostQuota` ranks are `scheduled`, the
+    * rest `deferred` — a burst on one host can only defer ITSELF,
+    * because the rank is computed per host (no cross-host resource is
+    * modelled, which is exactly the per-host connection budget every
+    * polite crawler enforces). A NULL canonical (malformed — junk the
+    * frontier gate should already have dropped) is verdicted
+    * `malformed` with NULL host/rank instead of vanishing.
+    *
+    * Integer window arithmetic BY DESIGN: `win_start` is
+    * floor(unix_seconds / W) · W as a BIGINT — exactly replayable in
+    * any engine, no timezone or calendar in the loop.
+    *
+    * Scale shape: host extraction is row-local regexp; ONE Exchange on
+    * (host, win_start) feeds both the rank window and the verdict —
+    * the shuffle carries (id, host, epoch), never page bytes. The
+    * per-partition sort is bounded by one host's arrivals in one
+    * window — the very quantity the quota bounds operationally. The
+    * streaming arm is `EventStream.politenessStream` (same rank, same
+    * verdicts, counts carried in keyed state).
+    */
+  def politenessSchedule(df: DataFrame, canonicalCol: String,
+      idCol: String, tsCol: String, windowSeconds: Long,
+      perHostQuota: Int): DataFrame = {
+    require(windowSeconds >= 1L,
+      s"politenessSchedule: windowSeconds >= 1, got $windowSeconds")
+    require(perHostQuota >= 1,
+      s"politenessSchedule: perHostQuota >= 1, got $perHostQuota")
+    for (c <- Seq("host", "win_start", "host_rank", "status")
+        if df.columns.contains(c))
+      require(false, s"politenessSchedule: '$c' is reserved — rename it")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("host"), col("win_start"))
+      .orderBy(col(tsCol), col(idCol))
+    df.select(col(idCol), col(canonicalCol), col(tsCol),
+        regexp_extract(col(canonicalCol),
+          "^[a-z][a-z0-9+.\\-]*://([^/?]*)", 1).as("host"),
+        expr(s"(unix_timestamp($tsCol) div ${windowSeconds}L) * " +
+          s"${windowSeconds}L").as("win_start"))
+      .withColumn("host", when(col(canonicalCol).isNull, lit(null))
+        .otherwise(col("host")))
+      .withColumn("host_rank",
+        when(col("host").isNull, lit(null).cast("int"))
+          .otherwise(row_number().over(w)))
+      .select(col(idCol), col("host"), col("win_start"), col("host_rank"),
+        when(col("host").isNull, lit("malformed"))
+          .when(col("host_rank") <= perHostQuota, lit("scheduled"))
+          .otherwise(lit("deferred")).as("status"))
+  }
+
   /** One compression-ratio row: ratio_micro = floor(compressed ·
     * 1e6 / raw) — LOW means the text is repetitive boilerplate (it
     * compresses away), HIGH means prose-like entropy; NULL for an

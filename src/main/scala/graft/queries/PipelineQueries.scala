@@ -627,6 +627,31 @@ object PipelineQueries {
       TextOps.urlPolicyFilter(canon, "doc_id", "canonical_url", rules)
     }),
 
+    // -- crawl scheduling: per-host politeness quota over tumbling
+    //    windows — the crawl tier's fourth stage (canonicalize →
+    //    frontier → policy → SCHEDULE). Multi-host synth feed with a
+    //    planted single-window BURST on host0 (which can only defer
+    //    ITSELF — every other host's ranks are untouched, the
+    //    starvation-freedom shape the streaming law executes) and the
+    //    %97 malformed plant; exact integer window/rank arithmetic —
+    //    full oracle. -------------------------------------------------
+    "q_url_politeness" -> ((s, dir) => {
+      val feed = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("url", expr(
+          """CASE WHEN doc_id % 97 = 0
+            |  THEN concat('host', CAST(doc_id % 5 AS STRING),
+            |              '.example/p/', CAST(doc_id AS STRING))
+            |  ELSE concat('https://host', CAST(doc_id % 5 AS STRING),
+            |              '.example/p/', CAST(doc_id AS STRING))
+            |END""".stripMargin))
+        .withColumn("ts", expr(
+          """timestamp_seconds(1704067200 + CASE WHEN doc_id % 5 = 0
+            |  THEN doc_id % 300 ELSE doc_id % 2400 END)""".stripMargin))
+      TextOps.politenessSchedule(
+        TextOps.canonicalizeUrl(feed, "url"), "canonical_url",
+        "doc_id", "ts", windowSeconds = 600L, perHostQuota = 8)
+    }),
+
     // -- quality: compression-ratio signal (the Gopher/RefinedWeb
     //    repetition filter — deflate bytes over raw bytes in exact
     //    micro-units; codec-bound mapPartitions with one reused
@@ -2657,6 +2682,35 @@ object PipelineQueries {
         |       ELSE coalesce(allow, true) END AS allowed,
         |  prefix AS rule_prefix, allow AS rule_allow
         |FROM ranked WHERE rn = 1""".stripMargin,
+
+    // politeness replay: the synth feed's URLs are already canonical
+    // (clean scheme/host/path, no query/fragment), so the host
+    // shortcut below IS the canonicalizer's output on them; integer
+    // floor-window + row_number ORDER BY (tsec, doc_id) replays the
+    // Spark rank bit-for-bit
+    "q_url_politeness" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 THEN NULL
+        |         ELSE concat('host', CAST(doc_id % 5 AS VARCHAR),
+        |                     '.example') END AS host,
+        |    1704067200 + CASE WHEN doc_id % 5 = 0
+        |      THEN doc_id % 300 ELSE doc_id % 2400 END AS tsec
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, host,
+        |    CAST((tsec // 600) * 600 AS BIGINT) AS win_start,
+        |    CASE WHEN host IS NULL THEN NULL
+        |         ELSE CAST(row_number() OVER (
+        |           PARTITION BY host, (tsec // 600) * 600
+        |           ORDER BY tsec, doc_id) AS INTEGER) END AS host_rank
+        |  FROM raw
+        |)
+        |SELECT doc_id, host, win_start, host_rank,
+        |  CASE WHEN host IS NULL THEN 'malformed'
+        |       WHEN host_rank <= 8 THEN 'scheduled'
+        |       ELSE 'deferred' END AS status
+        |FROM r""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH ${gramIndexCtes(langBlocked = true)},

@@ -1025,6 +1025,66 @@ object EventStream {
         col("seen_id"))
   }
 
+  final case class FrontierArrival(host: String, docId: Long, ts: Timestamp)
+  final case class PolitenessVerdict(host: String, winStart: Long,
+                                     docId: Long, hostRank: Int,
+                                     scheduled: Boolean)
+
+  /** Streaming per-host politeness scheduler — the unbounded arm of
+    * `TextOps.politenessSchedule` and the crawl tier's fourth stage:
+    * accepted frontier arrivals are keyed by (host, tumbling
+    * `windowSeconds` window) and ranked in arrival order; the first
+    * `perHostQuota` ranks in each (host, window) are `scheduled`,
+    * later ones `deferred`. Keys are independent BY CONSTRUCTION, so
+    * a burst on one host consumes only its OWN window quota and can
+    * never starve another host — the executed StreamingSpec law.
+    *
+    * State per open (host, window) is ONE counter (the quota already
+    * used), freed by event-time timeout when the watermark passes the
+    * window end — state is bounded by hosts × open windows, the same
+    * bound as any windowed aggregate. Verdicts emit AS ARRIVALS COME
+    * (append mode) — a scheduler that only answered at window close
+    * would be useless to the fetcher waiting on it.
+    *
+    * Ordering contract (the `funnelStream`/`packStream` convention):
+    * within a micro-batch the group sorts by (ts, docId); the fold
+    * equals the batch twin whenever each key's arrivals are delivered
+    * in event-time order ACROSS batches — and the law gates rank
+    * continuity across a batch boundary (the second batch's ranks
+    * continue where the first stopped, from state, not from 1).
+    */
+  def politenessStream(urls: Dataset[FrontierArrival], windowSeconds: Long,
+                       perHostQuota: Int,
+                       watermarkDelay: String = "10 minutes")
+  : Dataset[PolitenessVerdict] = {
+    require(windowSeconds >= 1L,
+      s"politenessStream: windowSeconds >= 1, got $windowSeconds")
+    require(perHostQuota >= 1,
+      s"politenessStream: perHostQuota >= 1, got $perHostQuota")
+    import urls.sparkSession.implicits._
+    urls
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(u => (u.host,
+        u.ts.getTime / 1000L / windowSeconds * windowSeconds))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (String, Long), it: Iterator[FrontierArrival],
+         state: GroupState[Long]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var used = state.getOption.getOrElse(0L)
+            val out = it.toSeq.sortBy(u => (u.ts.getTime, u.docId)).map { u =>
+              used += 1L
+              PolitenessVerdict(key._1, key._2, u.docId, used.toInt,
+                scheduled = used <= perHostQuota)
+            }
+            state.update(used)
+            // free the counter once the watermark passes the window end
+            state.setTimeoutTimestamp((key._2 + windowSeconds) * 1000L)
+            out.iterator
+          }
+        })
+  }
+
   /** Micro-batch XES sink: every micro-batch of an event-log-shaped
     * stream lands as one sharded XES directory (`batch-<id>/part-*`),
     * written fully distributed by `XesWriter.writeShards` — no driver

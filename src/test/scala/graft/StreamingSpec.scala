@@ -1305,4 +1305,62 @@ class StreamingSpec extends SparkSpec {
         s"the planted drift window must flag with its unseen mass: $drifted")
     } finally wq.stop()
   }
+
+  test("politeness scheduler: burst host defers only itself, quota exact across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStream.{FrontierArrival, PolitenessVerdict}
+    val in = MemoryStream[FrontierArrival]
+    val out = EventStream.politenessStream(in.toDS(), windowSeconds = 600L,
+      perHostQuota = 3, watermarkDelay = "5 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("polite_out").start()
+    try {
+      // batch 1: a 5-arrival BURST on host a (quota 3) and two quiet
+      // arrivals on host b, all inside the same 10:00 window
+      in.addData(
+        (1 to 5).map(i => FrontierArrival("a.example", i.toLong,
+          ts(s"2024-01-01 10:0$i:00"))) ++
+          Seq(FrontierArrival("b.example", 21L, ts("2024-01-01 10:02:00")),
+            FrontierArrival("b.example", 22L, ts("2024-01-01 10:03:00"))): _*)
+      q.processAllAvailable()
+      def rows = spark.table("polite_out").as[PolitenessVerdict].collect()
+      val b1 = rows.map(v => v.docId -> ((v.hostRank, v.scheduled))).toMap
+      assert((1 to 3).forall(i => b1(i.toLong) == ((i, true))) &&
+        b1(4L) == ((4, false)) && b1(5L) == ((5, false)),
+        s"burst host: first 3 scheduled, 4/5 deferred: $b1")
+      assert(b1(21L) == ((1, true)) && b1(22L) == ((2, true)),
+        s"the quiet host is never starved by the burst next door: $b1")
+      // batch 2: rank continuity from STATE (not from 1) in the same
+      // window, and a fresh quota in the NEXT window
+      in.addData(
+        FrontierArrival("a.example", 6L, ts("2024-01-01 10:07:00")),
+        FrontierArrival("b.example", 23L, ts("2024-01-01 10:12:00")))
+      q.processAllAvailable()
+      val b2 = rows.map(v => v.docId -> ((v.hostRank, v.scheduled))).toMap
+      assert(b2(6L) == ((6, false)),
+        s"cross-batch continuation: rank 6 from state, deferred: $b2")
+      assert(b2(23L) == ((1, true)),
+        s"a new window starts a fresh per-host quota: $b2")
+      // batch-twin agreement: the batch scheduler over the SAME
+      // arrivals (as canonical URLs, with their original event times)
+      // produces the same verdicts
+      val orig = Seq(
+        (1L, "2024-01-01 10:01:00"), (2L, "2024-01-01 10:02:00"),
+        (3L, "2024-01-01 10:03:00"), (4L, "2024-01-01 10:04:00"),
+        (5L, "2024-01-01 10:05:00"), (6L, "2024-01-01 10:07:00"),
+        (21L, "2024-01-01 10:02:00"), (22L, "2024-01-01 10:03:00"),
+        (23L, "2024-01-01 10:12:00")).map { case (id, t) =>
+        (id, s"https://${if (id < 20) "a.example" else "b.example"}/p/$id",
+          ts(t))
+      }.toDF("doc_id", "canonical_url", "ts")
+      val batchTwin = graft.llm.TextOps.politenessSchedule(orig,
+          "canonical_url", "doc_id", "ts", windowSeconds = 600L,
+          perHostQuota = 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(3), r.getString(4) == "scheduled"))).toMap
+      assert(batchTwin == b2,
+        s"stream fold must equal the batch twin: $batchTwin vs $b2")
+    } finally q.stop()
+  }
 }
