@@ -1108,6 +1108,140 @@ object TextOps {
           .otherwise(lit("deferred")).as("status"))
   }
 
+  /** The RE2/Java-common link matcher `hostLinkGraph` extracts with:
+    * a scheme token at a word boundary, then everything up to
+    * whitespace or an HTML delimiter. Case-insensitive so the messy
+    * `HTTP://Host` forms the canonicalizer absorbs are FOUND, not
+    * silently skipped at extraction.
+    */
+  val LinkPattern = "(?i)\\bhttps?://[^\\s\"<>]+"
+
+  /** Host-level link graph — the crawl tier's FIFTH stage and the
+    * input every frontier-prioritization signal (host authority,
+    * spam-farm detection) is computed from: extract the outlinks of
+    * each page body, canonicalize them with the SAME rules the
+    * frontier dedups on (one canonicalizer, one notion of identity),
+    * and collapse to host→host edges. Output: one row per
+    * (src_host, dst_host) — total link count `n_links` and distinct
+    * linking pages `n_pages`, both BIGINT. The audit classes stay
+    * VISIBLE instead of vanishing: a malformed outlink (matched by
+    * the extractor but canonicalizing to NULL — `http:///x`-class)
+    * lands on dst_host NULL, a page whose OWN url is malformed emits
+    * its edges under src_host NULL; Σ n_links over the whole output
+    * is exactly the corpus-wide extractor match count (executed law).
+    * Pages with no links contribute nothing — a link graph is an
+    * edge list, emptiness is the absence of rows, not a sentinel.
+    *
+    * Scale shape: extraction (`regexp_extract_all` + explode) and
+    * both canonicalizations are row-local Catalyst regex/HOF work —
+    * no UDF, a map at any scale; the ONE Exchange is the final
+    * partial-aggregated groupBy on (src_host, dst_host), and it
+    * carries (id, host, host) triples, never page bytes. Host-pair
+    * cardinality is bounded by hosts², not pages² — at 100 TB the
+    * aggregate output is the small table. Exact string/regex
+    * arithmetic end to end — full DuckDB oracle (`q_link_graph`).
+    */
+  def hostLinkGraph(df: DataFrame, idCol: String, urlCol: String,
+                    textCol: String): DataFrame = {
+    for (c <- Seq("src_host", "dst_host", "n_links", "n_pages",
+        "__page_c", "__link", "__link_c") if df.columns.contains(c))
+      require(false, s"hostLinkGraph: '$c' is reserved — rename it")
+    def hostOf(c: Column): Column =
+      regexp_extract(c, "^[a-z][a-z0-9+.\\-]*://([^/?]*)", 1)
+    val exploded = canonicalizeUrl(
+        df.select(col(idCol), col(urlCol), col(textCol)),
+        urlCol, outCol = "__page_c")
+      .select(col(idCol),
+        when(col("__page_c").isNotNull, hostOf(col("__page_c")))
+          .as("src_host"),
+        explode(regexp_extract_all(col(textCol), lit(LinkPattern),
+          lit(0))).as("__link"))
+    canonicalizeUrl(exploded, "__link", outCol = "__link_c")
+      .select(col(idCol), col("src_host"),
+        when(col("__link_c").isNotNull, hostOf(col("__link_c")))
+          .as("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col(idCol)).as("n_pages"))
+  }
+
+  /** Per-host crawl funnel report — the tier CAPSTONE (the dashboard
+    * a crawl ops team reads): run the four stages IN ORDER by
+    * composing the very operators the standalone queries gate —
+    * `canonicalizeUrl` → first-seen frontier dedup (min id per
+    * canonical, the crawl-order proxy) → `urlPolicyFilter` on the
+    * kept URLs → `politenessSchedule` on the allowed ones — and
+    * collapse to ONE row per host: arrivals, and how many of them
+    * ended `malformed` / `dup` / `blocked` / `scheduled` /
+    * `deferred`, plus the first/last arrival epoch. Composition of
+    * the named stage functions, not a re-derivation, so the report
+    * is bit-consistent with the per-stage queries BY CONSTRUCTION.
+    * Conservation is the executed law: per host,
+    * n_urls = n_malformed + n_dup + n_blocked + n_scheduled +
+    * n_deferred — a URL ends in exactly one bucket, nothing vanishes.
+    * Malformed arrivals have no host (canonical NULL) and aggregate
+    * under the host NULL row, loud instead of dropped.
+    *
+    * Scale shape: four keyed Exchanges (canonical window, the policy
+    * verdict's per-id collapse, the (host, window) rank, the final
+    * host aggregate) plus one id equi-join to carry ts past the
+    * policy stage — every one keyed on ids/hosts/epochs, never page
+    * bytes; the final output is |hosts|+1 rows. Exact string/integer
+    * arithmetic end to end — full DuckDB oracle (`q_crawl_report`).
+    */
+  def crawlReport(df: DataFrame, idCol: String, urlCol: String,
+      tsCol: String, rules: DataFrame, windowSeconds: Long,
+      perHostQuota: Int): DataFrame = {
+    for (c <- Seq("host", "n_urls", "n_malformed", "n_dup", "n_blocked",
+        "n_scheduled", "n_deferred", "first_epoch", "last_epoch",
+        "canonical_url", "__first", "__epoch", "__stage")
+        if df.columns.contains(c))
+      require(false, s"crawlReport: '$c' is reserved — rename it")
+    import org.apache.spark.sql.expressions.Window
+    val canon = canonicalizeUrl(
+      df.select(col(idCol), col(urlCol), col(tsCol)), urlCol)
+      .withColumn("__epoch", expr(s"unix_timestamp($tsCol)"))
+    val w = Window.partitionBy(col("canonical_url"))
+    val staged = canon.withColumn("__first",
+        when(col("canonical_url").isNotNull, min(col(idCol)).over(w)))
+      .withColumn("__stage",
+        when(col("canonical_url").isNull, lit("malformed"))
+          .when(col(idCol) =!= col("__first"), lit("dup")))
+    val kept = staged.filter(col("__stage").isNull)
+    val verdicts = urlPolicyFilter(
+      kept.select(col(idCol), col("canonical_url")), idCol,
+      "canonical_url", rules).select(col(idCol), col("allowed"))
+    val judged = kept.join(verdicts, Seq(idCol))
+    val sched = politenessSchedule(
+      judged.filter(col("allowed"))
+        .select(col(idCol), col("canonical_url"), col(tsCol)),
+      "canonical_url", idCol, tsCol, windowSeconds, perHostQuota)
+      .select(col(idCol), col("status").as("__stage"))
+    val hostOf = regexp_extract(col("canonical_url"),
+      "^[a-z][a-z0-9+.\\-]*://([^/?]*)", 1)
+    val outcomes = staged.filter(col("__stage").isNotNull)
+        .select(col(idCol), col("canonical_url"), col("__epoch"),
+          col("__stage"))
+      .unionByName(judged.filter(!col("allowed"))
+        .select(col(idCol), col("canonical_url"), col("__epoch"),
+          lit("blocked").as("__stage")))
+      .unionByName(judged.filter(col("allowed"))
+        .select(col(idCol), col("canonical_url"), col("__epoch"))
+        .join(sched, Seq(idCol)))
+    outcomes
+      .select(when(col("canonical_url").isNotNull, hostOf).as("host"),
+        col("__epoch"), col("__stage"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        count(when(col("__stage") === "malformed", 1)).as("n_malformed"),
+        count(when(col("__stage") === "dup", 1)).as("n_dup"),
+        count(when(col("__stage") === "blocked", 1)).as("n_blocked"),
+        count(when(col("__stage") === "scheduled", 1)).as("n_scheduled"),
+        count(when(col("__stage") === "deferred", 1)).as("n_deferred"),
+        min(col("__epoch")).as("first_epoch"),
+        max(col("__epoch")).as("last_epoch"))
+  }
+
   /** One compression-ratio row: ratio_micro = floor(compressed ·
     * 1e6 / raw) — LOW means the text is repetitive boilerplate (it
     * compresses away), HIGH means prose-like entropy; NULL for an

@@ -547,6 +547,96 @@ object PipelineQueries {
     * and k+250 share a path key. The DuckDB oracles replay the same
     * CASE chain verbatim.
     */
+  /** DuckDB twin of `synthLinkPages`: the page's own URLs are built
+    * canonical (lowercase https, no port/params), so src_host is the
+    * CASE shortcut (the politeness-oracle convention); only the body
+    * is replayed verbatim.
+    */
+  private val LinkPageCtes: String =
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 101 = 0 THEN NULL
+      |         ELSE concat('h', CAST(doc_id % 20 AS VARCHAR), '.example')
+      |    END AS src_host,
+      |    concat(
+      |      'see HTTP://H', CAST((doc_id // 20) % 20 AS VARCHAR),
+      |      '.Example:80/a/', CAST(doc_id % 40 AS VARCHAR),
+      |      '?utm_source=x&k=1#f',
+      |      ' then https://h', CAST((doc_id // 7) % 20 AS VARCHAR),
+      |      '.example/b/', CAST(doc_id % 10 AS VARCHAR), '?z=9&a=0',
+      |      CASE WHEN doc_id % 3 = 0
+      |        THEN concat(' self https://h', CAST(doc_id % 20 AS VARCHAR),
+      |                    '.example/p/', CAST(doc_id + 1 AS VARCHAR))
+      |        ELSE '' END,
+      |      CASE WHEN doc_id % 13 = 0 THEN ' junk http:///broken'
+      |        ELSE '' END,
+      |      ' and plain prose with no further links.') AS body
+      |  FROM documents
+      |)""".stripMargin
+
+  /** Link-side replay: extract with the SAME RE2-compatible pattern,
+    * then the fragment-strip → lower-scheme/host → default-port-strip
+    * chain — only the HOST of a canonical URL feeds a host edge, so
+    * the path/query normalization stages drop out of the replay.
+    * Ends in `e0` (doc_id, src_host, dst_host) — one row per
+    * extracted link.
+    */
+  private val LinkEdgeCtes: String =
+    """lx AS (
+      |  SELECT doc_id, src_host, unnest(regexp_extract_all(body,
+      |    '(?i)\bhttps?://[^\s"<>]+')) AS link
+      |  FROM pages
+      |), lh AS (
+      |  SELECT doc_id, src_host,
+      |    lower(regexp_extract(regexp_replace(link, '#.*$', ''),
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      |    lower(regexp_extract(regexp_replace(link, '#.*$', ''),
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hp
+      |  FROM lx
+      |), e0 AS (
+      |  SELECT doc_id, src_host,
+      |    CASE WHEN sch = '' OR h = '' THEN NULL ELSE h END AS dst_host
+      |  FROM (SELECT doc_id, src_host, sch,
+      |          CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+      |               WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+      |               ELSE hp END AS h
+      |        FROM lh)
+      |)""".stripMargin
+
+  /** Shared page synth for the link-graph queries: each doc gets its
+    * own URL on host h(doc_id % 20).example (mod-101 rows malformed —
+    * no scheme) and a body embedding 2-4 outlinks carrying the
+    * canonicalizer's mess (scheme/host case, default port, tracking
+    * params, fragments; mod-13 rows plant a hostless `http:///broken`
+    * link). Deterministic from doc_id; the DuckDB oracles replay the
+    * same CASE chain verbatim. Link targets vary WITHIN a source-host
+    * class (div-20 / div-7 hashes), so the host graph is dense enough
+    * for the rank oracle to be interesting.
+    */
+  private def synthLinkPages(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("url", expr(
+        """CASE WHEN doc_id % 101 = 0
+          |  THEN concat('h', CAST(doc_id % 20 AS STRING), '.example/p/',
+          |              CAST(doc_id AS STRING))
+          |  ELSE concat('https://h', CAST(doc_id % 20 AS STRING),
+          |              '.example/p/', CAST(doc_id AS STRING))
+          |END""".stripMargin))
+      .withColumn("body", expr(
+        """concat(
+          |  'see HTTP://H', CAST((doc_id div 20) % 20 AS STRING),
+          |  '.Example:80/a/', CAST(doc_id % 40 AS STRING),
+          |  '?utm_source=x&k=1#f',
+          |  ' then https://h', CAST((doc_id div 7) % 20 AS STRING),
+          |  '.example/b/', CAST(doc_id % 10 AS STRING), '?z=9&a=0',
+          |  CASE WHEN doc_id % 3 = 0
+          |    THEN concat(' self https://h', CAST(doc_id % 20 AS STRING),
+          |                '.example/p/', CAST(doc_id + 1 AS STRING))
+          |    ELSE '' END,
+          |  CASE WHEN doc_id % 13 = 0 THEN ' junk http:///broken'
+          |    ELSE '' END,
+          |  ' and plain prose with no further links.')""".stripMargin))
+
   private def synthUrls(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"))
       .withColumn("url", expr(
@@ -650,6 +740,65 @@ object PipelineQueries {
       TextOps.politenessSchedule(
         TextOps.canonicalizeUrl(feed, "url"), "canonical_url",
         "doc_id", "ts", windowSeconds = 600L, perHostQuota = 8)
+    }),
+
+    // -- crawl link structure: host→host link graph extracted from
+    //    page bodies — the frontier-prioritization input. Outlinks
+    //    are regex-extracted and canonicalized with the SAME rules
+    //    the frontier dedups on; malformed links land on dst_host
+    //    NULL, pages with a malformed own-URL emit under src_host
+    //    NULL — the audit classes stay visible. One host-pair
+    //    Exchange; exact string arithmetic — full oracle. ------------
+    "q_link_graph" -> ((s, dir) =>
+      TextOps.hostLinkGraph(synthLinkPages(s, dir), "doc_id", "url",
+        "body")),
+
+    // -- crawl prioritization: host AUTHORITY — the exact integer
+    //    PageRank (damping 17/20, pico-unit mass) over the distinct
+    //    inter-host edges of q_link_graph; self-loops and the NULL
+    //    audit classes are excluded (a host voting for itself is not
+    //    authority). Composes the two operators unchanged, so the
+    //    8-iteration fixpoint replays in DuckDB CTEs. ----------------
+    "q_host_rank" -> ((s, dir) => {
+      val edges = TextOps.hostLinkGraph(synthLinkPages(s, dir), "doc_id",
+          "url", "body")
+        .filter(col("src_host").isNotNull && col("dst_host").isNotNull &&
+          col("src_host") =!= col("dst_host"))
+        .select(col("src_host"), col("dst_host"))
+      graft.analytics.PageRank.pageRank(edges, "src_host", "dst_host",
+        iters = 8, topN = 50)
+    }),
+
+    // -- crawl tier CAPSTONE: the per-host funnel report — compose
+    //    canonicalize → first-seen dedup → policy → politeness (the
+    //    named stage operators, so the report is bit-consistent with
+    //    the per-stage queries) and collapse to one row per host with
+    //    the outcome counts and first/last arrival epochs. Feed: 5
+    //    hosts with dup plants (ids k, k+200 share a path), the %97
+    //    malformed plant, a single-window burst on cr0, and rules
+    //    exercising carve-out/tie/whole-host-block. Conservation —
+    //    n_urls = Σ outcome counts — is the executed law. ------------
+    "q_crawl_report" -> ((s, dir) => {
+      import s.implicits._
+      val feed = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("url", expr(
+          """CASE WHEN doc_id % 97 = 0
+            |  THEN concat('cr', CAST(doc_id % 5 AS STRING), '.example/p/',
+            |              CAST(doc_id AS STRING))
+            |  ELSE concat('https://cr', CAST(doc_id % 5 AS STRING),
+            |              '.example/p/', CAST(doc_id % 200 AS STRING))
+            |END""".stripMargin))
+        .withColumn("ts", expr(
+          """timestamp_seconds(1704067200 + CASE WHEN doc_id % 5 = 0
+            |  THEN doc_id % 300 ELSE doc_id % 2400 END)""".stripMargin))
+      val rules = Seq(
+        ("cr1.example", "/p/1", false),
+        ("cr1.example", "/p/12", true),
+        ("cr2.example", "/p/3", true),
+        ("cr2.example", "/p/3", false),
+        ("cr3.example", "/", false)).toDF("host", "prefix", "allow")
+      TextOps.crawlReport(feed, "doc_id", "url", "ts", rules,
+        windowSeconds = 600L, perHostQuota = 8)
     }),
 
     // -- quality: compression-ratio signal (the Gopher/RefinedWeb
@@ -2711,6 +2860,107 @@ object PipelineQueries {
         |       WHEN host_rank <= 8 THEN 'scheduled'
         |       ELSE 'deferred' END AS status
         |FROM r""".stripMargin,
+
+    // link-graph replay: the page's own URLs are built canonical
+    // (lowercase https, no port/params), so the src_host CASE below
+    // IS the canonicalizer's output on them (the politeness-oracle
+    // shortcut); the LINK side replays the full
+    // fragment-strip → lower-scheme/host → default-port-strip chain,
+    // because only the HOST of a canonical URL feeds the edge
+    "q_link_graph" ->
+      s"""$LinkPageCtes,
+        |$LinkEdgeCtes
+        |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+        |FROM e0 GROUP BY 1, 2""".stripMargin,
+
+    "q_host_rank" ->
+      s"""$LinkPageCtes,
+        |$LinkEdgeCtes,
+        |e AS (
+        |  SELECT DISTINCT src_host AS src, dst_host AS dst FROM e0
+        |  WHERE src_host IS NOT NULL AND dst_host IS NOT NULL
+        |    AND src_host != dst_host
+        |),
+        |${pageRankStepCtes(8)}
+        |SELECT src_host, pr_pico, CAST(rnk AS INTEGER) AS "rank" FROM (
+        |  SELECT v AS src_host, mass AS pr_pico,
+        |    row_number() OVER (ORDER BY mass DESC, v) AS rnk
+        |  FROM pr8)
+        |WHERE rnk <= 50""".stripMargin,
+
+    // crawl-report replay: canonical-clean feed (the politeness
+    // shortcut), then the four stages in order — first-seen window,
+    // longest-prefix policy QUALIFY, per-(host, window) rank — and
+    // the outcome union aggregated per host
+    "q_crawl_report" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 THEN NULL
+        |         ELSE concat('https://cr', CAST(doc_id % 5 AS VARCHAR),
+        |                     '.example/p/', CAST(doc_id % 200 AS VARCHAR))
+        |    END AS canonical_url,
+        |    CASE WHEN doc_id % 97 = 0 THEN NULL
+        |         ELSE concat('cr', CAST(doc_id % 5 AS VARCHAR),
+        |                     '.example') END AS host,
+        |    CASE WHEN doc_id % 97 = 0 THEN NULL
+        |         ELSE concat('/p/', CAST(doc_id % 200 AS VARCHAR))
+        |    END AS pth,
+        |    CAST(1704067200 + CASE WHEN doc_id % 5 = 0 THEN doc_id % 300
+        |                           ELSE doc_id % 2400 END AS BIGINT) AS tsec
+        |  FROM documents
+        |), staged AS (
+        |  SELECT doc_id, canonical_url, host, pth, tsec,
+        |    CASE WHEN canonical_url IS NULL THEN 'malformed'
+        |         WHEN doc_id != min(doc_id) OVER (PARTITION BY canonical_url)
+        |           THEN 'dup' END AS stage
+        |  FROM raw
+        |), rules(rhost, prefix, allow) AS (
+        |  VALUES ('cr1.example', '/p/1', false),
+        |         ('cr1.example', '/p/12', true),
+        |         ('cr2.example', '/p/3', true),
+        |         ('cr2.example', '/p/3', false),
+        |         ('cr3.example', '/', false)
+        |), pol AS (
+        |  SELECT s.doc_id, coalesce(r.allow, true) AS allowed
+        |  FROM (SELECT * FROM staged WHERE stage IS NULL) s
+        |  LEFT JOIN rules r
+        |    ON s.host = r.rhost AND starts_with(s.pth, r.prefix)
+        |  QUALIFY row_number() OVER (PARTITION BY s.doc_id
+        |    ORDER BY length(r.prefix) DESC NULLS LAST,
+        |             r.allow DESC NULLS LAST,
+        |             r.prefix DESC NULLS LAST) = 1
+        |), sched AS (
+        |  SELECT s.doc_id,
+        |    CASE WHEN row_number() OVER (
+        |        PARTITION BY s.host, (s.tsec // 600) * 600
+        |        ORDER BY s.tsec, s.doc_id) <= 8
+        |      THEN 'scheduled' ELSE 'deferred' END AS stage
+        |  FROM staged s JOIN pol p ON s.doc_id = p.doc_id
+        |  WHERE s.stage IS NULL AND p.allowed
+        |), outcomes AS (
+        |  SELECT host, tsec, stage FROM staged WHERE stage IS NOT NULL
+        |  UNION ALL
+        |  SELECT s.host, s.tsec, 'blocked' AS stage
+        |  FROM staged s JOIN pol p ON s.doc_id = p.doc_id
+        |  WHERE NOT p.allowed
+        |  UNION ALL
+        |  SELECT s.host, s.tsec, sc.stage
+        |  FROM staged s JOIN sched sc ON s.doc_id = sc.doc_id
+        |)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(CASE WHEN stage = 'malformed' THEN 1 END) AS BIGINT)
+        |    AS n_malformed,
+        |  CAST(count(CASE WHEN stage = 'dup' THEN 1 END) AS BIGINT)
+        |    AS n_dup,
+        |  CAST(count(CASE WHEN stage = 'blocked' THEN 1 END) AS BIGINT)
+        |    AS n_blocked,
+        |  CAST(count(CASE WHEN stage = 'scheduled' THEN 1 END) AS BIGINT)
+        |    AS n_scheduled,
+        |  CAST(count(CASE WHEN stage = 'deferred' THEN 1 END) AS BIGINT)
+        |    AS n_deferred,
+        |  min(tsec) AS first_epoch, max(tsec) AS last_epoch
+        |FROM outcomes GROUP BY host""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH ${gramIndexCtes(langBlocked = true)},

@@ -505,6 +505,67 @@ class TextOpsSpec extends SparkSpec {
     assert(out.size == 6, "exactly one verdict row per input id")
   }
 
+  test("hostLinkGraph: canonical edges, audit classes visible, match conservation") {
+    import spark.implicits._
+    val pages = Seq(
+      // messy + clean form of the same target collapse to ONE host;
+      // a third link fans out to c
+      (1L, "https://a.example/p/1",
+        "see HTTP://B.Example:80/x?utm_source=t&q=1#f and " +
+          "https://b.example/y?q=1 plus http://c.example/z"),
+      // no boundary before 'xhttps' — the extractor must NOT match it
+      (2L, "https://a.example/p/2", "no links xhttps://nope.example here"),
+      // malformed OWN url: edges surface under src_host NULL; the
+      // hostless link lands on dst_host NULL — neither vanishes
+      (3L, "b.example/broken-page", "https://a.example/ and http:///junk"),
+      // two links, one page: n_links counts links, n_pages pages
+      (4L, "https://c.example/",
+        "ref https://a.example/1 ref https://a.example/2"))
+      .toDF("id", "url", "body")
+    val out = TextOps.hostLinkGraph(pages, "id", "url", "body").collect()
+      .map(r => (Option(r.getString(0)).orNull,
+        Option(r.getString(1)).orNull) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      ("a.example", "b.example") -> ((2L, 1L)),
+      ("a.example", "c.example") -> ((1L, 1L)),
+      (null, "a.example") -> ((1L, 1L)),
+      (null, null) -> ((1L, 1L)),
+      ("c.example", "a.example") -> ((2L, 1L))), s"got $out")
+    assert(out.values.map(_._1).sum == 7L,
+      "sum of n_links must equal the corpus-wide extractor match count")
+  }
+
+  test("crawlReport: per-host funnel counts exact, conservation, epochs") {
+    import spark.implicits._
+    val t0 = 1704067200L
+    val feed = Seq(
+      (1L, "https://h1.example/a", t0),          // kept -> scheduled
+      (2L, "https://h1.example/a", t0 + 1),      // dup of 1
+      (3L, "https://h1.example/block/x", t0 + 2),// policy-blocked
+      (4L, "https://h1.example/b", t0 + 3),      // kept -> over quota 1
+      (5L, "h1.example/oops", t0 + 4),           // malformed -> NULL host
+      (6L, "https://h2.example/z", t0 + 5))      // other host untouched
+      .toDF("id", "url", "tsec")
+      .withColumn("ts", expr("timestamp_seconds(tsec)"))
+    val rules = Seq(("h1.example", "/block", false))
+      .toDF("host", "prefix", "allow")
+    val out = TextOps.crawlReport(feed, "id", "url", "ts", rules,
+        windowSeconds = 600L, perHostQuota = 1).collect()
+      .map(r => Option(r.getString(0)).orNull ->
+        (1 to 8).map(i => r.getLong(i))).toMap
+    assert(out("h1.example") ==
+      Seq(4L, 0L, 1L, 1L, 1L, 1L, t0, t0 + 3), s"got ${out("h1.example")}")
+    assert(out("h2.example") ==
+      Seq(1L, 0L, 0L, 0L, 1L, 0L, t0 + 5, t0 + 5))
+    assert(out(null) == Seq(1L, 1L, 0L, 0L, 0L, 0L, t0 + 4, t0 + 4),
+      "malformed arrivals aggregate under the NULL-host row, loud")
+    assert(out.size == 3, "exactly one row per host plus the NULL row")
+    for ((h, v) <- out)
+      assert(v.head == v.slice(1, 6).sum,
+        s"conservation: every $h arrival ends in exactly one bucket")
+  }
+
   test("canonicalizeUrl: every rule exact, malformed NULL, identity preserved") {
     import spark.implicits._
     val cases = Seq(
