@@ -1134,11 +1134,13 @@ object TextOps {
     *
     * Scale shape: extraction (`regexp_extract_all` + explode) and
     * both canonicalizations are row-local Catalyst regex/HOF work —
-    * no UDF, a map at any scale; the ONE Exchange is the final
-    * partial-aggregated groupBy on (src_host, dst_host), and it
-    * carries (id, host, host) triples, never page bytes. Host-pair
-    * cardinality is bounded by hosts², not pages² — at 100 TB the
-    * aggregate output is the small table. Exact string/regex
+    * no UDF, a map at any scale; the only Exchanges are the TWO keyed
+    * aggregation shuffles the distinct-page count needs (the
+    * (src, dst, id) distinct collapse, then the final (src, dst)
+    * fold), both partial-aggregated map-side first and both carrying
+    * (id, host, host) triples, never page bytes (plan-gated). Host-
+    * pair cardinality is bounded by hosts², not pages² — at 100 TB
+    * the aggregate output is the small table. Exact string/regex
     * arithmetic end to end — full DuckDB oracle (`q_link_graph`).
     */
   def hostLinkGraph(df: DataFrame, idCol: String, urlCol: String,
@@ -1170,32 +1172,46 @@ object TextOps {
     * composing the very operators the standalone queries gate —
     * `canonicalizeUrl` → first-seen frontier dedup (min id per
     * canonical, the crawl-order proxy) → `urlPolicyFilter` on the
-    * kept URLs → `politenessSchedule` on the allowed ones — and
+    * kept URLs → the politeness rank on the allowed ones — and
     * collapse to ONE row per host: arrivals, and how many of them
     * ended `malformed` / `dup` / `blocked` / `scheduled` /
-    * `deferred`, plus the first/last arrival epoch. Composition of
-    * the named stage functions, not a re-derivation, so the report
-    * is bit-consistent with the per-stage queries BY CONSTRUCTION.
+    * `deferred`, plus the first/last arrival epoch.
     * Conservation is the executed law: per host,
     * n_urls = n_malformed + n_dup + n_blocked + n_scheduled +
     * n_deferred — a URL ends in exactly one bucket, nothing vanishes.
     * Malformed arrivals have no host (canonical NULL) and aggregate
     * under the host NULL row, loud instead of dropped.
     *
-    * Scale shape: four keyed Exchanges (canonical window, the policy
-    * verdict's per-id collapse, the (host, window) rank, the final
-    * host aggregate) plus one id equi-join to carry ts past the
-    * policy stage — every one keyed on ids/hosts/epochs, never page
-    * bytes; the final output is |hosts|+1 rows. Exact string/integer
-    * arithmetic end to end — full DuckDB oracle (`q_crawl_report`).
+    * Canonicalize and policy are COMPOSED as the named operators; the
+    * scheduler stage re-expresses `politenessSchedule`'s pinned
+    * integer-window arithmetic INLINE — the rank window partitions on
+    * (host, window, is-candidate), so a candidate's rank counts
+    * candidates only, exactly what the standalone scheduler computes
+    * on its filtered input — because composing the operator here
+    * would union a THIRD lineage branch re-deriving the whole stage
+    * chain from the scan (the wipDaily union-recompute trap, gated
+    * there to one scan, gated here to two). Equality with the
+    * standalone scheduler is oracle-pinned, not assumed.
+    *
+    * Scale shape: TWO scans of the pruned frontier columns (the
+    * staged chain + the policy branch joining back on id) and keyed
+    * Exchanges only — canonical window, per-id policy collapse, id
+    * equi-join, (host, window, candidate) rank, final host aggregate
+    * — every shuffle carries ids/hosts/epochs, never page bytes; the
+    * final output is |hosts|+1 rows. Exact string/integer arithmetic
+    * end to end — full DuckDB oracle (`q_crawl_report`).
     */
   def crawlReport(df: DataFrame, idCol: String, urlCol: String,
       tsCol: String, rules: DataFrame, windowSeconds: Long,
       perHostQuota: Int): DataFrame = {
+    require(windowSeconds >= 1L,
+      s"crawlReport: windowSeconds >= 1, got $windowSeconds")
+    require(perHostQuota >= 1,
+      s"crawlReport: perHostQuota >= 1, got $perHostQuota")
     for (c <- Seq("host", "n_urls", "n_malformed", "n_dup", "n_blocked",
         "n_scheduled", "n_deferred", "first_epoch", "last_epoch",
-        "canonical_url", "__first", "__epoch", "__stage")
-        if df.columns.contains(c))
+        "allowed", "canonical_url", "__first", "__epoch", "__stage",
+        "__cand", "__win", "__rank") if df.columns.contains(c))
       require(false, s"crawlReport: '$c' is reserved — rename it")
     import org.apache.spark.sql.expressions.Window
     val canon = canonicalizeUrl(
@@ -1207,30 +1223,31 @@ object TextOps {
       .withColumn("__stage",
         when(col("canonical_url").isNull, lit("malformed"))
           .when(col(idCol) =!= col("__first"), lit("dup")))
-    val kept = staged.filter(col("__stage").isNull)
     val verdicts = urlPolicyFilter(
-      kept.select(col(idCol), col("canonical_url")), idCol,
+      staged.filter(col("__stage").isNull)
+        .select(col(idCol), col("canonical_url")), idCol,
       "canonical_url", rules).select(col(idCol), col("allowed"))
-    val judged = kept.join(verdicts, Seq(idCol))
-    val sched = politenessSchedule(
-      judged.filter(col("allowed"))
-        .select(col(idCol), col("canonical_url"), col(tsCol)),
-      "canonical_url", idCol, tsCol, windowSeconds, perHostQuota)
-      .select(col(idCol), col("status").as("__stage"))
     val hostOf = regexp_extract(col("canonical_url"),
       "^[a-z][a-z0-9+.\\-]*://([^/?]*)", 1)
-    val outcomes = staged.filter(col("__stage").isNotNull)
-        .select(col(idCol), col("canonical_url"), col("__epoch"),
-          col("__stage"))
-      .unionByName(judged.filter(!col("allowed"))
-        .select(col(idCol), col("canonical_url"), col("__epoch"),
-          lit("blocked").as("__stage")))
-      .unionByName(judged.filter(col("allowed"))
-        .select(col(idCol), col("canonical_url"), col("__epoch"))
-        .join(sched, Seq(idCol)))
-    outcomes
-      .select(when(col("canonical_url").isNotNull, hostOf).as("host"),
-        col("__epoch"), col("__stage"))
+    // single lineage from here: allowed is NULL for malformed/dup rows
+    // (left-join miss), and the rank window's is-candidate key keeps
+    // non-candidates out of the candidate ranks without a third branch
+    val rankW = Window
+      .partitionBy(col("host"), col("__win"), col("__cand"))
+      .orderBy(col(tsCol), col(idCol))
+    staged.join(verdicts, Seq(idCol), "left")
+      .withColumn("host", when(col("canonical_url").isNotNull, hostOf))
+      .withColumn("__win", expr(
+        s"(unix_timestamp($tsCol) div ${windowSeconds}L) * " +
+          s"${windowSeconds}L"))
+      .withColumn("__cand",
+        col("__stage").isNull && coalesce(col("allowed"), lit(false)))
+      .withColumn("__rank", row_number().over(rankW))
+      .withColumn("__stage", coalesce(col("__stage"),
+        when(!col("allowed"), lit("blocked")),
+        when(col("__rank") <= perHostQuota, lit("scheduled"))
+          .otherwise(lit("deferred"))))
+      .select(col("host"), col("__epoch"), col("__stage"))
       .groupBy(col("host"))
       .agg(count(lit(1)).as("n_urls"),
         count(when(col("__stage") === "malformed", 1)).as("n_malformed"),

@@ -336,6 +336,45 @@ class PlanShapeSpec extends SparkSpec {
       s"shard plan is one partial-agged aggregate:\n${sp.take(1200)}")
   }
 
+  test("q_link_graph: pruned scan, codegen extraction, two keyed Exchanges") {
+    val p = plan("q_link_graph")
+    // the documents scan must read ONLY doc_id — the synth page/body
+    // derive from it, and a scan dragging `text`/`embedding` along
+    // would ship the real corpus columns into the extractor at 100 TB
+    assert(count(p, "Scan parquet") == 1 &&
+      p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"link graph must scan documents pruned to doc_id:\n${p.take(1200)}")
+    // extraction + both canonicalizations are pure Catalyst: a UDF or
+    // a cartesian anywhere here would be the lazy path the scaladoc
+    // forbids
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF") &&
+      !p.contains("CartesianProduct"),
+      s"link graph must stay codegen/regex, no UDF:\n${p.take(1200)}")
+    // the distinct-page count needs exactly two keyed aggregation
+    // shuffles: the (src, dst, id) collapse + the final (src, dst) fold
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"link graph is two partial-agged keyed shuffles:\n${p.take(1500)}")
+  }
+
+  test("q_crawl_report: two pruned scans, broadcast rules, no cartesian") {
+    val p = plan("q_crawl_report")
+    // single lineage: the staged chain + the policy branch that joins
+    // back on id — a third branch (the union-recompute trap crawlReport's
+    // scaladoc documents) would read 3+; and every scan must be pruned
+    // to doc_id (the synth derives page/ts from it)
+    assert(count(p, "Scan parquet") == 2 &&
+      !p.linesIterator.exists(l => l.contains("ReadSchema") &&
+        !l.contains("ReadSchema: struct<doc_id:bigint>")),
+      s"crawl report is two doc_id-pruned scans:\n${p.take(1500)}")
+    // the policy rule table is a broadcast build side (bounded by
+    // hosts x rules, never pages) — a shuffled or nested-loop rules
+    // join would be wrong at any scale
+    assert(p.contains("BroadcastHashJoin"),
+      s"the rules join must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no stage of the funnel may go cartesian:\n${p.take(1200)}")
+  }
+
   test("funnel stage times: k chained windows + user collapse over ONE Exchange") {
     import graft.analytics.Funnel
     val p = Funnel.stageTimes(Tables.events(spark, Sf),
