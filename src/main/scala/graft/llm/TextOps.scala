@@ -1144,7 +1144,21 @@ object TextOps {
     * arithmetic end to end — full DuckDB oracle (`q_link_graph`).
     */
   def hostLinkGraph(df: DataFrame, idCol: String, urlCol: String,
-                    textCol: String): DataFrame = {
+                    textCol: String): DataFrame =
+    linkHits(df, idCol, urlCol, textCol)
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col(idCol)).as("n_pages"))
+
+  /** The row-local map stage `hostLinkGraph` and the streaming arm
+    * (`EventStream.linkGraphStream`) SHARE — one extractor, one
+    * canonicalizer, one notion of a host edge on both sides of the
+    * batch/stream divide: (idCol, src_host, dst_host), one row per
+    * extracted link. Pure Catalyst regex/HOF, stream-safe (no
+    * aggregation, no window).
+    */
+  private[graft] def linkHits(df: DataFrame, idCol: String,
+      urlCol: String, textCol: String): DataFrame = {
     for (c <- Seq("src_host", "dst_host", "n_links", "n_pages",
         "__page_c", "__link", "__link_c") if df.columns.contains(c))
       require(false, s"hostLinkGraph: '$c' is reserved — rename it")
@@ -1162,9 +1176,6 @@ object TextOps {
       .select(col(idCol), col("src_host"),
         when(col("__link_c").isNotNull, hostOf(col("__link_c")))
           .as("dst_host"))
-      .groupBy(col("src_host"), col("dst_host"))
-      .agg(count(lit(1)).as("n_links"),
-        countDistinct(col(idCol)).as("n_pages"))
   }
 
   /** Per-host crawl funnel report — the tier CAPSTONE (the dashboard

@@ -1085,6 +1085,59 @@ object EventStream {
         })
   }
 
+  /** One maintained host edge: null src/dst = the audit classes
+    * (malformed own-URL / hostless link), kept loud like the batch arm.
+    */
+  final case class LinkEdgeCount(srcHost: String, dstHost: String,
+                                 nLinks: Long, nPages: Long)
+
+  /** Streaming host link-graph maintenance — the unbounded arm of
+    * `TextOps.hostLinkGraph`: page arrivals run the SAME row-local
+    * extract-and-canonicalize map stage (`TextOps.linkHits` — shared
+    * code, not a re-derivation), then one stateful fold per
+    * (src_host, dst_host) keeps the running (n_links, n_pages) totals
+    * and re-emits the pair's row on every update — the incremental
+    * index the daily host-rank refresh (`PageRank.pageRankWarm`)
+    * reads instead of re-scanning the crawl.
+    *
+    * Ingest contract (documented, both load-bearing): arrivals are
+    * FRONTIER-DEDUPED upstream (`urlDedupStream` — each page
+    * contributes once, which is what makes n_pages a running count
+    * instead of an unbounded distinct-id state), and a page's links
+    * arrive ATOMICALLY in its single input row (true by construction
+    * — the extractor runs on the arrival row), so the per-batch
+    * distinct-id count per pair is exact, never split. State per pair
+    * is two BIGINTs — bounded by hosts², the same small table the
+    * batch aggregate ends in; no timeout, a link graph has no window.
+    * Equality law: after any arrival split into micro-batches, the
+    * latest row per pair equals `hostLinkGraph` on the union
+    * (StreamingSpec).
+    */
+  def linkGraphStream(pages: DataFrame, idCol: String, urlCol: String,
+                      textCol: String): Dataset[LinkEdgeCount] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    // "" is impossible as a real host (an empty host canonicalizes to
+    // NULL upstream), so it is a safe null sentinel for the group key
+    val hits = graft.llm.TextOps.linkHits(pages, idCol, urlCol, textCol)
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(col("src_host"), lit("")).as("s"),
+        coalesce(col("dst_host"), lit("")).as("d"))
+      .as[(Long, String, String)]
+    hits.groupByKey { case (_, s, d) => (s, d) }
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (key: (String, String), it: Iterator[(Long, String, String)],
+         state: GroupState[(Long, Long)]) => {
+          val rows = it.toSeq
+          val (links0, pages0) = state.getOption.getOrElse((0L, 0L))
+          val totals = (links0 + rows.size,
+            pages0 + rows.map(_._1).distinct.size)
+          state.update(totals)
+          LinkEdgeCount(if (key._1.isEmpty) null else key._1,
+            if (key._2.isEmpty) null else key._2, totals._1, totals._2)
+        })
+  }
+
   /** Micro-batch XES sink: every micro-batch of an event-log-shaped
     * stream lands as one sharded XES directory (`batch-<id>/part-*`),
     * written fully distributed by `XesWriter.writeShards` — no driver

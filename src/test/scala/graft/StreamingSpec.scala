@@ -1195,6 +1195,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("linkGraphStream: stateful fold equals the batch link graph, accumulates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val b1 = Seq(
+      // one page, two links to the same host (messy + clean form):
+      // n_links counts links, n_pages counts the page once
+      (1L, "https://a.example/p/1",
+        "x HTTP://B.Example:80/l?utm_source=1 and https://b.example/m"),
+      (2L, "https://c.example/", "see https://a.example/1"))
+    val b2 = Seq(
+      // a SECOND page on the a->b pair: the pair's totals must grow
+      // from state, not restart
+      (3L, "https://a.example/p/3",
+        "again https://b.example/n plus http:///junk"),
+      // malformed own-URL: its edge surfaces under src NULL
+      (4L, "b.example/broken", "ref https://a.example/z"))
+    val in = MemoryStream[(Long, String, String)]
+    val q = EventStream.linkGraphStream(
+        in.toDF().toDF("id", "url", "body"), "id", "url", "body")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("link_graph").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      // update mode re-emits a pair on every change: the LATEST row
+      // per pair (totals are monotone) is the maintained edge
+      val latest = spark.table("link_graph").collect()
+        .map(r => (Option(r.getString(0)).orNull,
+          Option(r.getString(1)).orNull) -> ((r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      assert(latest(("a.example", "b.example")) == ((3L, 2L)),
+        s"the repeated pair accumulates from state: $latest")
+      val batchTwin = graft.llm.TextOps.hostLinkGraph(
+          (b1 ++ b2).toDF("id", "url", "body"), "id", "url", "body")
+        .collect().map(r => (Option(r.getString(0)).orNull,
+          Option(r.getString(1)).orNull) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(latest == batchTwin,
+        s"stream fold must equal the batch twin: $latest vs $batchTwin")
+      assert(batchTwin.contains((null, "a.example")) &&
+        batchTwin.contains(("a.example", null)),
+        "both audit classes present in the fixture and preserved")
+    } finally q.stop()
+  }
+
   test("streaming media-ingest capstone: dedup gate → standing sample → drift watch compose") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
