@@ -1270,6 +1270,57 @@ object TextOps {
         max(col("__epoch")).as("last_epoch"))
   }
 
+  /** Revisit-frequency estimation — the crawl tier's FRESHNESS stage
+    * (Cho & Garcia-Molina 2003, "Estimating Frequency of Change"):
+    * from a revisit log (page, visit ts, changed-since-last-visit
+    * flag), estimate each page's Poisson change rate
+    *   λ̂ = −ln((n − X + ½) / (n + ½)) / ī,   ī = span / (n − 1)
+    * — the bias-corrected estimator, NOT the naive X/n ratio: a page
+    * that changed between every visit has X = n and the naive ratio
+    * saturates at 1 no matter how fast it really churns, while the ½
+    * regularizer keeps the log-estimate finite and growing with n
+    * (the paper's fix for undetected multiple changes). Output per
+    * page: n_visits, n_changes, span_seconds (exact BIGINTs from one
+    * collapse) and lambda_day_micro = floor(−ln(r) · 1e6 · 86400 ·
+    * (n−1) / span) — the per-DAY rate in micro-units, the number the
+    * re-crawl scheduler sorts by. A single-visit or zero-span page
+    * has no interval to estimate from → NULL, the loud quarantine
+    * class, never a fake 0; a never-changed page is EXACTLY 0
+    * (ln 1 = 0, integer-exact on both engines).
+    *
+    * Float tail contract (the q_zscore / q_sample_gumbel class): the
+    * ratio is one IEEE divide of exact integers ((2(n−X)+1) /
+    * (2n+1)), then one ln and three multiplies/divides in a PINNED
+    * left-to-right order both engines replay, with the micro floor
+    * absorbing the ulp — oracle-checked, not assumed.
+    *
+    * Scale shape: ONE partial-aggregated groupBy on the page key —
+    * the only Exchange, map-side combined, carrying four integers per
+    * page; the λ arithmetic is row-local on the collapsed table. At
+    * 100 TB the revisit log collapses to |pages| rows before anything
+    * else happens.
+    */
+  def revisitSchedule(df: DataFrame, pageCol: String, tsCol: String,
+                      changedCol: String): DataFrame = {
+    for (c <- Seq("n_visits", "n_changes", "span_seconds",
+        "lambda_day_micro") if df.columns.contains(c))
+      require(false, s"revisitSchedule: '$c' is reserved — rename it")
+    df.groupBy(col(pageCol))
+      .agg(count(lit(1)).as("n_visits"),
+        sum(col(changedCol).cast("long")).as("n_changes"),
+        (max(expr(s"unix_timestamp($tsCol)")) -
+          min(expr(s"unix_timestamp($tsCol)"))).as("span_seconds"))
+      .withColumn("lambda_day_micro", expr(
+        """CASE WHEN n_visits >= 2 AND span_seconds > 0 THEN
+          |  CAST(floor((-ln(
+          |      CAST(2 * (n_visits - n_changes) + 1 AS DOUBLE) /
+          |      CAST(2 * n_visits + 1 AS DOUBLE)))
+          |    * 1000000.0 * 86400.0
+          |    * CAST(n_visits - 1 AS DOUBLE)
+          |    / CAST(span_seconds AS DOUBLE)) AS BIGINT)
+          |ELSE NULL END""".stripMargin))
+  }
+
   /** One compression-ratio row: ratio_micro = floor(compressed ·
     * 1e6 / raw) — LOW means the text is repetitive boilerplate (it
     * compresses away), HIGH means prose-like entropy; NULL for an

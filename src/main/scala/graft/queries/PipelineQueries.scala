@@ -801,6 +801,22 @@ object PipelineQueries {
         windowSeconds = 600L, perHostQuota = 8)
     }),
 
+    // -- crawl freshness: Cho & Garcia-Molina change-rate estimation
+    //    over a revisit log (events as pages: 150 pages × ~67
+    //    irregular real-timestamp visits at sf0.01). changed flags are
+    //    deterministic with per-page rate diversity (modulus 3..7) and
+    //    a planted never-changed class (page % 29 = 0 → λ exactly 0).
+    //    One page-keyed collapse; the λ tail is the pinned-IEEE ln
+    //    chain the oracle replays through the micro floor. -----------
+    "q_revisit_schedule" -> ((s, dir) => {
+      val visits = Tables.events(s, dir)
+        .select(col("user_id").as("page_id"), col("ts"),
+          expr("""user_id % 29 != 0 AND
+                 |event_id % (3 + user_id % 5) = 0""".stripMargin)
+            .as("changed"))
+      TextOps.revisitSchedule(visits, "page_id", "ts", "changed")
+    }),
+
     // -- quality: compression-ratio signal (the Gopher/RefinedWeb
     //    repetition filter — deflate bytes over raw bytes in exact
     //    micro-units; codec-bound mapPartitions with one reused
@@ -2961,6 +2977,34 @@ object PipelineQueries {
         |    AS n_deferred,
         |  min(tsec) AS first_epoch, max(tsec) AS last_epoch
         |FROM outcomes GROUP BY host""".stripMargin,
+
+    // revisit replay: same collapse, same pinned ln chain — the ratio
+    // is one IEEE divide of exact integers, then ln and three pinned
+    // left-to-right multiplies/divides through the micro floor
+    "q_revisit_schedule" ->
+      """WITH v AS (
+        |  SELECT user_id AS page_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |    (user_id % 29 != 0 AND event_id % (3 + user_id % 5) = 0)
+        |      AS changed
+        |  FROM events
+        |), g AS (
+        |  SELECT page_id, CAST(count(*) AS BIGINT) AS n_visits,
+        |    CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_changes,
+        |    max(tsec) - min(tsec) AS span_seconds
+        |  FROM v GROUP BY 1
+        |)
+        |SELECT page_id, n_visits, n_changes, span_seconds,
+        |  CASE WHEN n_visits >= 2 AND span_seconds > 0 THEN
+        |    CAST(floor((-ln(
+        |        CAST(2 * (n_visits - n_changes) + 1 AS DOUBLE) /
+        |        CAST(2 * n_visits + 1 AS DOUBLE)))
+        |      * 1000000.0 * 86400.0
+        |      * CAST(n_visits - 1 AS DOUBLE)
+        |      / CAST(span_seconds AS DOUBLE)) AS BIGINT)
+        |  ELSE NULL END AS lambda_day_micro
+        |FROM g""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH ${gramIndexCtes(langBlocked = true)},

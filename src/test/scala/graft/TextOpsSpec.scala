@@ -566,6 +566,40 @@ class TextOpsSpec extends SparkSpec {
         s"conservation: every $h arrival ends in exactly one bucket")
   }
 
+  test("revisitSchedule: hand lambda, never-changed zero, monotone, quarantine NULLs") {
+    import spark.implicits._
+    val day = 86400L
+    val visits = Seq(
+      // page 1: 3 visits over exactly 2 days, 1 change ->
+      // lambda_day_micro = floor(-ln(5/7) * 1e6) (the i-bar cancels)
+      (1L, 0L, false), (1L, day, true), (1L, 2 * day, false),
+      // page 2: same cadence, never changed -> EXACTLY 0
+      (2L, 0L, false), (2L, day, false), (2L, 2 * day, false),
+      // page 3: same cadence, changed at EVERY visit -> the naive X/n
+      // saturates at 1; the regularized estimator stays finite
+      (3L, 0L, true), (3L, day, true), (3L, 2 * day, true),
+      // page 4: one visit -> no interval, NULL (quarantine, never 0)
+      (4L, 0L, true),
+      // page 5: two visits in the same second -> zero span, NULL
+      (5L, 7L, false), (5L, 7L, true))
+      .toDF("page_id", "tsec", "changed")
+      .withColumn("ts", expr("timestamp_seconds(tsec)"))
+    val out = TextOps.revisitSchedule(visits, "page_id", "ts", "changed")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    def lam(n: Long, x: Long): Long =
+      math.floor((-math.log((2.0 * (n - x) + 1.0) / (2.0 * n + 1.0)))
+        * 1000000.0 * 86400.0 * (n - 1.0) / (2.0 * day)).toLong
+    assert(out(1L).contains(lam(3, 1)) && out(1L).contains(336472L),
+      s"hand-computed estimator must match exactly: ${out(1L)}")
+    assert(out(2L).contains(0L), "a never-changed page is EXACTLY 0")
+    assert(out(3L).contains(lam(3, 3)) && out(3L).get > out(1L).get,
+      "changed-every-visit stays finite and orders above the slower page")
+    assert(out(4L).isEmpty && out(5L).isEmpty,
+      "single-visit and zero-span pages are NULL quarantine, never 0")
+    assert(out.size == 5, "one row per page")
+  }
+
   test("canonicalizeUrl: every rule exact, malformed NULL, identity preserved") {
     import spark.implicits._
     val cases = Seq(
