@@ -566,6 +566,56 @@ class TextOpsSpec extends SparkSpec {
         s"conservation: every $h arrival ends in exactly one bucket")
   }
 
+  test("canonicalizeUrl: fixed point + shape invariants over 400 generated messy URLs") {
+    import spark.implicits._
+    // idempotence is THE canonicalizer law: a second pass over its own
+    // output must change NOTHING, for every combination of the mess it
+    // absorbs — otherwise two crawls of the same page disagree on its
+    // identity. Deterministic generation (seeded), one Spark job.
+    val rnd = new scala.util.Random(20260816L)
+    def pick(xs: Seq[String]) = xs(rnd.nextInt(xs.size))
+    val urls = (0 until 400).map { i =>
+      if (i % 17 == 0)
+        pick(Seq("not a url", "://nohost", "www.x.com/p", "", "http://:80/x"))
+      else {
+        val sch = pick(Seq("http", "HTTP", "hTtP", "https", "HTTPS", "ftp",
+          "FTP", "ht tp"))
+        val host = pick(Seq("Site.COM", "site.com", "WWW.Ex-A.org",
+          "xn--bcher-kva.example", ""))
+        val port = pick(Seq("", ":80", ":443", ":8080", ":00080"))
+        val path = pick(Seq("", "/", "/A/b", "/a%20b/C.D", "//double"))
+        val q = pick(Seq("", "?a=1&b=2", "?b=2&a=1&utm_source=x",
+          "?utm_medium=&gclid=1", "?z&y&x", "?a=1&a=0", "?a=1&&b=2"))
+        val frag = pick(Seq("", "#f", "#a?b=2"))
+        s"$sch://$host$port$path$q$frag"
+      }
+    }
+    val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+    val once = TextOps.canonicalizeUrl(df, "url")
+      .withColumnRenamed("canonical_url", "c1")
+    val rows = TextOps.canonicalizeUrl(once, "c1", outCol = "c2")
+      .select("id", "c1", "c2").collect()
+    assert(rows.length == 400)
+    var nulls = 0
+    for (r <- rows) {
+      val c1 = if (r.isNullAt(1)) null else r.getString(1)
+      val c2 = if (r.isNullAt(2)) null else r.getString(2)
+      assert(c1 == c2,
+        s"not a fixed point: '$c1' -> '$c2' (raw '${urls(r.getLong(0).toInt)}')")
+      if (c1 == null) nulls += 1
+      else {
+        assert(c1.matches("^[a-z][a-z0-9+.\\-]*://[^/?#]+.*"),
+          s"canonical shape violated: '$c1'")
+        assert(!c1.contains("#") && !c1.contains("utm_") &&
+          !c1.contains("gclid"),
+          s"fragment/tracking survived canonicalization: '$c1'")
+      }
+    }
+    assert(nulls > 0 && nulls < 400,
+      s"generator must cover both classes (got $nulls malformed of 400)")
+  }
+
   test("revisitSchedule: hand lambda, never-changed zero, monotone, quarantine NULLs") {
     import spark.implicits._
     val day = 86400L
