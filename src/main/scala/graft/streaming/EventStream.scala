@@ -1138,6 +1138,66 @@ object EventStream {
         })
   }
 
+  /** One page-visit arrival for the freshness estimator: `changed` =
+    * content differed from the previous fetch (the fetcher's diff bit).
+    */
+  final case class VisitArrival(pageId: Long, ts: Timestamp,
+                                changed: Boolean)
+
+  /** One maintained freshness estimate; lambdaDayMicro is None until
+    * the page has two visits spanning more than a second — the batch
+    * arm's quarantine contract, never a fake 0.
+    */
+  final case class RevisitEstimate(pageId: Long, nVisits: Long,
+                                   nChanges: Long, spanSeconds: Long,
+                                   lambdaDayMicro: Option[Long])
+
+  /** Streaming revisit-frequency maintenance — the unbounded arm of
+    * `TextOps.revisitSchedule`: each page's (n, X, min ts, max ts)
+    * live in keyed state and the Cho & Garcia-Molina λ̂ is recomputed
+    * row-locally on every update, so the re-crawl scheduler always
+    * reads the current per-day change rate instead of waiting for a
+    * batch collapse. The SAME pinned float tail as the batch arm —
+    * one IEEE divide of exact integers, one `Math.log` (the identical
+    * JVM function Catalyst's `ln` compiles to), three pinned
+    * left-to-right mul/divs through the micro floor — so stream and
+    * batch agree BIT-FOR-BIT, not approximately.
+    *
+    * The fold is ORDER-INVARIANT (counts and min/max absorb any
+    * arrival order, unlike the politeness rank), so the stream ≡
+    * batch law holds under ARBITRARY batch splits and shuffles — no
+    * event-time-ordered-delivery caveat. State is four integers per
+    * page — the same |pages| cardinality the frontier store already
+    * holds; no timeout, a freshness estimate never expires (a page
+    * unseen for a year is exactly the page whose estimate the
+    * scheduler needs).
+    */
+  def revisitStream(visits: Dataset[VisitArrival])
+  : Dataset[RevisitEstimate] = {
+    import visits.sparkSession.implicits._
+    visits.groupByKey(_.pageId)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (page: Long, it: Iterator[VisitArrival],
+         state: GroupState[(Long, Long, Long, Long)]) => {
+          var (n, x, lo, hi) =
+            state.getOption.getOrElse((0L, 0L, Long.MaxValue, Long.MinValue))
+          it.foreach { v =>
+            val t = Math.floorDiv(v.ts.getTime, 1000L)
+            n += 1L; if (v.changed) x += 1L
+            if (t < lo) lo = t
+            if (t > hi) hi = t
+          }
+          state.update((n, x, lo, hi))
+          val span = hi - lo
+          val lambda = if (n >= 2L && span > 0L)
+            Some(math.floor((-Math.log(
+                (2.0 * (n - x) + 1.0) / (2.0 * n + 1.0)))
+              * 1000000.0 * 86400.0 * (n - 1.0) / span.toDouble).toLong)
+          else None
+          RevisitEstimate(page, n, x, span, lambda)
+        })
+  }
+
   /** Micro-batch XES sink: every micro-batch of an event-log-shaped
     * stream lands as one sharded XES directory (`batch-<id>/part-*`),
     * written fully distributed by `XesWriter.writeShards` — no driver

@@ -1240,6 +1240,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("revisitStream: bit-equal to the batch estimator under an out-of-order split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStream.VisitArrival
+    val day = 86400L
+    def ts0(sec: Long) = new Timestamp(1704067200000L + sec * 1000L)
+    // page 1: the TextOpsSpec hand fixture (3 visits, 1 change);
+    // page 2: never changed; page 3: single visit (NULL quarantine);
+    // page 4: changes at every visit. Delivered DELIBERATELY out of
+    // event-time order and split mid-page across batches — the fold
+    // is order-invariant, so the law needs no ordering caveat.
+    val all = Seq(
+      VisitArrival(1L, ts0(2 * day), false),
+      VisitArrival(2L, ts0(day), false),
+      VisitArrival(4L, ts0(day), true),
+      VisitArrival(1L, ts0(0L), false),
+      VisitArrival(3L, ts0(5L), true),
+      VisitArrival(2L, ts0(2 * day), false),
+      VisitArrival(1L, ts0(day), true),
+      VisitArrival(4L, ts0(0L), true),
+      VisitArrival(2L, ts0(0L), false))
+    val (b1, b2) = all.splitAt(4)
+    val in = MemoryStream[VisitArrival]
+    val q = EventStream.revisitStream(in.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("revisit").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      // latest row per page (n_visits is monotone) = the estimate
+      val latest = spark.table("revisit").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2) }
+      val batch = graft.llm.TextOps.revisitSchedule(
+          all.toDF("page_id", "ts", "changed"), "page_id", "ts", "changed")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+        .toMap
+      assert(latest == batch,
+        s"stream fold must be BIT-equal to the batch arm: $latest vs $batch")
+      assert(latest(1L)._5.contains(336472L),
+        "the hand-computed lambda lands identically on the stream side")
+      assert(latest(3L)._5.isEmpty && latest(2L)._5.contains(0L),
+        "quarantine NULL and exact-zero classes survive the stream fold")
+    } finally q.stop()
+  }
+
   test("streaming media-ingest capstone: dedup gate → standing sample → drift watch compose") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
