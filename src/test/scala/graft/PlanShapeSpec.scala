@@ -375,6 +375,17 @@ class PlanShapeSpec extends SparkSpec {
       s"no stage of the funnel may go cartesian:\n${p.take(1200)}")
   }
 
+  test("q_revisit_schedule: one partial-agged page collapse, lambda on the collapsed table") {
+    val p = plan("q_revisit_schedule")
+    // the revisit log collapses to |pages| rows in ONE keyed Exchange
+    // (map-side combined); the lambda arithmetic must run on the
+    // collapsed table, never force a second shuffle or a window
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"revisit estimator is one page-keyed collapse:\n${p.take(1500)}")
+    assert(!p.contains("Window") && count(p, "Scan parquet") == 1,
+      s"no window pass, one scan:\n${p.take(1200)}")
+  }
+
   test("funnel stage times: k chained windows + user collapse over ONE Exchange") {
     import graft.analytics.Funnel
     val p = Funnel.stageTimes(Tables.events(spark, Sf),
