@@ -1068,16 +1068,28 @@ object TextOps {
     * `malformed` with NULL host/rank instead of vanishing.
     *
     * Integer window arithmetic BY DESIGN: `win_start` is
-    * floor(unix_seconds / W) · W as a BIGINT — exactly replayable in
-    * any engine, no timezone or calendar in the loop.
+    * (unix_seconds div W) · W as a BIGINT — exactly replayable in any
+    * engine, no timezone or calendar in the loop. Epochs are assumed
+    * NON-NEGATIVE (crawl timestamps post-1970): Spark's `div`
+    * truncates toward zero while the DuckDB oracle's `//` floors, so
+    * a pre-1970 row would window differently cross-engine. The same
+    * convention (and assumption) is shared by `crawlReport`'s inline
+    * window.
     *
     * Scale shape: host extraction is row-local regexp; ONE Exchange on
     * (host, win_start) feeds both the rank window and the verdict —
     * the shuffle carries (id, host, epoch), never page bytes. The
     * per-partition sort is bounded by one host's arrivals in one
-    * window — the very quantity the quota bounds operationally. The
-    * streaming arm is `EventStream.politenessStream` (same rank, same
-    * verdicts, counts carried in keyed state).
+    * window — a quantity bounded by the upstream frontier rate and
+    * the window width, NOT by the quota (the quota bounds only the
+    * `scheduled` count; deferrals still receive ranks, so a
+    * 10⁹-arrival host-window would full-sort in one partition to rank
+    * its deferrals). If deferred ranks are ever dropped from the
+    * contract, the 100×-scale arm is the rank-≤-quota filter form:
+    * Catalyst rewrites `row_number() ≤ k` into a WindowGroupLimit
+    * top-k band that caps the per-partition sort at the quota.
+    * The streaming arm is `EventStream.politenessStream` (same rank,
+    * same verdicts, counts carried in keyed state).
     */
   def politenessSchedule(df: DataFrame, canonicalCol: String,
       idCol: String, tsCol: String, windowSeconds: Long,
@@ -1210,7 +1222,11 @@ object TextOps {
     * equi-join, (host, window, candidate) rank, final host aggregate
     * — every shuffle carries ids/hosts/epochs, never page bytes; the
     * final output is |hosts|+1 rows. Exact string/integer arithmetic
-    * end to end — full DuckDB oracle (`q_crawl_report`).
+    * end to end — full DuckDB oracle (`q_crawl_report`). The inline
+    * `__win` uses Spark `div` (truncates toward zero) against the
+    * oracle's floor `//` — epochs are assumed non-negative
+    * (post-1970), the `politenessSchedule` convention, shared so the
+    * two windows agree row-for-row.
     */
   def crawlReport(df: DataFrame, idCol: String, urlCol: String,
       tsCol: String, rules: DataFrame, windowSeconds: Long,
@@ -1288,6 +1304,17 @@ object TextOps {
     * class, never a fake 0; a never-changed page is EXACTLY 0
     * (ln 1 = 0, integer-exact on both engines).
     *
+    * Nullability contract: a NULL `changed` flag (the fetcher had no
+    * previous body to diff against) counts as UNCHANGED —
+    * `coalesce(changed, false)` — which biases λ̂ conservatively LOW
+    * (the page is re-crawled no more often than the evidence
+    * supports) instead of silently producing a NULL n_changes that
+    * would masquerade as the single-visit quarantine class. This is
+    * also the only semantics the streaming arm can represent
+    * (`VisitArrival.changed` is a non-nullable Boolean — callers map
+    * NULL→false at ingest), so batch ≡ stream holds on NULL-bearing
+    * input too.
+    *
     * Float tail contract (the q_zscore / q_sample_gumbel class): the
     * ratio is one IEEE divide of exact integers ((2(n−X)+1) /
     * (2n+1)), then one ln and three multiplies/divides in a PINNED
@@ -1307,7 +1334,8 @@ object TextOps {
       require(false, s"revisitSchedule: '$c' is reserved — rename it")
     df.groupBy(col(pageCol))
       .agg(count(lit(1)).as("n_visits"),
-        sum(col(changedCol).cast("long")).as("n_changes"),
+        sum(coalesce(col(changedCol), lit(false)).cast("long"))
+          .as("n_changes"),
         (max(expr(s"unix_timestamp($tsCol)")) -
           min(expr(s"unix_timestamp($tsCol)"))).as("span_seconds"))
       .withColumn("lambda_day_micro", expr(

@@ -1106,7 +1106,16 @@ object EventStream {
     * instead of an unbounded distinct-id state), and a page's links
     * arrive ATOMICALLY in its single input row (true by construction
     * — the extractor runs on the arrival row), so the per-batch
-    * distinct-id count per pair is exact, never split. State per pair
+    * distinct-id count per pair is exact, never split. The contract
+    * is EXACTLY-ONCE delivery, not merely deduped content: the state
+    * is additive, so an at-least-once redelivery (source replay, a
+    * recrawl of an already-counted page, or any channel that can
+    * re-present a row) permanently over-counts n_links AND n_pages,
+    * and nothing downstream detects it — guarding would mean a per-
+    * pair seen-id set, i.e. the unbounded distinct-id state this
+    * design exists to avoid. Run it behind a checkpointed exactly-
+    * once source (file/Kafka with the query's own checkpoint), or
+    * accept the counts as upper bounds. State per pair
     * is two BIGINTs — bounded by hosts², the same small table the
     * batch aggregate ends in; no timeout, a link graph has no window.
     * Equality law: after any arrival split into micro-batches, the
@@ -1158,8 +1167,11 @@ object EventStream {
     * row-locally on every update, so the re-crawl scheduler always
     * reads the current per-day change rate instead of waiting for a
     * batch collapse. The SAME pinned float tail as the batch arm —
-    * one IEEE divide of exact integers, one `Math.log` (the identical
-    * JVM function Catalyst's `ln` compiles to), three pinned
+    * one IEEE divide of exact integers, one `StrictMath.log` (the
+    * function Spark's `Log` expression calls in BOTH interpreted and
+    * codegen paths; `Math.log` is HotSpot-intrinsified and may differ
+    * by 1 ulp, which a floor boundary would amplify to an off-by-one
+    * micro — the same reason `Unigram` pins StrictMath), three pinned
     * left-to-right mul/divs through the micro floor — so stream and
     * batch agree BIT-FOR-BIT, not approximately.
     *
@@ -1190,7 +1202,7 @@ object EventStream {
           state.update((n, x, lo, hi))
           val span = hi - lo
           val lambda = if (n >= 2L && span > 0L)
-            Some(math.floor((-Math.log(
+            Some(math.floor((-StrictMath.log(
                 (2.0 * (n - x) + 1.0) / (2.0 * n + 1.0)))
               * 1000000.0 * 86400.0 * (n - 1.0) / span.toDouble).toLong)
           else None

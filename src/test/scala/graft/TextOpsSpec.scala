@@ -633,6 +633,13 @@ class TextOpsSpec extends SparkSpec {
       // page 5: two visits in the same second -> zero span, NULL
       (5L, 7L, false), (5L, 7L, true))
       .toDF("page_id", "tsec", "changed")
+      // page 6: the fetcher never had a diff bit (changed NULL on
+      // every visit) with a real 2-day span -> counts as UNCHANGED,
+      // lambda EXACTLY 0 — the nullability contract, NOT the
+      // single-visit NULL quarantine it used to conflate with
+      .union(Seq((6L, 0L), (6L, 2 * day)).toDF("page_id", "tsec")
+        .withColumn("changed", lit(null).cast("boolean"))
+        .select("page_id", "tsec", "changed"))
       .withColumn("ts", expr("timestamp_seconds(tsec)"))
     val out = TextOps.revisitSchedule(visits, "page_id", "ts", "changed")
       .collect().map(r => r.getLong(0) ->
@@ -647,7 +654,9 @@ class TextOpsSpec extends SparkSpec {
       "changed-every-visit stays finite and orders above the slower page")
     assert(out(4L).isEmpty && out(5L).isEmpty,
       "single-visit and zero-span pages are NULL quarantine, never 0")
-    assert(out.size == 5, "one row per page")
+    assert(out(6L).contains(0L),
+      "NULL changed counts as unchanged (coalesce false): lambda 0, not NULL")
+    assert(out.size == 6, "one row per page")
   }
 
   test("canonicalizeUrl: every rule exact, malformed NULL, identity preserved") {
