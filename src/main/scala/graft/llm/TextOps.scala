@@ -1004,37 +1004,68 @@ object TextOps {
 
   /** Robots-style URL policy verdicts — the crawl-COMPLIANCE gate
     * that sits next to the frontier dedup: given a rule table
-    * (host, path prefix, allow), verdict each canonical URL by the
+    * (host, path pattern, allow), verdict each canonical URL by the
     * robots.txt precedence every major crawler implements (Google's
     * published rule): among the matching rules for the URL's host,
-    * the LONGEST prefix wins; a length tie between allow and disallow
-    * resolves to ALLOW; a URL whose host has no matching rule is
-    * allowed (robots default-allow). A NULL/malformed URL (no
-    * `scheme://host` shape — `canonicalizeUrl`'s loud class) is NEVER
-    * allowed: compliance can't be checked for a page that can't be
-    * fetched. Output: one verdict row per input id — (id, url,
-    * allowed, rule_prefix, rule_allow); rule_prefix/rule_allow are
-    * NULL when no rule matched (the default-allow case), so the
-    * verdict is always auditable back to its rule.
+    * the MOST SPECIFIC pattern — longest as written — wins; a length
+    * tie between allow and disallow resolves to ALLOW; a URL whose
+    * host has no matching rule is allowed (robots default-allow). A
+    * NULL/malformed URL (no `scheme://host` shape —
+    * `canonicalizeUrl`'s loud class) is NEVER allowed: compliance
+    * can't be checked for a page that can't be fetched. Output: one
+    * verdict row per input id — (id, url, allowed, rule_prefix,
+    * rule_allow); rule_prefix/rule_allow are NULL when no rule
+    * matched (the default-allow case), so the verdict is always
+    * auditable back to its rule.
+    *
+    * Pattern language (RFC 9309 §2.2.3, the syntax real robots.txt
+    * files use — a prefix-only engine silently mis-verdicts any rule
+    * table lifted from one): `*` matches any character sequence
+    * including `/`; a TRAILING `$` anchors the match at the path end
+    * (a mid-pattern `$` is a literal, per the spec's
+    * only-special-at-end reading); everything else is literal; a
+    * pattern with neither is a plain prefix — bit-identical to the
+    * pre-wildcard behavior. Pinned precedence tiebreak: pattern
+    * length AS WRITTEN (`*` and `$` each count 1 — the published
+    * most-specific rule measures the rule text), then allow over
+    * disallow, then lexicographically-largest pattern (full
+    * determinism, no rule-table order dependence). Matching compiles
+    * each pattern ONCE on the broadcast side to a SQL LIKE pattern
+    * (`*`→`%`, literal `%`/`_`/`!` escaped via ESCAPE '!', trailing
+    * `%` unless `$`-anchored) — LIKE, not regexp, because both
+    * engines implement identical LIKE semantics and the glob subset
+    * needs nothing more.
     *
     * Scale shape: the rule table is a BROADCAST build side (a robots
     * corpus is bounded by hosts × rules-per-host, never by pages);
     * the host equi-join multiplies each URL only by ITS host's rules;
     * the longest-match pick is one partial-aggregated max of a
-    * (length, allow, prefix) struct per id — struct ordering IS the
+    * (length, allow, pattern) struct per id — struct ordering IS the
     * precedence rule (longer first, allow beating disallow on ties),
     * so no window and no sort. Exact string arithmetic end to end —
     * full DuckDB oracle.
     */
   def urlPolicyFilter(df: DataFrame, idCol: String, urlCol: String,
                       rules: DataFrame): DataFrame = {
-    for (c <- Seq("__h", "__p", "__rule")
+    for (c <- Seq("__h", "__p", "__rule", "__pat")
         if df.columns.contains(c) || rules.columns.contains(c))
       require(false, s"urlPolicyFilter: '$c' is reserved — rename it")
     require(Seq("host", "prefix", "allow").forall(rules.columns.contains),
       "urlPolicyFilter: rules need (host, prefix, allow) columns")
+    // pattern -> LIKE, compiled once per rule on the bounded build
+    // side: strip a trailing '$' (the anchor), escape the LIKE
+    // metachars, '*' -> '%', and append '%' only when unanchored
     val ruleSide = broadcast(rules.select(col("host").as("__h"),
-      col("prefix"), col("allow")))
+      col("prefix"), col("allow"))
+      .withColumn("__pat", concat(
+        expr("""replace(replace(replace(replace(
+          |  CASE WHEN prefix LIKE '%$' AND length(prefix) > 0
+          |       THEN substring(prefix, 1, length(prefix) - 1)
+          |       ELSE prefix END,
+          |  '!', '!!'), '%', '!%'), '_', '!_'), '*', '%')"""
+          .stripMargin),
+        when(col("prefix").endsWith(lit("$")), lit(""))
+          .otherwise(lit("%")))))
     df.select(col(idCol), col(urlCol),
         regexp_extract(col(urlCol),
           "^[a-z][a-z0-9+.\\-]*://([^/?]*)", 1).as("__h"),
@@ -1043,7 +1074,7 @@ object TextOps {
       .join(ruleSide, Seq("__h"), "left")
       .withColumn("__rule",
         when(col("prefix").isNotNull &&
-          col("__p").startsWith(col("prefix")),
+          expr("__p LIKE __pat ESCAPE '!'"),
           struct(length(col("prefix")).as("l"), col("allow").as("a"),
             col("prefix").as("p"))))
       .groupBy(col(idCol), col(urlCol))

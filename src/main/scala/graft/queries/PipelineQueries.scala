@@ -696,14 +696,20 @@ object PipelineQueries {
     }),
 
     // -- crawl compliance: robots-style policy verdicts over the
-    //    canonical URLs — longest-prefix-wins with allow beating
-    //    disallow on length ties (the published robots.txt
-    //    precedence), default-allow when no rule matches, malformed
-    //    NEVER allowed. Broadcast rule table, one partial-agg struct
-    //    max per id; exact string arithmetic — full oracle. Rules:
-    //    /articles/1* disallowed with a /articles/12* allow carve-out;
-    //    /articles/2* carries an exact allow/disallow TIE (allow must
-    //    win, auditable via rule_prefix). ---------------------------
+    //    canonical URLs — RFC 9309 patterns (mid-`*` wildcards,
+    //    trailing-`$` anchors, plain prefixes) with most-specific-
+    //    pattern-wins and allow beating disallow on length ties (the
+    //    published robots.txt precedence), default-allow when no rule
+    //    matches, malformed NEVER allowed. Broadcast rule table, one
+    //    partial-agg struct max per id; exact string arithmetic —
+    //    full oracle. Rules: /articles/1* disallowed with a
+    //    /articles/12* allow carve-out; /articles/2* carries an exact
+    //    allow/disallow TIE (allow must win, auditable via
+    //    rule_prefix); /articles/*7 plants a WILDCARD that outranks
+    //    the shorter /articles/1 literal (and ties /articles/12 —
+    //    allow still wins there); /articles/4$ vs /articles/4 plants
+    //    the ANCHOR (exactly /articles/4 allowed, /articles/40..49
+    //    blocked); /*/9$ plants mid-wildcard + anchor. --------------
     "q_url_policy" -> ((s, dir) => {
       import s.implicits._
       val canon = TextOps.canonicalizeUrl(synthUrls(s, dir), "url")
@@ -713,6 +719,10 @@ object PipelineQueries {
         ("www.news-site.com", "/articles/12", true),
         ("www.news-site.com", "/articles/2", true),
         ("www.news-site.com", "/articles/2", false),
+        ("www.news-site.com", "/articles/*7", false),
+        ("www.news-site.com", "/articles/4$", true),
+        ("www.news-site.com", "/articles/4", false),
+        ("www.news-site.com", "/*/9$", false),
         ("other.example", "/", false)).toDF("host", "prefix", "allow")
       TextOps.urlPolicyFilter(canon, "doc_id", "canonical_url", rules)
     }),
@@ -2820,20 +2830,38 @@ object PipelineQueries {
         |SELECT doc_id, canonical_url, 'malformed' AS status, url AS detail
         |FROM cc WHERE canonical_url IS NULL""".stripMargin,
 
+    // the rule patterns compile to LIKE exactly as the Spark side
+    // does: strip a trailing '$' anchor, escape !/%/_ via ESCAPE '!',
+    // '*' -> '%', trailing '%' only when unanchored
     "q_url_policy" ->
-      s"""$UrlCanonCtes, rules(host, prefix, allow) AS (
+      s"""$UrlCanonCtes, rules0(host, prefix, allow) AS (
         |  VALUES ('www.news-site.com', '/articles/1', false),
         |         ('www.news-site.com', '/articles/12', true),
         |         ('www.news-site.com', '/articles/2', true),
         |         ('www.news-site.com', '/articles/2', false),
+        |         ('www.news-site.com', '/articles/*7', false),
+        |         ('www.news-site.com', '/articles/4$$', true),
+        |         ('www.news-site.com', '/articles/4', false),
+        |         ('www.news-site.com', '/*/9$$', false),
         |         ('other.example', '/', false)
+        |), rules AS (
+        |  SELECT host, prefix, allow,
+        |    concat(
+        |      replace(replace(replace(replace(
+        |        CASE WHEN prefix LIKE '%$$'
+        |             THEN substring(prefix, 1, length(prefix) - 1)
+        |             ELSE prefix END,
+        |        '!', '!!'), '%', '!%'), '_', '!_'), '*', '%'),
+        |      CASE WHEN prefix LIKE '%$$' THEN '' ELSE '%' END) AS pat
+        |  FROM rules0
         |), m AS (
         |  SELECT c.doc_id, c.canonical_url, r.prefix, r.allow
         |  FROM cc c LEFT JOIN rules r
         |    ON regexp_extract(c.canonical_url,
         |         '^[a-z][a-z0-9+.-]*://([^/?]*)', 1) = r.host
-        |   AND starts_with(regexp_extract(c.canonical_url,
-        |         '^[a-z][a-z0-9+.-]*://[^/?]*([^?]*)', 1), r.prefix)
+        |   AND regexp_extract(c.canonical_url,
+        |         '^[a-z][a-z0-9+.-]*://[^/?]*([^?]*)', 1)
+        |       LIKE r.pat ESCAPE '!'
         |), ranked AS (
         |  SELECT doc_id, canonical_url, prefix, allow,
         |    row_number() OVER (PARTITION BY doc_id

@@ -505,6 +505,62 @@ class TextOpsSpec extends SparkSpec {
     assert(out.size == 6, "exactly one verdict row per input id")
   }
 
+  test("urlPolicyFilter: RFC 9309 wildcards, anchors, tiebreak, LIKE-metachar literals") {
+    import spark.implicits._
+    val rules = Seq(
+      // '*' spans '/' (RFC: any character sequence)
+      ("site.com", "/a/*/c", false),
+      // trailing '$' anchors: exactly /end, not /end/x or /endx
+      ("site.com", "/end$", false),
+      // '*$' composes: anything under /dl ending in .pdf
+      ("site.com", "/dl/*.pdf$", false),
+      // wildcard vs literal at the SAME as-written length (6):
+      // allow wins the tie regardless of which carries the '*'
+      ("site.com", "/tie/*", false),
+      ("site.com", "/tie/x", true),
+      // LIKE metachars in rule text are LITERALS, not wildcards
+      ("site.com", "/100%", false),
+      ("site.com", "/u_x", false),
+      // a longer WILDCARD pattern outranks a shorter literal
+      ("site.com", "/w", true),
+      ("site.com", "/w*/deep", false)
+    ).toDF("host", "prefix", "allow")
+    val urls = Seq(
+      (1L, "http://site.com/a/anything/even/c"), // mid-* spans '/'
+      (2L, "http://site.com/a/c"),               // '*' needs >= 0 chars: /a//c no — this is /a/c, no middle segment
+      (3L, "http://site.com/end"),               // anchored hit
+      (4L, "http://site.com/end/more"),          // past the anchor -> miss
+      (5L, "http://site.com/dl/a/b/file.pdf"),   // *$ composition hit
+      (6L, "http://site.com/dl/file.pdf.html"),  // anchor rejects suffix
+      (7L, "http://site.com/tie/x"),             // length tie -> allow
+      (8L, "http://site.com/100-off"),           // no '%' char: rule's literal '%' must NOT wildcard
+      (9L, "http://site.com/uax"),               // '_' is literal: no match
+      (10L, "http://site.com/u_x"),              // literal '_' hit
+      (11L, "http://site.com/wide/deep"),        // wildcard beats /w
+      (12L, "http://site.com/100%sale"))         // literal '%' hit
+    val out = TextOps.urlPolicyFilter(urls.toDF("id", "url"), "id", "url",
+        rules).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2),
+        if (r.isNullAt(3)) null else r.getString(3)))).toMap
+    assert(out(1L) == ((false, "/a/*/c")), "mid-pattern * spans '/'")
+    assert(out(2L) == ((true, null)),
+      "the two literal '/' around the '*' are required: /a/c (one '/') misses /a/*/c")
+    assert(out(3L) == ((false, "/end$")), "trailing $ anchors exactly")
+    assert(out(4L) == ((true, null)), "past the anchor is a miss")
+    assert(out(5L) == ((false, "/dl/*.pdf$")), "*$ composition")
+    assert(out(6L) == ((true, null)), "anchor rejects a trailing suffix")
+    assert(out(7L) == ((true, "/tie/x")),
+      "same as-written length: allow wins the tie")
+    assert(out(8L) == ((true, null)),
+      "a rule's literal '%' must not act as a wildcard")
+    assert(out(9L) == ((true, null)), "'_' is a literal, not any-char")
+    assert(out(10L) == ((false, "/u_x")), "literal '_' hit")
+    assert(out(11L) == ((false, "/w*/deep")),
+      "a longer wildcard pattern outranks a shorter literal")
+    assert(out(12L) == ((false, "/100%")), "literal '%' hit")
+    assert(out.size == 12, "one verdict row per input id")
+  }
+
   test("hostLinkGraph: canonical edges, audit classes visible, match conservation") {
     import spark.implicits._
     val pages = Seq(
