@@ -952,19 +952,61 @@ object TextOps {
     *   - surviving query params sorted bytewise (order-insensitive
     *     equality) and the `?` dropped when none survive,
     *   - an empty path normalized to `/`.
+    *   - percent-encoding normalized per RFC 3986 §6.2.2 on the path
+    *     and query: a `%XX` octet in the UNRESERVED set (ALPHA /
+    *     DIGIT / `-` `.` `_` `~`) decodes to its character
+    *     (`%7E`→`~`, `%41`→`A` — so `/articl%65s` and `/articles`
+    *     become ONE page), any other `%XX` survives with its hex
+    *     UPPERCASED (`%2f`→`%2F` — reserved octets are never decoded:
+    *     `%2F` and `/` are different characters in a path), and a `%`
+    *     not followed by two hex digits (invalid per the RFC) is kept
+    *     verbatim. Decoding runs BEFORE the query-param split — safe
+    *     because an unreserved decode can never produce a `&`/`=`
+    *     delimiter — so an encoded `utm%5Fsource` is recognized as
+    *     tracking noise and dropped. The host is NOT decoded
+    *     (percent-encoded hosts are vanishingly rare and IDN/punycode
+    *     is out of scope); one decode pass is a FIXED POINT — decoded
+    *     output contains no decodable triplet.
     * A value with no `scheme://host` shape canonicalizes to NULL —
     * the LOUD malformed class (a silent passthrough would let junk
-    * rows form singleton "pages"); percent-encoding normalization is
-    * OUT OF SCOPE by contract (it needs a reserved-character table,
-    * and mixed encodings are rare enough to land in the content-hash
-    * tier one step later).
+    * rows form singleton "pages").
     *
-    * Pure Catalyst (regex + HOF filter/sort on the split params — no
-    * UDF, whole-stage codegen), entirely row-local: a map at any
+    * Pure Catalyst (regex + HOF filter/sort on the split params, the
+    * decode a split-on-`%` + two chained `transform`s + `array_join`
+    * — no UDF, whole-stage codegen), entirely row-local: a map at any
     * scale. Every rule is regex/string arithmetic both engines
     * evaluate identically, so the operator carries a full DuckDB
     * oracle.
     */
+  /** RFC 3986 unreserved-octet percent-decode + hex-uppercase as one
+    * SQL expression over column `c`: split on '%', the head is
+    * literal, each tail piece classifies its leading two chars — a
+    * hex pair in the unreserved range decodes (`char(v)` + rest),
+    * any other hex pair re-emits `%` + UPPERCASED pair + rest, a
+    * non-hex piece re-emits `%` + piece verbatim. The piece→(value,
+    * piece) pairing rides a named_struct so the hex value is computed
+    * once (SQL lambdas have no let-binding).
+    */
+  private def pctNormalizeSql(c: String): String =
+    s"""concat(
+       |  element_at(split($c, '%', -1), 1),
+       |  array_join(transform(
+       |    transform(
+       |      slice(split($c, '%', -1), 2,
+       |        greatest(size(split($c, '%', -1)) - 1, 0)),
+       |      p -> named_struct('p', p, 'v',
+       |        CASE WHEN p rlike '^[0-9A-Fa-f]{2}'
+       |          THEN (instr('0123456789ABCDEF', upper(substring(p, 1, 1))) - 1) * 16
+       |             + instr('0123456789ABCDEF', upper(substring(p, 2, 1))) - 1
+       |          ELSE -1 END)),
+       |    s -> CASE
+       |      WHEN s.v BETWEEN 65 AND 90 OR s.v BETWEEN 97 AND 122
+       |        OR s.v BETWEEN 48 AND 57 OR s.v IN (45, 46, 95, 126)
+       |        THEN concat(char(s.v), substring(s.p, 3))
+       |      WHEN s.v >= 0
+       |        THEN concat('%', upper(substring(s.p, 1, 2)), substring(s.p, 3))
+       |      ELSE concat('%', s.p) END), ''))""".stripMargin
+
   def canonicalizeUrl(df: DataFrame, urlCol: String,
                       outCol: String = "canonical_url"): DataFrame = {
     for (c <- Seq(outCol, "__nf", "__sch", "__hp", "__host", "__path",
@@ -986,7 +1028,9 @@ object TextOps {
           "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*([^?]*)", 1)
         when(p === "", lit("/")).otherwise(p)
       })
+      .withColumn("__path", expr(pctNormalizeSql("__path")))
       .withColumn("__q", regexp_extract(col("__nf"), "\\?(.*)$", 1))
+      .withColumn("__q", expr(pctNormalizeSql("__q")))
       .withColumn("__ps", expr(
         """array_join(sort_array(filter(split(__q, '&'),
           |  p -> p != '' AND NOT (p rlike

@@ -491,8 +491,35 @@ object PipelineQueries {
     * the CTE prefix both crawl-tier oracles build on (`cc` carries
     * (doc_id, url, canonical_url); NULL canonical = malformed).
     */
+  /** DuckDB twin of `TextOps.pctNormalizeSql` — the RFC 3986
+    * unreserved-octet decode + hex-uppercase over expression `x`,
+    * replayed with DuckDB's list functions (the piece/value pair
+    * rides a 2-element VARCHAR list, DuckDB's lambda let-binding).
+    */
+  private def pctDuck(x: String): String =
+    s"""concat(
+       |      (string_split($x, '%'))[1],
+       |      array_to_string(list_transform(
+       |        list_transform((string_split($x, '%'))[2:], p ->
+       |          [p, CASE WHEN regexp_matches(p, '^[0-9A-Fa-f]{2}')
+       |            THEN CAST((strpos('0123456789ABCDEF',
+       |                upper(substring(p, 1, 1))) - 1) * 16
+       |              + strpos('0123456789ABCDEF',
+       |                upper(substring(p, 2, 1))) - 1 AS VARCHAR)
+       |            ELSE '-1' END]),
+       |        a -> CASE
+       |          WHEN CAST(a[2] AS INT) BETWEEN 65 AND 90
+       |            OR CAST(a[2] AS INT) BETWEEN 97 AND 122
+       |            OR CAST(a[2] AS INT) BETWEEN 48 AND 57
+       |            OR CAST(a[2] AS INT) IN (45, 46, 95, 126)
+       |            THEN concat(chr(CAST(a[2] AS INT)), substring(a[1], 3))
+       |          WHEN CAST(a[2] AS INT) >= 0
+       |            THEN concat('%', upper(substring(a[1], 1, 2)),
+       |                        substring(a[1], 3))
+       |          ELSE concat('%', a[1]) END), ''))""".stripMargin
+
   private val UrlCanonCtes: String =
-    """WITH raw AS (
+    s"""WITH raw AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 97 = 0
       |      THEN concat('www.news-site.com/articles/',
@@ -504,33 +531,50 @@ object PipelineQueries {
       |        CASE WHEN doc_id % 2 = 0 THEN 'WWW.News-Site.COM'
       |             ELSE 'www.news-site.com' END,
       |        CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END,
-      |        '/articles/', CAST(doc_id % 250 AS VARCHAR),
+      |        CASE WHEN (doc_id % 250) % 11 = 5 AND (doc_id // 250) % 2 = 0
+      |               THEN '/artic%6ces/'
+      |             WHEN (doc_id % 250) % 11 = 7 AND (doc_id // 250) % 2 = 1
+      |               THEN '/artic%6Ces/'
+      |             ELSE '/articles/' END,
+      |        CAST(doc_id % 250 AS VARCHAR),
       |        CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1&utm_source=rss'
       |             WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
       |             WHEN doc_id % 4 = 2 THEN '?utm_campaign=x&a=1&gclid=z&b=2'
       |             ELSE '?a=1&utm_medium=&b=2' END,
+      |        CASE WHEN (doc_id % 250) % 11 = 3 AND (doc_id // 250) % 2 = 1
+      |               THEN '&utm%5fsource=enc'
+      |             WHEN (doc_id % 250) % 11 = 9
+      |               THEN concat('&z=%2',
+      |                 CASE WHEN (doc_id // 250) % 2 = 0
+      |                      THEN 'f' ELSE 'F' END, 'x')
+      |             ELSE '' END,
       |        CASE WHEN doc_id % 6 = 0 THEN '#comments' ELSE '' END)
       |    END AS url
       |  FROM documents
       |), c1 AS (
-      |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM raw
+      |  SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nf FROM raw
       |), c2 AS (
       |  SELECT doc_id, url,
       |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
       |    lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hp,
       |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS p0,
-      |    regexp_extract(nf, '\?(.*)$', 1) AS q
+      |    regexp_extract(nf, '\\?(.*)$$', 1) AS q
       |  FROM c1
+      |), c2d AS (
+      |  SELECT doc_id, url, sch, hp,
+      |    ${pctDuck("(CASE WHEN p0 = '' THEN '/' ELSE p0 END)")} AS pd,
+      |    ${pctDuck("q")} AS qd
+      |  FROM c2
       |), c3 AS (
       |  SELECT doc_id, url, sch,
-      |    CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
-      |         WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+      |    CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$$', '')
+      |         WHEN sch = 'https' THEN regexp_replace(hp, ':443$$', '')
       |         ELSE hp END AS host,
-      |    CASE WHEN p0 = '' THEN '/' ELSE p0 END AS pth,
-      |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |    pd AS pth,
+      |    array_to_string(list_sort(list_filter(string_split(qd, '&'),
       |      p -> p != '' AND NOT regexp_matches(p,
-      |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=|$)'))), '&') AS ps
-      |  FROM c2
+      |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=|$$)'))), '&') AS ps
+      |  FROM c2d
       |), cc AS (
       |  SELECT doc_id, url,
       |    CASE WHEN sch = '' OR host = '' THEN NULL
@@ -544,8 +588,15 @@ object PipelineQueries {
     * from doc_id, carrying every mess the canonicalizer must absorb
     * (scheme/host case, default port, tracking params in scrambled
     * order, fragments; mod-97 rows are malformed — no scheme). Ids k
-    * and k+250 share a path key. The DuckDB oracles replay the same
-    * CASE chain verbatim.
+    * and k+250 share a path key. Percent-encoding plants are keyed on
+    * that SHARED key (doc_id % 250) with per-twin asymmetry via
+    * (doc_id div 250) parity, so canonical groups stay intact at
+    * every scale factor while exercising the decoder: an encoded-path
+    * twin collides with its plain twin (%6c/'%6C' → 'l'), an encoded
+    * tracking param (utm%5fsource) is recognized and dropped, and a
+    * reserved octet (%2f/%2F) survives undecoded with uppercased hex
+    * on BOTH twins. The DuckDB oracles replay the same CASE chain
+    * verbatim.
     */
   /** DuckDB twin of `synthLinkPages`: the page's own URLs are built
     * canonical (lowercase https, no port/params), so src_host is the
@@ -650,11 +701,23 @@ object PipelineQueries {
           |    CASE WHEN doc_id % 2 = 0 THEN 'WWW.News-Site.COM'
           |         ELSE 'www.news-site.com' END,
           |    CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END,
-          |    '/articles/', CAST(doc_id % 250 AS STRING),
+          |    CASE WHEN (doc_id % 250) % 11 = 5 AND (doc_id div 250) % 2 = 0
+          |           THEN '/artic%6ces/'
+          |         WHEN (doc_id % 250) % 11 = 7 AND (doc_id div 250) % 2 = 1
+          |           THEN '/artic%6Ces/'
+          |         ELSE '/articles/' END,
+          |    CAST(doc_id % 250 AS STRING),
           |    CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1&utm_source=rss'
           |         WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
           |         WHEN doc_id % 4 = 2 THEN '?utm_campaign=x&a=1&gclid=z&b=2'
           |         ELSE '?a=1&utm_medium=&b=2' END,
+          |    CASE WHEN (doc_id % 250) % 11 = 3 AND (doc_id div 250) % 2 = 1
+          |           THEN '&utm%5fsource=enc'
+          |         WHEN (doc_id % 250) % 11 = 9
+          |           THEN concat('&z=%2',
+          |             CASE WHEN (doc_id div 250) % 2 = 0
+          |                  THEN 'f' ELSE 'F' END, 'x')
+          |         ELSE '' END,
           |    CASE WHEN doc_id % 6 = 0 THEN '#comments' ELSE '' END)
           |END""".stripMargin))
 

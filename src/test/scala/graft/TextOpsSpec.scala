@@ -639,9 +639,16 @@ class TextOpsSpec extends SparkSpec {
         val host = pick(Seq("Site.COM", "site.com", "WWW.Ex-A.org",
           "xn--bcher-kva.example", ""))
         val port = pick(Seq("", ":80", ":443", ":8080", ":00080"))
-        val path = pick(Seq("", "/", "/A/b", "/a%20b/C.D", "//double"))
+        // percent-encoding variants: unreserved decodes (%6c, %41,
+        // %7e), reserved survivors uppercased (%20, %2f), an encoded
+        // '%' that must NOT double-decode (%2541), and invalid '%'
+        // shapes kept verbatim (%zz, trailing %)
+        val path = pick(Seq("", "/", "/A/b", "/a%20b/C.D", "//double",
+          "/artic%6ces", "/%41B/%7euser", "/x%2fy", "/%2541", "/bad%zz",
+          "/end%"))
         val q = pick(Seq("", "?a=1&b=2", "?b=2&a=1&utm_source=x",
-          "?utm_medium=&gclid=1", "?z&y&x", "?a=1&a=0", "?a=1&&b=2"))
+          "?utm_medium=&gclid=1", "?z&y&x", "?a=1&a=0", "?a=1&&b=2",
+          "?a=%7e1&b=%2f2", "?utm%5fsource=x&a=1"))
         val frag = pick(Seq("", "#f", "#a?b=2"))
         s"$sch://$host$port$path$q$frag"
       }
@@ -736,7 +743,24 @@ class TextOpsSpec extends SparkSpec {
       7L -> "FTP://Host.Example:80/Path/File.TXT",
       // no scheme://host shape -> NULL, the loud malformed class
       8L -> "www.site.com/path",
-      9L -> "not a url at all")
+      9L -> "not a url at all",
+      // RFC 3986 unreserved decode: %65='e', so the encoded form
+      // collides with the plain twin (case 11)
+      10L -> "http://site.com/articl%65s/9?a=1",
+      11L -> "http://site.com/articles/9?a=1",
+      // reserved octets NEVER decode; lowercase hex uppercases
+      12L -> "http://site.com/a%2fb",
+      13L -> "http://site.com/a%2Fb",
+      // '~' is unreserved: %7E decodes
+      14L -> "http://site.com/%7Euser",
+      // mix in one path: %25 ('%') stays (and is NOT re-examined —
+      // no double-decode), %6f ('o') and %4B ('K') decode
+      15L -> "http://site.com/50%25+%6f%4B",
+      // invalid '%' (no hex pair / trailing): verbatim, loud garbage
+      16L -> "http://site.com/bad%xy",
+      17L -> "http://site.com/trail%",
+      // an ENCODED tracking param is still tracking noise; %31='1'
+      18L -> "http://site.com/p?utm%5Fsource=x&a=%31")
     val out = TextOps.canonicalizeUrl(cases.toDF("id", "url"), "url")
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(2)) null else r.getString(2))).toMap
@@ -752,5 +776,22 @@ class TextOpsSpec extends SparkSpec {
       "unknown scheme: no default-port rule; path case preserved")
     assert(out(8L) == null && out(9L) == null,
       "no scheme://host shape canonicalizes to NULL, never passes through")
+    assert(out(10L) == "http://site.com/articles/9?a=1",
+      "unreserved %65 decodes to 'e'")
+    assert(out(10L) == out(11L),
+      "the percent-encoded twin collides with the plain twin")
+    assert(out(12L) == "http://site.com/a%2Fb",
+      "reserved %2f is NOT decoded; its hex uppercases")
+    assert(out(12L) == out(13L),
+      "lowercase and uppercase reserved hex collide without decoding")
+    assert(out(14L) == "http://site.com/~user", "%7E decodes to '~'")
+    assert(out(15L) == "http://site.com/50%25+oK",
+      "mixed path: %25 survives undecoded, %6f/%4B decode")
+    assert(out(16L) == "http://site.com/bad%xy",
+      "a '%' without a hex pair is kept verbatim")
+    assert(out(17L) == "http://site.com/trail%",
+      "a trailing '%' is kept verbatim")
+    assert(out(18L) == "http://site.com/p?a=1",
+      "utm%5Fsource decodes to utm_source and is dropped; a=%31 -> a=1")
   }
 }
