@@ -1165,21 +1165,35 @@ object TextOps {
     * top-k band that caps the per-partition sort at the quota.
     * The streaming arm is `EventStream.politenessStream` (same rank,
     * same verdicts, counts carried in keyed state).
+    *
+    * Per-host quotas (`hostQuotas`, a (host, quota) table — robots
+    * `Crawl-delay` and server capacity are PER HOST, the global
+    * constant is just the floor rule): the effective quota is
+    * `coalesce(host's rule, perHostQuota)`, joined via one BROADCAST
+    * left join on the extracted host (a quota corpus is hosts-sized,
+    * never pages-sized) — no new Exchange, the rank plan is
+    * unchanged. A burst host with a tight quota still defers only
+    * ITSELF: the quota enters the verdict, never another host's rank.
     */
   def politenessSchedule(df: DataFrame, canonicalCol: String,
       idCol: String, tsCol: String, windowSeconds: Long,
-      perHostQuota: Int): DataFrame = {
+      perHostQuota: Int,
+      hostQuotas: Option[DataFrame] = None): DataFrame = {
     require(windowSeconds >= 1L,
       s"politenessSchedule: windowSeconds >= 1, got $windowSeconds")
     require(perHostQuota >= 1,
       s"politenessSchedule: perHostQuota >= 1, got $perHostQuota")
-    for (c <- Seq("host", "win_start", "host_rank", "status")
+    for (c <- Seq("host", "win_start", "host_rank", "status", "__quota")
         if df.columns.contains(c))
       require(false, s"politenessSchedule: '$c' is reserved — rename it")
+    hostQuotas.foreach { hq =>
+      require(Seq("host", "quota").forall(hq.columns.contains),
+        "politenessSchedule: hostQuotas needs (host, quota) columns")
+    }
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("host"), col("win_start"))
       .orderBy(col(tsCol), col(idCol))
-    df.select(col(idCol), col(canonicalCol), col(tsCol),
+    val ranked = df.select(col(idCol), col(canonicalCol), col(tsCol),
         regexp_extract(col(canonicalCol),
           "^[a-z][a-z0-9+.\\-]*://([^/?]*)", 1).as("host"),
         expr(s"(unix_timestamp($tsCol) div ${windowSeconds}L) * " +
@@ -1189,9 +1203,18 @@ object TextOps {
       .withColumn("host_rank",
         when(col("host").isNull, lit(null).cast("int"))
           .otherwise(row_number().over(w)))
+    val quotaed = hostQuotas match {
+      case None => ranked.withColumn("__quota", lit(perHostQuota))
+      case Some(hq) => ranked
+        .join(broadcast(hq.select(col("host"),
+          col("quota").cast("int").as("__quota"))), Seq("host"), "left")
+        .withColumn("__quota",
+          coalesce(col("__quota"), lit(perHostQuota)))
+    }
+    quotaed
       .select(col(idCol), col("host"), col("win_start"), col("host_rank"),
         when(col("host").isNull, lit("malformed"))
-          .when(col("host_rank") <= perHostQuota, lit("scheduled"))
+          .when(col("host_rank") <= col("__quota"), lit("scheduled"))
           .otherwise(lit("deferred")).as("status"))
   }
 
@@ -1302,18 +1325,28 @@ object TextOps {
     * oracle's floor `//` — epochs are assumed non-negative
     * (post-1970), the `politenessSchedule` convention, shared so the
     * two windows agree row-for-row.
+    *
+    * Per-host quotas (`hostQuotas`, the `politenessSchedule`
+    * contract): effective quota = `coalesce(host rule, perHostQuota)`
+    * via one broadcast left join AFTER the rank — the quota moves
+    * only the scheduled/deferred split, never another host's counts.
     */
   def crawlReport(df: DataFrame, idCol: String, urlCol: String,
       tsCol: String, rules: DataFrame, windowSeconds: Long,
-      perHostQuota: Int): DataFrame = {
+      perHostQuota: Int,
+      hostQuotas: Option[DataFrame] = None): DataFrame = {
     require(windowSeconds >= 1L,
       s"crawlReport: windowSeconds >= 1, got $windowSeconds")
     require(perHostQuota >= 1,
       s"crawlReport: perHostQuota >= 1, got $perHostQuota")
+    hostQuotas.foreach { hq =>
+      require(Seq("host", "quota").forall(hq.columns.contains),
+        "crawlReport: hostQuotas needs (host, quota) columns")
+    }
     for (c <- Seq("host", "n_urls", "n_malformed", "n_dup", "n_blocked",
         "n_scheduled", "n_deferred", "first_epoch", "last_epoch",
         "allowed", "canonical_url", "__first", "__epoch", "__stage",
-        "__cand", "__win", "__rank") if df.columns.contains(c))
+        "__cand", "__win", "__rank", "__quota") if df.columns.contains(c))
       require(false, s"crawlReport: '$c' is reserved — rename it")
     import org.apache.spark.sql.expressions.Window
     val canon = canonicalizeUrl(
@@ -1337,7 +1370,7 @@ object TextOps {
     val rankW = Window
       .partitionBy(col("host"), col("__win"), col("__cand"))
       .orderBy(col(tsCol), col(idCol))
-    staged.join(verdicts, Seq(idCol), "left")
+    val rankedStages = staged.join(verdicts, Seq(idCol), "left")
       .withColumn("host", when(col("canonical_url").isNotNull, hostOf))
       .withColumn("__win", expr(
         s"(unix_timestamp($tsCol) div ${windowSeconds}L) * " +
@@ -1345,9 +1378,20 @@ object TextOps {
       .withColumn("__cand",
         col("__stage").isNull && coalesce(col("allowed"), lit(false)))
       .withColumn("__rank", row_number().over(rankW))
+    // per-host quota: one broadcast left join after the rank (the
+    // quota enters the verdict only, never the rank partitioning)
+    val withQuota = hostQuotas match {
+      case None => rankedStages.withColumn("__quota", lit(perHostQuota))
+      case Some(hq) => rankedStages
+        .join(broadcast(hq.select(col("host"),
+          col("quota").cast("int").as("__quota"))), Seq("host"), "left")
+        .withColumn("__quota",
+          coalesce(col("__quota"), lit(perHostQuota)))
+    }
+    withQuota
       .withColumn("__stage", coalesce(col("__stage"),
         when(!col("allowed"), lit("blocked")),
-        when(col("__rank") <= perHostQuota, lit("scheduled"))
+        when(col("__rank") <= col("__quota"), lit("scheduled"))
           .otherwise(lit("deferred"))))
       .select(col("host"), col("__epoch"), col("__stage"))
       .groupBy(col("host"))
@@ -1422,6 +1466,91 @@ object TextOps {
           |    * CAST(n_visits - 1 AS DOUBLE)
           |    / CAST(span_seconds AS DOUBLE)) AS BIGINT)
           |ELSE NULL END""".stripMargin))
+  }
+
+  /** Freshness-aware re-crawl schedule — the crawl tier's capstone
+    * v2, the thing the λ̂ estimator EXISTS for: compose
+    * `revisitSchedule`'s per-page change rate with the per-host fetch
+    * budget into a next-fetch ordering — within each host, fetch the
+    * fastest-changing pages first (λ DESC: highest expected staleness
+    * per Cho & Garcia-Molina's Poisson model), spend the host's
+    * budget on that prefix, defer the rest. One SINGLE lineage (the
+    * `crawlReport` pattern): the visit log collapses to the estimator
+    * table and the host rank runs ON that collapsed table — the
+    * standalone estimator's arithmetic is reused verbatim, equality
+    * oracle-pinned, not assumed.
+    *
+    * Input is the revisit log WITH the page's host on each visit row
+    * (the fetcher knows it; carrying it through the collapse is free
+    * because host is functionally dependent on page — it rides the
+    * page-keyed groupBy as a second key, same Exchange). Ordering is
+    * PINNED: `lambda_day_micro DESC NULLS LAST, page ASC` — the
+    * estimator's quarantine class (single-visit / zero-span pages,
+    * NULL λ) competes LAST for budget by contract (the budget is for
+    * keeping known-churning pages fresh; an explore-first scheduler
+    * would seed λ upstream instead of reordering here), and the id
+    * tiebreak makes the rank replayable cross-engine. Verdicts:
+    * `fetch` (rank ≤ effective budget) or `defer` — every page gets
+    * exactly one, nothing vanishes (the conservation law the spec
+    * executes). Per-host budgets via the same broadcast
+    * (host, quota) contract as `politenessSchedule`; effective budget
+    * = `coalesce(host rule, perHostBudget)`.
+    *
+    * Scale shape: Exchange 1 is the page-keyed partial-agged collapse
+    * (map-side combined, four BIGINTs per page); Exchange 2 is the
+    * host-keyed rank over the COLLAPSED |pages| table — the sort is
+    * pages-per-host, never visits-per-host. If only the fetch set is
+    * needed, `rank ≤ budget` filters into a WindowGroupLimit top-k
+    * band capping the sort at the budget. The quota join is a
+    * broadcast on a hosts-sized table. Exact integers plus the pinned
+    * λ float tail — full DuckDB oracle (`q_recrawl_schedule`).
+    */
+  def recrawlSchedule(df: DataFrame, pageCol: String, hostCol: String,
+      tsCol: String, changedCol: String, perHostBudget: Int,
+      hostBudgets: Option[DataFrame] = None): DataFrame = {
+    require(perHostBudget >= 1,
+      s"recrawlSchedule: perHostBudget >= 1, got $perHostBudget")
+    hostBudgets.foreach { hb =>
+      require(Seq("host", "quota").forall(hb.columns.contains),
+        "recrawlSchedule: hostBudgets needs (host, quota) columns")
+    }
+    for (c <- Seq("n_visits", "n_changes", "span_seconds",
+        "lambda_day_micro", "fetch_rank", "status", "__quota")
+        if df.columns.contains(c))
+      require(false, s"recrawlSchedule: '$c' is reserved — rename it")
+    import org.apache.spark.sql.expressions.Window
+    val est = df.groupBy(col(pageCol), col(hostCol))
+      .agg(count(lit(1)).as("n_visits"),
+        sum(coalesce(col(changedCol), lit(false)).cast("long"))
+          .as("n_changes"),
+        (max(expr(s"unix_timestamp($tsCol)")) -
+          min(expr(s"unix_timestamp($tsCol)"))).as("span_seconds"))
+      .withColumn("lambda_day_micro", expr(
+        """CASE WHEN n_visits >= 2 AND span_seconds > 0 THEN
+          |  CAST(floor((-ln(
+          |      CAST(2 * (n_visits - n_changes) + 1 AS DOUBLE) /
+          |      CAST(2 * n_visits + 1 AS DOUBLE)))
+          |    * 1000000.0 * 86400.0
+          |    * CAST(n_visits - 1 AS DOUBLE)
+          |    / CAST(span_seconds AS DOUBLE)) AS BIGINT)
+          |ELSE NULL END""".stripMargin))
+    val w = Window.partitionBy(col(hostCol))
+      .orderBy(col("lambda_day_micro").desc_nulls_last, col(pageCol))
+    val ranked = est.withColumn("fetch_rank", row_number().over(w))
+    val withQuota = hostBudgets match {
+      case None => ranked.withColumn("__quota", lit(perHostBudget))
+      case Some(hb) => ranked
+        .join(broadcast(hb.select(col("host").as(hostCol),
+          col("quota").cast("int").as("__quota"))), Seq(hostCol), "left")
+        .withColumn("__quota",
+          coalesce(col("__quota"), lit(perHostBudget)))
+    }
+    withQuota
+      .select(col(pageCol), col(hostCol), col("n_visits"),
+        col("n_changes"), col("span_seconds"), col("lambda_day_micro"),
+        col("fetch_rank"),
+        when(col("fetch_rank") <= col("__quota"), lit("fetch"))
+          .otherwise(lit("defer")).as("status"))
   }
 
   /** One compression-ratio row: ratio_micro = floor(compressed ·

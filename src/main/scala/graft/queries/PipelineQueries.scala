@@ -815,6 +815,62 @@ object PipelineQueries {
         "doc_id", "ts", windowSeconds = 600L, perHostQuota = 8)
     }),
 
+    // -- crawl scheduling, per-host quotas (robots Crawl-delay /
+    //    server capacity are PER HOST): same feed as q_url_politeness
+    //    but the quota comes from a broadcast (host, quota) rules
+    //    table — host0 tightened to 2 (the burst host: it defers only
+    //    ITSELF harder), host3 loosened to 20, a rule for a host with
+    //    no traffic (inert by construction), everyone else the global
+    //    default 8. The RANKS are identical to the flat-quota run;
+    //    only the scheduled/deferred split moves — full oracle. -----
+    "q_politeness_hostquota" -> ((s, dir) => {
+      import s.implicits._
+      val feed = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("url", expr(
+          """CASE WHEN doc_id % 97 = 0
+            |  THEN concat('host', CAST(doc_id % 5 AS STRING),
+            |              '.example/p/', CAST(doc_id AS STRING))
+            |  ELSE concat('https://host', CAST(doc_id % 5 AS STRING),
+            |              '.example/p/', CAST(doc_id AS STRING))
+            |END""".stripMargin))
+        .withColumn("ts", expr(
+          """timestamp_seconds(1704067200 + CASE WHEN doc_id % 5 = 0
+            |  THEN doc_id % 300 ELSE doc_id % 2400 END)""".stripMargin))
+      val quotas = Seq(
+        ("host0.example", 2),
+        ("host3.example", 20),
+        ("host9.example", 1)).toDF("host", "quota")
+      TextOps.politenessSchedule(
+        TextOps.canonicalizeUrl(feed, "url"), "canonical_url",
+        "doc_id", "ts", windowSeconds = 600L, perHostQuota = 8,
+        hostQuotas = Some(quotas))
+    }),
+
+    // -- crawl freshness capstone: the re-crawl SCHEDULE the λ̂
+    //    estimator exists for — within each host, rank pages by
+    //    change rate (λ DESC NULLS LAST, the quarantine class
+    //    competing last by contract) and spend the host's fetch
+    //    budget on that prefix. Same revisit log as
+    //    q_revisit_schedule with host = 'h' || page % 7; per-host
+    //    budgets h0→3 (tight), h5→40 (everything fetches), default
+    //    10. Single lineage: one page-keyed collapse, one host-keyed
+    //    rank on the collapsed table — full oracle through the pinned
+    //    λ float tail AND the rank. ---------------------------------
+    "q_recrawl_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val visits = Tables.events(s, dir)
+        .select(col("user_id").as("page_id"),
+          concat(lit("h"), (col("user_id") % 7).cast("string"))
+            .as("host"),
+          col("ts"),
+          expr("""user_id % 29 != 0 AND
+                 |event_id % (3 + user_id % 5) = 0""".stripMargin)
+            .as("changed"))
+      val budgets = Seq(("h0", 3), ("h5", 40)).toDF("host", "quota")
+      TextOps.recrawlSchedule(visits, "page_id", "host", "ts", "changed",
+        perHostBudget = 10, hostBudgets = Some(budgets))
+    }),
+
     // -- crawl link structure: host→host link graph extracted from
     //    page bodies — the frontier-prioritization input. Outlinks
     //    are regex-extracted and canonicalized with the SAME rules
@@ -2967,6 +3023,78 @@ object PipelineQueries {
         |       WHEN host_rank <= 8 THEN 'scheduled'
         |       ELSE 'deferred' END AS status
         |FROM r""".stripMargin,
+
+    // per-host quota replay: identical rank chain, the quota CASE is
+    // the broadcast rules table inlined
+    "q_politeness_hostquota" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 THEN NULL
+        |         ELSE concat('host', CAST(doc_id % 5 AS VARCHAR),
+        |                     '.example') END AS host,
+        |    1704067200 + CASE WHEN doc_id % 5 = 0
+        |      THEN doc_id % 300 ELSE doc_id % 2400 END AS tsec
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, host,
+        |    CAST((tsec // 600) * 600 AS BIGINT) AS win_start,
+        |    CASE WHEN host IS NULL THEN NULL
+        |         ELSE CAST(row_number() OVER (
+        |           PARTITION BY host, (tsec // 600) * 600
+        |           ORDER BY tsec, doc_id) AS INTEGER) END AS host_rank
+        |  FROM raw
+        |)
+        |SELECT doc_id, host, win_start, host_rank,
+        |  CASE WHEN host IS NULL THEN 'malformed'
+        |       WHEN host_rank <= (CASE host
+        |         WHEN 'host0.example' THEN 2
+        |         WHEN 'host3.example' THEN 20
+        |         WHEN 'host9.example' THEN 1
+        |         ELSE 8 END) THEN 'scheduled'
+        |       ELSE 'deferred' END AS status
+        |FROM r""".stripMargin,
+
+    // the estimator CTE is q_revisit_schedule's verbatim plus the
+    // host key; the rank replays Spark's desc_nulls_last exactly
+    "q_recrawl_schedule" ->
+      """WITH v AS (
+        |  SELECT user_id AS page_id,
+        |    concat('h', CAST(user_id % 7 AS VARCHAR)) AS host,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |    (user_id % 29 != 0 AND event_id % (3 + user_id % 5) = 0)
+        |      AS changed
+        |  FROM events
+        |), g AS (
+        |  SELECT page_id, host, CAST(count(*) AS BIGINT) AS n_visits,
+        |    CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_changes,
+        |    max(tsec) - min(tsec) AS span_seconds
+        |  FROM v GROUP BY 1, 2
+        |), l AS (
+        |  SELECT page_id, host, n_visits, n_changes, span_seconds,
+        |    CASE WHEN n_visits >= 2 AND span_seconds > 0 THEN
+        |      CAST(floor((-ln(
+        |          CAST(2 * (n_visits - n_changes) + 1 AS DOUBLE) /
+        |          CAST(2 * n_visits + 1 AS DOUBLE)))
+        |        * 1000000.0 * 86400.0
+        |        * CAST(n_visits - 1 AS DOUBLE)
+        |        / CAST(span_seconds AS DOUBLE)) AS BIGINT)
+        |    ELSE NULL END AS lambda_day_micro
+        |  FROM g
+        |), rk AS (
+        |  SELECT page_id, host, n_visits, n_changes, span_seconds,
+        |    lambda_day_micro,
+        |    CAST(row_number() OVER (PARTITION BY host
+        |      ORDER BY lambda_day_micro DESC NULLS LAST, page_id)
+        |      AS INTEGER) AS fetch_rank
+        |  FROM l
+        |)
+        |SELECT page_id, host, n_visits, n_changes, span_seconds,
+        |  lambda_day_micro, fetch_rank,
+        |  CASE WHEN fetch_rank <= (CASE host
+        |    WHEN 'h0' THEN 3 WHEN 'h5' THEN 40 ELSE 10 END)
+        |    THEN 'fetch' ELSE 'defer' END AS status
+        |FROM rk""".stripMargin,
 
     // link-graph replay: the page's own URLs are built canonical
     // (lowercase https, no port/params), so the src_host CASE below

@@ -386,6 +386,32 @@ class PlanShapeSpec extends SparkSpec {
       s"no window pass, one scan:\n${p.take(1200)}")
   }
 
+  test("q_recrawl_schedule: collapse + host rank, budgets broadcast, no cartesian") {
+    val p = plan("q_recrawl_schedule")
+    // exactly TWO keyed Exchanges: the page-keyed partial-agged
+    // collapse of the visit log, then the host-keyed rank over the
+    // COLLAPSED |pages| table — a rank on the raw log (visits-sized
+    // sort) or a re-shuffle for the budget join would both read 3+
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"recrawl schedule is collapse + host rank, nothing more:\n${p.take(1500)}")
+    assert(count(p, "Scan parquet") == 1,
+      s"one scan of the visit log:\n${p.take(1200)}")
+    // the (host, quota) budget table is hosts-sized: broadcast only
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      s"budgets join must broadcast:\n${p.take(1200)}")
+  }
+
+  test("q_politeness_hostquota: rank Exchange unchanged, quota table broadcast") {
+    val p = plan("q_politeness_hostquota")
+    // the per-host quota must not change the rank plan: still ONE
+    // keyed Exchange feeding the (host, window) rank; the quota
+    // arrives by broadcast and enters the verdict expression only
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"per-host quotas must not add a keyed shuffle:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      s"quota table must broadcast:\n${p.take(1200)}")
+  }
+
   test("funnel stage times: k chained windows + user collapse over ONE Exchange") {
     import graft.analytics.Funnel
     val p = Funnel.stageTimes(Tables.events(spark, Sf),

@@ -722,6 +722,106 @@ class TextOpsSpec extends SparkSpec {
     assert(out.size == 6, "one row per page")
   }
 
+  test("politenessSchedule per-host quotas: burst host defers only itself, ranks invariant") {
+    import spark.implicits._
+    // host a: 5 arrivals in one window; host b: 3 in the same window
+    val feed = (1 to 5).map(i =>
+        (i.toLong, s"https://a.example/p/$i", 1704067200L + i)) ++
+      (6 to 8).map(i =>
+        (i.toLong, s"https://b.example/p/$i", 1704067200L + i))
+    val df = feed.toDF("id", "url", "tsec")
+      .withColumn("ts", expr("timestamp_seconds(tsec)"))
+    val quotas = Seq(("a.example", 2)).toDF("host", "quota")
+    def run(hq: Option[org.apache.spark.sql.DataFrame]) =
+      TextOps.politenessSchedule(df, "url", "id", "ts",
+          windowSeconds = 600L, perHostQuota = 4, hostQuotas = hq)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(3), r.getString(4)))).toMap
+    val flat = run(None)
+    val perHost = run(Some(quotas))
+    assert(perHost.view.mapValues(_._1).toMap ==
+      flat.view.mapValues(_._1).toMap,
+      "the quota enters the verdict only: ranks are invariant")
+    assert((1 to 8).count(i => perHost(i.toLong)._2 == "scheduled") == 5,
+      s"a: 2 of 5 scheduled (tight rule), b: 3 of 3 (default): $perHost")
+    assert(perHost(3L)._2 == "deferred" && flat(3L)._2 == "scheduled",
+      "tightening a's quota demotes a's rank 3")
+    assert((6 to 8).forall(i => perHost(i.toLong) == flat(i.toLong)),
+      "the burst host's tight quota never touches host b")
+  }
+
+  test("recrawlSchedule: conservation, top-budget-by-lambda per host, estimator parity") {
+    import spark.implicits._
+    val day = 86400L
+    // host h0 (budget 2): 4 pages with distinct change rates + one
+    // quarantine (single visit, NULL lambda -> competes last);
+    // host h1 (default budget): 2 pages
+    val visits =
+      (for (p <- 1 to 4; v <- 0 to 3) yield
+        (p.toLong, "h0", v * day, v != 0 && v % (5 - p) == 0)) ++
+      Seq((5L, "h0", 0L, true)) ++
+      (for (p <- 6 to 7; v <- 0 to 2) yield
+        (p.toLong, "h1", v * day, p == 6))
+    val df = visits.toDF("page_id", "host", "tsec", "changed")
+      .withColumn("ts", expr("timestamp_seconds(tsec)"))
+    val budgets = Seq(("h0", 2)).toDF("host", "quota")
+    val out = TextOps.recrawlSchedule(df, "page_id", "host", "ts",
+        "changed", perHostBudget = 10, hostBudgets = Some(budgets))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          r.getInt(6), r.getString(7))))
+      .toMap
+    assert(out.size == 7 &&
+      out.values.forall(v => v._4 == "fetch" || v._4 == "defer"),
+      "every page gets exactly one fetch/defer verdict, nothing vanishes")
+    // h0: exactly budget-2 fetched, and they are the top-2 by lambda
+    val h0 = out.filter(_._2._1 == "h0")
+    assert(h0.values.count(_._4 == "fetch") == 2, s"h0 spends 2: $h0")
+    // lambda >= 0 always, so -1 is a safe competes-last NULL sentinel
+    val byLambda = h0.toSeq.sortBy { case (id, (_, lam, _, _)) =>
+      (-lam.getOrElse(-1L), id) }.map(_._1)
+    assert(byLambda.take(2).forall(id => h0(id)._4 == "fetch"),
+      s"the budget goes to the fastest-changing pages first: $h0")
+    assert(h0(5L)._2.isEmpty && h0(5L)._4 == "defer" &&
+      h0(5L)._3 == 5,
+      "the NULL-lambda quarantine page ranks LAST and defers")
+    // h1: 2 pages under default budget 10 -> everything fetches
+    assert(out.filter(_._2._1 == "h1").values.forall(_._4 == "fetch"),
+      "a host under budget fetches everything")
+    // estimator parity: the inline collapse equals the standalone
+    // revisitSchedule on the same log, page for page
+    val standalone = TextOps.revisitSchedule(df, "page_id", "ts",
+        "changed").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(out.view.mapValues(_._2).toMap == standalone,
+      "single lineage reuses the estimator arithmetic verbatim")
+  }
+
+  test("crawlReport per-host quotas: conservation holds, tight host defers more") {
+    import spark.implicits._
+    val t0 = 1704067200L
+    val feed = ((1 to 6).map(i =>
+        (i.toLong, s"https://q1.example/p/$i", t0 + i)) ++
+      (7 to 12).map(i =>
+        (i.toLong, s"https://q2.example/p/$i", t0 + i)))
+      .toDF("doc_id", "url", "tsec")
+      .withColumn("ts", expr("timestamp_seconds(tsec)"))
+      .drop("tsec")
+    val rules = Seq(("zz.example", "/", false)).toDF(
+      "host", "prefix", "allow")
+    val quotas = Seq(("q1.example", 2)).toDF("host", "quota")
+    val rep = TextOps.crawlReport(feed, "doc_id", "url", "ts", rules,
+        windowSeconds = 600L, perHostQuota = 4,
+        hostQuotas = Some(quotas))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(5), r.getLong(6)))).toMap
+    // (host -> (n_urls, n_scheduled, n_deferred))
+    assert(rep("q1.example") == ((6L, 2L, 4L)),
+      s"tight quota 2: ${rep("q1.example")}")
+    assert(rep("q2.example") == ((6L, 4L, 2L)),
+      s"default quota 4: ${rep("q2.example")}")
+  }
+
   test("canonicalizeUrl: every rule exact, malformed NULL, identity preserved") {
     import spark.implicits._
     val cases = Seq(
