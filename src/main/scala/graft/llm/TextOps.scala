@@ -1130,6 +1130,224 @@ object TextOps {
         col("__rule.a").as("rule_allow"))
   }
 
+  /** Frontier fetch-priority — the NEW-page counterpart of
+    * `recrawlSchedule` (a never-fetched URL has no λ̂; the signal a
+    * crawler DOES have for it is its host's authority from the link
+    * graph): join each accepted frontier URL to the host-authority
+    * table (`PageRank.pageRank` over `hostLinkGraph` edges — the
+    * L-271 composition) and emit the global TOP-K fetch batch ordered
+    * by (host authority mass DESC, arrival id ASC — a total order, so
+    * the batch is deterministic). A host absent from the authority
+    * table (brand-new, not yet in the link graph) competes at mass 0
+    * by id — discovered pages still get fetched, just behind every
+    * host the graph vouches for. NULL URLs are excluded by contract
+    * (post-dedup frontier, the L-272 funnel counts malformed).
+    *
+    * Scale shape: the authority table is hosts-sized → BROADCAST
+    * join; the top-K is `orderBy().limit(k)` which Spark plans as
+    * TakeOrderedAndProject — per-partition local top-K + driver
+    * merge of K-row heaps, the |frontier| table is NEVER globally
+    * sorted and no range-partition Exchange exists (plan-gated). K is
+    * the fetch-batch size, driver-bounded by contract.
+    */
+  def frontierPriority(df: DataFrame, idCol: String, urlCol: String,
+      authority: DataFrame, authHostCol: String, authMassCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"frontierPriority: k >= 1, got $k")
+    for (c <- Seq("host", "host_mass_pico")
+        if df.columns.contains(c))
+      require(false, s"frontierPriority: '$c' is reserved — rename it")
+    df.filter(col(urlCol).isNotNull)
+      .select(col(idCol),
+        regexp_extract(col(urlCol),
+          "^[a-z][a-z0-9+.\\-]*://([^/?]*)", 1).as("host"))
+      .join(broadcast(authority.select(col(authHostCol).as("host"),
+        col(authMassCol).cast("long").as("host_mass_pico"))),
+        Seq("host"), "left")
+      .withColumn("host_mass_pico",
+        coalesce(col("host_mass_pico"), lit(0L)))
+      .select(col(idCol), col("host"), col("host_mass_pico"))
+      .orderBy(col("host_mass_pico").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Crawl-trap detection — the frontier self-defense signal every
+    * production crawler runs (calendar pages, session-id echoes and
+    * faceted-search grids mint INFINITE distinct URLs from one page
+    * template; a frontier that can't see the pattern drowns in one
+    * host): collapse each canonical URL's path to its TEMPLATE
+    * (digit runs → `N` — `/day/2024/01/31` and `/day/2023/07/04`
+    * are the same page-generator; hex/uuid runs are a documented
+    * extension, not silently half-handled) and report per host:
+    * n_urls, n_templates, the DOMINANT template with its count and
+    * exact integer share (micro-units, the DECIMAL-intermediate
+    * pattern — no double anywhere), verdict `trap_suspect` iff the
+    * host has at least `minSupport` URLs AND one template holds at
+    * least `shareMicroThreshold` of them, else `ok`. Dominant-template
+    * tiebreak pinned: highest count, then lexicographically LARGEST
+    * template. NULL canonical URLs are EXCLUDED by contract — they
+    * never reach the frontier and the funnel report (L-272) already
+    * counts them loudly; input is the POST-DEDUP frontier, so counts
+    * are distinct pages, not fetch attempts.
+    *
+    * Scale shape: template collapse is row-local regexp; TWO
+    * partial-agged keyed Exchanges — (host, template) then host — and
+    * the dominant pick is a struct max, no window, no sort; output is
+    * |hosts| rows. Exact string/integer arithmetic — full DuckDB
+    * oracle.
+    */
+  def crawlTrapReport(df: DataFrame, idCol: String, urlCol: String,
+      minSupport: Long, shareMicroThreshold: Long): DataFrame = {
+    require(minSupport >= 1L,
+      s"crawlTrapReport: minSupport >= 1, got $minSupport")
+    require(shareMicroThreshold >= 0L && shareMicroThreshold <= 1000000L,
+      s"crawlTrapReport: shareMicroThreshold in [0, 1e6], got $shareMicroThreshold")
+    for (c <- Seq("host", "n_urls", "n_templates", "top_template",
+        "top_n", "share_micro", "verdict", "__tpl", "__n", "__top")
+        if df.columns.contains(c))
+      require(false, s"crawlTrapReport: '$c' is reserved — rename it")
+    val pathOf = {
+      val p = regexp_extract(col(urlCol),
+        "^[a-z][a-z0-9+.\\-]*://[^/?]*([^?]*)", 1)
+      when(p === "", lit("/")).otherwise(p)
+    }
+    df.filter(col(urlCol).isNotNull)
+      .select(regexp_extract(col(urlCol),
+          "^[a-z][a-z0-9+.\\-]*://([^/?]*)", 1).as("host"),
+        regexp_replace(pathOf, "[0-9]+", "N").as("__tpl"))
+      .groupBy(col("host"), col("__tpl"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("host"))
+      .agg(sum(col("__n")).as("n_urls"),
+        count(lit(1)).as("n_templates"),
+        max(struct(col("__n").as("n"), col("__tpl").as("t"))).as("__top"))
+      .select(col("host"), col("n_urls"), col("n_templates"),
+        col("__top.t").as("top_template"), col("__top.n").as("top_n"))
+      .withColumn("share_micro", expr(
+        """CAST(CAST(top_n AS DECIMAL(38,0)) * 1000000
+          |  div CAST(n_urls AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+      .withColumn("verdict",
+        when(col("n_urls") >= minSupport &&
+          col("share_micro") >= shareMicroThreshold, lit("trap_suspect"))
+          .otherwise(lit("ok")))
+  }
+
+  /** Shared robots.txt line/group parser core: one row per
+    * RELEVANT directive line, carrying its RFC 9309 group id and the
+    * host. Lines are comment-stripped (`#` to EOL), whitespace/CR
+    * trimmed, blank and unknown-directive lines dropped; a
+    * `User-agent` line STARTS a new group iff the previous relevant
+    * line was not also a `User-agent` line (consecutive UA lines head
+    * ONE group, per the spec); rules BEFORE any UA line sit in group
+    * 0, which never acquires an agent and is therefore dropped by the
+    * group-selection join — the RFC calls such rules invalid.
+    */
+  private def robotsParsed(df: DataFrame, hostCol: String,
+                           contentCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLine = Window.partitionBy(col("host")).orderBy(col("__ln"))
+    df.select(col(hostCol).as("host"),
+        posexplode(split(col(contentCol), "\n")).as(Seq("__ln", "__raw")))
+      .withColumn("__line", regexp_replace(
+        regexp_replace(col("__raw"), "#.*$", ""), "^\\s+|\\s+$", ""))
+      .filter(col("__line") =!= "")
+      .withColumn("__dir",
+        lower(regexp_extract(col("__line"), "^([A-Za-z-]+)\\s*:", 1)))
+      .withColumn("__val",
+        regexp_extract(col("__line"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1))
+      .filter(col("__dir").isin(
+        "user-agent", "allow", "disallow", "crawl-delay"))
+      .withColumn("__isua", col("__dir") === "user-agent")
+      .withColumn("__newgrp", col("__isua") &&
+        !coalesce(lag(col("__isua"), 1).over(byLine), lit(false)))
+      .withColumn("__grp",
+        sum(when(col("__newgrp"), 1).otherwise(0)).over(byLine))
+  }
+
+  /** The RFC 9309 group-selection: per (host, group), the agent-match
+    * specificity — 2 for a case-insensitive EXACT product-token
+    * match, 1 for `*`, 0 otherwise — and per host the groups at the
+    * MAX positive specificity (several groups naming the same agent
+    * merge, exactly the spec's "combine rules of matching groups").
+    */
+  private def robotsChosenGroups(parsed: DataFrame,
+                                 agent: String): DataFrame = {
+    val spec = parsed.filter(col("__isua"))
+      .groupBy(col("host"), col("__grp"))
+      .agg(max(when(lower(col("__val")) === agent.toLowerCase, 2)
+        .when(col("__val") === "*", 1)
+        .otherwise(0)).as("__spec"))
+    val best = spec.groupBy(col("host"))
+      .agg(max(col("__spec")).as("__best"))
+    spec.join(best, Seq("host"))
+      .filter(col("__spec") === col("__best") && col("__spec") > 0)
+      .select(col("host"), col("__grp"))
+  }
+
+  /** robots.txt PARSING into the policy rule table — the front end
+    * the compliance chain was missing: `urlPolicyFilter` consumes a
+    * (host, pattern, allow) table, but what a fetcher actually HAS is
+    * each host's raw robots.txt body. This parses those bodies (RFC
+    * 9309 syntax: `User-agent` groups, `Allow`/`Disallow` rules,
+    * comments, blank lines, CRLF) and selects rules for `agent` by
+    * the published group-selection: the group(s) whose user-agent
+    * matches most specifically win — a case-insensitive exact
+    * product-token match beats `*`, non-matching groups contribute
+    * NOTHING (a host with a dedicated `graftbot` group hides its `*`
+    * group from graftbot entirely, the part naive parsers get wrong)
+    * — and several same-specificity groups MERGE. An empty-value
+    * `Disallow:` is the spec's allow-everything idiom: it emits no
+    * rule. Rules before any `User-agent` line are invalid per the RFC
+    * and dropped. Pattern values (`*`/`$` wildcards) pass through
+    * VERBATIM — `urlPolicyFilter` owns the pattern semantics, one
+    * owner per contract. Output: (host, prefix, allow) — exactly the
+    * broadcast build side the policy gate consumes, raw text to
+    * verdict in two composed operators.
+    *
+    * Scale shape: a robots corpus is HOSTS-sized by nature (one body
+    * per host, bodies bounded by the 500 KiB fetch cap every major
+    * crawler applies); the line explode is row-local, and every
+    * Exchange — the line-order window, the two group collapses, the
+    * group-selection join — is keyed on host (plus group id), so the
+    * whole parse is a small job over a small table that then
+    * BROADCASTS into the page-scale policy join. Pure Catalyst
+    * regex/window arithmetic — full DuckDB oracle.
+    */
+  def robotsRules(df: DataFrame, hostCol: String, contentCol: String,
+                  agent: String): DataFrame = {
+    require(agent.nonEmpty && agent != "*",
+      s"robotsRules: agent must be a concrete product token, got '$agent'")
+    val parsed = robotsParsed(df, hostCol, contentCol)
+    parsed.filter(col("__dir").isin("allow", "disallow") &&
+        col("__val") =!= "")
+      .join(robotsChosenGroups(parsed, agent), Seq("host", "__grp"))
+      .select(col("host"), col("__val").as("prefix"),
+        (col("__dir") === "allow").as("allow"))
+  }
+
+  /** Crawl-delay extraction from the same parsed robots bodies — the
+    * per-host politeness input (`Crawl-delay` is non-standard but
+    * ubiquitous): per host, the MIN delay among the agent's chosen
+    * groups (several merged groups disagreeing → the most
+    * conservative wins, pinned); a non-numeric delay value parses to
+    * NULL and the min skips it UNLESS every value is junk — then the
+    * host emits (host, NULL), the LOUD malformed class, never a
+    * silent default. Hosts whose chosen groups carry no crawl-delay
+    * line emit nothing (the downstream coalesce-to-global-default is
+    * `politenessSchedule`'s contract).
+    */
+  def robotsCrawlDelays(df: DataFrame, hostCol: String,
+                        contentCol: String, agent: String): DataFrame = {
+    require(agent.nonEmpty && agent != "*",
+      s"robotsCrawlDelays: agent must be a concrete product token, got '$agent'")
+    val parsed = robotsParsed(df, hostCol, contentCol)
+    parsed.filter(col("__dir") === "crawl-delay")
+      .join(robotsChosenGroups(parsed, agent), Seq("host", "__grp"))
+      .groupBy(col("host"))
+      .agg(min(when(col("__val").rlike("^[0-9]+$"),
+        col("__val").cast("long"))).as("crawl_delay"))
+  }
+
   /** Per-host politeness scheduler — the crawl tier's FOURTH stage
     * (canonicalize → frontier-dedup → policy-verdict → schedule):
     * bucket URLs by canonical host into tumbling `windowSeconds`

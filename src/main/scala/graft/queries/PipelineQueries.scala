@@ -721,7 +721,103 @@ object PipelineQueries {
           |    CASE WHEN doc_id % 6 = 0 THEN '#comments' ELSE '' END)
           |END""".stripMargin))
 
+  /** Synth robots.txt corpus: ten hosts (doc_id % 10, SF-stable),
+    * each body planting one parser edge — orphan rules, a dedicated
+    * agent group hiding the star group, case-insensitive agents and
+    * directives with comments and CRLF, multi-UA group heads, the
+    * empty-Disallow allow-all idiom, same-agent group merging, a
+    * group for another agent only, junk crawl-delay, unknown
+    * directives and a value containing ':', and wildcard/anchor
+    * patterns flowing into the policy language. Bodies are built
+    * from char(10)/char(13) so both engines replay byte-identical
+    * strings (no escape-sequence dialect in the loop).
+    */
+  private def synthRobots(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select((col("doc_id") % 10).cast("int").as("h")).distinct()
+      .withColumn("host",
+        concat(lit("rb"), col("h").cast("string"), lit(".example")))
+      .withColumn("content", expr(
+        """CASE h
+          |WHEN 0 THEN concat_ws(char(10),
+          |  'Disallow: /orphan',
+          |  'User-agent: *', 'Disallow: /tmp/*', 'Allow: /tmp/public')
+          |WHEN 1 THEN concat_ws(char(10),
+          |  'User-agent: *', 'Disallow: /', '',
+          |  'User-agent: graftbot', 'Allow: /a$', 'Disallow: /a')
+          |WHEN 2 THEN concat_ws(char(10),
+          |  concat('# robots for rb2', char(13)),
+          |  concat('USER-AGENT: GraftBot', char(13)),
+          |  concat('DISALLOW: /private', char(13)),
+          |  concat('Crawl-Delay: 7', char(13)))
+          |WHEN 3 THEN concat_ws(char(10),
+          |  'User-agent: otherbot', 'User-agent: graftbot',
+          |  'Disallow: /x', 'Crawl-delay: 3')
+          |WHEN 4 THEN concat_ws(char(10),
+          |  'User-agent: *', 'Disallow:')
+          |WHEN 5 THEN concat_ws(char(10),
+          |  'User-agent: graftbot', 'Disallow: /one', 'Crawl-delay: 9',
+          |  'User-agent: graftbot', 'Allow: /two', 'Crawl-delay: 4')
+          |WHEN 6 THEN concat_ws(char(10),
+          |  'User-agent: otherbot', 'Disallow: /')
+          |WHEN 7 THEN concat_ws(char(10),
+          |  'User-agent: graftbot', 'Crawl-delay: fast',
+          |  'Disallow: /slow')
+          |WHEN 8 THEN concat_ws(char(10),
+          |  'User-agent: *', '',
+          |  'Sitemap: https://rb8.example/sitemap.xml',
+          |  'Disallow: /p:q')
+          |ELSE concat_ws(char(10),
+          |  'User-agent: *', 'Disallow: /cal/*', 'Allow: /cal/today$')
+          |END""".stripMargin))
+      .select("host", "content")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- crawl compliance, stage 0: robots.txt PARSING into the rule
+    //    table urlPolicyFilter consumes — RFC 9309 groups, published
+    //    group-selection (exact agent beats *, non-matching groups
+    //    contribute NOTHING, same-specificity groups merge), the
+    //    empty-Disallow allow-all idiom, orphan rules dropped as the
+    //    RFC prescribes. Hosts-sized by nature; host-keyed windows
+    //    and collapses only — full oracle. --------------------------
+    "q_robots_rules" -> ((s, dir) =>
+      TextOps.robotsRules(synthRobots(s, dir), "host", "content",
+        agent = "graftbot")),
+
+    // -- crawl frontier self-defense: trap detection — per host,
+    //    collapse paths to digit-templated generators and flag the
+    //    host when one template dominates (calendar/session-id
+    //    explosion). Planted trap host (every path /day/N, share
+    //    exactly 1e6) vs a 5-template mixed host; exact integer share
+    //    via the DECIMAL intermediate — full oracle. -----------------
+    "q_crawl_traps" -> ((s, dir) => {
+      val feed = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("url", expr(
+          """CASE WHEN doc_id % 4 = 0
+            |  THEN concat('https://cal.example/day/',
+            |              CAST(doc_id AS STRING))
+            |  ELSE concat('https://mix.example',
+            |    CASE CAST(doc_id % 5 AS INT)
+            |      WHEN 0 THEN '/about'
+            |      WHEN 1 THEN concat('/news/', CAST(doc_id AS STRING))
+            |      WHEN 2 THEN concat('/tags/t',
+            |                         CAST(doc_id % 3 AS STRING))
+            |      WHEN 3 THEN concat('/p/', CAST(doc_id AS STRING))
+            |      ELSE '/faq' END)
+            |END""".stripMargin))
+      TextOps.crawlTrapReport(feed, "doc_id", "url",
+        minSupport = 20L, shareMicroThreshold = 800000L)
+    }),
+
+    // -- crawl compliance, stage 0b: Crawl-delay extraction from the
+    //    same chosen groups — min across merged groups (most
+    //    conservative pinned), junk value -> NULL loud, delay-less
+    //    hosts emit nothing (the politeness default-coalesce owns
+    //    that case) — full oracle. -----------------------------------
+    "q_robots_delays" -> ((s, dir) =>
+      TextOps.robotsCrawlDelays(synthRobots(s, dir), "host", "content",
+        agent = "graftbot")),
 
     // -- dedup tier 1: exact content-hash groups ------------------------
     "q_dedup_exact" -> ((s, dir) =>
@@ -896,6 +992,32 @@ object PipelineQueries {
         .select(col("src_host"), col("dst_host"))
       graft.analytics.PageRank.pageRank(edges, "src_host", "dst_host",
         iters = 8, topN = 50)
+    }),
+
+    // -- crawl prioritization for NEW pages: the global top-K fetch
+    //    batch by host authority — hostLinkGraph → integer PageRank →
+    //    broadcast join onto the frontier → TakeOrderedAndProject
+    //    (never a global sort). newhost plant (absent from the link
+    //    graph) competes at mass 0 — full oracle incl. the 8-step
+    //    PageRank replay. ---------------------------------------------
+    "q_frontier_priority" -> ((s, dir) => {
+      val edges = TextOps.hostLinkGraph(synthLinkPages(s, dir), "doc_id",
+          "url", "body")
+        .filter(col("src_host").isNotNull && col("dst_host").isNotNull &&
+          col("src_host") =!= col("dst_host"))
+        .select(col("src_host"), col("dst_host"))
+      val authority = graft.analytics.PageRank.pageRank(edges,
+        "src_host", "dst_host", iters = 8, topN = 50)
+      val frontier = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("url", expr(
+          """CASE WHEN doc_id % 13 = 0
+            |  THEN concat('https://newhost.example/f/',
+            |              CAST(doc_id AS STRING))
+            |  ELSE concat('https://h', CAST(doc_id % 20 AS STRING),
+            |              '.example/f/', CAST(doc_id AS STRING))
+            |END""".stripMargin))
+      TextOps.frontierPriority(frontier, "doc_id", "url", authority,
+        "src_host", "pr_pico", k = 100)
     }),
 
     // -- crawl tier CAPSTONE: the per-host funnel report — compose
@@ -2921,7 +3043,151 @@ object PipelineQueries {
         "doc_id", "text", expectedItems = 10000L, fpp = 0.001)
     }))
 
+  /** DuckDB twin of `synthRobots` + the RFC 9309 parse/group-select
+    * chain: parallel unnest zips lines with positions, the group id
+    * is a lag + running-sum pair of window CTE levels, selection is a
+    * QUALIFY over the per-host max specificity.
+    */
+  private val RobotsCtes: String =
+    """WITH hostsr AS (
+      |  SELECT DISTINCT CAST(doc_id % 10 AS INT) AS h FROM documents
+      |), bodies AS (
+      |  SELECT concat('rb', CAST(h AS VARCHAR), '.example') AS host,
+      |    CASE h
+      |    WHEN 0 THEN concat_ws(chr(10),
+      |      'Disallow: /orphan',
+      |      'User-agent: *', 'Disallow: /tmp/*', 'Allow: /tmp/public')
+      |    WHEN 1 THEN concat_ws(chr(10),
+      |      'User-agent: *', 'Disallow: /', '',
+      |      'User-agent: graftbot', 'Allow: /a$', 'Disallow: /a')
+      |    WHEN 2 THEN concat_ws(chr(10),
+      |      concat('# robots for rb2', chr(13)),
+      |      concat('USER-AGENT: GraftBot', chr(13)),
+      |      concat('DISALLOW: /private', chr(13)),
+      |      concat('Crawl-Delay: 7', chr(13)))
+      |    WHEN 3 THEN concat_ws(chr(10),
+      |      'User-agent: otherbot', 'User-agent: graftbot',
+      |      'Disallow: /x', 'Crawl-delay: 3')
+      |    WHEN 4 THEN concat_ws(chr(10),
+      |      'User-agent: *', 'Disallow:')
+      |    WHEN 5 THEN concat_ws(chr(10),
+      |      'User-agent: graftbot', 'Disallow: /one', 'Crawl-delay: 9',
+      |      'User-agent: graftbot', 'Allow: /two', 'Crawl-delay: 4')
+      |    WHEN 6 THEN concat_ws(chr(10),
+      |      'User-agent: otherbot', 'Disallow: /')
+      |    WHEN 7 THEN concat_ws(chr(10),
+      |      'User-agent: graftbot', 'Crawl-delay: fast',
+      |      'Disallow: /slow')
+      |    WHEN 8 THEN concat_ws(chr(10),
+      |      'User-agent: *', '',
+      |      'Sitemap: https://rb8.example/sitemap.xml',
+      |      'Disallow: /p:q')
+      |    ELSE concat_ws(chr(10),
+      |      'User-agent: *', 'Disallow: /cal/*', 'Allow: /cal/today$')
+      |    END AS content
+      |  FROM hostsr
+      |), rlines AS (
+      |  SELECT host,
+      |    unnest(string_split(content, chr(10))) AS raw,
+      |    unnest(range(1, len(string_split(content, chr(10))) + 1)) AS ln
+      |  FROM bodies
+      |), rdirs AS (
+      |  SELECT host, ln,
+      |    lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) AS dir,
+      |    regexp_extract(line, '^[A-Za-z-]+\s*:\s*(.*)$', 1) AS val
+      |  FROM (SELECT host, ln, regexp_replace(regexp_replace(raw,
+      |      '#.*$', ''), '^\s+|\s+$', '', 'g') AS line FROM rlines)
+      |  WHERE line != ''
+      |), rrel AS (
+      |  SELECT host, ln, dir, val, (dir = 'user-agent') AS isua
+      |  FROM rdirs
+      |  WHERE dir IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+      |), rnew AS (
+      |  SELECT host, ln, dir, val, isua,
+      |    (isua AND NOT coalesce(lag(isua) OVER (
+      |       PARTITION BY host ORDER BY ln), false)) AS newgrp
+      |  FROM rrel
+      |), rgrps AS (
+      |  SELECT host, ln, dir, val, isua,
+      |    SUM(CASE WHEN newgrp THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY host ORDER BY ln) AS grp
+      |  FROM rnew
+      |), rspec AS (
+      |  SELECT host, grp,
+      |    max(CASE WHEN lower(val) = 'graftbot' THEN 2
+      |             WHEN val = '*' THEN 1 ELSE 0 END) AS spec
+      |  FROM rgrps WHERE isua GROUP BY 1, 2
+      |), rchosen AS (
+      |  SELECT host, grp FROM rspec
+      |  QUALIFY spec = max(spec) OVER (PARTITION BY host) AND spec > 0
+      |)""".stripMargin
+
   private val baseOracleSql: Map[String, String] = Map(
+
+    "q_robots_rules" ->
+      s"""$RobotsCtes
+        |SELECT g.host, g.val AS prefix, (g.dir = 'allow') AS allow
+        |FROM rgrps g JOIN rchosen c USING (host, grp)
+        |WHERE g.dir IN ('allow', 'disallow') AND g.val != ''""".stripMargin,
+
+    "q_robots_delays" ->
+      s"""$RobotsCtes
+        |SELECT g.host,
+        |  min(CASE WHEN regexp_matches(g.val, '^[0-9]+$$')
+        |      THEN CAST(g.val AS BIGINT) END) AS crawl_delay
+        |FROM rgrps g JOIN rchosen c USING (host, grp)
+        |WHERE g.dir = 'crawl-delay'
+        |GROUP BY 1""".stripMargin,
+
+    // the dominant-template pick replays the struct-max tiebreak as
+    // ORDER BY n DESC, tpl DESC
+    "q_crawl_traps" ->
+      """WITH feed AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN concat('https://cal.example/day/',
+        |                  CAST(doc_id AS VARCHAR))
+        |      ELSE concat('https://mix.example',
+        |        CASE CAST(doc_id % 5 AS INT)
+        |          WHEN 0 THEN '/about'
+        |          WHEN 1 THEN concat('/news/', CAST(doc_id AS VARCHAR))
+        |          WHEN 2 THEN concat('/tags/t',
+        |                             CAST(doc_id % 3 AS VARCHAR))
+        |          WHEN 3 THEN concat('/p/', CAST(doc_id AS VARCHAR))
+        |          ELSE '/faq' END)
+        |    END AS url
+        |  FROM documents
+        |), tpl AS (
+        |  SELECT regexp_extract(url,
+        |      '^[a-z][a-z0-9+.-]*://([^/?]*)', 1) AS host,
+        |    regexp_replace(
+        |      CASE WHEN regexp_extract(url,
+        |          '^[a-z][a-z0-9+.-]*://[^/?]*([^?]*)', 1) = '' THEN '/'
+        |        ELSE regexp_extract(url,
+        |          '^[a-z][a-z0-9+.-]*://[^/?]*([^?]*)', 1) END,
+        |      '[0-9]+', 'N', 'g') AS t
+        |  FROM feed
+        |), cnt AS (
+        |  SELECT host, t, CAST(count(*) AS BIGINT) AS n
+        |  FROM tpl GROUP BY 1, 2
+        |), top AS (
+        |  SELECT host, t, n FROM cnt
+        |  QUALIFY row_number() OVER (PARTITION BY host
+        |    ORDER BY n DESC, t DESC) = 1
+        |), agg AS (
+        |  SELECT host, CAST(sum(n) AS BIGINT) AS n_urls,
+        |    CAST(count(*) AS BIGINT) AS n_templates
+        |  FROM cnt GROUP BY 1
+        |)
+        |SELECT a.host, a.n_urls, a.n_templates,
+        |  p.t AS top_template, p.n AS top_n,
+        |  CAST(CAST(p.n AS HUGEINT) * 1000000 // a.n_urls AS BIGINT)
+        |    AS share_micro,
+        |  CASE WHEN a.n_urls >= 20 AND
+        |    CAST(CAST(p.n AS HUGEINT) * 1000000 // a.n_urls AS BIGINT)
+        |      >= 800000
+        |    THEN 'trap_suspect' ELSE 'ok' END AS verdict
+        |FROM agg a JOIN top p USING (host)""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
@@ -3108,6 +3374,32 @@ object PipelineQueries {
         |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
         |FROM e0 GROUP BY 1, 2""".stripMargin,
+
+    // the same authority chain as q_host_rank, top-K'd onto a synth
+    // frontier: row_number replays the (mass DESC, id ASC) total order
+    "q_frontier_priority" ->
+      s"""$LinkPageCtes,
+        |$LinkEdgeCtes,
+        |e AS (
+        |  SELECT DISTINCT src_host AS src, dst_host AS dst FROM e0
+        |  WHERE src_host IS NOT NULL AND dst_host IS NOT NULL
+        |    AND src_host != dst_host
+        |),
+        |${pageRankStepCtes(8)},
+        |frontier AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'newhost.example'
+        |         ELSE concat('h', CAST(doc_id % 20 AS VARCHAR),
+        |                     '.example') END AS host
+        |  FROM documents
+        |)
+        |SELECT doc_id, host, host_mass_pico FROM (
+        |  SELECT f.doc_id, f.host,
+        |    CAST(coalesce(p.mass, 0) AS BIGINT) AS host_mass_pico,
+        |    row_number() OVER (ORDER BY coalesce(p.mass, 0) DESC,
+        |                       f.doc_id) AS rn
+        |  FROM frontier f LEFT JOIN pr8 p ON f.host = p.v)
+        |WHERE rn <= 100""".stripMargin,
 
     "q_host_rank" ->
       s"""$LinkPageCtes,

@@ -1052,15 +1052,25 @@ object EventStream {
     * in event-time order ACROSS batches — and the law gates rank
     * continuity across a batch boundary (the second batch's ranks
     * continue where the first stopped, from state, not from 1).
+    *
+    * Per-host quotas (`hostQuotas` — the batch arm's broadcast rules
+    * table, here a plain Map closed over by the fold because a quota
+    * corpus is hosts-sized driver data, exactly what a task closure
+    * broadcasts): effective quota = the host's entry or the global
+    * default. The quota enters only the verdict; ranks are invariant,
+    * the same law the batch arm pins.
     */
   def politenessStream(urls: Dataset[FrontierArrival], windowSeconds: Long,
                        perHostQuota: Int,
-                       watermarkDelay: String = "10 minutes")
+                       watermarkDelay: String = "10 minutes",
+                       hostQuotas: Map[String, Int] = Map.empty)
   : Dataset[PolitenessVerdict] = {
     require(windowSeconds >= 1L,
       s"politenessStream: windowSeconds >= 1, got $windowSeconds")
     require(perHostQuota >= 1,
       s"politenessStream: perHostQuota >= 1, got $perHostQuota")
+    require(hostQuotas.values.forall(_ >= 1),
+      s"politenessStream: every per-host quota must be >= 1")
     import urls.sparkSession.implicits._
     urls
       .withWatermark("ts", watermarkDelay)
@@ -1071,11 +1081,12 @@ object EventStream {
          state: GroupState[Long]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
+            val quota = hostQuotas.getOrElse(key._1, perHostQuota)
             var used = state.getOption.getOrElse(0L)
             val out = it.toSeq.sortBy(u => (u.ts.getTime, u.docId)).map { u =>
               used += 1L
               PolitenessVerdict(key._1, key._2, u.docId, used.toInt,
-                scheduled = used <= perHostQuota)
+                scheduled = used <= quota)
             }
             state.update(used)
             // free the counter once the watermark passes the window end

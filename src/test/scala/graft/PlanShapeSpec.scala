@@ -412,6 +412,43 @@ class PlanShapeSpec extends SparkSpec {
       s"quota table must broadcast:\n${p.take(1200)}")
   }
 
+  test("q_crawl_traps: two partial-agged keyed Exchanges, no window") {
+    val p = plan("q_crawl_traps")
+    // (host, template) collapse then the host fold with a struct max —
+    // a window or a third shuffle would be the rank-based dominant
+    // pick the scaladoc rejects
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"trap report is two keyed collapses:\n${p.take(1500)}")
+    assert(!p.contains("Window") && count(p, "Scan parquet") == 1,
+      s"no window, one scan:\n${p.take(1200)}")
+  }
+
+  test("q_frontier_priority: TakeOrdered top-K, broadcast authority, no global sort") {
+    val p = plan("q_frontier_priority")
+    // the global fetch batch must be TakeOrderedAndProject (local
+    // top-K + driver heap merge) — a Sort + Exchange rangepartitioning
+    // would globally sort the whole frontier for 100 rows
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K must be TakeOrdered, never a global sort:\n${p.take(1500)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no range-partition Exchange over the frontier:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      s"the hosts-sized authority table must broadcast:\n${p.take(1200)}")
+  }
+
+  test("q_robots_rules: host-keyed parse, pruned scan, no cartesian") {
+    val p = plan("q_robots_rules")
+    // the corpus is hosts-sized; everything keys on host (+group) —
+    // a cartesian or nested-loop anywhere means the group-selection
+    // join lost its equi-keys
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"robots parse joins stay equi-keyed:\n${p.take(1500)}")
+    assert(!p.linesIterator.exists(l => l.contains("ReadSchema") &&
+      !l.contains("ReadSchema: struct<doc_id:bigint>")),
+      s"the synth corpus scan prunes to doc_id:\n${p.take(1200)}")
+  }
+
   test("funnel stage times: k chained windows + user collapse over ONE Exchange") {
     import graft.analytics.Funnel
     val p = Funnel.stageTimes(Tables.events(spark, Sf),

@@ -1457,4 +1457,49 @@ class StreamingSpec extends SparkSpec {
         s"stream fold must equal the batch twin: $batchTwin vs $b2")
     } finally q.stop()
   }
+
+  test("politeness scheduler per-host quotas: verdicts move, ranks don't, batch twin agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStream.{FrontierArrival, PolitenessVerdict}
+    val in = MemoryStream[FrontierArrival]
+    // host a tightened to 1, host b rides the global default 3
+    val out = EventStream.politenessStream(in.toDS(), windowSeconds = 600L,
+      perHostQuota = 3, watermarkDelay = "5 minutes",
+      hostQuotas = Map("a.example" -> 1))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("polite_hq").start()
+    try {
+      in.addData(
+        (1 to 3).map(i => FrontierArrival("a.example", i.toLong,
+          ts(s"2024-01-01 10:0$i:00"))) ++
+          Seq(FrontierArrival("b.example", 21L, ts("2024-01-01 10:02:00")),
+            FrontierArrival("b.example", 22L, ts("2024-01-01 10:03:00"))): _*)
+      q.processAllAvailable()
+      val got = spark.table("polite_hq").as[PolitenessVerdict].collect()
+        .map(v => v.docId -> ((v.hostRank, v.scheduled))).toMap
+      assert(got(1L) == ((1, true)) && got(2L) == ((2, false)) &&
+        got(3L) == ((3, false)),
+        s"a's quota 1: rank 1 only; ranks still 1..3: $got")
+      assert(got(21L) == ((1, true)) && got(22L) == ((2, true)),
+        s"b rides the default quota untouched: $got")
+      // batch twin with the same per-host rules as a broadcast table
+      val orig = Seq(
+        (1L, "2024-01-01 10:01:00"), (2L, "2024-01-01 10:02:00"),
+        (3L, "2024-01-01 10:03:00"),
+        (21L, "2024-01-01 10:02:00"), (22L, "2024-01-01 10:03:00"))
+        .map { case (id, t) =>
+          (id, s"https://${if (id < 20) "a.example" else "b.example"}/p/$id",
+            ts(t))
+        }.toDF("doc_id", "canonical_url", "ts")
+      val twin = graft.llm.TextOps.politenessSchedule(orig,
+          "canonical_url", "doc_id", "ts", windowSeconds = 600L,
+          perHostQuota = 3,
+          hostQuotas = Some(Seq(("a.example", 1)).toDF("host", "quota")))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(3), r.getString(4) == "scheduled"))).toMap
+      assert(twin == got,
+        s"per-host-quota stream fold must equal the batch twin: $twin vs $got")
+    } finally q.stop()
+  }
 }

@@ -722,6 +722,131 @@ class TextOpsSpec extends SparkSpec {
     assert(out.size == 6, "one row per page")
   }
 
+  test("crawlTrapReport: template collapse, dominant tiebreak, support boundary") {
+    import spark.implicits._
+    val urls =
+      // trap host: 25 urls, every path a distinct date under ONE
+      // template /day/N/N -> share exactly 1e6
+      (1 to 25).map(i =>
+        (i.toLong, s"https://trap.example/day/${2000 + i}/${i % 12}")) ++
+      // diverse host: 20 urls over 4 templates (25%/25%/25%/25%),
+      // the tie among equal counts resolves to the LARGEST template
+      (26 to 45).map { i =>
+        val p = (i % 4) match {
+          case 0 => "/alpha"
+          case 1 => s"/beta/${i}"
+          case 2 => "/gamma"
+          case _ => s"/delta/${i}/x"
+        }
+        (i.toLong, s"https://mix.example$p")
+      } ++
+      // below minSupport: 100% one template but only 3 urls -> ok
+      (46 to 48).map(i =>
+        (i.toLong, s"https://tiny.example/id/$i")) ++
+      // malformed NULL url: excluded by contract
+      Seq((49L, null.asInstanceOf[String]))
+    val out = TextOps.crawlTrapReport(urls.toDF("id", "url"), "id", "url",
+        minSupport = 20L, shareMicroThreshold = 800000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getLong(5), r.getString(6)))).toMap
+    assert(out("trap.example") ==
+      ((25L, 1L, "/day/N/N", 25L, 1000000L, "trap_suspect")),
+      s"the generator host flags at share exactly 1e6: ${out("trap.example")}")
+    assert(out("mix.example")._6 == "ok" &&
+      out("mix.example")._2 == 4L &&
+      out("mix.example")._5 == 250000L,
+      s"four even templates: share 25%, ok: ${out("mix.example")}")
+    assert(out("mix.example")._3 == "/gamma",
+      "equal-count tie picks the lexicographically largest template")
+    assert(out("tiny.example")._6 == "ok",
+      "100% share below minSupport stays ok — three URLs prove nothing")
+    assert(out.size == 3, "NULL urls are excluded, hosts otherwise exact")
+  }
+
+  test("frontierPriority: authority order, unknown-host mass 0, deterministic K cut") {
+    import spark.implicits._
+    val authority = Seq(("big.example", 600000000000L),
+      ("mid.example", 300000000000L)).toDF("h", "mass")
+    val urls = Seq(
+      (10L, "https://mid.example/a"),
+      (11L, "https://big.example/b"),
+      (12L, "https://big.example/c"),
+      (13L, "https://unknown.example/d"),
+      (14L, "https://mid.example/e"),
+      (15L, null.asInstanceOf[String]))
+    val out = TextOps.frontierPriority(urls.toDF("id", "url"), "id",
+        "url", authority, "h", "mass", k = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // TakeOrdered output arrives ordered: big (by id), then mid (by id)
+    assert(out.toSeq == Seq(
+      (11L, "big.example", 600000000000L),
+      (12L, "big.example", 600000000000L),
+      (10L, "mid.example", 300000000000L),
+      (14L, "mid.example", 300000000000L)),
+      s"mass desc then id asc, K cuts before the mass-0 host: ${out.toSeq}")
+    val all = TextOps.frontierPriority(urls.toDF("id", "url"), "id",
+        "url", authority, "h", "mass", k = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(all(13L) == 0L && !all.contains(15L),
+      s"unknown host competes at mass 0; NULL url excluded: $all")
+  }
+
+  test("robotsRules: group selection, merging, idioms — and raw-text-to-verdict composition") {
+    import spark.implicits._
+    val nl = "\n"
+    val bodies = Seq(
+      // dedicated group HIDES the star group from graftbot entirely
+      ("a.example", Seq("User-agent: *", "Disallow: /",
+        "User-agent: graftbot", "Disallow: /private",
+        "Allow: /private/ok").mkString(nl)),
+      // only a star group: graftbot falls back to it
+      ("b.example", Seq("# hi", "User-agent: *",
+        "Disallow: /tmp/*").mkString(nl)),
+      // only another agent's group: graftbot gets NO rules at all
+      ("c.example", Seq("User-agent: other", "Disallow: /").mkString(nl)),
+      // orphan rule (before any UA) is invalid per RFC: dropped;
+      // empty Disallow is the allow-all idiom: no rule
+      ("d.example", Seq("Disallow: /orphan", "User-agent: graftbot",
+        "Disallow:").mkString(nl)),
+      // two graftbot groups merge; delays take the conservative min;
+      // junk delay on e2 -> NULL loud
+      ("e.example", Seq("User-agent: GRAFTBOT", "Disallow: /one",
+        "Crawl-delay: 9", "User-agent: graftbot", "Allow: /two",
+        "Crawl-delay: 4").mkString(nl)),
+      ("e2.example", Seq("User-agent: graftbot",
+        "Crawl-delay: soon").mkString(nl)))
+      .toDF("host", "content")
+    val rules = TextOps.robotsRules(bodies, "host", "content", "graftbot")
+    val got = rules.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      ("a.example", "/private", false), ("a.example", "/private/ok", true),
+      ("b.example", "/tmp/*", false),
+      ("e.example", "/one", false), ("e.example", "/two", true)),
+      s"group selection / merge / idioms: $got")
+    val delays = TextOps.robotsCrawlDelays(bodies, "host", "content",
+        "graftbot").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(delays == Map("e.example" -> Some(4L),
+      "e2.example" -> None),
+      s"min-merge + junk-NULL + absent-emits-nothing: $delays")
+    // COMPOSITION: raw robots text drives the policy verdicts with no
+    // glue — the a.example group hides '/' so only /private blocks
+    val urls = Seq(
+      (1L, "https://a.example/private/x"),
+      (2L, "https://a.example/private/ok/y"),
+      (3L, "https://a.example/anything"),
+      (4L, "https://b.example/tmp/cache/z"),
+      (5L, "https://c.example/whatever")).toDF("id", "url")
+    val verdicts = TextOps.urlPolicyFilter(urls, "id", "url", rules)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(verdicts == Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> false, 5L -> true),
+      s"raw robots.txt to verdict, two composed operators: $verdicts")
+  }
+
   test("politenessSchedule per-host quotas: burst host defers only itself, ranks invariant") {
     import spark.implicits._
     // host a: 5 arrivals in one window; host b: 3 in the same window
