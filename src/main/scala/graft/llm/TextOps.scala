@@ -985,10 +985,14 @@ object TextOps {
     * any other hex pair re-emits `%` + UPPERCASED pair + rest, a
     * non-hex piece re-emits `%` + piece verbatim. The piece→(value,
     * piece) pairing rides a named_struct so the hex value is computed
-    * once (SQL lambdas have no let-binding).
+    * once (SQL lambdas have no let-binding). A `%`-free string — the
+    * overwhelming majority of a real frontier — short-circuits to
+    * identity on one `instr` probe, so the split/transform machinery
+    * prices only the rows that need it (measured: the guard returns
+    * q_url_canonical to its pre-decode band).
     */
   private def pctNormalizeSql(c: String): String =
-    s"""concat(
+    s"""CASE WHEN instr($c, '%') = 0 THEN $c ELSE concat(
        |  element_at(split($c, '%', -1), 1),
        |  array_join(transform(
        |    transform(
@@ -1005,7 +1009,7 @@ object TextOps {
        |        THEN concat(char(s.v), substring(s.p, 3))
        |      WHEN s.v >= 0
        |        THEN concat('%', upper(substring(s.p, 1, 2)), substring(s.p, 3))
-       |      ELSE concat('%', s.p) END), ''))""".stripMargin
+       |      ELSE concat('%', s.p) END), '')) END""".stripMargin
 
   def canonicalizeUrl(df: DataFrame, urlCol: String,
                       outCol: String = "canonical_url"): DataFrame = {
