@@ -1175,6 +1175,54 @@ object TextOps {
       .limit(k)
   }
 
+  /** Sitemap parsing — the crawl DISCOVERY stage (sitemaps.org
+    * protocol, the other half of what robots.txt points a crawler
+    * at): from each host's sitemap XML body, one row per `<url>`
+    * block with its `<loc>` (required — a block without one emits
+    * (host, NULL, NULL), the LOUD malformed class) and `<lastmod>`
+    * (optional → NULL; kept as the W3C datetime STRING verbatim —
+    * casting is the consumer's business, a fetcher compares it to its
+    * own stored string). The five XML entities the protocol requires
+    * escaping (`&amp; &lt; &gt; &quot; &apos;`) are decoded in loc —
+    * real sitemap URLs carry `&amp;` in every query string —
+    * `&amp;` LAST so `&amp;lt;` decodes to the literal `&lt;` the
+    * author escaped, not a chained `<`. Whitespace inside tags is
+    * trimmed (pretty-printed sitemaps put loc on its own line).
+    * `<sitemapindex>` files (pointers at MORE sitemaps) contribute no
+    * rows by contract — following them is a fetch loop, not a parse.
+    *
+    * NOT a real XML parser BY DESIGN (the q_xes_roundtrip StAX
+    * machinery exists where namespace/CDATA fidelity matters):
+    * sitemap bodies are machine-generated flat lists and the
+    * block-regex parse is a row-local map both engines replay — the
+    * same tradeoff every large-scale crawler makes. Scale shape: one
+    * regexp_extract_all + explode per host body (bodies bounded by
+    * the protocol's 50 MB/50k-URL cap), entirely row-local, no
+    * shuffle — full DuckDB oracle.
+    */
+  def sitemapUrls(df: DataFrame, hostCol: String,
+                  contentCol: String): DataFrame = {
+    for (c <- Seq("url", "lastmod", "__blk")
+        if df.columns.contains(c) && c != hostCol && c != contentCol)
+      require(false, s"sitemapUrls: '$c' is reserved — rename it")
+    val unent = (c: Column) =>
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(c,
+          "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&apos;", "'"),
+        "&amp;", "&")
+    val blank2null = (c: Column) =>
+      when(c === "", lit(null).cast("string")).otherwise(c)
+    df.select(col(hostCol).as("host"),
+        explode(expr(
+          s"regexp_extract_all(regexp_replace($contentCol, '\\\\s+', ' '), " +
+            "'<url>(.*?)</url>', 1)")).as("__blk"))
+      .select(col("host"),
+        blank2null(unent(regexp_extract(col("__blk"),
+          "<loc>\\s*(.*?)\\s*</loc>", 1))).as("url"),
+        blank2null(regexp_extract(col("__blk"),
+          "<lastmod>\\s*(.*?)\\s*</lastmod>", 1)).as("lastmod"))
+  }
+
   /** Crawl-trap detection — the frontier self-defense signal every
     * production crawler runs (calendar pages, session-id echoes and
     * faceted-search grids mint INFINITE distinct URLs from one page

@@ -772,7 +772,62 @@ object PipelineQueries {
           |END""".stripMargin))
       .select("host", "content")
 
+  /** Synth sitemap corpus: five hosts (doc_id % 5, SF-stable), one
+    * body each — pretty-printed blocks, an `&amp;` query-string
+    * entity, a loc-less malformed block, whitespace-padded loc, a
+    * `<sitemapindex>` pointer file (zero rows by contract), compact
+    * single-line blocks, and an `&amp;lt;` double-escape that must
+    * decode to the literal `&lt;` the author escaped.
+    */
+  private def synthSitemaps(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select((col("doc_id") % 5).cast("int").as("h")).distinct()
+      .withColumn("host",
+        concat(lit("sm"), col("h").cast("string"), lit(".example")))
+      .withColumn("content", expr(
+        """CASE h
+          |WHEN 0 THEN concat_ws(char(10),
+          |  '<?xml version="1.0"?>',
+          |  '<urlset>',
+          |  '  <url>',
+          |  '    <loc>https://sm0.example/a</loc>',
+          |  '    <lastmod>2024-01-05</lastmod>',
+          |  '  </url>',
+          |  '  <url>',
+          |  '    <loc>https://sm0.example/b</loc>',
+          |  '    <lastmod>2024-02-06T10:00:00Z</lastmod>',
+          |  '  </url>',
+          |  '</urlset>')
+          |WHEN 1 THEN concat(
+          |  '<urlset><url><loc>https://sm1.example/p?a=1&amp;b=2',
+          |  '</loc></url></urlset>')
+          |WHEN 2 THEN concat_ws(char(10),
+          |  '<urlset>',
+          |  '<url><lastmod>2024-03-01</lastmod></url>',
+          |  '<url><loc> https://sm2.example/ws </loc></url>',
+          |  '</urlset>')
+          |WHEN 3 THEN concat(
+          |  '<sitemapindex><sitemap><loc>https://sm3.example/more.xml',
+          |  '</loc></sitemap></sitemapindex>')
+          |ELSE concat_ws(char(10),
+          |  '<urlset>',
+          |  '<url><loc>https://sm4.example/x</loc></url>',
+          |  concat('<url><loc>https://sm4.example/y</loc>',
+          |         '<lastmod>2024-04-01</lastmod></url>'),
+          |  '<url><loc>https://sm4.example/z&amp;lt;esc</loc></url>',
+          |  '</urlset>')
+          |END""".stripMargin))
+      .select("host", "content")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- crawl DISCOVERY: sitemap parsing — one row per <url> block
+    //    (loc required, missing -> the loud NULL class; lastmod
+    //    optional verbatim), XML entities decoded with &amp; last,
+    //    sitemapindex files contribute nothing. Row-local block
+    //    regex over hosts-sized bodies — full oracle. ---------------
+    "q_sitemap_urls" -> ((s, dir) =>
+      TextOps.sitemapUrls(synthSitemaps(s, dir), "host", "content")),
 
     // -- crawl compliance, stage 0: robots.txt PARSING into the rule
     //    table urlPolicyFilter consumes — RFC 9309 groups, published
@@ -784,6 +839,36 @@ object PipelineQueries {
     "q_robots_rules" -> ((s, dir) =>
       TextOps.robotsRules(synthRobots(s, dir), "host", "content",
         agent = "graftbot")),
+
+    // -- crawl compliance COMPOSITION capstone: raw robots.txt bodies
+    //    → Crawl-delay extraction → per-host quota derivation
+    //    (quota = greatest(1, window div delay) — a 7 s delay in a
+    //    600 s window allows 85 fetches) → the politeness schedule,
+    //    zero glue beyond the one pinned arithmetic step. Junk-delay
+    //    hosts (NULL, loud in q_robots_delays) carry NO rule and ride
+    //    the global default by the politeness coalesce contract.
+    //    Full oracle through the parse, the selection, the derivation
+    //    and the rank. ----------------------------------------------
+    "q_politeness_from_robots" -> ((s, dir) => {
+      val quotas = TextOps.robotsCrawlDelays(synthRobots(s, dir),
+          "host", "content", agent = "graftbot")
+        .filter(col("crawl_delay").isNotNull)
+        .select(col("host"),
+          greatest(lit(1L), expr("600 div crawl_delay")).cast("int")
+            .as("quota"))
+      val feed = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("url", expr(
+          """concat('https://rb', CAST(doc_id % 10 AS STRING),
+            |       '.example/q/', CAST(doc_id AS STRING))"""
+            .stripMargin))
+        .withColumn("ts", expr(
+          """timestamp_seconds(1704067200 + CASE WHEN doc_id % 10 = 2
+            |  THEN doc_id % 120 ELSE doc_id % 2400 END)""".stripMargin))
+      TextOps.politenessSchedule(
+        TextOps.canonicalizeUrl(feed, "url"), "canonical_url",
+        "doc_id", "ts", windowSeconds = 600L, perHostQuota = 4,
+        hostQuotas = Some(quotas))
+    }),
 
     // -- crawl frontier self-defense: trap detection — per host,
     //    collapse paths to digit-templated generators and flag the
@@ -3138,6 +3223,95 @@ object PipelineQueries {
         |FROM rgrps g JOIN rchosen c USING (host, grp)
         |WHERE g.dir = 'crawl-delay'
         |GROUP BY 1""".stripMargin,
+
+    // same block-regex chain; nullif('') replays the loud NULL class
+    "q_sitemap_urls" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT CAST(doc_id % 5 AS INT) AS h FROM documents
+        |), sm AS (
+        |  SELECT concat('sm', CAST(h AS VARCHAR), '.example') AS host,
+        |    CASE h
+        |    WHEN 0 THEN concat_ws(chr(10),
+        |      '<?xml version="1.0"?>',
+        |      '<urlset>',
+        |      '  <url>',
+        |      '    <loc>https://sm0.example/a</loc>',
+        |      '    <lastmod>2024-01-05</lastmod>',
+        |      '  </url>',
+        |      '  <url>',
+        |      '    <loc>https://sm0.example/b</loc>',
+        |      '    <lastmod>2024-02-06T10:00:00Z</lastmod>',
+        |      '  </url>',
+        |      '</urlset>')
+        |    WHEN 1 THEN concat(
+        |      '<urlset><url><loc>https://sm1.example/p?a=1&amp;b=2',
+        |      '</loc></url></urlset>')
+        |    WHEN 2 THEN concat_ws(chr(10),
+        |      '<urlset>',
+        |      '<url><lastmod>2024-03-01</lastmod></url>',
+        |      '<url><loc> https://sm2.example/ws </loc></url>',
+        |      '</urlset>')
+        |    WHEN 3 THEN concat(
+        |      '<sitemapindex><sitemap><loc>https://sm3.example/more.xml',
+        |      '</loc></sitemap></sitemapindex>')
+        |    ELSE concat_ws(chr(10),
+        |      '<urlset>',
+        |      '<url><loc>https://sm4.example/x</loc></url>',
+        |      concat('<url><loc>https://sm4.example/y</loc>',
+        |             '<lastmod>2024-04-01</lastmod></url>'),
+        |      '<url><loc>https://sm4.example/z&amp;lt;esc</loc></url>',
+        |      '</urlset>')
+        |    END AS content
+        |  FROM hs
+        |), blks AS (
+        |  SELECT host,
+        |    unnest(regexp_extract_all(
+        |      regexp_replace(content, '\s+', ' ', 'g'),
+        |      '<url>(.*?)</url>', 1)) AS blk
+        |  FROM sm
+        |)
+        |SELECT host,
+        |  nullif(replace(replace(replace(replace(replace(
+        |    regexp_extract(blk, '<loc>\s*(.*?)\s*</loc>', 1),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&apos;', ''''), '&amp;', '&'), '') AS url,
+        |  nullif(regexp_extract(blk, '<lastmod>\s*(.*?)\s*</lastmod>', 1),
+        |    '') AS lastmod
+        |FROM blks""".stripMargin,
+
+    // robots parse -> delay -> quota -> politeness rank, one SQL
+    // lineage; the canonical-clean feed uses the host shortcut
+    "q_politeness_from_robots" ->
+      s"""$RobotsCtes, delays AS (
+        |  SELECT g.host,
+        |    min(CASE WHEN regexp_matches(g.val, '^[0-9]+$$')
+        |        THEN CAST(g.val AS BIGINT) END) AS crawl_delay
+        |  FROM rgrps g JOIN rchosen c USING (host, grp)
+        |  WHERE g.dir = 'crawl-delay'
+        |  GROUP BY 1
+        |), quotas AS (
+        |  SELECT host,
+        |    CAST(greatest(1, 600 // crawl_delay) AS INTEGER) AS quota
+        |  FROM delays WHERE crawl_delay IS NOT NULL
+        |), feed AS (
+        |  SELECT doc_id,
+        |    concat('rb', CAST(doc_id % 10 AS VARCHAR), '.example')
+        |      AS host,
+        |    1704067200 + CASE WHEN doc_id % 10 = 2
+        |      THEN doc_id % 120 ELSE doc_id % 2400 END AS tsec
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT doc_id, host,
+        |    CAST((tsec // 600) * 600 AS BIGINT) AS win_start,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY host, (tsec // 600) * 600
+        |      ORDER BY tsec, doc_id) AS INTEGER) AS host_rank
+        |  FROM feed
+        |)
+        |SELECT r.doc_id, r.host, r.win_start, r.host_rank,
+        |  CASE WHEN r.host_rank <= coalesce(q.quota, 4)
+        |       THEN 'scheduled' ELSE 'deferred' END AS status
+        |FROM ranked r LEFT JOIN quotas q USING (host)""".stripMargin,
 
     // the dominant-template pick replays the struct-max tiebreak as
     // ORDER BY n DESC, tpl DESC

@@ -722,6 +722,40 @@ class TextOpsSpec extends SparkSpec {
     assert(out.size == 6, "one row per page")
   }
 
+  test("sitemapUrls: blocks, entities, loud NULLs, index files — and frontier composition") {
+    import spark.implicits._
+    val bodies = Seq(
+      ("a.example",
+        "<urlset>\n <url>\n  <loc> https://a.example/p?x=1&amp;y=2 </loc>\n" +
+          "  <lastmod>2024-05-01</lastmod>\n </url>\n" +
+          " <url><loc>HTTP://A.Example:80/q#frag</loc></url>\n" +
+          " <url><lastmod>2024-06-01</lastmod></url>\n</urlset>"),
+      // a double-escaped &amp;lt; is the LITERAL &lt; the author wrote
+      ("b.example",
+        "<urlset><url><loc>https://b.example/z&amp;lt;e</loc></url></urlset>"),
+      // an index file points at more sitemaps: zero rows by contract
+      ("c.example",
+        "<sitemapindex><sitemap><loc>https://c.example/s1.xml</loc>" +
+          "</sitemap></sitemapindex>"))
+      .toDF("host", "content")
+    val out = TextOps.sitemapUrls(bodies, "host", "content")
+    val rows = out.collect().map(r => (r.getString(0),
+      Option(r.getString(1)).orNull, Option(r.getString(2)).orNull)).toSet
+    assert(rows == Set(
+      ("a.example", "https://a.example/p?x=1&y=2", "2024-05-01"),
+      ("a.example", "HTTP://A.Example:80/q#frag", null),
+      ("a.example", null, "2024-06-01"),
+      ("b.example", "https://b.example/z&lt;e", null)),
+      s"blocks / entity decode / trim / loud loc-less NULL / index-silent: $rows")
+    // COMPOSITION: parsed locs feed the canonicalizer directly — the
+    // messy sitemap entry lands as a clean frontier key
+    val canon = TextOps.canonicalizeUrl(
+        out.filter(col("url").isNotNull), "url")
+      .collect().map(_.getString(3)).toSet
+    assert(canon.contains("http://a.example/q"),
+      s"sitemap loc -> canonical frontier key with zero glue: $canon")
+  }
+
   test("crawlTrapReport: template collapse, dominant tiebreak, support boundary") {
     import spark.implicits._
     val urls =
