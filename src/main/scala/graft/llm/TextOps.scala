@@ -1175,6 +1175,120 @@ object TextOps {
       .limit(k)
   }
 
+  /** One WARC record (or quarantine row) from `warcRecords`. */
+  final case class WarcRec(fileId: Long, recIdx: Int,
+      warcType: Option[String], targetUri: Option[String],
+      contentLength: Option[Long], body: Array[Byte], status: String)
+
+  /** WARC container splitting — the interchange format crawl corpora
+    * actually arrive in (CommonCrawl ships WARC/WET/WAT): split each
+    * file's bytes into records by walking `WARC/` headers and their
+    * `Content-Length` — LENGTH-driven, never delimiter-driven, so a
+    * body that itself contains `WARC/1.0` text is NEVER split (the
+    * bug every regex-based splitter has). Per record: WARC-Type,
+    * WARC-Target-URI, declared Content-Length, the exact body bytes,
+    * and a status. Quarantine classes STOP the walk LOUDLY at the
+    * first corruption — `bad_magic` (cursor not at a record start),
+    * `bad_header` (no header terminator, or a missing/malformed
+    * Content-Length — without it the next record's offset is
+    * unknowable), `truncated` (declared length runs past EOF, the
+    * partial body kept) — because a corrupt offset poisons every
+    * record after it and re-sync heuristics silently mis-attribute
+    * bodies; the quarantine row carries the file id for re-fetch.
+    * UNCOMPRESSED WARC by contract: per-record gzip members are the
+    * fetcher's decompress step (the JDK can inflate them, but member
+    * SPLITTING is exactly the length-walk this operator exists to do
+    * — decompress-then-split keeps one owner per concern).
+    *
+    * The legitimate imperative case (the MJPEG/deflate class): a
+    * sequential byte walk with a data-dependent stride is not a
+    * Catalyst expression. Map-only — files in, records out, no
+    * shuffle; the input is pre-projected to (id, bytes) before the
+    * object boundary so payloads never ride wider rows. Header names
+    * are case-insensitive per the spec; header text is UTF-8.
+    */
+  def warcRecords(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    // project BEFORE the object boundary (the compressionRatio
+    // pruning lesson): only (id, bytes) reaches the deserializer
+    val pruned = df.select(col(idCol).cast("long"), col(bytesCol))
+    pruned.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else walkWarc(id, bytes).iterator
+      }
+    }(org.apache.spark.sql.Encoders.product[WarcRec]).toDF(
+      "file_id", "rec_idx", "warc_type", "target_uri", "content_length",
+      "body", "status")
+  }
+
+  private def walkWarc(id: Long, bytes: Array[Byte]): Seq[WarcRec] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRec]
+    val n = bytes.length
+    val cr = '\r'.toByte
+    val lf = '\n'.toByte
+    def find4(from: Int): Int = {
+      var i = from
+      while (i + 3 < n) {
+        if (bytes(i) == cr && bytes(i + 1) == lf &&
+          bytes(i + 2) == cr && bytes(i + 3) == lf) return i
+        i += 1
+      }
+      -1
+    }
+    val magic = "WARC/".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var pos = 0
+    var idx = 0
+    while (pos < n) {
+      while (pos < n && (bytes(pos) == cr || bytes(pos) == lf)) pos += 1
+      if (pos >= n) return out.toSeq
+      val hasMagic = pos + magic.length <= n &&
+        magic.indices.forall(k => bytes(pos + k) == magic(k))
+      if (!hasMagic) {
+        out += WarcRec(id, idx, None, None, None,
+          Array.emptyByteArray, "bad_magic")
+        return out.toSeq
+      }
+      val he = find4(pos)
+      if (he < 0) {
+        out += WarcRec(id, idx, None, None, None,
+          Array.emptyByteArray, "bad_header")
+        return out.toSeq
+      }
+      val header = new String(bytes, pos, he - pos,
+        java.nio.charset.StandardCharsets.UTF_8)
+      val fields = header.split("\r\n").iterator.drop(1).flatMap { line =>
+        val c = line.indexOf(':')
+        if (c <= 0) None
+        else Some(line.substring(0, c).trim.toLowerCase ->
+          line.substring(c + 1).trim)
+      }.toMap
+      val wtype = fields.get("warc-type")
+      val uri = fields.get("warc-target-uri")
+      val clen = fields.get("content-length")
+        .flatMap(v => scala.util.Try(v.toLong).toOption).filter(_ >= 0L)
+      clen match {
+        case None =>
+          out += WarcRec(id, idx, wtype, uri, None,
+            Array.emptyByteArray, "bad_header")
+          return out.toSeq
+        case Some(c) =>
+          val bs = he + 4
+          if (bs.toLong + c > n.toLong) {
+            out += WarcRec(id, idx, wtype, uri, Some(c),
+              java.util.Arrays.copyOfRange(bytes, bs, n), "truncated")
+            return out.toSeq
+          }
+          out += WarcRec(id, idx, wtype, uri, Some(c),
+            java.util.Arrays.copyOfRange(bytes, bs, bs + c.toInt), "ok")
+          pos = bs + c.toInt
+          idx += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** Sitemap parsing — the crawl DISCOVERY stage (sitemaps.org
     * protocol, the other half of what robots.txt points a crawler
     * at): from each host's sitemap XML body, one row per `<url>`

@@ -821,6 +821,46 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // -- crawl INGEST: WARC container splitting — three records per
+    //    synth file (warcinfo / response-with-a-'WARC/1.0'-red-herring
+    //    INSIDE the body / metadata), walked by Content-Length. The
+    //    oracle is the GENERATOR shortcut (it emits the records the
+    //    fixture wrote): a delimiter-split walker would cut the
+    //    red-herring body and hash-mismatch instantly. Quarantine /
+    //    truncation mechanics are spec laws (hand bytes). ------------
+    "q_warc_records" -> ((s, dir) => {
+      val files = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("b1", concat(lit("graft warcinfo "),
+          col("doc_id").cast("string")))
+        .withColumn("b2", concat(lit("payload with WARC/1.0 inside "),
+          col("doc_id").cast("string")))
+        .withColumn("u2", concat(lit("https://w"),
+          (col("doc_id") % 7).cast("string"), lit(".example/p/"),
+          col("doc_id").cast("string")))
+        .withColumn("content", expr(
+          """CAST(concat(
+            |'WARC/1.0', char(13), char(10),
+            |'WARC-Type: warcinfo', char(13), char(10),
+            |'Content-Length: ', CAST(length(b1) AS STRING),
+            |char(13), char(10), char(13), char(10),
+            |b1, char(13), char(10), char(13), char(10),
+            |'WARC/1.0', char(13), char(10),
+            |'WARC-Type: response', char(13), char(10),
+            |'WARC-Target-URI: ', u2, char(13), char(10),
+            |'Content-Length: ', CAST(length(b2) AS STRING),
+            |char(13), char(10), char(13), char(10),
+            |b2, char(13), char(10), char(13), char(10),
+            |'WARC/1.0', char(13), char(10),
+            |'WARC-Type: metadata', char(13), char(10),
+            |'Content-Length: 4', char(13), char(10), char(13), char(10),
+            |'meta', char(13), char(10), char(13), char(10)) AS BINARY)"""
+            .stripMargin))
+      TextOps.warcRecords(files, "doc_id", "content")
+        .select(col("file_id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("content_length"),
+          col("body").cast("string").as("body_text"), col("status"))
+    }),
+
     // -- crawl DISCOVERY: sitemap parsing — one row per <url> block
     //    (loc required, missing -> the loud NULL class; lastmod
     //    optional verbatim), XML entities decoded with &amp; last,
@@ -3223,6 +3263,31 @@ object PipelineQueries {
         |FROM rgrps g JOIN rchosen c USING (host, grp)
         |WHERE g.dir = 'crawl-delay'
         |GROUP BY 1""".stripMargin,
+
+    // generator-shortcut oracle: the walker must reproduce EXACTLY
+    // the records the fixture wrote — a delimiter-driven split would
+    // cut the red-herring body and mismatch
+    "q_warc_records" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    concat('graft warcinfo ', CAST(doc_id AS VARCHAR)) AS b1,
+        |    concat('payload with WARC/1.0 inside ',
+        |           CAST(doc_id AS VARCHAR)) AS b2,
+        |    concat('https://w', CAST(doc_id % 7 AS VARCHAR),
+        |           '.example/p/', CAST(doc_id AS VARCHAR)) AS u2
+        |  FROM documents
+        |)
+        |SELECT doc_id AS file_id, CAST(0 AS INTEGER) AS rec_idx,
+        |  'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
+        |  CAST(length(b1) AS BIGINT) AS content_length,
+        |  b1 AS body_text, 'ok' AS status FROM d
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INTEGER), 'response', u2,
+        |  CAST(length(b2) AS BIGINT), b2, 'ok' FROM d
+        |UNION ALL
+        |SELECT doc_id, CAST(2 AS INTEGER), 'metadata',
+        |  CAST(NULL AS VARCHAR), CAST(4 AS BIGINT), 'meta', 'ok'
+        |FROM d""".stripMargin,
 
     // same block-regex chain; nullif('') replays the loud NULL class
     "q_sitemap_urls" ->

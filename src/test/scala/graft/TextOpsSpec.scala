@@ -722,6 +722,57 @@ class TextOpsSpec extends SparkSpec {
     assert(out.size == 6, "one row per page")
   }
 
+  test("warcRecords: length-driven walk, red herrings, loud quarantine stops") {
+    import spark.implicits._
+    val crlf = "\r\n"
+    def rec(typ: String, uri: Option[String], body: String): String =
+      s"WARC/1.0${crlf}WARC-Type: $typ$crlf" +
+        uri.map(u => s"WARC-Target-URI: $u$crlf").getOrElse("") +
+        s"Content-Length: ${body.getBytes("UTF-8").length}$crlf$crlf" +
+        body + crlf + crlf
+    val redHerring = "before WARC/1.0\r\nWARC-Type: fake\r\n\r\n after"
+    val files = Seq(
+      // two records; the first body CONTAINS a full fake record —
+      // the length walk must sail straight over it
+      (1L, (rec("response", Some("https://x.example/a"), redHerring) +
+        rec("metadata", None, "tail")).getBytes("UTF-8")),
+      // case-insensitive header names
+      (2L, ("WARC/1.0\r\ncontent-length: 2\r\nwarc-type: resource\r\n\r\nok\r\n\r\n")
+        .getBytes("UTF-8")),
+      // missing Content-Length: the offset is unknowable -> loud stop
+      (3L, "WARC/1.0\r\nWARC-Type: response\r\n\r\nbody".getBytes("UTF-8")),
+      // declared length past EOF -> truncated, partial body kept
+      (4L, "WARC/1.0\r\nContent-Length: 99\r\n\r\nshort".getBytes("UTF-8")),
+      // garbage where a record should start -> bad_magic
+      (5L, (rec("metadata", None, "m") + "GARBAGE").getBytes("UTF-8")),
+      // empty and null files contribute nothing
+      (6L, Array.emptyByteArray),
+      (7L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "bytes")
+    val out = TextOps.warcRecords(files, "id", "bytes").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((Option(r.getString(2)).orNull, Option(r.getString(3)).orNull,
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          new String(r.getAs[Array[Byte]](5), "UTF-8"), r.getString(6))))
+      .toMap
+    assert(out((1L, 0)) == (("response", "https://x.example/a",
+      redHerring.getBytes("UTF-8").length.toLong, redHerring, "ok")),
+      s"the fake record inside the body must NOT split: ${out((1L, 0))}")
+    assert(out((1L, 1))._1 == "metadata" && out((1L, 1))._4 == "tail",
+      "the walk resumes exactly after the declared length")
+    assert(out((2L, 0)) == (("resource", null, 2L, "ok", "ok")),
+      "header names are case-insensitive")
+    assert(out((3L, 0))._5 == "bad_header" && out((3L, 0))._3 == -1L,
+      "missing Content-Length stops the walk loudly")
+    assert(out((4L, 0))._5 == "truncated" && out((4L, 0))._4 == "short" &&
+      out((4L, 0))._3 == 99L,
+      "past-EOF length keeps the partial body and the declared length")
+    assert(out((5L, 1))._5 == "bad_magic" && out((5L, 0))._5 == "ok",
+      "trailing garbage quarantines AFTER the good record")
+    assert(!out.keys.exists(_._1 >= 6L), "empty/null files emit nothing")
+    assert(out.size == 7, s"exact row census: ${out.keys.toSeq.sorted}")
+  }
+
   test("sitemapUrls: blocks, entities, loud NULLs, index files — and frontier composition") {
     import spark.implicits._
     val bodies = Seq(
