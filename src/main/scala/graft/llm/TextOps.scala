@@ -985,31 +985,33 @@ object TextOps {
     * any other hex pair re-emits `%` + UPPERCASED pair + rest, a
     * non-hex piece re-emits `%` + piece verbatim. The piece→(value,
     * piece) pairing rides a named_struct so the hex value is computed
-    * once (SQL lambdas have no let-binding). A `%`-free string — the
-    * overwhelming majority of a real frontier — short-circuits to
-    * identity on one `instr` probe, so the split/transform machinery
-    * prices only the rows that need it (measured: the guard returns
-    * q_url_canonical to its pre-decode band).
+    * once (SQL lambdas have no let-binding). Two cost controls,
+    * measured: a `%`-free string — the overwhelming majority of a
+    * real frontier — short-circuits to identity on one `instr` probe
+    * (the guard returned q_url_politeness to its band), and the split
+    * array is materialized ONCE via the INDEXED transform lambda
+    * (index 0 = the literal head) — Spark's higher-order functions
+    * are CodegenFallback (interpreted), so every extra `split`
+    * reference was a real re-evaluation, not a common subexpression.
     */
   private def pctNormalizeSql(c: String): String =
-    s"""CASE WHEN instr($c, '%') = 0 THEN $c ELSE concat(
-       |  element_at(split($c, '%', -1), 1),
-       |  array_join(transform(
-       |    transform(
-       |      slice(split($c, '%', -1), 2,
-       |        greatest(size(split($c, '%', -1)) - 1, 0)),
-       |      p -> named_struct('p', p, 'v',
-       |        CASE WHEN p rlike '^[0-9A-Fa-f]{2}'
+    s"""CASE WHEN instr($c, '%') = 0 THEN $c ELSE array_join(
+       |  transform(
+       |    transform(split($c, '%', -1),
+       |      (p, i) -> named_struct('p', p, 'v',
+       |        CASE WHEN i = 0 THEN -2
+       |          WHEN p rlike '^[0-9A-Fa-f]{2}'
        |          THEN (instr('0123456789ABCDEF', upper(substring(p, 1, 1))) - 1) * 16
        |             + instr('0123456789ABCDEF', upper(substring(p, 2, 1))) - 1
        |          ELSE -1 END)),
        |    s -> CASE
+       |      WHEN s.v = -2 THEN s.p
        |      WHEN s.v BETWEEN 65 AND 90 OR s.v BETWEEN 97 AND 122
        |        OR s.v BETWEEN 48 AND 57 OR s.v IN (45, 46, 95, 126)
        |        THEN concat(char(s.v), substring(s.p, 3))
        |      WHEN s.v >= 0
        |        THEN concat('%', upper(substring(s.p, 1, 2)), substring(s.p, 3))
-       |      ELSE concat('%', s.p) END), '')) END""".stripMargin
+       |      ELSE concat('%', s.p) END), '') END""".stripMargin
 
   def canonicalizeUrl(df: DataFrame, urlCol: String,
                       outCol: String = "canonical_url"): DataFrame = {
