@@ -971,12 +971,14 @@ object TextOps {
     * the LOUD malformed class (a silent passthrough would let junk
     * rows form singleton "pages").
     *
-    * Pure Catalyst (regex + HOF filter/sort on the split params, the
-    * decode a split-on-`%` + two chained `transform`s + `array_join`
-    * — no UDF, whole-stage codegen), entirely row-local: a map at any
-    * scale. Every rule is regex/string arithmetic both engines
-    * evaluate identically, so the operator carries a full DuckDB
-    * oracle.
+    * Pure Catalyst regex + HOF filter/sort on the split params; the
+    * decode is the compiled `UrlFunctions.pctNormalize` codegen
+    * expression (one static kernel call inside whole-stage codegen —
+    * the HOF form it replaced is kept as the oracle-semantics twin
+    * with an executed equivalence law, see `pctNormalizeSql`).
+    * Entirely row-local: a map at any scale. Every rule is
+    * regex/string arithmetic both engines evaluate identically, so
+    * the operator carries a full DuckDB oracle.
     */
   /** RFC 3986 unreserved-octet percent-decode + hex-uppercase as one
     * SQL expression over column `c`: split on '%', the head is
@@ -993,8 +995,16 @@ object TextOps {
     * (index 0 = the literal head) — Spark's higher-order functions
     * are CodegenFallback (interpreted), so every extra `split`
     * reference was a real re-evaluation, not a common subexpression.
+    *
+    * NO LONGER the production path: even single-split, the
+    * interpreted HOF dispatch tripled q_url_canonical's band, so the
+    * canonicalizer now runs the compiled `UrlFunctions.pctNormalize`
+    * codegen expression. This SQL form is kept private[graft] as the
+    * ORACLE-SEMANTICS twin — `TextOpsSpec` executes kernel ≡ SQL
+    * equivalence on the 400-case generator, so the DuckDB replay and
+    * the kernel cannot drift.
     */
-  private def pctNormalizeSql(c: String): String =
+  private[graft] def pctNormalizeSql(c: String): String =
     s"""CASE WHEN instr($c, '%') = 0 THEN $c ELSE array_join(
        |  transform(
        |    transform(split($c, '%', -1),
@@ -1034,9 +1044,11 @@ object TextOps {
           "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*([^?]*)", 1)
         when(p === "", lit("/")).otherwise(p)
       })
-      .withColumn("__path", expr(pctNormalizeSql("__path")))
+      .withColumn("__path",
+        graft.functions.UrlFunctions.pctNormalize(col("__path")))
       .withColumn("__q", regexp_extract(col("__nf"), "\\?(.*)$", 1))
-      .withColumn("__q", expr(pctNormalizeSql("__q")))
+      .withColumn("__q",
+        graft.functions.UrlFunctions.pctNormalize(col("__q")))
       .withColumn("__ps", expr(
         """array_join(sort_array(filter(split(__q, '&'),
           |  p -> p != '' AND NOT (p rlike

@@ -677,6 +677,19 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(nulls > 0 && nulls < 400,
       s"generator must cover both classes (got $nulls malformed of 400)")
+    // kernel ≡ SQL equivalence: the compiled pctNormalize expression
+    // (the production path) and the HOF SQL form (what the DuckDB
+    // oracle replays) must agree on every generated RAW string —
+    // this is the law that keeps the oracle and the kernel from
+    // drifting. Raw URLs (not canonicals) so invalid '%' shapes,
+    // double-encodes and mixed hex all hit both paths.
+    val eq = df
+      .withColumn("__k", graft.functions.UrlFunctions.pctNormalize(col("url")))
+      .withColumn("__s", expr(
+        graft.llm.TextOps.pctNormalizeSql("url")))
+      .filter(!(col("__k") <=> col("__s")))
+      .count()
+    assert(eq == 0L, s"kernel and SQL decode diverged on $eq of 400 raws")
   }
 
   test("revisitSchedule: hand lambda, never-changed zero, monotone, quarantine NULLs") {
