@@ -910,6 +910,50 @@ object PipelineQueries {
         hostQuotas = Some(quotas))
     }),
 
+    // -- crawl tier capstone v3: the funnel driven END TO END by raw
+    //    robots.txt bodies — robotsRules feeds the policy stage (the
+    //    first time WILDCARD/ANCHOR rules flow through the funnel:
+    //    /tmp/public carve-out beats the /tmp/* wildcard, /a$ anchor
+    //    beats /a on the exact path, /cal/today$ survives /cal/*) and
+    //    robotsCrawlDelays feeds the per-host quotas (rb3's delay 3 →
+    //    quota 200 schedules everything; default hosts at 6 defer).
+    //    The otherbot-only host (rb6) reaches the scheduler on pure
+    //    default-allow. Full oracle: one SQL lineage from the robots
+    //    parse through group-selection, LIKE compilation, first-seen
+    //    dedup, precedence, quota derivation and the window rank. ----
+    "q_crawl_report_from_robots" -> ((s, dir) => {
+      val robots = synthRobots(s, dir)
+      val rules = TextOps.robotsRules(robots, "host", "content",
+        agent = "graftbot")
+      val quotas = TextOps.robotsCrawlDelays(robots, "host", "content",
+          agent = "graftbot")
+        .filter(col("crawl_delay").isNotNull)
+        .select(col("host"),
+          greatest(lit(1L), expr("600 div crawl_delay")).cast("int")
+            .as("quota"))
+      val feed = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("url", expr(
+          """CASE WHEN doc_id % 97 = 0
+            |  THEN concat('rb', CAST(doc_id % 10 AS STRING), '.example')
+            |  ELSE concat('https://rb', CAST(doc_id % 10 AS STRING),
+            |    '.example',
+            |    CASE CAST(doc_id % 10 AS INT)
+            |      WHEN 0 THEN CASE WHEN doc_id % 3 = 0
+            |        THEN concat('/tmp/public', CAST(doc_id % 300 AS STRING))
+            |        ELSE concat('/tmp/x', CAST(doc_id % 300 AS STRING)) END
+            |      WHEN 1 THEN CASE WHEN doc_id % 3 = 0 THEN '/a'
+            |        ELSE concat('/a/', CAST(doc_id % 300 AS STRING)) END
+            |      WHEN 9 THEN CASE WHEN doc_id % 3 = 0 THEN '/cal/today'
+            |        ELSE concat('/cal/', CAST(doc_id % 300 AS STRING)) END
+            |      ELSE concat('/r/', CAST(doc_id % 300 AS STRING)) END)
+            |END""".stripMargin))
+        .withColumn("ts", expr(
+          "timestamp_seconds(1704067200 + doc_id % 2400)"))
+      TextOps.crawlReport(feed, "doc_id", "url", "ts", rules,
+        windowSeconds = 600L, perHostQuota = 6,
+        hostQuotas = Some(quotas))
+    }),
+
     // -- crawl frontier self-defense: trap detection — per host,
     //    collapse paths to digit-templated generators and flag the
     //    host when one template dominates (calendar/session-id
@@ -3343,6 +3387,108 @@ object PipelineQueries {
         |  nullif(regexp_extract(blk, '<lastmod>\s*(.*?)\s*</lastmod>', 1),
         |    '') AS lastmod
         |FROM blks""".stripMargin,
+
+    // the whole funnel in one SQL lineage: robots parse ->
+    // group-select -> LIKE-compiled rules + derived quotas ->
+    // first-seen dedup -> precedence QUALIFY -> quota'd window rank
+    "q_crawl_report_from_robots" ->
+      s"""$RobotsCtes, rulesr AS (
+        |  SELECT g.host AS rhost, g.val AS prefix,
+        |    (g.dir = 'allow') AS allow,
+        |    concat(
+        |      replace(replace(replace(replace(
+        |        CASE WHEN g.val LIKE '%$$'
+        |             THEN substring(g.val, 1, length(g.val) - 1)
+        |             ELSE g.val END,
+        |        '!', '!!'), '%', '!%'), '_', '!_'), '*', '%'),
+        |      CASE WHEN g.val LIKE '%$$' THEN '' ELSE '%' END) AS pat
+        |  FROM rgrps g JOIN rchosen c USING (host, grp)
+        |  WHERE g.dir IN ('allow', 'disallow') AND g.val != ''
+        |), delaysr AS (
+        |  SELECT g.host,
+        |    min(CASE WHEN regexp_matches(g.val, '^[0-9]+$$')
+        |        THEN CAST(g.val AS BIGINT) END) AS crawl_delay
+        |  FROM rgrps g JOIN rchosen c USING (host, grp)
+        |  WHERE g.dir = 'crawl-delay'
+        |  GROUP BY 1
+        |), quotasr AS (
+        |  SELECT host AS qhost,
+        |    CAST(greatest(1, 600 // crawl_delay) AS INTEGER) AS quota
+        |  FROM delaysr WHERE crawl_delay IS NOT NULL
+        |), rawr AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 THEN NULL
+        |         ELSE concat('rb', CAST(doc_id % 10 AS VARCHAR),
+        |                     '.example') END AS host,
+        |    CASE WHEN doc_id % 97 = 0 THEN NULL
+        |         ELSE CASE CAST(doc_id % 10 AS INT)
+        |           WHEN 0 THEN CASE WHEN doc_id % 3 = 0
+        |             THEN concat('/tmp/public',
+        |                         CAST(doc_id % 300 AS VARCHAR))
+        |             ELSE concat('/tmp/x',
+        |                         CAST(doc_id % 300 AS VARCHAR)) END
+        |           WHEN 1 THEN CASE WHEN doc_id % 3 = 0 THEN '/a'
+        |             ELSE concat('/a/',
+        |                         CAST(doc_id % 300 AS VARCHAR)) END
+        |           WHEN 9 THEN CASE WHEN doc_id % 3 = 0
+        |             THEN '/cal/today'
+        |             ELSE concat('/cal/',
+        |                         CAST(doc_id % 300 AS VARCHAR)) END
+        |           ELSE concat('/r/', CAST(doc_id % 300 AS VARCHAR)) END
+        |    END AS pth,
+        |    CAST(1704067200 + doc_id % 2400 AS BIGINT) AS tsec
+        |  FROM documents
+        |), stagedr AS (
+        |  SELECT doc_id, host, pth, tsec,
+        |    CASE WHEN host IS NULL THEN NULL
+        |         ELSE concat('https://', host, pth) END AS canonical_url,
+        |    CASE WHEN host IS NULL THEN 'malformed'
+        |         WHEN doc_id != min(doc_id) OVER (
+        |             PARTITION BY concat('https://', host, pth))
+        |           THEN 'dup' END AS stage
+        |  FROM rawr
+        |), polr AS (
+        |  SELECT s.doc_id, coalesce(r.allow, true) AS allowed
+        |  FROM (SELECT * FROM stagedr WHERE stage IS NULL) s
+        |  LEFT JOIN rulesr r
+        |    ON s.host = r.rhost AND s.pth LIKE r.pat ESCAPE '!'
+        |  QUALIFY row_number() OVER (PARTITION BY s.doc_id
+        |    ORDER BY length(r.prefix) DESC NULLS LAST,
+        |             r.allow DESC NULLS LAST,
+        |             r.prefix DESC NULLS LAST) = 1
+        |), schedr AS (
+        |  SELECT s.doc_id,
+        |    CASE WHEN row_number() OVER (
+        |        PARTITION BY s.host, (s.tsec // 600) * 600
+        |        ORDER BY s.tsec, s.doc_id) <= coalesce(q.quota, 6)
+        |      THEN 'scheduled' ELSE 'deferred' END AS stage
+        |  FROM stagedr s
+        |  JOIN polr p ON s.doc_id = p.doc_id
+        |  LEFT JOIN quotasr q ON s.host = q.qhost
+        |  WHERE s.stage IS NULL AND p.allowed
+        |), outcomesr AS (
+        |  SELECT host, tsec, stage FROM stagedr WHERE stage IS NOT NULL
+        |  UNION ALL
+        |  SELECT s.host, s.tsec, 'blocked' AS stage
+        |  FROM stagedr s JOIN polr p ON s.doc_id = p.doc_id
+        |  WHERE NOT p.allowed
+        |  UNION ALL
+        |  SELECT s.host, s.tsec, sc.stage
+        |  FROM stagedr s JOIN schedr sc ON s.doc_id = sc.doc_id
+        |)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(CASE WHEN stage = 'malformed' THEN 1 END) AS BIGINT)
+        |    AS n_malformed,
+        |  CAST(count(CASE WHEN stage = 'dup' THEN 1 END) AS BIGINT)
+        |    AS n_dup,
+        |  CAST(count(CASE WHEN stage = 'blocked' THEN 1 END) AS BIGINT)
+        |    AS n_blocked,
+        |  CAST(count(CASE WHEN stage = 'scheduled' THEN 1 END) AS BIGINT)
+        |    AS n_scheduled,
+        |  CAST(count(CASE WHEN stage = 'deferred' THEN 1 END) AS BIGINT)
+        |    AS n_deferred,
+        |  min(tsec) AS first_epoch, max(tsec) AS last_epoch
+        |FROM outcomesr GROUP BY host""".stripMargin,
 
     // robots parse -> delay -> quota -> politeness rank, one SQL
     // lineage; the canonical-clean feed uses the host shortcut
