@@ -1083,8 +1083,13 @@ object TextOps {
     * Pattern language (RFC 9309 §2.2.3, the syntax real robots.txt
     * files use — a prefix-only engine silently mis-verdicts any rule
     * table lifted from one): `*` matches any character sequence
-    * including `/`; a TRAILING `$` anchors the match at the path end
-    * (a mid-pattern `$` is a literal, per the spec's
+    * including `/`; a TRAILING `$` anchors the match at the end of
+    * the MATCH TARGET — which per the spec is the path PLUS the
+    * query when present (`/fish$` does not match `/fish?id=1`, and a
+    * `?`-bearing rule of the sessionid-blocking class CAN match —
+    * the r16 ADVICE fix; the
+    * pre-r16 engine matched the path only) — (a mid-pattern `$` is a
+    * literal, per the spec's
     * only-special-at-end reading); everything else is literal; a
     * pattern with neither is a plain prefix — bit-identical to the
     * pre-wildcard behavior. Pinned precedence tiebreak: pattern
@@ -1131,8 +1136,11 @@ object TextOps {
     df.select(col(idCol), col(urlCol),
         regexp_extract(col(urlCol),
           "^[a-z][a-z0-9+.\\-]*://([^/?]*)", 1).as("__h"),
+        // RFC 9309's match target is path PLUS query ('?q' included
+        // when present): rules containing '?' (the sessionid class)
+        // can match, and '/fish$' does NOT match '/fish?id=1'
         regexp_extract(col(urlCol),
-          "^[a-z][a-z0-9+.\\-]*://[^/?]*([^?]*)", 1).as("__p"))
+          "^[a-z][a-z0-9+.\\-]*://[^/?]*(.*)$", 1).as("__p"))
       .join(ruleSide, Seq("__h"), "left")
       .withColumn("__rule",
         when(col("prefix").isNotNull &&
@@ -1509,7 +1517,14 @@ object TextOps {
     * per-host politeness input (`Crawl-delay` is non-standard but
     * ubiquitous): per host, the MIN delay among the agent's chosen
     * groups (several merged groups disagreeing → the most
-    * conservative wins, pinned); a non-numeric delay value parses to
+    * conservative wins, pinned). Values are integer OR decimal
+    * seconds — fractional delays ("0.5", "1.5") are COMMON in real
+    * robots.txt and parse with a pinned CEIL to whole seconds
+    * (waiting longer than asked is polite; truncating under-waits) —
+    * via exact string/integer arithmetic (int part + 1 iff any
+    * nonzero fraction digit), no float anywhere, so both engines
+    * replay it bit-for-bit ("1.0" → 1, "0.5" → 1). A non-numeric
+    * delay value parses to
     * NULL and the min skips it UNLESS every value is junk — then the
     * host emits (host, NULL), the LOUD malformed class, never a
     * silent default. Hosts whose chosen groups carry no crawl-delay
@@ -1524,8 +1539,11 @@ object TextOps {
     parsed.filter(col("__dir") === "crawl-delay")
       .join(robotsChosenGroups(parsed, agent), Seq("host", "__grp"))
       .groupBy(col("host"))
-      .agg(min(when(col("__val").rlike("^[0-9]+$"),
-        col("__val").cast("long"))).as("crawl_delay"))
+      .agg(min(when(col("__val").rlike("^[0-9]+([.][0-9]+)?$"),
+        regexp_extract(col("__val"), "^([0-9]+)", 1).cast("long") +
+          when(regexp_extract(col("__val"),
+            "^[0-9]+[.]([0-9]*[1-9])", 1) =!= "", lit(1L))
+            .otherwise(lit(0L)))).as("crawl_delay"))
   }
 
   /** Per-host politeness scheduler — the crawl tier's FOURTH stage
@@ -1569,9 +1587,17 @@ object TextOps {
     * constant is just the floor rule): the effective quota is
     * `coalesce(host's rule, perHostQuota)`, joined via one BROADCAST
     * left join on the extracted host (a quota corpus is hosts-sized,
-    * never pages-sized) — no new Exchange, the rank plan is
-    * unchanged. A burst host with a tight quota still defers only
-    * ITSELF: the quota enters the verdict, never another host's rank.
+    * never pages-sized) — no new Exchange on the FRONTIER lineage,
+    * the rank plan is unchanged. A burst host with a tight quota
+    * still defers only ITSELF: the quota enters the verdict, never
+    * another host's rank. Duplicate host rows in the quota table
+    * collapse to the MIN quota (pinned, most conservative) BEFORE
+    * the broadcast — a duplicated host must tighten its own quota,
+    * never fan the left join out into duplicate verdict rows (which
+    * would break one-verdict-per-input conservation and silently
+    * diverge from the streaming twin, whose Map[host, quota] cannot
+    * even represent a duplicate). The collapse shuffles only the
+    * hosts-sized build side.
     */
   def politenessSchedule(df: DataFrame, canonicalCol: String,
       idCol: String, tsCol: String, windowSeconds: Long,
@@ -1604,8 +1630,9 @@ object TextOps {
     val quotaed = hostQuotas match {
       case None => ranked.withColumn("__quota", lit(perHostQuota))
       case Some(hq) => ranked
-        .join(broadcast(hq.select(col("host"),
-          col("quota").cast("int").as("__quota"))), Seq("host"), "left")
+        .join(broadcast(hq.groupBy(col("host"))
+          .agg(min(col("quota").cast("int")).as("__quota"))),
+          Seq("host"), "left")
         .withColumn("__quota",
           coalesce(col("__quota"), lit(perHostQuota)))
     }
@@ -1780,9 +1807,13 @@ object TextOps {
     // quota enters the verdict only, never the rank partitioning)
     val withQuota = hostQuotas match {
       case None => rankedStages.withColumn("__quota", lit(perHostQuota))
+      // duplicate host rows collapse to the pinned MIN quota before
+      // the broadcast (the politenessSchedule contract): the left
+      // join must never fan a frontier row into two verdicts
       case Some(hq) => rankedStages
-        .join(broadcast(hq.select(col("host"),
-          col("quota").cast("int").as("__quota"))), Seq("host"), "left")
+        .join(broadcast(hq.groupBy(col("host"))
+          .agg(min(col("quota").cast("int")).as("__quota"))),
+          Seq("host"), "left")
         .withColumn("__quota",
           coalesce(col("__quota"), lit(perHostQuota)))
     }
@@ -1937,9 +1968,14 @@ object TextOps {
     val ranked = est.withColumn("fetch_rank", row_number().over(w))
     val withQuota = hostBudgets match {
       case None => ranked.withColumn("__quota", lit(perHostBudget))
+      // duplicate host rows collapse to the pinned MIN budget before
+      // the broadcast (the politenessSchedule contract): the left
+      // join must never fan a page into two verdicts
       case Some(hb) => ranked
-        .join(broadcast(hb.select(col("host").as(hostCol),
-          col("quota").cast("int").as("__quota"))), Seq(hostCol), "left")
+        .join(broadcast(hb.groupBy(col("host"))
+          .agg(min(col("quota").cast("int")).as("__quota"))
+          .select(col("host").as(hostCol), col("__quota"))),
+          Seq(hostCol), "left")
         .withColumn("__quota",
           coalesce(col("__quota"), lit(perHostBudget)))
     }

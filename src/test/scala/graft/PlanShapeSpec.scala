@@ -388,12 +388,14 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q_recrawl_schedule: collapse + host rank, budgets broadcast, no cartesian") {
     val p = plan("q_recrawl_schedule")
-    // exactly TWO keyed Exchanges: the page-keyed partial-agged
-    // collapse of the visit log, then the host-keyed rank over the
-    // COLLAPSED |pages| table — a rank on the raw log (visits-sized
-    // sort) or a re-shuffle for the budget join would both read 3+
-    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
-      s"recrawl schedule is collapse + host rank, nothing more:\n${p.take(1500)}")
+    // exactly THREE keyed Exchanges: the page-keyed partial-agged
+    // collapse of the visit log, the host-keyed rank over the
+    // COLLAPSED |pages| table, and (r16) the hosts-sized budget-table
+    // min-collapse that dedupes duplicate host rows BEFORE the
+    // broadcast — a rank on the raw log (visits-sized sort) or a
+    // re-shuffle of the PAGE lineage for the budget join would read 4+
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 3,
+      s"recrawl schedule is collapse + host rank + budget dedupe:\n${p.take(1500)}")
     assert(count(p, "Scan parquet") == 1,
       s"one scan of the visit log:\n${p.take(1200)}")
     // the (host, quota) budget table is hosts-sized: broadcast only
@@ -404,10 +406,13 @@ class PlanShapeSpec extends SparkSpec {
   test("q_politeness_hostquota: rank Exchange unchanged, quota table broadcast") {
     val p = plan("q_politeness_hostquota")
     // the per-host quota must not change the rank plan: still ONE
-    // keyed Exchange feeding the (host, window) rank; the quota
-    // arrives by broadcast and enters the verdict expression only
-    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
-      s"per-host quotas must not add a keyed shuffle:\n${p.take(1500)}")
+    // keyed Exchange feeding the (host, window) rank on the FRONTIER
+    // lineage; the quota arrives by broadcast and enters the verdict
+    // expression only. The second Exchange (r16) is the hosts-sized
+    // quota-table min-collapse deduping duplicate host rows before
+    // the broadcast — it never touches the frontier.
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"per-host quotas must not shuffle the frontier lineage:\n${p.take(1500)}")
     assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
       s"quota table must broadcast:\n${p.take(1200)}")
   }
@@ -434,6 +439,14 @@ class PlanShapeSpec extends SparkSpec {
       s"no range-partition Exchange over the frontier:\n${p.take(1200)}")
     assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
       s"the hosts-sized authority table must broadcast:\n${p.take(1200)}")
+    // INDEX-BACKED (r16): the fetch-batch query reads the persisted
+    // authority parquet — zero keyed Exchanges in its plan. A PageRank
+    // re-iterate (8 keyed shuffles) or a link-graph re-derivation
+    // sneaking back in fails here loudly.
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"fetch batch must not re-iterate PageRank per call:\n${p.take(1500)}")
+    assert(count(p, "Scan parquet") == 2,
+      s"exactly the frontier scan + the persisted authority scan:\n${p.take(1200)}")
   }
 
   test("q_robots_rules: host-keyed parse, pruned scan, no cartesian") {

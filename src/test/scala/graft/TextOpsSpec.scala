@@ -561,6 +561,38 @@ class TextOpsSpec extends SparkSpec {
     assert(out.size == 12, "one verdict row per input id")
   }
 
+  test("urlPolicyFilter: RFC 9309 match target is path PLUS query") {
+    import spark.implicits._
+    val rules = Seq(
+      // the sessionid class: a rule containing '?' must be matchable
+      ("site.com", "/*?*sessionid=", false),
+      // '$' anchors at the END OF THE TARGET — /fish?id=1 escapes it
+      ("site.com", "/fish$", false),
+      // an anchored full path+query rule
+      ("site.com", "/p?a=1$", true),
+      ("site.com", "/p", false)
+    ).toDF("host", "prefix", "allow")
+    val urls = Seq(
+      (1L, "http://site.com/cart?x=1&sessionid=abc"), // query rule hit
+      (2L, "http://site.com/cart?x=1"),               // no sessionid
+      (3L, "http://site.com/fish"),                   // anchored hit
+      (4L, "http://site.com/fish?id=1"),     // query breaks the anchor
+      (5L, "http://site.com/p?a=1"),         // full-target anchor hit
+      (6L, "http://site.com/p?a=2"))         // anchor miss -> /p blocks
+    val out = TextOps.urlPolicyFilter(urls.toDF("id", "url"), "id", "url",
+        rules).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2),
+        if (r.isNullAt(3)) null else r.getString(3)))).toMap
+    assert(out(1L) == ((false, "/*?*sessionid=")),
+      "a '?'-bearing rule must match against path+query")
+    assert(out(2L) == ((true, null)), "no sessionid param: default-allow")
+    assert(out(3L) == ((false, "/fish$")), "anchor hits the bare path")
+    assert(out(4L) == ((true, null)),
+      "'$'-anchored /fish must NOT match /fish?id=1 (RFC 9309 target)")
+    assert(out(5L) == ((true, "/p?a=1$")), "full path+query anchor wins")
+    assert(out(6L) == ((false, "/p")), "anchor miss falls to the prefix")
+  }
+
   test("hostLinkGraph: canonical edges, audit classes visible, match conservation") {
     import spark.implicits._
     val pages = Seq(
@@ -913,7 +945,13 @@ class TextOpsSpec extends SparkSpec {
         "Crawl-delay: 9", "User-agent: graftbot", "Allow: /two",
         "Crawl-delay: 4").mkString(nl)),
       ("e2.example", Seq("User-agent: graftbot",
-        "Crawl-delay: soon").mkString(nl)))
+        "Crawl-delay: soon").mkString(nl)),
+      // fractional delays ceil to whole seconds (pinned — waiting
+      // longer than asked is polite); "1.0" has no nonzero fraction
+      ("e3.example", Seq("User-agent: graftbot",
+        "Crawl-delay: 0.5").mkString(nl)),
+      ("e4.example", Seq("User-agent: graftbot",
+        "Crawl-delay: 1.0").mkString(nl)))
       .toDF("host", "content")
     val rules = TextOps.robotsRules(bodies, "host", "content", "graftbot")
     val got = rules.collect()
@@ -928,8 +966,9 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r.getString(0) ->
         (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(delays == Map("e.example" -> Some(4L),
-      "e2.example" -> None),
-      s"min-merge + junk-NULL + absent-emits-nothing: $delays")
+      "e2.example" -> None, "e3.example" -> Some(1L),
+      "e4.example" -> Some(1L)),
+      s"min-merge + junk-NULL + fractional-ceil + absent-emits-nothing: $delays")
     // COMPOSITION: raw robots text drives the policy verdicts with no
     // glue — the a.example group hides '/' so only /private blocks
     val urls = Seq(
@@ -971,6 +1010,21 @@ class TextOpsSpec extends SparkSpec {
       "tightening a's quota demotes a's rank 3")
     assert((6 to 8).forall(i => perHost(i.toLong) == flat(i.toLong)),
       "the burst host's tight quota never touches host b")
+    // duplicate host rows in the quota table collapse to the pinned
+    // MIN before the broadcast: same verdicts as the tight single
+    // rule, and STILL one verdict row per input (the left join must
+    // never fan out) — the conservation law the streaming twin's
+    // Map[host, quota] gets for free
+    val dupQuotas = Seq(("a.example", 3), ("a.example", 2))
+      .toDF("host", "quota")
+    val deduped = TextOps.politenessSchedule(df, "url", "id", "ts",
+        windowSeconds = 600L, perHostQuota = 4,
+        hostQuotas = Some(dupQuotas)).collect()
+    assert(deduped.length == 8,
+      "duplicate quota rows must not duplicate verdict rows")
+    assert(deduped.map(r => r.getLong(0) ->
+        ((r.getInt(3), r.getString(4)))).toMap == perHost,
+      "duplicate host rows take the MIN quota (pinned, conservative)")
   }
 
   test("recrawlSchedule: conservation, top-budget-by-lambda per host, estimator parity") {
