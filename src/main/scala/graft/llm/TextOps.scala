@@ -1064,6 +1064,106 @@ object TextOps {
       .drop("__nf", "__sch", "__hp", "__host", "__path", "__q", "__ps")
   }
 
+  /** RFC 3986 §5 reference resolution — the link-extraction stage's
+    * missing half (real pages link with `href="/path"` and
+    * `href="../page.html"` far more than with absolute URLs; an
+    * extractor blind to them sees a biased minority of the link
+    * graph): resolve a reference string against the page's own
+    * CANONICAL URL (`canonicalizeUrl` output — one canonicalizer,
+    * one notion of identity; callers pass raw bases at their peril).
+    * The rules, each pinned:
+    *   - the ref's fragment is ALWAYS dropped first (crawl identity —
+    *     the canonicalizer would drop it downstream anyway);
+    *   - a scheme-ful ref (`s:...`) resolves to ITSELF — no base
+    *     needed, so it survives even a NULL base;
+    *   - a network-path ref (`//host/...`) takes the base's scheme;
+    *   - an empty ref (or fragment-only) resolves to the BASE
+    *     verbatim, query included (RFC §5.2.2 "empty-path inherits
+    *     base");
+    *   - a query-only ref (`?x=1`) keeps the base path, swaps the
+    *     query;
+    *   - a rooted ref (`/p`) replaces the path; any other ref merges
+    *     onto the base path's directory (§5.3 merge);
+    *   - merged paths run remove_dot_segments (§5.2.4): `.` segments
+    *     vanish, `seg/..` pairs collapse innermost-first, a `..` run
+    *     that would climb PAST the root clamps at `/` (the RFC's
+    *     "ignore excess" rule). The collapse is a PINNED K=8 unrolled
+    *     rewrite (8 nesting levels per reference — real hrefs use
+    *     1-3); a deeper chain leaves a residual `..` segment and the
+    *     ref resolves to NULL, the LOUD out-of-contract class, never
+    *     a half-collapsed path.
+    *   - a relative ref against a NULL base (the page's own URL was
+    *     malformed) resolves to NULL — there is nothing to resolve
+    *     against, and inventing a host would forge an edge.
+    *
+    * Entirely row-local Catalyst regex/string arithmetic (the
+    * canonicalizer class): a map at any scale, no UDF, no shuffle —
+    * full DuckDB oracle (`q_url_resolve`; the laws the oracle's
+    * closed forms can't see — depth clamps, interleavings — execute
+    * in `TextOpsSpec`).
+    */
+  def resolveUrl(df: DataFrame, baseCol: String, refCol: String,
+                 outCol: String = "resolved_url"): DataFrame = {
+    for (c <- Seq(outCol) if df.columns.contains(c))
+      require(false, s"resolveUrl: '$c' already exists — rename it")
+    df.withColumn(outCol, resolveRefCol(col(baseCol), col(refCol)))
+  }
+
+  /** remove_dot_segments (RFC 3986 §5.2.4) as a pinned K=8 unrolled
+    * regex rewrite; NULL on residual `..` (depth out of contract).
+    * `nonDotSeg` is a lookahead-free (RE2-replayable) "segment that
+    * is neither `.` nor `..`" alternation.
+    */
+  private def removeDotSegmentsCol(p: Column): Column = {
+    val nonDotSeg = "([^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)"
+    // inner and trailing '.' segments vanish in one global pass each
+    var a = regexp_replace(p, "(/\\.)+/", "/")
+    a = regexp_replace(a, "(/\\.)+$", "/")
+    // innermost seg/.. pairs collapse; each pass peels one level
+    for (_ <- 1 to 8)
+      a = regexp_replace(a, s"/$nonDotSeg/\\.\\.(/|$$)", "/")
+    // a leading '..' run clamps at root (the RFC's "ignore excess")
+    a = regexp_replace(a, "^(/\\.\\.)+(/|$)", "/")
+    when(a.rlike("/\\.\\.(/|$)"), lit(null).cast("string")).otherwise(a)
+  }
+
+  /** The row-local resolution expression `resolveUrl` and `linkHits`
+    * share. `base` MUST be canonical (or NULL).
+    */
+  private[graft] def resolveRefCol(base: Column, ref: Column): Column = {
+    val ref0 = regexp_replace(ref, "#.*$", "")
+    val isAbs = ref0.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*:")
+    val isNet = ref0.startsWith("//")
+    val baseScheme = regexp_extract(base, "^([a-z][a-z0-9+.\\-]*)://", 1)
+    val baseHost = regexp_extract(base,
+      "^[a-z][a-z0-9+.\\-]*://([^/?]*)", 1)
+    val basePath = {
+      val p = regexp_extract(base,
+        "^[a-z][a-z0-9+.\\-]*://[^/?]*([^?]*)", 1)
+      when(p === "", lit("/")).otherwise(p)
+    }
+    val refPath = regexp_extract(ref0, "^([^?]*)", 1)
+    val hasQuery = ref0.contains("?")
+    val refQuery = regexp_extract(ref0, "\\?(.*)$", 1)
+    val mergedPath = when(refPath.startsWith("/"), refPath)
+      .otherwise(concat(
+        regexp_replace(basePath, "[^/]*$", ""), refPath))
+    val collapsed = removeDotSegmentsCol(mergedPath)
+    val qSuffix = when(hasQuery, concat(lit("?"), refQuery))
+      .otherwise(lit(""))
+    when(ref.isNull, lit(null).cast("string"))
+      .when(isAbs, ref0)
+      .when(base.isNull, lit(null).cast("string"))
+      .when(isNet, concat(baseScheme, lit(":"), ref0))
+      .when(ref0 === "", base)
+      .when(refPath === "" && hasQuery,
+        concat(baseScheme, lit("://"), baseHost, basePath,
+          lit("?"), refQuery))
+      .otherwise(when(collapsed.isNull, lit(null).cast("string"))
+        .otherwise(concat(baseScheme, lit("://"), baseHost,
+          collapsed, qSuffix)))
+  }
+
   /** Robots-style URL policy verdicts — the crawl-COMPLIANCE gate
     * that sits next to the frontier dedup: given a rule table
     * (host, path pattern, allow), verdict each canonical URL by the
@@ -1311,6 +1411,166 @@ object TextOps {
     out.toSeq
   }
 
+  /** Gzip-MEMBER WARC splitting — the layout crawl corpora actually
+    * ship (`.warc.gz` in CommonCrawl is per-RECORD gzip members
+    * concatenated, precisely so a reader can split records without
+    * inflating the whole file): walk the gzip member boundaries
+    * (RFC 1952 header parse — FEXTRA/FNAME/FCOMMENT/FHCRC skipped by
+    * their own length fields, never guessed — then raw-inflate with
+    * the member's compressed length read back from the Inflater),
+    * inflate each member and parse its contents with the SAME
+    * `walkWarc` record walker as the uncompressed twin (one owner
+    * for the header/Content-Length semantics; record parity between
+    * the twins is an executed law). recIdx numbers records
+    * CONTINUOUSLY across members.
+    *
+    * Quarantine classes: unlike the raw walker — where a corrupt
+    * offset poisons everything after it and the walk STOPS — gzip
+    * members RE-SYNC structurally (the next `1f 8b 08` magic is a
+    * hard boundary), so a member whose header is malformed, whose
+    * deflate stream fails, or whose CRC32/ISIZE trailer disagrees
+    * with the inflated bytes emits ONE loud `bad_gzip` row and the
+    * walk scans forward to the next member magic and CONTINUES;
+    * bytes at a member start that are not a gzip header emit
+    * `bad_magic` and scan forward likewise; a member whose deflate
+    * stream hits EOF unfinished emits `truncated` (nothing can
+    * follow it). Inside a healthy member the inner walker's own
+    * statuses pass through unchanged.
+    *
+    * Same legitimate-imperative contract as `warcRecords`: a
+    * data-dependent byte walk is not a Catalyst expression; map-only,
+    * input pre-projected to (id, bytes). Oracle: generator-shortcut
+    * (`q_warc_records_gz` — the walker must reproduce the records
+    * the fixture compressed); mixed ok/corrupt member re-sync and
+    * twin parity execute in `TextOpsSpec`.
+    */
+  def warcRecordsGz(df: DataFrame, idCol: String,
+                    bytesCol: String): DataFrame = {
+    val pruned = df.select(col(idCol).cast("long"), col(bytesCol))
+    pruned.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else walkWarcGz(id, bytes).iterator
+      }
+    }(org.apache.spark.sql.Encoders.product[WarcRec]).toDF(
+      "file_id", "rec_idx", "warc_type", "target_uri", "content_length",
+      "body", "status")
+  }
+
+  private def walkWarcGz(id: Long, bytes: Array[Byte]): Seq[WarcRec] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRec]
+    val n = bytes.length
+    var pos = 0
+    var idx = 0
+    def quarantine(status: String): Unit = {
+      out += WarcRec(id, idx, None, None, None,
+        Array.emptyByteArray, status)
+      idx += 1
+    }
+    // next gzip member magic at or after `from` (the re-sync scan)
+    def findMagic(from: Int): Int = {
+      var i = math.max(from, 0)
+      while (i + 2 < n) {
+        if (bytes(i) == 0x1f.toByte && bytes(i + 1) == 0x8b.toByte &&
+          bytes(i + 2) == 0x08.toByte) return i
+        i += 1
+      }
+      -1
+    }
+    def u8(i: Int): Int = bytes(i) & 0xff
+    while (pos < n) {
+      if (!(pos + 2 < n && bytes(pos) == 0x1f.toByte &&
+        bytes(pos + 1) == 0x8b.toByte && bytes(pos + 2) == 0x08.toByte)) {
+        quarantine("bad_magic")
+        val next = findMagic(pos + 1)
+        if (next < 0) return out.toSeq
+        pos = next
+      } else {
+        // RFC 1952 header: 10 fixed bytes, then optional fields in
+        // FEXTRA, FNAME, FCOMMENT, FHCRC order
+        var ok = true
+        var p = pos + 10
+        if (p > n) ok = false
+        val flg = if (ok) u8(pos + 3) else 0
+        if (ok && (flg & 4) != 0) { // FEXTRA: 2-byte LE length
+          if (p + 2 > n) ok = false
+          else { p += 2 + (u8(p) | (u8(p + 1) << 8)); if (p > n) ok = false }
+        }
+        if (ok && (flg & 8) != 0) { // FNAME: zero-terminated
+          while (p < n && bytes(p) != 0) p += 1
+          if (p >= n) ok = false else p += 1
+        }
+        if (ok && (flg & 16) != 0) { // FCOMMENT: zero-terminated
+          while (p < n && bytes(p) != 0) p += 1
+          if (p >= n) ok = false else p += 1
+        }
+        if (ok && (flg & 2) != 0) { // FHCRC
+          p += 2; if (p > n) ok = false
+        }
+        if (!ok) {
+          quarantine("bad_gzip")
+          val next = findMagic(pos + 3)
+          if (next < 0) return out.toSeq
+          pos = next
+        } else {
+          val inflater = new java.util.zip.Inflater(true)
+          inflater.setInput(bytes, p, n - p)
+          val chunk = new Array[Byte](65536)
+          val body = new java.io.ByteArrayOutputStream()
+          var failed = false
+          try {
+            while (!inflater.finished() && !failed) {
+              val got = inflater.inflate(chunk)
+              if (got > 0) body.write(chunk, 0, got)
+              else if (inflater.needsInput() || got == 0) {
+                // needsInput before finished = stream hit EOF
+                if (!inflater.finished()) failed = true
+              }
+            }
+          } catch {
+            case _: java.util.zip.DataFormatException => failed = true
+          }
+          val consumed = p + inflater.getBytesRead.toInt
+          inflater.end()
+          if (failed) {
+            if (consumed >= n) { quarantine("truncated"); return out.toSeq }
+            quarantine("bad_gzip")
+            val next = findMagic(pos + 3)
+            if (next < 0) return out.toSeq
+            pos = next
+          } else if (consumed + 8 > n) {
+            // trailer ran past EOF: the member cannot be verified
+            quarantine("truncated")
+            return out.toSeq
+          } else {
+            val inflated = body.toByteArray
+            val crc = new java.util.zip.CRC32()
+            crc.update(inflated)
+            val tr = consumed
+            val wantCrc = (u8(tr).toLong | (u8(tr + 1).toLong << 8) |
+              (u8(tr + 2).toLong << 16) | (u8(tr + 3).toLong << 24))
+            val wantLen = (u8(tr + 4).toLong | (u8(tr + 5).toLong << 8) |
+              (u8(tr + 6).toLong << 16) | (u8(tr + 7).toLong << 24))
+            if (wantCrc != crc.getValue ||
+              wantLen != (inflated.length.toLong & 0xffffffffL)) {
+              quarantine("bad_gzip")
+            } else {
+              // one owner for record semantics: the inner walker
+              walkWarc(id, inflated).foreach { rec =>
+                out += rec.copy(recIdx = idx)
+                idx += 1
+              }
+            }
+            pos = tr + 8
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
   /** Sitemap parsing — the crawl DISCOVERY stage (sitemaps.org
     * protocol, the other half of what robots.txt points a crawler
     * at): from each host's sitemap XML body, one row per `<url>`
@@ -1324,8 +1584,14 @@ object TextOps {
     * `&amp;` LAST so `&amp;lt;` decodes to the literal `&lt;` the
     * author escaped, not a chained `<`. Whitespace inside tags is
     * trimmed (pretty-printed sitemaps put loc on its own line).
-    * `<sitemapindex>` files (pointers at MORE sitemaps) contribute no
-    * rows by contract — following them is a fetch loop, not a parse.
+    * `<sitemapindex>` files (pointers at MORE sitemaps) contribute
+    * their `<sitemap>` blocks as FETCH-LIST rows flagged
+    * `is_index = true` (r16 — the parse of the pointers is the same
+    * row-local regex and is exactly what a crawler consumes next);
+    * `<url>` rows carry `is_index = false`. One alternation pass
+    * extracts both block kinds, so nothing is parsed twice.
+    * FOLLOWING the pointers is still a fetch loop — out of scope by
+    * contract.
     *
     * NOT a real XML parser BY DESIGN (the q_xes_roundtrip StAX
     * machinery exists where namespace/CDATA fidelity matters):
@@ -1338,7 +1604,7 @@ object TextOps {
     */
   def sitemapUrls(df: DataFrame, hostCol: String,
                   contentCol: String): DataFrame = {
-    for (c <- Seq("url", "lastmod", "__blk")
+    for (c <- Seq("url", "lastmod", "is_index", "__blk")
         if df.columns.contains(c) && c != hostCol && c != contentCol)
       require(false, s"sitemapUrls: '$c' is reserved — rename it")
     val unent = (c: Column) =>
@@ -1351,12 +1617,13 @@ object TextOps {
     df.select(col(hostCol).as("host"),
         explode(expr(
           s"regexp_extract_all(regexp_replace($contentCol, '\\\\s+', ' '), " +
-            "'<url>(.*?)</url>', 1)")).as("__blk"))
+            "'<url>.*?</url>|<sitemap>.*?</sitemap>', 0)")).as("__blk"))
       .select(col("host"),
         blank2null(unent(regexp_extract(col("__blk"),
           "<loc>\\s*(.*?)\\s*</loc>", 1))).as("url"),
         blank2null(regexp_extract(col("__blk"),
-          "<lastmod>\\s*(.*?)\\s*</lastmod>", 1)).as("lastmod"))
+          "<lastmod>\\s*(.*?)\\s*</lastmod>", 1)).as("lastmod"),
+        col("__blk").startsWith("<sitemap>").as("is_index"))
   }
 
   /** Crawl-trap detection — the frontier self-defense signal every
@@ -1643,31 +1910,55 @@ object TextOps {
           .otherwise(lit("deferred")).as("status"))
   }
 
-  /** The RE2/Java-common link matcher `hostLinkGraph` extracts with:
-    * a scheme token at a word boundary, then everything up to
+  /** The RE2/Java-common BARE-URL matcher (the absolute-only fast
+    * arm): a scheme token at a word boundary, then everything up to
     * whitespace or an HTML delimiter. Case-insensitive so the messy
     * `HTTP://Host` forms the canonicalizer absorbs are FOUND, not
     * silently skipped at extraction.
     */
   val LinkPattern = "(?i)\\bhttps?://[^\\s\"<>]+"
 
+  /** The full extractor `hostLinkGraph` uses (r16): a double-quoted
+    * `href` attribute OR a bare absolute URL, as ONE alternation so
+    * an `href="https://..."` is consumed WHOLE by the first branch
+    * and can never double-count as a bare URL (leftmost-first
+    * alternation — identical in Java regex and RE2, so the oracle
+    * replays it). href values are RFC 3986 references — relative,
+    * rooted, network-path or absolute — resolved against the page's
+    * canonical URL by `resolveRefCol`; single-quoted hrefs are out of
+    * contract (documented: the fixture and oracle speak
+    * double-quote).
+    */
+  val HrefOrLinkPattern: String =
+    "(?i)\\bhref\\s*=\\s*\"[^\"]*\"|\\bhttps?://[^\\s\"<>]+"
+
   /** Host-level link graph — the crawl tier's FIFTH stage and the
     * input every frontier-prioritization signal (host authority,
     * spam-farm detection) is computed from: extract the outlinks of
-    * each page body, canonicalize them with the SAME rules the
+    * each page body (BOTH `href="..."` attributes — relative, rooted,
+    * network-path or absolute, resolved against the page's canonical
+    * URL per RFC 3986 §5 (`resolveRefCol`), the r16 fix for the
+    * majority of real-page outlinks the absolute-only arm was blind
+    * to — and bare absolute URLs, one alternation so an absolute
+    * href never double-counts), canonicalize them with the SAME
+    * rules the
     * frontier dedups on (one canonicalizer, one notion of identity),
     * and collapse to host→host edges. Output: one row per
     * (src_host, dst_host) — total link count `n_links` and distinct
     * linking pages `n_pages`, both BIGINT. The audit classes stay
     * VISIBLE instead of vanishing: a malformed outlink (matched by
     * the extractor but canonicalizing to NULL — `http:///x`-class)
-    * lands on dst_host NULL, a page whose OWN url is malformed emits
+    * lands on dst_host NULL, as does a RELATIVE href on a page whose
+    * own URL is malformed (no base to resolve against — inventing a
+    * host would forge an edge); a page whose OWN url is malformed
+    * emits
     * its edges under src_host NULL; Σ n_links over the whole output
     * is exactly the corpus-wide extractor match count (executed law).
     * Pages with no links contribute nothing — a link graph is an
     * edge list, emptiness is the absence of rows, not a sentinel.
     *
-    * Scale shape: extraction (`regexp_extract_all` + explode) and
+    * Scale shape: extraction (`regexp_extract_all` + explode),
+    * reference resolution and
     * both canonicalizations are row-local Catalyst regex/HOF work —
     * no UDF, a map at any scale; the only Exchanges are the TWO keyed
     * aggregation shuffles the distinct-page count needs (the
@@ -1695,18 +1986,29 @@ object TextOps {
   private[graft] def linkHits(df: DataFrame, idCol: String,
       urlCol: String, textCol: String): DataFrame = {
     for (c <- Seq("src_host", "dst_host", "n_links", "n_pages",
-        "__page_c", "__link", "__link_c") if df.columns.contains(c))
+        "__page_c", "__m", "__link", "__link_c") if df.columns.contains(c))
       require(false, s"hostLinkGraph: '$c' is reserved — rename it")
     def hostOf(c: Column): Column =
       regexp_extract(c, "^[a-z][a-z0-9+.\\-]*://([^/?]*)", 1)
+    // extract href attrs AND bare URLs in one alternation (no double
+    // count), unwrap the href quotes, then resolve every reference
+    // against the page's CANONICAL url (r16: relative/rooted/
+    // network-path hrefs stop being invisible); a bare absolute URL
+    // passes through resolution unchanged — the legacy fast arm,
+    // bit-identical after canonicalization
     val exploded = canonicalizeUrl(
         df.select(col(idCol), col(urlCol), col(textCol)),
         urlCol, outCol = "__page_c")
+      .select(col(idCol), col("__page_c"),
+        explode(regexp_extract_all(col(textCol), lit(HrefOrLinkPattern),
+          lit(0))).as("__m"))
       .select(col(idCol),
         when(col("__page_c").isNotNull, hostOf(col("__page_c")))
           .as("src_host"),
-        explode(regexp_extract_all(col(textCol), lit(LinkPattern),
-          lit(0))).as("__link"))
+        resolveRefCol(col("__page_c"),
+          when(col("__m").rlike("^(?i)href"),
+            regexp_extract(col("__m"), "\"([^\"]*)\"", 1))
+            .otherwise(col("__m"))).as("__link"))
     canonicalizeUrl(exploded, "__link", outCol = "__link_c")
       .select(col(idCol), col("src_host"),
         when(col("__link_c").isNotNull, hostOf(col("__link_c")))
@@ -1983,6 +2285,107 @@ object TextOps {
       .select(col(pageCol), col(hostCol), col("n_visits"),
         col("n_changes"), col("span_seconds"), col("lambda_day_micro"),
         col("fetch_rank"),
+        when(col("fetch_rank") <= col("__quota"), lit("fetch"))
+          .otherwise(lit("defer")).as("status"))
+  }
+
+  /** Freshness-aware re-crawl WITH SITEMAP HINTS — the composition
+    * `sitemapUrls` + `recrawlSchedule` were missing (r16): a page
+    * whose sitemap `lastmod` POSTDATES its last fetch is the
+    * cheapest "changed" evidence a crawler gets — no fetch, no diff,
+    * the host told us — so hinted-stale pages jump the queue AHEAD
+    * of the λ̂ ordering (within the stale set and the fresh set the
+    * λ-desc order is unchanged; the budget math is untouched).
+    *
+    * `hints` is (pageCol, lastmod-STRING) — `sitemapUrls.lastmod`
+    * verbatim, parsing pinned HERE (one owner): a value with a
+    * `yyyy-MM-dd` prefix parses as its DATE's midnight epoch
+    * (datetime tails are truncated to the date — conservative-LOW,
+    * a whole-day-stale page is stale at any hour; exact integer
+    * day·86400 arithmetic both engines replay), anything else is the
+    * LOUD NULL class (`lastmod_epoch` NULL, never a fake stale bit).
+    * Duplicate hint rows per page collapse to the MAX epoch (pinned
+    * — the freshest claim wins; a stale verdict from a newer lastmod
+    * is the conservative-for-freshness read). `stale_hint` =
+    * lastmod_epoch > last-visit epoch, NULL-safe false — a hintless
+    * or junk-hinted page competes purely by λ̂, it never vanishes
+    * (the conservation law: every page gets exactly one fetch/defer
+    * verdict).
+    *
+    * Scale shape: Exchange 1 is the PAGE-keyed partial-agged collapse
+    * of the visit log (host rides as min — host is functionally
+    * dependent on page by contract, min pins the violation class);
+    * the hint table is PAGES-sized (sitemap-derived), so it joins by
+    * a page-keyed Exchange 2 onto the ALREADY page-partitioned
+    * estimator table — never a broadcast at scale (AQE may
+    * legitimately broadcast a small one); Exchange 3 is the
+    * host-keyed rank over the collapsed |pages| table. Budgets via
+    * the `politenessSchedule` broadcast quota contract (dup hosts →
+    * MIN). Full DuckDB oracle (`q_recrawl_hinted`).
+    */
+  def recrawlScheduleHinted(df: DataFrame, pageCol: String,
+      hostCol: String, tsCol: String, changedCol: String,
+      hints: DataFrame, perHostBudget: Int,
+      hostBudgets: Option[DataFrame] = None): DataFrame = {
+    require(perHostBudget >= 1,
+      s"recrawlScheduleHinted: perHostBudget >= 1, got $perHostBudget")
+    require(hints.columns.contains(pageCol) &&
+      hints.columns.contains("lastmod"),
+      s"recrawlScheduleHinted: hints need ($pageCol, lastmod) columns")
+    hostBudgets.foreach { hb =>
+      require(Seq("host", "quota").forall(hb.columns.contains),
+        "recrawlScheduleHinted: hostBudgets needs (host, quota) columns")
+    }
+    for (c <- Seq("n_visits", "n_changes", "span_seconds",
+        "lambda_day_micro", "lastmod_epoch", "stale_hint", "fetch_rank",
+        "status", "__quota", "__last_epoch") if df.columns.contains(c))
+      require(false, s"recrawlScheduleHinted: '$c' is reserved — rename it")
+    import org.apache.spark.sql.expressions.Window
+    val est = df.groupBy(col(pageCol))
+      .agg(min(col(hostCol)).as(hostCol),
+        count(lit(1)).as("n_visits"),
+        sum(coalesce(col(changedCol), lit(false)).cast("long"))
+          .as("n_changes"),
+        (max(expr(s"unix_timestamp($tsCol)")) -
+          min(expr(s"unix_timestamp($tsCol)"))).as("span_seconds"),
+        max(expr(s"unix_timestamp($tsCol)")).as("__last_epoch"))
+      .withColumn("lambda_day_micro", expr(
+        """CASE WHEN n_visits >= 2 AND span_seconds > 0 THEN
+          |  CAST(floor((-ln(
+          |      CAST(2 * (n_visits - n_changes) + 1 AS DOUBLE) /
+          |      CAST(2 * n_visits + 1 AS DOUBLE)))
+          |    * 1000000.0 * 86400.0
+          |    * CAST(n_visits - 1 AS DOUBLE)
+          |    / CAST(span_seconds AS DOUBLE)) AS BIGINT)
+          |ELSE NULL END""".stripMargin))
+    // lastmod parse (pinned) + per-page max collapse, both on the
+    // pages-sized hint table
+    val parsedHints = hints.groupBy(col(pageCol))
+      .agg(max(when(col("lastmod").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}"),
+        datediff(to_date(substring(col("lastmod"), 1, 10)),
+          to_date(lit("1970-01-01"))).cast("long") * 86400L))
+        .as("lastmod_epoch"))
+    val hinted = est.join(parsedHints, Seq(pageCol), "left")
+      .withColumn("stale_hint",
+        coalesce(col("lastmod_epoch") > col("__last_epoch"), lit(false)))
+    val w = Window.partitionBy(col(hostCol))
+      .orderBy(col("stale_hint").desc,
+        col("lambda_day_micro").desc_nulls_last, col(pageCol))
+    val ranked = hinted.withColumn("fetch_rank", row_number().over(w))
+    val withQuota = hostBudgets match {
+      case None => ranked.withColumn("__quota", lit(perHostBudget))
+      case Some(hb) => ranked
+        .join(broadcast(hb.groupBy(col("host"))
+          .agg(min(col("quota").cast("int")).as("__quota"))
+          .select(col("host").as(hostCol), col("__quota"))),
+          Seq(hostCol), "left")
+        .withColumn("__quota",
+          coalesce(col("__quota"), lit(perHostBudget)))
+    }
+    withQuota
+      .select(col(pageCol), col(hostCol), col("n_visits"),
+        col("n_changes"), col("span_seconds"), col("lambda_day_micro"),
+        col("lastmod_epoch"), col("stale_hint"), col("fetch_rank"),
         when(col("fetch_rank") <= col("__quota"), lit("fetch"))
           .otherwise(lit("defer")).as("status"))
   }

@@ -621,29 +621,61 @@ object PipelineQueries {
       |        ELSE '' END,
       |      CASE WHEN doc_id % 13 = 0 THEN ' junk http:///broken'
       |        ELSE '' END,
+      |      CASE WHEN doc_id % 2 = 0
+      |        THEN concat(' <a href="/rr/', CAST(doc_id % 15 AS VARCHAR),
+      |                    '">r</a>')
+      |        ELSE concat(' <a href="../up/', CAST(doc_id % 9 AS VARCHAR),
+      |                    '">u</a>') END,
+      |      CASE WHEN doc_id % 5 = 0
+      |        THEN concat(' <a HREF="//H', CAST(doc_id % 11 AS VARCHAR),
+      |                    '.Example:443/np">n</a>')
+      |        ELSE '' END,
+      |      CASE WHEN doc_id % 17 = 0
+      |        THEN ' <a href="https://abs.example/via?utm_source=h#f">w</a>'
+      |        ELSE '' END,
       |      ' and plain prose with no further links.') AS body
       |  FROM documents
       |)""".stripMargin
 
-  /** Link-side replay: extract with the SAME RE2-compatible pattern,
-    * then the fragment-strip → lower-scheme/host → default-port-strip
+  /** Link-side replay: extract with the SAME RE2-compatible href-or-
+    * bare-URL alternation, unwrap href quotes, RESOLVE at host level
+    * (r16 — only the HOST of the resolved URL feeds a host edge, and
+    * relative/rooted refs inherit the base host by construction, so
+    * the §5.2 path algebra drops out of the replay; `q_url_resolve`
+    * oracles the path algebra itself), then the fragment-strip →
+    * lower-scheme/host → default-port-strip
     * chain — only the HOST of a canonical URL feeds a host edge, so
     * the path/query normalization stages drop out of the replay.
     * Ends in `e0` (doc_id, src_host, dst_host) — one row per
-    * extracted link.
+    * extracted reference.
     */
   private val LinkEdgeCtes: String =
     """lx AS (
       |  SELECT doc_id, src_host, unnest(regexp_extract_all(body,
-      |    '(?i)\bhttps?://[^\s"<>]+')) AS link
+      |    '(?i)\bhref\s*=\s*"[^"]*"|\bhttps?://[^\s"<>]+')) AS m
       |  FROM pages
+      |), lref AS (
+      |  SELECT doc_id, src_host,
+      |    CASE WHEN regexp_matches(m, '^(?i)href')
+      |         THEN regexp_extract(m, '"([^"]*)"', 1) ELSE m END AS ref
+      |  FROM lx
+      |), lres AS (
+      |  SELECT doc_id, src_host,
+      |    CASE
+      |      WHEN regexp_matches(ref, '^[A-Za-z][A-Za-z0-9+.-]*:')
+      |        THEN ref
+      |      WHEN src_host IS NULL THEN NULL
+      |      WHEN ref LIKE '//%' THEN concat('https:', ref)
+      |      ELSE concat('https://', src_host, '/resolved')
+      |    END AS link
+      |  FROM lref
       |), lh AS (
       |  SELECT doc_id, src_host,
       |    lower(regexp_extract(regexp_replace(link, '#.*$', ''),
       |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
       |    lower(regexp_extract(regexp_replace(link, '#.*$', ''),
       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hp
-      |  FROM lx
+      |  FROM lres
       |), e0 AS (
       |  SELECT doc_id, src_host,
       |    CASE WHEN sch = '' OR h = '' THEN NULL ELSE h END AS dst_host
@@ -656,12 +688,19 @@ object PipelineQueries {
 
   /** Shared page synth for the link-graph queries: each doc gets its
     * own URL on host h(doc_id % 20).example (mod-101 rows malformed —
-    * no scheme) and a body embedding 2-4 outlinks carrying the
+    * no scheme) and a body embedding 3-6 outlinks carrying the
     * canonicalizer's mess (scheme/host case, default port, tracking
     * params, fragments; mod-13 rows plant a hostless `http:///broken`
-    * link). Deterministic from doc_id; the DuckDB oracles replay the
+    * link) PLUS the r16 href plants: every page carries a rooted OR
+    * dot-relative href (resolving to its OWN host — or to the NULL
+    * audit class on malformed pages, which have no base), mod-5 pages
+    * a network-path `HREF="//Host:443/.."` (base scheme + full host
+    * canonicalization), mod-17 pages an ABSOLUTE href that must count
+    * exactly once (the alternation consumes the whole attribute).
+    * Deterministic from doc_id; the DuckDB oracles replay the
     * same CASE chain verbatim. Link targets vary WITHIN a source-host
-    * class (div-20 / div-7 hashes), so the host graph is dense enough
+    * class (div-20 / div-7 / mod-11 hashes), so the host graph is
+    * dense enough
     * for the rank oracle to be interesting.
     */
   private def synthLinkPages(s: SparkSession, dir: String): DataFrame =
@@ -685,6 +724,18 @@ object PipelineQueries {
           |                '.example/p/', CAST(doc_id + 1 AS STRING))
           |    ELSE '' END,
           |  CASE WHEN doc_id % 13 = 0 THEN ' junk http:///broken'
+          |    ELSE '' END,
+          |  CASE WHEN doc_id % 2 = 0
+          |    THEN concat(' <a href="/rr/', CAST(doc_id % 15 AS STRING),
+          |                '">r</a>')
+          |    ELSE concat(' <a href="../up/', CAST(doc_id % 9 AS STRING),
+          |                '">u</a>') END,
+          |  CASE WHEN doc_id % 5 = 0
+          |    THEN concat(' <a HREF="//H', CAST(doc_id % 11 AS STRING),
+          |                '.Example:443/np">n</a>')
+          |    ELSE '' END,
+          |  CASE WHEN doc_id % 17 = 0
+          |    THEN ' <a href="https://abs.example/via?utm_source=h#f">w</a>'
           |    ELSE '' END,
           |  ' and plain prose with no further links.')""".stripMargin))
 
@@ -809,7 +860,8 @@ object PipelineQueries {
   /** Synth sitemap corpus: five hosts (doc_id % 5, SF-stable), one
     * body each — pretty-printed blocks, an `&amp;` query-string
     * entity, a loc-less malformed block, whitespace-padded loc, a
-    * `<sitemapindex>` pointer file (zero rows by contract), compact
+    * `<sitemapindex>` pointer file (its `<sitemap>` blocks surface
+    * as is_index=true fetch-list rows, r16), compact
     * single-line blocks, and an `&amp;lt;` double-escape that must
     * decode to the literal `&lt;` the author escaped.
     */
@@ -895,10 +947,49 @@ object PipelineQueries {
           col("body").cast("string").as("body_text"), col("status"))
     }),
 
+    // -- crawl INGEST, the .warc.gz layout: the SAME three records as
+    //    q_warc_records but each compressed as its own gzip MEMBER
+    //    (CommonCrawl's actual shipping format) — the member walk
+    //    (RFC 1952 header fields, raw inflate, CRC32/ISIZE trailer
+    //    verify) must recover record parity with the uncompressed
+    //    twin. Oracle = the generator shortcut (same convention);
+    //    corrupt-member re-sync is a spec law (hand bytes). ----------
+    "q_warc_records_gz" -> ((s, dir) => {
+      import s.implicits._
+      val files = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { docId =>
+          val crlf = "\r\n"
+          def rec(headers: Seq[String], body: String): Array[Byte] =
+            (Seq("WARC/1.0") ++ headers ++
+              Seq(s"Content-Length: ${body.getBytes("UTF-8").length}",
+                "", body, "", "")).mkString(crlf)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          def gz(raw: Array[Byte]): Array[Byte] = {
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(raw); g.close()
+            bos.toByteArray
+          }
+          val b1 = s"graft warcinfo $docId"
+          val b2 = s"payload with WARC/1.0 inside $docId"
+          val u2 = s"https://w${docId % 7}.example/p/$docId"
+          (docId,
+            gz(rec(Seq("WARC-Type: warcinfo"), b1)) ++
+              gz(rec(Seq("WARC-Type: response",
+                s"WARC-Target-URI: $u2"), b2)) ++
+              gz(rec(Seq("WARC-Type: metadata"), "meta")))
+        }.toDF("doc_id", "content")
+      TextOps.warcRecordsGz(files, "doc_id", "content")
+        .select(col("file_id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("content_length"),
+          col("body").cast("string").as("body_text"), col("status"))
+    }),
+
     // -- crawl DISCOVERY: sitemap parsing — one row per <url> block
     //    (loc required, missing -> the loud NULL class; lastmod
-    //    optional verbatim), XML entities decoded with &amp; last,
-    //    sitemapindex files contribute nothing. Row-local block
+    //    optional verbatim), XML entities decoded with &amp; last;
+    //    sitemapindex files contribute their <sitemap> pointers as
+    //    fetch-list rows flagged is_index=true (r16). Row-local block
     //    regex over hosts-sized bodies — full oracle. ---------------
     "q_sitemap_urls" -> ((s, dir) =>
       TextOps.sitemapUrls(synthSitemaps(s, dir), "host", "content")),
@@ -1057,6 +1148,46 @@ object PipelineQueries {
             lit("malformed").as("status"), col("url").as("detail")))
     }),
 
+    // -- crawl extraction: RFC 3986 §5 reference resolution — the
+    //    relative-href half of link extraction as its own operator
+    //    query. Twelve ref classes per doc (absolute w/ fragment,
+    //    network-path, rooted, sibling merge, ../ chains incl. a
+    //    past-root CLAMP, empty/fragment-only base inherits,
+    //    query-only, './'+query+fragment, inner mixed segments) over
+    //    a canonical base; %97 rows have a NULL base (absolute refs
+    //    still resolve, relative refs loud-NULL). The oracle is the
+    //    CLOSED FORM of each class (generator-shortcut, the
+    //    q_warc_records convention: the resolver must reproduce what
+    //    the algebra predicts); the interleavings and the K=8 depth
+    //    contract execute in TextOpsSpec. Row-local — no shuffle. ----
+    "q_url_resolve" -> ((s, dir) => {
+      val feed = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("base", expr(
+          """CASE WHEN doc_id % 97 = 0 THEN NULL
+            |ELSE concat('https://r', CAST(doc_id % 7 AS STRING),
+            |            '.example/dir/sub/page',
+            |            CAST(doc_id % 5 AS STRING), '?q=1') END"""
+            .stripMargin))
+        .withColumn("ref", expr(
+          """CASE CAST(doc_id % 12 AS INT)
+            |WHEN 0 THEN 'https://abs.example/a#frag'
+            |WHEN 1 THEN concat('//cdn', CAST(doc_id % 3 AS STRING),
+            |                   '.example/lib.js')
+            |WHEN 2 THEN concat('/rooted/', CAST(doc_id % 9 AS STRING))
+            |WHEN 3 THEN concat('child', CAST(doc_id % 4 AS STRING))
+            |WHEN 4 THEN '../up'
+            |WHEN 5 THEN '../../twice'
+            |WHEN 6 THEN '../../../past-root'
+            |WHEN 7 THEN ''
+            |WHEN 8 THEN '?x=2'
+            |WHEN 9 THEN './here?y=3#f'
+            |WHEN 10 THEN 'a/./b/../c'
+            |ELSE '#frag-only' END""".stripMargin))
+      TextOps.resolveUrl(feed, "base", "ref")
+        .select(col("doc_id"), col("base"), col("ref"),
+          col("resolved_url"))
+    }),
+
     // -- crawl compliance: robots-style policy verdicts over the
     //    canonical URLs — RFC 9309 patterns (mid-`*` wildcards,
     //    trailing-`$` anchors, plain prefixes) with most-specific-
@@ -1174,6 +1305,39 @@ object PipelineQueries {
       val budgets = Seq(("h0", 3), ("h5", 40)).toDF("host", "quota")
       TextOps.recrawlSchedule(visits, "page_id", "host", "ts", "changed",
         perHostBudget = 10, hostBudgets = Some(budgets))
+    }),
+
+    // -- crawl freshness + DISCOVERY composition (r16): the re-crawl
+    //    schedule with sitemap lastmod hints — same visit log and
+    //    budgets as q_recrawl_schedule; hints cover even pages only
+    //    (odd pages = the hintless class), %3==0 a STALE datetime
+    //    (2030, truncated to its date), %3==1 a fresh 1990 date,
+    //    %3==2 junk ('soon' -> loud NULL epoch, never a fake stale
+    //    bit). Stale-hinted pages jump the λ queue; everything else
+    //    ranks exactly as before. Full oracle through the parse, the
+    //    max-collapse, the stale comparison and the rank. ------------
+    "q_recrawl_hinted" -> ((s, dir) => {
+      import s.implicits._
+      val visits = Tables.events(s, dir)
+        .select(col("user_id").as("page_id"),
+          concat(lit("h"), (col("user_id") % 7).cast("string"))
+            .as("host"),
+          col("ts"),
+          expr("""user_id % 29 != 0 AND
+                 |event_id % (3 + user_id % 5) = 0""".stripMargin)
+            .as("changed"))
+      val hints = Tables.events(s, dir)
+        .select(col("user_id").as("page_id")).distinct()
+        .filter(col("page_id") % 2 === 0)
+        .withColumn("lastmod", expr(
+          """CASE CAST(page_id % 3 AS INT)
+            |WHEN 0 THEN '2030-01-05T23:59:59Z'
+            |WHEN 1 THEN '1990-01-01'
+            |ELSE 'soon' END""".stripMargin))
+      val budgets = Seq(("h0", 3), ("h5", 40)).toDF("host", "quota")
+      TextOps.recrawlScheduleHinted(visits, "page_id", "host", "ts",
+        "changed", hints, perHostBudget = 10,
+        hostBudgets = Some(budgets))
     }),
 
     // -- crawl link structure: host→host link graph extracted from
@@ -3251,6 +3415,33 @@ object PipelineQueries {
         "doc_id", "text", expectedItems = 10000L, fpp = 0.001)
     }))
 
+  /** Generator-shortcut oracle shared by BOTH WARC container layouts
+    * (raw `q_warc_records` and gzip-member `q_warc_records_gz`): the
+    * fixtures write the same three records per file, so either
+    * walker must reproduce exactly these rows.
+    */
+  private val WarcRecordsOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    concat('graft warcinfo ', CAST(doc_id AS VARCHAR)) AS b1,
+      |    concat('payload with WARC/1.0 inside ',
+      |           CAST(doc_id AS VARCHAR)) AS b2,
+      |    concat('https://w', CAST(doc_id % 7 AS VARCHAR),
+      |           '.example/p/', CAST(doc_id AS VARCHAR)) AS u2
+      |  FROM documents
+      |)
+      |SELECT doc_id AS file_id, CAST(0 AS INTEGER) AS rec_idx,
+      |  'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
+      |  CAST(length(b1) AS BIGINT) AS content_length,
+      |  b1 AS body_text, 'ok' AS status FROM d
+      |UNION ALL
+      |SELECT doc_id, CAST(1 AS INTEGER), 'response', u2,
+      |  CAST(length(b2) AS BIGINT), b2, 'ok' FROM d
+      |UNION ALL
+      |SELECT doc_id, CAST(2 AS INTEGER), 'metadata',
+      |  CAST(NULL AS VARCHAR), CAST(4 AS BIGINT), 'meta', 'ok'
+      |FROM d""".stripMargin
+
   /** DuckDB twin of `synthRobots` + the RFC 9309 parse/group-select
     * chain: parallel unnest zips lines with positions, the group id
     * is a lag + running-sum pair of window CTE levels, selection is a
@@ -3354,27 +3545,11 @@ object PipelineQueries {
     // generator-shortcut oracle: the walker must reproduce EXACTLY
     // the records the fixture wrote — a delimiter-driven split would
     // cut the red-herring body and mismatch
-    "q_warc_records" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    concat('graft warcinfo ', CAST(doc_id AS VARCHAR)) AS b1,
-        |    concat('payload with WARC/1.0 inside ',
-        |           CAST(doc_id AS VARCHAR)) AS b2,
-        |    concat('https://w', CAST(doc_id % 7 AS VARCHAR),
-        |           '.example/p/', CAST(doc_id AS VARCHAR)) AS u2
-        |  FROM documents
-        |)
-        |SELECT doc_id AS file_id, CAST(0 AS INTEGER) AS rec_idx,
-        |  'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
-        |  CAST(length(b1) AS BIGINT) AS content_length,
-        |  b1 AS body_text, 'ok' AS status FROM d
-        |UNION ALL
-        |SELECT doc_id, CAST(1 AS INTEGER), 'response', u2,
-        |  CAST(length(b2) AS BIGINT), b2, 'ok' FROM d
-        |UNION ALL
-        |SELECT doc_id, CAST(2 AS INTEGER), 'metadata',
-        |  CAST(NULL AS VARCHAR), CAST(4 AS BIGINT), 'meta', 'ok'
-        |FROM d""".stripMargin,
+    "q_warc_records" -> WarcRecordsOracle,
+
+    // the gzip-member twin PARSES TO THE SAME RECORDS by design —
+    // one oracle, two container layouts (parity is also a spec law)
+    "q_warc_records_gz" -> WarcRecordsOracle,
 
     // same block-regex chain; nullif('') replays the loud NULL class
     "q_sitemap_urls" ->
@@ -3419,7 +3594,7 @@ object PipelineQueries {
         |  SELECT host,
         |    unnest(regexp_extract_all(
         |      regexp_replace(content, '\s+', ' ', 'g'),
-        |      '<url>(.*?)</url>', 1)) AS blk
+        |      '<url>.*?</url>|<sitemap>.*?</sitemap>', 0)) AS blk
         |  FROM sm
         |)
         |SELECT host,
@@ -3428,7 +3603,8 @@ object PipelineQueries {
         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |    '&apos;', ''''), '&amp;', '&'), '') AS url,
         |  nullif(regexp_extract(blk, '<lastmod>\s*(.*?)\s*</lastmod>', 1),
-        |    '') AS lastmod
+        |    '') AS lastmod,
+        |  starts_with(blk, '<sitemap>') AS is_index
         |FROM blks""".stripMargin,
 
     // the whole funnel in one SQL lineage: robots parse ->
@@ -3652,6 +3828,59 @@ object PipelineQueries {
     // the rule patterns compile to LIKE exactly as the Spark side
     // does: strip a trailing '$' anchor, escape !/%/_ via ESCAPE '!',
     // '*' -> '%', trailing '%' only when unanchored
+    // closed-form replay: each ref class's resolution is a direct
+    // string build from doc_id (the generator-shortcut convention —
+    // a resolver that mis-merges, fails to clamp, or keeps fragments
+    // mismatches immediately)
+    "q_url_resolve" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 THEN NULL
+        |         ELSE concat('https://r', CAST(doc_id % 7 AS VARCHAR),
+        |                     '.example/dir/sub/page',
+        |                     CAST(doc_id % 5 AS VARCHAR), '?q=1')
+        |    END AS base,
+        |    concat('https://r', CAST(doc_id % 7 AS VARCHAR),
+        |           '.example') AS h,
+        |    CAST(doc_id % 12 AS INT) AS k
+        |  FROM documents
+        |)
+        |SELECT doc_id, base,
+        |  CASE k
+        |  WHEN 0 THEN 'https://abs.example/a#frag'
+        |  WHEN 1 THEN concat('//cdn', CAST(doc_id % 3 AS VARCHAR),
+        |                     '.example/lib.js')
+        |  WHEN 2 THEN concat('/rooted/', CAST(doc_id % 9 AS VARCHAR))
+        |  WHEN 3 THEN concat('child', CAST(doc_id % 4 AS VARCHAR))
+        |  WHEN 4 THEN '../up'
+        |  WHEN 5 THEN '../../twice'
+        |  WHEN 6 THEN '../../../past-root'
+        |  WHEN 7 THEN ''
+        |  WHEN 8 THEN '?x=2'
+        |  WHEN 9 THEN './here?y=3#f'
+        |  WHEN 10 THEN 'a/./b/../c'
+        |  ELSE '#frag-only' END AS ref,
+        |  CASE
+        |  WHEN k = 0 THEN 'https://abs.example/a'
+        |  WHEN base IS NULL THEN NULL
+        |  WHEN k = 1 THEN concat('https://cdn',
+        |                         CAST(doc_id % 3 AS VARCHAR),
+        |                         '.example/lib.js')
+        |  WHEN k = 2 THEN concat(h, '/rooted/',
+        |                         CAST(doc_id % 9 AS VARCHAR))
+        |  WHEN k = 3 THEN concat(h, '/dir/sub/child',
+        |                         CAST(doc_id % 4 AS VARCHAR))
+        |  WHEN k = 4 THEN concat(h, '/dir/up')
+        |  WHEN k = 5 THEN concat(h, '/twice')
+        |  WHEN k = 6 THEN concat(h, '/past-root')
+        |  WHEN k = 7 THEN base
+        |  WHEN k = 8 THEN concat(h, '/dir/sub/page',
+        |                         CAST(doc_id % 5 AS VARCHAR), '?x=2')
+        |  WHEN k = 9 THEN concat(h, '/dir/sub/here?y=3')
+        |  WHEN k = 10 THEN concat(h, '/dir/sub/a/c')
+        |  ELSE base END AS resolved_url
+        |FROM d""".stripMargin,
+
     "q_url_policy" ->
       s"""$UrlCanonCtes, rules0(host, prefix, allow) AS (
         |  VALUES ('www.news-site.com', '/articles/1', false),
@@ -3791,6 +4020,72 @@ object PipelineQueries {
         |)
         |SELECT page_id, host, n_visits, n_changes, span_seconds,
         |  lambda_day_micro, fetch_rank,
+        |  CASE WHEN fetch_rank <= (CASE host
+        |    WHEN 'h0' THEN 3 WHEN 'h5' THEN 40 ELSE 10 END)
+        |    THEN 'fetch' ELSE 'defer' END AS status
+        |FROM rk""".stripMargin,
+
+    // the recrawl oracle plus the hint chain: pinned date-prefix
+    // parse, per-page max epoch, stale = lastmod_epoch > last visit,
+    // stale-first rank
+    "q_recrawl_hinted" ->
+      """WITH v AS (
+        |  SELECT user_id AS page_id,
+        |    concat('h', CAST(user_id % 7 AS VARCHAR)) AS host,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |    (user_id % 29 != 0 AND event_id % (3 + user_id % 5) = 0)
+        |      AS changed
+        |  FROM events
+        |), g AS (
+        |  SELECT page_id, min(host) AS host,
+        |    CAST(count(*) AS BIGINT) AS n_visits,
+        |    CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_changes,
+        |    max(tsec) - min(tsec) AS span_seconds,
+        |    max(tsec) AS last_epoch
+        |  FROM v GROUP BY 1
+        |), l AS (
+        |  SELECT page_id, host, n_visits, n_changes, span_seconds,
+        |    last_epoch,
+        |    CASE WHEN n_visits >= 2 AND span_seconds > 0 THEN
+        |      CAST(floor((-ln(
+        |          CAST(2 * (n_visits - n_changes) + 1 AS DOUBLE) /
+        |          CAST(2 * n_visits + 1 AS DOUBLE)))
+        |        * 1000000.0 * 86400.0
+        |        * CAST(n_visits - 1 AS DOUBLE)
+        |        / CAST(span_seconds AS DOUBLE)) AS BIGINT)
+        |    ELSE NULL END AS lambda_day_micro
+        |  FROM g
+        |), hq AS (
+        |  SELECT page_id,
+        |    max(CASE WHEN regexp_matches(lastmod,
+        |          '^[0-9]{4}-[0-9]{2}-[0-9]{2}')
+        |        THEN CAST(datediff('day', DATE '1970-01-01',
+        |               CAST(substring(lastmod, 1, 10) AS DATE))
+        |             AS BIGINT) * 86400 END) AS lastmod_epoch
+        |  FROM (
+        |    SELECT DISTINCT user_id AS page_id,
+        |      CASE CAST(user_id % 3 AS INT)
+        |        WHEN 0 THEN '2030-01-05T23:59:59Z'
+        |        WHEN 1 THEN '1990-01-01'
+        |        ELSE 'soon' END AS lastmod
+        |    FROM events WHERE user_id % 2 = 0)
+        |  GROUP BY 1
+        |), hr AS (
+        |  SELECT l.page_id, l.host, l.n_visits, l.n_changes,
+        |    l.span_seconds, l.lambda_day_micro, h.lastmod_epoch,
+        |    coalesce(h.lastmod_epoch > l.last_epoch, false) AS stale_hint
+        |  FROM l LEFT JOIN hq h USING (page_id)
+        |), rk AS (
+        |  SELECT page_id, host, n_visits, n_changes, span_seconds,
+        |    lambda_day_micro, lastmod_epoch, stale_hint,
+        |    CAST(row_number() OVER (PARTITION BY host
+        |      ORDER BY stale_hint DESC, lambda_day_micro DESC NULLS LAST,
+        |               page_id) AS INTEGER) AS fetch_rank
+        |  FROM hr
+        |)
+        |SELECT page_id, host, n_visits, n_changes, span_seconds,
+        |  lambda_day_micro, lastmod_epoch, stale_hint, fetch_rank,
         |  CASE WHEN fetch_rank <= (CASE host
         |    WHEN 'h0' THEN 3 WHEN 'h5' THEN 40 ELSE 10 END)
         |    THEN 'fetch' ELSE 'defer' END AS status

@@ -593,6 +593,61 @@ class TextOpsSpec extends SparkSpec {
     assert(out(6L) == ((false, "/p")), "anchor miss falls to the prefix")
   }
 
+  test("resolveUrl: RFC 3986 merge, dot segments, clamps, inherits, loud classes") {
+    import spark.implicits._
+    val base = "https://h.example/dir/sub/page?q=1"
+    val cases = Seq(
+      (1L, base, "child"),                 // sibling merge
+      (2L, base, "../up"),                 // one level up
+      (3L, base, "../../twice"),           // to the root
+      (4L, base, "../../../past"),         // PAST the root -> clamps
+      (5L, base, "/rooted/x"),             // rooted replaces the path
+      (6L, base, ""),                      // empty inherits base VERBATIM
+      (7L, base, "#frag"),                 // fragment-only == empty
+      (8L, base, "?x=2"),                  // query-only keeps the path
+      (9L, base, "./here?y=3#f"),          // '.' seg + query + fragment
+      (10L, base, "a/./b/../c"),           // inner mixed segments
+      (11L, base, "//cdn.example/lib.js"), // network-path: base scheme
+      (12L, base, "https://o.example/abs#f"), // absolute: base unused
+      (13L, null.asInstanceOf[String], "https://o.example/abs"),
+      (14L, null.asInstanceOf[String], "/rooted"), // no base: loud NULL
+      // 9 NESTED seg/.. pairs (each unroll pass peels one) > K=8:
+      // a residual '..' survives -> loud NULL, never a partial path.
+      // (a leading '..' RUN of any length clamps instead — case 4)
+      (15L, base, "a/b/c/d/e/f/g/h/i/" + "../" * 9 + "deep"),
+      (16L, base, "x/.."),                 // collapses to the dir itself
+      (17L, base, null.asInstanceOf[String]))
+    val out = TextOps.resolveUrl(cases.toDF("id", "base", "ref"),
+        "base", "ref").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(out(1L) == "https://h.example/dir/sub/child")
+    assert(out(2L) == "https://h.example/dir/up")
+    assert(out(3L) == "https://h.example/twice")
+    assert(out(4L) == "https://h.example/past",
+      "a '..' run past the root clamps at '/' (RFC: ignore excess)")
+    assert(out(5L) == "https://h.example/rooted/x")
+    assert(out(6L) == base, "empty ref inherits base incl. query")
+    assert(out(7L) == base, "fragment-only ref == empty ref")
+    assert(out(8L) == "https://h.example/dir/sub/page?x=2",
+      "query-only ref keeps the base path, swaps the query")
+    assert(out(9L) == "https://h.example/dir/sub/here?y=3",
+      "'.' segment vanishes, ref query kept, fragment dropped")
+    assert(out(10L) == "https://h.example/dir/sub/a/c")
+    assert(out(11L) == "https://cdn.example/lib.js",
+      "network-path ref takes the base scheme")
+    assert(out(12L) == "https://o.example/abs",
+      "absolute ref resolves to itself, fragment dropped")
+    assert(out(13L) == "https://o.example/abs",
+      "an absolute ref needs no base")
+    assert(out(14L) == null, "a relative ref with no base is loud NULL")
+    assert(out(15L) == null,
+      "deeper than the pinned K=8 collapse is loud NULL, never partial")
+    assert(out(16L) == "https://h.example/dir/sub/",
+      "seg/.. at the end keeps the trailing slash (RFC output)")
+    assert(out(17L) == null, "NULL ref stays NULL")
+  }
+
   test("hostLinkGraph: canonical edges, audit classes visible, match conservation") {
     import spark.implicits._
     val pages = Seq(
@@ -604,23 +659,34 @@ class TextOpsSpec extends SparkSpec {
       // no boundary before 'xhttps' — the extractor must NOT match it
       (2L, "https://a.example/p/2", "no links xhttps://nope.example here"),
       // malformed OWN url: edges surface under src_host NULL; the
-      // hostless link lands on dst_host NULL — neither vanishes
-      (3L, "b.example/broken-page", "https://a.example/ and http:///junk"),
+      // hostless link AND the relative href (no base to resolve
+      // against) land on dst_host NULL — none of the three vanishes
+      (3L, "b.example/broken-page",
+        "https://a.example/ and http:///junk <a href=\"/rel\">r</a>"),
       // two links, one page: n_links counts links, n_pages pages
       (4L, "https://c.example/",
-        "ref https://a.example/1 ref https://a.example/2"))
+        "ref https://a.example/1 ref https://a.example/2"),
+      // r16: href references — rooted + relative resolve to the
+      // page's OWN host, network-path to its host with the base
+      // scheme, and an ABSOLUTE href counts exactly once (the
+      // alternation consumes the whole attribute)
+      (5L, "https://a.example/p/5/deep",
+        "<a href=\"/x/y\">a</a> <a href=\"../z\">b</a> " +
+          "<a href=\"//b.example/q\">c</a> " +
+          "<a href=\"https://c.example/via?utm_source=1#f\">d</a>"))
       .toDF("id", "url", "body")
     val out = TextOps.hostLinkGraph(pages, "id", "url", "body").collect()
       .map(r => (Option(r.getString(0)).orNull,
         Option(r.getString(1)).orNull) -> ((r.getLong(2), r.getLong(3))))
       .toMap
     assert(out == Map(
-      ("a.example", "b.example") -> ((2L, 1L)),
-      ("a.example", "c.example") -> ((1L, 1L)),
+      ("a.example", "b.example") -> ((3L, 2L)),
+      ("a.example", "c.example") -> ((2L, 2L)),
+      ("a.example", "a.example") -> ((2L, 1L)),
       (null, "a.example") -> ((1L, 1L)),
-      (null, null) -> ((1L, 1L)),
+      (null, null) -> ((2L, 1L)),
       ("c.example", "a.example") -> ((2L, 1L))), s"got $out")
-    assert(out.values.map(_._1).sum == 7L,
+    assert(out.values.map(_._1).sum == 12L,
       "sum of n_links must equal the corpus-wide extractor match count")
   }
 
@@ -818,6 +884,67 @@ class TextOpsSpec extends SparkSpec {
     assert(out.size == 7, s"exact row census: ${out.keys.toSeq.sorted}")
   }
 
+  test("warcRecordsGz: twin parity, corrupt-member re-sync, truncation, inter-member junk") {
+    import spark.implicits._
+    val crlf = "\r\n"
+    def rec(typ: String, uri: Option[String], body: String): String =
+      s"WARC/1.0${crlf}WARC-Type: $typ$crlf" +
+        uri.map(u => s"WARC-Target-URI: $u$crlf").getOrElse("") +
+        s"Content-Length: ${body.getBytes("UTF-8").length}$crlf$crlf" +
+        body + crlf + crlf
+    def gz(raw: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(raw); g.close()
+      bos.toByteArray
+    }
+    val r1 = rec("response", Some("https://x.example/a"),
+      "alpha WARC/1.0 red herring").getBytes("UTF-8")
+    val r2 = rec("metadata", None, "tail").getBytes("UTF-8")
+    val r3 = rec("resource", None, "zeta").getBytes("UTF-8")
+    val corrupt2 = {
+      val g = gz(r2)
+      g(14) = (g(14) ^ 0xff).toByte // inside the deflate stream
+      g
+    }
+    val files = Seq(
+      (1L, gz(r1) ++ gz(r2) ++ gz(r3)),          // three healthy members
+      (2L, gz(r1) ++ corrupt2 ++ gz(r3)),        // middle member corrupt
+      (3L, gz(r1) ++ gz(r2).dropRight(12)),      // final member truncated
+      (4L, gz(r1) ++ "JUNK".getBytes("UTF-8") ++ gz(r2))) // junk between
+      .toDF("id", "bytes")
+    val out = TextOps.warcRecordsGz(files, "id", "bytes").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((Option(r.getString(2)).orNull,
+          new String(r.getAs[Array[Byte]](5), "UTF-8"), r.getString(6))))
+      .toMap
+    // twin parity: the member walk recovers EXACTLY what the raw
+    // walker reads from the concatenated uncompressed records
+    val raw = TextOps.warcRecords(
+        Seq((1L, r1 ++ r2 ++ r3)).toDF("id", "bytes"), "id", "bytes")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((Option(r.getString(2)).orNull,
+          new String(r.getAs[Array[Byte]](5), "UTF-8"), r.getString(6))))
+      .toMap
+    assert(out.filter(_._1._1 == 1L) == raw,
+      s"gz-member walk must equal the raw twin record-for-record")
+    // corrupt middle member: ONE bad_gzip row, the third member
+    // still parses (members re-sync structurally)
+    val f2 = out.filter(_._1._1 == 2L)
+    assert(f2((2L, 0))._3 == "ok" && f2((2L, 1))._3 == "bad_gzip" &&
+      f2((2L, 2)) == (("resource", "zeta", "ok")),
+      s"corrupt member quarantines, later members survive: $f2")
+    // truncated final member: loud, nothing invented after it
+    val f3 = out.filter(_._1._1 == 3L)
+    assert(f3((3L, 0))._3 == "ok" && f3((3L, 1))._3 == "truncated" &&
+      f3.size == 2, s"truncated tail member is loud: $f3")
+    // junk between members: bad_magic + re-sync
+    val f4 = out.filter(_._1._1 == 4L)
+    assert(f4((4L, 0))._3 == "ok" && f4((4L, 1))._3 == "bad_magic" &&
+      f4((4L, 2)) == (("metadata", "tail", "ok")),
+      s"inter-member junk is loud and re-syncs: $f4")
+  }
+
   test("sitemapUrls: blocks, entities, loud NULLs, index files — and frontier composition") {
     import spark.implicits._
     val bodies = Seq(
@@ -829,25 +956,31 @@ class TextOpsSpec extends SparkSpec {
       // a double-escaped &amp;lt; is the LITERAL &lt; the author wrote
       ("b.example",
         "<urlset><url><loc>https://b.example/z&amp;lt;e</loc></url></urlset>"),
-      // an index file points at more sitemaps: zero rows by contract
+      // an index file points at more sitemaps: its pointers come out
+      // as fetch-list rows flagged is_index (r16), lastmod included
       ("c.example",
         "<sitemapindex><sitemap><loc>https://c.example/s1.xml</loc>" +
-          "</sitemap></sitemapindex>"))
+          "<lastmod>2024-07-01</lastmod></sitemap>" +
+          "<sitemap><loc>https://c.example/s2.xml</loc></sitemap>" +
+          "</sitemapindex>"))
       .toDF("host", "content")
     val out = TextOps.sitemapUrls(bodies, "host", "content")
     val rows = out.collect().map(r => (r.getString(0),
-      Option(r.getString(1)).orNull, Option(r.getString(2)).orNull)).toSet
+      Option(r.getString(1)).orNull, Option(r.getString(2)).orNull,
+      r.getBoolean(3))).toSet
     assert(rows == Set(
-      ("a.example", "https://a.example/p?x=1&y=2", "2024-05-01"),
-      ("a.example", "HTTP://A.Example:80/q#frag", null),
-      ("a.example", null, "2024-06-01"),
-      ("b.example", "https://b.example/z&lt;e", null)),
-      s"blocks / entity decode / trim / loud loc-less NULL / index-silent: $rows")
+      ("a.example", "https://a.example/p?x=1&y=2", "2024-05-01", false),
+      ("a.example", "HTTP://A.Example:80/q#frag", null, false),
+      ("a.example", null, "2024-06-01", false),
+      ("b.example", "https://b.example/z&lt;e", null, false),
+      ("c.example", "https://c.example/s1.xml", "2024-07-01", true),
+      ("c.example", "https://c.example/s2.xml", null, true)),
+      s"blocks / entity decode / trim / loud loc-less NULL / index rows: $rows")
     // COMPOSITION: parsed locs feed the canonicalizer directly — the
     // messy sitemap entry lands as a clean frontier key
     val canon = TextOps.canonicalizeUrl(
         out.filter(col("url").isNotNull), "url")
-      .collect().map(_.getString(3)).toSet
+      .collect().map(_.getString(4)).toSet
     assert(canon.contains("http://a.example/q"),
       s"sitemap loc -> canonical frontier key with zero glue: $canon")
   }
@@ -1072,6 +1205,53 @@ class TextOpsSpec extends SparkSpec {
         (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
     assert(out.view.mapValues(_._2).toMap == standalone,
       "single lineage reuses the estimator arithmetic verbatim")
+  }
+
+  test("recrawlScheduleHinted: stale hint jumps the queue, junk/missing inert, conservation") {
+    import spark.implicits._
+    val day = 86400L
+    // same log shape as the recrawlSchedule spec: λ(4) > λ(2) = λ(3)
+    // > λ(1) = 0, page 5 the NULL-λ quarantine; last visit = day 3
+    val visits =
+      (for (p <- 1 to 4; v <- 0 to 3) yield
+        (p.toLong, "h0", v * day, v != 0 && v % (5 - p) == 0)) ++
+      Seq((5L, "h0", 0L, true))
+    val df = visits.toDF("page_id", "host", "tsec", "changed")
+      .withColumn("ts", expr("timestamp_seconds(tsec)"))
+    val hints = Seq(
+      (1L, "2030-01-01"),  // postdates the last visit: STALE
+      (1L, "1980-01-01"),  // duplicate page: MAX epoch wins
+      (2L, "1970-01-02"),  // predates the last visit: fresh, inert
+      (3L, "nope"))        // junk: loud NULL epoch, never fake-stale
+      .toDF("page_id", "lastmod")
+    val out = TextOps.recrawlScheduleHinted(df, "page_id", "host", "ts",
+        "changed", hints, perHostBudget = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(6)) None else Some(r.getLong(6)),
+          r.getBoolean(7), r.getInt(8), r.getString(9)))).toMap
+    assert(out.size == 5 &&
+      out.values.forall(v => v._4 == "fetch" || v._4 == "defer"),
+      "conservation: every page gets exactly one verdict")
+    assert(out(1L) == ((Some(1893456000L), true, 1, "fetch")),
+      s"the stale-hinted lowest-λ page jumps to rank 1: ${out(1L)}")
+    assert(out(4L) == ((None, false, 2, "fetch")),
+      s"the fastest-changing page keeps the next slot: ${out(4L)}")
+    assert(out(2L)._1 == Some(86400L) && !out(2L)._2 &&
+      out(2L)._4 == "defer",
+      s"a fresh lastmod is visible but inert: ${out(2L)}")
+    assert(out(3L)._1.isEmpty && !out(3L)._2,
+      s"junk lastmod is the loud NULL class, never stale: ${out(3L)}")
+    assert(out(5L)._3 == 5, "the NULL-λ quarantine page still ranks last")
+    // no-hints degenerate twin: ordering collapses to recrawlSchedule's
+    val plain = TextOps.recrawlScheduleHinted(df, "page_id", "host",
+        "ts", "changed", Seq.empty[(Long, String)]
+          .toDF("page_id", "lastmod"), perHostBudget = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(8)).toMap
+    val base = TextOps.recrawlSchedule(df, "page_id", "host", "ts",
+        "changed", perHostBudget = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(6)).toMap
+    assert(plain == base,
+      "with no hints the ranking IS recrawlSchedule's, rank for rank")
   }
 
   test("crawlReport per-host quotas: conservation holds, tight host defers more") {
