@@ -1813,6 +1813,42 @@ object TextOps {
             .otherwise(lit(0L)))).as("crawl_delay"))
   }
 
+  /** `Sitemap:` directive extraction from raw robots.txt bodies — the
+    * DISCOVERY pointer the compliance parse (`robotsRules`) ignores
+    * by design: per RFC 9309 §2.3 Sitemap lines are NOT group-scoped
+    * ("other records" live outside the user-agent groups), so every
+    * Sitemap line applies to every agent and NO group selection runs
+    * here — a Sitemap line inside another agent's group still counts
+    * (the law the spec executes). Same line discipline as the shared
+    * parser (comment strip, whitespace/CR trim, case-insensitive
+    * directive), but deliberately NOT `robotsParsed`: that core drops
+    * non-group directives before the group window, and discovery must
+    * not pay a window it doesn't need. An empty-value `Sitemap:` line
+    * emits (host, NULL) — the LOUD malformed class. Hosts with no
+    * Sitemap line emit nothing. Output: (host, sitemap_url), one row
+    * per line, order-free. Row-local split/regex over hosts-sized
+    * bodies — no shuffle at all; full DuckDB oracle
+    * (`q_robots_sitemaps`).
+    */
+  def robotsSitemaps(df: DataFrame, hostCol: String,
+                     contentCol: String): DataFrame = {
+    for (c <- Seq("sitemap_url", "__line")
+        if df.columns.contains(c) && c != hostCol && c != contentCol)
+      require(false, s"robotsSitemaps: '$c' is reserved — rename it")
+    df.select(col(hostCol).as("host"),
+        explode(split(col(contentCol), "\n")).as("__raw"))
+      .withColumn("__line", regexp_replace(
+        regexp_replace(col("__raw"), "#.*$", ""), "^\\s+|\\s+$", ""))
+      .filter(lower(regexp_extract(col("__line"),
+        "^([A-Za-z-]+)\\s*:", 1)) === "sitemap")
+      .select(col("host"),
+        when(regexp_extract(col("__line"),
+          "^[A-Za-z-]+\\s*:\\s*(.*)$", 1) === "",
+          lit(null).cast("string"))
+          .otherwise(regexp_extract(col("__line"),
+            "^[A-Za-z-]+\\s*:\\s*(.*)$", 1)).as("sitemap_url"))
+  }
+
   /** Per-host politeness scheduler — the crawl tier's FOURTH stage
     * (canonicalize → frontier-dedup → policy-verdict → schedule):
     * bucket URLs by canonical host into tumbling `windowSeconds`
@@ -1918,26 +1954,40 @@ object TextOps {
     */
   val LinkPattern = "(?i)\\bhttps?://[^\\s\"<>]+"
 
-  /** The full extractor `hostLinkGraph` uses (r16): a double-quoted
-    * `href` attribute OR a bare absolute URL, as ONE alternation so
+  /** The full extractor `hostLinkGraph` uses (r16): an `href`
+    * attribute (double- OR single-quoted — both are everywhere in
+    * real HTML) OR a bare absolute URL, as ONE alternation so
     * an `href="https://..."` is consumed WHOLE by the first branch
     * and can never double-count as a bare URL (leftmost-first
     * alternation — identical in Java regex and RE2, so the oracle
     * replays it). href values are RFC 3986 references — relative,
     * rooted, network-path or absolute — resolved against the page's
-    * canonical URL by `resolveRefCol`; single-quoted hrefs are out of
-    * contract (documented: the fixture and oracle speak
-    * double-quote).
+    * EFFECTIVE base (`<base href>` honored, see `linkHits`) by
+    * `resolveRefCol`; UNQUOTED hrefs (`href=foo`) are out of
+    * contract (documented: pre-HTML5 sloppiness the fixture and
+    * oracle don't speak).
     */
   val HrefOrLinkPattern: String =
-    "(?i)\\bhref\\s*=\\s*\"[^\"]*\"|\\bhttps?://[^\\s\"<>]+"
+    "(?i)\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*')|\\bhttps?://[^\\s\"<>]+"
+
+  /** `<base href=...>` attribute — stripped from the text BEFORE link
+    * extraction (the base reference is a resolution input, not an
+    * outlink; leaving it in would count a phantom edge) and parsed
+    * separately as the page's base override.
+    */
+  private val BaseTagPattern: String =
+    "(?i)<base\\s+href\\s*=\\s*(\"[^\"]*\"|'[^']*')"
 
   /** Host-level link graph — the crawl tier's FIFTH stage and the
     * input every frontier-prioritization signal (host authority,
     * spam-farm detection) is computed from: extract the outlinks of
-    * each page body (BOTH `href="..."` attributes — relative, rooted,
-    * network-path or absolute, resolved against the page's canonical
-    * URL per RFC 3986 §5 (`resolveRefCol`), the r16 fix for the
+    * each page body (BOTH `href` attributes — either quote style,
+    * relative, rooted,
+    * network-path or absolute, resolved against the page's EFFECTIVE
+    * base per RFC 3986 §5 (`resolveRefCol`) — the first `<base href>`
+    * tag when present (HTML's base-override rule; the tag itself is
+    * stripped before extraction, never a phantom edge), else the
+    * canonical page URL — the r16 fix for the
     * majority of real-page outlinks the absolute-only arm was blind
     * to — and bare absolute URLs, one alternation so an absolute
     * href never double-counts), canonicalize them with the SAME
@@ -1986,28 +2036,47 @@ object TextOps {
   private[graft] def linkHits(df: DataFrame, idCol: String,
       urlCol: String, textCol: String): DataFrame = {
     for (c <- Seq("src_host", "dst_host", "n_links", "n_pages",
-        "__page_c", "__m", "__link", "__link_c") if df.columns.contains(c))
+        "__page_c", "__m", "__link", "__link_c", "__ebase")
+        if df.columns.contains(c))
       require(false, s"hostLinkGraph: '$c' is reserved — rename it")
     def hostOf(c: Column): Column =
       regexp_extract(c, "^[a-z][a-z0-9+.\\-]*://([^/?]*)", 1)
+    // the page's EFFECTIVE base: the first <base href> when present
+    // (itself an RFC 3986 reference, resolved against the document
+    // URL — HTML's rule; if both quote styles appear, double-quoted
+    // wins, pinned), else the page's canonical URL. The base attr is
+    // STRIPPED before extraction — it is a resolution input, not an
+    // outlink, and the Σ n_links conservation law counts matches over
+    // the base-stripped text.
+    val baseDq = regexp_extract(col(textCol),
+      "(?i)<base\\s+href\\s*=\\s*\"([^\"]*)\"", 1)
+    val baseSq = regexp_extract(col(textCol),
+      "(?i)<base\\s+href\\s*=\\s*'([^']*)'", 1)
+    val baseRef = when(baseDq =!= "", baseDq).when(baseSq =!= "", baseSq)
     // extract href attrs AND bare URLs in one alternation (no double
-    // count), unwrap the href quotes, then resolve every reference
-    // against the page's CANONICAL url (r16: relative/rooted/
-    // network-path hrefs stop being invisible); a bare absolute URL
-    // passes through resolution unchanged — the legacy fast arm,
-    // bit-identical after canonicalization
+    // count), unwrap either quote style, then resolve every reference
+    // against the effective base (r16: relative/rooted/network-path
+    // hrefs stop being invisible); a bare absolute URL passes through
+    // resolution unchanged — the legacy fast arm, bit-identical after
+    // canonicalization
     val exploded = canonicalizeUrl(
         df.select(col(idCol), col(urlCol), col(textCol)),
         urlCol, outCol = "__page_c")
-      .select(col(idCol), col("__page_c"),
-        explode(regexp_extract_all(col(textCol), lit(HrefOrLinkPattern),
-          lit(0))).as("__m"))
+      .withColumn("__ebase",
+        when(baseRef.isNotNull, resolveRefCol(col("__page_c"), baseRef))
+          .otherwise(col("__page_c")))
+      .select(col(idCol), col("__page_c"), col("__ebase"),
+        explode(regexp_extract_all(
+          regexp_replace(col(textCol), BaseTagPattern, ""),
+          lit(HrefOrLinkPattern), lit(0))).as("__m"))
       .select(col(idCol),
         when(col("__page_c").isNotNull, hostOf(col("__page_c")))
           .as("src_host"),
-        resolveRefCol(col("__page_c"),
-          when(col("__m").rlike("^(?i)href"),
+        resolveRefCol(col("__ebase"),
+          when(col("__m").rlike("^(?i)href\\s*=\\s*\""),
             regexp_extract(col("__m"), "\"([^\"]*)\"", 1))
+            .when(col("__m").rlike("^(?i)href"),
+              regexp_extract(col("__m"), "'([^']*)'", 1))
             .otherwise(col("__m"))).as("__link"))
     canonicalizeUrl(exploded, "__link", outCol = "__link_c")
       .select(col(idCol), col("src_host"),

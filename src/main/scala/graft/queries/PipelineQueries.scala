@@ -609,7 +609,11 @@ object PipelineQueries {
       |    CASE WHEN doc_id % 101 = 0 THEN NULL
       |         ELSE concat('h', CAST(doc_id % 20 AS VARCHAR), '.example')
       |    END AS src_host,
+      |    (doc_id % 23 = 0) AS has_base,
       |    concat(
+      |      CASE WHEN doc_id % 23 = 0
+      |        THEN '<base href="https://basehost.example/bdir/"> '
+      |        ELSE '' END,
       |      'see HTTP://H', CAST((doc_id // 20) % 20 AS VARCHAR),
       |      '.Example:80/a/', CAST(doc_id % 40 AS VARCHAR),
       |      '?utm_source=x&k=1#f',
@@ -633,6 +637,10 @@ object PipelineQueries {
       |      CASE WHEN doc_id % 17 = 0
       |        THEN ' <a href="https://abs.example/via?utm_source=h#f">w</a>'
       |        ELSE '' END,
+      |      CASE WHEN doc_id % 7 = 1
+      |        THEN concat(' <a href=''sq/', CAST(doc_id % 6 AS VARCHAR),
+      |                    '''>s</a>')
+      |        ELSE '' END,
       |      ' and plain prose with no further links.') AS body
       |  FROM documents
       |)""".stripMargin
@@ -651,21 +659,31 @@ object PipelineQueries {
     */
   private val LinkEdgeCtes: String =
     """lx AS (
-      |  SELECT doc_id, src_host, unnest(regexp_extract_all(body,
-      |    '(?i)\bhref\s*=\s*"[^"]*"|\bhttps?://[^\s"<>]+')) AS m
+      |  SELECT doc_id, src_host, has_base,
+      |    unnest(regexp_extract_all(
+      |      regexp_replace(body,
+      |        '(?i)<base\s+href\s*=\s*("[^"]*"|''[^'']*'')', '', 'g'),
+      |      '(?i)\bhref\s*=\s*("[^"]*"|''[^'']*'')|\bhttps?://[^\s"<>]+'
+      |      )) AS m
       |  FROM pages
       |), lref AS (
-      |  SELECT doc_id, src_host,
-      |    CASE WHEN regexp_matches(m, '^(?i)href')
-      |         THEN regexp_extract(m, '"([^"]*)"', 1) ELSE m END AS ref
+      |  SELECT doc_id, src_host, has_base,
+      |    CASE WHEN regexp_matches(m, '^(?i)href\s*=\s*"')
+      |         THEN regexp_extract(m, '"([^"]*)"', 1)
+      |         WHEN regexp_matches(m, '^(?i)href')
+      |         THEN regexp_extract(m, '''([^'']*)''', 1)
+      |         ELSE m END AS ref
       |  FROM lx
       |), lres AS (
       |  SELECT doc_id, src_host,
       |    CASE
       |      WHEN regexp_matches(ref, '^[A-Za-z][A-Za-z0-9+.-]*:')
       |        THEN ref
+      |      WHEN ref LIKE '//%' THEN
+      |        CASE WHEN has_base OR src_host IS NOT NULL
+      |             THEN concat('https:', ref) END
+      |      WHEN has_base THEN 'https://basehost.example/resolved'
       |      WHEN src_host IS NULL THEN NULL
-      |      WHEN ref LIKE '//%' THEN concat('https:', ref)
       |      ELSE concat('https://', src_host, '/resolved')
       |    END AS link
       |  FROM lref
@@ -714,6 +732,9 @@ object PipelineQueries {
           |END""".stripMargin))
       .withColumn("body", expr(
         """concat(
+          |  CASE WHEN doc_id % 23 = 0
+          |    THEN '<base href="https://basehost.example/bdir/"> '
+          |    ELSE '' END,
           |  'see HTTP://H', CAST((doc_id div 20) % 20 AS STRING),
           |  '.Example:80/a/', CAST(doc_id % 40 AS STRING),
           |  '?utm_source=x&k=1#f',
@@ -736,6 +757,10 @@ object PipelineQueries {
           |    ELSE '' END,
           |  CASE WHEN doc_id % 17 = 0
           |    THEN ' <a href="https://abs.example/via?utm_source=h#f">w</a>'
+          |    ELSE '' END,
+          |  CASE WHEN doc_id % 7 = 1
+          |    THEN concat(' <a href=''sq/', CAST(doc_id % 6 AS STRING),
+          |                '''>s</a>')
           |    ELSE '' END,
           |  ' and plain prose with no further links.')""".stripMargin))
 
@@ -824,7 +849,7 @@ object PipelineQueries {
       .withColumn("content", expr(
         """CASE h
           |WHEN 0 THEN concat_ws(char(10),
-          |  'Disallow: /orphan',
+          |  'Disallow: /orphan', 'Sitemap:',
           |  'User-agent: *', 'Disallow: /tmp/*', 'Allow: /tmp/public')
           |WHEN 1 THEN concat_ws(char(10),
           |  'User-agent: *', 'Disallow: /', '',
@@ -836,20 +861,22 @@ object PipelineQueries {
           |  concat('Crawl-Delay: 7', char(13)))
           |WHEN 3 THEN concat_ws(char(10),
           |  'User-agent: otherbot', 'User-agent: graftbot',
-          |  'Disallow: /x', 'Crawl-delay: 3')
+          |  'Disallow: /x', 'Crawl-delay: 3',
+          |  'Sitemap: https://offline.example/m.xml')
           |WHEN 4 THEN concat_ws(char(10),
           |  'User-agent: *', 'Disallow:')
           |WHEN 5 THEN concat_ws(char(10),
           |  'User-agent: graftbot', 'Disallow: /one', 'Crawl-delay: 9',
           |  'User-agent: graftbot', 'Allow: /two', 'Crawl-delay: 4')
           |WHEN 6 THEN concat_ws(char(10),
-          |  'User-agent: otherbot', 'Disallow: /')
+          |  'User-agent: otherbot', 'Disallow: /',
+          |  'Sitemap: https://sm1.example/map.xml')
           |WHEN 7 THEN concat_ws(char(10),
           |  'User-agent: graftbot', 'Crawl-delay: fast',
           |  'Disallow: /slow')
           |WHEN 8 THEN concat_ws(char(10),
           |  'User-agent: *', '',
-          |  'Sitemap: https://rb8.example/sitemap.xml',
+          |  'Sitemap: https://sm4.example/map.xml',
           |  'Crawl-delay: 0.5',
           |  'Disallow: /p:q')
           |ELSE concat_ws(char(10),
@@ -1112,6 +1139,38 @@ object PipelineQueries {
     "q_robots_delays" -> ((s, dir) =>
       TextOps.robotsCrawlDelays(synthRobots(s, dir), "host", "content",
         agent = "graftbot")),
+
+    // -- crawl DISCOVERY, stage 0c: Sitemap directives from the same
+    //    raw robots bodies — RFC 9309 §2.3: NOT group-scoped (rb6's
+    //    line sits inside otherbot's group and still applies to
+    //    everyone), empty value the loud NULL class (rb0), absent
+    //    hosts emit nothing. Row-local line parse over hosts-sized
+    //    bodies, zero shuffles — full oracle. ------------------------
+    "q_robots_sitemaps" -> ((s, dir) =>
+      TextOps.robotsSitemaps(synthRobots(s, dir), "host", "content")),
+
+    // -- crawl DISCOVERY capstone: robots → advertised sitemap →
+    //    fetched body → parsed fetch list — three named operators and
+    //    ONE host-keyed join of two hosts-sized tables. robotsSitemaps
+    //    says WHAT to fetch; the offline.example pointer (rb3) has no
+    //    body and drops at the fetch join (the fetcher's 404 — still
+    //    visible in q_robots_sitemaps); synthSitemaps plays the
+    //    fetched bodies; sitemapUrls parses them under the
+    //    ADVERTISING host's key — what the crawler schedules against.
+    "q_discovery_fetchlist" -> ((s, dir) => {
+      val adv = TextOps.robotsSitemaps(synthRobots(s, dir), "host",
+          "content")
+        .filter(col("sitemap_url").isNotNull)
+        .select(col("host").as("robots_host"),
+          regexp_extract(col("sitemap_url"),
+            "^https?://([^/?]*)", 1).as("sm_host"))
+      val fetched = adv.join(synthSitemaps(s, dir)
+          .select(col("host").as("sm_host"), col("content")),
+        Seq("sm_host"))
+      TextOps.sitemapUrls(
+        fetched.select(col("robots_host"), col("content")),
+        "robots_host", "content")
+    }),
 
     // -- dedup tier 1: exact content-hash groups ------------------------
     "q_dedup_exact" -> ((s, dir) =>
@@ -3415,6 +3474,49 @@ object PipelineQueries {
         "doc_id", "text", expectedItems = 10000L, fpp = 0.001)
     }))
 
+  /** DuckDB twin of `synthSitemaps` — shared by the standalone
+    * sitemap parse and the r16 discovery composition.
+    */
+  private val SitemapBodyCtes: String =
+    """hs AS (
+      |  SELECT DISTINCT CAST(doc_id % 5 AS INT) AS h FROM documents
+      |), sm AS (
+      |  SELECT concat('sm', CAST(h AS VARCHAR), '.example') AS host,
+      |    CASE h
+      |    WHEN 0 THEN concat_ws(chr(10),
+      |      '<?xml version="1.0"?>',
+      |      '<urlset>',
+      |      '  <url>',
+      |      '    <loc>https://sm0.example/a</loc>',
+      |      '    <lastmod>2024-01-05</lastmod>',
+      |      '  </url>',
+      |      '  <url>',
+      |      '    <loc>https://sm0.example/b</loc>',
+      |      '    <lastmod>2024-02-06T10:00:00Z</lastmod>',
+      |      '  </url>',
+      |      '</urlset>')
+      |    WHEN 1 THEN concat(
+      |      '<urlset><url><loc>https://sm1.example/p?a=1&amp;b=2',
+      |      '</loc></url></urlset>')
+      |    WHEN 2 THEN concat_ws(chr(10),
+      |      '<urlset>',
+      |      '<url><lastmod>2024-03-01</lastmod></url>',
+      |      '<url><loc> https://sm2.example/ws </loc></url>',
+      |      '</urlset>')
+      |    WHEN 3 THEN concat(
+      |      '<sitemapindex><sitemap><loc>https://sm3.example/more.xml',
+      |      '</loc></sitemap></sitemapindex>')
+      |    ELSE concat_ws(chr(10),
+      |      '<urlset>',
+      |      '<url><loc>https://sm4.example/x</loc></url>',
+      |      concat('<url><loc>https://sm4.example/y</loc>',
+      |             '<lastmod>2024-04-01</lastmod></url>'),
+      |      '<url><loc>https://sm4.example/z&amp;lt;esc</loc></url>',
+      |      '</urlset>')
+      |    END AS content
+      |  FROM hs
+      |)""".stripMargin
+
   /** Generator-shortcut oracle shared by BOTH WARC container layouts
     * (raw `q_warc_records` and gzip-member `q_warc_records_gz`): the
     * fixtures write the same three records per file, so either
@@ -3454,7 +3556,7 @@ object PipelineQueries {
       |  SELECT concat('rb', CAST(h AS VARCHAR), '.example') AS host,
       |    CASE h
       |    WHEN 0 THEN concat_ws(chr(10),
-      |      'Disallow: /orphan',
+      |      'Disallow: /orphan', 'Sitemap:',
       |      'User-agent: *', 'Disallow: /tmp/*', 'Allow: /tmp/public')
       |    WHEN 1 THEN concat_ws(chr(10),
       |      'User-agent: *', 'Disallow: /', '',
@@ -3466,20 +3568,22 @@ object PipelineQueries {
       |      concat('Crawl-Delay: 7', chr(13)))
       |    WHEN 3 THEN concat_ws(chr(10),
       |      'User-agent: otherbot', 'User-agent: graftbot',
-      |      'Disallow: /x', 'Crawl-delay: 3')
+      |      'Disallow: /x', 'Crawl-delay: 3',
+      |      'Sitemap: https://offline.example/m.xml')
       |    WHEN 4 THEN concat_ws(chr(10),
       |      'User-agent: *', 'Disallow:')
       |    WHEN 5 THEN concat_ws(chr(10),
       |      'User-agent: graftbot', 'Disallow: /one', 'Crawl-delay: 9',
       |      'User-agent: graftbot', 'Allow: /two', 'Crawl-delay: 4')
       |    WHEN 6 THEN concat_ws(chr(10),
-      |      'User-agent: otherbot', 'Disallow: /')
+      |      'User-agent: otherbot', 'Disallow: /',
+      |      'Sitemap: https://sm1.example/map.xml')
       |    WHEN 7 THEN concat_ws(chr(10),
       |      'User-agent: graftbot', 'Crawl-delay: fast',
       |      'Disallow: /slow')
       |    WHEN 8 THEN concat_ws(chr(10),
       |      'User-agent: *', '',
-      |      'Sitemap: https://rb8.example/sitemap.xml',
+      |      'Sitemap: https://sm4.example/map.xml',
       |      'Crawl-delay: 0.5',
       |      'Disallow: /p:q')
       |    ELSE concat_ws(chr(10),
@@ -3542,6 +3646,39 @@ object PipelineQueries {
         |WHERE g.dir = 'crawl-delay'
         |GROUP BY 1""".stripMargin,
 
+    // Sitemap lines live OUTSIDE the group machinery: rdirs (all
+    // parsed lines) filtered by directive, no group join anywhere
+    "q_robots_sitemaps" ->
+      s"""$RobotsCtes
+        |SELECT host, nullif(val, '') AS sitemap_url
+        |FROM rdirs WHERE dir = 'sitemap'""".stripMargin,
+
+    // the discovery chain in one lineage: directive extract ->
+    // host-keyed fetch join -> block parse under the advertising host
+    "q_discovery_fetchlist" ->
+      s"""$RobotsCtes, $SitemapBodyCtes, adv AS (
+        |  SELECT host AS robots_host,
+        |    regexp_extract(val, '^https?://([^/?]*)', 1) AS sm_host
+        |  FROM rdirs WHERE dir = 'sitemap' AND val != ''
+        |), fetched AS (
+        |  SELECT a.robots_host AS host, s.content
+        |  FROM adv a JOIN sm s ON a.sm_host = s.host
+        |), blksd AS (
+        |  SELECT host, unnest(regexp_extract_all(
+        |    regexp_replace(content, '\\s+', ' ', 'g'),
+        |    '<url>.*?</url>|<sitemap>.*?</sitemap>', 0)) AS blk
+        |  FROM fetched
+        |)
+        |SELECT host,
+        |  nullif(replace(replace(replace(replace(replace(
+        |    regexp_extract(blk, '<loc>\\s*(.*?)\\s*</loc>', 1),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&apos;', ''''), '&amp;', '&'), '') AS url,
+        |  nullif(regexp_extract(blk,
+        |    '<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '') AS lastmod,
+        |  starts_with(blk, '<sitemap>') AS is_index
+        |FROM blksd""".stripMargin,
+
     // generator-shortcut oracle: the walker must reproduce EXACTLY
     // the records the fixture wrote — a delimiter-driven split would
     // cut the red-herring body and mismatch
@@ -3553,56 +3690,20 @@ object PipelineQueries {
 
     // same block-regex chain; nullif('') replays the loud NULL class
     "q_sitemap_urls" ->
-      """WITH hs AS (
-        |  SELECT DISTINCT CAST(doc_id % 5 AS INT) AS h FROM documents
-        |), sm AS (
-        |  SELECT concat('sm', CAST(h AS VARCHAR), '.example') AS host,
-        |    CASE h
-        |    WHEN 0 THEN concat_ws(chr(10),
-        |      '<?xml version="1.0"?>',
-        |      '<urlset>',
-        |      '  <url>',
-        |      '    <loc>https://sm0.example/a</loc>',
-        |      '    <lastmod>2024-01-05</lastmod>',
-        |      '  </url>',
-        |      '  <url>',
-        |      '    <loc>https://sm0.example/b</loc>',
-        |      '    <lastmod>2024-02-06T10:00:00Z</lastmod>',
-        |      '  </url>',
-        |      '</urlset>')
-        |    WHEN 1 THEN concat(
-        |      '<urlset><url><loc>https://sm1.example/p?a=1&amp;b=2',
-        |      '</loc></url></urlset>')
-        |    WHEN 2 THEN concat_ws(chr(10),
-        |      '<urlset>',
-        |      '<url><lastmod>2024-03-01</lastmod></url>',
-        |      '<url><loc> https://sm2.example/ws </loc></url>',
-        |      '</urlset>')
-        |    WHEN 3 THEN concat(
-        |      '<sitemapindex><sitemap><loc>https://sm3.example/more.xml',
-        |      '</loc></sitemap></sitemapindex>')
-        |    ELSE concat_ws(chr(10),
-        |      '<urlset>',
-        |      '<url><loc>https://sm4.example/x</loc></url>',
-        |      concat('<url><loc>https://sm4.example/y</loc>',
-        |             '<lastmod>2024-04-01</lastmod></url>'),
-        |      '<url><loc>https://sm4.example/z&amp;lt;esc</loc></url>',
-        |      '</urlset>')
-        |    END AS content
-        |  FROM hs
-        |), blks AS (
+      s"""WITH $SitemapBodyCtes
+        |, blks AS (
         |  SELECT host,
         |    unnest(regexp_extract_all(
-        |      regexp_replace(content, '\s+', ' ', 'g'),
+        |      regexp_replace(content, '\\s+', ' ', 'g'),
         |      '<url>.*?</url>|<sitemap>.*?</sitemap>', 0)) AS blk
         |  FROM sm
         |)
         |SELECT host,
         |  nullif(replace(replace(replace(replace(replace(
-        |    regexp_extract(blk, '<loc>\s*(.*?)\s*</loc>', 1),
+        |    regexp_extract(blk, '<loc>\\s*(.*?)\\s*</loc>', 1),
         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |    '&apos;', ''''), '&amp;', '&'), '') AS url,
-        |  nullif(regexp_extract(blk, '<lastmod>\s*(.*?)\s*</lastmod>', 1),
+        |  nullif(regexp_extract(blk, '<lastmod>\\s*(.*?)\\s*</lastmod>', 1),
         |    '') AS lastmod,
         |  starts_with(blk, '<sitemap>') AS is_index
         |FROM blks""".stripMargin,

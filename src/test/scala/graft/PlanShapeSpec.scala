@@ -449,6 +449,46 @@ class PlanShapeSpec extends SparkSpec {
       s"exactly the frontier scan + the persisted authority scan:\n${p.take(1200)}")
   }
 
+  test("q_url_resolve: row-local resolution — one pruned scan, zero shuffles, no UDF") {
+    val p = plan("q_url_resolve")
+    // RFC 3986 resolution is pure regex/string arithmetic: a map at
+    // any scale — any Exchange or UDF here means the operator stopped
+    // being row-local
+    assert(!p.contains("Exchange") && !p.contains("UDF") &&
+      !p.contains("BatchEvalPython"),
+      s"resolution must stay a row-local map:\n${p.take(1200)}")
+    assert(count(p, "Scan parquet") == 1 &&
+      !p.linesIterator.exists(l => l.contains("ReadSchema") &&
+        !l.contains("ReadSchema: struct<doc_id:bigint>")),
+      s"one doc_id-pruned scan:\n${p.take(1200)}")
+  }
+
+  test("q_warc_records_gz: map-only member walk, pruned input, no shuffle") {
+    val p = plan("q_warc_records_gz")
+    // the member walk is the documented legitimate-imperative class:
+    // files in, records out — map-only, with the scan pruned to
+    // doc_id before the object boundary
+    assert(!p.contains("Exchange"),
+      s"the gz member walk must not shuffle:\n${p.take(1200)}")
+    assert(!p.linesIterator.exists(l => l.contains("ReadSchema") &&
+      !l.contains("ReadSchema: struct<doc_id:bigint>")),
+      s"the fixture scan prunes to doc_id:\n${p.take(1200)}")
+  }
+
+  test("q_recrawl_hinted: page collapses + host rank, hints never rejoin the log") {
+    val p = plan("q_recrawl_hinted")
+    // FOUR keyed Exchanges and no more: the page-keyed estimator
+    // collapse, the hint fixture's distinct, the host-keyed rank on
+    // the COLLAPSED table, and the hosts-sized budget min-collapse;
+    // the page-keyed hint join rides the two collapses' co-partition
+    // (a fifth Exchange would mean the join re-shuffled the
+    // estimator, or the rank ran on the raw log)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 4,
+      s"hinted recrawl is two collapses + rank + budget dedupe:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no stage may go cartesian:\n${p.take(1200)}")
+  }
+
   test("q_robots_rules: host-keyed parse, pruned scan, no cartesian") {
     val p = plan("q_robots_rules")
     // the corpus is hosts-sized; everything keys on host (+group) —

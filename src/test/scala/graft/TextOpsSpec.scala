@@ -673,7 +673,12 @@ class TextOpsSpec extends SparkSpec {
       (5L, "https://a.example/p/5/deep",
         "<a href=\"/x/y\">a</a> <a href=\"../z\">b</a> " +
           "<a href=\"//b.example/q\">c</a> " +
-          "<a href=\"https://c.example/via?utm_source=1#f\">d</a>"))
+          "<a href=\"https://c.example/via?utm_source=1#f\">d</a>"),
+      // r16: a <base href> (single-quoted, itself stripped — never a
+      // phantom edge) redirects BOTH quote styles of relative href
+      (6L, "https://a.example/p/6",
+        "<base href='https://bse.example/dir/'> " +
+          "<a href='../x'>q</a> <a href=\"/y\">r</a>"))
       .toDF("id", "url", "body")
     val out = TextOps.hostLinkGraph(pages, "id", "url", "body").collect()
       .map(r => (Option(r.getString(0)).orNull,
@@ -683,11 +688,12 @@ class TextOpsSpec extends SparkSpec {
       ("a.example", "b.example") -> ((3L, 2L)),
       ("a.example", "c.example") -> ((2L, 2L)),
       ("a.example", "a.example") -> ((2L, 1L)),
+      ("a.example", "bse.example") -> ((2L, 1L)),
       (null, "a.example") -> ((1L, 1L)),
       (null, null) -> ((2L, 1L)),
       ("c.example", "a.example") -> ((2L, 1L))), s"got $out")
-    assert(out.values.map(_._1).sum == 12L,
-      "sum of n_links must equal the corpus-wide extractor match count")
+    assert(out.values.map(_._1).sum == 14L,
+      "sum of n_links must equal the match count over base-stripped text")
   }
 
   test("crawlReport: per-host funnel counts exact, conservation, epochs") {
@@ -1115,6 +1121,28 @@ class TextOpsSpec extends SparkSpec {
     assert(verdicts == Map(1L -> false, 2L -> true, 3L -> true,
       4L -> false, 5L -> true),
       s"raw robots.txt to verdict, two composed operators: $verdicts")
+  }
+
+  test("robotsSitemaps: not group-scoped, empty-value loud NULL, absent emits nothing") {
+    import spark.implicits._
+    val nl = "\n"
+    val bodies = Seq(
+      // the Sitemap line sits INSIDE another agent's group — RFC 9309
+      // §2.3: it applies anyway (other records are not group-scoped)
+      ("x.example", Seq("User-agent: otherbot", "Disallow: /",
+        "Sitemap: https://x.example/a.xml",
+        "sitemap: https://x.example/b.xml # comment").mkString(nl)),
+      ("y.example", Seq("User-agent: *", "Sitemap:").mkString(nl)),
+      ("z.example", Seq("User-agent: *", "Disallow: /").mkString(nl)))
+      .toDF("host", "content")
+    val out = TextOps.robotsSitemaps(bodies, "host", "content")
+      .collect().map(r => (r.getString(0),
+        Option(r.getString(1)).orNull)).toSet
+    assert(out == Set(
+      ("x.example", "https://x.example/a.xml"),
+      ("x.example", "https://x.example/b.xml"),
+      ("y.example", null)),
+      s"group-blind + case-insensitive + comment-strip + loud NULL: $out")
   }
 
   test("politenessSchedule per-host quotas: burst host defers only itself, ranks invariant") {
