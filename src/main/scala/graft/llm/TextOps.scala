@@ -1164,6 +1164,81 @@ object TextOps {
           collapsed, qSuffix)))
   }
 
+  /** `rel="canonical"` declaration extraction — the DEDUP signal the
+    * page itself ships (every CMS stamps one; crawl pipelines honor
+    * it before any content hash exists, because the site is telling
+    * you two URLs are one page): find the FIRST `<link ...>` tag
+    * carrying rel="canonical" (attribute ORDER is free in real HTML —
+    * `href` before or after `rel`, either quote style on both), pull
+    * its href, resolve it per RFC 3986 against the page's EFFECTIVE
+    * base (`<base href>` honored — same rule as link extraction, one
+    * notion of resolution), canonicalize with the frontier's rules,
+    * and verdict:
+    *   `self`      — the declared target IS the page (after both
+    *                 canonicalizations; an empty href inherits the
+    *                 base and is self by RFC construction),
+    *   `cross`     — the page declares ITSELF a duplicate of another
+    *                 canonical URL (the collapse edge a dedup stage
+    *                 consumes),
+    *   `none`      — no declaration,
+    *   `broken`    — declared but unresolvable/uncanonicalizable
+    *                 (LOUD — a broken canonical is a site bug worth
+    *                 surfacing, never a silent `none`),
+    *   `malformed` — the page's OWN URL didn't canonicalize; nothing
+    *                 to compare against (self_canonical NULL, loud).
+    * First-declaration-wins is pinned (HTML's rule for repeated
+    * canonical links is unspecified; crawlers take the first).
+    *
+    * Scale shape: tag extraction, the filter HOF over the per-page
+    * tag array (bounded by the page's <link> count), resolution and
+    * both canonicalizations are ALL row-local — a map at any scale,
+    * no shuffle, no UDF. Full DuckDB oracle (`q_rel_canonical`,
+    * closed-form classes); attribute-order/quote/base-interaction
+    * laws in `TextOpsSpec`.
+    */
+  def canonicalLinks(df: DataFrame, idCol: String, urlCol: String,
+                     textCol: String): DataFrame = {
+    for (c <- Seq("self_canonical", "decl_canonical", "verdict",
+        "__page_c", "__ebase", "__tag", "__ref", "__res", "__decl_c")
+        if df.columns.contains(c))
+      require(false, s"canonicalLinks: '$c' is reserved — rename it")
+    val baseDq = regexp_extract(col(textCol),
+      "(?i)<base\\s+href\\s*=\\s*\"([^\"]*)\"", 1)
+    val baseSq = regexp_extract(col(textCol),
+      "(?i)<base\\s+href\\s*=\\s*'([^']*)'", 1)
+    val baseRef = when(baseDq =!= "", baseDq).when(baseSq =!= "", baseSq)
+    val withTag = canonicalizeUrl(
+        df.select(col(idCol), col(urlCol), col(textCol)),
+        urlCol, outCol = "__page_c")
+      .withColumn("__ebase",
+        when(baseRef.isNotNull, resolveRefCol(col("__page_c"), baseRef))
+          .otherwise(col("__page_c")))
+      // first <link> tag declaring rel=canonical; `get` is NULL-safe
+      // on the empty array (ANSI element_at would raise)
+      .withColumn("__tag", expr(
+        s"""get(filter(regexp_extract_all($textCol, '(?i)<link\\\\b[^>]*>', 0),
+           |  t -> t rlike '(?i)rel\\\\s*=\\\\s*("canonical"|''canonical'')'), 0)"""
+          .stripMargin))
+      .withColumn("__ref",
+        when(col("__tag").isNull, lit(null).cast("string"))
+          .when(col("__tag").rlike("(?i)href\\s*=\\s*\""),
+            regexp_extract(col("__tag"), "(?i)href\\s*=\\s*\"([^\"]*)\"", 1))
+          .when(col("__tag").rlike("(?i)href\\s*=\\s*'"),
+            regexp_extract(col("__tag"), "(?i)href\\s*=\\s*'([^']*)'", 1)))
+      .withColumn("__res", resolveRefCol(col("__ebase"), col("__ref")))
+    canonicalizeUrl(withTag, "__res", outCol = "__decl_c")
+      .select(col(idCol),
+        col("__page_c").as("self_canonical"),
+        col("__decl_c").as("decl_canonical"),
+        when(col("__page_c").isNull, lit("malformed"))
+          .when(col("__tag").isNull, lit("none"))
+          // a canonical tag WITHOUT an href is as broken as an
+          // unresolvable one — loud, never a silent `none`
+          .when(col("__decl_c").isNull, lit("broken"))
+          .when(col("__decl_c") === col("__page_c"), lit("self"))
+          .otherwise(lit("cross")).as("verdict"))
+  }
+
   /** Robots-style URL policy verdicts — the crawl-COMPLIANCE gate
     * that sits next to the frontier dedup: given a rule table
     * (host, path pattern, allow), verdict each canonical URL by the

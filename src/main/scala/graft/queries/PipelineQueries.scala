@@ -864,7 +864,7 @@ object PipelineQueries {
           |  'Disallow: /x', 'Crawl-delay: 3',
           |  'Sitemap: https://offline.example/m.xml')
           |WHEN 4 THEN concat_ws(char(10),
-          |  'User-agent: *', 'Disallow:')
+          |  'User-agent: *', 'Crawl-delay: 0', 'Disallow:')
           |WHEN 5 THEN concat_ws(char(10),
           |  'User-agent: graftbot', 'Disallow: /one', 'Crawl-delay: 9',
           |  'User-agent: graftbot', 'Allow: /two', 'Crawl-delay: 4')
@@ -1034,8 +1034,11 @@ object PipelineQueries {
 
     // -- crawl compliance COMPOSITION capstone: raw robots.txt bodies
     //    → Crawl-delay extraction → per-host quota derivation
-    //    (quota = greatest(1, window div delay) — a 7 s delay in a
-    //    600 s window allows 85 fetches) → the politeness schedule,
+    //    (quota = greatest(1, window div greatest(delay, 1)) — a 7 s
+    //    delay in a 600 s window allows 85 fetches; a ZERO delay —
+    //    legal robots.txt meaning "no delay" — pins to the full
+    //    window's 600, never a division error, rb4 plants it) → the
+    //    politeness schedule,
     //    zero glue beyond the one pinned arithmetic step. Junk-delay
     //    hosts (NULL, loud in q_robots_delays) carry NO rule and ride
     //    the global default by the politeness coalesce contract.
@@ -1046,7 +1049,7 @@ object PipelineQueries {
           "host", "content", agent = "graftbot")
         .filter(col("crawl_delay").isNotNull)
         .select(col("host"),
-          greatest(lit(1L), expr("600 div crawl_delay")).cast("int")
+          greatest(lit(1L), expr("600 div greatest(crawl_delay, 1L)")).cast("int")
             .as("quota"))
       val feed = Tables.documents(s, dir).select(col("doc_id"))
         .withColumn("url", expr(
@@ -1081,7 +1084,7 @@ object PipelineQueries {
           agent = "graftbot")
         .filter(col("crawl_delay").isNotNull)
         .select(col("host"),
-          greatest(lit(1L), expr("600 div crawl_delay")).cast("int")
+          greatest(lit(1L), expr("600 div greatest(crawl_delay, 1L)")).cast("int")
             .as("quota"))
       val feed = Tables.documents(s, dir).select(col("doc_id"))
         .withColumn("url", expr(
@@ -1245,6 +1248,38 @@ object PipelineQueries {
       TextOps.resolveUrl(feed, "base", "ref")
         .select(col("doc_id"), col("base"), col("ref"),
           col("resolved_url"))
+    }),
+
+    // -- crawl dedup signal: rel="canonical" declarations — five body
+    //    classes per doc (none / exact-self / reversed-attr
+    //    single-quoted ROOTED href (cross to /p/0) / case+port+utm
+    //    mess absorbed by the canonicalizer (cross to cn0) / an
+    //    unresolvable http:/// target (broken, loud)); %97 rows have
+    //    a malformed own URL (verdict malformed, nothing to compare).
+    //    The oracle is the CLOSED FORM of each class; attribute-order,
+    //    quote-style, empty-href-inherits and <base> interplay laws
+    //    execute in TextOpsSpec. Row-local end to end. ---------------
+    "q_rel_canonical" -> ((s, dir) => {
+      val feed = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("url", expr(
+          """CASE WHEN doc_id % 97 = 0
+            |  THEN concat('cn', CAST(doc_id % 6 AS STRING),
+            |              '.example/p/', CAST(doc_id % 40 AS STRING))
+            |  ELSE concat('https://cn', CAST(doc_id % 6 AS STRING),
+            |              '.example/p/', CAST(doc_id % 40 AS STRING))
+            |END""".stripMargin))
+        .withColumn("body", expr(
+          """CASE CAST(doc_id % 5 AS INT)
+            |WHEN 0 THEN 'plain text, no declaration'
+            |WHEN 1 THEN concat('<link rel="canonical" href="https://cn',
+            |  CAST(doc_id % 6 AS STRING), '.example/p/',
+            |  CAST(doc_id % 40 AS STRING), '">')
+            |WHEN 2 THEN '<link href=''/p/0'' rel=''canonical''>'
+            |WHEN 3 THEN concat('<link rel="canonical" ',
+            |  'href="HTTPS://CN0.Example:443/dup?utm_source=z">')
+            |ELSE '<link rel="canonical" href="http:///broken">'
+            |END""".stripMargin))
+      TextOps.canonicalLinks(feed, "doc_id", "url", "body")
     }),
 
     // -- crawl compliance: robots-style policy verdicts over the
@@ -3571,7 +3606,7 @@ object PipelineQueries {
       |      'Disallow: /x', 'Crawl-delay: 3',
       |      'Sitemap: https://offline.example/m.xml')
       |    WHEN 4 THEN concat_ws(chr(10),
-      |      'User-agent: *', 'Disallow:')
+      |      'User-agent: *', 'Crawl-delay: 0', 'Disallow:')
       |    WHEN 5 THEN concat_ws(chr(10),
       |      'User-agent: graftbot', 'Disallow: /one', 'Crawl-delay: 9',
       |      'User-agent: graftbot', 'Allow: /two', 'Crawl-delay: 4')
@@ -3645,6 +3680,35 @@ object PipelineQueries {
         |FROM rgrps g JOIN rchosen c USING (host, grp)
         |WHERE g.dir = 'crawl-delay'
         |GROUP BY 1""".stripMargin,
+
+    // closed-form class replay: each body class's declared target and
+    // verdict are direct string builds from doc_id (the
+    // generator-shortcut convention) — an extractor blind to attribute
+    // order, a resolver that needs a base for absolute refs, or a
+    // canonicalizer that misses the port/utm mess mismatches instantly
+    "q_rel_canonical" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 5 AS INT) AS k,
+        |    (doc_id % 97 = 0) AS mal,
+        |    concat('https://cn', CAST(doc_id % 6 AS VARCHAR),
+        |           '.example/p/', CAST(doc_id % 40 AS VARCHAR)) AS own
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN mal THEN NULL ELSE own END AS self_canonical,
+        |  CASE k
+        |    WHEN 1 THEN own
+        |    WHEN 2 THEN CASE WHEN mal THEN NULL
+        |      ELSE concat('https://cn', CAST(doc_id % 6 AS VARCHAR),
+        |                  '.example/p/0') END
+        |    WHEN 3 THEN 'https://cn0.example/dup'
+        |    ELSE NULL END AS decl_canonical,
+        |  CASE WHEN mal THEN 'malformed'
+        |       WHEN k = 0 THEN 'none'
+        |       WHEN k = 1 THEN 'self'
+        |       WHEN k = 4 THEN 'broken'
+        |       ELSE 'cross' END AS verdict
+        |FROM d""".stripMargin,
 
     // Sitemap lines live OUTSIDE the group machinery: rdirs (all
     // parsed lines) filtered by directive, no group join anywhere
@@ -3736,7 +3800,7 @@ object PipelineQueries {
         |  GROUP BY 1
         |), quotasr AS (
         |  SELECT host AS qhost,
-        |    CAST(greatest(1, 600 // crawl_delay) AS INTEGER) AS quota
+        |    CAST(greatest(1, 600 // greatest(crawl_delay, 1)) AS INTEGER) AS quota
         |  FROM delaysr WHERE crawl_delay IS NOT NULL
         |), rawr AS (
         |  SELECT doc_id,
@@ -3828,7 +3892,7 @@ object PipelineQueries {
         |  GROUP BY 1
         |), quotas AS (
         |  SELECT host,
-        |    CAST(greatest(1, 600 // crawl_delay) AS INTEGER) AS quota
+        |    CAST(greatest(1, 600 // greatest(crawl_delay, 1)) AS INTEGER) AS quota
         |  FROM delays WHERE crawl_delay IS NOT NULL
         |), feed AS (
         |  SELECT doc_id,

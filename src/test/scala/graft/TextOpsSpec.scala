@@ -951,6 +951,43 @@ class TextOpsSpec extends SparkSpec {
       s"inter-member junk is loud and re-syncs: $f4")
   }
 
+  test("warcRecordsGz: RFC 1952 optional header fields skipped by their own lengths") {
+    import spark.implicits._
+    // GZIPOutputStream never writes FEXTRA/FNAME/FCOMMENT/FHCRC, so
+    // hand-assemble a member with ALL of them set — a walker that
+    // guesses the header length instead of reading the field lengths
+    // lands mid-name and dies on bad deflate
+    val body = "x"
+    val raw = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n")
+      .getBytes("UTF-8")
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](4096)
+    val n = d.deflate(buf); d.end()
+    val crc = new java.util.zip.CRC32(); crc.update(raw)
+    val bos = new java.io.ByteArrayOutputStream()
+    // FHCRC(2) | FEXTRA(4) | FNAME(8) | FCOMMENT(16) = 30
+    bos.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 30,
+      0, 0, 0, 0, 0, 0x03))
+    bos.write(Array[Byte](4, 0, 1, 2, 3, 4))              // FEXTRA len=4
+    bos.write("file.warc".getBytes("UTF-8")); bos.write(0) // FNAME
+    bos.write("why".getBytes("UTF-8")); bos.write(0)       // FCOMMENT
+    bos.write(Array[Byte](0x12, 0x34))                     // FHCRC (skipped)
+    bos.write(buf, 0, n)
+    val t = crc.getValue
+    bos.write(Array[Byte](t.toByte, (t >> 8).toByte, (t >> 16).toByte,
+      (t >> 24).toByte, raw.length.toByte, (raw.length >> 8).toByte,
+      (raw.length >> 16).toByte, (raw.length >> 24).toByte))
+    val out = TextOps.warcRecordsGz(
+        Seq((9L, bos.toByteArray)).toDF("id", "bytes"), "id", "bytes")
+      .collect().map(r => (r.getString(2),
+        new String(r.getAs[Array[Byte]](5), "UTF-8"), r.getString(6)))
+    assert(out.toSeq == Seq(("resource", "x", "ok")),
+      s"all four optional header fields must be walked, not guessed: ${out.toSeq}")
+  }
+
   test("sitemapUrls: blocks, entities, loud NULLs, index files — and frontier composition") {
     import spark.implicits._
     val bodies = Seq(
@@ -1121,6 +1158,45 @@ class TextOpsSpec extends SparkSpec {
     assert(verdicts == Map(1L -> false, 2L -> true, 3L -> true,
       4L -> false, 5L -> true),
       s"raw robots.txt to verdict, two composed operators: $verdicts")
+  }
+
+  test("canonicalLinks: attr order, quotes, empty-href inherits, base interplay, first wins") {
+    import spark.implicits._
+    val pages = Seq(
+      // href BEFORE rel — attribute order is free in real HTML
+      (1L, "https://s.example/a",
+        "<link href=\"https://s.example/a\" rel=\"canonical\">"),
+      // empty href inherits the base (RFC): self by construction
+      (2L, "https://s.example/b", "<link rel='canonical' href=''>"),
+      // <base> overrides the resolution base for the canonical too
+      (3L, "https://s.example/c/d",
+        "<base href='https://other.example/dir/'> " +
+          "<link rel=\"canonical\" href=\"../up\">"),
+      // repeated declarations: the FIRST wins (pinned)
+      (4L, "https://s.example/e",
+        "<link rel=\"canonical\" href=\"/first\">" +
+          "<link rel=\"canonical\" href=\"/second\">"),
+      // a canonical tag without an href is broken, never 'none'
+      (5L, "https://s.example/f", "<link rel=\"canonical\">"),
+      // other link relations are not canonical declarations
+      (6L, "https://s.example/g", "<link rel=\"stylesheet\" href=\"/css\">"),
+      (7L, "s.example/broken-own", "<link rel=\"canonical\" href=\"/x\">"))
+      .toDF("id", "url", "body")
+    val out = TextOps.canonicalLinks(pages, "id", "url", "body")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(2)).orNull, r.getString(3)))).toMap
+    assert(out(1L) == (("https://s.example/a", "self")),
+      s"attr order must not matter: ${out(1L)}")
+    assert(out(2L) == (("https://s.example/b", "self")),
+      s"empty href inherits the base: ${out(2L)}")
+    assert(out(3L) == (("https://other.example/up", "cross")),
+      s"<base> drives the canonical resolution too: ${out(3L)}")
+    assert(out(4L) == (("https://s.example/first", "cross")),
+      s"first declaration wins: ${out(4L)}")
+    assert(out(5L) == ((null, "broken")), s"no-href is loud: ${out(5L)}")
+    assert(out(6L) == ((null, "none")), s"other rels ignored: ${out(6L)}")
+    assert(out(7L)._2 == "malformed",
+      s"a page whose own URL is junk cannot be verdicted: ${out(7L)}")
   }
 
   test("robotsSitemaps: not group-scoped, empty-value loud NULL, absent emits nothing") {
