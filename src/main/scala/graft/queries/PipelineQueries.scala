@@ -782,11 +782,14 @@ object PipelineQueries {
 
   private def hostAuthorityPath(s: SparkSession, dir: String): String =
     authorityStore.computeIfAbsent(dir, _ => {
+      // same eager checkpoint as q_host_rank: the build step extracts
+      // once, iterates on the hosts²-bounded edge list
       val edges = TextOps.hostLinkGraph(synthLinkPages(s, dir), "doc_id",
           "url", "body")
         .filter(col("src_host").isNotNull && col("dst_host").isNotNull &&
           col("src_host") =!= col("dst_host"))
         .select(col("src_host"), col("dst_host"))
+        .localCheckpoint(true)
       val authority = graft.analytics.PageRank.pageRank(edges,
         "src_host", "dst_host", iters = 8, topN = 50)
       val path = java.nio.file.Files
@@ -1452,11 +1455,18 @@ object PipelineQueries {
     //    authority). Composes the two operators unchanged, so the
     //    8-iteration fixpoint replays in DuckDB CTEs. ----------------
     "q_host_rank" -> ((s, dir) => {
+      // the edge list is hosts²-bounded and the 8 unrolled iterations
+      // reference it repeatedly — eagerly checkpoint it (the
+      // q_pairwise_trend lesson) so the page-scale extraction +
+      // resolution chain runs ONCE, not once per iteration (r16: the
+      // richer href/base extraction made the re-derivation visible,
+      // 4.7 s → 23 s before the checkpoint)
       val edges = TextOps.hostLinkGraph(synthLinkPages(s, dir), "doc_id",
           "url", "body")
         .filter(col("src_host").isNotNull && col("dst_host").isNotNull &&
           col("src_host") =!= col("dst_host"))
         .select(col("src_host"), col("dst_host"))
+        .localCheckpoint(true)
       graft.analytics.PageRank.pageRank(edges, "src_host", "dst_host",
         iters = 8, topN = 50)
     }),
