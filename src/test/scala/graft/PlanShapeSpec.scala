@@ -475,6 +475,20 @@ class PlanShapeSpec extends SparkSpec {
       s"the fixture scan prunes to doc_id:\n${p.take(1200)}")
   }
 
+  test("q_rel_canonical: row-local declaration extraction — pruned scan, zero shuffles, no UDF") {
+    val p = plan("q_rel_canonical")
+    // tag extract + filter HOF + resolution + both canonicalizations
+    // are all row-local: any Exchange or UDF means the operator
+    // stopped being a map
+    assert(!p.contains("Exchange") && !p.contains("UDF") &&
+      !p.contains("BatchEvalPython"),
+      s"canonical-link extraction must stay a row-local map:\n${p.take(1200)}")
+    assert(count(p, "Scan parquet") == 1 &&
+      !p.linesIterator.exists(l => l.contains("ReadSchema") &&
+        !l.contains("ReadSchema: struct<doc_id:bigint>")),
+      s"one doc_id-pruned scan:\n${p.take(1200)}")
+  }
+
   test("q_recrawl_hinted: page collapses + host rank, hints never rejoin the log") {
     val p = plan("q_recrawl_hinted")
     // FOUR keyed Exchanges and no more: the page-keyed estimator
