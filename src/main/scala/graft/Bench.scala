@@ -57,10 +57,15 @@ object Bench {
     // adjudicated smear; its band alone is noisy, so a real perf
     // cliff in the RRF/ANN fusion is only catchable by an always-min
     // reading.
+    // q_word_vectors (r17): rows-only pinned, and the r16 graded
+    // window read it at 30.86 s vs a 1.45 band (21.3×) — adjudicated
+    // smear (clean min-of-3 1.68), but a rows-only query has no
+    // oracle backstop, so only an always-min reading separates a
+    // real train-path cliff from ambient smear going forward.
     val canaries = Set("q_filter_lifecycle", "q_filter_range",
       "q_project_rename", "q_ts_trunc", "q_null_fill", "q_enum_remap",
       "q_multimodal_meta", "q_quality_rules", "q_decontaminate",
-      "q_hybrid_rrf_ann")
+      "q_hybrid_rrf_ann", "q_word_vectors")
     // Each query runs twice and the SECOND timing is kept: run-to-run
     // variance at sf0.1 is ~±1 s per query (VERDICT r2), which would
     // mask real regressions on sub-second queries; the first run eats

@@ -663,14 +663,14 @@ object PipelineQueries {
       |    unnest(regexp_extract_all(
       |      regexp_replace(body,
       |        '(?i)<base\s+href\s*=\s*("[^"]*"|''[^'']*'')', '', 'g'),
-      |      '(?i)\bhref\s*=\s*("[^"]*"|''[^'']*'')|\bhttps?://[^\s"<>]+'
+      |      '(?i)(?:^|[^\w:-])href\s*=\s*("[^"]*"|''[^'']*'')|\bhttps?://[^\s"<>]+'
       |      )) AS m
       |  FROM pages
       |), lref AS (
       |  SELECT doc_id, src_host, has_base,
-      |    CASE WHEN regexp_matches(m, '^(?i)href\s*=\s*"')
+      |    CASE WHEN regexp_matches(m, '(?i)^[^h]?href\s*=\s*"')
       |         THEN regexp_extract(m, '"([^"]*)"', 1)
-      |         WHEN regexp_matches(m, '^(?i)href')
+      |         WHEN regexp_matches(m, '(?i)^[^h]?href')
       |         THEN regexp_extract(m, '''([^'']*)''', 1)
       |         ELSE m END AS ref
       |  FROM lx
@@ -780,8 +780,49 @@ object PipelineQueries {
   private val authorityStore =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Memo key = dir PLUS a fingerprint of the fixture file the build
+    * derives from (size + mtime of documents.parquet — r17 ADVICE
+    * fix: a dir-only key served a stale authority table if the
+    * fixture was regenerated in place within one JVM). The temp dirs
+    * are registered for recursive delete at JVM exit so an
+    * adjudication loop doesn't accrete orphans.
+    */
+  private def fixtureFingerprint(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "documents.parquet")
+    val (sz, mt) =
+      try {
+        if (java.nio.file.Files.isDirectory(p)) {
+          // parquet "file" may be a directory of part files: fold
+          // each part's (size, mtime) so any rewrite moves the key
+          val st = java.nio.file.Files.list(p)
+          try {
+            var s = 0L; var m = 0L
+            st.forEach { f =>
+              s += java.nio.file.Files.size(f)
+              m = math.max(m,
+                java.nio.file.Files.getLastModifiedTime(f).toMillis)
+            }
+            (s, m)
+          } finally st.close()
+        } else (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      } catch { case _: java.io.IOException => (0L, 0L) }
+    s"$dir|$sz|$mt"
+  }
+
+  private def registerCleanup(root: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        val st = java.nio.file.Files.walk(root)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f =>
+            try java.nio.file.Files.deleteIfExists(f)
+            catch { case _: java.io.IOException => () })
+        finally st.close()
+      } catch { case _: java.io.IOException => () }))
+
   private def hostAuthorityPath(s: SparkSession, dir: String): String =
-    authorityStore.computeIfAbsent(dir, _ => {
+    authorityStore.computeIfAbsent(fixtureFingerprint(dir), _ => {
       // same eager checkpoint as q_host_rank: the build step extracts
       // once, iterates on the hosts²-bounded edge list
       val edges = TextOps.hostLinkGraph(synthLinkPages(s, dir), "doc_id",
@@ -792,8 +833,9 @@ object PipelineQueries {
         .localCheckpoint(true)
       val authority = graft.analytics.PageRank.pageRank(edges,
         "src_host", "dst_host", iters = 8, topN = 50)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_authority_").toString + "/authority"
+      val root = java.nio.file.Files.createTempDirectory("graft_authority_")
+      registerCleanup(root)
+      val path = root.toString + "/authority"
       // hosts-sized by construction (topN caps it): one small file
       authority.coalesce(1).write.mode("overwrite").parquet(path)
       path
@@ -1013,6 +1055,141 @@ object PipelineQueries {
         .select(col("file_id"), col("rec_idx"), col("warc_type"),
           col("target_uri"), col("content_length"),
           col("body").cast("string").as("body_text"), col("status"))
+    }),
+
+    // -- crawl INGEST, the HTTP layer (r17): a WARC response body IS
+    //    an HTTP/1.1 message — ten fixture classes exercise every
+    //    pinned tolerance (folded Content-Type, chunked
+    //    transfer-coding in mixed-case hex with an extension, bare-LF
+    //    endings, quoted charset + first-wins duplicate header, the
+    //    no-reason status form, junk header lines) and every LOUD
+    //    class (missing status line with the raw bytes kept,
+    //    truncated headers with the parsed prefix visible, a
+    //    mid-stream bad chunk keeping the bytes decoded so far).
+    //    Oracle = the generator shortcut (the parser must reproduce
+    //    what the fixture wrote). Map-only, 1-in-1-out conservation
+    //    is a spec law. -------------------------------------------
+    "q_http_response" -> ((s, dir) => {
+      import s.implicits._
+      val files = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { docId =>
+          val crlf = "\r\n"
+          val html = s"<html>page $docId</html>"
+          def b(parts: String*): Array[Byte] = parts.mkString
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val msg: Array[Byte] = (docId % 10).toInt match {
+            case 0 => b(s"HTTP/1.1 200 OK$crlf",
+              s"Content-Type: text/html; charset=UTF-8$crlf",
+              s"Content-Length: ${html.length}$crlf", crlf, html)
+            case 1 => b(s"HTTP/1.1 200 OK$crlf",
+              s"Content-Type: text/html;$crlf",
+              s" charset=iso-8859-1$crlf", crlf, html)
+            case 2 =>
+              val c1 = s"chunk one $docId "
+              val c2 = "and chunk two"
+              b(s"HTTP/1.1 200 OK$crlf",
+                s"Content-Type: text/plain$crlf",
+                s"Transfer-Encoding: chunked$crlf", crlf,
+                java.lang.Long.toHexString(c1.length.toLong), crlf, c1,
+                crlf,
+                java.lang.Long.toHexString(c2.length.toLong)
+                  .toUpperCase + ";ext=1", crlf, c2, crlf,
+                "0", crlf, crlf)
+            case 3 => b("HTTP/1.1 404 Not Found\n",
+              "Content-Type: text/plain\n", "\n", s"missing $docId")
+            case 4 => b(s"HTTP/1.1 301 Moved Permanently$crlf",
+              s"Location: /moved/$docId$crlf",
+              s"Content-Length: 0$crlf", crlf)
+            case 5 => b(s"<html>lost header $docId</html>")
+            case 6 => b(s"HTTP/1.1 200 OK$crlf",
+              "CONTENT-TYPE: TEXT/HTML; CHARSET=\"UTF-8\"" + crlf,
+              s"Content-Type: text/plain$crlf",
+              s"Content-Length: ${html.length}$crlf", crlf, html)
+            case 7 => b(s"HTTP/1.1 204$crlf",
+              s"this line has no colon and is skipped$crlf",
+              s"Content-Length: 0$crlf", crlf)
+            case 8 => b(s"HTTP/1.1 200 OK$crlf",
+              "Content-Type: text/html")
+            case _ => b(s"HTTP/1.1 200 OK$crlf",
+              s"Transfer-Encoding: chunked$crlf", crlf,
+              "a", crlf, "partial ok", crlf,
+              "zz", crlf)
+          }
+          (docId, s"https://hx${docId % 10}.example/p/$docId", msg)
+        }.toDF("doc_id", "uri", "content")
+      TextOps.httpResponses(files, "doc_id", "uri", "content")
+        .select(col("msg_id"), col("uri"), col("status_code"),
+          col("reason"), col("mime"), col("charset"),
+          col("content_length"), col("location"),
+          col("payload").cast("string").as("payload_text"), col("status"))
+    }),
+
+    // -- crawl INGEST→EXTRACT capstone (r17): the first end-to-end
+    //    WARC→link-graph lineage — WARC container walk → response
+    //    records → HTTP parse → status-200 text/html gate →
+    //    charset-aware payload decode → hostLinkGraph. ONE lineage
+    //    (the uri passthrough rides inside the HTTP walk — no
+    //    join-back re-derivation); the 404 / non-html classes drop at
+    //    the gate VISIBLY upstream (their parse rows exist in
+    //    q_http_response's twin operator), never silently. Oracle =
+    //    closed form of the planted links. ------------------------
+    "q_warc_http" -> ((s, dir) => {
+      val files = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("u2", concat(lit("https://w"),
+          (col("doc_id") % 7).cast("string"), lit(".example/p/"),
+          col("doc_id").cast("string")))
+        .withColumn("hmsg", expr(
+          """CASE CAST(doc_id % 4 AS INT)
+            |WHEN 0 THEN concat(
+            |  'HTTP/1.1 404 Not Found', char(13), char(10),
+            |  'Content-Type: text/html', char(13), char(10),
+            |  char(13), char(10), '<html>gone</html>')
+            |WHEN 1 THEN concat(
+            |  'HTTP/1.1 200 OK', char(13), char(10),
+            |  'Content-Type: text/html; charset=UTF-8',
+            |  char(13), char(10), char(13), char(10),
+            |  '<a href="/l/', CAST(doc_id % 5 AS STRING),
+            |  '">x</a> see https://x', CAST(doc_id % 3 AS STRING),
+            |  '.example/a')
+            |WHEN 2 THEN concat(
+            |  'HTTP/1.1 200 OK', char(13), char(10),
+            |  'Content-Type: text/plain', char(13), char(10),
+            |  char(13), char(10),
+            |  'not html https://nope.example/skip')
+            |ELSE concat(
+            |  'HTTP/1.1 200 OK', char(13), char(10),
+            |  'Content-Type: text/html; charset=iso-8859-1',
+            |  char(13), char(10), char(13), char(10),
+            |  '<a href=''../r/', CAST(doc_id % 9 AS STRING),
+            |  '''>u</a>')
+            |END""".stripMargin))
+        .withColumn("content", expr(
+          """CAST(concat(
+            |'WARC/1.0', char(13), char(10),
+            |'WARC-Type: warcinfo', char(13), char(10),
+            |'Content-Length: 4', char(13), char(10), char(13), char(10),
+            |'info', char(13), char(10), char(13), char(10),
+            |'WARC/1.0', char(13), char(10),
+            |'WARC-Type: response', char(13), char(10),
+            |'WARC-Target-URI: ', u2, char(13), char(10),
+            |'Content-Length: ', CAST(length(hmsg) AS STRING),
+            |char(13), char(10), char(13), char(10),
+            |hmsg, char(13), char(10), char(13), char(10),
+            |'WARC/1.0', char(13), char(10),
+            |'WARC-Type: metadata', char(13), char(10),
+            |'Content-Length: 4', char(13), char(10), char(13), char(10),
+            |'meta', char(13), char(10), char(13), char(10)) AS BINARY)"""
+            .stripMargin))
+      val recs = TextOps.warcRecords(files, "doc_id", "content")
+        .filter(col("warc_type") === "response" && col("status") === "ok")
+      val parsed = TextOps.httpResponses(recs, "file_id", "target_uri",
+          "body")
+        .filter(col("status") === "ok" && col("status_code") === 200 &&
+          col("mime") === "text/html")
+        .select(col("msg_id"), col("uri"),
+          TextOps.decodeTextPayload(col("payload"), col("charset"))
+            .as("page_text"))
+      TextOps.hostLinkGraph(parsed, "msg_id", "uri", "page_text")
     }),
 
     // -- crawl DISCOVERY: sitemap parsing — one row per <url> block
@@ -1283,6 +1460,70 @@ object PipelineQueries {
             |ELSE '<link rel="canonical" href="http:///broken">'
             |END""".stripMargin))
       TextOps.canonicalLinks(feed, "doc_id", "url", "body")
+    }),
+
+    // -- crawl dedup COMPOSITION (r17): canonicalLinks' cross edges
+    //    consumed by the collapse stage — eight fixture classes
+    //    (none / self / cross-to-shared-absent-hub (the first-seen
+    //    survivor law) / cross onto a cross-declaring present page
+    //    (chain) / an A↔B loop pair built from (doc_id div 8) so the
+    //    pair exists at every SF / broken / cross-to-absent (honored
+    //    on faith) / %97 malformed). Single-hop-honor semantics and
+    //    the kept/collapsed/chain/loop/malformed conservation law —
+    //    full oracle replaying presence+stability in SQL. ----------
+    "q_canonical_collapse" -> ((s, dir) => {
+      val feed = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("m", expr("doc_id div 8"))
+        .withColumn("url", expr(
+          """CASE WHEN doc_id % 97 = 0
+            |  THEN concat('clbad.example/x/', CAST(doc_id AS STRING))
+            |ELSE CASE CAST(doc_id % 8 AS INT)
+            |  WHEN 0 THEN concat('https://cl0.example/p0/',
+            |                     CAST(doc_id AS STRING))
+            |  WHEN 1 THEN concat('https://cl1.example/p1/',
+            |                     CAST(doc_id AS STRING))
+            |  WHEN 2 THEN concat('https://cl2.example/p2/',
+            |                     CAST(doc_id AS STRING))
+            |  WHEN 3 THEN concat('https://cl3.example/c3/',
+            |                     CAST(m AS STRING))
+            |  WHEN 4 THEN concat('https://lp.example/a/',
+            |                     CAST(m AS STRING))
+            |  WHEN 5 THEN concat('https://lp.example/b/',
+            |                     CAST(m AS STRING))
+            |  WHEN 6 THEN concat('https://cl6.example/p6/',
+            |                     CAST(doc_id AS STRING))
+            |  ELSE concat('https://cl7.example/c7/', CAST(m AS STRING))
+            |END END""".stripMargin))
+        .withColumn("body", expr(
+          """CASE CAST(doc_id % 8 AS INT)
+            |WHEN 0 THEN 'no declaration'
+            |WHEN 1 THEN concat('<link rel="canonical" ',
+            |  'href="https://cl1.example/p1/', CAST(doc_id AS STRING),
+            |  '">')
+            |WHEN 2 THEN concat('<link rel="canonical" ',
+            |  'href="https://hub.example/h/', CAST(doc_id % 10 AS STRING),
+            |  '">')
+            |WHEN 3 THEN concat('<link rel="canonical" ',
+            |  'href="https://cl7.example/c7/', CAST(m AS STRING), '">')
+            |WHEN 4 THEN concat('<link rel="canonical" ',
+            |  'href="https://lp.example/b/', CAST(m AS STRING), '">')
+            |WHEN 5 THEN concat('<link rel="canonical" ',
+            |  'href="https://lp.example/a/', CAST(m AS STRING), '">')
+            |WHEN 6 THEN '<link rel="canonical" href="http:///broken">'
+            |ELSE concat('<link rel="canonical" ',
+            |  'href="https://stable.example/s/', CAST(m AS STRING), '">')
+            |END""".stripMargin))
+        .select("doc_id", "url", "body")
+      // materialize the links stage before the collapse's self-join
+      // (the q_host_rank lesson, self-join flavor): the collapse
+      // consumes the links table TWICE, and planning a join of two
+      // copies of the raw extraction lineage (a ~25-level Project
+      // chain of regex/resolution work per side) costs the planner
+      // minutes — the checkpoint is the query-side stand-in for the
+      // persisted links stage a warehouse pipeline would read
+      TextOps.canonicalCollapse(
+        TextOps.canonicalLinks(feed, "doc_id", "url", "body")
+          .localCheckpoint(true), "doc_id")
     }),
 
     // -- crawl compliance: robots-style policy verdicts over the
@@ -3761,6 +4002,151 @@ object PipelineQueries {
     // the gzip-member twin PARSES TO THE SAME RECORDS by design —
     // one oracle, two container layouts (parity is also a spec law)
     "q_warc_records_gz" -> WarcRecordsOracle,
+
+    // generator shortcut: the closed form of the ten HTTP fixture
+    // classes (the parser must reproduce what the fixture wrote)
+    "q_http_response" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 10 AS INT) AS c,
+        |    concat('<html>page ', CAST(doc_id AS VARCHAR),
+        |           '</html>') AS html,
+        |    concat('https://hx', CAST(doc_id % 10 AS VARCHAR),
+        |           '.example/p/', CAST(doc_id AS VARCHAR)) AS uri
+        |  FROM documents
+        |)
+        |SELECT doc_id AS msg_id, uri,
+        |  CAST(CASE c WHEN 3 THEN 404 WHEN 4 THEN 301 WHEN 5 THEN NULL
+        |    WHEN 7 THEN 204 ELSE 200 END AS INTEGER) AS status_code,
+        |  CASE c WHEN 3 THEN 'Not Found' WHEN 4 THEN 'Moved Permanently'
+        |    WHEN 5 THEN NULL WHEN 7 THEN NULL ELSE 'OK' END AS reason,
+        |  CASE WHEN c IN (0, 1, 6, 8) THEN 'text/html'
+        |    WHEN c IN (2, 3) THEN 'text/plain' END AS mime,
+        |  CASE WHEN c IN (0, 6) THEN 'utf-8'
+        |    WHEN c = 1 THEN 'iso-8859-1' END AS charset,
+        |  CAST(CASE WHEN c IN (0, 6) THEN length(html)
+        |    WHEN c IN (4, 7) THEN 0 END AS BIGINT) AS content_length,
+        |  CASE WHEN c = 4 THEN concat('/moved/', CAST(doc_id AS VARCHAR))
+        |    END AS location,
+        |  CASE c WHEN 2 THEN concat('chunk one ', CAST(doc_id AS VARCHAR),
+        |      ' and chunk two')
+        |    WHEN 3 THEN concat('missing ', CAST(doc_id AS VARCHAR))
+        |    WHEN 5 THEN concat('<html>lost header ',
+        |      CAST(doc_id AS VARCHAR), '</html>')
+        |    WHEN 9 THEN 'partial ok'
+        |    WHEN 4 THEN '' WHEN 7 THEN '' WHEN 8 THEN ''
+        |    ELSE html END AS payload_text,
+        |  CASE c WHEN 5 THEN 'bad_status_line'
+        |    WHEN 8 THEN 'truncated_headers'
+        |    WHEN 9 THEN 'bad_chunk' ELSE 'ok' END AS status
+        |FROM d""".stripMargin,
+
+    // the collapse replay: class + representative from the closed
+    // form of the eight fixture classes, with PRESENCE + STABILITY
+    // of the declared target replayed in SQL (partner healthy :=
+    // its doc_id exists and is not %97-malformed), then the
+    // first-seen survivor window over representatives
+    "q_canonical_collapse" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |d AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS c, doc_id // 8 AS m,
+        |    (doc_id % 97 = 0) AS bad
+        |  FROM documents
+        |), h AS (
+        |  SELECT d.*,
+        |    EXISTS (SELECT 1 FROM ids i WHERE i.doc_id = d.m * 8 + 7
+        |            AND i.doc_id % 97 != 0) AS c7_ok,
+        |    EXISTS (SELECT 1 FROM ids i WHERE i.doc_id = d.m * 8 + 4
+        |            AND i.doc_id % 97 != 0) AS c4_ok,
+        |    EXISTS (SELECT 1 FROM ids i WHERE i.doc_id = d.m * 8 + 5
+        |            AND i.doc_id % 97 != 0) AS c5_ok
+        |  FROM d
+        |), r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bad THEN NULL
+        |      ELSE CASE c
+        |        WHEN 0 THEN concat('https://cl0.example/p0/',
+        |                           CAST(doc_id AS VARCHAR))
+        |        WHEN 1 THEN concat('https://cl1.example/p1/',
+        |                           CAST(doc_id AS VARCHAR))
+        |        WHEN 2 THEN concat('https://cl2.example/p2/',
+        |                           CAST(doc_id AS VARCHAR))
+        |        WHEN 3 THEN concat('https://cl3.example/c3/',
+        |                           CAST(m AS VARCHAR))
+        |        WHEN 4 THEN concat('https://lp.example/a/',
+        |                           CAST(m AS VARCHAR))
+        |        WHEN 5 THEN concat('https://lp.example/b/',
+        |                           CAST(m AS VARCHAR))
+        |        WHEN 6 THEN concat('https://cl6.example/p6/',
+        |                           CAST(doc_id AS VARCHAR))
+        |        ELSE concat('https://cl7.example/c7/', CAST(m AS VARCHAR))
+        |      END END AS self_canonical,
+        |    CASE WHEN bad THEN 'malformed'
+        |      WHEN c IN (0, 1, 6) THEN 'kept'
+        |      WHEN c = 2 THEN 'collapsed'
+        |      WHEN c = 3 THEN CASE WHEN c7_ok THEN 'chain'
+        |                          ELSE 'collapsed' END
+        |      WHEN c = 4 THEN CASE WHEN c5_ok THEN 'loop'
+        |                          ELSE 'collapsed' END
+        |      WHEN c = 5 THEN CASE WHEN c4_ok THEN 'loop'
+        |                          ELSE 'collapsed' END
+        |      ELSE 'collapsed' END AS collapse_class,
+        |    CASE WHEN bad THEN NULL
+        |      WHEN c = 2 THEN concat('https://hub.example/h/',
+        |                             CAST(doc_id % 10 AS VARCHAR))
+        |      WHEN c = 3 AND NOT c7_ok
+        |        THEN concat('https://cl7.example/c7/', CAST(m AS VARCHAR))
+        |      WHEN c = 4 AND NOT c5_ok
+        |        THEN concat('https://lp.example/b/', CAST(m AS VARCHAR))
+        |      WHEN c = 5 AND NOT c4_ok
+        |        THEN concat('https://lp.example/a/', CAST(m AS VARCHAR))
+        |      WHEN c = 7 THEN concat('https://stable.example/s/',
+        |                             CAST(m AS VARCHAR))
+        |      ELSE CASE c
+        |        WHEN 0 THEN concat('https://cl0.example/p0/',
+        |                           CAST(doc_id AS VARCHAR))
+        |        WHEN 1 THEN concat('https://cl1.example/p1/',
+        |                           CAST(doc_id AS VARCHAR))
+        |        WHEN 3 THEN concat('https://cl3.example/c3/',
+        |                           CAST(m AS VARCHAR))
+        |        WHEN 4 THEN concat('https://lp.example/a/',
+        |                           CAST(m AS VARCHAR))
+        |        WHEN 5 THEN concat('https://lp.example/b/',
+        |                           CAST(m AS VARCHAR))
+        |        ELSE concat('https://cl6.example/p6/',
+        |                    CAST(doc_id AS VARCHAR))
+        |      END END AS representative
+        |  FROM h
+        |)
+        |SELECT doc_id, self_canonical, representative, collapse_class,
+        |  CASE WHEN representative IS NOT NULL THEN
+        |    min(doc_id) OVER (PARTITION BY representative) END
+        |    AS survivor_id,
+        |  coalesce(doc_id = CASE WHEN representative IS NOT NULL THEN
+        |    min(doc_id) OVER (PARTITION BY representative) END, false)
+        |    AS is_survivor
+        |FROM r""".stripMargin,
+
+    // closed form of the planted links that survive the
+    // status-200 text/html gate: %4==1 pages emit (own, own) +
+    // (own, x(doc_id%3)); %4==3 pages emit (own, own) via the
+    // ../r relative href; 404 and text/plain classes emit nothing
+    "q_warc_http" ->
+      """WITH d AS (
+        |  SELECT doc_id, concat('w', CAST(doc_id % 7 AS VARCHAR),
+        |    '.example') AS sh
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, sh AS src_host, sh AS dst_host FROM d
+        |  WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id, sh, concat('x', CAST(doc_id % 3 AS VARCHAR),
+        |    '.example') FROM d WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id, sh, sh FROM d WHERE doc_id % 4 = 3
+        |)
+        |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+        |FROM e GROUP BY 1, 2""".stripMargin,
 
     // same block-regex chain; nullif('') replays the loud NULL class
     "q_sitemap_urls" ->

@@ -475,6 +475,55 @@ class PlanShapeSpec extends SparkSpec {
       s"the fixture scan prunes to doc_id:\n${p.take(1200)}")
   }
 
+  test("q_http_response: map-only HTTP parse, pruned input, no shuffle") {
+    val p = plan("q_http_response")
+    // the HTTP message walk is the same legitimate-imperative class
+    // as the WARC walkers: one row in, one row out — map-only; the
+    // fixture scan prunes to doc_id before the object boundary
+    assert(!p.contains("Exchange"),
+      s"the HTTP parse must not shuffle:\n${p.take(1200)}")
+    assert(!p.linesIterator.exists(l => l.contains("ReadSchema") &&
+      !l.contains("ReadSchema: struct<doc_id:bigint>")),
+      s"the fixture scan prunes to doc_id:\n${p.take(1200)}")
+  }
+
+  test("q_warc_http: WARC→HTTP→link-graph capstone — one lineage, only the two agg Exchanges") {
+    val p = plan("q_warc_http")
+    // container walk → HTTP parse → 200/text-html gate → decode →
+    // hostLinkGraph, ONE lineage (the uri passthrough rides inside
+    // the HTTP walk — a join-back would re-derive the walk per
+    // branch): exactly hostLinkGraph's two keyed aggregation
+    // Exchanges, one fixture scan, no UDF anywhere
+    assert(
+      p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"exactly the (src,dst,id) collapse + the (src,dst) fold:\n${p.take(1500)}")
+    assert(count(p, "Scan parquet") == 1,
+      s"one lineage — one fixture scan:\n${p.take(1200)}")
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"),
+      s"no UDF in the capstone:\n${p.take(1200)}")
+  }
+
+  test("q_canonical_collapse: materialized links stage, broadcast stability side, two keyed Exchanges") {
+    val p = plan("q_canonical_collapse")
+    // the self-join runs over the CHECKPOINTED links stage: both
+    // branches scan the materialized RDD — zero parquet re-derivation
+    // of the extraction lineage (the operator's materialized-input
+    // contract)
+    assert(count(p, "Scan ExistingRDD") == 2 &&
+      !p.contains("Scan parquet"),
+      s"both branches must read the materialized links stage:\n${p.take(1500)}")
+    // exactly TWO keyed Exchanges: the stability-side (target URL →
+    // declared-set) aggregation and the survivor window's
+    // representative partition; the probe side joins the broadcast
+    // stability table without re-shuffling
+    assert(
+      p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"stability agg + survivor window only:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the aggregated stability side broadcasts at fixture scale:\n${p.take(1200)}")
+  }
+
   test("q_rel_canonical: row-local declaration extraction — pruned scan, zero shuffles, no UDF") {
     val p = plan("q_rel_canonical")
     // tag extract + filter HOF + resolution + both canonicalizations

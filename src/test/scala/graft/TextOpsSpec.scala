@@ -696,6 +696,38 @@ class TextOpsSpec extends SparkSpec {
       "sum of n_links must equal the match count over base-stripped text")
   }
 
+  test("hostLinkGraph: FIRST <base> in document order wins, either quote style (r17 ADVICE)") {
+    import spark.implicits._
+    // single-quoted base FIRST, double-quoted base second: HTML's
+    // rule is first-element-wins — the old quote-keyed extraction
+    // resolved against second.example
+    val pages = Seq(
+      (1L, "https://own.example/p",
+        "<base href='https://first.example/d/'>" +
+          "<base href=\"https://second.example/d/\">" +
+          "<a href=\"rel\">x</a>")).toDF("id", "url", "body")
+    val out = TextOps.hostLinkGraph(pages, "id", "url", "body").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("own.example", "first.example")), s"got $out")
+  }
+
+  test("hostLinkGraph: data-href/xlink:href are NOT href attributes (r17 ADVICE)") {
+    import spark.implicits._
+    val pages = Seq(
+      // neither prefixed attribute counts; the real href and the
+      // bare URL do; href at start-of-text also counts (the ^ arm)
+      (1L, "https://own.example/p",
+        "<a data-href=\"/no1\">n</a> <svg xlink:href='/no2'/> " +
+          "<a href=\"/yes\">y</a> see https://bare.example/z"),
+      (2L, "https://own.example/q", "href='/sot'"))
+      .toDF("id", "url", "body")
+    val out = TextOps.hostLinkGraph(pages, "id", "url", "body").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("own.example", "own.example") -> 2L,
+      ("own.example", "bare.example") -> 1L), s"got $out")
+  }
+
   test("crawlReport: per-host funnel counts exact, conservation, epochs") {
     import spark.implicits._
     val t0 = 1704067200L
@@ -986,6 +1018,136 @@ class TextOpsSpec extends SparkSpec {
         new String(r.getAs[Array[Byte]](5), "UTF-8"), r.getString(6)))
     assert(out.toSeq == Seq(("resource", "x", "ok")),
       s"all four optional header fields must be walked, not guessed: ${out.toSeq}")
+  }
+
+  test("canonicalCollapse: conservation, loop pair, 3-cycle all-chain, collapse-on-faith, first-seen survivor") {
+    import spark.implicits._
+    val links = Seq(
+      // plain page, a self-declarer, a broken declarer: all kept
+      (1L, "https://k.x/1", null.asInstanceOf[String], "none"),
+      (2L, "https://k.x/2", "https://k.x/2", "self"),
+      (3L, "https://k.x/3", null.asInstanceOf[String], "broken"),
+      // two pages onto one absent hub: both collapse, min-id survives
+      (4L, "https://k.x/4", "https://hub.x/h", "cross"),
+      (5L, "https://k.x/5", "https://hub.x/h", "cross"),
+      // A<->B loop: both quarantine as loop, keep their own URL
+      (6L, "https://l.x/a", "https://l.x/b", "cross"),
+      (7L, "https://l.x/b", "https://l.x/a", "cross"),
+      // chain: 8 declares onto 6 (a cross-declarer, not a 2-cycle)
+      (8L, "https://k.x/8", "https://l.x/a", "cross"),
+      // 3-cycle: every member quarantines as chain, nothing collapses
+      (9L, "https://c.x/1", "https://c.x/2", "cross"),
+      (10L, "https://c.x/2", "https://c.x/3", "cross"),
+      (11L, "https://c.x/3", "https://c.x/1", "cross"),
+      // collapse onto a PRESENT STABLE page: rep shared with the
+      // target's own cluster, target (id 2) is first-seen survivor
+      (12L, "https://k.x/12", "https://k.x/2", "cross"),
+      (13L, null.asInstanceOf[String], null.asInstanceOf[String],
+        "malformed"))
+      .toDF("doc_id", "self_canonical", "decl_canonical", "verdict")
+    val out = TextOps.canonicalCollapse(links, "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getString(3),
+        Option(r.getString(2)).orNull,
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(out.size == 13, "one row per input page, nothing vanishes")
+    assert(out(1L) == (("kept", "https://k.x/1", 1L, true)))
+    assert(out(3L)._1 == "kept", "broken declaration keeps the page")
+    assert(out(4L) == (("collapsed", "https://hub.x/h", 4L, true)))
+    assert(out(5L) == (("collapsed", "https://hub.x/h", 4L, false)),
+      "first-seen within cluster: min id survives")
+    assert(out(6L)._1 == "loop" && out(7L)._1 == "loop")
+    assert(out(6L)._2 == "https://l.x/a",
+      "quarantined pages keep their own URL as representative")
+    assert(out(8L)._1 == "chain")
+    assert(Seq(9L, 10L, 11L).forall(out(_)._1 == "chain"),
+      "a k-cycle surfaces as all-chain — nothing silently collapses")
+    assert(out(12L) == (("collapsed", "https://k.x/2", 2L, false)) &&
+      out(2L) == (("kept", "https://k.x/2", 2L, true)),
+      "collapse onto a present stable page joins the target's cluster")
+    assert(out(13L) == (("malformed", null, -1L, false)),
+      "malformed: no representative, no survivor, is_survivor false")
+    val classes = out.values.map(_._1).toSet
+    assert(classes == Set("kept", "collapsed", "chain", "loop",
+      "malformed"), s"exactly the five pinned classes: $classes")
+  }
+
+  test("httpResponses: binary body with CRLFCRLF inside survives; only FIRST terminator splits") {
+    import spark.implicits._
+    // a binary payload that CONTAINS the header terminator sequence:
+    // a delimiter-driven splitter cuts it; the first-terminator walk
+    // must hand it over intact, byte for byte
+    val payload = Array[Byte](1, 13, 10, 13, 10, 2, 0, 0x7f, 13, 10)
+    val head = ("HTTP/1.1 200 OK\r\nContent-Type: " +
+      "application/octet-stream\r\n\r\n").getBytes("ISO-8859-1")
+    val out = TextOps.httpResponses(
+        Seq((1L, "https://b.example/bin", head ++ payload))
+          .toDF("id", "u", "bytes"), "id", "u", "bytes")
+      .collect().head
+    assert(out.getAs[String]("status") == "ok")
+    assert(out.getAs[String]("mime") == "application/octet-stream")
+    assert(out.getAs[Array[Byte]]("payload").toSeq == payload.toSeq,
+      "binary payload must survive byte-for-byte")
+  }
+
+  test("httpResponses: conservation 1-in-1-out, empty class, TE final-token rule, fold with no predecessor") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, null.asInstanceOf[Array[Byte]]),                   // empty
+      (2L, Array.emptyByteArray),                             // empty
+      // 'gzip, chunked': chunked is the FINAL coding -> de-chunk
+      (3L, ("HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n" +
+        "\r\n3\r\nabc\r\n0\r\n\r\n").getBytes("ISO-8859-1")),
+      // 'chunked, gzip': chunked NOT final -> payload verbatim
+      (4L, ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked, gzip\r\n" +
+        "\r\nRAW").getBytes("ISO-8859-1")),
+      // a continuation line with no predecessor header is junk ->
+      // skipped (colon-less), parse continues to the real header
+      (5L, ("HTTP/1.1 200 OK\r\n lost-fold\r\n" +
+        "Content-Type: text/html\r\n\r\nB").getBytes("ISO-8859-1")))
+      .toDF("id", "bytes").withColumn("u", lit("https://c.example/"))
+    val out = TextOps.httpResponses(rows, "id", "u", "bytes")
+      .collect().map(r => r.getAs[Long]("msg_id") ->
+        ((r.getAs[String]("status"),
+          new String(r.getAs[Array[Byte]]("payload"), "ISO-8859-1"))))
+      .toMap
+    assert(out.size == 5, "1 row in = 1 row out, nothing vanishes")
+    assert(out(1L) == (("empty", "")) && out(2L) == (("empty", "")))
+    assert(out(3L) == (("ok", "abc")), s"final-token chunked: ${out(3L)}")
+    assert(out(4L) == (("ok", "RAW")), "chunked-not-final is verbatim")
+    assert(out(5L) == (("ok", "B")))
+  }
+
+  test("httpResponses: chunk runs past EOF keeps partial bytes, loud bad_chunk") {
+    import spark.implicits._
+    val out = TextOps.httpResponses(
+        Seq((1L, "u", ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked" +
+          "\r\n\r\nff\r\nonly five").getBytes("ISO-8859-1")))
+          .toDF("id", "u", "bytes"), "id", "u", "bytes")
+      .collect().head
+    assert(out.getAs[String]("status") == "bad_chunk")
+    assert(new String(out.getAs[Array[Byte]]("payload"),
+      "ISO-8859-1") == "only five", "bytes decoded so far are kept")
+  }
+
+  test("decodeTextPayload: pinned charset set, loud NULL on unsupported, replacement on malformed") {
+    import spark.implicits._
+    val bytes1252 = Array[Byte](0x93.toByte, 0x41, 0x94.toByte) // “A”
+    val badUtf8 = Array[Byte](0x41, 0xc3.toByte)                // A + dangling lead
+    val df = Seq(
+      (1L, bytes1252, "windows-1252"),
+      (2L, "héllo".getBytes("ISO-8859-1"), "iso-8859-1"),
+      (3L, badUtf8, null.asInstanceOf[String]),
+      (4L, "x".getBytes("UTF-8"), "shift_jis"))
+      .toDF("id", "p", "cs")
+      .select(col("id"), TextOps.decodeTextPayload(col("p"), col("cs"))
+        .as("t"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(df(1L).contains("“A”"), s"got ${df(1L)}")
+    assert(df(2L).contains("héllo"))
+    assert(df(3L).exists(_.startsWith("A")),
+      "NULL charset decodes as UTF-8 with replacement, never throws")
+    assert(df(4L).isEmpty, "unsupported charset is a LOUD NULL")
   }
 
   test("sitemapUrls: blocks, entities, loud NULLs, index files — and frontier composition") {
