@@ -1321,7 +1321,7 @@ object TextOps {
       // salt: malformed pages get a unique synthetic key so the
       // NULL-representative class never collapses to one partition
       coalesce(col("representative"),
-        concat(lit(" malformed:"), col(idCol).cast("string"))))
+        concat(lit("\u0000malformed:"), col(idCol).cast("string"))))
     links.join(d, links("decl_canonical") === d("__t_src"), "left")
       .withColumn("collapse_class", cls)
       .withColumn("representative", rep)
@@ -2007,6 +2007,21 @@ object TextOps {
     * FOLLOWING the pointers is still a fetch loop — out of scope by
     * contract.
     *
+    * The other two standard per-URL hints are TYPED (r17):
+    * `changefreq` — the protocol's closed enum
+    * always/hourly/daily/weekly/monthly/yearly/never, matched
+    * case-insensitively and emitted lowercased; absent OR outside
+    * the enum → NULL (the junk→loud-NULL convention of the lastmod
+    * consumer: a hint that can't be trusted is no hint, never a
+    * guessed bucket). `priority_milli` — the 0.0-1.0 decimal as
+    * EXACT INTEGER milli-units (the micro-unit house rule: "0.8" →
+    * 800, "1" → 1000), pinned parse `^[01](.d{1,3})?$` with the
+    * range check (1.0 exactly is the top; "1.5", "2", negatives,
+    * >3 fraction digits → NULL — no rounding, an author writing
+    * four digits wrote something the protocol doesn't define).
+    * `<sitemap>` index rows carry NULL for both (the protocol
+    * defines neither tag there).
+    *
     * NOT a real XML parser BY DESIGN (the q_xes_roundtrip StAX
     * machinery exists where namespace/CDATA fidelity matters):
     * sitemap bodies are machine-generated flat lists and the
@@ -2018,7 +2033,8 @@ object TextOps {
     */
   def sitemapUrls(df: DataFrame, hostCol: String,
                   contentCol: String): DataFrame = {
-    for (c <- Seq("url", "lastmod", "is_index", "__blk")
+    for (c <- Seq("url", "lastmod", "is_index", "changefreq",
+        "priority_milli", "__blk")
         if df.columns.contains(c) && c != hostCol && c != contentCol)
       require(false, s"sitemapUrls: '$c' is reserved — rename it")
     val unent = (c: Column) =>
@@ -2037,7 +2053,35 @@ object TextOps {
           "<loc>\\s*(.*?)\\s*</loc>", 1))).as("url"),
         blank2null(regexp_extract(col("__blk"),
           "<lastmod>\\s*(.*?)\\s*</lastmod>", 1)).as("lastmod"),
-        col("__blk").startsWith("<sitemap>").as("is_index"))
+        col("__blk").startsWith("<sitemap>").as("is_index"),
+        sitemapChangefreq(regexp_extract(col("__blk"),
+          "<changefreq>\\s*(.*?)\\s*</changefreq>", 1)).as("changefreq"),
+        sitemapPriorityMilli(regexp_extract(col("__blk"),
+          "<priority>\\s*(.*?)\\s*</priority>", 1)).as("priority_milli"))
+  }
+
+  /** The closed changefreq enum, case-insensitive in, lowercased
+    * out; junk → LOUD NULL.
+    */
+  private def sitemapChangefreq(raw: Column): Column = {
+    val v = lower(raw)
+    when(v.isin("always", "hourly", "daily", "weekly", "monthly",
+      "yearly", "never"), v)
+  }
+
+  /** `<priority>` 0.0-1.0 as exact integer milli-units: int part ×
+    * 1000 + fraction right-padded to 3 digits; range/shape junk →
+    * LOUD NULL. No float anywhere — both engines replay
+    * bit-for-bit.
+    */
+  private def sitemapPriorityMilli(raw: Column): Column = {
+    // rpad('', 3, '0') casts to 0 — the no-fraction arm for free
+    val base = when(raw.rlike("^[01]([.][0-9]{1,3})?$"),
+      regexp_extract(raw, "^([01])", 1).cast("int") * 1000 +
+        rpad(regexp_extract(raw, "^[01][.]([0-9]{1,3})$", 1), 3, "0")
+          .cast("int"))
+    // 1.0 is the ceiling: "1.5" passes the shape but not the range
+    when(base.isNotNull && base <= 1000, base)
   }
 
   /** Crawl-trap detection — the frontier self-defense signal every
@@ -2261,6 +2305,166 @@ object TextOps {
           lit(null).cast("string"))
           .otherwise(regexp_extract(col("__line"),
             "^[A-Za-z-]+\\s*:\\s*(.*)$", 1)).as("sitemap_url"))
+  }
+
+  /** Redirect alias collapse — the THIRD source of URL identity
+    * (r17, VERDICT r16 "What's missing" #4), next to canonicalization
+    * and rel=canonical: 3xx observations (src → Location, the
+    * `httpResponses` columns) chain-resolved so every alias maps to
+    * the final URL the same first-seen dedup and link-graph
+    * attribution stages key on. Output: one row per DISTINCT alias —
+    * (alias_url, final_url, hops, redirect_class) — with
+    * resolved ⟺ (final_url AND hops non-NULL) as the executed law.
+    *
+    * Pinned algorithm — 8 LINEAR walk steps (RFC 9309 §2.3.1.2's
+    * five-redirect guidance plus headroom; browsers cap near 20 but
+    * a crawler that follows 8+ hops is feeding a trap), with an
+    * exact returned-to-origin flag carried per step:
+    *  - `resolved`: the walk terminated (final URL is not itself a
+    *    redirect source) — final_url + exact hop count;
+    *  - `loop`: the walk RETURNED TO ITS ORIGIN within 8 steps —
+    *    exact for every cycle of length ≤ 8 through the alias
+    *    (self-loops flagged at step 0); final_url NULL, LOUD;
+    *  - `too_long`: the walk neither terminated nor returned within
+    *    the depth contract — covers >8-hop chains AND walks into a
+    *    cycle that doesn't pass through the origin (a loop-TAIL:
+    *    quarantined either way, the distinction is diagnostic);
+    *    final_url NULL, LOUD.
+    * Non-3xx input rows are NOT aliases and are excluded by contract
+    * (the caller's fetch table keeps them; nothing here is the
+    * system of record for fetches). Duplicate observations for one
+    * src collapse to the pinned MIN(dst) before the walk
+    * (deterministic, never two walks per alias — the quota-table
+    * lesson). Location values are expected RESOLVED+canonicalized
+    * (`resolveRefCol`/`canonicalizeUrl` own that; one owner per
+    * concern).
+    *
+    * Scale shape: the edge table is aliases-sized (bounded by
+    * observed 3xx responses, far below corpus scale) and is EAGERLY
+    * materialized (`localCheckpoint`) inside the operator — the 8
+    * unrolled self-referencing joins would otherwise re-derive the
+    * caller's lineage per step (the q_host_rank lesson, and why this
+    * operator, unlike its siblings, is eager by contract); each step
+    * is one URL-keyed equi-join of the walk table against it. Full
+    * DuckDB oracle (`q_redirect_collapse`) replaying the SAME 8
+    * unrolled steps.
+    */
+  def redirectAliases(df: DataFrame, srcCol: String, dstCol: String,
+                      statusCol: String): DataFrame = {
+    for (c <- Seq("alias_url", "final_url", "hops", "redirect_class",
+        "__es", "__ed", "__cur", "__hops", "__loop", "__src_probe")
+        if df.columns.contains(c) && c != srcCol && c != dstCol &&
+          c != statusCol)
+      require(false, s"redirectAliases: '$c' is reserved — rename it")
+    val e = df.filter(col(statusCol).cast("int").between(300, 399) &&
+        col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .groupBy(col(srcCol).as("__es"))
+      .agg(min(col(dstCol)).as("__ed"))
+      .localCheckpoint(true)
+    val sources = e.select(col("__es").as("__src_probe")).distinct()
+    var p = e.select(col("__es").as("alias_url"),
+      col("__ed").as("__cur"), lit(1).as("__hops"),
+      (col("__ed") === col("__es")).as("__loop"))
+    for (_ <- 1 to 8) {
+      val step = p.join(e, p("__cur") === e("__es"), "left")
+      p = step.select(col("alias_url"),
+        coalesce(col("__ed"), col("__cur")).as("__cur"),
+        (col("__hops") +
+          when(col("__ed").isNotNull, 1).otherwise(0)).as("__hops"),
+        (col("__loop") ||
+          coalesce(col("__ed"), col("__cur")) === col("alias_url"))
+          .as("__loop"))
+    }
+    val unterminated = col("__src_probe").isNotNull
+    p.join(sources, p("__cur") === sources("__src_probe"), "left")
+      .select(col("alias_url"),
+        when(!col("__loop") && !unterminated, col("__cur"))
+          .as("final_url"),
+        when(!col("__loop") && !unterminated, col("__hops"))
+          .as("hops"),
+        when(col("__loop"), lit("loop"))
+          .when(unterminated, lit("too_long"))
+          .otherwise(lit("resolved")).as("redirect_class"))
+  }
+
+  /** Status-aware robots policy derivation — RFC 9309 §2.3.1's
+    * fetch-failure semantics, the arm the compliance chain was
+    * missing (r17, VERDICT r16 "What's missing" #3): what a fetcher
+    * actually has per host is (status, body), and an unreachable
+    * robots.txt has DEFINED semantics — a host whose fetch failed
+    * must surface as a VISIBLE policy class, never fall through to a
+    * silent default-allow. Output: the `urlPolicyFilter` rule table
+    * (host, prefix, allow) WITH a `policy_source` audit column —
+    * 1+ rows per parsed-with-rules host, EXACTLY one row for every
+    * other host (NULL prefix when no rule), so every fetched host
+    * appears and every verdict downstream is auditable to how its
+    * policy was obtained. Pinned classes:
+    *  - 2xx → `parsed`: the body parses through `robotsRules` (one
+    *    owner for group selection; a NULL body is the legal empty
+    *    robots.txt — allow-all, still `parsed`); a ruleless parse
+    *    emits the (host, NULL, NULL, parsed) visibility row;
+    *  - 4xx → `allow_all_4xx`: §2.3.1.3 "unavailable" — MUST may
+    *    crawl (no rule row; the class column is the audit trail);
+    *  - 5xx → `disallow_all_5xx`: §2.3.1.4 "unreachable" — treated
+    *    as complete disallow via a synthetic (host, '/', false);
+    *  - NULL status (network failure) and sub-200 codes →
+    *    `unreachable_disallow`, same synthetic disallow;
+    *  - 3xx → `redirect_unfollowed_disallow`: following redirects
+    *    is a fetch loop, out of scope by contract (the sitemap-
+    *    pointer precedent) — PINNED conservative: the policy EXISTS
+    *    but was not obtained, so crawling against an assumed
+    *    allow-all would violate a live policy; a fetcher that DID
+    *    follow feeds the final hop back in as 2xx/4xx/5xx.
+    * Duplicate fetch rows for one host collapse FIRST to the pinned
+    * MIN-(status, body) struct with NULL status ordered LAST
+    * (deterministic, never two policies per host — the quota-table
+    * lesson; MIN because the lowest status is the most
+    * authoritative observation: a 2xx beats every failure class — a
+    * successful fetch is the best evidence of the live policy — and
+    * a network failure never shadows a real response).
+    *
+    * Scale shape: hosts-sized end to end (one fetch row per host by
+    * contract, the dedup collapse keyed on host; the parse chain is
+    * `robotsRules`' host-keyed windows); the output is the same
+    * bounded broadcast build side `urlPolicyFilter` consumes. Full
+    * DuckDB oracle (`q_robots_fetch_policy`).
+    */
+  def robotsStatusPolicy(df: DataFrame, hostCol: String,
+      statusCol: String, contentCol: String, agent: String): DataFrame = {
+    for (c <- Seq("__st", "__body", "prefix", "allow", "policy_source")
+        if df.columns.contains(c) && c != hostCol && c != statusCol &&
+          c != contentCol)
+      require(false, s"robotsStatusPolicy: '$c' is reserved — rename it")
+    val fetches = df.select(col(hostCol).as("host"),
+        col(statusCol).cast("int").as("__st0"),
+        col(contentCol).cast("string").as("__body0"))
+      .groupBy(col("host"))
+      // NULL status ordered last via the coalesce key: a network
+      // failure never shadows a real response
+      .agg(min(struct(coalesce(col("__st0"), lit(Int.MaxValue))
+        .as("__k"), col("__st0"), col("__body0"))).as("__f"))
+      .select(col("host"), col("__f.__st0").as("__st"),
+        col("__f.__body0").as("__body"))
+    val cls = when(col("__st").isNull, lit("unreachable_disallow"))
+      .when(col("__st").between(200, 299), lit("parsed"))
+      .when(col("__st").between(300, 399),
+        lit("redirect_unfollowed_disallow"))
+      .when(col("__st").between(400, 499), lit("allow_all_4xx"))
+      .when(col("__st") >= 500, lit("disallow_all_5xx"))
+      .otherwise(lit("unreachable_disallow"))
+    val parsed2xx = fetches.filter(col("__st").between(200, 299))
+      .withColumn("__body", coalesce(col("__body"), lit("")))
+    val rules = robotsRules(parsed2xx, "host", "__body", agent)
+    val isDisallowAll = col("policy_source").isin("unreachable_disallow",
+      "redirect_unfollowed_disallow", "disallow_all_5xx")
+    fetches.withColumn("policy_source", cls)
+      .join(rules, Seq("host"), "left")
+      .select(col("host"),
+        when(isDisallowAll, lit("/")).otherwise(col("prefix"))
+          .as("prefix"),
+        when(isDisallowAll, lit(false)).otherwise(col("allow"))
+          .as("allow"),
+        col("policy_source"))
   }
 
   /** Per-host politeness scheduler — the crawl tier's FOURTH stage
@@ -2871,18 +3075,47 @@ object TextOps {
           |    / CAST(span_seconds AS DOUBLE)) AS BIGINT)
           |ELSE NULL END""".stripMargin))
     // lastmod parse (pinned) + per-page max collapse, both on the
-    // pages-sized hint table
-    val parsedHints = hints.groupBy(col(pageCol))
-      .agg(max(when(col("lastmod").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}"),
+    // pages-sized hint table. r17: when the hint table carries the
+    // TYPED sitemap columns (`sitemapUrls.changefreq` /
+    // `.priority_milli`), they enter the rank as TIEBREAKERS after
+    // (stale_hint, λ̂) — a host's own frequency/priority claims break
+    // ties the visit history can't (single-visit pages all have NULL
+    // λ̂), and they can never outrank observed staleness or a real
+    // estimate. Pinned: changefreq maps to its frequency ORDINAL
+    // (always=1 … never=7, more-frequent first, NULLs last);
+    // priority DESC, NULLs last. Duplicate typed hints per page
+    // collapse like lastmod does — MIN ordinal / MAX priority (the
+    // most-eager claim wins, the conservative-for-freshness read).
+    // Hint tables WITHOUT the typed columns rank exactly as before
+    // and keep the narrower output schema (`q_recrawl_hinted` is
+    // bit-identical pre/post r17).
+    val hasTyped = hints.columns.contains("changefreq") &&
+      hints.columns.contains("priority_milli")
+    val lastmodAgg = max(
+      when(col("lastmod").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}"),
         datediff(to_date(substring(col("lastmod"), 1, 10)),
           to_date(lit("1970-01-01"))).cast("long") * 86400L))
-        .as("lastmod_epoch"))
+      .as("lastmod_epoch")
+    val parsedHints =
+      if (!hasTyped) hints.groupBy(col(pageCol)).agg(lastmodAgg)
+      else hints.groupBy(col(pageCol)).agg(lastmodAgg,
+        min(when(col("changefreq") === "always", 1)
+          .when(col("changefreq") === "hourly", 2)
+          .when(col("changefreq") === "daily", 3)
+          .when(col("changefreq") === "weekly", 4)
+          .when(col("changefreq") === "monthly", 5)
+          .when(col("changefreq") === "yearly", 6)
+          .when(col("changefreq") === "never", 7)).as("changefreq_ord"),
+        max(col("priority_milli").cast("int")).as("priority_milli"))
     val hinted = est.join(parsedHints, Seq(pageCol), "left")
       .withColumn("stale_hint",
         coalesce(col("lastmod_epoch") > col("__last_epoch"), lit(false)))
-    val w = Window.partitionBy(col(hostCol))
-      .orderBy(col("stale_hint").desc,
-        col("lambda_day_micro").desc_nulls_last, col(pageCol))
+    val orderCols =
+      Seq(col("stale_hint").desc, col("lambda_day_micro").desc_nulls_last) ++
+        (if (hasTyped) Seq(col("changefreq_ord").asc_nulls_last,
+          col("priority_milli").desc_nulls_last)
+        else Nil) ++ Seq(col(pageCol).asc)
+    val w = Window.partitionBy(col(hostCol)).orderBy(orderCols: _*)
     val ranked = hinted.withColumn("fetch_rank", row_number().over(w))
     val withQuota = hostBudgets match {
       case None => ranked.withColumn("__quota", lit(perHostBudget))
@@ -2894,12 +3127,14 @@ object TextOps {
         .withColumn("__quota",
           coalesce(col("__quota"), lit(perHostBudget)))
     }
-    withQuota
-      .select(col(pageCol), col(hostCol), col("n_visits"),
-        col("n_changes"), col("span_seconds"), col("lambda_day_micro"),
-        col("lastmod_epoch"), col("stale_hint"), col("fetch_rank"),
-        when(col("fetch_rank") <= col("__quota"), lit("fetch"))
-          .otherwise(lit("defer")).as("status"))
+    val baseCols = Seq(col(pageCol), col(hostCol), col("n_visits"),
+      col("n_changes"), col("span_seconds"), col("lambda_day_micro"),
+      col("lastmod_epoch"), col("stale_hint")) ++
+      (if (hasTyped) Seq(col("changefreq_ord"), col("priority_milli"))
+      else Nil)
+    withQuota.select(baseCols ++ Seq(col("fetch_rank"),
+      when(col("fetch_rank") <= col("__quota"), lit("fetch"))
+        .otherwise(lit("defer")).as("status")): _*)
   }
 
   /** One compression-ratio row: ratio_micro = floor(compressed ·

@@ -164,6 +164,22 @@ object PipelineQueries {
     * it — shared by the kNN-graph oracle (q_pagerank) and the word
     * co-occurrence-graph oracle (q_textrank).
     */
+  /** The redirect walk's 8 unrolled linear steps (`redirectAliases`'
+    * pinned algorithm): advance through the edge table when the
+    * cursor is a source, count the hop, OR-in the exact
+    * returned-to-origin flag. `re` (src, dst) and `rp0` are the
+    * caller's CTEs.
+    */
+  private def redirectStepCtes(steps: Int): String =
+    (1 to steps).map { k =>
+      s"""rp$k AS (
+         |  SELECT p.alias_url, coalesce(e.dst, p.cur) AS cur,
+         |    p.hops + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS hops,
+         |    (p.lp OR coalesce(e.dst, p.cur) = p.alias_url) AS lp
+         |  FROM rp${k - 1} p LEFT JOIN re e ON p.cur = e.src
+         |)""".stripMargin
+    }.mkString(",\n")
+
   private def pageRankStepCtes(iters: Int): String = {
     val step = (1 to iters).map { i =>
       s"""pr$i AS (
@@ -950,10 +966,14 @@ object PipelineQueries {
           |  '  <url>',
           |  '    <loc>https://sm0.example/a</loc>',
           |  '    <lastmod>2024-01-05</lastmod>',
+          |  '    <changefreq>daily</changefreq>',
+          |  '    <priority>0.8</priority>',
           |  '  </url>',
           |  '  <url>',
           |  '    <loc>https://sm0.example/b</loc>',
           |  '    <lastmod>2024-02-06T10:00:00Z</lastmod>',
+          |  '    <changefreq>WEEKLY</changefreq>',
+          |  '    <priority>1.0</priority>',
           |  '  </url>',
           |  '</urlset>')
           |WHEN 1 THEN concat(
@@ -961,18 +981,22 @@ object PipelineQueries {
           |  '</loc></url></urlset>')
           |WHEN 2 THEN concat_ws(char(10),
           |  '<urlset>',
-          |  '<url><lastmod>2024-03-01</lastmod></url>',
-          |  '<url><loc> https://sm2.example/ws </loc></url>',
+          |  concat('<url><lastmod>2024-03-01</lastmod>',
+          |         '<changefreq>sometimes</changefreq></url>'),
+          |  concat('<url><loc> https://sm2.example/ws </loc>',
+          |         '<priority>1.5</priority></url>'),
           |  '</urlset>')
           |WHEN 3 THEN concat(
           |  '<sitemapindex><sitemap><loc>https://sm3.example/more.xml',
           |  '</loc></sitemap></sitemapindex>')
           |ELSE concat_ws(char(10),
           |  '<urlset>',
-          |  '<url><loc>https://sm4.example/x</loc></url>',
+          |  '<url><loc>https://sm4.example/x</loc><priority>0</priority></url>',
           |  concat('<url><loc>https://sm4.example/y</loc>',
-          |         '<lastmod>2024-04-01</lastmod></url>'),
-          |  '<url><loc>https://sm4.example/z&amp;lt;esc</loc></url>',
+          |         '<lastmod>2024-04-01</lastmod>',
+          |         '<priority>0.55</priority></url>'),
+          |  concat('<url><loc>https://sm4.example/z&amp;lt;esc</loc>',
+          |         '<changefreq>never</changefreq></url>'),
           |  '</urlset>')
           |END""".stripMargin))
       .select("host", "content")
@@ -1329,6 +1353,49 @@ object PipelineQueries {
     //    everyone), empty value the loud NULL class (rb0), absent
     //    hosts emit nothing. Row-local line parse over hosts-sized
     //    bodies, zero shuffles — full oracle. ------------------------
+    // -- crawl compliance, fetch-failure semantics (r17): RFC 9309
+    //    §2.3.1 composed into the verdict funnel — ten hosts share
+    //    the robots bodies but get a status spread (200s parse, 404/
+    //    410 allow-all, 503/500 disallow-all, NULL unreachable, 301
+    //    pinned conservative-disallow), and every frontier URL's
+    //    verdict carries the policy_source audit column: a fetch-
+    //    failed host is a VISIBLE class, never a silent default-
+    //    allow. Full oracle (parse replay + status closed form). ----
+    "q_robots_fetch_policy" -> ((s, dir) => {
+      val fetches = synthRobots(s, dir)
+        .withColumn("status", expr(
+          """CASE CAST(substring(host, 3, 1) AS INT)
+            |WHEN 0 THEN 200 WHEN 1 THEN 200 WHEN 2 THEN 404
+            |WHEN 3 THEN 503 WHEN 4 THEN NULL WHEN 5 THEN 301
+            |WHEN 6 THEN 200 WHEN 7 THEN 410 WHEN 8 THEN 500
+            |ELSE 200 END""".stripMargin))
+      val policy = TextOps.robotsStatusPolicy(fetches, "host", "status",
+        "content", agent = "graftbot")
+      val frontier = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("url", expr(
+          """CASE WHEN doc_id % 97 = 0
+            |  THEN concat('rb', CAST(doc_id % 10 AS STRING),
+            |              '.example/no-scheme')
+            |ELSE concat('https://rb', CAST(doc_id % 10 AS STRING),
+            |  '.example',
+            |  CASE CAST(doc_id % 4 AS INT)
+            |    WHEN 0 THEN concat('/tmp/', CAST(doc_id % 3 AS STRING))
+            |    WHEN 1 THEN '/tmp/public'
+            |    WHEN 2 THEN '/cal/today'
+            |    ELSE concat('/p/', CAST(doc_id % 7 AS STRING))
+            |  END) END""".stripMargin))
+      val canon = TextOps.canonicalizeUrl(frontier, "url")
+        .select("doc_id", "canonical_url")
+      TextOps.urlPolicyFilter(canon, "doc_id", "canonical_url",
+          policy.select("host", "prefix", "allow"))
+        .withColumn("__vh", regexp_extract(col("canonical_url"),
+          "^[a-z][a-z0-9+.\\-]*://([^/?]*)", 1))
+        .join(broadcast(policy.select(col("host").as("__vh"),
+          col("policy_source")).distinct()), Seq("__vh"), "left")
+        .select(col("doc_id"), col("canonical_url"), col("allowed"),
+          col("rule_prefix"), col("policy_source"))
+    }),
+
     "q_robots_sitemaps" -> ((s, dir) =>
       TextOps.robotsSitemaps(synthRobots(s, dir), "host", "content")),
 
@@ -1526,6 +1593,53 @@ object PipelineQueries {
           .localCheckpoint(true), "doc_id")
     }),
 
+    // -- crawl dedup, the THIRD URL-identity source (r17): redirect
+    //    alias collapse over planted 3xx chains — terminal single
+    //    hops, a 2-chain keyed on (doc_id div 9) so the pair exists
+    //    at every SF, a self-loop, an A↔B 2-cycle, a 3-cycle (the
+    //    exact returned-to-origin flag catches it at step 3), and
+    //    %97 rows carrying status 200 (not a redirect — excluded by
+    //    contract, which also punches SF-stable holes in the chains
+    //    the walk must absorb). The oracle replays the SAME 8
+    //    unrolled walk steps — no closed form, the algorithm IS the
+    //    pinned contract. ------------------------------------------
+    "q_redirect_collapse" -> ((s, dir) => {
+      val edges = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("m", expr("doc_id div 9"))
+        .withColumn("src", expr(
+          """CASE CAST(doc_id % 9 AS INT)
+            |WHEN 0 THEN concat('https://rd.example/s/',
+            |                   CAST(doc_id AS STRING))
+            |WHEN 1 THEN concat('https://rd.example/a/', CAST(m AS STRING))
+            |WHEN 2 THEN concat('https://rd.example/b/', CAST(m AS STRING))
+            |WHEN 3 THEN concat('https://rd.example/self/',
+            |                   CAST(doc_id AS STRING))
+            |WHEN 4 THEN concat('https://rd.example/ca/', CAST(m AS STRING))
+            |WHEN 5 THEN concat('https://rd.example/cb/', CAST(m AS STRING))
+            |WHEN 6 THEN concat('https://rd.example/z1/', CAST(m AS STRING))
+            |WHEN 7 THEN concat('https://rd.example/z2/', CAST(m AS STRING))
+            |ELSE concat('https://rd.example/z3/', CAST(m AS STRING))
+            |END""".stripMargin))
+        .withColumn("dst", expr(
+          """CASE CAST(doc_id % 9 AS INT)
+            |WHEN 0 THEN concat('https://rd.example/t/',
+            |                   CAST(doc_id % 40 AS STRING))
+            |WHEN 1 THEN concat('https://rd.example/b/', CAST(m AS STRING))
+            |WHEN 2 THEN concat('https://rd.example/t2/', CAST(m AS STRING))
+            |WHEN 3 THEN concat('https://rd.example/self/',
+            |                   CAST(doc_id AS STRING))
+            |WHEN 4 THEN concat('https://rd.example/cb/', CAST(m AS STRING))
+            |WHEN 5 THEN concat('https://rd.example/ca/', CAST(m AS STRING))
+            |WHEN 6 THEN concat('https://rd.example/z2/', CAST(m AS STRING))
+            |WHEN 7 THEN concat('https://rd.example/z3/', CAST(m AS STRING))
+            |ELSE concat('https://rd.example/z1/', CAST(m AS STRING))
+            |END""".stripMargin))
+        .withColumn("status", expr(
+          """CASE WHEN doc_id % 97 = 0 THEN 200
+            |ELSE 301 + CAST(doc_id % 2 AS INT) * 7 END""".stripMargin))
+      TextOps.redirectAliases(edges, "src", "dst", "status")
+    }),
+
     // -- crawl compliance: robots-style policy verdicts over the
     //    canonical URLs — RFC 9309 patterns (mid-`*` wildcards,
     //    trailing-`$` anchors, plain prefixes) with most-specific-
@@ -1672,6 +1786,47 @@ object PipelineQueries {
             |WHEN 0 THEN '2030-01-05T23:59:59Z'
             |WHEN 1 THEN '1990-01-01'
             |ELSE 'soon' END""".stripMargin))
+      val budgets = Seq(("h0", 3), ("h5", 40)).toDF("host", "quota")
+      TextOps.recrawlScheduleHinted(visits, "page_id", "host", "ts",
+        "changed", hints, perHostBudget = 10,
+        hostBudgets = Some(budgets))
+    }),
+
+    // -- crawl freshness, TYPED sitemap hints (r17): the same visit
+    //    log and budgets as q_recrawl_hinted, but the hint table
+    //    carries sitemapUrls' typed changefreq/priority_milli — they
+    //    break (stale, λ̂) ties (the single-visit NULL-λ̂ class is
+    //    where they bite: frequency ordinal first, priority second),
+    //    never outranking observed staleness or a real estimate.
+    //    Duplicate typed hints collapse MIN-ordinal/MAX-priority
+    //    (the most-eager claim). Full oracle extending the
+    //    q_recrawl_hinted replay with the two tiebreak keys. --------
+    "q_recrawl_sitemap_hints" -> ((s, dir) => {
+      import s.implicits._
+      val visits = Tables.events(s, dir)
+        .select(col("user_id").as("page_id"),
+          concat(lit("h"), (col("user_id") % 7).cast("string"))
+            .as("host"),
+          col("ts"),
+          expr("""user_id % 29 != 0 AND
+                 |event_id % (3 + user_id % 5) = 0""".stripMargin)
+            .as("changed"))
+      val hints = Tables.events(s, dir)
+        .select(col("user_id").as("page_id")).distinct()
+        .filter(col("page_id") % 2 === 0)
+        .withColumn("lastmod", expr(
+          """CASE CAST(page_id % 3 AS INT)
+            |WHEN 0 THEN '2030-01-05T23:59:59Z'
+            |WHEN 1 THEN '1990-01-01'
+            |ELSE 'soon' END""".stripMargin))
+        .withColumn("changefreq", expr(
+          """CASE CAST(page_id % 4 AS INT)
+            |WHEN 0 THEN 'daily' WHEN 1 THEN 'yearly'
+            |WHEN 2 THEN 'always' ELSE NULL END""".stripMargin))
+        .withColumn("priority_milli", expr(
+          """CASE CAST(page_id % 5 AS INT)
+            |WHEN 0 THEN 800 WHEN 1 THEN 200 WHEN 2 THEN 1000
+            |ELSE NULL END""".stripMargin))
       val budgets = Seq(("h0", 3), ("h5", 40)).toDF("host", "quota")
       TextOps.recrawlScheduleHinted(visits, "page_id", "host", "ts",
         "changed", hints, perHostBudget = 10,
@@ -3775,10 +3930,14 @@ object PipelineQueries {
       |      '  <url>',
       |      '    <loc>https://sm0.example/a</loc>',
       |      '    <lastmod>2024-01-05</lastmod>',
+      |      '    <changefreq>daily</changefreq>',
+      |      '    <priority>0.8</priority>',
       |      '  </url>',
       |      '  <url>',
       |      '    <loc>https://sm0.example/b</loc>',
       |      '    <lastmod>2024-02-06T10:00:00Z</lastmod>',
+      |      '    <changefreq>WEEKLY</changefreq>',
+      |      '    <priority>1.0</priority>',
       |      '  </url>',
       |      '</urlset>')
       |    WHEN 1 THEN concat(
@@ -3786,18 +3945,23 @@ object PipelineQueries {
       |      '</loc></url></urlset>')
       |    WHEN 2 THEN concat_ws(chr(10),
       |      '<urlset>',
-      |      '<url><lastmod>2024-03-01</lastmod></url>',
-      |      '<url><loc> https://sm2.example/ws </loc></url>',
+      |      concat('<url><lastmod>2024-03-01</lastmod>',
+      |             '<changefreq>sometimes</changefreq></url>'),
+      |      concat('<url><loc> https://sm2.example/ws </loc>',
+      |             '<priority>1.5</priority></url>'),
       |      '</urlset>')
       |    WHEN 3 THEN concat(
       |      '<sitemapindex><sitemap><loc>https://sm3.example/more.xml',
       |      '</loc></sitemap></sitemapindex>')
       |    ELSE concat_ws(chr(10),
       |      '<urlset>',
-      |      '<url><loc>https://sm4.example/x</loc></url>',
+      |      concat('<url><loc>https://sm4.example/x</loc>',
+      |             '<priority>0</priority></url>'),
       |      concat('<url><loc>https://sm4.example/y</loc>',
-      |             '<lastmod>2024-04-01</lastmod></url>'),
-      |      '<url><loc>https://sm4.example/z&amp;lt;esc</loc></url>',
+      |             '<lastmod>2024-04-01</lastmod>',
+      |             '<priority>0.55</priority></url>'),
+      |      concat('<url><loc>https://sm4.example/z&amp;lt;esc</loc>',
+      |             '<changefreq>never</changefreq></url>'),
       |      '</urlset>')
       |    END AS content
       |  FROM hs
@@ -3961,6 +4125,132 @@ object PipelineQueries {
         |       ELSE 'cross' END AS verdict
         |FROM d""".stripMargin,
 
+    // the redirect walk replay: the SAME 8 unrolled linear steps
+    // with the returned-to-origin flag — the algorithm is the
+    // contract, so no closed form exists to shortcut
+    "q_redirect_collapse" ->
+      s"""WITH re0 AS (
+        |  SELECT doc_id, CAST(doc_id % 9 AS INT) AS c, doc_id // 9 AS m
+        |  FROM documents WHERE doc_id % 97 != 0
+        |), re AS (
+        |  SELECT
+        |    CASE c
+        |    WHEN 0 THEN concat('https://rd.example/s/',
+        |                       CAST(doc_id AS VARCHAR))
+        |    WHEN 1 THEN concat('https://rd.example/a/', CAST(m AS VARCHAR))
+        |    WHEN 2 THEN concat('https://rd.example/b/', CAST(m AS VARCHAR))
+        |    WHEN 3 THEN concat('https://rd.example/self/',
+        |                       CAST(doc_id AS VARCHAR))
+        |    WHEN 4 THEN concat('https://rd.example/ca/', CAST(m AS VARCHAR))
+        |    WHEN 5 THEN concat('https://rd.example/cb/', CAST(m AS VARCHAR))
+        |    WHEN 6 THEN concat('https://rd.example/z1/', CAST(m AS VARCHAR))
+        |    WHEN 7 THEN concat('https://rd.example/z2/', CAST(m AS VARCHAR))
+        |    ELSE concat('https://rd.example/z3/', CAST(m AS VARCHAR))
+        |    END AS src,
+        |    CASE c
+        |    WHEN 0 THEN concat('https://rd.example/t/',
+        |                       CAST(doc_id % 40 AS VARCHAR))
+        |    WHEN 1 THEN concat('https://rd.example/b/', CAST(m AS VARCHAR))
+        |    WHEN 2 THEN concat('https://rd.example/t2/',
+        |                       CAST(m AS VARCHAR))
+        |    WHEN 3 THEN concat('https://rd.example/self/',
+        |                       CAST(doc_id AS VARCHAR))
+        |    WHEN 4 THEN concat('https://rd.example/cb/', CAST(m AS VARCHAR))
+        |    WHEN 5 THEN concat('https://rd.example/ca/', CAST(m AS VARCHAR))
+        |    WHEN 6 THEN concat('https://rd.example/z2/', CAST(m AS VARCHAR))
+        |    WHEN 7 THEN concat('https://rd.example/z3/', CAST(m AS VARCHAR))
+        |    ELSE concat('https://rd.example/z1/', CAST(m AS VARCHAR))
+        |    END AS dst
+        |  FROM re0
+        |), rp0 AS (
+        |  SELECT src AS alias_url, dst AS cur,
+        |    CAST(1 AS INTEGER) AS hops, (dst = src) AS lp
+        |  FROM re
+        |),
+        |${redirectStepCtes(8)},
+        |rsrc AS (SELECT DISTINCT src FROM re)
+        |SELECT p.alias_url,
+        |  CASE WHEN p.lp OR s.src IS NOT NULL THEN NULL
+        |       ELSE p.cur END AS final_url,
+        |  CAST(CASE WHEN p.lp OR s.src IS NOT NULL THEN NULL
+        |       ELSE p.hops END AS INTEGER) AS hops,
+        |  CASE WHEN p.lp THEN 'loop'
+        |       WHEN s.src IS NOT NULL THEN 'too_long'
+        |       ELSE 'resolved' END AS redirect_class
+        |FROM rp8 p LEFT JOIN rsrc s ON p.cur = s.src""".stripMargin,
+
+    // status-aware policy replay: the parse chain for 2xx hosts,
+    // synthetic disallow-all rows for the 5xx/unreachable/redirect
+    // classes, the LIKE precedence pick, and the policy_source audit
+    // join — a fetch-failed host is never a silent default-allow
+    "q_robots_fetch_policy" ->
+      s"""$RobotsCtes,
+        |st AS (
+        |  SELECT host, CAST(substring(host, 3, 1) AS INT) AS h
+        |  FROM bodies
+        |), pol AS (
+        |  SELECT host,
+        |    CASE WHEN h IN (0, 1, 6, 9) THEN 'parsed'
+        |         WHEN h IN (2, 7) THEN 'allow_all_4xx'
+        |         WHEN h IN (3, 8) THEN 'disallow_all_5xx'
+        |         WHEN h = 5 THEN 'redirect_unfollowed_disallow'
+        |         ELSE 'unreachable_disallow' END AS policy_source
+        |  FROM st
+        |), rls AS (
+        |  SELECT g.host, g.val AS prefix, (g.dir = 'allow') AS allow
+        |  FROM rgrps g JOIN rchosen c USING (host, grp)
+        |  JOIN pol p ON p.host = g.host AND p.policy_source = 'parsed'
+        |  WHERE g.dir IN ('allow', 'disallow') AND g.val != ''
+        |  UNION ALL
+        |  SELECT host, '/', false FROM pol
+        |  WHERE policy_source IN ('unreachable_disallow',
+        |    'redirect_unfollowed_disallow', 'disallow_all_5xx')
+        |), rulesp AS (
+        |  SELECT host, prefix, allow,
+        |    concat(replace(replace(replace(replace(
+        |      CASE WHEN prefix LIKE '%$$'
+        |           THEN substring(prefix, 1, length(prefix) - 1)
+        |           ELSE prefix END,
+        |      '!', '!!'), '%', '!%'), '_', '!_'), '*', '%'),
+        |      CASE WHEN prefix LIKE '%$$' THEN '' ELSE '%' END) AS pat
+        |  FROM rls
+        |), fr AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 THEN NULL
+        |    ELSE concat('https://rb', CAST(doc_id % 10 AS VARCHAR),
+        |      '.example',
+        |      CASE CAST(doc_id % 4 AS INT)
+        |        WHEN 0 THEN concat('/tmp/', CAST(doc_id % 3 AS VARCHAR))
+        |        WHEN 1 THEN '/tmp/public'
+        |        WHEN 2 THEN '/cal/today'
+        |        ELSE concat('/p/', CAST(doc_id % 7 AS VARCHAR))
+        |      END) END AS canonical_url
+        |  FROM documents
+        |), mf AS (
+        |  SELECT f.doc_id, f.canonical_url, r.prefix, r.allow
+        |  FROM fr f LEFT JOIN rulesp r
+        |    ON regexp_extract(f.canonical_url,
+        |         '^[a-z][a-z0-9+.-]*://([^/?]*)', 1) = r.host
+        |   AND regexp_extract(f.canonical_url,
+        |         '^[a-z][a-z0-9+.-]*://[^/?]*(.*)$$', 1)
+        |       LIKE r.pat ESCAPE '!'
+        |), rankedf AS (
+        |  SELECT doc_id, canonical_url, prefix, allow,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY length(prefix) DESC NULLS LAST,
+        |               allow DESC NULLS LAST,
+        |               prefix DESC NULLS LAST) AS rn
+        |  FROM mf
+        |)
+        |SELECT r.doc_id, r.canonical_url,
+        |  CASE WHEN r.canonical_url IS NULL THEN false
+        |       ELSE coalesce(r.allow, true) END AS allowed,
+        |  r.prefix AS rule_prefix, p.policy_source
+        |FROM rankedf r LEFT JOIN pol p
+        |  ON regexp_extract(r.canonical_url,
+        |       '^[a-z][a-z0-9+.-]*://([^/?]*)', 1) = p.host
+        |WHERE r.rn = 1""".stripMargin,
+
     // Sitemap lines live OUTSIDE the group machinery: rdirs (all
     // parsed lines) filtered by directive, no group join anywhere
     "q_robots_sitemaps" ->
@@ -3983,6 +4273,21 @@ object PipelineQueries {
         |    regexp_replace(content, '\\s+', ' ', 'g'),
         |    '<url>.*?</url>|<sitemap>.*?</sitemap>', 0)) AS blk
         |  FROM fetched
+        |), blksh AS (
+        |  SELECT host, blk,
+        |    lower(regexp_extract(blk,
+        |      '<changefreq>\\s*(.*?)\\s*</changefreq>', 1)) AS cfr,
+        |    CASE WHEN regexp_matches(regexp_extract(blk,
+        |        '<priority>\\s*(.*?)\\s*</priority>', 1),
+        |        '^[01]([.][0-9]{1,3})?$$')
+        |      THEN CAST(regexp_extract(regexp_extract(blk,
+        |          '<priority>\\s*(.*?)\\s*</priority>', 1),
+        |          '^([01])', 1) AS INTEGER) * 1000
+        |        + CAST(rpad(regexp_extract(regexp_extract(blk,
+        |            '<priority>\\s*(.*?)\\s*</priority>', 1),
+        |            '^[01][.]([0-9]{1,3})$$', 1), 3, '0') AS INTEGER)
+        |      END AS pm
+        |  FROM blksd
         |)
         |SELECT host,
         |  nullif(replace(replace(replace(replace(replace(
@@ -3991,8 +4296,12 @@ object PipelineQueries {
         |    '&apos;', ''''), '&amp;', '&'), '') AS url,
         |  nullif(regexp_extract(blk,
         |    '<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '') AS lastmod,
-        |  starts_with(blk, '<sitemap>') AS is_index
-        |FROM blksd""".stripMargin,
+        |  starts_with(blk, '<sitemap>') AS is_index,
+        |  CASE WHEN cfr IN ('always', 'hourly', 'daily', 'weekly',
+        |    'monthly', 'yearly', 'never') THEN cfr END AS changefreq,
+        |  CAST(CASE WHEN pm <= 1000 THEN pm END AS INTEGER)
+        |    AS priority_milli
+        |FROM blksh""".stripMargin,
 
     // generator-shortcut oracle: the walker must reproduce EXACTLY
     // the records the fixture wrote — a delimiter-driven split would
@@ -4157,6 +4466,22 @@ object PipelineQueries {
         |      regexp_replace(content, '\\s+', ' ', 'g'),
         |      '<url>.*?</url>|<sitemap>.*?</sitemap>', 0)) AS blk
         |  FROM sm
+        |), blkx AS (
+        |  SELECT host, blk,
+        |    lower(regexp_extract(blk,
+        |      '<changefreq>\\s*(.*?)\\s*</changefreq>', 1)) AS cfr,
+        |    regexp_extract(blk,
+        |      '<priority>\\s*(.*?)\\s*</priority>', 1) AS prr
+        |  FROM blks
+        |), blkh AS (
+        |  SELECT host, blk, cfr,
+        |    CASE WHEN regexp_matches(prr, '^[01]([.][0-9]{1,3})?$$')
+        |      THEN CAST(regexp_extract(prr, '^([01])', 1) AS INTEGER)
+        |        * 1000
+        |        + CAST(rpad(regexp_extract(prr,
+        |            '^[01][.]([0-9]{1,3})$$', 1), 3, '0') AS INTEGER)
+        |      END AS pm
+        |  FROM blkx
         |)
         |SELECT host,
         |  nullif(replace(replace(replace(replace(replace(
@@ -4165,8 +4490,12 @@ object PipelineQueries {
         |    '&apos;', ''''), '&amp;', '&'), '') AS url,
         |  nullif(regexp_extract(blk, '<lastmod>\\s*(.*?)\\s*</lastmod>', 1),
         |    '') AS lastmod,
-        |  starts_with(blk, '<sitemap>') AS is_index
-        |FROM blks""".stripMargin,
+        |  starts_with(blk, '<sitemap>') AS is_index,
+        |  CASE WHEN cfr IN ('always', 'hourly', 'daily', 'weekly',
+        |    'monthly', 'yearly', 'never') THEN cfr END AS changefreq,
+        |  CAST(CASE WHEN pm <= 1000 THEN pm END AS INTEGER)
+        |    AS priority_milli
+        |FROM blkh""".stripMargin,
 
     // the whole funnel in one SQL lineage: robots parse ->
     // group-select -> LIKE-compiled rules + derived quotas ->
@@ -4647,6 +4976,89 @@ object PipelineQueries {
         |)
         |SELECT page_id, host, n_visits, n_changes, span_seconds,
         |  lambda_day_micro, lastmod_epoch, stale_hint, fetch_rank,
+        |  CASE WHEN fetch_rank <= (CASE host
+        |    WHEN 'h0' THEN 3 WHEN 'h5' THEN 40 ELSE 10 END)
+        |    THEN 'fetch' ELSE 'defer' END AS status
+        |FROM rk""".stripMargin,
+
+    // the hinted recrawl replay plus the two typed tiebreak keys:
+    // frequency ordinal (min-collapsed) then priority (max), both
+    // NULLS LAST after the (stale, λ̂) order
+    "q_recrawl_sitemap_hints" ->
+      """WITH v AS (
+        |  SELECT user_id AS page_id,
+        |    concat('h', CAST(user_id % 7 AS VARCHAR)) AS host,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |    (user_id % 29 != 0 AND event_id % (3 + user_id % 5) = 0)
+        |      AS changed
+        |  FROM events
+        |), g AS (
+        |  SELECT page_id, min(host) AS host,
+        |    CAST(count(*) AS BIGINT) AS n_visits,
+        |    CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_changes,
+        |    max(tsec) - min(tsec) AS span_seconds,
+        |    max(tsec) AS last_epoch
+        |  FROM v GROUP BY 1
+        |), l AS (
+        |  SELECT page_id, host, n_visits, n_changes, span_seconds,
+        |    last_epoch,
+        |    CASE WHEN n_visits >= 2 AND span_seconds > 0 THEN
+        |      CAST(floor((-ln(
+        |          CAST(2 * (n_visits - n_changes) + 1 AS DOUBLE) /
+        |          CAST(2 * n_visits + 1 AS DOUBLE)))
+        |        * 1000000.0 * 86400.0
+        |        * CAST(n_visits - 1 AS DOUBLE)
+        |        / CAST(span_seconds AS DOUBLE)) AS BIGINT)
+        |    ELSE NULL END AS lambda_day_micro
+        |  FROM g
+        |), hq AS (
+        |  SELECT page_id,
+        |    max(CASE WHEN regexp_matches(lastmod,
+        |          '^[0-9]{4}-[0-9]{2}-[0-9]{2}')
+        |        THEN CAST(datediff('day', DATE '1970-01-01',
+        |               CAST(substring(lastmod, 1, 10) AS DATE))
+        |             AS BIGINT) * 86400 END) AS lastmod_epoch,
+        |    min(CASE changefreq WHEN 'always' THEN 1 WHEN 'hourly'
+        |        THEN 2 WHEN 'daily' THEN 3 WHEN 'weekly' THEN 4
+        |        WHEN 'monthly' THEN 5 WHEN 'yearly' THEN 6
+        |        WHEN 'never' THEN 7 END) AS changefreq_ord,
+        |    max(priority_milli) AS priority_milli
+        |  FROM (
+        |    SELECT DISTINCT user_id AS page_id,
+        |      CASE CAST(user_id % 3 AS INT)
+        |        WHEN 0 THEN '2030-01-05T23:59:59Z'
+        |        WHEN 1 THEN '1990-01-01'
+        |        ELSE 'soon' END AS lastmod,
+        |      CASE CAST(user_id % 4 AS INT)
+        |        WHEN 0 THEN 'daily' WHEN 1 THEN 'yearly'
+        |        WHEN 2 THEN 'always' ELSE NULL END AS changefreq,
+        |      CASE CAST(user_id % 5 AS INT)
+        |        WHEN 0 THEN 800 WHEN 1 THEN 200 WHEN 2 THEN 1000
+        |        ELSE NULL END AS priority_milli
+        |    FROM events WHERE user_id % 2 = 0)
+        |  GROUP BY 1
+        |), hr AS (
+        |  SELECT l.page_id, l.host, l.n_visits, l.n_changes,
+        |    l.span_seconds, l.lambda_day_micro, h.lastmod_epoch,
+        |    coalesce(h.lastmod_epoch > l.last_epoch, false) AS stale_hint,
+        |    CAST(h.changefreq_ord AS INTEGER) AS changefreq_ord,
+        |    CAST(h.priority_milli AS INTEGER) AS priority_milli
+        |  FROM l LEFT JOIN hq h USING (page_id)
+        |), rk AS (
+        |  SELECT page_id, host, n_visits, n_changes, span_seconds,
+        |    lambda_day_micro, lastmod_epoch, stale_hint,
+        |    changefreq_ord, priority_milli,
+        |    CAST(row_number() OVER (PARTITION BY host
+        |      ORDER BY stale_hint DESC, lambda_day_micro DESC NULLS LAST,
+        |               changefreq_ord ASC NULLS LAST,
+        |               priority_milli DESC NULLS LAST,
+        |               page_id) AS INTEGER) AS fetch_rank
+        |  FROM hr
+        |)
+        |SELECT page_id, host, n_visits, n_changes, span_seconds,
+        |  lambda_day_micro, lastmod_epoch, stale_hint, changefreq_ord,
+        |  priority_milli, fetch_rank,
         |  CASE WHEN fetch_rank <= (CASE host
         |    WHEN 'h0' THEN 3 WHEN 'h5' THEN 40 ELSE 10 END)
         |    THEN 'fetch' ELSE 'defer' END AS status

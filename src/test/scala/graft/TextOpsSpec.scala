@@ -1020,6 +1020,113 @@ class TextOpsSpec extends SparkSpec {
       s"all four optional header fields must be walked, not guessed: ${out.toSeq}")
   }
 
+  test("recrawlScheduleHinted: typed sitemap hints break ties only — ordinal then priority, stale/λ̂ untouched") {
+    import spark.implicits._
+    val t0 = 1704067200L
+    // five single-visit pages on one host: all NULL λ̂, none stale —
+    // the rank is decided ENTIRELY by the typed tiebreakers
+    val visits = Seq(1L, 2L, 3L, 4L, 5L)
+      .map(p => (p, "h", t0, false))
+      .toDF("page_id", "host", "tsec", "changed")
+      .withColumn("ts", expr("timestamp_seconds(tsec)"))
+    val hints = Seq(
+      (1L, null, "yearly", null.asInstanceOf[Integer]),
+      (2L, null, "daily", Integer.valueOf(100)),
+      (3L, null, "daily", Integer.valueOf(900)),
+      (4L, null, null, Integer.valueOf(1000)), // no freq: after all freq'd
+      // page 5 hintless: last. duplicate rows for page 2 collapse
+      // MIN-ordinal / MAX-priority:
+      (2L, null, "always", Integer.valueOf(50)))
+      .toDF("page_id", "lastmod", "changefreq", "priority_milli")
+    val out = TextOps.recrawlScheduleHinted(visits, "page_id", "host",
+        "ts", "changed", hints, perHostBudget = 3).collect()
+      .map(r => r.getAs[Long]("page_id") ->
+        ((r.getAs[Int]("fetch_rank"), r.getAs[String]("status"))))
+      .toMap
+    // page 2: always(1) via the MIN collapse; page 3 daily(3);
+    // page 1 yearly(6); page 4 no ordinal but priority 1000; page 5
+    // nothing — ordinal ASC NULLS LAST then priority DESC NULLS LAST
+    assert(out(2L) == ((1, "fetch")), s"got ${out(2L)}")
+    assert(out(3L) == ((2, "fetch")))
+    assert(out(1L) == ((3, "fetch")))
+    assert(out(4L) == ((4, "defer")),
+      "a frequency ordinal always beats a bare priority hint")
+    assert(out(5L) == ((5, "defer")), "hintless competes last, never vanishes")
+  }
+
+  test("redirectAliases: deep chain too_long, loop-tail, dup-src MIN pin, non-3xx excluded, resolved law") {
+    import spark.implicits._
+    def u(s: String) = s"https://r.x/$s"
+    val tenChain = (0 until 10).map(i => (u(s"c$i"), u(s"c${i + 1}"), 301))
+    val edges = (tenChain ++ Seq(
+      // 5-chain: resolves with exact hops 5
+      (u("f0"), u("f1"), 302), (u("f1"), u("f2"), 302),
+      (u("f2"), u("f3"), 302), (u("f3"), u("f4"), 302),
+      (u("f4"), u("done"), 302),
+      // loop-TAIL: t0 walks into a 2-cycle it is not part of
+      (u("t0"), u("cyc1"), 301),
+      (u("cyc1"), u("cyc2"), 301), (u("cyc2"), u("cyc1"), 301),
+      // duplicate observations for one src: MIN(dst) is pinned
+      (u("dup"), u("zzz"), 301), (u("dup"), u("aaa"), 301),
+      // not a redirect: excluded by contract
+      (u("ok200"), u("ignored"), 200)))
+      .toDF("src", "dst", "status")
+    val out = TextOps.redirectAliases(edges, "src", "dst", "status")
+      .collect().map(r => r.getString(0) -> ((r.getString(3),
+        Option(r.getString(1)).orNull,
+        if (r.isNullAt(2)) -1 else r.getInt(2)))).toMap
+    assert(out(u("c0")) == (("too_long", null, -1)),
+      "a 10-hop chain exceeds the pinned depth-8 contract")
+    assert(out(u("c2")) == (("resolved", u("c10"), 8)),
+      "8 hops from c2 terminates exactly at the contract edge")
+    assert(out(u("f0")) == (("resolved", u("done"), 5)))
+    assert(out(u("t0")) == (("too_long", null, -1)),
+      "a walk INTO a cycle not through its origin quarantines too_long")
+    assert(out(u("cyc1")) == (("loop", null, -1)) &&
+      out(u("cyc2")) == (("loop", null, -1)))
+    assert(out(u("dup")) == (("resolved", u("aaa"), 1)),
+      "duplicate observations collapse to the pinned MIN dst")
+    assert(!out.contains(u("ok200")), "non-3xx rows are not aliases")
+    for ((a, (c, f, h)) <- out)
+      assert((c == "resolved") == (f != null && h > 0),
+        s"resolved <=> final+hops non-null, violated at $a")
+  }
+
+  test("robotsStatusPolicy: status classes, empty-2xx allow-all, dup-host collapse, no silent default") {
+    import spark.implicits._
+    val fetches = Seq(
+      ("a.x", Some(200), "User-agent: *\nDisallow: /priv"),
+      ("b.x", Some(404), "ignored body"),
+      ("c.x", Some(503), null.asInstanceOf[String]),
+      ("d.x", None, null.asInstanceOf[String]),
+      ("e.x", Some(301), "unfetched"),
+      ("f.x", Some(204), null.asInstanceOf[String]), // empty robots = allow-all, still parsed
+      // duplicate rows collapse to the pinned MIN-(status, body)
+      ("g.x", Some(200), "User-agent: *\nDisallow: /x"),
+      ("g.x", Some(500), "older failure"))
+      .map { case (h, st, b) => (h, st.map(Integer.valueOf).orNull, b) }
+      .toDF("host", "status", "content")
+    val out = TextOps.robotsStatusPolicy(fetches, "host", "status",
+        "content", agent = "graftbot").collect()
+      .map(r => r.getString(0) -> ((Option(r.getString(1)).orNull,
+        if (r.isNullAt(2)) null else Boolean.box(r.getBoolean(2)),
+        r.getString(3)))).toMap
+    assert(out.size == 7, "every fetched host appears exactly once")
+    assert(out("a.x") == (("/priv", Boolean.box(false), "parsed")))
+    assert(out("b.x") == ((null, null, "allow_all_4xx")),
+      "4xx is a VISIBLE allow-all class, not a silent default")
+    assert(out("c.x") == (("/", Boolean.box(false), "disallow_all_5xx")))
+    assert(out("d.x") == (("/", Boolean.box(false),
+      "unreachable_disallow")))
+    assert(out("e.x") == (("/", Boolean.box(false),
+      "redirect_unfollowed_disallow")),
+      "an unfollowed redirect is pinned conservative-disallow")
+    assert(out("f.x") == ((null, null, "parsed")),
+      "2xx with no body is the legal empty robots.txt — parsed")
+    assert(out("g.x") == (("/x", Boolean.box(false), "parsed")),
+      "duplicate fetch rows collapse to the pinned MIN-(status, body)")
+  }
+
   test("canonicalCollapse: conservation, loop pair, 3-cycle all-chain, collapse-on-faith, first-seen survivor") {
     import spark.implicits._
     val links = Seq(
@@ -1185,7 +1292,7 @@ class TextOpsSpec extends SparkSpec {
     // messy sitemap entry lands as a clean frontier key
     val canon = TextOps.canonicalizeUrl(
         out.filter(col("url").isNotNull), "url")
-      .collect().map(_.getString(4)).toSet
+      .collect().map(_.getAs[String]("canonical_url")).toSet
     assert(canon.contains("http://a.example/q"),
       s"sitemap loc -> canonical frontier key with zero glue: $canon")
   }
