@@ -780,6 +780,91 @@ object PipelineQueries {
           |    ELSE '' END,
           |  ' and plain prose with no further links.')""".stripMargin))
 
+  /** Shared WARC-with-HTTP-messages fixture (r17): three records per
+    * file (warcinfo / response whose body is an HTTP/1.1 message /
+    * metadata), five response classes by doc_id % 5 — 404, 200
+    * text/html with a rooted href + a bare absolute, 200 text/plain,
+    * 200 text/html iso-8859-1 with a dot-relative href, and 301 with
+    * a Location (relative `/moved/…`; the %20==4 subclass plants an
+    * ABSOLUTE Location onto ANOTHER fixture record that is itself a
+    * 301 — a cross-record chain). Feeds both the link-graph capstone
+    * (`q_warc_http`) and the redirect-map composition
+    * (`q_warc_redirects`).
+    */
+  private def synthWarcHttpFiles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("u2", concat(lit("https://w"),
+        (col("doc_id") % 7).cast("string"), lit(".example/p/"),
+        col("doc_id").cast("string")))
+      .withColumn("hmsg", expr(
+        """CASE CAST(doc_id % 5 AS INT)
+          |WHEN 0 THEN concat(
+          |  'HTTP/1.1 404 Not Found', char(13), char(10),
+          |  'Content-Type: text/html', char(13), char(10),
+          |  char(13), char(10), '<html>gone</html>')
+          |WHEN 1 THEN concat(
+          |  'HTTP/1.1 200 OK', char(13), char(10),
+          |  'Content-Type: text/html; charset=UTF-8',
+          |  char(13), char(10), char(13), char(10),
+          |  '<a href="/l/', CAST(doc_id % 5 AS STRING),
+          |  '">x</a> see https://x', CAST(doc_id % 3 AS STRING),
+          |  '.example/a')
+          |WHEN 2 THEN concat(
+          |  'HTTP/1.1 200 OK', char(13), char(10),
+          |  'Content-Type: text/plain', char(13), char(10),
+          |  char(13), char(10),
+          |  'not html https://nope.example/skip')
+          |WHEN 3 THEN concat(
+          |  'HTTP/1.1 200 OK', char(13), char(10),
+          |  'Content-Type: text/html; charset=iso-8859-1',
+          |  char(13), char(10), char(13), char(10),
+          |  '<a href=''../r/', CAST(doc_id % 9 AS STRING),
+          |  '''>u</a>')
+          |ELSE concat(
+          |  'HTTP/1.1 301 Moved Permanently', char(13), char(10),
+          |  'Location: ',
+          |  CASE WHEN doc_id % 20 = 4
+          |    THEN concat('https://w', CAST((doc_id + 5) % 7 AS STRING),
+          |                '.example/p/', CAST(doc_id + 5 AS STRING))
+          |    ELSE concat('/moved/', CAST(doc_id % 9 AS STRING)) END,
+          |  char(13), char(10),
+          |  'Content-Length: 0', char(13), char(10), char(13), char(10))
+          |END""".stripMargin))
+      .withColumn("content", expr(
+        """CAST(concat(
+          |'WARC/1.0', char(13), char(10),
+          |'WARC-Type: warcinfo', char(13), char(10),
+          |'Content-Length: 4', char(13), char(10), char(13), char(10),
+          |'info', char(13), char(10), char(13), char(10),
+          |'WARC/1.0', char(13), char(10),
+          |'WARC-Type: response', char(13), char(10),
+          |'WARC-Target-URI: ', u2, char(13), char(10),
+          |'Content-Length: ', CAST(length(hmsg) AS STRING),
+          |char(13), char(10), char(13), char(10),
+          |hmsg, char(13), char(10), char(13), char(10),
+          |'WARC/1.0', char(13), char(10),
+          |'WARC-Type: metadata', char(13), char(10),
+          |'Content-Length: 4', char(13), char(10), char(13), char(10),
+          |'meta', char(13), char(10), char(13), char(10)) AS BINARY)"""
+          .stripMargin))
+      .select("doc_id", "content")
+
+  /** The q_warc_http page stage: container walk → response records →
+    * HTTP parse → status-200 text/html gate → charset-aware decode.
+    * One lineage (the uri passthrough rides inside the HTTP walk).
+    */
+  private def warcHttpPages(s: SparkSession, dir: String): DataFrame = {
+    val recs = TextOps.warcRecords(synthWarcHttpFiles(s, dir),
+        "doc_id", "content")
+      .filter(col("warc_type") === "response" && col("status") === "ok")
+    TextOps.httpResponses(recs, "file_id", "target_uri", "body")
+      .filter(col("status") === "ok" && col("status_code") === 200 &&
+        col("mime") === "text/html")
+      .select(col("msg_id"), col("uri"),
+        TextOps.decodeTextPayload(col("payload"), col("charset"))
+          .as("page_text"))
+  }
+
   /** Persisted host-authority table for the frontier query — the
     * ModelStore/DenseIndex amortization pattern applied to the link
     * graph: a production crawler recomputes PageRank once per
@@ -1157,63 +1242,35 @@ object PipelineQueries {
     //    the gate VISIBLY upstream (their parse rows exist in
     //    q_http_response's twin operator), never silently. Oracle =
     //    closed form of the planted links. ------------------------
-    "q_warc_http" -> ((s, dir) => {
-      val files = Tables.documents(s, dir).select(col("doc_id"))
-        .withColumn("u2", concat(lit("https://w"),
-          (col("doc_id") % 7).cast("string"), lit(".example/p/"),
-          col("doc_id").cast("string")))
-        .withColumn("hmsg", expr(
-          """CASE CAST(doc_id % 4 AS INT)
-            |WHEN 0 THEN concat(
-            |  'HTTP/1.1 404 Not Found', char(13), char(10),
-            |  'Content-Type: text/html', char(13), char(10),
-            |  char(13), char(10), '<html>gone</html>')
-            |WHEN 1 THEN concat(
-            |  'HTTP/1.1 200 OK', char(13), char(10),
-            |  'Content-Type: text/html; charset=UTF-8',
-            |  char(13), char(10), char(13), char(10),
-            |  '<a href="/l/', CAST(doc_id % 5 AS STRING),
-            |  '">x</a> see https://x', CAST(doc_id % 3 AS STRING),
-            |  '.example/a')
-            |WHEN 2 THEN concat(
-            |  'HTTP/1.1 200 OK', char(13), char(10),
-            |  'Content-Type: text/plain', char(13), char(10),
-            |  char(13), char(10),
-            |  'not html https://nope.example/skip')
-            |ELSE concat(
-            |  'HTTP/1.1 200 OK', char(13), char(10),
-            |  'Content-Type: text/html; charset=iso-8859-1',
-            |  char(13), char(10), char(13), char(10),
-            |  '<a href=''../r/', CAST(doc_id % 9 AS STRING),
-            |  '''>u</a>')
-            |END""".stripMargin))
-        .withColumn("content", expr(
-          """CAST(concat(
-            |'WARC/1.0', char(13), char(10),
-            |'WARC-Type: warcinfo', char(13), char(10),
-            |'Content-Length: 4', char(13), char(10), char(13), char(10),
-            |'info', char(13), char(10), char(13), char(10),
-            |'WARC/1.0', char(13), char(10),
-            |'WARC-Type: response', char(13), char(10),
-            |'WARC-Target-URI: ', u2, char(13), char(10),
-            |'Content-Length: ', CAST(length(hmsg) AS STRING),
-            |char(13), char(10), char(13), char(10),
-            |hmsg, char(13), char(10), char(13), char(10),
-            |'WARC/1.0', char(13), char(10),
-            |'WARC-Type: metadata', char(13), char(10),
-            |'Content-Length: 4', char(13), char(10), char(13), char(10),
-            |'meta', char(13), char(10), char(13), char(10)) AS BINARY)"""
-            .stripMargin))
-      val recs = TextOps.warcRecords(files, "doc_id", "content")
+    "q_warc_http" -> ((s, dir) =>
+      TextOps.hostLinkGraph(warcHttpPages(s, dir), "msg_id", "uri",
+        "page_text")),
+
+    // -- crawl INGEST→IDENTITY composition (r17): the redirect map a
+    //    real reader derives from the SAME WARC pass — response
+    //    records → HTTP parse → 3xx gate → Location resolved against
+    //    the request URI (RFC 3986, relative Locations are
+    //    everywhere) → redirectAliases. The %20 class plants
+    //    CROSS-RECORD chains (an absolute Location onto another
+    //    fixture record that is ITSELF a 301 — hops 2 when the
+    //    partner exists, the step replay absorbs the SF boundary).
+    //    Oracle = the edge closed form + the same 8 unrolled walk
+    //    steps. ----------------------------------------------------
+    "q_warc_redirects" -> ((s, dir) => {
+      val recs = TextOps.warcRecords(synthWarcHttpFiles(s, dir),
+          "doc_id", "content")
         .filter(col("warc_type") === "response" && col("status") === "ok")
       val parsed = TextOps.httpResponses(recs, "file_id", "target_uri",
           "body")
-        .filter(col("status") === "ok" && col("status_code") === 200 &&
-          col("mime") === "text/html")
-        .select(col("msg_id"), col("uri"),
-          TextOps.decodeTextPayload(col("payload"), col("charset"))
-            .as("page_text"))
-      TextOps.hostLinkGraph(parsed, "msg_id", "uri", "page_text")
+        .filter(col("status") === "ok" &&
+          col("status_code").between(300, 399) &&
+          col("location").isNotNull)
+      // request URIs are built canonical and Locations resolve onto
+      // them, so no canonicalizer pass is needed here by
+      // construction (the frontier fixture convention)
+      val resolved = TextOps.resolveUrl(parsed, "uri", "location")
+      TextOps.redirectAliases(resolved, "uri", "resolved_url",
+        "status_code")
     }),
 
     // -- crawl DISCOVERY: sitemap parsing — one row per <url> block
@@ -4436,9 +4493,10 @@ object PipelineQueries {
         |FROM r""".stripMargin,
 
     // closed form of the planted links that survive the
-    // status-200 text/html gate: %4==1 pages emit (own, own) +
-    // (own, x(doc_id%3)); %4==3 pages emit (own, own) via the
-    // ../r relative href; 404 and text/plain classes emit nothing
+    // status-200 text/html gate: %5==1 pages emit (own, own) +
+    // (own, x(doc_id%3)); %5==3 pages emit (own, own) via the
+    // ../r relative href; 404, text/plain and 301 classes emit
+    // nothing
     "q_warc_http" ->
       """WITH d AS (
         |  SELECT doc_id, concat('w', CAST(doc_id % 7 AS VARCHAR),
@@ -4446,16 +4504,48 @@ object PipelineQueries {
         |  FROM documents
         |), e AS (
         |  SELECT doc_id, sh AS src_host, sh AS dst_host FROM d
-        |  WHERE doc_id % 4 = 1
+        |  WHERE doc_id % 5 = 1
         |  UNION ALL
         |  SELECT doc_id, sh, concat('x', CAST(doc_id % 3 AS VARCHAR),
-        |    '.example') FROM d WHERE doc_id % 4 = 1
+        |    '.example') FROM d WHERE doc_id % 5 = 1
         |  UNION ALL
-        |  SELECT doc_id, sh, sh FROM d WHERE doc_id % 4 = 3
+        |  SELECT doc_id, sh, sh FROM d WHERE doc_id % 5 = 3
         |)
         |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
         |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // the redirect-map composition: the 301 class's (request URI →
+    // resolved Location) edge closed form, then the SAME 8 unrolled
+    // walk steps as q_redirect_collapse — the %20 subclass's
+    // cross-record chains advance exactly when the partner record
+    // exists
+    "q_warc_redirects" ->
+      s"""WITH re AS (
+        |  SELECT concat('https://w', CAST(doc_id % 7 AS VARCHAR),
+        |      '.example/p/', CAST(doc_id AS VARCHAR)) AS src,
+        |    CASE WHEN doc_id % 20 = 4
+        |      THEN concat('https://w', CAST((doc_id + 5) % 7 AS VARCHAR),
+        |        '.example/p/', CAST(doc_id + 5 AS VARCHAR))
+        |      ELSE concat('https://w', CAST(doc_id % 7 AS VARCHAR),
+        |        '.example/moved/', CAST(doc_id % 9 AS VARCHAR)) END AS dst
+        |  FROM documents WHERE doc_id % 5 = 4
+        |), rp0 AS (
+        |  SELECT src AS alias_url, dst AS cur,
+        |    CAST(1 AS INTEGER) AS hops, (dst = src) AS lp
+        |  FROM re
+        |),
+        |${redirectStepCtes(8)},
+        |rsrc AS (SELECT DISTINCT src FROM re)
+        |SELECT p.alias_url,
+        |  CASE WHEN p.lp OR s.src IS NOT NULL THEN NULL
+        |       ELSE p.cur END AS final_url,
+        |  CAST(CASE WHEN p.lp OR s.src IS NOT NULL THEN NULL
+        |       ELSE p.hops END AS INTEGER) AS hops,
+        |  CASE WHEN p.lp THEN 'loop'
+        |       WHEN s.src IS NOT NULL THEN 'too_long'
+        |       ELSE 'resolved' END AS redirect_class
+        |FROM rp8 p LEFT JOIN rsrc s ON p.cur = s.src""".stripMargin,
 
     // same block-regex chain; nullif('') replays the loud NULL class
     "q_sitemap_urls" ->
