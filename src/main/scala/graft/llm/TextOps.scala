@@ -1976,6 +1976,44 @@ object TextOps {
         translate(decode(payload, "ISO-8859-1"),
           (0x80 to 0x9f).map(_.toChar).mkString, Cp1252HighBlock))
 
+  /** HTML5 meta-charset PRESCAN (§13.2.3.2's byte-prescan, pinned to
+    * its documented envelope): when the HTTP header declares no
+    * charset, real pages declare one in markup — scan the FIRST 1024
+    * BYTES (the spec's prescan window; a meta tag beyond it is
+    * invisible BY CONTRACT — the boundary law executes) decoded as
+    * latin-1 (every byte maps; the tag region is ASCII by
+    * construction), and extract the first of either form:
+    * `<meta charset=X>` (double-/single-quoted or bare) or the
+    * legacy `<meta http-equiv="Content-Type" content="…; charset=X">`
+    * — whichever occurs FIRST in document order, matched with one
+    * alternation (two keyed extractions joined by position would
+    * re-introduce the quote-style-shadowing bug the r17 base-href
+    * fix removed). Lowercased; absent → NULL.
+    */
+  def sniffMetaCharset(payload: Column): Column = {
+    val head = decode(substring(payload, 1, 1024), "ISO-8859-1")
+    // the first <meta ...> tag that carries EITHER declaration form
+    val tag = get(filter(
+      regexp_extract_all(head, lit("(?i)<meta[^>]*>"), lit(0)),
+      t => t.rlike("(?i)charset\\s*=")), lit(0))
+    val dq = regexp_extract(tag, "(?i)charset\\s*=\\s*\"([^\"]+)\"", 1)
+    val sq = regexp_extract(tag, "(?i)charset\\s*=\\s*'([^']+)'", 1)
+    val bare = regexp_extract(tag,
+      "(?i)charset\\s*=\\s*([A-Za-z0-9_][A-Za-z0-9._\\-]*)", 1)
+    val v = lower(when(dq =!= "", dq).when(sq =!= "", sq)
+      .when(bare =!= "", bare))
+    when(v =!= "", v)
+  }
+
+  /** The charset-precedence composition (RFC 7231 + HTML5: the
+    * TRANSPORT declaration wins over the in-document one, the
+    * in-document one over the UTF-8 default) — the decode every WARC
+    * consumer should actually call.
+    */
+  def effectiveTextPayload(payload: Column, httpCharset: Column): Column =
+    decodeTextPayload(payload,
+      coalesce(httpCharset, sniffMetaCharset(payload)))
+
   /** windows-1252 code points for bytes 0x80-0x9F in order (the five
     * undefined bytes as U+FFFD).
     */

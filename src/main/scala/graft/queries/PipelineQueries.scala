@@ -806,6 +806,9 @@ object PipelineQueries {
           |  'HTTP/1.1 200 OK', char(13), char(10),
           |  'Content-Type: text/html; charset=UTF-8',
           |  char(13), char(10), char(13), char(10),
+          |  '<link rel="canonical" href="https://w',
+          |  CAST(doc_id % 7 AS STRING), '.example/p/',
+          |  CAST(doc_id AS STRING), '">',
           |  '<a href="/l/', CAST(doc_id % 5 AS STRING),
           |  '">x</a> see https://x', CAST(doc_id % 3 AS STRING),
           |  '.example/a')
@@ -818,6 +821,8 @@ object PipelineQueries {
           |  'HTTP/1.1 200 OK', char(13), char(10),
           |  'Content-Type: text/html; charset=iso-8859-1',
           |  char(13), char(10), char(13), char(10),
+          |  '<link rel=''canonical'' href=''/cn/',
+          |  CAST(doc_id % 6 AS STRING), '''>',
           |  '<a href=''../r/', CAST(doc_id % 9 AS STRING),
           |  '''>u</a>')
           |ELSE concat(
@@ -1233,6 +1238,49 @@ object PipelineQueries {
           col("payload").cast("string").as("payload_text"), col("status"))
     }),
 
+    // -- crawl INGEST, charset precedence (r17): the HTML5 §13.2.3.2
+    //    byte-prescan composed with the HTTP header — six classes:
+    //    header-beats-meta, meta windows-1252 driving real smart-
+    //    quote bytes, no-declaration UTF-8 default, the legacy
+    //    http-equiv form, a meta tag PAST the 1024-byte prescan
+    //    window (invisible by contract — the boundary law), and the
+    //    bare unquoted attribute form. Oracle = closed form of the
+    //    six classes. ----------------------------------------------
+    "q_http_charset" -> ((s, dir) => {
+      import s.implicits._
+      val files = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { k =>
+          def b(t: String): Array[Byte] = t.getBytes("ISO-8859-1")
+          val body: Array[Byte] = (k % 6).toInt match {
+            case 0 => b("<meta charset=\"utf-8\">h") ++
+              Array(0xe9.toByte)
+            case 1 => b("<meta charset=\"windows-1252\">") ++
+              Array(0x93.toByte) ++ b("A") ++ Array(0x94.toByte)
+            case 2 => b(s"plain $k")
+            case 3 => b("<meta http-equiv=\"Content-Type\" " +
+              "content=\"text/html; charset=ISO-8859-1\">h") ++
+              Array(0xe9.toByte)
+            case 4 => b("x" * 1100 +
+              s"""<meta charset="iso-8859-1"> tail $k""")
+            case _ => b(s"<meta charset=utf-8 > five $k")
+          }
+          val hdr = (k % 6).toInt match {
+            case 0 => "Content-Type: text/html; charset=iso-8859-1\r\n"
+            case 1 => "Content-Type: text/html\r\n"
+            case _ => ""
+          }
+          (k, s"https://cs.example/p/$k",
+            b(s"HTTP/1.1 200 OK\r\n$hdr\r\n") ++ body)
+        }.toDF("doc_id", "uri", "content")
+      val parsed = TextOps.httpResponses(files, "doc_id", "uri",
+        "content")
+      parsed.select(col("msg_id"),
+        col("charset").as("http_charset"),
+        TextOps.sniffMetaCharset(col("payload")).as("meta_charset"),
+        TextOps.effectiveTextPayload(col("payload"), col("charset"))
+          .as("page_text"))
+    }),
+
     // -- crawl INGEST→EXTRACT capstone (r17): the first end-to-end
     //    WARC→link-graph lineage — WARC container walk → response
     //    records → HTTP parse → status-200 text/html gate →
@@ -1244,6 +1292,17 @@ object PipelineQueries {
     //    closed form of the planted links. ------------------------
     "q_warc_http" -> ((s, dir) =>
       TextOps.hostLinkGraph(warcHttpPages(s, dir), "msg_id", "uri",
+        "page_text")),
+
+    // -- crawl INGEST→DEDUP-SIGNAL composition (r17): the OTHER
+    //    consumer VERDICT r16 item 2 named — canonicalLinks fed from
+    //    the decoded WARC payload (the fixture's html classes plant
+    //    an absolute self declaration and a single-quoted rooted
+    //    cross declaration; both tags double as href link plants in
+    //    q_warc_http's edge count, the shared-fixture convention).
+    //    Same single lineage as the link-graph capstone. -----------
+    "q_warc_canonical" -> ((s, dir) =>
+      TextOps.canonicalLinks(warcHttpPages(s, dir), "msg_id", "uri",
         "page_text")),
 
     // -- crawl INGEST→IDENTITY composition (r17): the redirect map a
@@ -4493,10 +4552,11 @@ object PipelineQueries {
         |FROM r""".stripMargin,
 
     // closed form of the planted links that survive the
-    // status-200 text/html gate: %5==1 pages emit (own, own) +
-    // (own, x(doc_id%3)); %5==3 pages emit (own, own) via the
-    // ../r relative href; 404, text/plain and 301 classes emit
-    // nothing
+    // status-200 text/html gate: %5==1 pages emit (own, own) TWICE
+    // (the canonical tag's href + the rooted /l href) + (own,
+    // x(doc_id%3)); %5==3 pages emit (own, own) twice (the rooted
+    // /cn canonical href + the ../r relative href); 404, text/plain
+    // and 301 classes emit nothing
     "q_warc_http" ->
       """WITH d AS (
         |  SELECT doc_id, concat('w', CAST(doc_id % 7 AS VARCHAR),
@@ -4504,16 +4564,57 @@ object PipelineQueries {
         |  FROM documents
         |), e AS (
         |  SELECT doc_id, sh AS src_host, sh AS dst_host FROM d
-        |  WHERE doc_id % 5 = 1
+        |  WHERE doc_id % 5 IN (1, 3)
+        |  UNION ALL
+        |  SELECT doc_id, sh, sh FROM d WHERE doc_id % 5 IN (1, 3)
         |  UNION ALL
         |  SELECT doc_id, sh, concat('x', CAST(doc_id % 3 AS VARCHAR),
         |    '.example') FROM d WHERE doc_id % 5 = 1
-        |  UNION ALL
-        |  SELECT doc_id, sh, sh FROM d WHERE doc_id % 5 = 3
         |)
         |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
         |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // the canonical-declaration twin over the same WARC pages: the
+    // html classes' closed-form verdicts (absolute self tag on %5==1,
+    // single-quoted rooted cross tag on %5==3)
+    "q_warc_canonical" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 5 AS INT) AS c,
+        |    concat('https://w', CAST(doc_id % 7 AS VARCHAR),
+        |      '.example/p/', CAST(doc_id AS VARCHAR)) AS own,
+        |    concat('https://w', CAST(doc_id % 7 AS VARCHAR),
+        |      '.example/cn/', CAST(doc_id % 6 AS VARCHAR)) AS cn
+        |  FROM documents WHERE doc_id % 5 IN (1, 3)
+        |)
+        |SELECT doc_id AS msg_id, own AS self_canonical,
+        |  CASE c WHEN 1 THEN own ELSE cn END AS decl_canonical,
+        |  CASE c WHEN 1 THEN 'self' ELSE 'cross' END AS verdict
+        |FROM d""".stripMargin,
+
+    // charset-precedence closed form: the six prescan classes
+    "q_http_charset" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 6 AS INT) AS c FROM documents
+        |)
+        |SELECT doc_id AS msg_id,
+        |  CASE WHEN c = 0 THEN 'iso-8859-1' END AS http_charset,
+        |  CASE c WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+        |    WHEN 3 THEN 'iso-8859-1' WHEN 5 THEN 'utf-8'
+        |    END AS meta_charset,
+        |  CASE c
+        |  WHEN 0 THEN '<meta charset="utf-8">hé'
+        |  WHEN 1 THEN '<meta charset="windows-1252">“A”'
+        |  WHEN 2 THEN concat('plain ', CAST(doc_id AS VARCHAR))
+        |  WHEN 3 THEN concat('<meta http-equiv="Content-Type" ',
+        |    'content="text/html; charset=ISO-8859-1">hé')
+        |  WHEN 4 THEN concat(repeat('x', 1100),
+        |    '<meta charset="iso-8859-1"> tail ',
+        |    CAST(doc_id AS VARCHAR))
+        |  ELSE concat('<meta charset=utf-8 > five ',
+        |    CAST(doc_id AS VARCHAR))
+        |  END AS page_text
+        |FROM d""".stripMargin,
 
     // the redirect-map composition: the 301 class's (request URI →
     // resolved Location) edge closed form, then the SAME 8 unrolled

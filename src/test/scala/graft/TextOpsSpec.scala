@@ -1237,6 +1237,31 @@ class TextOpsSpec extends SparkSpec {
       "ISO-8859-1") == "only five", "bytes decoded so far are kept")
   }
 
+  test("sniffMetaCharset: first tag wins across forms, 1024-byte window, straddling tag invisible") {
+    import spark.implicits._
+    def b(t: String) = t.getBytes("ISO-8859-1")
+    val rows = Seq(
+      // single-quoted meta BEFORE a double-quoted one: first wins
+      (1L, b("<meta charset='koi8-r'><meta charset=\"utf-8\">")),
+      // http-equiv form first, plain form second: still first-wins
+      (2L, b("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+        "charset=Shift_JIS\"><meta charset=\"utf-8\">")),
+      // a tag that STRADDLES the 1024-byte boundary is invisible —
+      // the prescan window truncates mid-tag, no closing '>' inside
+      (3L, b("y" * 1015 + "<meta charset=\"utf-8\">")),
+      // entirely within the window at the edge: byte 1024 is the '>'
+      (4L, b("z" * 1001 + "<meta charset=utf-8>")),
+      (5L, b("no declaration at all")))
+      .toDF("id", "p")
+      .select(col("id"), TextOps.sniffMetaCharset(col("p")).as("cs"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows(1L).contains("koi8-r"), s"got ${rows(1L)}")
+    assert(rows(2L).contains("shift_jis"))
+    assert(rows(3L).isEmpty, "a straddling tag is outside the prescan")
+    assert(rows(4L).contains("utf-8"), s"got ${rows(4L)}")
+    assert(rows(5L).isEmpty)
+  }
+
   test("decodeTextPayload: pinned charset set, loud NULL on unsupported, replacement on malformed") {
     import spark.implicits._
     val bytes1252 = Array[Byte](0x93.toByte, 0x41, 0x94.toByte) // “A”
