@@ -806,6 +806,8 @@ object PipelineQueries {
           |  'HTTP/1.1 200 OK', char(13), char(10),
           |  'Content-Type: text/html; charset=UTF-8',
           |  char(13), char(10), char(13), char(10),
+          |  '<title> Page &amp; ', CAST(doc_id AS STRING),
+          |  ' </title>',
           |  '<link rel="canonical" href="https://w',
           |  CAST(doc_id % 7 AS STRING), '.example/p/',
           |  CAST(doc_id AS STRING), '">',
@@ -1185,32 +1187,61 @@ object PipelineQueries {
     //    is a spec law. -------------------------------------------
     "q_http_response" -> ((s, dir) => {
       import s.implicits._
+      // r18 overlays on the ten classes: c0 carries an ETag and c3 a
+      // Last-Modified (the validator columns), c2's chunked body is
+      // CE-gzip UNDER the chunking (TE-then-CE layering, decoded
+      // text unchanged — the oracle pins the same string), c6's body
+      // is RAW-deflate (the historic-server fallback arm), c1 claims
+      // CE-gzip over non-gzip bytes (the loud corrupt class), c7
+      // claims brotli (the loud unsupported class).
       val files = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .map { docId =>
           val crlf = "\r\n"
           val html = s"<html>page $docId</html>"
           def b(parts: String*): Array[Byte] = parts.mkString
             .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          def gz(t: String): Array[Byte] = {
+            val bo = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bo)
+            g.write(t.getBytes(
+              java.nio.charset.StandardCharsets.ISO_8859_1))
+            g.close(); bo.toByteArray
+          }
+          def deflRaw(t: String): Array[Byte] = {
+            val d = new java.util.zip.Deflater(
+              java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+            d.setInput(t.getBytes(
+              java.nio.charset.StandardCharsets.ISO_8859_1))
+            d.finish()
+            val buf = new Array[Byte](65536)
+            val m = d.deflate(buf); d.end()
+            java.util.Arrays.copyOfRange(buf, 0, m)
+          }
           val msg: Array[Byte] = (docId % 10).toInt match {
             case 0 => b(s"HTTP/1.1 200 OK$crlf",
               s"Content-Type: text/html; charset=UTF-8$crlf",
+              s"ETag: \"e$docId\"$crlf",
               s"Content-Length: ${html.length}$crlf", crlf, html)
             case 1 => b(s"HTTP/1.1 200 OK$crlf",
               s"Content-Type: text/html;$crlf",
-              s" charset=iso-8859-1$crlf", crlf, html)
+              s" charset=iso-8859-1$crlf",
+              s"Content-Encoding: gzip$crlf", crlf, html)
             case 2 =>
-              val c1 = s"chunk one $docId "
-              val c2 = "and chunk two"
+              val gzAll = gz(s"chunk one $docId and chunk two")
+              val (g1, g2) = gzAll.splitAt(5)
               b(s"HTTP/1.1 200 OK$crlf",
                 s"Content-Type: text/plain$crlf",
+                s"Content-Encoding: gzip$crlf",
                 s"Transfer-Encoding: chunked$crlf", crlf,
-                java.lang.Long.toHexString(c1.length.toLong), crlf, c1,
-                crlf,
-                java.lang.Long.toHexString(c2.length.toLong)
-                  .toUpperCase + ";ext=1", crlf, c2, crlf,
+                java.lang.Long.toHexString(g1.length.toLong), crlf) ++
+                g1 ++ b(crlf,
+                java.lang.Long.toHexString(g2.length.toLong)
+                  .toUpperCase + ";ext=1", crlf) ++ g2 ++ b(crlf,
                 "0", crlf, crlf)
             case 3 => b("HTTP/1.1 404 Not Found\n",
-              "Content-Type: text/plain\n", "\n", s"missing $docId")
+              "Content-Type: text/plain\n",
+              "Last-Modified: Wed, 01 Jan 2025 00:00:00 GMT\n",
+              "\n", s"missing $docId")
             case 4 => b(s"HTTP/1.1 301 Moved Permanently$crlf",
               s"Location: /moved/$docId$crlf",
               s"Content-Length: 0$crlf", crlf)
@@ -1218,10 +1249,13 @@ object PipelineQueries {
             case 6 => b(s"HTTP/1.1 200 OK$crlf",
               "CONTENT-TYPE: TEXT/HTML; CHARSET=\"UTF-8\"" + crlf,
               s"Content-Type: text/plain$crlf",
-              s"Content-Length: ${html.length}$crlf", crlf, html)
+              s"Content-Encoding: deflate$crlf",
+              s"Content-Length: ${html.length}$crlf", crlf) ++
+              deflRaw(html)
             case 7 => b(s"HTTP/1.1 204$crlf",
               s"this line has no colon and is skipped$crlf",
-              s"Content-Length: 0$crlf", crlf)
+              s"Content-Encoding: br$crlf",
+              s"Content-Length: 0$crlf", crlf, "brotli bytes")
             case 8 => b(s"HTTP/1.1 200 OK$crlf",
               "Content-Type: text/html")
             case _ => b(s"HTTP/1.1 200 OK$crlf",
@@ -1235,23 +1269,41 @@ object PipelineQueries {
         .select(col("msg_id"), col("uri"), col("status_code"),
           col("reason"), col("mime"), col("charset"),
           col("content_length"), col("location"),
+          col("etag"), col("last_modified"),
           col("payload").cast("string").as("payload_text"), col("status"))
     }),
 
     // -- crawl INGEST, charset precedence (r17): the HTML5 §13.2.3.2
-    //    byte-prescan composed with the HTTP header — six classes:
+    //    byte-prescan composed with the HTTP header — eight classes:
     //    header-beats-meta, meta windows-1252 driving real smart-
     //    quote bytes, no-declaration UTF-8 default, the legacy
     //    http-equiv form, a meta tag PAST the 1024-byte prescan
-    //    window (invisible by contract — the boundary law), and the
-    //    bare unquoted attribute form. Oracle = closed form of the
-    //    six classes. ----------------------------------------------
+    //    window (invisible by contract — the boundary law), the
+    //    bare unquoted attribute form, and (r18) CE-gzip / CE-zlib
+    //    bodies whose prescan+decode run over the DECOMPRESSED
+    //    payload. Oracle = closed form of the eight classes. --------
     "q_http_charset" -> ((s, dir) => {
       import s.implicits._
+      // r18: classes 6/7 arrive CONTENT-ENCODED (gzip / zlib
+      // deflate) — the meta-charset prescan and the decode chain
+      // must run over the DECOMPRESSED payload, which is exactly
+      // what `httpResponses` hands downstream
       val files = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .map { k =>
           def b(t: String): Array[Byte] = t.getBytes("ISO-8859-1")
-          val body: Array[Byte] = (k % 6).toInt match {
+          def gz(raw: Array[Byte]): Array[Byte] = {
+            val bo = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bo)
+            g.write(raw); g.close(); bo.toByteArray
+          }
+          def zlib(raw: Array[Byte]): Array[Byte] = {
+            val d = new java.util.zip.Deflater()
+            d.setInput(raw); d.finish()
+            val buf = new Array[Byte](65536)
+            val m = d.deflate(buf); d.end()
+            java.util.Arrays.copyOfRange(buf, 0, m)
+          }
+          val body: Array[Byte] = (k % 8).toInt match {
             case 0 => b("<meta charset=\"utf-8\">h") ++
               Array(0xe9.toByte)
             case 1 => b("<meta charset=\"windows-1252\">") ++
@@ -1262,11 +1314,15 @@ object PipelineQueries {
               Array(0xe9.toByte)
             case 4 => b("x" * 1100 +
               s"""<meta charset="iso-8859-1"> tail $k""")
-            case _ => b(s"<meta charset=utf-8 > five $k")
+            case 5 => b(s"<meta charset=utf-8 > five $k")
+            case 6 => gz(b(s"<meta charset=utf-8>gz ok $k"))
+            case _ => zlib(b(s"zlib seven $k"))
           }
-          val hdr = (k % 6).toInt match {
+          val hdr = (k % 8).toInt match {
             case 0 => "Content-Type: text/html; charset=iso-8859-1\r\n"
             case 1 => "Content-Type: text/html\r\n"
+            case 6 => "Content-Encoding: gzip\r\n"
+            case 7 => "Content-Encoding: deflate\r\n"
             case _ => ""
           }
           (k, s"https://cs.example/p/$k",
@@ -1304,6 +1360,20 @@ object PipelineQueries {
     "q_warc_canonical" -> ((s, dir) =>
       TextOps.canonicalLinks(warcHttpPages(s, dir), "msg_id", "uri",
         "page_text")),
+
+    // -- crawl INGEST→TEXT capstone (r18, VERDICT r17 "What's
+    //    missing" #2): the lineage that ends in USABLE TEXT — WARC
+    //    walk → HTTP parse → 200/text-html gate → charset decode →
+    //    visible-text extraction + title. One lineage, map-only end
+    //    to end (plan-gated: one parquet scan, zero Exchange); the
+    //    title surfaces ONLY in its own column (the one-owner law).
+    //    Oracle = closed form of the two html classes. -------------
+    "q_warc_text" -> ((s, dir) => {
+      val pages = warcHttpPages(s, dir)
+      pages.select(col("msg_id"), col("uri"),
+        TextOps.pageTitle(col("page_text")).as("title"),
+        TextOps.visibleText(col("page_text")).as("text"))
+    }),
 
     // -- crawl INGEST→IDENTITY composition (r17): the redirect map a
     //    real reader derives from the SAME WARC pass — response
@@ -1478,6 +1548,19 @@ object PipelineQueries {
     //    failed host is a VISIBLE class, never a silent default-
     //    allow. Full oracle (parse replay + status closed form). ----
     "q_robots_fetch_policy" -> ((s, dir) => {
+      import s.implicits._
+      // Planted DUPLICATE fetches (r18, the dedup-ordinal fix made
+      // oracle-visible): rb1 gets a stray 1xx probe that raw
+      // MIN(status) would have let shadow its live parsed policy;
+      // rb3 gets an unfollowed 301 that outranks its 503 under the
+      // pinned class order (2xx < 4xx < 3xx < 5xx). The oracle pins
+      // the post-dedup class per host.
+      val dupes = Seq(
+        ("rb1.example", Some(100), Option.empty[String]),
+        ("rb3.example", Some(301), Some("moved")))
+        .map { case (h, st, b) =>
+          (h, st.map(Integer.valueOf).orNull, b.orNull) }
+        .toDF("host", "status", "content")
       val fetches = synthRobots(s, dir)
         .withColumn("status", expr(
           """CASE CAST(substring(host, 3, 1) AS INT)
@@ -1485,6 +1568,8 @@ object PipelineQueries {
             |WHEN 3 THEN 503 WHEN 4 THEN NULL WHEN 5 THEN 301
             |WHEN 6 THEN 200 WHEN 7 THEN 410 WHEN 8 THEN 500
             |ELSE 200 END""".stripMargin))
+        .select("host", "status", "content")
+        .unionByName(dupes)
       val policy = TextOps.robotsStatusPolicy(fetches, "host", "status",
         "content", agent = "graftbot")
       val frontier = Tables.documents(s, dir).select(col("doc_id"))
@@ -1756,6 +1841,69 @@ object PipelineQueries {
       TextOps.redirectAliases(edges, "src", "dst", "status")
     }),
 
+    // -- crawl IDENTITY capstone (r18, VERDICT r17 "What's missing"
+    //    #3): the unified URL-identity map — canonicalizeUrl ∘
+    //    redirectAliases ∘ canonicalCollapse composed with PINNED
+    //    precedence (redirect first: what the server DID; then the
+    //    rel=canonical claim; then the syntactic form), every
+    //    conflict a LOUD class. Classes planted: %97 malformed, %5
+    //    redirect-resolved, %3 canonical-collapsed, %15∖%30 the
+    //    redirect/canonical CONFLICT, %30 their agreement, %6==3
+    //    (non-%5) the ambiguous double-declaration, the rest
+    //    syntactic. Conservation (exactly one verdict per input
+    //    URL) is the executed law. Single-hop closed forms on both
+    //    alias sources keep the whole oracle a CASE replay. --------
+    "q_url_identity" -> ((s, dir) => {
+      val urls = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("url", expr(
+          """CASE WHEN doc_id % 97 = 0
+            |  THEN concat('ui', CAST(doc_id % 9 AS STRING),
+            |              '.example/no-scheme')
+            |  ELSE concat('https://ui', CAST(doc_id % 9 AS STRING),
+            |    '.example/p/', CAST(doc_id AS STRING),
+            |    CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x'
+            |         ELSE '' END)
+            |END""".stripMargin))
+      val base = Tables.documents(s, dir).select(col("doc_id"))
+        .filter(expr("doc_id % 97 != 0"))
+        .withColumn("c", expr(
+          """concat('https://ui', CAST(doc_id % 9 AS STRING),
+            |  '.example/p/', CAST(doc_id AS STRING))""".stripMargin))
+      val redirects = TextOps.redirectAliases(
+        base.filter(expr("doc_id % 5 = 0"))
+          .select(col("c").as("src"),
+            expr("""concat('https://rf.example/f/',
+                   |CAST(doc_id % 40 AS STRING))""".stripMargin)
+              .as("dst"),
+            lit(301).as("status")),
+        "src", "dst", "status")
+      // canonicalLinks-shaped declarations: %3 pages cross-declare
+      // (the %30 subset onto the SAME target the redirect resolves
+      // to — agreement; the rest onto cn.example); the %6==3 non-%5
+      // subset declares TWICE with different targets (a duplicate
+      // fetch disagreeing with itself — the ambiguity plant)
+      val decl = base.filter(expr("doc_id % 3 = 0"))
+        .select(col("doc_id").as("id"), col("c").as("self_canonical"),
+          expr(
+            """CASE WHEN doc_id % 30 = 0
+              |  THEN concat('https://rf.example/f/',
+              |              CAST(doc_id % 40 AS STRING))
+              |  ELSE concat('https://cn.example/c/',
+              |              CAST(doc_id % 30 AS STRING))
+              |END""".stripMargin).as("decl_canonical"),
+          lit("cross").as("verdict"))
+      val dupDecl = base
+        .filter(expr("doc_id % 6 = 3 AND doc_id % 5 != 0"))
+        .select((col("doc_id") + 1000000L).as("id"),
+          col("c").as("self_canonical"),
+          lit("https://amb.example/z").as("decl_canonical"),
+          lit("cross").as("verdict"))
+      val collapses = TextOps.canonicalCollapse(
+        decl.unionByName(dupDecl).localCheckpoint(true), "id")
+      TextOps.urlIdentityMap(urls, "doc_id", "url", redirects,
+        collapses)
+    }),
+
     // -- crawl compliance: robots-style policy verdicts over the
     //    canonical URLs — RFC 9309 patterns (mid-`*` wildcards,
     //    trailing-`$` anchors, plain prefixes) with most-specific-
@@ -1943,6 +2091,9 @@ object PipelineQueries {
           """CASE CAST(page_id % 5 AS INT)
             |WHEN 0 THEN 800 WHEN 1 THEN 200 WHEN 2 THEN 1000
             |ELSE NULL END""".stripMargin))
+        // r18: ETag/Last-Modified evidence from the fetch ledger —
+        // the near-free conditional-refetch tiebreaker
+        .withColumn("has_validator", expr("page_id % 6 < 2"))
       val budgets = Seq(("h0", 3), ("h5", 40)).toDF("host", "quota")
       TextOps.recrawlScheduleHinted(visits, "page_id", "host", "ts",
         "changed", hints, perHostBudget = 10,
@@ -4295,6 +4446,50 @@ object PipelineQueries {
         |       ELSE 'resolved' END AS redirect_class
         |FROM rp8 p LEFT JOIN rsrc s ON p.cur = s.src""".stripMargin,
 
+    // identity-map replay: single-hop closed forms of both alias
+    // sources, the pinned precedence CASE (redirect > canonical >
+    // syntactic), conflict/agreement/ambiguity/malformed classes
+    "q_url_identity" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 97 = 0) AS mal,
+        |    concat('https://ui', CAST(doc_id % 9 AS VARCHAR),
+        |           '.example/p/', CAST(doc_id AS VARCHAR)) AS c
+        |  FROM documents
+        |), x AS (
+        |  SELECT doc_id, mal, c,
+        |    (NOT mal AND doc_id % 5 = 0) AS has_r,
+        |    (NOT mal AND doc_id % 3 = 0) AS has_k,
+        |    (NOT mal AND doc_id % 6 = 3 AND doc_id % 5 != 0) AS amb,
+        |    concat('https://rf.example/f/',
+        |           CAST(doc_id % 40 AS VARCHAR)) AS r,
+        |    CASE WHEN doc_id % 30 = 0
+        |      THEN concat('https://rf.example/f/',
+        |                  CAST(doc_id % 40 AS VARCHAR))
+        |      ELSE concat('https://cn.example/c/',
+        |                  CAST(doc_id % 30 AS VARCHAR)) END AS k
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN mal THEN concat('ui', CAST(doc_id % 9 AS VARCHAR),
+        |         '.example/no-scheme')
+        |       ELSE concat('https://ui', CAST(doc_id % 9 AS VARCHAR),
+        |         '.example/p/', CAST(doc_id AS VARCHAR),
+        |         CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x'
+        |              ELSE '' END) END AS url,
+        |  CASE WHEN mal THEN NULL
+        |       WHEN has_r THEN r
+        |       WHEN amb THEN c
+        |       WHEN has_k THEN k
+        |       ELSE c END AS identity_url,
+        |  CASE WHEN mal THEN 'malformed'
+        |       WHEN has_r AND has_k AND r != k
+        |         THEN 'redirect_canonical_conflict'
+        |       WHEN has_r THEN 'redirect'
+        |       WHEN amb THEN 'ambiguous_canonical'
+        |       WHEN has_k THEN 'canonical'
+        |       ELSE 'syntactic' END AS identity_source
+        |FROM x""".stripMargin,
+
     // status-aware policy replay: the parse chain for 2xx hosts,
     // synthetic disallow-all rows for the 5xx/unreachable/redirect
     // classes, the LIKE precedence pick, and the policy_source audit
@@ -4308,8 +4503,8 @@ object PipelineQueries {
         |  SELECT host,
         |    CASE WHEN h IN (0, 1, 6, 9) THEN 'parsed'
         |         WHEN h IN (2, 7) THEN 'allow_all_4xx'
-        |         WHEN h IN (3, 8) THEN 'disallow_all_5xx'
-        |         WHEN h = 5 THEN 'redirect_unfollowed_disallow'
+        |         WHEN h = 8 THEN 'disallow_all_5xx'
+        |         WHEN h IN (3, 5) THEN 'redirect_unfollowed_disallow'
         |         ELSE 'unreachable_disallow' END AS policy_source
         |  FROM st
         |), rls AS (
@@ -4452,17 +4647,24 @@ object PipelineQueries {
         |    WHEN c IN (4, 7) THEN 0 END AS BIGINT) AS content_length,
         |  CASE WHEN c = 4 THEN concat('/moved/', CAST(doc_id AS VARCHAR))
         |    END AS location,
+        |  CASE WHEN c = 0 THEN concat('"e', CAST(doc_id AS VARCHAR), '"')
+        |    END AS etag,
+        |  CASE WHEN c = 3 THEN 'Wed, 01 Jan 2025 00:00:00 GMT'
+        |    END AS last_modified,
         |  CASE c WHEN 2 THEN concat('chunk one ', CAST(doc_id AS VARCHAR),
         |      ' and chunk two')
         |    WHEN 3 THEN concat('missing ', CAST(doc_id AS VARCHAR))
         |    WHEN 5 THEN concat('<html>lost header ',
         |      CAST(doc_id AS VARCHAR), '</html>')
         |    WHEN 9 THEN 'partial ok'
-        |    WHEN 4 THEN '' WHEN 7 THEN '' WHEN 8 THEN ''
+        |    WHEN 1 THEN '' WHEN 4 THEN '' WHEN 7 THEN 'brotli bytes'
+        |    WHEN 8 THEN ''
         |    ELSE html END AS payload_text,
         |  CASE c WHEN 5 THEN 'bad_status_line'
         |    WHEN 8 THEN 'truncated_headers'
-        |    WHEN 9 THEN 'bad_chunk' ELSE 'ok' END AS status
+        |    WHEN 9 THEN 'bad_chunk'
+        |    WHEN 1 THEN 'bad_content_encoding'
+        |    WHEN 7 THEN 'unsupported_encoding' ELSE 'ok' END AS status
         |FROM d""".stripMargin,
 
     // the collapse replay: class + representative from the closed
@@ -4592,15 +4794,35 @@ object PipelineQueries {
         |  CASE c WHEN 1 THEN 'self' ELSE 'cross' END AS verdict
         |FROM d""".stripMargin,
 
+    // visible-text closed form of the two html classes: class 1's
+    // title is entity-decoded + trimmed into its OWN column, its
+    // body text keeps the anchor text + bare URL; class 3 is the
+    // single anchor letter
+    "q_warc_text" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 5 AS INT) AS c,
+        |    concat('https://w', CAST(doc_id % 7 AS VARCHAR),
+        |      '.example/p/', CAST(doc_id AS VARCHAR)) AS own
+        |  FROM documents WHERE doc_id % 5 IN (1, 3)
+        |)
+        |SELECT doc_id AS msg_id, own AS uri,
+        |  CASE WHEN c = 1 THEN concat('Page & ',
+        |    CAST(doc_id AS VARCHAR)) END AS title,
+        |  CASE WHEN c = 1 THEN concat('x see https://x',
+        |    CAST(doc_id % 3 AS VARCHAR), '.example/a')
+        |    ELSE 'u' END AS text
+        |FROM d""".stripMargin,
+
     // charset-precedence closed form: the six prescan classes
     "q_http_charset" ->
       """WITH d AS (
-        |  SELECT doc_id, CAST(doc_id % 6 AS INT) AS c FROM documents
+        |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS c FROM documents
         |)
         |SELECT doc_id AS msg_id,
         |  CASE WHEN c = 0 THEN 'iso-8859-1' END AS http_charset,
         |  CASE c WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
         |    WHEN 3 THEN 'iso-8859-1' WHEN 5 THEN 'utf-8'
+        |    WHEN 6 THEN 'utf-8'
         |    END AS meta_charset,
         |  CASE c
         |  WHEN 0 THEN '<meta charset="utf-8">hé'
@@ -4611,6 +4833,9 @@ object PipelineQueries {
         |  WHEN 4 THEN concat(repeat('x', 1100),
         |    '<meta charset="iso-8859-1"> tail ',
         |    CAST(doc_id AS VARCHAR))
+        |  WHEN 6 THEN concat('<meta charset=utf-8>gz ok ',
+        |    CAST(doc_id AS VARCHAR))
+        |  WHEN 7 THEN concat('zlib seven ', CAST(doc_id AS VARCHAR))
         |  ELSE concat('<meta charset=utf-8 > five ',
         |    CAST(doc_id AS VARCHAR))
         |  END AS page_text
@@ -5214,7 +5439,8 @@ object PipelineQueries {
         |        THEN 2 WHEN 'daily' THEN 3 WHEN 'weekly' THEN 4
         |        WHEN 'monthly' THEN 5 WHEN 'yearly' THEN 6
         |        WHEN 'never' THEN 7 END) AS changefreq_ord,
-        |    max(priority_milli) AS priority_milli
+        |    max(priority_milli) AS priority_milli,
+        |    max(has_validator) AS has_validator
         |  FROM (
         |    SELECT DISTINCT user_id AS page_id,
         |      CASE CAST(user_id % 3 AS INT)
@@ -5226,7 +5452,8 @@ object PipelineQueries {
         |        WHEN 2 THEN 'always' ELSE NULL END AS changefreq,
         |      CASE CAST(user_id % 5 AS INT)
         |        WHEN 0 THEN 800 WHEN 1 THEN 200 WHEN 2 THEN 1000
-        |        ELSE NULL END AS priority_milli
+        |        ELSE NULL END AS priority_milli,
+        |      (user_id % 6 < 2) AS has_validator
         |    FROM events WHERE user_id % 2 = 0)
         |  GROUP BY 1
         |), hr AS (
@@ -5234,22 +5461,24 @@ object PipelineQueries {
         |    l.span_seconds, l.lambda_day_micro, h.lastmod_epoch,
         |    coalesce(h.lastmod_epoch > l.last_epoch, false) AS stale_hint,
         |    CAST(h.changefreq_ord AS INTEGER) AS changefreq_ord,
-        |    CAST(h.priority_milli AS INTEGER) AS priority_milli
+        |    CAST(h.priority_milli AS INTEGER) AS priority_milli,
+        |    coalesce(h.has_validator, false) AS has_validator
         |  FROM l LEFT JOIN hq h USING (page_id)
         |), rk AS (
         |  SELECT page_id, host, n_visits, n_changes, span_seconds,
         |    lambda_day_micro, lastmod_epoch, stale_hint,
-        |    changefreq_ord, priority_milli,
+        |    changefreq_ord, priority_milli, has_validator,
         |    CAST(row_number() OVER (PARTITION BY host
         |      ORDER BY stale_hint DESC, lambda_day_micro DESC NULLS LAST,
         |               changefreq_ord ASC NULLS LAST,
         |               priority_milli DESC NULLS LAST,
+        |               has_validator DESC,
         |               page_id) AS INTEGER) AS fetch_rank
         |  FROM hr
         |)
         |SELECT page_id, host, n_visits, n_changes, span_seconds,
         |  lambda_day_micro, lastmod_epoch, stale_hint, changefreq_ord,
-        |  priority_milli, fetch_rank,
+        |  priority_milli, has_validator, fetch_rank,
         |  CASE WHEN fetch_rank <= (CASE host
         |    WHEN 'h0' THEN 3 WHEN 'h5' THEN 40 ELSE 10 END)
         |    THEN 'fetch' ELSE 'defer' END AS status

@@ -503,6 +503,20 @@ class PlanShapeSpec extends SparkSpec {
       s"no UDF in the capstone:\n${p.take(1200)}")
   }
 
+  test("q_warc_text: WARC→HTTP→visible-text capstone — map-only end to end, one scan, no UDF") {
+    val p = plan("q_warc_text")
+    // container walk → HTTP parse → gate → decode → tag-strip +
+    // entity decode + title: the whole lineage is row-local — zero
+    // Exchange at any scale, one fixture scan, no UDF (the
+    // extraction is codegen'd regexp_replace passes)
+    assert(!p.contains("Exchange"),
+      s"visible-text extraction must not shuffle:\n${p.take(1500)}")
+    assert(count(p, "Scan parquet") == 1,
+      s"one lineage — one fixture scan:\n${p.take(1200)}")
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"),
+      s"no UDF in the text capstone:\n${p.take(1200)}")
+  }
+
   test("q_canonical_collapse: materialized links stage, broadcast stability side, two keyed Exchanges") {
     val p = plan("q_canonical_collapse")
     // the self-join runs over the CHECKPOINTED links stage: both

@@ -1054,6 +1054,45 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5L) == ((5, "defer")), "hintless competes last, never vanishes")
   }
 
+  test("recrawlScheduleHinted: has_validator is the LAST tiebreaker — after typed hints, before the id; MAX collapse; absent column inert") {
+    import spark.implicits._
+    val t0 = 1704067200L
+    val visits = Seq(1L, 2L, 3L, 4L)
+      .map(p => (p, "h", t0, false))
+      .toDF("page_id", "host", "tsec", "changed")
+      .withColumn("ts", expr("timestamp_seconds(tsec)"))
+    // all four pages: NULL λ̂, not stale. 1/2 share daily; only 2
+    // has a validator → 2 outranks 1. 3 has a validator but NO
+    // freq ordinal → still below both daily pages (validator never
+    // beats a typed claim). 4 nothing. Duplicate rows for 2
+    // collapse MAX (any observation claiming a validator counts).
+    val hints = Seq(
+      (1L, null, "daily", null.asInstanceOf[Integer], false),
+      (2L, null, "daily", null.asInstanceOf[Integer], false),
+      (2L, null, null, null.asInstanceOf[Integer], true),
+      (3L, null, null, null.asInstanceOf[Integer], true))
+      .toDF("page_id", "lastmod", "changefreq", "priority_milli",
+        "has_validator")
+    val out = TextOps.recrawlScheduleHinted(visits, "page_id", "host",
+        "ts", "changed", hints, perHostBudget = 2).collect()
+      .map(r => r.getAs[Long]("page_id") ->
+        ((r.getAs[Int]("fetch_rank"), r.getAs[Boolean]("has_validator"))))
+      .toMap
+    assert(out(2L) == ((1, true)),
+      "equal typed hints: the validator-bearing page wins the slot")
+    assert(out(1L) == ((2, false)))
+    assert(out(3L) == ((3, true)),
+      "a validator never outranks a typed frequency claim")
+    assert(out(4L) == ((4, false)), "hintless competes at false")
+    // absent column → schema and ranking exactly as before
+    val plain = TextOps.recrawlScheduleHinted(visits, "page_id", "host",
+      "ts", "changed",
+      hints.select("page_id", "lastmod", "changefreq", "priority_milli"),
+      perHostBudget = 2)
+    assert(!plain.columns.contains("has_validator"),
+      "hint tables without the column keep the narrower schema")
+  }
+
   test("redirectAliases: deep chain too_long, loop-tail, dup-src MIN pin, non-3xx excluded, resolved law") {
     import spark.implicits._
     def u(s: String) = s"https://r.x/$s"
@@ -1076,9 +1115,12 @@ class TextOpsSpec extends SparkSpec {
         Option(r.getString(1)).orNull,
         if (r.isNullAt(2)) -1 else r.getInt(2)))).toMap
     assert(out(u("c0")) == (("too_long", null, -1)),
-      "a 10-hop chain exceeds the pinned depth-8 contract")
+      "a 10-hop chain exceeds the pinned depth-9 contract")
+    assert(out(u("c1")) == (("resolved", u("c10"), 9)),
+      "9 hops from c1 resolves exactly at the contract boundary " +
+        "(seed consumes hop 1, the 8 unrolled steps hops 2-9)")
     assert(out(u("c2")) == (("resolved", u("c10"), 8)),
-      "8 hops from c2 terminates exactly at the contract edge")
+      "8 hops from c2 resolves inside the contract")
     assert(out(u("f0")) == (("resolved", u("done"), 5)))
     assert(out(u("t0")) == (("too_long", null, -1)),
       "a walk INTO a cycle not through its origin quarantines too_long")
@@ -1092,6 +1134,57 @@ class TextOpsSpec extends SparkSpec {
         s"resolved <=> final+hops non-null, violated at $a")
   }
 
+  test("urlIdentityMap: pinned precedence, loud conflict/ambiguity, quarantined aliases fall through, conservation") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://A.x/p1?utm_source=z"), // redirect only
+      (2L, "https://a.x/p2"),              // canonical only
+      (3L, "https://a.x/p3"),              // both, DISAGREE -> conflict
+      (4L, "https://a.x/p4"),              // both, AGREE -> redirect
+      (5L, "https://a.x/p5"),              // ambiguous declarations
+      (6L, "https://a.x/p6"),              // nothing -> syntactic
+      (7L, "no-scheme"),                   // malformed
+      (8L, "https://a.x/p8"))              // LOOPING alias: falls through
+      .toDF("id", "url")
+    val redirects = Seq(
+      ("https://a.x/p1", "https://f.x/1", 1, "resolved"),
+      ("https://a.x/p3", "https://f.x/3", 1, "resolved"),
+      ("https://a.x/p4", "https://f.x/4", 1, "resolved"),
+      ("https://a.x/p8", null, null, "loop"))
+      .map { case (a, f, h, c) =>
+        (a, f, h.asInstanceOf[Integer], c) }
+      .toDF("alias_url", "final_url", "hops", "redirect_class")
+    val collapses = Seq(
+      (20L, "https://a.x/p2", "https://k.x/2", "collapsed"),
+      (30L, "https://a.x/p3", "https://k.x/3", "collapsed"),
+      (40L, "https://a.x/p4", "https://f.x/4", "collapsed"),
+      (50L, "https://a.x/p5", "https://k.x/5a", "collapsed"),
+      (51L, "https://a.x/p5", "https://k.x/5b", "collapsed"),
+      // a quarantined chain page contributes NO declaration here
+      (80L, "https://a.x/p8", "https://k.x/8", "chain"))
+      .toDF("survivor_id", "self_canonical", "representative",
+        "collapse_class")
+    val out = TextOps.urlIdentityMap(urls, "id", "url", redirects,
+        collapses).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(2)).orNull,
+        r.getString(3)))).toMap
+    assert(out.size == 8, "conservation: every input URL exactly once")
+    assert(out(1L) == (("https://f.x/1", "redirect")),
+      "syntactic canonicalization feeds the alias lookup")
+    assert(out(2L) == (("https://k.x/2", "canonical")))
+    assert(out(3L) == (("https://f.x/3", "redirect_canonical_conflict")),
+      "disagreement: redirect wins, class is LOUD")
+    assert(out(4L) == (("https://f.x/4", "redirect")),
+      "agreement is not a conflict")
+    assert(out(5L) == (("https://a.x/p5", "ambiguous_canonical")),
+      "ambiguous declaration is no declaration — loud, own identity")
+    assert(out(6L) == (("https://a.x/p6", "syntactic")))
+    assert(out(7L) == ((null, "malformed")))
+    assert(out(8L) == (("https://a.x/p8", "syntactic")),
+      "a loop-quarantined alias and a chain-quarantined declaration " +
+        "contribute nothing — the URL keeps its syntactic identity")
+  }
+
   test("robotsStatusPolicy: status classes, empty-2xx allow-all, dup-host collapse, no silent default") {
     import spark.implicits._
     val fetches = Seq(
@@ -1101,9 +1194,19 @@ class TextOpsSpec extends SparkSpec {
       ("d.x", None, null.asInstanceOf[String]),
       ("e.x", Some(301), "unfetched"),
       ("f.x", Some(204), null.asInstanceOf[String]), // empty robots = allow-all, still parsed
-      // duplicate rows collapse to the pinned MIN-(status, body)
+      // duplicate rows collapse to the pinned MIN-(ordinal, status, body)
       ("g.x", Some(200), "User-agent: *\nDisallow: /x"),
-      ("g.x", Some(500), "older failure"))
+      ("g.x", Some(500), "older failure"),
+      // r18 ADVICE fix: a 1xx probe row must NOT shadow the live 2xx
+      // policy (raw MIN(status) would have picked 100)
+      ("h.x", Some(100), "continue probe"),
+      ("h.x", Some(200), "User-agent: *\nDisallow: /h"),
+      // class priority: a definitive 4xx beats a 5xx AND a 3xx
+      ("i.x", Some(503), null.asInstanceOf[String]),
+      ("i.x", Some(404), "gone"),
+      ("i.x", Some(301), "moved"),
+      // a lone sub-200 still lands in the loud unreachable class
+      ("j.x", Some(100), "only a probe"))
       .map { case (h, st, b) => (h, st.map(Integer.valueOf).orNull, b) }
       .toDF("host", "status", "content")
     val out = TextOps.robotsStatusPolicy(fetches, "host", "status",
@@ -1111,7 +1214,7 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((Option(r.getString(1)).orNull,
         if (r.isNullAt(2)) null else Boolean.box(r.getBoolean(2)),
         r.getString(3)))).toMap
-    assert(out.size == 7, "every fetched host appears exactly once")
+    assert(out.size == 10, "every fetched host appears exactly once")
     assert(out("a.x") == (("/priv", Boolean.box(false), "parsed")))
     assert(out("b.x") == ((null, null, "allow_all_4xx")),
       "4xx is a VISIBLE allow-all class, not a silent default")
@@ -1124,7 +1227,14 @@ class TextOpsSpec extends SparkSpec {
     assert(out("f.x") == ((null, null, "parsed")),
       "2xx with no body is the legal empty robots.txt — parsed")
     assert(out("g.x") == (("/x", Boolean.box(false), "parsed")),
-      "duplicate fetch rows collapse to the pinned MIN-(status, body)")
+      "duplicate fetch rows collapse to the pinned MIN-(ordinal, status, body)")
+    assert(out("h.x") == (("/h", Boolean.box(false), "parsed")),
+      "a 1xx probe never shadows a live 2xx policy (r18 ADVICE fix)")
+    assert(out("i.x") == ((null, null, "allow_all_4xx")),
+      "class priority 2xx < 4xx < 3xx < 5xx: the definitive 4xx wins")
+    assert(out("j.x") == (("/", Boolean.box(false),
+      "unreachable_disallow")),
+      "a lone sub-200 observation is the loud unreachable class")
   }
 
   test("canonicalCollapse: conservation, loop pair, 3-cycle all-chain, collapse-on-faith, first-seen survivor") {
@@ -1237,6 +1347,86 @@ class TextOpsSpec extends SparkSpec {
       "ISO-8859-1") == "only five", "bytes decoded so far are kept")
   }
 
+  test("httpResponses: Content-Encoding gzip/deflate decode, TE-then-CE layering, loud unsupported/corrupt classes") {
+    import spark.implicits._
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes("ISO-8859-1")); g.close(); bo.toByteArray
+    }
+    def defl(s: String, zlib: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, !zlib)
+      d.setInput(s.getBytes("ISO-8859-1")); d.finish()
+      val buf = new Array[Byte](4096)
+      val m = d.deflate(buf); d.end()
+      java.util.Arrays.copyOfRange(buf, 0, m)
+    }
+    def hd(hdrs: String): Array[Byte] =
+      s"HTTP/1.1 200 OK\r\n${hdrs}\r\n".getBytes("ISO-8859-1")
+    val gzBody = gz("hello gzip body")
+    // chunk the gzip bytes: TE frames the transfer, CE wraps the
+    // representation — decode must run de-chunk FIRST, then gunzip
+    val chunkedGz = {
+      val bo = new java.io.ByteArrayOutputStream()
+      bo.write(java.lang.Long.toHexString(gzBody.length.toLong)
+        .getBytes("ISO-8859-1"))
+      bo.write("\r\n".getBytes); bo.write(gzBody)
+      bo.write("\r\n0\r\n\r\n".getBytes); bo.toByteArray
+    }
+    val rows = Seq(
+      (1L, hd("Content-Encoding: gzip\r\n") ++ gzBody),
+      (2L, hd("Content-Encoding: x-gzip\r\n") ++ gz("xg")),
+      (3L, hd("Content-Encoding: deflate\r\n") ++ defl("zlib arm", true)),
+      (4L, hd("Content-Encoding: deflate\r\n") ++ defl("raw arm", false)),
+      (5L, hd("Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n")
+        ++ chunkedGz),
+      (6L, hd("Content-Encoding: br\r\n") ++ "brotli?".getBytes),
+      (7L, hd("Content-Encoding: gzip, deflate\r\n") ++ gzBody),
+      (8L, hd("Content-Encoding: gzip\r\n") ++ "not gzip at all".getBytes),
+      (9L, hd("Content-Encoding: identity\r\n") ++ "plain".getBytes),
+      (10L, hd("Content-Encoding: identity, gzip\r\n") ++ gz("id+gz")))
+      .toDF("id", "bytes").withColumn("u", lit("https://ce.example/"))
+    val out = TextOps.httpResponses(rows, "id", "u", "bytes")
+      .collect().map(r => r.getAs[Long]("msg_id") ->
+        ((r.getAs[String]("status"),
+          new String(r.getAs[Array[Byte]]("payload"), "ISO-8859-1"))))
+      .toMap
+    assert(out(1L) == (("ok", "hello gzip body")))
+    assert(out(2L) == (("ok", "xg")), "x-gzip is the gzip alias")
+    assert(out(3L) == (("ok", "zlib arm")), "RFC 1950 zlib deflate")
+    assert(out(4L) == (("ok", "raw arm")), "bare-DEFLATE fallback")
+    assert(out(5L) == (("ok", "hello gzip body")),
+      "TE then CE: de-chunk first, then gunzip")
+    assert(out(6L) == (("unsupported_encoding", "brotli?")),
+      "unknown coding is LOUD with raw bytes kept")
+    assert(out(7L) == (("unsupported_encoding",
+      new String(gzBody, "ISO-8859-1"))),
+      "a multi-coding stack is out of contract, loud")
+    assert(out(8L)._1 == "bad_content_encoding",
+      "corrupt gzip is LOUD, never silent garbage text")
+    assert(out(9L) == (("ok", "plain")), "identity is a no-op")
+    assert(out(10L) == (("ok", "id+gz")), "identity tokens drop")
+  }
+
+  test("httpResponses: ETag/Last-Modified surfaced verbatim, first occurrence wins, absent is NULL") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ("HTTP/1.1 200 OK\r\nETag: \"v1-abc\"\r\n" +
+        "Last-Modified: Wed, 01 Jan 2025 00:00:00 GMT\r\n" +
+        "ETag: \"shadowed\"\r\n\r\nbody").getBytes("ISO-8859-1")),
+      (2L, "HTTP/1.1 200 OK\r\n\r\nno validators".getBytes("ISO-8859-1")))
+      .toDF("id", "bytes").withColumn("u", lit("https://et.example/"))
+    val out = TextOps.httpResponses(rows, "id", "u", "bytes")
+      .collect().map(r => r.getAs[Long]("msg_id") ->
+        ((r.getAs[String]("etag"), r.getAs[String]("last_modified"))))
+      .toMap
+    assert(out(1L) == (("\"v1-abc\"",
+      "Wed, 01 Jan 2025 00:00:00 GMT")),
+      "validators verbatim; first ETag occurrence wins")
+    assert(out(2L) == ((null, null)), "absent validators are NULL")
+  }
+
   test("sniffMetaCharset: first tag wins across forms, 1024-byte window, straddling tag invisible") {
     import spark.implicits._
     def b(t: String) = t.getBytes("ISO-8859-1")
@@ -1280,6 +1470,42 @@ class TextOpsSpec extends SparkSpec {
     assert(df(3L).exists(_.startsWith("A")),
       "NULL charset decodes as UTF-8 with replacement, never throws")
     assert(df(4L).isEmpty, "unsupported charset is a LOUD NULL")
+  }
+
+  test("visibleText/pageTitle: strip order, entity decode, title ownership, loud NULLs, unpinned refs verbatim") {
+    import spark.implicits._
+    val rows = Seq(
+      // script/style/comment content never leaks; tags become spaces
+      (1L, "<html><head><title> T &amp; t </title>" +
+        "<style>body{color:red}</style></head>" +
+        "<body><script>var x='<b>hidden</b>';</script>" +
+        "<!-- secret -->a<br>b <P>c</p></body></html>"),
+      // no <head>: body text kept (conservative); title still owned
+      // by its column only
+      (2L, "<title>Solo</title>x &lt;tag&gt; y"),
+      // numeric + hex entity forms; &#38;lt; is the literal &lt;
+      (3L, "A&#60;B&#x3E;C&#160;D&#38;lt;E"),
+      // unpinned reference stays VERBATIM, never guessed
+      (4L, "caf&eacute; &#233;"),
+      // commented-out title is not the title; empty text is NULL
+      (5L, "<!--<title>ghost</title>--><div> </div>"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "h")
+      .select(col("id"), TextOps.pageTitle(col("h")).as("t"),
+        TextOps.visibleText(col("h")).as("v"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)).orNull, Option(r.getString(2)).orNull)))
+      .toMap
+    assert(rows(1L) == (("T & t", "a b c")), s"got ${rows(1L)}")
+    assert(rows(2L) == (("Solo", "x <tag> y")),
+      "titles belong to the title column even without <head>")
+    assert(rows(3L) == ((null, "A<B>C D&lt;E")),
+      "numeric/hex forms decode; &#38;lt; stays the authored literal")
+    assert(rows(4L) == ((null, "caf&eacute; &#233;")),
+      "unpinned character references stay verbatim, loud by visibility")
+    assert(rows(5L) == ((null, null)),
+      "a commented-out title is not a title; empty text is loud NULL")
+    assert(rows(6L) == ((null, null)), "NULL in, NULL out")
   }
 
   test("sitemapUrls: blocks, entities, loud NULLs, index files — and frontier composition") {
