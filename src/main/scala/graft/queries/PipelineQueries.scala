@@ -2595,10 +2595,14 @@ object PipelineQueries {
     // -- graph: multi-source BFS hop distances over the symmetrized
     //    kNN graph — unreachable nodes surface as NULL ---------------
     "q_bfs_hops" -> ((s, dir) => {
+      // checkpoint the symmetrized kNN edges ONCE: bfsHops checkpoints
+      // its own copy internally, but the SOURCES frame below derives
+      // from the same lineage and would otherwise re-run the whole
+      // quadratic kNN scan (r18 measurement)
       val edges = graft.analytics.LabelProp.symmetrize(
         Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
           "embedding", k = 3).select(col("src"), col("dst")),
-        "src", "dst")
+        "src", "dst").localCheckpoint(true)
       graft.analytics.LabelProp.bfsHops(edges, "src", "dst",
         edges.select(col("src")).filter(col("src") < 5), "src",
         maxIters = 20)
@@ -3597,8 +3601,13 @@ object PipelineQueries {
     //    mass = random-walk proximity to the seeds through the kNN
     //    graph. Same exact integer map; 8 unrolled oracle steps -------
     "q_ppr_expand" -> ((s, dir) => {
+      // checkpoint the kNN edges ONCE: both the seed derivation and the
+      // walk consume them, and without the cut each consumer re-runs the
+      // whole quadratic scan (r18 measurement: knnGraph is ~1.4 s of the
+      // query; the seed count + validation paid it a second time)
       val edges = Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
         "embedding", k = 3).select(col("src"), col("dst"))
+        .localCheckpoint(true)
       val seeds = edges.select(col("src")).distinct()
         .filter(pmod(col("src"), lit(50L)) === 0L)
       graft.analytics.PageRank.personalizedPageRank(edges, "src", "dst",
@@ -3612,8 +3621,12 @@ object PipelineQueries {
     //    the oracle replays 8 unrolled SQL steps; the perturbed-graph
     //    convergence story is gated in PageRankSpec. -------------------
     "q_pagerank_warm" -> ((s, dir) => {
+      // checkpoint the kNN edges ONCE: the cold pass and the warm pass
+      // each persist-and-release their own copy, so without the cut the
+      // quadratic kNN scan ran TWICE (r18: ~1.4 s saved)
       val edges = Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
         "embedding", k = 3).select(col("src"), col("dst"))
+        .localCheckpoint(true)
       val prev = graft.analytics.PageRank.pageRank(
         edges, "src", "dst", iters = 5)
       graft.analytics.PageRank.pageRankWarm(
