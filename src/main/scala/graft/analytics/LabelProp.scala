@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   * anywhere.
   *
   * Scale shape: per iteration one (dst, label)-keyed partial-agg
-  * count shuffle and one rank-limit argmax window per node — both on
-  * the label-bearing edge subset, not the corpus; lineage cut by
-  * localCheckpoint every 2 rounds (the tuned PageRank cadence).
+  * count shuffle and one per-dst argmax AGGREGATE (min of
+  * struct(-count, label) — the rank-1 window row without the window's
+  * extra shuffle-and-sort) — both on the label-bearing edge subset,
+  * not the corpus; the label frame carries the immutable seed so no
+  * per-iteration node-table join; lineage cut by localCheckpoint
+  * every 2 rounds (the tuned PageRank cadence).
   * Direction note: pass a symmetrized edge list for the classic
   * undirected semantics (`symmetrize`).
   */
@@ -48,30 +51,34 @@ object LabelProp {
     val e = edges.select(col("src"), col("dst")).persist()
     val base = seeds.select(col(idCol).as("__v"), col(seedCol).cast("int").as("__seed"))
       .persist()
-    var lab = base.select(col("__v"), col("__seed").as("__lbl"))
+    // r18 loop shape: the label frame CARRIES the (immutable) seed, so
+    // no per-iteration join against the node table; the per-dst argmax
+    // is min(struct(-count, label)) — identical to the old rank-1
+    // window row (max count, then smallest label; count >= 1 so the
+    // negation never overflows) without the window's extra
+    // shuffle-and-sort. Measured: 5 iterations 3.16 s -> ~1.5 s on the
+    // sf0.1 kNN graph, bit-identical output.
+    var lab = base.select(col("__v"), col("__seed").as("__lbl"), col("__seed"))
       .localCheckpoint(eager = true)
     for (i <- 1 to iters) {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("dst"))
-        .orderBy(col("__c").desc, col("__nl").asc)
       val majority = e
         .join(lab.filter(col("__lbl").isNotNull), e("src") === lab("__v"))
         .groupBy(col("dst"), col("__lbl").as("__nl"))
         .agg(count(lit(1)).as("__c"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("dst"), col("__nl"))
-      lab = base
-        .join(lab.select(col("__v").as("__pv"), col("__lbl").as("__prev")),
-          base("__v") === col("__pv"))
-        .join(majority, base("__v") === majority("dst"), "left")
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("__c")).as("__negc"), col("__nl").as("__l")))
+          .as("__m"))
+        .select(col("dst"), col("__m.__l").as("__nl"))
+      lab = lab
+        .join(majority, lab("__v") === majority("dst"), "left")
         .select(col("__v"),
           when(col("__seed").isNotNull, col("__seed"))
-            .otherwise(coalesce(col("__nl"), col("__prev"))).as("__lbl"))
+            .otherwise(coalesce(col("__nl"), col("__lbl"))).as("__lbl"),
+          col("__seed"))
       if (i % 2 == 0 || i == iters) lab = lab.localCheckpoint(eager = true)
     }
     e.unpersist()
-    val out = base.join(lab, Seq("__v"))
+    val out = base.join(lab.select(col("__v"), col("__lbl")), Seq("__v"))
       .select(col("__v").as(idCol), col("__lbl").as("label"),
         when(col("__seed").isNotNull, lit("seed"))
           .when(col("__lbl").isNotNull, lit("propagated"))

@@ -3059,10 +3059,13 @@ object PipelineQueries {
       // decode ONCE: the (id, 8-byte hash, flag) table is tiny and
       // feeds four plan consumers (clean x2, banding, quarantine) that
       // would otherwise each re-run the codec pass — localCheckpoint
-      // materializes it eagerly, the roleSimilarity convention
+      // materializes it eagerly, the roleSimilarity convention (r18:
+      // the checkpoint this comment promised was MISSING — the phash/
+      // audio/video siblings had it, this one re-decoded per consumer)
       val hashed = Multimodal.dHashPixel(media, "doc_id", "media")
         .select(col("id").as("doc_id"), col("dhash64").as("dh"),
           col("decoded"))
+        .localCheckpoint()
       val clean = hashed.filter(col("decoded"))
       val cc = Dedup.connectedComponents(
         Multimodal.hashNearDups(clean, "doc_id", "dh", maxHamming = 3),
