@@ -1376,10 +1376,17 @@ object Dedup {
     val t = col("th_decile").cast("double") / lit(10.0)
     val pg = pairs.join(broadcast(ths), col("jaccard") >= t)
       .groupBy("th_decile").agg(count(lit(1)).as("pairs_ge"))
+    // docs touched at threshold t = docs whose MAX pair jaccard >= t
+    // (identical set under any total order — max is over the same
+    // IEEE doubles the old per-row >= compared), so the explode runs
+    // ONCE and the per-threshold countDistinct collapses to a plain
+    // count over the per-id max table (r18: the old shape exploded the
+    // pair list x|thresholds| and paid a two-phase distinct per decile)
     val dg = pairs
       .select(col("jaccard"), explode(array(col("id_a"), col("id_b"))).as("id"))
-      .join(broadcast(ths), col("jaccard") >= t)
-      .groupBy("th_decile").agg(countDistinct(col("id")).as("docs_ge"))
+      .groupBy(col("id")).agg(max(col("jaccard")).as("__mj"))
+      .join(broadcast(ths), col("__mj") >= t)
+      .groupBy("th_decile").agg(count(lit(1)).as("docs_ge"))
     ths.join(pg, Seq("th_decile"), "left")
       .join(dg, Seq("th_decile"), "left")
       .select(col("th_decile"),
