@@ -445,7 +445,10 @@ object Dedup {
     // verification recomputes only the shingle sets (cheap), not the
     // 64-hash signatures. sz non-nullable for the same pushdown reason
     // as postingsOf: the jaccard filter must not re-evaluate the ngram
-    // expression inside the scan.
+    // expression inside the scan. (r18: checkpointing this frame was
+    // MEASURED A REGRESSION — 1.07 s -> 1.47 s — the blocking
+    // materialization of the gram arrays costs more than the two
+    // re-derivations it saves; the lazy twin-join stays.)
     val sets = df.withColumn("__toks", TextOps.tokens(textCol))
       .select(col(idCol), TextOps.ngrams("__toks", shingleN).as("grams"))
       .withColumn("sz", coalesce(size(col("grams")), lit(-1)))

@@ -1065,7 +1065,11 @@ object Similarity {
                             threshold: Double, nbits: Int = 0,
                             tables: Int = 32): DataFrame = {
     // repartition FIRST — the quantize/norm/signature kernels below are
-    // per-row interpreted HOFs and a small parquet is one partition
+    // per-row interpreted HOFs and a small parquet is one partition.
+    // (r18: checkpointing this frame for its three plan branches was
+    // MEASURED a slight regression — 2.6 s -> 2.9 s — the blocking
+    // materialization loses to the lazy, fully-parallel re-derivation
+    // at bench scale; the lazy shape stays.)
     val vecs = df.repartition(col(idCol))
       .select(col(idCol),
         expr(s"transform($embCol, x -> CAST(x AS double))").as("vd"))
