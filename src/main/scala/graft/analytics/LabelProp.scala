@@ -171,9 +171,12 @@ object LabelProp {
       .union(e.select(col("dst").as("id")))
       .union(seeds.select(col("id")))
       .distinct()
+    // LAZY checkpoints throughout the loop: the probe right after each
+    // round is the materializing action — one job per round instead of
+    // eager-checkpoint + probe (the r18 connectedComponents fuse)
     var labels = nodes.join(seeds, Seq("id"), "left")
       .select(col("id"), col("__h").as("hops"))
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     def probe(df: DataFrame): (Long, Long) = {
       val r = df.agg(
         sum(when(col("hops").isNull, 1L).otherwise(0L)),
@@ -191,7 +194,7 @@ object LabelProp {
         .select(col("dst").as("id"), (col("__nh") + 1L).as("hops"))
       labels = labels.union(neigh)
         .groupBy(col("id")).agg(min(col("hops")).as("hops"))
-        .localCheckpoint(true)
+        .localCheckpoint(eager = false)
       val cur = probe(labels)
       converged = cur == prev
       prev = cur

@@ -947,7 +947,12 @@ object Dedup {
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("__jump"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint()
+        // LAZY checkpoint: the Σ probe right below is the materializing
+        // action, so each round submits ONE job instead of an eager
+        // checkpoint job plus the probe job (r18: 6.07 -> 5.11 s on the
+        // pixel pair graph, 0.53 -> 0.49 s on the minhash pairs,
+        // output collect-verified identical)
+        .localCheckpoint(eager = false)
       val s = labelSum(jumped)
       labels = jumped
       converged = s == prevSum
